@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full execution to completion
+(``df.write.format("noop")`` pattern via count of a cached action would
+distort; we use collect on small results / count on large ones through the
+same code path the driver uses: .collect()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_filter_in",
+    "q08_filter_datetime",
+    "q10_agg_scalar",
+    "q11_agg_having",
+    "q12_count_distinct",
+    "q14_cube",
+    "q15_orderby_limit",
+    "q16_setops",
+    "q21_pivot",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tiledb_mariadb_spark.session import get_spark
+    from tiledb_mariadb_spark.suite import all_specs
+
+    spark = get_spark("tiledb_mariadb_spark-bench")
+    specs = all_specs()
+    names = [n for n in HEADLINE if n in specs]
+
+    # warm the JVM + parquet footers once with the flagship query
+    specs[names[0]].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        specs[name].spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""SparkSession bootstrap tuned for this engine.
+
+Local testing runs on ``local[32]`` in one JVM; the configs below are the
+ones that survive a 1000-executor cluster unchanged (AQE, adaptive skew
+join, Arrow for the Python boundary) plus local-only sizing
+(``shuffle.partitions`` ~ cores).  At 100 TB the same code runs with
+``spark.sql.shuffle.partitions`` sized by AQE's coalescing and
+``files.maxPartitionBytes`` kept at the 128 MB default so scan tasks stay
+memory-bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tiledb_mariadb_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/root/repo/.tmp/spark-warehouse")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Settings every conformance query needs regardless of who built the
+    session (the driver may pass its own): UTC timestamps so parquet
+    timestamp columns collect identically to DuckDB's UTC-naive values.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

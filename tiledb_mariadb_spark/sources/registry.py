@@ -1,0 +1,39 @@
+"""Test-data table registry: the driver's TPC-H-ish star schema.
+
+Mirrors the reference's catalog role (``open()`` resolving a table name to
+an array URI, ha_mytile.cc:804-925) for the parquet mirrors the driver
+generates.  Loading is a plain ``spark.read.parquet`` so Catalyst gets a
+FileScan with predicate pushdown + column pruning for free (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast in any join at any scale
+# factor (region=5, nation=25 rows always; customer/supplier/part grow
+# with SF but stay ≪ fact tables).
+BROADCASTABLE = ("region", "nation", "supplier", "part", "customer")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register temp views so suite queries can use spark.sql."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

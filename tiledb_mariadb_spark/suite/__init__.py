@@ -1,0 +1,94 @@
+"""Conformance-query registry.
+
+Every operator claimed in SURVEY.md §2 is declared here as a
+:class:`QuerySpec`: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus
+(when SQL-expressible) an equivalent ANSI-SQL oracle string DuckDB runs on
+the same parquet tables.  The driver hash-compares both at sf0.01 — this is
+the engine's correctness gate, mirroring the reference's golden-file mtr
+suite (SURVEY.md §5) with DuckDB as the golden producer.
+
+Determinism conventions (both engines MUST produce bit-identical values):
+
+- float aggregates are accumulated as *scaled BIGINT sums*
+  (``SUM(CAST(ROUND(x * 10^k) AS BIGINT)) / 10^k``): per-row scaling of
+  k-decimal data lands ~1e-7 from an integer (never near a rounding tie),
+  int64 summation is exact and order-independent, int64→double conversion
+  is correctly rounded on both engines, and the final division is a single
+  IEEE op.  (Plain double sums differ by accumulation order; DECIMAL sums
+  are exact but DuckDB's int128→double cast double-rounds and its decimal
+  rescale truncates where Spark rounds HALF_UP — all observed.)
+- computed integer columns are cast to BIGINT on both sides (DuckDB's
+  ``SUM(INTEGER)``/``SUM(BIGINT)`` is HUGEINT, ``EXTRACT`` is BIGINT;
+  Spark's are long/int);
+- per-row float arithmetic is written with identical parenthesization
+  (IEEE ops on identical inputs are bit-identical);
+- double→BIGINT casts go through FLOOR (Spark truncates, DuckDB rounds);
+- any LIMIT/top-k is preceded by a *total* order (unique-key tiebreak), as
+  the driver's hash is order-insensitive but row-set-sensitive.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tiledb_mariadb_spark.session import tune_for_oracle
+from tiledb_mariadb_spark.sources.registry import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+# Decimal type wide enough for any sf0.1 sum (≤ ~6e11 with 10 frac digits).
+DEC = "decimal(28,10)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col, k: int = 2):
+    """Deterministic double-valued SUM via scaled-BIGINT accumulation.
+
+    ``k`` must cover the decimal digits of ``col`` (2 for raw prices/qty,
+    6 for price*discount products).  See module docstring.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    scale = 10.0**k
+    return F.sum(F.round(col * scale).cast("long")) / F.lit(scale)
+
+
+def dsum_sql(expr: str, k: int = 2) -> str:
+    """DuckDB oracle twin of :func:`dsum` (bit-identical by construction)."""
+    scale = repr(10.0**k)
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {scale})"
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Assemble the full registry from the category modules."""
+    from tiledb_mariadb_spark.suite import (  # noqa: PLC0415
+        core,
+        joins,
+        llm_ops,
+        similarity,
+        streaming_ops,
+        surfaces,
+        windows,
+    )
+
+    specs: dict[str, QuerySpec] = {}
+    for mod in (core, joins, windows, surfaces, llm_ops, similarity, streaming_ops):
+        for s in mod.SPECS:
+            if s.name in specs:
+                raise ValueError(f"duplicate query name {s.name}")
+            specs[s.name] = s
+    return specs
