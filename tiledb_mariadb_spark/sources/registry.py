@@ -9,6 +9,7 @@ FileScan with predicate pushdown + column pruning for free (SURVEY.md §3.1).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,6 +31,14 @@ BROADCASTABLE = ("region", "nation", "supplier", "part", "customer")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read the raw int64 and floor-truncate to micros.
+        # Oracle SQL must CAST(ts AS TIMESTAMP) so DuckDB truncates its
+        # TIMESTAMP_NS the same way (both floor for post-1970 data).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
