@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines: exact (hash),
+MinHash + LSH banding (near-dup candidate pairs), word-n-gram Jaccard
+verification, and SimHash.
+
+Scale design (the point of these ops is 100 TB corpora):
+- exact dedup = one hash-shuffle on a 16-byte digest (groupBy md5);
+- MinHash: shingling + hashing is embarrassingly parallel, signatures are
+  one groupBy(doc) shuffle; LSH banding shuffles (band, band-hash) buckets
+  so candidate generation never compares all pairs — the all-pairs join is
+  confined to within-bucket, and a final Jaccard verify runs only on
+  candidates.  Every hash is an md5-derived integer so the DuckDB oracle
+  can reproduce it bit-for-bit (no engine-private hash functions).
+- SimHash: one pass per token + groupBy(doc) bit-vote.
+
+All expressions are JVM Columns — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions.text import md5_hex
+
+# --- deterministic 60-bit / 32-bit hashes (md5-derived, oracle-reproducible)
+
+
+def hash60(col: Column, seed: str) -> Column:
+    """First 15 hex digits of md5('<seed>:'||s) as a non-negative BIGINT."""
+    return F.conv(
+        F.substring(md5_hex(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash60_sql(expr: str, seed: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5; emit (text_hash, n_copies, keep_id)."""
+    return (
+        df.withColumn("text_hash", md5_hex(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# --- shingling -------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Explode word-``k``-gram shingles: (id, shingle), duplicates kept."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(trim({text_col}), ' ')) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i, {k})))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def shingles_sql(table_expr: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`with_shingles` (1-based inclusive list slices)."""
+    return f"""
+SELECT {id_col}, array_to_string(ws[i.i:i.i+{k - 1}], ' ') AS shingle
+FROM (SELECT {id_col}, str_split(TRIM({text_col}), ' ') AS ws FROM {table_expr}),
+     UNNEST(range(1, len(ws) - {k - 2})) AS i(i)
+"""
+
+
+# --- MinHash signatures ----------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc signature: min over shingles of hash60(shingle, seed_j),
+    one column ``mh<j>`` per seed."""
+    aggs = [
+        F.min(hash60(F.col("shingle"), str(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_sql(shingle_cte: str, id_col: str, num_hashes: int = 8) -> str:
+    cols = ", ".join(
+        f"MIN({hash60_sql('shingle', str(j))}) AS mh{j}" for j in range(num_hashes)
+    )
+    return f"SELECT {id_col}, {cols} FROM ({shingle_cte}) GROUP BY {id_col}"
+
+
+# --- LSH banding → candidate pairs ----------------------------------------
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (r rows per band), bucket-join within bands,
+    emit distinct candidate pairs (a < b).  The only all-pairs expansion
+    happens inside a (band, hash...) bucket."""
+    num_bands = num_hashes // rows_per_band
+    bands = None
+    for b in range(num_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        part = signatures.select(
+            F.col(id_col).alias("doc"),
+            F.lit(b).cast("long").alias("band"),
+            *[c.alias(f"h{r}") for r, c in enumerate(cols)],
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select("band", "h0", "h1", F.col("doc").alias("a"))
+    right = bands.select("band", "h0", "h1", F.col("doc").alias("b"))
+    return (
+        left.join(right, ["band", "h0", "h1"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_pairs_sql(
+    signature_cte: str, num_hashes: int = 8, rows_per_band: int = 2
+) -> str:
+    num_bands = num_hashes // rows_per_band
+    parts = []
+    for b in range(num_bands):
+        h0 = f"mh{b * rows_per_band}"
+        h1 = f"mh{b * rows_per_band + 1}"
+        parts.append(
+            f"SELECT doc_id AS doc, {b} AS band, {h0} AS h0, {h1} AS h1 FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(parts)
+    return f"""
+WITH sigs AS ({signature_cte}),
+bands AS ({bands_sql})
+SELECT DISTINCT l.doc AS a, r.doc AS b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.h0 = r.h0 AND l.h1 = r.h1
+WHERE l.doc < r.doc
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash16(tokens: DataFrame, id_col: str, token_col: str = "token") -> DataFrame:
+    """16-bit SimHash: per-token 60-bit hash votes ±1 on each of 16 bits;
+    the sign of each bit-sum forms the fingerprint."""
+    h = hash60(F.col(token_col), "simhash")
+    votes = [
+        F.sum(
+            F.when(F.expr(f"__h >> {j} & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    per_doc = tokens.withColumn("__h", h).groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16_sql(token_cte: str, id_col: str) -> str:
+    h = hash60_sql("token", "simhash")
+    votes = ", ".join(
+        f"CAST(SUM(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH toks AS ({token_cte}),
+votes AS (SELECT {id_col}, {votes} FROM toks GROUP BY {id_col})
+SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""

@@ -1,3 +1,239 @@
-"""Placeholder — filled in as coverage widens."""
+"""Training-data pipeline operators over the ``documents`` table:
+text analysis, fingerprinting, exact dedup, MinHash+LSH near-dup,
+n-gram Jaccard, SimHash, multimodal binary plumbing.
 
-SPECS = []
+The corpus has no natural duplicates, so dedup queries build a corpus with
+*injected* copies (doc_id + 1_000_000) — the operator must then find
+exactly those pairs (plus any true near-dups), which the oracle reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import dedup as D
+from tiledb_mariadb_spark.functions import text as X
+from tiledb_mariadb_spark.functions.multimodal import extract_features
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+
+# --- q60: token counting + quality scoring ---------------------------------
+def q60_text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    feats = X.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stop_hits"].alias("stop_hits"),
+        feats["stop_ratio"].alias("stop_ratio"),
+    )
+
+
+_QF = X.quality_features_sql("text")
+Q60_SQL = f"""
+SELECT doc_id,
+       {_QF['n_chars']} AS n_chars,
+       {_QF['n_tokens']} AS n_tokens,
+       {_QF['mean_token_len']} AS mean_token_len,
+       {_QF['stop_hits']} AS stop_hits,
+       {_QF['stop_ratio']} AS stop_ratio
+FROM documents
+"""
+
+
+# --- q61: language-ID heuristic -------------------------------------------
+def q61_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    scores = X.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        X.lang_id(F.col("text")).alias("pred_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+
+
+_LS = X.lang_scores_sql("text")
+Q61_SQL = f"""
+SELECT doc_id, lang,
+       {X.lang_id_sql('text')} AS pred_lang,
+       {', '.join(f"{_LS[lang]} AS score_{lang}" for lang in sorted(_LS))}
+FROM documents
+"""
+
+
+# --- q62: exact dedup over a corpus with injected copies -------------------
+def _corpus(spark, sf_dir, limit: int = 100):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit).select(
+        "doc_id", "text"
+    )
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionByName(copies)
+
+
+_CORPUS_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+"""
+
+
+def q62_dedup_exact(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    return D.exact_dedup_groups(corpus, "doc_id", "text").select(
+        "text_hash", "n_copies", "keep_id"
+    )
+
+
+Q62_SQL = f"""
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM ({_CORPUS_SQL})
+GROUP BY md5(text)
+"""
+
+
+# --- q63: document fingerprinting ------------------------------------------
+def q63_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.md5_hex(F.substring(F.col("text"), 1, 64)).alias("fp_prefix"),
+    )
+
+
+Q63_SQL = """
+SELECT doc_id, md5(TRIM(text)) AS fp, md5(substr(text, 1, 64)) AS fp_prefix
+FROM documents
+"""
+
+
+# --- q64: MinHash signatures ----------------------------------------------
+def q64_minhash(spark, sf_dir):
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    shingled = D.with_shingles(corpus, "doc_id", "text", k=3)
+    return D.minhash_signatures(shingled, "doc_id", num_hashes=8)
+
+
+_SHINGLES_100 = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 100)", "doc_id", "text", k=3
+)
+Q64_SQL = D.minhash_sql(_SHINGLES_100, "doc_id", num_hashes=8)
+
+
+# --- q65: LSH banding → near-dup candidate pairs ---------------------------
+def q65_lsh_pairs(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    shingled = D.with_shingles(corpus, "doc_id", "text", k=3)
+    sigs = D.minhash_signatures(shingled, "doc_id", num_hashes=8)
+    return D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+
+
+_SHINGLES_DUP = D.shingles_sql(f"({_CORPUS_SQL})", "doc_id", "text", k=3)
+Q65_SQL = D.lsh_pairs_sql(
+    D.minhash_sql(_SHINGLES_DUP, "doc_id", num_hashes=8),
+    num_hashes=8,
+    rows_per_band=2,
+)
+
+
+# --- q66: exact n-gram Jaccard verification --------------------------------
+def q66_ngram_jaccard(spark, sf_dir):
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    )
+    sh = D.with_shingles(corpus, "doc_id", "text", k=3).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("un"),
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+_SHINGLES_30 = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 30)", "doc_id", "text", k=3
+)
+Q66_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_30})),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT a, b, inter,
+       (ca.n + cb.n - inter) AS un,
+       (inter / (ca.n + cb.n - inter)) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+"""
+
+
+# --- q67: SimHash ----------------------------------------------------------
+def q67_simhash(spark, sf_dir):
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    tokens = corpus.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    return D.simhash16(tokens, "doc_id")
+
+
+Q67_SQL = D.simhash16_sql(
+    "SELECT doc_id, UNNEST(str_split(TRIM(text), ' ')) AS token "
+    "FROM documents WHERE doc_id < 200",
+    "doc_id",
+)
+
+
+# --- q70: multimodal binary plumbing (stubbed decode via mapInPandas) ------
+def q70_multimodal(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    with_blob = d.withColumn("blob", F.col("text").cast("binary"))
+    return extract_features(with_blob, "doc_id", "blob")
+
+
+Q70_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS byte_len,
+       CAST(ASCII(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       md5(text) AS blob_md5
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("q60_text_stats", q60_text_stats, Q60_SQL, "token count + quality"),
+    QuerySpec("q61_lang_id", q61_lang_id, Q61_SQL, "language-ID heuristic"),
+    QuerySpec("q62_dedup_exact", q62_dedup_exact, Q62_SQL, "exact dedup"),
+    QuerySpec("q63_fingerprint", q63_fingerprint, Q63_SQL, "fingerprinting"),
+    QuerySpec("q64_minhash", q64_minhash, Q64_SQL, "MinHash signatures"),
+    QuerySpec("q65_lsh_pairs", q65_lsh_pairs, Q65_SQL, "LSH candidate pairs"),
+    QuerySpec("q66_ngram_jaccard", q66_ngram_jaccard, Q66_SQL, "n-gram Jaccard"),
+    QuerySpec("q67_simhash", q67_simhash, Q67_SQL, "SimHash"),
+    QuerySpec("q70_multimodal", q70_multimodal, Q70_SQL, "multimodal mapInPandas"),
+]

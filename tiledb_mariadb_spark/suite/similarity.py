@@ -1,3 +1,89 @@
-"""Placeholder — filled in as coverage widens."""
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (baseline) and random-hyperplane LSH bucketing (ANN scale path)."""
 
-SPECS = []
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import similarity as S
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+
+# --- q68: brute-force cosine top-k ----------------------------------------
+def q68_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    others = e.filter(F.col("vec_id") != 0)
+    return S.cosine_topk(others, query, "vec_id", "embedding", k=10)
+
+
+Q68_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --- q69: LSH bucket histogram (ANN candidate structure) -------------------
+def q69_ann_lsh_buckets(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", F.expr(S.lsh_bucket_expr("embedding", 8)))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+Q69_SQL = f"""
+SELECT {S.lsh_bucket_sql('embedding', 8)} AS bucket,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+# --- q71: bucketed ANN search: query restricted to its own bucket ----------
+def q71_ann_bucketed_search(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", F.expr(S.lsh_bucket_expr("embedding", 8)))
+    qrow = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cands = bucketed.join(
+        F.broadcast(qrow), bucketed.bucket == qrow.qbucket
+    ).filter(F.col("vec_id") != 0)
+    return (
+        cands.select(
+            "vec_id",
+            "bucket",
+            F.expr(S.cosine_expr("embedding", "qv")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+Q71_SQL = f"""
+WITH b AS (SELECT vec_id, embedding,
+                  {S.lsh_bucket_sql('embedding', 8)} AS bucket
+           FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, bucket, {S.cosine_sql('embedding', 'qv')} AS cos
+FROM b, q
+WHERE b.bucket = q.qbucket AND vec_id != 0
+ORDER BY cos DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+SPECS = [
+    QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
+    QuerySpec("q69_ann_lsh_buckets", q69_ann_lsh_buckets, Q69_SQL, "LSH bucketing"),
+    QuerySpec(
+        "q71_ann_bucketed_search", q71_ann_bucketed_search, Q71_SQL, "bucketed ANN"
+    ),
+]
