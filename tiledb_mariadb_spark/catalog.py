@@ -1,0 +1,364 @@
+"""Tile-table catalog: the tier-P storage layer of the reference,
+re-expressed Spark-first (SURVEY.md §1, §2.1, §7).
+
+A *tile table* models a TileDB array as:
+
+- a Parquet dataset laid out in snapshot-version partitions
+  ``<uri>/data/v=<n>/`` (hive-style, so Spark partition discovery exposes
+  ``v`` and partition *pruning* makes time travel free at scale);
+- a JSON sidecar ``<uri>/_tile_schema.json`` holding what parquet cannot:
+  the dimension/attribute split, domains and tile extents, array_type,
+  capacity, cell/tile order, enums, fill values, array metadata, and the
+  version→timestamp log.
+
+Reference parity map:
+- CREATE TABLE → array schema  → ``TileTable.create``  (ha_mytile.cc:1166-1422)
+- dimension options (bounds, extent) → ``Dim``           (mytile.h:281-314)
+- null dimension writes rejected                        (ha_mytile.cc:3166-3171)
+- sparse dedup / allows_dups on write                   (ha_mytile.cc:1253-1254)
+- ``@metadata`` virtual table → ``metadata_df``         (ha_mytile.cc:836-840, 1709-1751)
+- time travel ``open_at`` / ``uri@ts`` → ``read(at=..)`` (ha_mytile.cc:3440-3455)
+- discovery → synthesized CREATE TABLE → ``show_create`` (mytile-discovery.cc:54-473)
+- schema evolution ADD/DROP column → ``add_column``/``drop_column``
+                                                        (ha_mytile.cc:1030-1068)
+- dense fill-value reads → ``read(fill=True)``          (t/fill_in.test)
+
+Scale notes: version partitions mean a snapshot read prunes every newer
+file before I/O; writes repartition+sort by dimensions so dimension-range
+predicates hit parquet row-group min/max skipping (the Spark analog of
+subarray pruning); last-writer-wins dedup is one window over the dims —
+the same shuffle a sparse TileDB consolidation performs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SIDECAR = "_tile_schema.json"
+MAX_FILL_CELLS = 10_000_000  # guard for dense grid materialization
+
+
+@dataclass
+class Dim:
+    name: str
+    dtype: str  # Spark DDL type string
+    lower: Optional[int] = None
+    upper: Optional[int] = None
+    tile_extent: Optional[int] = None
+
+
+@dataclass
+class Attr:
+    name: str
+    dtype: str
+    nullable: bool = True
+    fill: Any = None
+    enum: Optional[list[str]] = None
+
+
+@dataclass
+class TileSchema:
+    dimensions: list[Dim]
+    attributes: list[Attr]
+    array_type: str = "SPARSE"  # or DENSE
+    capacity: int = 10000
+    cell_order: str = "ROW_MAJOR"
+    tile_order: str = "ROW_MAJOR"
+    allows_dups: bool = False
+    metadata: dict[str, str] = field(default_factory=dict)
+    versions: list[dict] = field(default_factory=list)
+
+    @property
+    def dim_names(self) -> list[str]:
+        return [d.name for d in self.dimensions]
+
+    @property
+    def attr_names(self) -> list[str]:
+        return [a.name for a in self.attributes]
+
+
+def _load_sidecar(uri: str) -> TileSchema:
+    with open(os.path.join(uri, SIDECAR)) as f:
+        raw = json.load(f)
+    return TileSchema(
+        dimensions=[Dim(**d) for d in raw["dimensions"]],
+        attributes=[Attr(**a) for a in raw["attributes"]],
+        array_type=raw["array_type"],
+        capacity=raw["capacity"],
+        cell_order=raw["cell_order"],
+        tile_order=raw["tile_order"],
+        allows_dups=raw["allows_dups"],
+        metadata=raw["metadata"],
+        versions=raw["versions"],
+    )
+
+
+def _save_sidecar(uri: str, schema: TileSchema) -> None:
+    with open(os.path.join(uri, SIDECAR), "w") as f:
+        json.dump(asdict(schema), f, indent=1, sort_keys=True)
+
+
+class TileTable:
+    def __init__(self, spark: SparkSession, uri: str):
+        self.spark = spark
+        self.uri = uri
+        self.schema = _load_sidecar(uri)
+
+    # --- DDL ---------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        uri: str,
+        dimensions: list[Dim],
+        attributes: list[Attr],
+        array_type: str = "SPARSE",
+        overwrite: bool = False,
+        **options: Any,
+    ) -> "TileTable":
+        if array_type == "DENSE":
+            for d in dimensions:
+                if d.lower is None or d.upper is None:
+                    raise ValueError(
+                        f"dense dimension {d.name} requires lower/upper bounds"
+                    )
+        if overwrite and os.path.exists(uri):
+            shutil.rmtree(uri)
+        os.makedirs(os.path.join(uri, "data"), exist_ok=True)
+        schema = TileSchema(
+            dimensions=dimensions,
+            attributes=attributes,
+            array_type=array_type,
+            **options,
+        )
+        _save_sidecar(uri, schema)
+        return TileTable(spark, uri)
+
+    def drop(self, delete_data: bool = True) -> None:
+        """DROP TABLE; physical delete is opt-in like mytile_delete_arrays
+        (mytile-sysvars.cc:55-58)."""
+        if delete_data and os.path.exists(self.uri):
+            shutil.rmtree(self.uri)
+
+    # --- write path ----------------------------------------------------------
+
+    def write(self, df: DataFrame, version_ts: Optional[int] = None) -> int:
+        """Append one snapshot version.  Rejects null dimension values;
+        dedups coordinates within the batch when allows_dups=False.
+        Sorts within partitions by the dims so range predicates prune
+        row groups on read."""
+        s = self.schema
+        dims = s.dim_names
+        cols = dims + s.attr_names
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"missing columns: {missing}")
+        out = df.select(*cols)
+        null_dim_filter = None
+        for d in dims:
+            cond = F.col(d).isNull()
+            null_dim_filter = cond if null_dim_filter is None else null_dim_filter | cond
+        if out.filter(null_dim_filter).limit(1).count() > 0:
+            raise ValueError("null values are not allowed in dimension columns")
+        if s.array_type == "DENSE":
+            for d in s.dimensions:
+                bad = out.filter(
+                    (F.col(d.name) < F.lit(d.lower)) | (F.col(d.name) > F.lit(d.upper))
+                )
+                if bad.limit(1).count() > 0:
+                    raise ValueError(f"dimension {d.name} out of domain bounds")
+        if not s.allows_dups:
+            out = out.dropDuplicates(dims)
+        version = (s.versions[-1]["v"] + 1) if s.versions else 1
+        ts = version_ts if version_ts is not None else version
+        path = os.path.join(self.uri, "data", f"__tile_v={version}")
+        (
+            out.repartition(*[F.col(d) for d in dims])
+            .sortWithinPartitions(*dims)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        s.versions.append({"v": version, "ts": ts})
+        _save_sidecar(self.uri, s)
+        return version
+
+    # --- read path -----------------------------------------------------------
+
+    def read(self, at: Optional[int] = None, fill: bool = False) -> DataFrame:
+        """Scan; ``at`` = inclusive version-timestamp bound (time travel),
+        ``fill=True`` materializes the full dense domain with fill values."""
+        s = self.schema
+        data_dir = os.path.join(self.uri, "data")
+        visible = [
+            v["v"] for v in s.versions if at is None or v["ts"] <= at
+        ]
+        cols = s.dim_names + s.attr_names
+        if not visible:
+            return self.spark.createDataFrame(
+                [], schema=self._spark_ddl(include=cols)
+            )
+        df = (
+            self.spark.read.option("basePath", data_dir)
+            .parquet(*[os.path.join(data_dir, f"__tile_v={v}") for v in visible])
+        )
+        if not s.allows_dups:
+            # last-writer-wins per coordinate (TileDB overwrite semantics)
+            w = Window.partitionBy(*s.dim_names).orderBy(F.col("__tile_v").desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") == 1
+            )
+        df = df.select(*cols)
+        if fill:
+            df = self._fill_dense(df)
+        return df
+
+    def _spark_ddl(self, include: list[str]) -> str:
+        s = self.schema
+        parts = []
+        for d in s.dimensions:
+            if d.name in include:
+                parts.append(f"{d.name} {d.dtype}")
+        for a in s.attributes:
+            if a.name in include:
+                parts.append(f"{a.name} {a.dtype}")
+        return ", ".join(parts)
+
+    def _fill_dense(self, df: DataFrame) -> DataFrame:
+        """Dense fill-in: cross-join the integer dimension domains and
+        left-join the stored cells, coalescing attribute fill values
+        (the Spark expression of t/fill_in.test semantics)."""
+        s = self.schema
+        if s.array_type != "DENSE":
+            return df
+        total = 1
+        for d in s.dimensions:
+            total *= d.upper - d.lower + 1
+        if total > MAX_FILL_CELLS:
+            raise ValueError(f"dense domain too large to materialize: {total}")
+        grid = None
+        for d in s.dimensions:
+            axis = self.spark.range(d.lower, d.upper + 1).select(
+                F.col("id").cast(d.dtype).alias(d.name)
+            )
+            grid = axis if grid is None else grid.crossJoin(axis)
+        joined = grid.join(df, on=s.dim_names, how="left")
+        fills = [
+            F.coalesce(F.col(a.name), F.lit(a.fill).cast(a.dtype)).alias(a.name)
+            for a in s.attributes
+        ]
+        return joined.select(*s.dim_names, *fills)
+
+    # --- @metadata virtual table --------------------------------------------
+
+    def set_metadata(self, key: str, value: str) -> None:
+        self.schema.metadata[key] = value
+        _save_sidecar(self.uri, self.schema)
+
+    def metadata_df(self) -> DataFrame:
+        """The ``<uri>@metadata`` 2-column (key,value) projection."""
+        rows = sorted(self.schema.metadata.items())
+        return self.spark.createDataFrame(rows, schema="key string, value string")
+
+    # --- discovery / SHOW CREATE ---------------------------------------------
+
+    def show_create(
+        self, name: Optional[str] = None, display_uri: Optional[str] = None
+    ) -> str:
+        """Synthesize the CREATE TABLE statement from the stored schema —
+        the reference's assisted discovery (mytile-discovery.cc:54-473)."""
+        s = self.schema
+        name = name or os.path.basename(self.uri.rstrip("/"))
+        lines = [f"CREATE TABLE `{name}` ("]
+        col_lines = []
+        for d in s.dimensions:
+            opts = [f"`{d.name}` {d.dtype} NOT NULL dimension=1"]
+            if d.lower is not None:
+                opts.append(f"lower_bound='{d.lower}'")
+            if d.upper is not None:
+                opts.append(f"upper_bound='{d.upper}'")
+            if d.tile_extent is not None:
+                opts.append(f"tile_extent='{d.tile_extent}'")
+            col_lines.append("  " + " ".join(opts))
+        for a in s.attributes:
+            null_sql = "" if a.nullable else " NOT NULL"
+            extra = ""
+            if a.enum is not None:
+                labels = ",".join(f"'{x}'" for x in a.enum)
+                extra = f" enum=({labels})"
+            if a.fill is not None:
+                extra += f" fill='{a.fill}'"
+            col_lines.append(f"  `{a.name}` {a.dtype}{null_sql}{extra}")
+        pk = ", ".join(f"`{d}`" for d in s.dim_names)
+        col_lines.append(f"  PRIMARY KEY ({pk})")
+        lines.append(",\n".join(col_lines))
+        lines.append(
+            f") uri='{display_uri or self.uri}' array_type='{s.array_type}'"
+            f" capacity={s.capacity}"
+            f" cell_order={s.cell_order} tile_order={s.tile_order}"
+        )
+        return "\n".join(lines)
+
+    # --- schema evolution -----------------------------------------------------
+
+    def add_column(
+        self, name: str, dtype: str, nullable: bool = True, fill: Any = None
+    ) -> None:
+        """ADD COLUMN in place (ArraySchemaEvolution parity).  Existing
+        version files are untouched; reads mergeSchema + coalesce fill."""
+        if name in self.schema.dim_names + self.schema.attr_names:
+            raise ValueError(f"column {name} already exists")
+        self.schema.attributes.append(
+            Attr(name=name, dtype=dtype, nullable=nullable, fill=fill)
+        )
+        _save_sidecar(self.uri, self.schema)
+
+    def drop_column(self, name: str) -> None:
+        if name in self.schema.dim_names:
+            raise ValueError("cannot drop a dimension column")
+        self.schema.attributes = [
+            a for a in self.schema.attributes if a.name != name
+        ]
+        _save_sidecar(self.uri, self.schema)
+
+    def read_evolved(self, at: Optional[int] = None) -> DataFrame:
+        """Read across schema versions: mergeSchema + fill for columns
+        absent in older files."""
+        s = self.schema
+        data_dir = os.path.join(self.uri, "data")
+        visible = [v["v"] for v in s.versions if at is None or v["ts"] <= at]
+        cols = s.dim_names + s.attr_names
+        if not visible:
+            return self.spark.createDataFrame([], schema=self._spark_ddl(cols))
+        df = (
+            self.spark.read.option("basePath", data_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(data_dir, f"__tile_v={v}") for v in visible])
+        )
+        if not s.allows_dups:
+            w = Window.partitionBy(*s.dim_names).orderBy(F.col("__tile_v").desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") == 1
+            )
+        out = []
+        for c in cols:
+            if c not in df.columns:
+                attr = next(a for a in s.attributes if a.name == c)
+                out.append(F.lit(attr.fill).cast(attr.dtype).alias(c))
+            elif c in s.attr_names:
+                attr = next(a for a in s.attributes if a.name == c)
+                if attr.fill is not None:
+                    out.append(
+                        F.coalesce(F.col(c), F.lit(attr.fill).cast(attr.dtype)).alias(c)
+                    )
+                else:
+                    out.append(F.col(c))
+            else:
+                out.append(F.col(c))
+        return df.select(*out)
