@@ -30,6 +30,16 @@ HEADLINE = [
     "q15_orderby_limit",
     "q16_setops",
     "q21_pivot",
+    "q31_join_multi",
+    "q32_join_left",
+    "q36_join_theta",
+    "q38_asof_join",
+    "q51_window_running",
+    "q57_sessionize",
+    "q62_dedup_exact",
+    "q65_lsh_pairs",
+    "q68_cosine_topk",
+    "q95_spatial_intersects",
 ]
 
 

@@ -108,17 +108,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (r rows per band), bucket-join within bands,
     emit distinct candidate pairs (a < b).  The only all-pairs expansion
-    happens inside a (band, hash...) bucket."""
+    happens inside a (band, hash...) bucket.
+
+    Banding is a single explode (not a per-band union, which would plan
+    the signature subtree once per band), and the signature DataFrame is
+    cached because the self-join consumes it twice — at corpus scale this
+    is the step you'd checkpoint/persist anyway."""
     num_bands = num_hashes // rows_per_band
-    bands = None
-    for b in range(num_bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = signatures.select(
-            F.col(id_col).alias("doc"),
-            F.lit(b).cast("long").alias("band"),
-            *[c.alias(f"h{r}") for r, c in enumerate(cols)],
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.col(f"mh{b * rows_per_band}").alias("h0"),
+                F.col(f"mh{b * rows_per_band + 1}").alias("h1"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = (
+        signatures.select(F.col(id_col).alias("doc"), F.explode(band_structs).alias("bs"))
+        .select("doc", "bs.band", "bs.h0", "bs.h1")
+        .cache()
+    )
     left = bands.select("band", "h0", "h1", F.col("doc").alias("a"))
     right = bands.select("band", "h0", "h1", F.col("doc").alias("b"))
     return (
