@@ -1,0 +1,69 @@
+"""Z-order clustering: key parity with the Python reference, and the
+locality property that motivates it (a small 2-D box after z-clustering
+touches fewer files than round-robin layout)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.operators.zorder import (
+    cluster_by_zorder,
+    z_value,
+    z_value_py,
+)
+
+
+def test_z_value_matches_python_reference(spark):
+    pts = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 11)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    rows = df.select(
+        "x", "y", z_value([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+    for r in rows:
+        assert r["z"] == z_value_py([r["x"], r["y"]], bits=8), (r["x"], r["y"])
+
+
+def test_zorder_clustering_improves_box_locality(spark, tmp_path):
+    grid = [(x, y, x * 256 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(grid, "x int, y int, payload int")
+
+    z_path = str(tmp_path / "zordered")
+    cluster_by_zorder(df, ["x", "y"], num_partitions=16, bits=8).write.parquet(z_path)
+
+    rr_path = str(tmp_path / "roundrobin")
+    df.repartition(16).write.parquet(rr_path)
+
+    def files_touched(path):
+        scan = (
+            spark.read.parquet(path)
+            .filter(F.col("x").between(10, 17) & F.col("y").between(10, 17))
+        )
+        scan.collect()
+        return len(set(scan.inputFiles()))
+
+    assert len(glob.glob(f"{z_path}/*.parquet")) >= 8
+    # Spark lists all files in inputFiles (no dynamic file skipping at this
+    # API level), so compare row-group-level effectiveness via parquet
+    # footers: in the z-ordered layout, the box rows live in few files.
+    import pyarrow.parquet as pq
+
+    def files_containing_box(path):
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                x_st, y_st = cols["x"].statistics, cols["y"].statistics
+                if x_st.min <= 17 and x_st.max >= 10 and y_st.min <= 17 and y_st.max >= 10:
+                    n += 1
+                    break
+        return n
+
+    z_touch = files_containing_box(z_path)
+    rr_touch = files_containing_box(rr_path)
+    assert z_touch < rr_touch, (z_touch, rr_touch)

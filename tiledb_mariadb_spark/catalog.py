@@ -74,6 +74,8 @@ class TileSchema:
     allows_dups: bool = False
     metadata: dict[str, str] = field(default_factory=dict)
     versions: list[dict] = field(default_factory=list)
+    # set for subset registrations: URI of the array whose data files we share
+    data_ref: Optional[str] = None
 
     @property
     def dim_names(self) -> list[str]:
@@ -97,6 +99,7 @@ def _load_sidecar(uri: str) -> TileSchema:
         allows_dups=raw["allows_dups"],
         metadata=raw["metadata"],
         versions=raw["versions"],
+        data_ref=raw.get("data_ref"),
     )
 
 
@@ -174,6 +177,15 @@ class TileTable:
                 )
                 if bad.limit(1).count() > 0:
                     raise ValueError(f"dimension {d.name} out of domain bounds")
+        for a in s.attributes:
+            if a.enum is not None:
+                # enum attrs are dictionary-encoded label sets; reject
+                # out-of-vocabulary writes (CHECK-like, SURVEY §1.3)
+                bad = out.filter(
+                    F.col(a.name).isNotNull() & ~F.col(a.name).isin(a.enum)
+                )
+                if bad.limit(1).count() > 0:
+                    raise ValueError(f"value outside enum labels for {a.name}")
         if not s.allows_dups:
             out = out.dropDuplicates(dims)
         version = (s.versions[-1]["v"] + 1) if s.versions else 1
@@ -195,7 +207,7 @@ class TileTable:
         """Scan; ``at`` = inclusive version-timestamp bound (time travel),
         ``fill=True`` materializes the full dense domain with fill values."""
         s = self.schema
-        data_dir = os.path.join(self.uri, "data")
+        data_dir = self._data_dir
         visible = [
             v["v"] for v in s.versions if at is None or v["ts"] <= at
         ]
@@ -254,6 +266,60 @@ class TileTable:
             for a in s.attributes
         ]
         return joined.select(*s.dim_names, *fills)
+
+    # --- stats / subset registration ------------------------------------------
+
+    def est_records(self) -> int:
+        """Upper-bound record estimate from parquet footers — the
+        computeRecordsUB analog (ha_mytile.cc:1424-1468): counts all
+        stored cells including superseded duplicate coordinates, without
+        scanning data pages."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        data_dir = self._data_dir
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return total
+
+    @staticmethod
+    def register_subset(
+        spark: SparkSession, src_uri: str, dst_uri: str, columns: list[str]
+    ) -> "TileTable":
+        """Register a table over a *subset* of an existing array's columns
+        (create_allow_subset_existing_array parity, ha_mytile.cc:1192-1197).
+        All dimensions must be kept; data files are shared, not copied."""
+        src = _load_sidecar(src_uri)
+        missing = [d for d in src.dim_names if d not in columns]
+        if missing:
+            raise ValueError(f"subset must include all dimensions: {missing}")
+        unknown = [
+            c for c in columns if c not in src.dim_names + src.attr_names
+        ]
+        if unknown:
+            raise ValueError(f"unknown columns: {unknown}")
+        os.makedirs(dst_uri, exist_ok=True)
+        sub = TileSchema(
+            dimensions=src.dimensions,
+            attributes=[a for a in src.attributes if a.name in columns],
+            array_type=src.array_type,
+            capacity=src.capacity,
+            cell_order=src.cell_order,
+            tile_order=src.tile_order,
+            allows_dups=src.allows_dups,
+            metadata=dict(src.metadata),
+            versions=list(src.versions),
+            data_ref=src_uri,
+        )
+        _save_sidecar(dst_uri, sub)
+        return TileTable(spark, dst_uri)
+
+    @property
+    def _data_dir(self) -> str:
+        base = self.schema.data_ref or self.uri
+        return os.path.join(base, "data")
 
     # --- @metadata virtual table --------------------------------------------
 
@@ -331,7 +397,7 @@ class TileTable:
         """Read across schema versions: mergeSchema + fill for columns
         absent in older files."""
         s = self.schema
-        data_dir = os.path.join(self.uri, "data")
+        data_dir = self._data_dir
         visible = [v["v"] for v in s.versions if at is None or v["ts"] <= at]
         cols = s.dim_names + s.attr_names
         if not visible:
