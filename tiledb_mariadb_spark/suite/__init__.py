@@ -82,6 +82,7 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         spatial_ops,
         streaming_ops,
+        subqueries,
         surfaces,
         windows,
     )
@@ -90,6 +91,7 @@ def all_specs() -> dict[str, QuerySpec]:
     for mod in (
         core,
         joins,
+        subqueries,
         windows,
         surfaces,
         llm_ops,
