@@ -1,0 +1,152 @@
+"""IVF (inverted-file) approximate nearest neighbor — the partition-pruned
+scale path for embedding search, complementing the LSH variant
+(functions/similarity.py).
+
+Shape of the index at 100 TB:
+
+- **train**: Lloyd k-means on a *sample* (training cost is independent of
+  table size); centroids are tiny (k × dim floats) and live on the driver.
+- **assign**: each vector's nearest-centroid id becomes its inverted-list
+  id — a single map-only JVM expression with the centroids inlined
+  (no join, no shuffle, no Python in the per-row path).
+- **layout**: write the table partitioned by ``list_id`` so a search
+  reads only ``nprobe`` of ``k`` partitions — partition pruning does to
+  vector search exactly what dimension ranges do to array scans.
+- **search**: pick the ``nprobe`` closest centroids on the driver (k·dim
+  floats — trivially small), prune to those lists, brute-force cosine
+  inside (functions/similarity.cosine_expr, exact-int arithmetic).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions.similarity import cosine_expr
+
+Centroid = tuple[int, list[float]]  # (list_id, components)
+
+
+def _vec_lit(v: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({float(x)} AS FLOAT)" for x in v) + ")"
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    """Squared L2 distance between two float-array exprs (JVM fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST((x - y) * (x - y) AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def argmin_list_expr(vec_col: str, centroids: list[Centroid]) -> str:
+    """Nearest-centroid id as ONE map-side expression: a fold over an
+    inline array of (list_id, distance) structs.  Ties break to the lower
+    list_id (strict < in the fold keeps the first minimum)."""
+    entries = ", ".join(
+        f"struct(CAST({lid} AS INT) AS lid,"
+        f" {_sqdist_expr(vec_col, _vec_lit(cv))} AS d)"
+        for lid, cv in centroids
+    )
+    return (
+        f"aggregate(array({entries}),"
+        f" struct(CAST(-1 AS INT) AS lid, CAST('Infinity' AS DOUBLE) AS d),"
+        f" (acc, s) -> IF(s.d < acc.d, s, acc)).lid"
+    )
+
+
+def assign_lists(
+    df: DataFrame, centroids: list[Centroid], vec_col: str
+) -> DataFrame:
+    """Append ``list_id`` = nearest centroid; map-only, JVM-codegen'd."""
+    return df.withColumn("list_id", F.expr(argmin_list_expr(vec_col, centroids)))
+
+
+def train_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int = 2
+) -> list[Centroid]:
+    """Deterministic Lloyd k-means: seeds = vectors of the k smallest ids
+    (stable across runs), then ``iters`` assign/update rounds.  Train on a
+    sample at scale — pass ``df.sample(...)``; each round is one scan +
+    one (list_id, pos) aggregation.
+
+    Empty lists keep their previous centroid (standard Lloyd fix-up).
+    """
+    seed_rows = (
+        df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    centroids: list[Centroid] = [
+        (i, list(r[vec_col])) for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        assigned = assign_lists(df.select(id_col, vec_col), centroids, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "list_id",
+                F.expr("transform(pm, s -> CAST(s.m AS FLOAT))").alias("cv"),
+            )
+            .collect()
+        )
+        updated = {r["list_id"]: list(r["cv"]) for r in means}
+        centroids = [(lid, updated.get(lid, cv)) for lid, cv in centroids]
+    return centroids
+
+
+def probe_lists(
+    centroids: list[Centroid], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe nearest list_ids to the query — O(k·dim) on the driver."""
+    scored = sorted(
+        (sum((x - y) ** 2 for x, y in zip(cv, query_vec)), lid)
+        for lid, cv in centroids
+    )
+    return [lid for _, lid in scored[:nprobe]]
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[Centroid],
+    query_vec: list[float],
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Top-k cosine within the ``nprobe`` nearest inverted lists.  When
+    ``indexed`` is stored partitioned by ``list_id`` the isin filter is
+    partition pruning: only nprobe/len(centroids) of the data is read."""
+    probes = probe_lists(centroids, query_vec, nprobe)
+    return (
+        indexed.filter(F.col("list_id").isin(probes))
+        .select(
+            F.col(id_col),
+            F.expr(cosine_expr(vec_col, _vec_lit(query_vec))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def recall_at_k(approx_ids: list, exact_ids: list) -> float:
+    """|approx ∩ exact| / k — the standard ANN quality metric."""
+    if not exact_ids:
+        return float("nan")
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def write_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Persist partitioned by list_id → probe filters become partition
+    pruning (only nprobe directories are ever listed/read)."""
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ideal_k(n_rows: int) -> int:
+    """Rule-of-thumb list count: √N keeps list size ≈ probe cost."""
+    return max(1, int(math.sqrt(max(n_rows, 1))))

@@ -50,6 +50,20 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(ids) or plan.count("WholeStageCodegen")
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries from every scan node — evidence that a
+    predicate on a partition column prunes directories before I/O."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PartitionFilters:"):
+            body = line.split(":", 1)[1].strip()
+            if body.startswith("[") and body.endswith("]"):
+                body = body[1:-1]
+            out.extend(p.strip() for p in body.split(",") if p.strip())
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns actually read from parquet (ReadSchema) — column pruning
     evidence."""

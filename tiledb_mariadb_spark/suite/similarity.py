@@ -80,8 +80,24 @@ LIMIT 5
 """
 
 
+# --- q72: IVF ANN (train → assign → probe-pruned search) -------------------
+# Iterative k-means + partition-pruned probe: not SQL-expressible, so
+# rows-only (result quality asserted separately in tests/test_ivf.py).
+def q72_ann_ivf(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf.train_centroids(e, "vec_id", "embedding", k=8, iters=1)
+    indexed = ivf.assign_lists(e, cents, "embedding")
+    qvec = [float(x) for x in e.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    return ivf.ivf_search(
+        indexed, cents, qvec, "embedding", "vec_id", k=10, nprobe=2
+    )
+
+
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
+    QuerySpec("q72_ann_ivf", q72_ann_ivf, None, "IVF ANN: k-means lists + nprobe search"),
     QuerySpec("q69_ann_lsh_buckets", q69_ann_lsh_buckets, Q69_SQL, "LSH bucketing"),
     QuerySpec(
         "q71_ann_bucketed_search", q71_ann_bucketed_search, Q71_SQL, "bucketed ANN"
