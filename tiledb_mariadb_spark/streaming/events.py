@@ -71,6 +71,65 @@ def windowed_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
     )
 
 
+def interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour AFTER a click by
+    the same user.  Both sides carry watermarks and the join condition
+    bounds event-time distance, so state for either side is evictable —
+    the two requirements Structured Streaming imposes for stream-stream
+    joins to run with bounded memory at scale."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros(F.col("c_ts")).alias("click_us"),
+        F.unix_micros(F.col("p_ts")).alias("purchase_us"),
+        "amount",
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Exactly-once event delivery: drop replayed event_ids.  The
+    watermark bounds the dedup state (ids older than the watermark are
+    forgotten — at 100 TB/day unbounded dedup state is the failure mode,
+    so the watermark IS the design)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def stream_into_tile_table(events: DataFrame, table) -> None:
+    """foreachBatch sink into a TileTable: each micro-batch becomes one
+    snapshot version (an independent fragment — TileDB's write model maps
+     1:1 onto micro-batch commits; version log gives replay idempotence a
+    place to hook)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            table.write(batch_df, version_ts=int(batch_id) + 1)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table.uri + "/_stream_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running (count, max value) via
     applyInPandasWithState — the arbitrary-state API the reference has no

@@ -92,8 +92,68 @@ GROUP BY user_id
 """
 
 
+# --- q93: stream-stream interval join --------------------------------------
+# Inner join emits eagerly as matches arrive, so the drained result equals
+# the batch join — which is exactly the oracle.
+def q93_stream_stream_join(spark, sf_dir):
+    from tiledb_mariadb_spark.streaming.events import interval_join  # noqa: PLC0415
+
+    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_to_completion(interval_join(clicks, purchases), "append")
+
+
+Q93_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+       p.value AS amount
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+# --- q94: streaming dedup (exactly-once replay) -----------------------------
+# Two source instances over the same files = every event delivered twice;
+# dropDuplicates(event_id) must restore the exact original table.
+def q94_stream_dedup(spark, sf_dir):
+    from tiledb_mariadb_spark.streaming.events import dedup_stream  # noqa: PLC0415
+
+    doubled = read_events_stream(spark, sf_dir).union(
+        read_events_stream(spark, sf_dir)
+    )
+    out = dedup_stream(doubled).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    return run_to_completion(out, "append")
+
+
+Q94_SQL = """
+SELECT event_id, user_id, event_type,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+FROM events
+"""
+
+
 SPECS = [
     QuerySpec("q90_stream_window", q90_stream_window, Q90_SQL, "streaming window agg"),
     QuerySpec("q91_session_window", q91_session_window, Q91_SQL, "session_window"),
     QuerySpec("q92_stream_stateful", q92_stream_stateful, Q92_SQL, "stateful op"),
+    QuerySpec(
+        "q93_stream_stream_join", q93_stream_stream_join, Q93_SQL,
+        "stream-stream interval join",
+    ),
+    QuerySpec("q94_stream_dedup", q94_stream_dedup, Q94_SQL, "streaming dedup"),
 ]
