@@ -56,3 +56,80 @@ def extract_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob")
     )
     return prepared.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_chars bigint, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_size: int = 64,
+    every_n: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling: split each payload into fixed-size
+    frames, keep every ``every_n``-th — the one-to-MANY mapInPandas shape
+    a real frame extractor (ffmpeg keyframe pull) uses.  The per-frame
+    decode is the stub (md5 fingerprint stands in for pixel features);
+    the batch fan-out, output schema, and partition-parallel execution
+    are the production plumbing.  No shuffle: rows expand in place."""
+
+    def explode_frames(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, fidx, fchars, fmd5 = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = payload or ""
+                n_frames = -(-len(p) // frame_size) if len(p) else 0
+                for fi in range(0, n_frames, every_n):
+                    chunk = p[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(did)
+                    fidx.append(fi)
+                    fchars.append(len(chunk))
+                    fmd5.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "frame_chars": pd.Series(fchars, dtype="int64"),
+                    "frame_md5": pd.Series(fmd5, dtype="object"),
+                }
+            )
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return prepared.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+def resize_features(
+    df: DataFrame, id_col: str, binary_col: str, dim: int = 8
+) -> DataFrame:
+    """Image-resize stub: map each blob to a fixed-``dim`` float vector
+    (stripe-wise byte means — deterministic stand-in for
+    decode→resize→pool).  Output feeds the embedding ops (cosine/LSH/IVF)
+    directly, closing the multimodal→similarity pipeline."""
+
+    def featurize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def vec(b: bytes) -> list[float]:
+            if not b:
+                return [0.0] * dim
+            stride = -(-len(b) // dim)
+            return [
+                (sum(b[i * stride : (i + 1) * stride]) / max(1, len(b[i * stride : (i + 1) * stride])))
+                / 255.0
+                for i in range(dim)
+            ]
+
+        for pdf in pdf_iter:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "features": pdf["blob"].map(vec),
+                }
+            )
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob")
+    )
+    return prepared.mapInPandas(featurize, schema="doc_id bigint, features array<float>")

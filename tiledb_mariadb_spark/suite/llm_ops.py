@@ -226,8 +226,51 @@ FROM documents
 """
 
 
+# --- q73: frame sampling (one-to-many mapInPandas) -------------------------
+def q73_frame_sample(spark, sf_dir):
+    from tiledb_mariadb_spark.functions.multimodal import sample_frames  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sample_frames(d, "doc_id", "text", frame_size=64, every_n=4)
+
+
+Q73_SQL = """
+SELECT doc_id, fi AS frame_idx,
+       CAST(LENGTH(substr(text, CAST(fi*64+1 AS BIGINT), 64)) AS BIGINT) AS frame_chars,
+       md5(substr(text, CAST(fi*64+1 AS BIGINT), 64)) AS frame_md5
+FROM documents, UNNEST(range(0, CAST(CEIL(LENGTH(text)/64.0) AS BIGINT))) AS u(fi)
+WHERE fi % 4 = 0 AND doc_id < 200
+"""
+
+
+# --- q74: resize→pooled features feeding cosine search ----------------------
+# decode/resize is the stubbed tier (no codecs in container); the pooled
+# vector then runs the SAME exact-int cosine as the embedding ops.
+def q74_resize_cosine(spark, sf_dir):
+    from tiledb_mariadb_spark.functions.multimodal import resize_features  # noqa: PLC0415
+    from tiledb_mariadb_spark.functions.similarity import cosine_topk  # noqa: PLC0415
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .withColumn("blob", F.col("text").cast("binary"))
+    )
+    feats = resize_features(d, "doc_id", "blob", dim=8)
+    query = feats.filter(F.col("doc_id") == 0).select(F.col("features").alias("qv"))
+    return cosine_topk(
+        feats.filter(F.col("doc_id") != 0), query, "doc_id", "features", k=5
+    )
+
+
 SPECS = [
     QuerySpec("q60_text_stats", q60_text_stats, Q60_SQL, "token count + quality"),
+    QuerySpec(
+        "q73_frame_sample", q73_frame_sample, Q73_SQL, "frame sampling (1-to-many)"
+    ),
+    QuerySpec(
+        "q74_resize_cosine", q74_resize_cosine, None,
+        "resize-stub features → cosine top-k (decode stubbed: no codecs)",
+    ),
     QuerySpec("q61_lang_id", q61_lang_id, Q61_SQL, "language-ID heuristic"),
     QuerySpec("q62_dedup_exact", q62_dedup_exact, Q62_SQL, "exact dedup"),
     QuerySpec("q63_fingerprint", q63_fingerprint, Q63_SQL, "fingerprinting"),
