@@ -91,3 +91,41 @@ def test_missing_column_on_write(spark):
     tt = _mk(spark, "misscol")
     with pytest.raises(ValueError, match="missing columns"):
         tt.write(spark.createDataFrame([(1,)], "k int"))
+
+
+def test_heterogeneous_string_and_timestamp_dims(spark, tmp_path):
+    """string + timestamp dimensions (t/string_dim.test,
+    t/heterogeneus_dimensions.test, t/mrr_datetime_dimensions.test):
+    round-trip, last-writer-wins on composite coords, ordered key scans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "hetero"),
+        dimensions=[Dim("sym", "string"), Dim("ts", "timestamp")],
+        attributes=[Attr("px", "double")],
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("AAA", t0, 1.0),
+        ("AAA", t0 + dt.timedelta(minutes=1), 2.0),
+        ("BBB", t0, 3.0),
+    ]
+    tt.write(spark.createDataFrame(rows, "sym string, ts timestamp, px double"))
+    # overwrite one coordinate in a second version
+    tt.write(
+        spark.createDataFrame([("AAA", t0, 9.0)], "sym string, ts timestamp, px double")
+    )
+    got = tt.read()
+    assert got.count() == 3
+    assert (
+        got.filter((F.col("sym") == "AAA") & (F.col("ts") == t0)).collect()[0]["px"]
+        == 9.0
+    )
+    # keyed read ordered by the dims (index_read_scan analog)
+    ordered = got.filter(F.col("sym") == "AAA").orderBy("ts").collect()
+    assert [r["px"] for r in ordered] == [9.0, 2.0]
