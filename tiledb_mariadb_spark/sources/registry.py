@@ -30,7 +30,18 @@ TABLES = (
 BROADCASTABLE = ("region", "nation", "supplier", "part", "customer")
 
 
+# DataFrame objects are immutable logical plans — caching them skips the
+# repeated file listing + footer schema inference every query would
+# otherwise pay (the reference pays the same cost per query unless
+# mytile_reopen_for_every_query=0; our cache is that sysvar, always on).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 and floor-truncate to micros.
@@ -38,8 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NS the same way (both floor for post-1970 data).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
