@@ -31,6 +31,7 @@ HEADLINE = [
     "q16_setops",
     "q21_pivot",
     "q31_join_multi",
+    "q41_shipping_priority",
     "q32_join_left",
     "q36_join_theta",
     "q38_asof_join",

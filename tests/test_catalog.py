@@ -129,3 +129,21 @@ def test_heterogeneous_string_and_timestamp_dims(spark, tmp_path):
     # keyed read ordered by the dims (index_read_scan analog)
     ordered = got.filter(F.col("sym") == "AAA").orderBy("ts").collect()
     assert [r["px"] for r in ordered] == [9.0, 2.0]
+
+
+def test_open_uri_virtual_suffixes(spark, tmp_path):
+    """uri@metadata and uri@<ts> addressing (mytile/utils.h:52-53)."""
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable, open_uri
+
+    uri = str(tmp_path / "vuri")
+    tt = TileTable.create(
+        spark, uri, dimensions=[Dim("k", "int")], attributes=[Attr("v", "string")]
+    )
+    tt.set_metadata("owner", "alice")
+    tt.write(spark.createDataFrame([(1, "a")], "k int, v string"), version_ts=100)
+    tt.write(spark.createDataFrame([(2, "b")], "k int, v string"), version_ts=200)
+
+    md = {r["key"]: r["value"] for r in open_uri(spark, uri + "@metadata").collect()}
+    assert md["owner"] == "alice"
+    assert open_uri(spark, uri + "@150").count() == 1
+    assert open_uri(spark, uri).count() == 2

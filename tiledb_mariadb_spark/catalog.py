@@ -108,6 +108,24 @@ def _save_sidecar(uri: str, schema: TileSchema) -> None:
         json.dump(asdict(schema), f, indent=1, sort_keys=True)
 
 
+def open_uri(spark: SparkSession, uri: str) -> DataFrame:
+    """Resolve the reference's virtual URI suffixes (mytile/utils.h:52-53,
+    ha_mytile.cc:836-840, 3440-3455) to a DataFrame:
+
+    - ``<uri>@metadata``     → 2-column (key, value) metadata table
+    - ``<uri>@<unix-millis>`` → snapshot read at that timestamp
+    - ``<uri>``              → plain scan
+    """
+    import re  # noqa: PLC0415
+
+    if uri.endswith("@metadata"):
+        return TileTable(spark, uri[: -len("@metadata")]).metadata_df()
+    m = re.match(r"^(.*)@(\d+)$", uri)
+    if m:
+        return TileTable(spark, m.group(1)).read(at=int(m.group(2)))
+    return TileTable(spark, uri).read()
+
+
 class TileTable:
     def __init__(self, spark: SparkSession, uri: str):
         self.spark = spark

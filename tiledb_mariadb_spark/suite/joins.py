@@ -309,8 +309,43 @@ FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
 """
 
 
+# --- q41: TPC-H Q3 shape (shipping priority: 3-way join → agg → top-k) -----
+def q41_shipping_priority(spark, sf_dir):
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q41_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec("q30_join_inner", q30_join_inner, Q30_SQL, "inner equi + broadcast"),
+    QuerySpec(
+        "q41_shipping_priority", q41_shipping_priority, Q41_SQL, "TPC-H Q3 shape"
+    ),
     QuerySpec("q31_join_multi", q31_join_multi, Q31_SQL, "TPC-H Q5-style star join"),
     QuerySpec("q32_join_left", q32_join_left, Q32_SQL, "left outer + agg"),
     QuerySpec("q33_join_full", q33_join_full, Q33_SQL, "full outer"),
