@@ -147,3 +147,95 @@ def test_open_uri_virtual_suffixes(spark, tmp_path):
     assert md["owner"] == "alice"
     assert open_uri(spark, uri + "@150").count() == 1
     assert open_uri(spark, uri).count() == 2
+
+
+def test_write_layout_enables_range_pruning(spark, tmp_path):
+    """Dimension-range writes must produce files whose min/max footers are
+    narrow (range partitioning + sort), so a dim predicate skips most row
+    groups — the subarray-pruning analog at the storage layer."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "layout"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[Attr("v", "double")],
+    )
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"), F.rand(seed=7).alias("v")
+    )
+    # shuffle input order so the layout must come from the write path
+    tt.write(df.orderBy(F.rand(seed=11)))
+
+    files = glob.glob(f"{tt.uri}/data/__tile_v=1/*.parquet")
+    assert len(files) >= 8
+    # each file covers a narrow, near-disjoint slice of the domain
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        lo, hi = st.min, st.max
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(0).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append((lo, hi))
+    total_span = sum(hi - lo for lo, hi in spans)
+    assert total_span <= 100_000 * 1.1, spans  # ≈ disjoint, not 32× overlap
+
+    # and a range predicate touches few files at the footer level
+    touching = [
+        (lo, hi) for lo, hi in spans if lo <= 1500 and hi >= 1000
+    ]
+    assert len(touching) <= 2, spans
+
+
+def test_consolidate_merges_versions(spark, tmp_path):
+    """Fragment-consolidation analog: N versions collapse to one baseline
+    holding the last-writer-wins state; old files are vacuumed."""
+    import glob
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "consol"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+    )
+    tt.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), 100)
+    tt.write(spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), 200)
+    tt.write(spark.createDataFrame([(4, "d")], "k int, v string"), 300)
+    assert len(tt.schema.versions) == 3
+
+    newv = tt.consolidate()
+    assert len(tt.schema.versions) == 1
+    got = {r["k"]: r["v"] for r in tt.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    dirs = glob.glob(f"{tt.uri}/data/__tile_v=*")
+    assert dirs == [f"{tt.uri}/data/__tile_v={newv}"]
+    # reopening from the sidecar sees the consolidated state
+    got2 = {r["k"]: r["v"] for r in TileTable(spark, tt.uri).read().collect()}
+    assert got2 == got
+
+
+def test_consolidate_keep_history_preserves_snapshots(spark, tmp_path):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "consol_hist"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+    )
+    tt.write(spark.createDataFrame([(1, "a")], "k int, v string"), 100)
+    tt.write(spark.createDataFrame([(1, "A2")], "k int, v string"), 200)
+    tt.consolidate(keep_history=True)
+    # snapshots still resolve, and the merged head wins at the tip
+    assert tt.read(at=100).collect()[0]["v"] == "a"
+    assert tt.read().collect()[0]["v"] == "A2"

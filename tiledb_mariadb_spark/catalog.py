@@ -209,8 +209,15 @@ class TileTable:
         version = (s.versions[-1]["v"] + 1) if s.versions else 1
         ts = version_ts if version_ts is not None else version
         path = os.path.join(self.uri, "data", f"__tile_v={version}")
+        # RANGE partition + sort by the dims — the cell/tile-order analog.
+        # (Hash partitioning would scatter each coordinate range across
+        # every file, making per-file min/max span the whole domain and
+        # defeating row-group skipping — the one job dimensions have.)
+        # One output file ≈ one "tile" of `capacity` cells (ha_mytile.cc:69):
+        # capacity is the user's tile-size knob, exactly as in TileDB.
+        n_tiles = max(1, -(-out.count() // s.capacity))
         (
-            out.repartition(*[F.col(d) for d in dims])
+            out.repartitionByRange(n_tiles, *[F.col(d) for d in dims])
             .sortWithinPartitions(*dims)
             .write.mode("overwrite")
             .parquet(path)
@@ -338,6 +345,47 @@ class TileTable:
     def _data_dir(self) -> str:
         base = self.schema.data_ref or self.uri
         return os.path.join(base, "data")
+
+    # --- consolidation --------------------------------------------------------
+
+    def consolidate(self, keep_history: bool = False) -> int:
+        """Merge all visible versions into one baseline version — the
+        TileDB fragment-consolidation analog (many small fragments degrade
+        reads; periodic consolidation restores one-sorted-run layout and
+        drops superseded duplicate coordinates).
+
+        After consolidation the merged version carries the newest
+        timestamp; older snapshots remain addressable only when
+        ``keep_history=True`` (vacuuming vs. consolidating, as in TileDB).
+        Returns the new version number.
+        """
+        s = self.schema
+        if not s.versions:
+            return 0
+        if keep_history and s.allows_dups:
+            # duplicate-preserving arrays can't overlay a merged copy on
+            # the old fragments without double-counting (no coordinate
+            # identity to dedup on read) — same reason TileDB vacuums
+            # consolidated fragments
+            raise ValueError("keep_history requires allows_dups=False")
+        merged = self.read()  # dedup/last-writer-wins applied
+        # materialize before deleting source files
+        merged_rows = merged.cache()
+        merged_rows.count()
+        old = list(s.versions)
+        new_ts = max(v["ts"] for v in old)
+        try:
+            new_version = self.write(merged_rows, version_ts=new_ts)
+        finally:
+            merged_rows.unpersist()
+        if not keep_history:
+            for v in old:
+                p = os.path.join(self.uri, "data", f"__tile_v={v['v']}")
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+            s.versions = [v for v in s.versions if v["v"] == new_version]
+            _save_sidecar(self.uri, s)
+        return new_version
 
     # --- @metadata virtual table --------------------------------------------
 
