@@ -239,3 +239,31 @@ def test_consolidate_keep_history_preserves_snapshots(spark, tmp_path):
     # snapshots still resolve, and the merged head wins at the tip
     assert tt.read(at=100).collect()[0]["v"] == "a"
     assert tt.read().collect()[0]["v"] == "A2"
+
+
+def test_sql_over_tile_table(spark, tmp_path):
+    """The full Spark SQL surface composes over catalog tables: register a
+    TileTable scan as a view and run joins/aggregates/windows on it — the
+    MariaDB-above-the-handler tier (SURVEY §2 tier-M) over our storage."""
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "sqltab"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("grp", "string"), Attr("x", "double")],
+    )
+    rows = [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(100)]
+    tt.write(spark.createDataFrame(rows, "k int, grp string, x double"))
+    tt.read().createOrReplaceTempView("tile_sql")
+    got = spark.sql(
+        """
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, MAX(x) AS mx,
+               CAST(RANK() OVER (ORDER BY SUM(x) DESC) AS BIGINT) AS rk
+        FROM tile_sql GROUP BY grp ORDER BY grp
+        """
+    ).collect()
+    assert [(r["grp"], r["n"], r["mx"], r["rk"]) for r in got] == [
+        ("even", 50, 98.0, 2),
+        ("odd", 50, 99.0, 1),
+    ]

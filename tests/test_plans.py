@@ -71,3 +71,37 @@ def test_tile_table_time_travel_prunes_partitions(spark):
     snapshot = tt.read(at=100)
     files = snapshot.inputFiles()
     assert files and all("__tile_v=1" in f for f in files), files
+
+
+def test_no_python_udf_in_any_plan(spark):
+    """No query may fall off the JVM fast path: row-at-a-time Python UDFs
+    (BatchEvalPython) are banned everywhere; Arrow-batched Python
+    (MapInPandas / ArrowEvalPython) is allowed only for the declared
+    multimodal decode boundary and spatial WKB residual tier."""
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+
+    arrow_ok = {
+        "q70_multimodal",
+        "q73_frame_sample",
+        "q74_resize_cosine",
+        "q95_spatial_intersects",
+    }
+    skip = {  # streaming queries materialize eagerly in run_to_completion
+        "q90_stream_window",
+        "q91_session_window",
+        "q92_stream_stateful",
+        "q93_stream_stream_join",
+        "q94_stream_dedup",
+    }
+    offenders = []
+    for name, spec in SPECS.items():
+        if name in skip:
+            continue
+        plan = formatted_plan(spec.spark(spark, SF_DIR))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if name not in arrow_ok and (
+            "MapInPandas" in plan or "ArrowEvalPython" in plan
+        ):
+            offenders.append((name, "unexpected Arrow-Python stage"))
+    assert not offenders, offenders
