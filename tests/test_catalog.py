@@ -267,3 +267,27 @@ def test_sql_over_tile_table(spark, tmp_path):
         ("even", 50, 98.0, 2),
         ("odd", 50, 99.0, 1),
     ]
+
+
+def test_discover_bare_parquet(spark, tmp_path):
+    """Assisted discovery of an existing dataset we did NOT write
+    (discover_array parity): schema + domains reverse-engineered, data
+    shared in place, SHOW CREATE synthesized."""
+    from tests.conftest import SF_DIR
+    from tiledb_mariadb_spark.catalog import TileTable, discover_parquet
+
+    tt = discover_parquet(
+        spark,
+        f"{SF_DIR}/nation.parquet",
+        str(tmp_path / "disc"),
+        dimensions=["n_nationkey"],
+    )
+    assert tt.schema.dim_names == ["n_nationkey"]
+    assert tt.schema.dimensions[0].lower == 0
+    assert tt.schema.dimensions[0].upper == 24
+    assert set(tt.schema.attr_names) == {"n_name", "n_regionkey"}
+    assert tt.read().count() == 25
+    ddl = tt.show_create()
+    assert "dimension=1" in ddl and "n_nationkey" in ddl
+    # reopen from sidecar alone
+    assert TileTable(spark, tt.uri).read().count() == 25

@@ -108,6 +108,65 @@ def _save_sidecar(uri: str, schema: TileSchema) -> None:
         json.dump(asdict(schema), f, indent=1, sort_keys=True)
 
 
+def discover_parquet(
+    spark: SparkSession,
+    data_path: str,
+    uri: str,
+    dimensions: Optional[list[str]] = None,
+) -> "TileTable":
+    """Assisted discovery over a *bare* parquet dataset: reverse-engineer
+    a tile-table schema from the files (the reference's discover_array,
+    mytile-discovery.cc:54-473, which synthesizes CREATE TABLE from an
+    array it didn't create) and register it as a table whose data is the
+    existing files — nothing is copied.
+
+    ``dimensions`` picks the coordinate columns (the discovery analog of
+    dims→PRIMARY KEY); when omitted the first column is the dimension,
+    mirroring the reference's requirement that *something* be the key.
+    Domains are filled from column min/max like non-empty-domain fill
+    (mytile-range.h:108-192).
+    """
+    df = spark.read.parquet(data_path)
+    cols = df.schema.fields
+    dim_names = dimensions or [cols[0].name]
+    unknown = [d for d in dim_names if d not in [f.name for f in cols]]
+    if unknown:
+        raise ValueError(f"dimension columns not in data: {unknown}")
+    bounds = {}
+    for d in dim_names:
+        f = next(f for f in cols if f.name == d)
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint"):
+            row = df.selectExpr(f"min({d}) AS lo", f"max({d}) AS hi").collect()[0]
+            bounds[d] = (int(row["lo"]), int(row["hi"]))
+    dims = [
+        Dim(
+            name=d,
+            dtype=next(f for f in cols if f.name == d).dataType.simpleString(),
+            lower=bounds.get(d, (None, None))[0],
+            upper=bounds.get(d, (None, None))[1],
+        )
+        for d in dim_names
+    ]
+    attrs = [
+        Attr(name=f.name, dtype=f.dataType.simpleString(), nullable=f.nullable)
+        for f in cols
+        if f.name not in dim_names
+    ]
+    os.makedirs(uri, exist_ok=True)
+    schema = TileSchema(
+        dimensions=dims,
+        attributes=attrs,
+        # bare parquet has no version log: one implicit version over the
+        # whole dataset, addressed via data_ref-style external pointer
+        versions=[{"v": 1, "ts": 1}],
+        data_ref=None,
+        metadata={"discovered_from": data_path},
+    )
+    schema.metadata["external_data"] = data_path
+    _save_sidecar(uri, schema)
+    return TileTable(spark, uri)
+
+
 def open_uri(spark: SparkSession, uri: str) -> DataFrame:
     """Resolve the reference's virtual URI suffixes (mytile/utils.h:52-53,
     ha_mytile.cc:836-840, 3440-3455) to a DataFrame:
@@ -241,6 +300,11 @@ class TileTable:
             return self.spark.createDataFrame(
                 [], schema=self._spark_ddl(include=cols)
             )
+        ext = s.metadata.get("external_data")
+        if ext is not None:
+            # discovered bare dataset: one implicit version, files in place
+            df = self.spark.read.parquet(ext).select(*cols)
+            return self._fill_dense(df) if fill else df
         df = (
             self.spark.read.option("basePath", data_dir)
             .parquet(*[os.path.join(data_dir, f"__tile_v={v}") for v in visible])
