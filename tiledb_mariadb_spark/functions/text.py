@@ -140,6 +140,24 @@ def quality_features_sql(expr: str) -> dict[str, str]:
     }
 
 
+# GPT-2-style pre-tokenizer: contractions, letter runs, digit runs,
+# punctuation runs, whitespace.  Verified to match between Java regex
+# (Spark) and RE2 (DuckDB) — both support \p{L}/\p{N} identically here.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches — the unit a
+    byte-pair encoder would then merge within.  JVM-side regexp_count;
+    no Python."""
+    return F.regexp_count(col, F.lit(BPE_PATTERN)).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    sql_pat = BPE_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{sql_pat}')) AS BIGINT)"
+
+
 def md5_hex(col: Column) -> Column:
     """Lowercase hex md5 of the UTF-8 bytes — identical in DuckDB's md5()."""
     return F.md5(col.cast("binary"))

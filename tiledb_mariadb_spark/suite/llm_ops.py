@@ -226,6 +226,24 @@ FROM documents
 """
 
 
+# --- q75: BPE-ish tokenization (regexp pre-tokenizer, JVM-side) -------------
+def q75_bpe_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+Q75_SQL = f"""
+SELECT doc_id,
+       {X.bpe_token_count_sql('text')} AS n_bpe_tokens,
+       {X.token_count_sql('text')} AS n_ws_tokens
+FROM documents
+"""
+
+
 # --- q73: frame sampling (one-to-many mapInPandas) -------------------------
 def q73_frame_sample(spark, sf_dir):
     from tiledb_mariadb_spark.functions.multimodal import sample_frames  # noqa: PLC0415
@@ -264,6 +282,7 @@ def q74_resize_cosine(spark, sf_dir):
 
 SPECS = [
     QuerySpec("q60_text_stats", q60_text_stats, Q60_SQL, "token count + quality"),
+    QuerySpec("q75_bpe_tokens", q75_bpe_tokens, Q75_SQL, "BPE-ish pre-tokenizer"),
     QuerySpec(
         "q73_frame_sample", q73_frame_sample, Q73_SQL, "frame sampling (1-to-many)"
     ),
