@@ -84,6 +84,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q70_multimodal",
         "q73_frame_sample",
         "q74_resize_cosine",
+        "q77_ewma",  # grouped recurrence — the declared applyInPandas tier
         "q95_spatial_intersects",
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion

@@ -80,6 +80,31 @@ LIMIT 5
 """
 
 
+# --- q76: embedding-cosine near-dup pairs ----------------------------------
+# The embedding-space member of the dedup family (exact/minhash/LSH/
+# simhash/ngram live in llm_ops): all pairs above a cosine threshold.
+# Exact int-scaled arithmetic both sides; the n² expansion is bounded to a
+# slice here — at corpus scale the LSH/IVF bucket join replaces the cross.
+def q76_cosine_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.expr(S.cosine_expr("va", "vb")).alias("cos"))
+        .filter(F.col("cos") > 0.8)
+    )
+
+
+Q76_SQL = f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       {S.cosine_sql('x.embedding', 'y.embedding')} AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE x.vec_id < 200 AND y.vec_id < 200
+  AND {S.cosine_sql('x.embedding', 'y.embedding')} > 0.8
+"""
+
+
 # --- q72: IVF ANN (train → assign → probe-pruned search) -------------------
 # Iterative k-means + partition-pruned probe: not SQL-expressible, so
 # rows-only (result quality asserted separately in tests/test_ivf.py).
@@ -98,6 +123,9 @@ def q72_ann_ivf(spark, sf_dir):
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
     QuerySpec("q72_ann_ivf", q72_ann_ivf, None, "IVF ANN: k-means lists + nprobe search"),
+    QuerySpec(
+        "q76_cosine_neardup", q76_cosine_neardup, Q76_SQL, "embedding-cosine near-dup"
+    ),
     QuerySpec("q69_ann_lsh_buckets", q69_ann_lsh_buckets, Q69_SQL, "LSH bucketing"),
     QuerySpec(
         "q71_ann_bucketed_search", q71_ann_bucketed_search, Q71_SQL, "bucketed ANN"

@@ -240,8 +240,25 @@ GROUP BY user_id, session_id
 """
 
 
+# --- q77: grouped recurrence (EWMA) via applyInPandas ----------------------
+# No built-in window frame carries state; rows-only check (float
+# recurrence isn't reproducible bit-exactly via SQL re-association), with
+# the recurrence itself asserted against a reference impl in
+# tests/test_ewma.py.
+def q77_ewma(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.operators.ewma import ewma  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return ewma(e, "user_id", "ts_us", "value", alpha=0.3)
+
+
 SPECS = [
     QuerySpec("q50_window_rank", q50_window_rank, Q50_SQL, "rank functions"),
+    QuerySpec("q77_ewma", q77_ewma, None, "grouped EWMA recurrence (applyInPandas)"),
     QuerySpec("q51_window_running", q51_window_running, Q51_SQL, "running sum"),
     QuerySpec("q52_lag_lead", q52_lag_lead, Q52_SQL, "lag/lead"),
     QuerySpec("q53_window_range_frame", q53_window_range_frame, Q53_SQL, "RANGE frame"),
