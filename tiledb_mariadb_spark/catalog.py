@@ -275,12 +275,29 @@ class TileTable:
         # One output file ≈ one "tile" of `capacity` cells (ha_mytile.cc:69):
         # capacity is the user's tile-size knob, exactly as in TileDB.
         n_tiles = max(1, -(-out.count() // s.capacity))
-        (
-            out.repartitionByRange(n_tiles, *[F.col(d) for d in dims])
-            .sortWithinPartitions(*dims)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        if s.cell_order == "HILBERT" and self._zorderable():
+            # HILBERT cell order (ha_mytile.cc:71-73, t/hilbert.test):
+            # multi-dimensional locality so a box over SEVERAL dims touches
+            # few tiles — Morton interleave is the Spark-side equivalent.
+            from tiledb_mariadb_spark.operators.zorder import z_value  # noqa: PLC0415
+
+            zcols = [
+                (F.col(d.name) - F.lit(d.lower)).cast("long")
+                if d.lower is not None
+                else F.col(d.name).cast("long")
+                for d in s.dimensions
+            ]
+            clustered = (
+                out.withColumn("__z", z_value(zcols, bits=16))
+                .repartitionByRange(n_tiles, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = out.repartitionByRange(
+                n_tiles, *[F.col(d) for d in dims]
+            ).sortWithinPartitions(*dims)
+        clustered.write.mode("overwrite").parquet(path)
         s.versions.append({"v": version, "ts": ts})
         _save_sidecar(self.uri, s)
         return version
@@ -318,6 +335,31 @@ class TileTable:
         df = df.select(*cols)
         if fill:
             df = self._fill_dense(df)
+        return df
+
+    def _zorderable(self) -> bool:
+        return all(
+            d.dtype in ("tinyint", "smallint", "int", "bigint")
+            and d.lower is not None
+            for d in self.schema.dimensions
+        )
+
+    def subarray(
+        self, dim_ranges: dict[str, tuple[Any, Any]], at: Optional[int] = None
+    ) -> DataFrame:
+        """Range-restricted scan — the subarray-build surface
+        (mytile-range.cc:1189-1358) as declarative filters: Catalyst
+        pushes them to the scan (PushedFilters) where the range-sorted
+        layout turns them into row-group skipping."""
+        unknown = [d for d in dim_ranges if d not in self.schema.dim_names]
+        if unknown:
+            raise ValueError(f"not dimensions: {unknown}")
+        df = self.read(at=at)
+        for d, (lo, hi) in dim_ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(d) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(d) <= F.lit(hi))
         return df
 
     def _spark_ddl(self, include: list[str]) -> str:
