@@ -76,6 +76,7 @@ def dsum_sql(expr: str, k: int = 2) -> str:
 def all_specs() -> dict[str, QuerySpec]:
     """Assemble the full registry from the category modules."""
     from tiledb_mariadb_spark.suite import (  # noqa: PLC0415
+        analytics,
         core,
         joins,
         llm_ops,
@@ -90,6 +91,7 @@ def all_specs() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for mod in (
         core,
+        analytics,
         joins,
         subqueries,
         windows,

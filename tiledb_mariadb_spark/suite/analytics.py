@@ -1,0 +1,91 @@
+"""Analytics extras: lateral explode (UNNEST), FILTER-clause aggregates,
+and an interpolation-free median — tier-M SQL surfaces (SURVEY.md §2.5)
+plus the text-histogram shape every corpus pipeline runs.
+
+One SQL text serves both engines where the dialects agree; the median
+deliberately selects an existing row via ROW_NUMBER (engines disagree on
+percentile interpolation, so parity comes from selection, not
+arithmetic).
+"""
+
+from __future__ import annotations
+
+from tiledb_mariadb_spark.sources.registry import register_views
+from tiledb_mariadb_spark.suite import QuerySpec, dsum_sql
+
+
+def _sql(tables, sql):
+    def run(spark, sf_dir):
+        from tiledb_mariadb_spark.session import tune_for_oracle  # noqa: PLC0415
+
+        tune_for_oracle(spark)
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return run
+
+
+# --- q42: word histogram via lateral explode -------------------------------
+# Spark: LATERAL VIEW explode == DuckDB UNNEST; top-20 needs a total
+# order (count desc, word asc — word is unique after grouping).
+Q42_SPARK = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents LATERAL VIEW explode(split(trim(text), ' ')) t AS word
+WHERE doc_id < 500
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+Q42_DUCK = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(str_split(TRIM(text), ' ')) AS word
+      FROM documents WHERE doc_id < 500)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+
+
+# --- q43: FILTER-clause aggregates ------------------------------------------
+Q43_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q44: median without interpolation --------------------------------------
+Q44_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+)
+SELECT o_orderpriority, o_totalprice AS median_price
+FROM ranked
+WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+ORDER BY o_orderpriority
+"""
+
+
+def q42_spark(spark, sf_dir):
+    return _sql(("documents",), Q42_SPARK)(spark, sf_dir)
+
+
+SPECS = [
+    QuerySpec("q42_word_histogram", q42_spark, Q42_DUCK, "lateral explode/UNNEST"),
+    QuerySpec(
+        "q43_filtered_agg", _sql(("orders",), Q43_SQL), Q43_SQL, "FILTER-clause aggs"
+    ),
+    QuerySpec(
+        "q44_median_rows", _sql(("orders",), Q44_SQL), Q44_SQL,
+        "median by row selection (no interpolation)",
+    ),
+]
