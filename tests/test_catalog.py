@@ -291,3 +291,23 @@ def test_discover_bare_parquet(spark, tmp_path):
     assert "dimension=1" in ddl and "n_nationkey" in ddl
     # reopen from sidecar alone
     assert TileTable(spark, tt.uri).read().count() == 25
+
+
+def test_write_coerces_declared_types(spark, tmp_path):
+    """INSERT-style type coercion: int literals land in a bigint dim /
+    double attr; the stored schema is the declared one."""
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "coerce"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[Attr("v", "double"), Attr("s", "string")],
+    )
+    tt.write(spark.createDataFrame([(1, 2, 3)], "k int, v int, s int"))
+    got = tt.read()
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "double", "string",
+    ]
+    r = got.collect()[0]
+    assert (r["k"], r["v"], r["s"]) == (1, 2.0, "3")

@@ -1,0 +1,40 @@
+"""SQL-function library: each temporary function must agree with its
+Column-API twin on the corpus, and stay codegen-inline (no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tiledb_mariadb_spark.functions import text as X
+from tiledb_mariadb_spark.functions.sql_macros import register_sql_functions
+from tiledb_mariadb_spark.plans.audit import formatted_plan
+from tiledb_mariadb_spark.sources.registry import load_table
+
+
+def test_sql_functions_match_column_api(spark):
+    names = register_sql_functions(spark)
+    assert "tile_lang_id" in names
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    docs.createOrReplaceTempView("docs_m")
+    via_sql = spark.sql(
+        """
+        SELECT doc_id, tile_fingerprint(text) AS fp, tile_token_count(text) AS tc,
+               tile_lang_id(text) AS lang, tile_bpe_tokens(text) AS bpe
+        FROM docs_m
+        """
+    )
+    via_cols = docs.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.token_count(F.col("text")).alias("tc"),
+        X.lang_id(F.col("text")).alias("lang"),
+        X.bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    a = {r["doc_id"]: (r["fp"], r["tc"], r["lang"], r["bpe"]) for r in via_sql.collect()}
+    b = {r["doc_id"]: (r["fp"], r["tc"], r["lang"], r["bpe"]) for r in via_cols.collect()}
+    assert a == b and len(a) == 300
+
+    # macro, not UDF: nothing Python in the plan
+    plan = formatted_plan(via_sql)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -240,7 +240,11 @@ class TileTable:
         missing = [c for c in cols if c not in df.columns]
         if missing:
             raise ValueError(f"missing columns: {missing}")
-        out = df.select(*cols)
+        # coerce to the declared column types (SQL INSERT semantics; the
+        # reference converts through Field::store the same way)
+        dtype_of = {d.name: d.dtype for d in s.dimensions}
+        dtype_of.update({a.name: a.dtype for a in s.attributes})
+        out = df.select(*[F.col(c).cast(dtype_of[c]).alias(c) for c in cols])
         null_dim_filter = None
         for d in dims:
             cond = F.col(d).isNull()

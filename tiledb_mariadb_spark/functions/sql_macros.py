@@ -1,0 +1,49 @@
+"""Engine functions as pure-SQL temporary functions (Spark SQL UDFs,
+``CREATE TEMPORARY FUNCTION ... RETURN <expr>``): a user living entirely
+in ``spark.sql`` gets the text/dedup function library without touching
+the DataFrame API — and the bodies are catalyst expressions, so they
+inline into whole-stage codegen exactly like the Column versions (no
+Python boundary; a SQL UDF is a macro, not a UDF in the slow-path
+sense)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from tiledb_mariadb_spark.functions.text import (
+    BPE_PATTERN,
+    fingerprint_sql,
+    lang_id_sql,
+    token_count_sql,
+)
+
+
+def _spark_str_lit(pat: str) -> str:
+    """Escape for a Spark SQL single-quoted literal (C-style escapes on)."""
+    return pat.replace("\\", "\\\\").replace("'", "''")
+
+
+def sql_function_defs() -> dict[str, tuple[str, str, str]]:
+    """name → (arg signature, return type, body expr over the arg)."""
+    return {
+        "tile_fingerprint": ("(t STRING)", "STRING", fingerprint_sql("t")),
+        "tile_token_count": ("(t STRING)", "BIGINT", token_count_sql("t")),
+        "tile_lang_id": ("(t STRING)", "STRING", lang_id_sql("t")),
+        "tile_bpe_tokens": (
+            "(t STRING)",
+            "BIGINT",
+            f"CAST(regexp_count(t, '{_spark_str_lit(BPE_PATTERN)}') AS BIGINT)",
+        ),
+    }
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Install the function library into the session; returns the names."""
+    names = []
+    for name, (args, ret, body) in sql_function_defs().items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} "
+            f"RETURNS {ret} RETURN {body}"
+        )
+        names.append(name)
+    return names
