@@ -102,3 +102,39 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     got = {r["ws"]: r["n"] for r in rows}
     # exactly one closed window, with 3 — the late row did NOT count
     assert got == {t0: 3}, rows
+
+
+def test_stream_tile_table_source(spark, tmp_path):
+    """TileTable as streaming source: a second snapshot version written
+    AFTER the first drain arrives in the next drain (change-feed over the
+    catalog)."""
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "cdc"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+    )
+    tt.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), 100)
+
+    from tiledb_mariadb_spark.streaming.events import stream_tile_table
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_tile_table(spark, tt)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 2
+    tt.write(spark.createDataFrame([(3, "c")], "k int, v string"), 200)
+    drain()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}

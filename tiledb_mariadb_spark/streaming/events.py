@@ -14,6 +14,7 @@ same keyed exchange a batch groupBy would do.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,6 +129,23 @@ def stream_into_tile_table(events: DataFrame, table) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_tile_table(spark: SparkSession, table) -> DataFrame:
+    """TileTable as a streaming SOURCE: each snapshot version directory is
+    a set of files the file-stream source picks up as it appears, so a
+    writer appending versions feeds a reader's micro-batches — CDC-lite
+    over the catalog with no extra infrastructure.  Append-only semantics:
+    rows stream as written (last-writer-wins collapses only in batch
+    reads; streaming consumers see the raw change feed, which is what a
+    downstream pipeline wants anyway)."""
+    cols = table.schema.dim_names + table.schema.attr_names
+    ddl = table._spark_ddl(include=cols)  # noqa: SLF001
+    return (
+        spark.readStream.schema(ddl)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(table.uri, "data", "__tile_v=*"))
+    )
 
 
 def stateful_user_stats(events: DataFrame) -> DataFrame:
