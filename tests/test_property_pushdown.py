@@ -30,10 +30,18 @@ OPS = ["=", "<>", "<", "<=", ">", ">="]
 def predicate(draw, depth: int = 0):
     kind = draw(
         st.sampled_from(
-            ["int_cmp", "float_cmp", "str_cmp", "between", "in", "null"]
+            ["int_cmp", "float_cmp", "str_cmp", "ts_cmp", "between", "in", "null"]
             + (["and", "or"] if depth < 2 else [])
         )
     )
+    if kind == "ts_cmp":
+        op = draw(st.sampled_from(OPS))
+        month = draw(st.integers(min_value=1, max_value=12))
+        day = draw(st.integers(min_value=1, max_value=28))
+        year = draw(st.integers(min_value=1992, max_value=1998))
+        return (
+            f"l_shipdate {op} TIMESTAMP '{year}-{month:02d}-{day:02d} 00:00:00'"
+        )
     if kind == "and" or kind == "or":
         left = draw(predicate(depth=depth + 1))
         right = draw(predicate(depth=depth + 1))

@@ -62,3 +62,34 @@ def test_salted_agg_parity(spark):
         for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_aqe_splits_skewed_partition(spark):
+    """With thresholds tuned to the test's data volume, AQE's skew-join
+    split activates on the hot key (the first line of defense before
+    explicit salting; session.py enables it for real workloads)."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "24KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = _skewed(spark).withColumn("pad", F.lit("x" * 64))
+        dim = spark.range(300).select(F.col("id").alias("k"), F.lit("d").alias("name"))
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 11_000
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -138,3 +138,18 @@ def test_subarray_pushes_dim_ranges(spark, tmp_path):
     assert df.count() == 100
     pushed = " ".join(pushed_filters(df))
     assert "k" in pushed and "GreaterThanOrEqual" in pushed, pushed
+
+
+def test_subarray_rejects_non_dimension(spark, tmp_path):
+    import pytest
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "subbad"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "double")],
+    )
+    with pytest.raises(ValueError, match="not dimensions"):
+        tt.subarray({"v": (0, 1)})
