@@ -52,6 +52,64 @@ WHERE x BETWEEN {_XMIN} AND {_XMAX} AND y BETWEEN {_YMIN} AND {_YMAX}
 """
 
 
+# --- q96: ST_Equals — exact-coordinate match, pushed as equality ranges ----
+# (cond_push_func_spatial maps ST_Equals to zero-padding MBR ranges,
+# ha_mytile.cc:2411-2421: an equality range per axis — which is exactly
+# what an equality filter on the point columns is.)
+def q96_st_equals(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 1201).alias("xi"),
+        (F.col("c_custkey") * 73 % 1201).alias("yi"),
+    )
+    target = (42 * 37 % 1201, 42 * 73 % 1201)
+    return pts.filter(
+        (F.col("xi") == target[0]) & (F.col("yi") == target[1])
+    ).select("c_custkey", "xi", "yi")
+
+
+Q96_SQL = f"""
+SELECT c_custkey, xi, yi FROM (
+  SELECT c_custkey,
+         (c_custkey * 37 % 1201) AS xi,
+         (c_custkey * 73 % 1201) AS yi
+  FROM customer)
+WHERE xi = {42 * 37 % 1201} AND yi = {42 * 73 % 1201}
+"""
+
+
+# --- q97: ST_Overlaps — strict interior box overlap, integer-exact ---------
+def q97_st_overlaps(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    boxes = s.select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 13 % 500).alias("x0"),
+        (F.col("s_suppkey") * 29 % 500).alias("y0"),
+        (F.col("s_suppkey") * 13 % 500 + F.col("s_suppkey") % 7 + 1).alias("x1"),
+        (F.col("s_suppkey") * 29 % 500 + F.col("s_suppkey") % 11 + 1).alias("y1"),
+    )
+    qx0, qy0, qx1, qy1 = 100, 100, 140, 140
+    return boxes.filter(
+        (F.col("x0") < qx1)
+        & (F.col("x1") > qx0)
+        & (F.col("y0") < qy1)
+        & (F.col("y1") > qy0)
+    )
+
+
+Q97_SQL = """
+SELECT * FROM (
+  SELECT s_suppkey,
+         (s_suppkey * 13 % 500) AS x0,
+         (s_suppkey * 29 % 500) AS y0,
+         (s_suppkey * 13 % 500 + s_suppkey % 7 + 1) AS x1,
+         (s_suppkey * 29 % 500 + s_suppkey % 11 + 1) AS y1
+  FROM supplier)
+WHERE x0 < 140 AND x1 > 100 AND y0 < 140 AND y1 > 100
+"""
+
+
 SPECS = [
     QuerySpec(
         "q95_spatial_intersects",
@@ -59,4 +117,6 @@ SPECS = [
         Q95_SQL,
         "MBR prefilter + exact point-in-triangle",
     ),
+    QuerySpec("q96_st_equals", q96_st_equals, Q96_SQL, "ST_Equals as equality ranges"),
+    QuerySpec("q97_st_overlaps", q97_st_overlaps, Q97_SQL, "ST_Overlaps box predicate"),
 ]
