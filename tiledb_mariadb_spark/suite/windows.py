@@ -240,6 +240,43 @@ GROUP BY user_id, session_id
 """
 
 
+# --- q58: IGNORE NULLS navigation (lag/lead/first_value over gaps) ---------
+# Nulls synthesized deterministically (every 3rd line's price) so the
+# ignore-nulls skip actually has gaps to jump.
+def q58_ignore_nulls(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    v = F.when(F.col("l_linenumber") % 3 == 0, None).otherwise(
+        F.col("l_extendedprice")
+    )
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        v.alias("px"),
+        F.lag(v).over(w).alias("prev_px"),
+        F.last(v, ignorenulls=True).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("last_seen_px"),
+        F.first(v, ignorenulls=True).over(w).alias("first_px"),
+    )
+
+
+Q58_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_extendedprice END AS px
+  FROM lineitem WHERE l_orderkey < 500)
+SELECT l_orderkey, l_linenumber, px,
+       LAG(px) OVER w AS prev_px,
+       LAST_VALUE(px IGNORE NULLS) OVER
+         (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_px,
+       FIRST_VALUE(px IGNORE NULLS) OVER w AS first_px
+FROM l
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+"""
+
+
 # --- q77: grouped recurrence (EWMA) via applyInPandas ----------------------
 # No built-in window frame carries state; rows-only check (float
 # recurrence isn't reproducible bit-exactly via SQL re-association), with
@@ -266,4 +303,5 @@ SPECS = [
     QuerySpec("q55_distribution", q55_distribution, Q55_SQL, "ntile/percent_rank"),
     QuerySpec("q56_first_last", q56_first_last, Q56_SQL, "first/last value"),
     QuerySpec("q57_sessionize", q57_sessionize, Q57_SQL, "gap sessionization"),
+    QuerySpec("q58_ignore_nulls", q58_ignore_nulls, Q58_SQL, "IGNORE NULLS navigation"),
 ]
