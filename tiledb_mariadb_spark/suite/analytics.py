@@ -79,8 +79,28 @@ def q42_spark(spark, sf_dir):
     return _sql(("documents",), Q42_SPARK)(spark, sf_dir)
 
 
+# --- q45: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) ----------------
+# q16 covers DISTINCT set ops; the ALL variants preserve multiplicity —
+# duplicates in the multiset difference/intersection must survive.
+Q45_SQL = """
+SELECT 'except_all' AS op, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+  EXCEPT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'intersect_all' AS op, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+  INTERSECT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
 SPECS = [
     QuerySpec("q42_word_histogram", q42_spark, Q42_DUCK, "lateral explode/UNNEST"),
+    QuerySpec(
+        "q45_setops_all", _sql(("orders",), Q45_SQL), Q45_SQL,
+        "EXCEPT ALL / INTERSECT ALL multiset semantics",
+    ),
     QuerySpec(
         "q43_filtered_agg", _sql(("orders",), Q43_SQL), Q43_SQL, "FILTER-clause aggs"
     ),
