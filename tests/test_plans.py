@@ -106,3 +106,38 @@ def test_no_python_udf_in_any_plan(spark):
         ):
             offenders.append((name, "unexpected Arrow-Python stage"))
     assert not offenders, offenders
+
+
+def test_footer_aggregate_pushdown(spark):
+    """group_by_handler parity: filter-less MIN/MAX/COUNT answered from
+    parquet footers — PushedAggregation appears under the V2 BatchScan and
+    the values equal the computed aggregates."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.operators.agg_pushdown import footer_aggregates
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    # timestamp columns disqualify footer pushdown (no usable stats for
+    # the pushdown rule) — numeric/key columns are the supported set,
+    # mirroring the reference's own per-type aggregate constraints
+    row, plan = footer_aggregates(
+        spark,
+        f"{SF_DIR}/orders.parquet",
+        mins=("o_totalprice",),
+        maxs=("o_totalprice", "o_orderkey"),
+    )
+    assert "PushedAggregation" in plan and "MIN(o_totalprice)" in plan, plan
+    want = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.max("o_orderkey").alias("mxk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (row["min_o_totalprice"], row["max_o_totalprice"], row["n"]) == (
+        want["mn"], want["mx"], want["n"],
+    )
+    assert row["max_o_orderkey"] == want["mxk"]
