@@ -311,3 +311,52 @@ def test_write_coerces_declared_types(spark, tmp_path):
     ]
     r = got.collect()[0]
     assert (r["k"], r["v"], r["s"]) == (1, 2.0, "3")
+
+
+def test_fact_table_hosted_in_tile_table(spark, tmp_path):
+    """End-to-end storage-layer hosting: ingest lineitem into a TileTable
+    (dims = (l_orderkey, l_linenumber), the reference's PK choice), then
+    run the flagship pricing-summary aggregation over tt.read() — results
+    identical to the parquet path."""
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    src = load_table(spark, SF_DIR, "lineitem")
+    attrs = [
+        Attr(f.name, f.dataType.simpleString())
+        for f in src.schema.fields
+        if f.name not in ("l_orderkey", "l_linenumber")
+    ]
+    # the synthetic lineitem's (orderkey, linenumber) is NOT unique, so
+    # host it as a duplicates-allowed sparse array (allows_dups, the
+    # TileDB recommendation for fact data without a strict coordinate key)
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "lineitem_tt"),
+        dimensions=[Dim("l_orderkey", "bigint"), Dim("l_linenumber", "int")],
+        attributes=attrs,
+        capacity=2000,
+        allows_dups=True,
+    )
+    tt.write(src)
+
+    def summarize(df):
+        return (
+            df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+            .collect()
+        )
+
+    assert tt.read().count() == src.count()
+    assert summarize(tt.read()) == summarize(src)
+    # keyed point read through the dim layout
+    row = tt.subarray({"l_orderkey": (42, 42)}).collect()
+    want = src.filter(F.col("l_orderkey") == 42).collect()
+    assert len(row) == len(want)
