@@ -136,10 +136,51 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 """
 
 
+# --- q47: TPC-H Q4 shape — EXISTS-gated count by priority -------------------
+Q47_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q48: TPC-H Q14 shape — conditional-aggregate ratio ---------------------
+# Both sums are exact scaled BIGINTs; the final 100*a/b is one IEEE
+# division of identical operands on both engines.
+Q48_SQL = """
+SELECT (100.0 * CAST(SUM(CASE WHEN p_type_flag = 1
+              THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)
+              ELSE 0 END) AS DOUBLE))
+       / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE)
+       AS promo_revenue_pct
+FROM (
+  SELECT l_extendedprice, l_discount,
+         CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END AS p_type_flag
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+)
+"""
+
+
 SPECS = [
     QuerySpec(
         "q23_cte", _sql(("nation", "customer", "orders"))(Q23_SQL), Q23_SQL,
         "WITH + scalar subquery over the CTE",
+    ),
+    QuerySpec(
+        "q47_priority_check", _sql(("orders", "lineitem"))(Q47_SQL), Q47_SQL,
+        "TPC-H Q4 shape: correlated EXISTS count",
+    ),
+    QuerySpec(
+        "q48_promo_revenue", _sql(("lineitem", "part"))(Q48_SQL), Q48_SQL,
+        "TPC-H Q14 shape: conditional-agg ratio",
     ),
     QuerySpec(
         "q24_scalar_subquery", _sql(("part",))(Q24_SQL), Q24_SQL,
