@@ -58,6 +58,40 @@ def extract_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return prepared.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
 
 
+def extract_features_arrow(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """The same feature extraction via ``mapInArrow`` — RecordBatch in,
+    RecordBatch out, no pandas conversion at all.  For wide binary
+    columns this is the lowest-overhead Python boundary Spark offers
+    (pandas round-trips copy the blob bytes; Arrow buffers don't)."""
+
+    def featurize(batch_iter):
+        import pyarrow as pa  # noqa: PLC0415
+
+        for batch in batch_iter:
+            ids = batch.column("doc_id")
+            blobs = batch.column("blob").to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": ids,
+                    "byte_len": pa.array(
+                        [len(b) if b is not None else 0 for b in blobs],
+                        type=pa.int64(),
+                    ),
+                    "first_byte": pa.array(
+                        [b[0] if b else -1 for b in blobs], type=pa.int64()
+                    ),
+                    "blob_md5": pa.array(
+                        [hashlib.md5(b or b"").hexdigest() for b in blobs]
+                    ),
+                }
+            )
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob")
+    )
+    return prepared.mapInArrow(featurize, schema=FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_chars bigint, frame_md5 string"
 
 
