@@ -360,3 +360,23 @@ def test_fact_table_hosted_in_tile_table(spark, tmp_path):
     row = tt.subarray({"l_orderkey": (42, 42)}).collect()
     want = src.filter(F.col("l_orderkey") == 42).collect()
     assert len(row) == len(want)
+
+
+def test_dense_fill_with_time_travel(spark, tmp_path):
+    """fill=True at a snapshot materializes the dense domain as of that
+    version: cells written later revert to fill values (t/fill_in.test x
+    t/open_at.test combined semantics)."""
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "densett"),
+        dimensions=[Dim("k", "int", lower=1, upper=4, tile_extent=4)],
+        attributes=[Attr("v", "int", fill=-1)],
+        array_type="DENSE",
+    )
+    tt.write(spark.createDataFrame([(1, 10)], "k int, v int"), version_ts=100)
+    tt.write(spark.createDataFrame([(3, 30)], "k int, v int"), version_ts=200)
+
+    now = {r["k"]: r["v"] for r in tt.read(fill=True).collect()}
+    assert now == {1: 10, 2: -1, 3: 30, 4: -1}
+    then = {r["k"]: r["v"] for r in tt.read(at=100, fill=True).collect()}
+    assert then == {1: 10, 2: -1, 3: -1, 4: -1}
