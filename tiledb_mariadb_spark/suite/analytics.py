@@ -95,8 +95,32 @@ SELECT 'intersect_all' AS op, k FROM (
 """
 
 
+# --- q49: UTF-8 predicates (t/utf8_pushdown.test analog) --------------------
+# The corpus is ASCII, so multibyte content is synthesized determinis-
+# tically; LIKE / equality / LENGTH over multibyte strings must agree
+# (both engines are character-semantics UTF-8 here).
+Q49_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN '你好 ' || text
+              WHEN lang = 'fr' THEN 'héllo ' || text
+              ELSE text END AS txt
+  FROM documents)
+SELECT doc_id, CAST(LENGTH(txt) AS BIGINT) AS n_chars,
+       CASE WHEN txt LIKE '你%' THEN 'zh'
+            WHEN txt LIKE 'héllo%' THEN 'fr'
+            ELSE 'other' END AS bucket
+FROM t
+WHERE txt LIKE '你好%' OR txt LIKE 'héllo%'
+"""
+
+
 SPECS = [
     QuerySpec("q42_word_histogram", q42_spark, Q42_DUCK, "lateral explode/UNNEST"),
+    QuerySpec(
+        "q49_utf8_predicates", _sql(("documents",), Q49_SQL), Q49_SQL,
+        "multibyte LIKE/LENGTH parity",
+    ),
     QuerySpec(
         "q45_setops_all", _sql(("orders",), Q45_SQL), Q45_SQL,
         "EXCEPT ALL / INTERSECT ALL multiset semantics",
