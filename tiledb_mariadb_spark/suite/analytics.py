@@ -115,8 +115,34 @@ WHERE txt LIKE '你好%' OR txt LIKE 'héllo%'
 """
 
 
+# --- q59: semi-structured JSON extraction ----------------------------------
+# events.props is a JSON string; path extraction + typed aggregation.
+Q59_SPARK = """
+SELECT event_type,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+Q59_DUCK = """
+SELECT event_type,
+       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("q42_word_histogram", q42_spark, Q42_DUCK, "lateral explode/UNNEST"),
+    QuerySpec(
+        "q59_json_extract", _sql(("events",), Q59_SPARK), Q59_DUCK,
+        "JSON path extraction + typed agg",
+    ),
     QuerySpec(
         "q49_utf8_predicates", _sql(("documents",), Q49_SQL), Q49_SQL,
         "multibyte LIKE/LENGTH parity",
