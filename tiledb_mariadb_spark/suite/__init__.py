@@ -85,6 +85,7 @@ def all_specs() -> dict[str, QuerySpec]:
         streaming_ops,
         subqueries,
         surfaces,
+        tpch_extra,
         windows,
     )
 
@@ -94,6 +95,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics,
         joins,
         subqueries,
+        tpch_extra,
         windows,
         surfaces,
         llm_ops,
