@@ -78,6 +78,8 @@ def all_specs() -> dict[str, QuerySpec]:
     from tiledb_mariadb_spark.suite import (  # noqa: PLC0415
         analytics,
         core,
+        functions_surface,
+        functions_surface2,
         joins,
         llm_ops,
         similarity,
@@ -93,6 +95,8 @@ def all_specs() -> dict[str, QuerySpec]:
     for mod in (
         core,
         analytics,
+        functions_surface,
+        functions_surface2,
         joins,
         subqueries,
         tpch_extra,
