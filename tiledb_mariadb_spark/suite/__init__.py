@@ -80,6 +80,7 @@ def all_specs() -> dict[str, QuerySpec]:
         core,
         functions_surface,
         functions_surface2,
+        functions_surface3,
         joins,
         llm_ops,
         similarity,
@@ -97,6 +98,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics,
         functions_surface,
         functions_surface2,
+        functions_surface3,
         joins,
         subqueries,
         tpch_extra,
