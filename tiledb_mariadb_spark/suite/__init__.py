@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface,
         functions_surface2,
         functions_surface3,
+        functions_surface4,
         joins,
         llm_ops,
         similarity,
@@ -99,6 +100,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface,
         functions_surface2,
         functions_surface3,
+        functions_surface4,
         joins,
         subqueries,
         tpch_extra,
