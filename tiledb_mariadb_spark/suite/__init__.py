@@ -82,6 +82,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface2,
         functions_surface3,
         functions_surface4,
+        functions_surface5,
         joins,
         llm_ops,
         similarity,
@@ -101,6 +102,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface2,
         functions_surface3,
         functions_surface4,
+        functions_surface5,
         joins,
         subqueries,
         tpch_extra,
