@@ -83,6 +83,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface3,
         functions_surface4,
         functions_surface5,
+        functions_surface6,
         joins,
         llm_ops,
         similarity,
@@ -103,6 +104,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface3,
         functions_surface4,
         functions_surface5,
+        functions_surface6,
         joins,
         subqueries,
         tpch_extra,
