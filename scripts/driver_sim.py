@@ -30,6 +30,7 @@ def main() -> int:
 
     import __spark_entry__ as e
     from tiledb_mariadb_spark.plans.oracle import (
+        _check_output_schema,
         duckdb_connection,
         result_fingerprint,
     )
@@ -45,6 +46,8 @@ def main() -> int:
     for name, fn in qs.items():
         try:
             sdf = fn(spark, sf_dir)
+            if name in osql:
+                _check_output_schema(name, sdf)  # ban list/map/struct/decimal
             s_cols, s_rows = list(sdf.columns), [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {exc}")

@@ -90,8 +90,29 @@ class CompareResult:
         )
 
 
+#: Spark output types the driver's pandas-based canonicalizer cannot hash
+#: (lists are unhashable; map/struct stringify engine-dependently; DECIMAL
+#: vs DOUBLE hash-mismatches — all driver-confirmed in round 1).  The local
+#: gate fails fast instead of silently normalizing, so these bugs never
+#: reach the driver.
+_BANNED_OUTPUT_TYPES = ("ArrayType", "MapType", "StructType", "DecimalType")
+
+
+def _check_output_schema(spec_name: str, sdf) -> None:
+    for field in sdf.schema.fields:
+        tname = type(field.dataType).__name__
+        if tname in _BANNED_OUTPUT_TYPES:
+            raise AssertionError(
+                f"{spec_name}: output column {field.name!r} has driver-unsafe "
+                f"type {field.dataType.simpleString()} — stringify arrays via "
+                f"array_join/to_json and CAST decimals to DOUBLE/BIGINT on "
+                f"both engines (see suite/__init__.py determinism notes)"
+            )
+
+
 def compare(spec, spark, sf_dir: str, con=None) -> CompareResult:
     sdf = spec.spark(spark, sf_dir)
+    _check_output_schema(spec.name, sdf)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -68,9 +68,19 @@ def dsum(col, k: int = 2):
 
 
 def dsum_sql(expr: str, k: int = 2) -> str:
-    """DuckDB oracle twin of :func:`dsum` (bit-identical by construction)."""
+    """DuckDB oracle twin of :func:`dsum` (bit-identical by construction).
+
+    The accumulated BIGINT is cast to DOUBLE *before* the division: Spark
+    parses the ``100.0`` literal as DECIMAL(4,1), and BIGINT / DECIMAL would
+    yield DECIMAL there (driver-confirmed q43 mismatch in round 1) while
+    DuckDB yields DOUBLE.  DOUBLE / literal is DOUBLE on both engines, and
+    int64→double conversion plus one IEEE division is bit-identical.
+    """
     scale = repr(10.0**k)
-    return f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {scale})"
+    return (
+        f"(CAST(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / {scale})"
+    )
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -96,24 +106,32 @@ def all_specs() -> dict[str, QuerySpec]:
     )
 
     specs: dict[str, QuerySpec] = {}
+    # ORDER MATTERS: the driver hash-verifies only the FIRST 50 entries per
+    # round.  Round 1 covered core/analytics/functions_surface* (q01–q133);
+    # round 2 rotates the never-verified categories to the front (joins,
+    # subqueries, windows, surfaces, llm_ops = exactly 50).  Rotate again
+    # each round until every SURVEY §2 row has a green CORRECTNESS entry:
+    # round 3 should lead with similarity, streaming_ops, spatial_ops,
+    # tpch_extra, functions_surface5/6 tail + this round's fixed reds
+    # (q43, q118, q122, q129).
     for mod in (
-        core,
-        analytics,
-        functions_surface,
-        functions_surface2,
-        functions_surface3,
-        functions_surface4,
-        functions_surface5,
-        functions_surface6,
         joins,
         subqueries,
-        tpch_extra,
         windows,
         surfaces,
         llm_ops,
         similarity,
         streaming_ops,
         spatial_ops,
+        tpch_extra,
+        functions_surface6,
+        functions_surface5,
+        functions_surface4,
+        functions_surface3,
+        functions_surface2,
+        functions_surface,
+        analytics,
+        core,
     ):
         for s in mod.SPECS:
             if s.name in specs:

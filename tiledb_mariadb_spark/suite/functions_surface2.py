@@ -38,21 +38,29 @@ from tiledb_mariadb_spark.suite import QuerySpec  # noqa: E402
 # --- q118: array set operations ---------------------------------------------
 Q118_SPARK = """
 SELECT p_partkey,
-       array_sort(array_union(sequence(1, p_size % 5 + 2), sequence(3, 7))) AS u,
-       array_sort(array_intersect(sequence(1, p_size % 5 + 2), sequence(3, 7))) AS i,
-       array_sort(array_except(sequence(1, p_size % 5 + 2), sequence(3, 7))) AS e,
-       array_sort(array_distinct(concat(sequence(1, 3), sequence(2, p_size % 4 + 2)))) AS d
+       array_join(transform(array_sort(array_union(sequence(1, p_size % 5 + 2), sequence(3, 7))),
+                            x -> CAST(x AS STRING)), ',') AS u,
+       array_join(transform(array_sort(array_intersect(sequence(1, p_size % 5 + 2), sequence(3, 7))),
+                            x -> CAST(x AS STRING)), ',') AS i,
+       array_join(transform(array_sort(array_except(sequence(1, p_size % 5 + 2), sequence(3, 7))),
+                            x -> CAST(x AS STRING)), ',') AS e,
+       array_join(transform(array_sort(array_distinct(concat(sequence(1, 3), sequence(2, p_size % 4 + 2)))),
+                            x -> CAST(x AS STRING)), ',') AS d
 FROM part
 WHERE p_partkey % 83 = 0
 ORDER BY p_partkey
 """
 Q118_DUCK = """
 SELECT p_partkey,
-       list_sort(list_distinct(list_concat(range(1, p_size % 5 + 3), range(3, 8)))) AS u,
-       list_sort(list_intersect(range(1, p_size % 5 + 3), range(3, 8))) AS i,
-       list_sort(list_distinct(list_filter(range(1, p_size % 5 + 3),
-                                           x -> NOT list_contains(range(3, 8), x)))) AS e,
-       list_sort(list_distinct(list_concat(range(1, 4), range(2, p_size % 4 + 3)))) AS d
+       array_to_string(list_transform(list_sort(list_distinct(list_concat(range(1, p_size % 5 + 3), range(3, 8)))),
+                                      x -> CAST(x AS VARCHAR)), ',') AS u,
+       COALESCE(array_to_string(list_transform(list_sort(list_intersect(range(1, p_size % 5 + 3), range(3, 8))),
+                                      x -> CAST(x AS VARCHAR)), ','), '') AS i,
+       array_to_string(list_transform(list_sort(list_distinct(list_filter(range(1, p_size % 5 + 3),
+                                           x -> NOT list_contains(range(3, 8), x)))),
+                                      x -> CAST(x AS VARCHAR)), ',') AS e,
+       array_to_string(list_transform(list_sort(list_distinct(list_concat(range(1, 4), range(2, p_size % 4 + 3)))),
+                                      x -> CAST(x AS VARCHAR)), ',') AS d
 FROM part
 WHERE p_partkey % 83 = 0
 ORDER BY p_partkey

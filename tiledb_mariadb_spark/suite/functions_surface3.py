@@ -48,7 +48,7 @@ SELECT o_orderkey,
        CAST(element_at(map('key', o_orderkey, 'cust', o_custkey), 'missing')
             AS BIGINT) AS absent,
        CAST(size(map('key', o_orderkey, 'cust', o_custkey)) AS BIGINT) AS m_size,
-       array_sort(map_keys(map('key', o_orderkey, 'cust', o_custkey))) AS ks
+       array_join(array_sort(map_keys(map('key', o_orderkey, 'cust', o_custkey))), ',') AS ks
 FROM orders
 WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
@@ -61,7 +61,7 @@ SELECT o_orderkey,
                        'cents')[1] AS BIGINT) AS cents,
        CAST(NULL AS BIGINT) AS absent,
        CAST(cardinality(MAP(['key', 'cust'], [o_orderkey, o_custkey])) AS BIGINT) AS m_size,
-       list_sort(map_keys(MAP(['key', 'cust'], [o_orderkey, o_custkey]))) AS ks
+       array_to_string(list_sort(map_keys(MAP(['key', 'cust'], [o_orderkey, o_custkey]))), ',') AS ks
 FROM orders
 WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey

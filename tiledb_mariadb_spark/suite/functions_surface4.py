@@ -75,8 +75,10 @@ ORDER BY 1, 2
 # --- q129: array slice / flatten / position / contains ----------------------
 Q129_SPARK = """
 SELECT p_partkey,
-       slice(sequence(1, 10), p_size % 5 + 1, 3) AS sl,
-       flatten(array(sequence(1, p_size % 3 + 1), sequence(7, 8))) AS fl,
+       array_join(transform(slice(sequence(1, 10), p_size % 5 + 1, 3),
+                            x -> CAST(x AS STRING)), ',') AS sl,
+       array_join(transform(flatten(array(sequence(1, p_size % 3 + 1), sequence(7, 8))),
+                            x -> CAST(x AS STRING)), ',') AS fl,
        CAST(array_position(sequence(0, 45, 5), p_size - p_size % 5) AS BIGINT) AS pos,
        array_contains(sequence(1, 10), p_size) AS has_size
 FROM part
@@ -85,8 +87,10 @@ ORDER BY p_partkey
 """
 Q129_DUCK = """
 SELECT p_partkey,
-       (range(1, 11))[p_size % 5 + 1 : p_size % 5 + 3] AS sl,
-       flatten([range(1, p_size % 3 + 2), range(7, 9)]) AS fl,
+       array_to_string(list_transform((range(1, 11))[p_size % 5 + 1 : p_size % 5 + 3],
+                                      x -> CAST(x AS VARCHAR)), ',') AS sl,
+       array_to_string(list_transform(flatten([range(1, p_size % 3 + 2), range(7, 9)]),
+                                      x -> CAST(x AS VARCHAR)), ',') AS fl,
        CAST(list_position(range(0, 46, 5), p_size - p_size % 5) AS BIGINT) AS pos,
        list_contains(range(1, 11), p_size) AS has_size
 FROM part
