@@ -424,3 +424,29 @@ def test_write_validation_is_single_pass(spark, tmp_path):
     # + the parquet write ≈ 5 jobs; the old per-check code path ran ≥7
     # here (null + bounds + enum + count as separate scans)
     assert after - before <= 5, f"write() ran {after - before} jobs"
+
+
+def test_multi_value_fixed_length_cells(spark, tmp_path):
+    """array<float> attribute = fixed-length multi-value cell
+    (t/multi_value_fixed_length.test; mytile.cc:170-172): round-trips
+    through write/read, supports per-element predicates, and show_create
+    echoes the multi-value storage type."""
+    from tiledb_mariadb_spark.schema import tiledb_type_for
+
+    assert tiledb_type_for("array<float>") == "FLOAT32[]"
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "mv"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("vec", "array<float>")],
+    )
+    df = spark.createDataFrame(
+        [(1, [1.5, 2.5, 3.5]), (2, [4.0, 5.0, 6.0])], "k int, vec array<float>"
+    )
+    tt.write(df)
+    got = {
+        r["k"]: r["vec"]
+        for r in tt.read().filter("element_at(vec, 1) > 1.0").collect()
+    }
+    assert got == {1: [1.5, 2.5, 3.5], 2: [4.0, 5.0, 6.0]}
+    assert "array<float>" in tt.show_create()

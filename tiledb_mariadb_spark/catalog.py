@@ -61,6 +61,9 @@ class Attr:
     nullable: bool = True
     fill: Any = None
     enum: Optional[list[str]] = None
+    # per-attribute filter pipeline CSV, e.g. "GZIP=6" or "DOUBLE_DELTA,ZSTD"
+    # (mytile.cc:1308-1413 parse_filter_list; t/filters.test)
+    filters: Optional[str] = None
 
 
 @dataclass
@@ -76,6 +79,13 @@ class TileSchema:
     versions: list[dict] = field(default_factory=list)
     # set for subset registrations: URI of the array whose data files we share
     data_ref: Optional[str] = None
+    # table-level filter pipelines (t/filters.test): coordinate_filters
+    # compress the dim columns; offset/validity filters are accepted and
+    # echoed but have no parquet analog (offsets/nulls live in rep/def
+    # levels compressed with the chunk) — see operators/colfilters.py
+    coordinate_filters: Optional[str] = None
+    offset_filters: Optional[str] = None
+    validity_filters: Optional[str] = None
 
     @property
     def dim_names(self) -> list[str]:
@@ -100,6 +110,9 @@ def _load_sidecar(uri: str) -> TileSchema:
         metadata=raw["metadata"],
         versions=raw["versions"],
         data_ref=raw.get("data_ref"),
+        coordinate_filters=raw.get("coordinate_filters"),
+        offset_filters=raw.get("offset_filters"),
+        validity_filters=raw.get("validity_filters"),
     )
 
 
@@ -218,6 +231,20 @@ class TileTable:
             array_type=array_type,
             **options,
         )
+        # validate declared filter pipelines at CREATE time, like the
+        # reference's parse-on-create (unknown filter name → error)
+        from tiledb_mariadb_spark.operators.colfilters import (  # noqa: PLC0415
+            parse_filter_list,
+        )
+
+        for csv in (
+            schema.coordinate_filters,
+            schema.offset_filters,
+            schema.validity_filters,
+            *[a.filters for a in attributes],
+        ):
+            if csv:
+                parse_filter_list(csv)
         _save_sidecar(uri, schema)
         return TileTable(spark, uri)
 
@@ -325,7 +352,12 @@ class TileTable:
             clustered = out.repartitionByRange(
                 n_tiles, *[F.col(d) for d in dims]
             ).sortWithinPartitions(*dims)
-        clustered.write.mode("overwrite").parquet(path)
+        from tiledb_mariadb_spark.operators.colfilters import (  # noqa: PLC0415
+            plan_for_schema,
+            write_clustered_parquet,
+        )
+
+        write_clustered_parquet(clustered, path, plan_for_schema(s))
         s.versions.append({"v": version, "ts": ts})
         _save_sidecar(self.uri, s)
         return version
@@ -565,15 +597,22 @@ class TileTable:
                 extra = f" enum=({labels})"
             if a.fill is not None:
                 extra += f" fill='{a.fill}'"
+            if a.filters is not None:
+                extra += f" filters='{a.filters}'"
             col_lines.append(f"  `{a.name}` {a.dtype}{null_sql}{extra}")
         pk = ", ".join(f"`{d}`" for d in s.dim_names)
         col_lines.append(f"  PRIMARY KEY ({pk})")
         lines.append(",\n".join(col_lines))
-        lines.append(
+        tail = (
             f") uri='{display_uri or self.uri}' array_type='{s.array_type}'"
             f" capacity={s.capacity}"
             f" cell_order={s.cell_order} tile_order={s.tile_order}"
         )
+        for opt in ("coordinate_filters", "offset_filters", "validity_filters"):
+            val = getattr(s, opt)
+            if val is not None:
+                tail += f" {opt}='{val}'"
+        lines.append(tail)
         return "\n".join(lines)
 
     # --- schema evolution -----------------------------------------------------

@@ -246,6 +246,57 @@ WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE')
 """
 
 
+# --- q87: multi-value fixed-length cells -------------------------------------
+def q87_multi_value_cells(spark, sf_dir):
+    """Fixed-length multi-value cell attribute (array<float>) round-trip:
+    write + read + per-element predicate.  Mirrors
+    mysql-test/mytile/t/multi_value_fixed_length.test (the reference probes
+    cell elements via SUBSTRING; here ``element_at`` is the typed analog) and
+    mytile/mytile.cc:170-172 (val_num > 1 fixed-length cells).  Output
+    extracts elements as DOUBLE (float32→double widening is exact and
+    engine-identical) — never the raw array (driver canonicalizer ban).
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 17 == 0)
+    tt = TileTable.create(
+        spark,
+        _uri("mv_cells", sf_dir),
+        dimensions=[Dim("p_partkey", "bigint")],
+        attributes=[Attr("vec", "array<float>"), Attr("p_size", "int")],
+        overwrite=True,
+    )
+    tt.write(
+        p.select(
+            "p_partkey",
+            F.array(
+                F.col("p_retailprice").cast("float"),
+                F.col("p_size").cast("float"),
+                (F.col("p_partkey") % 7).cast("float"),
+            ).alias("vec"),
+            "p_size",
+        )
+    )
+    out = tt.read().filter(F.element_at("vec", 2) >= F.lit(25.0))
+    return out.select(
+        "p_partkey",
+        F.element_at("vec", 1).cast("double").alias("v_price"),
+        F.element_at("vec", 2).cast("double").alias("v_size"),
+        F.element_at("vec", 3).cast("double").alias("v_mod"),
+        F.size("vec").cast("bigint").alias("n_vals"),
+    ).orderBy("p_partkey")
+
+
+Q87_SQL = """
+SELECT p_partkey,
+       CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS v_price,
+       CAST(CAST(p_size AS REAL) AS DOUBLE) AS v_size,
+       CAST(CAST(p_partkey % 7 AS REAL) AS DOUBLE) AS v_mod,
+       CAST(3 AS BIGINT) AS n_vals
+FROM part
+WHERE p_partkey % 17 = 0 AND CAST(p_size AS REAL) >= 25.0
+ORDER BY p_partkey
+"""
+
+
 def _q82_spec() -> QuerySpec:
     return QuerySpec("q82_discovery", q82_discovery, q82_oracle(), "discovery")
 
@@ -258,4 +309,10 @@ SPECS = [
     QuerySpec("q84_dense_fill", q84_dense_fill, Q84_SQL, "dense fill-in"),
     QuerySpec("q85_csv_load", q85_csv_load, Q85_SQL, "CSV bulk load"),
     QuerySpec("q86_insert_into_select", q86_insert_into_select, Q86_SQL, "INSERT..SELECT"),
+    QuerySpec(
+        "q87_multi_value_cells",
+        q87_multi_value_cells,
+        Q87_SQL,
+        "fixed-length multi-value cell attribute",
+    ),
 ]
