@@ -450,3 +450,26 @@ def test_multi_value_fixed_length_cells(spark, tmp_path):
     }
     assert got == {1: [1.5, 2.5, 3.5], 2: [4.0, 5.0, 6.0]}
     assert "array<float>" in tt.show_create()
+
+
+def test_discovery_infers_enums(spark, tmp_path):
+    """Low-cardinality string columns become enum label sets during
+    discovery (mytile-discovery.cc:338-379); high-cardinality ones keep
+    the plain type (the oversized-enum fallback)."""
+    from tiledb_mariadb_spark.catalog import discover_parquet
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3], f"unique-{i}") for i in range(200)],
+        "id bigint, color string, label string",
+    ).write.parquet(src)
+    tt = discover_parquet(spark, src, str(tmp_path / "disc"), dimensions=["id"])
+    by_name = {a.name: a for a in tt.schema.attributes}
+    assert by_name["color"].enum == ["blue", "green", "red"]
+    assert by_name["label"].enum is None
+    assert "enum=('blue','green','red')" in tt.show_create()
+    # enum inference is opt-out
+    t2 = discover_parquet(
+        spark, src, str(tmp_path / "disc2"), dimensions=["id"], infer_enums=False
+    )
+    assert all(a.enum is None for a in t2.schema.attributes)

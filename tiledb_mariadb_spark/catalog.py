@@ -126,6 +126,8 @@ def discover_parquet(
     data_path: str,
     uri: str,
     dimensions: Optional[list[str]] = None,
+    infer_enums: bool = True,
+    enum_threshold: int = 16,
 ) -> "TileTable":
     """Assisted discovery over a *bare* parquet dataset: reverse-engineer
     a tile-table schema from the files (the reference's discover_array,
@@ -165,6 +167,8 @@ def discover_parquet(
         for f in cols
         if f.name not in dim_names
     ]
+    if infer_enums:
+        _infer_enums(df, attrs, enum_threshold)
     os.makedirs(uri, exist_ok=True)
     schema = TileSchema(
         dimensions=dims,
@@ -180,7 +184,50 @@ def discover_parquet(
     return TileTable(spark, uri)
 
 
-def open_uri(spark: SparkSession, uri: str) -> DataFrame:
+def _infer_enums(df: DataFrame, attrs: list[Attr], threshold: int) -> None:
+    """Low-cardinality string attributes become enum label sets — the
+    discovery analog of the reference synthesizing ``ENUM('a','b')`` from
+    the TileDB dictionary (mytile-discovery.cc:338-379), including its
+    oversized-enum fallback to the plain type (the 65536/attribute_num
+    byte budget).
+
+    Two scan-light passes: one agg of approx_count_distinct over every
+    string attr (map-side-combined sketch, no shuffle of values), then
+    one agg of collect_set restricted to columns the sketch says are
+    small — at 100 TB the second pass only ever aggregates a handful of
+    labels per column.
+    """
+    str_attrs = [a for a in attrs if a.dtype == "string"]
+    if not str_attrs:
+        return
+    sketch = df.agg(
+        *[
+            F.approx_count_distinct(a.name).alias(a.name)
+            for a in str_attrs
+        ]
+    ).collect()[0]
+    # 2× margin on the sketch (±~2% typical error; generous is safe — the
+    # exact cardinality is re-checked after collect_set)
+    cands = [a for a in str_attrs if sketch[a.name] <= threshold * 2]
+    if not cands:
+        return
+    labels_row = df.agg(
+        *[
+            F.array_sort(F.collect_set(a.name)).alias(a.name)
+            for a in cands
+        ]
+    ).collect()[0]
+    budget = 65536 // max(1, len(attrs))
+    for a in cands:
+        labels = list(labels_row[a.name])
+        oversized = sum(len(x) + 4 for x in labels) > budget
+        if labels and len(labels) <= threshold and not oversized:
+            a.enum = labels
+
+
+def open_uri(
+    spark: SparkSession, uri: str, encryption_key: "Optional[str]" = None
+) -> DataFrame:
     """Resolve the reference's virtual URI suffixes (mytile/utils.h:52-53,
     ha_mytile.cc:836-840, 3440-3455) to a DataFrame:
 
@@ -194,15 +241,46 @@ def open_uri(spark: SparkSession, uri: str) -> DataFrame:
         return TileTable(spark, uri[: -len("@metadata")]).metadata_df()
     m = re.match(r"^(.*)@(\d+)$", uri)
     if m:
-        return TileTable(spark, m.group(1)).read(at=int(m.group(2)))
-    return TileTable(spark, uri).read()
+        return TileTable(spark, m.group(1), encryption_key=encryption_key).read(
+            at=int(m.group(2))
+        )
+    return TileTable(spark, uri, encryption_key=encryption_key).read()
 
 
 class TileTable:
-    def __init__(self, spark: SparkSession, uri: str):
+    def __init__(
+        self, spark: SparkSession, uri: str, encryption_key: Optional[str] = None
+    ):
         self.spark = spark
         self.uri = uri
         self.schema = _load_sidecar(uri)
+        self._enc_key: Optional[bytes] = None
+        if encryption_key is not None:
+            from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
+                normalize_key,
+            )
+
+            self._enc_key = normalize_key(encryption_key)
+
+    def _require_key(self) -> bytes:
+        """Encrypted tables refuse data access without the right key —
+        the encryption.test negative case (ha_mytile.cc:788-795)."""
+        from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
+            key_fingerprint,
+        )
+
+        want = self.schema.metadata.get("encryption_key_check")
+        if self._enc_key is None:
+            raise ValueError(
+                "table is encrypted (AES_256_GCM); pass encryption_key to open it"
+            )
+        if want is not None and key_fingerprint(self._enc_key) != want:
+            raise ValueError("wrong encryption key for this table")
+        return self._enc_key
+
+    @property
+    def _encrypted(self) -> bool:
+        return self.schema.metadata.get("encryption") is not None
 
     # --- DDL ---------------------------------------------------------------
 
@@ -214,6 +292,7 @@ class TileTable:
         attributes: list[Attr],
         array_type: str = "SPARSE",
         overwrite: bool = False,
+        encryption_key: Optional[str] = None,
         **options: Any,
     ) -> "TileTable":
         if array_type == "DENSE":
@@ -245,8 +324,18 @@ class TileTable:
         ):
             if csv:
                 parse_filter_list(csv)
+        if encryption_key is not None:
+            # the key itself is never persisted — only the cipher name and
+            # a salted fingerprint for fast wrong-key errors
+            from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
+                CIPHER_NAME,
+                key_fingerprint,
+            )
+
+            schema.metadata["encryption"] = CIPHER_NAME
+            schema.metadata["encryption_key_check"] = key_fingerprint(encryption_key)
         _save_sidecar(uri, schema)
-        return TileTable(spark, uri)
+        return TileTable(spark, uri, encryption_key=encryption_key)
 
     def drop(self, delete_data: bool = True) -> None:
         """DROP TABLE; physical delete is opt-in like mytile_delete_arrays
@@ -357,8 +446,12 @@ class TileTable:
             write_clustered_parquet,
         )
 
-        write_clustered_parquet(clustered, path, plan_for_schema(s))
-        s.versions.append({"v": version, "ts": ts})
+        key = self._require_key() if self._encrypted else None
+        write_clustered_parquet(clustered, path, plan_for_schema(s), encryption_key=key)
+        # "rows" = pre-dedup cell count: the footer-free record upper bound
+        # (needed for est_records on encrypted tables whose footers are
+        # sealed; harmless elsewhere)
+        s.versions.append({"v": version, "ts": ts, "rows": int(stats["__n"])})
         _save_sidecar(self.uri, s)
         return version
 
@@ -382,10 +475,13 @@ class TileTable:
             # discovered bare dataset: one implicit version, files in place
             df = self.spark.read.parquet(ext).select(*cols)
             return self._fill_dense(df) if fill else df
-        df = (
-            self.spark.read.option("basePath", data_dir)
-            .parquet(*[os.path.join(data_dir, f"__tile_v={v}") for v in visible])
-        )
+        if self._encrypted:
+            df = self._read_encrypted(visible, cols)
+        else:
+            df = (
+                self.spark.read.option("basePath", data_dir)
+                .parquet(*[os.path.join(data_dir, f"__tile_v={v}") for v in visible])
+            )
         if not s.allows_dups and len(visible) > 1:
             # last-writer-wins per coordinate (TileDB overwrite semantics).
             # Skipped when exactly one version is visible: write() already
@@ -401,6 +497,46 @@ class TileTable:
         if fill:
             df = self._fill_dense(df)
         return df
+
+    def _read_encrypted(self, visible: list[int], cols: list[str]) -> DataFrame:
+        """Distributed decrypt-scan: binaryFile lists fragment blobs, each
+        task unseals + parses its own fragments (mapInArrow — no pandas
+        type laundering), so decrypt parallelism = fragment count.  The
+        driver never holds plaintext."""
+        key = self._require_key()
+        data_dir = self._data_dir
+        paths = [os.path.join(data_dir, f"__tile_v={v}") for v in visible]
+        bdf = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.aes")
+            .load(paths)
+            .select("path", "content")
+        )
+        ddl = self._spark_ddl(include=cols) + ", __tile_v int"
+
+        def unseal(batches):
+            import io  # noqa: PLC0415
+            import re as _re  # noqa: PLC0415
+
+            import pyarrow as pa  # noqa: PLC0415
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
+                decrypt_bytes,
+            )
+
+            for b in batches:
+                d = b.to_pydict()
+                for path, blob in zip(d["path"], d["content"]):
+                    raw = decrypt_bytes(key, blob)
+                    tbl = pq.read_table(io.BytesIO(raw)).select(cols)
+                    v = int(_re.search(r"__tile_v=(\d+)", path).group(1))
+                    tbl = tbl.append_column(
+                        "__tile_v", pa.array([v] * len(tbl), pa.int32())
+                    )
+                    yield from tbl.to_batches()
+
+        return bdf.mapInArrow(unseal, schema=ddl)
 
     def _zorderable(self) -> bool:
         return all(
@@ -472,6 +608,10 @@ class TileTable:
         scanning data pages."""
         import pyarrow.parquet as pq
 
+        if self._encrypted:
+            # sealed footers can't be read without the key; use the
+            # sidecar's per-version pre-dedup counts (same UB semantics)
+            return sum(int(v.get("rows", 0)) for v in self.schema.versions)
         total = 0
         data_dir = self._data_dir
         for root, _dirs, files in os.walk(data_dir):
@@ -612,6 +752,10 @@ class TileTable:
             val = getattr(s, opt)
             if val is not None:
                 tail += f" {opt}='{val}'"
+        if s.metadata.get("encryption"):
+            # never echo key material; the reference prints the key but we
+            # deliberately redact (parity on presence, not on leakage)
+            tail += f" encryption='{s.metadata['encryption']}' encryption_key='<redacted>'"
         lines.append(tail)
         return "\n".join(lines)
 

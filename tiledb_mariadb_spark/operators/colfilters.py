@@ -150,12 +150,17 @@ def plan_for_schema(schema) -> ParquetFilterPlan:
     return plan
 
 
-def write_clustered_parquet(df, path: str, plan: ParquetFilterPlan) -> None:
+def write_clustered_parquet(
+    df, path: str, plan: ParquetFilterPlan, encryption_key: Optional[bytes] = None
+) -> None:
     """Write ``df`` (already range-clustered) to ``path`` honoring the
-    filter plan.  Uniform codec → stock Spark writer; per-column plans →
-    one pyarrow file per partition via mapInArrow (no shuffle, no pandas
-    conversion, layout preserved)."""
-    if not plan.needs_arrow_writer:
+    filter plan.  Uniform codec → stock Spark writer; per-column plans or
+    encryption → one pyarrow file per partition via mapInArrow (no
+    shuffle, no pandas conversion, layout preserved).  With
+    ``encryption_key`` each fragment is a parquet buffer sealed with
+    AES-256-GCM (see operators/encryption.py) — crypto runs in the tasks,
+    parallelism = partition count."""
+    if not plan.needs_arrow_writer and encryption_key is None:
         writer = df.write.mode("overwrite")
         if plan.uniform_codec:
             writer = writer.option("compression", plan.uniform_codec)
@@ -163,6 +168,7 @@ def write_clustered_parquet(df, path: str, plan: ParquetFilterPlan) -> None:
         return
 
     codec_by_col = dict(plan.codec_by_col)
+    uniform = plan.uniform_codec
     dict_cols = list(plan.dict_cols)
     encoding_by_col = dict(plan.encoding_by_col)
     checksum = plan.page_checksum
@@ -177,8 +183,9 @@ def write_clustered_parquet(df, path: str, plan: ParquetFilterPlan) -> None:
             table = pa.Table.from_batches(got)
             # per-column codec dict: unlisted columns use snappy (Spark's
             # parquet default), matching "no filters declared" semantics
+            default_codec = uniform or "snappy"
             compression = {
-                f.name: codec_by_col.get(f.name, "snappy").upper()
+                f.name: codec_by_col.get(f.name, default_codec).upper()
                 for f in table.schema
             }
             use_dictionary = dict_cols if dict_cols else False
@@ -187,15 +194,25 @@ def write_clustered_parquet(df, path: str, plan: ParquetFilterPlan) -> None:
                 # pyarrow requires dictionary off for explicitly-encoded
                 # columns; turn it on only where requested
                 use_dictionary = dict_cols
-            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
-            pq.write_table(
-                table,
-                fname,
+            kwargs = dict(
                 compression=compression,
                 use_dictionary=use_dictionary,
                 column_encoding=column_encoding,
                 write_page_checksum=checksum,
             )
+            tag = uuid.uuid4().hex
+            if encryption_key is None:
+                pq.write_table(table, os.path.join(path, f"part-{tag}.parquet"), **kwargs)
+            else:
+                from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
+                    encrypt_bytes,
+                )
+
+                sink = pa.BufferOutputStream()
+                pq.write_table(table, sink, **kwargs)
+                blob = encrypt_bytes(encryption_key, sink.getvalue().to_pybytes())
+                with open(os.path.join(path, f"part-{tag}.parquet.aes"), "wb") as f:
+                    f.write(blob)
             n = table.num_rows
         else:
             n = 0

@@ -101,7 +101,28 @@ def q82_discovery(spark, sf_dir):
     )
     tt.write(n, version_ts=1000)
     lines = tt.show_create(name="nation_tile", display_uri="tile://nation").split("\n")
-    rows = [(i + 1, line) for i, line in enumerate(lines)]
+
+    # enum inference during discovery (mytile-discovery.cc:338-379): a
+    # low-cardinality string column surfaces as enum=('…') in the
+    # synthesized DDL, a high-cardinality one stays plain.  Only the two
+    # attr lines are golden — dim bounds are scale-factor-dependent.
+    from tiledb_mariadb_spark.catalog import discover_parquet  # noqa: PLC0415
+
+    src = _uri("disc_orders_src", sf_dir)
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.md5(F.col("o_orderkey").cast("string")).alias("o_token"),
+    ).write.mode("overwrite").parquet(src)
+    dt = discover_parquet(
+        spark, src, _uri("disc_orders", sf_dir), dimensions=["o_orderkey"]
+    )
+    enum_lines = [
+        ln.rstrip(",")
+        for ln in dt.show_create().split("\n")
+        if "`o_orderpriority`" in ln or "`o_token`" in ln
+    ]
+    rows = [(i + 1, line) for i, line in enumerate(lines + sorted(enum_lines))]
     return spark.createDataFrame(rows, schema="line_no long, line string")
 
 
@@ -112,6 +133,8 @@ _Q82_EXPECTED = [
     "  `n_regionkey` int,",
     "  PRIMARY KEY (`n_nationkey`)",
     ") uri='tile://nation' array_type='SPARSE' capacity=10000 cell_order=ROW_MAJOR tile_order=ROW_MAJOR",
+    "  `o_orderpriority` string enum=('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')",
+    "  `o_token` string",
 ]
 
 
