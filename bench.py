@@ -41,6 +41,11 @@ HEADLINE = [
     "q65_lsh_pairs",
     "q68_cosine_topk",
     "q95_spatial_intersects",
+    # round-2 additions: heavy multi-join TPC-H shape, top-k-per-group
+    # window, and the IVF index lifecycle (train → write → probe search)
+    "q100_volume_shipping",
+    "q54_topk_per_group",
+    "q72_ann_ivf",
 ]
 
 

@@ -17,6 +17,8 @@ All expressions are JVM Columns — no Python in the hot path.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,16 +106,25 @@ def minhash_sql(shingle_cte: str, id_col: str, num_hashes: int = 8) -> str:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 8, rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    storage_level: Optional[str] = "MEMORY_AND_DISK",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Band the signature (r rows per band), bucket-join within bands,
     emit distinct candidate pairs (a < b).  The only all-pairs expansion
     happens inside a (band, hash...) bucket.
 
     Banding is a single explode (not a per-band union, which would plan
-    the signature subtree once per band), and the signature DataFrame is
-    cached because the self-join consumes it twice — at corpus scale this
-    is the step you'd checkpoint/persist anyway."""
+    the signature subtree once per band).  The banded frame is consumed
+    twice by the self-join, so it is persisted at ``storage_level``
+    (MEMORY_AND_DISK default: spills instead of evicting at corpus
+    scale; pass None to disable).  At 100 TB pass ``checkpoint=True``
+    instead — a lineage-truncating materialization to the checkpoint dir
+    survives executor loss where a cache eviction would recompute the
+    whole shingle pipeline twice."""
     num_bands = num_hashes // rows_per_band
     band_structs = F.array(
         *[
@@ -125,11 +136,15 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    bands = (
-        signatures.select(F.col(id_col).alias("doc"), F.explode(band_structs).alias("bs"))
-        .select("doc", "bs.band", "bs.h0", "bs.h1")
-        .cache()
-    )
+    bands = signatures.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bs")
+    ).select("doc", "bs.band", "bs.h0", "bs.h1")
+    if checkpoint:
+        bands = bands.checkpoint(eager=False)
+    elif storage_level is not None:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        bands = bands.persist(getattr(StorageLevel, storage_level))
     left = bands.select("band", "h0", "h1", F.col("doc").alias("a"))
     right = bands.select("band", "h0", "h1", F.col("doc").alias("b"))
     return (

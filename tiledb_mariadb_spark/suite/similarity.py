@@ -105,24 +105,54 @@ WHERE x.vec_id < 200 AND y.vec_id < 200
 """
 
 
-# --- q72: IVF ANN (train → assign → probe-pruned search) -------------------
-# Iterative k-means + partition-pruned probe: not SQL-expressible, so
-# rows-only (result quality asserted separately in tests/test_ivf.py).
+# --- q72: IVF ANN end-to-end (train → assign → write index → search) -------
+# Full index lifecycle through storage: k-means lists, write_ivf_index
+# (partitionBy list_id → probes prune partitions), read back, search.
+# Probing ALL lists makes IVF exact == brute-force top-k, so the DuckDB
+# oracle can hash-verify the whole pipeline; nprobe < n_lists quality is
+# asserted separately by the recall test (tests/test_ivf.py).
 def q72_ann_ivf(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
     from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = ivf.train_centroids(e, "vec_id", "embedding", k=8, iters=1)
+    # train on a deterministic subset — the sample-at-scale pattern the
+    # trainer documents; search exactness is centroid-independent here
+    # because every list is probed
+    cents = ivf.train_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
+    )
     indexed = ivf.assign_lists(e, cents, "embedding")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/root/repo/.tmp/ivf_index", f"emb-{tag}")
+    ivf.write_ivf_index(indexed, path)
+    stored = spark.read.parquet(path)
     qvec = [float(x) for x in e.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
     return ivf.ivf_search(
-        indexed, cents, qvec, "embedding", "vec_id", k=10, nprobe=2
+        stored, cents, qvec, "embedding", "vec_id", k=10, nprobe=len(cents)
     )
+
+
+Q72_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+SELECT vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
-    QuerySpec("q72_ann_ivf", q72_ann_ivf, None, "IVF ANN: k-means lists + nprobe search"),
+    QuerySpec(
+        "q72_ann_ivf",
+        q72_ann_ivf,
+        Q72_SQL,
+        "IVF ANN end-to-end: train, write partitioned index, probe search",
+    ),
     QuerySpec(
         "q76_cosine_neardup", q76_cosine_neardup, Q76_SQL, "embedding-cosine near-dup"
     ),
