@@ -1,0 +1,81 @@
+"""Unit tests for corpus-pipeline operators beyond what the oracle specs
+cover: convergence/termination of connected components, greedy-packing
+invariants, and determinism of the hash-keyed split/sample."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import pipeline as P
+
+
+def test_connected_components_chain(spark):
+    # Two components: a 4-chain (diameter > 1 round) and an isolated pair,
+    # plus a singleton with no edges.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                  "node long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in P.connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_pack_greedy_invariants(spark):
+    rows = [(i, n) for i, n in enumerate([100, 200, 300, 700, 50, 50, 480])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = P.pack_greedy(df, "doc_id", "n_tokens", window=512, num_shards=1)
+    per_bin = (
+        out.groupBy("bin")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_bin:
+        # a bin only exceeds the window when it holds a single oversized doc
+        assert r["tot"] <= 512 or r["n"] == 1
+    # docs are packed in id order: bins are monotone in doc_id
+    got = [r["bin"] for r in out.orderBy("doc_id").collect()]
+    assert got == sorted(got)
+    # 100+200 fit; 300 overflows -> new bin; 700 oversized alone; 50+50+480
+    # overflows at 480
+    assert got == [0, 0, 1, 2, 3, 3, 4]
+
+
+def test_pack_sequential_offsets(spark):
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 300)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in P.pack_sequential(df, "doc_id", "n_tokens", window=512).collect()
+    }
+    # doc1 straddles the 512 boundary; its bin is where its FIRST token lands
+    assert out == {0: (0, 0), 1: (0, 300), 2: (1, 88)}
+
+
+def test_split_deterministic_under_repartition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = P.train_test_split(df, "doc_id", 0.2)
+    b = P.train_test_split(df.repartition(13), "doc_id", 0.2)
+    assert (
+        a.join(b.withColumnRenamed("split", "split2"), "doc_id")
+        .filter(F.col("split") != F.col("split2"))
+        .count()
+        == 0
+    )
+    frac = a.filter(F.col("split") == "test").count() / 2000
+    assert 0.15 < frac < 0.25  # md5 fractions are ~uniform
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "xx") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = P.stratified_sample(df, "doc_id", "lang", {"en": 1.0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == 50  # en kept with p=1.0

@@ -96,6 +96,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface6,
         joins,
         llm_ops,
+        pipeline_ops,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -120,6 +121,7 @@ def all_specs() -> dict[str, QuerySpec]:
         windows,
         surfaces,
         llm_ops,
+        pipeline_ops,
         similarity,
         streaming_ops,
         spatial_ops,

@@ -1,0 +1,296 @@
+"""Corpus-preparation pipeline conformance (q135–q141): deterministic
+train/test splitting, stratified sampling, PII redaction, context-window
+packing (sequential + greedy), near-dup clustering (connected components),
+and heavy-hitter n-gram corpus stats.
+
+These extend the reference surface (TileDB-MariaDB stops at SQL —
+``mysql-test/mytile/t/*.test``) with the post-ingest operators a 100 TB
+pretraining pipeline needs; every decision is a deterministic function of
+the data (md5-derived fractions, not ``rand()``) so the DuckDB oracle
+reproduces results bit-for-bit and stage retries are idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import dedup as D
+from tiledb_mariadb_spark.functions import pipeline as P
+from tiledb_mariadb_spark.functions import text as X
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+
+# --- q135: deterministic train/test split ----------------------------------
+def q135_train_test_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    split = P.train_test_split(d, "doc_id", test_frac=0.1)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_sum"),
+        )
+    )
+
+
+Q135_SQL = f"""
+SELECT {P.split_case_sql('doc_id', 0.1)} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS char_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- q136: stratified sampling ---------------------------------------------
+_FRACTIONS = {"en": 0.5, "de": 1.0, "zh": 0.25}
+
+
+def q136_stratified_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return P.stratified_sample(d, "doc_id", "lang", _FRACTIONS).select(
+        "doc_id", "lang"
+    )
+
+
+Q136_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {P.hash_fraction_sql("CAST(doc_id AS VARCHAR)", 'strat')}
+      < {P.stratified_rate_sql('lang', _FRACTIONS)}
+"""
+
+
+# --- q137: PII redaction ----------------------------------------------------
+# The corpus has no real PII, so both engines graft identical synthetic
+# emails/phones (derived from doc_id) onto a text prefix, then the operator
+# must find and redact exactly those plus anything already present.
+def q137_pii_redaction(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com t "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = P.pii_counts(body)
+    return d.select(
+        "doc_id",
+        P.redact_pii(body).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+_BODY_SQL = (
+    "(substr(text, 1, 40) || ' u' || CAST(doc_id AS VARCHAR) || '@ex.com t '"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+_PII_COUNTS = P.pii_counts_sql(_BODY_SQL)
+Q137_SQL = f"""
+SELECT doc_id,
+       {P.redact_pii_sql(_BODY_SQL)} AS redacted,
+       {_PII_COUNTS['n_emails']} AS n_emails,
+       {_PII_COUNTS['n_phones']} AS n_phones
+FROM documents
+"""
+
+
+# --- q138: sequential context-window packing -------------------------------
+def q138_pack_sequential(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return P.pack_sequential(d, "doc_id", "n_tokens", window=512)
+
+
+Q138_SQL = P.pack_sequential_sql(
+    "documents", "doc_id", X.token_count_sql("text"), window=512
+)
+
+
+# --- q139: greedy no-straddle packing (applyInPandas per shard) ------------
+def q139_pack_greedy(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+    )
+    return P.pack_greedy(d, "doc_id", "n_tokens", window=512, num_shards=8)
+
+
+# Oracle: the greedy recurrence is genuinely sequential per shard, which a
+# recursive CTE walks row-by-row (rn = prev rn + 1) — all shards advance in
+# parallel per recursion round, depth = rows-per-shard (oracle scale only;
+# the Spark operator is the parallel path).
+Q139_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+         CAST({X.token_count_sql('text')} AS BIGINT) AS toks,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < 400
+),
+state(shard, rn, doc_id, toks, bin, used) AS (
+  SELECT shard, rn, doc_id, toks, CAST(0 AS BIGINT), toks FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.toks,
+         CASE WHEN s.used > 0 AND s.used + d.toks > 512
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.used > 0 AND s.used + d.toks > 512
+              THEN d.toks ELSE s.used + d.toks END
+  FROM docs d JOIN state s ON d.shard = s.shard AND d.rn = s.rn + 1
+)
+SELECT shard, doc_id, toks AS n_tokens, bin FROM state
+"""
+
+
+# --- q140: near-dup clustering (connected components over LSH edges) -------
+def _corpus60(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionByName(copies)
+
+
+_CORPUS60_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 60
+"""
+
+
+def q140_dedup_clusters(spark, sf_dir):
+    corpus = _corpus60(spark, sf_dir)
+    sh = D.with_shingles(corpus, "doc_id", "text", k=3)
+    sigs = D.minhash_signatures(sh, "doc_id", num_hashes=8)
+    edges = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    return P.connected_components(edges, nodes)
+
+
+_EDGES_CTE = D.lsh_pairs_sql(
+    D.minhash_sql(
+        D.shingles_sql(f"({_CORPUS60_SQL})", "doc_id", "text", k=3),
+        "doc_id",
+        num_hashes=8,
+    ),
+    num_hashes=8,
+    rows_per_band=2,
+)
+Q140_SQL = P.connected_components_sql(
+    _EDGES_CTE, f"SELECT doc_id AS node FROM ({_CORPUS60_SQL})"
+)
+
+
+# --- q141: heavy-hitter n-gram corpus stats --------------------------------
+def q141_topk_ngrams(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    sh = D.with_shingles(d, "doc_id", "text", k=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("shingle"))
+        .limit(20)
+    )
+
+
+_SHINGLES_300 = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 300)", "doc_id", "text", k=3
+)
+Q141_SQL = f"""
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ({_SHINGLES_300})
+GROUP BY shingle
+ORDER BY cnt DESC, shingle
+LIMIT 20
+"""
+
+
+# --- q142: approx sketches alongside exact (the 100 TB alternative) -------
+# HLL / quantile-sketch internals differ between engines, so the spec
+# hash-compares the EXACT values plus engine-local *error-bound* booleans:
+# each engine checks its own sketch against its own exact answer.  Both
+# sketches are deterministic per engine, so the booleans are stable.
+def q142_approx_sketches(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("l_partkey").cast("long").alias("n_approx"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "med_exact"
+        ),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("med_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            < 0.05
+        ).alias("distinct_err_ok"),
+        F.col("med_exact").cast("double").alias("med_exact"),
+        (
+            F.abs(F.col("med_approx") - F.col("med_exact")).cast("double") < 1.0
+        ).alias("median_err_ok"),
+    )
+
+
+Q142_SQL = """
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       (abs(n_approx - n_exact) / CAST(n_exact AS DOUBLE) < 0.05) AS distinct_err_ok,
+       CAST(med_exact AS DOUBLE) AS med_exact,
+       (CAST(abs(med_approx - med_exact) AS DOUBLE) < 1.0) AS median_err_ok
+FROM (
+  SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+         approx_count_distinct(l_partkey) AS n_approx,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_exact,
+         approx_quantile(l_quantity, 0.5) AS med_approx
+  FROM lineitem
+)
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q135_train_test_split", q135_train_test_split, Q135_SQL,
+        "deterministic hash-keyed train/test split",
+    ),
+    QuerySpec(
+        "q136_stratified_sample", q136_stratified_sample, Q136_SQL,
+        "stratified sampling by lang (deterministic)",
+    ),
+    QuerySpec(
+        "q137_pii_redaction", q137_pii_redaction, Q137_SQL,
+        "PII redaction + counts (regexp chain)",
+    ),
+    QuerySpec(
+        "q138_pack_sequential", q138_pack_sequential, Q138_SQL,
+        "concat-then-chunk context-window packing",
+    ),
+    QuerySpec(
+        "q139_pack_greedy", q139_pack_greedy, Q139_SQL,
+        "greedy no-straddle bin packing (applyInPandas/shard)",
+    ),
+    QuerySpec(
+        "q140_dedup_clusters", q140_dedup_clusters, Q140_SQL,
+        "near-dup clustering: connected components over LSH edges",
+    ),
+    QuerySpec(
+        "q141_topk_ngrams", q141_topk_ngrams, Q141_SQL,
+        "top-k n-gram heavy hitters",
+    ),
+    QuerySpec(
+        "q142_approx_sketches", q142_approx_sketches, Q142_SQL,
+        "approx_count_distinct / approx_percentile vs exact (error-bounded)",
+    ),
+]
