@@ -86,6 +86,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q74_resize_cosine",
         "q77_ewma",  # grouped recurrence — the declared applyInPandas tier
         "q95_spatial_intersects",
+        "q139_pack_greedy",  # greedy bin packing — sequential per shard
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",
@@ -102,10 +103,61 @@ def test_no_python_udf_in_any_plan(spark):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
         if name not in arrow_ok and (
-            "MapInPandas" in plan or "ArrowEvalPython" in plan
+            "MapInPandas" in plan
+            or "ArrowEvalPython" in plan
+            or "FlatMapGroupsInPandas" in plan
         ):
             offenders.append((name, "unexpected Arrow-Python stage"))
     assert not offenders, offenders
+
+
+def test_split_and_sample_are_map_only(spark):
+    """train/test split and stratified sampling are pure maps over the
+    scan — zero Exchange (at 100 TB a shuffle here would be a full-corpus
+    tax for a per-row decision)."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions import pipeline as P
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    split_plan = formatted_plan(P.train_test_split(docs, "doc_id", 0.1))
+    assert "Exchange" not in split_plan
+    sample_plan = formatted_plan(
+        P.stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+    )
+    assert "Exchange" not in sample_plan
+    redact_plan = formatted_plan(
+        docs.select(P.redact_pii(F.col("text")).alias("r"))
+    )
+    assert "Exchange" not in redact_plan and "Python" not in redact_plan
+
+
+def test_pack_sequential_is_distributed_prefix_sum(spark):
+    """The corpus-wide cumsum must NOT funnel through one partition: the
+    big-side window is partitioned by __pid over range partitions, and the
+    only SinglePartition exchange is the #partitions-row offsets frame."""
+    import re
+
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(SPECS["q138_pack_sequential"].spark(spark, SF_DIR))
+    assert "rangepartitioning(doc_id" in plan
+    assert re.search(r"windowspecdefinition\(__pid#\d+, doc_id", plan), plan
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_pack_greedy_single_shuffle(spark):
+    """Greedy packing = one groupBy(shard) shuffle feeding the per-shard
+    Arrow batch; no second exchange, no global sort."""
+    import re
+
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(SPECS["q139_pack_greedy"].spark(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_footer_aggregate_pushdown(spark):
