@@ -70,6 +70,39 @@ def test_split_deterministic_under_repartition(spark):
     assert 0.15 < frac < 0.25  # md5 fractions are ~uniform
 
 
+def test_pipeline_ops_compose_with_streaming(spark):
+    """The corpus-prep ops are stateless column transforms, so the same
+    code runs unchanged on a readStream ingest path — streamed results
+    must equal the batch results row-for-row."""
+    from tests.conftest import SF_DIR
+    from tiledb_mariadb_spark.streaming.events import run_to_completion
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def prep(df):
+        tagged = P.train_test_split(df, "doc_id", test_frac=0.2)
+        return tagged.select(
+            "doc_id",
+            "split",
+            P.redact_pii(F.col("text")).alias("red"),
+        ).filter(F.col("n_chars") > 50)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    streamed = run_to_completion(prep(stream), "append")
+    batch = prep(
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    a = {r["doc_id"]: (r["split"], r["red"]) for r in streamed.collect()}
+    b = {r["doc_id"]: (r["split"], r["red"]) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_stratified_sample_drops_unlisted_strata(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "xx") for i in range(100)],

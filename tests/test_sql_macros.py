@@ -38,3 +38,29 @@ def test_sql_functions_match_column_api(spark):
     # macro, not UDF: nothing Python in the plan
     plan = formatted_plan(via_sql)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_sql_macros_match_column_api(spark):
+    from tiledb_mariadb_spark.functions import pipeline as P
+
+    register_sql_functions(spark)
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 200)
+    docs.createOrReplaceTempView("docs_p")
+    via_sql = spark.sql(
+        """
+        SELECT doc_id, tile_split(CAST(doc_id AS STRING), 0.1d) AS split,
+               tile_redact_pii(text) AS red
+        FROM docs_p
+        """
+    )
+    frac = P.hash_fraction(F.col("doc_id").cast("string"), "split")
+    via_cols = docs.select(
+        "doc_id",
+        F.when(frac < 0.1, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+        P.redact_pii(F.col("text")).alias("red"),
+    )
+    a = {r["doc_id"]: (r["split"], r["red"]) for r in via_sql.collect()}
+    b = {r["doc_id"]: (r["split"], r["red"]) for r in via_cols.collect()}
+    assert a == b and len(a) == 200
+    plan = formatted_plan(via_sql)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

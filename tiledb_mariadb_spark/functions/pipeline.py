@@ -46,6 +46,14 @@ def hash_fraction_sql(expr: str, seed: str) -> str:
     )
 
 
+def hash_fraction_spark_sql(expr: str, seed: str) -> str:
+    """Spark-SQL-dialect twin of :func:`hash_fraction` (for SQL macros)."""
+    return (
+        f"(CAST(conv(substring(md5(CAST(concat('{seed}:', {expr}) AS BINARY)),"
+        f" 1, 8), 16, 10) AS BIGINT) / {TWO32})"
+    )
+
+
 # --- train/test split ------------------------------------------------------
 
 

@@ -57,6 +57,49 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int,
+) -> DataFrame:
+    """Many-query brute-force top-k: broadcast the query set (small side),
+    score corpus × queries map-side, then TWO-PHASE top-k — partial top-k
+    per (query, input partition) first, so the final per-query window sees
+    only ``queries × partitions × k`` narrow rows instead of the whole
+    scored corpus.  A single-phase ``Window.partitionBy(qid)`` would
+    funnel the entire corpus through #queries partitions (severe skew at
+    Q ≪ corpus); here the wide shuffle is spread over (qid, pid) keys and
+    only (qid, id, cos) triples move — the vectors never shuffle."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = (
+        vectors.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.expr(cosine_expr(vec_col, qvec_col)).alias("cos"),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    order = [F.col("cos").desc(), F.col(id_col).asc()]
+    partial = Window.partitionBy(qid_col, "__pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("__rk", F.row_number().over(partial))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__pid")
+    )
+    final = Window.partitionBy(qid_col).orderBy(*order)
+    return (
+        survivors.withColumn("__rk", F.row_number().over(final))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # --- DuckDB oracle twins ---------------------------------------------------
 
 

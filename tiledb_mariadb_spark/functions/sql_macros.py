@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from tiledb_mariadb_spark.functions.pipeline import (
+    EMAIL_RE,
+    PHONE_RE,
+    hash_fraction_spark_sql,
+)
 from tiledb_mariadb_spark.functions.text import (
     BPE_PATTERN,
     fingerprint_sql,
@@ -33,6 +38,18 @@ def sql_function_defs() -> dict[str, tuple[str, str, str]]:
             "(t STRING)",
             "BIGINT",
             f"CAST(regexp_count(t, '{_spark_str_lit(BPE_PATTERN)}') AS BIGINT)",
+        ),
+        "tile_split": (
+            "(k STRING, test_frac DOUBLE)",
+            "STRING",
+            f"CASE WHEN {hash_fraction_spark_sql('k', 'split')} < test_frac"
+            " THEN 'test' ELSE 'train' END",
+        ),
+        "tile_redact_pii": (
+            "(t STRING)",
+            "STRING",
+            f"regexp_replace(regexp_replace(t, '{_spark_str_lit(EMAIL_RE)}',"
+            f" '<EMAIL>'), '{_spark_str_lit(PHONE_RE)}', '<PHONE>')",
         ),
     }
 

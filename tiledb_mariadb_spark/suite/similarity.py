@@ -145,8 +145,38 @@ LIMIT 10
 """
 
 
+# --- q143: batch ANN — many queries × corpus, two-phase top-k --------------
+def q143_ann_batch(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return S.cosine_topk_batch(
+        corpus, queries, "vec_id", "embedding", "qid", "qv", k=3
+    )
+
+
+Q143_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT qid, vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
+"""
+
+
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
+    QuerySpec(
+        "q143_ann_batch", q143_ann_batch, Q143_SQL,
+        "batch ANN: many queries, two-phase per-query top-k",
+    ),
     QuerySpec(
         "q72_ann_ivf",
         q72_ann_ivf,
