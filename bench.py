@@ -46,6 +46,12 @@ HEADLINE = [
     "q100_volume_shipping",
     "q54_topk_per_group",
     "q72_ann_ivf",
+    # corpus-prep ops that run UNCAPPED over the documents table — the
+    # scale-representative pipeline stages (regex redaction in codegen,
+    # distributed prefix-sum packing, per-doc n-gram repetition)
+    "q137_pii_redaction",
+    "q138_pack_sequential",
+    "q144_repetition_ratio",
 ]
 
 

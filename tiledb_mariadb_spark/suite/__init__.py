@@ -112,9 +112,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # round 2 rotates the never-verified categories to the front (joins,
     # subqueries, windows, surfaces, llm_ops = exactly 50).  Rotate again
     # each round until every SURVEY §2 row has a green CORRECTNESS entry:
-    # round 3 should lead with similarity, streaming_ops, spatial_ops,
-    # tpch_extra, functions_surface5/6 tail + this round's fixed reds
-    # (q43, q118, q122, q129).
+    # round 3 should lead with pipeline_ops (q135–q147, added round 2 at
+    # positions 51+), similarity, streaming_ops, spatial_ops, tpch_extra,
+    # functions_surface5/6 tail + round 2's fixed reds (q43, q118, q122,
+    # q129).
     for mod in (
         joins,
         subqueries,

@@ -216,6 +216,129 @@ LIMIT 20
 """
 
 
+# --- q144: intra-document repetition ratio ---------------------------------
+# Quality signal: fraction of a document's word-3-grams that are repeats
+# (1 - distinct/total).  High ratio = boilerplate/spam; corpus pipelines
+# gate on it before training.  One explode + one groupBy on doc_id — the
+# shuffle key is the document id, so it scales with corpus size, not
+# vocabulary.
+def q144_repetition_ratio(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.with_shingles(d, "doc_id", "text", k=3)
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.countDistinct("shingle").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_ngrams").cast("double")
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+_SHINGLES_ALL = D.shingles_sql("documents", "doc_id", "text", k=3)
+Q144_SQL = f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+       (1.0 - COUNT(DISTINCT shingle) / CAST(COUNT(*) AS DOUBLE)) AS rep_ratio
+FROM ({_SHINGLES_ALL})
+GROUP BY doc_id
+"""
+
+
+# --- q145: per-source corpus report ----------------------------------------
+# The "corpus dashboard" aggregate a data-curation team runs after every
+# ingest: volume, token mass, language spread, and exact-dup rate per
+# source.  One hash shuffle on the (low-cardinality) source key; the
+# md5-distinct rides the same shuffle.
+def q145_corpus_report(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("char_sum"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("tok_sum"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long").alias("n_unique_texts"),
+    )
+
+
+Q145_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM({X.token_count_sql('text')}) AS BIGINT) AS tok_sum,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+FROM documents
+GROUP BY source
+"""
+
+
+# --- q146: composite quality gate ------------------------------------------
+# Pre-training document gate: length band + stopword-density floor, with
+# per-check booleans kept so rejected docs are auditable.  Pure map —
+# no shuffle; the checks reuse the q60-verified feature expressions.
+def q146_quality_gate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    feats = X.quality_features(F.col("text"))
+    pass_len = feats["n_tokens"].between(5, 500)
+    pass_stop = feats["stop_ratio"] >= 0.01
+    return d.select(
+        "doc_id",
+        "lang",
+        pass_len.alias("pass_len"),
+        pass_stop.alias("pass_stop"),
+        (pass_len & pass_stop).alias("keep"),
+    )
+
+
+_QF146 = X.quality_features_sql("text")
+Q146_SQL = f"""
+SELECT doc_id, lang,
+       ({_QF146['n_tokens']} BETWEEN 5 AND 500) AS pass_len,
+       ({_QF146['stop_ratio']} >= 0.01) AS pass_stop,
+       (({_QF146['n_tokens']} BETWEEN 5 AND 500)
+        AND ({_QF146['stop_ratio']} >= 0.01)) AS keep
+FROM documents
+"""
+
+
+# --- q147: per-user training-sequence construction -------------------------
+# Behavioral-sequence shape: each user's event types in (ts, event_id)
+# order, truncated to a max context length.  collect_list is made
+# deterministic by sorting (ts, event_id, type) structs inside the group
+# — one shuffle on user_id, order-insensitive upstream.
+def q147_train_sequences(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), x -> x.event_type), 1, 50), ',')"
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.least(F.count(F.lit(1)), F.lit(50)).cast("long").alias("seq_len"),
+    )
+
+
+Q147_SQL = """
+SELECT user_id,
+       array_to_string(list_slice(
+         list(event_type ORDER BY ts, event_id), 1, 50), ',') AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(LEAST(COUNT(*), 50) AS BIGINT) AS seq_len
+FROM events
+GROUP BY user_id
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -292,5 +415,21 @@ SPECS = [
     QuerySpec(
         "q142_approx_sketches", q142_approx_sketches, Q142_SQL,
         "approx_count_distinct / approx_percentile vs exact (error-bounded)",
+    ),
+    QuerySpec(
+        "q144_repetition_ratio", q144_repetition_ratio, Q144_SQL,
+        "intra-document n-gram repetition ratio (quality gate)",
+    ),
+    QuerySpec(
+        "q145_corpus_report", q145_corpus_report, Q145_SQL,
+        "per-source corpus report (volume/tokens/langs/dup rate)",
+    ),
+    QuerySpec(
+        "q146_quality_gate", q146_quality_gate, Q146_SQL,
+        "composite quality gate with auditable per-check booleans",
+    ),
+    QuerySpec(
+        "q147_train_sequences", q147_train_sequences, Q147_SQL,
+        "per-user ordered event sequences, truncated to max length",
     ),
 ]
