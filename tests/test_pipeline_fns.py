@@ -1,9 +1,13 @@
 """Unit tests for corpus-pipeline operators beyond what the oracle specs
 cover: convergence/termination of connected components, greedy-packing
-invariants, and determinism of the hash-keyed split/sample."""
+invariants, determinism of the hash-keyed split/sample, plus
+property-based fuzz (random graphs vs a Python union-find; random token
+streams vs a Python greedy packer)."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tiledb_mariadb_spark.functions import pipeline as P
@@ -68,6 +72,74 @@ def test_split_deterministic_under_repartition(spark):
     )
     frac = a.filter(F.col("split") == "test").count() / 2000
     assert 0.15 < frac < 0.25  # md5 fractions are ~uniform
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Random graphs: the distributed min-label propagation must agree
+    with a driver-side union-find on every component assignment."""
+    nodes = sorted({n for e in edges for n in e} | {0, 31})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in P.connected_components(edges_df, nodes_df).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=700), max_size=30),
+    window=st.integers(min_value=100, max_value=600),
+)
+def test_pack_greedy_matches_python_packer(spark, toks, window):
+    """Random token streams: the per-shard Arrow packer must agree with a
+    straight-line Python greedy walk (single shard isolates the order)."""
+    bins, used, cur = [], 0, 0
+    for n in toks:
+        if used > 0 and used + n > window:
+            cur, used = cur + 1, 0
+        bins.append(cur)
+        used += n
+    rows = [(i, n) for i, n in enumerate(toks)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = P.pack_greedy(df, "doc_id", "n_tokens", window=window, num_shards=1)
+    got = [r["bin"] for r in out.orderBy("doc_id").collect()]
+    assert got == bins
 
 
 def test_pipeline_ops_compose_with_streaming(spark):

@@ -160,6 +160,71 @@ def test_pack_greedy_single_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact against a filtered dim must inject
+    a runtime dynamicpruningexpression into PartitionFilters — at 100 TB
+    this is the difference between scanning 3 days and scanning 10 years."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+    from tiledb_mariadb_spark.sources.partitioned import ingest_by_date
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    path = str(tmp_path / "dpp_events")
+    ev = load_table(spark, SF_DIR, "events")
+    ingest_by_date(ev, path, "ts", mode="overwrite")
+    fact = spark.read.parquet(path)
+    dates = (
+        fact.select("event_date").distinct().limit(3)
+        .withColumn("tag", F.lit("x"))
+    )
+    dates.write.mode("overwrite").parquet(str(tmp_path / "dpp_dates"))
+    dim = spark.read.parquet(str(tmp_path / "dpp_dates")).filter(
+        F.col("tag") == "x"
+    )
+    plan = formatted_plan(fact.join(dim, "event_date").groupBy("event_date").count())
+    assert "dynamicpruningexpression" in plan, plan
+
+
+def test_bloom_filter_runtime_join(spark):
+    """A selective filter on the build side of a shuffle join must inject
+    a runtime bloom filter into the probe-side scan, pre-dropping rows
+    before the exchange.  The application-side size threshold is zeroed
+    because test data is tiny — at the target scale the default (10 GB)
+    triggers on its own."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom_filter_agg" in formatted_plan(j)
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
 def test_footer_aggregate_pushdown(spark):
     """group_by_handler parity: filter-less MIN/MAX/COUNT answered from
     parquet footers — PushedAggregation appears under the V2 BatchScan and
