@@ -54,6 +54,25 @@ def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
+def sliding_counts(
+    events: DataFrame, window: str = "6 hours", slide: str = "3 hours"
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (Spark expands map-side; the shuffle key is the
+    window start, so state is bounded by the watermark exactly like
+    tumbling windows)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def windowed_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
     """Tumbling event-time window aggregation with a watermark."""
     return (

@@ -147,8 +147,38 @@ FROM events
 """
 
 
+# --- q148: streaming sliding-window counts ---------------------------------
+_SLIDE_US = 3 * 3600 * 1_000_000  # 3-hour slide under 6-hour windows
+
+
+def q148_stream_sliding(spark, sf_dir):
+    from tiledb_mariadb_spark.streaming.events import sliding_counts  # noqa: PLC0415
+
+    events = read_events_stream(spark, sf_dir)
+    return run_to_completion(sliding_counts(events, "6 hours", "3 hours"), "complete")
+
+
+# Sliding windows are epoch-aligned: every event belongs to exactly
+# duration/slide = 2 windows, whose starts are floor(ts/slide)*slide - i*slide
+# for i in 0..1 — reproducible integer arithmetic in DuckDB.
+Q148_SQL = f"""
+SELECT win_start_us, event_type, COUNT(*) AS n
+FROM (
+  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // {_SLIDE_US}) - i.i) * {_SLIDE_US}
+           AS win_start_us,
+         event_type
+  FROM events, UNNEST(range(0, 2)) AS i(i)
+)
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("q90_stream_window", q90_stream_window, Q90_SQL, "streaming window agg"),
+    QuerySpec(
+        "q148_stream_sliding", q148_stream_sliding, Q148_SQL,
+        "streaming sliding-window counts",
+    ),
     QuerySpec("q91_session_window", q91_session_window, Q91_SQL, "session_window"),
     QuerySpec("q92_stream_stateful", q92_stream_stateful, Q92_SQL, "stateful op"),
     QuerySpec(
