@@ -184,3 +184,17 @@ def test_stratified_sample_drops_unlisted_strata(spark):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == 50  # en kept with p=1.0
+
+
+def test_input_validation(spark):
+    import pytest
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="test_frac"):
+        P.train_test_split(df, "doc_id", test_frac=1.5)
+    with pytest.raises(ValueError, match="fractions"):
+        P.stratified_sample(df, "doc_id", "doc_id", {"a": -0.1})
+    with pytest.raises(ValueError, match="window"):
+        P.pack_sequential(df, "doc_id", "doc_id", window=0)
+    with pytest.raises(ValueError, match="num_shards"):
+        P.pack_greedy(df, "doc_id", "doc_id", window=10, num_shards=0)

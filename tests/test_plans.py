@@ -225,6 +225,15 @@ def test_bloom_filter_runtime_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
 
 
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark (eval-set) shingles are the tiny side of the overlap
+    join and must broadcast — the corpus side streams map-side."""
+    df = SPECS["q149_decontamination"].spark(spark, SF_DIR)
+    from tiledb_mariadb_spark.plans.audit import has_broadcast_join
+
+    assert has_broadcast_join(df)
+
+
 def test_footer_aggregate_pushdown(spark):
     """group_by_handler parity: filter-less MIN/MAX/COUNT answered from
     parquet footers — PushedAggregation appears under the V2 BatchScan and

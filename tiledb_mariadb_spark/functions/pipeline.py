@@ -64,6 +64,8 @@ def train_test_split(
     below ``test_frac``.  Keyed on a stable column (id or content hash) so
     membership survives re-runs and re-partitioning; no shuffle — a pure
     map over the scan."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
     frac = hash_fraction(F.col(key_col).cast("string"), seed)
     return df.withColumn(
         "split", F.when(frac < test_frac, F.lit("test")).otherwise(F.lit("train"))
@@ -89,6 +91,9 @@ def stratified_sample(
     """Keep each row with its stratum's probability, decided by the row's
     deterministic hash fraction.  One map-side filter — no shuffle, no
     ``sampleBy`` (whose Bernoulli draws are seed+partitioning dependent)."""
+    bad = {v: p for v, p in fractions.items() if not 0.0 <= p <= 1.0}
+    if bad or not 0.0 <= default_frac <= 1.0:
+        raise ValueError(f"fractions must be in [0, 1]: {bad or default_frac}")
     frac = hash_fraction(F.col(key_col).cast("string"), seed)
     rate = F.lit(default_frac)
     for value, p in sorted(fractions.items()):
@@ -165,6 +170,8 @@ def pack_sequential(
     back.  Results are identical to the global window for any partition
     count (offsets are exact), so ``num_partitions`` is purely a
     parallelism knob."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
     from pyspark.sql import Window  # noqa: PLC0415
 
     part = (
@@ -223,6 +230,8 @@ def pack_greedy(
     shards processed in parallel.  Bin ids are (shard, local_bin) so two
     shards never collide — at corpus scale shards ≈ partitions and the
     operator is one groupBy shuffle."""
+    if window <= 0 or num_shards <= 0:
+        raise ValueError(f"window/num_shards must be positive: {window}/{num_shards}")
     import pandas as pd  # noqa: PLC0415
 
     schema = f"shard long, {id_col} long, {tokens_col} long, bin long"

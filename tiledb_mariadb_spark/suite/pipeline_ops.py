@@ -225,11 +225,18 @@ LIMIT 20
 def q144_repetition_ratio(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = D.with_shingles(d, "doc_id", "text", k=3)
+    # two-stage instead of count+countDistinct in one agg: no Expand
+    # duplication, and the first shuffle keys on high-cardinality
+    # (doc_id, shingle) so one pathological document cannot hot-spot a
+    # reducer the way an expand×2 on doc_id alone would.
+    per_shingle = sh.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return (
-        sh.groupBy("doc_id")
+        per_shingle.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
-            F.countDistinct("shingle").cast("long").alias("n_distinct"),
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
         )
         .select(
             "doc_id",
@@ -339,6 +346,53 @@ GROUP BY user_id
 """
 
 
+# --- q149: benchmark decontamination ---------------------------------------
+# Find training documents that share ≥ MIN_HITS distinct word-3-grams
+# with any benchmark document — the standard pre-training decontamination
+# sweep.  The benchmark side is tiny (it's an eval set), so its distinct
+# shingles BROADCAST to the corpus scan: the overlap join is map-side,
+# and the only shuffle is the per-(train,bench) overlap count on doc-id
+# pairs.  At 100 TB the corpus side streams through unchanged.
+_MIN_HITS = 3
+
+
+def q149_decontamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 20)
+    train = d.filter(F.col("doc_id") >= 20)
+    bsh = (
+        D.with_shingles(bench, "doc_id", "text", k=3)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    tsh = D.with_shingles(train, "doc_id", "text", k=3).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    ).distinct()
+    hits = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_HITS)
+    )
+    return hits
+
+
+_TRAIN_SH = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id >= 20)", "doc_id", "text", k=3
+)
+_BENCH_SH = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 20)", "doc_id", "text", k=3
+)
+Q149_SQL = f"""
+WITH tsh AS (SELECT DISTINCT doc_id AS train_id, shingle FROM ({_TRAIN_SH})),
+bsh AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM ({_BENCH_SH}))
+SELECT train_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tsh JOIN bsh USING (shingle)
+GROUP BY train_id, bench_id
+HAVING COUNT(*) >= {_MIN_HITS}
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -431,5 +485,9 @@ SPECS = [
     QuerySpec(
         "q147_train_sequences", q147_train_sequences, Q147_SQL,
         "per-user ordered event sequences, truncated to max length",
+    ),
+    QuerySpec(
+        "q149_decontamination", q149_decontamination, Q149_SQL,
+        "benchmark decontamination: shared distinct n-grams ≥ threshold",
     ),
 ]
