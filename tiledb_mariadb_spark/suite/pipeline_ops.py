@@ -393,6 +393,111 @@ HAVING COUNT(*) >= {_MIN_HITS}
 """
 
 
+# --- q150: funnel analysis (ordered event progression) ---------------------
+# Per-user view → click → purchase progression where each step must
+# strictly follow the previous one in event time.  Three filtered min
+# aggregates chained by user_id joins — each is one keyed shuffle and the
+# later stages shrink (only users who completed the previous step),
+# which is exactly how this runs over a 100 TB event log.
+def q150_funnel(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            us("t_view").alias("t_view_us"),
+            us("t_click").alias("t_click_us"),
+            us("t_purchase").alias("t_purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("long").alias("depth"),
+        )
+    )
+
+
+Q150_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY e.user_id)
+SELECT user_id,
+       epoch_us(t_view) AS t_view_us,
+       epoch_us(t_click) AS t_click_us,
+       epoch_us(t_purchase) AS t_purchase_us,
+       CAST(1 + CAST(t_click IS NOT NULL AS INTEGER)
+              + CAST(t_purchase IS NOT NULL AS INTEGER) AS BIGINT) AS depth
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+# --- q151: cohort retention ------------------------------------------------
+# Users grouped by first-seen week; how many are active k weeks later.
+# Week index is integer epoch arithmetic (not date_trunc) so the bucket
+# boundaries are engine-independent by construction.
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q151_cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    wk = (F.unix_micros(F.col("ts")) / _WEEK_US).cast("long")
+    activity = e.select("user_id", wk.alias("week_idx")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+Q151_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_US} AS week_idx
+  FROM events),
+cohorts AS (
+  SELECT user_id, MIN(week_idx) AS cohort_week FROM activity GROUP BY user_id)
+SELECT cohort_week, (week_idx - cohort_week) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -489,5 +594,13 @@ SPECS = [
     QuerySpec(
         "q149_decontamination", q149_decontamination, Q149_SQL,
         "benchmark decontamination: shared distinct n-grams ≥ threshold",
+    ),
+    QuerySpec(
+        "q150_funnel", q150_funnel, Q150_SQL,
+        "funnel analysis: ordered view→click→purchase progression",
+    ),
+    QuerySpec(
+        "q151_cohort_retention", q151_cohort_retention, Q151_SQL,
+        "cohort retention by first-seen week (integer week buckets)",
     ),
 ]
