@@ -198,3 +198,16 @@ def test_input_validation(spark):
         P.pack_sequential(df, "doc_id", "doc_id", window=0)
     with pytest.raises(ValueError, match="num_shards"):
         P.pack_greedy(df, "doc_id", "doc_id", window=10, num_shards=0)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 9)], "node long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in P.connected_components(
+            edges, nodes, reliable_checkpoint=True
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}

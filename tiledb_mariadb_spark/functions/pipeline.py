@@ -259,7 +259,8 @@ def pack_greedy(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Min-label propagation over undirected edges ``(a, b)``: every node's
     label converges to the smallest node id in its component — the
@@ -268,16 +269,28 @@ def connected_components(
     Each round: label[n] ← min(label[n], min over neighbors' labels) —
     one join on the edge list + one groupBy, both shuffling on node id.
     Converges in O(diameter) ≤ O(log n) rounds for near-dup clusters
-    (which are small and dense); ``localCheckpoint`` after each round
-    truncates lineage so round k does not replay rounds 1..k-1.
-    Terminates early when a round changes no label (count of improved
-    labels == 0 — a cheap driver-side scalar per round).
+    (which are small and dense); a checkpoint after each round truncates
+    lineage so round k does not replay rounds 1..k-1.  Terminates early
+    when a round changes no label (count of improved labels == 0 — a
+    cheap driver-side scalar per round).
+
+    ``reliable_checkpoint=False`` uses ``localCheckpoint`` (executor-local
+    blocks — fast, but lost with an executor).  At corpus scale pass
+    ``True`` to write rounds to the configured checkpoint dir instead:
+    an executor loss then re-reads the last round rather than replaying
+    the whole LSH pipeline (same trade documented on
+    ``dedup.lsh_candidate_pairs``).
     """
-    sym = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    sym = _ckpt(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     for _ in range(max_iter):
@@ -287,7 +300,7 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
-        improved = (
+        improved = _ckpt(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -296,7 +309,7 @@ def connected_components(
                 ),
                 F.col("label"),
             )
-        ).localCheckpoint(eager=True)
+        )
         n_changed = improved.filter(F.col("new_label") < F.col("label")).count()
         labels = improved.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:

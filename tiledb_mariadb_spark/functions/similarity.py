@@ -20,12 +20,27 @@ from pyspark.sql import functions as F
 
 SCALE = "10000.0"
 
+# Scaling MUST promote float32 elements to DOUBLE before the multiply on
+# BOTH engines: Spark float*decimal-literal → double but DuckDB → float,
+# and a product landing on a .5 tie then rounds to different ints
+# (observed on q152's element sums).  float→double is exact and the
+# double multiply is one IEEE op, so the explicit casts make the rounded
+# products identical by construction.
+
+
+def _scaled_int_spark(x: str) -> str:
+    return f"CAST(ROUND(CAST({x} AS DOUBLE) * {SCALE}D) AS BIGINT)"
+
+
+def _scaled_int_sql(x: str) -> str:
+    return f"CAST(ROUND(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT)"
+
 
 def dot_int_expr(a: str, b: str) -> str:
     """Exact int64 dot product of two scaled vectors (SQL expr string)."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) ->"
-        f" CAST(ROUND(x * {SCALE}) AS BIGINT) * CAST(ROUND(y * {SCALE}) AS BIGINT)),"
+        f" {_scaled_int_spark('x')} * {_scaled_int_spark('y')}),"
         f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
@@ -106,7 +121,7 @@ def cosine_topk_batch(
 def dot_int_sql(a: str, b: str) -> str:
     return (
         f"CAST(list_sum(list_transform({a}, (x, i) ->"
-        f" CAST(ROUND(x * {SCALE}) AS BIGINT) * CAST(ROUND({b}[i] * {SCALE}) AS BIGINT)))"
+        f" {_scaled_int_sql('x')} * {_scaled_int_sql(f'{b}[i]')}))"
         f" AS BIGINT)"
     )
 
@@ -143,7 +158,7 @@ def lsh_bucket_expr(vec_col: str, num_planes: int = 8) -> str:
         dot = (
             f"aggregate(transform(sequence(1, size({vec_col})), i ->"
             f" {hyperplane_component_spark(j, 'i')} *"
-            f" CAST(ROUND(element_at({vec_col}, i) * {SCALE}) AS BIGINT)),"
+            f" {_scaled_int_spark(f'element_at({vec_col}, i)')}),"
             f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
@@ -156,7 +171,7 @@ def lsh_bucket_sql(vec_col: str, num_planes: int = 8) -> str:
         dot = (
             f"CAST(list_sum(list_transform({vec_col}, (x, i) ->"
             f" {hyperplane_component_sql(j, 'i')} *"
-            f" CAST(ROUND(x * {SCALE}) AS BIGINT))) AS BIGINT)"
+            f" {_scaled_int_sql('x')})) AS BIGINT)"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -498,6 +498,50 @@ GROUP BY 1, 2
 """
 
 
+# --- q152: aggregates over multi-value attributes ---------------------------
+# The reference CANNOT aggregate multi-valued attributes (README.md Known
+# Issues: "Aggregates on multi-valued attributes are not supported") —
+# Spark's higher-order functions make it a per-row fold feeding a normal
+# partial+final aggregate, so this engine supports it as a superset.
+# Exact int-scaled arithmetic keeps the float sum oracle-reproducible.
+def q152_multivalue_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    # CAST to DOUBLE before scaling on BOTH engines: float32*decimal
+    # promotes differently (Spark→double, DuckDB→float) and a rounding
+    # tie then lands on different sides.  float→double is exact, double
+    # multiply is one IEEE op, so the rounded products are identical.
+    elem_sum = F.expr(
+        "aggregate(embedding, CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + CAST(ROUND(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))"
+    )
+    return (
+        e.select("label", elem_sum.alias("s"), F.size("embedding").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("n").cast("long").alias("n_elements"),
+            (F.sum("s").cast("double") / F.lit(10000.0)).alias("elem_sum"),
+            (F.max("s").cast("double") / F.lit(10000.0)).alias("max_vec_sum"),
+        )
+    )
+
+
+Q152_SQL = """
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(len(embedding)) AS BIGINT) AS n_elements,
+       (CAST(SUM(s) AS DOUBLE) / 10000.0) AS elem_sum,
+       (CAST(MAX(s) AS DOUBLE) / 10000.0) AS max_vec_sum
+FROM (
+  SELECT label, embedding,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)))
+           AS BIGINT) AS s
+  FROM embeddings)
+GROUP BY label
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -602,5 +646,9 @@ SPECS = [
     QuerySpec(
         "q151_cohort_retention", q151_cohort_retention, Q151_SQL,
         "cohort retention by first-seen week (integer week buckets)",
+    ),
+    QuerySpec(
+        "q152_multivalue_agg", q152_multivalue_agg, Q152_SQL,
+        "aggregates over multi-value attributes (reference cannot)",
     ),
 ]
