@@ -79,3 +79,50 @@ def test_search_prunes_partitions_and_recalls(spark, tmp_path):
     assert approx[0] == qrow["vec_id"]
     assert res.count() == 10
     assert n > 0
+
+
+def test_batch_search_probes_only_own_lists(spark, tmp_path):
+    """Batch IVF: every result row must come from a list its query
+    probed, and nprobe=all reproduces exact brute-force per query."""
+    from tiledb_mariadb_spark.functions.ivf import ivf_search_batch
+    from tiledb_mariadb_spark.functions.similarity import cosine_topk_batch
+
+    emb = _embeddings(spark)
+    k_lists = 8
+    cents = train_centroids(emb, "vec_id", "embedding", k=k_lists, iters=2)
+    path = str(tmp_path / "ivf_batch")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    write_ivf_index(assign_lists(corpus, cents, "embedding"), path)
+    indexed = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    # approximate mode: results confined to each query's probed lists
+    res = ivf_search_batch(
+        indexed, cents, queries, "qid", "qv", "embedding", "vec_id",
+        k=5, nprobe=2,
+    )
+    rows = res.collect()
+    probed = {
+        q["qid"]: set(probe_lists(cents, list(q["qv"]), 2))
+        for q in queries.collect()
+    }
+    lists_of = {
+        r["vec_id"]: r["list_id"]
+        for r in indexed.select("vec_id", "list_id").collect()
+    }
+    for r in rows:
+        assert lists_of[r["vec_id"]] in probed[r["qid"]]
+
+    # exact mode (nprobe=all) equals brute force per query
+    exact_ivf = ivf_search_batch(
+        indexed, cents, queries, "qid", "qv", "embedding", "vec_id",
+        k=5, nprobe=k_lists,
+    )
+    brute = cosine_topk_batch(
+        corpus, queries, "vec_id", "embedding", "qid", "qv", k=5
+    )
+    a = {(r["qid"], r["vec_id"]) for r in exact_ivf.collect()}
+    b = {(r["qid"], r["vec_id"]) for r in brute.collect()}
+    assert a == b

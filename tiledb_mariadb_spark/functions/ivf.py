@@ -134,6 +134,61 @@ def ivf_search(
     )
 
 
+def ivf_search_batch(
+    indexed: DataFrame,
+    centroids: list[Centroid],
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Many-query IVF search: each query probes only its ``nprobe``
+    nearest inverted lists.  The query set is an eval/serving batch
+    (small), so (qid, qvec, list_id) probe pairs BROADCAST against the
+    list-partitioned index — the scan reads only the union of probed
+    list partitions, each corpus row is scored only against the queries
+    that probed its list (a bucket equi-join, not a cross join), and
+    per-query top-k is the two-phase pattern from
+    :func:`similarity.cosine_topk_batch`."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = indexed.sparkSession
+    qrows = queries.select(qid_col, qvec_col).collect()
+    probe_pairs = [
+        (row[qid_col], row[qvec_col], lid)
+        for row in qrows
+        for lid in probe_lists(centroids, list(row[qvec_col]), nprobe)
+    ]
+    probes = spark.createDataFrame(
+        probe_pairs, f"{qid_col} long, qv array<float>, list_id long"
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "list_id")
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.expr(cosine_expr(vec_col, "qv")).alias("cos"),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    order = [F.col("cos").desc(), F.col(id_col).asc()]
+    partial = Window.partitionBy(qid_col, "__pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("__rk", F.row_number().over(partial))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__pid")
+    )
+    final = Window.partitionBy(qid_col).orderBy(*order)
+    return (
+        survivors.withColumn("__rk", F.row_number().over(final))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def recall_at_k(approx_ids: list, exact_ids: list) -> float:
     """|approx ∩ exact| / k — the standard ANN quality metric."""
     if not exact_ids:

@@ -171,8 +171,55 @@ SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
 """
 
 
+# --- q153: batch IVF search — queries probe their own inverted lists -------
+def q153_ivf_batch(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cents = ivf.train_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
+    )
+    indexed = ivf.assign_lists(corpus, cents, "embedding")
+    tag = hashlib.md5(f"batch-{sf_dir}".encode()).hexdigest()[:8]
+    path = os.path.join("/root/repo/.tmp/ivf_index", f"embatch-{tag}")
+    ivf.write_ivf_index(indexed, path)
+    stored = spark.read.parquet(path)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # nprobe = all lists → exact results, so the brute-force oracle
+    # applies; nprobe < k (the approximate mode) is covered by the
+    # recall test in tests/test_ivf.py
+    return ivf.ivf_search_batch(
+        stored, cents, queries, "qid", "qv", "embedding", "vec_id",
+        k=3, nprobe=len(cents),
+    )
+
+
+Q153_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT qid, vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
+"""
+
+
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
+    QuerySpec(
+        "q153_ivf_batch", q153_ivf_batch, Q153_SQL,
+        "batch IVF: per-query nprobe list pruning over the stored index",
+    ),
     QuerySpec(
         "q143_ann_batch", q143_ann_batch, Q143_SQL,
         "batch ANN: many queries, two-phase per-query top-k",
