@@ -138,3 +138,34 @@ def test_stream_tile_table_source(spark, tmp_path):
     drain()
     got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The RocksDB state-store provider (the corpus-scale configuration)
+    must produce identical windowed aggregates to the default provider."""
+    from tiledb_mariadb_spark.session import tune_for_streaming
+    from tiledb_mariadb_spark.streaming.events import (
+        run_to_completion,
+        windowed_counts,
+    )
+
+    events = read_events_stream(spark, SF_DIR)
+    baseline = {
+        (r["win_start_us"], r["event_type"]): (r["n"], r["total_value"])
+        for r in run_to_completion(windowed_counts(events), "complete").collect()
+    }
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        tune_for_streaming(spark)
+        got = {
+            (r["win_start_us"], r["event_type"]): (r["n"], r["total_value"])
+            for r in run_to_completion(
+                windowed_counts(read_events_stream(spark, SF_DIR)), "complete"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    assert got == baseline and len(got) > 0

@@ -17,7 +17,19 @@ Spark-first:
   :mod:`tiledb_mariadb_spark.functions`.
 """
 
-from tiledb_mariadb_spark.session import get_spark, tune_for_oracle  # noqa: F401
+from tiledb_mariadb_spark.catalog import (  # noqa: F401
+    Attr,
+    Dim,
+    TileSchema,
+    TileTable,
+    discover_parquet,
+    open_uri,
+)
+from tiledb_mariadb_spark.session import (  # noqa: F401
+    get_spark,
+    tune_for_oracle,
+    tune_for_streaming,
+)
 from tiledb_mariadb_spark.sources.registry import TABLES, load_table, register_views  # noqa: F401
 
 __version__ = "0.1.0"

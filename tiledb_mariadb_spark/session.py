@@ -36,6 +36,26 @@ def get_spark(app_name: str = "tiledb_mariadb_spark") -> SparkSession:
     return spark
 
 
+def tune_for_streaming(spark: SparkSession, use_rocksdb: bool = True) -> SparkSession:
+    """Streaming-state sizing for corpus-scale jobs: the default
+    state store holds everything in executor heap; RocksDB spills state
+    to local disk with incremental checkpointing, which is the difference
+    between OOM and steady state when watermark windows hold hours of a
+    100 TB/day event stream.  Off by default in tests (tiny state), on
+    for any real deployment."""
+    if use_rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    return spark
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings every conformance query needs regardless of who built the
     session (the driver may pass its own): UTC timestamps so parquet
