@@ -26,6 +26,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def normalize_text(col: Column) -> Column:
+    """Standard corpus normalization before hashing/dedup: lowercase,
+    collapse whitespace runs, strip edge whitespace.  Pure Column chain —
+    codegen-inline.  (Unicode lowercasing agrees between Spark and DuckDB
+    for the corpus languages; locale-special cases like Turkish dotless-I
+    are out of scope, as in the reference's UTF-8 tests.)"""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return F.trim(F.regexp_replace(F.lower(col), "[ \\t\\n\\r]+", " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    return rf"TRIM(regexp_replace(lower({expr}), '[ \t\n\r]+', ' ', 'g'))"
+
+
 def padded(col: Column) -> Column:
     """Space-pad so word-boundary counting works at string edges."""
     return F.concat(F.lit(" "), col, F.lit(" "))

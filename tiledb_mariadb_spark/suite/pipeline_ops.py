@@ -542,6 +542,79 @@ GROUP BY label
 """
 
 
+# --- q154: text normalization → canonical fingerprint ----------------------
+# Normalize-then-hash is what makes exact dedup robust to case/whitespace
+# noise; the normalized fingerprint must match the oracle byte-for-byte.
+def q154_normalize_text(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    norm = X.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm.cast("binary")).alias("norm_fp"),
+    )
+
+
+Q154_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH({X.normalize_text_sql('text')}) AS BIGINT) AS norm_len,
+       md5({X.normalize_text_sql('text')}) AS norm_fp
+FROM documents
+"""
+
+
+# --- q155: n-gram containment (partial-duplication / quotation) ------------
+# Containment = |A∩B| / min(|A|,|B|) catches a small doc quoted inside a
+# big one, which symmetric Jaccard misses.  Same candidate-confined shape
+# as the q66 verify stage.
+def q155_containment(spark, sf_dir):
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    )
+    sh = D.with_shingles(corpus, "doc_id", "text", k=3).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("inter") / F.least("na", "nb").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+_SH30 = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 30)", "doc_id", "text", k=3
+)
+Q155_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SH30})),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       (inter / CAST(LEAST(ca.n, cb.n) AS DOUBLE)) AS containment
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -650,5 +723,13 @@ SPECS = [
     QuerySpec(
         "q152_multivalue_agg", q152_multivalue_agg, Q152_SQL,
         "aggregates over multi-value attributes (reference cannot)",
+    ),
+    QuerySpec(
+        "q154_normalize_text", q154_normalize_text, Q154_SQL,
+        "text normalization → canonical fingerprint",
+    ),
+    QuerySpec(
+        "q155_containment", q155_containment, Q155_SQL,
+        "n-gram containment (partial-dup / quotation detection)",
     ),
 ]
