@@ -16,7 +16,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
+    # usage: driver_sim.py [sf_dir] [only_substr[,only_substr...]]
+    # the optional second arg filters spec names (comma-separated
+    # substrings) for a fast targeted re-verification after editing a
+    # handful of specs; omit it for the full gate.
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
     from pyspark.sql import SparkSession
 
@@ -41,6 +46,9 @@ def main() -> int:
     print(f"ENTRY: {len(rows)} rows, cols={df.columns}")
 
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in only)}
+        print(f"FILTER: {len(qs)} specs match {only}")
     con = duckdb_connection(sf_dir)
     fails = 0
     for name, fn in qs.items():
