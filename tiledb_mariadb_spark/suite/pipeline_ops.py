@@ -615,6 +615,57 @@ JOIN counts cb ON cb.doc_id = b
 """
 
 
+# --- q156: skew-salted aggregation + join (driver-verified) -----------------
+# The salting operators (operators/skew.py) spread a hot key over
+# (key, salt) reducers; results must equal the plain shapes exactly.
+# l_returnflag is 3 keys over 600k rows at sf0.1 — the canonical
+# all-keys-hot aggregation.
+def q156_salted_agg(spark, sf_dir):
+    from tiledb_mariadb_spark.operators.skew import salted_agg_count, salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    counts = salted_agg_count(li, "l_returnflag", n_salts=8).withColumnRenamed(
+        "n", "n_rows"
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(
+        cust.withColumnRenamed("c_nationkey", "n_nationkey"), nat,
+        on=["n_nationkey"], n_salts=4,
+    )
+    per_nation = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return counts.crossJoin(
+        per_nation.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations_with_customers"),
+            F.sum("n_customers").cast("long").alias("n_cust_total"),
+        )
+    ).select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_nations_with_customers",
+        "n_cust_total",
+    )
+
+
+Q156_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag),
+pern AS (
+  SELECT n_name, COUNT(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nations_with_customers,
+         CAST(SUM(n_customers) AS BIGINT) AS n_cust_total
+  FROM pern)
+SELECT l_returnflag, n_rows, n_nations_with_customers, n_cust_total
+FROM counts CROSS JOIN tot
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -731,5 +782,9 @@ SPECS = [
     QuerySpec(
         "q155_containment", q155_containment, Q155_SQL,
         "n-gram containment (partial-dup / quotation detection)",
+    ),
+    QuerySpec(
+        "q156_salted_agg", q156_salted_agg, Q156_SQL,
+        "skew-salted aggregation + join equal the plain shapes",
     ),
 ]
