@@ -666,6 +666,51 @@ FROM counts CROSS JOIN tot
 """
 
 
+# --- q157: bucketed co-located join (driver-verified) ----------------------
+# Both sides bucketed on the join key at write time → the recurring join
+# runs exchange-free (the 100 TB shuffle eliminator; zero-exchange plan
+# asserted in tests/test_bucketing.py).  The spec verifies the RESULTS
+# equal a plain join via the oracle.
+def q157_bucketed_join(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.operators.bucketing import (  # noqa: PLC0415
+        bucket_table,
+        joined_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cn, on = f"q157_cust_{tag}", f"q157_ord_{tag}"
+    bucket_table(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        cn, ["c_custkey"], num_buckets=8,
+    )
+    bucket_table(
+        t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        ),
+        on, ["c_custkey"], num_buckets=8,
+    )
+    from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
+
+    joined = joined_bucketed(spark, cn, on, ["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("price_sum"),
+    )
+
+
+from tiledb_mariadb_spark.suite import dsum_sql  # noqa: E402
+
+Q157_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS price_sum
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -786,5 +831,9 @@ SPECS = [
     QuerySpec(
         "q156_salted_agg", q156_salted_agg, Q156_SQL,
         "skew-salted aggregation + join equal the plain shapes",
+    ),
+    QuerySpec(
+        "q157_bucketed_join", q157_bucketed_join, Q157_SQL,
+        "bucketed co-located join (exchange-free) equals plain join",
     ),
 ]
