@@ -33,6 +33,20 @@ def bucket_table(
     file (buckets × files-per-bucket tasks read in parallel); both sides
     of a recurring join must use the SAME bucket count and key.
     """
+    if mode == "overwrite":
+        # overwrite only replaces a REGISTERED table; an orphaned
+        # warehouse directory (e.g. a prior process killed mid-write)
+        # raises LOCATION_ALREADY_EXISTS — clear both.
+        import os  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), name.lower()),
+            ignore_errors=True,
+        )
     (
         df.write.mode(mode)
         .bucketBy(num_buckets, *key)

@@ -673,24 +673,17 @@ FROM counts CROSS JOIN tot
 # equal a plain join via the oracle.
 def q157_bucketed_join(spark, sf_dir):
     import hashlib  # noqa: PLC0415
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
 
     from tiledb_mariadb_spark.operators.bucketing import (  # noqa: PLC0415
         bucket_table,
         joined_bucketed,
     )
 
+    # bucket_table's overwrite clears stale registrations AND orphaned
+    # warehouse dirs, so repeat driver runs (fresh session, same disk)
+    # are idempotent.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     cn, on = f"q157_cust_{tag}", f"q157_ord_{tag}"
-    # idempotent across SESSIONS: a leftover warehouse dir from a prior
-    # process is not a registered table, so overwrite alone raises
-    # LOCATION_ALREADY_EXISTS — drop the registration AND the location.
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file:")
-    for tbl in (cn, on):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     bucket_table(
         t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
         cn, ["c_custkey"], num_buckets=8,
