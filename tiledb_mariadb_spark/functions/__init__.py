@@ -25,6 +25,7 @@ from tiledb_mariadb_spark.functions.ivf import (  # noqa: F401
 )
 from tiledb_mariadb_spark.functions.pipeline import (  # noqa: F401
     connected_components,
+    mix_corpus,
     pack_greedy,
     pack_sequential,
     redact_pii,

@@ -110,6 +110,55 @@ def stratified_rate_sql(
     return f"(CASE {whens} ELSE {default_frac!r} END)"
 
 
+# --- corpus mixing (importance reweighting) --------------------------------
+
+
+def mix_corpus(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic data mixing: each row appears ``floor(w)`` times plus
+    one more with probability ``frac(w)`` decided by its hash fraction —
+    the standard up/down-sampling that sets per-source epochs in a
+    pretraining mix (w=2.5 → 2 or 3 copies; w=0.5 → keep half).
+
+    ``copy_idx`` (1-based) distinguishes repetitions downstream (e.g. for
+    shuffling copies into different shards).  Map-side only: a when-chain
+    rate, one hash, one ``sequence`` explode — no shuffle, rerun-stable.
+    """
+    bad = {v: w for v, w in weights.items() if w < 0}
+    if bad or default_weight < 0:
+        raise ValueError(f"weights must be >= 0: {bad or default_weight}")
+    rate = F.lit(float(default_weight))
+    for value, w in sorted(weights.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(w))).otherwise(rate)
+    base = F.floor(rate).cast("long")
+    frac = rate - F.floor(rate)
+    extra = (
+        hash_fraction(F.col(key_col).cast("string"), seed) < frac
+    ).cast("long")
+    return (
+        df.withColumn("__n", base + extra)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.expr("sequence(1, __n)")))
+        .drop("__n")
+    )
+
+
+def mix_rate_sql(
+    stratum_expr: str, weights: dict[str, float], default_weight: float = 1.0
+) -> str:
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{v}' THEN {float(w)!r}"
+        for v, w in sorted(weights.items())
+    )
+    return f"(CASE {whens} ELSE {float(default_weight)!r} END)"
+
+
 # --- PII redaction ---------------------------------------------------------
 
 # Dialect-portable patterns: character classes + bounded quantifiers only

@@ -714,6 +714,31 @@ GROUP BY c_mktsegment
 """
 
 
+# --- q158: corpus mixing (importance reweighting) ---------------------------
+_MIX = {"zh": 2.5, "de": 1.0, "en": 0.5}
+
+
+def q158_corpus_mix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return P.mix_corpus(d, "doc_id", "lang", _MIX).select(
+        "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+_RATE = P.mix_rate_sql("lang", _MIX)
+_FRAC = P.hash_fraction_sql("CAST(doc_id AS VARCHAR)", "mix")
+Q158_SQL = f"""
+SELECT doc_id, lang, CAST(i.i AS BIGINT) AS copy_idx
+FROM (
+  SELECT doc_id, lang,
+         CAST(FLOOR({_RATE}) AS BIGINT)
+           + CAST(({_FRAC} < {_RATE} - FLOOR({_RATE})) AS BIGINT) AS n
+  FROM documents),
+  UNNEST(range(1, n + 1)) AS i(i)
+WHERE n > 0
+"""
+
+
 # --- q142: approx sketches alongside exact (the 100 TB alternative) -------
 # HLL / quantile-sketch internals differ between engines, so the spec
 # hash-compares the EXACT values plus engine-local *error-bound* booleans:
@@ -838,5 +863,9 @@ SPECS = [
     QuerySpec(
         "q157_bucketed_join", q157_bucketed_join, Q157_SQL,
         "bucketed co-located join (exchange-free) equals plain join",
+    ),
+    QuerySpec(
+        "q158_corpus_mix", q158_corpus_mix, Q158_SQL,
+        "deterministic corpus mixing (fractional repetition weights)",
     ),
 ]
