@@ -52,6 +52,7 @@ HEADLINE = [
     "q137_pii_redaction",
     "q138_pack_sequential",
     "q144_repetition_ratio",
+    "q158_corpus_mix",
 ]
 
 
