@@ -53,6 +53,11 @@ HEADLINE = [
     "q138_pack_sequential",
     "q144_repetition_ratio",
     "q158_corpus_mix",
+    # round-2 late additions, both uncapped: LSH near-dup over the full
+    # embeddings table (bucket join + exact verify) and the whole-corpus
+    # Gini diversity rollup
+    "q159_lsh_neardup",
+    "q168_gini_diversity",
 ]
 
 

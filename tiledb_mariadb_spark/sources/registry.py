@@ -43,13 +43,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 and floor-truncate to micros.
-        # Oracle SQL must CAST(ts AS TIMESTAMP) so DuckDB truncates its
-        # TIMESTAMP_NS the same way (both floor for post-1970 data).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # testdata generations (Spark's vectorized reader rejects it —
+        # read the raw int64 and floor-truncate to micros) and as
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) in others (Spark reads
+        # TIMESTAMP_NTZ — cast to session-TZ TIMESTAMP, identity under
+        # UTC).  Adapt to whichever this directory holds so the suite's
+        # downstream ``ts`` is always plain TimestampType.  Oracle SQL
+        # keeps CAST(ts AS TIMESTAMP) — a floor for NANOS, no-op for
+        # MICROS — so both engines agree either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_kind = df.schema["ts"].dataType.typeName()
+        if ts_kind == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df

@@ -20,23 +20,31 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+EVENTS_SCHEMA_TMPL = (
+    "event_id bigint, ts {ts}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (ts arrives as raw nanos —
-    same nanosAsLong handling as the batch reader — and is floored to a
-    microsecond timestamp)."""
+    """File-source stream of the events table.  ``ts`` has shipped both as
+    parquet TIMESTAMP(NANOS) (read as raw long via nanosAsLong, floored to
+    micros) and TIMESTAMP(MICROS, ntz); a one-off batch schema probe picks
+    the matching stream schema so downstream always sees TimestampType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_kind = probe.schema["ts"].dataType.typeName()
+    schema = EVENTS_SCHEMA_TMPL.format(
+        ts="bigint" if ts_kind == "long" else ts_kind
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_kind == "long":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:

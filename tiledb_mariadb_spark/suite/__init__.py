@@ -94,6 +94,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface4,
         functions_surface5,
         functions_surface6,
+        functions_surface7,
         joins,
         llm_ops,
         pipeline_ops,
@@ -102,6 +103,7 @@ def all_specs() -> dict[str, QuerySpec]:
         streaming_ops,
         subqueries,
         surfaces,
+        surfaces2,
         tpch_extra,
         windows,
     )
@@ -112,10 +114,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # round 2 rotates the never-verified categories to the front (joins,
     # subqueries, windows, surfaces, llm_ops = exactly 50).  Rotate again
     # each round until every SURVEY §2 row has a green CORRECTNESS entry:
-    # round 3 should lead with pipeline_ops (q135–q147, added round 2 at
-    # positions 51+), similarity, streaming_ops, spatial_ops, tpch_extra,
-    # functions_surface5/6 tail + round 2's fixed reds (q43, q118, q122,
-    # q129).
+    # round 3 should lead with pipeline_ops (q135–q147), similarity
+    # (incl. q159), streaming_ops, spatial_ops, tpch_extra, surfaces2
+    # (q162–q166), functions_surface7 (q160–q168) + round 2's fixed reds
+    # (q43, q118, q122, q129).
     for mod in (
         joins,
         subqueries,
@@ -127,6 +129,8 @@ def all_specs() -> dict[str, QuerySpec]:
         streaming_ops,
         spatial_ops,
         tpch_extra,
+        surfaces2,
+        functions_surface7,
         functions_surface6,
         functions_surface5,
         functions_surface4,

@@ -92,7 +92,7 @@ def q76_cosine_neardup(spark, sf_dir):
     return (
         a.join(b, F.col("a") < F.col("b"))
         .select("a", "b", F.expr(S.cosine_expr("va", "vb")).alias("cos"))
-        .filter(F.col("cos") > 0.8)
+        .filter(F.col("cos") > 0.3)
     )
 
 
@@ -101,7 +101,7 @@ SELECT x.vec_id AS a, y.vec_id AS b,
        {S.cosine_sql('x.embedding', 'y.embedding')} AS cos
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE x.vec_id < 200 AND y.vec_id < 200
-  AND {S.cosine_sql('x.embedding', 'y.embedding')} > 0.8
+  AND {S.cosine_sql('x.embedding', 'y.embedding')} > 0.3
 """
 
 
@@ -214,8 +214,59 @@ SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
 """
 
 
+# --- q159: LSH-bucketed embedding near-dup (scale path for q76) ------------
+# q76 proves the exact pairwise semantics on a bounded slice; this is the
+# shape that survives 100 TB: hyperplane-bucket every vector ONCE, confine
+# the quadratic pair generation to a bucket equi-join (no cross product
+# ever materializes), then exact-cosine-verify only in-bucket candidates.
+# Recall is governed by the plane count (8 planes / 256 buckets here);
+# both engines apply identical md5-derived planes so results hash-match.
+def q159_lsh_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(S.lsh_bucket_expr("embedding", 8)).alias("bucket"),
+    )
+    left = b.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    return (
+        left.join(right, (F.col("ba") == F.col("bb")) & (F.col("a") < F.col("b")))
+        .select(
+            "a",
+            "b",
+            F.col("ba").alias("bucket"),
+            F.expr(S.cosine_expr("va", "vb")).alias("cos"),
+        )
+        .filter(F.col("cos") > 0.3)
+    )
+
+
+Q159_SQL = f"""
+WITH b AS (SELECT vec_id, embedding,
+                  {S.lsh_bucket_sql('embedding', 8)} AS bucket
+           FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b, x.bucket AS bucket,
+       {S.cosine_sql('x.embedding', 'y.embedding')} AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {S.cosine_sql('x.embedding', 'y.embedding')} > 0.3
+"""
+
+
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
+    QuerySpec(
+        "q159_lsh_neardup", q159_lsh_neardup, Q159_SQL,
+        "LSH-bucketed embedding near-dup: in-bucket pairs + exact cosine verify",
+    ),
     QuerySpec(
         "q153_ivf_batch", q153_ivf_batch, Q153_SQL,
         "batch IVF: per-query nprobe list pruning over the stored index",

@@ -89,7 +89,7 @@ def q97_st_overlaps(spark, sf_dir):
         (F.col("s_suppkey") * 13 % 500 + F.col("s_suppkey") % 7 + 1).alias("x1"),
         (F.col("s_suppkey") * 29 % 500 + F.col("s_suppkey") % 11 + 1).alias("y1"),
     )
-    qx0, qy0, qx1, qy1 = 100, 100, 140, 140
+    qx0, qy0, qx1, qy1 = 50, 50, 300, 300
     return boxes.filter(
         (F.col("x0") < qx1)
         & (F.col("x1") > qx0)
@@ -106,7 +106,7 @@ SELECT * FROM (
          (s_suppkey * 13 % 500 + s_suppkey % 7 + 1) AS x1,
          (s_suppkey * 29 % 500 + s_suppkey % 11 + 1) AS y1
   FROM supplier)
-WHERE x0 < 140 AND x1 > 100 AND y0 < 140 AND y1 > 100
+WHERE x0 < 300 AND x1 > 50 AND y0 < 300 AND y1 > 50
 """
 
 

@@ -140,8 +140,8 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 Q47_SQL = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate)

@@ -1,0 +1,177 @@
+"""Tier-P catalog surfaces, batch 2: the §2.1 rows that round 1 verified
+only with local tests get hard-signal driver rows here — subarray reads,
+table-stats record estimation, fragment consolidation, and Z-order
+clustering.
+
+Each spec builds a tile table under ``.tmp/`` from a deterministic slice
+of the driver's parquet, exercises the storage surface, and returns a
+result the DuckDB oracle reproduces straight from the source views — the
+same golden-output strategy as the reference's mtr files
+(mysql-test/mytile/t/basic.test range reads, consolidation.test,
+show.test table status).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite.surfaces import _uri
+
+
+def _orders_two_versions(spark, sf_dir, name: str) -> TileTable:
+    """Two overlapping snapshot versions of an orders slice: v1 = keys
+    < 2000 as-is, v2 re-writes keys < 1000 with status 'UPDATED' — so
+    last-writer-wins reads and pre-dedup cell counts are both known in
+    closed form from the source table."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tt = TileTable.create(
+        spark,
+        _uri(name, sf_dir),
+        dimensions=[Dim("o_orderkey", "bigint")],
+        attributes=[Attr("o_custkey", "bigint"), Attr("o_orderstatus", "string")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    tt.write(o.filter(F.col("o_orderkey") < 2000), version_ts=1000)
+    tt.write(
+        o.filter(F.col("o_orderkey") < 1000).withColumn(
+            "o_orderstatus", F.lit("UPDATED")
+        ),
+        version_ts=2000,
+    )
+    return tt
+
+
+# --- q162: subarray read (range-restricted scan surface) --------------------
+def q162_subarray_read(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tt = TileTable.create(
+        spark,
+        _uri("sub_orders", sf_dir),
+        dimensions=[Dim("o_orderkey", "bigint")],
+        attributes=[Attr("o_custkey", "bigint"), Attr("o_orderstatus", "string")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    tt.write(o, version_ts=1000)
+    return tt.subarray({"o_orderkey": (100, 500)}).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+Q162_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_orderkey BETWEEN 100 AND 500
+"""
+
+
+# --- q163: table stats — records upper bound vs exact -----------------------
+# est_records (ha_mytile.cc:1424-1468 computeRecordsUB analog) counts all
+# stored cells from footers WITHOUT scanning data pages, so superseded
+# coordinates double-count; read() applies last-writer-wins.  Both values
+# are known in closed form from the source table.
+def q163_table_stats(spark, sf_dir):
+    tt = _orders_two_versions(spark, sf_dir, "stats_orders")
+    est = tt.est_records()
+    exact = tt.read().count()
+    return spark.createDataFrame(
+        [(est, exact)], schema="est_ub bigint, exact_records bigint"
+    )
+
+
+Q163_SQL = """
+SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000)
+          + (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000) AS BIGINT)
+         AS est_ub,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000) AS BIGINT)
+         AS exact_records
+"""
+
+
+# --- q164: fragment consolidation ------------------------------------------
+# consolidate() merges the visible versions into one baseline fragment
+# (dropping superseded coordinates); the read-back AND the post-merge
+# version/cell counts are all checked in one result.
+def q164_consolidation(spark, sf_dir):
+    tt = _orders_two_versions(spark, sf_dir, "consol_orders")
+    tt.consolidate()
+    n_versions = len(tt.schema.versions)
+    est_after = tt.est_records()  # merged baseline: UB == exact row count
+    return (
+        tt.read()
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .withColumn("est_after", F.lit(est_after).cast("bigint"))
+    )
+
+
+Q164_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey < 1000 THEN 'UPDATED' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(1 AS BIGINT) AS n_versions,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000) AS BIGINT)
+         AS est_after
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+# --- q166: Z-order clustering preserves scan semantics ----------------------
+# cluster_by_zorder is a physical-layout operator (Morton-range partition
+# + in-partition sort, the cell_order='HILBERT' write path); the
+# conformance claim is that a box predicate over the clustered copy
+# returns exactly the source rows.  Locality itself (files pruned per
+# box) is asserted by tests/test_zorder.py.
+def q166_zorder_scan(spark, sf_dir):
+    from tiledb_mariadb_spark.operators.zorder import cluster_by_zorder  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    path = _uri("zorder_lineitem", sf_dir)
+    cluster_by_zorder(li, ["l_orderkey", "l_linenumber"], 8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("l_orderkey").between(500, 1500))
+        & (F.col("l_linenumber").between(1, 3))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").alias("qty_cents"),
+    )
+
+
+Q166_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE l_orderkey BETWEEN 500 AND 1500 AND l_linenumber BETWEEN 1 AND 3
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q162_subarray_read", q162_subarray_read, Q162_SQL,
+        "subarray range-restricted scan over a tile table",
+    ),
+    QuerySpec(
+        "q163_table_stats", q163_table_stats, Q163_SQL,
+        "records-UB estimate vs exact count across overlapping versions",
+    ),
+    QuerySpec(
+        "q164_consolidation", q164_consolidation, Q164_SQL,
+        "fragment consolidation: merged baseline, version + cell counts",
+    ),
+    QuerySpec(
+        "q166_zorder_scan", q166_zorder_scan, Q166_SQL,
+        "Z-order clustered copy answers box scans identically",
+    ),
+]
