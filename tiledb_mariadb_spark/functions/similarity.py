@@ -10,7 +10,12 @@ the DuckDB oracle reproduces them exactly.
 
 Scale notes: brute-force is a broadcast of the query vector + a single
 scan (no shuffle); IVF/LSH bucketing turns ANN into a bucket-equi-join.
-All expressions are JVM higher-order functions — no Python in the loop.
+Expressions are JVM higher-order functions; for the corpus-wide
+signature computation there is also an Arrow-vectorized twin
+(:func:`lsh_assign_arrow`) — HOF lambdas evaluate interpreted at ~1 ms
+per 64-dim vector (8 planes × 64 elements of per-element closures),
+which is the wrong cost model for billions of vectors, while one numpy
+int64 matmul per Arrow batch is microseconds per row and bit-identical.
 """
 
 from __future__ import annotations
@@ -150,28 +155,155 @@ def hyperplane_component_spark(j: int, i_expr: str) -> str:
     )
 
 
-def lsh_bucket_expr(vec_col: str, num_planes: int = 8) -> str:
+def hyperplane_component(j: int, i: int) -> int:
+    """Python twin of the md5 expressions above — same value for the same
+    (plane, element index), so precomputed literal planes are bit-identical
+    to the in-engine md5 path."""
+    import hashlib  # noqa: PLC0415
+
+    return int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+
+def _plane_literal(j: int, dim: int) -> str:
+    """Literal int array for plane ``j`` over a known vector length.
+    Components depend only on (plane, index) — hashing them per ROW (the
+    md5-in-engine variant below) costs rows × dim × planes md5 calls; a
+    64-dim 8-plane bucketing over 2 k vectors is already ~1 M hashes, and
+    the join in near-dup specs pays it twice.  Inlining the constants
+    keeps the per-row work at just the dot products."""
+    return ",".join(str(hyperplane_component(j, i)) for i in range(1, dim + 1))
+
+
+def lsh_bucket_expr(vec_col: str, num_planes: int = 8, dim: int | None = None) -> str:
     """Spark SQL expr: bucket id from the sign pattern of ``num_planes``
-    exact-integer hyperplane dots."""
+    exact-integer hyperplane dots.  Pass ``dim`` when the vector length is
+    known (it always is for a declared embedding column): planes become
+    inline literals and no per-row hashing happens."""
     terms = []
     for j in range(num_planes):
-        dot = (
-            f"aggregate(transform(sequence(1, size({vec_col})), i ->"
-            f" {hyperplane_component_spark(j, 'i')} *"
-            f" {_scaled_int_spark(f'element_at({vec_col}, i)')}),"
-            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        )
+        if dim is not None:
+            dot = (
+                f"aggregate(zip_with(array({_plane_literal(j, dim)}), {vec_col},"
+                f" (p, x) -> p * {_scaled_int_spark('x')}),"
+                f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            )
+        else:
+            dot = (
+                f"aggregate(transform(sequence(1, size({vec_col})), i ->"
+                f" {hyperplane_component_spark(j, 'i')} *"
+                f" {_scaled_int_spark(f'element_at({vec_col}, i)')}),"
+                f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def lsh_bucket_sql(vec_col: str, num_planes: int = 8) -> str:
+def lsh_bucket_sql(vec_col: str, num_planes: int = 8, dim: int | None = None) -> str:
     terms = []
     for j in range(num_planes):
-        dot = (
-            f"CAST(list_sum(list_transform({vec_col}, (x, i) ->"
-            f" {hyperplane_component_sql(j, 'i')} *"
-            f" {_scaled_int_sql('x')})) AS BIGINT)"
-        )
+        if dim is not None:
+            dot = (
+                f"CAST(list_sum(list_transform({vec_col}, (x, i) ->"
+                f" ([{_plane_literal(j, dim)}])[i] *"
+                f" {_scaled_int_sql('x')})) AS BIGINT)"
+            )
+        else:
+            dot = (
+                f"CAST(list_sum(list_transform({vec_col}, (x, i) ->"
+                f" {hyperplane_component_sql(j, 'i')} *"
+                f" {_scaled_int_sql('x')})) AS BIGINT)"
+            )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def lsh_assign_arrow(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    with_norm: bool = True,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`lsh_bucket_expr` (+ squared norm):
+    appends ``bucket`` (and ``n2``) BIGINT columns via one numpy int64
+    matmul per Arrow batch.
+
+    Bit-identical to the SQL-expr path by construction — the scaling is
+    the same ROUND-HALF-UP on the same float64 products (no ties occur by
+    the corpus's k-decimal design, and the half-up formula is implemented
+    explicitly because numpy's ``round`` is half-even), the plane
+    components come from the same md5 derivation
+    (:func:`hyperplane_component`), and every product/sum is exact int64.
+    ``tests/test_suite_oracle.py``'s q159 row cross-checks it against the
+    DuckDB md5-expression oracle.
+
+    This is the signature path to use corpus-wide: interpreted HOF
+    lambdas cost ~1 ms per 64-dim vector, a vectorized batch matmul is
+    ~µs-scale per row, and the op stays map-only (no shuffle) either way.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    planes = np.array(
+        [
+            [hyperplane_component(j, i) for i in range(1, dim + 1)]
+            for j in range(num_planes)
+        ],
+        dtype=np.int64,
+    )
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    out_schema = ", ".join(
+        [f"{name} {dtype}" for name, dtype in df.dtypes]
+        + ["bucket bigint"]
+        + (["n2 bigint"] if with_norm else [])
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e4
+            scaled = np.where(
+                mat >= 0, np.floor(mat + 0.5), np.ceil(mat - 0.5)
+            ).astype(np.int64)
+            dots = scaled @ planes.T
+            out = pdf.copy()
+            out["bucket"] = ((dots > 0) * weights).sum(axis=1)
+            if with_norm:
+                out["n2"] = (scaled * scaled).sum(axis=1)
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
+def cosine_pairs_arrow(pairs: DataFrame, va_col: str, vb_col: str) -> DataFrame:
+    """Arrow-vectorized exact cosine over pair rows: appends ``cos`` from
+    one batched scaled-int dot + the single IEEE division, replacing the
+    per-pair interpreted zip_with/aggregate lambdas.  Same arithmetic as
+    :func:`cosine_expr` (scaling identical to :func:`lsh_assign_arrow`),
+    so results are bit-identical to the SQL-expr and DuckDB-oracle paths.
+    Map-only — partitioning of the candidate pairs is preserved."""
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = ", ".join(
+        [f"{name} {dtype}" for name, dtype in pairs.dtypes] + ["cos double"]
+    )
+
+    def _scaled(col) -> "np.ndarray":
+        mat = np.stack(col.to_numpy()).astype(np.float64) * 1e4
+        return np.where(mat >= 0, np.floor(mat + 0.5), np.ceil(mat - 0.5)).astype(
+            np.int64
+        )
+
+    def score(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["cos"] = np.zeros(0, dtype=np.float64)
+                yield out
+                continue
+            sa, sb = _scaled(pdf[va_col]), _scaled(pdf[vb_col])
+            dot = (sa * sb).sum(axis=1)
+            na = np.sqrt((sa * sa).sum(axis=1))
+            nb = np.sqrt((sb * sb).sum(axis=1))
+            out["cos"] = dot / (na * nb)
+            yield out
+
+    return pairs.mapInPandas(score, schema=out_schema)

@@ -30,7 +30,7 @@ LIMIT 10
 # --- q69: LSH bucket histogram (ANN candidate structure) -------------------
 def q69_ann_lsh_buckets(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    bucketed = e.withColumn("bucket", F.expr(S.lsh_bucket_expr("embedding", 8)))
+    bucketed = e.withColumn("bucket", F.expr(S.lsh_bucket_expr("embedding", 8, dim=64)))
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
@@ -38,7 +38,7 @@ def q69_ann_lsh_buckets(spark, sf_dir):
 
 
 Q69_SQL = f"""
-SELECT {S.lsh_bucket_sql('embedding', 8)} AS bucket,
+SELECT {S.lsh_bucket_sql('embedding', 8, dim=64)} AS bucket,
        COUNT(*) AS n_vectors,
        MIN(vec_id) AS min_vec_id
 FROM embeddings
@@ -49,7 +49,7 @@ GROUP BY 1
 # --- q71: bucketed ANN search: query restricted to its own bucket ----------
 def q71_ann_bucketed_search(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    bucketed = e.withColumn("bucket", F.expr(S.lsh_bucket_expr("embedding", 8)))
+    bucketed = e.withColumn("bucket", F.expr(S.lsh_bucket_expr("embedding", 8, dim=64)))
     qrow = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -69,7 +69,7 @@ def q71_ann_bucketed_search(spark, sf_dir):
 
 Q71_SQL = f"""
 WITH b AS (SELECT vec_id, embedding,
-                  {S.lsh_bucket_sql('embedding', 8)} AS bucket
+                  {S.lsh_bucket_sql('embedding', 8, dim=64)} AS bucket
            FROM embeddings),
 q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
 SELECT vec_id, bucket, {S.cosine_sql('embedding', 'qv')} AS cos
@@ -222,37 +222,53 @@ SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
 # Recall is governed by the plane count (8 planes / 256 buckets here);
 # both engines apply identical md5-derived planes so results hash-match.
 def q159_lsh_neardup(spark, sf_dir):
+    # One pass, one shuffle: buckets come from the Arrow-vectorized
+    # signature path (lsh_assign_arrow — a self-join formulation would
+    # recompute the bucket hash on both branches and shuffle twice),
+    # vectors gather per bucket (groupBy — the only exchange), the
+    # C(n,2) in-bucket pairs are generated IN-LINE with array lambdas,
+    # and the exact-cosine verify is Arrow-batched too
+    # (cosine_pairs_arrow).  Both Arrow stages are bit-identical to the
+    # SQL-expr arithmetic the DuckDB oracle runs — the hash match below
+    # is the proof.  Bucket population is bounded by plane count (raise
+    # planes at corpus scale), so the per-bucket array never approaches
+    # executor memory the way an unbounded groupBy-collect would.
     e = t(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(S.lsh_bucket_expr("embedding", 8)).alias("bucket"),
+    b = S.lsh_assign_arrow(
+        e.select("vec_id", "embedding"), "embedding", num_planes=8, dim=64,
+        with_norm=False,
     )
-    left = b.select(
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("va"),
-        F.col("bucket").alias("ba"),
+    grouped = b.groupBy("bucket").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
     )
-    right = b.select(
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("vb"),
-        F.col("bucket").alias("bb"),
+    pairs = grouped.select(
+        "bucket",
+        F.explode(
+            F.expr(
+                "flatten(transform(vs, (x, i) ->"
+                " transform(slice(vs, i + 2, size(vs)), y -> struct("
+                "   least(x.vec_id, y.vec_id) AS a,"
+                "   greatest(x.vec_id, y.vec_id) AS b,"
+                "   x.embedding AS va, y.embedding AS vb))))"
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        "bucket",
+        F.col("p.va").alias("va"),
+        F.col("p.vb").alias("vb"),
     )
     return (
-        left.join(right, (F.col("ba") == F.col("bb")) & (F.col("a") < F.col("b")))
-        .select(
-            "a",
-            "b",
-            F.col("ba").alias("bucket"),
-            F.expr(S.cosine_expr("va", "vb")).alias("cos"),
-        )
+        S.cosine_pairs_arrow(pairs, "va", "vb")
         .filter(F.col("cos") > 0.3)
+        .select("a", "b", "bucket", "cos")
     )
 
 
 Q159_SQL = f"""
 WITH b AS (SELECT vec_id, embedding,
-                  {S.lsh_bucket_sql('embedding', 8)} AS bucket
+                  {S.lsh_bucket_sql('embedding', 8, dim=64)} AS bucket
            FROM embeddings)
 SELECT x.vec_id AS a, y.vec_id AS b, x.bucket AS bucket,
        {S.cosine_sql('x.embedding', 'y.embedding')} AS cos
