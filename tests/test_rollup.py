@@ -1,0 +1,94 @@
+"""Incremental rollup maintenance: delta-only refresh must converge to
+the from-scratch aggregate, and each refresh must WRITE only the dirty
+key groups (untouched groups keep serving from older rollup versions)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+from tiledb_mariadb_spark.operators.rollup import refresh_rollup
+from tiledb_mariadb_spark.sources.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+CUT = "2024-01-21 00:00:00"
+
+
+def _build(spark, tmp_path):
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    src = TileTable.create(
+        spark,
+        os.path.join(str(tmp_path), "src"),
+        dimensions=[Dim("event_id", "bigint")],
+        attributes=[Attr("ts", "timestamp"), Attr("cents", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    roll = TileTable.create(
+        spark,
+        os.path.join(str(tmp_path), "roll"),
+        dimensions=[Dim("h", "bigint")],
+        attributes=[Attr("n", "bigint"), Attr("cents", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    return e, src, roll
+
+
+def _refresh(roll, src, since, ts):
+    return refresh_rollup(
+        roll,
+        src,
+        since,
+        ts,
+        ["h"],
+        {"cents": F.col("cents")},
+        {"h": F.expr("CAST(ts AS LONG) div 3600")},
+    )
+
+
+def test_incremental_refresh_converges_and_writes_only_dirty(spark, tmp_path):
+    e, src, roll = _build(spark, tmp_path)
+    src.write(e.filter(F.col("ts") < CUT), version_ts=1000)
+    _refresh(roll, src, 0, 1000)
+    n_v1_groups = roll.read().count()
+
+    src.write(e.filter(F.col("ts") >= CUT), version_ts=2000)
+    _refresh(roll, src, 1000, 2000)
+
+    # the second refresh wrote only the delta's hour groups
+    v2_rows = roll.read_changes(1000).count()
+    delta_hours = (
+        e.filter(F.col("ts") >= CUT)
+        .select(F.expr("CAST(ts AS LONG) div 3600"))
+        .distinct()
+        .count()
+    )
+    assert v2_rows == delta_hours
+    assert roll.read().count() >= n_v1_groups
+
+    # converges to the from-scratch aggregate
+    expected = {
+        (r["h"], r["n"], r["cents"])
+        for r in e.groupBy(F.expr("CAST(ts AS LONG) div 3600").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .collect()
+    }
+    got = {(r["h"], r["n"], r["cents"]) for r in roll.read().collect()}
+    assert got == expected
+
+
+def test_read_changes_empty_when_no_new_versions(spark, tmp_path):
+    e, src, roll = _build(spark, tmp_path)
+    src.write(e.limit(10), version_ts=1000)
+    assert src.read_changes(1000).count() == 0
+    assert src.read_changes(0).count() == 10

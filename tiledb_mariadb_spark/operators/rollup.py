@@ -1,0 +1,83 @@
+"""Incremental rollup maintenance — the continuous-aggregate /
+materialized-rollup pattern over versioned tile tables.
+
+The reference keeps arrays fresh by appending fragments
+(mytile/ha_mytile.cc write path; fragments accumulate until
+consolidation); analytics over them re-aggregate from scratch.  This
+operator maintains a pre-aggregated rollup table *incrementally*: each
+refresh reads ONLY the source versions written since the last refresh
+(TileTable.read_changes — partition-pruned to the new fragments), partial
+aggregates the delta, and merges it with the stored rollup by summing —
+never rescanning history.
+
+Scale: the whole point.  A full recompute scans the 100 TB fact table per
+refresh; this scans the delta (bounded by ingest rate), shuffles only
+``delta-groups + rollup-rows`` narrow rows, and writes back one rollup
+version.  Correct for ALGEBRAIC aggregates (count/sum, and anything
+derivable: avg = sum/count) over APPEND-ONLY sources — overwrite
+semantics would double-count, the same restriction real continuous
+aggregates impose (they invalidate regions instead).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_rollup(
+    delta: DataFrame, keys: Sequence[str], sums: dict[str, Column]
+) -> DataFrame:
+    """Partial (map-side-combinable) aggregate of a change-feed batch:
+    every measure is a SUM over an expression, plus an ``n`` row count —
+    the merge-able form."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")] + [
+        F.sum(expr).cast("bigint").alias(name) for name, expr in sums.items()
+    ]
+    return delta.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollup(
+    stored: DataFrame, delta_partial: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge stored rollup rows with a new partial: union + re-sum.  Both
+    sides are already one-row-per-group, so the shuffle moves only narrow
+    pre-aggregated rows."""
+    measures = [c for c in stored.columns if c not in keys]
+    merged = stored.unionByName(delta_partial.select(*stored.columns))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in measures]
+    )
+
+
+def refresh_rollup(
+    rollup_table,
+    source_table,
+    since_ts: int,
+    version_ts: int,
+    keys: Sequence[str],
+    sums: dict[str, Column],
+    key_exprs: dict[str, Column] | None = None,
+) -> int:
+    """One maintenance cycle: delta = source versions newer than
+    ``since_ts`` → partial aggregate → merge with the stored rollup rows
+    of the SAME keys → write only those merged groups as rollup version
+    ``version_ts``.  Untouched groups are not rewritten — the rollup
+    table's own last-writer-wins read keeps serving them from earlier
+    versions, so refresh cost (read, shuffle, AND write) scales with the
+    delta's key span, not the rollup size.  ``key_exprs`` derives rollup
+    keys from source columns (e.g. hour bucket from a timestamp).
+    Returns the new rollup version number."""
+    delta = source_table.read_changes(since_ts)
+    if key_exprs:
+        for name, expr in key_exprs.items():
+            delta = delta.withColumn(name, expr)
+    partial = partial_rollup(delta, keys, sums)
+    # empty on first refresh — semi-join + merge are then no-ops
+    stored_dirty = rollup_table.read().join(
+        partial.select(*keys).distinct(), list(keys), "left_semi"
+    )
+    merged = merge_rollup(stored_dirty, partial, keys)
+    return rollup_table.write(merged, version_ts=version_ts)

@@ -175,3 +175,65 @@ SPECS = [
         "Z-order clustered copy answers box scans identically",
     ),
 ]
+
+
+# --- q170: incremental rollup maintenance (continuous aggregate) ------------
+# Two refresh cycles over an append-only versioned source: the second
+# reads ONLY the delta fragments (read_changes), merges with the stored
+# hourly rollup, and rewrites just the dirty hour groups — the oracle is
+# a full GROUP BY over the whole source, so the hash match proves the
+# incremental path converges to the from-scratch aggregate.
+def q170_incremental_rollup(spark, sf_dir):
+    from tiledb_mariadb_spark.operators.rollup import refresh_rollup  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    src = TileTable.create(
+        spark,
+        _uri("rollup_src", sf_dir),
+        dimensions=[Dim("event_id", "bigint")],
+        attributes=[Attr("ts", "timestamp"), Attr("cents", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    roll = TileTable.create(
+        spark,
+        _uri("rollup_agg", sf_dir),
+        dimensions=[Dim("h", "bigint")],
+        attributes=[Attr("n", "bigint"), Attr("cents", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    hour_key = {"h": F.expr("CAST(ts AS LONG) div 3600")}
+    sums = {"cents": F.col("cents")}
+    cut = "2024-01-21 00:00:00"
+    src.write(e.filter(F.col("ts") < cut), version_ts=1000)
+    refresh_rollup(roll, src, 0, 1000, ["h"], sums, hour_key)
+    src.write(e.filter(F.col("ts") >= cut), version_ts=2000)
+    refresh_rollup(roll, src, 1000, 2000, ["h"], sums, hour_key)
+    return roll.read().select(
+        F.timestamp_seconds(F.col("h") * 3600).alias("h"),
+        F.col("n").alias("n_events"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+Q170_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q170_incremental_rollup", q170_incremental_rollup, Q170_SQL,
+        "incremental rollup maintenance: delta-only refresh == full aggregate",
+    )
+)
