@@ -135,6 +135,16 @@ def test_split_and_sample_are_map_only(spark):
     assert "Exchange" not in redact_plan and "Python" not in redact_plan
 
 
+def test_repetition_ratio_is_map_only(spark):
+    """q144's per-document distinct-ngram ratio is computed from the
+    in-row shingle array — zero Exchange (the explode+groupBy shape would
+    shuffle the whole shingled corpus, ~10x the text bytes)."""
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(SPECS["q144_repetition_ratio"].spark(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
 def test_pack_sequential_is_distributed_prefix_sum(spark):
     """The corpus-wide cumsum must NOT funnel through one partition: the
     big-side window is partitioned by __pid over range partitions, and the

@@ -219,34 +219,32 @@ LIMIT 20
 # --- q144: intra-document repetition ratio ---------------------------------
 # Quality signal: fraction of a document's word-3-grams that are repeats
 # (1 - distinct/total).  High ratio = boilerplate/spam; corpus pipelines
-# gate on it before training.  One explode + one groupBy on doc_id — the
-# shuffle key is the document id, so it scales with corpus size, not
-# vocabulary.
+# gate on it before training.  Both aggregates are PER-document and every
+# shingle of a document lives in its own row, so this never needs the
+# explode + groupBy shape: build the shingle array in place and take
+# size / size(array_distinct) — a pure map-side projection, ZERO shuffle
+# (the explode version moved the whole shingled corpus, ~10x the text
+# bytes, through an exchange; at 100 TB that is the difference between a
+# scan-rate job and a shuffle-bound one).  tests/test_plans.py pins the
+# no-Exchange plan.
 def q144_repetition_ratio(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = D.with_shingles(d, "doc_id", "text", k=3)
-    # two-stage instead of count+countDistinct in one agg: no Expand
-    # duplication, and the first shuffle keys on high-cardinality
-    # (doc_id, shingle) so one pathological document cannot hot-spot a
-    # reducer the way an expand×2 on doc_id alone would.
-    per_shingle = sh.groupBy("doc_id", "shingle").agg(
-        F.count(F.lit(1)).alias("c")
+    k = 3
+    arr = F.expr(
+        f"transform(sequence(1, size(split(trim(text), ' ')) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(split(trim(text), ' '), i, {k})))"
     )
-    return (
-        per_shingle.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_ngrams"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        )
-        .select(
-            "doc_id",
-            "n_ngrams",
-            "n_distinct",
-            (
-                F.lit(1.0)
-                - F.col("n_distinct") / F.col("n_ngrams").cast("double")
-            ).alias("rep_ratio"),
-        )
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        (
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams").cast("double")
+        ).alias("rep_ratio"),
     )
 
 

@@ -277,6 +277,53 @@ WHERE p.p_size = 7
 ORDER BY p.p_partkey, s.s_suppkey
 """
 
+# --- q171: TPC-H Q12 shipping-modes-and-priority analog ---------------------
+# l_shipmode / l_commitdate / l_receiptdate are absent from the synthetic
+# schema: l_returnflag stands in as the 3-value mode column and "received
+# late" becomes "shipped >60 days after the order date" — same join shape
+# (lineitem⋈orders on the orderkey), same conditional-count aggregation.
+# 100 TB stance: one same-key shuffle on l_orderkey; the date arithmetic and
+# CASE arms fold into the scan-side projection.
+Q171_SQL = """
+SELECT l.l_returnflag AS l_mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+ORDER BY l_mode
+"""
+
+# --- q172: TPC-H Q11 important-stock analog ---------------------------------
+# partsupp is absent: lineitem is the supply fact (ps_supplycost*ps_availqty
+# → l_extendedprice*l_quantity), filtered to one supplier nation.  The
+# HAVING threshold compares scaled BIGINTs cross-multiplied against the
+# corpus total — integer-exact on both engines (fraction 1/2000); the final
+# part_value is one int64→double conversion + one IEEE divide.
+# 100 TB stance: the CTE is computed once (Spark materializes it per use,
+# but both uses group on the same l_partkey shuffle key and the scalar total
+# is a one-row broadcast); no correlated re-scan survives decorrelation.
+Q172_SQL = """
+WITH supply AS (
+  SELECT l.l_partkey,
+         CAST(ROUND(l.l_extendedprice * l.l_quantity * 100.0) AS BIGINT) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+)
+SELECT l_partkey,
+       (CAST(CAST(SUM(val) AS BIGINT) AS DOUBLE) / 100.0) AS part_value
+FROM supply
+GROUP BY l_partkey
+HAVING CAST(SUM(val) AS BIGINT) * 2000 >
+       (SELECT CAST(SUM(val) AS BIGINT) FROM supply)
+ORDER BY part_value DESC, l_partkey
+"""
+
 _ALL = _sql(
     ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
 )
@@ -353,5 +400,17 @@ SPECS = [
         _ALL(Q111_SQL),
         Q111_SQL,
         "TPC-H Q2 analog: correlated MIN equality per part.",
+    ),
+    QuerySpec(
+        "q171_shipmode_priority",
+        _ALL(Q171_SQL),
+        Q171_SQL,
+        "TPC-H Q12 analog: late-shipment priority counts by mode column.",
+    ),
+    QuerySpec(
+        "q172_important_stock",
+        _ALL(Q172_SQL),
+        Q172_SQL,
+        "TPC-H Q11 analog: part values above a fraction of national supply.",
     ),
 ]
