@@ -57,6 +57,8 @@ HEADLINE = [
     # embeddings table (bucket join + exact verify) and the whole-corpus
     # Gini diversity rollup
     "q159_lsh_neardup",
+    "q173_incremental_dedup",
+    "q175_quantized_ann",
     "q168_gini_diversity",
 ]
 

@@ -126,3 +126,38 @@ def test_batch_search_probes_only_own_lists(spark, tmp_path):
     a = {(r["qid"], r["vec_id"]) for r in exact_ivf.collect()}
     b = {(r["qid"], r["vec_id"]) for r in brute.collect()}
     assert a == b
+
+
+def test_quantized_ann_recall(spark):
+    """int8 quantization (q175) must preserve most of the exact top-k:
+    recall@10 >= 0.7 against the float cosine ranking on real testdata.
+    (The conformance hash only proves cross-engine agreement; this pins
+    that the quantized scores still rank like the exact ones.)"""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions import similarity as S
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = S.cosine_topk(
+        e.filter(F.col("vec_id") != 0),
+        q.select(F.col("embedding").alias("qv")),
+        "vec_id",
+        "embedding",
+        k=10,
+    )
+    qq = q.select(F.expr(S.quantize_int8_expr("embedding")).alias("qq"))
+    quant = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            F.expr(S.qdot_expr(S.quantize_int8_expr("embedding"), "qq")).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    a = {r["vec_id"] for r in exact.collect()}
+    b = {r["vec_id"] for r in quant.collect()}
+    assert len(a & b) >= 7, (a, b)

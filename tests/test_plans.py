@@ -145,6 +145,16 @@ def test_repetition_ratio_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_incremental_dedup_broadcasts_probe(spark):
+    """q173's candidate join must broadcast the (small) probe batch so the
+    corpus band index never shuffles — at 100 TB the index side is the
+    whole corpus and an exchange there defeats incremental ingest."""
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(SPECS["q173_incremental_dedup"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_pack_sequential_is_distributed_prefix_sum(spark):
     """The corpus-wide cumsum must NOT funnel through one partition: the
     big-side window is partitioned by __pid over range partitions, and the

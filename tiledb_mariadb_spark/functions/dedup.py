@@ -177,6 +177,76 @@ WHERE l.doc < r.doc
 """
 
 
+def lsh_probe_pairs(
+    index_sigs: DataFrame,
+    probe_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental dedup: band a NEW batch's signatures and join them
+    against an existing corpus index's bands — (probe, index) candidate
+    pairs only, never index×index.  This is the production shape for
+    rolling ingest (mytile has no analog; LSH incremental probing per
+    Broder '97 / Leskovec MMDS ch.3): the corpus is banded ONCE (here
+    inline; at scale a stored TileTable partitioned by (band, h0, h1)
+    so each probe bucket is partition-pruned), and per-ingest cost
+    scales with the batch, not the corpus.  The probe side is orders of
+    magnitude smaller — broadcast it so the corpus index never
+    shuffles."""
+    num_bands = num_hashes // rows_per_band
+
+    def bands_of(sigs: DataFrame, out: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("band"),
+                    F.col(f"mh{b * rows_per_band}").alias("h0"),
+                    F.col(f"mh{b * rows_per_band + 1}").alias("h1"),
+                )
+                for b in range(num_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(out), F.explode(structs).alias("bs")
+        ).select(out, "bs.band", "bs.h0", "bs.h1")
+
+    idx = bands_of(index_sigs, "index_id")
+    probe = bands_of(probe_sigs, "probe_id")
+    return (
+        idx.join(F.broadcast(probe), ["band", "h0", "h1"])
+        .select("probe_id", "index_id")
+        .distinct()
+    )
+
+
+def lsh_probe_pairs_sql(
+    index_cte: str,
+    probe_cte: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lsh_probe_pairs`."""
+    num_bands = num_hashes // rows_per_band
+
+    def bands(src: str, out: str) -> str:
+        parts = [
+            f"SELECT doc_id AS {out}, {b} AS band,"
+            f" mh{b * rows_per_band} AS h0, mh{b * rows_per_band + 1} AS h1"
+            f" FROM {src}"
+            for b in range(num_bands)
+        ]
+        return " UNION ALL ".join(parts)
+
+    return f"""
+WITH isigs AS ({index_cte}), psigs AS ({probe_cte}),
+ibands AS ({bands('isigs', 'index_id')}),
+pbands AS ({bands('psigs', 'probe_id')})
+SELECT DISTINCT probe_id, index_id
+FROM ibands JOIN pbands USING (band, h0, h1)
+"""
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

@@ -120,6 +120,52 @@ def cosine_topk_batch(
     )
 
 
+# --- int8 symmetric quantization ------------------------------------------
+# The 4x-memory scale path for ANN: each vector maps to int8 components
+# q_i = round(x_i * 127 / max|x|).  All downstream arithmetic is exact
+# int64, so the quantized scores are engine-independent by construction.
+# float→double is exact, max over doubles is exact, and the single
+# divide+round per component follows the hardened _scaled_int recipe.
+# greatest(maxabs, 1e-30) guards the all-zero vector (ANSI /0 raises in
+# Spark 4).
+
+
+def quantize_int8_expr(v: str) -> str:
+    maxabs = (
+        f"greatest(array_max(transform({v}, x -> abs(CAST(x AS DOUBLE)))),"
+        f" CAST(1e-30 AS DOUBLE))"
+    )
+    return (
+        f"transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0D"
+        f" / {maxabs}) AS BIGINT))"
+    )
+
+
+def quantize_int8_sql(v: str) -> str:
+    maxabs = (
+        f"greatest(list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))),"
+        f" CAST(1e-30 AS DOUBLE))"
+    )
+    return (
+        f"list_transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0"
+        f" / {maxabs}) AS BIGINT))"
+    )
+
+
+def qdot_expr(qa: str, qb: str) -> str:
+    """Exact int64 dot of two already-quantized (BIGINT array) vectors."""
+    return (
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def qdot_sql(qa: str, qb: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform({qa}, (x, i) -> x * {qb}[i])) AS BIGINT)"
+    )
+
+
 # --- DuckDB oracle twins ---------------------------------------------------
 
 

@@ -98,6 +98,7 @@ def all_specs() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         pipeline_ops,
+        pipeline_ops2,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -114,7 +115,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # round 2 rotates the never-verified categories to the front (joins,
     # subqueries, windows, surfaces, llm_ops = exactly 50).  Rotate again
     # each round until every SURVEY §2 row has a green CORRECTNESS entry:
-    # round 3 should lead with pipeline_ops (q135–q147), similarity
+    # round 3 should lead with pipeline_ops (q135–q147), pipeline_ops2
+    # (q173–q175), similarity
     # (incl. q159), streaming_ops, spatial_ops, tpch_extra, surfaces2
     # (q162–q166), functions_surface7 (q160–q168) + round 2's fixed reds
     # (q43, q118, q122, q129).
@@ -125,6 +127,7 @@ def all_specs() -> dict[str, QuerySpec]:
         surfaces,
         llm_ops,
         pipeline_ops,
+        pipeline_ops2,
         similarity,
         streaming_ops,
         spatial_ops,

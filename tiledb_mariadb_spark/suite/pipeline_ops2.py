@@ -1,0 +1,200 @@
+"""Corpus-pipeline operators, continued: incremental dedup against a
+stored index, deterministic weighted sampling, and int8-quantized ANN.
+
+These extend the training-data tier (SURVEY §2 driver-added scope) with
+the three shapes a rolling 100 TB ingest hits next:
+
+* q173 — **incremental LSH dedup**: new-batch MinHash signatures probe the
+  existing corpus's band index (``functions/dedup.py::lsh_probe_pairs``),
+  then candidates are verified with exact distinct-shingle Jaccard.  The
+  reference has no analog (mytile stores arrays; dedup lives above it) —
+  the shape follows Broder '97 resemblance + MMDS ch.3 banding.  Per-ingest
+  cost scales with the batch: the corpus side is banded once (at scale: a
+  TileTable partitioned by band/hash so probes partition-prune) and never
+  shuffles — the probe bands broadcast.
+* q174 — **weighted corpus sampling**: deterministic priority sampling,
+  priority = hash(doc) DIV weight, take bottom-k — the integer-exact
+  analog of Efraimidis–Spirakis A-Res keys (u^(1/w)): selection odds rise
+  with weight, reproducible across engines because no transcendentals are
+  involved.  Map-side scored, one global top-k (TakeOrderedAndProject —
+  per-partition heads only, no full sort shuffle).
+* q175 — **int8-quantized ANN**: symmetric per-vector quantization
+  q_i = round(x_i·127/max|x|) then exact int64 dot-product top-k — the 4×
+  memory-compression scale path for vector search.  Quantized scores are
+  integer arithmetic end-to-end, so both engines agree bit-for-bit; recall
+  vs the exact float ranking is pinned in tests/test_ivf.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import dedup as D
+from tiledb_mariadb_spark.functions import similarity as S
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+# --- q173: incremental dedup — probe a new batch against the corpus --------
+# Batch = doc_id % 5 == 0 (a ~20% "new ingest" at every sf); corpus = the
+# rest.  Candidates from band-join, verified with exact Jaccard over
+# distinct 3-gram shingles; pairs with zero shared shingles (pure LSH
+# band collisions) drop out in the inner join on the intersection —
+# mirrored in the oracle.
+
+
+def q173_incremental_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    csh = D.with_shingles(corpus, "doc_id", "text", k=3)
+    bsh = D.with_shingles(batch, "doc_id", "text", k=3)
+    cands = D.lsh_probe_pairs(
+        D.minhash_signatures(csh, "doc_id"),
+        D.minhash_signatures(bsh, "doc_id"),
+        "doc_id",
+    )
+    cdist = csh.distinct()
+    bdist = bsh.distinct()
+    ps = bdist.select(F.col("doc_id").alias("probe_id"), "shingle")
+    ixs = cdist.select(F.col("doc_id").alias("index_id"), "shingle")
+    inter = (
+        cands.join(ps, "probe_id")
+        .join(ixs, ["index_id", "shingle"])
+        .groupBy("probe_id", "index_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    pn = ps.groupBy("probe_id").agg(F.count(F.lit(1)).alias("np"))
+    cn = ixs.groupBy("index_id").agg(F.count(F.lit(1)).alias("ni"))
+    return (
+        inter.join(pn, "probe_id")
+        .join(cn, "index_id")
+        .select(
+            "probe_id",
+            "index_id",
+            "inter",
+            (
+                F.col("inter")
+                / (F.col("np") + F.col("ni") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+_CORPUS_SH = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0)",
+    "doc_id",
+    "text",
+    k=3,
+)
+_BATCH_SH = D.shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+    "doc_id",
+    "text",
+    k=3,
+)
+_PROBE_PAIRS = D.lsh_probe_pairs_sql(
+    D.minhash_sql(_CORPUS_SH, "doc_id"), D.minhash_sql(_BATCH_SH, "doc_id")
+)
+Q173_SQL = f"""
+WITH cands AS ({_PROBE_PAIRS}),
+cdist AS (SELECT DISTINCT doc_id AS index_id, shingle FROM ({_CORPUS_SH})),
+bdist AS (SELECT DISTINCT doc_id AS probe_id, shingle FROM ({_BATCH_SH})),
+inter AS (
+  SELECT c.probe_id, c.index_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN bdist p ON p.probe_id = c.probe_id
+  JOIN cdist i ON i.index_id = c.index_id AND i.shingle = p.shingle
+  GROUP BY c.probe_id, c.index_id
+)
+SELECT probe_id, index_id, inter,
+       (inter / CAST(np + ni - inter AS DOUBLE)) AS jaccard
+FROM inter
+JOIN (SELECT probe_id, COUNT(*) AS np FROM bdist GROUP BY probe_id) USING (probe_id)
+JOIN (SELECT index_id, COUNT(*) AS ni FROM cdist GROUP BY index_id) USING (index_id)
+"""
+
+
+# --- q174: deterministic weighted sampling ---------------------------------
+# Weight = n_chars (longer documents proportionally likelier); priority =
+# hash60(doc_id) DIV weight, bottom-50.  Integer division keeps both
+# engines bit-equal (operands positive, so floor == trunc).
+
+
+def q174_weighted_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # hash60 exceeds 2^53, so the divide MUST stay in int64 (DIV) — a
+    # double divide + floor would round the dividend first and disagree
+    # with the oracle's integer `//`.
+    return (
+        d.withColumn("__h", D.hash60(F.col("doc_id").cast("string"), "ws"))
+        .withColumn(
+            "priority",
+            F.expr("__h DIV greatest(CAST(n_chars AS BIGINT), CAST(1 AS BIGINT))"),
+        )
+        .select("doc_id", "lang", "n_chars", "priority")
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+Q174_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       CAST({D.hash60_sql("CAST(doc_id AS VARCHAR)", "ws")}
+            // greatest(n_chars, 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT 50
+"""
+
+
+# --- q175: int8-quantized ANN top-k ----------------------------------------
+def q175_quantized_ann(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.expr(S.quantize_int8_expr("embedding")).alias("qq")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                S.qdot_expr(S.quantize_int8_expr("embedding"), "qq")
+            ).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+Q175_SQL = f"""
+WITH q AS (SELECT {S.quantize_int8_sql('embedding')} AS qq
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       {S.qdot_sql(S.quantize_int8_sql('embedding'), 'qq')} AS qscore
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY qscore DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q173_incremental_dedup",
+        q173_incremental_dedup,
+        Q173_SQL,
+        "incremental LSH dedup: new batch probed against the corpus index",
+    ),
+    QuerySpec(
+        "q174_weighted_sample",
+        q174_weighted_sample,
+        Q174_SQL,
+        "deterministic weighted priority sampling (integer E-S analog)",
+    ),
+    QuerySpec(
+        "q175_quantized_ann",
+        q175_quantized_ann,
+        Q175_SQL,
+        "int8-quantized ANN: exact int64 dot top-k (4x memory scale path)",
+    ),
+]
