@@ -143,6 +143,9 @@ def test_repetition_ratio_is_map_only(spark):
 
     plan = formatted_plan(SPECS["q144_repetition_ratio"].spark(spark, SF_DIR))
     assert "Exchange" not in plan, plan
+    # q176 chunking is the same scan-rate contract: per-row explode only
+    plan = formatted_plan(SPECS["q176_chunk_documents"].spark(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
 
 
 def test_incremental_dedup_broadcasts_probe(spark):

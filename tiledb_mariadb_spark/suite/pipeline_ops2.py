@@ -178,6 +178,49 @@ LIMIT 10
 """
 
 
+# --- q176: overlapping document chunking -----------------------------------
+# The retrieval/context-prep inverse of q138's packing: split each document
+# into word chunks of size 40 with stride 30 (10-word overlap so no
+# boundary sentence is lost to retrieval).  Chunk c covers words
+# [30c+1, 30c+40]; c ranges over 0..floor((n_words-1)/30), so every word
+# is covered and the final chunk may run short.  Pure per-row explode —
+# ZERO shuffle; at 100 TB this runs at scan rate alongside the quality
+# gates (same map stage).
+_CHUNK, _STRIDE = 40, 30
+
+
+def q176_chunk_documents(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(floor((size(split(trim(text), ' ')) - 1)"
+        f" / {_STRIDE}) AS INT)),"
+        f" c -> struct(CAST(c AS BIGINT) AS chunk_idx,"
+        f" concat_ws(' ', slice(split(trim(text), ' '),"
+        f" c * {_STRIDE} + 1, {_CHUNK})) AS chunk_text))"
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("ch"))
+        .select(
+            "doc_id",
+            "ch.chunk_idx",
+            "ch.chunk_text",
+            F.size(F.split("ch.chunk_text", " ")).cast("long").alias("n_words"),
+        )
+    )
+
+
+Q176_SQL = f"""
+SELECT doc_id,
+       CAST(c.c AS BIGINT) AS chunk_idx,
+       array_to_string(ws[c.c * {_STRIDE} + 1 : c.c * {_STRIDE} + {_CHUNK}], ' ')
+         AS chunk_text,
+       CAST(len(ws[c.c * {_STRIDE} + 1 : c.c * {_STRIDE} + {_CHUNK}]) AS BIGINT)
+         AS n_words
+FROM (SELECT doc_id, str_split(TRIM(text), ' ') AS ws FROM documents),
+     UNNEST(range(0, ((len(ws) - 1) // {_STRIDE}) + 1)) AS c(c)
+"""
+
+
 SPECS = [
     QuerySpec(
         "q173_incremental_dedup",
@@ -196,5 +239,11 @@ SPECS = [
         q175_quantized_ann,
         Q175_SQL,
         "int8-quantized ANN: exact int64 dot top-k (4x memory scale path)",
+    ),
+    QuerySpec(
+        "q176_chunk_documents",
+        q176_chunk_documents,
+        Q176_SQL,
+        "overlapping word-window chunking (RAG/context prep, map-only)",
     ),
 ]
