@@ -83,23 +83,55 @@ FROM (SELECT {id_col}, str_split(TRIM({text_col}), ' ') AS ws FROM {table_expr})
 # --- MinHash signatures ----------------------------------------------------
 
 
+# Universal-hash MinHash (Broder '97 §4 / MMDS ch.3.3): ONE md5 per shingle
+# occurrence, then num_hashes cheap integer permutations
+# g_j(h) = (A_j·h + B_j) mod p over the Mersenne prime p = 2^31-1.
+# The 8-md5-per-shingle formulation cost 8x the hashing of the scan — at
+# corpus scale md5 throughput IS the minhash bottleneck.  A_j/B_j are
+# md5-derived module constants inlined as literals into both engines'
+# expressions, so signatures stay bit-identical cross-engine.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_consts(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib  # noqa: PLC0415
+
+    out = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"mha:{j}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"mhb:{j}".encode()).hexdigest()[:8], 16)
+        out.append((a % (_MINHASH_P - 1) + 1, b % _MINHASH_P))
+    return out
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """Per-doc signature: min over shingles of hash60(shingle, seed_j),
-    one column ``mh<j>`` per seed."""
+    """Per-doc signature: min over shingles of g_j(h31(shingle)), one
+    column ``mh<j>`` per permutation; h31 = hash60(shingle,'mh') mod p
+    computed once per shingle."""
+    h31 = (hash60(F.col("shingle"), "mh") % F.lit(_MINHASH_P)).alias("__h31")
+    hashed = shingled.select(F.col(id_col), h31)
     aggs = [
-        F.min(hash60(F.col("shingle"), str(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min(
+            (F.lit(a) * F.col("__h31") + F.lit(b)) % F.lit(_MINHASH_P)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_minhash_consts(num_hashes))
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_sql(shingle_cte: str, id_col: str, num_hashes: int = 8) -> str:
+    h31 = f"({hash60_sql('shingle', 'mh')} % {_MINHASH_P})"
     cols = ", ".join(
-        f"MIN({hash60_sql('shingle', str(j))}) AS mh{j}" for j in range(num_hashes)
+        f"MIN(({a} * h31 + {b}) % {_MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_minhash_consts(num_hashes))
     )
-    return f"SELECT {id_col}, {cols} FROM ({shingle_cte}) GROUP BY {id_col}"
+    return (
+        f"SELECT {id_col}, {cols} FROM"
+        f" (SELECT {id_col}, {h31} AS h31 FROM ({shingle_cte}))"
+        f" GROUP BY {id_col}"
+    )
 
 
 # --- LSH banding → candidate pairs ----------------------------------------
