@@ -211,3 +211,23 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_minhash_inline_equals_groupby(spark):
+    """The in-row (zero-shuffle, streaming-legal) signature formulation is
+    bit-identical to the explode+groupBy one, and plans with no Exchange."""
+    from tiledb_mariadb_spark.functions import dedup as D
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    inline = d.select("doc_id", *D.minhash_inline_cols("text"))
+    grouped = D.minhash_signatures(
+        D.with_shingles(d, "doc_id", "text"), "doc_id"
+    )
+    a = sorted(tuple(r) for r in inline.collect())
+    b = sorted(tuple(r) for r in grouped.collect())
+    assert a == b
+    assert "Exchange" not in formatted_plan(inline)

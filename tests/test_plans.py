@@ -95,6 +95,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q92_stream_stateful",
         "q93_stream_stream_join",
         "q94_stream_dedup",
+        "q177_stream_probe_dedup",
     }
     offenders = []
     for name, spec in SPECS.items():

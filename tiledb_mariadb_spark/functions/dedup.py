@@ -121,6 +121,35 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_inline_cols(
+    text_col: str, k: int = 3, num_hashes: int = 8
+) -> list[Column]:
+    """MinHash signature computed IN-ROW from the text column: the shingle
+    array is built in place and each ``mh<j>`` is an array_min over the
+    permuted hashes — no explode, no groupBy, ZERO shuffle.  Bit-identical
+    to :func:`minhash_signatures` over :func:`with_shingles` (min over the
+    same multiset; tests pin the identity).  Because it is aggregation-free
+    it is also the STREAMING-legal formulation: a readStream of documents
+    can compute signatures map-side and stream-static join the corpus band
+    index in append mode."""
+    words = f"split(trim({text_col}), ' ')"
+    sh = (
+        f"transform(sequence(1, size({words}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({words}, i, {k})))"
+    )
+    h31 = (
+        f"(CAST(conv(substring(md5(concat('mh:', s)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_MINHASH_P})"
+    )
+    return [
+        F.expr(
+            f"array_min(transform({sh},"
+            f" s -> ({a} * {h31} + {b}) % {_MINHASH_P}))"
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_minhash_consts(num_hashes))
+    ]
+
+
 def minhash_sql(shingle_cte: str, id_col: str, num_hashes: int = 8) -> str:
     h31 = f"({hash60_sql('shingle', 'mh')} % {_MINHASH_P})"
     cols = ", ".join(
@@ -209,6 +238,31 @@ WHERE l.doc < r.doc
 """
 
 
+def band_explode(
+    sigs: DataFrame,
+    id_col: str,
+    out: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Explode a signature frame into (id, band, h0, h1) band rows — one
+    explode, shared by the pair/probe joins and the streaming probe."""
+    num_bands = num_hashes // rows_per_band
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.col(f"mh{b * rows_per_band}").alias("h0"),
+                F.col(f"mh{b * rows_per_band + 1}").alias("h1"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias(out), F.explode(structs).alias("bs")
+    ).select(out, "bs.band", "bs.h0", "bs.h1")
+
+
 def lsh_probe_pairs(
     index_sigs: DataFrame,
     probe_sigs: DataFrame,
@@ -226,25 +280,8 @@ def lsh_probe_pairs(
     scales with the batch, not the corpus.  The probe side is orders of
     magnitude smaller — broadcast it so the corpus index never
     shuffles."""
-    num_bands = num_hashes // rows_per_band
-
-    def bands_of(sigs: DataFrame, out: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).cast("long").alias("band"),
-                    F.col(f"mh{b * rows_per_band}").alias("h0"),
-                    F.col(f"mh{b * rows_per_band + 1}").alias("h1"),
-                )
-                for b in range(num_bands)
-            ]
-        )
-        return sigs.select(
-            F.col(id_col).alias(out), F.explode(structs).alias("bs")
-        ).select(out, "bs.band", "bs.h0", "bs.h1")
-
-    idx = bands_of(index_sigs, "index_id")
-    probe = bands_of(probe_sigs, "probe_id")
+    idx = band_explode(index_sigs, id_col, "index_id", num_hashes, rows_per_band)
+    probe = band_explode(probe_sigs, id_col, "probe_id", num_hashes, rows_per_band)
     return (
         idx.join(F.broadcast(probe), ["band", "h0", "h1"])
         .select("probe_id", "index_id")

@@ -47,6 +47,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (rolling-ingest smoke:
+    at scale this is the Kafka/object-store landing feed)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     """Start df as a memory-sink stream, drain all available input, stop,
     and return the materialized result table."""

@@ -111,12 +111,15 @@ FROM documents
 
 
 # --- q64: MinHash signatures ----------------------------------------------
+# In-row formulation: the signature is an array_min over the in-place
+# shingle array — zero shuffle (the explode+groupBy path moved every
+# shingle hash through an exchange; bit-identical, pinned in
+# tests/test_pipeline_fns.py).
 def q64_minhash(spark, sf_dir):
     corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
         "doc_id", "text"
     )
-    shingled = D.with_shingles(corpus, "doc_id", "text", k=3)
-    return D.minhash_signatures(shingled, "doc_id", num_hashes=8)
+    return corpus.select("doc_id", *D.minhash_inline_cols("text", k=3, num_hashes=8))
 
 
 _SHINGLES_100 = D.shingles_sql(
@@ -128,8 +131,9 @@ Q64_SQL = D.minhash_sql(_SHINGLES_100, "doc_id", num_hashes=8)
 # --- q65: LSH banding → near-dup candidate pairs ---------------------------
 def q65_lsh_pairs(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
-    shingled = D.with_shingles(corpus, "doc_id", "text", k=3)
-    sigs = D.minhash_signatures(shingled, "doc_id", num_hashes=8)
+    sigs = corpus.select(
+        "doc_id", *D.minhash_inline_cols("text", k=3, num_hashes=8)
+    )
     return D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
 
 

@@ -47,9 +47,10 @@ def q173_incremental_dedup(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 5 == 0)
     csh = D.with_shingles(corpus, "doc_id", "text", k=3)
     bsh = D.with_shingles(batch, "doc_id", "text", k=3)
+    # signatures in-row (zero shuffle) — bit-identical to the groupBy path
     cands = D.lsh_probe_pairs(
-        D.minhash_signatures(csh, "doc_id"),
-        D.minhash_signatures(bsh, "doc_id"),
+        corpus.select("doc_id", *D.minhash_inline_cols("text")),
+        batch.select("doc_id", *D.minhash_inline_cols("text")),
         "doc_id",
     )
     cdist = csh.distinct()

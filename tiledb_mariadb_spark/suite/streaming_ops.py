@@ -173,8 +173,74 @@ GROUP BY 1, 2
 """
 
 
+# --- q177: streaming incremental dedup (stream-static index probe) ---------
+# The deployment shape of q173: the new-document feed computes MinHash
+# signatures IN-ROW (minhash_inline_cols is aggregation-free, so it is
+# legal in append mode), bands them, and joins the STATIC corpus band
+# index; dropDuplicates collapses multi-band hits exactly like the batch
+# DISTINCT.  At scale the static side is the stored band index table
+# (partitioned by band/hash) and state is only the emitted pair set.
+def q177_stream_probe_dedup(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import dedup as D  # noqa: PLC0415
+    from tiledb_mariadb_spark.streaming.events import (  # noqa: PLC0415
+        read_documents_stream,
+    )
+
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "text")
+    )
+    ibands = D.band_explode(
+        corpus.select("doc_id", *D.minhash_inline_cols("text")),
+        "doc_id",
+        "index_id",
+    )
+    sdocs = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    pbands = D.band_explode(
+        sdocs.select("doc_id", *D.minhash_inline_cols("text")),
+        "doc_id",
+        "probe_id",
+    )
+    hits = (
+        pbands.join(ibands, ["band", "h0", "h1"])
+        .select("probe_id", "index_id")
+        .dropDuplicates(["probe_id", "index_id"])
+    )
+    return run_to_completion(hits, "append")
+
+
+def _q177_sql() -> str:
+    from tiledb_mariadb_spark.functions import dedup as D  # noqa: PLC0415
+
+    corpus_sh = D.shingles_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0)",
+        "doc_id",
+        "text",
+        k=3,
+    )
+    batch_sh = D.shingles_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id",
+        "text",
+        k=3,
+    )
+    return D.lsh_probe_pairs_sql(
+        D.minhash_sql(corpus_sh, "doc_id"), D.minhash_sql(batch_sh, "doc_id")
+    )
+
+
+Q177_SQL = _q177_sql()
+
+
 SPECS = [
     QuerySpec("q90_stream_window", q90_stream_window, Q90_SQL, "streaming window agg"),
+    QuerySpec(
+        "q177_stream_probe_dedup", q177_stream_probe_dedup, Q177_SQL,
+        "streaming incremental dedup: stream-static LSH index probe",
+    ),
     QuerySpec(
         "q148_stream_sliding", q148_stream_sliding, Q148_SQL,
         "streaming sliding-window counts",
