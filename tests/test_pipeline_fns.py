@@ -223,7 +223,7 @@ def test_minhash_inline_equals_groupby(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "text"
     )
-    inline = d.select("doc_id", *D.minhash_inline_cols("text"))
+    inline = D.with_minhash_inline(d, "text", ["doc_id"])
     grouped = D.minhash_signatures(
         D.with_shingles(d, "doc_id", "text"), "doc_id"
     )

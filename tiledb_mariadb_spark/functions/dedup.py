@@ -121,17 +121,29 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_inline_cols(
-    text_col: str, k: int = 3, num_hashes: int = 8
-) -> list[Column]:
+def with_minhash_inline(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
     """MinHash signature computed IN-ROW from the text column: the shingle
-    array is built in place and each ``mh<j>`` is an array_min over the
+    array is hashed in place and each ``mh<j>`` is an array_min over the
     permuted hashes — no explode, no groupBy, ZERO shuffle.  Bit-identical
     to :func:`minhash_signatures` over :func:`with_shingles` (min over the
     same multiset; tests pin the identity).  Because it is aggregation-free
     it is also the STREAMING-legal formulation: a readStream of documents
     can compute signatures map-side and stream-static join the corpus band
-    index in append mode."""
+    index in append mode.
+
+    The expensive hashed-shingle array is staged as its OWN projection
+    (``__hs``) and the per-permutation mins read from that column:
+    putting the full expression into each mh<j> would evaluate the
+    md5-per-shingle transform 8 times (Spark cannot CSE across lambda
+    functions within one projection; CollapseProject keeps the staged
+    form because the producer is non-cheap and multiply-referenced,
+    SPARK-36718).  Returns ``id_cols + mh0..mh<n-1>``."""
     words = f"split(trim({text_col}), ' ')"
     sh = (
         f"transform(sequence(1, size({words}) - {k - 1}),"
@@ -141,13 +153,14 @@ def minhash_inline_cols(
         f"(CAST(conv(substring(md5(concat('mh:', s)), 1, 15), 16, 10)"
         f" AS BIGINT) % {_MINHASH_P})"
     )
-    return [
+    staged = df.withColumn("__hs", F.expr(f"transform({sh}, s -> {h31})"))
+    sigs = [
         F.expr(
-            f"array_min(transform({sh},"
-            f" s -> ({a} * {h31} + {b}) % {_MINHASH_P}))"
+            f"array_min(transform(__hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(_minhash_consts(num_hashes))
     ]
+    return staged.select(*id_cols, *sigs)
 
 
 def minhash_sql(shingle_cte: str, id_col: str, num_hashes: int = 8) -> str:

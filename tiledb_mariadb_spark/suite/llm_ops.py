@@ -119,7 +119,7 @@ def q64_minhash(spark, sf_dir):
     corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
         "doc_id", "text"
     )
-    return corpus.select("doc_id", *D.minhash_inline_cols("text", k=3, num_hashes=8))
+    return D.with_minhash_inline(corpus, "text", ["doc_id"], k=3, num_hashes=8)
 
 
 _SHINGLES_100 = D.shingles_sql(
@@ -131,9 +131,7 @@ Q64_SQL = D.minhash_sql(_SHINGLES_100, "doc_id", num_hashes=8)
 # --- q65: LSH banding → near-dup candidate pairs ---------------------------
 def q65_lsh_pairs(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
-    sigs = corpus.select(
-        "doc_id", *D.minhash_inline_cols("text", k=3, num_hashes=8)
-    )
+    sigs = D.with_minhash_inline(corpus, "text", ["doc_id"], k=3, num_hashes=8)
     return D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
 
 

@@ -49,8 +49,8 @@ def q173_incremental_dedup(spark, sf_dir):
     bsh = D.with_shingles(batch, "doc_id", "text", k=3)
     # signatures in-row (zero shuffle) — bit-identical to the groupBy path
     cands = D.lsh_probe_pairs(
-        corpus.select("doc_id", *D.minhash_inline_cols("text")),
-        batch.select("doc_id", *D.minhash_inline_cols("text")),
+        D.with_minhash_inline(corpus, "text", ["doc_id"]),
+        D.with_minhash_inline(batch, "text", ["doc_id"]),
         "doc_id",
     )
     cdist = csh.distinct()

@@ -192,17 +192,13 @@ def q177_stream_probe_dedup(spark, sf_dir):
         .select("doc_id", "text")
     )
     ibands = D.band_explode(
-        corpus.select("doc_id", *D.minhash_inline_cols("text")),
-        "doc_id",
-        "index_id",
+        D.with_minhash_inline(corpus, "text", ["doc_id"]), "doc_id", "index_id"
     )
     sdocs = read_documents_stream(spark, sf_dir).filter(
         F.col("doc_id") % 5 == 0
     )
     pbands = D.band_explode(
-        sdocs.select("doc_id", *D.minhash_inline_cols("text")),
-        "doc_id",
-        "probe_id",
+        D.with_minhash_inline(sdocs, "text", ["doc_id"]), "doc_id", "probe_id"
     )
     hits = (
         pbands.join(ibands, ["band", "h0", "h1"])
