@@ -10,13 +10,18 @@ including the DuckDB oracle twins.
 """
 
 from tiledb_mariadb_spark.functions.dedup import (  # noqa: F401
+    band_explode,
     exact_dedup_groups,
     lsh_candidate_pairs,
+    lsh_probe_pairs,
     minhash_signatures,
+    setsim_join,
     simhash16,
+    with_minhash_inline,
     with_shingles,
 )
 from tiledb_mariadb_spark.functions.ivf import (  # noqa: F401
+    append_ivf_index,
     assign_lists,
     ivf_search,
     ivf_search_batch,

@@ -329,6 +329,88 @@ FROM ibands JOIN pbands USING (band, h0, h1)
 """
 
 
+# --- prefix-filtered set-similarity join (PPJoin-style) --------------------
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. PPJoin WWW'08): unlike
+    LSH banding this has NO false negatives.  Tokens are ordered by
+    ascending global frequency; a pair with Jaccard ≥ t must share at
+    least one token among each side's first ``sz - ceil(t·sz) + 1``
+    rarest tokens, so candidate generation joins only on RARE tokens —
+    the frequent-token hot keys that would skew a naive token join are
+    excluded by construction.  The threshold is a rational t = num/den
+    and every comparison stays in int64 (``den·inter ≥ num·union``), so
+    both engines agree exactly.
+
+    Shuffle census at corpus scale: one groupBy(token) for frequencies,
+    one doc-keyed window for prefix ranks, one join keyed on rare tokens,
+    one groupBy(pair) for the verify — all on bounded keys."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    tn, td = threshold_num, threshold_den
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("tf", "tok")
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    # prefix length sz - ceil(t*sz) + 1 with ceil(t*sz) = (tn*sz + td-1) DIV td
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.expr(f"({tn} * sz + {td - 1}) DIV {td}") + 1
+    )
+    cands = (
+        prefix.select(F.col("doc").alias("a"), "tok")
+        .join(prefix.select(F.col("doc").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc").alias("a"), "tok")
+    tb = toks.select(F.col("doc").alias("b"), "tok")
+    inter = (
+        cands.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("un", (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.lit(td) * F.col("inter") >= F.lit(tn) * F.col("un"))
+        .select(
+            "a",
+            "b",
+            "inter",
+            F.col("un").cast("long").alias("un"),
+            (F.col("inter") / F.col("un").cast("double")).alias("jaccard"),
+        )
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

@@ -202,6 +202,21 @@ def write_ivf_index(indexed: DataFrame, path: str) -> None:
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
+def append_ivf_index(
+    new_vectors: DataFrame, cents: list, vec_col: str, path: str
+) -> None:
+    """Incremental index maintenance: assign ONLY the new batch to the
+    existing centroids and append its rows into the per-list partition
+    directories — no retrain, no touch of resident lists (dynamic
+    partition overwrite is not needed because parquet append adds files
+    alongside; at 100 TB this is the rolling-ingest path and a periodic
+    re-train/consolidate handles centroid drift, exactly like TileDB's
+    fragment-consolidation rhythm)."""
+    assign_lists(new_vectors, cents, vec_col).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(path)
+
+
 def ideal_k(n_rows: int) -> int:
     """Rule-of-thumb list count: √N keeps list size ≈ probe cost."""
     return max(1, int(math.sqrt(max(n_rows, 1))))

@@ -222,6 +222,102 @@ FROM (SELECT doc_id, str_split(TRIM(text), ' ') AS ws FROM documents),
 """
 
 
+# --- q178: exact set-similarity self-join (PPJoin prefix filtering) --------
+# The exact counterpart to LSH banding: no false negatives at the same
+# candidate-bounding idea (rare-token prefixes).  Threshold 3/5; all
+# comparisons integer (5·inter ≥ 3·union).
+
+
+def q178_setsim_join(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    return D.setsim_join(d, "doc_id", "text", threshold_num=3, threshold_den=5)
+
+
+Q178_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, UNNEST(str_split(TRIM(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 200
+),
+freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+ranked AS (
+  SELECT doc, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY tf, tok) AS rn,
+         COUNT(*) OVER (PARTITION BY doc) AS sz
+  FROM toks JOIN freq USING (tok)
+),
+prefix AS (SELECT doc, tok FROM ranked
+           WHERE rn <= sz - ((3 * sz + 4) // 5) + 1),
+cands AS (
+  SELECT DISTINCT p1.doc AS a, p2.doc AS b
+  FROM prefix p1 JOIN prefix p2 ON p1.tok = p2.tok AND p1.doc < p2.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN toks ta ON ta.doc = c.a
+  JOIN toks tb ON tb.doc = c.b AND tb.tok = ta.tok
+  GROUP BY c.a, c.b
+)
+SELECT a, b, inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS un,
+       (inter / CAST(sa.n + sb.n - inter AS DOUBLE)) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = a
+JOIN sizes sb ON sb.doc = b
+WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
+"""
+
+
+# --- q179: incremental IVF maintenance (append without retrain) ------------
+# Index the resident 80% of vectors, append the other 20% assign-only,
+# then an all-probe search over the stored index must equal brute-force
+# top-k over the FULL table — proving the appended rows landed in
+# searchable lists without touching resident ones.
+
+
+def q179_ivf_append(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    resident = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    cents = ivf.train_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
+    )
+    tag = hashlib.md5(f"append:{sf_dir}".encode()).hexdigest()[:8]
+    path = os.path.join("/root/repo/.tmp/ivf_index", f"emb-app-{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    ivf.write_ivf_index(ivf.assign_lists(resident, cents, "embedding"), path)
+    ivf.append_ivf_index(batch, cents, "embedding", path)
+    stored = spark.read.parquet(path)
+    qvec = [
+        float(x)
+        for x in e.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return ivf.ivf_search(
+        stored, cents, qvec, "embedding", "vec_id", k=10, nprobe=len(cents)
+    )
+
+
+Q179_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+SELECT vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec(
         "q173_incremental_dedup",
@@ -246,5 +342,17 @@ SPECS = [
         q176_chunk_documents,
         Q176_SQL,
         "overlapping word-window chunking (RAG/context prep, map-only)",
+    ),
+    QuerySpec(
+        "q178_setsim_join",
+        q178_setsim_join,
+        Q178_SQL,
+        "exact Jaccard-threshold join via PPJoin prefix filtering",
+    ),
+    QuerySpec(
+        "q179_ivf_append",
+        q179_ivf_append,
+        Q179_SQL,
+        "incremental IVF append: all-probe search equals full brute force",
     ),
 ]
