@@ -231,3 +231,36 @@ def test_minhash_inline_equals_groupby(spark):
     b = sorted(tuple(r) for r in grouped.collect())
     assert a == b
     assert "Exchange" not in formatted_plan(inline)
+
+
+def test_setsim_join_is_exact(spark):
+    """Prefix filtering must be lossless: setsim_join's result on random
+    small corpora equals the brute-force all-pairs Jaccard-threshold
+    join.  This pins the prefix-length arithmetic (an off-by-one there
+    silently drops pairs — the failure mode LSH users accept but PPJoin
+    exists to eliminate)."""
+    import itertools
+    import random
+
+    from tiledb_mariadb_spark.functions.dedup import setsim_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["a"], r["b"])
+            for r in setsim_join(df, "doc_id", "text", 3, 5).collect()
+        }
+        sets = {i: set(txt.split()) for i, txt in docs}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if un and 5 * inter >= 3 * un:
+                want.add((a, b))
+        assert got == want, (trial, got ^ want)

@@ -64,3 +64,36 @@ def test_pipeline_sql_macros_match_column_api(spark):
     assert a == b and len(a) == 200
     plan = formatted_plan(via_sql)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_and_repetition_macros_match_specs(spark):
+    """tile_chunks / tile_repetition_ratio reproduce q176/q144 through
+    pure SQL, staying codegen-inline (no Python stage)."""
+    from tiledb_mariadb_spark.suite import all_specs
+
+    register_sql_functions(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.createOrReplaceTempView("docs_m")
+    # SQL UDFs can't sit inside Generate (UNSUPPORTED_SQL_UDF_USAGE) —
+    # project the array first, then explode the column
+    via_sql = spark.sql(
+        """
+        SELECT doc_id, ch.pos AS chunk_idx, ch.col AS chunk_text
+        FROM (SELECT doc_id, tile_chunks(text) AS chunks FROM docs_m)
+        LATERAL VIEW posexplode(chunks) ch
+        """
+    )
+    spec = all_specs()["q176_chunk_documents"].spark(spark, SF_DIR)
+    a = {(r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in via_sql.collect()}
+    b = {(r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in spec.collect()}
+    assert a == b and a
+
+    rep_sql = spark.sql(
+        "SELECT doc_id, tile_repetition_ratio(text) AS r FROM docs_m"
+    )
+    rep_spec = all_specs()["q144_repetition_ratio"].spark(spark, SF_DIR)
+    ra = {r["doc_id"]: r["r"] for r in rep_sql.collect()}
+    rb = {r["doc_id"]: r["rep_ratio"] for r in rep_spec.collect()}
+    assert ra == rb
+    plan = formatted_plan(rep_sql)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -51,6 +51,27 @@ def sql_function_defs() -> dict[str, tuple[str, str, str]]:
             f"regexp_replace(regexp_replace(t, '{_spark_str_lit(EMAIL_RE)}',"
             f" '<EMAIL>'), '{_spark_str_lit(PHONE_RE)}', '<PHONE>')",
         ),
+        # q144's map-only quality gate as a macro: 1 - distinct/total
+        # word-3-grams, computed from the in-row shingle array
+        "tile_repetition_ratio": (
+            "(t STRING)",
+            "DOUBLE",
+            "1.0D - CAST(size(array_distinct(transform("
+            "sequence(1, size(split(trim(t), ' ')) - 2),"
+            " i -> concat_ws(' ', slice(split(trim(t), ' '), i, 3))))) AS DOUBLE)"
+            " / CAST(size(transform("
+            "sequence(1, size(split(trim(t), ' ')) - 2),"
+            " i -> concat_ws(' ', slice(split(trim(t), ' '), i, 3)))) AS DOUBLE)",
+        ),
+        # q176's chunker as a macro returning the chunk-text array
+        # (LATERAL VIEW explode() turns it into rows)
+        "tile_chunks": (
+            "(t STRING)",
+            "ARRAY<STRING>",
+            "transform(sequence(0, CAST(floor((size(split(trim(t), ' ')) - 1)"
+            " / 30) AS INT)),"
+            " c -> concat_ws(' ', slice(split(trim(t), ' '), c * 30 + 1, 40)))",
+        ),
     }
 
 
