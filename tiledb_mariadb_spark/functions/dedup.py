@@ -431,6 +431,63 @@ def simhash16(tokens: DataFrame, id_col: str, token_col: str = "token") -> DataF
     return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    sims: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-radius near-dup join over 16-bit SimHash fingerprints:
+    split into 4 bands of 4 bits — any pair within Hamming distance ≤ 3
+    agrees on at least one whole band (pigeonhole), so candidates come
+    from 4 tiny equi-joins instead of all-pairs; the exact
+    bit_count(XOR) verify runs on candidates only.  Same
+    bounded-candidate architecture as MinHash banding, but for the
+    bit-vector family (Manku/Jain/Sarma WWW'07 web-dedup shape)."""
+    bands = sims.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {4 * b}) & 15").alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc", "simhash", "bs.band", "bs.bv")
+    left = bands.select(
+        "band", "bv", F.col("doc").alias("a"), F.col("simhash").alias("sa")
+    )
+    right = bands.select(
+        "band", "bv", F.col("doc").alias("b"), F.col("simhash").alias("sb")
+    )
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr("bit_count(sa ^ sb)").alias("hd"))
+        .distinct()
+        .filter(F.col("hd") <= max_hamming)
+    )
+
+
+def simhash_neardup_sql(simhash_cte: str, id_col: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_neardup_pairs`."""
+    bands = " UNION ALL ".join(
+        f"SELECT {id_col} AS doc, simhash, {b} AS band,"
+        f" (simhash >> {4 * b}) & 15 AS bv FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH sims AS ({simhash_cte}),
+bands AS ({bands})
+SELECT DISTINCT l.doc AS a, r.doc AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hd
+FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+WHERE l.doc < r.doc AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
 def simhash16_sql(token_cte: str, id_col: str) -> str:
     h = hash60_sql("token", "simhash")
     votes = ", ".join(

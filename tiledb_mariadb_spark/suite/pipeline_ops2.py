@@ -318,6 +318,37 @@ LIMIT 10
 """
 
 
+# --- q180: SimHash Hamming near-dup pairs ----------------------------------
+# The scale path for q67's fingerprints: 4-bit band buckets bound the
+# candidate set (pigeonhole: Hamming ≤ 3 ⟹ one band equal), exact
+# popcount verify on candidates only.
+
+
+def q180_simhash_neardup(spark, sf_dir):
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    tokens = corpus.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    return D.simhash_neardup_pairs(
+        D.simhash16(tokens, "doc_id"), "doc_id", max_hamming=3
+    )
+
+
+Q180_SQL = D.simhash_neardup_sql(
+    D.simhash16_sql(
+        "SELECT doc_id, UNNEST(str_split(TRIM(text), ' ')) AS token "
+        "FROM documents WHERE doc_id < 400",
+        "doc_id",
+    ),
+    "doc_id",
+    max_hamming=3,
+)
+
+
 SPECS = [
     QuerySpec(
         "q173_incremental_dedup",
@@ -354,5 +385,11 @@ SPECS = [
         q179_ivf_append,
         Q179_SQL,
         "incremental IVF append: all-probe search equals full brute force",
+    ),
+    QuerySpec(
+        "q180_simhash_neardup",
+        q180_simhash_neardup,
+        Q180_SQL,
+        "SimHash Hamming near-dup: band buckets + exact popcount verify",
     ),
 ]
