@@ -64,16 +64,46 @@ def assign_lists(
     return df.withColumn("list_id", F.expr(argmin_list_expr(vec_col, centroids)))
 
 
+_LOCAL_TRAIN_MAX = 100_000  # sample rows that comfortably fit the driver
+
+
 def train_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, iters: int = 2
 ) -> list[Centroid]:
     """Deterministic Lloyd k-means: seeds = vectors of the k smallest ids
     (stable across runs), then ``iters`` assign/update rounds.  Train on a
-    sample at scale — pass ``df.sample(...)``; each round is one scan +
-    one (list_id, pos) aggregation.
+    sample at scale — pass ``df.sample(...)``.
 
-    Empty lists keep their previous centroid (standard Lloyd fix-up).
+    The training SAMPLE is driver-sized by definition (FAISS practice:
+    index training is a coordinator job; only the corpus-wide
+    scan/assign/search is distributed), so when it fits under
+    ``_LOCAL_TRAIN_MAX`` rows the Lloyd rounds run as one numpy collect
+    instead of ``iters`` Spark rounds — each distributed round cost two
+    shuffles plus codegen of a k·dim-literal argmin expression, ~5s of
+    overhead to average 256 vectors.  Larger samples fall back to the
+    distributed rounds.  Empty lists keep their previous centroid
+    (standard Lloyd fix-up) on both paths.
     """
+    n = df.count()
+    if n <= _LOCAL_TRAIN_MAX:
+        rows = (
+            df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).collect()
+        )
+        import numpy as np  # noqa: PLC0415
+
+        mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+        cents = mat[:k].copy()
+        for _ in range(iters):
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            for lid in range(len(cents)):
+                members = mat[lab == lid]
+                if len(members):
+                    cents[lid] = members.mean(axis=0)
+        return [
+            (i, [float(np.float32(x)) for x in cv])
+            for i, cv in enumerate(cents)
+        ]
     seed_rows = (
         df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
     )
