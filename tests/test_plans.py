@@ -87,7 +87,6 @@ def test_no_python_udf_in_any_plan(spark):
         "q77_ewma",  # grouped recurrence — the declared applyInPandas tier
         "q95_spatial_intersects",
         "q139_pack_greedy",  # greedy bin packing — sequential per shard
-        "q159_lsh_neardup",  # Arrow int64 matmul twins for signatures/cosines
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

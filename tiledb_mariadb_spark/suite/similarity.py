@@ -222,21 +222,25 @@ SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
 # Recall is governed by the plane count (8 planes / 256 buckets here);
 # both engines apply identical md5-derived planes so results hash-match.
 def q159_lsh_neardup(spark, sf_dir):
-    # One pass, one shuffle: buckets come from the Arrow-vectorized
-    # signature path (lsh_assign_arrow — a self-join formulation would
-    # recompute the bucket hash on both branches and shuffle twice),
-    # vectors gather per bucket (groupBy — the only exchange), the
-    # C(n,2) in-bucket pairs are generated IN-LINE with array lambdas,
-    # and the exact-cosine verify is Arrow-batched too
-    # (cosine_pairs_arrow).  Both Arrow stages are bit-identical to the
-    # SQL-expr arithmetic the DuckDB oracle runs — the hash match below
-    # is the proof.  Bucket population is bounded by plane count (raise
-    # planes at corpus scale), so the per-bucket array never approaches
-    # executor memory the way an unbounded groupBy-collect would.
+    # One pass, one shuffle: buckets come from the literal-inlined
+    # hyperplane expression (a self-join formulation would recompute the
+    # bucket hash on both branches and shuffle twice), vectors gather per
+    # bucket (groupBy — the only exchange), the C(n,2) in-bucket pairs
+    # are generated IN-LINE with array lambdas, and the exact int-scaled
+    # cosine verify runs in the same codegen stage.  Everything stays
+    # JVM-side: with hyperplane components inlined as literals the
+    # whole-stage-codegen path beats the Arrow twins (which pay a Python
+    # worker round-trip) until bucket populations reach ~10^5 vectors —
+    # the Arrow twins (lsh_assign_arrow / cosine_pairs_arrow) remain the
+    # documented corpus-scale escape hatch.  Bucket population is bounded
+    # by plane count (raise planes at corpus scale), so the per-bucket
+    # array never approaches executor memory the way an unbounded
+    # groupBy-collect would.
     e = t(spark, sf_dir, "embeddings")
-    b = S.lsh_assign_arrow(
-        e.select("vec_id", "embedding"), "embedding", num_planes=8, dim=64,
-        with_norm=False,
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(S.lsh_bucket_expr("embedding", 8, dim=64)).alias("bucket"),
     )
     grouped = b.groupBy("bucket").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
@@ -260,9 +264,13 @@ def q159_lsh_neardup(spark, sf_dir):
         F.col("p.vb").alias("vb"),
     )
     return (
-        S.cosine_pairs_arrow(pairs, "va", "vb")
+        pairs.select(
+            "a",
+            "b",
+            "bucket",
+            F.expr(S.cosine_expr("va", "vb")).alias("cos"),
+        )
         .filter(F.col("cos") > 0.3)
-        .select("a", "b", "bucket", "cos")
     )
 
 
