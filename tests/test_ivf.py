@@ -3,6 +3,8 @@ physical plan), partition-pruned search, and recall vs brute force."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -161,3 +163,41 @@ def test_quantized_ann_recall(spark):
     a = {r["vec_id"] for r in exact.collect()}
     b = {r["vec_id"] for r in quant.collect()}
     assert len(a & b) >= 7, (a, b)
+
+
+def test_ivf_search_prunes_list_partitions(spark, tmp_path):
+    """The scale claim behind the IVF layout: a stored index searched
+    with nprobe < n_lists must only READ the probed list_id directories
+    (partition pruning at the file level, not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions.ivf import (
+        probe_lists,
+        train_centroids,
+        assign_lists,
+        ivf_search,
+        write_ivf_index,
+    )
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = train_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
+    )
+    path = str(tmp_path / "ivf_prune")
+    write_ivf_index(assign_lists(e, cents, "embedding"), path)
+    stored = spark.read.parquet(path)
+    qvec = [float(x) for x in e.orderBy("vec_id").limit(1).first()["embedding"]]
+    res = ivf_search(stored, cents, qvec, "embedding", "vec_id", k=5, nprobe=2)
+    probed = set(probe_lists(cents, qvec, 2))
+    # inputFiles() lists the relation BEFORE pruning — the evidence is the
+    # scan's PartitionFilters clause in the physical plan
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
+    for lid in probed:
+        assert str(lid) in m.group(1), (m.group(1), probed)
