@@ -349,6 +349,52 @@ Q180_SQL = D.simhash_neardup_sql(
 )
 
 
+# --- q181: temperature-smoothed source mixing weights ----------------------
+# The multilingual-sampling scheme (XLM-R style): source s is sampled with
+# p_s ∝ n_s^α.  α = 1/2 keeps it engine-deterministic — IEEE sqrt is
+# correctly rounded on both engines, n·10^12 is exact in double for any
+# plausible count, and floor() lands on the same int64, so the weights
+# sum exactly.  (Arbitrary α would hit pow()'s cross-engine ulp drift —
+# documented limitation, not an implementation gap.)
+
+
+def q181_temperature_mix(spark, sf_dir):
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double") * F.lit(1.0e12))).cast(
+        "long"
+    )
+    weighted = counts.select("source", F.col("n_docs").cast("long").alias("n_docs"), w.alias("w"))
+    total = weighted.groupBy().agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("w").cast("double") / F.col("tw").cast("double")).alias(
+                "p_sample"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q181_SQL = """
+WITH w AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) * 1e12)) AS BIGINT) AS w
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       (CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM w) AS DOUBLE)) AS p_sample
+FROM w
+ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec(
         "q173_incremental_dedup",
@@ -391,5 +437,11 @@ SPECS = [
         q180_simhash_neardup,
         Q180_SQL,
         "SimHash Hamming near-dup: band buckets + exact popcount verify",
+    ),
+    QuerySpec(
+        "q181_temperature_mix",
+        q181_temperature_mix,
+        Q181_SQL,
+        "temperature-smoothed (alpha=1/2) source sampling weights",
     ),
 ]
