@@ -395,6 +395,68 @@ ORDER BY source
 """
 
 
+# --- q182: corpus-prep funnel — gate → exact dedup → split, one query ------
+# The capstone composition a curation team runs per ingest, expressed as
+# ONE declarative plan so Catalyst fuses the gate into the scan and the
+# whole funnel is three stages (scan+gate, md5 groupBy, split counts).
+# Output = per-stage survivor counts; pure BIGINTs.
+
+
+def q182_corpus_funnel(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import pipeline as P  # noqa: PLC0415
+    from tiledb_mariadb_spark.functions import text as X  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = X.quality_features(F.col("text"))
+    gated = d.filter(
+        feats["n_tokens"].between(5, 500) & (feats["stop_ratio"] >= 0.01)
+    )
+    uniq = gated.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    split = P.train_test_split(uniq, "doc_id", 0.1)
+    counts = split.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+    )
+    n_raw = d.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    n_gated = gated.agg(F.count(F.lit(1)).cast("long").alias("n_gated"))
+    return (
+        n_raw.crossJoin(F.broadcast(n_gated))
+        .crossJoin(F.broadcast(counts))
+        .select("n_raw", "n_gated", "n_unique", "n_train", "n_test")
+    )
+
+
+def _q182_sql() -> str:
+    from tiledb_mariadb_spark.functions import pipeline as P  # noqa: PLC0415
+    from tiledb_mariadb_spark.functions import text as X  # noqa: PLC0415
+
+    qf = X.quality_features_sql("text")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE ({qf['n_tokens']} BETWEEN 5 AND 500) AND ({qf['stop_ratio']} >= 0.01)
+),
+uniq AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+split AS (SELECT doc_id, {P.split_case_sql('doc_id', 0.1)} AS split FROM uniq)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM gated) AS n_gated,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM split
+"""
+
+
+Q182_SQL = _q182_sql()
+
+
 SPECS = [
     QuerySpec(
         "q173_incremental_dedup",
@@ -443,5 +505,11 @@ SPECS = [
         q181_temperature_mix,
         Q181_SQL,
         "temperature-smoothed (alpha=1/2) source sampling weights",
+    ),
+    QuerySpec(
+        "q182_corpus_funnel",
+        q182_corpus_funnel,
+        Q182_SQL,
+        "corpus-prep funnel: gate, exact dedup, split in one plan",
     ),
 ]
