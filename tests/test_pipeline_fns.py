@@ -264,3 +264,33 @@ def test_setsim_join_is_exact(spark):
             if un and 5 * inter >= 3 * un:
                 want.add((a, b))
         assert got == want, (trial, got ^ want)
+
+
+def test_stored_lsh_index_probe_matches_inline(spark, tmp_path):
+    """write_lsh_index + probe_lsh_index reproduce the inline
+    lsh_probe_pairs candidates exactly, and the probe plan broadcasts
+    the batch side (the stored corpus index must never shuffle)."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions import dedup as D
+    from tiledb_mariadb_spark.plans.audit import formatted_plan
+    from tiledb_mariadb_spark.sources.registry import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    csigs = D.with_minhash_inline(corpus, "text", ["doc_id"])
+    bsigs = D.with_minhash_inline(batch, "text", ["doc_id"])
+    inline = {
+        (r["probe_id"], r["index_id"])
+        for r in D.lsh_probe_pairs(csigs, bsigs, "doc_id").collect()
+    }
+    path = str(tmp_path / "lsh_index")
+    D.write_lsh_index(csigs, "doc_id", path)
+    probed_df = D.probe_lsh_index(spark, path, bsigs, "doc_id")
+    stored = {(r["probe_id"], r["index_id"]) for r in probed_df.collect()}
+    assert stored == inline and stored
+    plan = formatted_plan(probed_df)
+    assert "BroadcastHashJoin" in plan, plan

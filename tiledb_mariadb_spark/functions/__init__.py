@@ -15,10 +15,13 @@ from tiledb_mariadb_spark.functions.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     lsh_probe_pairs,
     minhash_signatures,
+    probe_lsh_index,
     setsim_join,
     simhash16,
+    simhash_neardup_pairs,
     with_minhash_inline,
     with_shingles,
+    write_lsh_index,
 )
 from tiledb_mariadb_spark.functions.ivf import (  # noqa: F401
     append_ivf_index,

@@ -329,6 +329,52 @@ FROM ibands JOIN pbands USING (band, h0, h1)
 """
 
 
+def write_lsh_index(
+    sigs: DataFrame,
+    id_col: str,
+    path: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> None:
+    """Persist the corpus band index: hive-partitioned by ``band`` (a
+    handful of directories — h0/h1 are 2^31-valued and cannot be
+    partition keys) and RANGE-clustered on (h0, h1) within each band so
+    every file's footer min/max spans a narrow hash range — a probe's
+    h0 equality prunes to ~one row group per band partition.  The same
+    layout idea as the IVF list partitions and the TileTable dimension
+    clustering."""
+    bands = band_explode(sigs, id_col, "index_id", num_hashes, rows_per_band)
+    (
+        bands.repartitionByRange(int(num_hashes // rows_per_band), "band", "h0")
+        .sortWithinPartitions("band", "h0", "h1")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    probe_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Join a (small) probe batch against the STORED band index: the
+    probe bands broadcast, the index never shuffles, and each task
+    row-group-skips on the clustered (h0, h1) ranges.  Returns distinct
+    (probe_id, index_id) candidate pairs — per-ingest cost scales with
+    the batch."""
+    idx = spark.read.parquet(path)
+    pbands = band_explode(probe_sigs, id_col, "probe_id", num_hashes, rows_per_band)
+    return (
+        idx.join(F.broadcast(pbands), ["band", "h0", "h1"])
+        .select("probe_id", "index_id")
+        .distinct()
+    )
+
+
 # --- prefix-filtered set-similarity join (PPJoin-style) --------------------
 
 
