@@ -60,6 +60,8 @@ HEADLINE = [
     "q173_incremental_dedup",
     "q175_quantized_ann",
     "q168_gini_diversity",
+    "q183_dup_spans",
+    "q185_hybrid_rrf",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Unit tests for exact duplicate-span detection and lexical/hybrid
+ranking: hand-computed span merges, idf monotonicity, RRF fusion edge
+cases (one-list-only ids), and epoch-shuffle determinism/coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import dedup as D
+from tiledb_mariadb_spark.functions import ranking as R
+
+
+def test_dup_span_report_merges_islands(spark):
+    # docs 1 and 2 share "a b c d" (k=3 -> 2 dup windows merging into one
+    # 4-token span); doc 3 shares nothing; doc 4 repeats doc 1 entirely.
+    rows = [
+        (1, "a b c d x y z"),
+        (2, "q a b c d r s"),
+        (3, "u v w u v w u v"),
+        (4, "a b c d x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["max_span_tokens"])
+        for r in D.dup_span_report(df, "doc_id", "text", k=3).collect()
+    }
+    # doc 1/4: all 5 windows duplicated (identical docs) -> one 7-token span
+    assert got[1] == (5, 1, 7)
+    assert got[4] == (5, 1, 7)
+    # doc 2: windows "a b c" and "b c d" duplicated -> one island, span 4
+    assert got[2] == (2, 1, 4)
+    # doc 3: intra-doc repetition only -> absent (cross-doc semantics)
+    assert 3 not in got
+
+
+def test_dup_span_short_docs_do_not_error(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    assert D.dup_span_report(df, "doc_id", "text", k=8).count() == 0
+
+
+def test_lexical_scores_rarer_term_weighs_more(spark):
+    # NB: word_hits counts non-overlapping padded matches, so ADJACENT
+    # repeats ("common common") collapse to one hit — identical formula on
+    # both engines, so conformance is unaffected; space the repeats here.
+    rows = [
+        (1, "common x common rare"),
+        (2, "common other words"),
+        (3, "common filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in R.lexical_scores(df, "doc_id", "text",
+                                  ("common", "rare")).collect()
+    }
+    # doc 1: tf(common)=2, tf(rare)=1; idf(common)=3e6/3=1e6, idf(rare)=3e6
+    assert got[1] == 2 * 1_000_000 + 3 * 1_000_000
+    assert got[2] == 1_000_000
+    assert got[3] == 1_000_000
+
+
+def test_rrf_fuse_handles_one_list_only(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank long")
+    b = spark.createDataFrame([(2, 1), (9, 2)], "id long, rank long")
+    got = {r["id"]: r for r in R.rrf_fuse(a, b, "id").collect()}
+    assert got[1]["rank_b"] == -1 and got[9]["rank_a"] == -1
+    assert abs(got[2]["rrf"] - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(got[1]["rrf"] - 1 / 61) < 1e-15
+    # both-lists id outranks single-list ids
+    assert got[2]["rrf"] > got[1]["rrf"] > got[9]["rrf"]
+
+
+def test_top_ranks_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(3, 10), (1, 10), (2, 20)], "id long, score long"
+    )
+    got = [
+        (r["id"], r["rank"])
+        for r in R.top_ranks(df, "id", "score", 2).orderBy("rank").collect()
+    ]
+    assert got == [(2, 1), (1, 2)]  # tie at 10 resolves to lower id
+
+
+def test_epoch_shuffle_covers_all_docs_once(spark):
+    from tests.conftest import SF_DIR
+    from tiledb_mariadb_spark.suite.pipeline_ops3 import q186_epoch_shuffle
+
+    out = q186_epoch_shuffle(spark, SF_DIR)
+    n = out.count()
+    assert out.select("doc_id").distinct().count() == n
+    # positions are 1..count(shard) within every shard
+    bad = (
+        out.groupBy("shard")
+        .agg(F.max("pos_in_shard").alias("mx"), F.count("*").alias("n"))
+        .filter(F.col("mx") != F.col("n"))
+        .count()
+    )
+    assert bad == 0
+    # deterministic: same result twice
+    h1 = out.orderBy("doc_id").collect()
+    h2 = q186_epoch_shuffle(spark, SF_DIR).orderBy("doc_id").collect()
+    assert h1 == h2

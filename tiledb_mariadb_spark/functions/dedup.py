@@ -548,3 +548,91 @@ WITH toks AS ({token_cte}),
 votes AS (SELECT {id_col}, {votes} FROM toks GROUP BY {id_col})
 SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
+
+
+# --- exact duplicate-span detection ----------------------------------------
+# Distributed analog of the suffix-array "exact substring" dedup of Lee et
+# al. 2022 (Deduplicating Training Data Makes Language Models Better,
+# §ExactSubstr), re-expressed for Spark: instead of one global suffix
+# array, every k-token window is fingerprinted (md5), windows whose
+# fingerprint occurs in >= 2 DISTINCT documents are "duplicated", and
+# per-document runs of consecutive duplicated window starts are merged
+# into maximal spans with a gaps-and-islands window.  A duplicated run of
+# r consecutive windows == a shared substring of r + k - 1 tokens, so
+# max_span_tokens reports the longest cross-document repeated substring
+# per doc (>= k tokens).
+#
+# Scale shape: window generation is map-side (one explode — rows scale
+# with corpus token count, exactly like shingling); ONE shuffle groups the
+# 16-byte digests to find cross-doc fingerprints; the dup set joins back
+# on the digest (AQE can broadcast it when dup density is low); the
+# islands window repartitions by doc.  No all-pairs stage anywhere.
+
+
+def dup_span_report(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-doc report of cross-document duplicated spans (>= ``k`` tokens):
+    (id, n_dup_windows, n_spans, max_span_tokens).  Docs with no
+    cross-doc duplicated window are absent."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("ws")
+    )
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) >= {k} THEN sequence(1, size(ws) - {k - 1})"
+                " ELSE array() END"
+            )
+        ).alias("pos"),
+        F.col("ws"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        md5_hex(F.expr(f"concat_ws(' ', slice(ws, pos, {k}))")).alias("wh"),
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    marked = wins.join(dup_hashes, "wh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return spans.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        (F.max("cnt") + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
+    )
+
+
+def dup_span_report_sql(
+    table: str, id_col: str, text_col: str, k: int = 8
+) -> str:
+    """DuckDB twin of :func:`dup_span_report` (1-based inclusive slices;
+    ``range`` end-exclusive empties out short docs like the CASE guard)."""
+    return f"""
+WITH toks AS (SELECT {id_col}, str_split(TRIM({text_col}), ' ') AS ws FROM {table}),
+wins AS (SELECT {id_col}, i.i AS pos,
+                md5(array_to_string(ws[i.i:i.i+{k - 1}], ' ')) AS wh
+         FROM toks, UNNEST(range(1, len(ws) - {k - 2})) AS i(i)),
+dups AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT {id_col}) >= 2),
+marked AS (SELECT w.{id_col}, w.pos FROM wins w JOIN dups USING (wh)),
+isl AS (SELECT {id_col}, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY pos) AS island
+        FROM marked),
+spans AS (SELECT {id_col}, island, COUNT(*) AS cnt FROM isl GROUP BY {id_col}, island)
+SELECT {id_col}, CAST(SUM(cnt) AS BIGINT) AS n_dup_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(cnt) + {k - 1} AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY {id_col}
+"""

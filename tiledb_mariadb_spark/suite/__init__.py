@@ -99,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         pipeline_ops,
         pipeline_ops2,
+        pipeline_ops3,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -128,6 +129,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         pipeline_ops,
         pipeline_ops2,
+        pipeline_ops3,
         similarity,
         streaming_ops,
         spatial_ops,
