@@ -59,13 +59,21 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Explode word-``k``-gram shingles: (id, shingle), duplicates kept."""
-    return df.select(
+    """Explode word-``k``-gram shingles: (id, shingle), duplicates kept.
+
+    The split token array is staged as its own projection column first:
+    referenced from inside the transform lambda it would be re-evaluated
+    PER ELEMENT (no CSE across lambdas; see the verify recipe), turning
+    the scan O(tokens^2) per doc."""
+    staged = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__ws")
+    )
+    return staged.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(split(trim({text_col}), ' ')) - {k - 1}),"
-                f" i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i, {k})))"
+                f"transform(sequence(1, size(__ws) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(__ws, i, {k})))"
             )
         ).alias("shingle"),
     )

@@ -52,25 +52,29 @@ def sql_function_defs() -> dict[str, tuple[str, str, str]]:
             f" '<EMAIL>'), '{_spark_str_lit(PHONE_RE)}', '<PHONE>')",
         ),
         # q144's map-only quality gate as a macro: 1 - distinct/total
-        # word-3-grams, computed from the in-row shingle array
+        # word-3-grams.  A macro body is ONE expression (no projection to
+        # stage through), so the split and the shingle array are bound once
+        # via the transform(array(x), v -> ...)[1] let-idiom — otherwise
+        # each lambda re-evaluates split() PER ELEMENT (no CSE across
+        # lambdas; see the verify recipe).
         "tile_repetition_ratio": (
             "(t STRING)",
             "DOUBLE",
-            "1.0D - CAST(size(array_distinct(transform("
-            "sequence(1, size(split(trim(t), ' ')) - 2),"
-            " i -> concat_ws(' ', slice(split(trim(t), ' '), i, 3))))) AS DOUBLE)"
-            " / CAST(size(transform("
-            "sequence(1, size(split(trim(t), ' ')) - 2),"
-            " i -> concat_ws(' ', slice(split(trim(t), ' '), i, 3)))) AS DOUBLE)",
+            "element_at(transform(array(split(trim(t), ' ')), ws ->"
+            " element_at(transform(array(transform(sequence(1, size(ws) - 2),"
+            " i -> concat_ws(' ', slice(ws, i, 3)))), arr ->"
+            " 1.0D - CAST(size(array_distinct(arr)) AS DOUBLE)"
+            " / CAST(size(arr) AS DOUBLE)), 1)), 1)",
         ),
         # q176's chunker as a macro returning the chunk-text array
-        # (LATERAL VIEW explode() turns it into rows)
+        # (LATERAL VIEW explode() turns it into rows); same let-idiom
         "tile_chunks": (
             "(t STRING)",
             "ARRAY<STRING>",
-            "transform(sequence(0, CAST(floor((size(split(trim(t), ' ')) - 1)"
+            "element_at(transform(array(split(trim(t), ' ')), ws ->"
+            " transform(sequence(0, CAST(floor((size(ws) - 1)"
             " / 30) AS INT)),"
-            " c -> concat_ws(' ', slice(split(trim(t), ' '), c * 30 + 1, 40)))",
+            " c -> concat_ws(' ', slice(ws, c * 30 + 1, 40)))), 1)",
         ),
     }
 

@@ -230,14 +230,23 @@ LIMIT 20
 def q144_repetition_ratio(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     k = 3
-    arr = F.expr(
-        f"transform(sequence(1, size(split(trim(text), ' ')) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(split(trim(text), ' '), i, {k})))"
-    )
-    return d.select(
+    # Stage ws, then arr, as their own projection columns: a split or
+    # transform referenced from inside a later lambda body is re-evaluated
+    # PER ELEMENT (no CSE across lambdas — see the verify recipe), which
+    # made this scan O(tokens^2) per doc before staging.
+    staged = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws")
+    ).select(
         "doc_id",
-        F.size(arr).cast("long").alias("n_ngrams"),
-        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+        F.expr(
+            f"transform(sequence(1, size(ws) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(ws, i, {k})))"
+        ).alias("arr"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.col("arr")).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(F.col("arr"))).cast("long").alias("n_distinct"),
     ).select(
         "doc_id",
         "n_ngrams",

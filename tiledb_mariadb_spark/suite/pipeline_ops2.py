@@ -192,15 +192,21 @@ _CHUNK, _STRIDE = 40, 30
 
 def q176_chunk_documents(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ws staged as its own projection column: referenced from inside the
+    # transform lambda it would be re-split per chunk (no CSE across
+    # lambdas; see the verify recipe).
+    staged = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws")
+    )
     chunks = F.expr(
-        f"transform(sequence(0, CAST(floor((size(split(trim(text), ' ')) - 1)"
+        f"transform(sequence(0, CAST(floor((size(ws) - 1)"
         f" / {_STRIDE}) AS INT)),"
         f" c -> struct(CAST(c AS BIGINT) AS chunk_idx,"
-        f" concat_ws(' ', slice(split(trim(text), ' '),"
+        f" concat_ws(' ', slice(ws,"
         f" c * {_STRIDE} + 1, {_CHUNK})) AS chunk_text))"
     )
     return (
-        d.select("doc_id", F.explode(chunks).alias("ch"))
+        staged.select("doc_id", F.explode(chunks).alias("ch"))
         .select(
             "doc_id",
             "ch.chunk_idx",
