@@ -602,13 +602,17 @@ def dup_span_report(
         F.col("pos"),
         md5_hex(F.expr(f"concat_ws(' ', slice(ws, pos, {k}))")).alias("wh"),
     )
-    dup_hashes = (
-        wins.groupBy("wh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wh")
+    # cross-doc test as ONE window over the fingerprint instead of a
+    # groupBy + join-back: min(id) != max(id) over the wh partition is
+    # exactly countDistinct(id) >= 2, and it shuffles the window table
+    # once, not twice.
+    wf = Window.partitionBy("wh")
+    marked = (
+        wins.withColumn("min_id", F.min(id_col).over(wf))
+        .withColumn("max_id", F.max(id_col).over(wf))
+        .filter(F.col("min_id") != F.col("max_id"))
+        .select(id_col, "pos")
     )
-    marked = wins.join(dup_hashes, "wh").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = marked.withColumn(
         "island", F.col("pos") - F.row_number().over(w)
