@@ -216,3 +216,51 @@ def test_pq_codes_pack_into_32_bits(spark):
         F.min("pq_code").alias("mn"), F.max("pq_code").alias("mx")
     ).collect()[0]
     assert 0 <= row["mn"] and row["mx"] < (1 << 32)
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """IVFPQ must (a) actually prune (probed lists cover < all rows) and
+    (b) recover most of the exact top-10 — residual coding + nprobe=4
+    of 8 lists; recall floor pinned."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tiledb_mariadb_spark.functions import pq as Q
+    from tiledb_mariadb_spark.suite import t
+    from tiledb_mariadb_spark.suite.pipeline_ops3 import q191_ivfpq
+
+    approx = [r["vec_id"] for r in q191_ivfpq(spark, SF_DIR).collect()]
+    assert len(approx) == 10
+
+    coarse = Q.train_coarse()
+    qs = Q.query_scaled()
+    probed = Q.probe_lists_py(qs, coarse)
+    e = t(spark, SF_DIR, "embeddings")
+    staged = e.select(
+        "vec_id", F.expr(Q.scaled_vec_spark("embedding")).alias("sv")
+    )
+    cd = staged.select(
+        "vec_id", F.expr(Q.coarse_dists_spark("sv", coarse)).alias("cd")
+    )
+    lists = cd.select(
+        F.expr("(array_position(cd, array_min(cd)) - 1)").alias("list_id")
+    )
+    n_total = lists.count()
+    n_probed = lists.filter(F.col("list_id").isin(probed)).count()
+    assert 0 < n_probed < n_total  # pruning is real
+
+    qarr = ", ".join(f"{v}L" for v in qs)
+    dot = (
+        "aggregate(zip_with(sv,"
+        f" array({qarr}), (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    exact = [
+        r["vec_id"]
+        for r in staged.select("vec_id", F.expr(dot).alias("s"))
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.7, (recall, approx, exact)

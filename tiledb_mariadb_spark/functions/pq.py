@@ -189,3 +189,130 @@ def adc_score_sql(packed_col: str, lut: list[list[int]]) -> str:
         code = f"(({packed_col} >> {4 * j}) & 15)"
         terms.append(f"([{arr}])[CAST({code} + 1 AS INT)]")
     return "(" + " + ".join(terms) + ")"
+
+
+# --- IVF+PQ composition (coarse quantizer + residual PQ) -------------------
+# The canonical billion-scale recipe (FAISS IVFPQ; Jegou et al. 2011 §IV):
+# a coarse k-means partitions the corpus into inverted lists (at scale:
+# partition-pruned storage, see functions/ivf.py), and each vector stores
+# only the PQ code of its RESIDUAL from its list centroid — residual
+# magnitudes are much smaller than raw vectors, so the same 4-bit codes
+# quantize far more precisely.  Search probes the nprobe nearest lists
+# with a PER-LIST lookup table built from (query - list_centroid).
+# Everything here keeps the module's exact-int convention: residuals are
+# int vector differences, distances int64 sums — bit-identical in both
+# engines.
+
+K_COARSE = 8
+NPROBE = 4
+
+
+@lru_cache(maxsize=4)
+def train_coarse(
+    path: str = TRAIN_PATH, sample_n: int = 256, iters: int = 4
+) -> tuple[tuple[int, ...], ...]:
+    """K_COARSE full-dim centroids as scaled ints (deterministic Lloyd,
+    seeds = first K sample vectors by id)."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow.parquet as pq_  # noqa: PLC0415
+
+    tbl = pq_.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(tbl.column("vec_id").to_numpy())[:sample_n]
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)[
+        order
+    ]
+    cents = mat[:K_COARSE].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(K_COARSE):
+            members = mat[lab == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return tuple(
+        tuple(int(round(x * SCALE)) for x in cv) for cv in cents
+    )
+
+
+@lru_cache(maxsize=4)
+def train_residual_codebooks(
+    path: str = TRAIN_PATH, sample_n: int = 256, iters: int = 4
+) -> tuple[tuple[tuple[int, ...], ...], ...]:
+    """PQ codebooks trained on coarse-assignment residuals (scaled-int
+    space throughout, so training-time assignment equals engine-time
+    assignment exactly)."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow.parquet as pq_  # noqa: PLC0415
+
+    coarse = np.asarray(train_coarse(path, sample_n, iters), dtype=np.int64)
+    tbl = pq_.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(tbl.column("vec_id").to_numpy())[:sample_n]
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)[
+        order
+    ]
+    smat = np.rint(mat * SCALE).astype(np.int64)
+    d2 = ((smat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    lab = d2.argmin(axis=1)
+    res = (smat - coarse[lab]).astype(np.float64)
+    books = []
+    for j in range(M):
+        sub = res[:, j * SUB : (j + 1) * SUB]
+        cents = sub[:KCODES].copy()
+        for _ in range(iters):
+            dd = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            ll = dd.argmin(axis=1)
+            for c in range(KCODES):
+                members = sub[ll == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(tuple(tuple(int(round(x)) for x in cv) for cv in cents))
+    return tuple(books)
+
+
+def coarse_dists_spark(sv_col: str, coarse: tuple) -> str:
+    dists = ", ".join(
+        "aggregate(zip_with("
+        f"{sv_col}, array({', '.join(f'{c}L' for c in cv)}),"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        for cv in coarse
+    )
+    return f"array({dists})"
+
+
+def coarse_dists_sql(sv_col: str, coarse: tuple) -> str:
+    dists = ", ".join(
+        "CAST(list_sum(list_transform("
+        f"{sv_col},"
+        f" (x, i) -> (x - ([{', '.join(str(c) for c in cv)}])[i])"
+        f" * (x - ([{', '.join(str(c) for c in cv)}])[i])"
+        ")) AS BIGINT)"
+        for cv in coarse
+    )
+    return f"[{dists}]"
+
+
+def residual_spark(sv_col: str, list_col: str, coarse: tuple) -> str:
+    """Residual vector sv - coarse[list_id]: the list centroid is picked
+    from an inline K_COARSE x DIM literal by the assigned list id."""
+    rows = ", ".join(
+        f"array({', '.join(f'{c}L' for c in cv)})" for cv in coarse
+    )
+    cent = f"element_at(array({rows}), CAST({list_col} + 1 AS INT))"
+    return f"zip_with({sv_col}, {cent}, (x, y) -> x - y)"
+
+
+def residual_sql(sv_col: str, list_col: str, coarse: tuple) -> str:
+    rows = ", ".join(f"[{', '.join(str(c) for c in cv)}]" for cv in coarse)
+    cent = f"([{rows}])[CAST({list_col} + 1 AS INT)]"
+    return f"list_transform({sv_col}, (x, i) -> x - {cent}[i])"
+
+
+def probe_lists_py(qs: tuple[int, ...], coarse: tuple, nprobe: int = NPROBE) -> list[int]:
+    """The nprobe nearest coarse lists to the query — exact int math on
+    the driver (centroid table is K_COARSE x DIM ints)."""
+    dists = [
+        (sum((q - c) ** 2 for q, c in zip(qs, cv)), lid)
+        for lid, cv in enumerate(coarse)
+    ]
+    return [lid for _, lid in sorted(dists)[:nprobe]]

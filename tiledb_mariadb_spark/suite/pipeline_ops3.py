@@ -403,6 +403,146 @@ LIMIT 10
 """
 
 
+# --- q191: IVF+PQ — coarse lists + residual codes + per-list ADC -----------
+# FAISS-style IVFPQ (Jegou et al. 2011 §IV) as one declarative plan: a
+# pretrained coarse quantizer assigns each vector to one of 8 inverted
+# lists; the vector stores only the packed 4-bit PQ code of its RESIDUAL
+# from the list centroid.  Search probes the nprobe=4 lists nearest the
+# query (driver-side int math on the tiny centroid table — at scale the
+# lists are stored partitions, so the IN-filter below is partition
+# pruning, exactly like functions/ivf.py), scores the probed ~half of
+# the corpus with a per-list ADC lookup table, and exact-re-ranks the
+# 100-candidate shortlist.  Integer end-to-end.
+def q191_ivfpq(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import pq as Q  # noqa: PLC0415
+
+    coarse = Q.train_coarse()
+    books = Q.train_residual_codebooks()
+    qs = Q.query_scaled()
+    probed = Q.probe_lists_py(qs, coarse)
+    luts = {
+        lid: Q.adc_lut(
+            books, tuple(q - c for q, c in zip(qs, coarse[lid]))
+        )
+        for lid in probed
+    }
+    e = t(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id", F.expr(Q.scaled_vec_spark("embedding")).alias("sv")
+    )
+    cd = staged.select(
+        "vec_id", "sv", F.expr(Q.coarse_dists_spark("sv", coarse)).alias("cd")
+    )
+    assigned = cd.select(
+        "vec_id",
+        "sv",
+        F.expr("(array_position(cd, array_min(cd)) - 1)").alias("list_id"),
+    )
+    pruned = assigned.filter(F.col("list_id").isin(probed))
+    res = pruned.select(
+        "vec_id",
+        "list_id",
+        "sv",
+        F.expr(Q.residual_spark("sv", "list_id", coarse)).alias("rv"),
+    )
+    dcols = res.select(
+        "vec_id",
+        "list_id",
+        "sv",
+        *[
+            F.expr(Q.dist_array_spark("rv", j, books)).alias(f"dl{j}")
+            for j in range(Q.M)
+        ],
+    )
+    packed = dcols.select(
+        "vec_id",
+        "list_id",
+        "sv",
+        F.expr(
+            Q.packed_expr(
+                [Q.code_from_dists_spark(f"dl{j}") for j in range(Q.M)]
+            )
+        ).alias("pq_code"),
+    )
+    case = (
+        "CASE list_id "
+        + " ".join(
+            f"WHEN {lid} THEN {Q.adc_score_spark('pq_code', luts[lid])}"
+            for lid in probed
+        )
+        + " ELSE CAST(0 AS BIGINT) END"
+    )
+    scored = packed.select(
+        "vec_id", "list_id", "sv", "pq_code", F.expr(case).alias("adc_score")
+    )
+    shortlist = scored.orderBy(F.col("adc_score").desc(), "vec_id").limit(
+        _PQ_SHORTLIST
+    )
+    qarr = ", ".join(f"{v}L" for v in qs)
+    exact = (
+        f"aggregate(zip_with(sv, array({qarr}), (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        shortlist.select(
+            "vec_id", "list_id", "pq_code", "adc_score",
+            F.expr(exact).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _q191_sql() -> str:
+    from tiledb_mariadb_spark.functions import pq as Q  # noqa: PLC0415
+
+    coarse = Q.train_coarse()
+    books = Q.train_residual_codebooks()
+    qs = Q.query_scaled()
+    probed = Q.probe_lists_py(qs, coarse)
+    luts = {
+        lid: Q.adc_lut(
+            books, tuple(q - c for q, c in zip(qs, coarse[lid]))
+        )
+        for lid in probed
+    }
+    dls = ", ".join(
+        f"{Q.dist_array_sql('rv', j, books)} AS dl{j}" for j in range(Q.M)
+    )
+    packed = Q.packed_expr(
+        [Q.code_from_dists_sql(f"dl{j}") for j in range(Q.M)]
+    )
+    case = (
+        "CASE list_id "
+        + " ".join(
+            f"WHEN {lid} THEN {Q.adc_score_sql('pq_code', luts[lid])}"
+            for lid in probed
+        )
+        + " ELSE CAST(0 AS BIGINT) END"
+    )
+    qarr = ", ".join(str(v) for v in qs)
+    exact = (
+        f"CAST(list_sum(list_transform(sv, (x, i) -> x * ([{qarr}])[i]))"
+        " AS BIGINT)"
+    )
+    in_list = ", ".join(str(lid) for lid in probed)
+    return f"""
+WITH s AS (SELECT vec_id, {Q.scaled_vec_sql('embedding')} AS sv FROM embeddings),
+a AS (SELECT vec_id, sv, {Q.coarse_dists_sql('sv', coarse)} AS cd FROM s),
+l AS (SELECT vec_id, sv, (list_position(cd, list_min(cd)) - 1) AS list_id FROM a),
+f AS (SELECT * FROM l WHERE list_id IN ({in_list})),
+r AS (SELECT vec_id, list_id, sv, {Q.residual_sql('sv', 'list_id', coarse)} AS rv FROM f),
+d AS (SELECT vec_id, list_id, sv, {dls} FROM r),
+p AS (SELECT vec_id, list_id, sv, {packed} AS pq_code FROM d),
+sc AS (SELECT vec_id, list_id, sv, pq_code, {case} AS adc_score FROM p),
+sl AS (SELECT * FROM sc ORDER BY adc_score DESC, vec_id LIMIT {_PQ_SHORTLIST})
+SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, pq_code, adc_score, {exact} AS dot
+FROM sl
+ORDER BY dot DESC, vec_id
+LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec(
         "q183_dup_spans",
@@ -451,5 +591,11 @@ SPECS = [
         q190_pq_ann,
         _q190_sql(),
         "product-quantization ANN: packed 4-bit codes + integer ADC top-k",
+    ),
+    QuerySpec(
+        "q191_ivfpq",
+        q191_ivfpq,
+        _q191_sql(),
+        "IVF+PQ: coarse list pruning + residual codes + per-list ADC",
     ),
 ]
