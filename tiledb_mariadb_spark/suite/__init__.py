@@ -100,6 +100,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops,
         pipeline_ops2,
         pipeline_ops3,
+        pipeline_ops4,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -130,6 +131,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops,
         pipeline_ops2,
         pipeline_ops3,
+        pipeline_ops4,
         similarity,
         streaming_ops,
         spatial_ops,
