@@ -87,6 +87,7 @@ def all_specs() -> dict[str, QuerySpec]:
     """Assemble the full registry from the category modules."""
     from tiledb_mariadb_spark.suite import (  # noqa: PLC0415
         analytics,
+        analytics2,
         core,
         functions_surface,
         functions_surface2,
@@ -132,6 +133,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops2,
         pipeline_ops3,
         pipeline_ops4,
+        analytics2,
         similarity,
         streaming_ops,
         spatial_ops,
