@@ -88,6 +88,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from tiledb_mariadb_spark.suite import (  # noqa: PLC0415
         analytics,
         analytics2,
+        analytics3,
         core,
         functions_surface,
         functions_surface2,
@@ -134,6 +135,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops3,
         pipeline_ops4,
         analytics2,
+        analytics3,
         similarity,
         streaming_ops,
         spatial_ops,
