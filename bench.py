@@ -64,6 +64,14 @@ HEADLINE = [
     "q185_hybrid_rrf",
     "q188_rarity_score",
     "q190_pq_ann",
+    # sketch tier + event analytics + gap fill: all uncapped single-pass
+    # corpus/event shapes (constant-size shuffles for the sketches)
+    "q192_decontaminate",
+    "q193_hll_cardinality",
+    "q195_bloom_prune",
+    "q198_funnel",
+    "q200_pagerank",
+    "q202_resample_gapfill",
 ]
 
 

@@ -209,7 +209,17 @@ FROM pos GROUP BY 1
 
 def bloom_probe(probes: DataFrame, key_col: str, words: DataFrame) -> DataFrame:
     """Add ``bloom_pass`` (1/0): all k bits set.  ``words`` is broadcast —
-    a Bloom word table is at most BLOOM_BITS/63 rows by construction."""
+    a Bloom word table is at most BLOOM_BITS/63 rows by construction.
+
+    The word table feeds one broadcast join per hash function; persisting
+    it materializes the build-side scan ONCE instead of once per join
+    (the build side is the expensive input at scale, the word table
+    itself is ~1 KB).  Same storage-level rationale as
+    ``dedup.lsh_candidate_pairs``.
+    """
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
     out = probes.select(
         "*", *[bloom_bit(F.col(key_col), j).alias(f"__b{j}") for j in range(BLOOM_K)]
     )

@@ -162,6 +162,12 @@ def q200_pagerank(spark, sf_dir):
             ).alias("dst"),
         )
     )
+    # edges feed every iteration's join: persist so the derivation scan
+    # runs once, not once per iteration (same knob rationale as
+    # dedup.lsh_candidate_pairs)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     scores = d.select(
         F.col("doc_id").alias("node"), F.lit(_PR_SCALE).cast("long").alias("score")
     )
