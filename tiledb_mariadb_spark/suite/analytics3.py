@@ -262,6 +262,120 @@ ORDER BY n_nationkey
 """
 
 
+# --- q205: fuzzy string join (blocked Levenshtein entity resolution) -------
+# The fixture's 64 distinct part names are mutually >= 3 edits apart, so
+# single-edit corrupted variants are grafted deterministically (char-2
+# deletion / 'x' append) and the operator must re-link each variant to
+# its source: blocking key (first char + length band) prunes candidates
+# to an equi-join, exact levenshtein(<=1) verifies.  Both engines use the
+# same unit-cost edit distance.  The all-pairs expansion is confined to a
+# block, the standard entity-resolution scale shape (like LSH bands).
+
+
+def q205_fuzzy_join(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    base = p.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    variants = base.select(
+        F.when(
+            F.col("pid") % 2 == 0,
+            F.concat(F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")),
+        )
+        .otherwise(F.concat(F.col("p_name"), F.lit("x")))
+        .alias("vname"),
+        (F.col("pid") + 100000).alias("vid"),
+    )
+    b = base.select(
+        "pid",
+        "p_name",
+        F.substring("p_name", 1, 1).alias("blk"),
+        F.length("p_name").alias("blen"),
+    )
+    v = variants.select(
+        "vid",
+        "vname",
+        F.substring("vname", 1, 1).alias("blk"),
+        F.length("vname").alias("vlen"),
+    )
+    return (
+        b.join(v, "blk")
+        .filter(F.abs(F.col("blen") - F.col("vlen")) <= 1)
+        .withColumn("lev", F.levenshtein("p_name", "vname").cast("long"))
+        .filter(F.col("lev") <= 1)
+        .select("pid", "vid", "p_name", "vname", "lev")
+        .orderBy("pid", "vid")
+    )
+
+
+Q205_SQL = """
+WITH base AS (SELECT p_name, MIN(p_partkey) AS pid FROM part GROUP BY p_name),
+variants AS (SELECT CASE WHEN pid % 2 = 0
+                         THEN substr(p_name, 1, 1) || substr(p_name, 3)
+                         ELSE p_name || 'x' END AS vname,
+                    pid + 100000 AS vid
+             FROM base),
+b AS (SELECT pid, p_name, substr(p_name, 1, 1) AS blk, length(p_name) AS blen
+      FROM base),
+v AS (SELECT vid, vname, substr(vname, 1, 1) AS blk, length(vname) AS vlen
+      FROM variants)
+SELECT pid, vid, p_name, vname, CAST(levenshtein(p_name, vname) AS BIGINT) AS lev
+FROM b JOIN v ON b.blk = v.blk
+WHERE abs(blen - vlen) <= 1 AND levenshtein(p_name, vname) <= 1
+ORDER BY pid, vid
+"""
+
+
+# --- q206: z-score anomaly detection ---------------------------------------
+# Per-event-type mean/std from exact integer sums (sum and sum-of-squares
+# of the 2-decimal-scaled value stay < 2^53, so the final doubles are
+# exactly determined), then |z| > threshold flags outliers.  One keyed
+# aggregate + one broadcast join back — no second scan shuffle.
+_Z_THRESH = 2.2
+
+
+def q206_zscore_outliers(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT)").alias("vs"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vs").alias("sx"),
+        F.sum(F.col("vs") * F.col("vs")).alias("sxx"),
+    )
+    mean_s = F.col("sx").cast("double") / F.col("n").cast("double")
+    std_s = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) / F.col("n").cast("double")
+    z = (F.col("vs").cast("double") - mean_s) / std_s
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _Z_THRESH)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
+Q206_SQL = f"""
+WITH e AS (SELECT event_id, event_type, value,
+                  CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vs
+           FROM events),
+stats AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(vs) AS BIGINT) AS sx,
+                 CAST(SUM(vs * vs) AS BIGINT) AS sxx
+          FROM e GROUP BY event_type)
+SELECT event_id, e.event_type, value,
+       (CAST(vs AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+FROM e JOIN stats ON e.event_type = stats.event_type
+WHERE abs((CAST(vs AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)))
+      > {_Z_THRESH}
+ORDER BY event_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "q202_resample_gapfill",
@@ -280,5 +394,17 @@ SPECS = [
         q204_version_diff,
         Q204_SQL,
         "time-travel version diff (CDC changelog) over a tile table",
+    ),
+    QuerySpec(
+        "q205_fuzzy_join",
+        q205_fuzzy_join,
+        Q205_SQL,
+        "blocked Levenshtein fuzzy join (entity resolution shape)",
+    ),
+    QuerySpec(
+        "q206_zscore_outliers",
+        q206_zscore_outliers,
+        Q206_SQL,
+        "z-score anomaly detection from exact integer moments",
     ),
 ]
