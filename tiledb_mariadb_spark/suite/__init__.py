@@ -89,6 +89,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         core,
         functions_surface,
         functions_surface2,
@@ -136,6 +137,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops4,
         analytics2,
         analytics3,
+        analytics4,
         similarity,
         streaming_ops,
         spatial_ops,
