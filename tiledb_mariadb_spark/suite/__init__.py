@@ -124,7 +124,11 @@ def all_specs() -> dict[str, QuerySpec]:
     # (q173–q175), similarity
     # (incl. q159), streaming_ops, spatial_ops, tpch_extra, surfaces2
     # (q162–q166), functions_surface7 (q160–q168) + round 2's fixed reds
-    # (q43, q118, q122, q129).
+    # (q43, q118, q122, q129); round 4 then covers the round-2-added tail
+    # (pipeline_ops3 q183–q191, pipeline_ops4 q192–q197, analytics2
+    # q198–q201, analytics3 q202–q206, analytics4 q207–q209) plus
+    # whatever core/analytics rows round 1 verified last (stable greens
+    # can rotate to the back).
     for mod in (
         joins,
         subqueries,
