@@ -45,14 +45,34 @@ def q173_incremental_dedup(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
-    csh = D.with_shingles(corpus, "doc_id", "text", k=3)
-    bsh = D.with_shingles(batch, "doc_id", "text", k=3)
     # signatures in-row (zero shuffle) — bit-identical to the groupBy path
     cands = D.lsh_probe_pairs(
         D.with_minhash_inline(corpus, "text", ["doc_id"]),
         D.with_minhash_inline(batch, "text", ["doc_id"]),
         "doc_id",
     )
+    # the candidate set feeds three joins below; persist so the two
+    # minhash scans run once
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    # verify cost must scale with the CANDIDATE set, not the corpus:
+    # shingle + distinct only the docs that appear in a candidate pair
+    # (broadcast semi-joins — the candidate id sets are band-collision
+    # sized).  Without this, the exact-Jaccard verify shuffles every
+    # corpus shingle to check a handful of pairs.
+    corpus_c = corpus.join(
+        F.broadcast(cands.select(F.col("index_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    batch_c = batch.join(
+        F.broadcast(cands.select(F.col("probe_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    csh = D.with_shingles(corpus_c, "doc_id", "text", k=3)
+    bsh = D.with_shingles(batch_c, "doc_id", "text", k=3)
     cdist = csh.distinct()
     bdist = bsh.distinct()
     ps = bdist.select(F.col("doc_id").alias("probe_id"), "shingle")
