@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Scale-up probe: replicate the sf0.1 documents/embeddings tables Nx
+(ids remapped so replicas are distinct rows) and time the flagship
+corpus/ANN operators at 1x, 10x, 30x.
+
+Purpose: empirical evidence for the 100 TB design claims — the ops that
+promise sub-quadratic / shuffle-bounded behavior (exact dedup, in-row
+MinHash + LSH banding, bucketed near-dup verify, IVF assign) should
+scale ~linearly in rows here.  Replicated text means EVERY replica
+group is an exact-dup cluster, so dedup outputs stay meaningful.
+
+Writes replicas under .tmp/scale/<mult>x/ and prints one markdown table
+(appended by hand to BASELINE.md / SCALING notes).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+ROOT = "/root/repo/.tmp/scale"
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULTS = [int(x) for x in (sys.argv[1:] or ["1", "10", "30"])]
+
+
+def replicate(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(ROOT, f"{mult}x")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    n_docs = docs.count()
+    n_vecs = embs.count()
+    reps = spark.range(mult).withColumnRenamed("id", "rep")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    (
+        embs.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+    return out
+
+
+def probe_ops(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions import dedup as D
+    from tiledb_mariadb_spark.functions import ivf as IVF
+    from tiledb_mariadb_spark.functions import similarity as S
+
+    timings: dict[str, float] = {}
+
+    def clock(name: str, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 2)
+        print(f"  {name}: {timings[name]}s (result rows/val: {n})", flush=True)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    clock(
+        "exact_dedup",
+        lambda: D.exact_dedup_groups(docs, "doc_id", "text")
+        .filter(F.col("n_copies") > 1)
+        .count(),
+    )
+    clock(
+        "inline_minhash",
+        lambda: D.with_minhash_inline(docs, "text", ["doc_id"]).count(),
+    )
+
+    def lsh_pairs():
+        sigs = D.with_minhash_inline(docs, "text", ["doc_id"])
+        # replicas make every doc a dup cluster: count pairs, capped by
+        # counting instead of collecting
+        return D.lsh_candidate_pairs(sigs, "doc_id").count()
+
+    clock("lsh_candidate_pairs", lsh_pairs)
+
+    def ivf_assign():
+        cents = IVF.train_centroids(embs.limit(50000), "vec_id", "embedding", k=16)
+        return IVF.assign_lists(embs, cents, "embedding").groupBy("list_id").count().count()
+
+    clock("ivf_train_assign", ivf_assign)
+
+    def brute_topk():
+        qv = embs.limit(1).select(F.col("embedding").alias("qv"))
+        return (
+            embs.crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id", F.expr(S.dot_int_expr("embedding", "qv")).alias("score")
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(10)
+            .count()
+        )
+
+    clock("cosine_topk", brute_topk)
+    return timings
+
+
+def main() -> None:
+    from tiledb_mariadb_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    rows = []
+    for m in MULTS:
+        print(f"--- {m}x ---", flush=True)
+        d = replicate(spark, m)
+        n = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+        t = probe_ops(spark, d)
+        rows.append((m, n, t))
+    ops = list(rows[0][2])
+    print("\n| mult | docs | " + " | ".join(ops) + " |")
+    print("|" + "---|" * (len(ops) + 2))
+    for m, n, t in rows:
+        print(f"| {m}x | {n} | " + " | ".join(f"{t[o]}s" for o in ops) + " |")
+
+
+if __name__ == "__main__":
+    main()
