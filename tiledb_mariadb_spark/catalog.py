@@ -711,6 +711,46 @@ class TileTable:
 
     # --- discovery / SHOW CREATE ---------------------------------------------
 
+    def information_schema_columns(self, name: Optional[str] = None) -> DataFrame:
+        """One row per column: the ``information_schema.columns`` analog
+        MariaDB exposes over every storage engine (the reference's tables
+        appear there via the discovery handler, mytile-discovery.cc).
+        Columns: table_name, column_name, ordinal (1-based, dims first —
+        the PRIMARY KEY order), kind ('dimension'/'attribute'), data_type,
+        is_nullable, extra (enum labels / filter pipeline)."""
+        name = name or os.path.basename(self.uri.rstrip("/"))
+        rows = []
+        ordinal = 1
+        for d in self.schema.dimensions:
+            rows.append((name, d.name, ordinal, "dimension", d.dtype, "NO", ""))
+            ordinal += 1
+        for a in self.schema.attributes:
+            extra = ""
+            if a.enum is not None:
+                extra = "enum(" + ",".join(a.enum) + ")"
+            if a.filters is not None:
+                extra += (";" if extra else "") + f"filters={a.filters}"
+            rows.append(
+                (
+                    name,
+                    a.name,
+                    ordinal,
+                    "attribute",
+                    a.dtype,
+                    "YES" if a.nullable else "NO",
+                    extra,
+                )
+            )
+            ordinal += 1
+        return self.spark.createDataFrame(
+            rows,
+            schema=(
+                "table_name string, column_name string, ordinal int,"
+                " kind string, data_type string, is_nullable string,"
+                " extra string"
+            ),
+        )
+
     def show_create(
         self, name: Optional[str] = None, display_uri: Optional[str] = None
     ) -> str:

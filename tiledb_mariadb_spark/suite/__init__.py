@@ -110,6 +110,7 @@ def all_specs() -> dict[str, QuerySpec]:
         subqueries,
         surfaces,
         surfaces2,
+        surfaces3,
         tpch_extra,
         windows,
     )
@@ -147,6 +148,7 @@ def all_specs() -> dict[str, QuerySpec]:
         spatial_ops,
         tpch_extra,
         surfaces2,
+        surfaces3,
         functions_surface7,
         functions_surface6,
         functions_surface5,

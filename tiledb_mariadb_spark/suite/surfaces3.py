@@ -1,0 +1,131 @@
+"""Catalog information-schema surface and sentence-level text prep.
+
+* q210 — **sentence splitting**: per-document sentence explode with
+  ordinal + length stats, the segmentation step before sentence-level
+  dedup/packing in corpus prep.  Map-only (posexplode of a split), no
+  shuffle before the bounded output.
+* q211 — **information_schema.columns analog**: MariaDB exposes every
+  storage engine's tables through information_schema; the reference's
+  arrays surface there via the discovery handler
+  (`mytile/mytile-discovery.cc`).  Here two tile tables with dims,
+  enums, nullability, and filter pipelines registered in one session are
+  described by `TileTable.information_schema_columns`, and the oracle is
+  the literal expected catalog — so column order (dims first, PRIMARY
+  KEY order), kinds, types, nullability, and extra metadata are all
+  pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+# --- q210: sentence splitting ----------------------------------------------
+_SENT_DOCS = 100
+
+
+def q210_sentence_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _SENT_DOCS)
+    staged = d.select(
+        "doc_id", F.split(F.col("text"), "\\. ").alias("sents")
+    )
+    return (
+        staged.select(
+            "doc_id", F.posexplode("sents").alias("sent_idx", "sentence")
+        )
+        .filter(F.trim(F.col("sentence")) != "")
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            F.length("sentence").cast("long").alias("sent_len"),
+            F.size(F.split(F.trim(F.col("sentence")), " ")).cast("long").alias(
+                "n_words"
+            ),
+        )
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
+Q210_SQL = f"""
+WITH staged AS (SELECT doc_id, string_split_regex(text, '\\. ') AS sents
+                FROM documents WHERE doc_id < {_SENT_DOCS}),
+ex AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, sents[i] AS sentence
+       FROM staged, UNNEST(range(1, len(sents) + 1)) AS u(i))
+SELECT doc_id, sent_idx, CAST(length(sentence) AS BIGINT) AS sent_len,
+       CAST(len(str_split(TRIM(sentence), ' ')) AS BIGINT) AS n_words
+FROM ex WHERE TRIM(sentence) <> ''
+ORDER BY doc_id, sent_idx
+"""
+
+
+# --- q211: information_schema.columns analog -------------------------------
+def q211_information_schema(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    t1 = TileTable.create(
+        spark,
+        _uri("is_points", sf_dir),
+        dimensions=[
+            Dim("x", "int", lower=0, upper=99, tile_extent=10),
+            Dim("y", "int", lower=0, upper=99, tile_extent=10),
+        ],
+        attributes=[
+            Attr("temp", "double", filters="GZIP=6"),
+            Attr("grade", "string", nullable=False, enum=["a", "b", "c"]),
+        ],
+        overwrite=True,
+    )
+    t2 = TileTable.create(
+        spark,
+        _uri("is_log", sf_dir),
+        dimensions=[Dim("ts", "timestamp")],
+        attributes=[Attr("msg", "string")],
+        overwrite=True,
+    )
+    return (
+        t1.information_schema_columns("is_points")
+        .unionByName(t2.information_schema_columns("is_log"))
+        .select(
+            "table_name",
+            "column_name",
+            F.col("ordinal").cast("long").alias("ordinal"),
+            "kind",
+            "data_type",
+            "is_nullable",
+            "extra",
+        )
+        .orderBy("table_name", "ordinal")
+    )
+
+
+Q211_SQL = """
+SELECT * FROM (VALUES
+  ('is_log', 'ts', CAST(1 AS BIGINT), 'dimension', 'timestamp', 'NO', ''),
+  ('is_log', 'msg', CAST(2 AS BIGINT), 'attribute', 'string', 'YES', ''),
+  ('is_points', 'x', CAST(1 AS BIGINT), 'dimension', 'int', 'NO', ''),
+  ('is_points', 'y', CAST(2 AS BIGINT), 'dimension', 'int', 'NO', ''),
+  ('is_points', 'temp', CAST(3 AS BIGINT), 'attribute', 'double', 'YES',
+   'filters=GZIP=6'),
+  ('is_points', 'grade', CAST(4 AS BIGINT), 'attribute', 'string', 'NO',
+   'enum(a,b,c)')
+) AS v(table_name, column_name, ordinal, kind, data_type, is_nullable, extra)
+ORDER BY table_name, ordinal
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q210_sentence_split",
+        q210_sentence_split,
+        Q210_SQL,
+        "per-document sentence explode with ordinals and length stats",
+    ),
+    QuerySpec(
+        "q211_information_schema",
+        q211_information_schema,
+        Q211_SQL,
+        "information_schema.columns analog over registered tile tables",
+    ),
+]
