@@ -72,6 +72,10 @@ HEADLINE = [
     "q198_funnel",
     "q200_pagerank",
     "q202_resample_gapfill",
+    # batch-5 pipeline ops, uncapped: two-phase global ordinal manifest
+    # over documents and BM25 corpus ranking (stats broadcast + TakeOrdered)
+    "q212_global_ordinal",
+    "q213_bm25_topk",
 ]
 
 

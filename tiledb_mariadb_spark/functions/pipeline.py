@@ -304,6 +304,68 @@ def pack_greedy(
     return sharded.groupBy("shard").applyInPandas(pack, schema=schema)
 
 
+# --- scale-safe global row numbering ---------------------------------------
+
+
+def stable_ordinal(
+    df: DataFrame,
+    order_cols: list[str],
+    descending: tuple[bool, ...] | None = None,
+    n_parts: int | None = None,
+    alias: str = "ordinal",
+) -> DataFrame:
+    """Contiguous 1-based global ordinals in total order, without the
+    single-partition collapse.
+
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+    entire input through ONE task — the classic 100 TB scale-killer
+    (monotonically_increasing_id avoids that but is non-contiguous and
+    partition-order-dependent).  Two-phase form instead:
+
+    1. range-repartition on the order key (parallel sort shuffle, same
+       cost class as any global sort);
+    2. count rows per range partition — output is one row per partition
+       (driver-tiny), turned into prefix offsets;
+    3. per-partition ``row_number`` (each partition is an independent
+       window group — fully parallel) plus the partition's offset.
+
+    Jobs 2 and 3 hang off the same shuffle, so Spark skips the map stage
+    on the second pass (shuffle reuse) — the input is scanned once.
+    ``order_cols`` must be a total order (append a unique tiebreaker):
+    range partitioning co-locates equal keys, and the within-partition
+    window uses the same key, so ordinals are deterministic.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    desc = descending or tuple(False for _ in order_cols)
+    cols = [
+        F.col(c).desc() if d else F.col(c).asc()
+        for c, d in zip(order_cols, desc)
+    ]
+    n = n_parts or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    offsets, run = {}, 0
+    for row in sorted(sizes, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = run
+        run += row["__n"]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        parted.withColumn(
+            alias,
+            (F.row_number().over(w) + off_map[F.col("__pid")]).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 # --- connected components (near-dup clustering) ----------------------------
 
 

@@ -92,6 +92,93 @@ SELECT {id_col}, CAST({score} AS BIGINT) AS score FROM tf, st
 """
 
 
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-style relevance with length normalization (Robertson et al.).
+
+    Same one-broadcast-stats-row shape as :func:`lexical_scores`, plus the
+    saturating tf term ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` that
+    classic tf·idf lacks.  Deviation for cross-engine determinism: the
+    ``ln``-based idf is replaced by the integer ``(N·1e6) DIV df`` (ln is
+    not bit-stable across engines); every float step is a fixed chain of
+    IEEE ops on exactly-converted int64 inputs, written with identical
+    parenthesization in the SQL twin.  dl = whitespace token count,
+    avgdl = one exact int64 ratio converted once.
+    """
+    tf = with_term_frequencies(df, text_col, terms).select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), " +")).cast("long").alias("dl"),
+        *[_tf_col(x) for x in terms],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ] + [
+        F.sum((F.col(_tf_col(x)) > 0).cast("long")).alias(f"df_{x}")
+        for x in terms
+    ]
+    stats = tf.agg(*aggs)
+    scored = tf.crossJoin(F.broadcast(stats)).withColumn(
+        "norm_len",
+        F.col("dl").cast("double")
+        * (F.col("n_docs").cast("double") / F.col("sum_dl").cast("double")),
+    )
+    score: Column = F.lit(0.0)
+    for x in terms:
+        idf = F.expr(
+            f"CAST((n_docs * {IDF_SCALE}) DIV greatest(df_{x}, 1) AS DOUBLE)"
+        )
+        tf_d = F.col(_tf_col(x)).cast("double")
+        sat = (tf_d * F.lit(k1 + 1.0)) / (
+            tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("norm_len"))
+        )
+        score = score + idf * sat
+    return scored.select(F.col(id_col), score.alias("bm25"))
+
+
+def bm25_scores_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` — identical IEEE op chain.
+
+    Float literals use e-notation (``1.2e0``): both engines parse bare
+    ``1.2`` as DECIMAL, which would change the arithmetic type.
+    """
+    tf_exprs = ", ".join(f"{word_hits_sql(text_col, x)} AS tf_{x}" for x in terms)
+    df_exprs = ", ".join(
+        f"SUM(CASE WHEN tf_{x} > 0 THEN 1 ELSE 0 END) AS df_{x}" for x in terms
+    )
+    sat = " + ".join(
+        f"(CAST((n_docs * {IDF_SCALE}) // GREATEST(df_{x}, 1) AS DOUBLE) * "
+        f"((CAST(tf_{x} AS DOUBLE) * {k1 + 1.0!r}e0) / "
+        f"(CAST(tf_{x} AS DOUBLE) + {k1!r}e0 * "
+        f"({1.0 - b!r}e0 + {b!r}e0 * norm_len))))"
+        for x in terms
+    )
+    return f"""
+WITH tf AS (SELECT {id_col},
+                   CAST(len(regexp_split_to_array(TRIM({text_col}), ' +')) AS BIGINT) AS dl,
+                   {tf_exprs}
+            FROM {table}),
+st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_exprs} FROM tf),
+nl AS (SELECT tf.*, st.*,
+              CAST(dl AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)) AS norm_len
+       FROM tf, st)
+SELECT {id_col}, {sat} AS bm25 FROM nl
+"""
+
+
 def top_ranks(df: DataFrame, id_col: str, score_col: str, k: int) -> DataFrame:
     """Deterministic top-k + 1-based rank.
 

@@ -104,6 +104,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops2,
         pipeline_ops3,
         pipeline_ops4,
+        pipeline_ops5,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -140,6 +141,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops2,
         pipeline_ops3,
         pipeline_ops4,
+        pipeline_ops5,
         analytics2,
         analytics3,
         analytics4,

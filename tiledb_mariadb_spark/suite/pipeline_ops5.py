@@ -1,0 +1,254 @@
+"""Corpus-pipeline operators, fifth batch: scale-safe global ordinals,
+BM25 ranked retrieval, regression-from-moments, bitwise scalar surface,
+and skyline (Pareto-frontier) selection.
+
+* q212 — **scale-safe global row numbering**: contiguous 1-based ordinals
+  over a total order WITHOUT the single-partition ROW_NUMBER collapse —
+  range-repartition, per-partition counts → prefix offsets (driver-tiny,
+  one row per partition), per-partition window + offset.  Both jobs share
+  one shuffle (shuffle reuse skips the map stage on the second pass).
+  This is how an epoch manifest or curriculum order gets written at
+  100 TB; ``functions/pipeline.stable_ordinal``.
+* q213 — **BM25 retrieval**: saturating-tf + document-length-normalized
+  relevance over the documents corpus (one stats row broadcast back, no
+  corpus shuffle; top-k via TakeOrdered).  Integer idf — ln is not
+  cross-engine bit-stable; ``functions/ranking.bm25_scores``.
+* q214 — **regression from exact moments**: per-group slope / intercept /
+  r² assembled from integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²) — the
+  one-pass distributed form of OLS; float enters only in the final fixed
+  IEEE chain, so both engines agree bitwise (the engines' own regr_* /
+  corr aggregates accumulate in float and are order-sensitive — unusable
+  for cross-engine hashing).  Also carries COUNT_IF coverage.
+* q215 — **bitwise scalar functions**: bit_count, shifts, AND/OR/XOR/NOT
+  masks over keys — the hash/partitioning arithmetic surface (q112 covers
+  the bitwise *aggregates*; this is the per-row tier).  Map-only.
+* q216 — **skyline / Pareto frontier**: parts no other part beats on the
+  (cheaper, bigger) criteria pair.  Distributive two-phase elimination
+  (local frontier per partition → global pass over the bounded survivor
+  set) vs the oracle's O(n²) NOT EXISTS; ``operators/skyline.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.functions import pipeline as P
+from tiledb_mariadb_spark.functions import ranking as R
+from tiledb_mariadb_spark.operators.skyline import skyline, skyline_sql
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+# --- q212: scale-safe global ordinal assignment ----------------------------
+
+
+def q212_global_ordinal(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return P.stable_ordinal(
+        d, ["n_chars", "doc_id"], descending=(True, False)
+    ).select("doc_id", "ordinal")
+
+
+Q212_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS ordinal
+FROM documents
+"""
+
+
+# --- q213: BM25 ranked retrieval -------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K = 15
+
+
+def q213_bm25_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = R.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+    return R.top_ranks(scored, "doc_id", "bm25", _BM25_K)
+
+
+Q213_SQL = f"""
+WITH scored AS ({R.bm25_scores_sql('documents', 'doc_id', 'text', _BM25_TERMS)}),
+topk AS (SELECT doc_id, bm25 FROM scored
+         ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+FROM topk
+"""
+
+
+# --- q214: per-group OLS from exact integer moments ------------------------
+# Sampling keeps every intermediate product far inside int64 at oracle
+# scale (sf0.01: ~600 rows; peak term n·Σy² ≈ 1e15 « 2^63).  The final
+# arithmetic is a fixed chain of IEEE ops on exactly-converted int64
+# moments — identical parenthesization in both dialects.
+_REGR_MOD = 97
+
+
+def q214_regr_moments(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _REGR_MOD == 0)
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.floor("l_quantity").cast("long").alias("x"),
+            F.floor("l_extendedprice").cast("long").alias("y"),
+        )
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.expr("count_if(l_extendedprice > 50000.0D)").alias("n_pricey"),
+    )
+    return (
+        m.withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("denx", F.expr("n * sxx - sx * sx"))
+        .withColumn("deny", F.expr("n * syy - sy * sy"))
+        .filter("denx != 0 AND deny != 0")
+        .select(
+            "l_returnflag",
+            "n",
+            "n_pricey",
+            F.expr("CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)").alias("slope"),
+            F.expr(
+                "(CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) /"
+                " CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+                " / CAST(n AS DOUBLE)"
+            ).alias("intercept"),
+            F.expr(
+                "(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /"
+                " (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))"
+            ).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q214_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y,
+         l_extendedprice
+  FROM lineitem WHERE l_orderkey % {_REGR_MOD} = 0),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         COUNT_IF(l_extendedprice > 50000.0) AS n_pricey
+  FROM s GROUP BY l_returnflag),
+d AS (
+  SELECT *, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM m)
+SELECT l_returnflag, n, n_pricey,
+       CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+FROM d WHERE denx <> 0 AND deny <> 0
+ORDER BY l_returnflag
+"""
+
+
+# --- q215: bitwise scalar-function surface ---------------------------------
+_BITS_N = 200
+
+
+def q215_bitwise_scalars(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= _BITS_N)
+    return p.select(
+        "p_partkey",
+        F.expr("bit_count(p_partkey)").cast("long").alias("bc"),
+        F.expr("shiftleft(p_partkey, 3)").cast("long").alias("shl"),
+        F.expr("shiftright(p_partkey, 2)").cast("long").alias("shr"),
+        F.expr("p_partkey & 255").cast("long").alias("band"),
+        F.expr("p_partkey | 4096").cast("long").alias("bor"),
+        F.expr("p_partkey ^ 1365").cast("long").alias("bxor"),
+        F.expr("~p_partkey").cast("long").alias("bnot"),
+        F.expr("(shiftright(p_partkey, 4) & 1)").cast("long").alias("bit4"),
+    )
+
+
+Q215_SQL = f"""
+SELECT p_partkey,
+       CAST(bit_count(p_partkey) AS BIGINT) AS bc,
+       CAST(p_partkey << 3 AS BIGINT) AS shl,
+       CAST(p_partkey >> 2 AS BIGINT) AS shr,
+       CAST(p_partkey & 255 AS BIGINT) AS band,
+       CAST(p_partkey | 4096 AS BIGINT) AS bor,
+       CAST(xor(p_partkey, 1365) AS BIGINT) AS bxor,
+       CAST(~p_partkey AS BIGINT) AS bnot,
+       CAST((p_partkey >> 4) & 1 AS BIGINT) AS bit4
+FROM part WHERE p_partkey <= {_BITS_N}
+"""
+
+
+# --- q216: skyline (Pareto frontier) ---------------------------------------
+
+
+def q216_skyline(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return skyline(p, "price_cents", "size").orderBy("p_partkey")
+
+
+Q216_SQL = (
+    skyline_sql(
+        "SELECT p_partkey,"
+        " CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,"
+        " CAST(p_size AS BIGINT) AS size FROM part",
+        "price_cents",
+        "size",
+        "p_partkey",
+    )
+    + " ORDER BY p_partkey"
+)
+
+
+SPECS = [
+    QuerySpec(
+        "q212_global_ordinal",
+        q212_global_ordinal,
+        Q212_SQL,
+        "scale-safe contiguous global row numbering (two-phase, no "
+        "single-partition window)",
+    ),
+    QuerySpec(
+        "q213_bm25_topk",
+        q213_bm25_topk,
+        Q213_SQL,
+        "BM25 saturating-tf + length-normalized ranked retrieval",
+    ),
+    QuerySpec(
+        "q214_regr_moments",
+        q214_regr_moments,
+        Q214_SQL,
+        "per-group OLS slope/intercept/r2 from exact integer moments",
+    ),
+    QuerySpec(
+        "q215_bitwise_scalars",
+        q215_bitwise_scalars,
+        Q215_SQL,
+        "bitwise scalar functions (bit_count/shifts/masks)",
+    ),
+    QuerySpec(
+        "q216_skyline",
+        q216_skyline,
+        Q216_SQL,
+        "skyline query: two-phase distributive Pareto frontier",
+    ),
+]
