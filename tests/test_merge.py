@@ -1,0 +1,116 @@
+"""CDC-apply / MERGE surface: upsert + tombstone-delete batches over the
+versioned tile table, resolved by the read path's last-writer-wins window.
+
+The reference engine cannot DELETE (no handler::delete_row anywhere in
+mytile/ha_mytile.cc) — this is a superset surface; semantics follow
+TileDB's own delete-fragment model (time travel shows pre-delete state,
+consolidation physically purges)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TileTable.create(
+        spark,
+        str(tmp_path / "merge_t"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string"), Attr("n", "int")],
+        overwrite=True,
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "n"]
+        )
+    )
+    return t
+
+
+def _state(t, at=None):
+    return {
+        r["k"]: (r["v"], r["n"]) for r in t.read(at=at).collect()
+    }
+
+
+def test_apply_changes_upsert_insert_delete(spark, table):
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 200, "upsert"),   # update
+            (4, "d", 40, "upsert"),    # insert
+            (3, None, None, "delete"),  # delete
+        ],
+        "k int, v string, n int, __op string",
+    )
+    table.apply_changes(changes)
+    assert _state(table) == {1: ("a", 10), 2: ("B", 200), 4: ("d", 40)}
+
+
+def test_time_travel_shows_predelete_state(spark, table):
+    changes = spark.createDataFrame(
+        [(1, None, None, "delete")], "k int, v string, n int, __op string"
+    )
+    table.apply_changes(changes)
+    assert 1 not in _state(table)
+    assert _state(table, at=1)[1] == ("a", 10)
+
+
+def test_reinsert_after_delete(spark, table):
+    table.apply_changes(
+        spark.createDataFrame(
+            [(2, None, None, "delete")], "k int, v string, n int, __op string"
+        )
+    )
+    assert 2 not in _state(table)
+    table.apply_changes(
+        spark.createDataFrame(
+            [(2, "bb", 22, "upsert")], "k int, v string, n int, __op string"
+        )
+    )
+    assert _state(table)[2] == ("bb", 22)
+
+
+def test_consolidate_purges_tombstones(spark, table):
+    table.apply_changes(
+        spark.createDataFrame(
+            [(3, None, None, "delete")], "k int, v string, n int, __op string"
+        )
+    )
+    table.consolidate()
+    assert _state(table) == {1: ("a", 10), 2: ("b", 20)}
+    # physically one version left, no tombstone rows inside
+    assert len(table.schema.versions) == 1
+    assert not any(v.get("tombstones") for v in table.schema.versions)
+
+
+def test_apply_changes_rejects_bad_op_and_dup_tables(spark, tmp_path, table):
+    with pytest.raises(ValueError, match="upsert"):
+        table.apply_changes(
+            spark.createDataFrame(
+                [(1, "x", 1, "replace")], "k int, v string, n int, __op string"
+            )
+        )
+    dup_t = TileTable.create(
+        spark,
+        str(tmp_path / "dups_t"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+        allows_dups=True,
+        overwrite=True,
+    )
+    with pytest.raises(ValueError, match="allows_dups"):
+        dup_t.apply_changes(
+            spark.createDataFrame([(1, "x", "upsert")], "k int, v string, __op string")
+        )
+
+
+def test_plain_tables_unaffected_by_tombstone_path(spark, table):
+    # a table that never saw apply_changes must not pay the tombstone
+    # filter or mergeSchema: single-version read stays window-free
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "__tombstone" not in plan

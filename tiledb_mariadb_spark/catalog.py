@@ -360,7 +360,17 @@ class TileTable:
         # reference converts through Field::store the same way)
         dtype_of = {d.name: d.dtype for d in s.dimensions}
         dtype_of.update({a.name: a.dtype for a in s.attributes})
-        out = df.select(*[F.col(c).cast(dtype_of[c]).alias(c) for c in cols])
+        # hidden tombstone column (CDC delete markers, see apply_changes):
+        # persisted alongside the attributes, resolved at read time
+        has_tomb = "__tombstone" in df.columns
+        extra = (
+            [F.col("__tombstone").cast("boolean").alias("__tombstone")]
+            if has_tomb
+            else []
+        )
+        out = df.select(
+            *[F.col(c).cast(dtype_of[c]).alias(c) for c in cols], *extra
+        )
         # ALL validation in ONE aggregate job over the input (null dims,
         # dense domain bounds, enum vocabulary) plus the row count needed
         # for tile sizing.  At 100 TB each separate `.filter().count()`
@@ -451,9 +461,62 @@ class TileTable:
         # "rows" = pre-dedup cell count: the footer-free record upper bound
         # (needed for est_records on encrypted tables whose footers are
         # sealed; harmless elsewhere)
-        s.versions.append({"v": version, "ts": ts, "rows": int(stats["__n"])})
+        rec = {"v": version, "ts": ts, "rows": int(stats["__n"])}
+        if has_tomb:
+            rec["tombstones"] = True
+        s.versions.append(rec)
         _save_sidecar(self.uri, s)
         return version
+
+    def apply_changes(self, changes: DataFrame, op_col: str = "__op") -> int:
+        """Apply a CDC change batch — the MERGE INTO analog.
+
+        ``changes`` carries the dimension key plus an ``op_col`` of
+        ``'upsert'`` (insert-or-update: attribute columns required) or
+        ``'delete'`` (attribute columns ignored).  One blind write, zero
+        target reads: upserts rely on last-writer-wins versioning, deletes
+        become hidden tombstone rows that the read path filters after the
+        per-coordinate newest-version resolution.  This is the
+        deletion-vector / CDC-apply shape that scales — a classic MERGE
+        rewrite would re-shuffle the 100 TB target for every batch, while
+        this touches only the change batch and defers resolution to the
+        read's existing window.
+
+        The reference cannot DELETE at all (no handler::delete_row in
+        mytile/ha_mytile.cc; writes only overwrite coordinates) — this is
+        a Spark-first superset surface consistent with TileDB's own
+        delete-fragment model.  Requires ``allows_dups=False`` (coordinate
+        identity) and an unencrypted table.  Contract: at most one change
+        per coordinate per batch (conflicting same-key ops within one
+        batch resolve arbitrarily, as in any single-statement MERGE).
+        """
+        s = self.schema
+        if s.allows_dups:
+            raise ValueError("apply_changes requires allows_dups=False")
+        if self._encrypted:
+            raise NotImplementedError(
+                "apply_changes on encrypted tables is not supported"
+            )
+        if op_col not in changes.columns:
+            raise ValueError(f"missing op column {op_col}")
+        bad = (
+            changes.select(op_col)
+            .filter(~F.col(op_col).isin("upsert", "delete"))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(f"{op_col} must be 'upsert' or 'delete'")
+        attrs = s.attr_names
+        ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+        dels = changes.filter(F.col(op_col) == "delete").select(
+            *s.dim_names,
+            *[F.lit(None).alias(a) for a in attrs],
+        )
+        batch = ups.withColumn("__tombstone", F.lit(False)).unionByName(
+            dels.withColumn("__tombstone", F.lit(True))
+        )
+        return self.write(batch)
 
     # --- read path -----------------------------------------------------------
 
@@ -462,9 +525,9 @@ class TileTable:
         ``fill=True`` materializes the full dense domain with fill values."""
         s = self.schema
         data_dir = self._data_dir
-        visible = [
-            v["v"] for v in s.versions if at is None or v["ts"] <= at
-        ]
+        vis_recs = [v for v in s.versions if at is None or v["ts"] <= at]
+        visible = [v["v"] for v in vis_recs]
+        has_tomb = any(v.get("tombstones") for v in vis_recs)
         cols = s.dim_names + s.attr_names
         if not visible:
             return self.spark.createDataFrame(
@@ -478,11 +541,15 @@ class TileTable:
         if self._encrypted:
             df = self._read_encrypted(visible, cols)
         else:
-            df = (
-                self.spark.read.option("basePath", data_dir)
-                .parquet(*[os.path.join(data_dir, f"__tile_v={v}") for v in visible])
+            reader = self.spark.read.option("basePath", data_dir)
+            if has_tomb:
+                # tombstone batches carry an extra column absent from
+                # ordinary fragments; schema union fills it with null
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(
+                *[os.path.join(data_dir, f"__tile_v={v}") for v in visible]
             )
-        if not s.allows_dups and len(visible) > 1:
+        if not s.allows_dups and (len(visible) > 1 or has_tomb):
             # last-writer-wins per coordinate (TileDB overwrite semantics).
             # Skipped when exactly one version is visible: write() already
             # dedups coordinates within a batch, so a 1-version table is
@@ -493,6 +560,10 @@ class TileTable:
             df = df.withColumn("__rn", F.row_number().over(w)).filter(
                 F.col("__rn") == 1
             )
+        if has_tomb:
+            # newest-version-per-coordinate already chosen above; a winning
+            # tombstone means the coordinate is deleted as of this snapshot
+            df = df.filter(~F.coalesce(F.col("__tombstone"), F.lit(False)))
         df = df.select(*cols)
         if fill:
             df = self._fill_dense(df)

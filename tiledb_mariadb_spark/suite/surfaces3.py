@@ -115,6 +115,87 @@ ORDER BY table_name, ordinal
 """
 
 
+# --- q217: MERGE / CDC-apply surface ---------------------------------------
+# Upserts + tombstone deletes applied as ONE blind change-batch write
+# (no target read/shuffle — catalog.apply_changes), resolved by the read
+# path's last-writer-wins window.  The oracle recomputes the merged state
+# relationally from the same base+changes definitions.  The reference has
+# no DELETE at all (no handler::delete_row in mytile/ha_mytile.cc) —
+# superset surface following TileDB's delete-fragment model.
+_MERGE_N = 120
+
+
+def q217_merge_apply(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= _MERGE_N)
+    tt = TileTable.create(
+        spark,
+        _uri("merge_part", sf_dir),
+        dimensions=[Dim("p_partkey", "bigint")],
+        attributes=[Attr("p_name", "string"), Attr("price_cents", "bigint")],
+        overwrite=True,
+    )
+    tt.write(
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+        )
+    )
+    # change batch: discount every 3rd part 10% (integer cents), delete
+    # every 7th, insert shadow parts above the key range
+    upd = p.filter(F.col("p_partkey") % 3 == 0).select(
+        "p_partkey",
+        "p_name",
+        F.expr(
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) * 9 DIV 10"
+        ).alias("price_cents"),
+        F.lit("upsert").alias("__op"),
+    )
+    ins = p.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 1000).alias("p_partkey"),
+        F.concat(F.lit("shadow "), F.col("p_name")).alias("p_name"),
+        F.lit(0).cast("long").alias("price_cents"),
+        F.lit("upsert").alias("__op"),
+    )
+    dels = p.filter((F.col("p_partkey") % 7 == 0) & (F.col("p_partkey") % 3 != 0)).select(
+        "p_partkey",
+        F.lit(None).cast("string").alias("p_name"),
+        F.lit(None).cast("long").alias("price_cents"),
+        F.lit("delete").alias("__op"),
+    )
+    tt.apply_changes(upd.unionByName(ins).unionByName(dels))
+    return tt.read().orderBy("p_partkey")
+
+
+Q217_SQL = f"""
+WITH base AS (
+  SELECT p_partkey, p_name,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part WHERE p_partkey <= {_MERGE_N}),
+upd AS (SELECT p_partkey, p_name,
+               CAST(price_cents * 9 // 10 AS BIGINT) AS price_cents
+        FROM base WHERE p_partkey % 3 = 0),
+ins AS (SELECT p_partkey + 1000 AS p_partkey,
+               'shadow ' || p_name AS p_name, CAST(0 AS BIGINT) AS price_cents
+        FROM base WHERE p_partkey % 5 = 0),
+dels AS (SELECT p_partkey FROM base
+         WHERE p_partkey % 7 = 0 AND p_partkey % 3 <> 0),
+merged AS (
+  SELECT COALESCE(u.p_partkey, b.p_partkey) AS p_partkey,
+         COALESCE(u.p_name, b.p_name) AS p_name,
+         COALESCE(u.price_cents, b.price_cents) AS price_cents
+  FROM base b FULL OUTER JOIN upd u USING (p_partkey)
+  WHERE COALESCE(u.p_partkey, b.p_partkey) NOT IN (SELECT p_partkey FROM dels)
+  UNION ALL SELECT * FROM ins)
+SELECT p_partkey, p_name, price_cents FROM merged ORDER BY p_partkey
+"""
+
+
 SPECS = [
     QuerySpec(
         "q210_sentence_split",
@@ -127,5 +208,12 @@ SPECS = [
         q211_information_schema,
         Q211_SQL,
         "information_schema.columns analog over registered tile tables",
+    ),
+    QuerySpec(
+        "q217_merge_apply",
+        q217_merge_apply,
+        Q217_SQL,
+        "MERGE/CDC apply: blind upsert + tombstone-delete batch, "
+        "read-time resolution",
     ),
 ]
