@@ -90,6 +90,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         core,
         functions_surface,
         functions_surface2,
@@ -145,6 +146,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         similarity,
         streaming_ops,
         spatial_ops,
