@@ -170,6 +170,129 @@ FROM part WHERE p_partkey <= {_STR_N}
 """
 
 
+# --- q221: triangle counting ------------------------------------------------
+# Deterministic link graph over documents (same derivation family as
+# q200's PageRank edges), undirected.  The scale shape is the oriented
+# two-path join: normalize every edge to (lo, hi), build wedges
+# a<b<c by joining on the middle vertex, then semi-join the closing edge —
+# each triangle is produced exactly once and the quadratic wedge
+# explosion is bounded by orientation (at corpus scale, orient by degree
+# instead of id — same plan, tighter bound).  Oracle: the identical
+# relational 3-way join in DuckDB.
+_TRI_OUT = 4
+
+
+def q221_triangle_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n_row = F.broadcast(d.agg(F.count(F.lit(1)).alias("n")))
+    raw = d.crossJoin(n_row).select(
+        F.col("doc_id").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 7 + j * 13) % F.col("n"))
+                    for j in range(1, _TRI_OUT + 1)
+                ]
+            )
+        ).alias("v"),
+    )
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+Q221_SQL = f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS u, (doc_id * 7 + j * 13) % n AS v
+  FROM documents, nn, UNNEST(range(1, {_TRI_OUT} + 1)) AS t(j)),
+edges AS (
+  SELECT DISTINCT LEAST(u, v) AS lo, GREATEST(u, v) AS hi
+  FROM raw WHERE u <> v),
+wedges AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM edges e1 JOIN edges e2 ON e1.hi = e2.lo)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM wedges w
+WHERE EXISTS (SELECT 1 FROM edges e WHERE e.lo = w.a AND e.hi = w.c)
+"""
+
+
+# --- q222: marketing attribution (first/last touch) ------------------------
+# Every purchase is attributed to the click that preceded it: last-touch
+# (most recent prior click) and first-touch (earliest click of the user).
+# One user_id shuffle; both attributions ride the same window sort —
+# the conditional-running-max/min trick (no self-join against the click
+# history, which at event scale would shuffle the log twice).
+
+
+def q222_attribution(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(f"CAST(ROUND(value * {_VSCALE!r}) AS BIGINT)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    tagged = e.withColumn(
+        "last_click", F.last(click_id, ignorenulls=True).over(w)
+    ).withColumn(
+        "first_click", F.first(click_id, ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed"),
+            F.sum("v").alias("revenue_scaled"),
+            F.count_distinct("last_click").cast("long").alias("n_last_touch"),
+            F.count_distinct("first_click").cast("long").alias("n_first_touch"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q222_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         CAST(ROUND(value * {_VSCALE!r}) AS BIGINT) AS v
+  FROM events),
+tagged AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click,
+    FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click
+  FROM e)
+SELECT user_id,
+       COUNT(*) AS n_attributed,
+       CAST(SUM(v) AS BIGINT) AS revenue_scaled,
+       CAST(COUNT(DISTINCT last_click) AS BIGINT) AS n_last_touch,
+       CAST(COUNT(DISTINCT first_click) AS BIGINT) AS n_first_touch
+FROM tagged
+WHERE event_type = 'purchase' AND last_click IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "q218_time_weighted_avg",
@@ -188,5 +311,17 @@ SPECS = [
         q220_string_fns2,
         Q220_SQL,
         "string scalar functions batch 2",
+    ),
+    QuerySpec(
+        "q221_triangle_count",
+        q221_triangle_count,
+        Q221_SQL,
+        "triangle counting via oriented wedge join + closing semi-join",
+    ),
+    QuerySpec(
+        "q222_attribution",
+        q222_attribution,
+        Q222_SQL,
+        "first/last-touch purchase attribution in one window pass",
     ),
 ]
