@@ -33,13 +33,18 @@ def test_stable_ordinal_descending(spark):
 
 
 def test_stable_ordinal_avoids_single_partition_window(spark):
-    """The plan must NOT contain a global (empty-partition-spec) Window —
-    the whole point is that every Window node is keyed by __pid."""
+    """The plan must contain NO Window at all: ordinals are map-side
+    arithmetic over the persisted range-sorted partitions, so the only
+    data movement is the one range shuffle."""
     df = spark.range(100).withColumn("v", F.col("id") % 7)
-    plan = stable_ordinal(df, ["v", "id"], n_parts=4)._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            assert "__pid" in line, f"global window found: {line}"
+    plan = (
+        stable_ordinal(df, ["v", "id"], n_parts=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "InMemory" in plan  # reads the pinned partitioning
 
 
 def _brute_skyline(points):

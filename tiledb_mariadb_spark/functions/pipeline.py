@@ -318,24 +318,30 @@ def stable_ordinal(
     single-partition collapse.
 
     ``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
-    entire input through ONE task — the classic 100 TB scale-killer
-    (monotonically_increasing_id avoids that but is non-contiguous and
-    partition-order-dependent).  Two-phase form instead:
+    entire input through ONE task — the classic 100 TB scale-killer.
+    Two-phase form instead:
 
-    1. range-repartition on the order key (parallel sort shuffle, same
-       cost class as any global sort);
-    2. count rows per range partition — output is one row per partition
-       (driver-tiny), turned into prefix offsets;
-    3. per-partition ``row_number`` (each partition is an independent
-       window group — fully parallel) plus the partition's offset.
+    1. range-repartition on the order key + sort within partitions (ONE
+       parallel sort shuffle — the same cost class as any global sort),
+       persisted so both passes below read the identical materialized
+       partitioning (without the pin, AQE coalescing / boundary
+       resampling may partition the two jobs differently — observed as
+       phantom ordinals at sf0.01);
+    2. ``monotonically_increasing_id`` encodes (partition id << 33) +
+       the row's within-partition position — deterministic over the
+       sorted cache; per-partition row counts (one tiny agg, ≤ n_parts
+       rows after partial aggregation) become driver-side prefix
+       offsets;
+    3. ordinal = offset[pid] + within-partition position + 1 — pure
+       map-side arithmetic, no window, no second data shuffle.
 
-    Jobs 2 and 3 hang off the same shuffle, so Spark skips the map stage
-    on the second pass (shuffle reuse) — the input is scanned once.
     ``order_cols`` must be a total order (append a unique tiebreaker):
-    range partitioning co-locates equal keys, and the within-partition
-    window uses the same key, so ordinals are deterministic.
+    range partitioning co-locates boundary keys deterministically and
+    the within-partition sort fixes row order, so ordinals are stable.
+    The persist is MEMORY_AND_DISK; call ``.unpersist()`` on the result
+    when the downstream plan has materialized if memory is tight.
     """
-    from pyspark.sql.window import Window  # noqa: PLC0415
+    from pyspark import StorageLevel  # noqa: PLC0415
 
     desc = descending or tuple(False for _ in order_cols)
     cols = [
@@ -345,25 +351,30 @@ def stable_ordinal(
     n = n_parts or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    parted = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    with_mid = parted.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright("__mid", 33)
+    sizes = (
+        with_mid.groupBy(pid.alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
     offsets, run = {}, 0
     for row in sorted(sizes, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = run
         run += row["__n"]
     off_map = F.create_map(
-        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        *[F.lit(int(v)) for kv in sorted(offsets.items()) for v in kv]
     )
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
-        parted.withColumn(
-            alias,
-            (F.row_number().over(w) + off_map[F.col("__pid")]).cast("long"),
-        )
-        .drop("__pid")
-    )
+    pos_in_part = F.col("__mid") - F.shiftleft(pid, 33)
+    return with_mid.withColumn(
+        alias,
+        (off_map[pid] + pos_in_part + 1).cast("long"),
+    ).drop("__mid")
 
 
 # --- connected components (near-dup clustering) ----------------------------

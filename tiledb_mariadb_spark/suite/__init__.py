@@ -91,6 +91,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         core,
         functions_surface,
         functions_surface2,
@@ -147,6 +148,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         similarity,
         streaming_ops,
         spatial_ops,
