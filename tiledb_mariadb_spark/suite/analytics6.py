@@ -228,6 +228,103 @@ ORDER BY check_name
 """
 
 
+# --- q226: ratio-to-report (share of group total) --------------------------
+# The RATIO_TO_REPORT analog: each nation's revenue share inside its
+# region.  Unordered partition-wise SUM window over the (tiny) nation
+# aggregate — the shuffle is bounded by the group count, never the fact
+# table, because the ratio runs AFTER the partial+final aggregate.
+
+
+def q226_ratio_to_report(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        F.expr(
+            "CAST(rev_cents AS DOUBLE) /"
+            " CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS DOUBLE)"
+        ).alias("share"),
+    ).orderBy("r_name", "n_name")
+
+
+Q226_SQL = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, rev_cents,
+       CAST(rev_cents AS DOUBLE) /
+         CAST(CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+              AS DOUBLE) AS share
+FROM rev ORDER BY r_name, n_name
+"""
+
+
+# --- q227: cumulative distinct users over time -----------------------------
+# Running COUNT(DISTINCT) is not window-expressible without quadratic
+# state; the scale shape is first-seen reduction: min(day) per user (one
+# shuffle on user_id), daily new-user counts, then a cumulative sum over
+# the BOUNDED hour axis (the only global window runs over the time spine).
+
+
+def q227_cumulative_users(spark, sf_dir):
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 3600").alias("hour")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("hour").alias("first_hour"))
+    daily = first_seen.groupBy("first_hour").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("first_hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("first_hour").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("hour")
+
+
+Q227_SQL = """
+WITH fs AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS first_hour
+  FROM events GROUP BY user_id),
+hourly AS (
+  SELECT first_hour, COUNT(*) AS new_users FROM fs GROUP BY first_hour)
+SELECT first_hour AS hour, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM hourly ORDER BY hour
+"""
+
+
 SPECS = [
     QuerySpec(
         "q223_interval_overlap",
@@ -248,5 +345,17 @@ SPECS = [
         Q225_SQL,
         "data-quality expectations: null/range/unique/referential/"
         "temporal checks as one report",
+    ),
+    QuerySpec(
+        "q226_ratio_to_report",
+        q226_ratio_to_report,
+        Q226_SQL,
+        "share-of-group-total (RATIO_TO_REPORT) over the nation rollup",
+    ),
+    QuerySpec(
+        "q227_cumulative_users",
+        q227_cumulative_users,
+        Q227_SQL,
+        "cumulative distinct users via first-seen reduction",
     ),
 ]
