@@ -123,6 +123,28 @@ def probe_ops(spark, sf_dir: str) -> dict[str, float]:
         )
 
     clock("cosine_topk", brute_topk)
+
+    def ordinal_two_phase():
+        from tiledb_mariadb_spark.functions.pipeline import stable_ordinal
+
+        out = stable_ordinal(docs.select("doc_id"), ["doc_id"])
+        n = out.agg(F.max("ordinal")).collect()[0][0]
+        out.unpersist()
+        return n
+
+    def ordinal_window():
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("doc_id")
+        return (
+            docs.select("doc_id")
+            .withColumn("ordinal", F.row_number().over(w))
+            .agg(F.max("ordinal"))
+            .collect()[0][0]
+        )
+
+    clock("ordinal_two_phase", ordinal_two_phase)
+    clock("ordinal_global_window", ordinal_window)
     return timings
 
 

@@ -107,6 +107,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops3,
         pipeline_ops4,
         pipeline_ops5,
+        pipeline_ops6,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -144,6 +145,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops3,
         pipeline_ops4,
         pipeline_ops5,
+        pipeline_ops6,
         analytics2,
         analytics3,
         analytics4,
