@@ -197,6 +197,108 @@ FROM enc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- q231: binary payload chunking -----------------------------------------
+# Multimodal-column plumbing fully JVM-side: the document body as an
+# opaque BINARY payload, sliced into fixed-size chunks with ordinals and
+# per-chunk md5 — the blob-partitioning step before feature extraction
+# (no decode, no Python).  The oracle chunks the VARCHAR twin: documents
+# are ASCII, so byte slices and char slices coincide and md5(BLOB) ==
+# md5(VARCHAR) over identical bytes (DuckDB has no blob substring).
+_CHUNK = 64
+_CHUNK_DOCS = 100
+
+
+def q231_binary_chunks(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CHUNK_DOCS)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.expr(f"sequence(0, (octet_length(payload) - 1) DIV {_CHUNK})")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"substring(payload, chunk_idx * {_CHUNK} + 1, {_CHUNK})")
+            .alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("octet_length(chunk)").cast("long").alias("chunk_bytes"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+Q231_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_CHUNK_DOCS}),
+ex AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         substring(text, CAST(i * {_CHUNK} + 1 AS INT), {_CHUNK}) AS chunk
+  FROM d, UNNEST(range(0, (length(text) - 1) // {_CHUNK} + 1)) AS u(i))
+SELECT doc_id, chunk_idx,
+       CAST(length(chunk) AS BIGINT) AS chunk_bytes,
+       md5(chunk) AS chunk_md5
+FROM ex ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- q232: vector L2 normalization -----------------------------------------
+# Per-vector norm + normalized components, exact int64 sum-of-squares →
+# one sqrt (IEEE correctly-rounded, cross-engine safe) → per-component
+# division.  Map-only; the embedding hygiene step before cosine ANN.
+_NORM_VECS = 50
+
+
+def q232_vector_normalize(spark, sf_dir):
+    from tiledb_mariadb_spark.functions.similarity import (  # noqa: PLC0415
+        SCALE,
+        norm2_int_expr,
+    )
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _NORM_VECS)
+    staged = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm2_int_expr("embedding")).alias("ss_int"),
+    )
+    return staged.select(
+        "vec_id",
+        F.expr(f"sqrt(CAST(ss_int AS DOUBLE)) / {SCALE}D").alias("l2_norm"),
+        F.expr(
+            f"CAST(element_at(embedding, 1) AS DOUBLE)"
+            f" / (sqrt(CAST(ss_int AS DOUBLE)) / {SCALE}D)"
+        ).alias("first_component_unit"),
+    ).orderBy("vec_id")
+
+
+def _q232_sql() -> str:
+    from tiledb_mariadb_spark.functions.similarity import SCALE, _scaled_int_sql
+
+    ss = (
+        f"(SELECT CAST(SUM({_scaled_int_sql('x')} * {_scaled_int_sql('x')})"
+        f" AS BIGINT) FROM UNNEST(embedding) AS t(x))"
+    )
+    return f"""
+WITH staged AS (
+  SELECT vec_id, embedding, {ss} AS ss_int
+  FROM embeddings WHERE vec_id < {_NORM_VECS})
+SELECT vec_id,
+       sqrt(CAST(ss_int AS DOUBLE)) / {SCALE} AS l2_norm,
+       CAST(embedding[1] AS DOUBLE)
+         / (sqrt(CAST(ss_int AS DOUBLE)) / {SCALE}) AS first_component_unit
+FROM staged ORDER BY vec_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "q228_copurchase",
@@ -215,5 +317,17 @@ SPECS = [
         q230_vocab_encode,
         Q230_SQL,
         "vocabulary encoding: corpus top-N vocab, OOV=0, order-preserving",
+    ),
+    QuerySpec(
+        "q231_binary_chunks",
+        q231_binary_chunks,
+        Q231_SQL,
+        "binary payload chunking with per-chunk md5, fully JVM-side",
+    ),
+    QuerySpec(
+        "q232_vector_normalize",
+        q232_vector_normalize,
+        _q232_sql(),
+        "vector L2 normalization from exact int64 sum-of-squares",
     ),
 ]
