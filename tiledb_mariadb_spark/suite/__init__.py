@@ -100,6 +100,7 @@ def all_specs() -> dict[str, QuerySpec]:
         functions_surface5,
         functions_surface6,
         functions_surface7,
+        functions_surface8,
         joins,
         llm_ops,
         pipeline_ops,
@@ -130,10 +131,12 @@ def all_specs() -> dict[str, QuerySpec]:
     # (incl. q159), streaming_ops, spatial_ops, tpch_extra, surfaces2
     # (q162–q166), functions_surface7 (q160–q168) + round 2's fixed reds
     # (q43, q118, q122, q129); round 4 then covers the round-2-added tail
-    # (pipeline_ops3 q183–q191, pipeline_ops4 q192–q197, analytics2
-    # q198–q201, analytics3 q202–q206, analytics4 q207–q209) plus
-    # whatever core/analytics rows round 1 verified last (stable greens
-    # can rotate to the back).
+    # (pipeline_ops3 q183–q191, pipeline_ops4 q192–q197, pipeline_ops5
+    # q212–q216, pipeline_ops6 q228–q232, analytics2 q198–q201,
+    # analytics3 q202–q206, analytics4 q207–q209, analytics5 q218–q222,
+    # analytics6 q223–q227, surfaces3 q210/q211/q217) plus whatever
+    # core/analytics rows round 1 verified last (stable greens can
+    # rotate to the back).
     for mod in (
         joins,
         subqueries,
@@ -157,6 +160,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch_extra,
         surfaces2,
         surfaces3,
+        functions_surface8,
         functions_surface7,
         functions_surface6,
         functions_surface5,
