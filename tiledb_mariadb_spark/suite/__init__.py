@@ -92,6 +92,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         core,
         functions_surface,
         functions_surface2,
@@ -154,6 +155,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         similarity,
         streaming_ops,
         spatial_ops,
