@@ -221,7 +221,64 @@ FROM d, nn GROUP BY digit, n ORDER BY digit
 """
 
 
+# --- q239: TIME-as-micros surface ------------------------------------------
+# The reference maps MariaDB TIME(6) to int64 (SURVEY §1.3; TIME has no
+# Spark type).  This runs the surrogate end-to-end: timestamps →
+# micros-of-day, hour buckets, per-bucket min/max TIME rendered back as
+# 'HH:MM:SS' — all integer arithmetic, identical on both engines.
+
+
+def q239_time_micros(spark, sf_dir):
+    from tiledb_mariadb_spark.schema import time_to_micros_of_day  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", time_to_micros_of_day(F.col("ts")).alias("tod_us")
+    )
+    return (
+        e.groupBy(F.expr("tod_us DIV 3600000000").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("tod_us").alias("min_us"),
+            F.max("tod_us").alias("max_us"),
+        )
+        .select(
+            "hour_of_day",
+            "n",
+            "min_us",
+            "max_us",
+            F.expr(
+                "concat(lpad(CAST(min_us DIV 3600000000 AS STRING), 2, '0'),"
+                " ':', lpad(CAST(min_us DIV 60000000 % 60 AS STRING), 2, '0'),"
+                " ':', lpad(CAST(min_us DIV 1000000 % 60 AS STRING), 2, '0'))"
+            ).alias("min_time"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+Q239_SQL = """
+WITH e AS (
+  SELECT event_id,
+         CAST(epoch_us(ts) AS BIGINT) % 86400000000 AS tod_us
+  FROM events)
+SELECT tod_us // 3600000000 AS hour_of_day,
+       COUNT(*) AS n,
+       CAST(MIN(tod_us) AS BIGINT) AS min_us,
+       CAST(MAX(tod_us) AS BIGINT) AS max_us,
+       lpad(CAST(MIN(tod_us) // 3600000000 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(MIN(tod_us) // 60000000 % 60 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(MIN(tod_us) // 1000000 % 60 AS VARCHAR), 2, '0') AS min_time
+FROM e GROUP BY 1 ORDER BY hour_of_day
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "q239_time_micros",
+        q239_time_micros,
+        Q239_SQL,
+        "TIME-as-micros surrogate: micros-of-day buckets + HH:MM:SS render",
+    ),
     QuerySpec(
         "q235_event_pattern",
         q235_event_pattern,
