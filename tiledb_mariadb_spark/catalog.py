@@ -35,6 +35,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Any, Optional
 
@@ -117,8 +119,40 @@ def _load_sidecar(uri: str) -> TileSchema:
 
 
 def _save_sidecar(uri: str, schema: TileSchema) -> None:
-    with open(os.path.join(uri, SIDECAR), "w") as f:
+    # atomic publish (tmp + rename): a concurrent reader never observes a
+    # half-written catalog file
+    target = os.path.join(uri, SIDECAR)
+    tmp = target + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(asdict(schema), f, indent=1, sort_keys=True)
+    os.replace(tmp, target)
+
+
+@contextmanager
+def _sidecar_lock(uri: str, timeout: float = 15.0):
+    """Advisory commit lock (O_CREAT|O_EXCL lockfile) held only around
+    the read-modify-write of the catalog sidecar — never around a Spark
+    job.  This is the single-store analog of a Delta/Iceberg commit
+    service: fragment data is claimed and written lock-free (the
+    version directory itself is the atomic claim), and only the tiny
+    metadata append serializes.  Local/NFS scope; an object-store
+    deployment would swap this for a conditional-put commit (documented
+    design boundary, not a code path the container can exercise)."""
+    lock = os.path.join(uri, ".commit.lock")
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock busy: {lock}")
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def discover_parquet(
@@ -419,9 +453,23 @@ class TileTable:
                 raise ValueError(f"value outside enum labels for {aname}")
         if not s.allows_dups:
             out = out.dropDuplicates(dims)
-        version = (s.versions[-1]["v"] + 1) if s.versions else 1
+        # Concurrent-writer safety (optimistic, Delta/Iceberg-style): the
+        # fragment DIRECTORY is the atomic version claim (mkdir is
+        # exclusive — two writers can never claim the same version), data
+        # lands lock-free, and only the tiny sidecar append serializes
+        # under the commit lock below.  No Spark job ever runs while the
+        # lock is held.
+        data_root = os.path.join(self.uri, "data")
+        os.makedirs(data_root, exist_ok=True)
+        version = (max(v["v"] for v in s.versions) + 1) if s.versions else 1
+        while True:
+            path = os.path.join(data_root, f"__tile_v={version}")
+            try:
+                os.makedirs(path)
+                break
+            except FileExistsError:
+                version += 1
         ts = version_ts if version_ts is not None else version
-        path = os.path.join(self.uri, "data", f"__tile_v={version}")
         # RANGE partition + sort by the dims — the cell/tile-order analog.
         # (Hash partitioning would scatter each coordinate range across
         # every file, making per-file min/max span the whole domain and
@@ -464,8 +512,13 @@ class TileTable:
         rec = {"v": version, "ts": ts, "rows": int(stats["__n"])}
         if has_tomb:
             rec["tombstones"] = True
-        s.versions.append(rec)
-        _save_sidecar(self.uri, s)
+        with _sidecar_lock(self.uri):
+            fresh = _load_sidecar(self.uri)
+            fresh.versions = sorted(
+                fresh.versions + [rec], key=lambda r: r["v"]
+            )
+            _save_sidecar(self.uri, fresh)
+        self.schema = fresh
         return version
 
     def apply_changes(self, changes: DataFrame, op_col: str = "__op") -> int:
@@ -765,8 +818,17 @@ class TileTable:
                 p = os.path.join(self.uri, "data", f"__tile_v={v['v']}")
                 if os.path.exists(p):
                     shutil.rmtree(p)
-            s.versions = [v for v in s.versions if v["v"] == new_version]
-            _save_sidecar(self.uri, s)
+            # write() refreshed self.schema from the sidecar under the
+            # commit lock; prune under the same lock so a concurrent
+            # append between our write and this vacuum is preserved
+            with _sidecar_lock(self.uri):
+                fresh = _load_sidecar(self.uri)
+                old_ids = {v["v"] for v in old}
+                fresh.versions = [
+                    v for v in fresh.versions if v["v"] not in old_ids
+                ]
+                _save_sidecar(self.uri, fresh)
+            self.schema = fresh
         return new_version
 
     # --- @metadata virtual table --------------------------------------------
