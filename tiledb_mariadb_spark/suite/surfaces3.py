@@ -196,6 +196,63 @@ SELECT p_partkey, p_name, price_cents FROM merged ORDER BY p_partkey
 """
 
 
+# --- q240: encrypted-at-rest round trip ------------------------------------
+# Real AES-256-GCM fragments (t/encryption.test parity,
+# mytile/ha_mytile.cc:75,792-795): write a supplier slice sealed, read it
+# back through the distributed decrypt scan with the key, and aggregate —
+# the oracle recomputes the same result from cleartext parquet, proving
+# the crypto layer is value-transparent.  Wrong-key/no-key negatives are
+# pinned in tests/test_encryption.py.
+_ENC_KEY = "0123456789abcdef0123456789abcdef"
+_ENC_N = 60
+
+
+def q240_encrypted_roundtrip(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= _ENC_N)
+    tt = TileTable.create(
+        spark,
+        _uri("enc_supplier", sf_dir),
+        dimensions=[Dim("s_suppkey", "bigint")],
+        attributes=[Attr("s_name", "string"), Attr("bal_cents", "bigint")],
+        encryption_key=_ENC_KEY,
+        overwrite=True,
+    )
+    tt.write(
+        s.select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(ROUND(s_acctbal * 100) AS BIGINT)").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    dec = tt.read()
+    return (
+        dec.groupBy(F.expr("s_suppkey % 4").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").alias("total_cents"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q240_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey, s_name,
+         CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM supplier WHERE s_suppkey <= {_ENC_N})
+SELECT s_suppkey % 4 AS grp, COUNT(*) AS n,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+       MIN(s_name) AS first_name
+FROM s GROUP BY 1 ORDER BY grp
+"""
+
+
 SPECS = [
     QuerySpec(
         "q210_sentence_split",
@@ -215,5 +272,12 @@ SPECS = [
         Q217_SQL,
         "MERGE/CDC apply: blind upsert + tombstone-delete batch, "
         "read-time resolution",
+    ),
+    QuerySpec(
+        "q240_encrypted_roundtrip",
+        q240_encrypted_roundtrip,
+        Q240_SQL,
+        "AES-256-GCM at-rest round trip: sealed fragments, distributed "
+        "decrypt scan, value-transparent vs cleartext oracle",
     ),
 ]
