@@ -153,3 +153,93 @@ def test_subarray_rejects_non_dimension(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not dimensions"):
         tt.subarray({"v": (0, 1)})
+
+
+# --- true Hilbert curve ------------------------------------------------------
+
+
+def test_hilbert_expr_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.operators.zorder import hilbert2_expr, hilbert2_py
+
+    n = 16  # full 16x16 grid at bits=4
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+        )
+    )
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in grid.withColumn(
+            "h", F.expr(hilbert2_expr("x", "y", bits=4))
+        ).collect()
+    }
+    for x in range(n):
+        for y in range(n):
+            assert got[(x, y)] == hilbert2_py(x, y, bits=4), (x, y)
+
+
+def test_hilbert_curve_is_continuous_morton_is_not():
+    """Hilbert's defining property: consecutive index values are ADJACENT
+    cells (Manhattan distance 1) — so any key range is a connected region.
+    Morton provably violates this (the 'jump' at quadrant boundaries)."""
+    from tiledb_mariadb_spark.operators.zorder import hilbert2_py, z_value_py
+
+    bits, n = 4, 16
+    by_h = sorted(
+        ((x, y) for x in range(n) for y in range(n)),
+        key=lambda p: hilbert2_py(p[0], p[1], bits=bits),
+    )
+    dists_h = [
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) for a, b in zip(by_h, by_h[1:])
+    ]
+    assert all(d == 1 for d in dists_h)
+
+    by_z = sorted(
+        ((x, y) for x in range(n) for y in range(n)),
+        key=lambda p: z_value_py([p[0], p[1]], bits=bits),
+    )
+    dists_z = [
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) for a, b in zip(by_z, by_z[1:])
+    ]
+    assert any(d > 1 for d in dists_z)
+
+
+def test_hilbert_table_box_scan_matches_rowmajor(spark, tmp_path):
+    """A HILBERT-cell-order 2-D tile table must answer box queries
+    identically to a plain copy (layout changes, results don't)."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    rows = spark.range(32 * 32).select(
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "hil"),
+        dimensions=[
+            Dim("x", "int", lower=0, upper=31, tile_extent=8),
+            Dim("y", "int", lower=0, upper=31, tile_extent=8),
+        ],
+        attributes=[Attr("v", "bigint")],
+        cell_order="HILBERT",
+        capacity=128,
+    )
+    tt.write(rows)
+    got = (
+        tt.read()
+        .filter("x BETWEEN 4 AND 11 AND y BETWEEN 20 AND 27")
+        .agg(F.sum("v"), F.count("*"))
+        .collect()[0]
+    )
+    want = (
+        rows.filter("x BETWEEN 4 AND 11 AND y BETWEEN 20 AND 27")
+        .agg(F.sum("v"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)

@@ -480,17 +480,43 @@ class TileTable:
         if s.cell_order == "HILBERT" and self._zorderable():
             # HILBERT cell order (ha_mytile.cc:71-73, t/hilbert.test):
             # multi-dimensional locality so a box over SEVERAL dims touches
-            # few tiles — Morton interleave is the Spark-side equivalent.
-            from tiledb_mariadb_spark.operators.zorder import z_value  # noqa: PLC0415
+            # few tiles.  2-D tables use the TRUE Hilbert curve (adjacent
+            # index values are adjacent cells — connected key ranges);
+            # higher arity falls back to Morton interleave.
+            from tiledb_mariadb_spark.operators.zorder import (  # noqa: PLC0415
+                hilbert2_expr,
+                z_value,
+            )
 
-            zcols = [
-                (F.col(d.name) - F.lit(d.lower)).cast("long")
-                if d.lower is not None
-                else F.col(d.name).cast("long")
-                for d in s.dimensions
-            ]
+            def _norm_sql(d: Dim) -> str:
+                base = f"CAST({d.name} AS BIGINT)"
+                return f"({base} - {d.lower})" if d.lower is not None else base
+
+            if len(s.dimensions) == 2:
+                widths = [
+                    (d.upper - d.lower + 1)
+                    if (d.upper is not None and d.lower is not None)
+                    else (1 << 16)
+                    for d in s.dimensions
+                ]
+                hb = min(31, max(2, max(int(w - 1).bit_length() for w in widths)))
+                key = F.expr(
+                    hilbert2_expr(
+                        _norm_sql(s.dimensions[0]),
+                        _norm_sql(s.dimensions[1]),
+                        bits=hb,
+                    )
+                )
+            else:
+                zcols = [
+                    (F.col(d.name) - F.lit(d.lower)).cast("long")
+                    if d.lower is not None
+                    else F.col(d.name).cast("long")
+                    for d in s.dimensions
+                ]
+                key = z_value(zcols, bits=16)
             clustered = (
-                out.withColumn("__z", z_value(zcols, bits=16))
+                out.withColumn("__z", key)
                 .repartitionByRange(n_tiles, F.col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
