@@ -868,6 +868,25 @@ class TileTable:
         rows = sorted(self.schema.metadata.items())
         return self.spark.createDataFrame(rows, schema="key string, value string")
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: the version log as a queryable DataFrame —
+        (version, ts, rows, operation) per committed snapshot, Delta-style
+        table auditing over the fragment/version model (the reference
+        exposes fragments only through the filesystem)."""
+        rows = [
+            (
+                int(v["v"]),
+                int(v["ts"]),
+                int(v.get("rows", 0)),
+                "cdc" if v.get("tombstones") else "write",
+            )
+            for v in sorted(self.schema.versions, key=lambda r: r["v"])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema="version bigint, ts bigint, rows bigint, operation string",
+        )
+
     # --- discovery / SHOW CREATE ---------------------------------------------
 
     def information_schema_columns(self, name: Optional[str] = None) -> DataFrame:

@@ -93,6 +93,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         core,
         functions_surface,
         functions_surface2,
@@ -156,6 +157,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         similarity,
         streaming_ops,
         spatial_ops,

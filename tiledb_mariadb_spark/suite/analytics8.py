@@ -1,0 +1,200 @@
+"""Batch 8: time-constrained funnels, corpus source-similarity, and the
+DESCRIBE HISTORY catalog surface.
+
+* q241 — **timed funnel**: purchases attributed only when the user's
+  most recent click happened within the last hour — the time-bounded
+  variant of q222 (classic attribution windows are bounded, not
+  unbounded).  A RANGE frame over epoch seconds keeps the window state
+  bounded by the time horizon instead of the user's full history.
+* q242 — **source similarity matrix**: cosine similarity between
+  per-source vocabulary histograms.  The scale shape: one (source,
+  word) count aggregate, a word-keyed join between source vectors
+  (bounded by shared vocabulary — never |src|² × |vocab|), exact int64
+  dot products, norms via IEEE sqrt.  The corpus-drift / source-overlap
+  report a mixing pipeline consults.
+* q243 — **DESCRIBE HISTORY**: the version log (version, timestamp,
+  rows, operation kind) as a queryable DataFrame — Delta-style table
+  auditing over the reference's fragment/version model; oracle is the
+  literal expected log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+# --- q241: time-bounded funnel ---------------------------------------------
+_FUNNEL_HORIZON = 3600
+
+
+def q241_timed_funnel(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_FUNNEL_HORIZON, 0)
+    )
+    tagged = e.withColumn(
+        "recent_clicks",
+        F.sum((F.col("event_type") == "click").cast("long")).over(w),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(
+                (F.col("recent_clicks") > 0).cast("long")
+            ).alias("n_click_driven"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q241_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+tagged AS (
+  SELECT *,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN {_FUNNEL_HORIZON} PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS recent_clicks
+  FROM e)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN recent_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_driven
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- q242: source vocabulary similarity ------------------------------------
+
+
+def q242_source_similarity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    counts = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = counts.select(
+        F.col("source").alias("src_a"), "word", F.col("cnt").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("src_b"), "word", F.col("cnt").alias("cb")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = counts.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("ss").alias("ssb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.expr(
+                "CAST(dot AS DOUBLE) /"
+                " (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE)))"
+            ).alias("cosine"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q242_SQL = """
+WITH words AS (
+  SELECT source, u.word FROM documents,
+         UNNEST(string_split(text, ' ')) AS u(word)
+  WHERE u.word <> ''),
+counts AS (
+  SELECT source, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+dots AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+  FROM counts a JOIN counts b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2),
+norms AS (
+  SELECT source, CAST(SUM(cnt * cnt) AS BIGINT) AS ss FROM counts GROUP BY 1)
+SELECT src_a, src_b, dot,
+       CAST(dot AS DOUBLE) /
+         (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.source = src_a
+JOIN norms nb ON nb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+# --- q243: DESCRIBE HISTORY -------------------------------------------------
+
+
+def q243_describe_history(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    tt = TileTable.create(
+        spark,
+        _uri("hist_t", sf_dir),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+        overwrite=True,
+    )
+    tt.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tt.write(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    tt.apply_changes(
+        spark.createDataFrame([(1, None, "delete")], "k int, v string, __op string")
+    )
+    return tt.history()
+
+
+Q243_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'write'),
+  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'write'),
+  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'cdc')
+) AS v(version, ts, rows, operation)
+ORDER BY version
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q241_timed_funnel",
+        q241_timed_funnel,
+        Q241_SQL,
+        "time-bounded click→purchase funnel via RANGE-frame window",
+    ),
+    QuerySpec(
+        "q242_source_similarity",
+        q242_source_similarity,
+        Q242_SQL,
+        "source vocabulary cosine-similarity matrix (word-keyed join)",
+    ),
+    QuerySpec(
+        "q243_describe_history",
+        q243_describe_history,
+        Q243_SQL,
+        "DESCRIBE HISTORY: version log as a queryable surface",
+    ),
+]
