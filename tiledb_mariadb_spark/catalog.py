@@ -999,28 +999,40 @@ class TileTable:
         ]
         _save_sidecar(self.uri, self.schema)
 
-    def read_changes(self, since_ts: int) -> DataFrame:
+    def read_changes(
+        self, since_ts: int, with_version: bool = False
+    ) -> DataFrame:
         """Batch change feed: the rows written by versions with
         ``ts > since_ts``, raw (no cross-version dedup) — the batch analog
         of the streaming version feed (streaming.events.stream_tile_table)
         and the read primitive incremental view maintenance builds on
         (operators/rollup.py).  Partition pruning does the work: only the
         new fragments' directories are listed, so the cost scales with the
-        delta, not the table."""
+        delta, not the table.  ``with_version=True`` appends the writing
+        snapshot as ``_version`` (SCD2 builds / CDC consumers)."""
         s = self.schema
         vs = [v["v"] for v in s.versions if v["ts"] > since_ts]
         cols = s.dim_names + s.attr_names
+        out_cols = cols + (["_version"] if with_version else [])
         if not vs:
-            return self.spark.createDataFrame(
-                [], schema=self._spark_ddl(include=cols)
-            )
+            ddl = self._spark_ddl(include=cols)
+            if with_version:
+                ddl += ", _version bigint"
+            return self.spark.createDataFrame([], schema=ddl)
         if self._encrypted:
-            return self._read_encrypted(vs, cols).select(*cols)
+            df = self._read_encrypted(vs, cols)
+            if with_version:
+                df = df.withColumn(
+                    "_version", F.col("__tile_v").cast("bigint")
+                )
+            return df.select(*out_cols)
         data_dir = self._data_dir
         df = self.spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, f"__tile_v={v}") for v in vs]
         )
-        return df.select(*cols)
+        if with_version:
+            df = df.withColumn("_version", F.col("__tile_v").cast("bigint"))
+        return df.select(*out_cols)
 
     def read_evolved(self, at: Optional[int] = None) -> DataFrame:
         """Read across schema versions: mergeSchema + fill for columns

@@ -178,6 +178,94 @@ ORDER BY version
 """
 
 
+# --- q244: SCD2 interval build from the version change feed ----------------
+# Slowly-changing-dimension type 2: reconstruct each key's attribute
+# validity intervals [valid_from, valid_to) from the raw write history
+# (read_changes with _version) — keep only value TRANSITIONS (lag
+# compare), then lead() closes each interval.  One shuffle on the key;
+# the feed itself is partition-pruned fragment reads, so cost scales
+# with history size, not table size.
+_SCD_N = 40
+
+
+def q244_scd2_intervals(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= _SCD_N)
+    tt = TileTable.create(
+        spark,
+        _uri("scd2_part", sf_dir),
+        dimensions=[Dim("p_partkey", "bigint")],
+        attributes=[Attr("price_cents", "bigint")],
+        overwrite=True,
+    )
+    base = p.select(
+        "p_partkey",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    tt.write(base)
+    # v2: every 2nd part repriced; v3: every 3rd repriced again, and the
+    # every-4th rows rewritten UNCHANGED (must not open a new interval)
+    tt.write(
+        base.filter(F.col("p_partkey") % 2 == 0).withColumn(
+            "price_cents", F.col("price_cents") + 100
+        )
+    )
+    tt.write(
+        base.filter(F.col("p_partkey") % 3 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 300)
+        .unionByName(
+            base.filter(
+                (F.col("p_partkey") % 4 == 0) & (F.col("p_partkey") % 3 != 0)
+            )
+        )
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    feed = tt.read_changes(0, with_version=True)
+    w = Window.partitionBy("p_partkey").orderBy("_version")
+    transitions = (
+        feed.withColumn("prev", F.lag("price_cents").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("price_cents")))
+        .withColumn("valid_from", F.col("_version"))
+        .withColumn("valid_to", F.lead("_version").over(w))
+    )
+    return transitions.select(
+        "p_partkey",
+        "price_cents",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).cast("long").alias("valid_to"),
+    ).orderBy("p_partkey", "valid_from")
+
+
+Q244_SQL = f"""
+WITH base AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part WHERE p_partkey <= {_SCD_N}),
+writes AS (
+  SELECT 1 AS ver, p_partkey, price_cents FROM base
+  UNION ALL
+  SELECT 2, p_partkey, price_cents + 100 FROM base WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT 3, p_partkey, price_cents + 300 FROM base WHERE p_partkey % 3 = 0
+  UNION ALL
+  SELECT 3, p_partkey, price_cents FROM base
+   WHERE p_partkey % 4 = 0 AND p_partkey % 3 <> 0),
+tr AS (
+  SELECT *,
+    LAG(price_cents) OVER (PARTITION BY p_partkey ORDER BY ver) AS prev
+  FROM writes),
+keep AS (SELECT * FROM tr WHERE prev IS NULL OR prev <> price_cents)
+SELECT p_partkey, price_cents, CAST(ver AS BIGINT) AS valid_from,
+       CAST(COALESCE(LEAD(ver) OVER (PARTITION BY p_partkey ORDER BY ver), -1)
+            AS BIGINT) AS valid_to
+FROM keep ORDER BY p_partkey, valid_from
+"""
+
+
 SPECS = [
     QuerySpec(
         "q241_timed_funnel",
@@ -196,5 +284,12 @@ SPECS = [
         q243_describe_history,
         Q243_SQL,
         "DESCRIBE HISTORY: version log as a queryable surface",
+    ),
+    QuerySpec(
+        "q244_scd2_intervals",
+        q244_scd2_intervals,
+        Q244_SQL,
+        "SCD2 validity intervals from the version change feed "
+        "(transition-only, unchanged rewrites open no interval)",
     ),
 ]
