@@ -111,6 +111,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops4,
         pipeline_ops5,
         pipeline_ops6,
+        pipeline_ops7,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -151,6 +152,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops4,
         pipeline_ops5,
         pipeline_ops6,
+        pipeline_ops7,
         analytics2,
         analytics3,
         analytics4,
