@@ -100,6 +100,61 @@ FROM staged
 """
 
 
+# --- q246: null-safe equality + GREATEST/LEAST null semantics ---------------
+# Spark ``<=>`` vs DuckDB ``IS NOT DISTINCT FROM``: NULL keys join to the
+# NULL dimension row instead of vanishing (the lost-rows bug every
+# nullable-key join hides).  GREATEST/LEAST null-skipping pinned in the
+# same spec (both engines skip NULL operands; all-NULL yields NULL).
+_NSJ_N = 120
+
+
+def q246_null_safe_join(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= _NSJ_N)
+    left = o.select(
+        "o_orderkey",
+        F.expr("nullif(o_orderstatus, 'O')").alias("k"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "k string, label string",
+    )
+    joined = left.join(F.broadcast(dim), left["k"].eqNullSafe(dim["k"]))
+    return (
+        joined.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "g", F.expr("greatest(n, CAST(NULL AS BIGINT), 10)")
+        )
+        .withColumn("l", F.expr("least(n, CAST(NULL AS BIGINT), 10)"))
+        .withColumn(
+            "all_null_is_null",
+            F.expr(
+                "greatest(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) IS NULL"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+Q246_SQL = f"""
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k, o_totalprice
+  FROM orders WHERE o_orderkey <= {_NSJ_N}),
+dim AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+           AS v(k, label)),
+j AS (SELECT label FROM l JOIN dim ON l.k IS NOT DISTINCT FROM dim.k),
+g AS (SELECT label, COUNT(*) AS n FROM j GROUP BY label)
+SELECT label, n,
+       CAST(greatest(n, CAST(NULL AS BIGINT), 10) AS BIGINT) AS g,
+       CAST(least(n, CAST(NULL AS BIGINT), 10) AS BIGINT) AS l,
+       greatest(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) IS NULL
+         AS all_null_is_null
+FROM g ORDER BY label
+"""
+
+
 SPECS = [
     QuerySpec(
         "q233_nulls_ordering",
@@ -112,5 +167,12 @@ SPECS = [
         q234_hof_predicates,
         Q234_SQL,
         "exists/forall/reduce higher-order lambdas, scalar outputs",
+    ),
+    QuerySpec(
+        "q246_null_safe_join",
+        q246_null_safe_join,
+        Q246_SQL,
+        "null-safe equality join (<=> / IS NOT DISTINCT FROM) + "
+        "GREATEST/LEAST null skipping",
     ),
 ]
