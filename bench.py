@@ -76,6 +76,10 @@ HEADLINE = [
     # over documents and BM25 corpus ranking (stats broadcast + TakeOrdered)
     "q212_global_ordinal",
     "q213_bm25_topk",
+    # uncapped in-basket pair mining over lineitem and the capstone
+    # gate→dedup→decontaminate→shard corpus build over documents
+    "q228_copurchase",
+    "q245_corpus_build",
 ]
 
 
