@@ -243,3 +243,35 @@ def test_hilbert_table_box_scan_matches_rowmajor(spark, tmp_path):
         .collect()[0]
     )
     assert tuple(got) == tuple(want)
+
+
+def test_explain_pruning_reports_skipped_files(spark, tmp_path):
+    """EXPLAIN TILES: range-clustered layout must let a narrow dim range
+    skip most fragment files, and the kept files must cover every
+    matching row."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "prune"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[Attr("v", "bigint")],
+        capacity=1000,
+    )
+    tt.write(
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+    )
+    rep = tt.explain_pruning({"k": (2100, 2399)}).collect()
+    assert len(rep) >= 8  # capacity=1000 over 10k rows → ~10 files
+    kept = [r for r in rep if r["kept"]]
+    assert 1 <= len(kept) < len(rep) / 2, rep
+    # sanity: the kept files hold at least the matching row count
+    assert sum(r["rows"] for r in kept) >= 300
+    import pytest
+
+    with pytest.raises(ValueError, match="not dimensions"):
+        tt.explain_pruning({"v": (0, 1)})

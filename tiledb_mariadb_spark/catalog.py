@@ -770,6 +770,71 @@ class TileTable:
                     total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
         return total
 
+    def explain_pruning(
+        self, dim_ranges: dict[str, tuple[Any, Any]]
+    ) -> DataFrame:
+        """EXPLAIN TILES: which fragment files a subarray read would
+        actually touch, decided from parquet footer min/max statistics —
+        the observable form of the reference's subarray pruning
+        (mytile-range.cc:1189-1358 builds the subarray; TileDB prunes
+        tiles against it).  One footer read per file (no data pages),
+        driver-side — the same cost class as ``est_records``.
+
+        Returns (file, version, rows, kept): ``kept=False`` files are the
+        ones row-group skipping eliminates for this range.  A well-laid-
+        out table (write-time range clustering) keeps a small fraction;
+        100% kept on a range predicate means the layout is wrong.
+        """
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        s = self.schema
+        bad = [d for d in dim_ranges if d not in s.dim_names]
+        if bad:
+            raise ValueError(f"not dimensions: {bad}")
+        if self._encrypted:
+            raise NotImplementedError("sealed footers require the key")
+        out = []
+        data_dir = self._data_dir
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                md = pq.ParquetFile(full).metadata
+                schema_names = md.schema.to_arrow_schema().names
+                kept = True
+                for dim, (lo, hi) in dim_ranges.items():
+                    idx = schema_names.index(dim)
+                    f_lo, f_hi = None, None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            f_lo = None
+                            break
+                        f_lo = st.min if f_lo is None else min(f_lo, st.min)
+                        f_hi = st.max if f_hi is None else max(f_hi, st.max)
+                    if f_lo is None:
+                        continue  # no stats → cannot prune
+                    if (hi is not None and f_lo > hi) or (
+                        lo is not None and f_hi < lo
+                    ):
+                        kept = False
+                        break
+                import re as _re  # noqa: PLC0415
+
+                m = _re.search(r"__tile_v=(\d+)", root)
+                out.append(
+                    (
+                        fn,
+                        int(m.group(1)) if m else 0,
+                        int(md.num_rows),
+                        kept,
+                    )
+                )
+        return self.spark.createDataFrame(
+            out, schema="file string, version int, rows bigint, kept boolean"
+        )
+
     @staticmethod
     def register_subset(
         spark: SparkSession, src_uri: str, dst_uri: str, columns: list[str]
