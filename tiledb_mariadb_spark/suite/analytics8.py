@@ -292,4 +292,95 @@ SPECS = [
         "SCD2 validity intervals from the version change feed "
         "(transition-only, unchanged rewrites open no interval)",
     ),
+    QuerySpec(
+        "q247_khop_reachability",
+        lambda spark, sf_dir: q247_khop_reachability(spark, sf_dir),
+        None,  # replaced below
+    ),
 ]
+
+
+# --- q247: k-hop reachability ----------------------------------------------
+# Bounded-depth BFS over the deterministic document link graph (same
+# derivation as q221/q200): frontier ⋈ edges per hop, distinct on the
+# visited set — k joins, each shuffling only the frontier.  The
+# unbounded version is connected components (q140); bounded k-hop is the
+# "blast radius" / neighborhood-expansion query graph stores run.
+_KHOP_OUT = 4
+_KHOP_K = 3
+_KHOP_SRC = 0
+
+
+def q247_khop_reachability(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n_row = F.broadcast(d.agg(F.count(F.lit(1)).alias("n")))
+    edges = (
+        d.crossJoin(n_row)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("doc_id") * 7 + j * 13) % F.col("n"))
+                        for j in range(1, _KHOP_OUT + 1)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    visited = spark.createDataFrame(
+        [(_KHOP_SRC, 0)], "node bigint, hop int"
+    )
+    frontier = visited.select("node")
+    for hop in range(1, _KHOP_K + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+Q247_SQL = f"""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+  FROM documents, nn, UNNEST(range(1, {_KHOP_OUT} + 1)) AS t(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+bfs(node, hop) AS (
+  SELECT CAST({_KHOP_SRC} AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.hop + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hop < {_KHOP_K}),
+first_seen AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node)
+SELECT hop, COUNT(*) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM first_seen GROUP BY hop ORDER BY hop
+"""
+
+SPECS[-1] = QuerySpec(
+    "q247_khop_reachability",
+    q247_khop_reachability,
+    Q247_SQL,
+    "bounded-depth BFS neighborhood expansion (frontier joins, "
+    "first-seen hop)",
+)
