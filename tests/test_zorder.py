@@ -275,3 +275,57 @@ def test_explain_pruning_reports_skipped_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not dimensions"):
         tt.explain_pruning({"v": (0, 1)})
+
+
+def test_optimize_recluster_by_attribute(spark, tmp_path):
+    """OPTIMIZE CLUSTER BY(attr): after the rewrite, footer min/max on the
+    attribute become near-disjoint across files (attribute predicates can
+    skip files), results unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "opt"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[Attr("v", "bigint")],
+        capacity=1000,
+    )
+    # v is uncorrelated with k → every k-ordered file spans all of v
+    tt.write(
+        spark.range(10_000).select(
+            F.col("id").alias("k"), ((F.col("id") * 7919) % 10_000).alias("v")
+        )
+    )
+    before = tt.read().groupBy().agg(F.sum("v"), F.count("*")).collect()[0]
+
+    def v_spans(version):
+        spans = []
+        for f in sorted(
+            glob.glob(f"{tt.uri}/data/__tile_v={version}/*.parquet")
+        ):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().names.index("v")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            spans.append((min(los), max(his)))
+        return spans
+
+    wide = v_spans(1)
+    assert all(hi - lo > 5_000 for lo, hi in wide)  # every file spans v
+
+    new_v = tt.optimize(cluster_by=["v"])
+    after = tt.read().groupBy().agg(F.sum("v"), F.count("*")).collect()[0]
+    assert tuple(after) == tuple(before)
+    tight = v_spans(new_v)
+    assert len(tight) >= 8
+    # near-disjoint: each file covers a narrow v slice now
+    assert all(hi - lo < 2_500 for lo, hi in tight), tight
+    assert len(tt.schema.versions) == 1  # compacted

@@ -379,11 +379,19 @@ class TileTable:
 
     # --- write path ----------------------------------------------------------
 
-    def write(self, df: DataFrame, version_ts: Optional[int] = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        version_ts: Optional[int] = None,
+        cluster_by: Optional[list[str]] = None,
+    ) -> int:
         """Append one snapshot version.  Rejects null dimension values;
         dedups coordinates within the batch when allows_dups=False.
         Sorts within partitions by the dims so range predicates prune
-        row groups on read."""
+        row groups on read.  ``cluster_by`` overrides the physical sort
+        key (OPTIMIZE-recluster path — lexicographic multi-column
+        clustering so footer min/max on those columns become
+        near-disjoint); results are unaffected, only layout."""
         s = self.schema
         dims = s.dim_names
         cols = dims + s.attr_names
@@ -477,7 +485,14 @@ class TileTable:
         # One output file ≈ one "tile" of `capacity` cells (ha_mytile.cc:69):
         # capacity is the user's tile-size knob, exactly as in TileDB.
         n_tiles = max(1, -(-stats["__n"] // s.capacity))
-        if s.cell_order == "HILBERT" and self._zorderable():
+        if cluster_by is not None:
+            unknown = [c for c in cluster_by if c not in cols]
+            if unknown:
+                raise ValueError(f"unknown cluster columns: {unknown}")
+            clustered = out.repartitionByRange(
+                n_tiles, *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+        elif s.cell_order == "HILBERT" and self._zorderable():
             # HILBERT cell order (ha_mytile.cc:71-73, t/hilbert.test):
             # multi-dimensional locality so a box over SEVERAL dims touches
             # few tiles.  2-D tables use the TRUE Hilbert curve (adjacent
@@ -874,7 +889,21 @@ class TileTable:
 
     # --- consolidation --------------------------------------------------------
 
-    def consolidate(self, keep_history: bool = False) -> int:
+    def optimize(self, cluster_by: list[str]) -> int:
+        """OPTIMIZE … CLUSTER BY analog (Delta's OPTIMIZE ZORDER family):
+        compact every version into one baseline REWRITTEN physically
+        clustered on ``cluster_by`` — which may include ATTRIBUTE columns,
+        so footer min/max on frequent filter columns become near-disjoint
+        and attribute predicates start skipping files (dimension-ordered
+        layout can never give that).  Results are unchanged; only layout.
+        """
+        return self.consolidate(cluster_by=cluster_by)
+
+    def consolidate(
+        self,
+        keep_history: bool = False,
+        cluster_by: Optional[list[str]] = None,
+    ) -> int:
         """Merge all visible versions into one baseline version — the
         TileDB fragment-consolidation analog (many small fragments degrade
         reads; periodic consolidation restores one-sorted-run layout and
@@ -883,6 +912,7 @@ class TileTable:
         After consolidation the merged version carries the newest
         timestamp; older snapshots remain addressable only when
         ``keep_history=True`` (vacuuming vs. consolidating, as in TileDB).
+        ``cluster_by`` overrides the rewritten layout (see ``optimize``).
         Returns the new version number.
         """
         s = self.schema
@@ -901,7 +931,9 @@ class TileTable:
         old = list(s.versions)
         new_ts = max(v["ts"] for v in old)
         try:
-            new_version = self.write(merged_rows, version_ts=new_ts)
+            new_version = self.write(
+                merged_rows, version_ts=new_ts, cluster_by=cluster_by
+            )
         finally:
             merged_rows.unpersist()
         if not keep_history:
