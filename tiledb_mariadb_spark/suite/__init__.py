@@ -112,6 +112,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops5,
         pipeline_ops6,
         pipeline_ops7,
+        pipeline_ops8,
         similarity,
         spatial_ops,
         streaming_ops,
@@ -153,6 +154,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops5,
         pipeline_ops6,
         pipeline_ops7,
+        pipeline_ops8,
         analytics2,
         analytics3,
         analytics4,
