@@ -146,6 +146,38 @@ def interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: like :func:`interval_join`, but a
+    click with NO purchase inside its hour is still emitted (null
+    purchase columns) — once the watermark proves no match can arrive.
+    The outer side therefore emits on watermark progression, not match
+    arrival: rows whose eviction horizon hasn't passed at shutdown stay
+    unemitted (Structured Streaming contract, not a bug — asserted in
+    tests/test_streaming_outer.py)."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros(F.col("c_ts")).alias("click_us"),
+    )
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """Exactly-once event delivery: drop replayed event_ids.  The
     watermark bounds the dedup state (ids older than the watermark are
