@@ -175,4 +175,109 @@ SPECS = [
         "null-safe equality join (<=> / IS NOT DISTINCT FROM) + "
         "GREATEST/LEAST null skipping",
     ),
+    QuerySpec(
+        "q250_setops_nulls",
+        lambda spark, sf_dir: q250_setops_nulls(spark, sf_dir),
+        None,
+    ),
+    QuerySpec(
+        "q251_not_in_nulls",
+        lambda spark, sf_dir: q251_not_in_nulls(spark, sf_dir),
+        None,
+    ),
 ]
+
+
+# --- q250: set operations over NULL rows ------------------------------------
+# INTERSECT/EXCEPT use SET equality (NULL matches NULL) while `=` uses
+# 3VL — the classic divergence users trip on.  Both engines implement
+# the standard; this pins it with synthesized null keys.
+
+
+def q250_setops_nulls(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    o.createOrReplaceTempView("q250_orders")
+    return spark.sql(
+        """
+        WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k FROM q250_orders
+                   WHERE o_orderkey % 2 = 0),
+             b AS (SELECT nullif(o_orderstatus, 'F') AS k FROM q250_orders
+                   WHERE o_orderkey % 3 = 0),
+        i AS (SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT
+                                                SELECT k FROM b) x),
+        e AS (SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT
+                                             SELECT k FROM b) x)
+        SELECT op, coalesce(k, '<null>') AS k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT * FROM i UNION ALL SELECT * FROM e) u
+        GROUP BY op, k ORDER BY op, k
+        """
+    )
+
+
+Q250_SQL = """
+WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k FROM orders
+           WHERE o_orderkey <= 300 AND o_orderkey % 2 = 0),
+     b AS (SELECT nullif(o_orderstatus, 'F') AS k FROM orders
+           WHERE o_orderkey <= 300 AND o_orderkey % 3 = 0),
+i AS (SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT
+                                        SELECT k FROM b) x),
+e AS (SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT
+                                     SELECT k FROM b) x)
+SELECT op, coalesce(k, '<null>') AS k, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM i UNION ALL SELECT * FROM e) u
+GROUP BY op, k ORDER BY op, k
+"""
+
+
+# --- q251: NOT IN with NULLs (three-valued logic) ---------------------------
+# A NULL anywhere in the NOT IN list makes every comparison UNKNOWN —
+# rows silently vanish.  Pinned alongside the NOT EXISTS rewrite that
+# users actually want (and that anti-join executes).
+
+
+def q251_not_in_nulls(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    o.createOrReplaceTempView("q251_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM q251_orders
+            WHERE o_orderstatus NOT IN
+              (SELECT nullif(o_orderstatus, 'P') FROM q251_orders))
+            AS not_in_with_nulls,
+          (SELECT CAST(count(*) AS BIGINT) FROM q251_orders x
+            WHERE NOT EXISTS (
+              SELECT 1 FROM q251_orders y
+               WHERE nullif(y.o_orderstatus, 'P') = x.o_orderstatus))
+            AS not_exists_rewrite
+        """
+    )
+
+
+Q251_SQL = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_orderkey <= 400 AND o_orderstatus NOT IN
+      (SELECT nullif(o_orderstatus, 'P') FROM orders WHERE o_orderkey <= 400))
+    AS not_in_with_nulls,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders x
+    WHERE o_orderkey <= 400 AND NOT EXISTS (
+      SELECT 1 FROM orders y
+       WHERE y.o_orderkey <= 400
+         AND nullif(y.o_orderstatus, 'P') = x.o_orderstatus))
+    AS not_exists_rewrite
+"""
+
+SPECS[-2] = QuerySpec(
+    "q250_setops_nulls",
+    q250_setops_nulls,
+    Q250_SQL,
+    "INTERSECT/EXCEPT set-equality over NULL rows",
+)
+SPECS[-1] = QuerySpec(
+    "q251_not_in_nulls",
+    q251_not_in_nulls,
+    Q251_SQL,
+    "NOT IN three-valued-logic null trap vs NOT EXISTS rewrite",
+)
