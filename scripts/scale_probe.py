@@ -30,7 +30,29 @@ def replicate(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(ROOT, f"{mult}x")
+
+    def _replicate_events():
+        evs = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+        n_ev = evs.count()
+        reps_ = spark.range(mult).withColumnRenamed("id", "rep")
+        (
+            evs.crossJoin(reps_)
+            .select(
+                (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("rep") * 100_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "events.parquet"))
+        )
+
     if os.path.exists(os.path.join(out, "_DONE")):
+        if not os.path.exists(os.path.join(out, "events.parquet")):
+            _replicate_events()
         return out
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
@@ -61,6 +83,7 @@ def replicate(spark, mult: int) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
+    _replicate_events()
     open(os.path.join(out, "_DONE"), "w").write("ok")
     return out
 
@@ -145,6 +168,60 @@ def probe_ops(spark, sf_dir: str) -> dict[str, float]:
 
     clock("ordinal_two_phase", ordinal_two_phase)
     clock("ordinal_global_window", ordinal_window)
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(events_path):
+        ev = spark.read.parquet(events_path).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("unix_timestamp(CAST(ts AS TIMESTAMP))").alias("sec"),
+        )
+
+        def interval_overlap():
+            a = ev.filter(F.col("event_type") == "error").select(
+                F.col("event_id").alias("a_id"),
+                F.col("sec").alias("a_s"),
+                (F.col("sec") + 300).alias("a_e"),
+            )
+            b = ev.filter(F.col("event_type") == "signup").select(
+                F.col("event_id").alias("b_id"),
+                F.col("sec").alias("b_s"),
+                (F.col("sec") + 300).alias("b_e"),
+            )
+
+            def binned(df, s, e):
+                return df.withColumn(
+                    "bucket",
+                    F.explode(F.expr(f"sequence({s} DIV 3600, {e} DIV 3600)")),
+                )
+
+            return (
+                binned(a, "a_s", "a_e")
+                .join(binned(b, "b_s", "b_e"), "bucket")
+                .filter(
+                    (F.col("a_s") <= F.col("b_e"))
+                    & (F.col("b_s") <= F.col("a_e"))
+                    & (F.col("bucket") == F.expr("greatest(a_s, b_s) DIV 3600"))
+                )
+                .count()
+            )
+
+        clock("interval_overlap_join", interval_overlap)
+
+        def twa_window():
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+            return (
+                ev.withColumn("nxt", F.lead("sec").over(w))
+                .filter(F.col("nxt").isNotNull())
+                .groupBy("user_id")
+                .agg(F.sum(F.col("nxt") - F.col("sec")).alias("d"))
+                .count()
+            )
+
+        clock("twa_user_window", twa_window)
     return timings
 
 
