@@ -114,3 +114,39 @@ def test_plain_tables_unaffected_by_tombstone_path(spark, table):
     plan = table.read()._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "__tombstone" not in plan
+
+
+def test_erasure_physically_removes_data_after_consolidate(spark, tmp_path):
+    """Right-to-erasure: tombstone delete hides the row immediately;
+    consolidate() (vacuum) must remove the value from STORAGE — no
+    fragment file may still contain the erased payload bytes."""
+    import glob
+
+    t = TileTable.create(
+        spark,
+        str(tmp_path / "gdpr_t"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+        overwrite=True,
+    )
+    secret = "SENSITIVE-PAYLOAD-42"
+    t.write(
+        spark.createDataFrame([(1, secret), (2, "ordinary")], ["k", "v"])
+    )
+    t.apply_changes(
+        spark.createDataFrame([(1, None, "delete")], "k int, v string, __op string")
+    )
+    # logically gone, physically still present (pre-vacuum)
+    assert 1 not in {r["k"] for r in t.read().collect()}
+    raw = b"".join(
+        open(f, "rb").read()
+        for f in glob.glob(f"{t.uri}/data/**/*.parquet", recursive=True)
+    )
+    assert secret.encode() in raw
+    t.consolidate()
+    raw_after = b"".join(
+        open(f, "rb").read()
+        for f in glob.glob(f"{t.uri}/data/**/*.parquet", recursive=True)
+    )
+    assert secret.encode() not in raw_after
+    assert {r["k"] for r in t.read().collect()} == {2}
