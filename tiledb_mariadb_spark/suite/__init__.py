@@ -136,11 +136,13 @@ def all_specs() -> dict[str, QuerySpec]:
     # (q162–q166), functions_surface7 (q160–q168) + round 2's fixed reds
     # (q43, q118, q122, q129); round 4 then covers the round-2-added tail
     # (pipeline_ops3 q183–q191, pipeline_ops4 q192–q197, pipeline_ops5
-    # q212–q216, pipeline_ops6 q228–q232, analytics2 q198–q201,
-    # analytics3 q202–q206, analytics4 q207–q209, analytics5 q218–q222,
-    # analytics6 q223–q227, surfaces3 q210/q211/q217) plus whatever
-    # core/analytics rows round 1 verified last (stable greens can
-    # rotate to the back).
+    # q212–q216, pipeline_ops6 q228–q232, pipeline_ops7 q245,
+    # pipeline_ops8 q248–q249, analytics2 q198–q201, analytics3
+    # q202–q206, analytics4 q207–q209, analytics5 q218–q222, analytics6
+    # q223–q227, analytics7 q235–q239, analytics8 q241–q244/q247,
+    # surfaces3 q210/q211/q217/q240, functions_surface8 q233/q234/q246/
+    # q250/q251) plus whatever core/analytics rows round 1 verified last
+    # (stable greens can rotate to the back).
     for mod in (
         joins,
         subqueries,
