@@ -294,3 +294,24 @@ def test_stored_lsh_index_probe_matches_inline(spark, tmp_path):
     assert stored == inline and stored
     plan = formatted_plan(probed_df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_params_advisor():
+    """(b, r) selection: the S-curve midpoint (1/b)^(1/r) must land near
+    the requested threshold, and tighter thresholds get more rows per
+    band (sharper curves)."""
+    import pytest
+
+    from tiledb_mariadb_spark.functions.dedup import lsh_params
+
+    for thr in (0.3, 0.5, 0.7, 0.8, 0.9):
+        n, b, r = lsh_params(thr)
+        assert n == b * r <= 64
+        t_star = (1.0 / b) ** (1.0 / r)
+        assert abs(t_star - thr) < 0.05, (thr, b, r, t_star)
+    # the suite's default (8 hashes, r=2) corresponds to a mid threshold
+    _, b_low, r_low = lsh_params(0.3)
+    _, b_high, r_high = lsh_params(0.9)
+    assert r_high > r_low  # high precision needs sharper (more rows/band)
+    with pytest.raises(ValueError):
+        lsh_params(1.5)

@@ -184,6 +184,30 @@ def minhash_sql(shingle_cte: str, id_col: str, num_hashes: int = 8) -> str:
     )
 
 
+def lsh_params(
+    threshold: float, max_hashes: int = 64
+) -> tuple[int, int, int]:
+    """Pick (num_hashes, bands, rows_per_band) for a target Jaccard
+    threshold: the banding S-curve crosses 1/2 at t* ≈ (1/b)^(1/r), so
+    choose the b·r ≤ max_hashes grid point whose t* lands closest to the
+    requested threshold (ties → more hashes = sharper curve).  The knob
+    users actually have ("catch pairs above 0.8") translated into the
+    knobs the operator takes — standard MMDS §3.4 analysis, no data pass.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, 17):
+        for b in range(1, max_hashes + 1):
+            if b * r > max_hashes:
+                break
+            t_star = (1.0 / b) ** (1.0 / r)
+            key = (abs(t_star - threshold), -(b * r))
+            if best is None or key < best[0]:
+                best = (key, (b * r, b, r))
+    return best[1]
+
+
 # --- LSH banding → candidate pairs ----------------------------------------
 
 
