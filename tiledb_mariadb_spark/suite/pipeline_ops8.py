@@ -128,6 +128,125 @@ FROM m WHERE n = {_BB_W} ORDER BY user_id, event_id
 """
 
 
+# --- q252: multi-granularity rollup cascade ---------------------------------
+# OLAP rollup trees re-aggregate coarse grains FROM finer grains (day
+# from hour), never rescanning facts — legal only for distributive/
+# algebraic aggregates carried as (count, sum, min, max).  The spec
+# computes day-level results THROUGH the hourly rollup; the oracle
+# computes them directly from raw events — equality proves the cascade
+# loses nothing.  At 100 TB this is the difference between a rollup
+# refresh touching 24 hourly rows per day and re-reading the fact table.
+
+
+def q252_rollup_cascade(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").alias("hour"),
+        F.expr("CAST(ROUND(value * 10000.0) AS BIGINT)").alias("v"),
+    )
+    hourly = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    daily = (
+        hourly.withColumn("day", F.expr("hour DIV 24"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sv").cast("long").alias("sv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        "sv",
+        "mn",
+        "mx",
+        F.expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").alias("avg_scaled"),
+    ).orderBy("event_type", "day")
+
+
+Q252_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 // 24 AS day,
+         CAST(ROUND(value * 10000.0) AS BIGINT) AS v
+  FROM events)
+SELECT event_type, day, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+       CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_scaled
+FROM e GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+# --- q253: score-decile calibration table -----------------------------------
+# Model-calibration report: users bucketed into deciles of a
+# deterministic score, per-decile actual outcome rate (did the user
+# purchase?).  Decile assignment reuses the scale-safe global ordinal
+# (q212) — NTILE would be the 1-task window again.
+
+
+def q253_calibration(spark, sf_dir):
+    from tiledb_mariadb_spark.functions import dedup as D  # noqa: PLC0415
+    from tiledb_mariadb_spark.functions.pipeline import (  # noqa: PLC0415
+        stable_ordinal,
+    )
+
+    e = t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "purchased"
+        )
+    )
+    scored = users.withColumn(
+        "score", D.hash60(F.col("user_id").cast("string"), "calib")
+    )
+    n_row = F.broadcast(scored.agg(F.count(F.lit(1)).alias("n")))
+    ranked = stable_ordinal(scored, ["score", "user_id"])
+    return (
+        ranked.crossJoin(n_row)
+        .withColumn("decile", F.expr("(ordinal - 1) * 10 DIV n"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("purchased").cast("long").alias("n_purchasers"),
+        )
+        .withColumn(
+            "rate",
+            F.expr(
+                "CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE)"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+_CALIB_H60 = "CAST(('0x' || substr(md5('calib:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+Q253_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id),
+scored AS (SELECT user_id, purchased, {_CALIB_H60} AS score FROM users),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score, user_id) AS ordinal,
+         COUNT(*) OVER () AS n
+  FROM scored)
+SELECT CAST((ordinal - 1) * 10 // n AS BIGINT) AS decile,
+       COUNT(*) AS n_users,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+       CAST(CAST(SUM(purchased) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS rate
+FROM ranked GROUP BY 1 ORDER BY decile
+"""
+
+
 SPECS = [
     QuerySpec(
         "q248_inverted_index",
@@ -140,5 +259,18 @@ SPECS = [
         q249_rolling_bands,
         Q249_SQL,
         "rolling mean/sigma bands from exact integer window moments",
+    ),
+    QuerySpec(
+        "q252_rollup_cascade",
+        q252_rollup_cascade,
+        Q252_SQL,
+        "day-from-hour rollup cascade equals direct aggregation "
+        "(re-aggregability of the carried moments)",
+    ),
+    QuerySpec(
+        "q253_calibration",
+        q253_calibration,
+        Q253_SQL,
+        "score-decile calibration table via the scale-safe ordinal",
     ),
 ]
