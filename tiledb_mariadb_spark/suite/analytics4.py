@@ -84,17 +84,18 @@ def q208_transitions(spark, sf_dir):
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
-    return (
-        counts.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n",
-            (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
-        )
-        .orderBy("from_type", "to_type")
-    )
+    # row-normalize with a window over the aggregated matrix (bounded by
+    # |event_types|²) — a totals self-join would re-plan the whole
+    # window+groupBy pipeline as a second subtree (was 12 exchanges)
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST(n AS DOUBLE) /"
+            " CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)"
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
 
 
 Q208_SQL = """
