@@ -37,43 +37,52 @@ from tiledb_mariadb_spark.suite import QuerySpec, t
 
 
 def q198_funnel(spark, sf_dir):
+    # ONE user_id shuffle: per-user progressive minima are derived from
+    # bounded per-type event-time arrays inside the same aggregate (the
+    # cascading-join form re-planned each earlier stage as a new subtree
+    # — 16 exchanges plus a separate distinct-count job; this is 2).
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    t1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    t2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    t3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    total = e.select("user_id").distinct().count()
-    return (
-        t1.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase")))
-        .select(
-            F.lit(total).cast("long").alias("n_users"),
-            "n_view",
-            "n_click",
-            "n_purchase",
-            (F.col("n_click").cast("double") / F.col("n_view").cast("double")).alias(
-                "view_to_click"
-            ),
-            (
-                F.col("n_purchase").cast("double") / F.col("n_click").cast("double")
-            ).alias("click_to_purchase"),
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t1"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                )
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                )
+            ).alias("purchases"),
         )
+        .withColumn(
+            "t2", F.expr("array_min(filter(clicks, x -> x > t1))")
+        )
+        .withColumn(
+            "t3", F.expr("array_min(filter(purchases, x -> x > t2))")
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_click"),
+        F.count("t3").cast("long").alias("n_purchase"),
+    ).select(
+        "n_users",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (
+            F.col("n_click").cast("double") / F.col("n_view").cast("double")
+        ).alias("view_to_click"),
+        (
+            F.col("n_purchase").cast("double")
+            / F.col("n_click").cast("double")
+        ).alias("click_to_purchase"),
     )
 
 
