@@ -77,18 +77,16 @@ def q229_chi2_drift(spark, sf_dir):
             F.sum((F.col("doc_id") > F.col("mid")).cast("long")).alias("o2"),
         )
     )
-    tot = F.broadcast(
-        counts.agg(
-            F.sum("o1").alias("t1"),
-            F.sum("o2").alias("t2"),
-            (F.sum("o1") + F.sum("o2")).alias("n"),
-        )
-    )
     # expected e1 = rowtot*t1/n; contribution = (o-e)^2/e per cell, with
     # everything derived from exact int64 (o*n - rowtot*tcol stays well
-    # inside int64 at oracle scale) and a FIXED two-term sum per lang
+    # inside int64 at oracle scale) and a FIXED two-term sum per lang.
+    # Totals come from an unpartitioned window over the aggregated
+    # |langs|-row matrix — a totals crossJoin would re-plan the whole
+    # groupBy pipeline as a second subtree (was 12 exchanges).
     return (
-        counts.crossJoin(tot)
+        counts.withColumn("t1", F.expr("SUM(o1) OVER ()"))
+        .withColumn("t2", F.expr("SUM(o2) OVER ()"))
+        .withColumn("n", F.expr("t1 + t2"))
         .withColumn("rt", F.col("o1") + F.col("o2"))
         .withColumn("num1", F.expr("o1 * n - rt * t1"))
         .withColumn("num2", F.expr("o2 * n - rt * t2"))
