@@ -578,7 +578,15 @@ def q155_containment(spark, sf_dir):
     corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
         "doc_id", "text"
     )
-    sh = D.with_shingles(corpus, "doc_id", "text", k=3).distinct()
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # three consumers (pair join both sides + per-doc counts): persist so
+    # the shingle pipeline runs once, not once per subtree
+    sh = (
+        D.with_shingles(corpus, "doc_id", "text", k=3)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
