@@ -110,6 +110,63 @@ WHERE x0 < 300 AND x1 > 50 AND y0 < 300 AND y1 > 50
 """
 
 
+# --- q254: ST_Contains + ST_Distance (MariaDB-tier GIS widening) -----------
+# The plugin pushes only Intersects/Equals/Overlaps (cond_push_func_spatial,
+# ha_mytile.cc:2312-2507); every OTHER ST_* a reference user writes is
+# evaluated by the MariaDB layer over scanned rows — the [M]-tier this
+# spec covers: polygon containment (strict interior vs boundary) and
+# Euclidean distance.  Coordinates derive from exact integers, so the
+# distance is sqrt of an exact int64 — bit-stable on both engines.
+_CX, _CY = 421, 473  # centroid-ish probe point in the 0..1200 int grid
+
+
+def q254_st_contains_distance(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 1201).alias("xi"),
+        (F.col("c_custkey") * 73 % 1201).alias("yi"),
+    ).select(
+        "c_custkey",
+        "xi",
+        "yi",
+        (F.col("xi") / F.lit(10.0)).alias("x"),
+        (F.col("yi") / F.lit(10.0)).alias("y"),
+    )
+    return pts.select(
+        "c_custkey",
+        point_in_triangle(F.col("x"), F.col("y"), TRI).alias("contains"),
+        (
+            (F.col("x") >= _XMIN)
+            & (F.col("x") <= _XMAX)
+            & (F.col("y") >= _YMIN)
+            & (F.col("y") <= _YMAX)
+        ).alias("within_box"),
+        F.expr(
+            f"sqrt(CAST((xi - {_CX}) * (xi - {_CX})"
+            f" + (yi - {_CY}) * (yi - {_CY}) AS DOUBLE)) / 10.0D"
+        ).alias("dist"),
+    ).orderBy("c_custkey")
+
+
+Q254_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 37 % 1201) AS xi, (c_custkey * 73 % 1201) AS yi,
+         ((c_custkey * 37 % 1201) / 10.0) AS x,
+         ((c_custkey * 73 % 1201) / 10.0) AS y
+  FROM customer WHERE c_custkey <= 400)
+SELECT c_custkey,
+       {point_in_triangle_sql('x', 'y', TRI)} AS contains,
+       (x >= {_XMIN} AND x <= {_XMAX} AND y >= {_YMIN} AND y <= {_YMAX})
+         AS within_box,
+       sqrt(CAST((xi - {_CX}) * (xi - {_CX})
+                 + (yi - {_CY}) * (yi - {_CY}) AS DOUBLE)) / CAST(10.0 AS DOUBLE)
+         AS dist
+FROM pts ORDER BY c_custkey
+"""
+
+
 SPECS = [
     QuerySpec(
         "q95_spatial_intersects",
@@ -119,4 +176,10 @@ SPECS = [
     ),
     QuerySpec("q96_st_equals", q96_st_equals, Q96_SQL, "ST_Equals as equality ranges"),
     QuerySpec("q97_st_overlaps", q97_st_overlaps, Q97_SQL, "ST_Overlaps box predicate"),
+    QuerySpec(
+        "q254_st_contains_distance",
+        q254_st_contains_distance,
+        Q254_SQL,
+        "ST_Contains / ST_Within / ST_Distance residual-tier GIS surface",
+    ),
 ]
