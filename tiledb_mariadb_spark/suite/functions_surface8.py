@@ -281,3 +281,105 @@ SPECS[-1] = QuerySpec(
     Q251_SQL,
     "NOT IN three-valued-logic null trap vs NOT EXISTS rewrite",
 )
+
+
+# --- q255: PERCENTILE_CONT (interpolated), engine-independent ---------------
+# q121 pins PERCENTILE_DISC (row selection); the interpolated form is
+# the one the engines' built-ins compute with engine-specific float
+# paths — unusable for cross-hashing.  Deterministic rewrite: rank the
+# group, select the two straddling rows, interpolate with ONE fixed
+# IEEE chain on exact int64 cents.  p25/p50/p75 per returnflag.
+
+
+def q255_percentile_cont(spark, sf_dir):
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+    )
+    pieces = []
+    for name, num, den in (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)):
+        # 0-based target index h = (n-1)*p; straddling rows are
+        # rk = floor(h)+1 and floor(h)+2 (clamped); fraction = h - floor(h)
+        lo_rk = f"((n - 1) * {num} DIV {den}) + 1"
+        frac = (
+            f"(CAST((n - 1) * {num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+            f" - CAST((n - 1) * {num} DIV {den} AS DOUBLE))"
+        )
+        pieces.append(
+            (
+                name,
+                F.expr(
+                    f"max(CASE WHEN rk = {lo_rk} THEN cents END)"
+                ).alias(f"{name}_lo"),
+                F.expr(
+                    f"max(CASE WHEN rk = least({lo_rk} + 1, n) THEN cents END)"
+                ).alias(f"{name}_hi"),
+                frac,
+            )
+        )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        *[c for _, lo, hi, _ in pieces for c in (lo, hi)],
+    )
+    sel = [F.col("l_returnflag")]
+    for name, _lo, _hi, frac in pieces:
+        sel.append(
+            F.expr(
+                f"CAST({name}_lo AS DOUBLE)"
+                f" + ({frac}) * (CAST({name}_hi AS DOUBLE)"
+                f" - CAST({name}_lo AS DOUBLE))"
+            ).alias(name)
+        )
+    return agg.select(*sel).orderBy("l_returnflag")
+
+
+def _q255_sql() -> str:
+    cols = []
+    for name, num, den in (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)):
+        lo_rk = f"((n - 1) * {num} // {den}) + 1"
+        frac = (
+            f"(CAST((MAX(n) - 1) * {num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+            f" - CAST((MAX(n) - 1) * {num} // {den} AS DOUBLE))"
+        )
+        cols.append(
+            f"CAST(MAX(CASE WHEN rk = {lo_rk} THEN cents END) AS DOUBLE)"
+            f" + ({frac}) * (CAST(MAX(CASE WHEN rk = LEAST({lo_rk} + 1, n)"
+            f" THEN cents END) AS DOUBLE)"
+            f" - CAST(MAX(CASE WHEN rk = {lo_rk} THEN cents END) AS DOUBLE))"
+            f" AS {name}"
+        )
+    return f"""
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v)
+SELECT l_returnflag, {', '.join(cols)}
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q255_percentile_cont",
+        q255_percentile_cont,
+        _q255_sql(),
+        "PERCENTILE_CONT via rank selection + fixed interpolation chain",
+    )
+)
