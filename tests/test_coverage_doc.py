@@ -12,7 +12,18 @@ from tiledb_mariadb_spark.suite import all_specs
 def test_every_query_documented():
     doc = open("COVERAGE.md").read()
     missing = [
-        name for name in all_specs()
-        if not re.search(rf"\b{name[:3]}\b|{name}", doc)
+        name
+        for name in all_specs()
+        if name not in doc
+        and not re.search(rf"\b{name.split('_')[0]}\b", doc)
     ]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_no_stale_doc_queries():
+    """Every qNNN the doc cites must exist in the registry."""
+    doc = open("COVERAGE.md").read()
+    known = {name.split("_")[0] for name in all_specs()}
+    cited = set(re.findall(r"\bq\d{2,3}\b", doc))
+    stale = sorted(c for c in cited if c not in known)
+    assert not stale, f"COVERAGE.md cites unknown queries: {stale}"
