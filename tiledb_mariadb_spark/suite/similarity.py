@@ -285,8 +285,76 @@ WHERE {S.cosine_sql('x.embedding', 'y.embedding')} > 0.3
 """
 
 
+# --- q256: RAG retrieval end-to-end ----------------------------------------
+# The retrieval composition a RAG pipeline actually runs: vector top-k
+# over the embedding index, then hydrate the hit set against the
+# documents table for context assembly.  The k-row hit list drives a
+# BROADCAST join into documents (the corpus is never shuffled for a
+# k-row lookup); snippet text is fingerprinted (md5 of the head) so the
+# driver can hash it.
+_RAG_K = 8
+
+
+def q256_rag_retrieve(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    d = t(spark, sf_dir, "documents")
+    query = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    hits = S.cosine_topk(
+        e.filter(F.col("vec_id") != 0), query, "vec_id", "embedding", k=_RAG_K
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ranked = hits.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        ),
+    )
+    return (
+        d.join(F.broadcast(ranked), d.doc_id == ranked.vec_id)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "cos",
+            "lang",
+            F.size(F.split(F.trim("text"), " +")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.md5(F.expr("substring(text, 1, 80)")).alias("snippet_fp"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q256_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+hits AS (
+  SELECT vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+  FROM embeddings, q WHERE vec_id != 0
+  ORDER BY cos DESC, vec_id LIMIT {_RAG_K}),
+ranked AS (
+  SELECT vec_id, cos,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank
+  FROM hits)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, cos, lang,
+       CAST(len(regexp_split_to_array(TRIM(text), ' +')) AS BIGINT)
+         AS n_tokens,
+       md5(substring(text, 1, 80)) AS snippet_fp
+FROM documents JOIN ranked ON doc_id = vec_id
+ORDER BY rank
+"""
+
+
 SPECS = [
     QuerySpec("q68_cosine_topk", q68_cosine_topk, Q68_SQL, "brute-force cosine top-k"),
+    QuerySpec(
+        "q256_rag_retrieve",
+        q256_rag_retrieve,
+        Q256_SQL,
+        "RAG retrieval: vector top-k + broadcast document hydration",
+    ),
     QuerySpec(
         "q159_lsh_neardup", q159_lsh_neardup, Q159_SQL,
         "LSH-bucketed embedding near-dup: in-bucket pairs + exact cosine verify",
