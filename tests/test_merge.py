@@ -150,3 +150,21 @@ def test_erasure_physically_removes_data_after_consolidate(spark, tmp_path):
     )
     assert secret.encode() not in raw_after
     assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_apply_changes_after_add_column(spark, table):
+    """Schema evolution composes with CDC: after ADD COLUMN, change
+    batches carry the new attribute; rows written before the evolution
+    read back with the fill default through read_evolved."""
+    table.add_column("score", "int", fill=0)
+    table.apply_changes(
+        spark.createDataFrame(
+            [(2, "B2", 22, 9, "upsert"), (3, None, None, None, "delete")],
+            "k int, v string, n int, score int, __op string",
+        )
+    )
+    got = {
+        r["k"]: (r["v"], r["n"], r["score"])
+        for r in table.read_evolved().collect()
+    }
+    assert got == {1: ("a", 10, 0), 2: ("B2", 22, 9)}

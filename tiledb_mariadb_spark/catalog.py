@@ -1150,6 +1150,9 @@ class TileTable:
             df = df.withColumn("__rn", F.row_number().over(w)).filter(
                 F.col("__rn") == 1
             )
+        if "__tombstone" in df.columns:
+            # CDC deletes resolve here exactly as in read()
+            df = df.filter(~F.coalesce(F.col("__tombstone"), F.lit(False)))
         out = []
         for c in cols:
             if c not in df.columns:
