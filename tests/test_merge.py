@@ -168,3 +168,22 @@ def test_apply_changes_after_add_column(spark, table):
         for r in table.read_evolved().collect()
     }
     assert got == {1: ("a", 10, 0), 2: ("B2", 22, 9)}
+
+
+def test_apply_changes_rejects_encrypted_tables(spark, tmp_path):
+    """Sealed fragments can't be overlaid with plaintext tombstones —
+    the surface refuses loudly rather than corrupting."""
+    t = TileTable.create(
+        spark,
+        str(tmp_path / "enc_cdc"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+        encryption_key="0123456789abcdef0123456789abcdef",
+        overwrite=True,
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        t.apply_changes(
+            spark.createDataFrame(
+                [(1, "x", "upsert")], "k int, v string, __op string"
+            )
+        )
