@@ -300,6 +300,65 @@ SPECS = [
 ]
 
 
+# --- q257: year-over-year growth report -------------------------------------
+# The standard reporting shape: yearly revenue per nation with absolute
+# and relative growth vs the prior year (lag over the tiny aggregated
+# series — the window is bounded by nations × years, never the fact
+# table).  Relative growth is one exact int64 difference divided once.
+
+
+def q257_yoy_growth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        yearly.withColumn("prev", F.lag("rev_cents").over(w))
+        .select(
+            "n_name",
+            F.col("yr").cast("long").alias("yr"),
+            "rev_cents",
+            F.coalesce("prev", F.lit(-1)).cast("long").alias("prev_cents"),
+            F.expr(
+                "CASE WHEN prev IS NULL THEN NULL ELSE"
+                " CAST(rev_cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)"
+                " END"
+            ).alias("growth"),
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+Q257_SQL = """
+WITH yearly AS (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, yr),
+lagged AS (
+  SELECT *, LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev
+  FROM yearly)
+SELECT n_name, yr, rev_cents,
+       CAST(COALESCE(prev, -1) AS BIGINT) AS prev_cents,
+       CASE WHEN prev IS NULL THEN NULL ELSE
+         CAST(rev_cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) END AS growth
+FROM lagged ORDER BY n_name, yr
+"""
+
+
 # --- q247: k-hop reachability ----------------------------------------------
 # Bounded-depth BFS over the deterministic document link graph (same
 # derivation as q221/q200): frontier ⋈ edges per hop, distinct on the
@@ -383,4 +442,12 @@ SPECS[-1] = QuerySpec(
     Q247_SQL,
     "bounded-depth BFS neighborhood expansion (frontier joins, "
     "first-seen hop)",
+)
+SPECS.append(
+    QuerySpec(
+        "q257_yoy_growth",
+        q257_yoy_growth,
+        Q257_SQL,
+        "year-over-year growth per nation (lag over the bounded rollup)",
+    )
 )
