@@ -33,40 +33,28 @@ _IV_BUCKET = 3600    # bucket width
 
 
 def q223_interval_overlap(spark, sf_dir):
+    from tiledb_mariadb_spark.operators.intervals import (  # noqa: PLC0415
+        interval_overlap_join,
+    )
+
     e = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.expr("unix_timestamp(ts)").alias("s"),
         (F.expr("unix_timestamp(ts)") + _IV_LEN).alias("e"),
     )
-
-    def binned(df, prefix):
-        return df.select(
-            F.col("event_id").alias(f"{prefix}_id"),
-            F.col("s").alias(f"{prefix}_s"),
-            F.col("e").alias(f"{prefix}_e"),
-            F.explode(
-                F.expr(f"sequence(s DIV {_IV_BUCKET}, e DIV {_IV_BUCKET})")
-            ).alias("bucket"),
-        )
-
-    a = binned(e.filter(F.col("event_type") == "error"), "a")
-    b = binned(e.filter(F.col("event_type") == "signup"), "b")
-    joined = a.join(b, "bucket").filter(
-        (F.col("a_s") <= F.col("b_e"))
-        & (F.col("b_s") <= F.col("a_e"))
-        # emit exactly once: only in the bucket holding the later start
-        & (
-            F.col("bucket")
-            == F.expr(f"greatest(a_s, b_s) DIV {_IV_BUCKET}")
-        )
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
     )
-    return joined.select(
-        "a_id",
-        "b_id",
-        (
-            F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
-        ).alias("overlap_sec"),
+    b = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("b_id"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    return interval_overlap_join(a, b, _IV_BUCKET).withColumnRenamed(
+        "overlap", "overlap_sec"
     )
 
 
