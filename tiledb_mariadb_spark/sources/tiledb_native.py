@@ -141,6 +141,22 @@ def read_dense_array(
     return [c + tuple(v[i] for v in cols) for i, c in enumerate(coords)]
 
 
+def dense_to_dataframe(
+    spark,
+    array_dir: str,
+    dim_names: list[str],
+    dim_domains: list[tuple[int, int]],
+    attrs: dict[str, str],
+):
+    """Dense 1.6 array → Spark DataFrame (dims then attrs)."""
+    rows = read_dense_array(array_dir, dim_domains, attrs)
+    ddl = ", ".join(
+        [f"`{d}` int" for d in dim_names]
+        + [f"`{a}` {'int' if t == 'int32' else t}" for a, t in attrs.items()]
+    )
+    return spark.createDataFrame(rows, ddl)
+
+
 def read_sparse_array(
     array_dir: str,
     n_dims: int,

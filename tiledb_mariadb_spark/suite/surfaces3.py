@@ -253,6 +253,54 @@ FROM s GROUP BY 1 ORDER BY grp
 """
 
 
+# --- q258: reference fixture arrays through the native decoder -------------
+# The strongest parity evidence available: the REFERENCE REPO'S OWN
+# committed TileDB arrays (mysql-test/mytile/test_data/tiledb_arrays/
+# 1.6) decoded by the pure-Python fragment reader
+# (sources/tiledb_native.py) and queried through this engine; the oracle
+# is the literal mtr golden output (r/pushdown_ranges.result).  Runs the
+# golden box query over the dense fixture and appends the sparse
+# fixture's cells.
+_FIXTURES = "/root/reference/mysql-test/mytile/test_data/tiledb_arrays/1.6"
+
+
+def q258_reference_fixture(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        dense_to_dataframe,
+        read_sparse_array,
+    )
+
+    dense = dense_to_dataframe(
+        spark,
+        f"{_FIXTURES}/quickstart_dense",
+        ["r", "c"],
+        [(1, 4), (1, 4)],
+        {"a": "int32"},
+    )
+    boxed = dense.filter(
+        "r >= 1 AND r < 4 AND c >= 1 AND c < 4"
+    ).select(F.lit("dense_box").alias("src"), "r", "c", "a")
+    sparse_rows = read_sparse_array(
+        f"{_FIXTURES}/quickstart_sparse", 2, "int32", {"a": "int32"}
+    )
+    sparse = spark.createDataFrame(
+        [("sparse",) + t_ for t_ in sparse_rows],
+        "src string, r int, c int, a int",
+    )
+    return boxed.unionByName(sparse).orderBy("src", "r", "c")
+
+
+Q258_SQL = """
+SELECT * FROM (VALUES
+  ('dense_box', 1, 1, 1), ('dense_box', 1, 2, 2), ('dense_box', 1, 3, 3),
+  ('dense_box', 2, 1, 5), ('dense_box', 2, 2, 6), ('dense_box', 2, 3, 7),
+  ('dense_box', 3, 1, 9), ('dense_box', 3, 2, 10), ('dense_box', 3, 3, 11),
+  ('sparse', 1, 1, 1), ('sparse', 2, 3, 3), ('sparse', 2, 4, 2)
+) AS v(src, r, c, a)
+ORDER BY src, r, c
+"""
+
+
 SPECS = [
     QuerySpec(
         "q210_sentence_split",
@@ -279,5 +327,12 @@ SPECS = [
         Q240_SQL,
         "AES-256-GCM at-rest round trip: sealed fragments, distributed "
         "decrypt scan, value-transparent vs cleartext oracle",
+    ),
+    QuerySpec(
+        "q258_reference_fixture",
+        q258_reference_fixture,
+        Q258_SQL,
+        "reference repo's own TileDB arrays decoded natively; oracle = "
+        "the literal mtr golden output",
     ),
 ]
