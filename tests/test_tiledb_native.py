@@ -82,3 +82,22 @@ def test_zstd_minimal_decoder_edges():
         _zstd_decode_minimal(
             b"\x28\xb5\x2f\xfd" + bytes([0x20, 1]) + bytes([0x05, 0, 0]) + b"x"
         )
+
+
+def test_hilbert_fixture_2_3_matches_mtr_golden():
+    """The 2.3 HILBERT-cell-order fixture (per-dimension coordinate
+    files) decodes to the hilbert.test golden rows — cell order changes
+    the on-disk sequence, never the cell set."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_sparse_array_v2,
+    )
+
+    base = FIXTURES.rsplit("/", 1)[0]
+    rows = read_sparse_array_v2(
+        f"{base}/2.3/quickstart_sparse_hilbert",
+        ["rows", "cols"],
+        "int32",
+        {"a": "int32"},
+    )
+    # r/hilbert.result: (1,1)→1, (2,3)→3, (2,4)→2
+    assert sorted(rows) == [(1, 1, 1), (2, 3, 3), (2, 4, 2)]

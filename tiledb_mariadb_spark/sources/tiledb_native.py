@@ -141,6 +141,36 @@ def read_dense_array(
     return [c + tuple(v[i] for v in cols) for i, c in enumerate(coords)]
 
 
+def read_sparse_array_v2(
+    array_dir: str,
+    dim_names: list[str],
+    dim_dtype: str,
+    attrs: dict[str, str],
+) -> list[tuple]:
+    """Sparse 2.x-layout array (one coordinate FILE per dimension —
+    ``<dim>.tdb`` — instead of 1.6's zipped ``__coords.tdb``); the tile
+    payload format is unchanged, so this covers the reference's 2.3
+    Hilbert fixture too (cell order affects on-disk cell sequence only,
+    not decoding)."""
+    frag = _fragment_dir(array_dir)
+    dims = []
+    for d in dim_names:
+        buf = open(os.path.join(frag, f"{d}.tdb"), "rb").read()
+        dims.append(_cells(b"".join(read_chunked_tile(buf)), dim_dtype))
+    n = len(dims[0])
+    out_attrs = []
+    for attr, dtype in attrs.items():
+        buf = open(os.path.join(frag, f"{attr}.tdb"), "rb").read()
+        vals = _cells(b"".join(read_chunked_tile(buf)), dtype)
+        if len(vals) != n:
+            raise ValueError(f"{attr}: {len(vals)} values for {n} cells")
+        out_attrs.append(vals)
+    return [
+        tuple(d[i] for d in dims) + tuple(v[i] for v in out_attrs)
+        for i in range(n)
+    ]
+
+
 def dense_to_dataframe(
     spark,
     array_dir: str,
