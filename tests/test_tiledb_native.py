@@ -101,3 +101,54 @@ def test_hilbert_fixture_2_3_matches_mtr_golden():
     )
     # r/hilbert.result: (1,1)→1, (2,3)→3, (2,4)→2
     assert sorted(rows) == [(1, 1, 1), (2, 3, 3), (2, 4, 2)]
+
+
+def test_all_datetimes_fixture_resolutions_consistent():
+    """The 2.0 all_datetimes fixture stores ONE instant
+    (2020-07-26T14:25:55.123456789) at every TileDB datetime resolution
+    (SURVEY §1.3's 13-row table).  Each decoded int64 must equal the
+    epoch conversion our schema mapping defines: floor-truncation of the
+    instant at that resolution — including the int64 WRAPAROUND for
+    femto/attoseconds (the overflow that is exactly why sub-µs collapses
+    to µs in the SQL surface)."""
+    import glob
+    import struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native import read_chunked_tile
+
+    frag = glob.glob(
+        FIXTURES.rsplit("/", 1)[0] + "/2.0/all_datetimes/__1*/"
+    )[0]
+
+    def val(name):
+        raw = b"".join(
+            read_chunked_tile(open(f"{frag}{name}.tdb", "rb").read())
+        )
+        return struct.unpack("<q", raw)[0]
+
+    ns = 1_595_771_155_123_456_789  # nanoseconds since epoch
+    sec = ns // 10**9
+    assert val("datetime_second") == sec
+    assert val("datetime_minute") == sec // 60
+    assert val("datetime_hour") == sec // 3600
+    assert val("datetime_day") == sec // 86400
+    assert val("datetime_week") == sec // (86400 * 7)
+    assert val("datetime_month") == 50 * 12 + 6  # 2020-07 vs 1970-01
+    assert val("datetime_year") == 50
+    assert val("datetime_millisecond") == ns // 10**6
+    assert val("datetime_microsecond") == ns // 10**3
+    assert val("datetime_nanosecond") == ns
+
+    def wrap64(x):
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    # the fixture instant carries sub-ns digits (…123456789123456789):
+    # ns storage truncates them, ps/fs/as keep more and WRAP int64
+    assert val("datetime_picosecond") == wrap64(sec * 10**12 + 123456789123)
+    assert val("datetime_femtosecond") == wrap64(
+        sec * 10**15 + 123456789123456
+    )
+    assert val("datetime_attosecond") == wrap64(
+        sec * 10**18 + 123456789123456789
+    )
