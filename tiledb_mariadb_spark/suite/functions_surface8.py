@@ -383,3 +383,53 @@ SPECS.append(
         "PERCENTILE_CONT via rank selection + fixed interpolation chain",
     )
 )
+
+
+# --- q259: deterministic MODE (most-frequent value, smallest-value tie) -----
+# Both engines' native mode() is tie-arbitrary — unusable cross-engine
+# and irreproducible on task retry.  The deterministic rewrite (count →
+# rank by (freq DESC, value ASC) → rank 1) is the arg-max-row idiom that
+# also covers "most frequent category per group" reporting.
+
+
+def q259_deterministic_mode(spark, sf_dir):
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor("l_quantity").cast("long").alias("q")
+    )
+    counts = li.groupBy("l_returnflag", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("freq").desc(), F.col("q").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), "freq")
+        .orderBy("l_returnflag")
+    )
+
+
+Q259_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+         COUNT(*) AS freq
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY freq DESC, q ASC) AS rk
+  FROM counts)
+SELECT l_returnflag, q AS mode_qty, CAST(freq AS BIGINT) AS freq
+FROM ranked WHERE rk = 1 ORDER BY l_returnflag
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q259_deterministic_mode",
+        q259_deterministic_mode,
+        Q259_SQL,
+        "deterministic MODE (freq-desc, value-asc tiebreak)",
+    )
+)
