@@ -152,3 +152,36 @@ def test_all_datetimes_fixture_resolutions_consistent():
     assert val("datetime_attosecond") == wrap64(
         sec * 10**18 + 123456789123456789
     )
+
+
+def test_datetime_dimensions_fixture_decodes():
+    """The 2.0 datetime_dimensions fixture: thirteen DATETIME-resolution
+    dimension files plus a 1-byte char attribute, each a chunked tile —
+    the heterogeneous-dimension surface (t/mrr_datetime_dimensions.test
+    reads this array) decoded without libtiledb."""
+    import glob
+    import struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native import read_chunked_tile
+
+    frag = glob.glob(
+        FIXTURES.rsplit("/", 1)[0] + "/2.0/datetime_dimensions/__1*/"
+    )[0]
+
+    def i64(name):
+        raw = b"".join(
+            read_chunked_tile(open(f"{frag}{name}.tdb", "rb").read())
+        )
+        return struct.unpack("<q", raw)[0]
+
+    # pinned decoded coordinates (independent per dimension)
+    assert i64("dt_s") == 1603631238            # 2020-10-25T12:27:18Z
+    assert i64("dt_min") == 26727187
+    assert i64("dt_hr") == 445453
+    assert i64("dt_d") == 18560
+    assert i64("dt_ms") == 1603631238000
+    assert i64("dt_us") == 1603631238000000
+    assert i64("dt_ns") == 1603631238000000000
+    assert i64("dt_y") == 50
+    a1 = b"".join(read_chunked_tile(open(f"{frag}a1.tdb", "rb").read()))
+    assert a1 == b"a"
