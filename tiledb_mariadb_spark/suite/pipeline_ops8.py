@@ -247,7 +247,92 @@ FROM ranked GROUP BY 1 ORDER BY decile
 """
 
 
+# --- q260: Poisson bootstrap confidence estimation --------------------------
+# The resampling-at-scale pattern: classic bootstrap needs sampling WITH
+# replacement from the full dataset per replica (a global shuffle each);
+# the Poisson bootstrap approximates each replica's multiplicity with an
+# independent Poisson(1) count PER ROW — map-side, all replicas in ONE
+# pass (explode factor = replica count), one groupBy(replica).  Counts
+# are derived from md5 fractions through the exact inverse-CDF
+# thresholds, so both engines draw identical "randomness" and re-runs
+# are reproducible (a retried task resamples identically — real rand()
+# would silently shift the CI).
+_BOOT_B = 16
+# P(X<=k) for Poisson(1): e^-1 * (1, 2, 2.5, 2.6667)
+_BOOT_T = (0.36787944117144233, 0.7357588823428847,
+           0.9196986029286058, 0.9810118431238462)
+
+
+def _poisson_w(frac_expr: str) -> str:
+    return (
+        f"CASE WHEN {frac_expr} < {_BOOT_T[0]!r} THEN 0"
+        f" WHEN {frac_expr} < {_BOOT_T[1]!r} THEN 1"
+        f" WHEN {frac_expr} < {_BOOT_T[2]!r} THEN 2"
+        f" WHEN {frac_expr} < {_BOOT_T[3]!r} THEN 3 ELSE 4 END"
+    )
+
+
+def q260_poisson_bootstrap(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("replica"),
+    )
+    frac = (
+        "(CAST(conv(substring(md5(concat('boot:', CAST(replica AS STRING),"
+        " ':', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " / 4294967296.0D)"
+    )
+    weighted = reps.withColumn("w", F.expr(_poisson_w(frac)).cast("long"))
+    return (
+        weighted.groupBy("replica")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+        )
+        .select(
+            F.col("replica").cast("long").alias("replica"),
+            F.col("n_eff").cast("long").alias("n_eff"),
+            F.expr(
+                "CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE)"
+            ).alias("boot_mean_cents"),
+        )
+        .orderBy("replica")
+    )
+
+
+def _q260_sql() -> str:
+    frac = (
+        "(CAST(('0x' || substr(md5('boot:' || CAST(replica AS VARCHAR)"
+        " || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0)"
+    )
+    return f"""
+WITH o AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+reps AS (SELECT o_orderkey, cents, CAST(r AS BIGINT) AS replica
+         FROM o, UNNEST(range(1, {_BOOT_B} + 1)) AS u(r)),
+weighted AS (SELECT *, CAST({_poisson_w(frac)} AS BIGINT) AS w FROM reps)
+SELECT replica, CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS boot_mean_cents
+FROM weighted GROUP BY replica ORDER BY replica
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "q260_poisson_bootstrap",
+        lambda spark, sf_dir: q260_poisson_bootstrap(spark, sf_dir),
+        _q260_sql(),
+        "Poisson bootstrap: map-side replica resampling, deterministic "
+        "inverse-CDF draws",
+    ),
     QuerySpec(
         "q248_inverted_index",
         q248_inverted_index,
