@@ -185,3 +185,41 @@ def test_datetime_dimensions_fixture_decodes():
     assert i64("dt_y") == 50
     a1 = b"".join(read_chunked_tile(open(f"{frag}a1.tdb", "rb").read()))
     assert a1 == b"a"
+
+
+def test_fixture_migrates_into_tile_table(spark, tmp_path):
+    """The switch-over story end-to-end: decode the reference's dense
+    array, load it into a tile table (dims become the physical prune
+    key), and answer the golden box query through the catalog's subarray
+    surface."""
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+    from tiledb_mariadb_spark.sources.tiledb_native import dense_to_dataframe
+
+    df = dense_to_dataframe(
+        spark,
+        f"{FIXTURES}/quickstart_dense",
+        ["r", "c"],
+        [(1, 4), (1, 4)],
+        {"a": "int32"},
+    )
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "migrated_dense"),
+        dimensions=[
+            Dim("r", "int", lower=1, upper=4, tile_extent=4),
+            Dim("c", "int", lower=1, upper=4, tile_extent=4),
+        ],
+        attributes=[Attr("a", "int")],
+        array_type="DENSE",
+    )
+    tt.write(df)
+    got = sorted(
+        tuple(x)
+        for x in tt.subarray({"r": (1, 3), "c": (1, 3)}).collect()
+    )
+    golden = [
+        (1, 1, 1), (1, 2, 2), (1, 3, 3),
+        (2, 1, 5), (2, 2, 6), (2, 3, 7),
+        (3, 1, 9), (3, 2, 10), (3, 3, 11),
+    ]
+    assert got == golden
