@@ -301,6 +301,72 @@ ORDER BY src, r, c
 """
 
 
+# --- q261: heterogeneous dimensions (string + timestamp) --------------------
+# t/heterogeneus_dimensions.test + t/string_dim.test parity surface:
+# a sparse tile table keyed by (string dim, timestamp dim) — var-length
+# string dimensions are sparse-only in the reference
+# (mytile/mytile.cc:643-655) — written, range-scanned on BOTH dim kinds,
+# and resolved through last-writer-wins across two versions.  The oracle
+# recomputes the final state relationally from the same nation-derived
+# batches.
+
+
+def q261_hetero_dims(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    n = t(spark, sf_dir, "nation")
+    tt = TileTable.create(
+        spark,
+        _uri("hetero_nation", sf_dir),
+        dimensions=[Dim("n_name", "string"), Dim("ts", "timestamp")],
+        attributes=[Attr("pop", "bigint")],
+        overwrite=True,
+    )
+    base = n.select(
+        "n_name",
+        F.expr(
+            "timestamp_seconds(1700000000 + n_nationkey * 86400)"
+        ).alias("ts"),
+        (F.col("n_nationkey") * 1000).cast("long").alias("pop"),
+    )
+    tt.write(base)
+    # second version overwrites the first 10 coordinates (LWW must win)
+    tt.write(
+        base.filter(F.col("pop") < 10000).withColumn(
+            "pop", F.col("pop") + 7
+        )
+    )
+    return (
+        tt.read()
+        .filter(
+            (F.col("n_name") >= "E")
+            & (F.col("ts") < F.expr("timestamp_seconds(1701500000)"))
+        )
+        .select(
+            "n_name", F.expr("unix_timestamp(ts)").alias("sec"), "pop"
+        )
+        .orderBy("n_name")
+    )
+
+
+Q261_SQL = """
+WITH base AS (
+  SELECT n_name,
+         1700000000 + n_nationkey * 86400 AS sec,
+         CAST(n_nationkey * 1000 AS BIGINT) AS pop
+  FROM nation),
+v2 AS (SELECT n_name, sec, pop + 7 AS pop FROM base WHERE pop < 10000),
+merged AS (
+  SELECT b.n_name, b.sec, COALESCE(v2.pop, b.pop) AS pop
+  FROM base b LEFT JOIN v2 ON b.n_name = v2.n_name AND b.sec = v2.sec)
+SELECT n_name, CAST(sec AS BIGINT) AS sec, CAST(pop AS BIGINT) AS pop
+FROM merged
+WHERE n_name >= 'E' AND sec < 1701500000
+ORDER BY n_name
+"""
+
+
 SPECS = [
     QuerySpec(
         "q210_sentence_split",
@@ -334,5 +400,12 @@ SPECS = [
         Q258_SQL,
         "reference repo's own TileDB arrays decoded natively; oracle = "
         "the literal mtr golden output",
+    ),
+    QuerySpec(
+        "q261_hetero_dims",
+        q261_hetero_dims,
+        Q261_SQL,
+        "heterogeneous (string, timestamp) dimensions: write, "
+        "dual-kind range scan, last-writer-wins",
     ),
 ]
