@@ -329,3 +329,32 @@ def test_optimize_recluster_by_attribute(spark, tmp_path):
     # near-disjoint: each file covers a narrow v slice now
     assert all(hi - lo < 2_500 for lo, hi in tight), tight
     assert len(tt.schema.versions) == 1  # compacted
+
+
+def test_explain_pruning_on_string_dimension(spark, tmp_path):
+    """Footer min/max statistics prune on STRING dimensions too: a
+    range-clustered string-keyed table skips files for a narrow
+    lexicographic range (t/string_dim.test's access pattern)."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "strprune"),
+        dimensions=[Dim("k", "string")],
+        attributes=[Attr("v", "bigint")],
+        capacity=500,
+    )
+    tt.write(
+        spark.range(5000).select(
+            F.format_string("key-%05d", F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    rep = tt.explain_pruning({"k": ("key-01000", "key-01499")}).collect()
+    kept = [r for r in rep if r["kept"]]
+    assert len(rep) >= 8
+    assert 1 <= len(kept) < len(rep) / 2, rep
+    got = tt.subarray({"k": ("key-01000", "key-01499")}).count()
+    assert got == 500
