@@ -358,3 +358,30 @@ def test_explain_pruning_on_string_dimension(spark, tmp_path):
     assert 1 <= len(kept) < len(rep) / 2, rep
     got = tt.subarray({"k": ("key-01000", "key-01499")}).count()
     assert got == 500
+
+
+def test_optimize_keep_history_preserves_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "opt_hist"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[Attr("v", "bigint")],
+    )
+    tt.write(spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v")))
+    tt.write(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") + 1000).alias("v")
+        )
+    )
+    tt.optimize(cluster_by=["v"], keep_history=True)
+    # pre-optimize snapshot still addressable
+    assert tt.read(at=1).count() == 100
+    got = {r["k"]: r["v"] for r in tt.read(at=1).collect()}
+    assert got[0] == 0
+    # latest state reflects the overwrite
+    latest = {r["k"]: r["v"] for r in tt.read().collect()}
+    assert latest[0] == 1000 and len(latest) == 100

@@ -889,15 +889,21 @@ class TileTable:
 
     # --- consolidation --------------------------------------------------------
 
-    def optimize(self, cluster_by: list[str]) -> int:
+    def optimize(
+        self, cluster_by: list[str], keep_history: bool = False
+    ) -> int:
         """OPTIMIZE … CLUSTER BY analog (Delta's OPTIMIZE ZORDER family):
         compact every version into one baseline REWRITTEN physically
         clustered on ``cluster_by`` — which may include ATTRIBUTE columns,
         so footer min/max on frequent filter columns become near-disjoint
         and attribute predicates start skipping files (dimension-ordered
         layout can never give that).  Results are unchanged; only layout.
+        ``keep_history=True`` preserves prior snapshots for time travel
+        (vacuum vs. compact, as on ``consolidate``).
         """
-        return self.consolidate(cluster_by=cluster_by)
+        return self.consolidate(
+            keep_history=keep_history, cluster_by=cluster_by
+        )
 
     def consolidate(
         self,
