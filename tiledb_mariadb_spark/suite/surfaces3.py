@@ -408,4 +408,69 @@ SPECS = [
         "heterogeneous (string, timestamp) dimensions: write, "
         "dual-kind range scan, last-writer-wins",
     ),
+    QuerySpec(
+        "q262_hilbert_box_scan",
+        lambda spark, sf_dir: q262_hilbert_box_scan(spark, sf_dir),
+        None,
+    ),
 ]
+
+
+# --- q262: HILBERT cell-order table answers box scans identically ------------
+# The true-curve write path (t/hilbert.test parity): a 2-D tile table
+# created with cell_order='HILBERT' lays tiles along the Hilbert curve;
+# a box predicate must return exactly the relational answer (layout
+# changes, results don't) — hashed against the oracle computing the same
+# box from the raw source.
+def q262_hilbert_box_scan(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    c = t(spark, sf_dir, "customer")
+    pts = (
+        c.select(
+            (F.col("c_custkey") * 37 % 512).cast("int").alias("x"),
+            (F.col("c_custkey") * 73 % 512).cast("int").alias("y"),
+            F.col("c_custkey").alias("who"),
+        )
+        .groupBy("x", "y")
+        .agg(F.min("who").alias("who"))
+    )
+    tt = TileTable.create(
+        spark,
+        _uri("hilbert_pts", sf_dir),
+        dimensions=[
+            Dim("x", "int", lower=0, upper=511, tile_extent=64),
+            Dim("y", "int", lower=0, upper=511, tile_extent=64),
+        ],
+        attributes=[Attr("who", "bigint")],
+        cell_order="HILBERT",
+        capacity=200,
+        overwrite=True,
+    )
+    tt.write(pts)
+    return (
+        tt.subarray({"x": (100, 299), "y": (50, 249)})
+        .select("x", "y", "who")
+        .orderBy("x", "y")
+    )
+
+
+Q262_SQL = """
+WITH pts AS (
+  SELECT CAST(c_custkey * 37 % 512 AS INT) AS x,
+         CAST(c_custkey * 73 % 512 AS INT) AS y,
+         MIN(c_custkey) AS who
+  FROM customer GROUP BY 1, 2),
+dedup AS (SELECT x, y, who FROM pts)
+SELECT x, y, CAST(who AS BIGINT) AS who
+FROM dedup WHERE x BETWEEN 100 AND 299 AND y BETWEEN 50 AND 249
+ORDER BY x, y
+"""
+
+SPECS[-1] = QuerySpec(
+    "q262_hilbert_box_scan",
+    q262_hilbert_box_scan,
+    Q262_SQL,
+    "HILBERT cell-order table: true-curve layout, identical box answers",
+)
