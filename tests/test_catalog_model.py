@@ -73,3 +73,49 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # keep_history=True so all timestamps remain addressable)
         for at, want in history.items():
             assert _read_state(t, at=at) == want, f"trial {trial} at={at}"
+
+
+def test_subarray_equals_scan_filter_randomized(spark, tmp_path):
+    """Pruned subarray reads must return EXACTLY the rows a full scan +
+    filter returns, for random range combinations (file skipping that
+    drops a boundary row is the worst storage bug there is)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    t = TileTable.create(
+        spark,
+        str(tmp_path / "sub_fuzz"),
+        dimensions=[Dim("x", "int"), Dim("y", "int")],
+        attributes=[Attr("v", "bigint")],
+        capacity=300,
+    )
+    t.write(
+        spark.range(3000).select(
+            (F.col("id") % 60).cast("int").alias("x"),
+            (F.col("id") / 60).cast("int").alias("y"),
+            F.col("id").alias("v"),
+        )
+    )
+    full = t.read()
+    for _ in range(6):
+        xlo = rng.randint(0, 59); xhi = rng.randint(xlo, 59)
+        ylo = rng.randint(0, 49); yhi = rng.randint(ylo, 49)
+        got = sorted(
+            tuple(r)
+            for r in t.subarray({"x": (xlo, xhi), "y": (ylo, yhi)}).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in full.filter(
+                (F.col("x").between(xlo, xhi))
+                & (F.col("y").between(ylo, yhi))
+            ).collect()
+        )
+        assert got == want, (xlo, xhi, ylo, yhi)
+        # boundary-inclusive: a degenerate single-cell range also works
+        one = t.subarray({"x": (xlo, xlo), "y": (ylo, ylo)}).count()
+        assert one <= 1 or one == full.filter(
+            (F.col("x") == xlo) & (F.col("y") == ylo)
+        ).count()
