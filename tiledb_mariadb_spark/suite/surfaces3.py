@@ -474,3 +474,68 @@ SPECS[-1] = QuerySpec(
     Q262_SQL,
     "HILBERT cell-order table: true-curve layout, identical box answers",
 )
+
+
+# --- q263: subset registration ----------------------------------------------
+# create_allow_subset_existing_array parity (ha_mytile.cc:1192-1197,
+# mytile-sysvars.cc:121-124): a second table registered over a SUBSET of
+# an existing array's columns — data files shared, not copied; dims must
+# all be kept.  The subset table answers with only its columns; the
+# oracle recomputes from the same source definition.
+_SUBSET_N = 80
+
+
+def q263_subset_registration(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= _SUBSET_N)
+    full = TileTable.create(
+        spark,
+        _uri("subset_src", sf_dir),
+        dimensions=[Dim("s_suppkey", "bigint")],
+        attributes=[
+            Attr("s_name", "string"),
+            Attr("bal_cents", "bigint"),
+            Attr("nation", "bigint"),
+        ],
+        overwrite=True,
+    )
+    full.write(
+        s.select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(ROUND(s_acctbal * 100) AS BIGINT)").alias(
+                "bal_cents"
+            ),
+            F.col("s_nationkey").cast("long").alias("nation"),
+        )
+    )
+    sub = TileTable.register_subset(
+        spark,
+        _uri("subset_src", sf_dir),
+        _uri("subset_view", sf_dir),
+        ["s_suppkey", "bal_cents"],
+    )
+    return (
+        sub.read()
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .orderBy("s_suppkey")
+    )
+
+
+Q263_SQL = f"""
+SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+FROM supplier
+WHERE s_suppkey <= {_SUBSET_N} AND s_suppkey % 3 = 0
+ORDER BY s_suppkey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q263_subset_registration",
+        q263_subset_registration,
+        Q263_SQL,
+        "subset registration: shared data files, projected column set",
+    )
+)
