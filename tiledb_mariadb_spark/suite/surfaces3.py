@@ -539,3 +539,58 @@ SPECS.append(
         "subset registration: shared data files, projected column set",
     )
 )
+
+
+# --- q264: literal URI virtual suffixes (`uri@<ts>`, `uri@metadata`) --------
+# The reference's URI addressing surface (mytile/utils.h:52-53,
+# ha_mytile.cc:836-840): `array@<ts>` opens a snapshot, `array@metadata`
+# exposes the key-value metadata as a 2-column table.  Both suffixes
+# resolved through open_uri() in one driver-verified result.
+def q264_uri_suffixes(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import (  # noqa: PLC0415
+        Attr,
+        Dim,
+        TileTable,
+        open_uri,
+    )
+    from tiledb_mariadb_spark.suite.surfaces import _uri  # noqa: PLC0415
+
+    uri = _uri("suffix_t", sf_dir)
+    tt = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "bigint")],
+        overwrite=True,
+    )
+    tt.write(spark.createDataFrame([(1, 10), (2, 20)], "k int, v bigint"))
+    tt.write(spark.createDataFrame([(2, 200), (3, 30)], "k int, v bigint"))
+    tt.set_metadata("owner", "mtr")
+    snap1 = open_uri(spark, f"{uri}@1").select(
+        F.lit("v1").alias("part"),
+        F.col("k").cast("string").alias("a"),
+        F.col("v").cast("string").alias("b"),
+    )
+    meta = open_uri(spark, f"{uri}@metadata").select(
+        F.lit("meta").alias("part"),
+        F.col("key").alias("a"),
+        F.col("value").alias("b"),
+    )
+    return snap1.unionByName(meta).orderBy("part", "a")
+
+
+Q264_SQL = """
+SELECT * FROM (VALUES
+  ('meta', 'owner', 'mtr'),
+  ('v1', '1', '10'), ('v1', '2', '20')
+) AS x(part, a, b) ORDER BY part, a
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q264_uri_suffixes",
+        q264_uri_suffixes,
+        Q264_SQL,
+        "literal uri@<ts> and uri@metadata addressing via open_uri",
+    )
+)
