@@ -385,3 +385,27 @@ def test_optimize_keep_history_preserves_time_travel(spark, tmp_path):
     # latest state reflects the overwrite
     latest = {r["k"]: r["v"] for r in tt.read().collect()}
     assert latest[0] == 1000 and len(latest) == 100
+
+
+def test_explain_pruning_honors_time_travel(spark, tmp_path):
+    """explain_pruning(at=ts) reports only the fragment files a
+    time-travel read would see."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "prune_tt"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[Attr("v", "bigint")],
+        capacity=1000,
+        allows_dups=True,
+    )
+    tt.write(spark.range(2000).select(F.col("id").alias("k"), F.col("id").alias("v")))
+    tt.write(spark.range(2000).select(F.col("id").alias("k"), F.col("id").alias("v")))
+    all_files = tt.explain_pruning({"k": (0, 1999)}).collect()
+    v1_files = tt.explain_pruning({"k": (0, 1999)}, at=1).collect()
+    assert {r["version"] for r in all_files} == {1, 2}
+    assert {r["version"] for r in v1_files} == {1}
+    assert len(v1_files) < len(all_files)

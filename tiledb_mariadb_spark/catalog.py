@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from contextlib import contextmanager
@@ -786,7 +787,9 @@ class TileTable:
         return total
 
     def explain_pruning(
-        self, dim_ranges: dict[str, tuple[Any, Any]]
+        self,
+        dim_ranges: dict[str, tuple[Any, Any]],
+        at: Optional[int] = None,
     ) -> DataFrame:
         """EXPLAIN TILES: which fragment files a subarray read would
         actually touch, decided from parquet footer min/max statistics —
@@ -799,6 +802,8 @@ class TileTable:
         ones row-group skipping eliminates for this range.  A well-laid-
         out table (write-time range clustering) keeps a small fraction;
         100% kept on a range predicate means the layout is wrong.
+        ``at`` restricts the report to the snapshot a time-travel read
+        would see (same visibility rule as ``read(at=...)``).
         """
         import pyarrow.parquet as pq  # noqa: PLC0415
 
@@ -808,9 +813,15 @@ class TileTable:
             raise ValueError(f"not dimensions: {bad}")
         if self._encrypted:
             raise NotImplementedError("sealed footers require the key")
+        visible = {
+            v["v"] for v in s.versions if at is None or v["ts"] <= at
+        }
         out = []
         data_dir = self._data_dir
         for root, _dirs, files in os.walk(data_dir):
+            m_root = re.search(r"__tile_v=(\d+)", root)
+            if m_root and int(m_root.group(1)) not in visible:
+                continue
             for fn in sorted(files):
                 if not fn.endswith(".parquet"):
                     continue
