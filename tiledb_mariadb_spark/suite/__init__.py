@@ -140,8 +140,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # pipeline_ops8 q248–q249, analytics2 q198–q201, analytics3
     # q202–q206, analytics4 q207–q209, analytics5 q218–q222, analytics6
     # q223–q227, analytics7 q235–q239, analytics8 q241–q244/q247,
-    # surfaces3 q210/q211/q217/q240/q258/q261/q262, functions_surface8 q233/
-    # q234/q246/q250/q251/q255) plus whatever core/analytics rows round 1 verified last
+    # surfaces3 q210/q211/q217/q240/q258/q261-q264, functions_surface8 q233/
+    # q234/q246/q250/q251/q255/q259) plus whatever core/analytics rows round 1 verified last
     # (stable greens can rotate to the back).
     for mod in (
         joins,
