@@ -69,3 +69,127 @@ def test_lww_still_holds_after_concurrent_upserts(spark, tmp_path):
     # claimed `winner` wrote v=i — recover i via the claim order
     order = {ver: i for i, ver in enumerate(versions)}
     assert got == {1: order[winner], 2: order[winner]}
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A lockfile left by a writer killed mid-commit must not wedge the
+    table forever: locks older than the staleness bound are auto-broken
+    (claim-by-rename, so only one waiter does it)."""
+    import os
+    import time
+
+    uri = str(tmp_path / "stale_lock")
+    t = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "int")],
+        overwrite=True,
+    )
+    lock = os.path.join(uri, ".commit.lock")
+    with open(lock, "w") as f:
+        f.write("{}")
+    old = time.time() - 3600
+    os.utime(lock, (old, old))  # owner "died" an hour ago
+    v = t.write(spark.createDataFrame([(1, 10)], ["k", "v"]))
+    assert v == 1
+    assert not os.path.exists(lock)
+    assert t.read().count() == 1
+
+
+def test_fresh_lock_still_blocks(spark, tmp_path):
+    import os
+
+    import pytest
+
+    uri = str(tmp_path / "fresh_lock")
+    t = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "int")],
+        overwrite=True,
+    )
+    with open(os.path.join(uri, ".commit.lock"), "w") as f:
+        f.write("{}")
+    from tiledb_mariadb_spark.catalog import _sidecar_lock
+
+    with pytest.raises(TimeoutError, match="commit lock busy"):
+        with _sidecar_lock(uri, timeout=0.3):
+            pass
+    os.unlink(os.path.join(uri, ".commit.lock"))
+    assert t.write(spark.createDataFrame([(1, 10)], ["k", "v"])) == 1
+
+
+def test_write_precondition_detects_late_commit(spark, tmp_path):
+    """write(_expect_versions=...) must refuse to publish when a version
+    it did not merge has committed meanwhile (the consolidation
+    lost-update guard), rolling back its data claim."""
+    import os
+
+    import pytest
+
+    from tiledb_mariadb_spark.catalog import ConsolidationConflict
+
+    uri = str(tmp_path / "conflict_t")
+    t = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "int")],
+        overwrite=True,
+    )
+    t.write(spark.createDataFrame([(1, 10)], ["k", "v"]))  # v1
+    other = TileTable(spark, uri)
+    other.write(spark.createDataFrame([(1, 99)], ["k", "v"]))  # v2: late
+    with pytest.raises(ConsolidationConflict, match=r"\[2\]"):
+        t.write(
+            spark.createDataFrame([(1, 10)], ["k", "v"]),
+            _expect_versions={1},
+        )
+    # the aborted claim directory was rolled back and nothing committed
+    fresh = TileTable(spark, uri)
+    assert [v["v"] for v in fresh.schema.versions] == [1, 2]
+    assert sorted(os.listdir(os.path.join(uri, "data"))) == [
+        "__tile_v=1",
+        "__tile_v=2",
+    ]
+
+
+def test_consolidate_remerges_concurrent_append(spark, tmp_path):
+    """An append landing between consolidation's snapshot read and its
+    baseline commit must survive: the commit aborts, the loop re-merges
+    with the late fragment included (round-2 advisor item — previously
+    the stale baseline's higher __tile_v shadowed the append)."""
+    uri = str(tmp_path / "consol_race")
+    t = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "int")],
+        overwrite=True,
+    )
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]))
+    t.write(spark.createDataFrame([(2, 21)], ["k", "v"]))
+
+    real_read = TileTable.read
+    fired = {"done": False}
+
+    def race_read(self, *a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer overwrites k=1 AFTER the snapshot was taken
+            TileTable(spark, uri).write(
+                spark.createDataFrame([(1, 999)], ["k", "v"])
+            )
+        return real_read(self, *a, **kw)
+
+    TileTable.read = race_read
+    try:
+        t.consolidate()
+    finally:
+        TileTable.read = real_read
+
+    rows = {r["k"]: r["v"] for r in TileTable(spark, uri).read().collect()}
+    # without conflict detection this read returns k=1 → 10 (lost update)
+    assert rows == {1: 999, 2: 21}

@@ -187,3 +187,30 @@ def test_apply_changes_rejects_encrypted_tables(spark, tmp_path):
                 [(1, "x", "upsert")], "k int, v string, __op string"
             )
         )
+
+
+def test_read_changes_with_op_distinguishes_deletes(spark, table):
+    """The change feed must expose delete semantics: a tombstone row is
+    '_op = delete', an upsert (even to NULL attributes) is 'upsert', and
+    pre-CDC fragments coalesce to 'upsert' (round-2 advisor item)."""
+    base_ts = max(v["ts"] for v in table.schema.versions)
+    changes = spark.createDataFrame(
+        [(2, None, None, "delete"), (4, "d", 40, "upsert")],
+        ["k", "v", "n", "__op"],
+    )
+    table.apply_changes(changes)
+    feed = table.read_changes(base_ts, with_version=True, with_op=True)
+    ops = {r["k"]: r["_op"] for r in feed.collect()}
+    assert ops == {2: "delete", 4: "upsert"}
+    # the delete row's attributes are NULL *and* flagged — consumers no
+    # longer have to guess which NULL rows are deletes
+    dels = feed.filter(F.col("_op") == "delete").collect()
+    assert len(dels) == 1 and dels[0]["v"] is None
+
+    # pre-CDC fragments (no __tombstone column on disk) → 'upsert'
+    full = table.read_changes(-1, with_op=True)
+    assert full.filter(F.col("_op") == "delete").count() == 1
+    assert full.filter(F.col("_op") == "upsert").count() == 4  # 3 base + 1
+
+    # default shape is unchanged (no _op column)
+    assert "_op" not in table.read_changes(-1).columns

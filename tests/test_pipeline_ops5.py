@@ -96,3 +96,19 @@ def test_bm25_saturates_and_length_normalizes(spark):
     assert got[3] > got[1], "shorter doc with equal tf must score higher"
     # saturation: 8x the tf must NOT give 8x the score
     assert got[2] < 4 * got[1]
+
+
+def test_skyline_null_criteria_rows_survive(spark):
+    """3VL parity with the NOT EXISTS oracle: rows with a NULL criterion
+    can neither dominate nor be dominated — they must be kept, not
+    silently dropped by the negated window filter (round-2 advisor
+    item)."""
+    rows = [
+        (1, 1, 100),      # frontier
+        (2, 2, 50),       # dominated by id=1
+        (3, None, 999),   # NULL cost → kept
+        (4, 5, None),     # NULL gain → kept
+    ]
+    df = spark.createDataFrame(rows, ["id", "cost", "gain"])
+    got = sorted(r["id"] for r in skyline(df, "cost", "gain").collect())
+    assert got == [1, 3, 4]

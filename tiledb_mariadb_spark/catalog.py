@@ -45,6 +45,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SIDECAR = "_tile_schema.json"
+
+
+class ConsolidationConflict(RuntimeError):
+    """A concurrent append committed (or claimed a fragment directory)
+    while a consolidation was merging — publishing the baseline would
+    shadow it under last-writer-wins.  ``consolidate()`` catches this and
+    re-merges with the late fragments included."""
 MAX_FILL_CELLS = 10_000_000  # guard for dense grid materialization
 
 
@@ -140,14 +147,37 @@ def _sidecar_lock(uri: str, timeout: float = 15.0):
     deployment would swap this for a conditional-put commit (documented
     design boundary, not a code path the container can exercise)."""
     lock = os.path.join(uri, ".commit.lock")
+    stale_after = 60.0  # a commit holds the lock for ms; 60 s means a dead owner
     deadline = time.time() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(
+                fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode()
+            )
             break
         except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # released between the create attempt and the stat
+            if age > stale_after:
+                # Owner died between O_CREAT|O_EXCL and unlink (e.g. SIGKILL
+                # mid-commit).  Claim-by-rename so exactly one waiter breaks
+                # the lock, then everyone re-races the O_EXCL create.
+                claim = f"{lock}.stale.{os.getpid()}"
+                try:
+                    os.replace(lock, claim)
+                    os.unlink(claim)
+                except FileNotFoundError:
+                    pass
+                continue
             if time.time() > deadline:
-                raise TimeoutError(f"commit lock busy: {lock}")
+                raise TimeoutError(
+                    f"commit lock busy: {lock} (held {age:.1f}s; locks older"
+                    f" than {stale_after:.0f}s are auto-broken — delete the"
+                    " file manually if the holder is known dead)"
+                )
             time.sleep(0.02)
     try:
         yield
@@ -385,6 +415,7 @@ class TileTable:
         df: DataFrame,
         version_ts: Optional[int] = None,
         cluster_by: Optional[list[str]] = None,
+        _expect_versions: Optional[set] = None,
     ) -> int:
         """Append one snapshot version.  Rejects null dimension values;
         dedups coordinates within the batch when allows_dups=False.
@@ -556,6 +587,28 @@ class TileTable:
             rec["tombstones"] = True
         with _sidecar_lock(self.uri):
             fresh = _load_sidecar(self.uri)
+            if _expect_versions is not None:
+                # Delta-style commit precondition (consolidation path): the
+                # baseline we are about to publish merged exactly
+                # `_expect_versions`; any version committed since — or any
+                # in-flight claim directory (a writer that finished mkdir
+                # but not yet its sidecar append) — would be silently
+                # shadowed by the baseline's higher __tile_v under
+                # last-writer-wins.  Abort under the lock (rolling back the
+                # data claim) and let the caller re-merge the late
+                # fragments instead of losing them.
+                committed = {v["v"] for v in fresh.versions}
+                claimed = {
+                    int(m.group(1))
+                    for nm in os.listdir(data_root)
+                    if (m := re.match(r"__tile_v=(\d+)$", nm))
+                }
+                late = (committed | claimed) - set(_expect_versions) - {version}
+                if late:
+                    shutil.rmtree(path, ignore_errors=True)
+                    raise ConsolidationConflict(
+                        f"versions {sorted(late)} appeared during consolidation"
+                    )
             fresh.versions = sorted(
                 fresh.versions + [rec], key=lambda r: r["v"]
             )
@@ -846,13 +899,10 @@ class TileTable:
                     ):
                         kept = False
                         break
-                import re as _re  # noqa: PLC0415
-
-                m = _re.search(r"__tile_v=(\d+)", root)
                 out.append(
                     (
                         fn,
-                        int(m.group(1)) if m else 0,
+                        int(m_root.group(1)) if m_root else 0,
                         int(md.num_rows),
                         kept,
                     )
@@ -932,27 +982,42 @@ class TileTable:
         ``cluster_by`` overrides the rewritten layout (see ``optimize``).
         Returns the new version number.
         """
-        s = self.schema
-        if not s.versions:
-            return 0
-        if keep_history and s.allows_dups:
+        if keep_history and self.schema.allows_dups:
             # duplicate-preserving arrays can't overlay a merged copy on
             # the old fragments without double-counting (no coordinate
             # identity to dedup on read) — same reason TileDB vacuums
             # consolidated fragments
             raise ValueError("keep_history requires allows_dups=False")
-        merged = self.read()  # dedup/last-writer-wins applied
-        # materialize before deleting source files
-        merged_rows = merged.cache()
-        merged_rows.count()
-        old = list(s.versions)
-        new_ts = max(v["ts"] for v in old)
-        try:
-            new_version = self.write(
-                merged_rows, version_ts=new_ts, cluster_by=cluster_by
-            )
-        finally:
-            merged_rows.unpersist()
+        # Optimistic merge loop: snapshot → merge → commit-with-precondition.
+        # write() aborts (ConsolidationConflict) if any version committed or
+        # claimed a fragment directory after our snapshot — those rows are
+        # NOT in `merged`, and the baseline's higher __tile_v would shadow
+        # them (a lost update, round-2 advisor item).  On conflict, re-read
+        # (now including the late fragments) and retry.
+        for attempt in range(5):
+            self.schema = s = _load_sidecar(self.uri)
+            if not s.versions:
+                return 0
+            merged = self.read()  # dedup/last-writer-wins applied
+            # materialize before deleting source files
+            merged_rows = merged.cache()
+            merged_rows.count()
+            old = list(s.versions)
+            new_ts = max(v["ts"] for v in old)
+            try:
+                new_version = self.write(
+                    merged_rows,
+                    version_ts=new_ts,
+                    cluster_by=cluster_by,
+                    _expect_versions={v["v"] for v in old},
+                )
+                break
+            except ConsolidationConflict:
+                if attempt == 4:
+                    raise
+                time.sleep(0.1 * (attempt + 1))
+            finally:
+                merged_rows.unpersist()
         if not keep_history:
             for v in old:
                 p = os.path.join(self.uri, "data", f"__tile_v={v['v']}")
@@ -1114,7 +1179,7 @@ class TileTable:
         _save_sidecar(self.uri, self.schema)
 
     def read_changes(
-        self, since_ts: int, with_version: bool = False
+        self, since_ts: int, with_version: bool = False, with_op: bool = False
     ) -> DataFrame:
         """Batch change feed: the rows written by versions with
         ``ts > since_ts``, raw (no cross-version dedup) — the batch analog
@@ -1123,15 +1188,28 @@ class TileTable:
         (operators/rollup.py).  Partition pruning does the work: only the
         new fragments' directories are listed, so the cost scales with the
         delta, not the table.  ``with_version=True`` appends the writing
-        snapshot as ``_version`` (SCD2 builds / CDC consumers)."""
+        snapshot as ``_version`` (SCD2 builds / CDC consumers);
+        ``with_op=True`` appends ``_op`` ('delete' for tombstone rows
+        written by apply_changes, else 'upsert') so feed consumers can
+        distinguish a delete from an upsert-to-NULL — without it, a
+        tombstone is indistinguishable from a row whose attributes are all
+        NULL (round-2 advisor item).  Pre-CDC fragments (no __tombstone
+        column) coalesce to 'upsert'."""
         s = self.schema
-        vs = [v["v"] for v in s.versions if v["ts"] > since_ts]
+        vis = [v for v in s.versions if v["ts"] > since_ts]
+        vs = [v["v"] for v in vis]
         cols = s.dim_names + s.attr_names
-        out_cols = cols + (["_version"] if with_version else [])
+        out_cols = (
+            cols
+            + (["_version"] if with_version else [])
+            + (["_op"] if with_op else [])
+        )
         if not vs:
             ddl = self._spark_ddl(include=cols)
             if with_version:
                 ddl += ", _version bigint"
+            if with_op:
+                ddl += ", _op string"
             return self.spark.createDataFrame([], schema=ddl)
         if self._encrypted:
             df = self._read_encrypted(vs, cols)
@@ -1139,13 +1217,29 @@ class TileTable:
                 df = df.withColumn(
                     "_version", F.col("__tile_v").cast("bigint")
                 )
+            if with_op:
+                # encrypted fragments never carry tombstones
+                # (apply_changes rejects encrypted tables)
+                df = df.withColumn("_op", F.lit("upsert"))
             return df.select(*out_cols)
         data_dir = self._data_dir
-        df = self.spark.read.option("basePath", data_dir).parquet(
+        reader = self.spark.read.option("basePath", data_dir)
+        if any(v.get("tombstones") for v in vis):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
             *[os.path.join(data_dir, f"__tile_v={v}") for v in vs]
         )
         if with_version:
             df = df.withColumn("_version", F.col("__tile_v").cast("bigint"))
+        if with_op:
+            tomb = (
+                F.coalesce(F.col("__tombstone"), F.lit(False))
+                if "__tombstone" in df.columns
+                else F.lit(False)
+            )
+            df = df.withColumn(
+                "_op", F.when(tomb, F.lit("delete")).otherwise(F.lit("upsert"))
+            )
         return df.select(*out_cols)
 
     def read_evolved(self, at: Optional[int] = None) -> DataFrame:

@@ -136,6 +136,41 @@ def sample_frames(
     return prepared.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
 
 
+def resize_features_int(
+    df: DataFrame, id_col: str, binary_col: str, dim: int = 8
+) -> DataFrame:
+    """Exact-integer twin of :func:`resize_features`: per-stripe BYTE SUMS
+    (int64) instead of float means.  Same decode→resize→pool plumbing, but
+    every feature is exact int64 — so downstream cosine/top-k is
+    engine-independent and the q74 conformance spec can be HASH-verified
+    against a DuckDB oracle that recomputes the same sums from
+    ``hex(encode(text))``."""
+
+    def featurize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, fvs = [], []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                stride = -(-len(b) // dim) if b else 0
+                fvs.append(
+                    [int(sum(b[s * stride : (s + 1) * stride])) for s in range(dim)]
+                )
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "features": pd.Series(fvs, dtype="object"),
+                }
+            )
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob")
+    )
+    return prepared.mapInPandas(
+        featurize, schema="doc_id bigint, features array<bigint>"
+    )
+
+
 def resize_features(
     df: DataFrame, id_col: str, binary_col: str, dim: int = 8
 ) -> DataFrame:

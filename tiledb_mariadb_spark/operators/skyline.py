@@ -63,9 +63,20 @@ def skyline(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
 
     Both criteria columns must be orderable; ``min_col`` must be integral
     (the strict-dominance window uses a RANGE frame ending at −1).
+
+    NULL criteria follow the NOT EXISTS oracle's 3VL: every dominance
+    comparison against a NULL is unknown, so a row with a NULL criterion
+    can neither dominate nor be dominated — it is always part of the
+    frontier, and is excluded from the elimination windows (where the
+    negated ``__m2 > max_col`` filter would otherwise silently drop it —
+    round-2 advisor item).
     """
-    local = _eliminate(df, min_col, max_col, F.spark_partition_id())
-    return _eliminate(local, min_col, max_col, F.lit(0))
+    crit_null = F.col(min_col).isNull() | F.col(max_col).isNull()
+    clean = df.filter(~crit_null)
+    local = _eliminate(clean, min_col, max_col, F.spark_partition_id())
+    return _eliminate(local, min_col, max_col, F.lit(0)).unionByName(
+        df.filter(crit_null)
+    )
 
 
 def skyline_sql(rel: str, min_col: str, max_col: str, keys: str) -> str:

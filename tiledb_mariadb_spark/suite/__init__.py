@@ -124,25 +124,7 @@ def all_specs() -> dict[str, QuerySpec]:
         windows,
     )
 
-    specs: dict[str, QuerySpec] = {}
-    # ORDER MATTERS: the driver hash-verifies only the FIRST 50 entries per
-    # round.  Round 1 covered core/analytics/functions_surface* (q01–q133);
-    # round 2 rotates the never-verified categories to the front (joins,
-    # subqueries, windows, surfaces, llm_ops = exactly 50).  Rotate again
-    # each round until every SURVEY §2 row has a green CORRECTNESS entry:
-    # round 3 should lead with pipeline_ops (q135–q147), pipeline_ops2
-    # (q173–q175), similarity
-    # (incl. q159), streaming_ops, spatial_ops, tpch_extra, surfaces2
-    # (q162–q166), functions_surface7 (q160–q168) + round 2's fixed reds
-    # (q43, q118, q122, q129); round 4 then covers the round-2-added tail
-    # (pipeline_ops3 q183–q191, pipeline_ops4 q192–q197, pipeline_ops5
-    # q212–q216, pipeline_ops6 q228–q232, pipeline_ops7 q245,
-    # pipeline_ops8 q248–q249, analytics2 q198–q201, analytics3
-    # q202–q206, analytics4 q207–q209, analytics5 q218–q222, analytics6
-    # q223–q227, analytics7 q235–q239, analytics8 q241–q244/q247,
-    # surfaces3 q210/q211/q217/q240/q258/q261-q264, functions_surface8 q233/
-    # q234/q246/q250/q251/q255/q259) plus whatever core/analytics rows round 1 verified last
-    # (stable greens can rotate to the back).
+    collected: dict[str, QuerySpec] = {}
     for mod in (
         joins,
         subqueries,
@@ -182,7 +164,40 @@ def all_specs() -> dict[str, QuerySpec]:
         core,
     ):
         for s in mod.SPECS:
-            if s.name in specs:
+            if s.name in collected:
                 raise ValueError(f"duplicate query name {s.name}")
-            specs[s.name] = s
+            collected[s.name] = s
+
+    # ORDER MATTERS: the driver hash-verifies only the FIRST 50 entries per
+    # round.  Round 1 covered core/analytics/functions_surface* prefixes;
+    # round 2 covered joins/subqueries/windows/surfaces/llm_ops.  ROUND 3
+    # rotates an explicit never-driver-verified window to the front:
+    # the four round-1 reds (q43/q118/q122/q129, all fixed — they need a
+    # driver-GREEN row), q77 (upgraded this round from rows-only to a
+    # recursive-CTE hash oracle), all of pipeline_ops + pipeline_ops2 +
+    # similarity + spatial_ops, one streaming spec (first driver row for
+    # §2.6), and consolidation (q164).  Round 4 should rotate in the rest:
+    # remaining streaming_ops, tpch_extra, surfaces2/3, functions_surface7/8,
+    # pipeline_ops3-8, analytics2-8, plus the new q74 hash oracle.
+    front = [
+        "q43_filtered_agg",
+        "q118_array_set_ops",
+        "q122_map_fns",
+        "q129_array_slice",
+        "q77_ewma",
+        *[s.name for s in pipeline_ops.SPECS],
+        *[s.name for s in pipeline_ops2.SPECS],
+        *[s.name for s in similarity.SPECS],
+        *[s.name for s in spatial_ops.SPECS],
+        "q90_stream_window",
+        "q164_consolidation",
+    ]
+    assert len(front) == 50, f"round-3 front window is {len(front)}, want 50"
+    missing = [n for n in front if n not in collected]
+    assert not missing, f"front window names not registered: {missing}"
+
+    specs: dict[str, QuerySpec] = {n: collected[n] for n in front}
+    for n, s in collected.items():
+        if n not in specs:
+            specs[n] = s
     return specs

@@ -265,21 +265,61 @@ WHERE fi % 4 = 0 AND doc_id < 200
 
 # --- q74: resize→pooled features feeding cosine search ----------------------
 # decode/resize is the stubbed tier (no codecs in container); the pooled
-# vector then runs the SAME exact-int cosine as the embedding ops.
+# features are EXACT per-stripe int64 byte sums, so the cosine (int dot /
+# sqrt·sqrt, one IEEE division) is bit-identical to a DuckDB oracle that
+# recomputes the same sums from hex(encode(text)) — HASH-verified.
 def q74_resize_cosine(spark, sf_dir):
-    from tiledb_mariadb_spark.functions.multimodal import resize_features  # noqa: PLC0415
-    from tiledb_mariadb_spark.functions.similarity import cosine_topk  # noqa: PLC0415
+    from tiledb_mariadb_spark.functions.multimodal import resize_features_int  # noqa: PLC0415
+    from tiledb_mariadb_spark.functions.similarity import qdot_expr  # noqa: PLC0415
 
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 500)
         .withColumn("blob", F.col("text").cast("binary"))
     )
-    feats = resize_features(d, "doc_id", "blob", dim=8)
+    feats = resize_features_int(d, "doc_id", "blob", dim=8)
     query = feats.filter(F.col("doc_id") == 0).select(F.col("features").alias("qv"))
-    return cosine_topk(
-        feats.filter(F.col("doc_id") != 0), query, "doc_id", "features", k=5
+    cos = (
+        f"({qdot_expr('features', 'qv')} / greatest("
+        f"SQRT({qdot_expr('features', 'features')})"
+        f" * SQRT({qdot_expr('qv', 'qv')}), 1e-30d))"
     )
+    return (
+        feats.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(F.col("doc_id"), F.expr(cos).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+
+
+# stride = ceil(bytes/8); byte b of the blob is hex chars 2b+1..2b+2.
+_Q74_STRIDE = "CAST(CEIL(n / 8.0) AS BIGINT)"
+Q74_SQL = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 500),
+feats AS (
+  SELECT doc_id,
+    [COALESCE(CAST(list_sum(
+        [CAST(('0x' || substr(hx, CAST(2*b+1 AS BIGINT), 2)) AS BIGINT)
+         FOR b IN range(s * {_Q74_STRIDE}, LEAST((s+1) * {_Q74_STRIDE}, n))]
+      ) AS BIGINT), 0)
+     FOR s IN range(0, 8)] AS fv
+  FROM d),
+q AS (SELECT fv AS qv FROM feats WHERE doc_id = 0),
+scored AS (
+  SELECT f.doc_id,
+         (CAST(list_sum(list_transform(f.fv, (x, i) -> x * f.qv_[i])) AS BIGINT)
+          / GREATEST(
+              SQRT(CAST(list_sum(list_transform(f.fv, (x, i) -> x * f.fv[i])) AS BIGINT))
+              * SQRT(CAST(list_sum(list_transform(f.qv_, (x, i) -> x * f.qv_[i])) AS BIGINT)),
+              1e-30)) AS cos
+  FROM (SELECT feats.doc_id, feats.fv, q.qv AS qv_ FROM feats, q) f
+  WHERE f.doc_id <> 0)
+SELECT doc_id, cos FROM scored ORDER BY cos DESC, doc_id LIMIT 5
+"""
 
 
 SPECS = [
@@ -296,12 +336,8 @@ SPECS = [
     QuerySpec("q66_ngram_jaccard", q66_ngram_jaccard, Q66_SQL, "n-gram Jaccard"),
     QuerySpec("q67_simhash", q67_simhash, Q67_SQL, "SimHash"),
     QuerySpec("q70_multimodal", q70_multimodal, Q70_SQL, "multimodal mapInPandas"),
-    # LAST on purpose: q74 is rows-only (no oracle), so it is the one entry
-    # the driver's 50-query window can afford to miss — the front block
-    # (joins..llm_ops) is 51 specs for 50 slots.  q74 rotates forward in
-    # round 3 with pipeline_ops.
     QuerySpec(
-        "q74_resize_cosine", q74_resize_cosine, None,
-        "resize-stub features → cosine top-k (decode stubbed: no codecs)",
+        "q74_resize_cosine", q74_resize_cosine, Q74_SQL,
+        "resize-stub int features → cosine top-k (hash oracle via hex bytes)",
     ),
 ]

@@ -278,10 +278,13 @@ WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
 
 
 # --- q77: grouped recurrence (EWMA) via applyInPandas ----------------------
-# No built-in window frame carries state; rows-only check (float
-# recurrence isn't reproducible bit-exactly via SQL re-association), with
-# the recurrence itself asserted against a reference impl in
-# tests/test_ewma.py.
+# No built-in window frame carries state — the applyInPandas tier runs an
+# explicit per-step recurrence (operators/ewma.py).  HASH-VERIFIED against
+# a DuckDB recursive CTE: with dyadic α = 0.5 each step is
+# s = 0.5*x + 0.5*s_prev — both multiplies are exact IEEE ops and the one
+# add rounds identically on both engines, so the whole trajectory is
+# bit-identical by construction.  (user_id, ts) is unique in the corpus,
+# so the within-group order is total on both sides.
 def q77_ewma(spark, sf_dir):
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -290,12 +293,30 @@ def q77_ewma(spark, sf_dir):
     e = t(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
     )
-    return ewma(e, "user_id", "ts_us", "value", alpha=0.3)
+    return ewma(e, "user_id", "ts_us", "value", alpha=0.5)
+
+
+Q77_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+r AS (
+  SELECT user_id, ts_us, value, rn, value AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.ts_us, b.value, b.rn,
+         CAST(0.5 AS DOUBLE) * b.value + CAST(0.5 AS DOUBLE) * r.ewma
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+SELECT user_id, ts_us, value, ewma FROM r
+"""
 
 
 SPECS = [
     QuerySpec("q50_window_rank", q50_window_rank, Q50_SQL, "rank functions"),
-    QuerySpec("q77_ewma", q77_ewma, None, "grouped EWMA recurrence (applyInPandas)"),
+    QuerySpec(
+        "q77_ewma", q77_ewma, Q77_SQL,
+        "grouped EWMA recurrence (applyInPandas, dyadic-α hash oracle)",
+    ),
     QuerySpec("q51_window_running", q51_window_running, Q51_SQL, "running sum"),
     QuerySpec("q52_lag_lead", q52_lag_lead, Q52_SQL, "lag/lead"),
     QuerySpec("q53_window_range_frame", q53_window_range_frame, Q53_SQL, "RANGE frame"),
