@@ -291,7 +291,10 @@ def _infer_enums(df: DataFrame, attrs: list[Attr], threshold: int) -> None:
 
 
 def open_uri(
-    spark: SparkSession, uri: str, encryption_key: "Optional[str]" = None
+    spark: SparkSession,
+    uri: str,
+    encryption_key: "Optional[str]" = None,
+    storage_options: "Optional[dict]" = None,
 ) -> DataFrame:
     """Resolve the reference's virtual URI suffixes (mytile/utils.h:52-53,
     ha_mytile.cc:836-840, 3440-3455) to a DataFrame:
@@ -299,26 +302,63 @@ def open_uri(
     - ``<uri>@metadata``     → 2-column (key, value) metadata table
     - ``<uri>@<unix-millis>`` → snapshot read at that timestamp
     - ``<uri>``              → plain scan
+
+    ``storage_options`` is the ``tiledb_config`` analog (see TileTable).
     """
     import re  # noqa: PLC0415
 
     if uri.endswith("@metadata"):
-        return TileTable(spark, uri[: -len("@metadata")]).metadata_df()
+        return TileTable(
+            spark, uri[: -len("@metadata")], storage_options=storage_options
+        ).metadata_df()
     m = re.match(r"^(.*)@(\d+)$", uri)
     if m:
-        return TileTable(spark, m.group(1), encryption_key=encryption_key).read(
-            at=int(m.group(2))
-        )
-    return TileTable(spark, uri, encryption_key=encryption_key).read()
+        return TileTable(
+            spark, m.group(1), encryption_key=encryption_key,
+            storage_options=storage_options,
+        ).read(at=int(m.group(2)))
+    return TileTable(
+        spark, uri, encryption_key=encryption_key,
+        storage_options=storage_options,
+    ).read()
 
 
 class TileTable:
     def __init__(
-        self, spark: SparkSession, uri: str, encryption_key: Optional[str] = None
+        self,
+        spark: SparkSession,
+        uri: str,
+        encryption_key: Optional[str] = None,
+        storage_options: Optional[dict] = None,
     ):
+        """``storage_options`` mirrors the reference's ``tiledb_config``
+        sysvar (mytile-sysvars.cc:61-66): a key=value map translated to
+        Hadoop connector properties and applied at session scope before
+        any read/write (sources/storage.py).  Credentials are runtime-
+        only; the non-secret subset persisted at CREATE time is merged
+        underneath the caller's map on reopen."""
+        from tiledb_mariadb_spark.sources.storage import (  # noqa: PLC0415
+            apply_storage_options,
+            is_remote,
+            parse_uri,
+        )
+
         self.spark = spark
-        self.uri = uri
-        self.schema = _load_sidecar(uri)
+        scheme, path = parse_uri(uri)
+        if is_remote(uri):
+            # the scheme set the reference accepts (ha_mytile.cc:1178-1182);
+            # this container has no object store to execute against — the
+            # config plumbing above is the real production path
+            raise NotImplementedError(
+                f"remote scheme {scheme}:// requires an object-store "
+                "deployment (conditional-put commit); unavailable in this "
+                "environment"
+            )
+        self.uri = path
+        self.schema = _load_sidecar(path)
+        merged = dict(self.schema.metadata.get("storage_options") or {})
+        merged.update(storage_options or {})
+        self.storage_options = apply_storage_options(spark, merged)
         self._enc_key: Optional[bytes] = None
         if encryption_key is not None:
             from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
@@ -358,6 +398,7 @@ class TileTable:
         array_type: str = "SPARSE",
         overwrite: bool = False,
         encryption_key: Optional[str] = None,
+        storage_options: Optional[dict] = None,
         **options: Any,
     ) -> "TileTable":
         if array_type == "DENSE":
@@ -399,8 +440,21 @@ class TileTable:
 
             schema.metadata["encryption"] = CIPHER_NAME
             schema.metadata["encryption_key_check"] = key_fingerprint(encryption_key)
+        if storage_options:
+            from tiledb_mariadb_spark.sources.storage import (  # noqa: PLC0415
+                persistable_options,
+                to_hadoop_options,
+            )
+
+            to_hadoop_options(storage_options)  # validate keys at CREATE
+            schema.metadata["storage_options"] = persistable_options(
+                storage_options
+            )
         _save_sidecar(uri, schema)
-        return TileTable(spark, uri, encryption_key=encryption_key)
+        return TileTable(
+            spark, uri, encryption_key=encryption_key,
+            storage_options=storage_options,
+        )
 
     def drop(self, delete_data: bool = True) -> None:
         """DROP TABLE; physical delete is opt-in like mytile_delete_arrays

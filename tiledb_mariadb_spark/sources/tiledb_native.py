@@ -217,3 +217,605 @@ def read_sparse_array(
         tuple(d[i] for d in dims) + tuple(v[i] for v in out_attrs)
         for i in range(n)
     ]
+
+
+# ===========================================================================
+# Round-3 extension: generic-tile container, on-disk array-schema blob,
+# array metadata, validity (RLE) tiles, var-length (offsets) tiles, and
+# multi-fragment merge — enough to open EVERY committed fixture array in
+# the reference repo (mysql-test/mytile/test_data/tiledb_arrays/*) from a
+# bare directory, no caller-supplied schema (the discover_array analog,
+# mytile/mytile-discovery.cc:54-473).  Public TileDB storage format.
+# ===========================================================================
+
+_HAVE_PA_ZSTD = None
+
+
+def _zstd_decode(buf: bytes, orig_len: int) -> bytes:
+    """Full zstd frame decode: pyarrow's codec when present (handles
+    compressed blocks), else the minimal RAW/RLE decoder above."""
+    global _HAVE_PA_ZSTD
+    if _HAVE_PA_ZSTD is None:
+        try:
+            import pyarrow as pa  # noqa: PLC0415
+
+            _HAVE_PA_ZSTD = pa.Codec("zstd")
+        except Exception:  # noqa: BLE001
+            _HAVE_PA_ZSTD = False
+    if _HAVE_PA_ZSTD:
+        return _HAVE_PA_ZSTD.decompress(buf, orig_len)
+    return _zstd_decode_minimal(buf)
+
+
+def read_generic_tile(path: str) -> bytes:
+    """TileDB 'generic tile' container (schema blobs, fragment metadata,
+    array metadata): [version u32][persisted u64][tile_size u64]
+    [datatype u8][cell_size u64][encryption u8][pipeline_len u32]
+    [pipeline][chunked tile]."""
+    buf = open(path, "rb").read()
+    (plen,) = struct.unpack_from("<I", buf, 30)
+    return b"".join(read_chunked_tile(buf[34 + plen :]))
+
+
+# tiledb_datatype_t (tiledb.h, public API)
+_DT = {
+    0: ("int32", "i", 4), 1: ("int64", "q", 8), 2: ("float32", "f", 4),
+    3: ("float64", "d", 8), 4: ("char", "c", 1), 5: ("int8", "b", 1),
+    6: ("uint8", "B", 1), 7: ("int16", "h", 2), 8: ("uint16", "H", 2),
+    9: ("uint32", "I", 4), 10: ("uint64", "Q", 8),
+    11: ("string_ascii", "c", 1), 12: ("string_utf8", "c", 1),
+}
+for _i in range(18, 31):  # DATETIME_YEAR .. DATETIME_AS: int64 ticks
+    _DT[_i] = (f"datetime_{_i}", "q", 8)
+_DT[39] = ("blob", "B", 1)
+_DT[40] = ("bool", "B", 1)
+
+
+class NativeDim:
+    def __init__(self, name, dtype_id, cell_val_num, domain, extent,
+                 filters=None):
+        self.name, self.dtype_id = name, dtype_id
+        self.cell_val_num, self.domain, self.extent = cell_val_num, domain, extent
+        self.filters = filters or []
+
+    @property
+    def is_var(self):
+        return self.cell_val_num == 0xFFFFFFFF
+
+
+class NativeAttr:
+    def __init__(self, name, dtype_id, cell_val_num, nullable, fill,
+                 filters=None):
+        self.name, self.dtype_id = name, dtype_id
+        self.cell_val_num, self.nullable, self.fill = cell_val_num, nullable, fill
+        self.filters = filters or []
+
+    @property
+    def is_var(self):
+        return self.cell_val_num == 0xFFFFFFFF
+
+
+class NativeSchema:
+    def __init__(self, version, array_type, capacity, dims, attrs,
+                 coords_filters=None, offsets_filters=None,
+                 validity_filters=None):
+        self.version, self.array_type, self.capacity = version, array_type, capacity
+        self.dims, self.attrs = dims, attrs
+        self.coords_filters = coords_filters or []
+        self.offsets_filters = offsets_filters or []
+        self.validity_filters = validity_filters or []
+
+
+class _Cursor:
+    def __init__(self, buf):
+        self.buf, self.pos = buf, 0
+
+    def u(self, fmt):
+        v = struct.unpack_from("<" + fmt, self.buf, self.pos)[0]
+        self.pos += struct.calcsize(fmt)
+        return v
+
+    def raw(self, n):
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _skip_pipeline(c: "_Cursor") -> list:
+    """Filter pipeline: [max_chunk u32][num u32] then per filter
+    [type u8][meta_len u32][meta].  Returns [(type, meta), ...]."""
+    c.u("I")
+    filters = []
+    for _ in range(c.u("I")):
+        ftype = c.u("B")
+        filters.append((ftype, c.raw(c.u("I"))))
+    return filters
+
+
+def parse_array_schema(path: str) -> NativeSchema:
+    """Deserialize an on-disk array-schema blob (__array_schema.tdb or a
+    __schema/ entry) — storage format versions 3..19 as committed by the
+    reference's fixtures (1.6 → 2.x eras).  Trailing era-specific
+    sections after the attributes (dimension labels, enumerations — all
+    empty in the fixtures) are ignored."""
+    c = _Cursor(read_generic_tile(path))
+    ver = c.u("I")
+    if ver >= 5:
+        c.u("B")  # allows_dups
+    array_type = "DENSE" if c.u("B") == 0 else "SPARSE"
+    c.u("B"), c.u("B")  # tile_order, cell_order
+    capacity = c.u("Q")
+    coords_f = _skip_pipeline(c)
+    offsets_f = _skip_pipeline(c)
+    validity_f = _skip_pipeline(c) if ver >= 7 else []
+    dims = []
+    if ver < 5:
+        dom_type = c.u("B")
+        _, code, size = _DT[dom_type]
+        for _ in range(c.u("I")):
+            name = c.raw(c.u("I")).decode()
+            lo, hi = struct.unpack("<2" + code, c.raw(2 * size))
+            extent = None
+            if c.u("B") == 0:
+                extent = struct.unpack("<" + code, c.raw(size))[0]
+            dims.append(NativeDim(name, dom_type, 1, (lo, hi), extent))
+    else:
+        for _ in range(c.u("I")):
+            name = c.raw(c.u("I")).decode()
+            dtype_id = c.u("B")
+            cvn = c.u("I")
+            dim_f = _skip_pipeline(c)
+            dom_raw = c.raw(c.u("Q"))
+            _, code, size = _DT[dtype_id]
+            domain = (
+                struct.unpack("<2" + code, dom_raw) if dom_raw else None
+            )
+            extent = None
+            if c.u("B") == 0:
+                extent = struct.unpack("<" + code, c.raw(size))[0]
+            dims.append(
+                NativeDim(name, dtype_id, cvn, domain, extent, dim_f or coords_f)
+            )
+    attrs = []
+    for _ in range(c.u("I")):
+        name = c.raw(c.u("I")).decode()
+        dtype_id = c.u("B")
+        cvn = c.u("I")
+        attr_f = _skip_pipeline(c)
+        fill, nullable = None, False
+        if ver >= 6:
+            fill = c.raw(c.u("Q"))
+        if ver >= 7:
+            nullable = bool(c.u("B"))
+            c.u("B")  # fill validity
+        if ver >= 17:
+            c.u("B")  # data order (2.17+)
+        attrs.append(NativeAttr(name, dtype_id, cvn, nullable, fill, attr_f))
+    return NativeSchema(
+        ver, array_type, capacity, dims, attrs,
+        coords_filters=coords_f, offsets_filters=offsets_f,
+        validity_filters=validity_f,
+    )
+
+
+def read_array_metadata(array_dir: str) -> dict:
+    """Array metadata (__meta/ entries, t/metadata.test parity): each
+    entry is [key_len u32][key][del u8][type u8][num u32][values];
+    later files override earlier; del=1 removes the key.  Values render
+    to the reference's string form (ints/floats joined with ',')."""
+    meta_dir = os.path.join(array_dir, "__meta")
+    out: dict = {}
+    if not os.path.isdir(meta_dir):
+        return out
+    for fn in sorted(os.listdir(meta_dir)):
+        p = os.path.join(meta_dir, fn)
+        if not os.path.isfile(p):
+            continue
+        c = _Cursor(read_generic_tile(p))
+        while c.pos < len(c.buf):
+            key = c.raw(c.u("I")).decode()
+            deleted = c.u("B")
+            if deleted:
+                out.pop(key, None)
+                continue
+            dtype_id = c.u("B")
+            num = c.u("I")
+            _, code, size = _DT[dtype_id]
+            raw = c.raw(num * size)
+            if code == "c" or dtype_id in (11, 12):
+                out[key] = raw.decode()
+            else:
+                vals = struct.unpack(f"<{num}{code}", raw)
+                out[key] = ",".join(_fmt_meta(v) for v in vals)
+    return out
+
+
+def _fmt_meta(v) -> str:
+    if isinstance(v, float):
+        return f"{v:g}"
+    return str(v)
+
+
+def _rle_decode(filtered: bytes, value_size: int, orig_len: int) -> bytes:
+    """TileDB RLE filter: runs of [value (value_size)][run_len u16 BE]
+    (observed layout of the fixtures' validity tiles; run length is
+    big-endian per the TileDB format spec)."""
+    if value_size != 1:
+        raise NotImplementedError("RLE decode implemented for 1-byte values")
+    out = bytearray()
+    pos = 0
+    while pos < len(filtered):
+        val = filtered[pos : pos + 1]
+        run = int.from_bytes(filtered[pos + 1 : pos + 3], "big")
+        out += val * run
+        pos += 3
+    if len(out) != orig_len:
+        raise ValueError(f"RLE decoded {len(out)}, expected {orig_len}")
+    return bytes(out)
+
+
+# tiledb_filter_type_t (tiledb.h): compressor-style filters carry
+# [num_metadata_parts u32][num_data_parts u32][(orig u32, stored u32)…]
+# chunk metadata; the metadata PARTS are the upstream filters' own
+# metadata (stacked nearest-upstream first), which is how a
+# DOUBLE_DELTA → BIT_WIDTH_REDUCTION → ZSTD offsets pipeline round-trips.
+_F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD, _F_BWR = 1, 2, 3, 4, 5, 6, 7
+_COMPRESSORS = {_F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD}
+
+
+def _dd_decode(buf: bytes, orig_len: int, elem: int) -> bytes:
+    """TileDB DOUBLE_DELTA decompressor: [bitsize u8][num u64]
+    [v0 int][v1 int] then (num-2) entries of [sign(1)][magnitude(bitsize)]
+    bits, packed MSB-first into little-endian u64 words; sign=1 means the
+    double delta is negative.  (Bit convention pinned empirically against
+    the reference's var/ fixture — offsets reproduce its committed gene
+    strings exactly.)"""
+    bitsize = buf[0]
+    (num,) = struct.unpack_from("<Q", buf, 1)
+    code = {1: "b", 2: "h", 4: "i", 8: "q"}[elem]
+    if bitsize >= elem * 8 - 1:  # stored raw
+        vals = list(struct.unpack_from(f"<{num}{code}", buf, 9))
+    else:
+        vals = list(struct.unpack_from(f"<2{code}", buf, 9))[: min(2, num)]
+        stream = buf[9 + 2 * elem :]
+        word = bitpos = wi = 0
+        nbits_entry = bitsize + 1
+        for _ in range(max(0, num - 2)):
+            while bitpos < nbits_entry:
+                word = (word << 64) | int.from_bytes(
+                    stream[wi : wi + 8], "little"
+                )
+                wi += 8
+                bitpos += 64
+            entry = (word >> (bitpos - nbits_entry)) & ((1 << nbits_entry) - 1)
+            bitpos -= nbits_entry
+            word &= (1 << bitpos) - 1
+            mag = entry & ((1 << bitsize) - 1)
+            dd = -mag if entry >> bitsize else mag
+            vals.append(vals[-1] + (vals[-1] - vals[-2]) + dd)
+        vals = vals[:num]
+    mask = (1 << (8 * elem)) - 1
+    out = b"".join(int(v & mask).to_bytes(elem, "little") for v in vals)
+    if len(out) != orig_len:
+        raise ValueError(f"double-delta decoded {len(out)}, expected {orig_len}")
+    return out
+
+
+def _decompress_part(ftype: int, part: bytes, orig: int, elem: int) -> bytes:
+    if ftype == _F_ZSTD:
+        return _zstd_decode(part, orig) if part[:4] == ZSTD_MAGIC else part
+    if ftype == _F_GZIP:
+        return zlib.decompress(part)
+    if ftype == _F_RLE:
+        return part if len(part) == orig else _rle_decode(part, 1, orig)
+    if ftype == _F_DD:
+        return _dd_decode(part, orig, elem)
+    raise NotImplementedError(f"filter type {ftype} decode unsupported")
+
+
+def _reverse_pipeline(
+    filters: list, meta_stack: list, data: bytes, elem: int
+) -> bytes:
+    """Undo a filter pipeline: last filter first.  ``meta_stack[0]`` is
+    the current filter's chunk metadata; a compressor's decoded metadata
+    PARTS are pushed for the upstream filters."""
+    if not filters:
+        return data
+    ftype, _ = filters[-1]
+    meta = meta_stack[0] if meta_stack else b""
+    rest = meta_stack[1:]
+    if ftype in _COMPRESSORS:
+        nm, nd = struct.unpack_from("<II", meta, 0)
+        blobs, dpos = [], 0
+        for i in range(nm + nd):
+            orig, stored = struct.unpack_from("<II", meta, 8 + 8 * i)
+            blobs.append(
+                _decompress_part(ftype, data[dpos : dpos + stored], orig, elem)
+            )
+            dpos += stored
+        return _reverse_pipeline(
+            filters[:-1], blobs[:nm] + rest, b"".join(blobs[nm:]), elem
+        )
+    if ftype == _F_BWR:
+        # [input_size u32][num_windows u32] then per-window
+        # [value_offset u64][bit width u8][window input bytes u32].  The
+        # input byte stream is viewed as LE uint64 words in 256-byte
+        # windows; each word is stored as (word - offset) in width/8
+        # bytes LE.  width=64 and length-unaligned (partial) windows are
+        # verbatim copies.  (Semantics pinned against the reference's
+        # var/ fixture — reconstructed offsets reproduce its committed
+        # var-length strings exactly.)
+        in_size, n_win = struct.unpack_from("<II", meta, 0)
+        out = bytearray()
+        mpos, dpos = 8, 0
+        for _ in range(n_win):
+            (w_off,) = struct.unpack_from("<Q", meta, mpos)
+            width = meta[mpos + 8]
+            (nb,) = struct.unpack_from("<I", meta, mpos + 9)
+            mpos += 13
+            if width >= 64 or nb % 8 != 0:
+                out += data[dpos : dpos + nb]
+                dpos += nb
+            else:
+                step = width // 8
+                for _w in range(nb // 8):
+                    red = int.from_bytes(data[dpos : dpos + step], "little")
+                    out += ((w_off + red) & 0xFFFFFFFFFFFFFFFF).to_bytes(
+                        8, "little"
+                    )
+                    dpos += step
+        if len(out) != in_size:
+            raise ValueError(
+                f"bit-width-reduction decoded {len(out)}, expected {in_size}"
+            )
+        return _reverse_pipeline(filters[:-1], rest, bytes(out), elem)
+    raise NotImplementedError(f"filter type {ftype} decode unsupported")
+
+
+def read_tile_file(
+    path: str,
+    rle_value_size: int | None = None,
+    filters: list | None = None,
+    elem: int = 8,
+) -> bytes:
+    """Concatenated payload of ALL chunked tiles in a fragment data file
+    (multi-tile files appear when the fragment spans several space tiles).
+    With ``filters`` (the field's pipeline from the array schema) chunks
+    are decoded by reversing the exact pipeline — required for composite
+    pipelines like the 2.x offsets default (DD+BWR+ZSTD).  Without it,
+    the chunk payload is sniffed (zstd frame / zlib / raw).
+    ``rle_value_size`` switches sniffing to the RLE filter (validity
+    tiles)."""
+    buf = open(path, "rb").read()
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        (num_chunks,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+        for _ in range(num_chunks):
+            orig, filt, meta = struct.unpack_from("<III", buf, pos)
+            pos += 12
+            mbytes = buf[pos : pos + meta]
+            pos += meta
+            payload = buf[pos : pos + filt]
+            pos += filt
+            if filters:
+                out += _reverse_pipeline(filters, [mbytes], payload, elem)
+            elif rle_value_size is not None and filt != orig:
+                out += _rle_decode(payload, rle_value_size, orig)
+            elif payload[:4] == ZSTD_MAGIC:
+                out += _zstd_decode(payload, orig)
+            elif payload[:2] in (b"\x78\x01", b"\x78\x9c", b"\x78\xda"):
+                out += zlib.decompress(payload)
+            else:
+                if len(payload) != orig:
+                    raise ValueError(f"chunk {len(payload)} != {orig}")
+                out += payload
+    return bytes(out)
+
+
+def _fragment_dirs(array_dir: str) -> list[str]:
+    """All committed fragment directories, oldest→newest (2.3+ keeps them
+    under __fragments/; earlier eras place them beside the schema)."""
+    root = os.path.join(array_dir, "__fragments")
+    if not os.path.isdir(root):
+        root = array_dir
+    skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    frags = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("__")
+        and d not in skip
+        and os.path.isdir(os.path.join(root, d))
+    ]
+
+    def ts(name: str) -> int:
+        try:
+            return int(name.strip("_").split("_")[0])
+        except ValueError:
+            return 0
+
+    return [os.path.join(root, d) for d in sorted(frags, key=ts)]
+
+
+def _schema_path(array_dir: str) -> str:
+    p = os.path.join(array_dir, "__array_schema.tdb")
+    if os.path.isfile(p):
+        return p
+    sdir = os.path.join(array_dir, "__schema")
+    entries = sorted(
+        f for f in os.listdir(sdir) if os.path.isfile(os.path.join(sdir, f))
+    )
+    return os.path.join(sdir, entries[-1])
+
+
+def _frag_format_version(frag: str) -> int:
+    """Fragment format version = the ``_N`` suffix of the fragment dir
+    name (absent in 1.6-era fragments → 0)."""
+    tail = os.path.basename(frag).rsplit("_", 1)[-1]
+    return int(tail) if tail.isdigit() else 0
+
+
+def _field_file(frag: str, name: str, idx: int, kind: str) -> str:
+    """Fragment data file for a dim/attr: name-based (1.6–2.x early) or
+    positional (``a0``/``d0``, fragment format ≥ 10).  The scheme is
+    picked by version FIRST — an array whose attrs are literally named
+    a2/a3/a4 makes existence-probing ambiguous (the reference's
+    multi_attribute fixture)."""
+    cands = [f"{name}.tdb", f"{kind}{idx}.tdb"]
+    if _frag_format_version(frag) >= 10:
+        cands.reverse()
+    for cand in cands:
+        p = os.path.join(frag, cand)
+        if os.path.isfile(p):
+            return p
+    raise FileNotFoundError(f"no data file for {name} in {frag}")
+
+
+def _typed_cells(raw: bytes, dtype_id: int) -> list:
+    _, code, size = _DT[dtype_id]
+    if code == "c":
+        return [raw[i : i + 1] for i in range(len(raw))]
+    n = len(raw) // size
+    return list(struct.unpack(f"<{n}{code}", raw))
+
+
+def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
+                kind: str) -> list:
+    """Decode one dim/attr column of a fragment into python values:
+    var-length (offsets + _var bytes), fixed multi-value (lists), and
+    nullable (validity tile) cells.  Each tile kind is decoded through
+    ITS schema-declared pipeline: the field's own filters for data, the
+    array-level offsets pipeline for offsets, the validity pipeline for
+    validity — matching how TileDB assigns pipelines."""
+    base = _field_file(frag, field.name, idx, kind)
+    dtype_id, cvn = field.dtype_id, field.cell_val_num
+    _, _, elem = _DT[dtype_id]
+    nullable = getattr(field, "nullable", False)
+    if cvn == 0xFFFFFFFF:
+        offs = _typed_cells(
+            read_tile_file(base, filters=schema.offsets_filters, elem=8), 10
+        )
+        var = read_tile_file(
+            base[:-4] + "_var.tdb", filters=field.filters, elem=elem
+        )
+        bounds = [int(o) for o in offs] + [len(var)]
+        blobs = [var[bounds[i] : bounds[i + 1]] for i in range(len(offs))]
+        if dtype_id in (4, 11, 12):
+            vals = [b.decode("utf-8", errors="replace") for b in blobs]
+        else:
+            vals = [_typed_cells(b, dtype_id) for b in blobs]
+    else:
+        flat = _typed_cells(
+            read_tile_file(base, filters=field.filters, elem=elem), dtype_id
+        )
+        if dtype_id in (4, 11, 12):
+            joined = b"".join(flat)
+            vals = [
+                joined[i : i + cvn].decode("utf-8", errors="replace")
+                for i in range(0, len(joined), cvn)
+            ]
+        elif cvn != 1:
+            vals = [flat[i : i + cvn] for i in range(0, len(flat), cvn)]
+        else:
+            vals = flat
+    if nullable:
+        validity = read_tile_file(
+            base[:-4] + "_validity.tdb",
+            rle_value_size=1,
+            filters=schema.validity_filters,
+            elem=1,
+        )
+        vals = [v if validity[i] else None for i, v in enumerate(vals)]
+    return vals
+
+
+def _dense_coords(schema: NativeSchema) -> list[tuple]:
+    """Global cell order of a dense fragment covering the whole domain:
+    space tiles in row-major tile order, cells row-major within each tile
+    (both ROW_MAJOR in every fixture)."""
+    axes = []
+    for d in schema.dims:
+        lo, hi = d.domain
+        ext = d.extent or (hi - lo + 1)
+        tiles = [
+            range(t, min(t + ext, hi + 1))
+            for t in range(lo, hi + 1, ext)
+        ]
+        axes.append(tiles)
+    coords = []
+    for tile_combo in itertools.product(*axes):
+        coords.extend(itertools.product(*tile_combo))
+    return coords
+
+
+def read_native_array(array_dir: str) -> tuple[NativeSchema, list[tuple]]:
+    """Open a bare TileDB array directory with NO caller-supplied schema
+    (the discover_array analog, mytile/mytile-discovery.cc:54-473): parse
+    the on-disk schema blob, decode every committed fragment, and merge
+    newest-fragment-wins per coordinate (TileDB overwrite semantics).
+    Rows are (dims..., attrs...) in schema order."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    merged: dict[tuple, tuple] = {}
+    for frag in _fragment_dirs(array_dir):
+        zipped = os.path.join(frag, "__coords.tdb")
+        has_coords = os.path.isfile(zipped) or any(
+            os.path.isfile(os.path.join(frag, f"{d.name}.tdb"))
+            or os.path.isfile(os.path.join(frag, f"d{i}.tdb"))
+            for i, d in enumerate(schema.dims)
+        )
+        if schema.array_type == "SPARSE" or has_coords:
+            if os.path.isfile(zipped):
+                flat = _typed_cells(
+                    b"".join(read_chunked_tile(open(zipped, "rb").read())),
+                    schema.dims[0].dtype_id,
+                )
+                nd = len(schema.dims)
+                dim_cols = [flat[i::nd] for i in range(nd)]
+            else:
+                dim_cols = [
+                    _read_field(frag, schema, d, i, "d")
+                    for i, d in enumerate(schema.dims)
+                ]
+            coords = list(zip(*dim_cols))
+        else:
+            coords = _dense_coords(schema)
+        attr_cols = [
+            _read_field(frag, schema, a, i, "a")
+            for i, a in enumerate(schema.attrs)
+        ]
+        for a, col in zip(schema.attrs, attr_cols):
+            if len(col) != len(coords):
+                raise ValueError(
+                    f"{a.name}: {len(col)} cells for {len(coords)} coords"
+                )
+        for i, c in enumerate(coords):
+            merged[c] = c + tuple(col[i] for col in attr_cols)
+    return schema, [merged[c] for c in sorted(merged)]
+
+
+_SPARK_TYPE = {
+    0: "int", 1: "bigint", 2: "float", 3: "double", 4: "string",
+    5: "tinyint", 6: "smallint", 7: "smallint", 8: "int", 9: "bigint",
+    10: "bigint", 11: "string", 12: "string", 39: "binary", 40: "boolean",
+}
+
+
+def _spark_type(dtype_id: int, cell_val_num: int) -> str:
+    base = _SPARK_TYPE.get(dtype_id, "bigint")  # datetimes: raw ticks
+    if cell_val_num not in (1, 0xFFFFFFFF) and dtype_id not in (4, 11, 12):
+        return f"array<{base}>"
+    return base
+
+
+def native_to_dataframe(spark, array_dir: str):
+    """Bare fixture directory → typed Spark DataFrame, schema inferred
+    entirely from the on-disk blob."""
+    schema, rows = read_native_array(array_dir)
+    fields = [
+        (d.name, _spark_type(d.dtype_id, d.cell_val_num)) for d in schema.dims
+    ] + [
+        (a.name, _spark_type(a.dtype_id, a.cell_val_num)) for a in schema.attrs
+    ]
+    ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
+    return spark.createDataFrame(rows, ddl)

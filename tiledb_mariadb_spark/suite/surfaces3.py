@@ -594,3 +594,119 @@ SPECS.append(
         "literal uri@<ts> and uri@metadata addressing via open_uri",
     )
 )
+
+
+# --- q265/q266: full native-format read of the reference's fixtures ---------
+# Round-3 extension of the q258 tier: the decoder now parses the ON-DISK
+# ARRAY SCHEMA BLOB (no caller-supplied schema — the discover_array
+# analog, mytile/mytile-discovery.cc:54-473) and covers var-length string
+# dimensions (2.0/string_dim, t/string_dim.test), validity vectors
+# (2.2/nullable_attributes, t/nullable_attributes.test), array metadata
+# (1.7/metadata_array, t/metadata.test), multi-value cells
+# (multi_attribute, t/multi_value_fixed_length.test) and the 2.x
+# DOUBLE_DELTA + BIT_WIDTH_REDUCTION + ZSTD offsets pipeline (var/,
+# t/utf8_pushdown.test).  Oracles are the literal mtr goldens.
+_FIXROOT = "/root/reference/mysql-test/mytile/test_data/tiledb_arrays"
+
+
+def q265_native_fixtures(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_array_metadata,
+        read_native_array,
+    )
+
+    rows = []
+    _, sd = read_native_array(f"{_FIXROOT}/2.0/string_dim")
+    rows += [("string_dim", d, str(a)) for d, a in sd]
+    _, nb = read_native_array(f"{_FIXROOT}/2.2/nullable_attributes")
+    for r, c, a2, a1 in nb:  # schema attr order: a2 (double), a1 (uint32)
+        rows.append(
+            (
+                "nullable",
+                f"{r},{c}",
+                f"{'NULL' if a1 is None else a1}|"
+                f"{'NULL' if a2 is None else format(a2, 'g')}",
+            )
+        )
+    for k, v in read_array_metadata(f"{_FIXROOT}/1.7/metadata_array").items():
+        rows.append(("metadata", k, v))
+    return spark.createDataFrame(
+        rows, "part string, k string, v string"
+    ).orderBy("part", "k")
+
+
+Q265_SQL = """
+SELECT * FROM (VALUES
+  ('string_dim', 'aa', '4'), ('string_dim', 'bb', '2'),
+  ('string_dim', 'cc', '3'), ('string_dim', 'dddd', '1'),
+  ('string_dim', 'jfk', '5'),
+  ('nullable', '1,1', '100|NULL'), ('nullable', '1,2', 'NULL|200.123'),
+  ('nullable', '2,1', 'NULL|300.123'), ('nullable', '2,2', '400|NULL'),
+  ('metadata', 'key1', '25'), ('metadata', 'key2', '25,26,27,28'),
+  ('metadata', 'key3', '25.1'), ('metadata', 'key4', '25.1,26.2,27.3,28.4'),
+  ('metadata', 'key5', 'This is TileDb array metadata')
+) AS v(part, k, v) ORDER BY part, k
+"""
+
+
+def q266_native_var_pipeline(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        native_to_dataframe,
+        read_native_array,
+    )
+
+    var = native_to_dataframe(spark, f"{_FIXROOT}/var")
+    gapdh = var.filter(F.col("ensembl_gene_name") == "GAPDH").select(
+        F.lit("gapdh").alias("part"),
+        F.col("ensembl_gene_name").alias("k"),
+        F.col("hgnc_id").alias("v"),
+    )
+    stats = var.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("soma_joinid").alias("lo"),
+        F.max("soma_joinid").alias("hi"),
+        F.min("var_id").alias("first_id"),
+    ).select(
+        F.lit("var_stats").alias("part"),
+        F.concat_ws(",", "lo", "hi", "n").alias("k"),
+        F.col("first_id").alias("v"),
+    )
+    _, mrows = read_native_array(f"{_FIXROOT}/multi_attribute")
+    multi = spark.createDataFrame(
+        [("multi", str(a3[0]), str(a3[1])) for _r, _c, _a2, a3, _a4 in mrows],
+        "part string, k string, v string",
+    )
+    return gapdh.unionByName(stats).unionByName(multi).orderBy("part", "k")
+
+
+Q266_SQL = """
+SELECT * FROM (VALUES
+  ('gapdh', 'GAPDH', 'HGNC:4141'),
+  ('var_stats', '0,20081,20082', 'ENSG00000000003'),
+  ('multi', '1', '2'), ('multi', '3', '4'), ('multi', '5', '6'),
+  ('multi', '7', '8'), ('multi', '9', '10'), ('multi', '11', '12'),
+  ('multi', '13', '14'), ('multi', '15', '16'), ('multi', '17', '18'),
+  ('multi', '19', '20'), ('multi', '21', '22'), ('multi', '23', '24'),
+  ('multi', '25', '26'), ('multi', '27', '28'), ('multi', '29', '30'),
+  ('multi', '31', '0')
+) AS v(part, k, v) ORDER BY part, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q265_native_fixtures",
+        q265_native_fixtures,
+        Q265_SQL,
+        "schema-blob discovery + string dims, validity, array metadata "
+        "decoded from the reference's committed arrays; oracle = mtr goldens",
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "q266_native_var_pipeline",
+        q266_native_var_pipeline,
+        Q266_SQL,
+        "DD+BWR+ZSTD offsets pipeline + multi-value cells from the "
+        "reference's var/ and multi_attribute fixtures; oracle = mtr goldens",
+    )
+)
