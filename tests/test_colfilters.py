@@ -133,3 +133,43 @@ def test_delta_and_dictionary_encodings(spark, tmp_path):
     assert "DELTA_BINARY_PACKED" in enc["dd"][0]
     assert {"RLE_DICTIONARY", "PLAIN_DICTIONARY"} & enc["dc"][0]
     assert enc["dc"][1] == "ZSTD"
+
+
+def test_float_split_and_checksum_encodings(spark, tmp_path):
+    """CHECKSUM_MD5 → parquet page checksums (verified on read), and
+    shuffle/scale-float filters stay READABLE by the engine's own
+    vectorized scan: mapping them to BYTE_STREAM_SPLIT produced files
+    Spark's vectorized reader rejects (round-3 footer-audit finding —
+    a latent round-2 bug), so they are accepted+echo only and the
+    column stays PLAIN-decodable."""
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "enc2"),
+        dimensions=[Dim("k", "bigint")],
+        attributes=[
+            Attr("sf", "double", filters="SCALE_FLOAT"),
+            Attr("bs", "double", filters="BYTESHUFFLE"),
+            Attr("ck", "bigint", filters="CHECKSUM_MD5,ZSTD"),
+        ],
+    )
+    tt.write(
+        spark.createDataFrame(
+            [(i, i * 1.5, i * 2.5, i * 10) for i in range(100)],
+            "k bigint, sf double, bs double, ck bigint",
+        )
+    )
+    f = glob.glob(f"{tt.uri}/data/__tile_v=1/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    enc = {}
+    for ci in range(md.num_columns):
+        col = md.row_group(0).column(ci)
+        enc[col.path_in_schema] = (set(col.encodings), col.compression)
+    assert "BYTE_STREAM_SPLIT" not in enc["sf"][0]
+    assert "BYTE_STREAM_SPLIT" not in enc["bs"][0]
+    assert enc["ck"][1] == "ZSTD"
+    # page checksums are present and verify clean
+    got = pq.read_table(f, page_checksum_verification=True)
+    assert got.num_rows == 100
+    # and the values survived the encodings bit-exactly
+    rows = {r["k"]: (r["sf"], r["bs"]) for r in tt.read().collect()}
+    assert rows[3] == (4.5, 7.5)

@@ -19,7 +19,10 @@ POSITIVE_DELTA /
 DELTA /
 BIT_WIDTH_REDUCTION   DELTA_BINARY_PACKED column encoding (integer cols)
 BITSHUFFLE /
-BYTESHUFFLE           BYTE_STREAM_SPLIT column encoding (float cols)
+BYTESHUFFLE /
+SCALE_FLOAT           accepted + echoed only: the parquet analog
+                      (BYTE_STREAM_SPLIT) is rejected by Spark's
+                      vectorized reader — see note at _SHUFFLE_ENCODED
 CHECKSUM_MD5 /
 CHECKSUM_SHA256       parquet page checksums (CRC; file-level)
 ====================  =========================================------------
@@ -57,9 +60,17 @@ _COMPRESSION = {
 }
 _DICT_ENCODED = {"RLE", "DICTIONARY"}
 _DELTA_ENCODED = {"DOUBLE_DELTA", "POSITIVE_DELTA", "DELTA", "BIT_WIDTH_REDUCTION"}
-_SHUFFLE_ENCODED = {"BITSHUFFLE", "BYTESHUFFLE"}
+# BITSHUFFLE/BYTESHUFFLE/SCALE_FLOAT would map onto parquet's
+# BYTE_STREAM_SPLIT float encoding — but Spark's VECTORIZED parquet
+# reader rejects that encoding ("Unsupported encoding: BYTE_STREAM_SPLIT",
+# round-3 footer-audit finding), so writing it would either break reads
+# or force the slow row-based reader on every scan of the table: at
+# 100 TB the vectorized read path is worth more than the marginal float
+# compression.  They are therefore accepted + echoed with no physical
+# knob (same documented degradation as offset_filters).
+_SHUFFLE_ENCODED: set = set()
 _CHECKSUM = {"CHECKSUM_MD5", "CHECKSUM_SHA256"}
-_ACCEPTED_NOOP = {"SCALE_FLOAT", "XOR", "WEBP"}  # parsed + echoed, no analog
+_ACCEPTED_NOOP = {"BITSHUFFLE", "BYTESHUFFLE", "SCALE_FLOAT", "XOR", "WEBP"}
 
 KNOWN_FILTERS = (
     set(_COMPRESSION) | _DICT_ENCODED | _DELTA_ENCODED | _SHUFFLE_ENCODED
