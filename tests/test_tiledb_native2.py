@@ -140,3 +140,50 @@ def test_unsupported_filter_fails_loudly():
     meta = struct.pack("<IIII", 0, 1, 4, 4)  # one 4-byte data part
     with pytest.raises(NotImplementedError):
         _reverse_pipeline([(3, b"")], [meta], b"abcd", 8)  # LZ4
+
+
+def test_connector_executes_on_reference_arrays(spark):
+    """read_array() — the connector's distributed scan — now EXECUTES
+    against the reference's own on-disk arrays via NativeDecoderBackend
+    (no libtiledb): split planning + dim-range pruning + projection on
+    real bytes."""
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array
+
+    df = read_array(
+        spark,
+        f"{R}/2.0/bank",
+        columns=["id", "age", "job"],
+        dim_ranges={"id": (100, 199)},
+        target_splits=8,
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(100 <= r["id"] <= 199 for r in rows)
+    assert set(df.columns) == {"id", "job", "age"}
+
+
+def test_connector_open_at_on_reference_fragments(spark):
+    """open_at parity on the reference's OWN committed fragments: the
+    string_dim array has two fragments (ts 1588883067894 / 1588890540288);
+    opening between them must see only the first write — exactly the
+    r/string_dim.result visibility rule."""
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array
+
+    full = read_array(spark, f"{R}/2.0/string_dim")
+    assert {(r["d"], r["a"]) for r in full.collect()} == {
+        ("aa", 4), ("bb", 2), ("cc", 3), ("dddd", 1), ("jfk", 5),
+    }
+    old = read_array(spark, f"{R}/2.0/string_dim", at=1588885000000)
+    assert {(r["d"], r["a"]) for r in old.collect()} == {
+        ("aa", 4), ("bb", 2), ("cc", 3), ("dddd", 1),
+    }
+
+
+def test_native_backend_is_read_only():
+    import pandas as pd
+    import pytest as _pytest
+
+    from tiledb_mariadb_spark.sources.tiledb_array import NativeDecoderBackend
+
+    with _pytest.raises(NotImplementedError, match="read-only"):
+        NativeDecoderBackend().write("/tmp/x", pd.DataFrame())

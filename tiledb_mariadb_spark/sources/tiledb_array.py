@@ -174,6 +174,80 @@ def _np_to_ddl(np_dtype) -> str:  # pragma: no cover - exercised with tiledb
     raise TypeError(f"unsupported TileDB dtype {np_dtype}")
 
 
+class NativeDecoderBackend(ArrayBackend):
+    """READ-ONLY backend over real on-disk TileDB arrays via the
+    pure-Python format decoder (sources/tiledb_native.py) — no libtiledb.
+    This is what makes the connector EXECUTE against the reference's own
+    committed arrays in this container: schema comes from the on-disk
+    blob (discovery), fragments decode byte-exact, ``at`` filters
+    fragments by start timestamp (open_at parity).
+
+    Scale shape: instances are stateless and pickle into executor tasks;
+    each task decodes the fragments and post-filters to its subarray.
+    The decoder has no sub-tile seek (it reads whole fragment tiles), so
+    per-task work is O(fragment) not O(split) — fine for fixture-scale
+    arrays; the libtiledb backend does true subarray reads and takes
+    over automatically when the wheel exists."""
+
+    def info(self, uri: str, at: Optional[int] = None) -> ArrayInfo:
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _DT,
+            _SPARK_TYPE,
+            parse_array_schema,
+            _schema_path,
+        )
+
+        s = parse_array_schema(_schema_path(uri))
+        dims = []
+        for d in s.dims:
+            dom = tuple(d.domain) if d.domain else (None, None)
+            # uint64 domains arrive as python ints; keep ints for planning
+            dims.append(
+                DimInfo(
+                    name=d.name,
+                    dtype=_SPARK_TYPE.get(d.dtype_id, "bigint"),
+                    domain=dom,
+                )
+            )
+        attrs = [
+            AttrInfo(
+                name=a.name,
+                dtype=_SPARK_TYPE.get(a.dtype_id, "bigint"),
+                nullable=a.nullable,
+            )
+            for a in s.attrs
+        ]
+        _ = _DT  # imported for typing parity; silence linters
+        return ArrayInfo(dims=dims, attrs=attrs, sparse=s.array_type == "SPARSE")
+
+    def read_range(self, uri, ranges, columns, at=None):
+        import pandas as pd  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            read_native_array,
+        )
+
+        schema, rows = read_native_array(uri, at=at)
+        names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
+        pdf = pd.DataFrame(rows, columns=names)
+        mask = None
+        for d, (lo, hi) in zip(schema.dims, ranges):
+            m = pdf[d.name].notna()
+            if lo is not None:
+                m &= pdf[d.name] >= lo
+            if hi is not None:
+                m &= pdf[d.name] <= hi
+            mask = m if mask is None else (mask & m)
+        out = pdf if mask is None else pdf[mask]
+        return out[list(columns)].reset_index(drop=True)
+
+    def write(self, uri, pdf, sparse=True):
+        raise NotImplementedError(
+            "NativeDecoderBackend is read-only (write support requires "
+            "libtiledb; the engine's own tables use the parquet catalog)"
+        )
+
+
 class FragmentDirBackend(ArrayBackend):
     """Filesystem-fragment fake: each write lands as an independent parquet
     fragment file under ``uri/`` (literally TileDB's fragment model), the
@@ -330,8 +404,14 @@ def read_array(
     pushdown (dims are always read, matching the reference's
     dims-always-materialized rule, ha_mytile.cc:3013-3022 — they are the
     coordinates).  ``at``: unix-millis time travel.
+
+    Default backend: libtiledb when the wheel exists, else the
+    pure-Python format decoder (read-only) — so a bare on-disk array is
+    scannable either way.
     """
-    backend = backend or TileDBBackend()
+    backend = backend or (
+        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+    )
     info = backend.info(uri, at=at)
     dim_names = [d.name for d in info.dims]
     attr_names = [a.name for a in info.attrs]

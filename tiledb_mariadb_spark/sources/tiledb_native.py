@@ -614,9 +614,19 @@ def read_tile_file(
     return bytes(out)
 
 
-def _fragment_dirs(array_dir: str) -> list[str]:
+def _frag_ts(name: str) -> int:
+    try:
+        return int(name.strip("_").split("_")[0])
+    except ValueError:
+        return 0
+
+
+def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
     """All committed fragment directories, oldest→newest (2.3+ keeps them
-    under __fragments/; earlier eras place them beside the schema)."""
+    under __fragments/; earlier eras place them beside the schema).
+    ``at`` = inclusive unix-millis bound: only fragments whose start
+    timestamp is ≤ ``at`` are visible (open_at parity,
+    ha_mytile.cc:3440-3455)."""
     root = os.path.join(array_dir, "__fragments")
     if not os.path.isdir(root):
         root = array_dir
@@ -627,15 +637,9 @@ def _fragment_dirs(array_dir: str) -> list[str]:
         if d.startswith("__")
         and d not in skip
         and os.path.isdir(os.path.join(root, d))
+        and (at is None or _frag_ts(d) <= at)
     ]
-
-    def ts(name: str) -> int:
-        try:
-            return int(name.strip("_").split("_")[0])
-        except ValueError:
-            return 0
-
-    return [os.path.join(root, d) for d in sorted(frags, key=ts)]
+    return [os.path.join(root, d) for d in sorted(frags, key=_frag_ts)]
 
 
 def _schema_path(array_dir: str) -> str:
@@ -749,15 +753,18 @@ def _dense_coords(schema: NativeSchema) -> list[tuple]:
     return coords
 
 
-def read_native_array(array_dir: str) -> tuple[NativeSchema, list[tuple]]:
+def read_native_array(
+    array_dir: str, at: int | None = None
+) -> tuple[NativeSchema, list[tuple]]:
     """Open a bare TileDB array directory with NO caller-supplied schema
     (the discover_array analog, mytile/mytile-discovery.cc:54-473): parse
-    the on-disk schema blob, decode every committed fragment, and merge
+    the on-disk schema blob, decode every committed fragment visible at
+    ``at`` (unix-millis time travel; None = all), and merge
     newest-fragment-wins per coordinate (TileDB overwrite semantics).
     Rows are (dims..., attrs...) in schema order."""
     schema = parse_array_schema(_schema_path(array_dir))
     merged: dict[tuple, tuple] = {}
-    for frag in _fragment_dirs(array_dir):
+    for frag in _fragment_dirs(array_dir, at=at):
         zipped = os.path.join(frag, "__coords.tdb")
         has_coords = os.path.isfile(zipped) or any(
             os.path.isfile(os.path.join(frag, f"{d.name}.tdb"))

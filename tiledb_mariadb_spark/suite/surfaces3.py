@@ -710,3 +710,59 @@ SPECS.append(
         "reference's var/ and multi_attribute fixtures; oracle = mtr goldens",
     )
 )
+
+
+# --- q267: connector distributed scan over the reference's own arrays -------
+# read_array() (sources/tiledb_array.py — split planning, dim-range
+# pruning, projection pushdown, open_at) executing on REAL on-disk
+# arrays through NativeDecoderBackend: the bank fixture (45211 rows,
+# SHOW CREATE golden in r/mrr.result) scanned with an id-range pushed
+# into split planning, and the two-fragment string_dim array opened AT a
+# timestamp between its fragments (r/string_dim.result visibility).
+def q267_connector_scan(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array  # noqa: PLC0415
+
+    bank = read_array(
+        spark,
+        f"{_FIXROOT}/2.0/bank",
+        columns=["id", "age"],
+        dim_ranges={"id": (100, 199)},
+        target_splits=8,
+    )
+    bank_row = bank.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("age").alias("sum_age"),
+        F.min("age").alias("min_age"),
+        F.max("age").alias("max_age"),
+    ).select(
+        F.lit("bank_100_199").alias("part"),
+        F.concat_ws(",", "n", "sum_age", "min_age", "max_age").alias("k"),
+        F.lit("").alias("v"),
+    )
+    at_snapshot = read_array(
+        spark, f"{_FIXROOT}/2.0/string_dim", at=1588885000000
+    ).select(
+        F.lit("string_dim_at").alias("part"),
+        F.col("d").alias("k"),
+        F.col("a").cast("string").alias("v"),
+    )
+    return bank_row.unionByName(at_snapshot).orderBy("part", "k")
+
+
+Q267_SQL = """
+SELECT * FROM (VALUES
+  ('bank_100_199', '100,4412,23,61', ''),
+  ('string_dim_at', 'aa', '4'), ('string_dim_at', 'bb', '2'),
+  ('string_dim_at', 'cc', '3'), ('string_dim_at', 'dddd', '1')
+) AS v(part, k, v) ORDER BY part, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q267_connector_scan",
+        q267_connector_scan,
+        Q267_SQL,
+        "connector read_array on the reference's bank + string_dim arrays: "
+        "dim-range split pruning and open_at between committed fragments",
+    )
+)
