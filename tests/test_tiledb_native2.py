@@ -187,3 +187,118 @@ def test_native_backend_is_read_only():
 
     with _pytest.raises(NotImplementedError, match="read-only"):
         NativeDecoderBackend().write("/tmp/x", pd.DataFrame())
+
+
+# --- property fuzz: decoder vs test-local encoders --------------------------
+# The fixtures pin one bitsize/one window shape; these encoders (built
+# from the same format derivation) let hypothesis-style randomized
+# sequences exercise the full bit/run space of the decode paths.
+
+
+def _dd_encode(vals: list[int], elem: int = 8) -> bytes:
+    """Test-local DOUBLE_DELTA encoder (inverse of _dd_decode)."""
+    import struct as _s
+
+    n = len(vals)
+    dds = [
+        (vals[i] - vals[i - 1]) - (vals[i - 1] - vals[i - 2])
+        for i in range(2, n)
+    ]
+    bitsize = max((abs(d).bit_length() for d in dds), default=0)
+    code = {1: "b", 2: "h", 4: "i", 8: "q"}[elem]
+    if bitsize >= elem * 8 - 1:
+        return bytes([bitsize]) + _s.pack("<Q", n) + _s.pack(f"<{n}{code}", *vals)
+    out = bytearray([bitsize]) + _s.pack("<Q", n)
+    out += _s.pack(f"<2{code}", *vals[:2]) if n >= 2 else _s.pack(
+        f"<{n}{code}", *vals
+    )
+    word, nbits = 0, 0
+    stream = bytearray()
+    for d in dds:
+        entry = ((1 if d < 0 else 0) << bitsize) | abs(d)
+        word = (word << (bitsize + 1)) | entry
+        nbits += bitsize + 1
+        while nbits >= 64:
+            stream += ((word >> (nbits - 64)) & ((1 << 64) - 1)).to_bytes(
+                8, "little"
+            )
+            nbits -= 64
+            word &= (1 << nbits) - 1
+    if nbits:
+        stream += (word << (64 - nbits)).to_bytes(8, "little")
+    return bytes(out) + bytes(stream)
+
+
+def test_double_delta_roundtrip_fuzz():
+    import random
+
+    from tiledb_mariadb_spark.sources.tiledb_native import _dd_decode
+
+    rng = random.Random(42)
+    for trial in range(200):
+        n = rng.randint(1, 300)
+        scale = rng.choice([1, 3, 50, 10_000])
+        vals = [0]
+        for _ in range(n - 1):
+            vals.append(vals[-1] + rng.randint(-scale, scale))
+        enc = _dd_encode(vals)
+        out = _dd_decode(enc, 8 * n, 8)
+        import struct as _s
+
+        got = [
+            x if x < (1 << 63) else x - (1 << 64)
+            for x in _s.unpack(f"<{n}Q", out)
+        ]
+        assert got == vals, f"trial {trial}"
+
+
+def test_rle_roundtrip_fuzz():
+    import random
+
+    from tiledb_mariadb_spark.sources.tiledb_native import _rle_decode
+
+    rng = random.Random(7)
+    for trial in range(100):
+        vals = bytearray()
+        enc = bytearray()
+        for _ in range(rng.randint(1, 20)):
+            b, run = rng.randint(0, 255), rng.randint(1, 500)
+            vals += bytes([b]) * run
+            enc += bytes([b]) + run.to_bytes(2, "big")
+        assert _rle_decode(bytes(enc), 1, len(vals)) == bytes(vals), trial
+
+
+def test_bwr_reverse_fuzz():
+    import random
+    import struct as _s
+
+    from tiledb_mariadb_spark.sources.tiledb_native import _reverse_pipeline
+
+    rng = random.Random(13)
+    for trial in range(50):
+        n_words = rng.randint(1, 700)
+        words, enc, meta_wins = [], bytearray(), []
+        # windows of 32 words (256 input bytes), random width per window
+        for w0 in range(0, n_words, 32):
+            chunk = []
+            width = rng.choice([8, 16, 32, 64])
+            base = rng.randint(0, 1 << 40)
+            for _ in range(min(32, n_words - w0)):
+                chunk.append(base + rng.randint(0, (1 << min(width, 62) - 1)))
+            words.extend(chunk)
+            nb = len(chunk) * 8
+            if width >= 64:
+                for v in chunk:
+                    enc += _s.pack("<Q", v)
+                meta_wins.append((0, 64, nb))
+            else:
+                off = min(chunk)
+                for v in chunk:
+                    enc += (v - off).to_bytes(width // 8, "little")
+                meta_wins.append((off, width, nb))
+        meta = _s.pack("<II", n_words * 8, len(meta_wins))
+        for off, width, nb in meta_wins:
+            meta += _s.pack("<Q", off) + bytes([width]) + _s.pack("<I", nb)
+        out = _reverse_pipeline([(7, b"")], [bytes(meta)], bytes(enc), 8)
+        got = list(_s.unpack(f"<{n_words}Q", out))
+        assert got == words, f"trial {trial}"
