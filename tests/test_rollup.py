@@ -92,3 +92,63 @@ def test_read_changes_empty_when_no_new_versions(spark, tmp_path):
     src.write(e.limit(10), version_ts=1000)
     assert src.read_changes(1000).count() == 0
     assert src.read_changes(0).count() == 10
+
+
+def test_cdc_rollup_handles_upserts_and_deletes(spark, tmp_path):
+    """refresh_rollup_cdc converges to the from-scratch aggregate across
+    overwrites, new inserts, repeated upserts to one coordinate, and
+    deletes — the cases the append-only refresh double-counts or misses."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+    from tiledb_mariadb_spark.operators.rollup import refresh_rollup_cdc
+
+    src = TileTable.create(
+        spark,
+        str(tmp_path / "cdc_src"),
+        dimensions=[Dim("id", "bigint")],
+        attributes=[Attr("grp", "bigint"), Attr("v", "bigint")],
+        overwrite=True,
+    )
+    roll = TileTable.create(
+        spark,
+        str(tmp_path / "cdc_roll"),
+        dimensions=[Dim("grp", "bigint")],
+        attributes=[Attr("n", "bigint"), Attr("v", "bigint")],
+        overwrite=True,
+    )
+    sums = {"v": F.col("v")}
+    base = [(i, i % 3, 10 * i) for i in range(30)]
+    # apply_changes assigns version_ts = version number, so keep the
+    # base write on the same auto scale (v1 -> ts 1)
+    src.write(spark.createDataFrame(base, "id bigint, grp bigint, v bigint"))
+    refresh_rollup_cdc(roll, src, 0, 100, ["grp"], sums)
+
+    # window 2: overwrite id=5 (same grp), move id=7 to another grp via
+    # overwrite, double-upsert id=8, insert id=100, delete id=9
+    changes = spark.createDataFrame(
+        [
+            (5, 2, 999, "upsert"),
+            (7, 0, 70, "upsert"),
+            (8, 2, 1, "upsert"),
+            (100, 1, 5, "upsert"),
+            (9, None, None, "delete"),
+        ],
+        "id bigint, grp bigint, v bigint, __op string",
+    )
+    src.apply_changes(changes)
+    # a second change in the same... next window: re-upsert id=8 again
+    src.apply_changes(
+        spark.createDataFrame([(8, 2, 2, "upsert")],
+                              "id bigint, grp bigint, v bigint, __op string")
+    )
+    refresh_rollup_cdc(roll, src, 1, 200, ["grp"], sums)
+
+    got = {r["grp"]: (r["n"], r["v"]) for r in roll.read().collect()}
+    want_rows = src.read().groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
+    ).collect()
+    want = {r["grp"]: (r["n"], r["v"]) for r in want_rows}
+    assert got == want
+    # deletes really subtracted: id=9 (grp 0) gone from the rollup count
+    assert got[0][0] == sum(1 for i in range(30) if i % 3 == 0) - 1 + 1  # -9 +7

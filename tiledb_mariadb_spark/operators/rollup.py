@@ -81,3 +81,57 @@ def refresh_rollup(
     )
     merged = merge_rollup(stored_dirty, partial, keys)
     return rollup_table.write(merged, version_ts=version_ts)
+
+
+def refresh_rollup_cdc(
+    rollup_table,
+    source_table,
+    since_ts: int,
+    version_ts: int,
+    keys: Sequence[str],
+    sums: dict[str, Column],
+    key_exprs: dict[str, Column] | None = None,
+) -> int:
+    """Delete/overwrite-aware maintenance cycle — lifts
+    :func:`refresh_rollup`'s append-only restriction using classic
+    pre/post-image delta maintenance:
+
+        ΔAgg = Agg(post-image of changed coordinates)
+             − Agg(pre-image  of changed coordinates)
+
+    The change feed (``read_changes`` — partition-pruned to the new
+    fragments) only identifies WHICH coordinates changed; both images are
+    snapshot reads restricted to those coordinates by a broadcast
+    semi-join, so upserts that overwrite count once, repeated upserts in
+    one window count once, and deletes (absent from the post-image)
+    subtract cleanly — tombstones never need to carry old values.
+
+    Scale: cost is bounded by the changed-coordinate count (both image
+    scans are semi-join-filtered and their aggregates shuffle only
+    delta-group rows), never by table or rollup size.  Correct for
+    algebraic aggregates, same as refresh_rollup.
+    """
+    dims = source_table.schema.dim_names
+    changed = (
+        source_table.read_changes(since_ts).select(*dims).distinct()
+    )
+
+    def image(df: DataFrame) -> DataFrame:
+        img = df.join(F.broadcast(changed), dims, "left_semi")
+        if key_exprs:
+            for name, expr in key_exprs.items():
+                img = img.withColumn(name, expr)
+        return img
+
+    post = partial_rollup(image(source_table.read()), keys, sums)
+    pre = partial_rollup(image(source_table.read(at=since_ts)), keys, sums)
+    measures = [c for c in post.columns if c not in keys]
+    neg = pre.select(
+        *keys, *[(-F.col(c)).cast("bigint").alias(c) for c in measures]
+    )
+    delta = post.unionByName(neg)
+    stored_dirty = rollup_table.read().join(
+        delta.select(*keys).distinct(), list(keys), "left_semi"
+    )
+    merged = merge_rollup(stored_dirty, delta, keys).filter(F.col("n") > 0)
+    return rollup_table.write(merged, version_ts=version_ts)

@@ -237,3 +237,93 @@ SPECS.append(
         "incremental rollup maintenance: delta-only refresh == full aggregate",
     )
 )
+
+
+# --- q268: CDC-aware incremental rollup (pre/post-image delta) --------------
+# refresh_rollup_cdc lifts q170's append-only restriction: after a MERGE
+# batch (overwrites + inserts + deletes via apply_changes), the refresh
+# reads only the changed coordinates' pre- and post-images (broadcast
+# semi-joins) and applies ΔAgg = Agg(post) − Agg(pre).  The oracle is a
+# from-scratch GROUP BY over the post-change state, so the hash match
+# proves delete subtraction and overwrite re-counting are exact.
+def q268_cdc_rollup(spark, sf_dir):
+    from tiledb_mariadb_spark.operators.rollup import refresh_rollup_cdc  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    src = TileTable.create(
+        spark,
+        _uri("cdcroll_src", sf_dir),
+        dimensions=[Dim("event_id", "bigint")],
+        attributes=[Attr("ts", "timestamp"), Attr("cents", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    roll = TileTable.create(
+        spark,
+        _uri("cdcroll_agg", sf_dir),
+        dimensions=[Dim("h", "bigint")],
+        attributes=[Attr("n", "bigint"), Attr("cents", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    hour_key = {"h": F.expr("CAST(ts AS LONG) div 3600")}
+    sums = {"cents": F.col("cents")}
+    src.write(e)  # v1 (ts=1)
+    refresh_rollup_cdc(roll, src, 0, 1, ["h"], sums, hour_key)
+    # one MERGE batch: overwrite cents for id%101==0, delete id%97==0,
+    # insert 5 fresh coordinates (contract: one change per coordinate)
+    ups = (
+        e.filter((F.col("event_id") % 101 == 0) & (F.col("event_id") % 97 != 0))
+        .select("event_id", "ts", F.lit(12345).alias("cents"))
+        .withColumn("__op", F.lit("upsert"))
+    )
+    dels = e.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("bigint").alias("cents"),
+        F.lit("delete").alias("__op"),
+    )
+    ins = spark.range(5).select(
+        (F.col("id") + 10_000_000).alias("event_id"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(777).alias("cents"),
+        F.lit("upsert").alias("__op"),
+    )
+    src.apply_changes(ups.unionByName(dels).unionByName(ins))  # v2 (ts=2)
+    refresh_rollup_cdc(roll, src, 1, 2, ["h"], sums, hour_key)
+    return roll.read().select(
+        F.timestamp_seconds(F.col("h") * 3600).alias("h"),
+        F.col("n").alias("n_events"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+Q268_SQL = """
+WITH base AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+final AS (
+  SELECT ts,
+         CASE WHEN event_id % 101 = 0 THEN 12345 ELSE cents END AS cents
+  FROM base WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT CAST('2024-01-15 00:00:00' AS TIMESTAMP), 777 FROM range(0, 5))
+SELECT date_trunc('hour', ts) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
+FROM final GROUP BY 1
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q268_cdc_rollup", q268_cdc_rollup, Q268_SQL,
+        "delete/overwrite-aware incremental rollup: pre/post-image delta "
+        "maintenance == from-scratch aggregate after a MERGE batch",
+    )
+)
