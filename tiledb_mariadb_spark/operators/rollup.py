@@ -133,5 +133,20 @@ def refresh_rollup_cdc(
     stored_dirty = rollup_table.read().join(
         delta.select(*keys).distinct(), list(keys), "left_semi"
     )
-    merged = merge_rollup(stored_dirty, delta, keys).filter(F.col("n") > 0)
-    return rollup_table.write(merged, version_ts=version_ts)
+    merged = merge_rollup(stored_dirty, delta, keys)
+    # a group whose count reaches 0 must be DELETED from the rollup, not
+    # merely left out of the new version — last-writer-wins would keep
+    # serving the stale row from the prior version (caught at sf0.001,
+    # where deletes empty whole hour groups).  Tombstone it.
+    attr_types = {a.name: a.dtype for a in rollup_table.schema.attributes}
+    alive = merged.filter(F.col("n") > 0).withColumn(
+        "__tombstone", F.lit(False)
+    )
+    dead = merged.filter(F.col("n") <= 0).select(
+        *keys,
+        *[F.lit(None).cast(t).alias(c) for c, t in attr_types.items()],
+        F.lit(True).alias("__tombstone"),
+    )
+    return rollup_table.write(
+        alive.unionByName(dead), version_ts=version_ts
+    )
