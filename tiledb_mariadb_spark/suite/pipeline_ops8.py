@@ -359,3 +359,98 @@ SPECS = [
         "score-decile calibration table via the scale-safe ordinal",
     ),
 ]
+
+
+# --- q269: triangle counting (degree-oriented wedge join) -------------------
+# Graph tier completion (alongside q200 pagerank and q140/q197 connected
+# components): count triangles in the co-purchase graph.  The naive form
+# is a 3-way self-join of the edge list (the oracle runs exactly that,
+# oracle-scale only).  The Spark path uses the standard scalable
+# algorithm: orient every edge from lower to higher (degree, id) rank —
+# bounding out-degree by ~sqrt(2m) — generate wedges only between
+# out-neighbors (Σ C(outdeg,2), the algorithm's work bound), and close
+# them against the oriented edge list.  Each triangle is counted exactly
+# once at its lowest-rank vertex.  All joins shuffle on bounded
+# edge/wedge keys; nothing touches the fact table twice.
+def q269_triangle_count(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = pairs.distinct()  # canonical a < b
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = edges.join(
+        F.broadcast(deg).withColumnRenamed("n", "a").withColumnRenamed("d", "da"),
+        "a",
+    ).join(
+        F.broadcast(deg).withColumnRenamed("n", "b").withColumnRenamed("d", "db"),
+        "b",
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    rank_lt = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & rank_lt
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    )
+    return (
+        closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .crossJoin(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+Q269_SQL = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+  FROM lineitem GROUP BY 1),
+pairs AS (
+  SELECT UNNEST(flatten([[{'a': items[i], 'b': items[j]}
+                          for j in range(i+1, len(items)+1)]
+                         for i in range(1, len(items)+1)])) AS p
+  FROM baskets),
+e AS (SELECT DISTINCT p.a AS a, p.b AS b FROM pairs)
+SELECT
+  CAST((SELECT COUNT(DISTINCT n) FROM
+        (SELECT a AS n FROM e UNION ALL SELECT b FROM e)) AS BIGINT)
+    AS n_nodes,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q269_triangle_count", q269_triangle_count, Q269_SQL,
+        "triangle counting via degree-oriented wedge join "
+        "(out-degree bounded ~sqrt(2m)); oracle = naive 3-way join",
+    )
+)
