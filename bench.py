@@ -80,6 +80,7 @@ HEADLINE = [
     # gate→dedup→decontaminate→shard corpus build over documents
     "q228_copurchase",
     "q245_corpus_build",
+    "q266_native_var_pipeline",
 ]
 
 

@@ -72,3 +72,39 @@ def test_cdc_stream_applies_and_survives_restart(spark, tmp_path):
     assert {r["k"]: r["v"] for r in tt2.read().collect()} == {1: "a", 2: "B"}
     # b1 was not reapplied: exactly one more version landed
     assert len(tt2.schema.versions) == n_versions_after_first + 1
+
+
+def test_stream_tile_table_with_op_flags_deletes(spark, tmp_path):
+    """The streaming change feed's _op column (streaming twin of
+    read_changes(with_op=True)): tombstone rows stream as 'delete',
+    pre-CDC fragments (no __tombstone on disk) as 'upsert'."""
+    from tiledb_mariadb_spark.streaming.events import stream_tile_table
+
+    tt = TileTable.create(
+        spark,
+        str(tmp_path / "feed_t"),
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "string")],
+        overwrite=True,
+    )
+    tt.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tt.apply_changes(
+        spark.createDataFrame(
+            [(2, None, "delete"), (3, "c", "upsert")], "k int, v string, __op string"
+        )
+    )
+    feed = stream_tile_table(spark, tt, with_op=True)
+    assert feed.isStreaming and "_op" in feed.columns
+    out = str(tmp_path / "feed_out")
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "feed_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["_op"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, "upsert"), (2, "upsert"), (2, "delete"), (3, "upsert")}

@@ -224,10 +224,10 @@ class NativeDecoderBackend(ArrayBackend):
         import pandas as pd  # noqa: PLC0415
 
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
-            read_native_array,
+            read_native_array_cached,
         )
 
-        schema, rows = read_native_array(uri, at=at)
+        schema, rows = read_native_array_cached(uri, at=at)
         names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
         pdf = pd.DataFrame(rows, columns=names)
         mask = None

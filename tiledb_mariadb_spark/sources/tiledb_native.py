@@ -801,6 +801,31 @@ def read_native_array(
     return schema, [merged[c] for c in sorted(merged)]
 
 
+# Per-process decode cache: Spark reuses Python workers across tasks, so
+# when several splits of one scan land on the same worker they share one
+# decode instead of each re-reading every fragment.  Keyed by the
+# fragment-directory fingerprint so a newly committed fragment (or a
+# different `at`) misses; capped to a handful of arrays (fixture-scale).
+_ARRAY_CACHE: dict = {}
+_ARRAY_CACHE_MAX = 4
+
+
+def read_native_array_cached(
+    array_dir: str, at: int | None = None
+) -> tuple[NativeSchema, list[tuple]]:
+    key = (
+        array_dir,
+        at,
+        tuple(os.path.basename(f) for f in _fragment_dirs(array_dir, at=at)),
+    )
+    hit = _ARRAY_CACHE.get(key)
+    if hit is None:
+        if len(_ARRAY_CACHE) >= _ARRAY_CACHE_MAX:
+            _ARRAY_CACHE.clear()
+        hit = _ARRAY_CACHE[key] = read_native_array(array_dir, at=at)
+    return hit
+
+
 _SPARK_TYPE = {
     0: "int", 1: "bigint", 2: "float", 3: "double", 4: "string",
     5: "tinyint", 6: "smallint", 7: "smallint", 8: "int", 9: "bigint",

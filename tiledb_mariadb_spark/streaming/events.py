@@ -205,21 +205,42 @@ def stream_into_tile_table(events: DataFrame, table) -> None:
     q.awaitTermination()
 
 
-def stream_tile_table(spark: SparkSession, table) -> DataFrame:
+def stream_tile_table(
+    spark: SparkSession, table, with_op: bool = False
+) -> DataFrame:
     """TileTable as a streaming SOURCE: each snapshot version directory is
     a set of files the file-stream source picks up as it appears, so a
     writer appending versions feeds a reader's micro-batches — CDC-lite
     over the catalog with no extra infrastructure.  Append-only semantics:
     rows stream as written (last-writer-wins collapses only in batch
     reads; streaming consumers see the raw change feed, which is what a
-    downstream pipeline wants anyway)."""
+    downstream pipeline wants anyway).
+
+    ``with_op=True`` appends ``_op`` ('delete' for apply_changes
+    tombstones, else 'upsert') — the streaming twin of
+    ``read_changes(with_op=True)``, so stream consumers can also
+    distinguish deletes from upserts-to-NULL.  Pre-CDC fragments (no
+    __tombstone column on disk) coalesce to 'upsert' via the declared
+    read schema."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     cols = table.schema.dim_names + table.schema.attr_names
     ddl = table._spark_ddl(include=cols)  # noqa: SLF001
-    return (
+    if with_op:
+        # declare the hidden column in the read schema; files lacking it
+        # yield NULL, which coalesces to 'upsert'
+        ddl += ", __tombstone boolean"
+    df = (
         spark.readStream.schema(ddl)
         .option("pathGlobFilter", "*.parquet")
         .parquet(os.path.join(table.uri, "data", "__tile_v=*"))
     )
+    if with_op:
+        tomb = F.coalesce(F.col("__tombstone"), F.lit(False))
+        df = df.withColumn(
+            "_op", F.when(tomb, F.lit("delete")).otherwise(F.lit("upsert"))
+        ).drop("__tombstone")
+    return df
 
 
 def stateful_user_stats(events: DataFrame) -> DataFrame:
