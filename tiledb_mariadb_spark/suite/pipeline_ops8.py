@@ -454,3 +454,67 @@ SPECS.append(
         "(out-degree bounded ~sqrt(2m)); oracle = naive 3-way join",
     )
 )
+
+
+# --- q270: embedding drift monitor (exact-integer centroid shift) -----------
+# Production guardrail for an embedding pipeline: did the vector
+# distribution move between two corpus slices (model re-embed, data
+# shift)?  Per-dimension centroid difference, computed WITHOUT any
+# division: with scaled-int sums s0/s1 and counts n0/n1, the cross-
+# multiplied drift  s0*n1 − s1*n0  is exact int64 — engine-independent by
+# construction.  Scale shape: posexplode + groupBy(dim) is one map-side-
+# combined aggregation over (half, dim) — 128 partial rows per partition
+# regardless of corpus size; no vector ever shuffles whole.
+def q270_embedding_drift(spark, sf_dir):
+    from tiledb_mariadb_spark.functions.similarity import _scaled_int_spark  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("j", "x"),
+    )
+    sums = e.groupBy("half", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_scaled_int_spark("x"))).alias("s"),
+    )
+    h0 = sums.filter(F.col("half") == 0).select(
+        "j", F.col("n").alias("n0"), F.col("s").alias("s0")
+    )
+    h1 = sums.filter(F.col("half") == 1).select(
+        "j", F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    return (
+        h0.join(h1, "j")
+        .select(
+            F.col("j").cast("bigint").alias("dim_idx"),
+            (F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0"))
+            .cast("bigint")
+            .alias("drift_scaled"),
+        )
+        .orderBy("dim_idx")
+    )
+
+
+# DuckDB has no WITH ORDINALITY: carry the index inside a struct list.
+Q270_SQL = """
+WITH exploded AS (
+  SELECT vec_id % 2 AS half,
+         UNNEST(list_transform(embedding, (x, i) -> {'j': i - 1, 'x': x})) AS e
+  FROM embeddings),
+sums AS (
+  SELECT half, e.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * 10000.0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM exploded GROUP BY 1, 2)
+SELECT CAST(h0.j AS BIGINT) AS dim_idx,
+       CAST(h0.s * h1.n - h1.s * h0.n AS BIGINT) AS drift_scaled
+FROM sums h0 JOIN sums h1 ON h0.j = h1.j AND h0.half = 0 AND h1.half = 1
+ORDER BY dim_idx
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q270_embedding_drift", q270_embedding_drift, Q270_SQL,
+        "per-dimension centroid drift between corpus halves, exact int64 "
+        "cross-multiplied (no division) — map-side combined, 128 partials",
+    )
+)
