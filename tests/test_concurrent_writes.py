@@ -193,3 +193,62 @@ def test_consolidate_remerges_concurrent_append(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in TileTable(spark, uri).read().collect()}
     # without conflict detection this read returns k=1 → 10 (lost update)
     assert rows == {1: 999, 2: 21}
+
+
+def test_consolidate_races_live_appenders(spark, tmp_path):
+    """Consolidation under live concurrent appenders: whatever interleaving
+    happens, no committed append may be lost or shadowed (the round-2
+    advisor's lost-update scenario, exercised with real threads rather
+    than an injected hook)."""
+    import threading
+
+    from tiledb_mariadb_spark.catalog import ConsolidationConflict
+
+    uri = str(tmp_path / "consol_stress")
+    t = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("k", "int")],
+        attributes=[Attr("v", "int")],
+        overwrite=True,
+    )
+    t.write(spark.createDataFrame([(k, 0) for k in range(8)], ["k", "v"]))
+
+    expected = {k: 0 for k in range(8)}
+    lock = threading.Lock()
+    done = threading.Event()
+
+    def appender(tid: int) -> None:
+        w = TileTable(spark, uri)
+        for i in range(4):
+            k, v = tid, tid * 100 + i
+            w.write(spark.createDataFrame([(k, v)], ["k", "v"]))
+            with lock:
+                # versions are monotonically claimed, so the latest write
+                # to a coordinate wins; each appender owns its own k
+                expected[k] = v
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    for th in threads:
+        th.start()
+
+    def consolidator() -> None:
+        c = TileTable(spark, uri)
+        while not done.is_set():
+            try:
+                c.consolidate()
+            except ConsolidationConflict:
+                pass  # appenders still racing; try again next round
+
+    ct = threading.Thread(target=consolidator)
+    ct.start()
+    for th in threads:
+        th.join()
+    done.set()
+    ct.join()
+
+    final = TileTable(spark, uri)
+    final.consolidate()  # quiesced: must succeed and preserve everything
+    got = {r["k"]: r["v"] for r in final.read().collect()}
+    assert got == expected
+    assert len(final.schema.versions) == 1
