@@ -177,8 +177,11 @@ def all_specs() -> dict[str, QuerySpec]:
     # recursive-CTE hash oracle), all of pipeline_ops + pipeline_ops2 +
     # similarity + spatial_ops, one streaming spec (first driver row for
     # §2.6), and consolidation (q164).  Round 4 should rotate in the rest:
-    # remaining streaming_ops, tpch_extra, surfaces2/3, functions_surface7/8,
-    # pipeline_ops3-8, analytics2-8, plus the new q74 hash oracle.
+    # remaining streaming_ops, tpch_extra, surfaces2/3 (incl. round-3's
+    # q265/q266 native-fixture decode, q267 connector scan, q268 CDC
+    # rollup), functions_surface7/8, pipeline_ops3-8 (incl. q269 triangle
+    # count, q270 embedding drift), analytics2-8, plus the new q74 hash
+    # oracle.
     front = [
         "q43_filtered_agg",
         "q118_array_set_ops",
