@@ -302,3 +302,35 @@ def test_bwr_reverse_fuzz():
         out = _reverse_pipeline([(7, b"")], [bytes(meta)], bytes(enc), 8)
         got = list(_s.unpack(f"<{n_words}Q", out))
         assert got == words, f"trial {trial}"
+
+
+def test_connector_pushes_attribute_conditions(spark):
+    """QueryCondition analog (t/query_conditions.test): attribute
+    predicates evaluate inside the backend, before rows cross into
+    Arrow — here on the reference's bank array, with NULL-safe 3VL."""
+    import pytest as _pytest
+
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array
+
+    df = read_array(
+        spark,
+        f"{R}/2.0/bank",
+        columns=["id", "age", "marital"],
+        dim_ranges={"id": (0, 999)},
+        conditions=[("age", ">=", 40), ("marital", "=", "married")],
+        target_splits=4,
+    )
+    rows = df.collect()
+    assert rows and all(
+        r["age"] >= 40 and r["marital"] == "married" for r in rows
+    )
+    # same rows as filtering AFTER the scan
+    ref = read_array(
+        spark, f"{R}/2.0/bank", columns=["id", "age", "marital"],
+        dim_ranges={"id": (0, 999)}, target_splits=4,
+    ).filter("age >= 40 AND marital = 'married'")
+    assert {r["id"] for r in rows} == {r["id"] for r in ref.collect()}
+    with _pytest.raises(ValueError, match="unknown condition op"):
+        read_array(spark, f"{R}/2.0/bank", conditions=[("age", "~", 1)])
+    with _pytest.raises(ValueError, match="unknown condition column"):
+        read_array(spark, f"{R}/2.0/bank", conditions=[("nope", "=", 1)])

@@ -71,7 +71,12 @@ class ArrayBackend:
 
     ``read_range`` returns a pandas DataFrame of all cells whose
     coordinates fall inside the inclusive per-dimension ``ranges``
-    (None bound = unbounded), restricted to ``columns``.
+    (None bound = unbounded), restricted to ``columns``, further filtered
+    by ``conditions`` — attribute predicates pushed into the backend (the
+    QueryCondition analog, mytile/mytile.cc condition pushdown +
+    t/query_conditions.test).  Each condition is ``(col, op, value)``
+    with op in {'=', '!=', '<', '<=', '>', '>=', 'is_null',
+    'is_not_null'}; conditions AND together.
     """
 
     def info(self, uri: str, at: Optional[int] = None) -> ArrayInfo:
@@ -83,11 +88,39 @@ class ArrayBackend:
         ranges: Sequence[tuple[Any, Any]],
         columns: Sequence[str],
         at: Optional[int] = None,
+        conditions: Optional[Sequence[tuple]] = None,
     ):
         raise NotImplementedError
 
     def write(self, uri: str, pdf, sparse: bool = True) -> None:
         raise NotImplementedError
+
+
+def _apply_conditions(pdf, conditions: Optional[Sequence[tuple]]):
+    """Shared pandas-side evaluator for pushed attribute conditions
+    (NULL-safe 3VL: a comparison with NULL never matches, like the
+    reference's QueryCondition)."""
+    if not conditions:
+        return pdf
+    for col, op, *rest in conditions:
+        s = pdf[col]
+        if op == "is_null":
+            mask = s.isna()
+        elif op == "is_not_null":
+            mask = s.notna()
+        else:
+            val = rest[0]
+            cmp = {
+                "=": s == val,
+                "!=": s != val,
+                "<": s < val,
+                "<=": s <= val,
+                ">": s > val,
+                ">=": s >= val,
+            }[op]
+            mask = s.notna() & cmp
+        pdf = pdf[mask]
+    return pdf.reset_index(drop=True)
 
 
 class TileDBBackend(ArrayBackend):  # pragma: no cover - needs tiledb wheel
@@ -128,7 +161,7 @@ class TileDBBackend(ArrayBackend):  # pragma: no cover - needs tiledb wheel
             ]
             return ArrayInfo(dims=dims, attrs=attrs, sparse=sch.sparse)
 
-    def read_range(self, uri, ranges, columns, at=None):
+    def read_range(self, uri, ranges, columns, at=None, conditions=None):
         with self._open(uri, "r", at) as a:
             q = a.query(attrs=None, dims=True)  # multi_index keeps coords
             idx = tuple(
@@ -138,7 +171,12 @@ class TileDBBackend(ArrayBackend):  # pragma: no cover - needs tiledb wheel
             data = q.multi_index[idx]
             import pandas as pd  # noqa: PLC0415
 
-            return pd.DataFrame({c: data[c] for c in columns})
+            # a fuller impl would compile `conditions` to a
+            # tiledb.QueryCondition; post-filtering is semantically
+            # identical and keeps the wheel-present path simple
+            return _apply_conditions(
+                pd.DataFrame({c: data[c] for c in columns}), conditions
+            )
 
     def write(self, uri, pdf, sparse=True):
         with self._open(uri, "w", None) as a:
@@ -220,7 +258,7 @@ class NativeDecoderBackend(ArrayBackend):
         _ = _DT  # imported for typing parity; silence linters
         return ArrayInfo(dims=dims, attrs=attrs, sparse=s.array_type == "SPARSE")
 
-    def read_range(self, uri, ranges, columns, at=None):
+    def read_range(self, uri, ranges, columns, at=None, conditions=None):
         import pandas as pd  # noqa: PLC0415
 
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
@@ -239,6 +277,7 @@ class NativeDecoderBackend(ArrayBackend):
                 m &= pdf[d.name] <= hi
             mask = m if mask is None else (mask & m)
         out = pdf if mask is None else pdf[mask]
+        out = _apply_conditions(out, conditions)
         return out[list(columns)].reset_index(drop=True)
 
     def write(self, uri, pdf, sparse=True):
@@ -296,7 +335,7 @@ class FragmentDirBackend(ArrayBackend):
                 out.append(p)
         return out
 
-    def read_range(self, uri, ranges, columns, at=None):
+    def read_range(self, uri, ranges, columns, at=None, conditions=None):
         import pandas as pd  # noqa: PLC0415
 
         info = self.info(uri)
@@ -313,6 +352,7 @@ class FragmentDirBackend(ArrayBackend):
                 m &= pdf[d.name] <= hi
             mask = m if mask is None else (mask & m)
         out = pdf if mask is None else pdf[mask]
+        out = _apply_conditions(out, conditions)
         return out[list(columns)].reset_index(drop=True)
 
     def write(self, uri, pdf, sparse=True, ts: int = 0):
@@ -395,6 +435,7 @@ def read_array(
     dim_ranges: Optional[dict[str, tuple[Any, Any]]] = None,
     at: Optional[int] = None,
     target_splits: int = 32,
+    conditions: Optional[Sequence[tuple]] = None,
 ) -> DataFrame:
     """Distributed scan of a TileDB array as a DataFrame.
 
@@ -403,7 +444,10 @@ def read_array(
     task the backend reads only its subarray).  ``columns``: projection
     pushdown (dims are always read, matching the reference's
     dims-always-materialized rule, ha_mytile.cc:3013-3022 — they are the
-    coordinates).  ``at``: unix-millis time travel.
+    coordinates).  ``at``: unix-millis time travel.  ``conditions``:
+    attribute predicates pushed INTO the backend (QueryCondition analog,
+    t/query_conditions.test) — each is ``(col, op[, value])``, ANDed;
+    rows are filtered before they cross the backend→Arrow boundary.
 
     Default backend: libtiledb when the wheel exists, else the
     pure-Python format decoder (read-only) — so a bare on-disk array is
@@ -422,6 +466,13 @@ def read_array(
         if unknown:
             raise ValueError(f"unknown columns: {unknown}")
         cols = dim_names + [c for c in attr_names if c in columns]
+    _OPS = {"=", "!=", "<", "<=", ">", ">=", "is_null", "is_not_null"}
+    for cond in conditions or []:
+        col, op = cond[0], cond[1]
+        if col not in dim_names + attr_names:
+            raise ValueError(f"unknown condition column: {col}")
+        if op not in _OPS:
+            raise ValueError(f"unknown condition op: {op}")
 
     splits = plan_splits(info, dim_ranges, target_splits)
     ddl = ", ".join(
@@ -439,7 +490,9 @@ def read_array(
     def read_split(batches) -> Iterator:
         for pdf in batches:
             for sid in pdf["split_id"]:
-                out = backend.read_range(uri, splits[int(sid)], cols, at=at)
+                out = backend.read_range(
+                    uri, splits[int(sid)], cols, at=at, conditions=conditions
+                )
                 if len(out):
                     yield out
 
