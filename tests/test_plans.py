@@ -87,6 +87,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q77_ewma",  # grouped recurrence — the declared applyInPandas tier
         "q95_spatial_intersects",
         "q139_pack_greedy",  # greedy bin packing — sequential per shard
+        "q267_connector_scan",  # connector reads: the backend boundary IS
+        # a declared mapInPandas (executor-side array decode)
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",
