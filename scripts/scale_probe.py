@@ -222,6 +222,66 @@ def probe_ops(spark, sf_dir: str) -> dict[str, float]:
             )
 
         clock("twa_user_window", twa_window)
+
+        # the design claim under test: a CDC refresh with a FIXED-size
+        # change batch must cost ~flat as the TABLE grows (pre/post
+        # images are semi-join-bounded by the changed keys).  Setup
+        # (table write, initial full refresh) happens OUTSIDE the clock —
+        # only the incremental refresh is the measured op.
+        import shutil
+
+        from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+        from tiledb_mariadb_spark.operators.rollup import refresh_rollup_cdc
+
+        uri_s = os.path.join(sf_dir, "_probe_cdc_src")
+        uri_r = os.path.join(sf_dir, "_probe_cdc_roll")
+        src = TileTable.create(
+            spark, uri_s,
+            dimensions=[Dim("event_id", "bigint")],
+            attributes=[Attr("sec", "bigint"), Attr("user_id", "bigint")],
+            overwrite=True, capacity=2_000_000,
+        )
+        roll = TileTable.create(
+            spark, uri_r,
+            dimensions=[Dim("h", "bigint")],
+            attributes=[Attr("n", "bigint"), Attr("user_id", "bigint")],
+            overwrite=True,
+        )
+        src.write(ev.select("event_id", "sec", "user_id"))
+        kx = {"h": F.expr("sec div 3600")}
+        sums = {"user_id": F.col("user_id")}
+        refresh_rollup_cdc(roll, src, 0, 1, ["h"], sums, kx)
+        # fixed 1000-coordinate change batch regardless of table size
+        src.apply_changes(
+            ev.limit(1000).select(
+                "event_id", "sec",
+                (F.col("user_id") + 7).alias("user_id"),
+                F.lit("upsert").alias("__op"),
+            )
+        )
+        clock(
+            "cdc_rollup_fixed_batch",
+            lambda: refresh_rollup_cdc(roll, src, 1, 2, ["h"], sums, kx),
+        )
+        shutil.rmtree(uri_s, ignore_errors=True)
+        shutil.rmtree(uri_r, ignore_errors=True)
+
+    def embedding_drift():
+        from tiledb_mariadb_spark.functions.similarity import (
+            _scaled_int_spark,
+        )
+
+        ex = embs.select(
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("j", "x"),
+        )
+        return (
+            ex.groupBy("half", "j")
+            .agg(F.sum(F.expr(_scaled_int_spark("x"))).alias("s"))
+            .count()
+        )
+
+    clock("embedding_drift", embedding_drift)
     return timings
 
 
