@@ -334,3 +334,30 @@ def test_connector_pushes_attribute_conditions(spark):
         read_array(spark, f"{R}/2.0/bank", conditions=[("age", "~", 1)])
     with _pytest.raises(ValueError, match="unknown condition column"):
         read_array(spark, f"{R}/2.0/bank", conditions=[("nope", "=", 1)])
+
+
+def test_dd_loop_fallback_matches_numpy(monkeypatch):
+    """The numpy-free fallback loop and the vectorized unpack are the
+    same decoder: force an ImportError for numpy inside _dd_decode and
+    compare byte-for-byte."""
+    import builtins
+    import random
+
+    from tiledb_mariadb_spark.sources.tiledb_native import _dd_decode
+
+    rng = random.Random(3)
+    vals = [0]
+    for _ in range(499):
+        vals.append(vals[-1] + rng.randint(-70, 70))
+    enc = _dd_encode(vals)
+    expect = _dd_decode(enc, 8 * len(vals), 8)
+
+    real_import = builtins.__import__
+
+    def no_numpy(name, *a, **kw):
+        if name == "numpy":
+            raise ImportError("blocked for fallback test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_numpy)
+    assert _dd_decode(enc, 8 * len(vals), 8) == expect
