@@ -361,3 +361,17 @@ def test_dd_loop_fallback_matches_numpy(monkeypatch):
 
     monkeypatch.setattr(builtins, "__import__", no_numpy)
     assert _dd_decode(enc, 8 * len(vals), 8) == expect
+
+
+def test_at_sign_in_path_component(spark):
+    """discovery.test's `1.6/test@/quickstart_dense` fixture: an '@' in a
+    PATH component is part of the path, not the @ts/@metadata suffix —
+    both the native decoder and open_uri resolve it as-is."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array as rna,
+    )
+
+    _, rows = rna(f"{R}/1.6/test@/quickstart_dense")
+    assert [r[2] for r in rows] == list(range(1, 17))
+    df = native_to_dataframe(spark, f"{R}/1.6/test@/quickstart_dense")
+    assert df.filter("rows = 2 AND cols = 3").collect()[0]["a"] == 7
