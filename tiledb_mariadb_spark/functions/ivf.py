@@ -247,6 +247,77 @@ def append_ivf_index(
     ).parquet(path)
 
 
+def delete_ivf_index(deleted_ids: DataFrame, id_col: str, path: str) -> None:
+    """Deletion-vector-style delete: append the ids to a `_deleted/`
+    tombstone sidecar (underscore prefix → invisible to parquet data
+    reads).  NO list rewrite — at 100 TB rewriting a list partition per
+    delete batch is the wrong cost; searches subtract the tombstones with
+    one broadcast anti-join (the sidecar is ids only, tiny), and
+    :func:`compact_ivf_index` physically reclaims space later, touching
+    only the lists that actually contain deletions."""
+    import os  # noqa: PLC0415
+
+    deleted_ids.select(F.col(id_col).alias("__deleted_id")).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "_deleted"))
+
+
+def live_ivf_index(spark, path: str) -> DataFrame:
+    """The stored index minus tombstoned vectors (broadcast anti-join;
+    no-op when no deletes exist)."""
+    import os  # noqa: PLC0415
+
+    stored = spark.read.parquet(path)
+    dpath = os.path.join(path, "_deleted")
+    if os.path.isdir(dpath):
+        dead = (
+            spark.read.parquet(dpath)
+            .select(F.col("__deleted_id").alias("vec_id"))
+            .distinct()
+        )
+        stored = stored.join(F.broadcast(dead), "vec_id", "left_anti")
+    return stored
+
+
+def compact_ivf_index(spark, path: str) -> int:
+    """Physically drop tombstoned vectors: dynamic-partition-overwrite
+    rewrites ONLY the list partitions that contain deletions (bounded by
+    the tombstone set — untouched lists keep their files), then clears
+    the sidecar.  Returns the number of rewritten lists."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    dpath = os.path.join(path, "_deleted")
+    if not os.path.isdir(dpath):
+        return 0
+    stored = spark.read.parquet(path)
+    dead = (
+        spark.read.parquet(dpath)
+        .select(F.col("__deleted_id").alias("vec_id"))
+        .distinct()
+    )
+    affected = [
+        r["list_id"]
+        for r in stored.join(F.broadcast(dead), "vec_id", "left_semi")
+        .select("list_id")
+        .distinct()
+        .collect()  # bounded by nlists
+    ]
+    if affected:
+        live = (
+            stored.filter(F.col("list_id").isin(affected))
+            .join(F.broadcast(dead), "vec_id", "left_anti")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            live.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    shutil.rmtree(dpath, ignore_errors=True)
+    return len(affected)
+
+
 def ideal_k(n_rows: int) -> int:
     """Rule-of-thumb list count: √N keeps list size ≈ probe cost."""
     return max(1, int(math.sqrt(max(n_rows, 1))))

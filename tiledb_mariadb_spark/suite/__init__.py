@@ -182,16 +182,32 @@ def all_specs() -> dict[str, QuerySpec]:
     # rollup), functions_surface7/8, pipeline_ops3-8 (incl. q269 triangle
     # count, q270 embedding drift), analytics2-8, plus the new q74 hash
     # oracle.
+    # Fully EXPLICIT so later spec additions to these modules cannot
+    # silently displace the driver's sampling window.
     front = [
-        "q43_filtered_agg",
-        "q118_array_set_ops",
-        "q122_map_fns",
-        "q129_array_slice",
-        "q77_ewma",
-        *[s.name for s in pipeline_ops.SPECS],
-        *[s.name for s in pipeline_ops2.SPECS],
-        *[s.name for s in similarity.SPECS],
-        *[s.name for s in spatial_ops.SPECS],
+        "q43_filtered_agg", "q118_array_set_ops", "q122_map_fns",
+        "q129_array_slice", "q77_ewma",
+        # pipeline_ops
+        "q135_train_test_split", "q136_stratified_sample",
+        "q137_pii_redaction", "q138_pack_sequential", "q139_pack_greedy",
+        "q140_dedup_clusters", "q141_topk_ngrams", "q142_approx_sketches",
+        "q144_repetition_ratio", "q145_corpus_report", "q146_quality_gate",
+        "q147_train_sequences", "q149_decontamination", "q150_funnel",
+        "q151_cohort_retention", "q152_multivalue_agg", "q154_normalize_text",
+        "q155_containment", "q156_salted_agg", "q157_bucketed_join",
+        "q158_corpus_mix",
+        # pipeline_ops2 (round-2 tier; q271 added later stays in the tail)
+        "q173_incremental_dedup", "q174_weighted_sample",
+        "q175_quantized_ann", "q176_chunk_documents", "q178_setsim_join",
+        "q179_ivf_append", "q180_simhash_neardup", "q181_temperature_mix",
+        "q182_corpus_funnel",
+        # similarity
+        "q68_cosine_topk", "q256_rag_retrieve", "q159_lsh_neardup",
+        "q153_ivf_batch", "q143_ann_batch", "q72_ann_ivf",
+        "q76_cosine_neardup", "q69_ann_lsh_buckets", "q71_ann_bucketed_search",
+        # spatial
+        "q95_spatial_intersects", "q96_st_equals", "q97_st_overlaps",
+        "q254_st_contains_distance",
         "q90_stream_window",
         "q164_consolidation",
     ]

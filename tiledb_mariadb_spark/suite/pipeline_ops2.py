@@ -539,3 +539,76 @@ SPECS = [
         "corpus-prep funnel: gate, exact dedup, split in one plan",
     ),
 ]
+
+
+# --- q271: IVF index maintenance with DELETES (deletion vectors) ------------
+# Completes the index lifecycle (build q72, append q179): deletes land as
+# a tombstone-id sidecar (no list rewrite — deletion-vector style), the
+# search subtracts them with one broadcast anti-join, and compaction
+# rewrites ONLY the lists containing deletions (dynamic partition
+# overwrite).  The spec searches all-probe after delete AND after
+# compaction; both must equal brute-force top-k over the surviving
+# vectors — which is exactly what the oracle computes.
+def q271_ivf_delete(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf.train_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
+    )
+    tag = hashlib.md5(f"delete:{sf_dir}".encode()).hexdigest()[:8]
+    path = os.path.join("/root/repo/.tmp/ivf_index", f"emb-del-{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    ivf.write_ivf_index(ivf.assign_lists(e, cents, "embedding"), path)
+    ivf.delete_ivf_index(
+        e.filter(F.col("vec_id") % 7 == 0), "vec_id", path
+    )
+    qvec = [
+        float(x)
+        for x in e.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    # materialize BEFORE compaction deletes the sidecar files this lazy
+    # plan references (k rows — driver-side by design)
+    tombstoned = spark.createDataFrame(
+        ivf.ivf_search(
+            ivf.live_ivf_index(spark, path), cents, qvec, "embedding",
+            "vec_id", k=10, nprobe=len(cents),
+        ).collect(),
+        "vec_id bigint, cos double",
+    ).select(F.lit("tombstoned").alias("phase"), "vec_id", "cos")
+    n_rewritten = ivf.compact_ivf_index(spark, path)
+    assert n_rewritten > 0
+    compacted = ivf.ivf_search(
+        ivf.live_ivf_index(spark, path), cents, qvec, "embedding", "vec_id",
+        k=10, nprobe=len(cents),
+    ).select(F.lit("compacted").alias("phase"), "vec_id", "cos")
+    return tombstoned.unionByName(compacted).orderBy("phase", "vec_id")
+
+
+Q271_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+topk AS (
+  SELECT vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+  FROM embeddings, q
+  WHERE vec_id % 7 <> 0
+  ORDER BY cos DESC, vec_id ASC
+  LIMIT 10)
+SELECT phase, vec_id, cos
+FROM topk, (VALUES ('tombstoned'), ('compacted')) AS p(phase)
+ORDER BY phase, vec_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q271_ivf_delete",
+        q271_ivf_delete,
+        Q271_SQL,
+        "IVF deletion vectors: tombstone-sidecar search + list-pruned "
+        "compaction both equal brute force over survivors",
+    )
+)
