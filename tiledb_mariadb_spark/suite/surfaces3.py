@@ -766,3 +766,73 @@ SPECS.append(
         "dim-range split pruning and open_at between committed fragments",
     )
 )
+
+
+# --- q272: aggregates + self-join over the NATIVE quickstart array ----------
+# t/aggregates.test (AVG/SUM/MIN/MAX/COUNT over the committed 1.6 dense
+# array — the group_by_handler pushdown surface) and t/mrr.test's
+# quickstart self-join USING(rows, cols), both computed by Spark over the
+# natively decoded bytes; oracle = the literal mtr goldens.
+def q272_native_agg_join(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        native_to_dataframe,
+    )
+
+    dense = native_to_dataframe(spark, f"{_FIXROOT}/1.6/quickstart_dense")
+    aggs = dense.agg(
+        F.avg("a").alias("avg_a"),
+        F.sum("a").alias("sum_a"),
+        F.max("a").alias("max_a"),
+        F.min("a").alias("min_a"),
+        F.count("a").alias("cnt_a"),
+        F.sum("cols").alias("sum_cols"),
+        F.avg("cols").alias("avg_cols"),
+    )
+    agg_rows = aggs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("k"),
+                        F.col(c).cast("double").cast("string").alias("v"),
+                    )
+                    for c in aggs.columns
+                ]
+            )
+        ).alias("e")
+    ).select(F.lit("agg").alias("part"), "e.k", "e.v")
+    j = dense.alias("x").join(
+        dense.alias("y"), ["rows", "cols"]
+    ).select(
+        F.lit("join").alias("part"),
+        F.concat_ws(",", "rows", "cols").alias("k"),
+        F.concat_ws("|", "x.a", "y.a").alias("v"),
+    )
+    return agg_rows.unionByName(j).orderBy("part", "k")
+
+
+Q272_SQL = """
+WITH dense AS (
+  SELECT CAST(1 + i // 4 AS INTEGER) AS rows_,
+         CAST(1 + i % 4 AS INTEGER) AS cols, CAST(1 + i AS INTEGER) AS a
+  FROM range(0, 16) AS t(i))
+SELECT * FROM (
+  SELECT 'agg' AS part, k,
+         CAST(CAST(v AS DOUBLE) AS VARCHAR) AS v
+  FROM (VALUES ('avg_a', 8.5), ('sum_a', 136), ('max_a', 16),
+               ('min_a', 1), ('cnt_a', 16), ('sum_cols', 40),
+               ('avg_cols', 2.5)) AS a(k, v)
+  UNION ALL
+  SELECT 'join', rows_ || ',' || cols, a || '|' || a FROM dense)
+ORDER BY part, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q272_native_agg_join",
+        q272_native_agg_join,
+        Q272_SQL,
+        "aggregates.test + mrr.test self-join goldens over the natively "
+        "decoded quickstart array",
+    )
+)
