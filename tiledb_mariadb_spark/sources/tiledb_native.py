@@ -886,7 +886,10 @@ def _spark_type(dtype_id: int, cell_val_num: int) -> str:
 
 def native_to_dataframe(spark, array_dir: str):
     """Bare fixture directory → typed Spark DataFrame, schema inferred
-    entirely from the on-disk blob."""
+    entirely from the on-disk blob.  Scalar-only schemas ship via a
+    pandas frame (Arrow batch transfer — an order of magnitude cheaper
+    than row pickling for the 20k-row var fixture); multi-value (list)
+    cells fall back to the row path, whose Python-side typing is exact."""
     schema, rows = read_native_array(array_dir)
     fields = [
         (d.name, _spark_type(d.dtype_id, d.cell_val_num)) for d in schema.dims
@@ -894,4 +897,11 @@ def native_to_dataframe(spark, array_dir: str):
         (a.name, _spark_type(a.dtype_id, a.cell_val_num)) for a in schema.attrs
     ]
     ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
+    if all(not t.startswith("array<") for _n, t in fields):
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pd.DataFrame(rows, columns=[n for n, _t in fields])
+        from pyspark.sql.types import _parse_datatype_string  # noqa: PLC0415
+
+        return spark.createDataFrame(pdf, _parse_datatype_string(ddl))
     return spark.createDataFrame(rows, ddl)
