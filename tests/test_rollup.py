@@ -152,3 +152,81 @@ def test_cdc_rollup_handles_upserts_and_deletes(spark, tmp_path):
     assert got == want
     # deletes really subtracted: id=9 (grp 0) gone from the rollup count
     assert got[0][0] == sum(1 for i in range(30) if i % 3 == 0) - 1 + 1  # -9 +7
+
+
+def test_cdc_rollup_randomized_rounds(spark, tmp_path):
+    """Model-based fuzz for the CDC-maintained rollup: several rounds of
+    RANDOM mixed change batches (inserts, overwrites that may move a row
+    across groups, deletes, re-inserts of deleted keys), refreshing after
+    every round — the rollup must equal the from-scratch aggregate after
+    each refresh, including groups that empty out and later repopulate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
+    from tiledb_mariadb_spark.operators.rollup import refresh_rollup_cdc
+
+    rng = random.Random(1234)
+    src = TileTable.create(
+        spark,
+        str(tmp_path / "fz_src"),
+        dimensions=[Dim("id", "bigint")],
+        attributes=[Attr("grp", "bigint"), Attr("v", "bigint")],
+        overwrite=True,
+    )
+    roll = TileTable.create(
+        spark,
+        str(tmp_path / "fz_roll"),
+        dimensions=[Dim("grp", "bigint")],
+        attributes=[Attr("n", "bigint"), Attr("v", "bigint")],
+        overwrite=True,
+    )
+    sums = {"v": F.col("v")}
+    model: dict[int, tuple[int, int]] = {}  # id -> (grp, v)
+
+    def batch_rows():
+        rows = []
+        touched = set()
+        for _ in range(rng.randint(3, 10)):
+            k = rng.randint(0, 24)
+            if k in touched:  # one change per coordinate per batch
+                continue
+            touched.add(k)
+            if k in model and rng.random() < 0.3:
+                rows.append((k, None, None, "delete"))
+                del model[k]
+            else:
+                g, v = rng.randint(0, 4), rng.randint(1, 100)
+                rows.append((k, g, v, "upsert"))
+                model[k] = (g, v)
+        return rows
+
+    # seed state, then rounds of CDC batches
+    seed = [(i, i % 5, 10 + i) for i in range(15)]
+    model.update({i: (i % 5, 10 + i) for i in range(15)})
+    src.write(spark.createDataFrame(seed, "id bigint, grp bigint, v bigint"))
+    last_ts = max(ver["ts"] for ver in src.schema.versions)
+    refresh_rollup_cdc(roll, src, 0, 1000, ["grp"], sums)
+
+    for rnd in range(6):
+        rows = batch_rows()
+        if not rows:
+            continue
+        src.apply_changes(
+            spark.createDataFrame(
+                rows, "id bigint, grp bigint, v bigint, __op string"
+            )
+        )
+        new_ts = max(ver["ts"] for ver in src.schema.versions)
+        refresh_rollup_cdc(
+            roll, src, last_ts, 2000 + rnd, ["grp"], sums
+        )
+        last_ts = new_ts
+        got = {r["grp"]: (r["n"], r["v"]) for r in roll.read().collect()}
+        want: dict[int, list[int]] = {}
+        for g, v in model.values():
+            want.setdefault(g, [0, 0])
+            want[g][0] += 1
+            want[g][1] += v
+        assert got == {g: (n, v) for g, (n, v) in want.items()}, f"round {rnd}"
