@@ -518,3 +518,59 @@ SPECS.append(
         "cross-multiplied (no division) — map-side combined, 128 partials",
     )
 )
+
+
+# --- q273: frequent itemset TRIPLES (bounded in-basket expansion) -----------
+# Completes the market-basket family (q228 pairs): 3-item co-purchase
+# counts.  The naive form is a cubic fact self-join; here the C(n,3)
+# expansion happens INSIDE each order's sorted item array (n ≤ the
+# schema-bounded lines-per-order, so ≤ C(7,3)=35 structs per basket) and
+# only (a,b,c) rows reach the counting shuffle — the same shape that
+# made q228 scale-safe, one nesting deeper.
+def q273_itemset_triples(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " flatten(transform(slice(items, i + 2, size(items)), (y, j) ->"
+                "  transform(slice(items, i + j + 3, size(items)),"
+                "   z -> struct(x AS a, y AS b, z AS c))))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.c")
+    return (
+        triples.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b", "c")
+        .limit(15)
+    )
+
+
+Q273_SQL = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+  FROM lineitem GROUP BY 1),
+triples AS (
+  SELECT UNNEST(flatten(flatten(
+    [[[{'a': items[i], 'b': items[j], 'c': items[k]}
+       for k in range(j+1, len(items)+1)]
+      for j in range(i+1, len(items)+1)]
+     for i in range(1, len(items)+1)]))) AS p
+  FROM baskets)
+SELECT p.a AS a, p.b AS b, p.c AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM triples GROUP BY 1, 2, 3
+ORDER BY cnt DESC, a, b, c
+LIMIT 15
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q273_itemset_triples", q273_itemset_triples, Q273_SQL,
+        "3-item co-purchase counts via in-basket bounded expansion "
+        "(no cubic fact self-join)",
+    )
+)
