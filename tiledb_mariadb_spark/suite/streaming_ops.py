@@ -249,3 +249,73 @@ SPECS = [
     ),
     QuerySpec("q94_stream_dedup", q94_stream_dedup, Q94_SQL, "streaming dedup"),
 ]
+
+
+# --- q274: streaming CDC feed with op indicator -----------------------------
+# stream_tile_table(with_op=True) — the streaming twin of
+# read_changes(with_op=True): a tile table receives a base write plus an
+# apply_changes MERGE batch (upsert + delete); the STREAMING feed must
+# deliver every fragment row with _op distinguishing tombstones, and
+# pre-CDC fragments (no __tombstone column on disk) as 'upsert'.  The
+# whole feed runs as a real readStream (availableNow drain).
+def q274_stream_cdc_feed(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
+    from tiledb_mariadb_spark.streaming.events import (  # noqa: PLC0415
+        run_to_completion,
+        stream_tile_table,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 100).alias("bucket")
+    )
+    tag = hashlib.md5(f"cdcfeed:{sf_dir}".encode()).hexdigest()[:8]
+    uri = f"/root/repo/.tmp/stream_cdc/{tag}"
+    shutil.rmtree(uri, ignore_errors=True)
+    tt = TileTable.create(
+        spark,
+        uri,
+        dimensions=[Dim("event_id", "bigint")],
+        attributes=[Attr("bucket", "bigint")],
+        overwrite=True,
+    )
+    tt.write(e.filter(F.col("event_id") < 500))
+    changes = (
+        e.filter((F.col("event_id") >= 500) & (F.col("event_id") < 600))
+        .withColumn("__op", F.lit("upsert"))
+        .unionByName(
+            e.filter(F.col("event_id") < 50).select(
+                "event_id",
+                F.lit(None).cast("bigint").alias("bucket"),
+                F.lit("delete").alias("__op"),
+            )
+        )
+    )
+    tt.apply_changes(changes)
+    feed = stream_tile_table(spark, tt, with_op=True)
+    return run_to_completion(
+        feed.select("event_id", "bucket", "_op"), "append"
+    )
+
+
+Q274_SQL = """
+WITH e AS (SELECT event_id, event_id % 100 AS bucket FROM events)
+SELECT event_id, bucket, 'upsert' AS _op FROM e WHERE event_id < 500
+UNION ALL
+SELECT event_id, bucket, 'upsert' FROM e
+WHERE event_id >= 500 AND event_id < 600
+UNION ALL
+SELECT event_id, CAST(NULL AS BIGINT), 'delete' FROM e WHERE event_id < 50
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q274_stream_cdc_feed",
+        q274_stream_cdc_feed,
+        Q274_SQL,
+        "streaming CDC feed: real readStream over the version log with "
+        "_op distinguishing tombstones from upserts",
+    )
+)
