@@ -1334,3 +1334,47 @@ class TileTable:
             else:
                 out.append(F.col(c))
         return df.select(*out)
+
+
+def snapshot_diff(table: "TileTable", ts_a: int, ts_b: int) -> DataFrame:
+    """Semantic diff between two time-travel snapshots — the
+    ``table_changes(a, b)`` surface CDC consumers want when the raw
+    version feed (read_changes) is too granular: one row per coordinate
+    whose visible value differs between ``read(at=ts_a)`` and
+    ``read(at=ts_b)``, with ``_change`` ∈ insert / delete / update and
+    both images' attribute columns (``<attr>`` = the b-side, ``<attr>_was``
+    = the a-side; NULL on the side where the coordinate is absent).
+
+    Scale shape: one full-outer join on the dimension key — both sides
+    are snapshot reads (partition-pruned to their visible fragments), the
+    join shuffles on the same dims the table is range-clustered by, and
+    unchanged coordinates are filtered before anything else is computed.
+    """
+    s = table.schema
+    dims, attrs = s.dim_names, s.attr_names
+    a = table.read(at=ts_a)
+    b = table.read(at=ts_b)
+    a_r = a.select(*dims, *[F.col(c).alias(f"__a_{c}") for c in attrs],
+                   F.lit(True).alias("__in_a"))
+    b_r = b.select(*dims, *[F.col(c).alias(f"__b_{c}") for c in attrs],
+                   F.lit(True).alias("__in_b"))
+    j = a_r.join(b_r, dims, "full_outer")
+    in_a = F.coalesce(F.col("__in_a"), F.lit(False))
+    in_b = F.coalesce(F.col("__in_b"), F.lit(False))
+    same = F.lit(True)
+    for c in attrs:
+        same = same & (F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}")))
+    change = (
+        F.when(~in_a, F.lit("insert"))
+        .when(~in_b, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.filter(~(in_a & in_b & same))
+        .select(
+            *dims,
+            change.alias("_change"),
+            *[F.col(f"__b_{c}").alias(c) for c in attrs],
+            *[F.col(f"__a_{c}").alias(f"{c}_was") for c in attrs],
+        )
+    )

@@ -327,3 +327,70 @@ SPECS.append(
         "maintenance == from-scratch aggregate after a MERGE batch",
     )
 )
+
+
+# --- q275: snapshot diff (table_changes analog) -----------------------------
+# catalog.snapshot_diff(a, b): one row per coordinate whose visible value
+# differs between two time-travel snapshots, classified insert / delete /
+# update with before/after images — the semantic-diff surface CDC
+# consumers use when the raw version feed is too granular.  The oracle
+# recomputes the expected diff from the base data and the change rule.
+def q275_snapshot_diff(spark, sf_dir):
+    from tiledb_mariadb_spark.catalog import snapshot_diff  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 100).alias("bucket")
+    )
+    tt = TileTable.create(
+        spark,
+        _uri("snapdiff", sf_dir),
+        dimensions=[Dim("event_id", "bigint")],
+        attributes=[Attr("bucket", "bigint")],
+        array_type="SPARSE",
+        overwrite=True,
+    )
+    tt.write(e.filter(F.col("event_id") < 800))  # v1 (ts=1)
+    ups = (
+        e.filter((F.col("event_id") < 800) & (F.col("event_id") % 7 == 0))
+        .select("event_id", (F.col("bucket") + 1000).alias("bucket"))
+        .withColumn("__op", F.lit("upsert"))
+    )
+    ins = (
+        e.filter((F.col("event_id") >= 900) & (F.col("event_id") < 950))
+        .select("event_id", "bucket")
+        .withColumn("__op", F.lit("upsert"))
+    )
+    dels = e.filter(
+        (F.col("event_id") < 800)
+        & (F.col("event_id") % 13 == 0)
+        & (F.col("event_id") % 7 != 0)
+    ).select(
+        "event_id",
+        F.lit(None).cast("bigint").alias("bucket"),
+        F.lit("delete").alias("__op"),
+    )
+    tt.apply_changes(ups.unionByName(ins).unionByName(dels))  # v2 (ts=2)
+    return snapshot_diff(tt, 1, 2).orderBy("event_id")
+
+
+Q275_SQL = """
+WITH e AS (SELECT event_id, event_id % 100 AS bucket FROM events)
+SELECT event_id, 'update' AS _change,
+       bucket + 1000 AS bucket, bucket AS bucket_was
+FROM e WHERE event_id < 800 AND event_id % 7 = 0
+UNION ALL
+SELECT event_id, 'delete', CAST(NULL AS BIGINT), bucket
+FROM e WHERE event_id < 800 AND event_id % 13 = 0 AND event_id % 7 <> 0
+UNION ALL
+SELECT event_id, 'insert', bucket, CAST(NULL AS BIGINT)
+FROM e WHERE event_id >= 900 AND event_id < 950
+ORDER BY event_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q275_snapshot_diff", q275_snapshot_diff, Q275_SQL,
+        "semantic diff between two time-travel snapshots: insert/delete/"
+        "update with before/after images (table_changes analog)",
+    )
+)
