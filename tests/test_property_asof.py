@@ -81,3 +81,66 @@ def test_asof_matches_duckdb_native(spark, trades, quotes):
         ).fetchall()
     )
     assert got == want, f"trades={trades_u} quotes={quotes_u}"
+
+
+def test_asof_directions_and_tolerance_match_bruteforce(spark):
+    """forward/nearest/tolerance vs a python brute force over randomized
+    (key, ts) data — same guarantee the backward fuzz gives q38."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.operators.asof import asof_join
+
+    rng = random.Random(99)
+    lrows, rrows = [], []
+    for i in range(200):
+        lrows.append((i, rng.randint(0, 5), rng.randint(0, 1000)))
+    for j in range(150):
+        rrows.append((rng.randint(0, 5), rng.randint(0, 1000), j))
+    left = spark.createDataFrame(lrows, "lid int, k int, t long").select(
+        "lid", "k", F.timestamp_micros(F.col("t")).alias("ts")
+    )
+    right = spark.createDataFrame(rrows, "k int, t long, rv int").select(
+        "k", F.timestamp_micros(F.col("t")).alias("ts"), "rv"
+    )
+
+    def brute(direction, tol=None):
+        out = {}
+        for lid, k, t in lrows:
+            cands = [(rt, rv) for (rk, rt, rv) in rrows if rk == k]
+            back = max(((rt, rv) for rt, rv in cands if rt < t), default=None)
+            fwd = min(((rt, rv) for rt, rv in cands if rt > t), default=None)
+            pick = None
+            if direction == "backward":
+                pick = back
+            elif direction == "forward":
+                pick = fwd
+            else:
+                if fwd is None or (
+                    back is not None and (t - back[0]) <= (fwd[0] - t)
+                ):
+                    pick = back
+                else:
+                    pick = fwd
+            if pick is not None and tol is not None and abs(pick[0] - t) > tol:
+                pick = None
+            out[lid] = pick[1] if pick else None
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["rv_asof"]
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["rv"], direction=direction
+            ).collect()
+        }
+        assert got == brute(direction), direction
+    got_tol = {
+        r["lid"]: r["rv_asof"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["rv"],
+            direction="nearest", tolerance_us=50,
+        ).collect()
+    }
+    assert got_tol == brute("nearest", tol=50)

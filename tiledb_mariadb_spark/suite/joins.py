@@ -357,3 +357,70 @@ SPECS = [
     QuerySpec("q39_range_join", q39_range_join, Q39_SQL, "range join"),
     QuerySpec("q40_cross_join", q40_cross_join, Q40_SQL, "cross join"),
 ]
+
+
+# --- q276: as-of join direction variants (merge_asof parity) ----------------
+# backward (q38's semantics), forward, and nearest in one result: for
+# each purchase, the prior click, the next click, and the closer of the
+# two (ties → backward).  Same union+range-frame composition — all
+# codegen, one shuffle; the oracle recomputes each direction with
+# correlated min/max subqueries (oracle-scale only).
+def q276_asof_directions(spark, sf_dir):
+    from tiledb_mariadb_spark.operators.asof import asof_join  # noqa: PLC0415
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    back = asof_join(
+        purchases, clicks, "user_id", "ts", "ts", ["value"],
+        suffix="_back", direction="backward",
+    )
+    fwd = asof_join(
+        purchases, clicks, "user_id", "ts", "ts", ["value"],
+        suffix="_fwd", direction="forward",
+    )
+    near = asof_join(
+        purchases, clicks, "user_id", "ts", "ts", ["value"],
+        suffix="_near", direction="nearest",
+    )
+    keys = ["event_id", "user_id", "ts"]
+    out = back.join(fwd, keys).join(near, keys)
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "value_back", "value_fwd", "value_near",
+    )
+
+
+Q276_SQL = """
+WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'click'),
+m AS (SELECT p.event_id, p.user_id, p.ts_us,
+       (SELECT MAX(c.ts_us) FROM c
+        WHERE c.user_id = p.user_id AND c.ts_us < p.ts_us) AS bt,
+       (SELECT MIN(c.ts_us) FROM c
+        WHERE c.user_id = p.user_id AND c.ts_us > p.ts_us) AS ft
+      FROM p)
+SELECT m.event_id, m.user_id, m.ts_us,
+       bc.value AS value_back, fc.value AS value_fwd,
+       CASE WHEN m.ft IS NULL THEN bc.value
+            WHEN m.bt IS NULL THEN fc.value
+            WHEN (m.ts_us - m.bt) <= (m.ft - m.ts_us) THEN bc.value
+            ELSE fc.value END AS value_near
+FROM m
+LEFT JOIN c bc ON bc.user_id = m.user_id AND bc.ts_us = m.bt
+LEFT JOIN c fc ON fc.user_id = m.user_id AND fc.ts_us = m.ft
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q276_asof_directions", q276_asof_directions, Q276_SQL,
+        "as-of join backward/forward/nearest (merge_asof parity), all "
+        "union+range-frame codegen",
+    )
+)
