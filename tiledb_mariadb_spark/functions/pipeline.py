@@ -495,3 +495,51 @@ def luhn_valid_sql(col_name: str) -> str:
     """DuckDB twin of :func:`luhn_valid_expr`."""
     total = _luhn_sum(lambda i: f"CAST(substr({col_name}, {i}, 1) AS INT)")
     return f"(length({col_name}) = 16 AND ({total}) % 10 = 0)"
+
+
+def table_checksum(df, cols=None):
+    """Order-insensitive distributed table checksum — the CHECKSUM TABLE
+    analog (MariaDB surface above the reference handler; also the
+    pt-table-checksum replica-comparison primitive).
+
+    Canonicalization is separator-free by construction: every column
+    value maps to its fixed-width md5 hex (NULL -> literal 'N', which no
+    32-hex token can collide with), the concatenation is hashed again,
+    truncated to int64, and SUMmed.  The sum is commutative/associative,
+    so the aggregate is map-side combined and two tables compare with one
+    number each regardless of partitioning or row order.
+
+    Returns a 1-row DataFrame (n_rows BIGINT, checksum BIGINT).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    use = cols or df.columns
+    tokens = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in use
+    ]
+    staged = df.select(F.concat(*tokens).alias("__row"))
+    # accumulate in DECIMAL(38,0) (exact at any row count) and reduce
+    # modulo a < 2^63 prime — ANSI int64 SUM overflows past ~10^4 rows of
+    # 60-bit hashes, and the modular residue compares just as well
+    return staged.select(
+        F.expr(
+            "CAST(conv(substr(md5(__row), 1, 15), 16, 10) AS DECIMAL(38,0))"
+        ).alias("__h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("__h") % F.lit(9223372036854775783).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+def table_checksum_sql(rel: str, cols: list) -> str:
+    """DuckDB oracle twin of :func:`table_checksum` (same tokenization)."""
+    tokens = " || ".join(
+        f"COALESCE(md5(CAST({c} AS VARCHAR)), 'N')" for c in cols
+    )
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CAST(('0x' || substr(md5({tokens}), 1, 15)) AS BIGINT))"
+        f" % 9223372036854775783 AS BIGINT) AS checksum FROM ({rel})"
+    )

@@ -394,3 +394,50 @@ SPECS.append(
         "update with before/after images (table_changes analog)",
     )
 )
+
+
+# --- q277: distributed table checksum (CHECKSUM TABLE analog) ---------------
+# Order-insensitive md5-sum checksum over a lineitem projection, computed
+# twice — once as-stored and once deliberately reshuffled+row-shuffled —
+# proving the number is layout-independent (the replica-comparison
+# property).  Int/string columns only: their string rendering is
+# engine-identical (doubles are not — documented boundary).
+def q277_table_checksum(spark, sf_dir):
+    from tiledb_mariadb_spark.functions.pipeline import table_checksum  # noqa: PLC0415
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    a = table_checksum(li).select(
+        F.lit("stored").alias("layout"), "n_rows", "checksum"
+    )
+    reshuffled = li.repartition(7, "l_linestatus").sortWithinPartitions(
+        "l_returnflag"
+    )
+    b = table_checksum(reshuffled).select(
+        F.lit("reshuffled").alias("layout"), "n_rows", "checksum"
+    )
+    return a.unionByName(b).orderBy("layout")
+
+
+def _q277_sql():
+    from tiledb_mariadb_spark.functions.pipeline import table_checksum_sql  # noqa: PLC0415
+
+    inner = table_checksum_sql(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus"
+        " FROM lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+    )
+    return f"""
+SELECT layout, n_rows, checksum
+FROM ({inner}) , (VALUES ('stored'), ('reshuffled')) AS v(layout)
+ORDER BY layout
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q277_table_checksum", q277_table_checksum, _q277_sql(),
+        "CHECKSUM TABLE analog: order/layout-insensitive md5-sum, "
+        "identical across a deliberate reshuffle",
+    )
+)
