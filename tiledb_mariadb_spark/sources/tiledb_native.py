@@ -18,11 +18,15 @@ Format subset implemented (public TileDB format spec, v1.6 era):
 - **sparse fragments** — ``__coords.tdb`` holds per-dimension
   coordinate chunks (dim-major), attribute tiles align cell-for-cell.
 
-The array SCHEMA is supplied by the caller (dims/attrs/domain, the same
-registration contract as ``create_allow_subset_existing_array``):
-deserializing the 1.6 binary schema blob is out of scope — the fixture
-schemas are documented in the reference's own discovery.result golden
-file, which the tests mirror.  Write support is intentionally absent.
+The top section (read_dense_array / read_sparse_array*) is the original
+caller-supplied-schema tier.  The round-3 extension below it parses the
+ON-DISK binary schema blob itself (``parse_array_schema`` /
+``open_native_array`` — storage versions 3..19), so a bare array
+directory opens with no caller schema at all, and handles generic tiles,
+array metadata, validity, var-length offsets pipelines (DD+BWR+ZSTD) and
+multi-fragment newest-wins merge.  Write support lives in the sibling
+module ``tiledb_native_write`` (round 4): it emits fragments + schema
+blobs this decoder reads back byte-exact.
 """
 
 from __future__ import annotations

@@ -170,48 +170,48 @@ def all_specs() -> dict[str, QuerySpec]:
 
     # ORDER MATTERS: the driver hash-verifies only the FIRST 50 entries per
     # round.  Round 1 covered core/analytics/functions_surface* prefixes;
-    # round 2 covered joins/subqueries/windows/surfaces/llm_ops.  ROUND 3
-    # rotates an explicit never-driver-verified window to the front:
-    # the four round-1 reds (q43/q118/q122/q129, all fixed — they need a
-    # driver-GREEN row), q77 (upgraded this round from rows-only to a
-    # recursive-CTE hash oracle), all of pipeline_ops + pipeline_ops2 +
-    # similarity + spatial_ops, one streaming spec (first driver row for
-    # §2.6), and consolidation (q164).  Round 4 should rotate in the rest:
-    # remaining streaming_ops, tpch_extra, surfaces2/3 (incl. round-3's
-    # q265/q266 native-fixture decode, q267 connector scan, q268 CDC
-    # rollup), functions_surface7/8, pipeline_ops3-8 (incl. q269 triangle
-    # count, q270 embedding drift), analytics2-8, plus the new q74 hash
-    # oracle.
+    # round 2 joins/subqueries/windows/surfaces/llm_ops; round 3
+    # pipeline_ops(2)/similarity/spatial + the r1 reds + q77/q90/q164.
+    # ROUND 4 rotates a window DISJOINT from r1∪r2∪r3 to the front,
+    # leading with the round-3 native tier (newest, least-driver-tested
+    # code), then the full tpch_extra census, the streaming remainder
+    # (first driver rows for q91-q94/q148/q177/q274), the late additions
+    # q74/q276/q277, and functions_surface7/8 NULL-semantics specs.
+    # ROUND 5 should rotate in the final ~75 never-driver-verified specs:
+    # pipeline_ops3-8 (q183-q197, q212-q216, q228-q232, q245, q248-q249,
+    # q252-q253, q260, q269-q271, q273), analytics2-8 (q198-q209, q218-q227,
+    # q235-q239, q241-q244, q247, q257), plus q160/q161/q165/q167/q168,
+    # q133b_natural_join, and q134_values_inline.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
-        "q43_filtered_agg", "q118_array_set_ops", "q122_map_fns",
-        "q129_array_slice", "q77_ewma",
-        # pipeline_ops
-        "q135_train_test_split", "q136_stratified_sample",
-        "q137_pii_redaction", "q138_pack_sequential", "q139_pack_greedy",
-        "q140_dedup_clusters", "q141_topk_ngrams", "q142_approx_sketches",
-        "q144_repetition_ratio", "q145_corpus_report", "q146_quality_gate",
-        "q147_train_sequences", "q149_decontamination", "q150_funnel",
-        "q151_cohort_retention", "q152_multivalue_agg", "q154_normalize_text",
-        "q155_containment", "q156_salted_agg", "q157_bucketed_join",
-        "q158_corpus_mix",
-        # pipeline_ops2 (round-2 tier; q271 added later stays in the tail)
-        "q173_incremental_dedup", "q174_weighted_sample",
-        "q175_quantized_ann", "q176_chunk_documents", "q178_setsim_join",
-        "q179_ivf_append", "q180_simhash_neardup", "q181_temperature_mix",
-        "q182_corpus_funnel",
-        # similarity
-        "q68_cosine_topk", "q256_rag_retrieve", "q159_lsh_neardup",
-        "q153_ivf_batch", "q143_ann_batch", "q72_ann_ivf",
-        "q76_cosine_neardup", "q69_ann_lsh_buckets", "q71_ann_bucketed_search",
-        # spatial
-        "q95_spatial_intersects", "q96_st_equals", "q97_st_overlaps",
-        "q254_st_contains_distance",
-        "q90_stream_window",
-        "q164_consolidation",
+        # surfaces2/3 native tier + storage surfaces
+        "q265_native_fixtures", "q266_native_var_pipeline",
+        "q267_connector_scan", "q272_native_agg_join", "q268_cdc_rollup",
+        "q275_snapshot_diff", "q258_reference_fixture", "q261_hetero_dims",
+        "q262_hilbert_box_scan", "q263_subset_registration",
+        "q264_uri_suffixes", "q240_encrypted_roundtrip", "q217_merge_apply",
+        "q211_information_schema", "q162_subarray_read", "q163_table_stats",
+        "q166_zorder_scan", "q170_incremental_rollup",
+        # late round-3 additions
+        "q276_asof_directions", "q277_table_checksum", "q74_resize_cosine",
+        # streaming remainder (§2.6 full coverage)
+        "q274_stream_cdc_feed", "q91_session_window", "q92_stream_stateful",
+        "q93_stream_stream_join", "q94_stream_dedup", "q148_stream_sliding",
+        "q177_stream_probe_dedup",
+        # tpch_extra shape census
+        "q100_volume_shipping", "q101_market_share", "q102_product_profit",
+        "q103_returned_items", "q104_cust_distribution", "q105_top_supplier",
+        "q106_parts_supplier_cnt", "q107_disjunctive_revenue",
+        "q108_potential_promotion", "q109_waiting_orders",
+        "q110_global_sales", "q111_min_cost_supplier",
+        "q171_shipmode_priority", "q172_important_stock",
+        # functions_surface7/8 NULL semantics + deterministic analytics
+        "q233_nulls_ordering", "q234_hof_predicates", "q246_null_safe_join",
+        "q250_setops_nulls", "q251_not_in_nulls", "q255_percentile_cont",
+        "q259_deterministic_mode", "q210_sentence_split",
     ]
-    assert len(front) == 50, f"round-3 front window is {len(front)}, want 50"
+    assert len(front) == 50, f"round-4 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
     assert not missing, f"front window names not registered: {missing}"
 
