@@ -1,0 +1,217 @@
+"""Native-format fragment WRITER round-trips (sources/tiledb_native_write):
+everything written must come back byte-exact through the sibling decoder
+— schema blob, sparse + dense fragments, var-length, nullable,
+multi-value cells, multi-fragment newest-wins, open_at, and the full
+Spark connector write→scan path without libtiledb.
+
+Reference parity: write path ha_mytile.cc:3158-3193 (row→buffers),
+3273-3360 (flush_write); create path mytile-discovery.cc create_array.
+"""
+
+import os
+
+import pytest
+
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+    parse_array_schema,
+    read_array_metadata,
+    read_native_array,
+    _schema_path,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+
+def _mk_sparse(tmp_path, name="arr"):
+    d = str(tmp_path / name)
+    create_native_array(
+        d,
+        dims=[NativeDim("row", 1, 1, (1, 1000), None)],
+        attrs=[
+            NativeAttr("a", 0, 1, False, None),          # int32
+            NativeAttr("x", 3, 1, False, None),          # float64
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),  # var string
+            NativeAttr("n", 1, 1, True, None),           # nullable int64
+        ],
+    )
+    return d
+
+
+def test_schema_blob_roundtrip(tmp_path):
+    d = _mk_sparse(tmp_path)
+    s = parse_array_schema(_schema_path(d))
+    assert s.version == 7
+    assert s.array_type == "SPARSE"
+    assert [x.name for x in s.dims] == ["row"]
+    assert s.dims[0].domain == (1, 1000)
+    assert [x.name for x in s.attrs] == ["a", "x", "s", "n"]
+    assert s.attrs[2].is_var
+    assert s.attrs[3].nullable
+    # every field pipeline is explicit (no payload sniffing on read)
+    assert s.attrs[0].filters and s.offsets_filters and s.validity_filters
+
+
+def test_sparse_fragment_roundtrip(tmp_path):
+    d = _mk_sparse(tmp_path)
+    write_native_fragment(
+        d,
+        {
+            "row": [1, 5, 9],
+            "a": [10, 20, 30],
+            "x": [1.5, -2.25, 3.75],
+            "s": ["alpha", "", "多字节"],
+            "n": [7, None, 9],
+        },
+        ts=100,
+    )
+    _s, rows = read_native_array(d)
+    assert rows == [
+        (1, 10, 1.5, "alpha", 7),
+        (5, 20, -2.25, "", None),
+        (9, 30, 3.75, "多字节", 9),
+    ]
+
+
+def test_multi_fragment_newest_wins_and_open_at(tmp_path):
+    d = _mk_sparse(tmp_path)
+    base = {"x": [0.0], "s": ["v1"], "n": [None]}
+    write_native_fragment(d, {"row": [1], "a": [1], **base}, ts=100)
+    write_native_fragment(d, {"row": [1], "a": [2], **base}, ts=200)
+    write_native_fragment(d, {"row": [2], "a": [3], **base}, ts=300)
+    _s, rows = read_native_array(d)
+    assert [(r[0], r[1]) for r in rows] == [(1, 2), (2, 3)]
+    _s, rows_at = read_native_array(d, at=150)
+    assert [(r[0], r[1]) for r in rows_at] == [(1, 1)]
+
+
+def test_same_ts_appends_stay_deterministic(tmp_path):
+    """Auto-ts appends always land strictly newer than committed
+    fragments, so rapid writes can't tie (advisor finding on ts-only
+    fragment ordering)."""
+    d = _mk_sparse(tmp_path)
+    base = {"x": [0.0], "s": [""], "n": [None]}
+    write_native_fragment(d, {"row": [1], "a": [1], **base})
+    write_native_fragment(d, {"row": [1], "a": [2], **base})
+    _s, rows = read_native_array(d)
+    assert [(r[0], r[1]) for r in rows] == [(1, 2)]
+
+
+def test_dense_fragment_roundtrip(tmp_path):
+    d = str(tmp_path / "dense")
+    create_native_array(
+        d,
+        dims=[
+            NativeDim("r", 0, 1, (1, 2), None),
+            NativeDim("c", 0, 1, (1, 3), None),
+        ],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        d, {"r": [0] * 6, "c": [0] * 6, "v": [10, 20, 30, 40, 50, 60]},
+        ts=50,
+    )
+    _s, rows = read_native_array(d)
+    assert rows == [
+        (1, 1, 10), (1, 2, 20), (1, 3, 30),
+        (2, 1, 40), (2, 2, 50), (2, 3, 60),
+    ]
+    with pytest.raises(ValueError, match="full domain"):
+        write_native_fragment(d, {"r": [0], "c": [0], "v": [1]})
+
+
+def test_multivalue_and_large_chunked(tmp_path):
+    """Fixed multi-value cells plus a column big enough to span several
+    64 KiB chunks (exercises the multi-chunk encode/decode path)."""
+    d = str(tmp_path / "mv")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 100000), None)],
+        attrs=[
+            NativeAttr("pair", 0, 2, False, None),   # int32[2]
+            NativeAttr("big", 1, 1, False, None),
+        ],
+    )
+    n = 20000  # 160 KB of int64 -> 3 chunks
+    write_native_fragment(
+        d,
+        {
+            "k": list(range(n)),
+            "pair": [[i, i * 2] for i in range(n)],
+            "big": [i * i for i in range(n)],
+        },
+        ts=10,
+    )
+    _s, rows = read_native_array(d)
+    assert len(rows) == n
+    assert rows[0] == (0, [0, 0], 0)
+    assert rows[n - 1] == (n - 1, [n - 1, 2 * (n - 1)], (n - 1) ** 2)
+
+
+def test_string_dim_roundtrip(tmp_path):
+    d = str(tmp_path / "sdim")
+    create_native_array(
+        d,
+        dims=[NativeDim("name", 11, 0xFFFFFFFF, None, None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+    )
+    write_native_fragment(d, {"name": ["bb", "aa", "cc"], "v": [2, 1, 3]},
+                          ts=10)
+    _s, rows = read_native_array(d)
+    assert sorted(rows) == [("aa", 1), ("bb", 2), ("cc", 3)]
+
+
+def test_connector_write_then_scan(spark, tmp_path):
+    """Full Spark path: write_array partitions → independent native
+    fragments → read_array scans them back with pruning + conditions,
+    no libtiledb anywhere."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+
+    uri = str(tmp_path / "spark_arr")
+    be = NativeDecoderBackend()
+    be.create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("id", "bigint", (0, 999))],
+            attrs=[
+                AttrInfo("val", "double", nullable=False),
+                AttrInfo("tag", "string", nullable=False),
+            ],
+        ),
+    )
+    src = spark.range(0, 200).selectExpr(
+        "id", "CAST(id * 0.5 AS DOUBLE) AS val",
+        "CONCAT('t', CAST(id % 3 AS STRING)) AS tag",
+    ).repartition(4)
+    write_array(src, uri, backend=be)
+    frags = [f for f in os.listdir(uri) if f.startswith("__") and "schema" not in f]
+    assert len(frags) == 4  # one native fragment per partition
+
+    out = read_array(
+        spark, uri, backend=be,
+        columns=["id", "val", "tag"],
+        dim_ranges={"id": (50, 99)},
+        conditions=[("tag", "=", "t0")],
+    )
+    rows = sorted((r.id, r.val, r.tag) for r in out.collect())
+    expect = [(i, i * 0.5, "t0") for i in range(50, 100) if i % 3 == 0]
+    assert rows == expect
+
+
+def test_metadata_untouched_by_write(tmp_path):
+    d = _mk_sparse(tmp_path)
+    write_native_fragment(
+        d, {"row": [1], "a": [1], "x": [0.0], "s": [""], "n": [None]}, ts=5
+    )
+    assert read_array_metadata(d) == {}

@@ -1,0 +1,85 @@
+"""Hypothesis fuzz: writer→decoder round-trip over random schemas and
+values.  Anything the writer emits, the decoder must read back exactly
+(including None/validity, var-length UTF-8, empty strings, negative and
+boundary ints, multi-fragment overwrite order)."""
+
+from hypothesis import given, settings, strategies as st
+
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+    read_native_array,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+F64 = st.floats(allow_nan=False, allow_infinity=False, width=64)
+TXT = st.text(max_size=20)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(I64, I32, F64, TXT, st.one_of(st.none(), I64)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_sparse_roundtrip_fuzz(tmp_path_factory, data):
+    d = str(tmp_path_factory.mktemp("fuzz") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (-(2**63), 2**63 - 1), None)],
+        attrs=[
+            NativeAttr("a", 0, 1, False, None),
+            NativeAttr("x", 3, 1, False, None),
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),
+            NativeAttr("n", 1, 1, True, None),
+        ],
+    )
+    cols = list(zip(*data))
+    write_native_fragment(
+        d,
+        {"k": cols[0], "a": cols[1], "x": cols[2], "s": cols[3],
+         "n": cols[4]},
+        ts=10,
+    )
+    _s, rows = read_native_array(d)
+    assert rows == sorted(data)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    frags=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=9),  # coordinate
+            I32,                                    # value
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_overwrite_merge_fuzz(tmp_path_factory, frags):
+    """Newest-fragment-wins equals a dict update applied in ts order."""
+    d = str(tmp_path_factory.mktemp("fuzz") / "ow")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 9), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+    )
+    expect: dict = {}
+    for i, cells in enumerate(frags):
+        ks = sorted(cells)
+        write_native_fragment(
+            d, {"k": ks, "v": [cells[k] for k in ks]}, ts=100 + i
+        )
+        expect.update(cells)
+    _s, rows = read_native_array(d)
+    assert rows == [(k, expect[k]) for k in sorted(expect)]

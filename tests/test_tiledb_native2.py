@@ -179,14 +179,18 @@ def test_connector_open_at_on_reference_fragments(spark):
     }
 
 
-def test_native_backend_is_read_only():
+def test_native_backend_write_needs_created_array(tmp_path):
+    """Since round 4 the native backend WRITES (tiledb_native_write), but
+    only to an array whose schema blob exists — writing to a bare path
+    fails loudly instead of inventing a schema (TileDB create-then-write
+    semantics)."""
     import pandas as pd
     import pytest as _pytest
 
     from tiledb_mariadb_spark.sources.tiledb_array import NativeDecoderBackend
 
-    with _pytest.raises(NotImplementedError, match="read-only"):
-        NativeDecoderBackend().write("/tmp/x", pd.DataFrame())
+    with _pytest.raises(FileNotFoundError):
+        NativeDecoderBackend().write(str(tmp_path / "x"), pd.DataFrame())
 
 
 # --- property fuzz: decoder vs test-local encoders --------------------------

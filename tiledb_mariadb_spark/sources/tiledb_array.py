@@ -213,12 +213,15 @@ def _np_to_ddl(np_dtype) -> str:  # pragma: no cover - exercised with tiledb
 
 
 class NativeDecoderBackend(ArrayBackend):
-    """READ-ONLY backend over real on-disk TileDB arrays via the
-    pure-Python format decoder (sources/tiledb_native.py) — no libtiledb.
-    This is what makes the connector EXECUTE against the reference's own
-    committed arrays in this container: schema comes from the on-disk
-    blob (discovery), fragments decode byte-exact, ``at`` filters
-    fragments by start timestamp (open_at parity).
+    """Backend over real on-disk TileDB arrays via the pure-Python format
+    decoder (sources/tiledb_native.py) — no libtiledb.  This is what
+    makes the connector EXECUTE against the reference's own committed
+    arrays in this container: schema comes from the on-disk blob
+    (discovery), fragments decode byte-exact, ``at`` filters fragments by
+    start timestamp (open_at parity).  Since round 4 it also WRITES:
+    ``create`` emits a native schema blob and ``write`` appends a real
+    native-format fragment (sources/tiledb_native_write.py), closing the
+    reference's write path (ha_mytile.cc:3158-3360) without the wheel.
 
     Scale shape: instances are stateless and pickle into executor tasks;
     each task decodes the fragments and post-filters to its subarray.
@@ -280,11 +283,38 @@ class NativeDecoderBackend(ArrayBackend):
         out = _apply_conditions(out, conditions)
         return out[list(columns)].reset_index(drop=True)
 
-    def write(self, uri, pdf, sparse=True):
-        raise NotImplementedError(
-            "NativeDecoderBackend is read-only (write support requires "
-            "libtiledb; the engine's own tables use the parquet catalog)"
+    def create(self, uri: str, info: ArrayInfo) -> None:
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            array_info_to_native,
+            create_native_array,
         )
+
+        dims, attrs = array_info_to_native(info.dims, info.attrs)
+        create_native_array(
+            uri, dims, attrs,
+            array_type="SPARSE" if info.sparse else "DENSE",
+        )
+
+    def write(self, uri, pdf, sparse=True, ts=None):
+        import pandas as pd  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            parse_array_schema,
+            _schema_path,
+        )
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            write_native_fragment,
+        )
+
+        def clean(v):
+            if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+                return list(v)
+            return None if pd.isna(v) else v
+
+        schema = parse_array_schema(_schema_path(uri))
+        names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
+        cols = {n: [clean(v) for v in pdf[n]] for n in names}
+        write_native_fragment(uri, cols, ts=ts)
 
 
 class FragmentDirBackend(ArrayBackend):
@@ -506,8 +536,13 @@ def write_array(
     sparse: bool = True,
 ) -> None:
     """Each partition writes an independent fragment — TileDB writers
-    need no coordination, so write parallelism is the partition count."""
-    backend = backend or TileDBBackend()
+    need no coordination, so write parallelism is the partition count.
+
+    Default backend mirrors ``read_array``: libtiledb when the wheel
+    exists, else the pure-Python native-format writer."""
+    backend = backend or (
+        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+    )
 
     def write_part(batches) -> Iterator:
         import pandas as pd  # noqa: PLC0415

@@ -687,7 +687,9 @@ def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
         and os.path.isdir(os.path.join(root, d))
         and (at is None or _frag_ts(d) <= at)
     ]
-    return [os.path.join(root, d) for d in sorted(frags, key=_frag_ts)]
+    # total sort key: ties on start-ts (rapid commits) resolve by name,
+    # keeping newest-fragment-wins merge deterministic (advisor finding)
+    return [os.path.join(root, d) for d in sorted(frags, key=lambda d: (_frag_ts(d), d))]
 
 
 def _schema_path(array_dir: str) -> str:

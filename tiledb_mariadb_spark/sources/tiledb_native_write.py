@@ -1,0 +1,350 @@
+"""Pure-Python WRITER for the TileDB on-disk fragment format — the
+inverse of :mod:`tiledb_native`'s decoder, and the missing half of the
+reference's storage engine surface (row buffering + fragment flush,
+mytile/ha_mytile.cc:3158-3193 `mysql_row_to_tiledb_buffers`,
+3273-3360 `flush_write`) re-expressed for Spark's write model: every
+writer emits an INDEPENDENT fragment directory, so Spark partitions
+write concurrently with zero coordination — exactly TileDB's
+multi-writer concurrency model.
+
+What it emits (public TileDB storage format, the same subset the sibling
+decoder reads back byte-exact):
+
+- **array schema blob** (``__array_schema.tdb``): a generic-tile
+  container holding a version-7 schema (allows_dups, array type,
+  tile/cell order, capacity, coords/offsets/validity pipelines, typed
+  dims with domains/extents, attrs with fill + nullability);
+- **fragment directories** ``__<t1>_<t2>_<uuid>_5`` with one chunked
+  data file per field: fixed-width cells, var-length (uint64 start
+  offsets + ``_var`` byte file), nullable (``_validity`` byte file);
+- **filter pipelines**: every written field declares a GZIP pipeline and
+  chunks are stored with proper per-chunk part metadata
+  ``[nm u32][nd u32][(orig,stored)...]`` — compression is real, and the
+  explicit pipeline means the reader never has to sniff payload bytes
+  (raw int cells can alias the zlib/zstd magic);
+- **dense fragments**: cells in row-major global order over the full
+  domain (space tiles = whole domain, the fixture layout);
+- **sparse fragments**: one coordinate file per dimension (2.x layout).
+
+Scale shape: the writer is stateless per-fragment and streams one
+column at a time; chunking is bounded (64 KiB input per chunk) so peak
+memory is O(chunk), and concurrent fragment writers never touch shared
+state (commit = directory rename-free append, newest-wins on read).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+import zlib
+from typing import Any, Optional, Sequence
+
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    _DT,
+    _F_GZIP,
+    NativeAttr,
+    NativeDim,
+    NativeSchema,
+    _fragment_dirs,
+    _frag_ts,
+    parse_array_schema,
+    _schema_path,
+)
+
+_CHUNK_INPUT = 64 * 1024  # TileDB's default chunk granularity
+_VAR = 0xFFFFFFFF
+
+# DDL type -> (tiledb_datatype_t id, var-length?)
+_DDL_TO_DT = {
+    "int": (0, False), "integer": (0, False), "bigint": (1, False),
+    "long": (1, False), "float": (2, False), "double": (3, False),
+    "tinyint": (5, False), "smallint": (7, False), "boolean": (40, False),
+    "string": (12, True), "binary": (39, True),
+}
+
+
+def _pack_pipeline(filters: Sequence[tuple[int, bytes]]) -> bytes:
+    out = struct.pack("<II", _CHUNK_INPUT, len(filters))
+    for ftype, meta in filters:
+        out += struct.pack("<BI", ftype, len(meta)) + meta
+    return out
+
+
+def _encode_chunked(data: bytes, filters: Sequence[tuple[int, bytes]]) -> bytes:
+    """Forward-apply a (possibly empty) filter pipeline and wrap as ONE
+    chunked tile: [num_chunks u64] then per chunk
+    [orig u32][filt u32][meta u32][meta][payload].  Only the GZIP
+    compressor is emitted (one data part per chunk, zero metadata parts
+    -> part table [0,1,(orig,stored)]); an empty pipeline stores raw
+    chunks with filt == orig.
+    """
+    chunks = [
+        data[i : i + _CHUNK_INPUT] for i in range(0, len(data), _CHUNK_INPUT)
+    ] or [b""]
+    out = struct.pack("<Q", len(chunks))
+    for chunk in chunks:
+        if filters:
+            if any(f != _F_GZIP for f, _m in filters):
+                raise NotImplementedError(
+                    "writer emits GZIP pipelines only (decoder reads more)"
+                )
+            comp = zlib.compress(chunk, 6)
+            meta = struct.pack("<II", 0, 1) + struct.pack(
+                "<II", len(chunk), len(comp)
+            )
+            out += struct.pack("<III", len(chunk), len(comp), len(meta))
+            out += meta + comp
+        else:
+            out += struct.pack("<III", len(chunk), len(chunk), 0) + chunk
+    return out
+
+
+def _write_generic_tile(path: str, payload: bytes) -> None:
+    """Generic-tile container (read_generic_tile's exact inverse):
+    [version u32][persisted u64][tile_size u64][datatype u8]
+    [cell_size u64][encryption u8][pipeline_len u32][pipeline]
+    [chunked tile] — written with an empty pipeline (raw chunks)."""
+    chunked = _encode_chunked(payload, [])
+    hdr = struct.pack(
+        "<IQQBQB", 7, len(chunked), len(payload), 6, 1, 0
+    ) + struct.pack("<I", 0)
+    with open(path, "wb") as f:
+        f.write(hdr + chunked)
+
+
+def _serialize_schema(schema: NativeSchema) -> bytes:
+    """Version-7 array-schema blob, the exact field sequence
+    parse_array_schema's ver>=5 path consumes."""
+    out = struct.pack("<I", 7)
+    out += struct.pack("<B", 0)  # allows_dups
+    out += struct.pack("<B", 0 if schema.array_type == "DENSE" else 1)
+    out += struct.pack("<BB", 0, 0)  # tile_order, cell_order: ROW_MAJOR
+    out += struct.pack("<Q", schema.capacity)
+    out += _pack_pipeline(schema.coords_filters)
+    out += _pack_pipeline(schema.offsets_filters)
+    out += _pack_pipeline(schema.validity_filters)
+    out += struct.pack("<I", len(schema.dims))
+    for d in schema.dims:
+        name = d.name.encode()
+        out += struct.pack("<I", len(name)) + name
+        out += struct.pack("<B", d.dtype_id)
+        out += struct.pack("<I", d.cell_val_num)
+        out += _pack_pipeline(d.filters)
+        _, code, size = _DT[d.dtype_id]
+        if d.domain is None or d.is_var:
+            out += struct.pack("<Q", 0)
+        else:
+            dom = struct.pack(f"<2{code}", d.domain[0], d.domain[1])
+            out += struct.pack("<Q", len(dom)) + dom
+        if d.extent is None:
+            out += struct.pack("<B", 1)
+        else:
+            out += struct.pack("<B", 0) + struct.pack(f"<{code}", d.extent)
+    out += struct.pack("<I", len(schema.attrs))
+    for a in schema.attrs:
+        name = a.name.encode()
+        out += struct.pack("<I", len(name)) + name
+        out += struct.pack("<B", a.dtype_id)
+        out += struct.pack("<I", a.cell_val_num)
+        out += _pack_pipeline(a.filters)
+        fill = a.fill or b""
+        out += struct.pack("<Q", len(fill)) + fill
+        out += struct.pack("<BB", 1 if a.nullable else 0, 1)
+    return out
+
+
+def create_native_array(
+    array_dir: str,
+    dims: Sequence[NativeDim],
+    attrs: Sequence[NativeAttr],
+    array_type: str = "SPARSE",
+    capacity: int = 10000,
+) -> NativeSchema:
+    """CREATE TABLE analog for a bare on-disk array: writes the schema
+    blob and returns the schema AS PARSED BACK from disk (self-check —
+    the writer's output is only trusted after the decoder re-reads it).
+    Every field gets a GZIP pipeline so reads use the explicit-pipeline
+    path, never payload sniffing."""
+    gz = [(_F_GZIP, b"")]
+    dims = [
+        NativeDim(d.name, d.dtype_id, d.cell_val_num, d.domain, d.extent,
+                  filters=d.filters or gz)
+        for d in dims
+    ]
+    attrs = [
+        NativeAttr(a.name, a.dtype_id, a.cell_val_num, a.nullable, a.fill,
+                   filters=a.filters or gz)
+        for a in attrs
+    ]
+    schema = NativeSchema(
+        7, array_type, capacity, list(dims), list(attrs),
+        coords_filters=gz, offsets_filters=gz, validity_filters=gz,
+    )
+    os.makedirs(array_dir, exist_ok=True)
+    _write_generic_tile(
+        os.path.join(array_dir, "__array_schema.tdb"),
+        _serialize_schema(schema),
+    )
+    return parse_array_schema(_schema_path(array_dir))
+
+
+def _to_bytes_cell(v: Any, dtype_id: int) -> bytes:
+    if dtype_id in (4, 11, 12):
+        return v.encode() if isinstance(v, str) else bytes(v)
+    return bytes(v)
+
+
+def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
+    _, code, size = _DT[dtype_id]
+    if dtype_id in (4, 11, 12):  # fixed-width char cells
+        out = bytearray()
+        for v in vals:
+            b = _to_bytes_cell(v if v is not None else "", dtype_id)
+            out += b[:cvn].ljust(cvn, b"\x00")
+        return bytes(out)
+    flat = []
+    for v in vals:
+        if cvn != 1:
+            cell = list(v) if v is not None else [0] * cvn
+            if len(cell) != cvn:
+                raise ValueError(f"cell has {len(cell)} values, want {cvn}")
+            flat.extend(cell)
+        else:
+            flat.append(v if v is not None else 0)
+    if code in ("f", "d"):
+        flat = [float(x) for x in flat]
+    elif code != "c":
+        flat = [int(x) for x in flat]
+    return struct.pack(f"<{len(flat)}{code}", *flat)
+
+
+def _next_fragment_dir(array_dir: str, ts: Optional[int]) -> str:
+    """Allocate a fragment directory name strictly newer (ts-wise) than
+    every committed fragment when `ts` is None, so appends always win the
+    newest-fragment merge; an explicit `ts` is taken verbatim (tests and
+    time-travel fixtures need pinned timestamps)."""
+    if ts is None:
+        import time  # noqa: PLC0415
+
+        existing = [
+            _frag_ts(os.path.basename(f)) for f in _fragment_dirs(array_dir)
+        ]
+        ts = max([int(time.time() * 1000)] + [e + 1 for e in existing])
+    name = f"__{ts}_{ts}_{uuid.uuid4().hex}_5"
+    path = os.path.join(array_dir, name)
+    os.makedirs(path)
+    return path
+
+
+def _write_field_files(
+    frag: str,
+    schema: NativeSchema,
+    field,
+    vals: Sequence,
+) -> None:
+    """One field -> its data file(s): `<name>.tdb` (+ `_var`, `_validity`),
+    each chunk-encoded through the schema-declared pipeline for that tile
+    kind (data = field.filters, offsets = schema.offsets_filters,
+    validity = schema.validity_filters) — mirroring how the decoder picks
+    pipelines per tile kind."""
+    base = os.path.join(frag, f"{field.name}.tdb")
+    dtype_id, cvn = field.dtype_id, field.cell_val_num
+    nullable = getattr(field, "nullable", False)
+    if nullable:
+        validity = bytes(0 if v is None else 1 for v in vals)
+        with open(base[:-4] + "_validity.tdb", "wb") as f:
+            f.write(_encode_chunked(validity, schema.validity_filters))
+    if cvn == _VAR:
+        blobs = [
+            b"" if v is None else _to_bytes_cell(v, dtype_id)
+            if dtype_id in (4, 11, 12, 39)
+            else _pack_fixed(v, dtype_id, 1)
+            for v in vals
+        ]
+        offs, pos = [], 0
+        for b in blobs:
+            offs.append(pos)
+            pos += len(b)
+        with open(base, "wb") as f:
+            f.write(
+                _encode_chunked(
+                    struct.pack(f"<{len(offs)}Q", *offs),
+                    schema.offsets_filters,
+                )
+            )
+        with open(base[:-4] + "_var.tdb", "wb") as f:
+            f.write(_encode_chunked(b"".join(blobs), field.filters))
+    else:
+        with open(base, "wb") as f:
+            f.write(_encode_chunked(_pack_fixed(vals, dtype_id, cvn),
+                                    field.filters))
+
+
+def write_native_fragment(
+    array_dir: str,
+    columns: dict[str, Sequence],
+    ts: Optional[int] = None,
+) -> str:
+    """Append one fragment to an existing native array (INSERT analog,
+    flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
+    attr name to an equal-length value sequence; sparse fragments get one
+    coordinate file per dim, dense fragments must supply the FULL domain
+    in row-major order (the decoder's global cell order).  Returns the
+    fragment directory path."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
+    missing = [n for n in names if n not in columns]
+    if missing:
+        raise ValueError(f"missing columns: {missing}")
+    lengths = {n: len(columns[n]) for n in names}
+    if len(set(lengths.values())) != 1:
+        raise ValueError(f"ragged columns: {lengths}")
+    n = lengths[names[0]]
+    if schema.array_type == "DENSE":
+        dom_size = 1
+        for d in schema.dims:
+            lo, hi = d.domain
+            dom_size *= hi - lo + 1
+        if n != dom_size:
+            raise ValueError(
+                f"dense fragment must cover the full domain "
+                f"({dom_size} cells), got {n}"
+            )
+    frag = _next_fragment_dir(array_dir, ts)
+    try:
+        if schema.array_type == "SPARSE":
+            for d in schema.dims:
+                _write_field_files(frag, schema, d, columns[d.name])
+        for a in schema.attrs:
+            _write_field_files(frag, schema, a, columns[a.name])
+    except Exception:
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(frag, ignore_errors=True)
+        raise
+    return frag
+
+
+def array_info_to_native(dims, attrs) -> tuple[list, list]:
+    """Connector ArrayInfo (Spark DDL types) -> native dim/attr defs.
+    Integer dims carry their declared domain; var-typed (string/binary)
+    dims have no domain."""
+    ndims = []
+    for d in dims:
+        dtype_id, is_var = _DDL_TO_DT[d.dtype.lower()]
+        if is_var:
+            ndims.append(NativeDim(d.name, 11, _VAR, None, None))
+        else:
+            lo, hi = d.domain
+            ndims.append(
+                NativeDim(d.name, dtype_id, 1, (int(lo), int(hi)), None)
+            )
+    nattrs = []
+    for a in attrs:
+        dtype_id, is_var = _DDL_TO_DT[a.dtype.lower()]
+        nattrs.append(
+            NativeAttr(a.name, dtype_id, _VAR if is_var else 1, a.nullable,
+                       None)
+        )
+    return ndims, nattrs

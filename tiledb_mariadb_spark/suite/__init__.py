@@ -181,7 +181,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # pipeline_ops3-8 (q183-q197, q212-q216, q228-q232, q245, q248-q249,
     # q252-q253, q260, q269-q271, q273), analytics2-8 (q198-q209, q218-q227,
     # q235-q239, q241-q244, q247, q257), plus q160/q161/q165/q167/q168,
-    # q133b_natural_join, and q134_values_inline.
+    # q133b_natural_join, q134_values_inline, and q210_sentence_split.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
@@ -209,7 +209,9 @@ def all_specs() -> dict[str, QuerySpec]:
         # functions_surface7/8 NULL semantics + deterministic analytics
         "q233_nulls_ordering", "q234_hof_predicates", "q246_null_safe_join",
         "q250_setops_nulls", "q251_not_in_nulls", "q255_percentile_cont",
-        "q259_deterministic_mode", "q210_sentence_split",
+        "q259_deterministic_mode",
+        # round-4 native WRITE path (fragment writer through the connector)
+        "q278_native_write",
     ]
     assert len(front) == 50, f"round-4 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

@@ -836,3 +836,100 @@ SPECS.append(
         "decoded quickstart array",
     )
 )
+
+
+# --- q278: native-format WRITE path (round 4) -------------------------------
+# The reference's write path (mysql_row_to_tiledb_buffers + flush_write,
+# ha_mytile.cc:3158-3193, 3273-3360) produces on-disk TileDB fragments; this
+# spec drives our pure-Python fragment WRITER through the full Spark
+# connector: write_array lands one native fragment per partition, a second
+# write_array overwrites a key subset (UPDATE analog -> newest-fragment-wins
+# merge), then read_array scans it all back with dim-range pruning.  Oracle =
+# the same transform expressed directly over the parquet orders table, so the
+# driver hash-verifies bytes that really went through the native format.
+def q278_native_write(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q278_native_write_") + "/orders_arr"
+    be = NativeDecoderBackend()
+    be.create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("o_orderkey", "bigint", (1, 6_000_000))],
+            attrs=[
+                AttrInfo("price", "double", nullable=False),
+                AttrInfo("st", "string", nullable=False),
+                AttrInfo("cust", "bigint", nullable=True),
+            ],
+        ),
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust"),
+    )
+    write_array(base.repartition(4), uri, backend=be)
+    upd = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit(1000.0).alias("price"),
+        F.lit("U").alias("st"),
+        "cust",
+    )
+    write_array(upd.repartition(2), uri, backend=be)
+    arr = read_array(
+        spark,
+        uri,
+        backend=be,
+        dim_ranges={"o_orderkey": (100, 20000)},
+        target_splits=8,
+    )
+    return (
+        arr.groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("price")).alias("sum_price"),
+            (F.count(F.lit(1)) - F.count("cust")).alias("null_cust"),
+        )
+        .orderBy("st")
+    )
+
+
+from tiledb_mariadb_spark.suite import dsum_sql as _dsum_sql  # noqa: E402
+
+Q278_SQL = f"""
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 97 = 0 THEN CAST(1000.0 AS DOUBLE)
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END AS cust
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 20000
+)
+SELECT st, COUNT(*) AS n, {_dsum_sql('price', 2)} AS sum_price,
+       CAST(COUNT(*) - COUNT(cust) AS BIGINT) AS null_cust
+FROM src GROUP BY st ORDER BY st
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q278_native_write",
+        q278_native_write,
+        Q278_SQL,
+        "pure-Python native fragment writer through the Spark connector: "
+        "partitioned write -> overwrite fragment -> pruned scan "
+        "(ha_mytile.cc:3158-3360 write path, no libtiledb)",
+    )
+)
