@@ -40,6 +40,7 @@ import time
 from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Any, Optional
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -149,11 +150,19 @@ def _sidecar_lock(uri: str, timeout: float = 15.0):
     lock = os.path.join(uri, ".commit.lock")
     stale_after = 60.0  # a commit holds the lock for ms; 60 s means a dead owner
     deadline = time.time() + timeout
+    # unique holder token: if a stalled-but-alive holder has its lock
+    # broken (NFS hang / SIGSTOP past stale_after), its release must NOT
+    # unlink the NEW holder's lockfile — release only deletes a lock that
+    # still carries OUR token (advisor finding: token-checked unlink)
+    token = f"{os.getpid()}.{uuid4().hex}"
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(
-                fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode()
+                fd,
+                json.dumps(
+                    {"pid": os.getpid(), "ts": time.time(), "token": token}
+                ).encode(),
             )
             break
         except FileExistsError:
@@ -183,7 +192,16 @@ def _sidecar_lock(uri: str, timeout: float = 15.0):
         yield
     finally:
         os.close(fd)
-        os.unlink(lock)
+        try:
+            with open(lock) as f:
+                holder = json.load(f).get("token")
+            if holder == token:
+                os.unlink(lock)
+            # else: our lock was stale-broken and reissued — the new
+            # holder owns the file now; deleting it would let a third
+            # writer in
+        except (FileNotFoundError, ValueError):
+            pass  # already broken/stolen after a successful commit
 
 
 def discover_parquet(

@@ -308,12 +308,30 @@ def compact_ivf_index(spark, path: str) -> int:
             stored.filter(F.col("list_id").isin(affected))
             .join(F.broadcast(dead), "vec_id", "left_anti")
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Materialize the surviving rows to a SEPARATE directory first,
+        # then swap the affected list_id partition dirs in: overwriting
+        # the path the lazy `live` plan is still reading from would race
+        # the scan against its own output (advisor finding).  Each list
+        # swap is a rename, so a crash leaves every list either fully old
+        # or fully new — never mixed.
+        from uuid import uuid4  # noqa: PLC0415
+
+        tmp = f"{path.rstrip('/')}_compact_{uuid4().hex[:8]}"
         try:
-            live.write.mode("overwrite").partitionBy("list_id").parquet(path)
+            live.write.partitionBy("list_id").parquet(tmp)
+            for lid in affected:
+                src = os.path.join(tmp, f"list_id={lid}")
+                dst = os.path.join(path, f"list_id={lid}")
+                old = dst + ".old"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(dst):
+                    os.rename(dst, old)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+                # a fully-deleted list has no survivors: partition removed
+                shutil.rmtree(old, ignore_errors=True)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(dpath, ignore_errors=True)
     return len(affected)
 
