@@ -215,3 +215,37 @@ def test_metadata_untouched_by_write(tmp_path):
         d, {"row": [1], "a": [1], "x": [0.0], "s": [""], "n": [None]}, ts=5
     )
     assert read_array_metadata(d) == {}
+
+
+def test_zstd_fragment_pure_python_decode(tmp_path, monkeypatch):
+    """A fragment compressed with a REAL zstd encoder decodes through
+    the from-scratch pure-Python zstd decoder (pyarrow path disabled) —
+    the no-dependency read path for arbitrary real arrays."""
+    import tiledb_mariadb_spark.sources.tiledb_native as tn
+
+    d = str(tmp_path / "zarr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[
+            NativeAttr("v", 3, 1, False, None),
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),
+        ],
+        compressor="zstd",
+    )
+    n = 5000
+    write_native_fragment(
+        d,
+        {
+            "k": list(range(n)),
+            "v": [i * 0.25 for i in range(n)],
+            "s": [f"doc-{i % 97}-{'pad' * (i % 7)}" for i in range(n)],
+        },
+        ts=10,
+    )
+    # force the pure-Python zstd path (as if pyarrow were absent)
+    monkeypatch.setattr(tn, "_HAVE_PA_ZSTD", False)
+    _s, rows = read_native_array(d)
+    assert len(rows) == n
+    assert rows[0] == (0, 0.0, "doc-0-")
+    assert rows[4999] == (4999, 4999 * 0.25, f"doc-{4999 % 97}-{'pad' * (4999 % 7)}")

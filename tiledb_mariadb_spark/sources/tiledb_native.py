@@ -80,7 +80,7 @@ def _zstd_decode_minimal(buf: bytes) -> bytes:
 
 def _decode_chunk(filtered: bytes, orig_len: int) -> bytes:
     if filtered[:4] == ZSTD_MAGIC:
-        out = _zstd_decode_minimal(filtered)
+        out = _zstd_decode(filtered, orig_len)
     elif filtered[:2] in (b"\x78\x01", b"\x78\x9c", b"\x78\xda"):
         out = zlib.decompress(filtered)
     else:
@@ -236,8 +236,10 @@ _HAVE_PA_ZSTD = None
 
 
 def _zstd_decode(buf: bytes, orig_len: int) -> bytes:
-    """Full zstd frame decode: pyarrow's codec when present (handles
-    compressed blocks), else the minimal RAW/RLE decoder above."""
+    """Full zstd frame decode: pyarrow's codec when present, else the
+    from-scratch pure-Python RFC 8878 decoder (sources/zstd_py) — either
+    way compressed blocks decode, so arbitrary real arrays read without
+    libtiledb OR pyarrow."""
     global _HAVE_PA_ZSTD
     if _HAVE_PA_ZSTD is None:
         try:
@@ -248,7 +250,11 @@ def _zstd_decode(buf: bytes, orig_len: int) -> bytes:
             _HAVE_PA_ZSTD = False
     if _HAVE_PA_ZSTD:
         return _HAVE_PA_ZSTD.decompress(buf, orig_len)
-    return _zstd_decode_minimal(buf)
+    from tiledb_mariadb_spark.sources.zstd_py import (  # noqa: PLC0415
+        zstd_decompress,
+    )
+
+    return zstd_decompress(buf)
 
 
 def read_generic_tile(path: str) -> bytes:

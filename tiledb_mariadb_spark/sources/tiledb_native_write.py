@@ -43,6 +43,7 @@ from typing import Any, Optional, Sequence
 from tiledb_mariadb_spark.sources.tiledb_native import (
     _DT,
     _F_GZIP,
+    _F_ZSTD,
     NativeAttr,
     NativeDim,
     NativeSchema,
@@ -85,11 +86,18 @@ def _encode_chunked(data: bytes, filters: Sequence[tuple[int, bytes]]) -> bytes:
     out = struct.pack("<Q", len(chunks))
     for chunk in chunks:
         if filters:
-            if any(f != _F_GZIP for f, _m in filters):
+            ftype = filters[0][0]
+            if len(filters) != 1 or ftype not in (_F_GZIP, _F_ZSTD):
                 raise NotImplementedError(
-                    "writer emits GZIP pipelines only (decoder reads more)"
+                    "writer emits single GZIP or ZSTD pipelines "
+                    "(decoder reads more)"
                 )
-            comp = zlib.compress(chunk, 6)
+            if ftype == _F_GZIP:
+                comp = zlib.compress(chunk, 6)
+            else:
+                import pyarrow as pa  # noqa: PLC0415
+
+                comp = pa.Codec("zstd").compress(chunk, asbytes=True)
             meta = struct.pack("<II", 0, 1) + struct.pack(
                 "<II", len(chunk), len(comp)
             )
@@ -160,13 +168,15 @@ def create_native_array(
     attrs: Sequence[NativeAttr],
     array_type: str = "SPARSE",
     capacity: int = 10000,
+    compressor: str = "gzip",
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
     the writer's output is only trusted after the decoder re-reads it).
-    Every field gets a GZIP pipeline so reads use the explicit-pipeline
+    Every field gets an explicit compressor pipeline (``gzip`` or
+    ``zstd`` — TileDB's real default) so reads use the explicit-pipeline
     path, never payload sniffing."""
-    gz = [(_F_GZIP, b"")]
+    gz = [({"gzip": _F_GZIP, "zstd": _F_ZSTD}[compressor], b"")]
     dims = [
         NativeDim(d.name, d.dtype_id, d.cell_val_num, d.domain, d.extent,
                   filters=d.filters or gz)
