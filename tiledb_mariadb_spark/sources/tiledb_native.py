@@ -857,6 +857,293 @@ def read_native_array(
     return schema, [merged[c] for c in sorted(merged)]
 
 
+# ===========================================================================
+# Round-4 extension: SUB-FRAGMENT reads.  A fragment data file is a walkable
+# sequence of chunk extents (headers carry both stored and decoded sizes),
+# so a task can seek to and decompress ONLY the chunks overlapping its
+# split — per-task I/O and decode become O(split), not O(fragment): the
+# 100x-scale item for the no-libtiledb connector path.  Sparse fragments
+# still decode their (narrow) coordinate columns to locate the split's
+# cell span — the same coords-first order libtiledb's sparse reader uses.
+# ===========================================================================
+
+_SPAN_STATS = {"chunks_decoded": 0, "chunks_total": 0, "bytes_decoded": 0}
+
+
+def _walk_tile_file(path: str) -> list[tuple[int, int, int, bytes]]:
+    """Chunk extent index of a fragment data file WITHOUT decoding:
+    [(payload_offset, orig_len, stored_len, meta_bytes), ...] across all
+    tile records, via header seeks only."""
+    chunks = []
+    with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+        pos = 0
+        while pos < size:
+            f.seek(pos)
+            (nc,) = struct.unpack("<Q", f.read(8))
+            pos += 8
+            for _ in range(nc):
+                f.seek(pos)
+                orig, filt, meta = struct.unpack("<III", f.read(12))
+                mbytes = f.read(meta)
+                payload_off = pos + 12 + meta
+                chunks.append((payload_off, orig, filt, mbytes))
+                pos = payload_off + filt
+    return chunks
+
+
+def file_decoded_size(path: str) -> int:
+    return sum(orig for (_o, orig, _f, _m) in _walk_tile_file(path))
+
+
+def read_byte_span(
+    path: str,
+    lo: int,
+    hi: int,
+    filters: list | None = None,
+    elem: int = 8,
+    rle_value_size: int | None = None,
+) -> bytes:
+    """Decoded bytes [lo, hi) of a fragment data file, reading and
+    decompressing ONLY the chunks that overlap the span (seek-based).
+    Chunk selection is byte-range driven, so cell alignment of chunk
+    boundaries is irrelevant."""
+    chunks = _walk_tile_file(path)
+    total = sum(c[1] for c in chunks)
+    if not 0 <= lo <= hi <= total:
+        raise ValueError(f"span [{lo},{hi}) outside decoded size {total}")
+    out = bytearray()
+    cpos = 0
+    with open(path, "rb") as f:
+        for off, orig, filt, mbytes in chunks:
+            _SPAN_STATS["chunks_total"] += 1
+            if cpos + orig <= lo or cpos >= hi:
+                cpos += orig
+                continue
+            f.seek(off)
+            payload = f.read(filt)
+            if filters:
+                dec = _reverse_pipeline(filters, [mbytes], payload, elem)
+            elif rle_value_size is not None and filt != orig:
+                dec = _rle_decode(payload, rle_value_size, orig)
+            elif payload[:4] == ZSTD_MAGIC:
+                dec = _zstd_decode(payload, orig)
+            elif payload[:2] in (b"\x78\x01", b"\x78\x9c", b"\x78\xda"):
+                dec = zlib.decompress(payload)
+            else:
+                dec = payload
+            _SPAN_STATS["chunks_decoded"] += 1
+            _SPAN_STATS["bytes_decoded"] += orig
+            out += dec[max(0, lo - cpos) : hi - cpos]
+            cpos += orig
+    return bytes(out)
+
+
+def _fixed_vals(raw: bytes, dtype_id: int, cvn: int) -> list:
+    """Shared fixed-width raw-bytes -> python-values conversion
+    (scalar, fixed char, fixed multi-value)."""
+    flat = _typed_cells(raw, dtype_id)
+    if dtype_id in (4, 11, 12):
+        joined = b"".join(flat)
+        return [
+            joined[i : i + cvn].decode("utf-8", errors="replace")
+            for i in range(0, len(joined), cvn)
+        ]
+    if cvn != 1:
+        return [flat[i : i + cvn] for i in range(0, len(flat), cvn)]
+    return flat
+
+
+def _read_field_span(
+    frag: str,
+    schema: "NativeSchema",
+    field,
+    idx: int,
+    kind: str,
+    lo_cell: int,
+    hi_cell: int,
+    n_cells: int,
+) -> list:
+    """Decode cells [lo_cell, hi_cell) of one field, touching only the
+    chunks that cover the span (var-length: offsets span + the var byte
+    range those offsets address)."""
+    base = _field_file(frag, field.name, idx, kind)
+    dtype_id, cvn = field.dtype_id, field.cell_val_num
+    _, _, elem = _DT[dtype_id]
+    if cvn == 0xFFFFFFFF:
+        offs_raw = read_byte_span(
+            base, lo_cell * 8, hi_cell * 8,
+            filters=schema.offsets_filters, elem=8,
+        )
+        offs = [int(o) for o in struct.unpack(f"<{len(offs_raw) // 8}Q", offs_raw)]
+        var_file = base[:-4] + "_var.tdb"
+        if hi_cell < n_cells:
+            (end,) = struct.unpack(
+                "<Q",
+                read_byte_span(
+                    base, hi_cell * 8, (hi_cell + 1) * 8,
+                    filters=schema.offsets_filters, elem=8,
+                ),
+            )
+            end = int(end)
+        else:
+            end = file_decoded_size(var_file)
+        start = offs[0] if offs else 0
+        var = read_byte_span(
+            var_file, start, end, filters=field.filters, elem=elem
+        )
+        bounds = [o - start for o in offs] + [end - start]
+        blobs = [var[bounds[i] : bounds[i + 1]] for i in range(len(offs))]
+        if dtype_id in (4, 11, 12):
+            vals = [b.decode("utf-8", errors="replace") for b in blobs]
+        else:
+            vals = [_typed_cells(b, dtype_id) for b in blobs]
+    else:
+        cell_bytes = elem * (cvn if cvn != 0xFFFFFFFF else 1)
+        raw = read_byte_span(
+            base, lo_cell * cell_bytes, hi_cell * cell_bytes,
+            filters=field.filters, elem=elem,
+        )
+        vals = _fixed_vals(raw, dtype_id, cvn)
+    if getattr(field, "nullable", False):
+        validity = read_byte_span(
+            base[:-4] + "_validity.tdb", lo_cell, hi_cell,
+            rle_value_size=1, filters=schema.validity_filters, elem=1,
+        )
+        vals = [v if validity[i] else None for i, v in enumerate(vals)]
+    return vals
+
+
+def _dense_is_row_major(schema: "NativeSchema") -> bool:
+    """True when every dim's tile extent covers its whole axis (the
+    fixture/writer layout): the global cell order is then plain
+    row-major and dim->cell spans are directly computable."""
+    for d in schema.dims:
+        lo, hi = d.domain
+        if d.extent is not None and d.extent < hi - lo + 1:
+            return False
+    return True
+
+
+def read_native_array_range(
+    array_dir: str,
+    ranges: list[tuple] | None = None,
+    columns: list[str] | None = None,
+    at: int | None = None,
+) -> tuple[list[str], list[tuple]]:
+    """Range + projection read of a bare native array: returns
+    (column_names, rows) for cells whose coordinates fall inside the
+    inclusive per-dimension ``ranges`` (None bound = unbounded),
+    restricted to dims + requested attrs.  Per-fragment work:
+
+    - sparse: decode the coordinate columns (the narrow index data),
+      locate the matching cell span, then span-decode ONLY the requested
+      attrs' covering chunks;
+    - dense (row-major layout): the first-dim range maps straight to a
+      cell span — no scan of anything outside it;
+
+    Newest-fragment-wins merge applies within the range."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    dim_names = [d.name for d in schema.dims]
+    want = [
+        a for a in schema.attrs if columns is None or a.name in columns
+    ]
+    names = dim_names + [a.name for a in want]
+    rngs = list(ranges) if ranges else [(None, None)] * len(schema.dims)
+
+    def _in(v, lo, hi):
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+    merged: dict[tuple, tuple] = {}
+    for frag in _fragment_dirs(array_dir, at=at):
+        zipped = os.path.isfile(os.path.join(frag, "__coords.tdb"))
+        has_coords = zipped or any(
+            os.path.isfile(os.path.join(frag, f"{d.name}.tdb"))
+            or os.path.isfile(os.path.join(frag, f"d{i}.tdb"))
+            for i, d in enumerate(schema.dims)
+        )
+        if schema.array_type == "SPARSE" or has_coords:
+            if zipped:
+                # 1.6 zipped coords: tiny-fixture era, decode whole
+                flat = _typed_cells(
+                    b"".join(
+                        read_chunked_tile(
+                            open(os.path.join(frag, "__coords.tdb"), "rb").read()
+                        )
+                    ),
+                    schema.dims[0].dtype_id,
+                )
+                nd = len(schema.dims)
+                dim_cols = [flat[i::nd] for i in range(nd)]
+            else:
+                dim_cols = [
+                    _read_field(frag, schema, d, i, "d")
+                    for i, d in enumerate(schema.dims)
+                ]
+            n = len(dim_cols[0])
+            ok = [
+                i
+                for i in range(n)
+                if all(
+                    _in(col[i], lo, hi)
+                    for col, (lo, hi) in zip(dim_cols, rngs)
+                )
+            ]
+            if not ok:
+                continue
+            lo_c, hi_c = ok[0], ok[-1] + 1
+            attr_vals = {
+                a.name: _read_field_span(
+                    frag, schema, a, schema.attrs.index(a), "a",
+                    lo_c, hi_c, n,
+                )
+                for a in want
+            }
+            for i in ok:
+                c = tuple(col[i] for col in dim_cols)
+                merged[c] = c + tuple(
+                    attr_vals[a.name][i - lo_c] for a in want
+                )
+        else:  # dense
+            axes = []
+            for d in schema.dims:
+                axes.append(range(d.domain[0], d.domain[1] + 1))
+            dom_n = 1
+            for ax in axes:
+                dom_n *= len(ax)
+            if _dense_is_row_major(schema) and rngs[0] != (None, None):
+                d0 = schema.dims[0]
+                lo0 = max(rngs[0][0], d0.domain[0]) if rngs[0][0] is not None else d0.domain[0]
+                hi0 = min(rngs[0][1], d0.domain[1]) if rngs[0][1] is not None else d0.domain[1]
+                if lo0 > hi0:
+                    continue
+                inner = dom_n // len(axes[0])
+                lo_c = (lo0 - d0.domain[0]) * inner
+                hi_c = (hi0 - d0.domain[0] + 1) * inner
+                span_coords = itertools.product(
+                    range(lo0, hi0 + 1), *axes[1:]
+                )
+            else:
+                # space-tiled layout: fall back to the global tiled cell
+                # order over the whole fragment
+                lo_c, hi_c = 0, dom_n
+                span_coords = iter(_dense_coords(schema))
+            attr_vals = {
+                a.name: _read_field_span(
+                    frag, schema, a, schema.attrs.index(a), "a",
+                    lo_c, hi_c, dom_n,
+                )
+                for a in want
+            }
+            for i, c in enumerate(span_coords):
+                if not all(
+                    _in(v, lo, hi) for v, (lo, hi) in zip(c, rngs)
+                ):
+                    continue
+                merged[c] = c + tuple(attr_vals[a.name][i] for a in want)
+    return names, [merged[c] for c in sorted(merged)]
+
+
 # Per-process decode cache: Spark reuses Python workers across tasks, so
 # when several splits of one scan land on the same worker they share one
 # decode instead of each re-reading every fragment.  Keyed by the
