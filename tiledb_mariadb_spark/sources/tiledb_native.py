@@ -869,6 +869,11 @@ def read_native_array(
 
 _SPAN_STATS = {"chunks_decoded": 0, "chunks_total": 0, "bytes_decoded": 0}
 
+# Worker-local cache of decoded sparse coordinate columns, keyed by
+# (fragment dir, dim names): splits of one scan share the coords decode.
+_DIM_CACHE: dict = {}
+_DIM_CACHE_MAX = 8
+
 
 def _walk_tile_file(path: str) -> list[tuple[int, int, int, bytes]]:
     """Chunk extent index of a fragment data file WITHOUT decoding:
@@ -1054,6 +1059,36 @@ def read_native_array_range(
     def _in(v, lo, hi):
         return (lo is None or v >= lo) and (hi is None or v <= hi)
 
+    def _dims_cached(frag: str, zipped: bool) -> list[list]:
+        # several splits of one scan land on the same reused Python
+        # worker; the coordinate columns are identical across them, so
+        # decode once per fragment per worker
+        key = (frag, tuple(d.name for d in schema.dims))
+        hit = _DIM_CACHE.get(key)
+        if hit is None:
+            if zipped:
+                flat = _typed_cells(
+                    b"".join(
+                        read_chunked_tile(
+                            open(
+                                os.path.join(frag, "__coords.tdb"), "rb"
+                            ).read()
+                        )
+                    ),
+                    schema.dims[0].dtype_id,
+                )
+                nd = len(schema.dims)
+                hit = [flat[i::nd] for i in range(nd)]
+            else:
+                hit = [
+                    _read_field(frag, schema, d, i, "d")
+                    for i, d in enumerate(schema.dims)
+                ]
+            if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
+                _DIM_CACHE.clear()
+            _DIM_CACHE[key] = hit
+        return hit
+
     merged: dict[tuple, tuple] = {}
     for frag in _fragment_dirs(array_dir, at=at):
         zipped = os.path.isfile(os.path.join(frag, "__coords.tdb"))
@@ -1063,23 +1098,7 @@ def read_native_array_range(
             for i, d in enumerate(schema.dims)
         )
         if schema.array_type == "SPARSE" or has_coords:
-            if zipped:
-                # 1.6 zipped coords: tiny-fixture era, decode whole
-                flat = _typed_cells(
-                    b"".join(
-                        read_chunked_tile(
-                            open(os.path.join(frag, "__coords.tdb"), "rb").read()
-                        )
-                    ),
-                    schema.dims[0].dtype_id,
-                )
-                nd = len(schema.dims)
-                dim_cols = [flat[i::nd] for i in range(nd)]
-            else:
-                dim_cols = [
-                    _read_field(frag, schema, d, i, "d")
-                    for i, d in enumerate(schema.dims)
-                ]
+            dim_cols = _dims_cached(frag, zipped)
             n = len(dim_cols[0])
             ok = [
                 i
