@@ -282,6 +282,57 @@ def probe_ops(spark, sf_dir: str) -> dict[str, float]:
         )
 
     clock("embedding_drift", embedding_drift)
+
+    # O(split) claim check for the round-4 sub-fragment reader: a FIXED
+    # 2000-cell DENSE range read from a native array whose size grows with
+    # the multiplier should stay ~flat (only covering chunks decode).
+    # Array build happens OUTSIDE the clock.
+    import shutil  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        NativeAttr,
+        NativeDim,
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        create_native_array,
+        write_native_fragment,
+    )
+
+    n_docs = docs.count()
+    uri = os.path.join(sf_dir, "_probe_native_arr")
+    shutil.rmtree(uri, ignore_errors=True)
+    n_cells = n_docs * 4
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (1, n_cells), None)],
+        attrs=[
+            NativeAttr("v", 3, 1, False, None),
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),
+        ],
+        compressor="zstd",
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri,
+        {
+            "k": [0] * n_cells,
+            "v": [i * 0.5 for i in range(n_cells)],
+            "s": [f"w{i % 101}" for i in range(n_cells)],
+        },
+        ts=10,
+    )
+    mid = n_cells // 2
+
+    def native_span_read():
+        _names, rows_ = read_native_array_range(
+            uri, ranges=[(mid, mid + 1999)]
+        )
+        assert len(rows_) == 2000
+        return len(rows_)
+
+    clock("native_span_read_fixed_2k", native_span_read)
+    shutil.rmtree(uri, ignore_errors=True)
     return timings
 
 
