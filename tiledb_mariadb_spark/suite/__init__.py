@@ -181,7 +181,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # pipeline_ops3-8 (q183-q197, q212-q216, q228-q232, q245, q248-q249,
     # q252-q253, q260, q269-q271, q273), analytics2-8 (q198-q209, q218-q227,
     # q235-q239, q241-q244, q247, q257), plus q160/q161/q165/q167/q168,
-    # q133b_natural_join, q134_values_inline, and q210_sentence_split.
+    # q133b_natural_join, q134_values_inline, q210_sentence_split, and the
+    # round-4 additions q279_stream_native_sink (+ any later q28x).
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [

@@ -319,3 +319,97 @@ SPECS.append(
         "_op distinguishing tombstones from upserts",
     )
 )
+
+
+# --- q279: streaming sink into a NATIVE-format array (round 4) --------------
+# Unifies the round-4 native fragment writer with Structured Streaming:
+# each foreachBatch micro-batch lands as independent native fragments
+# (write_array -> tiledb_native_write, no libtiledb), i.e. the streaming
+# twin of the reference's bulk write path (ha_mytile.cc:3260-3360) with
+# TileDB's no-coordination multi-writer model as the micro-batch contract.
+# Verification closes the loop THROUGH the on-disk format: the array is
+# read back by the native connector with dim-range pruning and aggregated.
+def q279_stream_native_sink(spark, sf_dir):
+    import hashlib  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+    )
+    from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
+
+    tag = hashlib.md5(f"natsink:{sf_dir}".encode()).hexdigest()[:8]
+    root = f"/root/repo/.tmp/stream_native/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    uri = f"{root}/arr"
+    be = NativeDecoderBackend()
+    be.create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("event_id", "bigint", (0, 10**9))],
+            attrs=[
+                AttrInfo("user_id", "bigint", nullable=False),
+                AttrInfo("value", "double", nullable=False),
+                AttrInfo("event_type", "string", nullable=False),
+            ],
+        ),
+    )
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+
+    def write_batch(batch_df, _batch_id):
+        write_array(batch_df.repartition(2), uri, backend=be)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    arr = read_array(
+        spark, uri, backend=be,
+        dim_ranges={"event_id": (0, 1999)},  # pruned below what was sunk
+        target_splits=8,
+    )
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q279_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       (CAST(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS DOUBLE) / 100.0) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q279_stream_native_sink",
+        q279_stream_native_sink,
+        Q279_SQL,
+        "Structured Streaming foreachBatch sink writing REAL native-format "
+        "fragments per micro-batch; read back through the pruned native "
+        "connector scan (streaming twin of ha_mytile.cc:3260-3360)",
+    )
+)
