@@ -1,0 +1,161 @@
+"""Fragment-metadata footer parsing (round 4): the per-fragment
+non-empty domain read straight from __fragment_metadata.tdb, validated
+against GROUND TRUTH (the fragment's own decoded coordinates) across
+every committed reference fixture, plus the writer's footer round-trip
+and the pruning behavior it enables.
+
+Safety property under test: parse_fragment_footer either returns a
+domain that CONTAINS the fragment's true coordinate range on every
+trusted (fixed) dim, or returns None — never a narrower-than-truth
+range, because pruning on one would drop rows."""
+
+import glob
+import os
+import struct
+
+import pytest
+
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+    _SPAN_STATS,
+    _fragment_dirs,
+    _read_field,
+    fragment_overlaps,
+    parse_array_schema,
+    parse_fragment_footer,
+    read_native_array_range,
+    _schema_path,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+FIXROOT = "/root/reference/mysql-test/mytile/test_data/tiledb_arrays"
+
+
+def _fixture_fragments():
+    out = []
+    for schema_file in glob.glob(
+        FIXROOT + "/**/__array_schema.tdb", recursive=True
+    ) + glob.glob(FIXROOT + "/**/__schema/*", recursive=True):
+        arr = os.path.dirname(schema_file)
+        if os.path.basename(arr) == "__schema":
+            arr = os.path.dirname(arr)
+        try:
+            schema = parse_array_schema(_schema_path(arr))
+        except Exception:  # noqa: BLE001
+            continue
+        for frag in _fragment_dirs(arr):
+            fm = os.path.join(frag, "__fragment_metadata.tdb")
+            if os.path.isfile(fm):
+                out.append((arr, frag, schema))
+    # dedupe (schema glob may hit an array twice)
+    return sorted({(a, f): (a, f, s) for a, f, s in out}.values())
+
+
+def test_fixture_footers_never_narrower_than_truth():
+    checked = parsed = 0
+    for _arr, frag, schema in _fixture_fragments():
+        footer = parse_fragment_footer(
+            os.path.join(frag, "__fragment_metadata.tdb"), schema
+        )
+        checked += 1
+        if footer is None:
+            continue  # honest fallback — fine
+        parsed += 1
+        if footer.dense:
+            continue
+        for i, d in enumerate(schema.dims):
+            dom = footer.non_empty_domain[i]
+            if dom is None:
+                continue  # var dim: untrusted by design
+            try:
+                col = _read_field(frag, schema, d, i, "d")
+            except Exception:  # noqa: BLE001
+                continue
+            if not col:
+                continue
+            assert dom[0] <= min(col) and max(col) <= dom[1], (
+                frag, d.name, dom, (min(col), max(col))
+            )
+    # the parser must actually engage on a healthy share of fixtures
+    assert checked >= 8 and parsed >= checked // 2, (checked, parsed)
+
+
+def test_known_fixture_footers_exact():
+    cases = {
+        f"{FIXROOT}/2.0/bank": [(0, 45210), None],  # var dim untrusted
+        f"{FIXROOT}/2.0/all_datetimes": [(1, 1)],
+    }
+    for arr, expect in cases.items():
+        schema = parse_array_schema(_schema_path(arr))
+        frag = _fragment_dirs(arr)[0]
+        footer = parse_fragment_footer(
+            os.path.join(frag, "__fragment_metadata.tdb"), schema
+        )
+        assert footer is not None, arr
+        assert footer.non_empty_domain == expect, (
+            arr, footer.non_empty_domain
+        )
+
+
+def test_writer_footer_roundtrip_and_pruning(tmp_path):
+    d = str(tmp_path / "pruned")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    # three disjoint-key fragments
+    for base in (0, 10_000, 20_000):
+        ks = list(range(base, base + 1000))
+        write_native_fragment(
+            d, {"k": ks, "v": [k * 2 for k in ks]}, ts=100 + base
+        )
+    schema = parse_array_schema(_schema_path(d))
+    frags = _fragment_dirs(d)
+    footers = [
+        parse_fragment_footer(
+            os.path.join(f, "__fragment_metadata.tdb"), schema
+        )
+        for f in frags
+    ]
+    assert [f.non_empty_domain for f in footers] == [
+        [(0, 999)], [(10_000, 10_999)], [(20_000, 20_999)]
+    ]
+    assert footers[0].last_tile_cell_num == 1000
+    # pruning: a range inside fragment 2 proves fragments 1/3 disjoint
+    rng = [(10_100, 10_199)]
+    assert [fragment_overlaps(f, schema, rng) for f in frags] == [
+        False, True, False
+    ]
+    # and the range reader touches ZERO chunks of the pruned fragments
+    _SPAN_STATS.update(chunks_decoded=0, chunks_total=0, bytes_decoded=0)
+    names, rows = read_native_array_range(d, ranges=rng)
+    assert len(rows) == 100
+    assert rows[0] == (10_100, 20_200)
+    # chunks_total counts only walked files — one fragment's worth
+    assert _SPAN_STATS["chunks_total"] <= 4
+
+
+def test_corrupt_footer_falls_back_to_none(tmp_path):
+    d = str(tmp_path / "corrupt")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"k": [1], "v": [1]}, ts=10)
+    schema = parse_array_schema(_schema_path(d))
+    frag = _fragment_dirs(d)[0]
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    blob = bytearray(open(fm, "rb").read())
+    # corrupt the domain to lie OUTSIDE the schema domain -> rejected
+    raw_off = len(blob) - 8 - 8 - 8 - 16  # stn+ltcn+domain before tail
+    struct.pack_into("<qq", blob, raw_off, 500, 900)
+    open(fm, "wb").write(bytes(blob))
+    assert parse_fragment_footer(fm, schema) is None
+    # overlap must answer True (no pruning without a validated footer)
+    assert fragment_overlaps(frag, schema, [(50, 60)])

@@ -89,6 +89,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q139_pack_greedy",  # greedy bin packing — sequential per shard
         "q267_connector_scan",  # connector reads: the backend boundary IS
         # a declared mapInPandas (executor-side array decode)
+        "q278_native_write",  # connector write→scan: same declared
+        # mapInPandas boundary (native fragment io), round 4
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",
@@ -97,6 +99,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q93_stream_stream_join",
         "q94_stream_dedup",
         "q177_stream_probe_dedup",
+        "q279_stream_native_sink",  # streaming + native connector boundary
     }
     offenders = []
     for name, spec in SPECS.items():

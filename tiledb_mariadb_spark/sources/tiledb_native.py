@@ -1091,6 +1091,8 @@ def read_native_array_range(
 
     merged: dict[tuple, tuple] = {}
     for frag in _fragment_dirs(array_dir, at=at):
+        if not fragment_overlaps(frag, schema, rngs):
+            continue  # footer-proven disjoint: zero bytes decoded
         zipped = os.path.isfile(os.path.join(frag, "__coords.tdb"))
         has_coords = zipped or any(
             os.path.isfile(os.path.join(frag, f"{d.name}.tdb"))
@@ -1161,6 +1163,144 @@ def read_native_array_range(
                     continue
                 merged[c] = c + tuple(attr_vals[a.name][i] for a in want)
     return names, [merged[c] for c in sorted(merged)]
+
+
+# ---------------------------------------------------------------------------
+# Fragment-metadata FOOTER (round 4): the per-fragment non-empty domain +
+# tile counts, parsed straight from __fragment_metadata.tdb so sparse
+# fragments whose domain cannot intersect a query range are skipped
+# WITHOUT decoding any coordinates (libtiledb's fragment pruning).
+#
+# Two on-disk eras, auto-detected from the trailing u64:
+# - offset era (TileDB ~2.0 mid - 2.x): trailing u64 = offset of a footer
+#   SECTION = [R-tree generic tile][raw footer];
+# - size era (earliest 2.0 builds and v>=10): trailing u64 = byte size of
+#   the raw footer that sits just before it.
+# Raw footer: [u32 version][u64 name_len + name  (v>=10)][u8 dense]
+# [u8 null_ned][per-dim domain][u64 sparse_tile_num][u64 last_tile_cell_num]
+# (later fields ignored).  Fixed dims: 2 typed values; var dims:
+# [u64 total][u64 start_len][bytes].
+#
+# TRUST BOUNDARY: pruning uses FIXED-dim domains only.  The committed bank
+# fixture's footer records its var string dim as ["admin.","unknown"] while
+# the actual coordinate data spans ["","yedunemploy"] — an early-2.0
+# artifact; a narrower-than-truth domain would prune wrongly, so var-dim
+# footer domains are parsed but never used to skip fragments.  Every parse
+# is validated against the fragment-name version and the schema domain; any
+# inconsistency returns None and the caller decodes coordinates as usual
+# (pruning is an optimization, never a correctness dependency).
+# ---------------------------------------------------------------------------
+
+
+class FragmentFooter:
+    __slots__ = ("version", "dense", "non_empty_domain", "sparse_tile_num",
+                 "last_tile_cell_num")
+
+    def __init__(self, version, dense, ned, stn, ltcn):
+        self.version = version
+        self.dense = dense
+        self.non_empty_domain = ned  # per dim: (lo, hi) or None (untrusted)
+        self.sparse_tile_num = stn
+        self.last_tile_cell_num = ltcn
+
+
+def _generic_tile_span(buf: bytes, off: int) -> int | None:
+    """Byte length of a generic tile at ``off`` (None if not one)."""
+    if off + 34 > len(buf):
+        return None
+    ver, persisted = struct.unpack_from("<IQ", buf, off)
+    if not (0 < ver < 64) or persisted > len(buf):
+        return None
+    (plen,) = struct.unpack_from("<I", buf, off + 30)
+    total = 34 + plen + persisted
+    if off + total > len(buf):
+        return None
+    return total
+
+
+def parse_fragment_footer(fm_path: str, schema: "NativeSchema"):
+    """Parse the footer of __fragment_metadata.tdb -> FragmentFooter, or
+    None when the era/layout cannot be validated (caller falls back)."""
+    try:
+        buf = open(fm_path, "rb").read()
+        if len(buf) < 16:
+            return None
+        (last,) = struct.unpack_from("<Q", buf, len(buf) - 8)
+        frag_ver = _frag_format_version(os.path.dirname(fm_path))
+        raw = None
+        if last < len(buf) - 8:
+            span = _generic_tile_span(buf, last)
+            if span is not None and last + span < len(buf) - 8:
+                raw = buf[last + span : len(buf) - 8]  # offset era
+        if raw is None and 14 <= last <= len(buf) - 8:
+            raw = buf[len(buf) - 8 - last : len(buf) - 8]  # size era
+        if raw is None:
+            return None
+        pos = 0
+        (ver,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        if frag_ver and ver != frag_ver:
+            return None
+        if ver >= 10:
+            (nl,) = struct.unpack_from("<Q", raw, pos)
+            pos += 8
+            if nl > len(raw):
+                return None
+            pos += nl
+        dense, nned = raw[pos], raw[pos + 1]
+        pos += 2
+        if dense not in (0, 1) or nned not in (0, 1):
+            return None
+        ned = []
+        for d in schema.dims:
+            _n, code, size = _DT[d.dtype_id]
+            if d.is_var:
+                dsize, ssize = struct.unpack_from("<QQ", raw, pos)
+                pos += 16
+                if ssize > dsize or pos + dsize > len(raw):
+                    return None
+                pos += dsize
+                ned.append(None)  # untrusted for pruning (see module note)
+            else:
+                lo, hi = struct.unpack_from(f"<2{code}", raw, pos)
+                pos += 2 * size
+                if nned:
+                    ned.append(None)
+                else:
+                    if lo > hi:
+                        return None
+                    if d.domain is not None and not (
+                        d.domain[0] <= lo and hi <= d.domain[1]
+                    ):
+                        return None
+                    ned.append((lo, hi))
+        stn, ltcn = struct.unpack_from("<QQ", raw, pos)
+        return FragmentFooter(ver, bool(dense), ned, stn, ltcn)
+    except (OSError, struct.error, IndexError):
+        return None
+
+
+def fragment_overlaps(
+    frag: str, schema: "NativeSchema", ranges: list | None
+) -> bool:
+    """False only when the fragment's VALIDATED footer domain proves the
+    requested ranges cannot match any of its cells."""
+    if not ranges or all(lo is None and hi is None for lo, hi in ranges):
+        return True
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    if not os.path.isfile(fm):
+        return True
+    footer = parse_fragment_footer(fm, schema)
+    if footer is None:
+        return True
+    for dom, (lo, hi) in zip(footer.non_empty_domain, ranges):
+        if dom is None:
+            continue
+        if lo is not None and dom[1] < lo:
+            return False
+        if hi is not None and dom[0] > hi:
+            return False
+    return True
 
 
 # Per-process decode cache: Spark reuses Python workers across tasks, so

@@ -328,12 +328,50 @@ def write_native_fragment(
                 _write_field_files(frag, schema, d, columns[d.name])
         for a in schema.attrs:
             _write_field_files(frag, schema, a, columns[a.name])
+        _write_fragment_footer(frag, schema, columns, n)
     except Exception:
         import shutil  # noqa: PLC0415
 
         shutil.rmtree(frag, ignore_errors=True)
         raise
     return frag
+
+
+def _write_fragment_footer(
+    frag: str, schema: NativeSchema, columns: dict, n: int
+) -> None:
+    """__fragment_metadata.tdb (offset-era layout the decoder's
+    parse_fragment_footer reads back): [R-tree generic tile][raw footer:
+    version, dense, null_ned, per-dim non-empty domain, sparse_tile_num,
+    last_tile_cell_num][u64 footer-section offset = 0].  The per-fragment
+    non-empty domain is what lets readers SKIP this fragment without
+    decoding any of it (libtiledb fragment pruning parity).  The footer
+    version matches the fragment-name suffix (_5) — the parser
+    cross-checks them."""
+    raw = struct.pack("<I", 5)
+    raw += struct.pack("<BB", 1 if schema.array_type == "DENSE" else 0, 0)
+    for d in schema.dims:
+        _nm, code, size = _DT[d.dtype_id]
+        if schema.array_type == "DENSE":
+            vals = [d.domain[0], d.domain[1]]
+        else:
+            vals = columns[d.name]
+        if d.is_var:
+            los = min(vals)
+            his = max(vals)
+            lo_b = los.encode() if isinstance(los, str) else bytes(los)
+            hi_b = his.encode() if isinstance(his, str) else bytes(his)
+            raw += struct.pack("<QQ", len(lo_b) + len(hi_b), len(lo_b))
+            raw += lo_b + hi_b
+        else:
+            raw += struct.pack(f"<2{code}", min(vals), max(vals))
+    raw += struct.pack("<QQ", 1, n)  # one logical tile, n cells in it
+    rtree = _encode_chunked(b"", [])
+    hdr = struct.pack("<IQQBQB", 5, len(rtree), 0, 6, 1, 0) + struct.pack(
+        "<I", 0
+    )
+    with open(os.path.join(frag, "__fragment_metadata.tdb"), "wb") as f:
+        f.write(hdr + rtree + raw + struct.pack("<Q", 0))
 
 
 def array_info_to_native(dims, attrs) -> tuple[list, list]:
