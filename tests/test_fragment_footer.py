@@ -159,3 +159,31 @@ def test_corrupt_footer_falls_back_to_none(tmp_path):
     assert parse_fragment_footer(fm, schema) is None
     # overlap must answer True (no pruning without a validated footer)
     assert fragment_overlaps(frag, schema, [(50, 60)])
+
+
+def test_connector_info_narrows_to_nonempty_domain(tmp_path):
+    """Split planning covers where data actually lives: the connector's
+    info() narrows each dim's domain from the schema's declared bounds
+    to the union of validated fragment footers."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        NativeDecoderBackend,
+        plan_splits,
+    )
+
+    d = str(tmp_path / "narrow")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**9), None)],  # vast declared
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(
+        d, {"k": list(range(5000, 6000)), "v": [0] * 1000}, ts=10
+    )
+    write_native_fragment(
+        d, {"k": list(range(8000, 8500)), "v": [1] * 500}, ts=20
+    )
+    info = NativeDecoderBackend().info(d)
+    assert info.dims[0].domain == (5000, 8499)
+    splits = plan_splits(info, target_splits=4)
+    assert len(splits) == 4
+    assert splits[0][0][0] == 5000 and splits[-1][0][1] == 8499

@@ -233,17 +233,40 @@ class NativeDecoderBackend(ArrayBackend):
     (the same coords-first order libtiledb's sparse reader uses)."""
 
     def info(self, uri: str, at: Optional[int] = None) -> ArrayInfo:
+        import os  # noqa: PLC0415
+
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
             _DT,
             _SPARK_TYPE,
+            _fragment_dirs,
             parse_array_schema,
+            parse_fragment_footer,
             _schema_path,
         )
 
         s = parse_array_schema(_schema_path(uri))
+        # Narrow each dim's planning domain to the union of the committed
+        # fragments' VALIDATED footer domains: splits then cover only
+        # where data actually lives (non-empty-domain parity with the
+        # reference's setup_range fill, mytile-range.h:108-192).  Any
+        # fragment without a trusted footer vetoes the narrowing.
+        footers = []
+        for frag in _fragment_dirs(uri, at=at):
+            fm = os.path.join(frag, "__fragment_metadata.tdb")
+            footers.append(
+                parse_fragment_footer(fm, s) if os.path.isfile(fm) else None
+            )
+        narrowed: list = [None] * len(s.dims)
+        if footers and all(f is not None for f in footers):
+            for i in range(len(s.dims)):
+                doms = [f.non_empty_domain[i] for f in footers]
+                if all(d is not None for d in doms):
+                    narrowed[i] = (
+                        min(d[0] for d in doms), max(d[1] for d in doms)
+                    )
         dims = []
-        for d in s.dims:
-            dom = tuple(d.domain) if d.domain else (None, None)
+        for i, d in enumerate(s.dims):
+            dom = narrowed[i] or (tuple(d.domain) if d.domain else (None, None))
             # uint64 domains arrive as python ints; keep ints for planning
             dims.append(
                 DimInfo(
