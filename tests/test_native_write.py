@@ -363,3 +363,35 @@ def test_connector_split_tasks_bounded(spark, tmp_path):
     # each task carries whole 500-row splits (split ids are
     # hash-distributed, so a task may own more than one)
     assert all(r["count"] % 500 == 0 and r["count"] > 0 for r in per_task)
+
+
+def test_checksum_filter_verified_on_read(tmp_path):
+    """CHECKSUM_MD5/SHA256 filter parity (mytile/mytile.cc filter map):
+    chunk digests ride as filter metadata, are verified on EVERY read,
+    and a flipped payload byte fails loudly instead of misreading."""
+    for algo in ("md5", "sha256"):
+        d = str(tmp_path / f"ck_{algo}")
+        create_native_array(
+            d,
+            dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+            compressor="zstd",
+            checksum=algo,
+        )
+        n = 5000
+        write_native_fragment(
+            d, {"k": list(range(n)), "v": [i * 3 for i in range(n)]}, ts=10
+        )
+        _s, rows = read_native_array(d)
+        assert len(rows) == n and rows[7] == (7, 21)
+        # corrupt one byte of the attr payload -> read must raise
+        frag = [
+            f for f in os.listdir(d)
+            if f.startswith("__") and "schema" not in f
+        ][0]
+        vp = os.path.join(d, frag, "v.tdb")
+        blob = bytearray(open(vp, "rb").read())
+        blob[len(blob) // 2] ^= 0xFF
+        open(vp, "wb").write(bytes(blob))
+        with pytest.raises(Exception, match="checksum|zstd|decoded"):
+            read_native_array(d)

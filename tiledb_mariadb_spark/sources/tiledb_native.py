@@ -470,6 +470,7 @@ def _rle_decode(filtered: bytes, value_size: int, orig_len: int) -> bytes:
 # metadata (stacked nearest-upstream first), which is how a
 # DOUBLE_DELTA → BIT_WIDTH_REDUCTION → ZSTD offsets pipeline round-trips.
 _F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD, _F_BWR = 1, 2, 3, 4, 5, 6, 7
+_F_MD5, _F_SHA256 = 12, 13  # checksum filters (verify-on-read)
 _COMPRESSORS = {_F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD}
 
 
@@ -623,6 +624,18 @@ def _reverse_pipeline(
                 f"bit-width-reduction decoded {len(out)}, expected {in_size}"
             )
         return _reverse_pipeline(filters[:-1], rest, bytes(out), elem)
+    if ftype in (_F_MD5, _F_SHA256):
+        # checksum filter: metadata part = the digest of the chunk data;
+        # VERIFY on read (fails loudly on corruption), pass data through
+        import hashlib  # noqa: PLC0415
+
+        algo = hashlib.md5 if ftype == _F_MD5 else hashlib.sha256
+        want = algo(data).digest()
+        if meta[: len(want)] != want:
+            raise ValueError(
+                f"checksum filter mismatch ({'md5' if ftype == _F_MD5 else 'sha256'})"
+            )
+        return _reverse_pipeline(filters[:-1], rest, data, elem)
     raise NotImplementedError(f"filter type {ftype} decode unsupported")
 
 

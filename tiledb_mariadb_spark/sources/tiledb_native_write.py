@@ -43,6 +43,8 @@ from typing import Any, Optional, Sequence
 from tiledb_mariadb_spark.sources.tiledb_native import (
     _DT,
     _F_GZIP,
+    _F_MD5,
+    _F_SHA256,
     _F_ZSTD,
     NativeAttr,
     NativeDim,
@@ -80,31 +82,52 @@ def _encode_chunked(data: bytes, filters: Sequence[tuple[int, bytes]]) -> bytes:
     -> part table [0,1,(orig,stored)]); an empty pipeline stores raw
     chunks with filt == orig.
     """
+    for i, (ftype, _m) in enumerate(filters):
+        if ftype in (_F_GZIP, _F_ZSTD) and i != len(filters) - 1:
+            raise NotImplementedError("compressor must be last in pipeline")
+        if ftype not in (_F_GZIP, _F_ZSTD, _F_MD5, _F_SHA256):
+            raise NotImplementedError(
+                "writer emits GZIP/ZSTD/CHECKSUM pipelines (decoder reads more)"
+            )
     chunks = [
         data[i : i + _CHUNK_INPUT] for i in range(0, len(data), _CHUNK_INPUT)
     ] or [b""]
     out = struct.pack("<Q", len(chunks))
     for chunk in chunks:
-        if filters:
-            ftype = filters[0][0]
-            if len(filters) != 1 or ftype not in (_F_GZIP, _F_ZSTD):
-                raise NotImplementedError(
-                    "writer emits single GZIP or ZSTD pipelines "
-                    "(decoder reads more)"
-                )
-            if ftype == _F_GZIP:
-                comp = zlib.compress(chunk, 6)
-            else:
-                import pyarrow as pa  # noqa: PLC0415
+        # forward-apply the pipeline: checksum filters contribute digest
+        # METADATA PARTS; a trailing compressor compresses all parts and
+        # writes the part table the reader's _reverse_pipeline expects
+        meta_parts: list[bytes] = []
+        payload = chunk
+        compressed = False
+        for ftype, _m in filters:
+            if ftype in (_F_MD5, _F_SHA256):
+                import hashlib  # noqa: PLC0415
 
-                comp = pa.Codec("zstd").compress(chunk, asbytes=True)
-            meta = struct.pack("<II", 0, 1) + struct.pack(
-                "<II", len(chunk), len(comp)
-            )
-            out += struct.pack("<III", len(chunk), len(comp), len(meta))
-            out += meta + comp
+                algo = hashlib.md5 if ftype == _F_MD5 else hashlib.sha256
+                meta_parts.append(algo(payload).digest())
+            else:
+                if ftype == _F_GZIP:
+                    comp_fn = lambda b: zlib.compress(b, 6)  # noqa: E731
+                else:
+                    import pyarrow as pa  # noqa: PLC0415
+
+                    codec = pa.Codec("zstd")
+                    comp_fn = lambda b: codec.compress(b, asbytes=True)  # noqa: E731
+                parts = meta_parts + [payload]
+                comps = [comp_fn(p) for p in parts]
+                meta = struct.pack("<II", len(meta_parts), 1)
+                for p, c in zip(parts, comps):
+                    meta += struct.pack("<II", len(p), len(c))
+                payload = b"".join(comps)
+                meta_parts = [meta]  # becomes THE chunk metadata
+                compressed = True
+        if compressed:
+            meta = meta_parts[0]
         else:
-            out += struct.pack("<III", len(chunk), len(chunk), 0) + chunk
+            meta = b"".join(meta_parts)
+        out += struct.pack("<III", len(chunk), len(payload), len(meta))
+        out += meta + payload
     return out
 
 
@@ -169,14 +192,20 @@ def create_native_array(
     array_type: str = "SPARSE",
     capacity: int = 10000,
     compressor: str = "gzip",
+    checksum: Optional[str] = None,
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
     the writer's output is only trusted after the decoder re-reads it).
     Every field gets an explicit compressor pipeline (``gzip`` or
     ``zstd`` — TileDB's real default) so reads use the explicit-pipeline
-    path, never payload sniffing."""
+    path, never payload sniffing.  ``checksum`` ('md5' | 'sha256')
+    prepends a digest filter: chunk digests are stored as filter
+    metadata and VERIFIED on every read (checksum-filter parity,
+    mytile/mytile.cc filter map)."""
     gz = [({"gzip": _F_GZIP, "zstd": _F_ZSTD}[compressor], b"")]
+    if checksum:
+        gz = [({"md5": _F_MD5, "sha256": _F_SHA256}[checksum], b"")] + gz
     dims = [
         NativeDim(d.name, d.dtype_id, d.cell_val_num, d.domain, d.extent,
                   filters=d.filters or gz)
