@@ -395,3 +395,56 @@ def test_checksum_filter_verified_on_read(tmp_path):
         open(vp, "wb").write(bytes(blob))
         with pytest.raises(Exception, match="checksum|zstd|decoded"):
             read_native_array(d)
+
+
+def test_transform_filters_roundtrip(tmp_path):
+    """BYTESHUFFLE / XOR / SCALE_FLOAT filter parity: written through the
+    forward pipeline, read back through the schema-declared reverse
+    pipeline — including composition with checksum + compressor."""
+    import struct as _st
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _F_GZIP,
+        _F_MD5,
+        _F_ZSTD,
+    )
+
+    BSHUF, SCALE, XOR = 9, 15, 16
+    sf_meta = _st.pack("<ddQ", 0.25, 100.0, 2)  # factor, offset, int16
+    cases = [
+        ("bshuf_gzip", [(BSHUF, b""), (_F_GZIP, b"")], 1,
+         list(range(3000))),
+        ("xor_zstd", [(XOR, b""), (_F_ZSTD, b"")], 1,
+         [i * 7 % 1000 for i in range(3000)]),
+        ("bshuf_md5_zstd", [(BSHUF, b""), (_F_MD5, b""), (_F_ZSTD, b"")],
+         1, list(range(0, 30000, 10))),
+    ]
+    for name, filters, _dt, vals in cases:
+        d = str(tmp_path / name)
+        create_native_array(
+            d,
+            dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+            attrs=[NativeAttr("v", 1, 1, False, None, filters=filters)],
+        )
+        write_native_fragment(
+            d, {"k": list(range(len(vals))), "v": vals}, ts=10
+        )
+        _s, rows = read_native_array(d)
+        assert [r[1] for r in rows] == vals, name
+
+    # SCALE_FLOAT: float64 -> int16 at factor 0.25 / offset 100
+    d = str(tmp_path / "scalef")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[
+            NativeAttr("x", 3, 1, False, None,
+                       filters=[(SCALE, sf_meta), (_F_GZIP, b"")]),
+        ],
+    )
+    vals = [100.0 + 0.25 * i for i in range(-200, 200)]
+    write_native_fragment(
+        d, {"k": list(range(len(vals))), "x": vals}, ts=10
+    )
+    _s, rows = read_native_array(d)
+    assert [r[1] for r in rows] == vals  # exactly representable grid

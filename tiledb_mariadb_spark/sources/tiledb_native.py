@@ -470,8 +470,61 @@ def _rle_decode(filtered: bytes, value_size: int, orig_len: int) -> bytes:
 # metadata (stacked nearest-upstream first), which is how a
 # DOUBLE_DELTA → BIT_WIDTH_REDUCTION → ZSTD offsets pipeline round-trips.
 _F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD, _F_BWR = 1, 2, 3, 4, 5, 6, 7
+_F_BITSHUFFLE, _F_BYTESHUFFLE, _F_POSDELTA = 8, 9, 10
 _F_MD5, _F_SHA256 = 12, 13  # checksum filters (verify-on-read)
+_F_SCALE_FLOAT, _F_XOR = 15, 16
 _COMPRESSORS = {_F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD}
+
+
+def _byteshuffle(data: bytes, elem: int, forward: bool) -> bytes:
+    """(Un)shuffle: group byte-position planes across elements — the
+    classic compression-friendly transpose (Blosc/TileDB BYTESHUFFLE)."""
+    if elem <= 1 or len(data) % elem:
+        return data  # undefined on misaligned payloads; identity is safe
+    try:
+        import numpy as np  # noqa: PLC0415
+
+        n = len(data) // elem
+        a = np.frombuffer(data, dtype=np.uint8).reshape(
+            (n, elem) if forward else (elem, n)
+        )
+        return a.T.tobytes()
+    except ImportError:
+        n = len(data) // elem
+        out = bytearray(len(data))
+        for i in range(n):
+            for j in range(elem):
+                if forward:
+                    out[j * n + i] = data[i * elem + j]
+                else:
+                    out[i * elem + j] = data[j * n + i]
+        return bytes(out)
+
+
+def _xor_filter(data: bytes, elem: int, forward: bool) -> bytes:
+    """TileDB XOR filter: each element stored XORed with its
+    predecessor (first element verbatim)."""
+    if elem <= 1 or len(data) % elem:
+        return data
+    import numpy as np  # noqa: PLC0415
+
+    dt = {2: "<u2", 4: "<u4", 8: "<u8"}.get(elem)
+    if dt is None:
+        return data
+    a = np.frombuffer(data, dtype=dt)
+    if forward:
+        out = a.copy()
+        out[1:] = a[1:] ^ a[:-1]
+        return out.tobytes()
+    return np.bitwise_xor.accumulate(a).astype(dt).tobytes()
+
+
+def _scale_float_params(meta: bytes) -> tuple[float, float, int]:
+    """SCALE_FLOAT filter options from the schema pipeline:
+    [f64 factor][f64 offset][u64 byte_width]."""
+    factor, offset = struct.unpack_from("<dd", meta, 0)
+    (bw,) = struct.unpack_from("<Q", meta, 16)
+    return factor, offset, int(bw)
 
 
 def _dd_unpack_numpy(stream: bytes, n: int, bitsize: int):
@@ -568,6 +621,16 @@ def _decompress_part(ftype: int, part: bytes, orig: int, elem: int) -> bytes:
     raise NotImplementedError(f"filter type {ftype} decode unsupported")
 
 
+def _stage_width(filters: list, elem: int) -> int:
+    """Element width seen by the LAST filter in ``filters``: the field's
+    width unless an upstream SCALE_FLOAT narrowed it to byte_width."""
+    w = elem
+    for f in filters[:-1]:
+        if f[0] == _F_SCALE_FLOAT:
+            w = _scale_float_params(f[1])[2]
+    return w
+
+
 def _reverse_pipeline(
     filters: list, meta_stack: list, data: bytes, elem: int
 ) -> bytes:
@@ -577,6 +640,7 @@ def _reverse_pipeline(
     if not filters:
         return data
     ftype, _ = filters[-1]
+    stage_elem = _stage_width(filters, elem)
     meta = meta_stack[0] if meta_stack else b""
     rest = meta_stack[1:]
     if ftype in _COMPRESSORS:
@@ -585,7 +649,8 @@ def _reverse_pipeline(
         for i in range(nm + nd):
             orig, stored = struct.unpack_from("<II", meta, 8 + 8 * i)
             blobs.append(
-                _decompress_part(ftype, data[dpos : dpos + stored], orig, elem)
+                _decompress_part(ftype, data[dpos : dpos + stored], orig,
+                                 stage_elem)
             )
             dpos += stored
         return _reverse_pipeline(
@@ -636,6 +701,26 @@ def _reverse_pipeline(
                 f"checksum filter mismatch ({'md5' if ftype == _F_MD5 else 'sha256'})"
             )
         return _reverse_pipeline(filters[:-1], rest, data, elem)
+    if ftype == _F_BYTESHUFFLE:
+        return _reverse_pipeline(
+            filters[:-1], rest,
+            _byteshuffle(data, stage_elem, forward=False), elem
+        )
+    if ftype == _F_XOR:
+        return _reverse_pipeline(
+            filters[:-1], rest,
+            _xor_filter(data, stage_elem, forward=False), elem
+        )
+    if ftype == _F_SCALE_FLOAT:
+        # stored = round((x - offset) / factor) as byte_width ints;
+        # options live in the SCHEMA pipeline entry, not chunk metadata
+        import numpy as np  # noqa: PLC0415
+
+        factor, offset, bw = _scale_float_params(filters[-1][1])
+        ints = np.frombuffer(data, dtype=f"<i{bw}").astype(np.float64)
+        floats = ints * factor + offset
+        out = floats.astype(f"<f{elem}").tobytes()
+        return _reverse_pipeline(filters[:-1], rest, out, elem)
     raise NotImplementedError(f"filter type {ftype} decode unsupported")
 
 

@@ -74,34 +74,63 @@ def _pack_pipeline(filters: Sequence[tuple[int, bytes]]) -> bytes:
     return out
 
 
-def _encode_chunked(data: bytes, filters: Sequence[tuple[int, bytes]]) -> bytes:
+_W_TRANSFORMS = (9, 15, 16)  # BYTESHUFFLE, SCALE_FLOAT, XOR
+
+
+def _encode_chunked(
+    data: bytes, filters: Sequence[tuple[int, bytes]], elem: int = 8
+) -> bytes:
     """Forward-apply a (possibly empty) filter pipeline and wrap as ONE
     chunked tile: [num_chunks u64] then per chunk
-    [orig u32][filt u32][meta u32][meta][payload].  Only the GZIP
-    compressor is emitted (one data part per chunk, zero metadata parts
-    -> part table [0,1,(orig,stored)]); an empty pipeline stores raw
-    chunks with filt == orig.
-    """
+    [orig u32][filt u32][meta u32][meta][payload].  Supported pipeline
+    shapes: [transforms...][checksum?][compressor?] where transforms are
+    BYTESHUFFLE / XOR / SCALE_FLOAT, checksum MD5/SHA256 digests ride as
+    metadata parts, and GZIP/ZSTD compress all parts with the part table
+    the reader's _reverse_pipeline expects.  An empty pipeline stores
+    raw chunks with filt == orig."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _byteshuffle,
+        _scale_float_params,
+        _xor_filter,
+    )
+
     for i, (ftype, _m) in enumerate(filters):
         if ftype in (_F_GZIP, _F_ZSTD) and i != len(filters) - 1:
             raise NotImplementedError("compressor must be last in pipeline")
-        if ftype not in (_F_GZIP, _F_ZSTD, _F_MD5, _F_SHA256):
+        if ftype not in (
+            _F_GZIP, _F_ZSTD, _F_MD5, _F_SHA256, *_W_TRANSFORMS
+        ):
             raise NotImplementedError(
-                "writer emits GZIP/ZSTD/CHECKSUM pipelines (decoder reads more)"
+                "writer emits GZIP/ZSTD/CHECKSUM/BYTESHUFFLE/XOR/"
+                "SCALE_FLOAT pipelines (decoder reads more)"
             )
     chunks = [
         data[i : i + _CHUNK_INPUT] for i in range(0, len(data), _CHUNK_INPUT)
     ] or [b""]
     out = struct.pack("<Q", len(chunks))
     for chunk in chunks:
-        # forward-apply the pipeline: checksum filters contribute digest
-        # METADATA PARTS; a trailing compressor compresses all parts and
-        # writes the part table the reader's _reverse_pipeline expects
+        # forward-apply the pipeline: transforms rewrite the payload
+        # (tracking element width across SCALE_FLOAT), checksum filters
+        # contribute digest METADATA PARTS, a trailing compressor
+        # compresses all parts
         meta_parts: list[bytes] = []
         payload = chunk
+        width = elem
         compressed = False
-        for ftype, _m in filters:
-            if ftype in (_F_MD5, _F_SHA256):
+        for ftype, fmeta in filters:
+            if ftype == 9:  # BYTESHUFFLE
+                payload = _byteshuffle(payload, width, forward=True)
+            elif ftype == 16:  # XOR
+                payload = _xor_filter(payload, width, forward=True)
+            elif ftype == 15:  # SCALE_FLOAT
+                import numpy as np  # noqa: PLC0415
+
+                factor, offset, bw = _scale_float_params(fmeta)
+                floats = np.frombuffer(payload, dtype=f"<f{width}")
+                ints = np.rint((floats.astype(np.float64) - offset) / factor)
+                payload = ints.astype(f"<i{bw}").tobytes()
+                width = bw
+            elif ftype in (_F_MD5, _F_SHA256):
                 import hashlib  # noqa: PLC0415
 
                 algo = hashlib.md5 if ftype == _F_MD5 else hashlib.sha256
@@ -289,11 +318,12 @@ def _write_field_files(
     pipelines per tile kind."""
     base = os.path.join(frag, f"{field.name}.tdb")
     dtype_id, cvn = field.dtype_id, field.cell_val_num
+    _nm, _code, elem = _DT[dtype_id]
     nullable = getattr(field, "nullable", False)
     if nullable:
         validity = bytes(0 if v is None else 1 for v in vals)
         with open(base[:-4] + "_validity.tdb", "wb") as f:
-            f.write(_encode_chunked(validity, schema.validity_filters))
+            f.write(_encode_chunked(validity, schema.validity_filters, elem=1))
     if cvn == _VAR:
         blobs = [
             b"" if v is None else _to_bytes_cell(v, dtype_id)
@@ -310,14 +340,16 @@ def _write_field_files(
                 _encode_chunked(
                     struct.pack(f"<{len(offs)}Q", *offs),
                     schema.offsets_filters,
+                    elem=8,
                 )
             )
         with open(base[:-4] + "_var.tdb", "wb") as f:
-            f.write(_encode_chunked(b"".join(blobs), field.filters))
+            f.write(_encode_chunked(b"".join(blobs), field.filters,
+                                    elem=elem))
     else:
         with open(base, "wb") as f:
             f.write(_encode_chunked(_pack_fixed(vals, dtype_id, cvn),
-                                    field.filters))
+                                    field.filters, elem=elem))
 
 
 def write_native_fragment(
