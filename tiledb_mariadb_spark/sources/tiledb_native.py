@@ -1157,6 +1157,36 @@ def read_native_array_range(
     def _in(v, lo, hi):
         return (lo is None or v >= lo) and (hi is None or v <= hi)
 
+    def _range_match_indices(dim_cols, rngs, n):
+        """Indices of cells inside every dim range — vectorized for
+        numeric coordinate columns (a per-row Python loop over a 10^7-cell
+        fragment would dominate the read), python fallback for
+        string/mixed dims."""
+        try:
+            import numpy as np  # noqa: PLC0415
+
+            mask = np.ones(n, dtype=bool)
+            for col, (lo, hi) in zip(dim_cols, rngs):
+                if lo is None and hi is None:
+                    continue
+                a = np.asarray(col)
+                if a.dtype == object:
+                    raise TypeError  # string dims: python path
+                if lo is not None:
+                    mask &= a >= lo
+                if hi is not None:
+                    mask &= a <= hi
+            return np.flatnonzero(mask).tolist()
+        except (ImportError, TypeError):
+            return [
+                i
+                for i in range(n)
+                if all(
+                    _in(col[i], lo, hi)
+                    for col, (lo, hi) in zip(dim_cols, rngs)
+                )
+            ]
+
     def _dims_cached(frag: str, zipped: bool) -> list[list]:
         # several splits of one scan land on the same reused Python
         # worker; the coordinate columns are identical across them, so
@@ -1200,14 +1230,7 @@ def read_native_array_range(
         if schema.array_type == "SPARSE" or has_coords:
             dim_cols = _dims_cached(frag, zipped)
             n = len(dim_cols[0])
-            ok = [
-                i
-                for i in range(n)
-                if all(
-                    _in(col[i], lo, hi)
-                    for col, (lo, hi) in zip(dim_cols, rngs)
-                )
-            ]
+            ok = _range_match_indices(dim_cols, rngs, n)
             if not ok:
                 continue
             lo_c, hi_c = ok[0], ok[-1] + 1

@@ -574,3 +574,106 @@ SPECS.append(
         "(no cubic fact self-join)",
     )
 )
+
+
+# --- q281: token-budget corpus mixing (round 4) -----------------------------
+# Data-mixture construction with PER-SOURCE budgets: deterministic
+# md5-keyed shuffle within each source, admit documents until the
+# source's char budget (token proxy) is exhausted.  One window cumsum —
+# map-side after the per-source shuffle, no driver loop; the budget
+# check is a per-row predicate on the running total, so the plan is a
+# single pass at any corpus size.
+_Q281_BUDGET = 200_000
+
+
+def q281_token_budget_mix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    )
+    return (
+        ranked.filter(F.col("cum") <= _Q281_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+Q281_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM ranked WHERE cum <= {_Q281_BUDGET}
+GROUP BY source ORDER BY source
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q281_token_budget_mix",
+        q281_token_budget_mix,
+        Q281_SQL,
+        "per-source token-budget corpus mixing: deterministic md5 order + "
+        "window cumsum admission, single pass",
+    )
+)
+
+
+# --- q282: k-anonymity threshold release (round 4) --------------------------
+# Privacy-preserving corpus statistics: (lang, source) groups smaller
+# than k are coalesced into an OTHER bucket before release, so no
+# published row describes fewer than k documents.  Two tiny aggregates
+# (group sizes are |langs|x|sources| rows — broadcast scale at 100 TB).
+_Q282_K = 5
+
+
+def q282_k_anonymity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    small = F.col("n") < _Q282_K
+    return (
+        g.select(
+            F.when(small, F.lit("OTHER")).otherwise(F.col("lang")).alias("lang_k"),
+            F.when(small, F.lit("OTHER")).otherwise(F.col("source")).alias("source_k"),
+            "n",
+        )
+        .groupBy("lang_k", "source_k")
+        .agg(F.sum("n").cast("bigint").alias("n_docs"))
+        .orderBy("lang_k", "source_k")
+    )
+
+
+Q282_SQL = f"""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+)
+SELECT CASE WHEN n < {_Q282_K} THEN 'OTHER' ELSE lang END AS lang_k,
+       CASE WHEN n < {_Q282_K} THEN 'OTHER' ELSE source END AS source_k,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q282_k_anonymity",
+        q282_k_anonymity,
+        Q282_SQL,
+        "k-anonymity threshold release: sub-k (lang, source) groups "
+        "coalesce into OTHER before publication",
+    )
+)

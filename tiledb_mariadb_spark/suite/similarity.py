@@ -381,3 +381,64 @@ SPECS = [
         "q71_ann_bucketed_search", q71_ann_bucketed_search, Q71_SQL, "bucketed ANN"
     ),
 ]
+
+
+# --- q280: Matryoshka (truncated-prefix) ANN (round 4) ----------------------
+# MRL-style embeddings are trained so a PREFIX of the vector is itself a
+# usable embedding: rank cheaply on the first 16 of 64 dims (4x less
+# compute, and at scale a 4x-narrower stored column / IO), keep the top-50
+# prefix candidates, then exact full-dim re-rank to top-10.  Same
+# funnel shape as PQ->exact re-rank (functions/pq.py), with dimension
+# truncation as the coarse quantizer.  All int-scaled deterministic math.
+def q280_matryoshka_ann(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "embedding",
+            "qv",
+            F.expr(
+                S.cosine_expr("slice(embedding, 1, 16)", "slice(qv, 1, 16)")
+            ).alias("pcos"),
+        )
+        .orderBy(F.col("pcos").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.expr(S.cosine_expr("embedding", "qv")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+Q280_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding, qv,
+         {S.cosine_sql('embedding[1:16]', 'qv[1:16]')} AS pcos
+  FROM embeddings, q
+  WHERE vec_id != 0
+  ORDER BY pcos DESC, vec_id ASC
+  LIMIT 50
+)
+SELECT vec_id, {S.cosine_sql('embedding', 'qv')} AS cos
+FROM cand
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q280_matryoshka_ann",
+        q280_matryoshka_ann,
+        Q280_SQL,
+        "Matryoshka ANN: truncated-prefix coarse ranking + exact full-dim "
+        "re-rank (MRL-embedding funnel)",
+    )
+)
