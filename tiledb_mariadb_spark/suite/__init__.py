@@ -182,7 +182,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # q252-q253, q260, q269-q271, q273), analytics2-8 (q198-q209, q218-q227,
     # q235-q239, q241-q244, q247, q257), plus q160/q161/q165/q167/q168,
     # q133b_natural_join, q134_values_inline, q210_sentence_split, and the
-    # round-4 additions q279_stream_native_sink (+ any later q28x).
+    # round-4 additions q279_stream_native_sink, q280_matryoshka_ann,
+    # q281_token_budget_mix, and q282_k_anonymity.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
