@@ -448,3 +448,32 @@ def test_transform_filters_roundtrip(tmp_path):
     )
     _s, rows = read_native_array(d)
     assert [r[1] for r in rows] == vals  # exactly representable grid
+
+
+def test_sparse_writes_land_in_global_order(tmp_path):
+    """TileDB sparse fragments hold cells in global (row-major) order;
+    the writer sorts unordered input before emission, so on-disk
+    coordinate chunks are monotone."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _fragment_dirs,
+        _read_field,
+    )
+
+    d = _mk_sparse(tmp_path)
+    write_native_fragment(
+        d,
+        {
+            "row": [9, 1, 5],
+            "a": [30, 10, 20],
+            "x": [3.0, 1.0, 2.0],
+            "s": ["c", "a", "b"],
+            "n": [None, 1, 2],
+        },
+        ts=10,
+    )
+    schema = parse_array_schema(_schema_path(d))
+    frag = _fragment_dirs(d)[0]
+    assert _read_field(frag, schema, schema.dims[0], 0, "d") == [1, 5, 9]
+    assert _read_field(frag, schema, schema.attrs[0], 0, "a") == [10, 20, 30]
+    _s, rows = read_native_array(d)
+    assert [r[:2] for r in rows] == [(1, 10), (5, 20), (9, 30)]

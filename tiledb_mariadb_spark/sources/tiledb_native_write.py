@@ -382,6 +382,21 @@ def write_native_fragment(
                 f"dense fragment must cover the full domain "
                 f"({dom_size} cells), got {n}"
             )
+    if schema.array_type == "SPARSE" and n > 1:
+        # TileDB sparse fragments store cells in GLOBAL ORDER (row-major
+        # over the dims for our schemas); sort before writing so the
+        # on-disk layout is format-faithful and coordinate chunks are
+        # monotone (which is what makes range -> chunk-span seeks tight)
+        order = sorted(
+            range(n), key=lambda i: tuple(columns[d.name][i] for d in schema.dims)
+        )
+        if order != list(range(n)):
+            columns = {
+                name: [vals[i] for i in order]
+                for name, vals in (
+                    (nm, columns[nm]) for nm in names
+                )
+            }
     frag = _next_fragment_dir(array_dir, ts)
     try:
         if schema.array_type == "SPARSE":
