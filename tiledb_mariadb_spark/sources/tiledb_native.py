@@ -308,12 +308,14 @@ class NativeAttr:
 class NativeSchema:
     def __init__(self, version, array_type, capacity, dims, attrs,
                  coords_filters=None, offsets_filters=None,
-                 validity_filters=None):
+                 validity_filters=None, tile_order=0, cell_order=0):
         self.version, self.array_type, self.capacity = version, array_type, capacity
         self.dims, self.attrs = dims, attrs
         self.coords_filters = coords_filters or []
         self.offsets_filters = offsets_filters or []
         self.validity_filters = validity_filters or []
+        # tiledb_layout_t: 0 ROW_MAJOR, 1 COL_MAJOR, 3 HILBERT
+        self.tile_order, self.cell_order = tile_order, cell_order
 
 
 class _Cursor:
@@ -353,7 +355,7 @@ def parse_array_schema(path: str) -> NativeSchema:
     if ver >= 5:
         c.u("B")  # allows_dups
     array_type = "DENSE" if c.u("B") == 0 else "SPARSE"
-    c.u("B"), c.u("B")  # tile_order, cell_order
+    tile_order, cell_order = c.u("B"), c.u("B")
     capacity = c.u("Q")
     coords_f = _skip_pipeline(c)
     offsets_f = _skip_pipeline(c)
@@ -405,6 +407,7 @@ def parse_array_schema(path: str) -> NativeSchema:
         ver, array_type, capacity, dims, attrs,
         coords_filters=coords_f, offsets_filters=offsets_f,
         validity_filters=validity_f,
+        tile_order=tile_order, cell_order=cell_order,
     )
 
 
@@ -1117,6 +1120,74 @@ def _read_field_span(
     return vals
 
 
+class _SortedCellView:
+    """Sequence view over a FIXED-width coordinate file for bisect:
+    item access decodes only the chunk containing that cell (memoized),
+    so locating a range boundary costs O(log n_cells) chunk decodes.
+    Raises on observed non-monotonicity (callers fall back to a full
+    decode — the seek is an optimization, never a correctness source)."""
+
+    def __init__(self, path: str, filters: list, dtype_id: int):
+        self._path = path
+        self._filters = filters
+        _n, self._code, self._elem = _DT[dtype_id]
+        self._chunks = _walk_tile_file(path)
+        self._cum = [0]
+        for _o, orig, _f, _m in self._chunks:
+            self._cum.append(self._cum[-1] + orig)
+        self._n = self._cum[-1] // self._elem
+        self._memo: dict[int, tuple] = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _chunk_vals(self, ci: int) -> tuple:
+        hit = self._memo.get(ci)
+        if hit is None:
+            raw = read_byte_span(
+                self._path, self._cum[ci], self._cum[ci + 1],
+                filters=self._filters, elem=self._elem,
+            )
+            hit = struct.unpack(f"<{len(raw) // self._elem}{self._code}", raw)
+            for a, b in zip(hit, hit[1:]):
+                if b < a:
+                    raise ValueError("coordinate chunk not sorted")
+            self._memo[ci] = hit
+        return hit
+
+    def __getitem__(self, i: int):
+        byte = i * self._elem
+        import bisect as _b  # noqa: PLC0415
+
+        ci = _b.bisect_right(self._cum, byte) - 1
+        vals = self._chunk_vals(ci)
+        return vals[(byte - self._cum[ci]) // self._elem]
+
+
+def sorted_dim0_cell_span(
+    frag: str, schema: "NativeSchema", lo, hi
+) -> tuple[int, int, int] | None:
+    """(first_cell, end_cell, n_cells) of dim0 values within [lo, hi] for
+    a ROW_MAJOR sparse fragment — found by bisect over the coordinate
+    file's chunk index, decoding O(log) chunks.  None => caller decodes
+    fully (var/zipped dims, non-row-major layout, or a sortedness
+    violation)."""
+    import bisect  # noqa: PLC0415
+
+    d0 = schema.dims[0]
+    if schema.cell_order != 0 or d0.is_var or _DT[d0.dtype_id][1] == "c":
+        return None
+    try:
+        path = _field_file(frag, d0.name, 0, "d")
+        view = _SortedCellView(path, d0.filters, d0.dtype_id)
+        n = len(view)
+        lo_c = bisect.bisect_left(view, lo) if lo is not None else 0
+        hi_c = bisect.bisect_right(view, hi) if hi is not None else n
+        return lo_c, hi_c, n
+    except (ValueError, FileNotFoundError, struct.error):
+        return None  # unsorted/odd layout: full decode handles it
+
+
 def _dense_is_row_major(schema: "NativeSchema") -> bool:
     """True when every dim's tile extent covers its whole axis (the
     fixture/writer layout): the global cell order is then plain
@@ -1228,8 +1299,28 @@ def read_native_array_range(
             for i, d in enumerate(schema.dims)
         )
         if schema.array_type == "SPARSE" or has_coords:
-            dim_cols = _dims_cached(frag, zipped)
-            n = len(dim_cols[0])
+            # sorted-seek fast path: ROW_MAJOR fragments keep dim0
+            # monotone, so the dim0 range maps to a cell span via bisect
+            # over the coordinate chunk index (O(log) chunk decodes) and
+            # even the coordinate read becomes O(span)
+            span = None
+            if not zipped and rngs[0] != (None, None):
+                span = sorted_dim0_cell_span(frag, schema, *rngs[0])
+            if span is not None:
+                s_lo, s_hi, n_cells = span
+                if s_lo >= s_hi:
+                    continue
+                dim_cols = [
+                    _read_field_span(
+                        frag, schema, dd, i, "d", s_lo, s_hi, n_cells
+                    )
+                    for i, dd in enumerate(schema.dims)
+                ]
+                base, n = s_lo, s_hi - s_lo
+            else:
+                dim_cols = _dims_cached(frag, zipped)
+                base, n = 0, len(dim_cols[0])
+                n_cells = n
             ok = _range_match_indices(dim_cols, rngs, n)
             if not ok:
                 continue
@@ -1237,7 +1328,7 @@ def read_native_array_range(
             attr_vals = {
                 a.name: _read_field_span(
                     frag, schema, a, schema.attrs.index(a), "a",
-                    lo_c, hi_c, n,
+                    base + lo_c, base + hi_c, n_cells,
                 )
                 for a in want
             }
