@@ -1546,6 +1546,53 @@ _SPARK_TYPE = {
     10: "bigint", 11: "string", 12: "string", 39: "binary", 40: "boolean",
 }
 
+# DATETIME tick -> microseconds-since-epoch conversion, pinned against the
+# reference's own rendering of the all_datetimes fixture
+# (mysql-test/mytile/r/data_types.result:297-299; epoch collapse
+# mytile/mytile.cc:475-548).  Factors are FIXED-scale: month = 365/12 days
+# (2628000 s — the golden's 606 months render as 2020-06-19 12:00:00),
+# week = 7 d.  DATETIME_YEAR maps to SQL YEAR (the integer 1970+ticks),
+# not a timestamp.
+_DT_US_MULT = {
+    19: 2628000 * 10**6,        # MONTH
+    20: 7 * 86400 * 10**6,      # WEEK
+    21: 86400 * 10**6,          # DAY
+    22: 3600 * 10**6,           # HR
+    23: 60 * 10**6,             # MIN
+    24: 10**6,                  # SEC
+    25: 10**3,                  # MS
+    26: 1,                      # US
+}
+_DT_US_DIV = {27: 10**3, 28: 10**6, 29: 10**9, 30: 10**12}  # NS..AS
+
+
+def datetime_ticks_to_micros(dtype_id: int, ticks: int) -> int:
+    """Datetime ticks -> µs since epoch the way the reference renders
+    them.  Sub-µs ticks that arrive negative are reinterpreted as uint64
+    before truncation — the observed behavior for the fixture's huge
+    PS/FS/AS values (golden cited above)."""
+    if dtype_id in _DT_US_MULT:
+        return ticks * _DT_US_MULT[dtype_id]
+    if dtype_id in _DT_US_DIV:
+        if ticks < 0:
+            ticks &= (1 << 64) - 1
+        return ticks // _DT_US_DIV[dtype_id]
+    raise ValueError(f"not a sub-year datetime dtype: {dtype_id}")
+
+
+def datetime_ticks_to_string(dtype_id: int, ticks: int) -> str:
+    """Golden-format rendering: YEAR -> '2020', DAY -> date,
+    others -> 'YYYY-MM-DD HH:MM:SS.ffffff' (µs precision)."""
+    import datetime as _dt  # noqa: PLC0415
+
+    if dtype_id == 18:  # YEAR
+        return str(1970 + ticks)
+    us = datetime_ticks_to_micros(dtype_id, ticks)
+    t = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+    if dtype_id == 21:  # DAY -> SQL DATE
+        return t.strftime("%Y-%m-%d")
+    return t.strftime("%Y-%m-%d %H:%M:%S.%f")
+
 
 def _spark_type(dtype_id: int, cell_val_num: int) -> str:
     base = _SPARK_TYPE.get(dtype_id, "bigint")  # datetimes: raw ticks

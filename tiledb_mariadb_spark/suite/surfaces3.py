@@ -933,3 +933,59 @@ SPECS.append(
         "(ha_mytile.cc:3158-3360 write path, no libtiledb)",
     )
 )
+
+
+# --- q283: native DATETIME rendering, all 13 resolutions (round 4) ----------
+# §1.3 completion: DATETIME_YEAR..DATETIME_AS ticks decoded from the
+# reference's own all_datetimes array render EXACTLY as the reference's
+# mtr golden (r/data_types.result:297-299) — fixed-scale factors
+# (month = 365/12 days), YEAR -> SQL YEAR integer, sub-µs ticks
+# truncated to µs with the observed uint64 reinterpretation.  Oracle =
+# the literal golden row.
+def q283_native_datetimes(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        datetime_ticks_to_string,
+        read_native_array,
+    )
+
+    schema, rows = read_native_array(f"{_FIXROOT}/2.0/all_datetimes")
+    out = []
+    for row in rows:
+        rid = row[0]
+        for a, tick in zip(schema.attrs, row[1:]):
+            out.append(
+                (int(rid), a.name, datetime_ticks_to_string(a.dtype_id, tick))
+            )
+    return (
+        spark.createDataFrame(out, "id bigint, col string, rendered string")
+        .orderBy("id", "col")
+    )
+
+
+Q283_SQL = """
+SELECT * FROM (VALUES
+  (1, 'datetime_year', '2020'),
+  (1, 'datetime_month', '2020-06-19 12:00:00.000000'),
+  (1, 'datetime_week', '2020-07-23 00:00:00.000000'),
+  (1, 'datetime_day', '2020-07-26'),
+  (1, 'datetime_hour', '2020-07-26 13:00:00.000000'),
+  (1, 'datetime_minute', '2020-07-26 13:45:00.000000'),
+  (1, 'datetime_second', '2020-07-26 13:45:55.000000'),
+  (1, 'datetime_millisecond', '2020-07-26 13:45:55.123000'),
+  (1, 'datetime_microsecond', '2020-07-26 13:45:55.123456'),
+  (1, 'datetime_nanosecond', '2020-07-26 13:45:55.123456'),
+  (1, 'datetime_picosecond', '1970-04-19 05:32:44.784435'),
+  (1, 'datetime_femtosecond', '1970-01-01 04:45:12.283138'),
+  (1, 'datetime_attosecond', '1970-01-01 00:00:12.151381')
+) AS v(id, col, rendered) ORDER BY id, col
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q283_native_datetimes",
+        q283_native_datetimes,
+        Q283_SQL,
+        "all 13 DATETIME resolutions decoded natively and rendered "
+        "byte-equal to the reference's data_types.result golden",
+    )
+)
