@@ -81,6 +81,10 @@ HEADLINE = [
     "q228_copurchase",
     "q245_corpus_build",
     "q266_native_var_pipeline",
+    # round-4 addition: the native WRITE path end-to-end (partitioned
+    # fragment write + overwrite + footer-pruned connector scan) — the
+    # newest tier, benched for round-over-round visibility like r3's q266
+    "q278_native_write",
 ]
 
 
