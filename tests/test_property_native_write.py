@@ -83,3 +83,78 @@ def test_overwrite_merge_fuzz(tmp_path_factory, frags):
         expect.update(cells)
     _s, rows = read_native_array(d)
     assert rows == [(k, expect[k]) for k in sorted(expect)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    cells=st.dictionaries(
+        st.integers(min_value=0, max_value=500),
+        I32,
+        min_size=1,
+        max_size=60,
+    ),
+    lo=st.integers(min_value=-10, max_value=510),
+    width=st.integers(min_value=0, max_value=200),
+)
+def test_range_read_matches_bruteforce_fuzz(tmp_path_factory, cells, lo, width):
+    """read_native_array_range (footer pruning + sorted-dim0 bisect seek
+    + span decode) returns exactly the brute-force dict-filter answer on
+    random fragments and random ranges."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+
+    d = str(tmp_path_factory.mktemp("rr") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+    )
+    ks = sorted(cells)
+    write_native_fragment(d, {"k": ks, "v": [cells[k] for k in ks]}, ts=10)
+    hi = lo + width
+    _names, rows = read_native_array_range(d, ranges=[(lo, hi)])
+    expect = [(k, cells[k]) for k in ks if lo <= k <= hi]
+    assert rows == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    frags=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=300),
+            I32,
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    lo=st.integers(min_value=0, max_value=300),
+    width=st.integers(min_value=0, max_value=120),
+)
+def test_multifragment_range_read_fuzz(tmp_path_factory, frags, lo, width):
+    """Range reads over OVERLAPPING multi-fragment arrays: footer
+    pruning + per-fragment seeks still produce newest-wins-within-range
+    exactly."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+
+    d = str(tmp_path_factory.mktemp("mf") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+    )
+    model: dict = {}
+    for i, cells in enumerate(frags):
+        ks = sorted(cells)
+        write_native_fragment(
+            d, {"k": ks, "v": [cells[k] for k in ks]}, ts=50 + i
+        )
+        model.update(cells)
+    hi = lo + width
+    _names, rows = read_native_array_range(d, ranges=[(lo, hi)])
+    expect = [(k, model[k]) for k in sorted(model) if lo <= k <= hi]
+    assert rows == expect
