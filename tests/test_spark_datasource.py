@@ -1,0 +1,130 @@
+"""Spark Python Data Source for native arrays
+(sources/spark_datasource.py): format() registration, schema inference
+from the array blob, pushFilters absorption/residual split, partition
+planning from narrowed domains, Arrow-batch reads, fragment-per-task
+writes, and auto-create on first write."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    IsNull,
+    LessThanOrEqual,
+    Not,
+    StringStartsWith,
+)
+
+from tiledb_mariadb_spark.sources.spark_datasource import (
+    TileDBNativeReader,
+    register_tiledb_native,
+)
+from tiledb_mariadb_spark.sources.tiledb_native import NativeAttr, NativeDim
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+
+@pytest.fixture()
+def arr(tmp_path):
+    d = str(tmp_path / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[
+            NativeAttr("v", 3, 1, False, None),
+            NativeAttr("tag", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    n = 500
+    write_native_fragment(
+        d,
+        {
+            "k": list(range(n)),
+            "v": [i * 0.5 for i in range(n)],
+            "tag": [f"t{i % 3}" for i in range(n)],
+        },
+        ts=10,
+    )
+    return d
+
+
+def test_push_filters_absorb_and_residual(arr):
+    r = TileDBNativeReader(arr, None, 8, ["k", "v", "tag"])
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("k",), 100),
+                LessThanOrEqual(("k",), 199),
+                EqualTo(("tag",), "t0"),
+                IsNull(("v",)),
+                Not(EqualTo(("tag",), "zz")),       # unsupported -> residual
+                StringStartsWith(("tag",), "t"),    # unsupported -> residual
+            ]
+        )
+    )
+    assert r.dim_ranges == {"k": (100, 199)}
+    assert ("tag", "=", "t0") in r.conditions
+    assert ("v", "is_null") in r.conditions
+    assert len(residual) == 2
+    parts = r.partitions()
+    # split plan covers ONLY the narrowed domain
+    assert parts[0].ranges[0][0] == 100 and parts[-1].ranges[0][1] == 199
+
+
+def test_format_roundtrip_with_pushdown(spark, tmp_path):
+    register_tiledb_native(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    uri = str(tmp_path / "fmt_arr")
+    df = spark.range(0, 300).selectExpr(
+        "id", "CAST(id % 7 AS BIGINT) AS m", "CONCAT('g', id % 2) AS g"
+    )
+    (
+        df.repartition(2).write.format("tiledb_native").mode("append")
+        .option("path", uri).option("dims", "id")
+        .option("domain.id", "0:1000").save()
+    )
+    frags = [
+        f for f in os.listdir(uri)
+        if f.startswith("__") and "schema" not in f
+    ]
+    assert len(frags) == 2
+    out = (
+        spark.read.format("tiledb_native").option("path", uri).load()
+        .filter((F.col("id") >= 50) & (F.col("id") < 100))
+        .filter(F.col("g") == "g1")
+    )
+    rows = sorted((r.id, r.m, r.g) for r in out.collect())
+    expect = [(i, i % 7, "g1") for i in range(50, 100) if i % 2 == 1]
+    assert rows == expect
+
+
+def test_schema_inferred_from_blob(spark, arr):
+    register_tiledb_native(spark)
+    df = spark.read.format("tiledb_native").option("path", arr).load()
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("k", "bigint"), ("v", "double"), ("tag", "string")
+    ]
+
+
+def test_write_overwrite_rejected(spark, arr):
+    register_tiledb_native(spark)
+    with pytest.raises(Exception, match="append"):
+        (
+            spark.range(1).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v",
+                                      "'x' AS tag")
+            .write.format("tiledb_native").mode("overwrite")
+            .option("path", arr).save()
+        )
+
+
+def test_write_missing_array_needs_dims(spark, tmp_path):
+    register_tiledb_native(spark)
+    with pytest.raises(Exception, match="dims"):
+        (
+            spark.range(1).write.format("tiledb_native").mode("append")
+            .option("path", str(tmp_path / "nope")).save()
+        )

@@ -30,6 +30,7 @@ def get_spark(app_name: str = "tiledb_mariadb_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/root/repo/.tmp/spark-warehouse")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,4 +63,7 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     timestamp columns collect identically to DuckDB's UTC-naive values.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the Python data source (sources/spark_datasource.py) implements
+    # pushFilters; Spark requires this opt-in flag (runtime-settable)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

@@ -183,7 +183,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # q235-q239, q241-q244, q247, q257), plus q160/q161/q165/q167/q168,
     # q133b_natural_join, q134_values_inline, q210_sentence_split, and the
     # round-4 additions q279_stream_native_sink, q280_matryoshka_ann,
-    # q281_token_budget_mix, q282_k_anonymity, and q283_native_datetimes.
+    # q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
+    # and q284_python_datasource.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [

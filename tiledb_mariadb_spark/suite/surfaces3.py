@@ -989,3 +989,78 @@ SPECS.append(
         "byte-equal to the reference's data_types.result golden",
     )
 )
+
+
+# --- q284: first-class Spark Data Source (round 4) --------------------------
+# The connector surfaced through Spark's OFFICIAL extension point (the
+# Python Data Source API): spark.read.format("tiledb_native") with
+# Catalyst-driven pushFilters (dim ranges narrow the split plan, attr
+# predicates evaluate in the backend) and df.write.format(...) landing
+# one native fragment per task — the planner-level integration the
+# reference has inside MariaDB (handler + cond_push,
+# ha_mytile.cc:2783-2882).  Same data/oracle shape as q278 but the whole
+# path goes through the registered format, so the driver verifies the
+# DataSource plumbing itself.
+def q284_python_datasource(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
+
+    register_tiledb_native(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    uri = tempfile.mkdtemp(prefix="q284_datasource_") + "/orders_arr"
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    src = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("st"),
+    ).repartition(3)
+    (
+        src.write.format("tiledb_native")
+        .mode("append")
+        .option("path", uri)
+        .option("dims", "o_orderkey")
+        .option("domain.o_orderkey", "1:6000000")
+        .save()
+    )
+    arr = (
+        spark.read.format("tiledb_native")
+        .option("path", uri)
+        .option("target_splits", "8")
+        .load()
+        .filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 15000))
+        .filter(F.col("st") != "X")  # residual (Not) stays Spark-side
+    )
+    return (
+        arr.groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("st")
+    )
+
+
+from tiledb_mariadb_spark.suite import dsum_sql as _dsum_sql2  # noqa: E402
+
+Q284_SQL = f"""
+SELECT o_orderstatus AS st, COUNT(*) AS n,
+       {_dsum_sql2('o_totalprice', 2)} AS sum_price
+FROM orders
+WHERE o_orderkey BETWEEN 100 AND 15000 AND o_orderstatus <> 'X'
+GROUP BY o_orderstatus ORDER BY st
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q284_python_datasource",
+        q284_python_datasource,
+        Q284_SQL,
+        "registered Spark Python Data Source: format() write -> "
+        "pushFilters-pruned format() read (handler/cond_push parity "
+        "through Spark's official extension API)",
+    )
+)
