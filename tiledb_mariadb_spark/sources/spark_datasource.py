@@ -31,6 +31,7 @@ from typing import TYPE_CHECKING, Iterable, Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -42,6 +43,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -261,7 +263,117 @@ class TileDBNativeWriter(DataSourceWriter):
         pass
 
 
+class TileDBNativeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming SOURCE over a native array: the offset is the set of
+    committed fragment directories; each micro-batch emits exactly the
+    rows of fragments that appeared since the last offset (TileDB's
+    append-only fragment model makes the change feed exact and
+    replayable — readBetweenOffsets re-decodes the same immutable
+    fragments)."""
+
+    def __init__(self, uri: str, columns: list):
+        self.uri = uri
+        self.columns = columns
+
+    def _frags(self) -> list:
+        import os  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _fragment_dirs,
+        )
+
+        return [os.path.basename(f) for f in _fragment_dirs(self.uri)]
+
+    def _rows_of(self, frag_names: list) -> Iterator:
+        """Rows of exactly the named fragments (each decoded in
+        isolation — fragments are immutable, so a batch's content never
+        changes on replay)."""
+        import os  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _fragment_dirs,
+            parse_array_schema,
+            _read_field,
+            _schema_path,
+        )
+
+        if not frag_names:
+            return
+        wanted = set(frag_names)
+        schema = parse_array_schema(_schema_path(self.uri))
+        names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
+        idx = [names.index(c) for c in self.columns]
+        for f in _fragment_dirs(self.uri):
+            if os.path.basename(f) not in wanted:
+                continue
+            cols = [
+                _read_field(f, schema, d, i, "d")
+                for i, d in enumerate(schema.dims)
+            ] + [
+                _read_field(f, schema, a, i, "a")
+                for i, a in enumerate(schema.attrs)
+            ]
+            for row in zip(*cols):
+                yield tuple(row[j] for j in idx)
+
+    def initialOffset(self) -> dict:
+        return {"frags": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("frags", []))
+        now = self._frags()
+        new = [f for f in now if f not in seen]
+        # materialized list: the runner copies/pickles the batch payload
+        return list(self._rows_of(new)), {"frags": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("frags", []))
+        return list(
+            self._rows_of(
+                [f for f in end.get("frags", []) if f not in seen]
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # fragments are immutable; nothing to clean up
+
+
+class TileDBNativeStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK: every epoch's partitions land as independent
+    native fragments — micro-batch commit IS TileDB's fragment-commit
+    model, so there is nothing extra to finalize."""
+
+    def __init__(self, uri, options, schema):
+        self._w = TileDBNativeWriter(uri, options, schema)
+
+    def write(self, iterator: Iterator) -> _WroteFragment:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId) -> None:
+        pass
+
+    def abort(self, messages, batchId) -> None:
+        pass
+
+
+def _ds_simple_stream_reader(self, schema: StructType):
+    return TileDBNativeStreamReader(
+        self._uri(), [f.name for f in schema.fields]
+    )
+
+
+def _ds_stream_writer(self, schema: StructType, overwrite: bool):
+    return TileDBNativeStreamWriter(self._uri(), dict(self.options), schema)
+
+
+TileDBNativeDataSource.simpleStreamReader = _ds_simple_stream_reader
+TileDBNativeDataSource.streamWriter = _ds_stream_writer
+
+
 def register_tiledb_native(spark) -> None:
     """Register the data source on a session:
-    ``spark.read.format('tiledb_native').option('path', uri).load()``."""
+    ``spark.read.format('tiledb_native').option('path', uri).load()``;
+    streaming: ``spark.readStream.format('tiledb_native')`` emits new
+    fragments per micro-batch, ``df.writeStream.format('tiledb_native')``
+    lands fragments per epoch."""
     spark.dataSource.register(TileDBNativeDataSource)

@@ -424,21 +424,31 @@ def _write_fragment_footer(
     decoding any of it (libtiledb fragment pruning parity).  The footer
     version matches the fragment-name suffix (_5) — the parser
     cross-checks them."""
+    empty = n == 0 and schema.array_type != "DENSE"
     raw = struct.pack("<I", 5)
-    raw += struct.pack("<BB", 1 if schema.array_type == "DENSE" else 0, 0)
+    raw += struct.pack(
+        "<BB", 1 if schema.array_type == "DENSE" else 0, 1 if empty else 0
+    )
     for d in schema.dims:
         _nm, code, size = _DT[d.dtype_id]
         if schema.array_type == "DENSE":
             vals = [d.domain[0], d.domain[1]]
+        elif empty:
+            vals = None  # null non-empty domain: placeholder bytes only
         else:
             vals = columns[d.name]
         if d.is_var:
+            if vals is None:
+                raw += struct.pack("<QQ", 0, 0)
+                continue
             los = min(vals)
             his = max(vals)
             lo_b = los.encode() if isinstance(los, str) else bytes(los)
             hi_b = his.encode() if isinstance(his, str) else bytes(his)
             raw += struct.pack("<QQ", len(lo_b) + len(hi_b), len(lo_b))
             raw += lo_b + hi_b
+        elif vals is None:
+            raw += struct.pack(f"<2{code}", 0, 0)
         else:
             raw += struct.pack(f"<2{code}", min(vals), max(vals))
     raw += struct.pack("<QQ", 1, n)  # one logical tile, n cells in it

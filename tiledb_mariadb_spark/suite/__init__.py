@@ -184,7 +184,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # q133b_natural_join, q134_values_inline, q210_sentence_split, and the
     # round-4 additions q279_stream_native_sink, q280_matryoshka_ann,
     # q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
-    # and q284_python_datasource.
+    # q284_python_datasource, and q285_datasource_stream.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [

@@ -413,3 +413,86 @@ SPECS.append(
         "connector scan (streaming twin of ha_mytile.cc:3260-3360)",
     )
 )
+
+
+# --- q285: registered streaming SOURCE over a native array (round 4) --------
+# spark.readStream.format("tiledb_native"): the committed-fragment set is
+# the streaming offset, so each micro-batch carries exactly the new
+# fragments (TileDB's append-only model = an exact, replayable change
+# feed).  Two deterministic fragments from the events table stream into a
+# stateless aggregation; oracle = the same aggregate over the slice.
+def q285_datasource_stream(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+    from tiledb_mariadb_spark.streaming.events import (  # noqa: PLC0415
+        run_to_completion,
+    )
+
+    register_tiledb_native(spark)
+    root = tempfile.mkdtemp(prefix="q285_stream_src_")
+    uri = root + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("event_id", 1, 1, (0, 10**9), None)],
+        attrs=[
+            NativeAttr("user_id", 1, 1, False, None),
+            NativeAttr("etype", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", F.col("event_type").alias("etype"))
+        .collect()
+    )
+    first = [r for r in ev if r.event_id < 1000]
+    second = [r for r in ev if r.event_id >= 1000]
+    for ts, batch in ((100, first), (200, second)):
+        write_native_fragment(
+            uri,
+            {
+                "event_id": [r.event_id for r in batch],
+                "user_id": [r.user_id for r in batch],
+                "etype": [r.etype for r in batch],
+            },
+            ts=ts,
+        )
+    feed = (
+        spark.readStream.format("tiledb_native").option("path", uri).load()
+    )
+    agg = feed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )
+    return run_to_completion(agg, "complete").orderBy("etype")
+
+
+Q285_SQL = """
+SELECT event_type AS etype, COUNT(*) AS n,
+       MIN(user_id) AS min_user,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY etype
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q285_datasource_stream",
+        q285_datasource_stream,
+        Q285_SQL,
+        "streaming SOURCE via the registered Python Data Source: "
+        "fragment-set offsets give an exact replayable change feed",
+    )
+)
