@@ -177,14 +177,20 @@ def all_specs() -> dict[str, QuerySpec]:
     # code), then the full tpch_extra census, the streaming remainder
     # (first driver rows for q91-q94/q148/q177/q274), the late additions
     # q74/q276/q277, and functions_surface7/8 NULL-semantics specs.
-    # ROUND 5 should rotate in the final ~75 never-driver-verified specs:
-    # pipeline_ops3-8 (q183-q197, q212-q216, q228-q232, q245, q248-q249,
-    # q252-q253, q260, q269-q271, q273), analytics2-8 (q198-q209, q218-q227,
-    # q235-q239, q241-q244, q247, q257), plus q160/q161/q165/q167/q168,
-    # q133b_natural_join, q134_values_inline, q210_sentence_split, and the
-    # round-4 additions q279_stream_native_sink, q280_matryoshka_ann,
-    # q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
-    # q284_python_datasource, and q285_datasource_stream.
+    # After round 4, 83 specs remain never-driver-verified; rounds 5-6
+    # finish the registry.  ROUND-5 front-50 (copy this literal in,
+    # leading with the round-4 additions — newest, least-driver-tested):
+    #   q278 is r4-verified; r5 = q279_stream_native_sink,
+    #   q280_matryoshka_ann, q281_token_budget_mix, q282_k_anonymity,
+    #   q283_native_datetimes, q284_python_datasource,
+    #   q285_datasource_stream, q271_ivf_delete, q269_triangle_count,
+    #   q270_embedding_drift, q273_itemset_triples, then pipeline_ops3-5:
+    #   q183-q197 (15), q212-q216 (5), q228-q232 (5), q245, q248, q249,
+    #   q252, q253, q260, and analytics picks q198, q199, q200, q201,
+    #   q202, q203, q204, q205 — exactly 50.
+    # ROUND-6 remainder (33): q206-q209, q218-q227, q235-q239, q241-q244,
+    # q247, q257, q210_sentence_split, q160/q161/q165/q167/q168,
+    # q133b_natural_join, q134_values_inline.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
