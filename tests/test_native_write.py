@@ -477,3 +477,33 @@ def test_sparse_writes_land_in_global_order(tmp_path):
     assert _read_field(frag, schema, schema.attrs[0], 0, "a") == [10, 20, 30]
     _s, rows = read_native_array(d)
     assert [r[:2] for r in rows] == [(1, 10), (5, 20), (9, 30)]
+
+
+def test_consolidate_and_vacuum_native(tmp_path):
+    """Fragment maintenance: consolidate materializes the merged state
+    as one new fragment (history intact), vacuum then drops the old
+    fragments (history gone, state identical)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import _fragment_dirs
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_native_array,
+        vacuum_native_array,
+    )
+
+    d = _mk_sparse(tmp_path)
+    base = {"x": [0.0], "s": [""], "n": [None]}
+    write_native_fragment(d, {"row": [1], "a": [1], **base}, ts=100)
+    write_native_fragment(d, {"row": [1], "a": [2], **base}, ts=200)
+    write_native_fragment(d, {"row": [2], "a": [3], **base}, ts=300)
+    _s, before = read_native_array(d)
+    frag = consolidate_native_array(d)
+    assert frag is not None
+    assert len(_fragment_dirs(d)) == 4
+    _s, after = read_native_array(d)
+    assert after == before
+    # history still visible pre-vacuum
+    _s, hist = read_native_array(d, at=150)
+    assert [(r[0], r[1]) for r in hist] == [(1, 1)]
+    assert vacuum_native_array(d) == 3
+    assert len(_fragment_dirs(d)) == 1
+    _s, final = read_native_array(d)
+    assert final == before

@@ -482,3 +482,37 @@ def array_info_to_native(dims, attrs) -> tuple[list, list]:
                        None)
         )
     return ndims, nattrs
+
+
+def consolidate_native_array(array_dir: str) -> Optional[str]:
+    """TileDB fragment consolidation for native arrays: materialize the
+    newest-wins merged state as ONE new fragment (strictly newer ts), so
+    reads touch a single fragment.  Old fragments stay on disk — time
+    travel still works — until :func:`vacuum_native_array` removes them
+    (TileDB's consolidate-then-vacuum two-step).  Returns the new
+    fragment dir, or None for an empty array."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_native_array,
+    )
+
+    schema, rows = read_native_array(array_dir)
+    if not rows:
+        return None
+    names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
+    cols = {n: list(vals) for n, vals in zip(names, zip(*rows))}
+    return write_native_fragment(array_dir, cols)
+
+
+def vacuum_native_array(array_dir: str) -> int:
+    """Remove every fragment older than the newest one.  ONLY safe right
+    after :func:`consolidate_native_array` (the newest fragment then
+    contains the full merged state); destroys time-travel history by
+    design, exactly like TileDB's vacuum.  Returns fragments removed."""
+    import shutil  # noqa: PLC0415
+
+    frags = _fragment_dirs(array_dir)
+    removed = 0
+    for f in frags[:-1]:
+        shutil.rmtree(f, ignore_errors=True)
+        removed += 1
+    return removed
