@@ -382,6 +382,17 @@ def write_native_fragment(
                 f"dense fragment must cover the full domain "
                 f"({dom_size} cells), got {n}"
             )
+    for d in schema.dims:
+        if d.domain is None or schema.array_type == "DENSE":
+            continue
+        lo, hi = d.domain
+        for v in columns[d.name]:
+            if v < lo or v > hi:
+                raise ValueError(
+                    f"dimension {d.name}: coordinate {v!r} outside the "
+                    f"declared domain [{lo}, {hi}] (the reference rejects "
+                    "out-of-domain writes, ha_mytile.cc bounds checks)"
+                )
     if schema.array_type == "SPARSE" and n > 1:
         # TileDB sparse fragments store cells in GLOBAL ORDER (row-major
         # over the dims for our schemas); sort before writing so the

@@ -865,7 +865,7 @@ def q278_native_write(spark, sf_dir):
     be.create(
         uri,
         ArrayInfo(
-            dims=[DimInfo("o_orderkey", "bigint", (1, 6_000_000))],
+            dims=[DimInfo("o_orderkey", "bigint", (0, 6_000_000))],
             attrs=[
                 AttrInfo("price", "double", nullable=False),
                 AttrInfo("st", "string", nullable=False),
@@ -1023,7 +1023,7 @@ def q284_python_datasource(spark, sf_dir):
         .mode("append")
         .option("path", uri)
         .option("dims", "o_orderkey")
-        .option("domain.o_orderkey", "1:6000000")
+        .option("domain.o_orderkey", "0:6000000")
         .save()
     )
     arr = (
@@ -1062,5 +1062,95 @@ SPECS.append(
         "registered Spark Python Data Source: format() write -> "
         "pushFilters-pruned format() read (handler/cond_push parity "
         "through Spark's official extension API)",
+    )
+)
+
+
+# --- q286: native fragment consolidation + vacuum (round 4) -----------------
+# TileDB's maintenance two-step on NATIVE arrays (q164 covers the
+# TileTable/parquet tier): overlapping fragments -> consolidate
+# materializes the merged state as one new fragment (history intact) ->
+# vacuum drops superseded fragments -> the connector scan sees the
+# identical state from a single fragment.  Oracle recomputes the
+# overwrite sequence relationally.
+def q286_native_consolidation(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_native_array,
+        create_native_array,
+        vacuum_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q286_consol_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("p_partkey", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    keys = [r.p_partkey for r in p]
+    write_native_fragment(
+        uri, {"p_partkey": keys, "cents": [r.cents for r in p]}, ts=100
+    )
+    # overwrite every 3rd key with a 10% discount, then every 5th with 0
+    for ts, mod, f in ((200, 3, lambda c: c * 9 // 10), (300, 5, lambda c: 0)):
+        sel = [(r.p_partkey, f(r.cents)) for r in p if r.p_partkey % mod == 0]
+        write_native_fragment(
+            uri,
+            {"p_partkey": [k for k, _ in sel], "cents": [c for _, c in sel]},
+            ts=ts,
+        )
+    assert consolidate_native_array(uri) is not None
+    n_removed = vacuum_native_array(uri)
+    n_frags = len(_fragment_dirs(uri))
+    arr = read_array(spark, uri, target_splits=4)
+    return arr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.lit(n_removed).cast("bigint").alias("frags_vacuumed"),
+        F.lit(n_frags).cast("bigint").alias("frags_left"),
+    )
+
+
+Q286_SQL = """
+WITH base AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part WHERE p_partkey <= 500
+),
+final AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 5 = 0 THEN 0
+              WHEN p_partkey % 3 = 0 THEN cents * 9 // 10
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(3 AS BIGINT) AS frags_vacuumed, CAST(1 AS BIGINT) AS frags_left
+FROM final
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q286_native_consolidation",
+        q286_native_consolidation,
+        Q286_SQL,
+        "native fragment consolidation + vacuum: overwrite chain "
+        "materialized to one fragment, state identical via connector scan",
     )
 )
