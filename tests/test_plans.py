@@ -91,6 +91,8 @@ def test_no_python_udf_in_any_plan(spark):
         # a declared mapInPandas (executor-side array decode)
         "q278_native_write",  # connector write→scan: same declared
         # mapInPandas boundary (native fragment io), round 4
+        "q286_native_consolidation",  # consolidation + pruned connector
+        # scan: same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",
