@@ -188,3 +188,33 @@ def test_stream_sink_lands_fragments(spark, tmp_path):
     out = spark.read.format("tiledb_native").option("path", dst).load()
     assert out.count() == 40
     assert sorted(r.v for r in out.filter("k < 3").collect()) == [0, 2, 4]
+
+
+def test_sql_table_from_array(spark, arr):
+    """Pure-SQL surface: `sql_table_from_array` is the `CREATE TABLE ...
+    ENGINE=mytile uri=...` analog — the bare array becomes a SQL table
+    name queried with plain SQL (pushFilters still applies through the
+    registered source).  Catalog `CREATE TABLE ... USING` is not used:
+    Spark 4.1 does not forward its OPTIONS to Python DS reads."""
+    import uuid as _uuid
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        sql_table_from_array,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    tname = "mytile_sql_" + _uuid.uuid4().hex[:6]
+    sql_table_from_array(spark, tname, arr)
+    row = spark.sql(
+        f"SELECT COUNT(*) AS n, SUM(k) AS sk FROM {tname} "
+        "WHERE k BETWEEN 10 AND 19 AND tag = 't0'"
+    ).collect()[0]
+    keys = [i for i in range(10, 20) if i % 3 == 0]
+    assert (row.n, row.sk) == (len(keys), sum(keys))
+    # joins against ordinary tables work like any SQL table
+    j = spark.sql(
+        f"SELECT t.k, t.v FROM {tname} t "
+        "JOIN (SELECT explode(sequence(5, 8)) AS k) s USING (k) "
+        "ORDER BY t.k"
+    ).collect()
+    assert [(r.k, r.v) for r in j] == [(i, i * 0.5) for i in range(5, 9)]

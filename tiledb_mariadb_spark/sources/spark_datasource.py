@@ -71,9 +71,15 @@ class TileDBNativeDataSource(DataSource):
         return "tiledb_native"
 
     def _uri(self) -> str:
-        uri = self.options.get("path")
+        uri = self.options.get("path") or self.options.get("location")
         if not uri:
             raise ValueError("tiledb_native requires the 'path' option")
+        # SQL `CREATE TABLE ... USING tiledb_native` URI-ifies the path
+        # ('file:/x' or 'file:///x'); the backend wants a plain fs path
+        if uri.startswith("file:"):
+            uri = uri[5:]
+            while uri.startswith("//"):
+                uri = uri[1:]
         return uri
 
     def _at(self):
@@ -377,3 +383,16 @@ def register_tiledb_native(spark) -> None:
     fragments per micro-batch, ``df.writeStream.format('tiledb_native')``
     lands fragments per epoch."""
     spark.dataSource.register(TileDBNativeDataSource)
+
+
+def sql_table_from_array(spark, table_name: str, uri: str, **options) -> None:
+    """SQL-surface registration — the ``CREATE TABLE ... ENGINE=mytile
+    uri='...'`` analog: the bare array becomes a plain SQL table name
+    (temp view over the registered format, so pushFilters still applies).
+    Spark's catalog `CREATE TABLE ... USING <python-ds>` does not forward
+    OPTIONS to the Python read path (verified on 4.1), hence the view."""
+    register_tiledb_native(spark)
+    reader = spark.read.format("tiledb_native").option("path", uri)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    reader.load().createOrReplaceTempView(table_name)
