@@ -677,3 +677,75 @@ SPECS.append(
         "coalesce into OTHER before publication",
     )
 )
+
+
+# --- q287: cluster-balanced diversity sampling (round 4) --------------------
+# Curation step for training mixes: partition the embedding space into
+# deterministic sign-quadrant clusters (the first 4 components' signs —
+# a fixed 16-cell coarse quantizer), then take an equal per-cluster
+# quota by md5 order, so no dense region dominates the sample
+# (cluster-balanced sampling a la SemDeDup/DSIR practice).  One window
+# over the cluster partitioning — single shuffle, no driver state.
+_Q287_QUOTA = 25
+
+
+def q287_diversity_sample(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.element_at("embedding", j + 1) > 0).cast("int") * (1 << j)
+        for j in range(4)
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    )
+    ranked = e.select(
+        bucket.alias("bucket"), "vec_id"
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("rn") <= _Q287_QUOTA).cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("rn") <= _Q287_QUOTA, F.col("vec_id"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q287_SQL = f"""
+WITH b AS (
+  SELECT vec_id,
+         CAST(embedding[1] > 0 AS INT) * 1 + CAST(embedding[2] > 0 AS INT) * 2
+       + CAST(embedding[3] > 0 AS INT) * 4 + CAST(embedding[4] > 0 AS INT) * 8
+         AS bucket
+  FROM embeddings
+),
+ranked AS (
+  SELECT bucket, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn
+  FROM b
+)
+SELECT bucket, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN rn <= {_Q287_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {_Q287_QUOTA} THEN vec_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY bucket ORDER BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q287_diversity_sample",
+        q287_diversity_sample,
+        Q287_SQL,
+        "cluster-balanced diversity sampling: sign-quadrant coarse "
+        "quantizer + equal per-cluster md5-ordered quotas, one shuffle",
+    )
+)
