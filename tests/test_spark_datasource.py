@@ -218,3 +218,41 @@ def test_sql_table_from_array(spark, arr):
         "ORDER BY t.k"
     ).collect()
     assert [(r.k, r.v) for r in j] == [(i, i * 0.5) for i in range(5, 9)]
+
+
+def test_in_pushdown_exact_multirange(spark, arr):
+    """IN on the dim absorbs EXACTLY as point ranges (MRR/multi-range
+    parity, mytile-range.cc:647-730): the split plan covers only the IN
+    values, holes are never scanned, and results are exact with no
+    Spark-side residual."""
+    from pyspark.sql.datasource import In
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        TileDBNativeReader,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import merge_ranges
+
+    # merge_ranges: overlap + adjacency coalesce, the reference's dedupe
+    assert merge_ranges([(5, 9), (1, 3), (4, 4), (20, 25), (22, 30)]) == [
+        (1, 9), (20, 30)
+    ]
+
+    r = TileDBNativeReader(arr, None, 8, ["k", "v", "tag"])
+    residual = list(r.pushFilters([In(("k",), (7, 300, 8, 42))]))
+    assert residual == []  # absorbed exactly
+    parts = r.partitions()
+    covered = set()
+    for p in parts:
+        lo, hi = p.ranges[0]
+        covered.update(range(lo, hi + 1))
+    assert covered == {7, 8, 42, 300}  # exactly the IN values, no holes
+
+    # end-to-end through SQL
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_tiledb_native(spark)
+    out = (
+        spark.read.format("tiledb_native").option("path", arr).load()
+        .filter("k IN (7, 300, 8, 42, 999999)")  # 999999 not present
+    )
+    rows = sorted((x.k, x.v) for x in out.collect())
+    assert rows == [(7, 3.5), (8, 4.0), (42, 21.0), (300, 150.0)]

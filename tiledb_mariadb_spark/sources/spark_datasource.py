@@ -136,9 +136,31 @@ class TileDBNativeReader(DataSourceReader):
 
         def _narrow(name, lo, hi):
             cur = self.dim_ranges.get(name, (None, None))
+            if isinstance(cur, list):  # existing IN point set: filter it
+                self.dim_ranges[name] = [
+                    (v, w)
+                    for v, w in cur
+                    if (lo is None or w >= lo) and (hi is None or v <= hi)
+                ]
+                return
             nlo = lo if cur[0] is None else (cur[0] if lo is None else max(cur[0], lo))
             nhi = hi if cur[1] is None else (cur[1] if hi is None else min(cur[1], hi))
             self.dim_ranges[name] = (nlo, nhi)
+
+        def _add_points(name, pts):
+            cur = self.dim_ranges.get(name)
+            if cur is None:
+                self.dim_ranges[name] = [(v, v) for v in pts]
+            elif isinstance(cur, tuple):
+                lo, hi = cur
+                self.dim_ranges[name] = [
+                    (v, v)
+                    for v in pts
+                    if (lo is None or v >= lo) and (hi is None or v <= hi)
+                ]
+            else:
+                keep = {v for v, _ in cur}
+                self.dim_ranges[name] = [(v, v) for v in pts if v in keep]
 
         residual = []
         for f in filters:
@@ -173,10 +195,13 @@ class TileDBNativeReader(DataSourceReader):
             elif ftype is IsNotNull:
                 self.conditions.append((col, "is_not_null"))
             elif ftype is In and col in self._dim_names and all(
-                isinstance(v, int) for v in f.values
+                isinstance(v, int) for v in f.value
             ):
-                _narrow(col, min(f.values), max(f.values))
-                residual.append(f)  # range is a superset: Spark re-checks
+                # EXACT multi-range absorption (MRR parity): one point
+                # range per IN value, merged/split by plan_splits — the
+                # holes between values are never scanned and no residual
+                # re-check is needed
+                _add_points(col, sorted(set(f.value)))
             else:
                 residual.append(f)
         return residual

@@ -432,9 +432,33 @@ def _intersect(
     return (lo, hi)
 
 
+def merge_ranges(
+    ranges: list[tuple[Any, Any]],
+) -> list[tuple[Any, Any]]:
+    """Sort + coalesce overlapping/adjacent inclusive ranges — the
+    reference's multi-range dedupe/merge (mytile-range.cc:647-730,
+    mytile-range.h:220-300).  Adjacent integer ranges (hi+1 == next lo)
+    merge too."""
+    norm = [r for r in ranges if r is not None]
+    if not norm:
+        return []
+    norm.sort(key=lambda r: (r[0], r[1]))
+    out = [norm[0]]
+    for lo, hi in norm[1:]:
+        plo, phi = out[-1]
+        adjacent = (
+            isinstance(hi, int) and isinstance(phi, int) and lo <= phi + 1
+        )
+        if lo <= phi or adjacent:
+            out[-1] = (plo, max(phi, hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
 def plan_splits(
     info: ArrayInfo,
-    dim_ranges: Optional[dict[str, tuple[Any, Any]]] = None,
+    dim_ranges: Optional[dict[str, Any]] = None,
     target_splits: int = 32,
 ) -> list[list[tuple[Any, Any]]]:
     """Cut the (predicate-narrowed) domain of the first integer-typed
@@ -444,37 +468,62 @@ def plan_splits(
     here each range is an independent Spark task, so read parallelism
     scales with the cluster, not with one server thread.
 
+    ``dim_ranges[dim]`` is an inclusive ``(lo, hi)`` — or a LIST of them
+    (the multi-range/IN pushdown, MRR parity): ranges are merged
+    (mytile-range.cc:647-730) and the split axis emits splits per merged
+    range, so the holes between IN values are never scanned at all.
+
     Returns [] when a predicate empties the domain (nothing to scan).
     """
     dim_ranges = dim_ranges or {}
-    narrowed: list[Optional[tuple[Any, Any]]] = []
-    for d in info.dims:
-        r = _intersect(d.domain, dim_ranges.get(d.name))
-        if r is None:
-            return []
-        narrowed.append(r)
 
+    def _pieces(d) -> list:
+        req = dim_ranges.get(d.name)
+        if req is None or isinstance(req, tuple):
+            r = _intersect(d.domain, req)
+            return [r] if r is not None else []
+        merged = merge_ranges(list(req))
+        out = []
+        for sub in merged:
+            r = _intersect(d.domain, sub)
+            if r is not None:
+                out.append(r)
+        return out
+
+    per_dim = [_pieces(d) for d in info.dims]
+    if any(not p for p in per_dim):
+        return []
+    # multi-range applies on the split axis; other dims take the convex
+    # hull of their pieces (cells between their IN values are filtered
+    # by Spark's residual predicate)
     split_axis = None
     for i, d in enumerate(info.dims):
-        lo, hi = narrowed[i]
+        lo, hi = per_dim[i][0]
         if isinstance(lo, int) and isinstance(hi, int):
             split_axis = i
             break
+    narrowed: list[tuple[Any, Any]] = []
+    for i, pieces in enumerate(per_dim):
+        if i == split_axis:
+            narrowed.append(pieces[0])  # placeholder, replaced below
+        else:
+            narrowed.append((pieces[0][0], pieces[-1][1]))
     if split_axis is None:
-        return [list(narrowed)]  # type: ignore[arg-type]
+        return [list(narrowed)]
 
-    lo, hi = narrowed[split_axis]
-    span = hi - lo + 1
-    n = max(1, min(target_splits, span))
-    step = -(-span // n)  # ceil
+    axis_pieces = per_dim[split_axis]
+    total_span = sum(hi - lo + 1 for lo, hi in axis_pieces)
+    n = max(1, min(target_splits, total_span))
+    step = -(-total_span // n)  # ceil
     splits = []
-    start = lo
-    while start <= hi:
-        end = min(start + step - 1, hi)
-        s = list(narrowed)
-        s[split_axis] = (start, end)
-        splits.append(s)  # type: ignore[arg-type]
-        start = end + 1
+    for lo, hi in axis_pieces:
+        start = lo
+        while start <= hi:
+            end = min(start + step - 1, hi)
+            s = list(narrowed)
+            s[split_axis] = (start, end)
+            splits.append(s)
+            start = end + 1
     return splits
 
 
