@@ -1154,3 +1154,73 @@ SPECS.append(
         "materialized to one fragment, state identical via connector scan",
     )
 )
+
+
+# --- q288: multi-range IN pushdown via the data source (round 4) ------------
+# The MRR surface (t/mrr.test, mytile-range.cc:647-730 range dedupe)
+# expressed through Catalyst: an IN over the dimension absorbs as EXACT
+# point ranges in pushFilters, the split plan covers only those values
+# (holes never scanned), and the scan feeds a plain aggregate.  Oracle =
+# WHERE IN over the parquet table.
+_Q288_KEYS = tuple(range(7, 20000, 97))  # 207 spread-out orderkeys
+
+
+def q288_multirange_in(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
+
+    register_tiledb_native(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    uri = tempfile.mkdtemp(prefix="q288_mrr_") + "/orders_arr"
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .repartition(2)
+        .write.format("tiledb_native")
+        .mode("append")
+        .option("path", uri)
+        .option("dims", "o_orderkey")
+        .option("domain.o_orderkey", "0:6000000")
+        .save()
+    )
+    arr = (
+        spark.read.format("tiledb_native")
+        .option("path", uri)
+        .option("target_splits", "16")
+        .load()
+        .filter(F.col("o_orderkey").isin(list(_Q288_KEYS)))
+    )
+    return arr.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("price")).alias("sum_price"),
+        F.min("o_orderkey").alias("min_k"),
+        F.max("o_orderkey").alias("max_k"),
+    )
+
+
+from tiledb_mariadb_spark.suite import dsum_sql as _dsum_sql3  # noqa: E402
+
+Q288_SQL = f"""
+SELECT COUNT(*) AS n, {_dsum_sql3('o_totalprice', 2)} AS sum_price,
+       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+FROM orders
+WHERE o_orderkey IN ({', '.join(str(k) for k in _Q288_KEYS)})
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q288_multirange_in",
+        q288_multirange_in,
+        Q288_SQL,
+        "multi-range IN pushdown through the registered data source: "
+        "exact point-range split plan (t/mrr.test parity)",
+    )
+)
