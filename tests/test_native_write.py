@@ -507,3 +507,34 @@ def test_consolidate_and_vacuum_native(tmp_path):
     assert len(_fragment_dirs(d)) == 1
     _s, final = read_native_array(d)
     assert final == before
+
+
+def test_allows_dups_keeps_duplicates(tmp_path):
+    """allows_dups=true arrays KEEP duplicate coordinates — within a
+    fragment and across fragments — instead of newest-wins overwrite
+    (t/duplicates.test semantics); allows_dups=false dedupes as before."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        parse_array_schema as _pas,
+        read_native_array_range,
+    )
+
+    for dups in (True, False):
+        d = str(tmp_path / f"dups_{dups}")
+        create_native_array(
+            d,
+            dims=[NativeDim("k", 1, 1, (0, 100), None)],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+            allows_dups=dups,
+        )
+        assert _pas(_schema_path(d)).allows_dups is dups
+        write_native_fragment(d, {"k": [1, 1, 2], "v": [10, 11, 20]}, ts=100)
+        write_native_fragment(d, {"k": [1, 3], "v": [12, 30]}, ts=200)
+        _s, rows = read_native_array(d)
+        if dups:
+            assert rows == [
+                (1, 10), (1, 11), (1, 12), (2, 20), (3, 30)
+            ]
+        else:
+            assert rows == [(1, 12), (2, 20), (3, 30)]
+        _n, ranged = read_native_array_range(d, ranges=[(1, 1)])
+        assert len(ranged) == (3 if dups else 1)

@@ -308,7 +308,8 @@ class NativeAttr:
 class NativeSchema:
     def __init__(self, version, array_type, capacity, dims, attrs,
                  coords_filters=None, offsets_filters=None,
-                 validity_filters=None, tile_order=0, cell_order=0):
+                 validity_filters=None, tile_order=0, cell_order=0,
+                 allows_dups=False):
         self.version, self.array_type, self.capacity = version, array_type, capacity
         self.dims, self.attrs = dims, attrs
         self.coords_filters = coords_filters or []
@@ -316,6 +317,9 @@ class NativeSchema:
         self.validity_filters = validity_filters or []
         # tiledb_layout_t: 0 ROW_MAJOR, 1 COL_MAJOR, 3 HILBERT
         self.tile_order, self.cell_order = tile_order, cell_order
+        # allows_dups=true: duplicate coordinates are KEPT, not
+        # overwritten (t/duplicates.test semantics)
+        self.allows_dups = allows_dups
 
 
 class _Cursor:
@@ -352,8 +356,9 @@ def parse_array_schema(path: str) -> NativeSchema:
     empty in the fixtures) are ignored."""
     c = _Cursor(read_generic_tile(path))
     ver = c.u("I")
+    allows_dups = False
     if ver >= 5:
-        c.u("B")  # allows_dups
+        allows_dups = bool(c.u("B"))
     array_type = "DENSE" if c.u("B") == 0 else "SPARSE"
     tile_order, cell_order = c.u("B"), c.u("B")
     capacity = c.u("Q")
@@ -408,6 +413,7 @@ def parse_array_schema(path: str) -> NativeSchema:
         coords_filters=coords_f, offsets_filters=offsets_f,
         validity_filters=validity_f,
         tile_order=tile_order, cell_order=cell_order,
+        allows_dups=allows_dups,
     )
 
 
@@ -921,6 +927,7 @@ def read_native_array(
     Rows are (dims..., attrs...) in schema order."""
     schema = parse_array_schema(_schema_path(array_dir))
     merged: dict[tuple, tuple] = {}
+    dup_rows: list[tuple] = []  # allows_dups=true: keep every cell
     for frag in _fragment_dirs(array_dir, at=at):
         zipped = os.path.join(frag, "__coords.tdb")
         has_coords = os.path.isfile(zipped) or any(
@@ -954,7 +961,14 @@ def read_native_array(
                     f"{a.name}: {len(col)} cells for {len(coords)} coords"
                 )
         for i, c in enumerate(coords):
-            merged[c] = c + tuple(col[i] for col in attr_cols)
+            row = c + tuple(col[i] for col in attr_cols)
+            if schema.allows_dups:
+                dup_rows.append(row)
+            else:
+                merged[c] = row
+    if schema.allows_dups:
+        nd = len(schema.dims)
+        return schema, sorted(dup_rows, key=lambda r: r[:nd])
     return schema, [merged[c] for c in sorted(merged)]
 
 
@@ -1289,6 +1303,7 @@ def read_native_array_range(
         return hit
 
     merged: dict[tuple, tuple] = {}
+    dup_rows: list[tuple] = []  # allows_dups=true: keep every cell
     for frag in _fragment_dirs(array_dir, at=at):
         if not fragment_overlaps(frag, schema, rngs):
             continue  # footer-proven disjoint: zero bytes decoded
@@ -1334,9 +1349,11 @@ def read_native_array_range(
             }
             for i in ok:
                 c = tuple(col[i] for col in dim_cols)
-                merged[c] = c + tuple(
-                    attr_vals[a.name][i - lo_c] for a in want
-                )
+                row = c + tuple(attr_vals[a.name][i - lo_c] for a in want)
+                if schema.allows_dups:
+                    dup_rows.append(row)
+                else:
+                    merged[c] = row
         else:  # dense
             axes = []
             for d in schema.dims:
@@ -1374,6 +1391,9 @@ def read_native_array_range(
                 ):
                     continue
                 merged[c] = c + tuple(attr_vals[a.name][i] for a in want)
+    if schema.allows_dups:
+        nd = len(schema.dims)
+        return names, sorted(dup_rows, key=lambda r: r[:nd])
     return names, [merged[c] for c in sorted(merged)]
 
 

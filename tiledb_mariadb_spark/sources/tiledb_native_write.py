@@ -177,7 +177,7 @@ def _serialize_schema(schema: NativeSchema) -> bytes:
     """Version-7 array-schema blob, the exact field sequence
     parse_array_schema's ver>=5 path consumes."""
     out = struct.pack("<I", 7)
-    out += struct.pack("<B", 0)  # allows_dups
+    out += struct.pack("<B", 1 if schema.allows_dups else 0)
     out += struct.pack("<B", 0 if schema.array_type == "DENSE" else 1)
     out += struct.pack("<BB", 0, 0)  # tile_order, cell_order: ROW_MAJOR
     out += struct.pack("<Q", schema.capacity)
@@ -222,6 +222,7 @@ def create_native_array(
     capacity: int = 10000,
     compressor: str = "gzip",
     checksum: Optional[str] = None,
+    allows_dups: bool = False,
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
@@ -248,6 +249,7 @@ def create_native_array(
     schema = NativeSchema(
         7, array_type, capacity, list(dims), list(attrs),
         coords_filters=gz, offsets_filters=gz, validity_filters=gz,
+        allows_dups=allows_dups,
     )
     os.makedirs(array_dir, exist_ok=True)
     _write_generic_tile(
