@@ -256,3 +256,26 @@ def test_in_pushdown_exact_multirange(spark, arr):
     )
     rows = sorted((x.k, x.v) for x in out.collect())
     assert rows == [(7, 3.5), (8, 4.0), (42, 21.0), (300, 150.0)]
+
+
+def test_all_null_split_keeps_schema(spark, tmp_path):
+    """A split whose nullable column is entirely NULL must still produce
+    a bigint Arrow batch (explicit schema, no null-type drift)."""
+    register_tiledb_native(spark)
+    uri = str(tmp_path / "nulls")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("n", 1, 1, True, None)],
+    )
+    write_native_fragment(
+        uri,
+        {"k": [1, 2, 500, 501], "n": [None, None, 7, 8]},
+        ts=10,
+    )
+    out = (
+        spark.read.format("tiledb_native").option("path", uri)
+        .option("target_splits", "4").load()
+    )
+    rows = sorted((r.k, r.n) for r in out.collect())
+    assert rows == [(1, None), (2, None), (500, 7), (501, 8)]

@@ -216,6 +216,12 @@ class TileDBNativeReader(DataSourceReader):
         )
         return [_SplitPartition(s) for s in splits]
 
+    _PA_TYPES = {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "double": "float64", "float": "float32",
+        "string": "string", "boolean": "bool", "binary": "binary",
+    }
+
     def read(self, partition: _SplitPartition) -> Iterator:
         import pyarrow as pa  # noqa: PLC0415
 
@@ -226,8 +232,20 @@ class TileDBNativeReader(DataSourceReader):
             at=self.at,
             conditions=self.conditions,
         )
-        if len(pdf):
-            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+        if not len(pdf):
+            return
+        # explicit Arrow schema: a split whose nullable column is
+        # all-None must not drift to the null type (schema mismatch
+        # across partitions)
+        ddl = {f.name: f.dtype for f in self._info.dims + self._info.attrs}
+        fields = [
+            pa.field(c, getattr(pa, self._PA_TYPES.get(ddl.get(c, "string"),
+                                                       "string"))())
+            for c in self.columns
+        ]
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=pa.schema(fields), preserve_index=False
+        )
 
 
 @dataclass
