@@ -184,11 +184,12 @@ def all_specs() -> dict[str, QuerySpec]:
     #   q280_matryoshka_ann, q281_token_budget_mix, q282_k_anonymity,
     #   q283_native_datetimes, q284_python_datasource,
     #   q285_datasource_stream, q286_native_consolidation, q287_diversity_sample, q288_multirange_in,
+    #   q289_datasource_time_travel,
     #   q271_ivf_delete, q269_triangle_count,
     #   q270_embedding_drift, q273_itemset_triples, then pipeline_ops3-5:
     #   q183-q197 (15), q212-q216 (5), q228-q232 (5), q245, q248, q249,
     #   q252, q253, q260, and analytics picks q198, q199, q200, q201,
-    #   q202 — exactly 50 (with q286/q287/q288).
+    #   — exactly 50 (with q286/q287/q288/q289).
     # ROUND-6 remainder (33): q206-q209, q218-q227, q235-q239, q241-q244,
     # q247, q257, q210_sentence_split, q160/q161/q165/q167/q168,
     # q133b_natural_join, q134_values_inline.

@@ -1224,3 +1224,95 @@ SPECS.append(
         "exact point-range split plan (t/mrr.test parity)",
     )
 )
+
+
+# --- q289: time travel through the data source (round 4) --------------------
+# open_at parity (ha_mytile.cc:3440-3455, t/open_at.test) via the
+# registered format's `at` option: two pinned-timestamp fragments, read
+# at three instants — before the second write (pre-overwrite values),
+# after it (newest wins), and before the first (empty).
+def q289_datasource_time_travel(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    register_tiledb_native(spark)
+    uri = tempfile.mkdtemp(prefix="q289_tt_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    n = (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .collect()
+    )
+    write_native_fragment(
+        uri,
+        {"k": [r.n_nationkey for r in n], "v": [r.n_regionkey for r in n]},
+        ts=1000,
+    )
+    write_native_fragment(
+        uri,
+        {
+            "k": [r.n_nationkey for r in n if r.n_nationkey % 2 == 0],
+            "v": [99 for r in n if r.n_nationkey % 2 == 0],
+        },
+        ts=2000,
+    )
+
+    def read_at(ts):
+        return (
+            spark.read.format("tiledb_native")
+            .option("path", uri).option("at", str(ts)).load()
+        )
+
+    parts = []
+    for label, ts in (("t1500", 1500), ("t2500", 2500), ("t500", 500)):
+        parts.append(
+            read_at(ts).agg(
+                F.lit(label).alias("snap"),
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias("sum_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("snap")
+
+
+Q289_SQL = """
+WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS v FROM nation),
+t1500 AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM nat),
+t2500 AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN k % 2 = 0 THEN 99 ELSE v END) AS BIGINT) AS s
+  FROM nat)
+SELECT * FROM (
+  SELECT 't1500' AS snap, n, s AS sum_v FROM t1500
+  UNION ALL SELECT 't2500', n, s FROM t2500
+  UNION ALL SELECT 't500', 0, 0
+) ORDER BY snap
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q289_datasource_time_travel",
+        q289_datasource_time_travel,
+        Q289_SQL,
+        "open_at through the registered data source: fragment visibility "
+        "pinned by the `at` option (t/open_at.test parity)",
+    )
+)
