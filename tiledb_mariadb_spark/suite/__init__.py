@@ -177,22 +177,22 @@ def all_specs() -> dict[str, QuerySpec]:
     # code), then the full tpch_extra census, the streaming remainder
     # (first driver rows for q91-q94/q148/q177/q274), the late additions
     # q74/q276/q277, and functions_surface7/8 NULL-semantics specs.
-    # After round 4, 83 specs remain never-driver-verified; rounds 5-6
-    # finish the registry.  ROUND-5 front-50 (copy this literal in,
+    # After round 4, 87 specs remain never-driver-verified; rounds 5-6
+    # finish the registry.  ROUND-5 front-50 (copy in as commit #1,
     # leading with the round-4 additions — newest, least-driver-tested):
-    #   q278 is r4-verified; r5 = q279_stream_native_sink,
-    #   q280_matryoshka_ann, q281_token_budget_mix, q282_k_anonymity,
-    #   q283_native_datetimes, q284_python_datasource,
-    #   q285_datasource_stream, q286_native_consolidation, q287_diversity_sample, q288_multirange_in,
-    #   q289_datasource_time_travel,
-    #   q271_ivf_delete, q269_triangle_count,
-    #   q270_embedding_drift, q273_itemset_triples, then pipeline_ops3-5:
-    #   q183-q197 (15), q212-q216 (5), q228-q232 (5), q245, q248, q249,
-    #   q252, q253, q260, and analytics picks q198, q199, q200, q201,
-    #   — exactly 50 (with q286/q287/q288/q289).
-    # ROUND-6 remainder (33): q206-q209, q218-q227, q235-q239, q241-q244,
-    # q247, q257, q210_sentence_split, q160/q161/q165/q167/q168,
-    # q133b_natural_join, q134_values_inline.
+    #   q279_stream_native_sink, q280_matryoshka_ann,
+    #   q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
+    #   q284_python_datasource, q285_datasource_stream,
+    #   q286_native_consolidation, q287_diversity_sample,
+    #   q288_multirange_in, q289_datasource_time_travel (11),
+    #   then q271_ivf_delete, q269_triangle_count, q270_embedding_drift,
+    #   q273_itemset_triples (4), pipeline_ops3-5: q183-q197 (15),
+    #   q212-q216 (5), q228-q232 (5), q245, q248, q249, q252, q253,
+    #   q260 (6), and analytics picks q198, q199, q200, q201 (4)
+    #   — exactly 50.
+    # ROUND-6 remainder (37): q202-q209, q218-q227, q235-q239,
+    # q241-q244, q247, q257, q210_sentence_split,
+    # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
