@@ -23,7 +23,6 @@
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import functions as F
@@ -31,6 +30,7 @@ from pyspark.sql.window import Window
 
 from tiledb_mariadb_spark.functions.similarity import _scaled_int_spark, _scaled_int_sql
 from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 # --- q207: per-label embedding centroids -----------------------------------
 
@@ -120,7 +120,7 @@ _EXPORT_ROOT = "/root/repo/.tmp/exports"
 
 
 def q209_export_roundtrip(spark, sf_dir):
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _scratch_tag(sf_dir)
     sub = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 997 == 0)

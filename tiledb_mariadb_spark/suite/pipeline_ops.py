@@ -687,17 +687,16 @@ FROM counts CROSS JOIN tot
 # asserted in tests/test_bucketing.py).  The spec verifies the RESULTS
 # equal a plain join via the oracle.
 def q157_bucketed_join(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
-
     from tiledb_mariadb_spark.operators.bucketing import (  # noqa: PLC0415
         bucket_table,
         joined_bucketed,
     )
+    from tiledb_mariadb_spark.suite.scratch import sql_tag  # noqa: PLC0415
 
     # bucket_table's overwrite clears stale registrations AND orphaned
     # warehouse dirs, so repeat driver runs (fresh session, same disk)
-    # are idempotent.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # are idempotent; the PID suffix keeps concurrent processes disjoint.
+    tag = sql_tag(sf_dir)
     cn, on = f"q157_cust_{tag}", f"q157_ord_{tag}"
     bucket_table(
         t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),

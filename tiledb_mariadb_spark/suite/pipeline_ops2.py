@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from tiledb_mariadb_spark.functions import dedup as D
 from tiledb_mariadb_spark.functions import similarity as S
 from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 # --- q173: incremental dedup — probe a new batch against the corpus --------
 # Batch = doc_id % 5 == 0 (a ~20% "new ingest" at every sf); corpus = the
@@ -307,7 +308,6 @@ WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
 
 
 def q179_ivf_append(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
@@ -319,7 +319,7 @@ def q179_ivf_append(spark, sf_dir):
     cents = ivf.train_centroids(
         e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
     )
-    tag = hashlib.md5(f"append:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _scratch_tag(f"append:{sf_dir}")
     path = os.path.join("/root/repo/.tmp/ivf_index", f"emb-app-{tag}")
     shutil.rmtree(path, ignore_errors=True)
     ivf.write_ivf_index(ivf.assign_lists(resident, cents, "embedding"), path)
@@ -550,7 +550,6 @@ SPECS = [
 # compaction; both must equal brute-force top-k over the surviving
 # vectors — which is exactly what the oracle computes.
 def q271_ivf_delete(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
@@ -560,7 +559,7 @@ def q271_ivf_delete(spark, sf_dir):
     cents = ivf.train_centroids(
         e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
     )
-    tag = hashlib.md5(f"delete:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _scratch_tag(f"delete:{sf_dir}")
     path = os.path.join("/root/repo/.tmp/ivf_index", f"emb-del-{tag}")
     shutil.rmtree(path, ignore_errors=True)
     ivf.write_ivf_index(ivf.assign_lists(e, cents, "embedding"), path)

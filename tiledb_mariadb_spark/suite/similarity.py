@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from tiledb_mariadb_spark.functions import similarity as S
 from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 
 # --- q68: brute-force cosine top-k ----------------------------------------
@@ -112,7 +113,6 @@ WHERE x.vec_id < 200 AND y.vec_id < 200
 # oracle can hash-verify the whole pipeline; nprobe < n_lists quality is
 # asserted separately by the recall test (tests/test_ivf.py).
 def q72_ann_ivf(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
@@ -125,7 +125,7 @@ def q72_ann_ivf(spark, sf_dir):
         e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
     )
     indexed = ivf.assign_lists(e, cents, "embedding")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _scratch_tag(sf_dir)
     path = os.path.join("/root/repo/.tmp/ivf_index", f"emb-{tag}")
     ivf.write_ivf_index(indexed, path)
     stored = spark.read.parquet(path)
@@ -173,7 +173,6 @@ SELECT qid, vec_id, cos FROM ranked WHERE rk <= 3
 
 # --- q153: batch IVF search — queries probe their own inverted lists -------
 def q153_ivf_batch(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     from tiledb_mariadb_spark.functions import ivf  # noqa: PLC0415
@@ -184,7 +183,7 @@ def q153_ivf_batch(spark, sf_dir):
         e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=8, iters=1
     )
     indexed = ivf.assign_lists(corpus, cents, "embedding")
-    tag = hashlib.md5(f"batch-{sf_dir}".encode()).hexdigest()[:8]
+    tag = _scratch_tag(f"batch-{sf_dir}")
     path = os.path.join("/root/repo/.tmp/ivf_index", f"embatch-{tag}")
     ivf.write_ivf_index(indexed, path)
     stored = spark.read.parquet(path)

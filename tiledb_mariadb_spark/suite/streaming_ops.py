@@ -21,6 +21,7 @@ from tiledb_mariadb_spark.streaming.events import (
     windowed_counts,
 )
 from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 _WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour tumbling windows
 
@@ -259,7 +260,6 @@ SPECS = [
 # pre-CDC fragments (no __tombstone column on disk) as 'upsert'.  The
 # whole feed runs as a real readStream (availableNow drain).
 def q274_stream_cdc_feed(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
     from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable  # noqa: PLC0415
@@ -271,7 +271,7 @@ def q274_stream_cdc_feed(spark, sf_dir):
     e = t(spark, sf_dir, "events").select(
         "event_id", (F.col("event_id") % 100).alias("bucket")
     )
-    tag = hashlib.md5(f"cdcfeed:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _scratch_tag(f"cdcfeed:{sf_dir}")
     uri = f"/root/repo/.tmp/stream_cdc/{tag}"
     shutil.rmtree(uri, ignore_errors=True)
     tt = TileTable.create(
@@ -330,7 +330,6 @@ SPECS.append(
 # Verification closes the loop THROUGH the on-disk format: the array is
 # read back by the native connector with dim-range pruning and aggregated.
 def q279_stream_native_sink(spark, sf_dir):
-    import hashlib  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
     from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
@@ -346,7 +345,7 @@ def q279_stream_native_sink(spark, sf_dir):
     )
     from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
 
-    tag = hashlib.md5(f"natsink:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _scratch_tag(f"natsink:{sf_dir}")
     root = f"/root/repo/.tmp/stream_native/{tag}"
     shutil.rmtree(root, ignore_errors=True)
     uri = f"{root}/arr"

@@ -11,7 +11,6 @@ discovery.test / open_at.test / fill_in.test.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import functions as F
@@ -23,8 +22,9 @@ TMP_ROOT = "/root/repo/.tmp/tile_tables"
 
 
 def _uri(name: str, sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(TMP_ROOT, f"{name}-{tag}")
+    from tiledb_mariadb_spark.suite.scratch import tag  # noqa: PLC0415
+
+    return os.path.join(TMP_ROOT, f"{name}-{tag(sf_dir)}")
 
 
 # --- q80: @metadata virtual table -----------------------------------------
