@@ -341,3 +341,115 @@ SPECS = [
         "resize-stub int features → cosine top-k (hash oracle via hex bytes)",
     ),
 ]
+
+
+# --- q291: perceptual-hash (dHash) near-dup over opaque blobs ---------------
+# The multimodal member of the near-dup family (token-space: q180 SimHash;
+# embedding-space: q159/q290): treat each document's bytes as an opaque
+# media blob (the q70/q74 convention — no image libs in this container,
+# so the "decode" is the deterministic bytes-as-pixels stub), compute a
+# 64-bit difference hash (dHash: bit_i = byte_i > byte_{i+1} over the
+# first 65 bytes, the classic 8x9->64-bit gradient fingerprint), and find
+# near-dups by Hamming distance.  The 64 bits live as FOUR 16-bit band
+# ints (never a single 64-bit value: bit 63 would overflow BIGINT
+# arithmetic differently per engine) — which is also exactly the
+# pigeonhole index: hamming<=6 over 4 bands forces at least one exact
+# band match, so candidates come from a band equi-join (bounded by bucket
+# population, never all-pairs) and the exact popcount verify runs only on
+# candidates.  Corpus salted with tail-mutated copies (doc_id+100000) so
+# true near-dups (hamming<=2) exist at every sf.  All arithmetic is
+# integer-exact; both engines hash-match bit-for-bit.
+_Q291_BYTES_SPARK = (
+    "transform(sequence(0, 64), i -> IF(2*i+2 <= length(hx),"
+    " CAST(conv(substring(hx, 2*i+1, 2), 16, 10) AS BIGINT), 0L))"
+)
+_Q291_BANDS_SPARK = (
+    "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0L,"
+    " (acc, i) -> acc + IF(element_at(bs, 16*k+i+1) > element_at(bs, 16*k+i+2),"
+    " shiftleft(1L, i), 0L)))"
+)
+_Q291_HAM = 6
+
+
+def q291_phash_neardup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("concat(substring(text, 1, length(text) - 1), '~')").alias("text"),
+    )
+    corpus = d.unionByName(copies)
+    hashed = (
+        corpus.withColumn("hx", F.hex(F.col("text").cast("binary")))
+        .withColumn("bs", F.expr(_Q291_BYTES_SPARK))
+        .withColumn("bands", F.expr(_Q291_BANDS_SPARK))
+        .select("doc_id", "bands")
+    )
+    # Pigeonhole candidates: one row per (band index, band value) bucket.
+    banded = hashed.select(
+        "doc_id", "bands", F.posexplode("bands").alias("k", "bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.expr(
+                "aggregate(zip_with(a.bands, b.bands,"
+                " (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(F.col("hamming") <= _Q291_HAM)
+        .select(F.col("ida").alias("a"), F.col("idb").alias("b"), "hamming")
+        .orderBy("a", "b")
+    )
+
+
+Q291_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, length(text) - 1) || '~'
+  FROM documents WHERE doc_id % 9 = 0),
+hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
+by_ AS (
+  SELECT doc_id,
+    [CASE WHEN 2*i+2 <= length(hx)
+          THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2)) AS BIGINT)
+          ELSE 0 END FOR i IN range(0, 65)] AS bs
+  FROM hx),
+hashed AS (
+  SELECT doc_id,
+    [CAST(COALESCE(list_sum(
+       [CASE WHEN bs[CAST(16*k+i+1 AS BIGINT)] > bs[CAST(16*k+i+2 AS BIGINT)]
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END FOR i IN range(0, 16)]
+     ), 0) AS BIGINT) FOR k IN range(0, 4)] AS bands
+  FROM by_),
+banded AS (
+  SELECT doc_id, bands, CAST(k AS BIGINT) AS k, bands[CAST(k + 1 AS BIGINT)] AS bv
+  FROM hashed, UNNEST(range(0, 4)) AS u(k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+    CAST(list_sum(list_transform(a.bands,
+         (x, i) -> bit_count(xor(x, b.bands[i])))) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT ida AS a, idb AS b, hamming FROM cand
+WHERE hamming <= {_Q291_HAM}
+ORDER BY a, b
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q291_phash_neardup",
+        q291_phash_neardup,
+        Q291_SQL,
+        "dHash perceptual near-dup: 16-bit pigeonhole bands + popcount verify",
+    )
+)

@@ -28,6 +28,7 @@ the three shapes a rolling 100 TB ingest hits next:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tiledb_mariadb_spark.functions import dedup as D
 from tiledb_mariadb_spark.functions import similarity as S
@@ -609,5 +610,154 @@ SPECS.append(
         Q271_SQL,
         "IVF deletion vectors: tombstone-sidecar search + list-pruned "
         "compaction both equal brute force over survivors",
+    )
+)
+
+
+# --- q290: SemDeDup — semantic dedup via cluster-confined cosine pruning ----
+# The embedding-space analog of Abbas et al. 2023 (SemDeDup, public):
+# assign every vector to its nearest centroid, then prune near-duplicate
+# PAIRS only WITHIN a cluster — the quadratic compare never crosses
+# cluster boundaries, so at 100 TB the pair generation is bounded by the
+# largest cluster, not the corpus (same confinement argument as q159's
+# LSH buckets, but with learned/derived centroids instead of random
+# hyperplanes).  To keep a hash-exact DuckDB oracle, the "training" is a
+# deterministic seeded mean: centroid_j = elementwise SUM of the scaled
+# int embeddings with vec_id%8==j (cosine is scale-invariant, so the sum
+# stands in for the mean exactly); assignment and the pair verify are
+# exact int64 dots + IEEE sqrt/divide, identical on both engines.  The
+# corpus is salted with perturbed copies (vec_id+100000, coords scaled by
+# 1±1%) so genuine near-dups (cos≈0.99997) exist at every sf — natural
+# pairs top out at cos≈0.51 on this data, so the 0.9 threshold cleanly
+# separates.  Reference scope: mytile stores the vectors (SURVEY §2
+# driver-added LLM tier); the dedup semantics follow the public paper.
+_Q290_PERT_SPARK = (
+    "transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+    " * (1.0D + (CAST(i % 5 AS DOUBLE) - 2.0D) / 200.0D))"
+)
+# DuckDB lambda indexes are 1-based; (i-1) aligns the factor cycle.
+_Q290_PERT_SQL = (
+    "list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+    " * (1.0 + (CAST((i - 1) % 5 AS DOUBLE) - 2.0) / 200.0))"
+)
+_Q290_THRESH = 0.9
+
+
+def q290_semdedup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(_Q290_PERT_SPARK).alias("embedding"),
+    )
+    # Stage the scaled-int vector ONCE per row (CSE does not cross lambda
+    # boundaries — the q173 lesson), then derive every dot from qv.
+    corpus = (
+        e.withColumn("embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .unionByName(copies)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(ROUND(x * 10000.0D) AS BIGINT))"
+            ).alias("qv"),
+        )
+    )
+    # Seeded centroids: elementwise sum of ORIGINAL vectors, 8 seed groups.
+    cents = (
+        e.filter(F.col("vec_id") < 256)
+        .select(
+            (F.col("vec_id") % 8).alias("j"),
+            F.posexplode(F.col("embedding")).alias("dim", "x"),
+        )
+        .select("j", "dim", F.expr(S._scaled_int_spark("x")).alias("xs"))
+        .groupBy("j", "dim")
+        .agg(F.sum("xs").alias("cx"))
+        .groupBy("j")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)"
+            ).alias("cv")
+        )
+    )
+    # Assignment: 8-row centroid side broadcast, argmax cosine (j asc ties).
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        "j",
+        F.expr(
+            f"({S.qdot_expr('qv', 'cv')} /"
+            f" (SQRT({S.qdot_expr('qv', 'qv')}) * SQRT({S.qdot_expr('cv', 'cv')})))"
+        ).alias("cosc"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosc").desc(), F.col("j").asc())
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "qv", F.col("j").alias("cluster"))
+    )
+    # Cluster-confined pair prune: equi-join on cluster (never cross).
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("kept"),
+            F.col("b.vec_id").alias("dropped"),
+            F.col("a.cluster").cast("long").alias("cluster"),
+            F.expr(
+                f"({S.qdot_expr('a.qv', 'b.qv')} /"
+                f" (SQRT({S.qdot_expr('a.qv', 'a.qv')})"
+                f" * SQRT({S.qdot_expr('b.qv', 'b.qv')})))"
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= _Q290_THRESH)
+        .orderBy("kept", "dropped")
+    )
+
+
+Q290_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform({_Q290_PERT_SQL}, x ->
+           CAST(ROUND(x * 10000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 7 = 0),
+cent_comps AS (
+  SELECT vec_id % 8 AS j, CAST(i - 1 AS BIGINT) AS dim,
+         SUM({S._scaled_int_sql('embedding[i]')}) AS cx
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  WHERE vec_id < 256 GROUP BY 1, 2),
+cents AS (
+  SELECT j, list(cx ORDER BY dim) AS cv FROM cent_comps GROUP BY j),
+scored AS (
+  SELECT vec_id, qv, j,
+         ({S.qdot_sql('qv', 'cv')} /
+          (SQRT({S.qdot_sql('qv', 'qv')}) * SQRT({S.qdot_sql('cv', 'cv')}))) AS cosc
+  FROM corpus, cents),
+assigned AS (
+  SELECT vec_id, qv, j AS cluster FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cosc DESC, j ASC) = 1)
+SELECT a.vec_id AS kept, b.vec_id AS dropped,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       ({S.qdot_sql('a.qv', 'b.qv')} /
+        (SQRT({S.qdot_sql('a.qv', 'a.qv')}) * SQRT({S.qdot_sql('b.qv', 'b.qv')}))) AS cos
+FROM assigned a JOIN assigned b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ({S.qdot_sql('a.qv', 'b.qv')} /
+       (SQRT({S.qdot_sql('a.qv', 'a.qv')}) * SQRT({S.qdot_sql('b.qv', 'b.qv')})))
+      >= {_Q290_THRESH}
+ORDER BY kept, dropped
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q290_semdedup",
+        q290_semdedup,
+        Q290_SQL,
+        "SemDeDup: centroid-assigned, cluster-confined cosine near-dup prune",
     )
 )
