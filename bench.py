@@ -85,6 +85,9 @@ HEADLINE = [
     # fragment write + overwrite + footer-pruned connector scan) — the
     # newest tier, benched for round-over-round visibility like r3's q266
     "q278_native_write",
+    # round-4 late addition: SemDeDup — centroid assignment + cluster-
+    # confined near-dup prune over the salted embeddings corpus (uncapped)
+    "q290_semdedup",
 ]
 
 
