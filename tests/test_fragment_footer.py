@@ -246,3 +246,121 @@ def test_sorted_seek_matches_full_decode_on_fixtures(tmp_path):
     names, rows = read_native_array_range(arr, ranges=[(100, 199)])
     assert len(rows) == 100
     assert all(100 <= r[0] <= 199 for r in rows)
+
+
+# --- metadata-only exact COUNT (count_native_array) -------------------------
+
+
+def test_footer_count_matches_decode_on_every_fixture():
+    """Whenever count_native_array claims a count from footers alone, it
+    must equal the decoded row count — across every committed reference
+    fixture (incl. the 45k-row bank and 20k-row var arrays, whose tiles
+    exercise the capacity-packed invariant the formula relies on)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        read_native_array,
+    )
+
+    arrays = sorted({a for a, _f, _s in _fixture_fragments()})
+    proved = 0
+    for arr in arrays:
+        n = count_native_array(arr)
+        if n is None:  # conservative fallback is always allowed
+            continue
+        _names, rows = read_native_array(arr)
+        assert n == len(rows), arr
+        proved += 1
+    assert proved >= 8  # the formula must actually fire on the corpus
+
+
+def test_count_is_metadata_only(tmp_path, monkeypatch):
+    """count_native_array never touches tile data: with every decode
+    entry point poisoned, the count still comes back."""
+    import tiledb_mariadb_spark.sources.tiledb_native as tn
+
+    d = str(tmp_path / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"k": [1, 2, 3], "v": [1, 2, 3]}, ts=100)
+    write_native_fragment(d, {"k": [50, 51], "v": [5, 5]}, ts=200)
+
+    def boom(*_a, **_k):
+        raise AssertionError("tile decode reached from count path")
+
+    monkeypatch.setattr(tn, "_read_field", boom)
+    monkeypatch.setattr(tn, "read_tile_file", boom)
+    monkeypatch.setattr(tn, "read_native_array", boom)
+    monkeypatch.setattr(tn, "read_native_array_range", boom)
+    assert tn.count_native_array(d) == 5
+
+
+def test_count_conservative_rules(tmp_path):
+    """Sum only when provable: disjoint footers sum; overlapping
+    non-dups arrays return None (newest-wins needs a decode);
+    allows_dups sums regardless of overlap; `at` bounds visibility;
+    an empty array counts 0."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+    )
+
+    # overlapping, no dups -> not provable
+    d1 = str(tmp_path / "overlap")
+    create_native_array(
+        d1,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d1, {"k": [1, 2], "v": [1, 2]}, ts=100)
+    write_native_fragment(d1, {"k": [2, 3], "v": [9, 3]}, ts=200)
+    assert count_native_array(d1) is None
+    assert count_native_array(d1, at=100) == 2  # single visible fragment
+
+    # same coords, allows_dups -> duplicates are kept, sum is exact
+    d2 = str(tmp_path / "dups")
+    create_native_array(
+        d2,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        allows_dups=True,
+    )
+    write_native_fragment(d2, {"k": [1, 2], "v": [1, 2]}, ts=100)
+    write_native_fragment(d2, {"k": [2, 3], "v": [9, 3]}, ts=200)
+    assert count_native_array(d2) == 4
+
+    # empty array
+    d3 = str(tmp_path / "empty")
+    create_native_array(
+        d3,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    assert count_native_array(d3) == 0
+
+
+def test_count_multi_tile_capacity_packing(tmp_path):
+    """The (stn-1)*capacity + ltcn formula across MULTIPLE tiles: 25
+    cells at capacity 10 -> 3 tiles, last holding 5."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        parse_fragment_footer,
+    )
+
+    d = str(tmp_path / "multitile")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=10,
+    )
+    ks = list(range(25))
+    write_native_fragment(d, {"k": ks, "v": ks}, ts=100)
+    frag = _fragment_dirs(d)[0]
+    f = parse_fragment_footer(
+        os.path.join(frag, "__fragment_metadata.tdb"),
+        parse_array_schema(_schema_path(d)),
+    )
+    assert (f.sparse_tile_num, f.last_tile_cell_num) == (3, 5)
+    assert count_native_array(d) == 25

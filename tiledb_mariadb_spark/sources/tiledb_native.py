@@ -1642,3 +1642,91 @@ def native_to_dataframe(spark, array_dir: str):
 
         return spark.createDataFrame(pdf, _parse_datatype_string(ddl))
     return spark.createDataFrame(rows, ddl)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only exact COUNT (round 4): the compute_table_records sysvar
+# analog (mytile-sysvars.cc) made EXACT on the native path.  A fragment
+# footer pins its cell count without decoding any tile: sparse tiles are
+# capacity-packed except the last (that is why the footer stores only
+# last_tile_cell_num), so cells = (sparse_tile_num-1)*capacity + ltcn;
+# dense fragments cover exactly their non-empty-domain box, so cells =
+# PRODUCT of the box extents.  Validated against the decoded row count of
+# every committed reference fixture (tests/test_fragment_footer.py).
+#
+# Cross-fragment, the sum is the table count only when no coordinate can
+# appear twice; otherwise newest-wins dedup makes the count a decode-time
+# property.  The safe cases, in order of cheapness:
+#   - no visible fragments                  -> 0
+#   - a single fragment                     -> its footer count
+#   - allows_dups schema                    -> sum (duplicates are KEPT)
+#   - pairwise-disjoint TRUSTED footer NEDs -> sum (disjoint boxes cannot
+#     share a coordinate; var-dim NEDs are untrusted — module note — and
+#     disqualify)
+# Anything else returns None and the caller counts by decoding.  At scale
+# this is the difference between an O(fragments) metadata walk and a full
+# array scan for SELECT COUNT(*).
+# ---------------------------------------------------------------------------
+
+
+def fragment_cell_count(frag: str, schema: "NativeSchema") -> int | None:
+    """Exact cell count of one fragment from its footer (None: no/
+    unparseable footer, or a dense NED with an untrusted dim)."""
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    if not os.path.isfile(fm):
+        return None
+    f = parse_fragment_footer(fm, schema)
+    if f is None:
+        return None
+    if f.dense:
+        cells = 1
+        for dom in f.non_empty_domain:
+            if dom is None:  # null NED (empty fragment) or untrusted dim
+                return 0 if f.sparse_tile_num == 0 else None
+            cells *= dom[1] - dom[0] + 1
+        return cells
+    if f.sparse_tile_num == 0:
+        return 0
+    return (f.sparse_tile_num - 1) * schema.capacity + f.last_tile_cell_num
+
+
+def _neds_pairwise_disjoint(footers: list) -> bool:
+    """True only when every pair of fragments has provably disjoint
+    non-empty domains (some TRUSTED dim's intervals do not overlap)."""
+    for i in range(len(footers)):
+        for j in range(i + 1, len(footers)):
+            disjoint = False
+            for da, db in zip(footers[i].non_empty_domain,
+                              footers[j].non_empty_domain):
+                if da is None or db is None:
+                    continue  # untrusted dim proves nothing
+                if da[1] < db[0] or db[1] < da[0]:
+                    disjoint = True
+                    break
+            if not disjoint:
+                return False
+    return True
+
+
+def count_native_array(array_dir: str, at: int | None = None) -> int | None:
+    """Exact row count of a native array from fragment footers alone —
+    no tile is read or decoded.  None = not provable from metadata (the
+    caller must decode); never returns a wrong count."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    frags = _fragment_dirs(array_dir, at=at)
+    if not frags:
+        return 0
+    counts, footers = [], []
+    for frag in frags:
+        n = fragment_cell_count(frag, schema)
+        if n is None:
+            return None
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        footers.append(parse_fragment_footer(fm, schema))
+        counts.append(n)
+    live = [(n, f) for n, f in zip(counts, footers) if n > 0]
+    if len(live) <= 1 or schema.allows_dups:
+        return sum(n for n, _f in live)
+    if _neds_pairwise_disjoint([f for _n, f in live]):
+        return sum(n for n, _f in live)
+    return None

@@ -312,20 +312,34 @@ def _write_field_files(
     schema: NativeSchema,
     field,
     vals: Sequence,
+    slices: Optional[Sequence[tuple[int, int]]] = None,
 ) -> None:
     """One field -> its data file(s): `<name>.tdb` (+ `_var`, `_validity`),
     each chunk-encoded through the schema-declared pipeline for that tile
     kind (data = field.filters, offsets = schema.offsets_filters,
     validity = schema.validity_filters) — mirroring how the decoder picks
-    pipelines per tile kind."""
+    pipelines per tile kind.
+
+    ``slices`` = the fragment's capacity-packed TILE boundaries (cell
+    ranges): each slice becomes its own chunked tile, and the tiles are
+    concatenated in the file — the multi-tile layout real TileDB writes
+    (the bank fixture: 5 tiles per field) and the decoder's
+    _walk_tile_file already reads.  Var-cell offsets stay GLOBAL across
+    tiles (the 2.0-era convention the whole-file decode path assumes)."""
     base = os.path.join(frag, f"{field.name}.tdb")
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _nm, _code, elem = _DT[dtype_id]
     nullable = getattr(field, "nullable", False)
+    slices = list(slices) if slices else [(0, len(vals))]
     if nullable:
         validity = bytes(0 if v is None else 1 for v in vals)
         with open(base[:-4] + "_validity.tdb", "wb") as f:
-            f.write(_encode_chunked(validity, schema.validity_filters, elem=1))
+            for s, e in slices:
+                f.write(
+                    _encode_chunked(
+                        validity[s:e], schema.validity_filters, elem=1
+                    )
+                )
     if cvn == _VAR:
         blobs = [
             b"" if v is None else _to_bytes_cell(v, dtype_id)
@@ -338,20 +352,32 @@ def _write_field_files(
             offs.append(pos)
             pos += len(b)
         with open(base, "wb") as f:
-            f.write(
-                _encode_chunked(
-                    struct.pack(f"<{len(offs)}Q", *offs),
-                    schema.offsets_filters,
-                    elem=8,
+            for s, e in slices:
+                part = offs[s:e]
+                f.write(
+                    _encode_chunked(
+                        struct.pack(f"<{len(part)}Q", *part),
+                        schema.offsets_filters,
+                        elem=8,
+                    )
                 )
-            )
         with open(base[:-4] + "_var.tdb", "wb") as f:
-            f.write(_encode_chunked(b"".join(blobs), field.filters,
-                                    elem=elem))
+            for s, e in slices:
+                f.write(
+                    _encode_chunked(
+                        b"".join(blobs[s:e]), field.filters, elem=elem
+                    )
+                )
     else:
+        packed = _pack_fixed(vals, dtype_id, cvn)
+        w = len(packed) // len(vals) if vals else 0
         with open(base, "wb") as f:
-            f.write(_encode_chunked(_pack_fixed(vals, dtype_id, cvn),
-                                    field.filters, elem=elem))
+            for s, e in slices:
+                f.write(
+                    _encode_chunked(
+                        packed[s * w : e * w], field.filters, elem=elem
+                    )
+                )
 
 
 def write_native_fragment(
@@ -411,13 +437,24 @@ def write_native_fragment(
                 )
             }
     frag = _next_fragment_dir(array_dir, ts)
+    # capacity-packed tile boundaries (sparse): every tile holds exactly
+    # `capacity` cells except the last — the invariant the footer's
+    # (sparse_tile_num, last_tile_cell_num) pair encodes and metadata-only
+    # counting relies on.  Dense fragments stay one space tile.
+    if schema.array_type == "SPARSE" and n > 0:
+        cap = schema.capacity or n
+        slices = [(s, min(s + cap, n)) for s in range(0, n, cap)]
+    else:
+        slices = [(0, n)]
     try:
         if schema.array_type == "SPARSE":
             for d in schema.dims:
-                _write_field_files(frag, schema, d, columns[d.name])
+                _write_field_files(frag, schema, d, columns[d.name],
+                                   slices=slices)
         for a in schema.attrs:
-            _write_field_files(frag, schema, a, columns[a.name])
-        _write_fragment_footer(frag, schema, columns, n)
+            _write_field_files(frag, schema, a, columns[a.name],
+                               slices=slices)
+        _write_fragment_footer(frag, schema, columns, n, ntiles=len(slices))
     except Exception:
         import shutil  # noqa: PLC0415
 
@@ -427,7 +464,8 @@ def write_native_fragment(
 
 
 def _write_fragment_footer(
-    frag: str, schema: NativeSchema, columns: dict, n: int
+    frag: str, schema: NativeSchema, columns: dict, n: int,
+    ntiles: int = 1,
 ) -> None:
     """__fragment_metadata.tdb (offset-era layout the decoder's
     parse_fragment_footer reads back): [R-tree generic tile][raw footer:
@@ -464,7 +502,12 @@ def _write_fragment_footer(
             raw += struct.pack(f"<2{code}", 0, 0)
         else:
             raw += struct.pack(f"<2{code}", min(vals), max(vals))
-    raw += struct.pack("<QQ", 1, n)  # one logical tile, n cells in it
+    # capacity-packed tiles: every tile full except the last, so the
+    # footer pair (ntiles, last_tile_cell_num) pins the exact cell count
+    last = n - (ntiles - 1) * schema.capacity if n else 0
+    if ntiles > 1 and not (0 < last <= schema.capacity):
+        raise ValueError(f"tile packing broke: n={n} ntiles={ntiles}")
+    raw += struct.pack("<QQ", ntiles, last if ntiles > 1 else n)
     rtree = _encode_chunked(b"", [])
     hdr = struct.pack("<IQQBQB", 5, len(rtree), 0, 6, 1, 0) + struct.pack(
         "<I", 0

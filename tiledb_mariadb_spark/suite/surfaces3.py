@@ -1316,3 +1316,120 @@ SPECS.append(
         "pinned by the `at` option (t/open_at.test parity)",
     )
 )
+
+
+# --- q292: metadata-only exact COUNT from fragment footers ------------------
+# The compute_table_records sysvar analog (mytile-sysvars.cc; surfaced as
+# est_records/q163) made EXACT on the native path: a fragment footer pins
+# its cell count — sparse tiles are capacity-packed except the last, so
+# cells = (sparse_tile_num-1)*capacity + last_tile_cell_num; dense = the
+# non-empty-domain box volume — so SELECT COUNT(*) needs an O(fragments)
+# metadata walk, no tile read, no decode.  The spec builds three arrays:
+# disjoint-fragment (counts sum), allows_dups with the same rows twice
+# (duplicates KEPT, count doubles — t/duplicates.test semantics), and a
+# time-travel count at the first fragment's timestamp (open_at parity).
+# count_native_array is conservative: any case it cannot PROVE from
+# footers returns None, and this spec fails loudly rather than decode —
+# the number the driver hashes is the metadata-path number.  Decode
+# equivalence over every reference fixture is pinned in
+# tests/test_fragment_footer.py.
+def q292_native_count(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        count_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        array_info_to_native,
+        create_native_array,
+    )
+
+    be = NativeDecoderBackend()
+    root = tempfile.mkdtemp(prefix="q292_native_count_")
+    uri_d, uri_a = f"{root}/disjoint", f"{root}/dups"
+    info = ArrayInfo(
+        dims=[DimInfo("o_orderkey", "bigint", (0, 6_000_000))],
+        attrs=[AttrInfo("price", "double", nullable=False)],
+    )
+    be.create(uri_d, info)
+    nd, na = array_info_to_native(info.dims, info.attrs)
+    create_native_array(uri_a, nd, na, allows_dups=True)
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+
+    def write_ts(df, uri, ts):
+        # write_array with an EXPLICIT fragment timestamp (deterministic
+        # time travel); one partition -> one fragment whose footer NED is
+        # exactly the written key range.
+        def part(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            parts = list(batches)
+            if parts:
+                be.write(uri, pd.concat(parts, ignore_index=True), ts=ts)
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    # three DISJOINT key ranges -> three fragments with disjoint footers
+    write_ts(base.filter(F.col("o_orderkey") <= 2000), uri_d, 1000)
+    write_ts(
+        base.filter(
+            (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000)
+        ),
+        uri_d,
+        2000,
+    )
+    write_ts(
+        base.filter(
+            (F.col("o_orderkey") > 4000) & (F.col("o_orderkey") <= 8000)
+        ),
+        uri_d,
+        3000,
+    )
+    # allows_dups: the SAME rows twice — count doubles, nothing dedupes
+    sub = base.filter(F.col("o_orderkey") <= 3000)
+    write_ts(sub, uri_a, 1000)
+    write_ts(sub, uri_a, 2000)
+
+    counts = {
+        "disjoint3": count_native_array(uri_d),
+        "dups2x": count_native_array(uri_a),
+        "tt_first": count_native_array(uri_d, at=1000),
+    }
+    bad = [k for k, v in counts.items() if v is None]
+    if bad:  # metadata path failed — fail loudly, never silently decode
+        raise AssertionError(f"footer count not provable for {bad}")
+    return spark.createDataFrame(
+        sorted(counts.items()), "phase string, n long"
+    )
+
+
+Q292_SQL = """
+SELECT * FROM (
+  SELECT 'disjoint3' AS phase, COUNT(*) AS n FROM orders
+  WHERE o_orderkey <= 8000
+  UNION ALL
+  SELECT 'dups2x', 2 * COUNT(*) FROM orders WHERE o_orderkey <= 3000
+  UNION ALL
+  SELECT 'tt_first', COUNT(*) FROM orders WHERE o_orderkey <= 2000
+) ORDER BY phase
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q292_native_count",
+        q292_native_count,
+        Q292_SQL,
+        "exact COUNT from fragment footers alone: disjoint-sum, "
+        "allows_dups doubling, open_at visibility — zero tiles decoded",
+    )
+)
