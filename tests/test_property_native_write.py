@@ -158,3 +158,42 @@ def test_multifragment_range_read_fuzz(tmp_path_factory, frags, lo, width):
     _names, rows = read_native_array_range(d, ranges=[(lo, hi)])
     expect = [(k, model[k]) for k in sorted(model) if lo <= k <= hi]
     assert rows == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    cells=st.dictionaries(
+        st.integers(min_value=0, max_value=1000),
+        I32,
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=7),
+    lo=st.integers(min_value=0, max_value=1000),
+    width=st.integers(min_value=0, max_value=400),
+)
+def test_multitile_range_read_fuzz(tmp_path_factory, cells, cap, lo, width):
+    """Capacity-packed MULTI-TILE fragments (writer emits one chunked
+    tile per `cap` cells) read back exactly — whole-array, ranged, and
+    the footer count — across tile boundaries."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        read_native_array,
+        read_native_array_range,
+    )
+
+    d = str(tmp_path_factory.mktemp("mt") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+        capacity=cap,
+    )
+    ks = sorted(cells)
+    write_native_fragment(d, {"k": ks, "v": [cells[k] for k in ks]}, ts=10)
+    assert count_native_array(d) == len(ks)
+    _s, rows = read_native_array(d)
+    assert rows == [(k, cells[k]) for k in ks]
+    hi = lo + width
+    _n, ranged = read_native_array_range(d, ranges=[(lo, hi)])
+    assert ranged == [(k, cells[k]) for k in ks if lo <= k <= hi]
