@@ -364,3 +364,109 @@ def test_count_multi_tile_capacity_packing(tmp_path):
     )
     assert (f.sparse_tile_num, f.last_tile_cell_num) == (3, 5)
     assert count_native_array(d) == 25
+
+
+# --- fragment R-tree: leaf MBRs (parse_rtree_leaf_mbrs) ---------------------
+
+
+def test_fixture_rtrees_never_narrower_than_truth():
+    """Across every committed fixture: when the R-tree parses, the leaf
+    count matches the footer's tile count and each leaf MBR CONTAINS its
+    tile's true per-tile coordinate range on every trusted (fixed) dim."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        parse_rtree_leaf_mbrs,
+    )
+
+    parsed = multi = 0
+    for _arr, frag, schema in _fixture_fragments():
+        mbrs = parse_rtree_leaf_mbrs(frag, schema)
+        if mbrs is None:
+            continue
+        parsed += 1
+        if len(mbrs) > 1:
+            multi += 1
+        cap = schema.capacity
+        for i, d in enumerate(schema.dims):
+            if d.is_var:
+                assert all(m[i] is None for m in mbrs)
+                continue
+            try:
+                coords = _read_field(frag, schema, d, i, "d")
+            except FileNotFoundError:
+                continue  # 1.6 zipped-coords fragments: no per-dim file
+            for k, m in enumerate(mbrs):
+                tile = coords[k * cap : (k + 1) * cap]
+                assert tile, (frag, k)
+                lo, hi = m[i]
+                assert lo <= min(tile) and max(tile) <= hi, (frag, k, d.name)
+    assert parsed >= 6  # every probed era parses
+    assert multi >= 1  # incl. the bank 5-tile tree
+
+
+def test_writer_rtree_roundtrip_and_hierarchy(tmp_path):
+    """Writer-emitted R-trees parse back to exact per-tile min/max, and
+    >fanout tiles produce a multi-level tree (root merges children)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        parse_rtree_leaf_mbrs,
+    )
+
+    d = str(tmp_path / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10000), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+        capacity=3,
+    )
+    ks = list(range(0, 100, 2))  # 50 cells -> 17 tiles -> 2 levels
+    write_native_fragment(d, {"k": ks, "v": ks}, ts=10)
+    schema = parse_array_schema(_schema_path(d))
+    frag = _fragment_dirs(d)[0]
+    mbrs = parse_rtree_leaf_mbrs(frag, schema)
+    assert mbrs is not None and len(mbrs) == 17
+    for k, m in enumerate(mbrs):
+        tile = ks[k * 3 : (k + 1) * 3]
+        assert m == [(min(tile), max(tile))]
+
+
+def test_rtree_prunes_on_non_dim0_ranges(tmp_path):
+    """The pruning bisect can't do: dim0 unbounded, dim1 bounded.  With
+    dim1 correlated to dim0 (sorted writes), tile MBRs on dim1 prune most
+    tiles — verified via decode stats AND an exact result."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _SPAN_STATS,
+        read_native_array_range,
+        rtree_tile_runs,
+    )
+
+    d = str(tmp_path / "arr2d")
+    create_native_array(
+        d,
+        dims=[
+            NativeDim("a", 1, 1, (0, 10000), None),
+            NativeDim("b", 1, 1, (0, 10000), None),
+        ],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+        capacity=10,
+    )
+    n = 400
+    rows = [(i, i, i % 97) for i in range(n)]  # b == a: correlated
+    write_native_fragment(
+        d,
+        {"a": [r[0] for r in rows], "b": [r[1] for r in rows],
+         "v": [r[2] for r in rows]},
+        ts=10,
+    )
+    schema = parse_array_schema(_schema_path(d))
+    frag = _fragment_dirs(d)[0]
+    rngs = [(None, None), (100, 140)]
+    runs = rtree_tile_runs(frag, schema, rngs)
+    assert runs is not None and runs, "dim1 MBRs must prune tiles"
+    covered = sum(hi - lo for lo, hi, _n in runs)
+    assert covered <= 60  # 41 matching cells in 10-cell tiles, not 400
+    before = dict(_SPAN_STATS)
+    _names, got = read_native_array_range(d, ranges=rngs)
+    assert got == [(i, i, i % 97) for i in range(100, 141)]
+    decoded = _SPAN_STATS["bytes_decoded"] - before["bytes_decoded"]
+    # 3 fields x ~60 cells x 8B plus chunk rounding — far below the
+    # ~9.6KB a full-fragment decode of the v column alone would cost
+    assert decoded < 5000, decoded

@@ -1321,39 +1321,66 @@ def read_native_array_range(
             span = None
             if not zipped and rngs[0] != (None, None):
                 span = sorted_dim0_cell_span(frag, schema, *rngs[0])
+            # R-tree tile pruning (all dims, incl. the ones bisect can't
+            # touch): contiguous runs of leaf tiles whose MBRs intersect
+            # the ranges — pruned tiles between runs are never decoded.
+            runs = rtree_tile_runs(frag, schema, rngs) if not zipped else None
+            if runs is not None and not runs:
+                continue  # R-tree-proven disjoint
             if span is not None:
                 s_lo, s_hi, n_cells = span
                 if s_lo >= s_hi:
                     continue
-                dim_cols = [
-                    _read_field_span(
-                        frag, schema, dd, i, "d", s_lo, s_hi, n_cells
-                    )
-                    for i, dd in enumerate(schema.dims)
-                ]
-                base, n = s_lo, s_hi - s_lo
-            else:
-                dim_cols = _dims_cached(frag, zipped)
-                base, n = 0, len(dim_cols[0])
-                n_cells = n
-            ok = _range_match_indices(dim_cols, rngs, n)
-            if not ok:
-                continue
-            lo_c, hi_c = ok[0], ok[-1] + 1
-            attr_vals = {
-                a.name: _read_field_span(
-                    frag, schema, a, schema.attrs.index(a), "a",
-                    base + lo_c, base + hi_c, n_cells,
-                )
-                for a in want
-            }
-            for i in ok:
-                c = tuple(col[i] for col in dim_cols)
-                row = c + tuple(attr_vals[a.name][i - lo_c] for a in want)
-                if schema.allows_dups:
-                    dup_rows.append(row)
+                if runs:
+                    spans = [
+                        (max(r_lo, s_lo), min(r_hi, s_hi), n_cells)
+                        for r_lo, r_hi, _nc in runs
+                        if r_lo < s_hi and r_hi > s_lo
+                    ]
                 else:
-                    merged[c] = row
+                    spans = [(s_lo, s_hi, n_cells)]
+            elif runs:
+                spans = runs
+            else:
+                spans = None
+            if spans is not None and not spans:
+                continue
+
+            def _consume(dim_cols, base, n):
+                ok = _range_match_indices(dim_cols, rngs, n)
+                if not ok:
+                    return
+                lo_c, hi_c = ok[0], ok[-1] + 1
+                attr_vals = {
+                    a.name: _read_field_span(
+                        frag, schema, a, schema.attrs.index(a), "a",
+                        base + lo_c, base + hi_c, n_cells,
+                    )
+                    for a in want
+                }
+                for i in ok:
+                    c = tuple(col[i] for col in dim_cols)
+                    row = c + tuple(
+                        attr_vals[a.name][i - lo_c] for a in want
+                    )
+                    if schema.allows_dups:
+                        dup_rows.append(row)
+                    else:
+                        merged[c] = row
+
+            if spans is None:
+                dim_cols = _dims_cached(frag, zipped)
+                n_cells = len(dim_cols[0])
+                _consume(dim_cols, 0, n_cells)
+            else:
+                for p_lo, p_hi, n_cells in spans:
+                    dim_cols = [
+                        _read_field_span(
+                            frag, schema, dd, i, "d", p_lo, p_hi, n_cells
+                        )
+                        for i, dd in enumerate(schema.dims)
+                    ]
+                    _consume(dim_cols, p_lo, p_hi - p_lo)
         else:  # dense
             axes = []
             for d in schema.dims:
@@ -1730,3 +1757,140 @@ def count_native_array(array_dir: str, at: int | None = None) -> int | None:
     if _neds_pairwise_disjoint([f for _n, f in live]):
         return sum(n for n, _f in live)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Fragment R-TREE (round 4): per-tile MBRs parsed from the generic tile at
+# offset 0 of __fragment_metadata.tdb — present in every committed fixture
+# era probed (1.6 v1, 2.0 v5 size-era, 2.2 v7 / 2.3 v8 offset-era, var
+# v19).  Payload layout (validated byte-exact against the bank fixture's
+# 5-tile tree and every single-tile fixture):
+#
+#   [u32 dim_num][u32 fanout][u8]      (v1/1.6 prefix only)
+#   [u32 fanout]                       (v3+)
+#   [u32 num_levels]
+#   per level, ROOT -> LEAF:
+#     [u64 node_count]
+#     node_count x MBR, MBR = per dim:
+#       fixed dim: 2 x coord (lo, hi)
+#       var dim:   [u64 total][u64 start] lo_bytes+hi_bytes
+#
+# The LEAF level is one MBR per capacity-packed data tile — libtiledb's
+# intra-fragment pruning index.  TRUST BOUNDARY mirrors the footer: var
+# dim MBRs are parsed but never used to prune (the bank artifact records
+# ["admin.","unknown"] in BOTH footer and R-tree while the true range is
+# wider); fixed-dim MBRs are validated (lo<=hi, inside the schema domain)
+# and the leaf count must equal the footer's sparse_tile_num with the
+# payload fully consumed — any inconsistency returns None and readers
+# decode as usual (pruning is an optimization, never a correctness
+# dependency).
+# ---------------------------------------------------------------------------
+
+
+def parse_rtree_leaf_mbrs(frag: str, schema: "NativeSchema"):
+    """Leaf-level MBRs (one per data tile) of a sparse fragment's R-tree:
+    list of per-dim (lo, hi) tuples with None for untrusted (var) dims —
+    or None when absent/unvalidatable."""
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    if not os.path.isfile(fm):
+        return None
+    footer = parse_fragment_footer(fm, schema)
+    if footer is None or footer.dense or footer.sparse_tile_num == 0:
+        return None
+    try:
+        buf = open(fm, "rb").read()
+        span = _generic_tile_span(buf, 0)
+        if span is None:
+            return None
+        (plen,) = struct.unpack_from("<I", buf, 30)
+        payload = b"".join(read_chunked_tile(buf[34 + plen : span]))
+        c = _Cursor(payload)
+        if _frag_format_version(frag) == 0:  # 1.6-era prefix
+            if c.u("I") != len(schema.dims):
+                return None
+            fanout = c.u("I")
+            c.u("B")
+        else:
+            fanout = c.u("I")
+        if not 0 < fanout < 1_000_000:
+            return None
+        levels = c.u("I")
+        if not 0 < levels <= 64:
+            return None
+        leaf = None
+        for _lvl in range(levels):
+            count = c.u("Q")
+            if count > 100_000_000:
+                return None
+            mbrs = []
+            for _i in range(count):
+                mbr = []
+                for d in schema.dims:
+                    _n, code, size = _DT[d.dtype_id]
+                    if d.is_var:
+                        total, start = c.u("Q"), c.u("Q")
+                        if start > total or c.pos + total > len(payload):
+                            return None
+                        c.raw(total)
+                        mbr.append(None)  # untrusted for pruning
+                    else:
+                        lo, hi = struct.unpack_from(
+                            f"<2{code}", payload, c.pos
+                        )
+                        c.pos += 2 * size
+                        if lo > hi:
+                            return None
+                        if d.domain is not None and not (
+                            d.domain[0] <= lo and hi <= d.domain[1]
+                        ):
+                            return None
+                        mbr.append((lo, hi))
+                mbrs.append(mbr)
+            leaf = mbrs  # last parsed level = leaves
+        if c.pos != len(payload):
+            return None
+        if leaf is None or len(leaf) != footer.sparse_tile_num:
+            return None
+        return leaf
+    except (OSError, struct.error, IndexError, ValueError):
+        return None
+
+
+def rtree_tile_runs(frag: str, schema: "NativeSchema", ranges):
+    """Contiguous cell spans covering the data tiles whose leaf MBRs can
+    intersect ``ranges``: list of (lo_cell, hi_cell, n_cells) runs with
+    R-tree-pruned tiles as holes between them.  None = no usable R-tree
+    (single tile, unparseable, or unbounded query); [] = the whole
+    fragment is proven disjoint."""
+    if not ranges or all(lo is None and hi is None for lo, hi in ranges):
+        return None
+    mbrs = parse_rtree_leaf_mbrs(frag, schema)
+    if mbrs is None or len(mbrs) <= 1:
+        return None
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    footer = parse_fragment_footer(fm, schema)
+    if footer is None:
+        return None
+    cap = schema.capacity
+    n_cells = (footer.sparse_tile_num - 1) * cap + footer.last_tile_cell_num
+    kept = []
+    for k, mbr in enumerate(mbrs):
+        hit = True
+        for dom, (lo, hi) in zip(mbr, ranges):
+            if dom is None:
+                continue
+            if (lo is not None and dom[1] < lo) or (
+                hi is not None and dom[0] > hi
+            ):
+                hit = False
+                break
+        if hit:
+            kept.append(k)
+    runs = []
+    for k in kept:
+        lo_c, hi_c = k * cap, min((k + 1) * cap, n_cells)
+        if runs and runs[-1][1] == lo_c:
+            runs[-1] = (runs[-1][0], hi_c, n_cells)
+        else:
+            runs.append((lo_c, hi_c, n_cells))
+    return runs

@@ -454,7 +454,8 @@ def write_native_fragment(
         for a in schema.attrs:
             _write_field_files(frag, schema, a, columns[a.name],
                                slices=slices)
-        _write_fragment_footer(frag, schema, columns, n, ntiles=len(slices))
+        _write_fragment_footer(frag, schema, columns, n,
+                                ntiles=len(slices), slices=slices)
     except Exception:
         import shutil  # noqa: PLC0415
 
@@ -463,9 +464,62 @@ def write_native_fragment(
     return frag
 
 
+_RTREE_FANOUT = 10
+
+
+def _serialize_rtree(
+    schema: NativeSchema, columns: dict, slices
+) -> bytes:
+    """Fragment R-tree (v5 layout the decoder's parse_rtree_leaf_mbrs
+    reads back, byte-compatible with the bank fixture's tree): leaf
+    level = one MBR per capacity-packed tile, parents merge groups of
+    ``fanout``, serialized ROOT->LEAF as
+    [u32 fanout][u32 levels][per level: u64 count + MBRs]."""
+
+    def mbr_of(s: int, e: int) -> list:
+        out = []
+        for d in schema.dims:
+            vals = columns[d.name][s:e]
+            out.append((min(vals), max(vals)))
+        return out
+
+    def merge(group: list) -> list:
+        return [
+            (min(m[i][0] for m in group), max(m[i][1] for m in group))
+            for i in range(len(schema.dims))
+        ]
+
+    levels = [[mbr_of(s, e) for s, e in slices]]
+    while len(levels[0]) > 1:
+        cur = levels[0]
+        levels.insert(
+            0,
+            [
+                merge(cur[i : i + _RTREE_FANOUT])
+                for i in range(0, len(cur), _RTREE_FANOUT)
+            ],
+        )
+    out = struct.pack("<II", _RTREE_FANOUT, len(levels))
+    for lvl in levels:
+        out += struct.pack("<Q", len(lvl))
+        for mbr in lvl:
+            for d, (lo, hi) in zip(schema.dims, mbr):
+                _nm, code, _size = _DT[d.dtype_id]
+                if d.is_var:
+                    lo_b = lo.encode() if isinstance(lo, str) else bytes(lo)
+                    hi_b = hi.encode() if isinstance(hi, str) else bytes(hi)
+                    out += struct.pack(
+                        "<QQ", len(lo_b) + len(hi_b), len(lo_b)
+                    )
+                    out += lo_b + hi_b
+                else:
+                    out += struct.pack(f"<2{code}", lo, hi)
+    return out
+
+
 def _write_fragment_footer(
     frag: str, schema: NativeSchema, columns: dict, n: int,
-    ntiles: int = 1,
+    ntiles: int = 1, slices=None,
 ) -> None:
     """__fragment_metadata.tdb (offset-era layout the decoder's
     parse_fragment_footer reads back): [R-tree generic tile][raw footer:
@@ -508,10 +562,16 @@ def _write_fragment_footer(
     if ntiles > 1 and not (0 < last <= schema.capacity):
         raise ValueError(f"tile packing broke: n={n} ntiles={ntiles}")
     raw += struct.pack("<QQ", ntiles, last if ntiles > 1 else n)
-    rtree = _encode_chunked(b"", [])
-    hdr = struct.pack("<IQQBQB", 5, len(rtree), 0, 6, 1, 0) + struct.pack(
-        "<I", 0
-    )
+    # real R-tree (leaf MBR per tile) for sparse non-empty fragments;
+    # dense/empty keep the empty placeholder (parse returns None there)
+    if schema.array_type == "SPARSE" and n > 0 and slices:
+        rpayload = _serialize_rtree(schema, columns, slices)
+    else:
+        rpayload = b""
+    rtree = _encode_chunked(rpayload, [])
+    hdr = struct.pack(
+        "<IQQBQB", 5, len(rtree), len(rpayload), 6, 1, 0
+    ) + struct.pack("<I", 0)
     with open(os.path.join(frag, "__fragment_metadata.tdb"), "wb") as f:
         f.write(hdr + rtree + raw + struct.pack("<Q", 0))
 
