@@ -470,3 +470,43 @@ def test_rtree_prunes_on_non_dim0_ranges(tmp_path):
     # 3 fields x ~60 cells x 8B plus chunk rounding — far below the
     # ~9.6KB a full-fragment decode of the v column alone would cost
     assert decoded < 5000, decoded
+
+
+def test_estimate_range_cells(tmp_path):
+    """est_result_size analog: metadata-only, always an upper bound on
+    the true match count, tile-tight when the R-tree prunes, and exact
+    fragment totals for unbounded reads."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        estimate_range_cells,
+        read_native_array_range,
+    )
+
+    d = str(tmp_path / "est")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10000), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+        capacity=10,
+    )
+    ks = list(range(0, 600, 2))  # 300 cells -> 30 tiles
+    write_native_fragment(d, {"k": ks, "v": ks}, ts=10)
+    assert estimate_range_cells(d) == 300
+    for lo, hi in [(0, 0), (0, 99), (100, 140), (595, 9000), (601, 9000)]:
+        est = estimate_range_cells(d, ranges=[(lo, hi)])
+        _n, rows = read_native_array_range(d, ranges=[(lo, hi)])
+        assert est >= len(rows), (lo, hi)
+        assert est <= 300
+        # tile-granular: within one spilled tile of the truth
+        assert est - len(rows) <= 2 * 10, (lo, hi, est, len(rows))
+
+
+def test_estimate_range_cells_fixture():
+    """Bank fixture: a one-tile id range estimates exactly one tile."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        estimate_range_cells,
+    )
+
+    bank = FIXROOT + "/2.0/bank"
+    assert estimate_range_cells(bank) == 45211
+    assert estimate_range_cells(bank, ranges=[(0, 9999), (None, None)]) == 10000
+    assert estimate_range_cells(bank, ranges=[(46000, 50000), (None, None)]) == 0

@@ -1894,3 +1894,30 @@ def rtree_tile_runs(frag: str, schema: "NativeSchema", ranges):
         else:
             runs.append((lo_c, hi_c, n_cells))
     return runs
+
+
+def estimate_range_cells(
+    array_dir: str, ranges=None, at: int | None = None
+) -> int | None:
+    """est_result_size analog (computeRecordsUB, ha_mytile.cc:1424-1468,
+    which delegates to libtiledb's R-tree-based estimator): an UPPER
+    BOUND on the cells matching ``ranges``, from fragment footers +
+    R-tree leaf MBRs alone — no tile decoded.  Per fragment: the sum of
+    intersecting leaf tiles' cell counts (tile-granular, so correlated
+    secondary-dim ranges tighten it), falling back to the fragment's
+    footer count when no R-tree is usable.  None = some fragment has no
+    parseable footer (nothing metadata-only can be said)."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    total = 0
+    for frag in _fragment_dirs(array_dir, at=at):
+        if not fragment_overlaps(frag, schema, ranges):
+            continue
+        n = fragment_cell_count(frag, schema)
+        if n is None:
+            return None
+        runs = rtree_tile_runs(frag, schema, ranges)
+        if runs is None:
+            total += n
+        else:
+            total += sum(hi - lo for lo, hi, _nc in runs)
+    return total
