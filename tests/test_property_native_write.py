@@ -197,3 +197,41 @@ def test_multitile_range_read_fuzz(tmp_path_factory, cells, cap, lo, width):
     hi = lo + width
     _n, ranged = read_native_array_range(d, ranges=[(lo, hi)])
     assert ranged == [(k, cells[k]) for k in ks if lo <= k <= hi]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dom_lo=st.integers(min_value=-1000, max_value=1000),
+    span=st.integers(min_value=0, max_value=5000),
+    weights=st.lists(
+        st.tuples(
+            st.integers(min_value=-2000, max_value=7000),
+            st.integers(min_value=0, max_value=3000),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        max_size=20,
+    ),
+    n=st.integers(min_value=1, max_value=40),
+)
+def test_weighted_plan_splits_always_partition(dom_lo, span, weights, n):
+    """Whatever the (possibly garbage) tile weights, weighted split
+    planning must emit a disjoint, gap-free partition of the domain —
+    balance is best-effort, coverage is an invariant."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        plan_splits,
+    )
+
+    info = ArrayInfo(
+        dims=[DimInfo("k", "bigint", (dom_lo, dom_lo + span))],
+        attrs=[AttrInfo("v", "bigint", nullable=False)],
+    )
+    w = [(lo, lo + width, cells) for lo, width, cells in weights]
+    splits = plan_splits(info, target_splits=n, weights=w)
+    spans = sorted(s[0] for s in splits)
+    assert spans[0][0] == dom_lo
+    assert spans[-1][1] == dom_lo + span
+    for (_a, b), (c, _d) in zip(spans, spans[1:]):
+        assert c == b + 1

@@ -126,3 +126,106 @@ def test_write_array_fragment_per_partition(spark, tmp_path):
     back = read_array(spark, uri, backend=be, target_splits=4)
     assert back.count() == 100
     assert back.filter(F.col("x") == 42).collect()[0]["s"] == "r42"
+
+
+# --- R-tree-weighted split planning -----------------------------------------
+
+
+def test_weighted_splits_balance_skewed_coordinates(tmp_path):
+    """Uniform-span splits put a clustered table's cells in one straggler
+    task; R-tree tile weights cut at cell-count quantiles instead.
+    Coverage is exact either way (cuts only move, never drop range)."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        NativeDecoderBackend,
+        plan_splits,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        create_native_array,
+        write_native_fragment,
+    )
+
+    d = str(tmp_path / "skew")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+        capacity=50,
+    )
+    # 900 cells clustered in [0,899], 100 spread over [10^4, 10^6]
+    ks = list(range(900)) + [10_000 * i for i in range(1, 101)]
+    write_native_fragment(d, {"k": sorted(ks), "v": [0] * len(ks)}, ts=10)
+    be = NativeDecoderBackend()
+    info = be.info(d)
+    w = be.split_weights(d)
+    assert w and len(w) == 20  # 1000 cells / cap 50
+
+    def cells_per_split(splits):
+        return [
+            sum(1 for k in ks if lohi[0][0] <= k <= lohi[0][1])
+            for lohi in splits
+        ]
+
+    uniform = plan_splits(info, target_splits=8)
+    weighted = plan_splits(info, target_splits=8, weights=w)
+
+    def assert_partition(splits):
+        spans = sorted(s[0] for s in splits)
+        assert spans[0][0] == info.dims[0].domain[0]
+        assert spans[-1][1] == info.dims[0].domain[1]
+        for (_a, b), (c, _d2) in zip(spans, spans[1:]):
+            assert c == b + 1  # disjoint, gap-free
+
+    assert_partition(uniform)
+    assert_partition(weighted)
+    cu, cw = cells_per_split(uniform), cells_per_split(weighted)
+    assert max(cu) >= 850   # uniform: ~all clustered cells in one task
+    assert max(cw) <= 400   # weighted: no task dominates
+    assert sum(cu) == sum(cw) == len(ks)
+
+
+def test_weighted_splits_respect_multirange(tmp_path):
+    """Weights compose with the multi-range IN pushdown: per-piece splits
+    still partition each merged range exactly."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        NativeDecoderBackend,
+        plan_splits,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        create_native_array,
+        write_native_fragment,
+    )
+
+    d = str(tmp_path / "mr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 0, 1, False, None)],
+        capacity=10,
+    )
+    ks = list(range(100)) + list(range(5000, 5100))
+    write_native_fragment(d, {"k": ks, "v": [0] * len(ks)}, ts=10)
+    be = NativeDecoderBackend()
+    info = be.info(d)
+    w = be.split_weights(d)
+    pieces = [(0, 99), (5000, 5099)]
+    splits = plan_splits(
+        info, dim_ranges={"k": pieces}, target_splits=6, weights=w
+    )
+    by_piece = {p: [] for p in pieces}
+    for s in splits:
+        lo, hi = s[0]
+        owner = next(p for p in pieces if p[0] <= lo and hi <= p[1])
+        by_piece[owner].append((lo, hi))
+    for p, spans in by_piece.items():
+        spans.sort()
+        assert spans[0][0] == p[0] and spans[-1][1] == p[1]
+        for (_a, b), (c, _d2) in zip(spans, spans[1:]):
+            assert c == b + 1

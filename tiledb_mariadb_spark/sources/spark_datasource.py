@@ -211,8 +211,11 @@ class TileDBNativeReader(DataSourceReader):
             plan_splits,
         )
 
+        weights_fn = getattr(_backend(), "split_weights", None)
+        weights = weights_fn(self.uri, at=self.at) if weights_fn else None
         splits = plan_splits(
-            self._info, self.dim_ranges, self.target_splits
+            self._info, self.dim_ranges, self.target_splits,
+            weights=weights,
         )
         return [_SplitPartition(s) for s in splits]
 

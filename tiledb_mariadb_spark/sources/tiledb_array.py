@@ -319,6 +319,21 @@ class NativeDecoderBackend(ArrayBackend):
             array_type="SPARSE" if info.sparse else "DENSE",
         )
 
+    def split_weights(self, uri: str, at: Optional[int] = None):
+        """Per-tile (dim0_lo, dim0_hi, cells) from footers + R-tree leaf
+        MBRs — a metadata-only data-distribution sketch that lets
+        plan_splits cut at cell-count quantiles (balanced tasks on
+        skewed coordinates).  None = unavailable; planner falls back to
+        uniform spans."""
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            dim0_tile_weights,
+        )
+
+        try:
+            return dim0_tile_weights(uri, at=at)
+        except (OSError, ValueError):
+            return None
+
     def write(self, uri, pdf, sparse=True, ts=None):
         import pandas as pd  # noqa: PLC0415
 
@@ -456,10 +471,55 @@ def merge_ranges(
     return out
 
 
+def _quantile_cuts(
+    piece: tuple[int, int], weights: list, n: int
+) -> list[int]:
+    """Cut coordinates splitting ``piece`` into ``n`` sub-ranges of
+    roughly EQUAL CELL COUNT, from per-tile (lo, hi, cells) weights —
+    each tile's cells spread uniformly over its own range (exactly how
+    libtiledb's est_result_size apportions partial tile overlap).
+    Returns n-1 ascending cut coords c: sub-ranges are [lo,c1],
+    [c1+1,c2], ..., [c_{n-1}+1,hi] — coverage of the piece is exact by
+    construction regardless of weight quality."""
+    lo, hi = piece
+    segs = []  # (s, e, density) clipped to the piece
+    for t_lo, t_hi, cells in weights:
+        s, e = max(t_lo, lo), min(t_hi, hi)
+        if s > e or cells <= 0:
+            continue
+        segs.append((s, e, cells * (e - s + 1) / (t_hi - t_lo + 1) / (e - s + 1)))
+    if not segs:
+        return []
+    # elementary intervals between breakpoints, summed density per span
+    points = sorted({lo, hi + 1} | {s for s, _e, _d in segs}
+                    | {e + 1 for _s, e, _d in segs})
+    spans = []  # (start, end_inclusive, weight_of_span)
+    total = 0.0
+    for a, b in zip(points, points[1:]):
+        dens = sum(d for s, e, d in segs if s <= a and b - 1 <= e)
+        w = dens * (b - a)
+        spans.append((a, b - 1, w))
+        total += w
+    if total <= 0:
+        return []
+    cuts, acc, k = [], 0.0, 1
+    for a, b, w in spans:
+        while k < n and w > 0 and acc + w >= k * total / n:
+            frac = (k * total / n - acc) / w
+            c = min(b, max(a, a + int(frac * (b - a + 1)) - 1))
+            if not cuts or c > cuts[-1]:
+                if c < hi:  # the last sub-range must be non-empty
+                    cuts.append(c)
+            k += 1
+        acc += w
+    return cuts
+
+
 def plan_splits(
     info: ArrayInfo,
     dim_ranges: Optional[dict[str, Any]] = None,
     target_splits: int = 32,
+    weights: Optional[list] = None,
 ) -> list[list[tuple[Any, Any]]]:
     """Cut the (predicate-narrowed) domain of the first integer-typed
     dimension into ≤ ``target_splits`` contiguous ranges; other dimensions
@@ -514,16 +574,50 @@ def plan_splits(
     axis_pieces = per_dim[split_axis]
     total_span = sum(hi - lo + 1 for lo, hi in axis_pieces)
     n = max(1, min(target_splits, total_span))
-    step = -(-total_span // n)  # ceil
     splits = []
-    for lo, hi in axis_pieces:
+
+    def _emit(lo, hi, bounds):
         start = lo
-        while start <= hi:
-            end = min(start + step - 1, hi)
+        for c in bounds + [hi]:
+            end = min(c, hi)
+            if end < start:
+                continue
             s = list(narrowed)
             s[split_axis] = (start, end)
             splits.append(s)
             start = end + 1
+
+    use_weights = weights and split_axis == 0
+    if use_weights:
+        # R-tree-weighted planning: cuts at CELL-COUNT quantiles, so
+        # skewed coordinate distributions still yield balanced tasks
+        # (uniform-span cuts put 90% of a clustered table in one task).
+        def _piece_weight(p):
+            lo, hi = p
+            return sum(
+                c * (min(hi, e) - max(lo, s) + 1) / (e - s + 1)
+                for s, e, c in weights
+                if s <= hi and e >= lo
+            )
+
+        pw = [_piece_weight(p) for p in axis_pieces]
+        total_w = sum(pw)
+        if total_w <= 0:
+            use_weights = False
+        else:
+            for (lo, hi), w in zip(axis_pieces, pw):
+                n_p = max(1, min(round(n * w / total_w), hi - lo + 1))
+                _emit(lo, hi, _quantile_cuts((lo, hi), weights, n_p))
+    if not use_weights:
+        step = -(-total_span // n)  # ceil
+        for lo, hi in axis_pieces:
+            start = lo
+            while start <= hi:
+                end = min(start + step - 1, hi)
+                s = list(narrowed)
+                s[split_axis] = (start, end)
+                splits.append(s)
+                start = end + 1
     return splits
 
 
@@ -577,7 +671,11 @@ def read_array(
         if op not in _OPS:
             raise ValueError(f"unknown condition op: {op}")
 
-    splits = plan_splits(info, dim_ranges, target_splits)
+    # R-tree tile weights (when the backend can produce them from
+    # metadata) turn uniform-span splits into cell-count-quantile splits
+    weights_fn = getattr(backend, "split_weights", None)
+    weights = weights_fn(uri, at=at) if weights_fn else None
+    splits = plan_splits(info, dim_ranges, target_splits, weights=weights)
     ddl = ", ".join(
         f"{c} {next(x.dtype for x in info.dims + info.attrs if x.name == c)}"
         for c in cols

@@ -1921,3 +1921,41 @@ def estimate_range_cells(
         else:
             total += sum(hi - lo for lo, hi, _nc in runs)
     return total
+
+
+def dim0_tile_weights(
+    array_dir: str, at: int | None = None
+) -> list[tuple] | None:
+    """Per-tile (dim0_lo, dim0_hi, cells) across visible fragments, from
+    footers + R-tree leaf MBRs alone — the data-distribution sketch that
+    lets split planning cut the domain at cell-count QUANTILES instead of
+    uniform coordinate steps (straggler elimination on skewed
+    coordinates).  None when any visible fragment lacks a trusted fixed
+    dim0 MBR (callers fall back to uniform splits)."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    if not schema.dims or schema.dims[0].is_var:
+        return None
+    out = []
+    for frag in _fragment_dirs(array_dir, at=at):
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) else None
+        if footer is None:
+            return None
+        if footer.sparse_tile_num == 0:
+            continue
+        mbrs = parse_rtree_leaf_mbrs(frag, schema)
+        cap = schema.capacity
+        n_cells = (footer.sparse_tile_num - 1) * cap + footer.last_tile_cell_num
+        if mbrs is None:
+            # footer-only fallback: one pseudo-tile over the fragment NED
+            dom = footer.non_empty_domain[0]
+            if dom is None:
+                return None
+            out.append((dom[0], dom[1], n_cells))
+            continue
+        for k, mbr in enumerate(mbrs):
+            if mbr[0] is None:
+                return None
+            cells = min(cap, n_cells - k * cap)
+            out.append((mbr[0][0], mbr[0][1], cells))
+    return out
