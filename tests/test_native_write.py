@@ -538,3 +538,35 @@ def test_allows_dups_keeps_duplicates(tmp_path):
             assert rows == [(1, 12), (2, 20), (3, 30)]
         _n, ranged = read_native_array_range(d, ranges=[(1, 1)])
         assert len(ranged) == (3 if dups else 1)
+
+
+def test_array_metadata_roundtrip(tmp_path):
+    """Native array metadata: put/update/delete are timestamped APPENDS
+    (immutable entry files), the decoder folds them newest-wins —
+    t/metadata.test semantics through the on-disk format."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_array_metadata,
+    )
+
+    d = str(tmp_path / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    assert read_array_metadata(d) == {}
+    write_array_metadata(
+        d, {"owner": "etl", "n": 42, "scales": [1.5, 2.0]}, ts=100
+    )
+    assert read_array_metadata(d) == {
+        "owner": "etl", "n": "42", "scales": "1.5,2"
+    }
+    # update + tombstone land as a SECOND entry file
+    write_array_metadata(d, {"n": 43, "owner": None}, ts=200)
+    assert read_array_metadata(d) == {"n": "43", "scales": "1.5,2"}
+    import os as _os
+
+    assert len(_os.listdir(_os.path.join(d, "__meta"))) == 2

@@ -632,3 +632,47 @@ def vacuum_native_array(array_dir: str) -> int:
         shutil.rmtree(f, ignore_errors=True)
         removed += 1
     return removed
+
+
+def write_array_metadata(
+    array_dir: str, items: dict, ts: Optional[int] = None
+) -> str:
+    """Array-metadata write (Array::put_metadata / delete_metadata
+    analog, t/metadata.test surface): one timestamped __meta entry file
+    whose records the decoder's read_array_metadata reads back —
+    [key_len u32][key][del u8][type u8][num u32][values].  Later files
+    override earlier ones, so updates and deletes (value=None) are
+    APPENDS, never rewrites — the same immutable-entry model as
+    fragments.  Values: str, int, float, or a homogeneous list of
+    int/float."""
+    import time  # noqa: PLC0415
+
+    payload = b""
+    for key, v in items.items():
+        kb = key.encode()
+        payload += struct.pack("<I", len(kb)) + kb
+        if v is None:  # tombstone: delete_metadata
+            payload += struct.pack("<B", 1)
+            continue
+        payload += struct.pack("<B", 0)
+        if isinstance(v, str):
+            vb = v.encode()
+            payload += struct.pack("<BI", 12, len(vb)) + vb
+        else:
+            vals = list(v) if isinstance(v, (list, tuple)) else [v]
+            if not vals:
+                raise ValueError(f"metadata {key}: empty value list")
+            if all(isinstance(x, int) and not isinstance(x, bool) for x in vals):
+                payload += struct.pack(f"<BI{len(vals)}q", 1, len(vals), *vals)
+            else:
+                payload += struct.pack(
+                    f"<BI{len(vals)}d", 3, len(vals),
+                    *[float(x) for x in vals],
+                )
+    if ts is None:
+        ts = int(time.time() * 1000)
+    meta_dir = os.path.join(array_dir, "__meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    path = os.path.join(meta_dir, f"__{ts}_{ts}_{uuid.uuid4().hex}")
+    _write_generic_tile(path, payload)
+    return path

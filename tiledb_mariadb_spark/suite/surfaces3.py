@@ -1433,3 +1433,93 @@ SPECS.append(
         "allows_dups doubling, open_at visibility — zero tiles decoded",
     )
 )
+
+
+# --- q293: native array-metadata write/read (t/metadata.test, format level) -
+# The @metadata surface closed through the ON-DISK format: metadata
+# entries are timestamped immutable files under __meta/ (puts, updates,
+# and deletes are all APPENDS — the fragment model applied to metadata),
+# folded newest-wins by the decoder.  The spec derives the values from
+# the orders table (exact ints only), writes them via the native writer
+# — including an update that overrides and a tombstone that deletes —
+# and returns what the decoder reads back; the oracle recomputes the
+# same values in SQL, so the whole write→fold→render path is
+# hash-verified.  Reference: t/metadata.test; Array::put_metadata /
+# delete_metadata.
+def q293_native_metadata(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)")
+        ).alias("cents"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+    ).collect()[0]
+
+    d = tempfile.mkdtemp(prefix="q293_native_meta_") + "/arr"
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    # first entry: a wrong count and a scratch key
+    write_array_metadata(
+        d, {"n_orders": -1, "scratch": "drop-me"}, ts=100
+    )
+    # second entry: the real values; update overrides, tombstone deletes
+    write_array_metadata(
+        d,
+        {
+            "n_orders": int(stats["n"]),
+            "total_cents": int(stats["cents"]),
+            "statuses": stats["statuses"],
+            "scratch": None,
+        },
+        ts=200,
+    )
+    meta = read_array_metadata(d)
+    return spark.createDataFrame(
+        sorted(meta.items()), "key string, value string"
+    )
+
+
+Q293_SQL = """
+SELECT * FROM (
+  SELECT 'n_orders' AS key, CAST(COUNT(*) AS VARCHAR) AS value
+  FROM orders WHERE o_orderkey <= 5000
+  UNION ALL
+  SELECT 'total_cents',
+         CAST(CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)) AS BIGINT) AS VARCHAR)
+  FROM orders WHERE o_orderkey <= 5000
+  UNION ALL
+  SELECT 'statuses',
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+  FROM orders WHERE o_orderkey <= 5000
+) ORDER BY key
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q293_native_metadata",
+        q293_native_metadata,
+        Q293_SQL,
+        "array metadata through the native format: timestamped put/"
+        "update/delete entries folded newest-wins (t/metadata.test)",
+    )
+)
