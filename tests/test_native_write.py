@@ -570,3 +570,57 @@ def test_array_metadata_roundtrip(tmp_path):
     import os as _os
 
     assert len(_os.listdir(_os.path.join(d, "__meta"))) == 2
+
+
+def test_schema_evolution_native(tmp_path):
+    """Format-level ALTER TABLE: a new timestamped __schema/ blob; old
+    fragments read evolved-in attrs as fill/NULL, dropped attrs stop
+    being requested; ranged reads honor the same rules."""
+    import struct as _struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        evolve_native_schema,
+    )
+
+    d = str(tmp_path / "evo")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"k": [1, 2, 3], "v": [10, 20, 30]}, ts=100)
+    evolve_native_schema(
+        d,
+        add_attrs=[
+            NativeAttr("y", 1, 1, True, None),
+            NativeAttr("z", 1, 1, False, _struct.pack("<q", -7)),
+        ],
+        ts=150,
+    )
+    write_native_fragment(
+        d, {"k": [4], "v": [40], "y": [99], "z": [5]}, ts=200
+    )
+    s, rows = read_native_array(d)
+    assert [a.name for a in s.attrs] == ["v", "y", "z"]
+    assert rows == [
+        (1, 10, None, -7), (2, 20, None, -7), (3, 30, None, -7),
+        (4, 40, 99, 5),
+    ]
+    # history preserved: two schema blobs on disk
+    assert len(os.listdir(os.path.join(d, "__schema"))) == 2
+    evolve_native_schema(d, drop_attrs=["v"], ts=300)
+    _s, rows = read_native_array(d)
+    assert rows == [(1, None, -7), (2, None, -7), (3, None, -7), (4, 99, 5)]
+    _n, ranged = read_native_array_range(d, ranges=[(2, 4)])
+    assert ranged == [(2, None, -7), (3, None, -7), (4, 99, 5)]
+    # guard rails
+    with pytest.raises(ValueError):
+        evolve_native_schema(d, drop_attrs=["nope"])
+    with pytest.raises(ValueError):
+        evolve_native_schema(d, add_attrs=[NativeAttr("y", 1, 1, True, None)])
+    with pytest.raises(ValueError):
+        evolve_native_schema(d, drop_attrs=["y", "z"])

@@ -847,15 +847,44 @@ def _typed_cells(raw: bytes, dtype_id: int) -> list:
     return list(struct.unpack(f"<{n}{code}", raw))
 
 
+def _fill_value(attr):
+    """Value an evolved-in attribute takes on PRE-EVOLUTION fragments
+    (TileDB schema-evolution fill semantics): nullable -> NULL, else the
+    schema-recorded fill bytes, else the type default."""
+    if attr.nullable:
+        return None
+    if attr.fill:
+        if attr.dtype_id in (4, 11, 12):
+            return attr.fill.decode("utf-8", errors="replace")
+        vals = _typed_cells(attr.fill, attr.dtype_id)
+        if attr.cell_val_num not in (1, 0xFFFFFFFF):
+            return list(vals)
+        return vals[0] if vals else 0
+    if attr.dtype_id in (4, 11, 12):
+        return ""
+    if attr.cell_val_num not in (1, 0xFFFFFFFF):
+        return [0] * attr.cell_val_num
+    return 0
+
+
 def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
-                kind: str) -> list:
+                kind: str, n_cells: int | None = None) -> list:
     """Decode one dim/attr column of a fragment into python values:
     var-length (offsets + _var bytes), fixed multi-value (lists), and
     nullable (validity tile) cells.  Each tile kind is decoded through
     ITS schema-declared pipeline: the field's own filters for data, the
     array-level offsets pipeline for offsets, the validity pipeline for
-    validity — matching how TileDB assigns pipelines."""
-    base = _field_file(frag, field.name, idx, kind)
+    validity — matching how TileDB assigns pipelines.
+
+    An attribute with NO data file in this fragment was evolved in AFTER
+    the fragment was written: it reads as its fill value (``n_cells``
+    fills, when the caller knows the count)."""
+    try:
+        base = _field_file(frag, field.name, idx, kind)
+    except FileNotFoundError:
+        if kind == "a" and n_cells is not None:
+            return [_fill_value(field)] * n_cells
+        raise
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _, _, elem = _DT[dtype_id]
     nullable = getattr(field, "nullable", False)
@@ -952,7 +981,7 @@ def read_native_array(
         else:
             coords = _dense_coords(schema)
         attr_cols = [
-            _read_field(frag, schema, a, i, "a")
+            _read_field(frag, schema, a, i, "a", n_cells=len(coords))
             for i, a in enumerate(schema.attrs)
         ]
         for a, col in zip(schema.attrs, attr_cols):
@@ -1086,8 +1115,14 @@ def _read_field_span(
 ) -> list:
     """Decode cells [lo_cell, hi_cell) of one field, touching only the
     chunks that cover the span (var-length: offsets span + the var byte
-    range those offsets address)."""
-    base = _field_file(frag, field.name, idx, kind)
+    range those offsets address).  Attrs evolved in after this fragment
+    was written (no data file) read as fills."""
+    try:
+        base = _field_file(frag, field.name, idx, kind)
+    except FileNotFoundError:
+        if kind == "a":
+            return [_fill_value(field)] * (hi_cell - lo_cell)
+        raise
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _, _, elem = _DT[dtype_id]
     if cvn == 0xFFFFFFFF:

@@ -676,3 +676,70 @@ def write_array_metadata(
     path = os.path.join(meta_dir, f"__{ts}_{ts}_{uuid.uuid4().hex}")
     _write_generic_tile(path, payload)
     return path
+
+
+def evolve_native_schema(
+    array_dir: str,
+    add_attrs: Sequence[NativeAttr] = (),
+    drop_attrs: Sequence[str] = (),
+    ts: Optional[int] = None,
+) -> NativeSchema:
+    """ALTER TABLE ADD/DROP COLUMN at format level (TileDB
+    ArraySchemaEvolution; t/schema_evolution.test is the SQL surface):
+    writes a NEW timestamped schema blob under __schema/ — the old blob
+    is KEPT, so this is an append like everything else in the format.
+    Readers use the newest schema: attrs evolved in after a fragment was
+    written read as their fill value (NULL when nullable) on that
+    fragment; dropped attrs simply stop being requested, their old data
+    files stay untouched.
+
+    Supported for arrays whose fragments use name-based data files (our
+    writer's v5 era).  Positional-file fragments (format >= 10) bind
+    columns by schema INDEX, which evolution would shift — rejected."""
+    import time  # noqa: PLC0415
+
+    for frag in _fragment_dirs(array_dir):
+        tail = os.path.basename(frag).rsplit("_", 1)[-1]
+        if tail.isdigit() and int(tail) >= 10:
+            raise NotImplementedError(
+                "schema evolution over positional-file fragments (>=v10)"
+            )
+    schema = parse_array_schema(_schema_path(array_dir))
+    drop = set(drop_attrs)
+    have = {a.name for a in schema.attrs}
+    missing = drop - have
+    if missing:
+        raise ValueError(f"cannot drop unknown attrs: {sorted(missing)}")
+    dim_names = {d.name for d in schema.dims}
+    clash = [a.name for a in add_attrs if a.name in have or a.name in dim_names]
+    if clash:
+        raise ValueError(f"attrs already exist: {clash}")
+    if not set(a.name for a in schema.attrs) - drop and not add_attrs:
+        raise ValueError("evolution would leave the schema attr-less")
+    gz = [(_F_GZIP, b"")]
+    new_attrs = [a for a in schema.attrs if a.name not in drop] + [
+        NativeAttr(a.name, a.dtype_id, a.cell_val_num, a.nullable, a.fill,
+                   filters=a.filters or gz)
+        for a in add_attrs
+    ]
+    evolved = NativeSchema(
+        7, schema.array_type, schema.capacity, schema.dims, new_attrs,
+        coords_filters=schema.coords_filters or gz,
+        offsets_filters=schema.offsets_filters or gz,
+        validity_filters=schema.validity_filters or gz,
+        allows_dups=schema.allows_dups,
+    )
+    sdir = os.path.join(array_dir, "__schema")
+    os.makedirs(sdir, exist_ok=True)
+    flat = os.path.join(array_dir, "__array_schema.tdb")
+    if os.path.isfile(flat):
+        # migrate the flat blob into __schema/ as the OLDEST entry so
+        # history is preserved and newest-wins selection keeps working
+        os.replace(flat, os.path.join(sdir, f"__0_0_{uuid.uuid4().hex}"))
+    if ts is None:
+        ts = int(time.time() * 1000)
+    _write_generic_tile(
+        os.path.join(sdir, f"__{ts}_{ts}_{uuid.uuid4().hex}"),
+        _serialize_schema(evolved),
+    )
+    return parse_array_schema(_schema_path(array_dir))

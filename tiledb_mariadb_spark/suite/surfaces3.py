@@ -1523,3 +1523,123 @@ SPECS.append(
         "update/delete entries folded newest-wins (t/metadata.test)",
     )
 )
+
+
+# --- q294: native schema evolution through the connector ---------------------
+# t/schema_evolution.test at FORMAT level (the catalog twin is q83): a
+# new timestamped __schema/ blob adds a nullable column and a filled
+# column; fragments written before the evolution read them as NULL/fill,
+# fragments written after carry real values — all through read_array's
+# split-planned scan, aggregated per phase so the driver hash-verifies
+# the fill semantics exactly.  Reference: TileDB ArraySchemaEvolution;
+# discovery re-reads the newest blob (mytile-discovery.cc).
+_Q294_FILL = -5
+
+
+def q294_native_evolution(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        evolve_native_schema,
+        write_native_fragment,
+    )
+    from tiledb_mariadb_spark.suite import dsum  # noqa: PLC0415
+
+    be = NativeDecoderBackend()
+    uri = tempfile.mkdtemp(prefix="q294_native_evo_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("o_orderkey", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def write_ts(df, ts, with_flag):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                cols = {n: list(pdf[n]) for n in pdf.columns}
+                write_native_fragment(uri, cols, ts=ts)
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    # phase 1: pre-evolution fragment
+    write_ts(base.filter(F.col("o_orderkey") <= 750), 1000, False)
+    evolve_native_schema(
+        uri,
+        add_attrs=[
+            NativeAttr("note", 12, 0xFFFFFFFF, True, None),  # NULL on old
+            NativeAttr("flag", 1, 1, False, _struct.pack("<q", _Q294_FILL)),
+        ],
+        ts=1500,
+    )
+    # phase 2: post-evolution fragment carries real values
+    post = base.filter(
+        (F.col("o_orderkey") > 750) & (F.col("o_orderkey") <= 1500)
+    ).select(
+        "o_orderkey", "cents",
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 10).cast("string")).alias(
+            "note"
+        ),
+        (F.col("o_orderkey") % 3).alias("flag"),
+    )
+    write_ts(post, 2000, True)
+
+    arr = read_array(spark, uri, backend=be, target_splits=8)
+    return (
+        arr.groupBy(
+            F.when(F.col("o_orderkey") <= 750, "pre")
+            .otherwise("post")
+            .alias("phase")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("flag").alias("sum_flag"),
+            F.count("note").alias("n_note"),
+        )
+        .orderBy("phase")
+    )
+
+
+Q294_SQL = f"""
+SELECT CASE WHEN o_orderkey <= 750 THEN 'pre' ELSE 'post' END AS phase,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(SUM(CASE WHEN o_orderkey <= 750 THEN {_Q294_FILL}
+                     ELSE o_orderkey % 3 END) AS BIGINT) AS sum_flag,
+       CAST(COUNT(CASE WHEN o_orderkey <= 750 THEN NULL ELSE 1 END)
+            AS BIGINT) AS n_note
+FROM orders WHERE o_orderkey <= 1500
+GROUP BY 1 ORDER BY phase
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q294_native_evolution",
+        q294_native_evolution,
+        Q294_SQL,
+        "schema evolution at format level: evolved-in columns read as "
+        "fill/NULL on pre-evolution fragments (t/schema_evolution.test)",
+    )
+)
