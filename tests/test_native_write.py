@@ -15,6 +15,7 @@ import pytest
 from tiledb_mariadb_spark.sources.tiledb_native import (
     NativeAttr,
     NativeDim,
+    _fragment_dirs,
     parse_array_schema,
     read_array_metadata,
     read_native_array,
@@ -624,3 +625,73 @@ def test_schema_evolution_native(tmp_path):
         evolve_native_schema(d, add_attrs=[NativeAttr("y", 1, 1, True, None)])
     with pytest.raises(ValueError):
         evolve_native_schema(d, drop_attrs=["y", "z"])
+
+
+def test_hilbert_cell_order_native(tmp_path):
+    """cell_order=HILBERT (t/hilbert.test at format level): cells land
+    in 2-D Hilbert curve order, the schema blob records layout id 4
+    (the quickstart_sparse_hilbert fixture's id), reads stay exact, and
+    — the point of the curve — R-tree tile MBRs become compact on BOTH
+    axes, so a box query prunes far more tiles than row-major order
+    whichever dim it constrains."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+        read_native_array_range,
+        rtree_tile_runs,
+    )
+
+    grid = [(x, y, x * 1000 + y) for x in range(40) for y in range(40)]
+    arrays = {}
+    for co in ("ROW_MAJOR", "HILBERT"):
+        d = str(tmp_path / co.lower())
+        create_native_array(
+            d,
+            dims=[
+                NativeDim("x", 1, 1, (0, 63), None),
+                NativeDim("y", 1, 1, (0, 63), None),
+            ],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+            capacity=16,
+            cell_order=co,
+        )
+        write_native_fragment(
+            d,
+            {"x": [g[0] for g in grid], "y": [g[1] for g in grid],
+             "v": [g[2] for g in grid]},
+            ts=10,
+        )
+        arrays[co] = d
+        schema = parse_array_schema(_schema_path(d))
+        assert schema.cell_order == (4 if co == "HILBERT" else 0)
+        # exactness: both layouts decode to the same (sorted) rows
+        _s, rows = read_native_array(d)
+        assert rows == sorted(grid)
+        box = [(10, 17), (10, 17)]
+        _n, got = read_native_array_range(d, ranges=box)
+        assert got == [
+            g for g in sorted(grid) if 10 <= g[0] <= 17 and 10 <= g[1] <= 17
+        ]
+
+    def covered(d, rngs):
+        schema = parse_array_schema(_schema_path(d))
+        runs = rtree_tile_runs(_fragment_dirs(d)[0], schema, rngs)
+        return sum(hi - lo for lo, hi, _n in runs) if runs else 1600
+
+    # y-only range: row-major tiles all span the full y axis -> no
+    # pruning; Hilbert tiles are compact in y -> most tiles pruned
+    y_range = [(None, None), (10, 17)]
+    assert covered(arrays["ROW_MAJOR"], y_range) >= 1200
+    assert covered(arrays["HILBERT"], y_range) <= 800
+    # box query: Hilbert covers a small neighborhood of the box
+    box = [(10, 17), (10, 17)]
+    assert covered(arrays["HILBERT"], box) <= covered(arrays["ROW_MAJOR"], box)
+
+
+def test_hilbert_rejects_unsupported_shapes(tmp_path):
+    with pytest.raises(ValueError):
+        create_native_array(
+            str(tmp_path / "h1"),
+            dims=[NativeDim("k", 1, 1, (0, 10), None)],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+            cell_order="HILBERT",
+        )

@@ -315,7 +315,8 @@ class NativeSchema:
         self.coords_filters = coords_filters or []
         self.offsets_filters = offsets_filters or []
         self.validity_filters = validity_filters or []
-        # tiledb_layout_t: 0 ROW_MAJOR, 1 COL_MAJOR, 3 HILBERT
+        # tiledb_layout_t: 0 ROW_MAJOR, 1 COL_MAJOR, 2 GLOBAL_ORDER,
+        # 3 UNORDERED, 4 HILBERT (quickstart_sparse_hilbert fixture = 4)
         self.tile_order, self.cell_order = tile_order, cell_order
         # allows_dups=true: duplicate coordinates are KEPT, not
         # overwritten (t/duplicates.test semantics)

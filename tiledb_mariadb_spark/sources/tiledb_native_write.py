@@ -179,7 +179,9 @@ def _serialize_schema(schema: NativeSchema) -> bytes:
     out = struct.pack("<I", 7)
     out += struct.pack("<B", 1 if schema.allows_dups else 0)
     out += struct.pack("<B", 0 if schema.array_type == "DENSE" else 1)
-    out += struct.pack("<BB", 0, 0)  # tile_order, cell_order: ROW_MAJOR
+    # tile_order ROW_MAJOR; cell_order as declared (0 ROW_MAJOR /
+    # 4 HILBERT — the quickstart_sparse_hilbert fixture's id)
+    out += struct.pack("<BB", schema.tile_order, schema.cell_order)
     out += struct.pack("<Q", schema.capacity)
     out += _pack_pipeline(schema.coords_filters)
     out += _pack_pipeline(schema.offsets_filters)
@@ -223,6 +225,7 @@ def create_native_array(
     compressor: str = "gzip",
     checksum: Optional[str] = None,
     allows_dups: bool = False,
+    cell_order: str = "ROW_MAJOR",
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
@@ -246,10 +249,20 @@ def create_native_array(
                    filters=a.filters or gz)
         for a in attrs
     ]
+    co = {"ROW_MAJOR": 0, "HILBERT": 4}[cell_order]
+    if co == 4 and (
+        array_type != "SPARSE"
+        or len(dims) != 2
+        or any(d.is_var or d.domain is None for d in dims)
+    ):
+        raise ValueError(
+            "HILBERT cell order: sparse array with exactly 2 fixed "
+            "integer dims (the reference's supported surface, t/hilbert.test)"
+        )
     schema = NativeSchema(
         7, array_type, capacity, list(dims), list(attrs),
         coords_filters=gz, offsets_filters=gz, validity_filters=gz,
-        allows_dups=allows_dups,
+        allows_dups=allows_dups, cell_order=co,
     )
     os.makedirs(array_dir, exist_ok=True)
     _write_generic_tile(
@@ -422,13 +435,37 @@ def write_native_fragment(
                     "out-of-domain writes, ha_mytile.cc bounds checks)"
                 )
     if schema.array_type == "SPARSE" and n > 1:
-        # TileDB sparse fragments store cells in GLOBAL ORDER (row-major
-        # over the dims for our schemas); sort before writing so the
-        # on-disk layout is format-faithful and coordinate chunks are
-        # monotone (which is what makes range -> chunk-span seeks tight)
-        order = sorted(
-            range(n), key=lambda i: tuple(columns[d.name][i] for d in schema.dims)
-        )
+        # TileDB sparse fragments store cells in GLOBAL ORDER: row-major
+        # over the dims, or along the 2-D Hilbert curve when the schema
+        # declares cell_order=HILBERT (locality in BOTH dims — tiles get
+        # compact MBRs on every axis, so R-tree pruning works for box
+        # queries regardless of which dim the range lands on).  Sorting
+        # before writing keeps the on-disk layout format-faithful and
+        # coordinate chunks monotone in the declared order.
+        if schema.cell_order == 4:  # HILBERT
+            from tiledb_mariadb_spark.operators.zorder import (  # noqa: PLC0415
+                hilbert2_py,
+            )
+
+            d0, d1 = schema.dims
+            span = max(
+                d0.domain[1] - d0.domain[0], d1.domain[1] - d1.domain[0]
+            )
+            bits = max(1, span.bit_length())
+
+            def _key(i):
+                return hilbert2_py(
+                    columns[d0.name][i] - d0.domain[0],
+                    columns[d1.name][i] - d1.domain[0],
+                    bits,
+                )
+
+            order = sorted(range(n), key=_key)
+        else:
+            order = sorted(
+                range(n),
+                key=lambda i: tuple(columns[d.name][i] for d in schema.dims),
+            )
         if order != list(range(n)):
             columns = {
                 name: [vals[i] for i in order]
@@ -728,6 +765,7 @@ def evolve_native_schema(
         offsets_filters=schema.offsets_filters or gz,
         validity_filters=schema.validity_filters or gz,
         allows_dups=schema.allows_dups,
+        tile_order=schema.tile_order, cell_order=schema.cell_order,
     )
     sdir = os.path.join(array_dir, "__schema")
     os.makedirs(sdir, exist_ok=True)

@@ -1643,3 +1643,97 @@ SPECS.append(
         "fill/NULL on pre-evolution fragments (t/schema_evolution.test)",
     )
 )
+
+
+# --- q295: HILBERT cell order through the native connector -------------------
+# t/hilbert.test at format level (catalog twin: q166/q262 zorder ops):
+# the array is written in true 2-D Hilbert curve order (schema layout id
+# 4, the quickstart_sparse_hilbert fixture's id), so R-tree leaf MBRs
+# are compact on BOTH axes and a SECONDARY-dim range — which row-major
+# order cannot prune at all — skips most tiles.  The spec box-queries
+# through the split-planned connector and hash-verifies the values; the
+# tile-pruning advantage itself is pinned in tests/test_native_write.py.
+def q295_native_hilbert(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    be = NativeDecoderBackend()
+    uri = tempfile.mkdtemp(prefix="q295_native_hilbert_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[
+            NativeDim("o_orderkey", 1, 1, (0, 6_000_000), None),
+            NativeDim("o_custkey", 1, 1, (0, 600_000), None),
+        ],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+        capacity=500,
+        cell_order="HILBERT",
+    )
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def part(batches):
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            write_native_fragment(
+                uri, {n: list(pdf[n]) for n in pdf.columns}, ts=1000
+            )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    base.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    # secondary-dim box: o_orderkey UNBOUNDED, o_custkey bounded — the
+    # range shape only Hilbert tile MBRs can prune
+    arr = read_array(
+        spark,
+        uri,
+        backend=be,
+        dim_ranges={"o_custkey": (100, 400)},
+        target_splits=8,
+    )
+    return arr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_okey"),
+        F.max("o_custkey").alias("max_ckey"),
+    )
+
+
+Q295_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       MIN(o_orderkey) AS min_okey,
+       MAX(o_custkey) AS max_ckey
+FROM orders WHERE o_custkey BETWEEN 100 AND 400
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q295_native_hilbert",
+        q295_native_hilbert,
+        Q295_SQL,
+        "HILBERT cell order (layout id 4): secondary-dim box query "
+        "through the connector, tile MBRs compact on both axes",
+    )
+)
