@@ -121,7 +121,7 @@ def test_dense_fragment_roundtrip(tmp_path):
         (1, 1, 10), (1, 2, 20), (1, 3, 30),
         (2, 1, 40), (2, 2, 50), (2, 3, 60),
     ]
-    with pytest.raises(ValueError, match="full domain"):
+    with pytest.raises(ValueError, match="cover its subarray"):
         write_native_fragment(d, {"r": [0], "c": [0], "v": [1]})
 
 
@@ -695,3 +695,83 @@ def test_hilbert_rejects_unsupported_shapes(tmp_path):
             attrs=[NativeAttr("v", 1, 1, False, None)],
             cell_order="HILBERT",
         )
+
+
+def test_dense_subarray_writes(tmp_path):
+    """Dense SUBARRAY fragments (dense_writes.test at format level):
+    tile-aligned boxes, newest-wins overlay on overlap, bounding-box
+    reads with fill for never-written cells (fill_in.test), exact
+    metadata count = bbox volume, and tile-order layout under extents."""
+    import struct as _struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        estimate_range_cells,
+        read_native_array,
+        read_native_array_range,
+    )
+
+    d = str(tmp_path / "densesub")
+    create_native_array(
+        d,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 19), 5)],  # extent 5 -> 4 tiles
+        attrs=[NativeAttr("v", 1, 1, False, _struct.pack("<q", -1))],
+    )
+    write_native_fragment(
+        d, {"v": [100 + i for i in range(10)]}, ts=100, subarray=[(0, 9)]
+    )
+    write_native_fragment(
+        d, {"v": [200 + i for i in range(5)]}, ts=200, subarray=[(15, 19)]
+    )
+    _s, rows = read_native_array(d)
+    # bbox [0,19]: [0,9] from frag1, [10,14] = FILL, [15,19] from frag2
+    assert rows == (
+        [(i, 100 + i) for i in range(10)]
+        + [(i, -1) for i in range(10, 15)]
+        + [(i, 200 + i - 15) for i in range(15, 20)]
+    )
+    assert count_native_array(d) == 20
+    assert estimate_range_cells(d, ranges=[(8, 16)]) == 9
+    _n, ranged = read_native_array_range(d, ranges=[(8, 16)])
+    assert ranged == (
+        [(8, 108), (9, 109)]
+        + [(i, -1) for i in range(10, 15)]
+        + [(15, 200), (16, 201)]
+    )
+    # overlap: newer box wins on the shared cells
+    write_native_fragment(
+        d, {"v": [900 + i for i in range(5)]}, ts=300, subarray=[(5, 9)]
+    )
+    _s, rows = read_native_array(d)
+    assert rows[5:10] == [(i, 900 + i - 5) for i in range(5, 10)]
+    # time travel still sees the pre-overlap image
+    _s, old = read_native_array(d, at=150)
+    assert old == [(i, 100 + i) for i in range(10)]
+
+    # alignment + volume guards
+    with pytest.raises(ValueError):
+        write_native_fragment(d, {"v": [0] * 5}, subarray=[(3, 7)])
+    with pytest.raises(ValueError):
+        write_native_fragment(d, {"v": [0] * 4}, subarray=[(0, 4)])
+
+    # 2-D: tile order differs from row-major box order — the writer
+    # permutes, so reads come back coordinate-correct
+    d2 = str(tmp_path / "dense2d")
+    create_native_array(
+        d2,
+        array_type="DENSE",
+        dims=[
+            NativeDim("x", 1, 1, (0, 3), 2),
+            NativeDim("y", 1, 1, (0, 3), 2),
+        ],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    # full domain, row-major values v = 10*x + y
+    write_native_fragment(
+        d2, {"v": [10 * x + y for x in range(4) for y in range(4)]}, ts=10
+    )
+    _s, rows2 = read_native_array(d2)
+    assert rows2 == [
+        (x, y, 10 * x + y) for x in range(4) for y in range(4)
+    ]

@@ -931,19 +931,44 @@ def _dense_coords(schema: NativeSchema) -> list[tuple]:
     """Global cell order of a dense fragment covering the whole domain:
     space tiles in row-major tile order, cells row-major within each tile
     (both ROW_MAJOR in every fixture)."""
+    return _dense_coords_box(
+        schema, [d.domain for d in schema.dims]
+    )
+
+
+def _dense_coords_box(schema: NativeSchema, box) -> list[tuple]:
+    """Global cell order of a dense fragment covering ``box`` (per-dim
+    inclusive (lo, hi), tile-aligned): the box's space tiles in
+    row-major tile order, cells row-major within each tile — the order
+    a TileDB global-order dense subarray write lays cells down."""
     axes = []
-    for d in schema.dims:
+    for d, (blo, bhi) in zip(schema.dims, box):
         lo, hi = d.domain
         ext = d.extent or (hi - lo + 1)
-        tiles = [
-            range(t, min(t + ext, hi + 1))
-            for t in range(lo, hi + 1, ext)
-        ]
+        tiles = []
+        for t in range(lo, hi + 1, ext):
+            s, e = max(t, blo), min(t + ext - 1, bhi)
+            if s <= e:
+                tiles.append(range(s, e + 1))
         axes.append(tiles)
     coords = []
     for tile_combo in itertools.product(*axes):
         coords.extend(itertools.product(*tile_combo))
     return coords
+
+
+def _dense_fragment_box(frag: str, schema: NativeSchema):
+    """A dense fragment's written subarray: the validated footer NED
+    (full domain when the footer is absent/unvalidatable — the
+    pre-subarray-write layout)."""
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) else None
+    if footer is None or not footer.dense:
+        return [d.domain for d in schema.dims]
+    box = []
+    for d, ned in zip(schema.dims, footer.non_empty_domain):
+        box.append(ned if ned is not None else d.domain)
+    return box
 
 
 def read_native_array(
@@ -958,6 +983,7 @@ def read_native_array(
     schema = parse_array_schema(_schema_path(array_dir))
     merged: dict[tuple, tuple] = {}
     dup_rows: list[tuple] = []  # allows_dups=true: keep every cell
+    dense_boxes: list[list] = []  # written subarrays (dense fill read)
     for frag in _fragment_dirs(array_dir, at=at):
         zipped = os.path.join(frag, "__coords.tdb")
         has_coords = os.path.isfile(zipped) or any(
@@ -980,7 +1006,9 @@ def read_native_array(
                 ]
             coords = list(zip(*dim_cols))
         else:
-            coords = _dense_coords(schema)
+            box = _dense_fragment_box(frag, schema)
+            dense_boxes.append(box)
+            coords = _dense_coords_box(schema, box)
         attr_cols = [
             _read_field(frag, schema, a, i, "a", n_cells=len(coords))
             for i, a in enumerate(schema.attrs)
@@ -996,6 +1024,19 @@ def read_native_array(
                 dup_rows.append(row)
             else:
                 merged[c] = row
+    if dense_boxes:
+        # Dense read semantics (fill_in.test / dense_writes.test): the
+        # scan materializes the BOUNDING BOX of the written subarrays;
+        # cells no fragment covered read as the attribute fill values.
+        bbox = [
+            (min(b[i][0] for b in dense_boxes),
+             max(b[i][1] for b in dense_boxes))
+            for i in range(len(schema.dims))
+        ]
+        fills = tuple(_fill_value(a) for a in schema.attrs)
+        for c in _dense_coords_box(schema, bbox):
+            if c not in merged:
+                merged[c] = c + fills
     if schema.allows_dups:
         nd = len(schema.dims)
         return schema, sorted(dup_rows, key=lambda r: r[:nd])
@@ -1340,6 +1381,7 @@ def read_native_array_range(
 
     merged: dict[tuple, tuple] = {}
     dup_rows: list[tuple] = []  # allows_dups=true: keep every cell
+    dense_boxes: list[list] = []  # written subarrays (dense fill read)
     for frag in _fragment_dirs(array_dir, at=at):
         if not fragment_overlaps(frag, schema, rngs):
             continue  # footer-proven disjoint: zero bytes decoded
@@ -1418,33 +1460,37 @@ def read_native_array_range(
                     ]
                     _consume(dim_cols, p_lo, p_hi - p_lo)
         else:  # dense
-            axes = []
-            for d in schema.dims:
-                axes.append(range(d.domain[0], d.domain[1] + 1))
-            dom_n = 1
-            for ax in axes:
-                dom_n *= len(ax)
-            if _dense_is_row_major(schema) and rngs[0] != (None, None):
+            box = _dense_fragment_box(frag, schema)
+            dense_boxes.append(box)
+            box_n = 1
+            for blo, bhi in box:
+                box_n *= bhi - blo + 1
+            full = box == [d.domain for d in schema.dims]
+            if full and _dense_is_row_major(schema) and rngs[0] != (None, None):
+                # row-major full-domain fast path: the dim0 range maps
+                # straight to a cell span
                 d0 = schema.dims[0]
                 lo0 = max(rngs[0][0], d0.domain[0]) if rngs[0][0] is not None else d0.domain[0]
                 hi0 = min(rngs[0][1], d0.domain[1]) if rngs[0][1] is not None else d0.domain[1]
                 if lo0 > hi0:
                     continue
-                inner = dom_n // len(axes[0])
+                inner = box_n // (d0.domain[1] - d0.domain[0] + 1)
                 lo_c = (lo0 - d0.domain[0]) * inner
                 hi_c = (hi0 - d0.domain[0] + 1) * inner
                 span_coords = itertools.product(
-                    range(lo0, hi0 + 1), *axes[1:]
+                    range(lo0, hi0 + 1),
+                    *(range(d.domain[0], d.domain[1] + 1)
+                      for d in schema.dims[1:]),
                 )
             else:
-                # space-tiled layout: fall back to the global tiled cell
-                # order over the whole fragment
-                lo_c, hi_c = 0, dom_n
-                span_coords = iter(_dense_coords(schema))
+                # subarray fragment / space-tiled layout: decode the
+                # fragment's written box in its global tiled cell order
+                lo_c, hi_c = 0, box_n
+                span_coords = iter(_dense_coords_box(schema, box))
             attr_vals = {
                 a.name: _read_field_span(
                     frag, schema, a, schema.attrs.index(a), "a",
-                    lo_c, hi_c, dom_n,
+                    lo_c, hi_c, box_n,
                 )
                 for a in want
             }
@@ -1454,6 +1500,24 @@ def read_native_array_range(
                 ):
                     continue
                 merged[c] = c + tuple(attr_vals[a.name][i] for a in want)
+    if dense_boxes:
+        # dense subarray-read semantics: materialize the requested
+        # window of the written bounding box; uncovered cells = fills
+        bbox = []
+        for i, d in enumerate(schema.dims):
+            blo = min(b[i][0] for b in dense_boxes)
+            bhi = max(b[i][1] for b in dense_boxes)
+            lo, hi = rngs[i]
+            if lo is not None:
+                blo = max(blo, lo)
+            if hi is not None:
+                bhi = min(bhi, hi)
+            bbox.append((blo, bhi))
+        if all(blo <= bhi for blo, bhi in bbox):
+            fills = tuple(_fill_value(a) for a in want)
+            for c in _dense_coords_box(schema, bbox):
+                if c not in merged:
+                    merged[c] = c + fills
     if schema.allows_dups:
         nd = len(schema.dims)
         return names, sorted(dup_rows, key=lambda r: r[:nd])
@@ -1779,6 +1843,30 @@ def count_native_array(array_dir: str, at: int | None = None) -> int | None:
     frags = _fragment_dirs(array_dir, at=at)
     if not frags:
         return 0
+    if schema.array_type == "DENSE":
+        # a dense read materializes the BOUNDING BOX of the written
+        # subarrays (uncovered cells are fills), so the exact count is
+        # the bbox volume — provable even when fragments overlap
+        boxes = []
+        for frag in frags:
+            fm = os.path.join(frag, "__fragment_metadata.tdb")
+            footer = (
+                parse_fragment_footer(fm, schema)
+                if os.path.isfile(fm) else None
+            )
+            if footer is None:
+                return None
+            box = [
+                ned if ned is not None else d.domain
+                for d, ned in zip(schema.dims, footer.non_empty_domain)
+            ]
+            boxes.append(box)
+        vol = 1
+        for i in range(len(schema.dims)):
+            lo = min(b[i][0] for b in boxes)
+            hi = max(b[i][1] for b in boxes)
+            vol *= hi - lo + 1
+        return vol
     counts, footers = [], []
     for frag in frags:
         n = fragment_cell_count(frag, schema)
@@ -1944,6 +2032,29 @@ def estimate_range_cells(
     footer count when no R-tree is usable.  None = some fragment has no
     parseable footer (nothing metadata-only can be said)."""
     schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type == "DENSE":
+        # dense reads materialize the written bounding box (fills
+        # included): the bound is |bbox ∩ ranges|
+        n = count_native_array(array_dir, at=at)
+        if n is None or n == 0 or not ranges:
+            return n
+        boxes = [
+            _dense_fragment_box(f, schema)
+            for f in _fragment_dirs(array_dir, at=at)
+        ]
+        vol = 1
+        for i, d in enumerate(schema.dims):
+            lo = min(b[i][0] for b in boxes)
+            hi = max(b[i][1] for b in boxes)
+            rlo, rhi = ranges[i]
+            if rlo is not None:
+                lo = max(lo, rlo)
+            if rhi is not None:
+                hi = min(hi, rhi)
+            if lo > hi:
+                return 0
+            vol *= hi - lo + 1
+        return vol
     total = 0
     for frag in _fragment_dirs(array_dir, at=at):
         if not fragment_overlaps(frag, schema, ranges):

@@ -397,6 +397,7 @@ def write_native_fragment(
     array_dir: str,
     columns: dict[str, Sequence],
     ts: Optional[int] = None,
+    subarray: Optional[Sequence[tuple]] = None,
 ) -> str:
     """Append one fragment to an existing native array (INSERT analog,
     flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
@@ -406,23 +407,85 @@ def write_native_fragment(
     fragment directory path."""
     schema = parse_array_schema(_schema_path(array_dir))
     names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
-    missing = [n for n in names if n not in columns]
+    if schema.array_type == "DENSE":
+        # dense fragments store no coordinates; dim columns are optional
+        names = [n for n in names if n in columns or n in
+                 {a.name for a in schema.attrs}]
+        missing = [a.name for a in schema.attrs if a.name not in columns]
+    else:
+        missing = [n for n in names if n not in columns]
     if missing:
         raise ValueError(f"missing columns: {missing}")
     lengths = {n: len(columns[n]) for n in names}
     if len(set(lengths.values())) != 1:
         raise ValueError(f"ragged columns: {lengths}")
     n = lengths[names[0]]
+    box = None
     if schema.array_type == "DENSE":
-        dom_size = 1
-        for d in schema.dims:
+        # dense SUBARRAY write (dense_writes.test): the written box must
+        # be space-tile aligned per dim (TileDB's global-write rule —
+        # partial tiles only at the domain edge); dims are NOT supplied,
+        # cells arrive in ROW-MAJOR box order and are laid down in the
+        # box's global tile order.  Default box = the full domain.
+        box = [tuple(b) for b in subarray] if subarray else [
+            d.domain for d in schema.dims
+        ]
+        box_size = 1
+        for d, (blo, bhi) in zip(schema.dims, box):
             lo, hi = d.domain
-            dom_size *= hi - lo + 1
-        if n != dom_size:
+            ext = d.extent or (hi - lo + 1)
+            if blo < lo or bhi > hi or blo > bhi:
+                raise ValueError(
+                    f"dimension {d.name}: subarray [{blo}, {bhi}] outside "
+                    f"domain [{lo}, {hi}]"
+                )
+            if (blo - lo) % ext != 0 or (
+                (bhi - blo + 1) % ext != 0 and bhi != hi
+            ):
+                raise ValueError(
+                    f"dimension {d.name}: subarray [{blo}, {bhi}] not "
+                    f"aligned to tile extent {ext} (TileDB dense "
+                    "global-order writes are tile-aligned)"
+                )
+            box_size *= bhi - blo + 1
+        if n != box_size:
             raise ValueError(
-                f"dense fragment must cover the full domain "
-                f"({dom_size} cells), got {n}"
+                f"dense fragment must cover its subarray "
+                f"({box_size} cells), got {n}"
             )
+    elif subarray is not None:
+        raise ValueError("subarray= applies to DENSE arrays only")
+    if schema.array_type == "DENSE" and n > 1:
+        # permute ROW-MAJOR box order -> the box's global TILE order
+        # (identity when every extent covers its axis, the legacy layout)
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _dense_coords_box,
+        )
+
+        if any(
+            d.extent is not None
+            and d.extent < (d.domain[1] - d.domain[0] + 1)
+            for d in schema.dims
+        ):
+            strides, mult = [], 1
+            for blo, bhi in reversed(box):
+                strides.insert(0, mult)
+                mult *= bhi - blo + 1
+
+            def _rm_index(c):
+                return sum(
+                    (v - blo) * s
+                    for v, (blo, _bhi), s in zip(c, box, strides)
+                )
+
+            perm = [_rm_index(c) for c in _dense_coords_box(schema, box)]
+            if perm != list(range(n)):
+                columns = {
+                    nm: [vals[i] for i in perm]
+                    for nm, vals in (
+                        (a.name, columns[a.name]) for a in schema.attrs
+                    )
+                }
     for d in schema.dims:
         if d.domain is None or schema.array_type == "DENSE":
             continue
@@ -492,7 +555,8 @@ def write_native_fragment(
             _write_field_files(frag, schema, a, columns[a.name],
                                slices=slices)
         _write_fragment_footer(frag, schema, columns, n,
-                                ntiles=len(slices), slices=slices)
+                                ntiles=len(slices), slices=slices,
+                                box=box)
     except Exception:
         import shutil  # noqa: PLC0415
 
@@ -556,7 +620,7 @@ def _serialize_rtree(
 
 def _write_fragment_footer(
     frag: str, schema: NativeSchema, columns: dict, n: int,
-    ntiles: int = 1, slices=None,
+    ntiles: int = 1, slices=None, box=None,
 ) -> None:
     """__fragment_metadata.tdb (offset-era layout the decoder's
     parse_fragment_footer reads back): [R-tree generic tile][raw footer:
@@ -571,10 +635,11 @@ def _write_fragment_footer(
     raw += struct.pack(
         "<BB", 1 if schema.array_type == "DENSE" else 0, 1 if empty else 0
     )
-    for d in schema.dims:
+    for di, d in enumerate(schema.dims):
         _nm, code, size = _DT[d.dtype_id]
         if schema.array_type == "DENSE":
-            vals = [d.domain[0], d.domain[1]]
+            # NED = the written subarray box (full domain by default)
+            vals = list(box[di]) if box else [d.domain[0], d.domain[1]]
         elif empty:
             vals = None  # null non-empty domain: placeholder bytes only
         else:

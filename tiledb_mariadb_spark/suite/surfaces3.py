@@ -1737,3 +1737,102 @@ SPECS.append(
         "through the connector, tile MBRs compact on both axes",
     )
 )
+
+
+# --- q296: dense SUBARRAY writes + fill reads through the connector ----------
+# dense_writes.test + fill_in.test at FORMAT level (catalog twin: q84):
+# two tile-aligned subarray fragments land with a GAP between them; the
+# scan materializes the bounding box, so the gap reads as the attribute
+# FILL value, the overlap region takes the newer fragment, and the
+# split-planned connector aggregates it all — hash-verified against an
+# oracle that recomputes written/doubled/fill per cell.
+def q296_native_dense_partial(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    be = NativeDecoderBackend()
+    uri = tempfile.mkdtemp(prefix="q296_dense_partial_") + "/arr"
+    create_native_array(
+        uri,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 1499), 100)],
+        attrs=[NativeAttr("v", 1, 1, False, _struct.pack("<q", -1))],
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def write_box(df, lo, hi, ts):
+        # dense subarray write: cells in row-major box order
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri, {"v": list(pdf["v"])}, ts=ts, subarray=[(lo, hi)]
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_box(
+        base.filter(F.col("k") <= 699).select("k", F.col("cents").alias("v")),
+        0, 699, 1000,
+    )
+    write_box(
+        base.filter((F.col("k") >= 900) & (F.col("k") <= 1499)).select(
+            "k", (F.col("cents") * 2).alias("v")
+        ),
+        900, 1499, 2000,
+    )
+    arr = read_array(spark, uri, backend=be, target_splits=6)
+    return (
+        arr.groupBy(F.expr("CAST(k DIV 300 AS BIGINT)").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+        )
+        .orderBy("region")
+    )
+
+
+Q296_SQL = """
+WITH cells AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey <= 1499)
+SELECT CAST(k // 300 AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN k <= 699 THEN cents
+                     WHEN k >= 900 THEN 2 * cents
+                     ELSE -1 END) AS BIGINT) AS sum_v
+FROM cells GROUP BY 1 ORDER BY region
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q296_native_dense_partial",
+        q296_native_dense_partial,
+        Q296_SQL,
+        "dense subarray fragments: bounding-box read with fill for the "
+        "gap, newest-wins overlay (dense_writes.test + fill_in.test)",
+    )
+)
