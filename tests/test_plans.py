@@ -93,6 +93,11 @@ def test_no_python_udf_in_any_plan(spark):
         # mapInPandas boundary (native fragment io), round 4
         "q286_native_consolidation",  # consolidation + pruned connector
         # scan: same declared native-io boundary
+        "q292_native_count",  # footer-count spec writes via mapInPandas
+        "q293_native_metadata",  # metadata write spec: same boundary
+        "q294_native_evolution",  # evolution spec write + connector scan
+        "q295_native_hilbert",  # hilbert write + connector scan
+        "q296_native_dense_partial",  # dense subarray write + scan
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

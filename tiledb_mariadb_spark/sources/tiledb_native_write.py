@@ -249,7 +249,7 @@ def create_native_array(
                    filters=a.filters or gz)
         for a in attrs
     ]
-    co = {"ROW_MAJOR": 0, "HILBERT": 4}[cell_order]
+    co = {"ROW_MAJOR": 0, "COL_MAJOR": 1, "HILBERT": 4}[cell_order]
     if co == 4 and (
         array_type != "SPARSE"
         or len(dims) != 2
@@ -258,6 +258,11 @@ def create_native_array(
         raise ValueError(
             "HILBERT cell order: sparse array with exactly 2 fixed "
             "integer dims (the reference's supported surface, t/hilbert.test)"
+        )
+    if co == 1 and array_type != "SPARSE":
+        raise ValueError(
+            "COL_MAJOR cell order: sparse arrays only (the dense reader "
+            "iterates row-major space tiles)"
         )
     schema = NativeSchema(
         7, array_type, capacity, list(dims), list(attrs),
@@ -524,6 +529,13 @@ def write_native_fragment(
                 )
 
             order = sorted(range(n), key=_key)
+        elif schema.cell_order == 1:  # COL_MAJOR: last dim varies slowest
+            order = sorted(
+                range(n),
+                key=lambda i: tuple(
+                    columns[d.name][i] for d in reversed(schema.dims)
+                ),
+            )
         else:
             order = sorted(
                 range(n),
