@@ -1836,3 +1836,110 @@ SPECS.append(
         "gap, newest-wins overlay (dense_writes.test + fill_in.test)",
     )
 )
+
+
+# --- q297: STACKED pushdowns through the data source --------------------------
+# The combination a real workload hits: time travel (`at`) + multi-range
+# IN absorption + attribute-condition pushdown + projection, all through
+# spark.read.format("tiledb_native") in ONE query — q288/q289/q284 each
+# prove a single axis; this proves they compose (the reference composes
+# them too: open_at + pushdown_ranges + pushdown conditions in one scan,
+# ha_mytile.cc init_scan).  Snapshot t1500 sees pre-update values; t2500
+# sees the zeroing update drop its rows out of the cents predicate.
+def q297_datasource_stacked(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    register_tiledb_native(spark)
+    uri = tempfile.mkdtemp(prefix="q297_stacked_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("st", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1400).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+
+    def write_df(df, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                write_native_fragment(
+                    uri, {n: list(pdf[n]) for n in pdf.columns}, ts=ts
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_df(base, 1000)
+    write_df(  # the update: zero out every 10th key
+        base.filter(F.col("k") % 10 == 0).select(
+            "k", F.lit(0).cast("bigint").alias("cents"), "st"
+        ),
+        2000,
+    )
+    in_keys = list(range(0, 1400, 37))
+
+    def snap(label, ts):
+        df = (
+            spark.read.format("tiledb_native")
+            .option("path", uri).option("at", str(ts)).load()
+        )
+        return (
+            df.filter(F.col("k").isin(in_keys))
+            .filter(F.col("cents") > 10_000_00)
+            .filter(F.col("st") == "O")
+            .select(F.lit(label).alias("snap"), "k", "cents")
+        )
+
+    return snap("t1500", 1500).unionByName(snap("t2500", 2500)).orderBy(
+        "snap", "k"
+    )
+
+
+Q297_SQL = """
+WITH cells AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS cents,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderkey < 1400),
+hits AS (
+  SELECT k, cents FROM cells
+  WHERE k % 37 = 0 AND cents > 1000000 AND st = 'O')
+SELECT 't1500' AS snap, k, cents FROM hits
+UNION ALL
+SELECT 't2500', k, cents FROM hits WHERE k % 10 <> 0
+ORDER BY snap, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q297_datasource_stacked",
+        q297_datasource_stacked,
+        Q297_SQL,
+        "time travel + IN point ranges + attribute conditions + "
+        "projection composed in one format() scan",
+    )
+)
