@@ -661,11 +661,19 @@ def q290_semdedup(spark, sf_dir):
             ).alias("qv"),
         )
     )
-    # Seeded centroids: elementwise sum of ORIGINAL vectors, 8 seed groups.
+    # Stage the vector NORM once per row: the pair stage then needs ONE
+    # dot per pair instead of three (the q159/q173 staging lesson — at
+    # sf0.1 the in-cluster pair count is ~500k, and each avoided qdot is
+    # a 64-element interpreted lambda).
+    corpus = corpus.withColumn(
+        "nrm", F.expr(f"SQRT({S.qdot_expr('qv', 'qv')})")
+    )
+    # Seeded centroids: elementwise sum of ORIGINAL vectors, 32 seed
+    # groups — SemDeDup wants many clusters: pair work scales ~N^2/k.
     cents = (
         e.filter(F.col("vec_id") < 256)
         .select(
-            (F.col("vec_id") % 8).alias("j"),
+            (F.col("vec_id") % 32).alias("j"),
             F.posexplode(F.col("embedding")).alias("dim", "x"),
         )
         .select("j", "dim", F.expr(S._scaled_int_spark("x")).alias("xs"))
@@ -677,22 +685,21 @@ def q290_semdedup(spark, sf_dir):
                 "transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)"
             ).alias("cv")
         )
+        .withColumn("cnrm", F.expr(f"SQRT({S.qdot_expr('cv', 'cv')})"))
     )
-    # Assignment: 8-row centroid side broadcast, argmax cosine (j asc ties).
+    # Assignment: 32-row centroid side broadcast, argmax cosine (j asc ties).
     scored = corpus.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "qv",
+        "nrm",
         "j",
-        F.expr(
-            f"({S.qdot_expr('qv', 'cv')} /"
-            f" (SQRT({S.qdot_expr('qv', 'qv')}) * SQRT({S.qdot_expr('cv', 'cv')})))"
-        ).alias("cosc"),
+        F.expr(f"({S.qdot_expr('qv', 'cv')} / (nrm * cnrm))").alias("cosc"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosc").desc(), F.col("j").asc())
     assigned = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "qv", F.col("j").alias("cluster"))
+        .select("vec_id", "qv", "nrm", F.col("j").alias("cluster"))
     )
     # Cluster-confined pair prune: equi-join on cluster (never cross).
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -704,9 +711,7 @@ def q290_semdedup(spark, sf_dir):
             F.col("b.vec_id").alias("dropped"),
             F.col("a.cluster").cast("long").alias("cluster"),
             F.expr(
-                f"({S.qdot_expr('a.qv', 'b.qv')} /"
-                f" (SQRT({S.qdot_expr('a.qv', 'a.qv')})"
-                f" * SQRT({S.qdot_expr('b.qv', 'b.qv')})))"
+                f"({S.qdot_expr('a.qv', 'b.qv')} / (a.nrm * b.nrm))"
             ).alias("cos"),
         )
         .filter(F.col("cos") >= _Q290_THRESH)
@@ -725,31 +730,30 @@ WITH corpus AS (
          list_transform({_Q290_PERT_SQL}, x ->
            CAST(ROUND(x * 10000.0) AS BIGINT)) AS qv
   FROM embeddings WHERE vec_id % 7 = 0),
+normed AS (
+  SELECT vec_id, qv, SQRT({S.qdot_sql('qv', 'qv')}) AS nrm FROM corpus),
 cent_comps AS (
-  SELECT vec_id % 8 AS j, CAST(i - 1 AS BIGINT) AS dim,
+  SELECT vec_id % 32 AS j, CAST(i - 1 AS BIGINT) AS dim,
          SUM({S._scaled_int_sql('embedding[i]')}) AS cx
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
   WHERE vec_id < 256 GROUP BY 1, 2),
 cents AS (
-  SELECT j, list(cx ORDER BY dim) AS cv FROM cent_comps GROUP BY j),
+  SELECT j, cv, SQRT({S.qdot_sql('cv', 'cv')}) AS cnrm FROM (
+    SELECT j, list(cx ORDER BY dim) AS cv FROM cent_comps GROUP BY j)),
 scored AS (
-  SELECT vec_id, qv, j,
-         ({S.qdot_sql('qv', 'cv')} /
-          (SQRT({S.qdot_sql('qv', 'qv')}) * SQRT({S.qdot_sql('cv', 'cv')}))) AS cosc
-  FROM corpus, cents),
+  SELECT vec_id, qv, nrm, j,
+         ({S.qdot_sql('qv', 'cv')} / (nrm * cnrm)) AS cosc
+  FROM normed, cents),
 assigned AS (
-  SELECT vec_id, qv, j AS cluster FROM scored
+  SELECT vec_id, qv, nrm, j AS cluster FROM scored
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                              ORDER BY cosc DESC, j ASC) = 1)
 SELECT a.vec_id AS kept, b.vec_id AS dropped,
        CAST(a.cluster AS BIGINT) AS cluster,
-       ({S.qdot_sql('a.qv', 'b.qv')} /
-        (SQRT({S.qdot_sql('a.qv', 'a.qv')}) * SQRT({S.qdot_sql('b.qv', 'b.qv')}))) AS cos
+       ({S.qdot_sql('a.qv', 'b.qv')} / (a.nrm * b.nrm)) AS cos
 FROM assigned a JOIN assigned b
   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE ({S.qdot_sql('a.qv', 'b.qv')} /
-       (SQRT({S.qdot_sql('a.qv', 'a.qv')}) * SQRT({S.qdot_sql('b.qv', 'b.qv')})))
-      >= {_Q290_THRESH}
+WHERE ({S.qdot_sql('a.qv', 'b.qv')} / (a.nrm * b.nrm)) >= {_Q290_THRESH}
 ORDER BY kept, dropped
 """
 
