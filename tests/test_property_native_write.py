@@ -235,3 +235,114 @@ def test_weighted_plan_splits_always_partition(dom_lo, span, weights, n):
     assert spans[-1][1] == dom_lo + span
     for (_a, b), (c, _d) in zip(spans, spans[1:]):
         assert c == b + 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    boxes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # start tile
+            st.integers(min_value=1, max_value=4),   # tiles in box
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    probe_lo=st.integers(min_value=0, max_value=30),
+    probe_w=st.integers(min_value=0, max_value=30),
+)
+def test_dense_subarray_overlay_fuzz(tmp_path_factory, boxes, probe_lo, probe_w):
+    """Random tile-aligned dense boxes vs a dict model: bounding-box
+    materialization, newest-wins overlay, fill for gaps — whole and
+    ranged reads."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        read_native_array,
+        read_native_array_range,
+    )
+
+    EXT, DOM_HI = 5, 29  # 6 tiles of 5
+    d = str(tmp_path_factory.mktemp("dsf") / "arr")
+    create_native_array(
+        d,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, DOM_HI), EXT)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],  # default fill 0
+    )
+    model: dict = {}
+    for i, (t0, w) in enumerate(boxes):
+        lo = t0 * EXT
+        hi = min(lo + w * EXT - 1, DOM_HI)
+        if lo > DOM_HI:
+            continue
+        vals = [1000 * (i + 1) + k for k in range(lo, hi + 1)]
+        write_native_fragment(
+            d, {"v": vals}, ts=100 + i, subarray=[(lo, hi)]
+        )
+        for k, v in zip(range(lo, hi + 1), vals):
+            model[k] = v
+    if not model:
+        return
+    blo, bhi = min(model), max(model)
+    expect = [(k, model.get(k, 0)) for k in range(blo, bhi + 1)]
+    _s, rows = read_native_array(d)
+    assert rows == expect
+    assert count_native_array(d) == bhi - blo + 1
+    p_hi = probe_lo + probe_w
+    _n, ranged = read_native_array_range(d, ranges=[(probe_lo, p_hi)])
+    assert ranged == [r for r in expect if probe_lo <= r[0] <= p_hi]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pts=st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        I32,
+        min_size=1,
+        max_size=50,
+    ),
+    box=st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=15),
+    ),
+)
+def test_hilbert_write_read_fuzz(tmp_path_factory, pts, box):
+    """Hilbert-ordered fragments: whole reads and 2-D box reads equal
+    the brute-force model regardless of curve layout."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+        read_native_array_range,
+    )
+
+    d = str(tmp_path_factory.mktemp("hf") / "arr")
+    create_native_array(
+        d,
+        dims=[
+            NativeDim("x", 1, 1, (0, 31), None),
+            NativeDim("y", 1, 1, (0, 31), None),
+        ],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=7,
+        cell_order="HILBERT",
+    )
+    keys = list(pts)
+    write_native_fragment(
+        d,
+        {"x": [k[0] for k in keys], "y": [k[1] for k in keys],
+         "v": [pts[k] for k in keys]},
+        ts=10,
+    )
+    expect = sorted((x, y, v) for (x, y), v in pts.items())
+    _s, rows = read_native_array(d)
+    assert rows == expect
+    xlo, xw, ylo, yw = box
+    rngs = [(xlo, xlo + xw), (ylo, ylo + yw)]
+    _n, got = read_native_array_range(d, ranges=rngs)
+    assert got == [
+        r for r in expect
+        if xlo <= r[0] <= xlo + xw and ylo <= r[1] <= ylo + yw
+    ]

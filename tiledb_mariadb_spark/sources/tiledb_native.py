@@ -1384,6 +1384,10 @@ def read_native_array_range(
     dense_boxes: list[list] = []  # written subarrays (dense fill read)
     for frag in _fragment_dirs(array_dir, at=at):
         if not fragment_overlaps(frag, schema, rngs):
+            if schema.array_type == "DENSE":
+                # still shapes the bounding box (its gap cells inside
+                # the requested window must materialize as fills)
+                dense_boxes.append(_dense_fragment_box(frag, schema))
             continue  # footer-proven disjoint: zero bytes decoded
         zipped = os.path.isfile(os.path.join(frag, "__coords.tdb"))
         has_coords = zipped or any(
