@@ -346,3 +346,86 @@ def test_hilbert_write_read_fuzz(tmp_path_factory, pts, box):
         r for r in expect
         if xlo <= r[0] <= xlo + xw and ylo <= r[1] <= ylo + yw
     ]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    steps=st.lists(
+        st.one_of(
+            st.tuples(st.just("write"),
+                      st.dictionaries(st.integers(min_value=0, max_value=20),
+                                      I32, min_size=1, max_size=8)),
+            st.tuples(st.just("add"), st.booleans()),
+            st.tuples(st.just("drop"), st.integers(min_value=0, max_value=5)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_schema_evolution_fuzz(tmp_path_factory, steps):
+    """Random interleavings of writes, attr adds (nullable or filled),
+    and attr drops vs a dict model: reads always reflect the newest
+    schema, with per-fragment fill/NULL for attrs newer than the
+    fragment."""
+    import struct as _struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        evolve_native_schema,
+    )
+
+    d = str(tmp_path_factory.mktemp("evo") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 20), None)],
+        attrs=[NativeAttr("a0", 1, 1, False, None)],
+    )
+    attrs = ["a0"]          # current schema attr names, in order
+    fills = {"a0": 0}       # fill value per attr name (None = NULL)
+    model: dict = {}        # coord -> {attr: value} (newest write wins)
+    next_id = [1]
+    ts = [100]
+    for op, arg in steps:
+        if op == "write":
+            cells = arg
+            ks = sorted(cells)
+            cols = {"k": ks}
+            for i, name in enumerate(attrs):
+                cols[name] = [cells[k] + i for k in ks]
+            write_native_fragment(d, cols, ts=ts[0])
+            ts[0] += 10
+            for k in ks:
+                model[k] = {name: cells[k] + i
+                            for i, name in enumerate(attrs)}
+        elif op == "add":
+            nullable = arg
+            name = f"a{next_id[0]}"
+            next_id[0] += 1
+            fill = None if nullable else -next_id[0]
+            evolve_native_schema(
+                d,
+                add_attrs=[NativeAttr(
+                    name, 1, 1, nullable,
+                    None if nullable else _struct.pack("<q", fill),
+                )],
+                ts=ts[0],
+            )
+            ts[0] += 10
+            attrs.append(name)
+            fills[name] = fill
+        else:  # drop
+            if len(attrs) <= 1:
+                continue
+            name = attrs[arg % len(attrs)]
+            evolve_native_schema(d, drop_attrs=[name], ts=ts[0])
+            ts[0] += 10
+            attrs.remove(name)
+    schema, rows = read_native_array(d)
+    assert [a.name for a in schema.attrs] == attrs
+    expect = [
+        tuple([k] + [model[k].get(a, fills[a]) for a in attrs])
+        for k in sorted(model)
+    ]
+    assert rows == expect

@@ -830,13 +830,18 @@ def _field_file(frag: str, name: str, idx: int, kind: str) -> str:
     picked by version FIRST — an array whose attrs are literally named
     a2/a3/a4 makes existence-probing ambiguous (the reference's
     multi_attribute fixture)."""
-    cands = [f"{name}.tdb", f"{kind}{idx}.tdb"]
-    if _frag_format_version(frag) >= 10:
-        cands.reverse()
-    for cand in cands:
-        p = os.path.join(frag, cand)
-        if os.path.isfile(p):
-            return p
+    # STRICT per-era scheme — no cross-fallback: a positional fallback
+    # on a name-based fragment can misattribute a DROPPED attr's file
+    # (literally named a0/a1) to an evolved-in attr at that index
+    # (caught by tests/test_property_native_write.py evolution fuzz).
+    cand = (
+        f"{kind}{idx}.tdb"
+        if _frag_format_version(frag) >= 10
+        else f"{name}.tdb"
+    )
+    p = os.path.join(frag, cand)
+    if os.path.isfile(p):
+        return p
     raise FileNotFoundError(f"no data file for {name} in {frag}")
 
 
