@@ -823,3 +823,43 @@ def test_col_major_cell_order_native(tmp_path):
             attrs=[NativeAttr("v", 1, 1, False, None)],
             cell_order="COL_MAJOR",
         )
+
+
+def test_consolidation_after_evolution(tmp_path):
+    """Consolidating an evolved array materializes the CURRENT schema's
+    view (fills included) into one fragment; reads before and after
+    consolidation agree, and vacuum leaves a single fragment."""
+    import struct as _struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_native_array,
+        evolve_native_schema,
+        vacuum_native_array,
+    )
+
+    d = str(tmp_path / "evocons")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"k": [1, 2], "v": [10, 20]}, ts=100)
+    evolve_native_schema(
+        d,
+        add_attrs=[NativeAttr("z", 1, 1, False, _struct.pack("<q", -3))],
+        ts=150,
+    )
+    write_native_fragment(d, {"k": [2, 3], "v": [21, 30], "z": [5, 6]},
+                          ts=200)
+    _s, before = read_native_array(d)
+    assert before == [(1, 10, -3), (2, 21, 5), (3, 30, 6)]
+    assert consolidate_native_array(d) is not None
+    _s, after = read_native_array(d)
+    assert after == before
+    assert vacuum_native_array(d) == 2
+    assert len(_fragment_dirs(d)) == 1
+    _s, final = read_native_array(d)
+    assert final == before

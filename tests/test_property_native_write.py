@@ -429,3 +429,90 @@ def test_schema_evolution_fuzz(tmp_path_factory, steps):
         for k in sorted(model)
     ]
     assert rows == expect
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    entries=st.lists(
+        st.dictionaries(
+            st.sampled_from(["k1", "k2", "k3", "owner", "n"]),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.text(max_size=12),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_array_metadata_fold_fuzz(tmp_path_factory, entries):
+    """Random put/update/delete entry sequences fold newest-wins exactly
+    like a dict with None-deletes."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_array_metadata,
+    )
+
+    d = str(tmp_path_factory.mktemp("meta") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    model: dict = {}
+    for i, items in enumerate(entries):
+        write_array_metadata(d, items, ts=100 + i)
+        for k, v in items.items():
+            if v is None:
+                model.pop(k, None)
+            else:
+                model[k] = str(v)
+    assert read_array_metadata(d) == model
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.dictionaries(
+        st.tuples(st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=0, max_value=20)),
+        I32, min_size=1, max_size=40,
+    ),
+    rng=st.tuples(st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=0, max_value=10),
+                  st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=0, max_value=10)),
+)
+def test_col_major_read_fuzz(tmp_path_factory, pts, rng):
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+        read_native_array_range,
+    )
+
+    d = str(tmp_path_factory.mktemp("cm") / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("x", 1, 1, (0, 20), None),
+              NativeDim("y", 1, 1, (0, 20), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=5,
+        cell_order="COL_MAJOR",
+    )
+    keys = list(pts)
+    write_native_fragment(
+        d,
+        {"x": [k[0] for k in keys], "y": [k[1] for k in keys],
+         "v": [pts[k] for k in keys]},
+        ts=10,
+    )
+    expect = sorted((x, y, v) for (x, y), v in pts.items())
+    _s, rows = read_native_array(d)
+    assert rows == expect
+    xlo, xw, ylo, yw = rng
+    _n, got = read_native_array_range(d, ranges=[(xlo, xlo + xw), (ylo, ylo + yw)])
+    assert got == [r for r in expect
+                   if xlo <= r[0] <= xlo + xw and ylo <= r[1] <= ylo + yw]
