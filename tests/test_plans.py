@@ -98,6 +98,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q294_native_evolution",  # evolution spec write + connector scan
         "q295_native_hilbert",  # hilbert write + connector scan
         "q296_native_dense_partial",  # dense subarray write + scan
+        "q297_datasource_stacked",  # stacked-pushdown write + format scan
+        "q298_native_lifecycle",  # fused lifecycle write + connector scan
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -1943,3 +1943,130 @@ SPECS.append(
         "projection composed in one format() scan",
     )
 )
+
+
+# --- q298: the full native-array LIFECYCLE in one spec -----------------------
+# Every stage a reference user runs, fused: CREATE -> bulk INSERT ->
+# ALTER (schema evolution, filled column) -> UPDATE (overlapping
+# fragment, newest wins) -> array metadata put -> CONSOLIDATE + VACUUM
+# -> metadata-only COUNT -> connector scan + aggregate.  Each stage has
+# its own spec (q278/q294/q293/q286/q292/q267); this proves they
+# COMPOSE — the post-vacuum single fragment must still carry the
+# evolved schema's fills, the doubled update values, and the exact
+# footer count, all hash-verified against SQL recomputation.
+def q298_native_lifecycle(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        count_native_array,
+        read_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_native_array,
+        create_native_array,
+        evolve_native_schema,
+        vacuum_native_array,
+        write_array_metadata,
+        write_native_fragment,
+    )
+
+    be = NativeDecoderBackend()
+    uri = tempfile.mkdtemp(prefix="q298_lifecycle_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def write_df(df, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                write_native_fragment(
+                    uri, {n: list(pdf[n]) for n in pdf.columns}, ts=ts
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_df(base.filter(F.col("k") <= 1200), 1000)
+    evolve_native_schema(
+        uri,
+        add_attrs=[NativeAttr("flag", 1, 1, False, _struct.pack("<q", -1))],
+        ts=1500,
+    )
+    upd = base.filter(F.col("k") <= 600).select(
+        "k", (F.col("cents") * 2).alias("cents"),
+        (F.col("k") % 5).alias("flag"),
+    )
+    n_upd = upd.count()
+    write_df(upd, 2000)
+    write_array_metadata(uri, {"updated_rows": int(n_upd)}, ts=2500)
+    consolidate_native_array(uri)
+    vacuum_native_array(uri)
+
+    n_meta = count_native_array(uri)
+    if n_meta is None:
+        raise AssertionError("post-vacuum count must be footer-provable")
+    meta = read_array_metadata(uri)
+    arr = read_array(spark, uri, backend=be, target_splits=8)
+    aggs = arr.agg(
+        F.sum("cents").alias("sum_cents"), F.sum("flag").alias("sum_flag")
+    ).collect()[0]
+    return spark.createDataFrame(
+        sorted(
+            {
+                "n_rows": int(n_meta),
+                "sum_cents": int(aggs["sum_cents"]),
+                "sum_flag": int(aggs["sum_flag"]),
+                "meta_updated_rows": int(meta["updated_rows"]),
+            }.items()
+        ),
+        "metric string, value long",
+    )
+
+
+Q298_SQL = """
+WITH cells AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey <= 1200)
+SELECT * FROM (
+  SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM cells
+  UNION ALL
+  SELECT 'sum_cents', CAST(SUM(CASE WHEN k <= 600 THEN 2 * cents
+                                    ELSE cents END) AS BIGINT) FROM cells
+  UNION ALL
+  SELECT 'sum_flag', CAST(SUM(CASE WHEN k <= 600 THEN k % 5
+                                   ELSE -1 END) AS BIGINT) FROM cells
+  UNION ALL
+  SELECT 'meta_updated_rows', CAST(COUNT(*) AS BIGINT) FROM cells
+  WHERE k <= 600
+) ORDER BY metric
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q298_native_lifecycle",
+        q298_native_lifecycle,
+        Q298_SQL,
+        "create -> insert -> evolve -> update -> metadata -> consolidate "
+        "-> vacuum -> footer COUNT -> scan, composed and hash-verified",
+    )
+)
