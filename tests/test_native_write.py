@@ -863,3 +863,27 @@ def test_consolidation_after_evolution(tmp_path):
     assert len(_fragment_dirs(d)) == 1
     _s, final = read_native_array(d)
     assert final == before
+
+
+def test_datetime_dim_native_write(tmp_path):
+    """DATETIME-typed dims (int64 ticks) round-trip through the writer
+    with range pruning — mrr_datetime_dimensions.test at format level."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        read_native_array,
+        read_native_array_range,
+    )
+
+    d = str(tmp_path / "dtdim")
+    create_native_array(
+        d,
+        dims=[NativeDim("ts", 23, 1, (0, 10**15), None)],  # DATETIME ticks
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"ts": [1000, 2000, 5000], "v": [1, 2, 3]},
+                          ts=10)
+    _s, rows = read_native_array(d)
+    assert rows == [(1000, 1), (2000, 2), (5000, 3)]
+    _n, got = read_native_array_range(d, ranges=[(1500, 4000)])
+    assert got == [(2000, 2)]
+    assert count_native_array(d) == 3
