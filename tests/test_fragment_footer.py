@@ -510,3 +510,37 @@ def test_estimate_range_cells_fixture():
     assert estimate_range_cells(bank) == 45211
     assert estimate_range_cells(bank, ranges=[(0, 9999), (None, None)]) == 10000
     assert estimate_range_cells(bank, ranges=[(46000, 50000), (None, None)]) == 0
+
+
+def test_corrupt_rtree_falls_back_without_wrong_results(tmp_path):
+    """A garbled R-tree tile must parse to None (no pruning) — never to
+    wrong MBRs; ranged reads stay exact either way."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        parse_rtree_leaf_mbrs,
+        read_native_array_range,
+        rtree_tile_runs,
+    )
+
+    d = str(tmp_path / "badrtree")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=10,
+    )
+    ks = list(range(0, 200, 2))
+    write_native_fragment(d, {"k": ks, "v": ks}, ts=10)
+    schema = parse_array_schema(_schema_path(d))
+    frag = _fragment_dirs(d)[0]
+    assert parse_rtree_leaf_mbrs(frag, schema) is not None
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    blob = bytearray(open(fm, "rb").read())
+    # stomp the R-tree payload region (post-header bytes of the tile at
+    # offset 0) with junk that still parses as a chunked container
+    for off in range(60, 90):
+        blob[off] ^= 0xFF
+    open(fm, "wb").write(bytes(blob))
+    assert parse_rtree_leaf_mbrs(frag, schema) is None
+    assert rtree_tile_runs(frag, schema, [(50, 80)]) is None
+    _n, rows = read_native_array_range(d, ranges=[(50, 80)])
+    assert rows == [(k, k) for k in ks if 50 <= k <= 80]

@@ -100,6 +100,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q296_native_dense_partial",  # dense subarray write + scan
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
+        "q299_native_estimate",  # estimator spec write via mapInPandas
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

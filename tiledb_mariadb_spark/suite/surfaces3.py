@@ -2070,3 +2070,103 @@ SPECS.append(
         "-> vacuum -> footer COUNT -> scan, composed and hash-verified",
     )
 )
+
+
+# --- q299: est_result_size analog, hash-verified ----------------------------
+# computeRecordsUB (ha_mytile.cc:1424-1468) delegates to libtiledb's
+# R-tree estimator; ours reads the same structures (footer tile counts +
+# leaf MBRs).  With the writer's deterministic layout — contiguous keys,
+# capacity-packed tiles — the estimate has a CLOSED FORM the oracle can
+# recompute from COUNT(*) alone: tiles k cover keys [k*C, (k+1)*C), so
+# est([a,b]) = cells of tiles floor(a/C)..floor(b/C), the last tile
+# partial.  The driver therefore hash-verifies the estimator itself,
+# not just an inequality.
+_Q299_CAP = 500
+
+
+def q299_native_estimate(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        estimate_range_cells,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q299_est_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=_Q299_CAP,
+    )
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1400).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 97).alias("v"),
+    )
+
+    def part(batches):
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            write_native_fragment(
+                uri, {n: list(pdf[n]) for n in pdf.columns}, ts=1000
+            )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    base.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    ranges = {
+        "r_mid": (600, 800),
+        "r_head": (0, 99),
+        "r_tail": (1200, 5000),
+        "r_all": (None, None),
+        "r_miss": (2_000_000, 3_000_000),
+    }
+    out = []
+    for label, (lo, hi) in sorted(ranges.items()):
+        est = estimate_range_cells(uri, ranges=[(lo, hi)])
+        if est is None:
+            raise AssertionError(f"estimate not metadata-provable: {label}")
+        out.append((label, int(est)))
+    return spark.createDataFrame(out, "rng string, est long")
+
+
+Q299_SQL = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+           WHERE o_orderkey <= 1400),
+-- closed form over capacity-packed tiles of contiguous keys 0..n-1:
+-- est([a,b]) = sum of tile sizes for tiles floor(a/C)..floor(b/C),
+-- clamped to the ceil(n/C) existing tiles; the last tile is partial.
+f AS (
+  SELECT n, {_Q299_CAP} AS c, CAST(CEIL(n / {_Q299_CAP}.0) AS BIGINT) AS t
+  FROM n)
+SELECT rng, CAST(CASE
+    WHEN lo_t >= t THEN 0
+    ELSE (LEAST(hi_t, t - 1) - lo_t + 1) * c
+         - CASE WHEN LEAST(hi_t, t - 1) = t - 1 THEN t * c - n ELSE 0 END
+  END AS BIGINT) AS est
+FROM (
+  SELECT rng, CAST(a // c AS BIGINT) AS lo_t, CAST(b // c AS BIGINT) AS hi_t,
+         n, c, t
+  FROM f, (VALUES ('r_mid', 600, 800), ('r_head', 0, 99),
+                  ('r_tail', 1200, 5000), ('r_all', 0, 6000000),
+                  ('r_miss', 2000000, 3000000)) AS r(rng, a, b)
+) ORDER BY rng
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q299_native_estimate",
+        q299_native_estimate,
+        Q299_SQL,
+        "est_result_size analog hash-verified: R-tree/footer estimate "
+        "equals the closed form over capacity-packed tiles",
+    )
+)
