@@ -179,23 +179,22 @@ def all_specs() -> dict[str, QuerySpec]:
     # q74/q276/q277, and functions_surface7/8 NULL-semantics specs.
     # After round 4, 97 specs remain never-driver-verified; rounds 5-6
     # finish the registry.  ROUND-5 front-50 (copy in as commit #1,
-    # leading with the round-4 additions — newest, least-driver-tested):
+    # leading with ALL round-4 additions — newest, least-driver-tested):
     #   q279_stream_native_sink, q280_matryoshka_ann,
     #   q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
     #   q284_python_datasource, q285_datasource_stream,
     #   q286_native_consolidation, q287_diversity_sample,
-    #   q288_multirange_in, q289_datasource_time_travel (11),
+    #   q288_multirange_in, q289_datasource_time_travel,
+    #   q290_semdedup, q291_phash_neardup, q292_native_count,
+    #   q293_native_metadata, q294_native_evolution,
+    #   q295_native_hilbert, q296_native_dense_partial,
+    #   q297_datasource_stacked, q298_native_lifecycle,
+    #   q299_native_estimate (21),
     #   then q271_ivf_delete, q269_triangle_count, q270_embedding_drift,
     #   q273_itemset_triples (4), pipeline_ops3-5: q183-q197 (15),
-    #   q212-q216 (5), q228-q232 (5), q245, q248, q249, q252, q253,
-    #   q260 (6), and analytics picks q198, q199, q200, q201 (4)
-    #   — exactly 50.
-    # ROUND-6 remainder (47): q290_semdedup, q291_phash_neardup,
-    # q292_native_count, q293_native_metadata, q294_native_evolution,
-    # q295_native_hilbert, q296_native_dense_partial,
-    # q297_datasource_stacked, q298_native_lifecycle,
-    # q299_native_estimate,
-    # q202-q209, q218-q227, q235-q239,
+    #   q212-q216 (5), q228-q232 (5) — exactly 50.
+    # ROUND-6 remainder (47): q245, q248, q249, q252, q253, q260,
+    # q198-q201, q202-q209, q218-q227, q235-q239,
     # q241-q244, q247, q257, q210_sentence_split,
     # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline.
     # Fully EXPLICIT so later spec additions to these modules cannot
