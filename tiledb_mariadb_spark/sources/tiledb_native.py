@@ -863,12 +863,14 @@ def _fill_value(attr):
         if attr.dtype_id in (4, 11, 12):
             return attr.fill.decode("utf-8", errors="replace")
         vals = _typed_cells(attr.fill, attr.dtype_id)
-        if attr.cell_val_num not in (1, 0xFFFFFFFF):
+        if attr.cell_val_num != 1:  # fixed multi-value AND var: list cell
             return list(vals)
         return vals[0] if vals else 0
     if attr.dtype_id in (4, 11, 12):
         return ""
-    if attr.cell_val_num not in (1, 0xFFFFFFFF):
+    if attr.cell_val_num == 0xFFFFFFFF:
+        return []
+    if attr.cell_val_num != 1:
         return [0] * attr.cell_val_num
     return 0
 
