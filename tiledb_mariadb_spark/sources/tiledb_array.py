@@ -534,6 +534,14 @@ def plan_splits(
     range, so the holes between IN values are never scanned at all.
 
     Returns [] when a predicate empties the domain (nothing to scan).
+
+    BOUNDARY: the split axis is the first INTEGER dim.  An array whose
+    dims are all var-length (string) yields ONE split — var-dim footer
+    MBRs are untrusted (module note in tiledb_native.py) so no
+    coordinate axis can be cut safely, and per-fragment task splits
+    would break newest-wins dedup across overlapping fragments.  Such
+    arrays parallelize by adding an integer dim (the reference's own
+    guidance: dimensions are the physical index).
     """
     dim_ranges = dim_ranges or {}
 
