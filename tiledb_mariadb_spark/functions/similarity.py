@@ -353,3 +353,98 @@ def cosine_pairs_arrow(pairs: DataFrame, va_col: str, vb_col: str) -> DataFrame:
             yield out
 
     return pairs.mapInPandas(score, schema=out_schema)
+
+
+# --- SemDeDup: cluster-confined semantic dedup ------------------------------
+# Abbas et al. 2023 (public): assign vectors to centroids, prune
+# near-duplicate pairs only WITHIN a cluster — the quadratic compare is
+# bounded by the largest cluster, never the corpus.  Deterministic
+# engine-exact variant: centroids are elementwise scaled-int SUMS of
+# caller-provided seed groups (cosine is scale-invariant, so the sum
+# stands in for the mean exactly); every comparison is an exact int64
+# dot + IEEE sqrt/divide.  Conformance: q290 (suite/pipeline_ops2.py).
+
+
+def quantized_with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Stage the scaled-int vector AND its norm once per row (CSE does
+    not cross lambda boundaries): adds ``qv`` (array<bigint>) and
+    ``nrm`` (double) columns."""
+    return df.withColumn(
+        "qv",
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " CAST(ROUND(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))"
+        ),
+    ).withColumn("nrm", F.expr(f"SQRT({qdot_expr('qv', 'qv')})"))
+
+
+def seeded_centroids(
+    seeds: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Deterministic centroids: elementwise scaled-int sum per seed
+    group ``id % k`` -> (j, cv array<bigint>, cnrm double), k rows."""
+    return (
+        seeds.select(
+            (F.col(id_col) % k).alias("j"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select("j", "dim", F.expr(_scaled_int_spark("x")).alias("xs"))
+        .groupBy("j", "dim")
+        .agg(F.sum("xs").alias("cx"))
+        .groupBy("j")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cx))),"
+                " s -> s.cx)"
+            ).alias("cv")
+        )
+        .withColumn("cnrm", F.expr(f"SQRT({qdot_expr('cv', 'cv')})"))
+    )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Cluster-confined near-dup pairs: ``corpus`` must carry qv/nrm
+    (quantized_with_norm), ``centroids`` j/cv/cnrm (seeded_centroids or
+    any deterministic source).  Returns (kept, dropped, cluster, cos) —
+    kept = the lower id of each pair above ``threshold``.  Scale shape:
+    centroid side broadcasts, assignment is map-side + one bounded
+    window, pair generation is an equi-join on cluster."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        "qv",
+        "nrm",
+        "j",
+        F.expr(f"({qdot_expr('qv', 'cv')} / (nrm * cnrm))").alias("cosc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosc").desc(), F.col("j").asc()
+    )
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col(id_col), "qv", "nrm", F.col("j").alias("cluster"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("kept"),
+            F.col(f"b.{id_col}").alias("dropped"),
+            F.col("a.cluster").cast("long").alias("cluster"),
+            F.expr(
+                f"({qdot_expr('a.qv', 'b.qv')} / (a.nrm * b.nrm))"
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

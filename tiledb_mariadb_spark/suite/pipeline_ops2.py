@@ -28,7 +28,6 @@ the three shapes a rolling 100 TB ingest hits next:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from tiledb_mariadb_spark.functions import dedup as D
 from tiledb_mariadb_spark.functions import similarity as S
@@ -644,79 +643,26 @@ _Q290_THRESH = 0.9
 
 
 def q290_semdedup(spark, sf_dir):
+    # Library operators (functions/similarity.py): quantized_with_norm
+    # stages qv + nrm once per row (one interpreted dot per PAIR instead
+    # of three — the q159/q173 staging lesson), seeded_centroids builds
+    # 32 deterministic clusters (pair work scales ~N^2/k), and
+    # semdedup_pairs does broadcast argmax assignment + the
+    # cluster-confined equi-join prune.
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = e.filter(F.col("vec_id") % 7 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.expr(_Q290_PERT_SPARK).alias("embedding"),
     )
-    # Stage the scaled-int vector ONCE per row (CSE does not cross lambda
-    # boundaries — the q173 lesson), then derive every dot from qv.
-    corpus = (
-        e.withColumn("embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .unionByName(copies)
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> CAST(ROUND(x * 10000.0D) AS BIGINT))"
-            ).alias("qv"),
-        )
+    corpus = S.quantized_with_norm(
+        e.unionByName(copies), "embedding"
+    ).select("vec_id", "qv", "nrm")
+    cents = S.seeded_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=32
     )
-    # Stage the vector NORM once per row: the pair stage then needs ONE
-    # dot per pair instead of three (the q159/q173 staging lesson — at
-    # sf0.1 the in-cluster pair count is ~500k, and each avoided qdot is
-    # a 64-element interpreted lambda).
-    corpus = corpus.withColumn(
-        "nrm", F.expr(f"SQRT({S.qdot_expr('qv', 'qv')})")
-    )
-    # Seeded centroids: elementwise sum of ORIGINAL vectors, 32 seed
-    # groups — SemDeDup wants many clusters: pair work scales ~N^2/k.
-    cents = (
-        e.filter(F.col("vec_id") < 256)
-        .select(
-            (F.col("vec_id") % 32).alias("j"),
-            F.posexplode(F.col("embedding")).alias("dim", "x"),
-        )
-        .select("j", "dim", F.expr(S._scaled_int_spark("x")).alias("xs"))
-        .groupBy("j", "dim")
-        .agg(F.sum("xs").alias("cx"))
-        .groupBy("j")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)"
-            ).alias("cv")
-        )
-        .withColumn("cnrm", F.expr(f"SQRT({S.qdot_expr('cv', 'cv')})"))
-    )
-    # Assignment: 32-row centroid side broadcast, argmax cosine (j asc ties).
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "qv",
-        "nrm",
-        "j",
-        F.expr(f"({S.qdot_expr('qv', 'cv')} / (nrm * cnrm))").alias("cosc"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosc").desc(), F.col("j").asc())
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "qv", "nrm", F.col("j").alias("cluster"))
-    )
-    # Cluster-confined pair prune: equi-join on cluster (never cross).
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("kept"),
-            F.col("b.vec_id").alias("dropped"),
-            F.col("a.cluster").cast("long").alias("cluster"),
-            F.expr(
-                f"({S.qdot_expr('a.qv', 'b.qv')} / (a.nrm * b.nrm))"
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= _Q290_THRESH)
-        .orderBy("kept", "dropped")
-    )
+    return S.semdedup_pairs(
+        corpus, cents, "vec_id", threshold=_Q290_THRESH
+    ).orderBy("kept", "dropped")
 
 
 Q290_SQL = f"""
