@@ -202,3 +202,69 @@ def resize_features(
         F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob")
     )
     return prepared.mapInPandas(featurize, schema="doc_id bigint, features array<float>")
+
+
+# --- perceptual hashing (dHash) ---------------------------------------------
+# 64-bit difference hash over an opaque blob's first 65 bytes (the
+# classic 8x9 -> 64-bit gradient fingerprint, bytes-as-pixels per the
+# q70/q74 decode-stub convention), held as FOUR 16-bit band ints — never
+# one 64-bit value (bit 63 would overflow BIGINT arithmetic differently
+# per engine) — which doubles as the pigeonhole index: hamming<=h over 4
+# bands forces at least one exact band match when h < 4*... well, h <= 6
+# guarantees >=1 of 4 bands is untouched.  Conformance: q291.
+
+_DHASH_BYTES = (
+    "transform(sequence(0, 64), i -> IF(2*i+2 <= length(__hx),"
+    " CAST(conv(substring(__hx, 2*i+1, 2), 16, 10) AS BIGINT), 0L))"
+)
+_DHASH_BANDS = (
+    "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0L,"
+    " (acc, i) -> acc + IF(element_at(__bs, 16*k+i+1) >"
+    " element_at(__bs, 16*k+i+2), shiftleft(1L, i), 0L)))"
+)
+
+
+def with_dhash_bands(df: DataFrame, binary_col: str) -> DataFrame:
+    """Adds ``bands`` (array<bigint>, four 16-bit dHash bands) computed
+    from ``binary_col`` — all-JVM codegen, no Python stage."""
+    return (
+        df.withColumn("__hx", F.hex(F.col(binary_col)))
+        .withColumn("__bs", F.expr(_DHASH_BYTES))
+        .withColumn("bands", F.expr(_DHASH_BANDS))
+        .drop("__hx", "__bs")
+    )
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over dHash bands: pigeonhole
+    band equi-join for candidates (bounded by bucket population, never
+    all-pairs), exact popcount verify on candidates only.  ``hashed``
+    must carry ``bands`` (with_dhash_bands).  Returns (a, b, hamming)."""
+    banded = hashed.select(
+        F.col(id_col), "bands", F.posexplode("bands").alias("k", "bv")
+    )
+    x, y = banded.alias("a"), banded.alias("b")
+    return (
+        x.join(
+            y,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("ida"),
+            F.col(f"b.{id_col}").alias("idb"),
+            F.expr(
+                "aggregate(zip_with(a.bands, b.bands,"
+                " (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ida").alias("a"), F.col("idb").alias("b"), "hamming"
+        )
+    )

@@ -359,55 +359,29 @@ SPECS = [
 # candidates.  Corpus salted with tail-mutated copies (doc_id+100000) so
 # true near-dups (hamming<=2) exist at every sf.  All arithmetic is
 # integer-exact; both engines hash-match bit-for-bit.
-_Q291_BYTES_SPARK = (
-    "transform(sequence(0, 64), i -> IF(2*i+2 <= length(hx),"
-    " CAST(conv(substring(hx, 2*i+1, 2), 16, 10) AS BIGINT), 0L))"
-)
-_Q291_BANDS_SPARK = (
-    "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0L,"
-    " (acc, i) -> acc + IF(element_at(bs, 16*k+i+1) > element_at(bs, 16*k+i+2),"
-    " shiftleft(1L, i), 0L)))"
-)
-_Q291_HAM = 6
+_Q291_HAM = 6  # Spark-side exprs live in functions/multimodal.py now
 
 
 def q291_phash_neardup(spark, sf_dir):
+    # Library operators (functions/multimodal.py): with_dhash_bands
+    # fingerprints the blob, phash_neardup_pairs does the pigeonhole
+    # band join + exact popcount verify.
+    from tiledb_mariadb_spark.functions.multimodal import (  # noqa: PLC0415
+        phash_neardup_pairs,
+        with_dhash_bands,
+    )
+
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = d.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("concat(substring(text, 1, length(text) - 1), '~')").alias("text"),
     )
-    corpus = d.unionByName(copies)
-    hashed = (
-        corpus.withColumn("hx", F.hex(F.col("text").cast("binary")))
-        .withColumn("bs", F.expr(_Q291_BYTES_SPARK))
-        .withColumn("bands", F.expr(_Q291_BANDS_SPARK))
-        .select("doc_id", "bands")
+    corpus = d.unionByName(copies).withColumn(
+        "blob", F.col("text").cast("binary")
     )
-    # Pigeonhole candidates: one row per (band index, band value) bucket.
-    banded = hashed.select(
-        "doc_id", "bands", F.posexplode("bands").alias("k", "bv")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.k") == F.col("b.k"))
-               & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("ida"),
-            F.col("b.doc_id").alias("idb"),
-            F.expr(
-                "aggregate(zip_with(a.bands, b.bands,"
-                " (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
-                " 0L, (acc, v) -> acc + v)"
-            ).alias("hamming"),
-        )
-        .distinct()
-    )
-    return (
-        cand.filter(F.col("hamming") <= _Q291_HAM)
-        .select(F.col("ida").alias("a"), F.col("idb").alias("b"), "hamming")
-        .orderBy("a", "b")
+    hashed = with_dhash_bands(corpus, "blob").select("doc_id", "bands")
+    return phash_neardup_pairs(hashed, "doc_id", max_hamming=_Q291_HAM).orderBy(
+        "a", "b"
     )
 
 
