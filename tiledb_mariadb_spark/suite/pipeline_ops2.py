@@ -711,3 +711,147 @@ SPECS.append(
         "SemDeDup: centroid-assigned, cluster-confined cosine near-dup prune",
     )
 )
+
+
+# --- q300: multi-tier dedup FUNNEL (exact -> semantic) ----------------------
+# The cascade real corpus pipelines run (Dolma/FineWeb practice): cheap
+# exact dedup first, then embedding-space SemDeDup over the SURVIVORS —
+# each tier only pays for what the previous one let through.  The corpus
+# is salted with both duplicate kinds: byte-identical copies
+# (doc_id+200000, caught by tier 1 for the cost of one md5 groupBy) and
+# semantically-near copies (doc_id+100000, text perturbed so tier 1
+# CANNOT catch them, embedding perturbed ~1% so tier 2 does).  Outputs
+# are the per-tier removal counts and a survivor id-checksum, all
+# recomputed exactly by the oracle — composition of q62 (exact) and
+# q290 (SemDeDup) machinery, library operators end to end.
+def q300_dedup_funnel(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact_copies = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    sem_copies_d = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ~")).alias("text"),
+    )
+    corpus = d.unionByName(exact_copies).unionByName(sem_copies_d)
+
+    # tier 1: exact — keep the min doc_id of every identical-text group
+    hashed = corpus.withColumn("th", F.md5(F.col("text").cast("binary")))
+    keeps = hashed.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    s1 = hashed.join(
+        F.broadcast(keeps),
+        (hashed.th == keeps.th) & (hashed.doc_id == keeps.keep_id),
+    ).select("doc_id")
+
+    # tier 2: SemDeDup over survivors that have an embedding
+    sem_copies_e = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(_Q290_PERT_SPARK).alias("embedding"),
+    )
+    emb_corpus = e.unionByName(sem_copies_e).join(
+        s1.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    cents = S.seeded_centroids(
+        e.filter(F.col("vec_id") < 256), "vec_id", "embedding", k=32
+    )
+    dropped2 = (
+        S.semdedup_pairs(
+            S.quantized_with_norm(emb_corpus, "embedding").select(
+                "vec_id", "qv", "nrm"
+            ),
+            cents,
+            "vec_id",
+            threshold=_Q290_THRESH,
+        )
+        .select("dropped")
+        .distinct()
+    )
+
+    n_corpus = corpus.count()
+    n_s1 = s1.count()
+    n_d2 = dropped2.count()
+    idsum = (
+        s1.join(
+            dropped2.select(F.col("dropped").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .agg(F.sum("doc_id"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            ("survivor_idsum", int(idsum)),
+            ("survivors", int(n_s1 - n_d2)),
+            ("tier1_removed", int(n_corpus - n_s1)),
+            ("tier2_removed", int(n_d2)),
+        ],
+        "metric string, value long",
+    )
+
+
+Q300_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text || ' ~' FROM documents WHERE doc_id % 7 = 0),
+keeps AS (SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY text),
+s1 AS (SELECT doc_id FROM keeps),
+emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform({_Q290_PERT_SQL}, x ->
+           CAST(ROUND(x * 10000.0) AS BIGINT))
+  FROM embeddings WHERE vec_id % 7 = 0),
+ec AS (SELECT vec_id, qv FROM emb JOIN s1 ON emb.vec_id = s1.doc_id),
+normed AS (SELECT vec_id, qv, SQRT({S.qdot_sql('qv', 'qv')}) AS nrm FROM ec),
+cent_comps AS (
+  SELECT vec_id % 32 AS j, CAST(i - 1 AS BIGINT) AS dim,
+         SUM({S._scaled_int_sql('embedding[i]')}) AS cx
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  WHERE vec_id < 256 GROUP BY 1, 2),
+cents AS (
+  SELECT j, cv, SQRT({S.qdot_sql('cv', 'cv')}) AS cnrm FROM (
+    SELECT j, list(cx ORDER BY dim) AS cv FROM cent_comps GROUP BY j)),
+assigned AS (
+  SELECT vec_id, qv, nrm, j AS cluster FROM (
+    SELECT vec_id, qv, nrm, j,
+           ({S.qdot_sql('qv', 'cv')} / (nrm * cnrm)) AS cosc
+    FROM normed, cents)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cosc DESC, j ASC) = 1),
+dropped2 AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ({S.qdot_sql('a.qv', 'b.qv')} / (a.nrm * b.nrm)) >= {_Q290_THRESH}),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM docs) AS n_corpus,
+         (SELECT COUNT(*) FROM s1) AS n_s1,
+         (SELECT COUNT(*) FROM dropped2) AS n_d2,
+         (SELECT SUM(doc_id) FROM s1
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped2)) AS idsum)
+SELECT * FROM (
+  SELECT 'survivor_idsum' AS metric, CAST(idsum AS BIGINT) AS value FROM stats
+  UNION ALL SELECT 'survivors', CAST(n_s1 - n_d2 AS BIGINT) FROM stats
+  UNION ALL SELECT 'tier1_removed', CAST(n_corpus - n_s1 AS BIGINT) FROM stats
+  UNION ALL SELECT 'tier2_removed', CAST(n_d2 AS BIGINT) FROM stats
+) ORDER BY metric
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q300_dedup_funnel",
+        q300_dedup_funnel,
+        Q300_SQL,
+        "multi-tier dedup cascade: exact md5 tier, then SemDeDup over "
+        "the survivors — each tier pays only for what got through",
+    )
+)
