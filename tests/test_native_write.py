@@ -196,8 +196,9 @@ def test_connector_write_then_scan(spark, tmp_path):
         "CONCAT('t', CAST(id % 3 AS STRING)) AS tag",
     ).repartition(4)
     write_array(src, uri, backend=be)
-    frags = [f for f in os.listdir(uri) if f.startswith("__") and "schema" not in f]
-    assert len(frags) == 4  # one native fragment per partition
+    from tiledb_mariadb_spark.sources.tiledb_native import _fragment_dirs
+
+    assert len(_fragment_dirs(uri)) == 4  # one COMMITTED fragment per partition
 
     out = read_array(
         spark, uri, backend=be,
@@ -386,11 +387,9 @@ def test_checksum_filter_verified_on_read(tmp_path):
         _s, rows = read_native_array(d)
         assert len(rows) == n and rows[7] == (7, 21)
         # corrupt one byte of the attr payload -> read must raise
-        frag = [
-            f for f in os.listdir(d)
-            if f.startswith("__") and "schema" not in f
-        ][0]
-        vp = os.path.join(d, frag, "v.tdb")
+        from tiledb_mariadb_spark.sources.tiledb_native import _fragment_dirs
+
+        vp = os.path.join(_fragment_dirs(d)[0], "v.tdb")
         blob = bytearray(open(vp, "rb").read())
         blob[len(blob) // 2] ^= 0xFF
         open(vp, "wb").write(bytes(blob))

@@ -87,11 +87,9 @@ def test_format_roundtrip_with_pushdown(spark, tmp_path):
         .option("path", uri).option("dims", "id")
         .option("domain.id", "0:1000").save()
     )
-    frags = [
-        f for f in os.listdir(uri)
-        if f.startswith("__") and "schema" not in f
-    ]
-    assert len(frags) == 2
+    from tiledb_mariadb_spark.sources.tiledb_native import _fragment_dirs
+
+    assert len(_fragment_dirs(uri)) == 2
     out = (
         spark.read.format("tiledb_native").option("path", uri).load()
         .filter((F.col("id") >= 50) & (F.col("id") < 100))

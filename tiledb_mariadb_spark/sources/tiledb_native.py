@@ -783,24 +783,107 @@ def _frag_ts(name: str) -> int:
         return 0
 
 
+def _frag_range(name: str) -> tuple[int, int]:
+    """A fragment name's [first, last] timestamp range.  Plain writes have
+    first == last; a consolidated fragment spans the range of everything
+    it merged (``__<t1>_<t2>_<uuid>_<ver>``)."""
+    parts = name.strip("_").split("_")
+    try:
+        return int(parts[0]), int(parts[1])
+    except (ValueError, IndexError):
+        t = _frag_ts(name)
+        return t, t
+
+
+def _committed_names(array_dir: str, root: str) -> set[str] | None:
+    """The set of COMMITTED fragment names, or None when the array carries
+    no commit-marker artifacts at all (pre-.ok eras like the 1.6 fixtures,
+    and arrays created before this writer emitted markers — there,
+    directory presence is the only signal, so everything is committed).
+
+    Marker eras, each pinned against a reference fixture:
+      - 2.3+ (multi_attribute v18, var/obs v19): ``__commits/`` holds one
+        zero-length ``<frag>.wrt`` per committed fragment; consolidating
+        commits replaces them with a ``.con`` file whose payload is a
+        newline-separated list of ``__commits/<frag>.wrt`` URIs; an
+        ``.ign`` file lists ``.con`` URIs to disregard (post-vacuum).
+      - 2.0-2.3 pre-__commits (bank, nullable_attributes, hilbert):
+        a zero-length ``<frag>.ok`` beside the fragment directory.
+    """
+    commits = os.path.join(array_dir, "__commits")
+    if os.path.isdir(commits):
+        entries = os.listdir(commits)
+        ignored: set[str] = set()
+        for e in entries:
+            if e.endswith(".ign"):
+                with open(os.path.join(commits, e)) as f:
+                    ignored |= {os.path.basename(u.strip()) for u in f if u.strip()}
+        names: set[str] = set()
+        for e in entries:
+            if e.endswith(".wrt"):
+                names.add(e[: -len(".wrt")])
+            elif e.endswith(".con") and e not in ignored:
+                with open(os.path.join(commits, e)) as f:
+                    for line in f:
+                        u = os.path.basename(line.strip())
+                        if u.endswith(".wrt"):
+                            names.add(u[: -len(".wrt")])
+        return names
+    oks = [e for e in os.listdir(root) if e.endswith(".ok")]
+    if oks:
+        return {e[: -len(".ok")] for e in oks}
+    return None
+
+
 def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
     """All committed fragment directories, oldest→newest (2.3+ keeps them
     under __fragments/; earlier eras place them beside the schema).
-    ``at`` = inclusive unix-millis bound: only fragments whose start
-    timestamp is ≤ ``at`` are visible (open_at parity,
-    ha_mytile.cc:3440-3455)."""
+
+    Three visibility gates, in order:
+      1. COMMIT markers (``__commits/*.wrt|.con`` or legacy ``*.ok``):
+         a staged-but-unmarked fragment directory is invisible — the
+         writer's crash-atomicity contract (the marker is a zero-length
+         file written last, so readers never observe a half-written
+         fragment).  Arrays with no marker era fall back to directory
+         presence.
+      2. ``at`` = inclusive unix-millis bound (open_at parity,
+         ha_mytile.cc:3440-3455): visible iff the fragment's WHOLE
+         timestamp range is ≤ ``at`` — opening mid-range skips a
+         consolidated fragment, falling back to the originals it merged
+         (which are still on disk until vacuum).
+      3. CONSOLIDATION coverage: a fragment whose range is strictly
+         contained in a WIDER visible fragment's range was merged into
+         it — reading both would double-count, so the covered one is
+         skipped (TileDB's pre-vacuum read rule).  O(n²) over visible
+         fragments; fragment counts are small by design (consolidation
+         exists precisely to keep them so)."""
     root = os.path.join(array_dir, "__fragments")
     if not os.path.isdir(root):
         root = array_dir
     skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    committed = _committed_names(array_dir, root)
     frags = [
         d
         for d in os.listdir(root)
         if d.startswith("__")
         and d not in skip
         and os.path.isdir(os.path.join(root, d))
-        and (at is None or _frag_ts(d) <= at)
+        and (committed is None or d in committed)
+        and (at is None or _frag_range(d)[1] <= at)
     ]
+    rng = {d: _frag_range(d) for d in frags}
+
+    def _covered(d: str) -> bool:
+        t1, t2 = rng[d]
+        return any(
+            g != d
+            and rng[g][0] <= t1
+            and t2 <= rng[g][1]
+            and (rng[g][1] - rng[g][0]) > (t2 - t1)
+            for g in frags
+        )
+
+    frags = [d for d in frags if not _covered(d)]
     # total sort key: ties on start-ts (rapid commits) resolve by name,
     # keeping newest-fragment-wins merge deterministic (advisor finding)
     return [os.path.join(root, d) for d in sorted(frags, key=lambda d: (_frag_ts(d), d))]

@@ -270,6 +270,11 @@ def create_native_array(
         allows_dups=allows_dups, cell_order=co,
     )
     os.makedirs(array_dir, exist_ok=True)
+    # modern (2.3+) directory layout: fragments under __fragments/,
+    # commit markers under __commits/ — creating __commits activates the
+    # reader's commit gating for every fragment this array will ever hold
+    os.makedirs(os.path.join(array_dir, "__fragments"), exist_ok=True)
+    os.makedirs(os.path.join(array_dir, "__commits"), exist_ok=True)
     _write_generic_tile(
         os.path.join(array_dir, "__array_schema.tdb"),
         _serialize_schema(schema),
@@ -307,22 +312,51 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
     return struct.pack(f"<{len(flat)}{code}", *flat)
 
 
-def _next_fragment_dir(array_dir: str, ts: Optional[int]) -> str:
+def _frag_root(array_dir: str) -> str:
+    """Where fragment directories live: ``__fragments/`` in the modern
+    layout (arrays this writer creates, 2.3+ fixtures), the array root in
+    earlier eras — the same resolution the reader uses."""
+    root = os.path.join(array_dir, "__fragments")
+    return root if os.path.isdir(root) else array_dir
+
+
+def _next_fragment_dir(
+    array_dir: str,
+    ts: Optional[int],
+    ts_range: Optional[tuple[int, int]] = None,
+) -> str:
     """Allocate a fragment directory name strictly newer (ts-wise) than
     every committed fragment when `ts` is None, so appends always win the
     newest-fragment merge; an explicit `ts` is taken verbatim (tests and
-    time-travel fixtures need pinned timestamps)."""
-    if ts is None:
-        import time  # noqa: PLC0415
+    time-travel fixtures need pinned timestamps).  ``ts_range`` names a
+    CONSOLIDATED fragment spanning [t1, t2] — the range the reader's
+    coverage rule keys on."""
+    if ts_range is not None:
+        name = f"__{ts_range[0]}_{ts_range[1]}_{uuid.uuid4().hex}_5"
+    else:
+        if ts is None:
+            import time  # noqa: PLC0415
 
-        existing = [
-            _frag_ts(os.path.basename(f)) for f in _fragment_dirs(array_dir)
-        ]
-        ts = max([int(time.time() * 1000)] + [e + 1 for e in existing])
-    name = f"__{ts}_{ts}_{uuid.uuid4().hex}_5"
-    path = os.path.join(array_dir, name)
+            existing = [
+                _frag_ts(os.path.basename(f))
+                for f in _fragment_dirs(array_dir)
+            ]
+            ts = max([int(time.time() * 1000)] + [e + 1 for e in existing])
+        name = f"__{ts}_{ts}_{uuid.uuid4().hex}_5"
+    path = os.path.join(_frag_root(array_dir), name)
     os.makedirs(path)
     return path
+
+
+def _commit_fragment(array_dir: str, frag: str) -> None:
+    """Make a fully-staged fragment visible: touch the zero-length
+    ``__commits/<name>.wrt`` marker (the LAST write, so a crash at any
+    earlier point leaves an invisible staged directory, never a torn
+    fragment).  Legacy arrays without a ``__commits/`` dir skip the
+    marker — there, directory presence is the era's visibility rule."""
+    commits = os.path.join(array_dir, "__commits")
+    if os.path.isdir(commits):
+        open(os.path.join(commits, os.path.basename(frag) + ".wrt"), "w").close()
 
 
 def _write_field_files(
@@ -574,6 +608,7 @@ def write_native_fragment(
 
         shutil.rmtree(frag, ignore_errors=True)
         raise
+    _commit_fragment(array_dir, frag)
     return frag
 
 
