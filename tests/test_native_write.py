@@ -497,14 +497,24 @@ def test_consolidate_and_vacuum_native(tmp_path):
     _s, before = read_native_array(d)
     frag = consolidate_native_array(d)
     assert frag is not None
-    assert len(_fragment_dirs(d)) == 4
+    # full view: coverage rule reads ONLY the consolidated [100,300]
+    # fragment; the three originals are on disk but skipped
+    assert [os.path.basename(f) for f in _fragment_dirs(d)] == [
+        os.path.basename(frag)
+    ]
+    froot = os.path.dirname(frag)
+    assert len([f for f in os.listdir(froot) if f.startswith("__")]) == 4
     _s, after = read_native_array(d)
     assert after == before
-    # history still visible pre-vacuum
+    # history still visible pre-vacuum: opening MID-RANGE skips the
+    # consolidated fragment and falls back to the originals
     _s, hist = read_native_array(d, at=150)
     assert [(r[0], r[1]) for r in hist] == [(1, 1)]
     assert vacuum_native_array(d) == 3
     assert len(_fragment_dirs(d)) == 1
+    # vacuumed: mid-range time travel now has nothing to fall back to
+    _s, gone = read_native_array(d, at=150)
+    assert gone == []
     _s, final = read_native_array(d)
     assert final == before
 

@@ -437,6 +437,7 @@ def write_native_fragment(
     columns: dict[str, Sequence],
     ts: Optional[int] = None,
     subarray: Optional[Sequence[tuple]] = None,
+    ts_range: Optional[tuple[int, int]] = None,
 ) -> str:
     """Append one fragment to an existing native array (INSERT analog,
     flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
@@ -582,7 +583,7 @@ def write_native_fragment(
                     (nm, columns[nm]) for nm in names
                 )
             }
-    frag = _next_fragment_dir(array_dir, ts)
+    frag = _next_fragment_dir(array_dir, ts, ts_range=ts_range)
     # capacity-packed tile boundaries (sparse): every tile holds exactly
     # `capacity` cells except the last — the invariant the footer's
     # (sparse_tile_num, last_tile_cell_num) pair encodes and metadata-only
@@ -751,32 +752,89 @@ def array_info_to_native(dims, attrs) -> tuple[list, list]:
 
 def consolidate_native_array(array_dir: str) -> Optional[str]:
     """TileDB fragment consolidation for native arrays: materialize the
-    newest-wins merged state as ONE new fragment (strictly newer ts), so
-    reads touch a single fragment.  Old fragments stay on disk — time
-    travel still works — until :func:`vacuum_native_array` removes them
-    (TileDB's consolidate-then-vacuum two-step).  Returns the new
-    fragment dir, or None for an empty array."""
+    newest-wins merged state as ONE new fragment whose name spans the
+    consolidated [t1, t2] timestamp range, so reads touch a single
+    fragment.  The old fragments stay on disk — the reader's coverage
+    rule skips them at full view while time travel INSIDE the range still
+    reaches them — until :func:`vacuum_native_array` removes everything
+    listed in the ``.vac`` file this writes (TileDB's
+    consolidate-then-vacuum two-step).  Returns the new fragment dir, or
+    None when there is nothing to merge (zero or one visible fragment
+    and no rows)."""
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _frag_range,
         read_native_array,
     )
 
+    old = _fragment_dirs(array_dir)
+    if len(old) < 2:
+        return None  # a single fragment is already consolidated
     schema, rows = read_native_array(array_dir)
     if not rows:
         return None
     names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
     cols = {n: list(vals) for n, vals in zip(names, zip(*rows))}
-    return write_native_fragment(array_dir, cols)
+    rngs = [_frag_range(os.path.basename(f)) for f in old]
+    t1 = min(r[0] for r in rngs)
+    t2 = max(r[1] for r in rngs)
+    box = None
+    if schema.array_type == "DENSE":
+        # the merged rows ARE the bounding box of the written subarrays
+        # (contiguous, tile-aligned: min/max of aligned box edges)
+        nd = len(schema.dims)
+        box = [
+            (min(r[i] for r in rows), max(r[i] for r in rows))
+            for i in range(nd)
+        ]
+    frag = write_native_fragment(array_dir, cols, subarray=box,
+                                 ts_range=(t1, t2))
+    commits = os.path.join(array_dir, "__commits")
+    if os.path.isdir(commits):
+        # the vacuum manifest: every artifact the consolidated fragment
+        # supersedes, as root-relative URIs (fragment dirs + their
+        # commit markers)
+        with open(
+            os.path.join(commits, os.path.basename(frag) + ".vac"), "w"
+        ) as f:
+            for o in old:
+                name = os.path.basename(o)
+                f.write(f"{os.path.relpath(o, array_dir)}\n")
+                f.write(f"__commits/{name}.wrt\n")
+    return frag
 
 
 def vacuum_native_array(array_dir: str) -> int:
-    """Remove every fragment older than the newest one.  ONLY safe right
-    after :func:`consolidate_native_array` (the newest fragment then
-    contains the full merged state); destroys time-travel history by
-    design, exactly like TileDB's vacuum.  Returns fragments removed."""
+    """Apply the ``.vac`` manifests consolidation wrote: physically
+    remove the superseded fragment directories and commit markers, then
+    the manifests themselves.  Destroys time travel INTO the vacuumed
+    range by design, exactly like TileDB's vacuum; the consolidated
+    fragment keeps the merged state.  Arrays with no manifest (legacy
+    layout) fall back to removing everything but the newest fragment —
+    only safe right after consolidation.  Returns fragments removed."""
     import shutil  # noqa: PLC0415
 
-    frags = _fragment_dirs(array_dir)
+    commits = os.path.join(array_dir, "__commits")
+    vacs = (
+        [e for e in os.listdir(commits) if e.endswith(".vac")]
+        if os.path.isdir(commits)
+        else []
+    )
     removed = 0
+    if vacs:
+        for v in vacs:
+            vp = os.path.join(commits, v)
+            with open(vp) as f:
+                targets = [ln.strip() for ln in f if ln.strip()]
+            for rel in targets:
+                p = os.path.join(array_dir, rel)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+                elif os.path.isfile(p):
+                    os.unlink(p)
+            os.unlink(vp)
+        return removed
+    frags = _fragment_dirs(array_dir)
     for f in frags[:-1]:
         shutil.rmtree(f, ignore_errors=True)
         removed += 1
