@@ -127,3 +127,151 @@ def test_open_at_excludes_mid_range_consolidated(tmp_path):
         os.path.basename(frag)
     ]
     assert [os.path.basename(f) for f in _fragment_dirs(uri, at=99)] == []
+
+
+# --- delete-condition commits (.del) ---------------------------------------
+
+
+def _arr_with_rows(tmp_path, name="darr"):
+    uri = str(tmp_path / name)
+    create_native_array(
+        uri,
+        [NativeDim("x", 1, 1, (0, 999), 10)],
+        [
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("tag", 12, 0xFFFFFFFF, True, None),
+        ],
+    )
+    write_native_fragment(
+        uri,
+        {"x": [1, 2, 3, 4], "v": [10, 20, 30, 40],
+         "tag": ["a", "b", None, "b"]},
+        ts=100,
+    )
+    return uri
+
+
+def test_delete_condition_filters_reads(tmp_path):
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    uri = _arr_with_rows(tmp_path)
+    assert count_native_array(uri) == 4
+    write_delete_condition(uri, [("tag", "=", "b")], ts=200)
+    _, rows = read_native_array(uri)
+    # NULL tag survives a value delete (3VL: NULL never matches)
+    assert [(r[0], r[1]) for r in rows] == [(1, 10), (3, 30)]
+    # time travel BEFORE the delete sees everything
+    _, hist = read_native_array(uri, at=150)
+    assert len(hist) == 4
+    # metadata-only COUNT is no longer provable -> None, not a wrong count
+    assert count_native_array(uri) is None
+    assert count_native_array(uri, at=150) == 4
+    # range reader applies the delete even when the projection DROPS the
+    # conditioned attr
+    names, rr = read_native_array_range(uri, [(None, None)], columns=["v"])
+    assert names == ["x", "v"]
+    assert rr == [(1, 10), (3, 30)]
+
+
+def test_delete_then_reinsert_survives(tmp_path):
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    uri = _arr_with_rows(tmp_path)
+    write_delete_condition(uri, [("v", ">=", 30)], ts=200)
+    # re-insert x=3 AFTER the delete: newer cells are untouched by it
+    write_native_fragment(
+        uri, {"x": [3], "v": [300], "tag": ["c"]}, ts=300
+    )
+    _, rows = read_native_array(uri)
+    assert [(r[0], r[1]) for r in rows] == [(1, 10), (2, 20), (3, 300)]
+
+
+def test_consolidation_bakes_deletes_and_vacuums_them(tmp_path):
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        count_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_native_array,
+        vacuum_native_array,
+        write_delete_condition,
+    )
+
+    uri = _arr_with_rows(tmp_path)
+    write_native_fragment(
+        uri, {"x": [5], "v": [50], "tag": ["e"]}, ts=150
+    )
+    write_delete_condition(uri, [("v", "<", 25)], ts=200)
+    _, before = read_native_array(uri)
+    assert [(r[0], r[1]) for r in before] == [(3, 30), (4, 40), (5, 50)]
+    frag = consolidate_native_array(uri)
+    assert frag is not None and "_200_" in os.path.basename(frag)
+    commits = os.path.join(uri, "__commits")
+    # pre-vacuum: the .del is on disk but covered by the merged range
+    assert any(e.endswith(".del") for e in os.listdir(commits))
+    _, after = read_native_array(uri)
+    assert after == before
+    # deletes baked in -> footer COUNT is provable again
+    assert count_native_array(uri) == 3
+    vacuum_native_array(uri)
+    assert not any(e.endswith(".del") for e in os.listdir(commits))
+    _, final = read_native_array(uri)
+    assert final == before
+
+
+def test_delete_rejects_dense_and_unknown_cols(tmp_path):
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    uri = _arr_with_rows(tmp_path)
+    with pytest.raises(ValueError, match="unknown column"):
+        write_delete_condition(uri, [("nope", "=", 1)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        write_delete_condition(uri, [("v", "like", 1)])
+    dense = str(tmp_path / "dense")
+    create_native_array(
+        dense,
+        [NativeDim("x", 1, 1, (0, 9), 10)],
+        [NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    with pytest.raises(ValueError, match="sparse"):
+        write_delete_condition(dense, [("v", "=", 1)])
+
+
+def test_connector_delete_visible_to_spark_scan(spark, tmp_path):
+    """The connector's full distributed path honors delete commits: the
+    executor-side split reads go through read_native_array_range, which
+    applies every visible .del."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+
+    uri = str(tmp_path / "sarr")
+    be = NativeDecoderBackend()
+    be.create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("id", "bigint", (0, 999))],
+            attrs=[AttrInfo("val", "bigint", nullable=False)],
+        ),
+    )
+    src = spark.range(0, 100).selectExpr("id", "id * 2 AS val")
+    write_array(src, uri, backend=be)
+    be.delete(uri, [("val", ">=", 100)])
+    out = read_array(spark, uri, backend=be)
+    got = sorted(r.id for r in out.collect())
+    assert got == list(range(50))

@@ -355,6 +355,18 @@ class NativeDecoderBackend(ArrayBackend):
         cols = {n: [clean(v) for v in pdf[n]] for n in names}
         write_native_fragment(uri, cols, ts=ts)
 
+    def delete(self, uri, conditions, ts=None) -> str:
+        """DELETE WHERE as a commit-level artifact: O(1) regardless of
+        array size — no fragment rewritten, every subsequent read filters
+        through the recorded predicate (``conditions`` is the same
+        (col, op, value) AND-list ``read_range`` pushes down).  The
+        physical purge happens at the next consolidate+vacuum."""
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            write_delete_condition,
+        )
+
+        return write_delete_condition(uri, conditions, ts=ts)
+
 
 class FragmentDirBackend(ArrayBackend):
     """Filesystem-fragment fake: each write lands as an independent parquet

@@ -889,6 +889,85 @@ def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
     return [os.path.join(root, d) for d in sorted(frags, key=lambda d: (_frag_ts(d), d))]
 
 
+def _delete_conditions(
+    array_dir: str,
+    at: int | None,
+    visible_frags: list[str],
+) -> list[tuple[int, list]]:
+    """Visible delete-condition commits, oldest→newest:
+    ``[(ts, [[col, op, value], ...]), ...]`` (conditions AND together —
+    the same shape the connector pushes as QueryCondition analogs).
+
+    A ``.del`` whose timestamp falls INSIDE a visible consolidated
+    fragment's [t1, t2] range is skipped: consolidation bakes deletes
+    into the merged fragment, so re-applying would wrongly delete rows
+    re-inserted after the delete but merged into the same fragment."""
+    commits = os.path.join(array_dir, "__commits")
+    if not os.path.isdir(commits):
+        return []
+    spans = [
+        _frag_range(os.path.basename(f))
+        for f in visible_frags
+    ]
+    spans = [(a, b) for a, b in spans if b > a]
+    out = []
+    for e in sorted(os.listdir(commits)):
+        if not e.endswith(".del"):
+            continue
+        dts = _frag_ts(e)
+        if at is not None and dts > at:
+            continue
+        if any(a <= dts <= b for a, b in spans):
+            continue  # baked into a visible consolidated fragment
+        import json  # noqa: PLC0415
+
+        payload = json.loads(read_generic_tile(os.path.join(commits, e)))
+        out.append((dts, payload["conditions"]))
+    return sorted(out)
+
+
+def _match_delete(row_map: dict, conds: list) -> bool:
+    """Does a row satisfy EVERY condition of one delete?  NULL-safe 3VL:
+    a comparison with NULL never matches (the reference's QueryCondition
+    rule), so NULL cells survive value deletes and need is_null to be
+    removed."""
+    for cond in conds:
+        col, op, *rest = cond
+        v = row_map.get(col)
+        if op == "is_null":
+            ok = v is None
+        elif op == "is_not_null":
+            ok = v is not None
+        elif v is None:
+            ok = False
+        else:
+            t = rest[0]
+            ok = {
+                "=": v == t, "!=": v != t, "<": v < t,
+                "<=": v <= t, ">": v > t, ">=": v >= t,
+            }[op]
+        if not ok:
+            return False
+    return True
+
+
+def _apply_deletes(rows_ts: list[tuple], names: list[str], dels: list):
+    """Filter (row, writer_ts) pairs through the visible deletes: a row
+    is removed iff some delete at ``dts`` has writer_ts <= dts AND the
+    row matches its conditions — deletes only affect cells written at or
+    before them, so later re-inserts survive."""
+    out = []
+    for row, wts in rows_ts:
+        rm = dict(zip(names, row))
+        if any(
+            wts is not None and wts <= dts and _match_delete(rm, conds)
+            for dts, conds in dels
+        ):
+            continue
+        out.append(row)
+    return out
+
+
 def _schema_path(array_dir: str) -> str:
     p = os.path.join(array_dir, "__array_schema.tdb")
     if os.path.isfile(p):
@@ -1071,10 +1150,12 @@ def read_native_array(
     newest-fragment-wins per coordinate (TileDB overwrite semantics).
     Rows are (dims..., attrs...) in schema order."""
     schema = parse_array_schema(_schema_path(array_dir))
-    merged: dict[tuple, tuple] = {}
-    dup_rows: list[tuple] = []  # allows_dups=true: keep every cell
+    merged: dict[tuple, tuple] = {}  # coord -> (row, writer_ts)
+    dup_rows: list[tuple] = []  # allows_dups=true: keep every (row, ts)
     dense_boxes: list[list] = []  # written subarrays (dense fill read)
-    for frag in _fragment_dirs(array_dir, at=at):
+    frags = _fragment_dirs(array_dir, at=at)
+    for frag in frags:
+        wts = _frag_range(os.path.basename(frag))[1]
         zipped = os.path.join(frag, "__coords.tdb")
         has_coords = os.path.isfile(zipped) or any(
             os.path.isfile(os.path.join(frag, f"{d.name}.tdb"))
@@ -1111,9 +1192,9 @@ def read_native_array(
         for i, c in enumerate(coords):
             row = c + tuple(col[i] for col in attr_cols)
             if schema.allows_dups:
-                dup_rows.append(row)
+                dup_rows.append((row, wts))
             else:
-                merged[c] = row
+                merged[c] = (row, wts)
     if dense_boxes:
         # Dense read semantics (fill_in.test / dense_writes.test): the
         # scan materializes the BOUNDING BOX of the written subarrays;
@@ -1126,11 +1207,19 @@ def read_native_array(
         fills = tuple(_fill_value(a) for a in schema.attrs)
         for c in _dense_coords_box(schema, bbox):
             if c not in merged:
-                merged[c] = c + fills
+                merged[c] = (c + fills, None)
+    names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
+    dels = (
+        _delete_conditions(array_dir, at, frags)
+        if schema.array_type == "SPARSE"
+        else []
+    )
     if schema.allows_dups:
         nd = len(schema.dims)
-        return schema, sorted(dup_rows, key=lambda r: r[:nd])
-    return schema, [merged[c] for c in sorted(merged)]
+        rows = _apply_deletes(dup_rows, names, dels)
+        return schema, sorted(rows, key=lambda r: r[:nd])
+    ordered = [merged[c] for c in sorted(merged)]
+    return schema, _apply_deletes(ordered, names, dels)
 
 
 # ===========================================================================
@@ -1403,8 +1492,24 @@ def read_native_array_range(
     want = [
         a for a in schema.attrs if columns is None or a.name in columns
     ]
-    names = dim_names + [a.name for a in want]
     rngs = list(ranges) if ranges else [(None, None)] * len(schema.dims)
+    frag_list = _fragment_dirs(array_dir, at=at)
+    dels = (
+        _delete_conditions(array_dir, at, frag_list)
+        if schema.array_type == "SPARSE"
+        else []
+    )
+    want_out = want
+    if dels:
+        # a delete's conditions may test attrs the projection dropped —
+        # decode them too, filter, then project back down
+        need = {c[0] for _ts, conds in dels for c in conds}
+        extra = [
+            a for a in schema.attrs
+            if a.name in need and a not in want
+        ]
+        want = want + extra
+    names = dim_names + [a.name for a in want]
 
     def _in(v, lo, hi):
         return (lo is None or v >= lo) and (hi is None or v <= hi)
@@ -1469,10 +1574,11 @@ def read_native_array_range(
             _DIM_CACHE[key] = hit
         return hit
 
-    merged: dict[tuple, tuple] = {}
-    dup_rows: list[tuple] = []  # allows_dups=true: keep every cell
+    merged: dict[tuple, tuple] = {}  # coord -> (row, writer_ts)
+    dup_rows: list[tuple] = []  # allows_dups=true: keep every (row, ts)
     dense_boxes: list[list] = []  # written subarrays (dense fill read)
-    for frag in _fragment_dirs(array_dir, at=at):
+    for frag in frag_list:
+        wts = _frag_range(os.path.basename(frag))[1]
         if not fragment_overlaps(frag, schema, rngs):
             if schema.array_type == "DENSE":
                 # still shapes the bounding box (its gap cells inside
@@ -1536,9 +1642,9 @@ def read_native_array_range(
                         attr_vals[a.name][i - lo_c] for a in want
                     )
                     if schema.allows_dups:
-                        dup_rows.append(row)
+                        dup_rows.append((row, wts))
                     else:
-                        merged[c] = row
+                        merged[c] = (row, wts)
 
             if spans is None:
                 dim_cols = _dims_cached(frag, zipped)
@@ -1593,7 +1699,8 @@ def read_native_array_range(
                     _in(v, lo, hi) for v, (lo, hi) in zip(c, rngs)
                 ):
                     continue
-                merged[c] = c + tuple(attr_vals[a.name][i] for a in want)
+                merged[c] = (c + tuple(attr_vals[a.name][i] for a in want),
+                             wts)
     if dense_boxes:
         # dense subarray-read semantics: materialize the requested
         # window of the written bounding box; uncovered cells = fills
@@ -1611,11 +1718,21 @@ def read_native_array_range(
             fills = tuple(_fill_value(a) for a in want)
             for c in _dense_coords_box(schema, bbox):
                 if c not in merged:
-                    merged[c] = c + fills
+                    merged[c] = (c + fills, None)
     if schema.allows_dups:
         nd = len(schema.dims)
-        return names, sorted(dup_rows, key=lambda r: r[:nd])
-    return names, [merged[c] for c in sorted(merged)]
+        rows = sorted(_apply_deletes(dup_rows, names, dels),
+                      key=lambda r: r[:nd])
+    else:
+        ordered = [merged[c] for c in sorted(merged)]
+        rows = _apply_deletes(ordered, names, dels)
+    if want is not want_out:
+        keep = list(range(len(dim_names))) + [
+            len(dim_names) + want.index(a) for a in want_out
+        ]
+        names = dim_names + [a.name for a in want_out]
+        rows = [tuple(r[i] for i in keep) for r in rows]
+    return names, rows
 
 
 # ---------------------------------------------------------------------------
@@ -1937,6 +2054,12 @@ def count_native_array(array_dir: str, at: int | None = None) -> int | None:
     frags = _fragment_dirs(array_dir, at=at)
     if not frags:
         return 0
+    if schema.array_type == "SPARSE" and _delete_conditions(
+        array_dir, at, frags
+    ):
+        # a visible delete condition removes a data-dependent number of
+        # cells — no footer can prove the count; decode instead
+        return None
     if schema.array_type == "DENSE":
         # a dense read materializes the BOUNDING BOX of the written
         # subarrays (uncovered cells are fills), so the exact count is

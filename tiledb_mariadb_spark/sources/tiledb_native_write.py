@@ -750,6 +750,69 @@ def array_info_to_native(dims, attrs) -> tuple[list, list]:
     return ndims, nattrs
 
 
+_DELETE_OPS = {"=", "!=", "<", "<=", ">", ">=", "is_null", "is_not_null"}
+
+
+def write_delete_condition(
+    array_dir: str,
+    conditions,
+    ts: Optional[int] = None,
+) -> str:
+    """DELETE-by-condition as a commit-level artifact (TileDB's delete
+    commits): no fragment is rewritten — a ``__commits/<ts>.del`` file
+    records the predicate, and every read from then on filters cells
+    written at-or-before ``ts`` through it.  O(1) regardless of array
+    size, which is the only delete that makes sense at 100 TB; the
+    physical purge happens at the next consolidate+vacuum, which bakes
+    visible deletes into the merged fragment and vacuums the ``.del``.
+
+    ``conditions`` is the connector's pushdown shape — an AND list of
+    ``(col, op, value)`` with ops {'=','!=','<','<=','>','>=','is_null',
+    'is_not_null'} — serialized as JSON inside a generic tile.  Sparse
+    arrays only (a dense read materializes fills for every cell, so
+    cell-level deletes have no dense semantics — libtiledb has the same
+    restriction)."""
+    import json  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        parse_array_schema,
+        _schema_path,
+    )
+
+    schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type != "SPARSE":
+        raise ValueError("delete conditions: sparse arrays only")
+    commits = os.path.join(array_dir, "__commits")
+    if not os.path.isdir(commits):
+        raise ValueError(
+            "delete conditions need the __commits layout (arrays created "
+            "by this writer); legacy-era arrays predate delete commits"
+        )
+    known = {d.name for d in schema.dims} | {a.name for a in schema.attrs}
+    conds = []
+    for cond in conditions:
+        col, op, *rest = cond
+        if col not in known:
+            raise ValueError(f"unknown column {col!r}")
+        if op not in _DELETE_OPS:
+            raise ValueError(f"unsupported op {op!r}")
+        conds.append([col, op] + list(rest[:1]))
+    if ts is None:
+        import time  # noqa: PLC0415
+
+        existing = [
+            _frag_ts(os.path.basename(f)) for f in _fragment_dirs(array_dir)
+        ] + [
+            _frag_ts(e) for e in os.listdir(commits) if e.endswith(".del")
+        ]
+        ts = max([int(time.time() * 1000)] + [e + 1 for e in existing])
+    path = os.path.join(commits, f"__{ts}_{ts}_{uuid.uuid4().hex}_5.del")
+    _write_generic_tile(
+        path, json.dumps({"version": 1, "conditions": conds}).encode()
+    )
+    return path
+
+
 def consolidate_native_array(array_dir: str) -> Optional[str]:
     """TileDB fragment consolidation for native arrays: materialize the
     newest-wins merged state as ONE new fragment whose name spans the
@@ -762,14 +825,16 @@ def consolidate_native_array(array_dir: str) -> Optional[str]:
     None when there is nothing to merge (zero or one visible fragment
     and no rows)."""
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _delete_conditions,
         _frag_range,
         read_native_array,
     )
 
     old = _fragment_dirs(array_dir)
-    if len(old) < 2:
+    dels = _delete_conditions(array_dir, None, old)
+    if len(old) < 2 and not dels:
         return None  # a single fragment is already consolidated
-    schema, rows = read_native_array(array_dir)
+    schema, rows = read_native_array(array_dir)  # deletes applied = baked
     if not rows:
         return None
     names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
@@ -777,6 +842,9 @@ def consolidate_native_array(array_dir: str) -> Optional[str]:
     rngs = [_frag_range(os.path.basename(f)) for f in old]
     t1 = min(r[0] for r in rngs)
     t2 = max(r[1] for r in rngs)
+    # a delete newer than every fragment is baked in too — widen the
+    # range over it so the coverage rule retires the .del as well
+    t2 = max([t2] + [dts for dts, _c in dels])
     box = None
     if schema.array_type == "DENSE":
         # the merged rows ARE the bounding box of the written subarrays
@@ -800,6 +868,11 @@ def consolidate_native_array(array_dir: str) -> Optional[str]:
                 name = os.path.basename(o)
                 f.write(f"{os.path.relpath(o, array_dir)}\n")
                 f.write(f"__commits/{name}.wrt\n")
+            for e in os.listdir(commits):
+                # baked-in deletes (ts inside the new fragment's range)
+                # are superseded artifacts too
+                if e.endswith(".del") and t1 <= _frag_ts(e) <= t2:
+                    f.write(f"__commits/{e}\n")
     return frag
 
 
