@@ -88,6 +88,10 @@ HEADLINE = [
     # round-4 late addition: SemDeDup — centroid assignment + cluster-
     # confined near-dup prune over the salted embeddings corpus (uncapped)
     "q290_semdedup",
+    # round-4 continuation: the delete-commit lifecycle (O(1) DELETE
+    # WHERE, re-insert, consolidate+vacuum bake) — benched so commit
+    # gating's read-path cost stays visible round-over-round
+    "q301_native_deletes",
 ]
 
 

@@ -101,6 +101,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas
+        "q301_native_deletes",  # delete-commit lifecycle write + scan
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

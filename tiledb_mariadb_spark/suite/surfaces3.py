@@ -2170,3 +2170,142 @@ SPECS.append(
         "equals the closed form over capacity-packed tiles",
     )
 )
+
+
+# --- q301: delete-condition commits on a native array ------------------------
+# TileDB's delete model (delete commits, libtiledb 2.12+): DELETE WHERE
+# is an O(1) commit-level artifact — a __commits/<ts>.del predicate file
+# — never a fragment rewrite, so it costs the same at 100 TB as at 100
+# rows.  This spec drives the whole lifecycle against the documents
+# table: two writes, a conditional delete (AND of two predicates), a
+# post-delete re-insert that must SURVIVE (deletes only affect cells
+# written at-or-before them), time travel to before the delete,
+# metadata-COUNT honesty (None while a delete is visible — it cannot be
+# proven from footers), then consolidate+vacuum baking the delete in and
+# making COUNT provable again.  Every number is recomputed exactly by
+# the DuckDB oracle from the same logical history.
+def q301_native_deletes(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        count_native_array,
+        read_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_native_array,
+        create_native_array,
+        vacuum_native_array,
+        write_delete_condition,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q301_deletes_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10_000), None)],
+        attrs=[
+            NativeAttr("nchars", 1, 1, False, None),
+            NativeAttr("tag", 1, 1, False, None),
+        ],
+    )
+    base = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        F.length("text").cast("long").alias("nchars"),
+        (F.col("doc_id") % 7).alias("tag"),
+    ).filter(F.col("k") <= 1200)
+
+    def write_df(df, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                write_native_fragment(
+                    uri, {n: list(pdf[n]) for n in pdf.columns}, ts=ts
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_df(base.filter(F.col("k") <= 800), 1000)
+    write_df(base.filter(F.col("k") > 800), 2000)
+    write_delete_condition(
+        uri, [("tag", "=", 3), ("nchars", "<", 400)], ts=3000
+    )
+    # re-insert the EVEN deleted keys after the delete, boosted — a
+    # delete must not reach forward in time
+    reinsert = base.filter(
+        (F.col("tag") == 3) & (F.col("nchars") < 400)
+        & (F.col("k") % 2 == 0)
+    ).select("k", (F.col("nchars") + 100000).alias("nchars"), "tag")
+    write_df(reinsert, 4000)
+
+    n_pre = count_native_array(uri, at=2500)  # provable: delete not yet visible
+    _s, pre_rows = read_native_array(uri, at=2500)
+    sum_pre = sum(r[1] for r in pre_rows)
+    count_gate = 1 if count_native_array(uri) is None else 0
+    be = NativeDecoderBackend()
+    arr = read_array(spark, uri, backend=be, target_splits=8)
+    post = arr.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nchars").alias("s")
+    ).collect()[0]
+    consolidate_native_array(uri)
+    vacuum_native_array(uri)
+    n_final = count_native_array(uri)
+    if n_final is None:
+        raise AssertionError("post-vacuum count must be footer-provable")
+    _s, final_rows = read_native_array(uri)
+    sum_final = sum(r[1] for r in final_rows)
+    return spark.createDataFrame(
+        sorted(
+            {
+                "n_pre": int(n_pre),
+                "sum_pre": int(sum_pre),
+                "count_unprovable_while_deleted": int(count_gate),
+                "n_post": int(post["n"]),
+                "sum_post": int(post["s"]),
+                "n_final": int(n_final),
+                "sum_final": int(sum_final),
+            }.items()
+        ),
+        "metric string, value long",
+    )
+
+
+Q301_SQL = """
+WITH docs AS (
+  SELECT doc_id AS k, CAST(LENGTH(text) AS BIGINT) AS nchars,
+         doc_id % 7 AS tag
+  FROM documents WHERE doc_id <= 1200),
+final AS (
+  SELECT k, CASE WHEN tag = 3 AND nchars < 400 THEN nchars + 100000
+                 ELSE nchars END AS nchars
+  FROM docs
+  WHERE NOT (tag = 3 AND nchars < 400 AND k % 2 = 1))
+SELECT * FROM (
+  SELECT 'n_pre' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM docs
+  UNION ALL SELECT 'sum_pre', CAST(SUM(nchars) AS BIGINT) FROM docs
+  UNION ALL SELECT 'count_unprovable_while_deleted', 1
+  UNION ALL SELECT 'n_post', CAST(COUNT(*) AS BIGINT) FROM final
+  UNION ALL SELECT 'sum_post', CAST(SUM(nchars) AS BIGINT) FROM final
+  UNION ALL SELECT 'n_final', CAST(COUNT(*) AS BIGINT) FROM final
+  UNION ALL SELECT 'sum_final', CAST(SUM(nchars) AS BIGINT) FROM final
+) ORDER BY metric
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q301_native_deletes",
+        q301_native_deletes,
+        Q301_SQL,
+        "delete-condition commits: O(1) DELETE WHERE, re-insert "
+        "survival, time travel, COUNT honesty, consolidation bake",
+    )
+)
