@@ -50,6 +50,7 @@ from tiledb_mariadb_spark.sources.tiledb_native import (
     NativeDim,
     NativeSchema,
     _fragment_dirs,
+    _frag_range,
     _frag_ts,
     parse_array_schema,
     _schema_path,
@@ -882,8 +883,11 @@ def vacuum_native_array(array_dir: str) -> int:
     the manifests themselves.  Destroys time travel INTO the vacuumed
     range by design, exactly like TileDB's vacuum; the consolidated
     fragment keeps the merged state.  Arrays with no manifest (legacy
-    layout) fall back to removing everything but the newest fragment —
-    only safe right after consolidation.  Returns fragments removed."""
+    layout) fall back to the COVERAGE rule: remove exactly the fragments
+    whose [t1, t2] range is strictly contained in a wider fragment's
+    range (i.e. merged into a consolidated fragment) — a vacuum with
+    nothing consolidated is a no-op, never a data loss.  Returns
+    fragments removed."""
     import shutil  # noqa: PLC0415
 
     commits = os.path.join(array_dir, "__commits")
@@ -907,10 +911,32 @@ def vacuum_native_array(array_dir: str) -> int:
                     os.unlink(p)
             os.unlink(vp)
         return removed
-    frags = _fragment_dirs(array_dir)
-    for f in frags[:-1]:
-        shutil.rmtree(f, ignore_errors=True)
-        removed += 1
+    # raw listing (not _fragment_dirs — that already hides covered
+    # fragments from readers; vacuum is what physically removes them)
+    root = os.path.join(array_dir, "__fragments")
+    if not os.path.isdir(root):
+        root = array_dir
+    skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    names = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("__")
+        and d not in skip
+        and os.path.isdir(os.path.join(root, d))
+    ]
+    rng = {d: _frag_range(d) for d in names}
+    for d in names:
+        t1, t2 = rng[d]
+        covered = any(
+            g != d
+            and rng[g][0] <= t1
+            and t2 <= rng[g][1]
+            and (rng[g][1] - rng[g][0]) > (t2 - t1)
+            for g in names
+        )
+        if covered:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed += 1
     return removed
 
 
