@@ -650,7 +650,22 @@ class TileTable:
         )
 
         key = self._require_key() if self._encrypted else None
-        write_clustered_parquet(clustered, path, plan_for_schema(s), encryption_key=key)
+        # NEVER write into the claim directory directly: Spark's
+        # overwrite mode DELETES the target before recreating it, and in
+        # that window a concurrent writer's mkdir re-claims the same
+        # version (two writers then publish the same v — observed as a
+        # lost append under thread stress).  Stage beside the claim, then
+        # rename into it: POSIX rename onto an empty directory is atomic,
+        # and the claim dir itself is never absent.
+        stage = f"{path}.stage-{uuid4().hex[:8]}"
+        try:
+            write_clustered_parquet(
+                clustered, stage, plan_for_schema(s), encryption_key=key
+            )
+            os.rename(stage, path)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         # "rows" = pre-dedup cell count: the footer-free record upper bound
         # (needed for est_records on encrypted tables whose footers are
         # sealed; harmless elsewhere)
