@@ -2323,3 +2323,349 @@ def dim0_tile_weights(
             cells = min(cap, n_cells - k * cap)
             out.append((mbr[0][0], mbr[0][1], cells))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fragment ATTRIBUTE STATS (format v11+): per-field MIN/MAX/SUM/NULL_COUNT
+# decoded from the footer-indexed generic tiles that modern TileDB writes
+# alongside the R-tree (FragmentMetadata's tile_min/tile_max/tile_sum/
+# tile_null_count sections plus the fragment-level
+# fragment_min_max_sum_null_count tile).  Validated byte-exact against the
+# committed obs (v19), var (v19), multi_attribute (v18) and enum (v20)
+# fixtures: the obs fragment's decoded stats — including the float64 SUM's
+# exact accumulation error — equal a full-scan recompute.
+#
+# Footer layout past last_tile_cell_num (raw footer, v11+):
+#   [u8 has_timestamps (v>=11)][u8 has_delete_meta (v>=12)]
+#   [file_sizes u64 x NF][file_var_sizes u64 x NF][file_validity_sizes x NF]
+#   [rtree_off u64][tile_off x NF][tile_var_off x NF][tile_var_sizes x NF]
+#   [tile_validity_off x NF][tile_min_off x NF][tile_max_off x NF]
+#   [tile_sum_off x NF][tile_null_count_off x NF]
+#   [fragment_min_max_sum_null_count u64][processed_conditions u64 (v>=16)]
+# where NF = attrs + 1 (legacy combined-coords slot) + dims
+#          + 2*has_timestamps + 2*has_delete_meta,
+# field order [attrs..., __coords, dims..., extras...] — confirmed by the
+# obs fixture (attr tiles first; the coords slot carries zero sizes).
+#
+# Stats tile payloads (after generic-tile unfiltering):
+#   min/max:  [u64 fixed_size][u64 var_size][fixed buf][var buf]
+#   sum:      [u64 n][n x 8-byte sums]          (f64 for floats, i64/u64 ints)
+#   null:     [u64 n][n x u64 counts]
+#   fmmsn:    per field [u64 min_size][min][u64 max_size][max][8-byte sum]
+#             [u64 null_count]
+#
+# TRUST BOUNDARY: a size-0 min/max means the engine did not compute the
+# stat (multi-value cells, UTF-8 strings, dense dims) — exposed as absent,
+# never as zero.  SUM carries no presence flag on disk, so it is exposed
+# only for fixed single-value numeric fields (the exact rule the engine
+# uses to compute it); NULL_COUNT only for nullable attributes.  Any
+# structural inconsistency (offsets not naming valid generic tiles, short
+# payloads) returns None and callers fall back to decoding cells.
+# ---------------------------------------------------------------------------
+
+# dtype ids whose SUM the engine computes (fixed, single-value, numeric):
+# int8..uint64, float32/float64, bool — datetimes excluded (no sum).
+_SUMMABLE_DT = {0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 40}
+_UNSIGNED_DT = {6, 8, 9, 10, 40}
+
+
+def _footer_field_names(schema: "NativeSchema") -> list[str]:
+    return (
+        [a.name for a in schema.attrs]
+        + ["__coords"]
+        + [d.name for d in schema.dims]
+    )
+
+
+def parse_footer_sections(fm_path: str, schema: "NativeSchema"):
+    """Generic-tile offsets table of a v11+ fragment footer -> dict with
+    ``fields`` (ordered names), per-section offset lists and the raw
+    metadata buffer, or None when the era predates the table or any
+    offset fails generic-tile validation."""
+    try:
+        buf = open(fm_path, "rb").read()
+        (last,) = struct.unpack_from("<Q", buf, len(buf) - 8)
+        if not (14 <= last <= len(buf) - 8):
+            return None
+        raw = buf[len(buf) - 8 - last : len(buf) - 8]
+        pos = 0
+        (ver,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        if ver < 11:
+            return None
+        frag_ver = _frag_format_version(os.path.dirname(fm_path))
+        if frag_ver and ver != frag_ver:
+            return None
+        (nl,) = struct.unpack_from("<Q", raw, pos)
+        pos += 8
+        if nl > len(raw):
+            return None
+        pos += nl
+        dense = raw[pos]
+        pos += 2  # dense + null_non_empty_domain
+        for d in schema.dims:
+            _n, _code, size = _DT[d.dtype_id]
+            if d.is_var:
+                dsize, _ssize = struct.unpack_from("<QQ", raw, pos)
+                pos += 16 + dsize
+            else:
+                pos += 2 * size
+        pos += 16  # sparse_tile_num + last_tile_cell_num
+        has_ts = raw[pos]
+        pos += 1
+        has_del = 0
+        if ver >= 12:
+            has_del = raw[pos]
+            pos += 1
+        if has_ts not in (0, 1) or has_del not in (0, 1):
+            return None
+        names = _footer_field_names(schema)
+        nf = len(names) + 2 * has_ts + 2 * has_del
+        need = 8 * (3 * nf + 1 + 8 * nf + 1) + (8 if ver >= 16 else 0)
+        if pos + need > len(raw):
+            return None
+        pos += 8 * 3 * nf  # file sizes / var sizes / validity sizes
+        (rtree_off,) = struct.unpack_from("<Q", raw, pos)
+        pos += 8
+        sections = {}
+        for key in (
+            "tile_offsets", "tile_var_offsets", "tile_var_sizes",
+            "tile_validity", "tile_min", "tile_max", "tile_sum",
+            "tile_null_count",
+        ):
+            sections[key] = list(struct.unpack_from(f"<{nf}Q", raw, pos))
+            pos += 8 * nf
+        (fmmsn,) = struct.unpack_from("<Q", raw, pos)
+        pos += 8
+        pc = None
+        if ver >= 16:
+            (pc,) = struct.unpack_from("<Q", raw, pos)
+            pos += 8
+        footer_start = len(buf) - 8 - last
+        for off in [rtree_off, fmmsn] + (
+            [pc] if pc is not None else []
+        ):
+            span = _generic_tile_span(buf, off)
+            if span is None or off + span > footer_start:
+                return None
+        return {
+            "version": ver,
+            "dense": bool(dense),
+            "fields": names,
+            "num_fields": nf,
+            "buf": buf,
+            "rtree": rtree_off,
+            "fmmsn": fmmsn,
+            "processed_conditions": pc,
+            **sections,
+        }
+    except (OSError, struct.error, IndexError):
+        return None
+
+
+def _gtile_payload(buf: bytes, off: int) -> bytes | None:
+    span = _generic_tile_span(buf, off)
+    if span is None:
+        return None
+    (plen,) = struct.unpack_from("<I", buf, off + 30)
+    try:
+        return b"".join(read_chunked_tile(buf[off + 34 + plen : off + span]))
+    except (ValueError, struct.error, IndexError, NotImplementedError):
+        return None
+
+
+def _decode_stat_value(dtype_id: int, b: bytes):
+    """One fixed min/max value from its on-disk bytes (strings as str)."""
+    name, code, size = _DT[dtype_id]
+    if code == "c":
+        return b.decode("utf-8", "replace")
+    if len(b) != size:
+        return None
+    return struct.unpack("<" + code, b)[0]
+
+
+def _decode_sum(dtype_id: int, b: bytes):
+    if len(b) != 8:
+        return None
+    if dtype_id in (2, 3):
+        return struct.unpack("<d", b)[0]
+    return struct.unpack("<Q" if dtype_id in _UNSIGNED_DT else "<q", b)[0]
+
+
+def fragment_attr_stats(frag: str, schema: "NativeSchema"):
+    """Per-field fragment-level stats from the fmmsn tile:
+    ``{field: {"min":…, "max":…, "sum":…, "null_count":…}}`` with keys
+    absent when the engine did not compute them (trust boundary above).
+    None when the fragment predates v11 or fails validation."""
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    if not os.path.isfile(fm):
+        return None
+    sec = parse_footer_sections(fm, schema)
+    if sec is None:
+        return None
+    payload = _gtile_payload(sec["buf"], sec["fmmsn"])
+    if payload is None:
+        return None
+    types = {a.name: (a.dtype_id, a.cell_val_num, a.nullable)
+             for a in schema.attrs}
+    types.update(
+        {d.name: (d.dtype_id, d.cell_val_num, False) for d in schema.dims}
+    )
+    out, pos = {}, 0
+    try:
+        for i in range(sec["num_fields"]):
+            (msz,) = struct.unpack_from("<Q", payload, pos)
+            pos += 8
+            mn = payload[pos : pos + msz]
+            pos += msz
+            (xsz,) = struct.unpack_from("<Q", payload, pos)
+            pos += 8
+            mx = payload[pos : pos + xsz]
+            pos += xsz
+            sm = payload[pos : pos + 8]
+            pos += 8
+            (nc,) = struct.unpack_from("<Q", payload, pos)
+            pos += 8
+            name = sec["fields"][i] if i < len(sec["fields"]) else None
+            if name is None or name == "__coords":
+                continue
+            dtype_id, cvn, nullable = types[name]
+            st = {}
+            if msz and xsz:
+                lo = _decode_stat_value(dtype_id, mn)
+                hi = _decode_stat_value(dtype_id, mx)
+                if lo is not None and hi is not None:
+                    st["min"], st["max"] = lo, hi
+            if dtype_id in _SUMMABLE_DT and cvn == 1:
+                s = _decode_sum(dtype_id, sm)
+                if s is not None:
+                    st["sum"] = s
+            if nullable:
+                st["null_count"] = nc
+            out[name] = st
+        if pos != len(payload):
+            return None
+    except (struct.error, IndexError, KeyError):
+        return None
+    return out
+
+
+def fragment_tile_stats(frag: str, schema: "NativeSchema", field: str):
+    """Per-TILE (min, max, sum, null_count) lists for one field from the
+    tile_min/tile_max/tile_sum/tile_null_count sections — the
+    intra-fragment attribute-pruning index.  Elements are None when the
+    engine did not compute that stat.  None on any validation failure."""
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    if not os.path.isfile(fm):
+        return None
+    sec = parse_footer_sections(fm, schema)
+    if sec is None:
+        return None
+    try:
+        idx = sec["fields"].index(field)
+    except ValueError:
+        return None
+    types = {a.name: (a.dtype_id, a.cell_val_num, a.nullable)
+             for a in schema.attrs}
+    types.update(
+        {d.name: (d.dtype_id, d.cell_val_num, False) for d in schema.dims}
+    )
+    dtype_id, cvn, nullable = types[field]
+    _n, code, size = _DT[dtype_id]
+    buf = sec["buf"]
+    pmin = _gtile_payload(buf, sec["tile_min"][idx])
+    pmax = _gtile_payload(buf, sec["tile_max"][idx])
+    psum = _gtile_payload(buf, sec["tile_sum"][idx])
+    pnull = _gtile_payload(buf, sec["tile_null_count"][idx])
+    if None in (pmin, pmax, psum, pnull):
+        return None
+    try:
+        mins = maxs = None
+        (fsz,) = struct.unpack_from("<Q", pmin, 0)
+        (fsz2,) = struct.unpack_from("<Q", pmax, 0)
+        if fsz and fsz == fsz2 and code != "c" and fsz % size == 0:
+            n = fsz // size
+            mins = list(struct.unpack_from(f"<{n}{code}", pmin, 16))
+            maxs = list(struct.unpack_from(f"<{n}{code}", pmax, 16))
+        (ns,) = struct.unpack_from("<Q", psum, 0)
+        sums = (
+            [_decode_sum(dtype_id, psum[8 + 8 * i : 16 + 8 * i])
+             for i in range(ns)]
+            if dtype_id in _SUMMABLE_DT and cvn == 1 and ns
+            else None
+        )
+        (nn,) = struct.unpack_from("<Q", pnull, 0)
+        nulls = (
+            list(struct.unpack_from(f"<{nn}Q", pnull, 8))
+            if nullable and nn
+            else None
+        )
+    except (struct.error, IndexError):
+        return None
+    counts = [len(x) for x in (mins, maxs, sums, nulls) if x is not None]
+    if not counts or len(set(counts)) != 1:
+        return None
+    n = counts[0]
+    return [
+        (
+            mins[i] if mins else None,
+            maxs[i] if maxs else None,
+            sums[i] if sums else None,
+            nulls[i] if nulls else None,
+        )
+        for i in range(n)
+    ]
+
+
+def attr_stats_native_array(
+    array_dir: str, at: int | None = None
+) -> dict | None:
+    """Metadata-only per-attribute MIN/MAX/SUM/NULL_COUNT of a native
+    array — no data tile is read (the group_by_handler fast path,
+    ha_mytile aggregate pushdown, answered from fragment metadata the
+    way count_native_array answers COUNT).  Trust rules mirror
+    count_native_array: None whenever the merged view could differ from
+    the per-fragment stats — visible delete conditions, dense arrays
+    (reads materialize fill values the stats never saw), overlapping
+    sparse fragments without allows_dups (newest-wins overwrites), or
+    any fragment predating the v11 stats sections.  MIN/MAX/SUM combine
+    across fragments only when every fragment carries the stat."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type == "DENSE":
+        return None
+    frags = _fragment_dirs(array_dir, at=at)
+    if not frags:
+        return {}
+    if _delete_conditions(array_dir, at, frags):
+        return None
+    per_frag = []
+    for frag in frags:
+        st = fragment_attr_stats(frag, schema)
+        if st is None:
+            return None
+        per_frag.append(st)
+    if len(per_frag) > 1 and not schema.allows_dups:
+        footers = []
+        for frag in frags:
+            fm = os.path.join(frag, "__fragment_metadata.tdb")
+            footers.append(
+                parse_fragment_footer(fm, schema)
+                if os.path.isfile(fm) else None
+            )
+        if any(f is None for f in footers) or not _neds_pairwise_disjoint(
+            footers
+        ):
+            return None
+    merged: dict = {}
+    for name in per_frag[0]:
+        stats = [s.get(name, {}) for s in per_frag]
+        st = {}
+        if all("min" in s for s in stats):
+            st["min"] = min(s["min"] for s in stats)
+            st["max"] = max(s["max"] for s in stats)
+        if all("sum" in s for s in stats):
+            st["sum"] = sum(s["sum"] for s in stats)
+        if all("null_count" in s for s in stats):
+            st["null_count"] = sum(s["null_count"] for s in stats)
+        merged[name] = st
+    return merged
