@@ -2309,3 +2309,98 @@ SPECS.append(
         "survival, time travel, COUNT honesty, consolidation bake",
     )
 )
+
+
+# --- q302: metadata-only attribute stats (format v11+ fmmsn tile) -----------
+# Modern TileDB fragments carry per-field MIN/MAX/SUM/NULL_COUNT in the
+# fragment_min_max_sum_null_count generic tile; libtiledb answers
+# aggregate queries from it without touching data tiles, and
+# ha_mytile's group-by pushdown rides that path.  This spec decodes the
+# stats of the reference's committed obs array (v19, 3484 cells) from
+# METADATA ALONE (attr_stats_native_array — zero data tiles read), and
+# cross-checks them against a full Spark scan of the same array through
+# the native decoder; the oracle pins both halves to the same literals.
+# The float64 SUM is the stored accumulation (bit-exact, shortest
+# round-trip hashed), not a recompute.
+def q302_native_attr_stats(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        attr_stats_native_array,
+        native_to_dataframe,
+    )
+
+    obs = f"{_FIXROOT}/../obs"
+    st = attr_stats_native_array(obs)
+    if st is None:  # metadata path failed — fail loudly, never scan
+        raise AssertionError("v19 stats not provable from metadata")
+    meta_rows = []
+    for field in ("cluster", "cell_count", "no_of_cells",
+                  "no_of_m_reads", "soma_joinid"):
+        for stat, val in sorted(st.get(field, {}).items()):
+            meta_rows.append(("meta", field, stat, float(val)))
+    meta = spark.createDataFrame(
+        meta_rows, "src string, field string, stat string, value double"
+    )
+
+    df = native_to_dataframe(spark, obs)
+    aggs = df.agg(
+        F.min("cluster").alias("cluster_min"),
+        F.max("cluster").alias("cluster_max"),
+        F.sum("cluster").alias("cluster_sum"),
+        F.min("cell_count").alias("cell_count_min"),
+        F.max("cell_count").alias("cell_count_max"),
+        F.sum("cell_count").alias("cell_count_sum"),
+        F.sum("soma_joinid").alias("soma_joinid_sum"),
+    )
+    scan = aggs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.rsplit("_", 1)[0]).alias("field"),
+                        F.lit(c.rsplit("_", 1)[1]).alias("stat"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in aggs.columns
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.lit("scan").alias("src"), "s.field", "s.stat", "s.value"
+    )
+    return meta.unionByName(scan).orderBy("src", "field", "stat")
+
+
+Q302_SQL = """
+SELECT * FROM (VALUES
+  ('meta', 'cluster',       'max', CAST(9 AS DOUBLE)),
+  ('meta', 'cluster',       'min', 0),
+  ('meta', 'cluster',       'sum', 7764),
+  ('meta', 'cell_count',    'max', 967),
+  ('meta', 'cell_count',    'min', 44),
+  ('meta', 'cell_count',    'sum', 2055708),
+  ('meta', 'no_of_cells',   'max', 3484),
+  ('meta', 'no_of_cells',   'min', 3484),
+  ('meta', 'no_of_cells',   'sum', 12138256),
+  ('meta', 'no_of_m_reads', 'max', 9.8),
+  ('meta', 'no_of_m_reads', 'min', 9.8),
+  ('meta', 'no_of_m_reads', 'sum', 34143.199999998695),
+  ('meta', 'soma_joinid',   'sum', 6067386),
+  ('scan', 'cluster',       'max', 9),
+  ('scan', 'cluster',       'min', 0),
+  ('scan', 'cluster',       'sum', 7764),
+  ('scan', 'cell_count',    'max', 967),
+  ('scan', 'cell_count',    'min', 44),
+  ('scan', 'cell_count',    'sum', 2055708),
+  ('scan', 'soma_joinid',   'sum', 6067386)
+) AS v(src, field, stat, value) ORDER BY src, field, stat
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q302_native_attr_stats",
+        q302_native_attr_stats,
+        Q302_SQL,
+        "fragment MIN/MAX/SUM from the v19 fmmsn metadata tile alone "
+        "(zero data tiles), cross-checked against a full native scan",
+    )
+)
