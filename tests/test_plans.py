@@ -102,6 +102,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas
         "q301_native_deletes",  # delete-commit lifecycle write + scan
+        "q303_native_enum",  # enumeration connector scans: same
+        # declared native-io mapInPandas boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

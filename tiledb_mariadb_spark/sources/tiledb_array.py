@@ -278,7 +278,15 @@ class NativeDecoderBackend(ArrayBackend):
         attrs = [
             AttrInfo(
                 name=a.name,
-                dtype=_SPARK_TYPE.get(a.dtype_id, "bigint"),
+                # an enumerated attr READS as its labels (ENUM column
+                # parity, t/enum.test) — its Spark type is string, and
+                # label predicates push down unchanged since the decoder
+                # already serves labels
+                dtype=(
+                    "string"
+                    if getattr(a, "enumeration", None) in s.enumerations
+                    else _SPARK_TYPE.get(a.dtype_id, "bigint")
+                ),
                 nullable=a.nullable,
             )
             for a in s.attrs

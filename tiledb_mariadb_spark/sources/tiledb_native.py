@@ -295,10 +295,13 @@ class NativeDim:
 
 class NativeAttr:
     def __init__(self, name, dtype_id, cell_val_num, nullable, fill,
-                 filters=None):
+                 filters=None, enumeration=None):
         self.name, self.dtype_id = name, dtype_id
         self.cell_val_num, self.nullable, self.fill = cell_val_num, nullable, fill
         self.filters = filters or []
+        # v20+ enumeration link: the attr stores INDEXES, the named
+        # enumeration holds the labels (t/enum.test surface)
+        self.enumeration = enumeration
 
     @property
     def is_var(self):
@@ -309,7 +312,7 @@ class NativeSchema:
     def __init__(self, version, array_type, capacity, dims, attrs,
                  coords_filters=None, offsets_filters=None,
                  validity_filters=None, tile_order=0, cell_order=0,
-                 allows_dups=False):
+                 allows_dups=False, enumeration_paths=None):
         self.version, self.array_type, self.capacity = version, array_type, capacity
         self.dims, self.attrs = dims, attrs
         self.coords_filters = coords_filters or []
@@ -321,6 +324,14 @@ class NativeSchema:
         # allows_dups=true: duplicate coordinates are KEPT, not
         # overwritten (t/duplicates.test semantics)
         self.allows_dups = allows_dups
+        # v20+: enumeration name -> __schema/__enumerations/<path> file
+        self.enumeration_paths = enumeration_paths or {}
+        # enumeration name -> label list, resolved by parse_array_schema
+        # for VAR (string-label) enumerations only: those are the ones the
+        # reference maps to MariaDB ENUM columns; a fixed-width
+        # enumeration is NOT applied on read (the enum.test golden shows
+        # the int-labelled a3 reading back its raw stored values)
+        self.enumerations: dict = {}
 
 
 class _Cursor:
@@ -408,14 +419,74 @@ def parse_array_schema(path: str) -> NativeSchema:
             c.u("B")  # fill validity
         if ver >= 17:
             c.u("B")  # data order (2.17+)
-        attrs.append(NativeAttr(name, dtype_id, cvn, nullable, fill, attr_f))
-    return NativeSchema(
+        enum_name = None
+        if ver >= 20:
+            # enumeration link (2.17+): the attr stores indexes into the
+            # named enumeration's label list
+            enl = c.u("I")
+            if enl:
+                enum_name = c.raw(enl).decode()
+        attrs.append(
+            NativeAttr(name, dtype_id, cvn, nullable, fill, attr_f,
+                       enumeration=enum_name)
+        )
+    enum_paths = {}
+    if ver >= 18 and c.pos < len(c.buf):
+        c.u("I")  # dimension-label count (none in any committed fixture)
+    if ver >= 20 and c.pos < len(c.buf):
+        # enumeration path map: name -> __enumerations/<path> file
+        for _ in range(c.u("I")):
+            en = c.raw(c.u("I")).decode()
+            ep = c.raw(c.u("I")).decode()
+            enum_paths[en] = ep
+    schema = NativeSchema(
         ver, array_type, capacity, dims, attrs,
         coords_filters=coords_f, offsets_filters=offsets_f,
         validity_filters=validity_f,
         tile_order=tile_order, cell_order=cell_order,
-        allows_dups=allows_dups,
+        allows_dups=allows_dups, enumeration_paths=enum_paths,
     )
+    if enum_paths:
+        schema.enumerations = _load_enumerations(path, enum_paths)
+    return schema
+
+
+def _load_enumerations(schema_path: str, enum_paths: dict) -> dict:
+    """Resolve v20 enumeration files (__schema/__enumerations/<path>) to
+    label lists — VAR (string-label) enumerations only, see
+    NativeSchema.enumerations.  Layout per file (validated byte-exact on
+    the enum_array fixture): [u32 version][u32+name][u32+path]
+    [u8 datatype][u32 cell_val_num][u8 ordered][u64 data_size][data]
+    [u64 offsets_size][u64 offsets...] (offsets only when var).
+    Evolution-extended enumerations (_1+ suffix files) are out of scope —
+    no committed fixture carries one; absent files are skipped so decode
+    falls back to raw indexes rather than failing the whole open."""
+    out = {}
+    base = os.path.join(os.path.dirname(schema_path), "__enumerations")
+    for name, rel in enum_paths.items():
+        p = os.path.join(base, rel)
+        if not os.path.isfile(p):
+            continue
+        try:
+            c = _Cursor(read_generic_tile(p))
+            c.u("I")  # enumerations format version (0)
+            c.raw(c.u("I"))  # name (matches the map key)
+            c.raw(c.u("I"))  # path name
+            c.u("B")  # stored datatype (the INDEX width rides the attr)
+            cvn = c.u("I")
+            c.u("B")  # ordered
+            data = c.raw(c.u("Q"))
+            if cvn != 0xFFFFFFFF:
+                continue  # fixed-width labels: not applied on read
+            offs = struct.unpack(f"<{c.u('Q') // 8}Q", c.raw(len(c.buf) - c.pos))
+            bounds = [int(o) for o in offs] + [len(data)]
+            out[name] = [
+                data[bounds[i] : bounds[i + 1]].decode("utf-8", "replace")
+                for i in range(len(offs))
+            ]
+        except (ValueError, struct.error, IndexError):
+            continue
+    return out
 
 
 def read_array_metadata(array_dir: str) -> dict:
@@ -1093,7 +1164,34 @@ def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
             elem=1,
         )
         vals = [v if validity[i] else None for i, v in enumerate(vals)]
-    return vals
+    return _apply_enumeration(schema, field, vals)
+
+
+def _apply_enumeration(schema: "NativeSchema", field, vals: list) -> list:
+    """Map an enumerated attribute's stored ordinals to its labels
+    (t/enum.test: `a0` reads back 'ee'/'ff'/…, never raw ints).  The
+    on-disk convention is the one the reference WRITES (ha_mytile stores
+    the MariaDB ENUM ordinal): 1-based, with 0 = the empty string —
+    pinned by the enum_array fixture, whose row 10 stores 1 and reads
+    back the FIRST label 'ee' in r/enum.result.  Only VAR string-label
+    enumerations are registered (see NativeSchema); an out-of-range
+    ordinal is corruption and fails loudly."""
+    labels = (
+        schema.enumerations.get(getattr(field, "enumeration", None) or "")
+        if schema.enumerations
+        else None
+    )
+    if not labels:
+        return vals
+    try:
+        return [
+            None if v is None else ("" if v == 0 else labels[v - 1])
+            for v in vals
+        ]
+    except (IndexError, TypeError) as exc:
+        raise ValueError(
+            f"enumeration ordinal out of range for {field.name}"
+        ) from exc
 
 
 def _dense_coords(schema: NativeSchema) -> list[tuple]:
@@ -1387,7 +1485,7 @@ def _read_field_span(
             rle_value_size=1, filters=schema.validity_filters, elem=1,
         )
         vals = [v if validity[i] else None for i, v in enumerate(vals)]
-    return vals
+    return _apply_enumeration(schema, field, vals)
 
 
 class _SortedCellView:
@@ -1969,7 +2067,13 @@ def native_to_dataframe(spark, array_dir: str):
     fields = [
         (d.name, _spark_type(d.dtype_id, d.cell_val_num)) for d in schema.dims
     ] + [
-        (a.name, _spark_type(a.dtype_id, a.cell_val_num)) for a in schema.attrs
+        (
+            a.name,
+            "string"  # enumerated attrs read as their labels (ENUM parity)
+            if a.enumeration in schema.enumerations
+            else _spark_type(a.dtype_id, a.cell_val_num),
+        )
+        for a in schema.attrs
     ]
     ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
     if all(not t.startswith("array<") for _n, t in fields):
@@ -2531,6 +2635,14 @@ def fragment_attr_stats(frag: str, schema: "NativeSchema"):
                 continue
             dtype_id, cvn, nullable = types[name]
             st = {}
+            enum_of = {
+                a.name: a.enumeration for a in schema.attrs
+            }.get(name)
+            if enum_of in schema.enumerations:
+                # stored stats describe the ORDINALS; reads serve labels —
+                # exposing ordinal min/max/sum would misdescribe the view
+                out[name] = st
+                continue
             if msz and xsz:
                 lo = _decode_stat_value(dtype_id, mn)
                 hi = _decode_stat_value(dtype_id, mx)

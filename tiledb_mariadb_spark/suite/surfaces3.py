@@ -2404,3 +2404,53 @@ SPECS.append(
         "(zero data tiles), cross-checked against a full native scan",
     )
 )
+
+
+# --- q303: TileDB enumerations as ENUM columns (t/enum.test, format v20) ----
+# The enum_array fixture's attrs store MariaDB ENUM ordinals and carry
+# v20 enumeration links; the native decoder resolves the labels from
+# __schema/__enumerations and the connector reads the columns AS their
+# labels with label predicates pushed down (mytile-discovery.cc:325-360,
+# r/enum.result golden).  Three of the golden's queries composed through
+# the distributed connector: the full scan, a label equality, and a
+# dim range stacked with a label equality.
+def q303_native_enum(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array  # noqa: PLC0415
+
+    uri = f"{_FIXROOT}/../enum_array"
+    full = read_array(spark, uri).select(
+        F.lit("full").alias("part"), "rows", "a0", "a1", "a2", "a3"
+    )
+    label_eq = read_array(
+        spark, uri, conditions=[("a1", "=", "bb")]
+    ).select(F.lit("a1_bb").alias("part"), "rows", "a0", "a1", "a2", "a3")
+    stacked = read_array(
+        spark, uri, dim_ranges={"rows": (21, None)},
+        conditions=[("a2", "=", "ll")],
+    ).select(F.lit("range_ll").alias("part"), "rows", "a0", "a1", "a2", "a3")
+    return full.unionByName(label_eq).unionByName(stacked).orderBy(
+        "part", "rows"
+    )
+
+
+Q303_SQL = """
+SELECT * FROM (VALUES
+  ('a1_bb',    20, 'ff', 'bb', 'jj', 2),
+  ('full',     10, 'ee', 'aa', 'ii', 1),
+  ('full',     20, 'ff', 'bb', 'jj', 2),
+  ('full',     30, 'gg', 'cc', 'kk', 3),
+  ('full',     40, 'hh', 'dd', 'll', 4),
+  ('range_ll', 40, 'hh', 'dd', 'll', 4)
+) AS v(part, rows, a0, a1, a2, a3) ORDER BY part, rows
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q303_native_enum",
+        q303_native_enum,
+        Q303_SQL,
+        "v20 enumerations read as label columns through the connector: "
+        "full scan, label-equality pushdown, dim range + label stacked "
+        "(r/enum.result golden)",
+    )
+)
