@@ -92,3 +92,43 @@ def test_fixed_label_enum_not_applied_and_stats_honest():
     st = attr_stats_native_array(_ENUM)
     assert st["a3"] == {"min": 1, "max": 4, "sum": 10}
     assert st["a0"] == {} and st["a1"] == {} and st["a2"] == {}
+
+
+_TABULA = "/root/reference/mysql-test/mytile/test_data/tabula-sapiens-immune-var"
+
+
+def test_oversized_enum_reverts_to_base_type():
+    """enum.test part 3: gene_symbol's 57k-label enumeration exceeds the
+    65536/attr_num DDL budget (mytile-discovery.cc oversize rule) — the
+    golden `describe var` shows int(11), i.e. raw stored ints on read."""
+    s = parse_array_schema(_schema_path(_TABULA))
+    assert s.version == 21  # v21 schema + two-file evolution history
+    assert "gene_symbol" not in s.enumerations  # reverted
+    assert list(s.enumerations) == ["feature_type"]  # 1 label, fits
+    _names, rows = read_native_array_range(_TABULA, [(0, 1)])
+    # golden row types: gene_symbol int, var_id/ensemblid text
+    assert rows[0][0] == 0 and rows[0][1] == "DDX11L1"
+    assert isinstance(rows[0][2], int)  # gene_symbol raw ordinal
+    # feature_type stores 0: MariaDB ENUM ordinal 0 renders '' — the
+    # semantics the reference's Field_enum::store applies on read
+    assert rows[0][3] == ""
+
+
+def test_oversize_rule_is_per_attribute_budget():
+    """The budget is 65536 / attribute_num — the same enumeration can be
+    usable in a 1-attr schema and oversized in a many-attr one."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _load_enumerations,
+    )
+    import os
+
+    base = os.path.join(_ENUM, "__schema")
+    paths = {"a1_enum": "__fd44a3e81157481e86b0aea5f2f24cad_0"}
+    sp = next(
+        os.path.join(base, f) for f in os.listdir(base)
+        if f != "__enumerations"
+    )
+    assert "a1_enum" in _load_enumerations(sp, paths, n_attrs=1)
+    # 4 labels * ~4 bytes ≈ 30-byte DDL; a 4000-attr budget (16 bytes)
+    # pushes it over
+    assert "a1_enum" not in _load_enumerations(sp, paths, n_attrs=4000)

@@ -447,11 +447,15 @@ def parse_array_schema(path: str) -> NativeSchema:
         allows_dups=allows_dups, enumeration_paths=enum_paths,
     )
     if enum_paths:
-        schema.enumerations = _load_enumerations(path, enum_paths)
+        schema.enumerations = _load_enumerations(
+            path, enum_paths, max(1, len(attrs))
+        )
     return schema
 
 
-def _load_enumerations(schema_path: str, enum_paths: dict) -> dict:
+def _load_enumerations(
+    schema_path: str, enum_paths: dict, n_attrs: int = 1
+) -> dict:
     """Resolve v20 enumeration files (__schema/__enumerations/<path>) to
     label lists — VAR (string-label) enumerations only, see
     NativeSchema.enumerations.  Layout per file (validated byte-exact on
@@ -480,10 +484,22 @@ def _load_enumerations(schema_path: str, enum_paths: dict) -> dict:
                 continue  # fixed-width labels: not applied on read
             offs = struct.unpack(f"<{c.u('Q') // 8}Q", c.raw(len(c.buf) - c.pos))
             bounds = [int(o) for o in offs] + [len(data)]
-            out[name] = [
+            labels = [
                 data[bounds[i] : bounds[i + 1]].decode("utf-8", "replace")
                 for i in range(len(offs))
             ]
+            # the reference's OVERSIZE rule (mytile-discovery.cc:364):
+            # when the rendered ENUM('l1', 'l2', …) DDL exceeds MariaDB's
+            # 65536-byte row-format budget split across the attributes,
+            # the column reverts to its base type — gene_symbol (57k
+            # labels) reads back its raw stored ints in r/enum.result.
+            # Empty enumerations revert too (empty_enum branch).
+            ddl_len = 6 + sum(len(lb.encode()) + 2 for lb in labels) + 2 * max(
+                0, len(labels) - 1
+            )
+            if not labels or ddl_len > 65536 // n_attrs:
+                continue
+            out[name] = labels
         except (ValueError, struct.error, IndexError):
             continue
     return out
