@@ -179,3 +179,90 @@ def test_empty_array_stats(tmp_path):
         attrs=[NativeAttr("v", 1, 1, False, None)],
     )
     assert attr_stats_native_array(d) == {}
+
+
+_TABULA = (
+    "/root/reference/mysql-test/mytile/test_data/tabula-sapiens-immune-var"
+)
+
+
+def test_fragment_refutes_conditions_soundness():
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _fragment_dirs,
+        fragment_refutes_conditions,
+    )
+
+    schema = parse_array_schema(_schema_path(_TABULA))
+    frag = _fragment_dirs(_TABULA)[0]
+    # gene_symbol spans [0, 57315] (v21 stats)
+    refute = fragment_refutes_conditions
+    assert refute(frag, schema, [("gene_symbol", ">", 57315)])
+    assert refute(frag, schema, [("gene_symbol", "=", 60000)])
+    assert refute(frag, schema, [("gene_symbol", "<", 0)])
+    assert refute(frag, schema, [("gene_symbol", "<=", -1)])
+    assert refute(frag, schema, [("gene_symbol", ">=", 57316)])
+    # satisfiable bounds must NOT prune
+    assert not refute(frag, schema, [("gene_symbol", "=", 0)])
+    assert not refute(frag, schema, [("gene_symbol", ">", 57314)])
+    assert not refute(frag, schema, [("gene_symbol", "!=", 5)])
+    # var strings carry no stats: never a proof
+    assert not refute(frag, schema, [("var_id", "=", "zzz")])
+    # one refuted conjunct is enough (AND semantics)
+    assert refute(
+        frag, schema,
+        [("var_id", "=", "DDX11L1"), ("gene_symbol", ">", 99999)],
+    )
+
+
+def test_refuting_condition_decodes_zero_chunks(monkeypatch):
+    """The range reader with a refuting prune condition must not touch a
+    single data chunk of the fragment."""
+    import tiledb_mariadb_spark.sources.tiledb_native as tn
+
+    calls = {"n": 0}
+    orig_f, orig_s = tn._read_field, tn._read_field_span
+
+    def count_f(*a, **k):
+        calls["n"] += 1
+        return orig_f(*a, **k)
+
+    def count_s(*a, **k):
+        calls["n"] += 1
+        return orig_s(*a, **k)
+
+    monkeypatch.setattr(tn, "_read_field", count_f)
+    monkeypatch.setattr(tn, "_read_field_span", count_s)
+    names, rows = tn.read_native_array_range(
+        _TABULA, [(None, None)],
+        prune_conditions=[("gene_symbol", ">", 99999)],
+    )
+    assert rows == []
+    assert calls["n"] == 0  # only metadata tiles were touched
+
+
+def test_non_refuting_condition_reads_normally():
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+
+    names, rows = read_native_array_range(
+        _TABULA, [(0, 3)], prune_conditions=[("gene_symbol", ">=", 0)]
+    )
+    assert len(rows) == 4  # pruning is a skip proof, never a filter
+
+
+def test_connector_prunes_via_conditions(spark):
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array
+
+    df = read_array(
+        spark, _TABULA, columns=["soma_joinid", "gene_symbol"],
+        conditions=[("gene_symbol", ">", 99999)],
+    )
+    assert df.count() == 0
+    hit = read_array(
+        spark, _TABULA, columns=["soma_joinid", "gene_symbol"],
+        dim_ranges={"soma_joinid": (0, 10)},
+        conditions=[("gene_symbol", "<=", 30000)],
+    )
+    got = {r["soma_joinid"] for r in hit.collect()}
+    assert 0 in got  # DDX11L1 -> 24811 <= 30000

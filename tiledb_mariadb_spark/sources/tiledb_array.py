@@ -306,7 +306,11 @@ class NativeDecoderBackend(ArrayBackend):
         # (read_byte_span), so per-task work is O(split) not O(fragment)
         need = set(columns) | {c[0] for c in conditions or []}
         names, rows = read_native_array_range(
-            uri, ranges=list(ranges), columns=list(need), at=at
+            uri, ranges=list(ranges), columns=list(need), at=at,
+            # conditions double as fragment-skip PROOFS: a v11+ fragment
+            # whose min/max stats refute a conjunct decodes zero chunks
+            # (the filter below still applies to whatever was read)
+            prune_conditions=list(conditions) if conditions else None,
         )
         pdf = pd.DataFrame(rows, columns=names)
         out = _apply_conditions(pdf, conditions)

@@ -1588,6 +1588,7 @@ def read_native_array_range(
     ranges: list[tuple] | None = None,
     columns: list[str] | None = None,
     at: int | None = None,
+    prune_conditions: list | None = None,
 ) -> tuple[list[str], list[tuple]]:
     """Range + projection read of a bare native array: returns
     (column_names, rows) for cells whose coordinates fall inside the
@@ -1600,7 +1601,14 @@ def read_native_array_range(
     - dense (row-major layout): the first-dim range maps straight to a
       cell span — no scan of anything outside it;
 
-    Newest-fragment-wins merge applies within the range."""
+    Newest-fragment-wins merge applies within the range.
+
+    ``prune_conditions`` is an AND-list of (col, op, value) the CALLER
+    will apply after the read (the connector's QueryCondition pushdown);
+    here it is used ONLY as a skip proof: a SPARSE v11+ fragment whose
+    metadata stats refute one conjunct decodes zero chunks (deletes only
+    remove rows, so the negative proof survives them; dense fragments
+    are never pruned this way — their fill cells aren't in the stats)."""
     schema = parse_array_schema(_schema_path(array_dir))
     dim_names = [d.name for d in schema.dims]
     want = [
@@ -1693,6 +1701,12 @@ def read_native_array_range(
     dense_boxes: list[list] = []  # written subarrays (dense fill read)
     for frag in frag_list:
         wts = _frag_range(os.path.basename(frag))[1]
+        if (
+            prune_conditions
+            and schema.array_type == "SPARSE"
+            and fragment_refutes_conditions(frag, schema, prune_conditions)
+        ):
+            continue  # stats-proven: no cell here can pass the filter
         if not fragment_overlaps(frag, schema, rngs):
             if schema.array_type == "DENSE":
                 # still shapes the bounding box (its gap cells inside
@@ -2797,3 +2811,45 @@ def attr_stats_native_array(
             st["null_count"] = sum(s["null_count"] for s in stats)
         merged[name] = st
     return merged
+
+
+def fragment_refutes_conditions(
+    frag: str, schema: "NativeSchema", conditions: list
+) -> bool:
+    """True only when one AND-conjunct ``(col, op, value)`` is PROVABLY
+    false for every cell of the fragment, from its v11+ min/max stats —
+    the attribute-level fragment pruning libtiledb performs before tile
+    IO.  Sound under SQL 3VL: a NULL cell fails every conjunct anyway,
+    so null_count never blocks the proof; '!=' is refuted only when the
+    whole fragment is the single constant value.  Missing stats (pre-v11
+    eras, enumerated/var fields, uncomputed types) prove nothing."""
+    stats = fragment_attr_stats(frag, schema)
+    if not stats:
+        return False
+    for col, op, val in conditions:
+        st = stats.get(col) or {}
+        if "min" not in st:
+            continue
+        lo, hi = st["min"], st["max"]
+        try:
+            if (
+                (op == "=" and (val < lo or val > hi))
+                or (op == ">" and hi <= val)
+                or (op == ">=" and hi < val)
+                or (op == "<" and lo >= val)
+                or (op == "<=" and lo > val)
+                or (op in ("!=", "<>") and lo == hi == val
+                    and st.get("null_count", 0) == 0
+                    and not getattr(
+                        next(
+                            (a for a in schema.attrs if a.name == col),
+                            None,
+                        ),
+                        "nullable",
+                        False,
+                    ))
+            ):
+                return True
+        except TypeError:
+            continue  # incomparable types: no proof
+    return False
