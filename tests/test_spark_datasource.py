@@ -277,3 +277,33 @@ def test_all_null_split_keeps_schema(spark, tmp_path):
     )
     rows = sorted((r.k, r.n) for r in out.collect())
     assert rows == [(1, None), (2, None), (500, 7), (501, 8)]
+
+
+def test_format_scan_enum_labels_and_stats_pruning(spark):
+    """format("tiledb_native") over the reference's v21 tabula fixture:
+    enumerated columns surface per the ENUM rules (oversized gene_symbol
+    reverts to int), and a Catalyst attr filter the fragment stats
+    refute prunes ALL data IO through the pushFilters -> conditions ->
+    fragment_refutes_conditions chain."""
+    register_tiledb_native(spark)
+    tab = (
+        "/root/reference/mysql-test/mytile/test_data/"
+        "tabula-sapiens-immune-var"
+    )
+    df = spark.read.format("tiledb_native").option("path", tab).load()
+    types = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
+    assert types["gene_symbol"] == "int"  # oversize rule: base type
+    assert types["feature_type"] == "string"  # 1-label enum: labels
+    # stats-refuted filter: gene_symbol spans [0, 57315]
+    assert df.filter(F.col("gene_symbol") > 99999).count() == 0
+    hit = (
+        df.filter(
+            (F.col("soma_joinid") <= 4) & (F.col("gene_symbol") <= 30000)
+        )
+        .select("soma_joinid", "var_id", "gene_symbol")
+        .orderBy("soma_joinid")
+        .collect()
+    )
+    assert [tuple(r) for r in hit][0] == (0, "DDX11L1", 24811)

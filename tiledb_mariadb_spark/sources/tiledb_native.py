@@ -2826,7 +2826,19 @@ def fragment_refutes_conditions(
     stats = fragment_attr_stats(frag, schema)
     if not stats:
         return False
-    for col, op, val in conditions:
+    for cond in conditions:
+        if len(cond) == 2:  # (col, "is_null"/"is_not_null") — connector 3VL
+            col, op = cond
+            if op == "is_null":
+                attr = next(
+                    (a for a in schema.attrs if a.name == col), None
+                )
+                if attr is not None and not attr.nullable:
+                    return True  # a non-nullable attr has no NULL cell
+                if (stats.get(col) or {}).get("null_count") == 0:
+                    return True
+            continue
+        col, op, val = cond
         st = stats.get(col) or {}
         if "min" not in st:
             continue
