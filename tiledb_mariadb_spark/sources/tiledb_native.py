@@ -10,9 +10,8 @@ Format subset implemented (public TileDB format spec, v1.6 era):
   ``[orig_len u32][filtered_len u32][metadata_len u32][metadata]
   [filtered bytes]``; chunk payloads may be raw, zlib (attribute GZIP
   filter) or zstd (the 1.6 default coordinate filter);
-- **minimal zstd frame decoder** — magic + frame header + RAW / RLE
-  blocks only (the only block types tiny fixture tiles produce; a
-  compressed block raises, it never silently misreads);
+- **zstd frames** — RAW/RLE blocks decode inline; compressed blocks
+  route through the from-scratch RFC 8878 decoder in ``zstd_py``;
 - **dense fragments** — the attribute tile holds cells in row-major
   global order over the declared domain;
 - **sparse fragments** — ``__coords.tdb`` holds per-dimension
@@ -20,11 +19,13 @@ Format subset implemented (public TileDB format spec, v1.6 era):
 
 The top section (read_dense_array / read_sparse_array*) is the original
 caller-supplied-schema tier.  The round-3 extension below it parses the
-ON-DISK binary schema blob itself (``parse_array_schema`` /
-``open_native_array`` — storage versions 3..19), so a bare array
-directory opens with no caller schema at all, and handles generic tiles,
-array metadata, validity, var-length offsets pipelines (DD+BWR+ZSTD) and
-multi-fragment newest-wins merge.  Write support lives in the sibling
+ON-DISK binary schema blob itself (``parse_array_schema`` —
+storage versions 3..21, including v20+ enumeration links), so a bare
+array directory opens with no caller schema at all, and handles generic
+tiles, array metadata, validity, var-length offsets pipelines
+(DD+BWR+ZSTD), multi-fragment newest-wins merge, v11+ fragment
+attribute stats (metadata-only MIN/MAX/SUM/NULL_COUNT + refutation
+pruning) and enumeration label mapping.  Write support lives in the sibling
 module ``tiledb_native_write`` (round 4): it emits fragments + schema
 blobs this decoder reads back byte-exact.
 """
@@ -363,9 +364,10 @@ def _skip_pipeline(c: "_Cursor") -> list:
 def parse_array_schema(path: str) -> NativeSchema:
     """Deserialize an on-disk array-schema blob (__array_schema.tdb or a
     __schema/ entry) — storage format versions 3..19 as committed by the
-    reference's fixtures (1.6 → 2.x eras).  Trailing era-specific
-    sections after the attributes (dimension labels, enumerations — all
-    empty in the fixtures) are ignored."""
+    reference's fixtures (1.6 → 2.x eras, versions 3..21).  v20+
+    attrs carry enumeration links and the trailing enumeration path map
+    is resolved to label lists (t/enum.test); dimension labels (v18+)
+    are skipped — no committed fixture carries one."""
     c = _Cursor(read_generic_tile(path))
     ver = c.u("I")
     allows_dups = False
