@@ -104,6 +104,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q301_native_deletes",  # delete-commit lifecycle write + scan
         "q303_native_enum",  # enumeration connector scans: same
         # declared native-io mapInPandas boundary
+        "q304_native_bio_scan",  # v21 connector scans: same boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

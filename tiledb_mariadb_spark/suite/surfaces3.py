@@ -2454,3 +2454,98 @@ SPECS.append(
         "(r/enum.result golden)",
     )
 )
+
+
+# --- q304: 58k-row v21 bioinformatics array through the connector -----------
+# The tabula-sapiens-immune-var fixture (enum.test part 3): v21 schema
+# with a two-file evolution history, an OVERSIZED enumeration that
+# reverts gene_symbol to its base int type, a usable one on
+# feature_type, and v11+ fragment stats.  Three mutually-verifying
+# halves: metadata-only COUNT/MIN/MAX/SUM (zero data tiles), the same
+# aggregates computed by a full Spark scan through the connector
+# (independent code path over the same bytes), and a tail range read
+# with dim pushdown returning the actual gene rows.
+def q304_native_bio_scan(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        attr_stats_native_array,
+        count_native_array,
+    )
+
+    uri = f"{_FIXROOT}/../tabula-sapiens-immune-var"
+    st = attr_stats_native_array(uri)
+    n = count_native_array(uri)
+    if st is None or n is None:
+        raise AssertionError("v21 metadata stats not provable")
+    meta = spark.createDataFrame(
+        [
+            ("meta", "count", int(n)),
+            ("meta", "gs_min", int(st["gene_symbol"]["min"])),
+            ("meta", "gs_max", int(st["gene_symbol"]["max"])),
+            ("meta", "gs_sum", int(st["gene_symbol"]["sum"])),
+            ("meta", "joinid_sum", int(st["soma_joinid"]["sum"])),
+        ],
+        "part string, k string, v long",
+    )
+    df = read_array(spark, uri, columns=["soma_joinid", "gene_symbol"])
+    aggs = df.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min("gene_symbol").alias("gs_min"),
+        F.max("gene_symbol").alias("gs_max"),
+        F.sum("gene_symbol").alias("gs_sum"),
+        F.sum("soma_joinid").alias("joinid_sum"),
+    )
+    scan = aggs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("k"),
+                        F.col(c).cast("long").alias("v"),
+                    )
+                    for c in aggs.columns
+                ]
+            )
+        ).alias("s")
+    ).select(F.lit("scan").alias("part"), "s.k", "s.v")
+    tail = read_array(
+        spark, uri, columns=["soma_joinid", "var_id", "gene_symbol"],
+        dim_ranges={"soma_joinid": (58865, None)},
+    ).select(
+        F.lit("tail").alias("part"),
+        F.col("var_id").alias("k"),
+        F.col("gene_symbol").cast("long").alias("v"),
+    )
+    return meta.unionByName(scan).unionByName(tail).orderBy("part", "k")
+
+
+Q304_SQL = """
+SELECT * FROM (VALUES
+  ('meta', 'count',      58870),
+  ('meta', 'gs_min',     0),
+  ('meta', 'gs_max',     57315),
+  ('meta', 'gs_sum',     1709966780),
+  ('meta', 'joinid_sum', 1732809015),
+  ('scan', 'count',      58870),
+  ('scan', 'gs_min',     0),
+  ('scan', 'gs_max',     57315),
+  ('scan', 'gs_sum',     1709966780),
+  ('scan', 'joinid_sum', 1732809015),
+  ('tail', 'MT-CYB',     37845),
+  ('tail', 'MT-ND6',     37852),
+  ('tail', 'MT-TE',      37858),
+  ('tail', 'MT-TP',      37868),
+  ('tail', 'MT-TT',      37873)
+) AS v(part, k, v) ORDER BY part, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q304_native_bio_scan",
+        q304_native_bio_scan,
+        Q304_SQL,
+        "v21 58k-row array: metadata-only aggregates vs a full connector "
+        "scan (independent paths over the same bytes) plus a pushed tail "
+        "range; oversize-enum typing in effect",
+    )
+)
