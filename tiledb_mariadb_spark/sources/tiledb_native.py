@@ -485,23 +485,24 @@ def _load_enumerations(
             if cvn != 0xFFFFFFFF:
                 continue  # fixed-width labels: not applied on read
             offs = struct.unpack(f"<{c.u('Q') // 8}Q", c.raw(len(c.buf) - c.pos))
-            bounds = [int(o) for o in offs] + [len(data)]
-            labels = [
-                data[bounds[i] : bounds[i + 1]].decode("utf-8", "replace")
-                for i in range(len(offs))
-            ]
             # the reference's OVERSIZE rule (mytile-discovery.cc:364):
             # when the rendered ENUM('l1', 'l2', …) DDL exceeds MariaDB's
             # 65536-byte row-format budget split across the attributes,
             # the column reverts to its base type — gene_symbol (57k
             # labels) reads back its raw stored ints in r/enum.result.
-            # Empty enumerations revert too (empty_enum branch).
-            ddl_len = 6 + sum(len(lb.encode()) + 2 for lb in labels) + 2 * max(
-                0, len(labels) - 1
+            # Empty enumerations revert too (empty_enum branch).  Sized
+            # from the raw byte/offset counts BEFORE materializing any
+            # label string (a 57k-label reject costs no decode).
+            ddl_len = 6 + len(data) + 2 * len(offs) + 2 * max(
+                0, len(offs) - 1
             )
-            if not labels or ddl_len > 65536 // n_attrs:
+            if not offs or ddl_len > 65536 // n_attrs:
                 continue
-            out[name] = labels
+            bounds = [int(o) for o in offs] + [len(data)]
+            out[name] = [
+                data[bounds[i] : bounds[i + 1]].decode("utf-8", "replace")
+                for i in range(len(offs))
+            ]
         except (ValueError, struct.error, IndexError):
             continue
     return out
