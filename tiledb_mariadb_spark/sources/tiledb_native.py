@@ -2845,26 +2845,31 @@ def fragment_refutes_conditions(
         st = stats.get(col) or {}
         if "min" not in st:
             continue
-        lo, hi = st["min"], st["max"]
+        may_have_nulls = st.get("null_count", 0) != 0 or getattr(
+            next((a for a in schema.attrs if a.name == col), None),
+            "nullable",
+            False,
+        )
         try:
-            if (
-                (op == "=" and (val < lo or val > hi))
-                or (op == ">" and hi <= val)
-                or (op == ">=" and hi < val)
-                or (op == "<" and lo >= val)
-                or (op == "<=" and lo > val)
-                or (op in ("!=", "<>") and lo == hi == val
-                    and st.get("null_count", 0) == 0
-                    and not getattr(
-                        next(
-                            (a for a in schema.attrs if a.name == col),
-                            None,
-                        ),
-                        "nullable",
-                        False,
-                    ))
-            ):
+            if _stats_refute(op, val, st["min"], st["max"], may_have_nulls):
                 return True
         except TypeError:
             continue  # incomparable types: no proof
     return False
+
+
+def _stats_refute(op, val, lo, hi, may_have_nulls: bool) -> bool:
+    """Pure refutation core: True iff NO value v with lo <= v <= hi can
+    satisfy ``v <op> val`` under the caller's filter semantics.  The one
+    nullability wrinkle: pandas keeps NaN rows through a ``!=`` filter
+    (unlike SQL 3VL), so '!=' is refutable only when the fragment
+    provably holds no NULLs.  Property-fuzzed against brute force in
+    tests/test_property_refute.py."""
+    return (
+        (op == "=" and (val < lo or val > hi))
+        or (op == ">" and hi <= val)
+        or (op == ">=" and hi < val)
+        or (op == "<" and lo >= val)
+        or (op == "<=" and lo > val)
+        or (op in ("!=", "<>") and lo == hi == val and not may_have_nulls)
+    )
