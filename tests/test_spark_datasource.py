@@ -307,3 +307,41 @@ def test_format_scan_enum_labels_and_stats_pruning(spark):
         .collect()
     )
     assert [tuple(r) for r in hit][0] == (0, "DDX11L1", 24811)
+
+
+def test_multivalue_cells_read_as_arrays(spark, tmp_path):
+    """Fixed multi-value cells (cell_val_num=4 float32) surface as
+    array<float> through BOTH the connector and the format path — the
+    vector-store layout (embeddings as native cells)."""
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        create_native_array,
+        write_native_fragment,
+    )
+
+    d = str(tmp_path / "vec")
+    create_native_array(
+        d,
+        dims=[NativeDim("id", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("emb", 2, 4, False, None),
+               NativeAttr("lab", 0, 1, False, None)],
+    )
+    write_native_fragment(
+        d,
+        {"id": [1, 2], "emb": [[0.5, 0.25, -1.0, 2.0], [1.0, 0.0, 0.0, 3.5]],
+         "lab": [7, 8]},
+        ts=100,
+    )
+    df = read_array(spark, d)
+    assert dict(df.dtypes)["emb"] == "array<float>"
+    got = {r["id"]: list(r["emb"]) for r in df.collect()}
+    assert got == {1: [0.5, 0.25, -1.0, 2.0], 2: [1.0, 0.0, 0.0, 3.5]}
+    register_tiledb_native(spark)
+    fmt = spark.read.format("tiledb_native").option("path", d).load()
+    assert dict(fmt.dtypes)["emb"] == "array<float>"
+    sel = fmt.filter(F.col("lab") == 8).collect()
+    assert len(sel) == 1 and list(sel[0]["emb"]) == [1.0, 0.0, 0.0, 3.5]

@@ -241,9 +241,17 @@ class TileDBNativeReader(DataSourceReader):
         # all-None must not drift to the null type (schema mismatch
         # across partitions)
         ddl = {f.name: f.dtype for f in self._info.dims + self._info.attrs}
+
+        def _pa_type(d: str):
+            if d.startswith("array<") and d.endswith(">"):
+                inner = d[6:-1]
+                return pa.list_(
+                    getattr(pa, self._PA_TYPES.get(inner, "string"))()
+                )
+            return getattr(pa, self._PA_TYPES.get(d, "string"))()
+
         fields = [
-            pa.field(c, getattr(pa, self._PA_TYPES.get(ddl.get(c, "string"),
-                                                       "string"))())
+            pa.field(c, _pa_type(ddl.get(c, "string")))
             for c in self.columns
         ]
         yield pa.RecordBatch.from_pandas(

@@ -275,20 +275,26 @@ class NativeDecoderBackend(ArrayBackend):
                     domain=dom,
                 )
             )
+        def _attr_ddl(a):
+            # an enumerated attr READS as its labels (ENUM column parity,
+            # t/enum.test) — its Spark type is string, and label
+            # predicates push down unchanged since the decoder already
+            # serves labels
+            if getattr(a, "enumeration", None) in s.enumerations:
+                return "string"
+            base = _SPARK_TYPE.get(a.dtype_id, "bigint")
+            # fixed multi-value cells (cell_val_num k, 1 < k < VAR) read
+            # as arrays — except fixed-width char cells, which decode to
+            # one string (schema.py multi-value parity)
+            if (
+                a.cell_val_num not in (1, 0xFFFFFFFF)
+                and a.dtype_id not in (4, 11, 12)
+            ):
+                return f"array<{base}>"
+            return base
+
         attrs = [
-            AttrInfo(
-                name=a.name,
-                # an enumerated attr READS as its labels (ENUM column
-                # parity, t/enum.test) — its Spark type is string, and
-                # label predicates push down unchanged since the decoder
-                # already serves labels
-                dtype=(
-                    "string"
-                    if getattr(a, "enumeration", None) in s.enumerations
-                    else _SPARK_TYPE.get(a.dtype_id, "bigint")
-                ),
-                nullable=a.nullable,
-            )
+            AttrInfo(name=a.name, dtype=_attr_ddl(a), nullable=a.nullable)
             for a in s.attrs
         ]
         _ = _DT  # imported for typing parity; silence linters

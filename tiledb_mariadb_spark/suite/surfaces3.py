@@ -2549,3 +2549,121 @@ SPECS.append(
         "range; oversize-enum typing in effect",
     )
 )
+
+
+# --- q305: vector store on the native format (ANN over TileDB cells) --------
+# Embeddings persisted AS fixed multi-value float32 cells (cell_val_num
+# = 64) in a native array — the TileDB layout for vector data — written
+# fragment-per-partition with ZERO writer coordination, read back
+# through the connector as array<float>, and searched with the exact
+# int-scaled brute cosine (q68's operator).  The oracle computes the
+# same top-k straight from the parquet source: every stored float32
+# must survive the native round trip bit-exact for the hash to match.
+def q305_native_vector_store(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.functions import similarity as S  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        count_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q305_native_vectors_") + "/vec"
+    create_native_array(
+        uri,
+        dims=[NativeDim("vec_id", 1, 1, (0, 10_000_000), None)],
+        attrs=[
+            NativeAttr("emb", 2, 64, False, None),  # float32 x 64 cells
+            NativeAttr("label", 0, 1, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+
+    def write_part(batches):
+        import pandas as pd  # noqa: PLC0415
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            write_native_fragment(
+                uri,
+                {
+                    "vec_id": pdf["vec_id"].tolist(),
+                    "emb": [list(map(float, v)) for v in pdf["embedding"]],
+                    "label": pdf["label"].tolist(),
+                },
+                ts=1000 + TaskContext.get().partitionId(),
+            )
+        yield pd.DataFrame({"n": [len(parts)]})
+
+    # RANGE partitioning: each fragment's footer NED is a disjoint
+    # vec_id slab, so the metadata COUNT stays provable across the four
+    # uncoordinated writers (hash partitioning would overlap the NEDs
+    # and count_native_array would honestly refuse)
+    src.repartitionByRange(4, "vec_id").mapInPandas(
+        write_part, schema="n int"
+    ).collect()
+
+    stored = read_array(spark, uri)  # array<float> via cell_val_num=64
+    n = count_native_array(uri)
+    query = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    topk = S.cosine_topk(
+        stored.filter(F.col("vec_id") != 0), query, "vec_id", "emb", k=10
+    ).select(
+        F.lit("topk").alias("part"),
+        F.col("vec_id").cast("long").alias("k"),
+        F.col("cos").cast("double").alias("v"),
+    )
+    meta = spark.createDataFrame(
+        [("stored", int(n or -1), 0.0)], "part string, k long, v double"
+    )
+    return meta.unionByName(topk).orderBy("part", "k")
+
+
+Q305_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ranked AS (
+  SELECT vec_id, {{cos}} AS cos
+  FROM embeddings, q
+  WHERE vec_id != 0 AND vec_id < 400
+  ORDER BY cos DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT * FROM (
+  SELECT 'stored' AS part, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(0 AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 400
+  UNION ALL
+  SELECT 'topk', CAST(vec_id AS BIGINT),
+         CAST(cos AS DOUBLE) FROM ranked
+) ORDER BY part, k
+"""
+
+
+def _q305_sql():
+    from tiledb_mariadb_spark.functions import similarity as S  # noqa: PLC0415
+
+    return Q305_SQL.format(cos=S.cosine_sql("embedding", "qv"))
+
+
+SPECS.append(
+    QuerySpec(
+        "q305_native_vector_store",
+        q305_native_vector_store,
+        _q305_sql(),
+        "embeddings as float32x64 native cells: uncoordinated "
+        "fragment-per-partition write, connector array<float> read, "
+        "exact-int brute cosine top-k vs the parquet-source oracle",
+    )
+)
