@@ -2667,3 +2667,89 @@ SPECS.append(
         "exact-int brute cosine top-k vs the parquet-source oracle",
     )
 )
+
+
+# --- q306: 4.1M-cell SOMA expression matrix from metadata + one column ------
+# test_data/data is the X matrix of the reference's mrr_triple_join.test
+# (a SOMASparseNDArray, soma_encoding_version=1 in its __meta channel) —
+# committed TRUNCATED: the footer records 7.7 MB of soma_data and
+# 5.2 MB of soma_dim_1 tiles that are not in the repo (LFS-stripped);
+# only the 130 KB double-delta+zstd soma_dim_0 file exists.  Everything
+# provable without the missing bytes, proven: the fmmsn stats of all
+# three fields, the footer COUNT, and a full 4,115,806-coordinate
+# decode of the committed column whose Spark-side SUM/MAX must equal
+# the engine-written metadata exactly — two independent producers of
+# the same number at 4.1M scale.  The missing files fail LOUDLY.
+def q306_soma_matrix(spark, sf_dir):
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _fragment_dirs,
+        _read_field,
+        _schema_path,
+        attr_stats_native_array,
+        count_native_array,
+        parse_array_schema,
+        read_native_array,
+    )
+
+    uri = f"{_FIXROOT}/../data"
+    st = attr_stats_native_array(uri)
+    n = count_native_array(uri)
+    meta = [
+        ("meta", "count", int(n)),
+        ("meta", "dim0_sum", int(st["soma_dim_0"]["sum"])),
+        ("meta", "dim1_sum", int(st["soma_dim_1"]["sum"])),
+        ("meta", "x_min", int(st["soma_data"]["min"])),
+        ("meta", "x_max", int(st["soma_data"]["max"])),
+        ("meta", "x_sum", int(st["soma_data"]["sum"])),
+    ]
+    schema = parse_array_schema(_schema_path(uri))
+    frag = _fragment_dirs(uri)[0]
+    coords = _read_field(frag, schema, schema.dims[0], 0, "d")
+    col = spark.createDataFrame(
+        __import__("pandas").DataFrame({"c": coords})
+    )
+    agg = col.agg(
+        F.count(F.lit(1)).alias("decode_count"),
+        F.sum("c").alias("decode_dim0_sum"),
+        F.max("c").alias("decode_dim0_max"),
+    ).collect()[0]
+    meta += [
+        ("decode", "count", int(agg["decode_count"])),
+        ("decode", "dim0_sum", int(agg["decode_dim0_sum"])),
+        ("decode", "dim0_max", int(agg["decode_dim0_max"])),
+    ]
+    try:
+        read_native_array(uri)
+        meta.append(("honesty", "missing_files_raise", 0))
+    except FileNotFoundError:
+        meta.append(("honesty", "missing_files_raise", 1))
+    return spark.createDataFrame(
+        sorted(meta), "part string, k string, v long"
+    )
+
+
+Q306_SQL = """
+SELECT * FROM (VALUES
+  ('decode', 'count',               4115806),
+  ('decode', 'dim0_max',            3483),
+  ('decode', 'dim0_sum',            7172992705),
+  ('honesty', 'missing_files_raise', 1),
+  ('meta', 'count',                 4115806),
+  ('meta', 'dim0_sum',              7172992705),
+  ('meta', 'dim1_sum',              34845693130),
+  ('meta', 'x_min',                 1),
+  ('meta', 'x_max',                 9107),
+  ('meta', 'x_sum',                 9828121)
+) AS v(part, k, v) ORDER BY part, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q306_soma_matrix",
+        q306_soma_matrix,
+        Q306_SQL,
+        "4.1M-cell SOMA X matrix: metadata stats + footer COUNT + a full "
+        "decode of the one committed coordinate column agreeing with the "
+        "engine-written sums; missing LFS-stripped files fail loudly",
+    )
+)
