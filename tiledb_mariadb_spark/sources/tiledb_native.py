@@ -2681,7 +2681,14 @@ def fragment_attr_stats(frag: str, schema: "NativeSchema"):
                 hi = _decode_stat_value(dtype_id, mx)
                 if lo is not None and hi is not None:
                     st["min"], st["max"] = lo, hi
-            if dtype_id in _SUMMABLE_DT and cvn == 1:
+            if dtype_id in _SUMMABLE_DT and cvn == 1 and (
+                # the 8-byte sum carries no presence flag: for NULLABLE
+                # attrs a writer that saw NULLs withholds stats, and the
+                # zeros would read as "sum = 0" — expose the sum only
+                # when the fragment provably has no NULLs and min/max
+                # were computed alongside it
+                not nullable or (nc == 0 and "min" in st)
+            ):
                 s = _decode_sum(dtype_id, sm)
                 if s is not None:
                     st["sum"] = s

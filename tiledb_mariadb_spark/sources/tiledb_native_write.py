@@ -325,6 +325,7 @@ def _next_fragment_dir(
     array_dir: str,
     ts: Optional[int],
     ts_range: Optional[tuple[int, int]] = None,
+    version: int = 5,
 ) -> str:
     """Allocate a fragment directory name strictly newer (ts-wise) than
     every committed fragment when `ts` is None, so appends always win the
@@ -333,7 +334,7 @@ def _next_fragment_dir(
     CONSOLIDATED fragment spanning [t1, t2] — the range the reader's
     coverage rule keys on."""
     if ts_range is not None:
-        name = f"__{ts_range[0]}_{ts_range[1]}_{uuid.uuid4().hex}_5"
+        name = f"__{ts_range[0]}_{ts_range[1]}_{uuid.uuid4().hex}_{version}"
     else:
         if ts is None:
             import time  # noqa: PLC0415
@@ -343,7 +344,7 @@ def _next_fragment_dir(
                 for f in _fragment_dirs(array_dir)
             ]
             ts = max([int(time.time() * 1000)] + [e + 1 for e in existing])
-        name = f"__{ts}_{ts}_{uuid.uuid4().hex}_5"
+        name = f"__{ts}_{ts}_{uuid.uuid4().hex}_{version}"
     path = os.path.join(_frag_root(array_dir), name)
     os.makedirs(path)
     return path
@@ -366,7 +367,8 @@ def _write_field_files(
     field,
     vals: Sequence,
     slices: Optional[Sequence[tuple[int, int]]] = None,
-) -> None:
+    base: Optional[str] = None,
+) -> dict:
     """One field -> its data file(s): `<name>.tdb` (+ `_var`, `_validity`),
     each chunk-encoded through the schema-declared pipeline for that tile
     kind (data = field.filters, offsets = schema.offsets_filters,
@@ -378,21 +380,27 @@ def _write_field_files(
     concatenated in the file — the multi-tile layout real TileDB writes
     (the bank fixture: 5 tiles per field) and the decoder's
     _walk_tile_file already reads.  Var-cell offsets stay GLOBAL across
-    tiles (the 2.0-era convention the whole-file decode path assumes)."""
-    base = os.path.join(frag, f"{field.name}.tdb")
+    tiles (the 2.0-era convention the whole-file decode path assumes).
+
+    ``base`` overrides the file name (v10+ fragments use POSITIONAL
+    names d<i>.tdb / a<i>.tdb).  Returns per-tile encoded byte sizes —
+    {"data": [...], "var": [...], "var_sizes": [...], "validity": [...]}
+    — the numbers the v11+ metadata sections record."""
+    base = base or os.path.join(frag, f"{field.name}.tdb")
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _nm, _code, elem = _DT[dtype_id]
     nullable = getattr(field, "nullable", False)
     slices = list(slices) if slices else [(0, len(vals))]
+    info: dict = {"data": [], "var": [], "var_sizes": [], "validity": []}
     if nullable:
         validity = bytes(0 if v is None else 1 for v in vals)
         with open(base[:-4] + "_validity.tdb", "wb") as f:
             for s, e in slices:
-                f.write(
-                    _encode_chunked(
-                        validity[s:e], schema.validity_filters, elem=1
-                    )
+                enc = _encode_chunked(
+                    validity[s:e], schema.validity_filters, elem=1
                 )
+                info["validity"].append(len(enc))
+                f.write(enc)
     if cvn == _VAR:
         blobs = [
             b"" if v is None else _to_bytes_cell(v, dtype_id)
@@ -407,30 +415,31 @@ def _write_field_files(
         with open(base, "wb") as f:
             for s, e in slices:
                 part = offs[s:e]
-                f.write(
-                    _encode_chunked(
-                        struct.pack(f"<{len(part)}Q", *part),
-                        schema.offsets_filters,
-                        elem=8,
-                    )
+                enc = _encode_chunked(
+                    struct.pack(f"<{len(part)}Q", *part),
+                    schema.offsets_filters,
+                    elem=8,
                 )
+                info["data"].append(len(enc))
+                f.write(enc)
         with open(base[:-4] + "_var.tdb", "wb") as f:
             for s, e in slices:
-                f.write(
-                    _encode_chunked(
-                        b"".join(blobs[s:e]), field.filters, elem=elem
-                    )
-                )
+                raw = b"".join(blobs[s:e])
+                enc = _encode_chunked(raw, field.filters, elem=elem)
+                info["var"].append(len(enc))
+                info["var_sizes"].append(len(raw))
+                f.write(enc)
     else:
         packed = _pack_fixed(vals, dtype_id, cvn)
         w = len(packed) // len(vals) if vals else 0
         with open(base, "wb") as f:
             for s, e in slices:
-                f.write(
-                    _encode_chunked(
-                        packed[s * w : e * w], field.filters, elem=elem
-                    )
+                enc = _encode_chunked(
+                    packed[s * w : e * w], field.filters, elem=elem
                 )
+                info["data"].append(len(enc))
+                f.write(enc)
+    return info
 
 
 def write_native_fragment(
@@ -439,13 +448,23 @@ def write_native_fragment(
     ts: Optional[int] = None,
     subarray: Optional[Sequence[tuple]] = None,
     ts_range: Optional[tuple[int, int]] = None,
+    version: int = 5,
 ) -> str:
     """Append one fragment to an existing native array (INSERT analog,
     flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
     attr name to an equal-length value sequence; sparse fragments get one
     coordinate file per dim, dense fragments must supply the FULL domain
     in row-major order (the decoder's global cell order).  Returns the
-    fragment directory path."""
+    fragment directory path.
+
+    ``version=19`` emits the MODERN fragment layout (sparse only):
+    positional field files (d<i>.tdb / a<i>.tdb), and a
+    __fragment_metadata.tdb carrying the full v11+ generic-tile section
+    table — R-tree, tile offsets/sizes, per-tile MIN/MAX/SUM/NULL_COUNT,
+    the fragment_min_max_sum_null_count tile, processed conditions, and
+    a size-era footer with the gt-offsets table — so engine-written
+    arrays serve metadata-only aggregates and attribute pruning exactly
+    like the reference's v19 fixtures."""
     schema = parse_array_schema(_schema_path(array_dir))
     names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
     if schema.array_type == "DENSE":
@@ -584,7 +603,9 @@ def write_native_fragment(
                     (nm, columns[nm]) for nm in names
                 )
             }
-    frag = _next_fragment_dir(array_dir, ts, ts_range=ts_range)
+    if version != 5 and schema.array_type == "DENSE":
+        raise NotImplementedError("v19 writer is sparse-only (dense keeps v5)")
+    frag = _next_fragment_dir(array_dir, ts, ts_range=ts_range, version=version)
     # capacity-packed tile boundaries (sparse): every tile holds exactly
     # `capacity` cells except the last — the invariant the footer's
     # (sparse_tile_num, last_tile_cell_num) pair encodes and metadata-only
@@ -595,16 +616,29 @@ def write_native_fragment(
     else:
         slices = [(0, n)]
     try:
+        infos: dict[str, dict] = {}
         if schema.array_type == "SPARSE":
-            for d in schema.dims:
-                _write_field_files(frag, schema, d, columns[d.name],
-                                   slices=slices)
-        for a in schema.attrs:
-            _write_field_files(frag, schema, a, columns[a.name],
-                               slices=slices)
-        _write_fragment_footer(frag, schema, columns, n,
-                                ntiles=len(slices), slices=slices,
-                                box=box)
+            for i, d in enumerate(schema.dims):
+                infos[d.name] = _write_field_files(
+                    frag, schema, d, columns[d.name], slices=slices,
+                    base=os.path.join(frag, f"d{i}.tdb")
+                    if version >= 10 else None,
+                )
+        for i, a in enumerate(schema.attrs):
+            infos[a.name] = _write_field_files(
+                frag, schema, a, columns[a.name], slices=slices,
+                base=os.path.join(frag, f"a{i}.tdb")
+                if version >= 10 else None,
+            )
+        if version >= 10:
+            _write_fragment_metadata_v19(
+                frag, schema, columns, n, slices=slices, infos=infos,
+                version=version,
+            )
+        else:
+            _write_fragment_footer(frag, schema, columns, n,
+                                    ntiles=len(slices), slices=slices,
+                                    box=box)
     except Exception:
         import shutil  # noqa: PLC0415
 
@@ -1050,3 +1084,264 @@ def evolve_native_schema(
         _serialize_schema(evolved),
     )
     return parse_array_schema(_schema_path(array_dir))
+
+
+# ---------------------------------------------------------------------------
+# MODERN (v11+) fragment metadata — the generic-tile section table the
+# decoder's parse_footer_sections / fragment_attr_stats / R-tree readers
+# consume, byte-layout-compatible with the reference's v18/v19/v20
+# fixtures (obs/var/multi_attribute probes pinned every shape):
+#   [rtree gt][tile_offsets gt x NF][tile_var_offsets x NF]
+#   [tile_var_sizes x NF][tile_validity x NF][tile_min x NF]
+#   [tile_max x NF][tile_sum x NF][tile_null_count x NF][fmmsn gt]
+#   [processed_conditions gt][raw footer][u64 footer_size]
+# NF = attrs + 1 (legacy __coords slot, all-zero) + dims; payload shapes
+# documented in tiledb_native's stats section.
+# ---------------------------------------------------------------------------
+
+
+def _gtile_bytes(payload: bytes, version: int) -> bytes:
+    chunked = _encode_chunked(payload, [])
+    return (
+        struct.pack("<IQQBQB", version, len(chunked), len(payload), 4, 1, 0)
+        + struct.pack("<I", 0)
+        + chunked
+    )
+
+
+def _field_tile_stats(field, vals, slices):
+    """Per-tile (mins, maxs, sums, null_counts) with None for whatever
+    the engine rules don't compute: only fixed single-value non-string
+    fields get min/max, only _SUMMABLE ones get sums, only nullable
+    fields get null counts — and a fragment containing any NULL skips
+    min/max/sum entirely (the stats must describe decodable cells)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _SUMMABLE_DT,
+    )
+
+    dtype_id, cvn = field.dtype_id, field.cell_val_num
+    nullable = getattr(field, "nullable", False)
+    code = _DT[dtype_id][1]
+    nulls = (
+        [sum(1 for v in vals[s:e] if v is None) for s, e in slices]
+        if nullable
+        else None
+    )
+    if cvn != 1 or code == "c" or not vals:
+        return None, None, None, nulls
+    if nullable and any(v is None for v in vals):
+        return None, None, None, nulls
+    mins = [min(vals[s:e]) for s, e in slices]
+    maxs = [max(vals[s:e]) for s, e in slices]
+    sums = None
+    if dtype_id in _SUMMABLE_DT:
+        if dtype_id in (2, 3):
+            # float64 accumulation in cell order — the engine's (and the
+            # reader recompute's) exact sequential result
+            sums = []
+            for s, e in slices:
+                acc = 0.0
+                for v in vals[s:e]:
+                    acc += float(v)
+                sums.append(acc)
+        else:
+            sums = [sum(int(v) for v in vals[s:e]) for s, e in slices]
+    return mins, maxs, sums, nulls
+
+
+def _pack_sum(dtype_id: int, v) -> bytes:
+    if dtype_id in (2, 3):
+        return struct.pack("<d", v)
+    if dtype_id in (6, 8, 9, 10, 40):
+        return struct.pack("<Q", v)
+    return struct.pack("<q", v)
+
+
+def _write_fragment_metadata_v19(
+    frag: str,
+    schema: NativeSchema,
+    columns: dict,
+    n: int,
+    slices,
+    infos: dict,
+    version: int = 19,
+) -> None:
+    names = (
+        [a.name for a in schema.attrs]
+        + ["__coords"]
+        + [d.name for d in schema.dims]
+    )
+    fields = {a.name: a for a in schema.attrs}
+    fields.update({d.name: d for d in schema.dims})
+    _nmcode = {nm: _DT[fields[nm].dtype_id][1] for nm in fields}
+
+    tiles: list[bytes] = []
+    offsets: list[int] = []
+    pos = 0
+
+    def add(payload: bytes) -> int:
+        nonlocal pos
+        b = _gtile_bytes(payload, version)
+        tiles.append(b)
+        offsets.append(pos)
+        pos += len(b)
+        return offsets[-1]
+
+    # R-tree FIRST (offset 0 in every era — parse_rtree_leaf_mbrs)
+    rpayload = (
+        _serialize_rtree(schema, columns, slices) if n > 0 else b""
+    )
+    rtree_off = add(rpayload)
+
+    def counted(vals8: list[bytes]) -> bytes:
+        return struct.pack("<Q", len(vals8)) + b"".join(vals8)
+
+    def prefix_offsets(sizes: list[int]) -> bytes:
+        offs, p = [], 0
+        for sz in sizes:
+            offs.append(p)
+            p += sz
+        return counted([struct.pack("<Q", o) for o in offs])
+
+    sec: dict[str, dict[str, int]] = {k: {} for k in (
+        "tile_offsets", "tile_var_offsets", "tile_var_sizes",
+        "tile_validity", "tile_min", "tile_max", "tile_sum",
+        "tile_null_count",
+    )}
+    stats: dict[str, tuple] = {}
+    empty = struct.pack("<Q", 0)
+    for nm in names:
+        info = infos.get(nm, {"data": [], "var": [], "var_sizes": [],
+                              "validity": []})
+        sec["tile_offsets"][nm] = add(
+            prefix_offsets(info["data"]) if info["data"] else empty
+        )
+    for nm in names:
+        info = infos.get(nm) or {}
+        sec["tile_var_offsets"][nm] = add(
+            prefix_offsets(info["var"]) if info.get("var") else empty
+        )
+    for nm in names:
+        info = infos.get(nm) or {}
+        sec["tile_var_sizes"][nm] = add(
+            counted([struct.pack("<Q", v) for v in info["var_sizes"]])
+            if info.get("var_sizes") else empty
+        )
+    for nm in names:
+        info = infos.get(nm) or {}
+        sec["tile_validity"][nm] = add(
+            prefix_offsets(info["validity"]) if info.get("validity")
+            else empty
+        )
+    for nm in names:
+        stats[nm] = (
+            _field_tile_stats(fields[nm], columns.get(nm, []), slices)
+            if nm in fields else (None, None, None, None)
+        )
+    for key, idx in (("tile_min", 0), ("tile_max", 1)):
+        for nm in names:
+            vals = stats[nm][idx]
+            if vals is None:
+                sec[key][nm] = add(struct.pack("<QQ", 0, 0))
+            else:
+                dtype_id = fields[nm].dtype_id
+                _c, code, size = _DT[dtype_id]
+                buf = struct.pack(f"<{len(vals)}{code}", *vals)
+                sec[key][nm] = add(
+                    struct.pack("<QQ", len(buf), 0) + buf
+                )
+    for nm in names:
+        sums = stats[nm][2]
+        if sums is None:
+            sec["tile_sum"][nm] = add(empty)
+        else:
+            dtype_id = fields[nm].dtype_id
+            sec["tile_sum"][nm] = add(
+                counted([_pack_sum(dtype_id, v) for v in sums])
+            )
+    for nm in names:
+        nulls = stats[nm][3]
+        sec["tile_null_count"][nm] = add(
+            counted([struct.pack("<Q", v) for v in nulls])
+            if nulls is not None else empty
+        )
+    # fragment-level min/max/sum/null tile
+    fm = b""
+    for nm in names:
+        mins, maxs, sums, nulls = stats[nm]
+        if mins is None:
+            fm += struct.pack("<QQ", 0, 0)
+        else:
+            dtype_id = fields[nm].dtype_id
+            _c, code, size = _DT[dtype_id]
+            lo, hi = min(mins), max(maxs)
+            fm += struct.pack("<Q", size) + struct.pack("<" + code, lo)
+            fm += struct.pack("<Q", size) + struct.pack("<" + code, hi)
+        if sums is None:
+            fm += b"\x00" * 8
+        else:
+            dtype_id = fields[nm].dtype_id
+            total = (
+                sum(sums) if dtype_id not in (2, 3) else float(sum(sums))
+            )
+            fm += _pack_sum(dtype_id, total)
+        fm += struct.pack("<Q", sum(stats[nm][3] or [0]))
+    fmmsn_off = add(fm)
+    pc_off = add(struct.pack("<Q", 0))  # no processed delete conditions
+
+    # raw footer (size era: trailing u64 = footer byte length)
+    name_b = os.path.basename(frag).encode()
+    raw = struct.pack("<I", version)
+    raw += struct.pack("<Q", len(name_b)) + name_b
+    raw += struct.pack("<BB", 0, 1 if n == 0 else 0)  # sparse; null NED?
+    for d in schema.dims:
+        _c, code, size = _DT[d.dtype_id]
+        vals = columns.get(d.name) if n else None
+        if d.is_var:
+            if not vals:
+                raw += struct.pack("<QQ", 0, 0)
+                continue
+            lo = min(vals)
+            hi = max(vals)
+            lo_b = lo.encode() if isinstance(lo, str) else bytes(lo)
+            hi_b = hi.encode() if isinstance(hi, str) else bytes(hi)
+            raw += struct.pack("<QQ", len(lo_b) + len(hi_b), len(lo_b))
+            raw += lo_b + hi_b
+        elif not vals:
+            raw += struct.pack(f"<2{code}", 0, 0)
+        else:
+            raw += struct.pack(f"<2{code}", min(vals), max(vals))
+    last = n - (len(slices) - 1) * (schema.capacity or n) if n else 0
+    raw += struct.pack("<QQ", len(slices) if n else 0,
+                       last if len(slices) > 1 else n)
+    raw += struct.pack("<BB", 0, 0)  # has_timestamps, has_delete_meta
+    file_sizes, fvs, fvals = [], [], []
+    for nm in names:
+        info = infos.get(nm) or {}
+        file_sizes.append(sum(info.get("data") or []))
+        fvs.append(sum(info.get("var") or []))
+        fvals.append(sum(info.get("validity") or []))
+    for arr in (file_sizes, fvs, fvals):
+        raw += struct.pack(f"<{len(arr)}Q", *arr)
+    raw += struct.pack("<Q", rtree_off)
+    for key in ("tile_offsets", "tile_var_offsets", "tile_var_sizes",
+                "tile_validity", "tile_min", "tile_max", "tile_sum",
+                "tile_null_count"):
+        raw += struct.pack(
+            f"<{len(names)}Q", *[sec[key][nm] for nm in names]
+        )
+    raw += struct.pack("<QQ", fmmsn_off, pc_off)
+
+    path = os.path.join(frag, "__fragment_metadata.tdb")
+    with open(path, "wb") as f:
+        f.write(b"".join(tiles) + raw + struct.pack("<Q", len(raw)))
+    # writer self-check: the sibling decoder must read back exactly what
+    # was just written (stats tier is an optimization, but a torn table
+    # here would PRUNE WRONGLY — fail the write instead)
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        parse_footer_sections,
+    )
+
+    got = parse_footer_sections(path, schema)
+    if got is None or got["fmmsn"] != fmmsn_off:
+        raise RuntimeError("v19 metadata self-check failed")
