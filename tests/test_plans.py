@@ -107,6 +107,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q304_native_bio_scan",  # v21 connector scans: same boundary
         "q305_native_vector_store",  # fragment-per-partition vector
         # write + connector read: same declared boundary
+        "q307_native_v19_stats",  # v19 fragment writes via
+        # mapInPandas: same declared boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -177,8 +177,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # code), then the full tpch_extra census, the streaming remainder
     # (first driver rows for q91-q94/q148/q177/q274), the late additions
     # q74/q276/q277, and functions_surface7/8 NULL-semantics specs.
-    # After round 4, 104 specs remain never-driver-verified; round 5
-    # takes 50, round 6 the next 50, four spill to round 7.  ROUND-5 front-50 (copy in as commit #1,
+    # After round 4, 105 specs remain never-driver-verified; round 5
+    # takes 50, round 6 the next 50, five spill to round 7.  ROUND-5 front-50 (copy in as commit #1,
     # leading with ALL round-4 additions — newest, least-driver-tested):
     #   q301_native_deletes, q279_stream_native_sink, q280_matryoshka_ann,
     #   q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
@@ -193,9 +193,10 @@ def all_specs() -> dict[str, QuerySpec]:
     #   then q271_ivf_delete, q269_triangle_count, q270_embedding_drift,
     #   q273_itemset_triples (4), pipeline_ops3-5: q183-q197 (15),
     #   q212-q216 (5), q228-q230 (3) — exactly 50 (q231/q232 slip to r6).
-    # ROUND-6 remainder (54; q167/q168/q133b/q134 spill to r7): q302_native_attr_stats,
+    # ROUND-6 remainder (55; q165/q167/q168/q133b/q134 spill to r7):
+    # q302_native_attr_stats,
     # q303_native_enum, q304_native_bio_scan, q305_native_vector_store,
-    # q306_soma_matrix,
+    # q306_soma_matrix, q307_native_v19_stats,
     # q231, q232, q245, q248, q249, q252, q253,
     # q260, q198-q201, q202-q209, q218-q227, q235-q239,
     # q241-q244, q247, q257, q210_sentence_split,

@@ -2753,3 +2753,139 @@ SPECS.append(
         "engine-written sums; missing LFS-stripped files fail loudly",
     )
 )
+
+
+# --- q307: v19 metadata aggregates vs an INDEPENDENT source oracle ----------
+# The strongest form of the stats gate: orders rows land in a MODERN
+# (v19) native array — two uncoordinated range-disjoint fragment
+# writers, full v11+ metadata sections — and MIN/MAX/SUM/COUNT are then
+# answered from the fragment metadata ALONE (zero data tiles decoded),
+# checked against DuckDB aggregating the original parquet.  Nothing is
+# self-referential: the writer computed the stats, the reader decoded
+# them, DuckDB recomputes them from the source.  Int-scaled price
+# (cents) keeps the sums order-independent and exact.  Time travel
+# re-answers from the first fragment only.
+def q307_native_v19_stats(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        attr_stats_native_array,
+        count_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q307_v19_") + "/orders19"
+    create_native_array(
+        uri,
+        dims=[NativeDim("o_orderkey", 1, 1, (0, 60_000_000), None)],
+        attrs=[
+            NativeAttr("price_cents", 1, 1, False, None),
+            NativeAttr("o_custkey", 1, 1, False, None),
+        ],
+        capacity=500,
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            F.col("o_custkey").cast("long"),
+        )
+    )
+
+    def write_split(lo, hi, ts):
+        def part(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                write_native_fragment(
+                    uri,
+                    {c: pdf[c].tolist() for c in pdf.columns},
+                    ts=ts,
+                    version=19,
+                )
+            yield pd.DataFrame({"n": [len(parts)]})
+
+        (
+            src.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+            )
+            .coalesce(1)
+            .mapInPandas(part, schema="n int")
+            .collect()
+        )
+
+    # split at 750: both slabs are non-empty at every sf (sf0.001's
+    # orderkeys only reach 1499)
+    write_split(0, 750, 1000)
+    write_split(751, 4000, 2000)
+
+    def stat_rows(tag, st, n):
+        out = [(tag, "count", int(n))]
+        for col in ("price_cents", "o_custkey"):
+            for k in ("min", "max", "sum"):
+                out.append((tag, f"{col}_{k}", int(st[col][k])))
+        return out
+
+    full = attr_stats_native_array(uri)
+    first = attr_stats_native_array(uri, at=1500)
+    if full is None or first is None:
+        raise AssertionError("v19 stats not provable from metadata")
+    rows = stat_rows("full", full, count_native_array(uri)) + stat_rows(
+        "tt_first", first, count_native_array(uri, at=1500)
+    )
+    return spark.createDataFrame(
+        sorted(rows), "part string, k string, v long"
+    )
+
+
+Q307_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+           AS price_cents,
+         CAST(o_custkey AS BIGINT) AS o_custkey
+  FROM orders WHERE o_orderkey <= 4000
+), agg AS (
+  SELECT 'full' AS part, COUNT(*) AS count,
+         MIN(price_cents) pmin, MAX(price_cents) pmax,
+         CAST(SUM(price_cents) AS BIGINT) psum,
+         MIN(o_custkey) cmin, MAX(o_custkey) cmax,
+         CAST(SUM(o_custkey) AS BIGINT) csum
+  FROM s
+  UNION ALL
+  SELECT 'tt_first', COUNT(*),
+         MIN(price_cents), MAX(price_cents),
+         CAST(SUM(price_cents) AS BIGINT),
+         MIN(o_custkey), MAX(o_custkey), CAST(SUM(o_custkey) AS BIGINT)
+  FROM s WHERE o_orderkey <= 750
+)
+SELECT part, k, CAST(v AS BIGINT) AS v FROM agg
+UNPIVOT (v FOR k IN (count, pmin AS price_cents_min,
+                     pmax AS price_cents_max, psum AS price_cents_sum,
+                     cmin AS o_custkey_min, cmax AS o_custkey_max,
+                     csum AS o_custkey_sum))
+ORDER BY part, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q307_native_v19_stats",
+        q307_native_v19_stats,
+        Q307_SQL,
+        "orders in a v19 native array: MIN/MAX/SUM/COUNT answered from "
+        "engine-written fragment metadata alone (zero data tiles), "
+        "checked against DuckDB on the source parquet; time travel "
+        "re-answers from the first fragment",
+    )
+)
