@@ -371,7 +371,14 @@ class NativeDecoderBackend(ArrayBackend):
         schema = parse_array_schema(_schema_path(uri))
         names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
         cols = {n: [clean(v) for v in pdf[n]] for n in names}
-        write_native_fragment(uri, cols, ts=ts)
+        # sparse writes emit the MODERN (v19) layout so every
+        # connector-written table serves metadata-only aggregates and
+        # attribute pruning; dense stays on the v5 era (the v19 writer
+        # is sparse-only)
+        write_native_fragment(
+            uri, cols, ts=ts,
+            version=19 if schema.array_type == "SPARSE" else 5,
+        )
 
     def delete(self, uri, conditions, ts=None) -> str:
         """DELETE WHERE as a commit-level artifact: O(1) regardless of
