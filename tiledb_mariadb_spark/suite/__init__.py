@@ -171,28 +171,14 @@ def all_specs() -> dict[str, QuerySpec]:
     # ORDER MATTERS: the driver hash-verifies only the FIRST 50 entries per
     # round.  Round 1 covered core/analytics/functions_surface* prefixes;
     # round 2 joins/subqueries/windows/surfaces/llm_ops; round 3
-    # pipeline_ops(2)/similarity/spatial + the r1 reds + q77/q90/q164.
-    # ROUND 4 rotates a window DISJOINT from r1∪r2∪r3 to the front,
-    # leading with the round-3 native tier (newest, least-driver-tested
-    # code), then the full tpch_extra census, the streaming remainder
-    # (first driver rows for q91-q94/q148/q177/q274), the late additions
-    # q74/q276/q277, and functions_surface7/8 NULL-semantics specs.
-    # After round 4, 105 specs remain never-driver-verified; round 5
-    # takes 50, round 6 the next 50, five spill to round 7.  ROUND-5 front-50 (copy in as commit #1,
-    # leading with ALL round-4 additions — newest, least-driver-tested):
-    #   q301_native_deletes, q279_stream_native_sink, q280_matryoshka_ann,
-    #   q281_token_budget_mix, q282_k_anonymity, q283_native_datetimes,
-    #   q284_python_datasource, q285_datasource_stream,
-    #   q286_native_consolidation, q287_diversity_sample,
-    #   q288_multirange_in, q289_datasource_time_travel,
-    #   q290_semdedup, q291_phash_neardup, q292_native_count,
-    #   q293_native_metadata, q294_native_evolution,
-    #   q295_native_hilbert, q296_native_dense_partial,
-    #   q297_datasource_stacked, q298_native_lifecycle,
-    #   q299_native_estimate, q300_dedup_funnel (23),
-    #   then q271_ivf_delete, q269_triangle_count, q270_embedding_drift,
-    #   q273_itemset_triples (4), pipeline_ops3-5: q183-q197 (15),
-    #   q212-q216 (5), q228-q230 (3) — exactly 50 (q231/q232 slip to r6).
+    # pipeline_ops(2)/similarity/spatial + the r1 reds + q77/q90/q164;
+    # round 4 the native tier/tpch_extra/streaming/NULL-semantics window.
+    # ROUND 5 (this window) rotates the next 50 never-driver-verified
+    # specs to the front, leading with ALL round-4 additions (q279-q301 —
+    # newest, least-driver-tested code: the Python Data Source, native
+    # consolidation/deletes/count/metadata/evolution/hilbert/dense/
+    # estimate tier, SemDeDup/dHash/funnel dedup), then the late round-3
+    # graph/drift/IVF specs and the pipeline_ops3-5 remainder.
     # ROUND-6 remainder (55; q165/q167/q168/q133b/q134 spill to r7):
     # q302_native_attr_stats,
     # q303_native_enum, q304_native_bio_scan, q305_native_vector_store,
@@ -200,39 +186,40 @@ def all_specs() -> dict[str, QuerySpec]:
     # q231, q232, q245, q248, q249, q252, q253,
     # q260, q198-q201, q202-q209, q218-q227, q235-q239,
     # q241-q244, q247, q257, q210_sentence_split,
-    # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline.
+    # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline,
+    # plus any round-5 spec additions (they join the never-verified pool).
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
-        # surfaces2/3 native tier + storage surfaces
-        "q265_native_fixtures", "q266_native_var_pipeline",
-        "q267_connector_scan", "q272_native_agg_join", "q268_cdc_rollup",
-        "q275_snapshot_diff", "q258_reference_fixture", "q261_hetero_dims",
-        "q262_hilbert_box_scan", "q263_subset_registration",
-        "q264_uri_suffixes", "q240_encrypted_roundtrip", "q217_merge_apply",
-        "q211_information_schema", "q162_subarray_read", "q163_table_stats",
-        "q166_zorder_scan", "q170_incremental_rollup",
-        # late round-3 additions
-        "q276_asof_directions", "q277_table_checksum", "q74_resize_cosine",
-        # streaming remainder (§2.6 full coverage)
-        "q274_stream_cdc_feed", "q91_session_window", "q92_stream_stateful",
-        "q93_stream_stream_join", "q94_stream_dedup", "q148_stream_sliding",
-        "q177_stream_probe_dedup",
-        # tpch_extra shape census
-        "q100_volume_shipping", "q101_market_share", "q102_product_profit",
-        "q103_returned_items", "q104_cust_distribution", "q105_top_supplier",
-        "q106_parts_supplier_cnt", "q107_disjunctive_revenue",
-        "q108_potential_promotion", "q109_waiting_orders",
-        "q110_global_sales", "q111_min_cost_supplier",
-        "q171_shipmode_priority", "q172_important_stock",
-        # functions_surface7/8 NULL semantics + deterministic analytics
-        "q233_nulls_ordering", "q234_hof_predicates", "q246_null_safe_join",
-        "q250_setops_nulls", "q251_not_in_nulls", "q255_percentile_cont",
-        "q259_deterministic_mode",
-        # round-4 native WRITE path (fragment writer through the connector)
-        "q278_native_write",
+        # round-4 native storage tier + Python Data Source (23)
+        "q301_native_deletes", "q279_stream_native_sink",
+        "q280_matryoshka_ann", "q281_token_budget_mix", "q282_k_anonymity",
+        "q283_native_datetimes", "q284_python_datasource",
+        "q285_datasource_stream", "q286_native_consolidation",
+        "q287_diversity_sample", "q288_multirange_in",
+        "q289_datasource_time_travel", "q290_semdedup",
+        "q291_phash_neardup", "q292_native_count", "q293_native_metadata",
+        "q294_native_evolution", "q295_native_hilbert",
+        "q296_native_dense_partial", "q297_datasource_stacked",
+        "q298_native_lifecycle", "q299_native_estimate",
+        "q300_dedup_funnel",
+        # late round-3 graph / drift / IVF additions (4)
+        "q271_ivf_delete", "q269_triangle_count", "q270_embedding_drift",
+        "q273_itemset_triples",
+        # pipeline_ops3-5 remainder (15)
+        "q183_dup_spans", "q184_lexical_topk", "q185_hybrid_rrf",
+        "q186_epoch_shuffle", "q187_luhn_pii", "q188_rarity_score",
+        "q189_bpe_merges", "q190_pq_ann", "q191_ivfpq",
+        "q192_decontaminate", "q193_hll_cardinality",
+        "q194_cm_heavy_hitters", "q195_bloom_prune", "q196_column_stats",
+        "q197_dedup_keep_best",
+        # scale-safe ordinal / ranking / analytics (5)
+        "q212_global_ordinal", "q213_bm25_topk", "q214_regr_moments",
+        "q215_bitwise_scalars", "q216_skyline",
+        # co-purchase / drift / vocab (3) — q231/q232 slip to r6
+        "q228_copurchase", "q229_chi2_drift", "q230_vocab_encode",
     ]
-    assert len(front) == 50, f"round-4 front window is {len(front)}, want 50"
+    assert len(front) == 50, f"round-5 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
     assert not missing, f"front window names not registered: {missing}"
 
