@@ -92,6 +92,9 @@ HEADLINE = [
     # WHERE, re-insert, consolidate+vacuum bake) — benched so commit
     # gating's read-path cost stays visible round-over-round
     "q301_native_deletes",
+    # round-5 addition: AES-256-GCM encrypted native round-trip — benched
+    # so the per-chunk crypto cost on the connector path stays visible
+    "q308_native_encryption",
 ]
 
 

@@ -109,6 +109,8 @@ def test_no_python_udf_in_any_plan(spark):
         # write + connector read: same declared boundary
         "q307_native_v19_stats",  # v19 fragment writes via
         # mapInPandas: same declared boundary
+        "q308_native_encryption",  # encrypted connector write+read:
+        # same declared native-io boundary (AES-GCM inside the task)
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -52,12 +52,12 @@ if TYPE_CHECKING:  # pragma: no cover
     pass
 
 
-def _backend():
+def _backend(encryption_key=None):
     from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
         NativeDecoderBackend,
     )
 
-    return NativeDecoderBackend()
+    return NativeDecoderBackend(encryption_key=encryption_key)
 
 
 @dataclass
@@ -86,8 +86,13 @@ class TileDBNativeDataSource(DataSource):
         at = self.options.get("at")
         return int(at) if at is not None else None
 
+    def _key(self):
+        # AES-256-GCM table key (the reference's encryption_key table
+        # option).  Lives only in options/closures, never on disk.
+        return self.options.get("encryption_key")
+
     def schema(self) -> str:
-        info = _backend().info(self._uri(), at=self._at())
+        info = _backend(self._key()).info(self._uri(), at=self._at())
         return ", ".join(
             f"`{f.name}` {f.dtype}" for f in info.dims + info.attrs
         )
@@ -97,6 +102,7 @@ class TileDBNativeDataSource(DataSource):
             self._uri(), self._at(),
             int(self.options.get("target_splits", 16)),
             [f.name for f in schema.fields],
+            encryption_key=self._key(),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBNativeWriter":
@@ -118,13 +124,14 @@ _COND_OPS = {
 
 
 class TileDBNativeReader(DataSourceReader):
-    def __init__(self, uri, at, target_splits, columns):
+    def __init__(self, uri, at, target_splits, columns, encryption_key=None):
         self.uri, self.at = uri, at
         self.target_splits = target_splits
         self.columns = columns
+        self.encryption_key = encryption_key
         self.dim_ranges: dict = {}
         self.conditions: list = []
-        info = _backend().info(uri, at=at)
+        info = _backend(encryption_key).info(uri, at=at)
         self._dim_names = [d.name for d in info.dims]
         self._attr_names = [a.name for a in info.attrs]
         self._info = info
@@ -211,7 +218,7 @@ class TileDBNativeReader(DataSourceReader):
             plan_splits,
         )
 
-        weights_fn = getattr(_backend(), "split_weights", None)
+        weights_fn = getattr(_backend(self.encryption_key), "split_weights", None)
         weights = weights_fn(self.uri, at=self.at) if weights_fn else None
         splits = plan_splits(
             self._info, self.dim_ranges, self.target_splits,
@@ -228,7 +235,7 @@ class TileDBNativeReader(DataSourceReader):
     def read(self, partition: _SplitPartition) -> Iterator:
         import pyarrow as pa  # noqa: PLC0415
 
-        pdf = _backend().read_range(
+        pdf = _backend(self.encryption_key).read_range(
             self.uri,
             partition.ranges,
             self.columns,
@@ -300,7 +307,9 @@ class TileDBNativeWriter(DataSourceWriter):
             for f in self.schema.fields
             if f.name not in dim_names
         ]
-        _backend().create(self.uri, ArrayInfo(dims=dims, attrs=attrs))
+        _backend(self.options.get("encryption_key")).create(
+            self.uri, ArrayInfo(dims=dims, attrs=attrs)
+        )
 
     def write(self, iterator: Iterator) -> _WroteFragment:
         import pandas as pd  # noqa: PLC0415
@@ -309,7 +318,7 @@ class TileDBNativeWriter(DataSourceWriter):
         if not rows:
             return _WroteFragment(0)
         pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
-        _backend().write(self.uri, pdf)
+        _backend(self.options.get("encryption_key")).write(self.uri, pdf)
         return _WroteFragment(len(rows))
 
     def commit(self, messages) -> None:
@@ -331,9 +340,10 @@ class TileDBNativeStreamReader(SimpleDataSourceStreamReader):
     replayable — readBetweenOffsets re-decodes the same immutable
     fragments)."""
 
-    def __init__(self, uri: str, columns: list):
+    def __init__(self, uri: str, columns: list, encryption_key=None):
         self.uri = uri
         self.columns = columns
+        self.encryption_key = encryption_key
 
     def _frags(self) -> list:
         import os  # noqa: PLC0415
@@ -359,6 +369,12 @@ class TileDBNativeStreamReader(SimpleDataSourceStreamReader):
 
         if not frag_names:
             return
+        if self.encryption_key is not None:
+            from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                open_encryption,
+            )
+
+            open_encryption(self.uri, self.encryption_key)
         wanted = set(frag_names)
         schema = parse_array_schema(_schema_path(self.uri))
         names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
@@ -418,7 +434,8 @@ class TileDBNativeStreamWriter(DataSourceStreamWriter):
 
 def _ds_simple_stream_reader(self, schema: StructType):
     return TileDBNativeStreamReader(
-        self._uri(), [f.name for f in schema.fields]
+        self._uri(), [f.name for f in schema.fields],
+        encryption_key=self._key(),
     )
 
 

@@ -230,9 +230,35 @@ class NativeDecoderBackend(ArrayBackend):
     are read + decompressed, with projection pushed into the decoder —
     per-task I/O and decode are O(split), not O(fragment).  Sparse
     fragments decode their coordinate columns first to locate the span
-    (the same coords-first order libtiledb's sparse reader uses)."""
+    (the same coords-first order libtiledb's sparse reader uses).
+
+    ``encryption_key`` (AES-256-GCM, the reference's per-table
+    encryption_key option, ha_mytile.cc:75,792-795) pickles with the
+    instance into every task, which registers it process-locally before
+    touching the array — the key rides the closure, never the disk."""
+
+    def __init__(self, encryption_key=None) -> None:
+        from tiledb_mariadb_spark.operators.encryption import (  # noqa: PLC0415
+            normalize_key,
+        )
+
+        self._key = (
+            normalize_key(encryption_key) if encryption_key is not None
+            else None
+        )
+
+    def _reg(self, uri: str) -> None:
+        """Register this backend's key for ``uri`` in THIS process (each
+        executor task re-runs it; open_encryption then validates)."""
+        if self._key is not None:
+            from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                open_encryption,
+            )
+
+            open_encryption(uri, self._key)
 
     def info(self, uri: str, at: Optional[int] = None) -> ArrayInfo:
+        self._reg(uri)
         import os  # noqa: PLC0415
 
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
@@ -307,6 +333,8 @@ class NativeDecoderBackend(ArrayBackend):
             read_native_array_range,
         )
 
+        self._reg(uri)
+
         # range + projection push INTO the decoder: only the chunks
         # covering this split's cell span are read and decompressed
         # (read_byte_span), so per-task work is O(split) not O(fragment)
@@ -335,6 +363,7 @@ class NativeDecoderBackend(ArrayBackend):
         create_native_array(
             uri, dims, attrs,
             array_type="SPARSE" if info.sparse else "DENSE",
+            encryption_key=self._key,
         )
 
     def split_weights(self, uri: str, at: Optional[int] = None):
@@ -348,6 +377,7 @@ class NativeDecoderBackend(ArrayBackend):
         )
 
         try:
+            self._reg(uri)
             return dim0_tile_weights(uri, at=at)
         except (OSError, ValueError):
             return None
@@ -368,6 +398,7 @@ class NativeDecoderBackend(ArrayBackend):
                 return list(v)
             return None if pd.isna(v) else v
 
+        self._reg(uri)
         schema = parse_array_schema(_schema_path(uri))
         names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
         cols = {n: [clean(v) for v in pdf[n]] for n in names}
@@ -390,6 +421,7 @@ class NativeDecoderBackend(ArrayBackend):
             write_delete_condition,
         )
 
+        self._reg(uri)
         return write_delete_condition(uri, conditions, ts=ts)
 
 
@@ -678,6 +710,7 @@ def read_array(
     at: Optional[int] = None,
     target_splits: int = 32,
     conditions: Optional[Sequence[tuple]] = None,
+    encryption_key: Optional[Any] = None,
 ) -> DataFrame:
     """Distributed scan of a TileDB array as a DataFrame.
 
@@ -693,10 +726,19 @@ def read_array(
 
     Default backend: libtiledb when the wheel exists, else the
     pure-Python format decoder (read-only) — so a bare on-disk array is
-    scannable either way.
+    scannable either way.  ``encryption_key`` opens AES-256-GCM arrays
+    (the reference's per-table encryption_key option); it travels inside
+    the pickled backend to every task, never to disk.
     """
+    if encryption_key is not None and backend is not None:
+        raise ValueError(
+            "pass encryption_key to the backend constructor when "
+            "supplying an explicit backend"
+        )
     backend = backend or (
-        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+        TileDBBackend()
+        if HAVE_TILEDB and encryption_key is None
+        else NativeDecoderBackend(encryption_key=encryption_key)
     )
     info = backend.info(uri, at=at)
     dim_names = [d.name for d in info.dims]
@@ -750,14 +792,23 @@ def write_array(
     uri: str,
     backend: Optional[ArrayBackend] = None,
     sparse: bool = True,
+    encryption_key: Optional[Any] = None,
 ) -> None:
     """Each partition writes an independent fragment — TileDB writers
     need no coordination, so write parallelism is the partition count.
 
     Default backend mirrors ``read_array``: libtiledb when the wheel
-    exists, else the pure-Python native-format writer."""
+    exists, else the pure-Python native-format writer.
+    ``encryption_key`` seals every written fragment with AES-256-GCM."""
+    if encryption_key is not None and backend is not None:
+        raise ValueError(
+            "pass encryption_key to the backend constructor when "
+            "supplying an explicit backend"
+        )
     backend = backend or (
-        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+        TileDBBackend()
+        if HAVE_TILEDB and encryption_key is None
+        else NativeDecoderBackend(encryption_key=encryption_key)
     )
 
     def write_part(batches) -> Iterator:

@@ -91,15 +91,26 @@ def _decode_chunk(filtered: bytes, orig_len: int) -> bytes:
     return out
 
 
-def read_chunked_tile(buf: bytes) -> list[bytes]:
-    """Parse a filtered tile buffer into its decoded chunks."""
+def read_chunked_tile(buf: bytes, key: bytes | None = None) -> list[bytes]:
+    """Parse a filtered tile buffer into its decoded chunks.  With
+    ``key`` each chunk's payload is AES-256-GCM ciphertext and its
+    metadata carries a 28-byte nonce+tag trailer (tiledb_native_crypto
+    scheme); decryption precedes codec sniffing."""
     (num_chunks,) = struct.unpack_from("<Q", buf, 0)
     pos = 8
     chunks = []
     for _ in range(num_chunks):
         orig, filt, meta = struct.unpack_from("<III", buf, pos)
-        pos += 12 + meta
-        chunks.append(_decode_chunk(buf[pos : pos + filt], orig))
+        pos += 12
+        payload = buf[pos + meta : pos + meta + filt]
+        if key is not None:
+            from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+                decrypt_chunk,
+            )
+
+            _, payload = decrypt_chunk(key, payload, buf[pos : pos + meta])
+        pos += meta
+        chunks.append(_decode_chunk(payload, orig))
         pos += filt
     return chunks
 
@@ -258,14 +269,31 @@ def _zstd_decode(buf: bytes, orig_len: int) -> bytes:
     return zstd_decompress(buf)
 
 
-def read_generic_tile(path: str) -> bytes:
+def read_generic_tile(path: str, key: bytes | None = None) -> bytes:
     """TileDB 'generic tile' container (schema blobs, fragment metadata,
     array metadata): [version u32][persisted u64][tile_size u64]
     [datatype u8][cell_size u64][encryption u8][pipeline_len u32]
-    [pipeline][chunked tile]."""
+    [pipeline][chunked tile].  A nonzero encryption byte
+    (TILEDB_AES_256_GCM, ha_mytile.cc:792-795) requires the array key —
+    from ``key`` or the process registry — and decrypts per chunk."""
     buf = open(path, "rb").read()
+    enc = struct.unpack_from("<B", buf, 29)[0]
     (plen,) = struct.unpack_from("<I", buf, 30)
-    return b"".join(read_chunked_tile(buf[34 + plen :]))
+    if enc:
+        if key is None:
+            from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+                key_for_path,
+            )
+
+            key = key_for_path(path)
+        if key is None:
+            raise ValueError(
+                f"array is encrypted (AES_256_GCM): {path} requires "
+                "encryption_key (t/encryption.test: open without key fails)"
+            )
+    else:
+        key = None  # plaintext tile: never decrypt, even with a registered key
+    return b"".join(read_chunked_tile(buf[34 + plen :], key=key))
 
 
 # tiledb_datatype_t (tiledb.h, public API)
@@ -333,6 +361,9 @@ class NativeSchema:
         # enumeration is NOT applied on read (the enum.test golden shows
         # the int-labelled a3 reading back its raw stored values)
         self.enumerations: dict = {}
+        # tiledb_encryption_type_t from the schema blob's generic-tile
+        # header: 0 NO_ENCRYPTION, 1 AES_256_GCM (set by parse_array_schema)
+        self.encryption: int = 0
 
 
 class _Cursor:
@@ -367,7 +398,13 @@ def parse_array_schema(path: str) -> NativeSchema:
     reference's fixtures (1.6 → 2.x eras, versions 3..21).  v20+
     attrs carry enumeration links and the trailing enumeration path map
     is resolved to label lists (t/enum.test); dimension labels (v18+)
-    are skipped — no committed fixture carries one."""
+    are skipped — no committed fixture carries one.  The generic-tile
+    header's encryption byte is surfaced as ``schema.encryption``
+    (AES_256_GCM arrays require a registered key to open —
+    ha_mytile.cc:792-795)."""
+    with open(path, "rb") as _f:
+        _f.seek(29)
+        _enc = _f.read(1)[0]
     c = _Cursor(read_generic_tile(path))
     ver = c.u("I")
     allows_dups = False
@@ -448,6 +485,7 @@ def parse_array_schema(path: str) -> NativeSchema:
         tile_order=tile_order, cell_order=cell_order,
         allows_dups=allows_dups, enumeration_paths=enum_paths,
     )
+    schema.encryption = _enc
     if enum_paths:
         schema.enumerations = _load_enumerations(
             path, enum_paths, max(1, len(attrs))
@@ -837,7 +875,15 @@ def read_tile_file(
     pipelines like the 2.x offsets default (DD+BWR+ZSTD).  Without it,
     the chunk payload is sniffed (zstd frame / zlib / raw).
     ``rle_value_size`` switches sniffing to the RLE filter (validity
-    tiles)."""
+    tiles).  Files of an encrypted array (key in the process registry —
+    entry APIs enforce key↔schema consistency) decrypt each chunk
+    before pipeline reversal."""
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        decrypt_chunk,
+        key_for_path,
+    )
+
+    enc_key = key_for_path(path)
     buf = open(path, "rb").read()
     out = bytearray()
     pos = 0
@@ -851,6 +897,8 @@ def read_tile_file(
             pos += meta
             payload = buf[pos : pos + filt]
             pos += filt
+            if enc_key is not None:
+                mbytes, payload = decrypt_chunk(enc_key, payload, mbytes)
             if filters:
                 out += _reverse_pipeline(filters, [mbytes], payload, elem)
             elif rle_value_size is not None and filt != orig:
@@ -1058,6 +1106,41 @@ def _apply_deletes(rows_ts: list[tuple], names: list[str], dels: list):
     return out
 
 
+def open_encryption(
+    array_dir: str, encryption_key: "bytes | str | None" = None
+) -> "bytes | None":
+    """Entry-API encryption contract (t/encryption.test semantics,
+    ha_mytile.cc:792-795): register the key for this array's files,
+    verify it against the schema blob's encryption byte, and fail
+    loudly on every mismatch — encrypted + no key, unencrypted + key,
+    wrong key (GCM authentication at first decode).  Returns the
+    normalized key (or None for plaintext arrays).  The key lives only
+    in the process registry; call this inside executor tasks too."""
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        clear_encryption_key,
+        generic_tile_encryption,
+        key_for_path,
+        set_encryption_key,
+    )
+
+    if encryption_key is not None:
+        set_encryption_key(array_dir, encryption_key)
+    enc = generic_tile_encryption(_schema_path(array_dir))
+    key = key_for_path(array_dir)
+    if enc and key is None:
+        raise ValueError(
+            f"array is encrypted (AES_256_GCM): {array_dir} requires "
+            "encryption_key"
+        )
+    if not enc and encryption_key is not None:
+        clear_encryption_key(array_dir)
+        raise ValueError(
+            f"array is not encrypted: {array_dir} — encryption_key must "
+            "not be provided (t/encryption.test negative case)"
+        )
+    return key if enc else None
+
+
 def _schema_path(array_dir: str) -> str:
     p = os.path.join(array_dir, "__array_schema.tdb")
     if os.path.isfile(p):
@@ -1258,14 +1341,18 @@ def _dense_fragment_box(frag: str, schema: NativeSchema):
 
 
 def read_native_array(
-    array_dir: str, at: int | None = None
+    array_dir: str,
+    at: int | None = None,
+    encryption_key: "bytes | str | None" = None,
 ) -> tuple[NativeSchema, list[tuple]]:
     """Open a bare TileDB array directory with NO caller-supplied schema
     (the discover_array analog, mytile/mytile-discovery.cc:54-473): parse
     the on-disk schema blob, decode every committed fragment visible at
     ``at`` (unix-millis time travel; None = all), and merge
     newest-fragment-wins per coordinate (TileDB overwrite semantics).
-    Rows are (dims..., attrs...) in schema order."""
+    Rows are (dims..., attrs...) in schema order.  ``encryption_key``
+    opens AES_256_GCM arrays (see :func:`open_encryption`)."""
+    open_encryption(array_dir, encryption_key)
     schema = parse_array_schema(_schema_path(array_dir))
     merged: dict[tuple, tuple] = {}  # coord -> (row, writer_ts)
     dup_rows: list[tuple] = []  # allows_dups=true: keep every (row, ts)
@@ -1394,7 +1481,14 @@ def read_byte_span(
     """Decoded bytes [lo, hi) of a fragment data file, reading and
     decompressing ONLY the chunks that overlap the span (seek-based).
     Chunk selection is byte-range driven, so cell alignment of chunk
-    boundaries is irrelevant."""
+    boundaries is irrelevant.  Encrypted arrays decrypt ONLY the
+    selected chunks (GCM per chunk), keeping the read O(split)."""
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        decrypt_chunk,
+        key_for_path,
+    )
+
+    enc_key = key_for_path(path)
     chunks = _walk_tile_file(path)
     total = sum(c[1] for c in chunks)
     if not 0 <= lo <= hi <= total:
@@ -1409,6 +1503,8 @@ def read_byte_span(
                 continue
             f.seek(off)
             payload = f.read(filt)
+            if enc_key is not None:
+                mbytes, payload = decrypt_chunk(enc_key, payload, mbytes)
             if filters:
                 dec = _reverse_pipeline(filters, [mbytes], payload, elem)
             elif rle_value_size is not None and filt != orig:
@@ -1592,6 +1688,7 @@ def read_native_array_range(
     columns: list[str] | None = None,
     at: int | None = None,
     prune_conditions: list | None = None,
+    encryption_key: "bytes | str | None" = None,
 ) -> tuple[list[str], list[tuple]]:
     """Range + projection read of a bare native array: returns
     (column_names, rows) for cells whose coordinates fall inside the
@@ -1612,6 +1709,8 @@ def read_native_array_range(
     metadata stats refute one conjunct decodes zero chunks (deletes only
     remove rows, so the negative proof survives them; dense fragments
     are never pruned this way — their fill cells aren't in the stats)."""
+    if encryption_key is not None:
+        open_encryption(array_dir, encryption_key)
     schema = parse_array_schema(_schema_path(array_dir))
     dim_names = [d.name for d in schema.dims]
     want = [
@@ -2280,8 +2379,17 @@ def parse_rtree_leaf_mbrs(frag: str, schema: "NativeSchema"):
         span = _generic_tile_span(buf, 0)
         if span is None:
             return None
+        rt_key = None
+        if struct.unpack_from("<B", buf, 29)[0]:  # encrypted R-tree tile
+            from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+                key_for_path,
+            )
+
+            rt_key = key_for_path(fm)
+            if rt_key is None:
+                return None
         (plen,) = struct.unpack_from("<I", buf, 30)
-        payload = b"".join(read_chunked_tile(buf[34 + plen : span]))
+        payload = b"".join(read_chunked_tile(buf[34 + plen : span], key=rt_key))
         c = _Cursor(payload)
         if _frag_format_version(frag) == 0:  # 1.6-era prefix
             if c.u("I") != len(schema.dims):
@@ -2585,6 +2693,10 @@ def parse_footer_sections(fm_path: str, schema: "NativeSchema"):
             span = _generic_tile_span(buf, off)
             if span is None or off + span > footer_start:
                 return None
+        from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+            key_for_path,
+        )
+
         return {
             "version": ver,
             "dense": bool(dense),
@@ -2594,19 +2706,27 @@ def parse_footer_sections(fm_path: str, schema: "NativeSchema"):
             "rtree": rtree_off,
             "fmmsn": fmmsn,
             "processed_conditions": pc,
+            "enc_key": key_for_path(fm_path),
             **sections,
         }
     except (OSError, struct.error, IndexError):
         return None
 
 
-def _gtile_payload(buf: bytes, off: int) -> bytes | None:
+def _gtile_payload(buf: bytes, off: int, key: bytes | None = None) -> bytes | None:
     span = _generic_tile_span(buf, off)
     if span is None:
         return None
+    enc = struct.unpack_from("<B", buf, off + 29)[0]
+    if not enc:
+        key = None  # plaintext embedded tile: never decrypt
+    elif key is None:
+        return None  # encrypted stats without the key: stats unavailable
     (plen,) = struct.unpack_from("<I", buf, off + 30)
     try:
-        return b"".join(read_chunked_tile(buf[off + 34 + plen : off + span]))
+        return b"".join(
+            read_chunked_tile(buf[off + 34 + plen : off + span], key=key)
+        )
     except (ValueError, struct.error, IndexError, NotImplementedError):
         return None
 
@@ -2640,7 +2760,7 @@ def fragment_attr_stats(frag: str, schema: "NativeSchema"):
     sec = parse_footer_sections(fm, schema)
     if sec is None:
         return None
-    payload = _gtile_payload(sec["buf"], sec["fmmsn"])
+    payload = _gtile_payload(sec["buf"], sec["fmmsn"], key=sec.get("enc_key"))
     if payload is None:
         return None
     types = {a.name: (a.dtype_id, a.cell_val_num, a.nullable)
@@ -2725,10 +2845,10 @@ def fragment_tile_stats(frag: str, schema: "NativeSchema", field: str):
     dtype_id, cvn, nullable = types[field]
     _n, code, size = _DT[dtype_id]
     buf = sec["buf"]
-    pmin = _gtile_payload(buf, sec["tile_min"][idx])
-    pmax = _gtile_payload(buf, sec["tile_max"][idx])
-    psum = _gtile_payload(buf, sec["tile_sum"][idx])
-    pnull = _gtile_payload(buf, sec["tile_null_count"][idx])
+    pmin = _gtile_payload(buf, sec["tile_min"][idx], key=sec.get("enc_key"))
+    pmax = _gtile_payload(buf, sec["tile_max"][idx], key=sec.get("enc_key"))
+    psum = _gtile_payload(buf, sec["tile_sum"][idx], key=sec.get("enc_key"))
+    pnull = _gtile_payload(buf, sec["tile_null_count"][idx], key=sec.get("enc_key"))
     if None in (pmin, pmax, psum, pnull):
         return None
     try:

@@ -79,7 +79,10 @@ _W_TRANSFORMS = (9, 15, 16)  # BYTESHUFFLE, SCALE_FLOAT, XOR
 
 
 def _encode_chunked(
-    data: bytes, filters: Sequence[tuple[int, bytes]], elem: int = 8
+    data: bytes,
+    filters: Sequence[tuple[int, bytes]],
+    elem: int = 8,
+    key: Optional[bytes] = None,
 ) -> bytes:
     """Forward-apply a (possibly empty) filter pipeline and wrap as ONE
     chunked tile: [num_chunks u64] then per chunk
@@ -156,6 +159,17 @@ def _encode_chunked(
             meta = meta_parts[0]
         else:
             meta = b"".join(meta_parts)
+        if key is not None:
+            # AES-256-GCM rides the chunk format exactly like TileDB's
+            # encryption filter: ciphertext replaces the payload at
+            # IDENTICAL length, nonce+tag append to the metadata — tile
+            # offsets/sizes stay valid (tiledb_native_crypto scheme)
+            from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+                encrypt_chunk,
+            )
+
+            payload, trailer = encrypt_chunk(key, payload)
+            meta += trailer
         out += struct.pack("<III", len(chunk), len(payload), len(meta))
         out += meta + payload
     return out
@@ -165,19 +179,38 @@ def _write_generic_tile(path: str, payload: bytes) -> None:
     """Generic-tile container (read_generic_tile's exact inverse):
     [version u32][persisted u64][tile_size u64][datatype u8]
     [cell_size u64][encryption u8][pipeline_len u32][pipeline]
-    [chunked tile] — written with an empty pipeline (raw chunks)."""
-    chunked = _encode_chunked(payload, [])
+    [chunked tile] — written with an empty pipeline (raw chunks).
+    When the array's key is registered (encrypted array), the
+    encryption byte is 1 (AES_256_GCM) and every chunk is sealed."""
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        key_for_path,
+    )
+
+    key = key_for_path(path)
+    chunked = _encode_chunked(payload, [], key=key)
     hdr = struct.pack(
-        "<IQQBQB", 7, len(chunked), len(payload), 6, 1, 0
+        "<IQQBQB", 7, len(chunked), len(payload), 6, 1,
+        1 if key is not None else 0,
     ) + struct.pack("<I", 0)
     with open(path, "wb") as f:
         f.write(hdr + chunked)
 
 
 def _serialize_schema(schema: NativeSchema) -> bytes:
-    """Version-7 array-schema blob, the exact field sequence
-    parse_array_schema's ver>=5 path consumes."""
-    out = struct.pack("<I", 7)
+    """Array-schema blob, the exact field sequence parse_array_schema's
+    ver>=5 path consumes.  Version 7 normally; version 20 when any
+    attribute carries an enumeration link (2.17+ layout: per-attr data
+    order + enum-name link, trailing dimension-label count and the
+    enumeration name→path map — the t/enum.test storage shape)."""
+    ver = (
+        20
+        if (
+            schema.enumeration_paths
+            or any(getattr(a, "enumeration", None) for a in schema.attrs)
+        )
+        else 7
+    )
+    out = struct.pack("<I", ver)
     out += struct.pack("<B", 1 if schema.allows_dups else 0)
     out += struct.pack("<B", 0 if schema.array_type == "DENSE" else 1)
     # tile_order ROW_MAJOR; cell_order as declared (0 ROW_MAJOR /
@@ -214,7 +247,53 @@ def _serialize_schema(schema: NativeSchema) -> bytes:
         fill = a.fill or b""
         out += struct.pack("<Q", len(fill)) + fill
         out += struct.pack("<BB", 1 if a.nullable else 0, 1)
+        if ver >= 17:
+            out += struct.pack("<B", 0)  # data order: UNORDERED_DATA
+        if ver >= 20:
+            en = (getattr(a, "enumeration", None) or "").encode()
+            out += struct.pack("<I", len(en)) + en
+    if ver >= 18:
+        out += struct.pack("<I", 0)  # dimension labels: none
+    if ver >= 20:
+        out += struct.pack("<I", len(schema.enumeration_paths))
+        for en, ep in schema.enumeration_paths.items():
+            enb, epb = en.encode(), ep.encode()
+            out += struct.pack("<I", len(enb)) + enb
+            out += struct.pack("<I", len(epb)) + epb
     return out
+
+
+def _write_enumeration_file(
+    schema_dir: str, name: str, labels: Sequence[str]
+) -> str:
+    """One v20 enumeration label file under
+    ``__schema/__enumerations/<path>`` — the exact layout
+    _load_enumerations reads back ([u32 version][u32+name][u32+path]
+    [u8 datatype][u32 cell_val_num][u8 ordered][u64 data_size][data]
+    [u64 offsets_size][offsets]); VAR string labels, the only kind the
+    reference maps to ENUM columns.  Returns the relative path for the
+    schema's name→path map."""
+    if not all(isinstance(lb, str) for lb in labels):
+        raise ValueError(f"enumeration {name}: labels must be strings")
+    rel = uuid.uuid4().hex
+    edir = os.path.join(schema_dir, "__enumerations")
+    os.makedirs(edir, exist_ok=True)
+    nb, pb = name.encode(), rel.encode()
+    blobs = [lb.encode() for lb in labels]
+    data = b"".join(blobs)
+    offs, pos = [], 0
+    for b in blobs:
+        offs.append(pos)
+        pos += len(b)
+    payload = struct.pack("<I", 0)
+    payload += struct.pack("<I", len(nb)) + nb
+    payload += struct.pack("<I", len(pb)) + pb
+    payload += struct.pack("<BIB", 12, _VAR, 0)  # STRING_UTF8, var, unordered
+    payload += struct.pack("<Q", len(data)) + data
+    payload += struct.pack("<Q", 8 * len(offs))
+    payload += struct.pack(f"<{len(offs)}Q", *offs)
+    _write_generic_tile(os.path.join(edir, rel), payload)
+    return rel
 
 
 def create_native_array(
@@ -227,6 +306,8 @@ def create_native_array(
     checksum: Optional[str] = None,
     allows_dups: bool = False,
     cell_order: str = "ROW_MAJOR",
+    encryption_key: "Optional[bytes | str]" = None,
+    enumerations: Optional[dict] = None,
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
@@ -247,7 +328,8 @@ def create_native_array(
     ]
     attrs = [
         NativeAttr(a.name, a.dtype_id, a.cell_val_num, a.nullable, a.fill,
-                   filters=a.filters or gz)
+                   filters=a.filters or gz,
+                   enumeration=getattr(a, "enumeration", None))
         for a in attrs
     ]
     co = {"ROW_MAJOR": 0, "COL_MAJOR": 1, "HILBERT": 4}[cell_order]
@@ -265,21 +347,65 @@ def create_native_array(
             "COL_MAJOR cell order: sparse arrays only (the dense reader "
             "iterates row-major space tiles)"
         )
+    # v20 enumerations (CREATE-with-ENUM parity, ha_mytile.cc:1330-1351):
+    # attrs carry name links, labels land as __schema/__enumerations/
+    # files, the blob serializes as version 20 with the name→path map
+    linked = {
+        a.enumeration for a in attrs if getattr(a, "enumeration", None)
+    }
+    enumerations = enumerations or {}
+    unknown = linked - set(enumerations)
+    if unknown:
+        raise ValueError(
+            f"attrs link enumerations with no labels: {sorted(unknown)}"
+        )
+    for en, labels in enumerations.items():
+        dt = _DT[next(
+            a.dtype_id for a in attrs if getattr(a, "enumeration", None) == en
+        )] if en in linked else None
+        if dt and dt[1] in ("c",):
+            raise ValueError("enumeration attrs store integer ordinals")
+        if not labels:
+            raise ValueError(f"enumeration {en}: needs at least one label")
     schema = NativeSchema(
         7, array_type, capacity, list(dims), list(attrs),
         coords_filters=gz, offsets_filters=gz, validity_filters=gz,
         allows_dups=allows_dups, cell_order=co,
     )
     os.makedirs(array_dir, exist_ok=True)
+    if encryption_key is not None:
+        # register BEFORE writing: _write_generic_tile seals the schema
+        # blob (encryption byte = AES_256_GCM) when the key is registered
+        # — CREATE-with-key parity, ha_mytile.cc:817-820.  Key is held in
+        # process memory only, never persisted.
+        from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+            set_encryption_key,
+        )
+
+        set_encryption_key(array_dir, encryption_key)
     # modern (2.3+) directory layout: fragments under __fragments/,
     # commit markers under __commits/ — creating __commits activates the
     # reader's commit gating for every fragment this array will ever hold
     os.makedirs(os.path.join(array_dir, "__fragments"), exist_ok=True)
     os.makedirs(os.path.join(array_dir, "__commits"), exist_ok=True)
-    _write_generic_tile(
-        os.path.join(array_dir, "__array_schema.tdb"),
-        _serialize_schema(schema),
-    )
+    if enumerations:
+        # enum arrays use the timestamped __schema/ layout the v20
+        # fixtures ship (labels resolve relative to the blob's dir)
+        sdir = os.path.join(array_dir, "__schema")
+        os.makedirs(sdir, exist_ok=True)
+        schema.enumeration_paths = {
+            en: _write_enumeration_file(sdir, en, labels)
+            for en, labels in enumerations.items()
+        }
+        _write_generic_tile(
+            os.path.join(sdir, f"__1_1_{uuid.uuid4().hex}"),
+            _serialize_schema(schema),
+        )
+    else:
+        _write_generic_tile(
+            os.path.join(array_dir, "__array_schema.tdb"),
+            _serialize_schema(schema),
+        )
     return parse_array_schema(_schema_path(array_dir))
 
 
@@ -386,7 +512,12 @@ def _write_field_files(
     names d<i>.tdb / a<i>.tdb).  Returns per-tile encoded byte sizes —
     {"data": [...], "var": [...], "var_sizes": [...], "validity": [...]}
     — the numbers the v11+ metadata sections record."""
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        key_for_path,
+    )
+
     base = base or os.path.join(frag, f"{field.name}.tdb")
+    ekey = key_for_path(base)  # encrypted array → seal every data tile
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _nm, _code, elem = _DT[dtype_id]
     nullable = getattr(field, "nullable", False)
@@ -397,7 +528,7 @@ def _write_field_files(
         with open(base[:-4] + "_validity.tdb", "wb") as f:
             for s, e in slices:
                 enc = _encode_chunked(
-                    validity[s:e], schema.validity_filters, elem=1
+                    validity[s:e], schema.validity_filters, elem=1, key=ekey
                 )
                 info["validity"].append(len(enc))
                 f.write(enc)
@@ -419,13 +550,14 @@ def _write_field_files(
                     struct.pack(f"<{len(part)}Q", *part),
                     schema.offsets_filters,
                     elem=8,
+                    key=ekey,
                 )
                 info["data"].append(len(enc))
                 f.write(enc)
         with open(base[:-4] + "_var.tdb", "wb") as f:
             for s, e in slices:
                 raw = b"".join(blobs[s:e])
-                enc = _encode_chunked(raw, field.filters, elem=elem)
+                enc = _encode_chunked(raw, field.filters, elem=elem, key=ekey)
                 info["var"].append(len(enc))
                 info["var_sizes"].append(len(raw))
                 f.write(enc)
@@ -435,7 +567,7 @@ def _write_field_files(
         with open(base, "wb") as f:
             for s, e in slices:
                 enc = _encode_chunked(
-                    packed[s * w : e * w], field.filters, elem=elem
+                    packed[s * w : e * w], field.filters, elem=elem, key=ekey
                 )
                 info["data"].append(len(enc))
                 f.write(enc)
@@ -449,6 +581,7 @@ def write_native_fragment(
     subarray: Optional[Sequence[tuple]] = None,
     ts_range: Optional[tuple[int, int]] = None,
     version: int = 5,
+    encryption_key: "Optional[bytes | str]" = None,
 ) -> str:
     """Append one fragment to an existing native array (INSERT analog,
     flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
@@ -464,7 +597,17 @@ def write_native_fragment(
     the fragment_min_max_sum_null_count tile, processed conditions, and
     a size-era footer with the gt-offsets table — so engine-written
     arrays serve metadata-only aggregates and attribute pruning exactly
-    like the reference's v19 fixtures."""
+    like the reference's v19 fixtures.
+
+    ``encryption_key`` (or a key already registered for this array)
+    seals every data tile and metadata section with AES-256-GCM; a key
+    on an unencrypted array — or none on an encrypted one — fails
+    loudly (open_encryption contract)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        open_encryption,
+    )
+
+    open_encryption(array_dir, encryption_key)
     schema = parse_array_schema(_schema_path(array_dir))
     names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
     if schema.array_type == "DENSE":
@@ -480,6 +623,35 @@ def write_native_fragment(
     if len(set(lengths.values())) != 1:
         raise ValueError(f"ragged columns: {lengths}")
     n = lengths[names[0]]
+    # enum-linked attrs store MariaDB ENUM ordinals (1-based, 0 = '');
+    # accept labels (mapped) or ints (validated) — the INSERT semantics
+    # of ha_mytile's enum columns, inverse of the reader's
+    # _apply_enumeration
+    for a in schema.attrs:
+        en = getattr(a, "enumeration", None)
+        if not en or en not in schema.enumerations:
+            continue
+        ord_of = {lb: i + 1 for i, lb in enumerate(schema.enumerations[en])}
+        ord_of[""] = 0
+        mapped = []
+        for v in columns[a.name]:
+            if v is None:
+                mapped.append(None)
+            elif isinstance(v, str):
+                if v not in ord_of:
+                    raise ValueError(
+                        f"{a.name}: {v!r} is not a label of "
+                        f"enumeration {en}"
+                    )
+                mapped.append(ord_of[v])
+            else:
+                if not 0 <= int(v) <= len(ord_of) - 1:
+                    raise ValueError(
+                        f"{a.name}: ordinal {v} out of range for "
+                        f"enumeration {en}"
+                    )
+                mapped.append(int(v))
+        columns = {**columns, a.name: mapped}
     box = None
     if schema.array_type == "DENSE":
         # dense SUBARRAY write (dense_writes.test): the written box must
@@ -753,9 +925,16 @@ def _write_fragment_footer(
         rpayload = _serialize_rtree(schema, columns, slices)
     else:
         rpayload = b""
-    rtree = _encode_chunked(rpayload, [])
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        key_for_path,
+    )
+
+    ekey = key_for_path(frag)  # encrypted array: seal the R-tree (MBRs
+    # are data-derived); the raw footer stays plaintext like libtiledb's
+    rtree = _encode_chunked(rpayload, [], key=ekey)
     hdr = struct.pack(
-        "<IQQBQB", 5, len(rtree), len(rpayload), 6, 1, 0
+        "<IQQBQB", 5, len(rtree), len(rpayload), 6, 1,
+        1 if ekey is not None else 0,
     ) + struct.pack("<I", 0)
     with open(os.path.join(frag, "__fragment_metadata.tdb"), "wb") as f:
         f.write(hdr + rtree + raw + struct.pack("<Q", 0))
@@ -1056,6 +1235,11 @@ def evolve_native_schema(
         raise ValueError(f"attrs already exist: {clash}")
     if not set(a.name for a in schema.attrs) - drop and not add_attrs:
         raise ValueError("evolution would leave the schema attr-less")
+    if any(getattr(a, "enumeration", None) for a in add_attrs):
+        raise NotImplementedError(
+            "evolving IN a new enumerated attr (existing enum attrs and "
+            "their label files are preserved; create-time only)"
+        )
     gz = [(_F_GZIP, b"")]
     new_attrs = [a for a in schema.attrs if a.name not in drop] + [
         NativeAttr(a.name, a.dtype_id, a.cell_val_num, a.nullable, a.fill,
@@ -1069,6 +1253,10 @@ def evolve_native_schema(
         validity_filters=schema.validity_filters or gz,
         allows_dups=schema.allows_dups,
         tile_order=schema.tile_order, cell_order=schema.cell_order,
+        # kept enum attrs retain their links; the label files already
+        # live in __schema/__enumerations/ and the new blob lands beside
+        # them, so name→path resolution is unchanged
+        enumeration_paths=schema.enumeration_paths,
     )
     sdir = os.path.join(array_dir, "__schema")
     os.makedirs(sdir, exist_ok=True)
@@ -1100,10 +1288,15 @@ def evolve_native_schema(
 # ---------------------------------------------------------------------------
 
 
-def _gtile_bytes(payload: bytes, version: int) -> bytes:
-    chunked = _encode_chunked(payload, [])
+def _gtile_bytes(
+    payload: bytes, version: int, key: Optional[bytes] = None
+) -> bytes:
+    chunked = _encode_chunked(payload, [], key=key)
     return (
-        struct.pack("<IQQBQB", version, len(chunked), len(payload), 4, 1, 0)
+        struct.pack(
+            "<IQQBQB", version, len(chunked), len(payload), 4, 1,
+            1 if key is not None else 0,
+        )
         + struct.pack("<I", 0)
         + chunked
     )
@@ -1175,13 +1368,20 @@ def _write_fragment_metadata_v19(
     fields.update({d.name: d for d in schema.dims})
     _nmcode = {nm: _DT[fields[nm].dtype_id][1] for nm in fields}
 
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+        key_for_path,
+    )
+
+    ekey = key_for_path(frag)  # encrypted array: every metadata section
+    # gtile (R-tree MBRs, tile min/max/sum — all data-derived) is sealed;
+    # only the raw offsets footer stays plaintext (libtiledb parity)
     tiles: list[bytes] = []
     offsets: list[int] = []
     pos = 0
 
     def add(payload: bytes) -> int:
         nonlocal pos
-        b = _gtile_bytes(payload, version)
+        b = _gtile_bytes(payload, version, key=ekey)
         tiles.append(b)
         offsets.append(pos)
         pos += len(b)

@@ -2889,3 +2889,106 @@ SPECS.append(
         "re-answers from the first fragment",
     )
 )
+
+
+# --- q308: AES-256-GCM encrypted native array, distributed round-trip -------
+# The reference's encryption_key table option at the STORAGE-FORMAT
+# level (ha_mytile.cc:75,792-795,817-820; t/encryption.test): orders
+# rows land in an encrypted native array via the distributed connector
+# (every fragment's data tiles, R-tree and stats sections sealed with
+# AES-256-GCM; key rides the pickled backend, never the disk), a no-key
+# open is proven to FAIL, then a keyed distributed range+condition read
+# feeds the aggregate DuckDB recomputes from the source parquet.
+def q308_native_encryption(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import tiledb_mariadb_spark.sources.tiledb_native_crypto as _cr  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_native_array,
+    )
+
+    key = "q308-demo-key-0123456789abcdef01"  # 32 bytes, spec-pinned
+    uri = tempfile.mkdtemp(prefix="q308_enc_") + "/orders_enc"
+    NativeDecoderBackend(encryption_key=key).create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("o_orderkey", "bigint", (0, 60_000_000))],
+            attrs=[
+                AttrInfo("price_cents", "bigint", False),
+                AttrInfo("o_custkey", "bigint", False),
+            ],
+        ),
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+        )
+    )
+    write_array(src.repartition(4), uri, encryption_key=key)
+    # negative gate (t/encryption.test): with the key dropped from this
+    # process, the array must NOT open — ciphertext, not obscurity
+    _cr.clear_encryption_key(uri)
+    try:
+        read_native_array(uri)
+        raise AssertionError("encrypted array opened without a key")
+    except ValueError:
+        pass
+    df = read_array(
+        spark,
+        uri,
+        encryption_key=key,
+        dim_ranges={"o_orderkey": (0, 3000)},
+        conditions=[("price_cents", ">", 0)],
+        target_splits=8,
+    )
+    return (
+        df.groupBy((F.col("o_custkey") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q308_SQL = """
+SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey <= 3000
+  AND CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) > 0
+GROUP BY 1
+ORDER BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q308_native_encryption",
+        q308_native_encryption,
+        Q308_SQL,
+        "AES-256-GCM encrypted native array: distributed keyed "
+        "write+read through the connector (sealed data tiles, R-tree "
+        "and stats; no-key open proven to fail), aggregate checked "
+        "against DuckDB on the source parquet",
+    )
+)
