@@ -111,6 +111,8 @@ def test_no_python_udf_in_any_plan(spark):
         # mapInPandas: same declared boundary
         "q308_native_encryption",  # encrypted connector write+read:
         # same declared native-io boundary (AES-GCM inside the task)
+        "q309_native_enum_write",  # enum-label connector write+read:
+        # same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -397,8 +397,11 @@ def create_native_array(
             en: _write_enumeration_file(sdir, en, labels)
             for en, labels in enumerations.items()
         }
+        # __0_0_ prefix: the same oldest-entry convention evolve's flat-
+        # blob migration uses, so a later evolution's 13-digit-timestamp
+        # blob lexicographically (= numerically) wins newest-selection
         _write_generic_tile(
-            os.path.join(sdir, f"__1_1_{uuid.uuid4().hex}"),
+            os.path.join(sdir, f"__0_0_{uuid.uuid4().hex}"),
             _serialize_schema(schema),
         )
     else:

@@ -2992,3 +2992,100 @@ SPECS.append(
         "against DuckDB on the source parquet",
     )
 )
+
+
+# --- q309: writer-side v20 enumerations, ENUM-column round trip -------------
+# CREATE-with-ENUM parity (ha_mytile.cc:1330-1351; t/enum.test): the
+# ENGINE creates a v20 array whose priority attr links an enumeration
+# (label files under __schema/__enumerations/, 1-based ordinals on
+# disk), orders rows write their label STRINGS through the distributed
+# connector (mapped to ordinals per MariaDB ENUM insert semantics), and
+# a label predicate + aggregate reads back through the same connector —
+# all checked against DuckDB on the source parquet.  The reader here is
+# the identical v20 path that decodes the committed enum_array fixture,
+# so write→read is byte-compatible by construction.
+PRIORITY_LABELS = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def q309_native_enum_write(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        parse_array_schema,
+        _schema_path,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q309_enum_") + "/orders_enum"
+    create_native_array(
+        uri,
+        dims=[NativeDim("o_orderkey", 1, 1, (0, 60_000_000), None)],
+        attrs=[
+            NativeAttr("prio", 6, 1, False, None, enumeration="priorities"),
+            NativeAttr("price_cents", 1, 1, False, None),
+        ],
+        enumerations={"priorities": PRIORITY_LABELS},
+    )
+    sch = parse_array_schema(_schema_path(uri))
+    assert sch.version == 20 and sch.enumerations["priorities"], (
+        "v20 enumeration blob did not round-trip"
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),  # label strings
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    write_array(src.repartition(4), uri)
+    # label predicate pushes through the connector (enum attrs READ as
+    # their labels, so the pushed condition compares labels)
+    df = read_array(
+        spark, uri, conditions=[("prio", "!=", "3-MEDIUM")], target_splits=8
+    )
+    return (
+        df.groupBy("prio")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_cents"),
+        )
+        .orderBy("prio")
+    )
+
+
+Q309_SQL = """
+SELECT o_orderpriority AS prio,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey <= 4000 AND o_orderpriority <> '3-MEDIUM'
+GROUP BY 1
+ORDER BY prio
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q309_native_enum_write",
+        q309_native_enum_write,
+        Q309_SQL,
+        "engine-created v20 enumeration array: order priorities written "
+        "as labels through the distributed connector (stored as 1-based "
+        "ordinals), label predicate + aggregate read back, checked "
+        "against DuckDB on the source parquet",
+    )
+)
