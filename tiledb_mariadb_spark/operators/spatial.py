@@ -164,3 +164,135 @@ def st_intersects_points(
     return pre.withColumn(
         "st_intersects", pip(F.col(x), F.col(y), F.lit(polygon_wkb))
     )
+
+
+# --- polygon-polygon exact intersect + native-array spatial pushdown --------
+
+
+def _point_in_ring(px: float, py: float, ring) -> bool:
+    """Even-odd point-in-polygon, boundary-inclusive enough for the
+    non-degenerate inputs the specs generate."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _segments_cross(a, b, c, d) -> bool:
+    """Proper + touching segment intersection (OGC intersects counts a
+    shared boundary point)."""
+
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(p, q, r):
+        return (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        )
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (
+        (o1 == 0 and on_seg(a, b, c))
+        or (o2 == 0 and on_seg(a, b, d))
+        or (o3 == 0 and on_seg(c, d, a))
+        or (o4 == 0 and on_seg(c, d, b))
+    )
+
+
+def polygons_intersect(ring_a, ring_b) -> bool:
+    """Exact ST_Intersects for two SIMPLE polygons (outer rings):
+    true iff any edge pair intersects or one polygon contains a vertex
+    of the other — the standard decomposition, O(|a|*|b|) edges, which
+    is constant-bounded for the rectangle/triangle geometries the
+    reference's spatial tests use."""
+    ring_a = ring_a[:-1] if ring_a and ring_a[0] == ring_a[-1] else ring_a
+    ring_b = ring_b[:-1] if ring_b and ring_b[0] == ring_b[-1] else ring_b
+    if not ring_a or not ring_b:
+        return False
+    na, nb = len(ring_a), len(ring_b)
+    for i in range(na):
+        for j in range(nb):
+            if _segments_cross(
+                ring_a[i], ring_a[(i + 1) % na],
+                ring_b[j], ring_b[(j + 1) % nb],
+            ):
+                return True
+    return _point_in_ring(*ring_a[0], ring_b) or _point_in_ring(
+        *ring_b[0], ring_a
+    )
+
+
+def wkb_polygons_intersect_udf():
+    """Vectorized stored-WKB vs query-WKB exact intersect (the residual
+    the reference evaluates after its MBR pushdown,
+    mytile/ha_mytile.cc:2312-2507 cond_push_func_spatial)."""
+    import pandas as pd  # noqa: PLC0415
+
+    @F.pandas_udf("boolean")
+    def _isect(blobs: pd.Series, qblobs: pd.Series) -> pd.Series:
+        out = []
+        for b, q in zip(blobs, qblobs):
+            out.append(
+                polygons_intersect(
+                    parse_wkb_polygon(bytes(b)), parse_wkb_polygon(bytes(q))
+                )
+            )
+        return pd.Series(out)
+
+    return _isect
+
+
+def st_intersects_native(
+    spark,
+    uri: str,
+    query_wkb: bytes,
+    x: str,
+    y: str,
+    geom: str,
+    pad: float = 0.0,
+    columns=None,
+    encryption_key=None,
+) -> DataFrame:
+    """ST_Intersects over a NATIVE array with the reference's two-tier
+    split (cond_push_func_spatial, mytile/ha_mytile.cc:2312-2507): the
+    query geometry's MBR — padded by the caller's bound on stored-
+    geometry half-extent, since the dims index CENTROIDS
+    (t/spatial_index.test's _X/_Y) — becomes DIM RANGES pushed into the
+    connector, so splits outside the box never become tasks and inside
+    each task only the covering chunks decode; the EXACT polygon-polygon
+    test then runs on the stored WKB column as the residual.  Returns
+    the pre-filtered rows with an exact ``st_intersects`` boolean —
+    residual-exactness preserved, the MBR tier can only over-select."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+
+    pts = parse_wkb_polygon(query_wkb)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    cols = None if columns is None else list(set(columns) | {geom})
+    pre = read_array(
+        spark,
+        uri,
+        columns=cols,
+        dim_ranges={
+            x: (min(xs) - pad, max(xs) + pad),
+            y: (min(ys) - pad, max(ys) + pad),
+        },
+        encryption_key=encryption_key,
+    )
+    isect = wkb_polygons_intersect_udf()
+    return pre.withColumn(
+        "st_intersects", isect(F.col(geom), F.lit(query_wkb))
+    )

@@ -456,6 +456,110 @@ def register_tiledb_native(spark) -> None:
     spark.dataSource.register(TileDBNativeDataSource)
 
 
+_STATS_DDL = (
+    "column string, cnt bigint, min_num double, max_num double, "
+    "sum_num double, null_count bigint, min_str string, max_str string"
+)
+
+
+def sql_stats_table_from_array(
+    spark, table_name: str, uri: str, at=None, encryption_key=None
+) -> str:
+    """COUNT/MIN/MAX/SUM/NULL_COUNT of a native array as a SQL table
+    WITHOUT scanning it — group_by_handler parity
+    (mytile/ha_mytile.cc:607-715, which answers these aggregates from
+    storage before the executor runs).  The Python DataSource API has no
+    SupportsPushDownAggregates hook, so ``SELECT COUNT(*) FROM <view>``
+    over the format full-scans; THIS is the documented fast path: one
+    row per column, answered entirely from fragment metadata (footer
+    COUNT + fmmsn stats — zero data tiles decoded).
+
+    Returns ``'metadata'`` when the trust rules allowed a metadata-only
+    answer, else ``'scan'``: the same view computed by a distributed
+    scan+aggregate through the registered format (the honest fallback
+    when deletes/dense/overlap make per-fragment stats unmergeable).
+    Stats a path cannot serve are NULL, never guessed: string columns
+    fill min_str/max_str, numerics min_num/max_num/sum_num, null_count
+    only for nullable attributes."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _DT,
+        attr_stats_native_array,
+        count_native_array,
+        open_encryption,
+        parse_array_schema,
+        _schema_path,
+    )
+
+    if encryption_key is not None:
+        open_encryption(uri, encryption_key)
+    cnt = count_native_array(uri, at=at)
+    st = attr_stats_native_array(uri, at=at)
+    schema = parse_array_schema(_schema_path(uri))
+    fields = list(schema.dims) + list(schema.attrs)
+    if cnt is not None and st is not None:
+        rows = []
+        for f in fields:
+            s = st.get(f.name) or {}
+            is_str = _DT[f.dtype_id][1] == "c"
+            has_mm = "min" in s
+            rows.append((
+                f.name,
+                cnt,
+                float(s["min"]) if has_mm and not is_str else None,
+                float(s["max"]) if has_mm and not is_str else None,
+                float(s["sum"]) if "sum" in s else None,
+                int(s["null_count"]) if "null_count" in s else None,
+                str(s["min"]) if has_mm and is_str else None,
+                str(s["max"]) if has_mm and is_str else None,
+            ))
+        spark.createDataFrame(rows, _STATS_DDL).createOrReplaceTempView(
+            table_name
+        )
+        return "metadata"
+    # fallback: identical view shape from a distributed scan+aggregate
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    reader = spark.read.format("tiledb_native").option("path", uri)
+    if at is not None:
+        reader = reader.option("at", str(at))
+    if encryption_key is not None:
+        reader = reader.option("encryption_key", encryption_key)
+    register_tiledb_native(spark)
+    df = reader.load()
+    nullable_attrs = {a.name for a in schema.attrs if a.nullable}
+    parts = []
+    for f in fields:
+        is_str = _DT[f.dtype_id][1] == "c"
+        # fixed multi-value (array-typed) cells carry no orderable stats
+        is_num = f.cell_val_num == 1 and not is_str
+        c = F.col(f.name)
+        parts.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.count(F.lit(1)).alias("cnt"),
+                (F.min(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("min_num"),
+                (F.max(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("max_num"),
+                (F.sum(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("sum_num"),
+                (F.sum(F.when(c.isNull(), 1).otherwise(0))
+                 if f.name in nullable_attrs
+                 else F.lit(None).cast("bigint")).alias("null_count"),
+                (F.min(c).cast("string") if is_str
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.max(c).cast("string") if is_str
+                 else F.lit(None).cast("string")).alias("max_str"),
+            ).alias(f.name)
+        )
+    one = df.agg(*parts)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(f.name) for f in fields])).alias("s")
+    ).select("s.*")
+    stacked.createOrReplaceTempView(table_name)
+    return "scan"
+
+
 def sql_table_from_array(spark, table_name: str, uri: str, **options) -> None:
     """SQL-surface registration — the ``CREATE TABLE ... ENGINE=mytile
     uri='...'`` analog: the bare array becomes a plain SQL table name

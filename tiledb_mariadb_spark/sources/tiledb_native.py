@@ -308,6 +308,11 @@ for _i in range(18, 31):  # DATETIME_YEAR .. DATETIME_AS: int64 ticks
     _DT[_i] = (f"datetime_{_i}", "q", 8)
 _DT[39] = ("blob", "B", 1)
 _DT[40] = ("bool", "B", 1)
+# 2.21+ geometry types (tiledb.h): WKB rides as binary, WKT as text —
+# the reference maps both to MariaDB GEOMETRY (mytile/mytile.cc:192-193,
+# 773-774; mytile.h:130-132 sizes them like BLOB)
+_DT[41] = ("geom_wkb", "B", 1)
+_DT[42] = ("geom_wkt", "c", 1)
 
 
 class NativeDim:
@@ -1195,14 +1200,18 @@ def _fill_value(attr):
     if attr.nullable:
         return None
     if attr.fill:
-        if attr.dtype_id in (4, 11, 12):
+        if attr.dtype_id in (4, 11, 12, 42):
             return attr.fill.decode("utf-8", errors="replace")
+        if attr.dtype_id in (39, 41):
+            return bytes(attr.fill)
         vals = _typed_cells(attr.fill, attr.dtype_id)
         if attr.cell_val_num != 1:  # fixed multi-value AND var: list cell
             return list(vals)
         return vals[0] if vals else 0
-    if attr.dtype_id in (4, 11, 12):
+    if attr.dtype_id in (4, 11, 12, 42):
         return ""
+    if attr.dtype_id in (39, 41):
+        return b""
     if attr.cell_val_num == 0xFFFFFFFF:
         return []
     if attr.cell_val_num != 1:
@@ -1240,8 +1249,10 @@ def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
         )
         bounds = [int(o) for o in offs] + [len(var)]
         blobs = [var[bounds[i] : bounds[i + 1]] for i in range(len(offs))]
-        if dtype_id in (4, 11, 12):
+        if dtype_id in (4, 11, 12, 42):
             vals = [b.decode("utf-8", errors="replace") for b in blobs]
+        elif dtype_id in (39, 41):  # var blob / WKB geometry: raw bytes
+            vals = [bytes(b) for b in blobs]
         else:
             vals = [_typed_cells(b, dtype_id) for b in blobs]
     else:
@@ -1583,8 +1594,10 @@ def _read_field_span(
         )
         bounds = [o - start for o in offs] + [end - start]
         blobs = [var[bounds[i] : bounds[i + 1]] for i in range(len(offs))]
-        if dtype_id in (4, 11, 12):
+        if dtype_id in (4, 11, 12, 42):
             vals = [b.decode("utf-8", errors="replace") for b in blobs]
+        elif dtype_id in (39, 41):  # var blob / WKB geometry: raw bytes
+            vals = [bytes(b) for b in blobs]
         else:
             vals = [_typed_cells(b, dtype_id) for b in blobs]
     else:
@@ -2132,6 +2145,7 @@ _SPARK_TYPE = {
     0: "int", 1: "bigint", 2: "float", 3: "double", 4: "string",
     5: "tinyint", 6: "smallint", 7: "smallint", 8: "int", 9: "bigint",
     10: "bigint", 11: "string", 12: "string", 39: "binary", 40: "boolean",
+    41: "binary", 42: "string",
 }
 
 # DATETIME tick -> microseconds-since-epoch conversion, pinned against the

@@ -65,6 +65,8 @@ _DDL_TO_DT = {
     "long": (1, False), "float": (2, False), "double": (3, False),
     "tinyint": (5, False), "smallint": (7, False), "boolean": (40, False),
     "string": (12, True), "binary": (39, True),
+    # MariaDB GEOMETRY columns land as WKB blobs (mytile/mytile.cc:70,134)
+    "geometry": (41, True),
 }
 
 
@@ -413,7 +415,7 @@ def create_native_array(
 
 
 def _to_bytes_cell(v: Any, dtype_id: int) -> bytes:
-    if dtype_id in (4, 11, 12):
+    if dtype_id in (4, 11, 12, 42):  # char/UTF-8/WKT text
         return v.encode() if isinstance(v, str) else bytes(v)
     return bytes(v)
 
@@ -538,7 +540,7 @@ def _write_field_files(
     if cvn == _VAR:
         blobs = [
             b"" if v is None else _to_bytes_cell(v, dtype_id)
-            if dtype_id in (4, 11, 12, 39)
+            if dtype_id in (4, 11, 12, 39, 41, 42)
             else _pack_fixed(v, dtype_id, 1)
             for v in vals
         ]

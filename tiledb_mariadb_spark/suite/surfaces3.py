@@ -3089,3 +3089,115 @@ SPECS.append(
         "against DuckDB on the source parquet",
     )
 )
+
+
+# --- q310: metadata-aggregate fast path on the SQL surface ------------------
+# group_by_handler parity (mytile/ha_mytile.cc:607-715): the Python
+# DataSource API has no SupportsPushDownAggregates, so the documented
+# fast path is sql_stats_table_from_array — COUNT/MIN/MAX/SUM of every
+# column as a SQL view answered ENTIRELY from fragment metadata.  The
+# spec PROVES zero data-tile decode the way test_count_is_metadata_only
+# does: every decode entry point is poisoned while the view is built.
+# DuckDB recomputes the same aggregates from the source parquet.
+def q310_native_stats_sql(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import tiledb_mariadb_spark.sources.tiledb_native as tn  # noqa: PLC0415
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        sql_stats_table_from_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q310_stats_") + "/orders_stats"
+    # allows_dups: fragment stats merge without the disjoint-NED proof
+    # (duplicate coordinates are kept, so per-fragment sums are exact)
+    create_native_array(
+        uri,
+        dims=[NativeDim("o_orderkey", 1, 1, (0, 60_000_000), None)],
+        attrs=[
+            NativeAttr("price_cents", 1, 1, False, None),
+            NativeAttr("o_custkey", 1, 1, False, None),
+        ],
+        allows_dups=True,
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+        )
+    )
+    write_array(src.repartition(4), uri)
+    # poison every tile-decode entry point: the view must still build
+    poisoned = ["_read_field", "read_tile_file", "read_byte_span",
+                "read_native_array", "read_native_array_range"]
+    saved = {n: getattr(tn, n) for n in poisoned}
+
+    def _boom(*_a, **_k):
+        raise AssertionError("tile decode reached from the stats path")
+
+    try:
+        for n in poisoned:
+            setattr(tn, n, _boom)
+        mode = sql_stats_table_from_array(spark, "q310_stats", uri)
+    finally:
+        for n, fn in saved.items():
+            setattr(tn, n, fn)
+    assert mode == "metadata", f"stats path fell back to {mode}"
+    return spark.sql(
+        "SELECT column AS col_name, cnt, min_num, max_num, sum_num "
+        "FROM q310_stats ORDER BY col_name"
+    )
+
+
+Q310_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+           AS price_cents,
+         CAST(o_custkey AS BIGINT) AS o_custkey
+  FROM orders WHERE o_orderkey <= 4000
+)
+SELECT col_name, cnt, min_num, max_num, sum_num FROM (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS cnt,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+         CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+         CAST(CAST(SUM(o_orderkey) AS BIGINT) AS DOUBLE) AS sum_num
+  FROM s
+  UNION ALL
+  SELECT 'price_cents', COUNT(*), CAST(MIN(price_cents) AS DOUBLE),
+         CAST(MAX(price_cents) AS DOUBLE),
+         CAST(CAST(SUM(price_cents) AS BIGINT) AS DOUBLE)
+  FROM s
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), CAST(MIN(o_custkey) AS DOUBLE),
+         CAST(MAX(o_custkey) AS DOUBLE),
+         CAST(CAST(SUM(o_custkey) AS BIGINT) AS DOUBLE)
+  FROM s
+) ORDER BY col_name
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q310_native_stats_sql",
+        q310_native_stats_sql,
+        Q310_SQL,
+        "SQL-surface metadata aggregates (group_by_handler parity): "
+        "sql_stats_table_from_array answers COUNT/MIN/MAX/SUM from "
+        "fragment metadata with every tile-decode entry point poisoned, "
+        "checked against DuckDB on the source parquet",
+    )
+)
