@@ -113,6 +113,8 @@ def test_no_python_udf_in_any_plan(spark):
         # same declared native-io boundary (AES-GCM inside the task)
         "q309_native_enum_write",  # enum-label connector write+read:
         # same declared native-io boundary
+        "q311_native_spatial",  # native connector scan + the declared
+        # WKB residual pandas_udf (spatial exact tier)
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -183,3 +183,119 @@ SPECS = [
         "ST_Contains / ST_Within / ST_Distance residual-tier GIS surface",
     ),
 ]
+
+
+# --- q311: spatial pushdown over a NATIVE array (t/spatial_index.test) ------
+# The reference's cond_push_func_spatial (mytile/ha_mytile.cc:2312-2507)
+# turns a query geometry's MBR into dimension ranges on the centroid
+# dims _X/_Y, then evaluates the exact predicate on the stored WKB.
+# Here: customer-derived RECTANGLES land in an engine-created native
+# array (double centroid dims + a GEOM_WKB attr built inside the
+# distributed writer), st_intersects_native pushes the padded query MBR
+# as dim ranges (split pruning) and the exact polygon-polygon residual
+# runs on the decoded WKB.  Rectangle geometry makes the ORACLE exact
+# SQL: ST_Intersects(rect, rect) = strict interval overlap on both axes
+# (coordinates engineered so no boundary ever ties).
+_Q311_QUERY = (100.5, 100.5, 300.5, 300.5)  # query rectangle
+_Q311_PAD = 4.5  # >= max stored half-extent (hw<=3.5, hh<=2.5)
+
+
+def q311_native_spatial(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.operators.spatial import (  # noqa: PLC0415
+        make_wkb_polygon,
+        st_intersects_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q311_spatial_") + "/buildings"
+    create_native_array(
+        uri,
+        dims=[
+            NativeDim("cx", 3, 1, (0.0, 2000.0), None),
+            NativeDim("cy", 3, 1, (0.0, 2000.0), None),
+        ],
+        attrs=[
+            NativeAttr("ckey", 1, 1, False, None),
+            NativeAttr("wkb_geometry", 41, 0xFFFFFFFF, False, None),
+        ],
+        allows_dups=True,
+    )
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 4000)
+        .select(
+            F.col("c_custkey").cast("long").alias("ckey"),
+            ((F.col("c_custkey") * 37 % 1000) + F.lit(0.25)).alias("cx"),
+            ((F.col("c_custkey") * 73 % 1000) + F.lit(0.25)).alias("cy"),
+            ((F.col("c_custkey") % 7 + 1) * F.lit(0.5)).alias("hw"),
+            ((F.col("c_custkey") % 5 + 1) * F.lit(0.5)).alias("hh"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def _rect_wkb(cx, cy, hw, hh):
+        import pandas as pd  # noqa: PLC0415
+
+        return pd.Series(
+            [
+                make_wkb_polygon(
+                    [(x - w, y - h), (x + w, y - h), (x + w, y + h),
+                     (x - w, y + h)]
+                )
+                for x, y, w, h in zip(cx, cy, hw, hh)
+            ]
+        )
+
+    rows = src.select(
+        "cx", "cy", "ckey",
+        _rect_wkb("cx", "cy", "hw", "hh").alias("wkb_geometry"),
+    ).repartition(4)
+    write_array(rows, uri)
+    qx1, qy1, qx2, qy2 = _Q311_QUERY
+    qwkb = make_wkb_polygon([(qx1, qy1), (qx2, qy1), (qx2, qy2), (qx1, qy2)])
+    out = st_intersects_native(
+        spark, uri, qwkb, "cx", "cy", "wkb_geometry", pad=_Q311_PAD
+    )
+    return (
+        out.filter(F.col("st_intersects"))
+        .select("ckey")
+        .orderBy("ckey")
+    )
+
+
+Q311_SQL = f"""
+WITH rects AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ckey,
+         (c_custkey * 37 % 1000) + 0.25 AS cx,
+         (c_custkey * 73 % 1000) + 0.25 AS cy,
+         (c_custkey % 7 + 1) * 0.5 AS hw,
+         (c_custkey % 5 + 1) * 0.5 AS hh
+  FROM customer WHERE c_custkey <= 4000)
+SELECT ckey FROM rects
+WHERE cx - hw < {_Q311_QUERY[2]} AND cx + hw > {_Q311_QUERY[0]}
+  AND cy - hh < {_Q311_QUERY[3]} AND cy + hh > {_Q311_QUERY[1]}
+ORDER BY ckey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q311_native_spatial",
+        q311_native_spatial,
+        Q311_SQL,
+        "spatial pushdown over a native array (cond_push_func_spatial "
+        "parity): query-MBR dim ranges prune splits, exact "
+        "polygon-polygon residual on the stored GEOM_WKB attr; oracle = "
+        "strict interval overlap on the rectangle corners in DuckDB",
+    )
+)
