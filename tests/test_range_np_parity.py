@@ -1,0 +1,125 @@
+"""Columnar fast path ⇄ row path equivalence.
+
+`read_native_array_range_np` must be OBSERVATIONALLY IDENTICAL to
+`read_native_array_range` wherever it claims eligibility — same rows,
+same order, same values — across overlapping fragments (newest-wins),
+allows_dups, time travel, ranges, projections, stats-refutation skips,
+and evolution fills.  Randomized scenarios pin it.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+    read_native_array_range,
+    read_native_array_range_np,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_delete_condition,
+    write_native_fragment,
+)
+
+
+def _assert_same(d, **kw):
+    names_s, rows = read_native_array_range(d, **kw)
+    fast = read_native_array_range_np(d, **kw)
+    assert fast is not None, "expected fast-path eligibility"
+    names_f, arrs = fast
+    assert names_s == names_f
+    assert len(rows) == len(arrs[names_f[0]])
+    for j, nm in enumerate(names_f):
+        got = np.asarray(arrs[nm])
+        want = np.array([r[j] for r in rows], dtype=got.dtype)
+        assert np.array_equal(got, want), nm
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_fragments_parity(tmp_path, seed):
+    rng = random.Random(seed)
+    dups = rng.random() < 0.4
+    d = str(tmp_path / f"a{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [
+            NativeAttr("v", 3, 1, False, None),
+            NativeAttr("w", 7, 1, False, None),  # int16
+        ],
+        allows_dups=dups,
+        capacity=64,
+    )
+    for ts in (100, 200, 300):
+        n = rng.randint(1, 400)
+        keys = sorted(rng.sample(range(0, 2000), n))
+        write_native_fragment(
+            d,
+            {
+                "k": keys,
+                "v": [kk * 0.5 for kk in keys],
+                "w": [kk % 1000 for kk in keys],
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    _assert_same(d)
+    _assert_same(d, ranges=[(50, 1500)])
+    _assert_same(d, ranges=[(None, 700)], columns=["w"])
+    _assert_same(d, at=250)  # time travel: first two fragments only
+    # stats refutation as a skip proof (v19 fragments prune, v5 decode)
+    _assert_same(d, prune_conditions=[("w", ">", 10)])
+    # empty result window
+    _assert_same(d, ranges=[(50000, 60000)])
+
+
+def test_evolution_fill_parity(tmp_path):
+    import struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        evolve_native_schema,
+    )
+
+    d = str(tmp_path / "evo")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 1000), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"k": [1, 2, 3], "v": [10, 20, 30]}, ts=100)
+    evolve_native_schema(
+        d, add_attrs=[NativeAttr("z", 1, 1, False, struct.pack("<q", -7))]
+    )
+    write_native_fragment(d, {"k": [5], "v": [50], "z": [500]}, ts=200)
+    _assert_same(d)
+    _assert_same(d, ranges=[(1, 3)])
+
+
+def test_fallbacks_are_none(tmp_path):
+    """Shapes the fast path must DECLINE: deletes, var attrs, nullable
+    attrs, multi-dim — the row path owns their semantics."""
+    d = str(tmp_path / "fb")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 1000), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(d, {"k": [1, 2], "v": [10, 20]}, ts=100)
+    assert read_native_array_range_np(d) is not None
+    write_delete_condition(d, [("v", "=", 10)], ts=150)
+    assert read_native_array_range_np(d) is None  # deletes → row path
+    d2 = str(tmp_path / "fb2")
+    create_native_array(
+        d2, [NativeDim("k", 1, 1, (0, 1000), None)],
+        [NativeAttr("s", 12, 0xFFFFFFFF, False, None)],
+    )
+    write_native_fragment(d2, {"k": [1], "s": ["x"]})
+    assert read_native_array_range_np(d2) is None  # var attr
+    d3 = str(tmp_path / "fb3")
+    create_native_array(
+        d3,
+        [NativeDim("x", 1, 1, (0, 10), 5), NativeDim("y", 1, 1, (0, 10), 5)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    assert read_native_array_range_np(d3) is None  # multi-dim

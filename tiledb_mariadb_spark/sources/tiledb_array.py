@@ -331,6 +331,7 @@ class NativeDecoderBackend(ArrayBackend):
 
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
             read_native_array_range,
+            read_native_array_range_np,
         )
 
         self._reg(uri)
@@ -339,14 +340,25 @@ class NativeDecoderBackend(ArrayBackend):
         # covering this split's cell span are read and decompressed
         # (read_byte_span), so per-task work is O(split) not O(fragment)
         need = set(columns) | {c[0] for c in conditions or []}
-        names, rows = read_native_array_range(
+        # columnar fast path first: numeric single-dim sparse arrays come
+        # back as whole numpy columns (no per-cell python work); None =
+        # shape outside the fast path, identical row-path semantics
+        fast = read_native_array_range_np(
             uri, ranges=list(ranges), columns=list(need), at=at,
-            # conditions double as fragment-skip PROOFS: a v11+ fragment
-            # whose min/max stats refute a conjunct decodes zero chunks
-            # (the filter below still applies to whatever was read)
             prune_conditions=list(conditions) if conditions else None,
         )
-        pdf = pd.DataFrame(rows, columns=names)
+        if fast is not None:
+            names, arrays = fast
+            pdf = pd.DataFrame({nm: arrays[nm] for nm in names})
+        else:
+            names, rows = read_native_array_range(
+                uri, ranges=list(ranges), columns=list(need), at=at,
+                # conditions double as fragment-skip PROOFS: a v11+
+                # fragment whose min/max stats refute a conjunct decodes
+                # zero chunks (the filter below applies to whatever read)
+                prune_conditions=list(conditions) if conditions else None,
+            )
+            pdf = pd.DataFrame(rows, columns=names)
         out = _apply_conditions(pdf, conditions)
         cols = [c for c in columns if c in out.columns]
         if len(out) == 0:

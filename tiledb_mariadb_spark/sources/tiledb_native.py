@@ -1099,6 +1099,8 @@ def _apply_deletes(rows_ts: list[tuple], names: list[str], dels: list):
     is removed iff some delete at ``dts`` has writer_ts <= dts AND the
     row matches its conditions — deletes only affect cells written at or
     before them, so later re-inserts survive."""
+    if not dels:  # the common case: no per-row dict/any work at all
+        return [row for row, _wts in rows_ts]
     out = []
     for row, wts in rows_ts:
         rm = dict(zip(names, row))
@@ -1658,6 +1660,173 @@ class _SortedCellView:
         ci = _b.bisect_right(self._cum, byte) - 1
         vals = self._chunk_vals(ci)
         return vals[(byte - self._cum[ci]) // self._elem]
+
+
+# numpy dtype strings for the fixed-width scalar ids the columnar fast
+# path serves (datetimes/bool/char stay on the row path — their output
+# conversion rules live there)
+_NP_DT = {
+    0: "<i4", 1: "<i8", 2: "<f4", 3: "<f8", 5: "<i1", 6: "<u1",
+    7: "<i2", 8: "<u2", 9: "<u4", 10: "<u8",
+}
+
+
+def read_native_array_range_np(
+    array_dir: str,
+    ranges: list[tuple] | None = None,
+    columns: list[str] | None = None,
+    at: int | None = None,
+    prune_conditions: list | None = None,
+):
+    """Vectorized COLUMNAR twin of :func:`read_native_array_range` for
+    the shape that dominates analytic scans: a SPARSE single-dimension
+    array of fixed-width scalar numeric fields, no visible deletes.
+    Returns ``(names, {name: np.ndarray})`` — or None when the array is
+    outside the fast path, in which case callers fall back to the
+    row-tuple reader (identical semantics).
+
+    Why it exists: profiling (BASELINE.md round-5 probe) shows the
+    per-cell cost of a scan is ~95% python row-tuple construction and
+    newest-wins dict bookkeeping, not codec work.  Here every step is a
+    numpy array op — frombuffer on the span-decoded bytes, boolean range
+    mask, stable argsort + shifted-compare dedup for newest-wins — so
+    the connector's mapInPandas tasks hand Arrow whole columns.
+
+    Semantics parity (hash-checked by the full driver sim):
+    - fragment visibility/pruning identical (commit gates, ``at``,
+      footer overlap, stats refutation via ``prune_conditions``);
+    - per-fragment bisect span for coords AND attrs keeps per-task
+      bytes O(split); the range mask re-checks every cell, so the
+      bisect stays advisory exactly like the row path;
+    - newest-wins: fragments decode oldest→newest, a STABLE argsort on
+      the coordinate keeps that order within equal keys, and keeping
+      the LAST occurrence of each key reproduces the row path's
+      overwrite order (allows_dups keeps every occurrence, same sort);
+    - evolved-in attrs materialize their fill value."""
+    import numpy as np  # noqa: PLC0415
+
+    schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type != "SPARSE" or len(schema.dims) != 1:
+        return None
+    d0 = schema.dims[0]
+    if d0.dtype_id not in _NP_DT or d0.cell_val_num != 1:
+        return None
+    want = [
+        a for a in schema.attrs if columns is None or a.name in columns
+    ]
+    for a in want:
+        if (
+            a.dtype_id not in _NP_DT
+            or a.cell_val_num != 1
+            or a.nullable
+            or getattr(a, "enumeration", None)
+        ):
+            return None
+    frag_list = _fragment_dirs(array_dir, at=at)
+    if _delete_conditions(array_dir, at, frag_list):
+        return None  # delete-aware filtering lives on the row path
+    rngs = list(ranges) if ranges else [(None, None)]
+    lo, hi = rngs[0]
+    names = [d0.name] + [a.name for a in want]
+    kelem = _DT[d0.dtype_id][2]
+    parts: list[dict] = []
+    for frag in frag_list:
+        if prune_conditions and fragment_refutes_conditions(
+            frag, schema, prune_conditions
+        ):
+            continue
+        if not fragment_overlaps(frag, schema, rngs):
+            continue
+        if os.path.isfile(os.path.join(frag, "__coords.tdb")):
+            return None  # legacy zipped coords: row path
+        try:
+            kfile = _field_file(frag, d0.name, 0, "d")
+        except FileNotFoundError:
+            return None
+        base = 0
+        if (lo, hi) != (None, None):
+            span = sorted_dim0_cell_span(frag, schema, lo, hi)
+            if span is not None:
+                s_lo, s_hi, _n = span
+                if s_lo >= s_hi:
+                    continue
+                k = np.frombuffer(
+                    read_byte_span(
+                        kfile, s_lo * kelem, s_hi * kelem,
+                        filters=d0.filters, elem=kelem,
+                    ),
+                    _NP_DT[d0.dtype_id],
+                )
+                base = s_lo
+            else:
+                k = np.frombuffer(
+                    read_tile_file(kfile, filters=d0.filters, elem=kelem),
+                    _NP_DT[d0.dtype_id],
+                )
+        else:
+            k = np.frombuffer(
+                read_tile_file(kfile, filters=d0.filters, elem=kelem),
+                _NP_DT[d0.dtype_id],
+            )
+        if not len(k):
+            continue
+        # re-check the range on every cell (the bisect is advisory)
+        if (lo, hi) != (None, None):
+            mask = np.ones(len(k), dtype=bool)
+            if lo is not None:
+                mask &= k >= lo
+            if hi is not None:
+                mask &= k <= hi
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            i0, i1 = int(idx[0]), int(idx[-1]) + 1
+            contiguous = (i1 - i0) == len(idx)
+        else:
+            idx = None
+            i0, i1 = 0, len(k)
+            contiguous = True
+        cols = {d0.name: k[i0:i1] if contiguous else k[idx]}
+        n_sel = len(cols[d0.name])
+        for a in want:
+            elem = _DT[a.dtype_id][2]
+            try:
+                afile = _field_file(
+                    frag, a.name, schema.attrs.index(a), "a"
+                )
+            except FileNotFoundError:
+                cols[a.name] = np.full(
+                    n_sel, _fill_value(a), dtype=_NP_DT[a.dtype_id]
+                )
+                continue
+            raw = read_byte_span(
+                afile, (base + i0) * elem, (base + i1) * elem,
+                filters=a.filters, elem=elem,
+            )
+            v = np.frombuffer(raw, _NP_DT[a.dtype_id])
+            cols[a.name] = v if contiguous else v[idx - i0]
+        parts.append(cols)
+    if not parts:
+        return names, {
+            nm: np.empty(
+                0,
+                _NP_DT[
+                    d0.dtype_id if nm == d0.name
+                    else next(a.dtype_id for a in want if a.name == nm)
+                ],
+            )
+            for nm in names
+        }
+    cat = {nm: np.concatenate([p[nm] for p in parts]) for nm in names}
+    order = np.argsort(cat[d0.name], kind="stable")
+    if schema.allows_dups:
+        keep = order
+    else:
+        ks = cat[d0.name][order]
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]  # LAST occurrence = newest winner
+        keep = order[last]
+    return names, {nm: cat[nm][keep] for nm in names}
 
 
 def sorted_dim0_cell_span(

@@ -428,6 +428,20 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
             b = _to_bytes_cell(v if v is not None else "", dtype_id)
             out += b[:cvn].ljust(cvn, b"\x00")
         return bytes(out)
+    if cvn == 1 and code != "c":
+        # vectorized scalar pack: numpy's little-endian buffer is
+        # byte-identical to struct.pack for these widths; any exotic
+        # value (None, Decimal, out-of-range int) falls through to the
+        # exact python packer so error behavior is preserved
+        try:
+            import numpy as np  # noqa: PLC0415
+
+            if isinstance(vals, np.ndarray):
+                return np.ascontiguousarray(vals, dtype="<" + code).tobytes()
+            if not any(v is None for v in vals):
+                return np.asarray(vals, dtype="<" + code).tobytes()
+        except (OverflowError, ValueError, TypeError):
+            pass
     flat = []
     for v in vals:
         if cvn != 1:
@@ -761,25 +775,58 @@ def write_native_fragment(
                 )
 
             order = sorted(range(n), key=_key)
-        elif schema.cell_order == 1:  # COL_MAJOR: last dim varies slowest
-            order = sorted(
-                range(n),
-                key=lambda i: tuple(
-                    columns[d.name][i] for d in reversed(schema.dims)
-                ),
-            )
         else:
-            order = sorted(
-                range(n),
-                key=lambda i: tuple(columns[d.name][i] for d in schema.dims),
+            # ROW_MAJOR (primary = first dim) / COL_MAJOR (primary =
+            # last dim).  Numeric scalar dims take the vectorized path:
+            # np.lexsort is stable like sorted(), so the permutation —
+            # and therefore every byte written — is identical.
+            key_dims = (
+                list(schema.dims) if schema.cell_order != 1
+                else list(reversed(schema.dims))
             )
-        if order != list(range(n)):
-            columns = {
-                name: [vals[i] for i in order]
-                for name, vals in (
-                    (nm, columns[nm]) for nm in names
+            order = None
+            if all(
+                d.cell_val_num == 1 and _DT[d.dtype_id][1] != "c"
+                for d in key_dims
+            ):
+                try:
+                    import numpy as np  # noqa: PLC0415
+
+                    # lexsort: LAST key is primary → reverse
+                    order = np.lexsort(
+                        [
+                            np.asarray(columns[d.name])
+                            for d in reversed(key_dims)
+                        ]
+                    ).tolist()
+                except (ValueError, TypeError):
+                    order = None
+            if order is None:
+                order = sorted(
+                    range(n),
+                    key=lambda i: tuple(
+                        columns[d.name][i] for d in key_dims
+                    ),
                 )
-            }
+        if order != list(range(n)):
+            import numpy as np  # noqa: PLC0415
+
+            idx = np.asarray(order)
+
+            def _reindex(vals):
+                # numpy gather for pure-numeric columns only: bytes/str
+                # arrays strip trailing NULs on round-trip (would corrupt
+                # WKB blobs), None/list cells need the python path
+                if vals and all(
+                    type(v) in (int, float, bool) for v in vals
+                ):
+                    try:
+                        return np.asarray(vals)[idx].tolist()
+                    except (ValueError, TypeError):
+                        pass
+                return [vals[i] for i in order]
+
+            columns = {nm: _reindex(columns[nm]) for nm in names}
     if version != 5 and schema.array_type == "DENSE":
         raise NotImplementedError("v19 writer is sparse-only (dense keeps v5)")
     frag = _next_fragment_dir(array_dir, ts, ts_range=ts_range, version=version)
