@@ -375,6 +375,9 @@ class NativeDecoderBackend(ArrayBackend):
         create_native_array(
             uri, dims, attrs,
             array_type="SPARSE" if info.sparse else "DENSE",
+            # zstd = TileDB's real default pipeline; also the fast codec
+            # here (pyarrow's C zstd beats zlib on both encode + decode)
+            compressor="zstd",
             encryption_key=self._key,
         )
 
