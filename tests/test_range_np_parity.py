@@ -123,3 +123,30 @@ def test_fallbacks_are_none(tmp_path):
         [NativeAttr("v", 1, 1, False, None)],
     )
     assert read_native_array_range_np(d3) is None  # multi-dim
+
+
+def test_encrypted_parity(tmp_path):
+    """The columnar path decrypts through the same per-chunk GCM layer
+    (read_byte_span / read_tile_file consult the key registry), so an
+    encrypted array must be bit-identical across both paths too."""
+    from tiledb_mariadb_spark.sources import tiledb_native_crypto as crypto
+
+    d = str(tmp_path / "enc")
+    key = b"p" * 32
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10000), None)],
+        [NativeAttr("v", 3, 1, False, None)],
+        compressor="zstd", encryption_key=key,
+    )
+    write_native_fragment(
+        d, {"k": list(range(500)), "v": [i * 0.25 for i in range(500)]},
+        ts=100, version=19,
+    )
+    write_native_fragment(
+        d, {"k": [5, 7], "v": [9.0, 9.0]}, ts=200, version=19,
+    )
+    try:
+        _assert_same(d)
+        _assert_same(d, ranges=[(3, 9)])
+    finally:
+        crypto._KEYS.clear()

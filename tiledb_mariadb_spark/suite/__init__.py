@@ -179,15 +179,17 @@ def all_specs() -> dict[str, QuerySpec]:
     # consolidation/deletes/count/metadata/evolution/hilbert/dense/
     # estimate tier, SemDeDup/dHash/funnel dedup), then the late round-3
     # graph/drift/IVF specs and the pipeline_ops3-5 remainder.
-    # ROUND-6 remainder (55; q165/q167/q168/q133b/q134 spill to r7):
+    # ROUND-6 remainder (59; q165/q167/q168/q133b/q134 + 4 spill to r7):
+    # LEAD with the round-5 additions (newest, never driver-verified):
+    # q308_native_encryption, q309_native_enum_write,
+    # q310_native_stats_sql, q311_native_spatial, then
     # q302_native_attr_stats,
     # q303_native_enum, q304_native_bio_scan, q305_native_vector_store,
     # q306_soma_matrix, q307_native_v19_stats,
     # q231, q232, q245, q248, q249, q252, q253,
     # q260, q198-q201, q202-q209, q218-q227, q235-q239,
     # q241-q244, q247, q257, q210_sentence_split,
-    # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline,
-    # plus any round-5 spec additions (they join the never-verified pool).
+    # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [

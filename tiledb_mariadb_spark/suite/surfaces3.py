@@ -2704,6 +2704,12 @@ def q306_soma_matrix(spark, sf_dir):
     ]
     schema = parse_array_schema(_schema_path(uri))
     frag = _fragment_dirs(uri)[0]
+    # FIXTURE-CONFORMANCE decode, deliberately driver-side: the committed
+    # array is LFS-truncated to this one 33 MB coordinate column, whose
+    # bytes exist only to be checked against the engine-written metadata.
+    # This is NOT the scan template — production reads go through the
+    # distributed connector (read_array / format("tiledb_native")), as in
+    # q267/q278/q304/q308.
     coords = _read_field(frag, schema, schema.dims[0], 0, "d")
     col = spark.createDataFrame(
         __import__("pandas").DataFrame({"c": coords})
