@@ -112,10 +112,10 @@ def test_fallbacks_are_none(tmp_path):
     d2 = str(tmp_path / "fb2")
     create_native_array(
         d2, [NativeDim("k", 1, 1, (0, 1000), None)],
-        [NativeAttr("s", 12, 0xFFFFFFFF, False, None)],
+        [NativeAttr("s", 12, 0xFFFFFFFF, True, None)],  # nullable
     )
     write_native_fragment(d2, {"k": [1], "s": ["x"]})
-    assert read_native_array_range_np(d2) is None  # var attr
+    assert read_native_array_range_np(d2) is None  # NULLABLE var attr
     d3 = str(tmp_path / "fb3")
     create_native_array(
         d3,
@@ -150,3 +150,40 @@ def test_encrypted_parity(tmp_path):
         _assert_same(d, ranges=[(3, 9)])
     finally:
         crypto._KEYS.clear()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_var_string_parity(tmp_path, seed):
+    """Var-UTF-8 attrs ride Arrow from_buffers in the fast path — same
+    rows/order/values as the row path across fragments, overwrites,
+    multibyte text, empty strings, ranges and projections."""
+    rng = random.Random(1000 + seed)
+    d = str(tmp_path / f"vs{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),
+            NativeAttr("v", 1, 1, False, None),
+        ],
+        capacity=32,
+        compressor="zstd",
+    )
+    alphabet = ["", "a", "héllo", "日本語テキスト", "x" * 500, "mid"]
+    for ts in (100, 200):
+        n = rng.randint(1, 300)
+        keys = sorted(rng.sample(range(0, 1500), n))
+        write_native_fragment(
+            d,
+            {
+                "k": keys,
+                "s": [alphabet[kk % len(alphabet)] + str(kk) for kk in keys],
+                "v": list(keys),
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    _assert_same(d)
+    _assert_same(d, ranges=[(40, 900)])
+    _assert_same(d, ranges=[(None, 500)], columns=["s"])
+    _assert_same(d, at=150)

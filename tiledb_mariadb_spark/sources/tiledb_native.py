@@ -1662,6 +1662,60 @@ class _SortedCellView:
         return vals[(byte - self._cum[ci]) // self._elem]
 
 
+def _var_str_span_arrow(base, schema, field, lo_cell, hi_cell):
+    """Cells [lo_cell, hi_cell) of a var-UTF-8 attribute as a numpy
+    OBJECT array of python strings, decoded through Arrow's
+    LargeStringArray.from_buffers — offsets and byte payload go straight
+    from the span-decoded buffers into a C-built string column, no
+    per-cell python slicing.  None on any structural/utf-8 surprise
+    (caller falls back to the row path, whose errors='replace' decode
+    tolerates anything)."""
+    import numpy as np  # noqa: PLC0415
+
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+
+        offs = np.frombuffer(
+            read_byte_span(
+                base, lo_cell * 8, hi_cell * 8,
+                filters=schema.offsets_filters, elem=8,
+            ),
+            "<u8",
+        )
+        if not len(offs):
+            return np.empty(0, object)
+        var_file = base[:-4] + "_var.tdb"
+        n_cells = file_decoded_size(base) // 8
+        if hi_cell < n_cells:
+            end = int(
+                np.frombuffer(
+                    read_byte_span(
+                        base, hi_cell * 8, (hi_cell + 1) * 8,
+                        filters=schema.offsets_filters, elem=8,
+                    ),
+                    "<u8",
+                )[0]
+            )
+        else:
+            end = file_decoded_size(var_file)
+        start = int(offs[0])
+        var = read_byte_span(
+            var_file, start, end, filters=field.filters, elem=1
+        )
+        rel = np.empty(len(offs) + 1, "<i8")
+        rel[:-1] = offs.astype("<i8") - start
+        rel[-1] = end - start
+        if rel[0] != 0 or (rel[1:] < rel[:-1]).any() or rel[-1] != len(var):
+            return None  # non-monotone/global-offset surprise: row path
+        arr = pa.LargeStringArray.from_buffers(
+            len(offs), pa.py_buffer(rel.tobytes()), pa.py_buffer(var)
+        )
+        arr.validate(full=True)  # utf-8 check; invalid -> row path
+        return arr.to_numpy(zero_copy_only=False)
+    except (pa.lib.ArrowInvalid, ValueError, struct.error, OSError):
+        return None
+
+
 # numpy dtype strings for the fixed-width scalar ids the columnar fast
 # path serves (datetimes/bool/char stay on the row path — their output
 # conversion rules live there)
@@ -1715,9 +1769,14 @@ def read_native_array_range_np(
         a for a in schema.attrs if columns is None or a.name in columns
     ]
     for a in want:
+        scalar_num = a.dtype_id in _NP_DT and a.cell_val_num == 1
+        # var UTF-8 strings ride Arrow's from_buffers (C-speed offsets +
+        # bytes -> string array), the documents-table shape
+        var_str = (
+            a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
+        )
         if (
-            a.dtype_id not in _NP_DT
-            or a.cell_val_num != 1
+            not (scalar_num or var_str)
             or a.nullable
             or getattr(a, "enumeration", None)
         ):
@@ -1789,15 +1848,29 @@ def read_native_array_range_np(
         cols = {d0.name: k[i0:i1] if contiguous else k[idx]}
         n_sel = len(cols[d0.name])
         for a in want:
+            is_var = a.cell_val_num == 0xFFFFFFFF
             elem = _DT[a.dtype_id][2]
             try:
                 afile = _field_file(
                     frag, a.name, schema.attrs.index(a), "a"
                 )
             except FileNotFoundError:
-                cols[a.name] = np.full(
-                    n_sel, _fill_value(a), dtype=_NP_DT[a.dtype_id]
+                if is_var:
+                    cols[a.name] = np.full(
+                        n_sel, _fill_value(a), dtype=object
+                    )
+                else:
+                    cols[a.name] = np.full(
+                        n_sel, _fill_value(a), dtype=_NP_DT[a.dtype_id]
+                    )
+                continue
+            if is_var:
+                v = _var_str_span_arrow(
+                    afile, schema, a, base + i0, base + i1
                 )
+                if v is None:
+                    return None  # odd layout/invalid utf8: row path
+                cols[a.name] = v if contiguous else v[idx - i0]
                 continue
             raw = read_byte_span(
                 afile, (base + i0) * elem, (base + i1) * elem,
@@ -1807,16 +1880,15 @@ def read_native_array_range_np(
             cols[a.name] = v if contiguous else v[idx - i0]
         parts.append(cols)
     if not parts:
-        return names, {
-            nm: np.empty(
-                0,
-                _NP_DT[
-                    d0.dtype_id if nm == d0.name
-                    else next(a.dtype_id for a in want if a.name == nm)
-                ],
-            )
-            for nm in names
-        }
+        def _empty(nm):
+            if nm == d0.name:
+                return np.empty(0, _NP_DT[d0.dtype_id])
+            a = next(x for x in want if x.name == nm)
+            if a.cell_val_num == 0xFFFFFFFF:
+                return np.empty(0, object)
+            return np.empty(0, _NP_DT[a.dtype_id])
+
+        return names, {nm: _empty(nm) for nm in names}
     cat = {nm: np.concatenate([p[nm] for p in parts]) for nm in names}
     order = np.argsort(cat[d0.name], kind="stable")
     if schema.allows_dups:
