@@ -98,8 +98,9 @@ def test_evolution_fill_parity(tmp_path):
 
 
 def test_fallbacks_are_none(tmp_path):
-    """Shapes the fast path must DECLINE: deletes, var attrs, nullable
-    attrs, multi-dim — the row path owns their semantics."""
+    """Shapes the fast path must DECLINE: deletes and nullable attrs —
+    the row path owns their semantics.  (Var-string attrs and multi-dim
+    arrays are IN the fast path since round 5.)"""
     d = str(tmp_path / "fb")
     create_native_array(
         d, [NativeDim("k", 1, 1, (0, 1000), None)],
@@ -121,8 +122,9 @@ def test_fallbacks_are_none(tmp_path):
         d3,
         [NativeDim("x", 1, 1, (0, 10), 5), NativeDim("y", 1, 1, (0, 10), 5)],
         [NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
     )
-    assert read_native_array_range_np(d3) is None  # multi-dim
+    assert read_native_array_range_np(d3) is None  # dense: row path
 
 
 def test_encrypted_parity(tmp_path):
@@ -187,3 +189,36 @@ def test_var_string_parity(tmp_path, seed):
     _assert_same(d, ranges=[(40, 900)])
     _assert_same(d, ranges=[(None, 500)], columns=["s"])
     _assert_same(d, at=150)
+
+
+@pytest.mark.parametrize("order", ["ROW_MAJOR", "COL_MAJOR", "HILBERT"])
+def test_multidim_parity(tmp_path, order):
+    """2-D arrays in every cell order: the lexsort composite-key dedup
+    must reproduce the row path's sorted(merged) output exactly,
+    including cross-fragment overwrites at identical (x, y)."""
+    rng = random.Random(7)
+    d = str(tmp_path / f"md_{order}")
+    create_native_array(
+        d,
+        [NativeDim("x", 1, 1, (0, 1000), 10),
+         NativeDim("y", 1, 1, (0, 1000), 10)],
+        [NativeAttr("v", 3, 1, False, None)],
+        capacity=32,
+        cell_order=order,
+    )
+    for ts in (100, 200):
+        pts = set()
+        while len(pts) < 150:
+            pts.add((rng.randint(0, 300), rng.randint(0, 300)))
+        pts = sorted(pts)
+        write_native_fragment(
+            d,
+            {"x": [p[0] for p in pts], "y": [p[1] for p in pts],
+             "v": [p[0] * 0.5 + p[1] for p in pts]},
+            ts=ts, version=19,
+        )
+    _assert_same(d)
+    _assert_same(d, ranges=[(10, 200), (None, None)])
+    _assert_same(d, ranges=[(10, 200), (50, 250)])
+    _assert_same(d, columns=["v"], ranges=[(None, None), (0, 100)])
+    _assert_same(d, ranges=[(900, 999), (None, None)])  # empty window

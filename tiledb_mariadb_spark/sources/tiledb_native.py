@@ -1733,37 +1733,39 @@ def read_native_array_range_np(
     prune_conditions: list | None = None,
 ):
     """Vectorized COLUMNAR twin of :func:`read_native_array_range` for
-    the shape that dominates analytic scans: a SPARSE single-dimension
-    array of fixed-width scalar numeric fields, no visible deletes.
-    Returns ``(names, {name: np.ndarray})`` — or None when the array is
-    outside the fast path, in which case callers fall back to the
-    row-tuple reader (identical semantics).
+    the shape that dominates analytic scans: a SPARSE array of
+    fixed-width scalar numeric dims with numeric / var-UTF-8 attrs, no
+    visible deletes.  Returns ``(names, {name: np.ndarray})`` — or None
+    when the array is outside the fast path, in which case callers fall
+    back to the row-tuple reader (identical semantics).
 
     Why it exists: profiling (BASELINE.md round-5 probe) shows the
     per-cell cost of a scan is ~95% python row-tuple construction and
     newest-wins dict bookkeeping, not codec work.  Here every step is a
     numpy array op — frombuffer on the span-decoded bytes, boolean range
-    mask, stable argsort + shifted-compare dedup for newest-wins — so
+    mask, stable lexsort + shifted-compare dedup for newest-wins — so
     the connector's mapInPandas tasks hand Arrow whole columns.
 
     Semantics parity (hash-checked by the full driver sim):
     - fragment visibility/pruning identical (commit gates, ``at``,
       footer overlap, stats refutation via ``prune_conditions``);
-    - per-fragment bisect span for coords AND attrs keeps per-task
-      bytes O(split); the range mask re-checks every cell, so the
-      bisect stays advisory exactly like the row path;
-    - newest-wins: fragments decode oldest→newest, a STABLE argsort on
-      the coordinate keeps that order within equal keys, and keeping
-      the LAST occurrence of each key reproduces the row path's
+    - per-fragment dim0 bisect span (ROW_MAJOR fragments) for coords AND
+      attrs keeps per-task bytes O(split); the range mask re-checks
+      every cell on every dim, so the bisect stays advisory exactly
+      like the row path;
+    - newest-wins: fragments decode oldest→newest, a STABLE lexsort on
+      the coordinate tuple keeps that order within equal keys, and
+      keeping the LAST occurrence of each key reproduces the row path's
       overwrite order (allows_dups keeps every occurrence, same sort);
     - evolved-in attrs materialize their fill value."""
     import numpy as np  # noqa: PLC0415
 
     schema = parse_array_schema(_schema_path(array_dir))
-    if schema.array_type != "SPARSE" or len(schema.dims) != 1:
+    if schema.array_type != "SPARSE":
         return None
-    d0 = schema.dims[0]
-    if d0.dtype_id not in _NP_DT or d0.cell_val_num != 1:
+    dims = schema.dims
+    d0 = dims[0]
+    if any(d.dtype_id not in _NP_DT or d.cell_val_num != 1 for d in dims):
         return None
     want = [
         a for a in schema.attrs if columns is None or a.name in columns
@@ -1784,10 +1786,11 @@ def read_native_array_range_np(
     frag_list = _fragment_dirs(array_dir, at=at)
     if _delete_conditions(array_dir, at, frag_list):
         return None  # delete-aware filtering lives on the row path
-    rngs = list(ranges) if ranges else [(None, None)]
+    rngs = list(ranges) if ranges else [(None, None)] * len(dims)
     lo, hi = rngs[0]
-    names = [d0.name] + [a.name for a in want]
+    names = [d.name for d in dims] + [a.name for a in want]
     kelem = _DT[d0.dtype_id][2]
+    any_rng = any(r != (None, None) for r in rngs)
     parts: list[dict] = []
     for frag in frag_list:
         if prune_conditions and fragment_refutes_conditions(
@@ -1829,13 +1832,32 @@ def read_native_array_range_np(
             )
         if not len(k):
             continue
-        # re-check the range on every cell (the bisect is advisory)
-        if (lo, hi) != (None, None):
+        # remaining dim coordinates for the SAME cell window
+        dcols = [k]
+        for di, d in enumerate(dims[1:], start=1):
+            delem = _DT[d.dtype_id][2]
+            try:
+                dfile = _field_file(frag, d.name, di, "d")
+            except FileNotFoundError:
+                return None
+            dcols.append(
+                np.frombuffer(
+                    read_byte_span(
+                        dfile, base * delem, (base + len(k)) * delem,
+                        filters=d.filters, elem=delem,
+                    ),
+                    _NP_DT[d.dtype_id],
+                )
+            )
+        # re-check the ranges on every cell of every dim (bisect and
+        # footer pruning are advisory)
+        if any_rng:
             mask = np.ones(len(k), dtype=bool)
-            if lo is not None:
-                mask &= k >= lo
-            if hi is not None:
-                mask &= k <= hi
+            for col, (rlo, rhi) in zip(dcols, rngs):
+                if rlo is not None:
+                    mask &= col >= rlo
+                if rhi is not None:
+                    mask &= col <= rhi
             idx = np.flatnonzero(mask)
             if not len(idx):
                 continue
@@ -1845,7 +1867,10 @@ def read_native_array_range_np(
             idx = None
             i0, i1 = 0, len(k)
             contiguous = True
-        cols = {d0.name: k[i0:i1] if contiguous else k[idx]}
+        cols = {
+            d.name: (col[i0:i1] if contiguous else col[idx])
+            for d, col in zip(dims, dcols)
+        }
         n_sel = len(cols[d0.name])
         for a in want:
             is_var = a.cell_val_num == 0xFFFFFFFF
@@ -1881,8 +1906,9 @@ def read_native_array_range_np(
         parts.append(cols)
     if not parts:
         def _empty(nm):
-            if nm == d0.name:
-                return np.empty(0, _NP_DT[d0.dtype_id])
+            d = next((x for x in dims if x.name == nm), None)
+            if d is not None:
+                return np.empty(0, _NP_DT[d.dtype_id])
             a = next(x for x in want if x.name == nm)
             if a.cell_val_num == 0xFFFFFFFF:
                 return np.empty(0, object)
@@ -1890,13 +1916,19 @@ def read_native_array_range_np(
 
         return names, {nm: _empty(nm) for nm in names}
     cat = {nm: np.concatenate([p[nm] for p in parts]) for nm in names}
-    order = np.argsort(cat[d0.name], kind="stable")
+    # lexicographic coordinate order (= the row path's sorted(merged));
+    # np.lexsort is stable, primary key = LAST array passed
+    order = np.lexsort(tuple(cat[d.name] for d in reversed(dims)))
     if schema.allows_dups:
         keep = order
     else:
-        ks = cat[d0.name][order]
-        last = np.ones(len(ks), dtype=bool)
-        last[:-1] = ks[1:] != ks[:-1]  # LAST occurrence = newest winner
+        # a row is the LAST of its key iff it differs from its successor
+        # on ANY dim; LAST occurrence = newest winner
+        last = np.zeros(len(order), dtype=bool)
+        last[-1] = True
+        for d in dims:
+            ks = cat[d.name][order]
+            last[:-1] |= ks[1:] != ks[:-1]
         keep = order[last]
     return names, {nm: cat[nm][keep] for nm in names}
 
