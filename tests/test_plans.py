@@ -115,6 +115,8 @@ def test_no_python_udf_in_any_plan(spark):
         # same declared native-io boundary
         "q311_native_spatial",  # native connector scan + the declared
         # WKB residual pandas_udf (spatial exact tier)
+        "q312_secure_corpus",  # encrypted connector write+read feeding
+        # the dedup pipeline: same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

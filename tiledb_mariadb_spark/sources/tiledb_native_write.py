@@ -558,15 +558,19 @@ def _write_field_files(
             else _pack_fixed(v, dtype_id, 1)
             for v in vals
         ]
-        offs, pos = [], 0
-        for b in blobs:
-            offs.append(pos)
-            pos += len(b)
+        # vectorized global start-offsets (byte-identical to the
+        # struct.pack loop: u64 little-endian exclusive prefix sum)
+        import numpy as np  # noqa: PLC0415
+
+        lens = np.fromiter((len(b) for b in blobs), dtype="<u8",
+                           count=len(blobs))
+        offs_np = np.zeros(len(blobs), dtype="<u8")
+        if len(blobs) > 1:
+            np.cumsum(lens[:-1], out=offs_np[1:])
         with open(base, "wb") as f:
             for s, e in slices:
-                part = offs[s:e]
                 enc = _encode_chunked(
-                    struct.pack(f"<{len(part)}Q", *part),
+                    offs_np[s:e].tobytes(),
                     schema.offsets_filters,
                     elem=8,
                     key=ekey,

@@ -179,10 +179,11 @@ def all_specs() -> dict[str, QuerySpec]:
     # consolidation/deletes/count/metadata/evolution/hilbert/dense/
     # estimate tier, SemDeDup/dHash/funnel dedup), then the late round-3
     # graph/drift/IVF specs and the pipeline_ops3-5 remainder.
-    # ROUND-6 remainder (59; q165/q167/q168/q133b/q134 + 4 spill to r7):
+    # ROUND-6 remainder (60; q165/q167/q168/q133b/q134 + 5 spill to r7):
     # LEAD with the round-5 additions (newest, never driver-verified):
     # q308_native_encryption, q309_native_enum_write,
-    # q310_native_stats_sql, q311_native_spatial, then
+    # q310_native_stats_sql, q311_native_spatial, q312_secure_corpus,
+    # then
     # q302_native_attr_stats,
     # q303_native_enum, q304_native_bio_scan, q305_native_vector_store,
     # q306_soma_matrix, q307_native_v19_stats,

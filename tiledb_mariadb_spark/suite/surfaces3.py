@@ -3207,3 +3207,86 @@ SPECS.append(
         "checked against DuckDB on the source parquet",
     )
 )
+
+
+# --- q312: secure training corpus — encrypted native store + pipeline -------
+# Cross-tier integration: the DOCUMENTS corpus lives in an AES-256-GCM
+# encrypted native array (var-UTF-8 text rides the columnar Arrow
+# decode path), the connector serves it distributed with the key in the
+# task closure, and the training-data tier runs on top — quality gate
+# (min length), EXACT dedup (group-by full text, keep lowest doc_id) —
+# with per-language survivor stats.  DuckDB recomputes everything from
+# the source parquet; on disk the corpus is ciphertext (the writer's
+# no-plaintext guarantee is pytest-pinned in test_native_encryption).
+def q312_secure_corpus(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    key = "q312-corpus-key-0123456789abcdef"  # 32 bytes, spec-pinned
+    uri = tempfile.mkdtemp(prefix="q312_corpus_") + "/docs_enc"
+    create_native_array(
+        uri,
+        dims=[NativeDim("doc_id", 1, 1, (0, 60_000_000), None)],
+        attrs=[
+            NativeAttr("text", 12, 0xFFFFFFFF, False, None),
+            NativeAttr("lang", 12, 0xFFFFFFFF, False, None),
+        ],
+        compressor="zstd",
+        encryption_key=key,
+    )
+    src = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.coalesce("lang", F.lit("")).alias("lang")
+    )
+    write_array(src.repartition(4), uri, encryption_key=key)
+    docs = read_array(spark, uri, encryption_key=key, target_splits=8)
+    gated = docs.filter(F.length("text") >= 64)
+    survivors = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count("*").alias("survivors"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q312_SQL = """
+WITH gated AS (
+  SELECT doc_id, text, COALESCE(lang, '') AS lang
+  FROM documents WHERE LENGTH(text) >= 64
+), survivors AS (
+  SELECT text, MIN(doc_id) AS doc_id, MIN(lang) AS lang
+  FROM gated GROUP BY text
+)
+SELECT lang, COUNT(*) AS survivors,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+FROM survivors GROUP BY lang ORDER BY lang
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q312_secure_corpus",
+        q312_secure_corpus,
+        Q312_SQL,
+        "secure training corpus: documents in an AES-256-GCM encrypted "
+        "native array, distributed keyed read through the columnar "
+        "var-string path, quality gate + exact dedup + per-language "
+        "stats checked against DuckDB on the source parquet",
+    )
+)
