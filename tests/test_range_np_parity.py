@@ -98,9 +98,10 @@ def test_evolution_fill_parity(tmp_path):
 
 
 def test_fallbacks_are_none(tmp_path):
-    """Shapes the fast path must DECLINE: deletes and nullable attrs —
-    the row path owns their semantics.  (Var-string attrs and multi-dim
-    arrays are IN the fast path since round 5.)"""
+    """Shapes the fast path must DECLINE: visible deletes, enumerated
+    attrs, dense arrays, string/datetime dims — the row path owns their
+    semantics.  (Var-string, nullable, and multi-dim numeric arrays are
+    IN the fast path since round 5.)"""
     d = str(tmp_path / "fb")
     create_native_array(
         d, [NativeDim("k", 1, 1, (0, 1000), None)],
@@ -112,11 +113,11 @@ def test_fallbacks_are_none(tmp_path):
     assert read_native_array_range_np(d) is None  # deletes → row path
     d2 = str(tmp_path / "fb2")
     create_native_array(
-        d2, [NativeDim("k", 1, 1, (0, 1000), None)],
-        [NativeAttr("s", 12, 0xFFFFFFFF, True, None)],  # nullable
+        d2, [NativeDim("k", 12, 0xFFFFFFFF, None, None)],  # string dim
+        [NativeAttr("v", 1, 1, False, None)],
     )
-    write_native_fragment(d2, {"k": [1], "s": ["x"]})
-    assert read_native_array_range_np(d2) is None  # NULLABLE var attr
+    write_native_fragment(d2, {"k": ["a"], "v": [1]})
+    assert read_native_array_range_np(d2) is None  # var string DIM
     d3 = str(tmp_path / "fb3")
     create_native_array(
         d3,
@@ -222,3 +223,40 @@ def test_multidim_parity(tmp_path, order):
     _assert_same(d, ranges=[(10, 200), (50, 250)])
     _assert_same(d, columns=["v"], ranges=[(None, None), (0, 100)])
     _assert_same(d, ranges=[(900, 999), (None, None)])  # empty window
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nullable_parity(tmp_path, seed):
+    """Nullable scalar AND var-string attrs: validity tiles mask to
+    python None (never NaN) in both paths — values, order and null
+    placement identical across overwrites, ranges and projections."""
+    rng = random.Random(2000 + seed)
+    d = str(tmp_path / f"nl{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [
+            NativeAttr("v", 3, 1, True, None),             # nullable f64
+            NativeAttr("s", 12, 0xFFFFFFFF, True, None),   # nullable str
+            NativeAttr("w", 1, 1, False, None),            # plain i64
+        ],
+        capacity=48,
+    )
+    for ts in (100, 200):
+        n = rng.randint(1, 300)
+        keys = sorted(rng.sample(range(0, 1500), n))
+        write_native_fragment(
+            d,
+            {
+                "k": keys,
+                "v": [None if kk % 5 == 0 else kk * 0.5 for kk in keys],
+                "s": [None if kk % 7 == 0 else f"s{kk}" for kk in keys],
+                "w": list(keys),
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    _assert_same(d)
+    _assert_same(d, ranges=[(30, 1200)])
+    _assert_same(d, columns=["v", "s"])
+    _assert_same(d, at=150)

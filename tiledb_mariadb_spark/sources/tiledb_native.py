@@ -1779,10 +1779,9 @@ def read_native_array_range_np(
         )
         if (
             not (scalar_num or var_str)
-            or a.nullable
             or getattr(a, "enumeration", None)
         ):
-            return None
+            return None  # nullable attrs are fine: validity masks below
     frag_list = _fragment_dirs(array_dir, at=at)
     if _delete_conditions(array_dir, at, frag_list):
         return None  # delete-aware filtering lives on the row path
@@ -1880,7 +1879,7 @@ def read_native_array_range_np(
                     frag, a.name, schema.attrs.index(a), "a"
                 )
             except FileNotFoundError:
-                if is_var:
+                if is_var or getattr(a, "nullable", False):
                     cols[a.name] = np.full(
                         n_sel, _fill_value(a), dtype=object
                     )
@@ -1895,13 +1894,26 @@ def read_native_array_range_np(
                 )
                 if v is None:
                     return None  # odd layout/invalid utf8: row path
-                cols[a.name] = v if contiguous else v[idx - i0]
-                continue
-            raw = read_byte_span(
-                afile, (base + i0) * elem, (base + i1) * elem,
-                filters=a.filters, elem=elem,
-            )
-            v = np.frombuffer(raw, _NP_DT[a.dtype_id])
+            else:
+                raw = read_byte_span(
+                    afile, (base + i0) * elem, (base + i1) * elem,
+                    filters=a.filters, elem=elem,
+                )
+                v = np.frombuffer(raw, _NP_DT[a.dtype_id])
+            if getattr(a, "nullable", False):
+                # validity tile masks to None (object array — the exact
+                # row-path NULL semantics, never NaN)
+                valid = np.frombuffer(
+                    read_byte_span(
+                        afile[:-4] + "_validity.tdb",
+                        base + i0, base + i1,
+                        rle_value_size=1,
+                        filters=schema.validity_filters, elem=1,
+                    ),
+                    np.uint8,
+                ).astype(bool)
+                v = v.astype(object)
+                v[~valid] = None
             cols[a.name] = v if contiguous else v[idx - i0]
         parts.append(cols)
     if not parts:
@@ -1910,7 +1922,7 @@ def read_native_array_range_np(
             if d is not None:
                 return np.empty(0, _NP_DT[d.dtype_id])
             a = next(x for x in want if x.name == nm)
-            if a.cell_val_num == 0xFFFFFFFF:
+            if a.cell_val_num == 0xFFFFFFFF or a.nullable:
                 return np.empty(0, object)
             return np.empty(0, _NP_DT[a.dtype_id])
 
