@@ -260,3 +260,30 @@ def test_nullable_parity(tmp_path, seed):
     _assert_same(d, ranges=[(30, 1200)])
     _assert_same(d, columns=["v", "s"])
     _assert_same(d, at=150)
+
+
+def test_enum_parity(tmp_path):
+    """Applied enumerations map ordinals→labels via a vectorized lookup
+    in the fast path — identical to _apply_enumeration, including the
+    0='' convention, NULL cells, and the out-of-range error."""
+    d = str(tmp_path / "enum")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 1000), None)],
+        [
+            NativeAttr("c", 6, 1, False, None, enumeration="colors"),
+            NativeAttr("n", 6, 1, True, None, enumeration="colors"),
+        ],
+        enumerations={"colors": ["red", "green", "blue"]},
+    )
+    write_native_fragment(
+        d,
+        {"k": [1, 2, 3, 4], "c": ["red", "blue", 2, ""],
+         "n": [None, "green", None, "red"]},
+        version=19,
+    )
+    write_native_fragment(d, {"k": [2], "c": ["green"], "n": [None]},
+                          version=19)
+    _assert_same(d)
+    _assert_same(d, ranges=[(2, 4)], columns=["c"])
+    _assert_same(d, columns=["n"])

@@ -1777,11 +1777,11 @@ def read_native_array_range_np(
         var_str = (
             a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
         )
-        if (
-            not (scalar_num or var_str)
-            or getattr(a, "enumeration", None)
-        ):
-            return None  # nullable attrs are fine: validity masks below
+        if not (scalar_num or var_str):
+            return None  # nullable/enumerated attrs are fine (below)
+        en = getattr(a, "enumeration", None)
+        if en and en in schema.enumerations and not scalar_num:
+            return None  # applied enums are scalar ordinals by contract
     frag_list = _fragment_dirs(array_dir, at=at)
     if _delete_conditions(array_dir, at, frag_list):
         return None  # delete-aware filtering lives on the row path
@@ -1879,6 +1879,8 @@ def read_native_array_range_np(
                     frag, a.name, schema.attrs.index(a), "a"
                 )
             except FileNotFoundError:
+                if getattr(a, "enumeration", None) in schema.enumerations:
+                    return None  # evolved-in enum fill: row path
                 if is_var or getattr(a, "nullable", False):
                     cols[a.name] = np.full(
                         n_sel, _fill_value(a), dtype=object
@@ -1900,9 +1902,8 @@ def read_native_array_range_np(
                     filters=a.filters, elem=elem,
                 )
                 v = np.frombuffer(raw, _NP_DT[a.dtype_id])
+            valid = None
             if getattr(a, "nullable", False):
-                # validity tile masks to None (object array — the exact
-                # row-path NULL semantics, never NaN)
                 valid = np.frombuffer(
                     read_byte_span(
                         afile[:-4] + "_validity.tdb",
@@ -1912,7 +1913,29 @@ def read_native_array_range_np(
                     ),
                     np.uint8,
                 ).astype(bool)
-                v = v.astype(object)
+            en = getattr(a, "enumeration", None)
+            labels = schema.enumerations.get(en) if en else None
+            if labels:
+                # vectorized ordinal→label map (1-based, 0 = '' — the
+                # MariaDB ENUM convention the row path applies); NULL
+                # cells are never range-checked, matching the row path
+                ords = v if valid is None else v[valid]
+                if len(ords) and int(ords.min()) < 0:
+                    return None  # negative ordinal: row-path semantics
+                if len(ords) and int(ords.max()) > len(labels):
+                    raise ValueError(
+                        f"enumeration ordinal out of range for {a.name}"
+                    )
+                lookup = np.array(["", *labels], dtype=object)
+                mapped = np.empty(len(v), dtype=object)
+                if valid is None:
+                    mapped[:] = lookup[v]
+                else:
+                    mapped[valid] = lookup[v[valid].astype(np.int64)]
+                v = mapped
+            if valid is not None:
+                if v.dtype != object:
+                    v = v.astype(object)
                 v[~valid] = None
             cols[a.name] = v if contiguous else v[idx - i0]
         parts.append(cols)
@@ -1922,7 +1945,11 @@ def read_native_array_range_np(
             if d is not None:
                 return np.empty(0, _NP_DT[d.dtype_id])
             a = next(x for x in want if x.name == nm)
-            if a.cell_val_num == 0xFFFFFFFF or a.nullable:
+            if (
+                a.cell_val_num == 0xFFFFFFFF
+                or a.nullable
+                or (getattr(a, "enumeration", None) in schema.enumerations)
+            ):
                 return np.empty(0, object)
             return np.empty(0, _NP_DT[a.dtype_id])
 
