@@ -287,3 +287,25 @@ def test_enum_parity(tmp_path):
     _assert_same(d)
     _assert_same(d, ranges=[(2, 4)], columns=["c"])
     _assert_same(d, columns=["n"])
+
+
+def test_datetime_ticks_parity(tmp_path):
+    """DATETIME dims/attrs are raw int64 ticks on BOTH paths (rendering
+    belongs to callers) — parity across resolutions and ranges."""
+    d = str(tmp_path / "dt")
+    create_native_array(
+        d,
+        [NativeDim("ts", 24, 1, (0, 10**9), None)],   # DATETIME_SEC dim
+        [
+            NativeAttr("ms", 25, 1, False, None),      # DATETIME_MS
+            NativeAttr("day", 21, 1, True, None),      # DATETIME_DAY null
+        ],
+    )
+    write_native_fragment(
+        d,
+        {"ts": [100, 200, 300], "ms": [1000, 2000, 3000],
+         "day": [None, 14, 15]},
+        version=19,
+    )
+    _assert_same(d)
+    _assert_same(d, ranges=[(150, 400)])
