@@ -212,3 +212,55 @@ def test_open_encryption_registers_for_children(tmp_path):
     frag = [f for f in os.listdir(os.path.join(d, "__fragments"))][0]
     child = os.path.join(d, "__fragments", frag, "a0.tdb")
     assert crypto.key_for_path(child) == KEY
+
+
+def test_tampered_ciphertext_detected(tmp_path):
+    """GCM is authenticated: flipping ONE payload byte in any data file
+    of an encrypted array fails the read loudly — corruption can never
+    silently decode to wrong values."""
+    d = _mk(tmp_path, name="tamper")
+    write_native_fragment(d, _cols(50), version=19)
+    # locate a data file and flip a byte inside a chunk payload (skip
+    # the first 32 bytes so chunk framing itself stays parseable)
+    frag_root = os.path.join(d, "__fragments")
+    frag = os.path.join(frag_root, os.listdir(frag_root)[0])
+    target = os.path.join(frag, "a0.tdb")
+    blob = bytearray(open(target, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(target, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="wrong encryption key|chunk"):
+        read_native_array(d)
+
+
+def test_encrypt_chunk_roundtrip_fuzz():
+    """Property: encrypt_chunk/decrypt_chunk round-trip any payload size
+    (incl. empty), ciphertext length equals plaintext length, a fresh
+    nonce appears per call, and the wrong key always fails."""
+    import random
+
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (
+        META_TRAILER,
+        decrypt_chunk,
+        encrypt_chunk,
+    )
+
+    rng = random.Random(42)
+    key, wrong = b"a" * 32, b"b" * 32
+    seen_nonces = set()
+    for size in (0, 1, 7, 64, 1024, 65536, rng.randint(2, 100_000)):
+        payload = rng.randbytes(size)
+        ct, trailer = encrypt_chunk(key, payload)
+        assert len(ct) == len(payload)
+        assert len(trailer) == META_TRAILER
+        assert trailer[:12] not in seen_nonces
+        seen_nonces.add(trailer[:12])
+        meta = b"somefiltermeta" + trailer
+        fmeta, pt = decrypt_chunk(key, ct, meta)
+        assert pt == payload and fmeta == b"somefiltermeta"
+        with pytest.raises(ValueError, match="wrong encryption key"):
+            decrypt_chunk(wrong, ct, meta)
+        if size:  # tamper one ciphertext byte
+            bad = bytearray(ct)
+            bad[size // 2] ^= 1
+            with pytest.raises(ValueError, match="wrong encryption key"):
+                decrypt_chunk(key, bytes(bad), meta)

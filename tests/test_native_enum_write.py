@@ -162,3 +162,44 @@ def test_evolution_preserves_enum_links(tmp_path):
             d, add_attrs=[NativeAttr("e", 6, 1, False, None,
                                      enumeration="colors")]
         )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_enum_roundtrip_fuzz(tmp_path, seed):
+    """Property: random label sets (unicode, mixed sizes, up to a few
+    hundred) round-trip write→read exactly, with random label/ordinal
+    mixed writes mapping to the right labels on read."""
+    import random
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array,
+    )
+
+    rng = random.Random(300 + seed)
+    pool = ["red", "grün", "青", "x" * rng.randint(1, 40), "ß", "mid",
+            "émoji✓", "tab\tsep", "long-" + "y" * 80]
+    n_labels = rng.randint(1, len(pool))
+    labels = rng.sample(pool, n_labels)
+    d = str(tmp_path / f"fz{seed}")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10000), None)],
+        [NativeAttr("c", 9, 1, False, None, enumeration="e")],
+        enumerations={"e": labels},
+    )
+    s = parse_array_schema(_schema_path(d))
+    assert s.enumerations["e"] == labels
+    n = rng.randint(1, 200)
+    keys = sorted(rng.sample(range(0, 5000), n))
+    vals, expect = [], []
+    for _ in keys:
+        if rng.random() < 0.5:
+            lb = rng.choice(labels)
+            vals.append(lb)
+            expect.append(lb)
+        else:
+            o = rng.randint(0, len(labels))
+            vals.append(o)
+            expect.append("" if o == 0 else labels[o - 1])
+    write_native_fragment(d, {"k": keys, "c": vals}, version=19)
+    _, rows = read_native_array(d)
+    assert [r[1] for r in rows] == expect
