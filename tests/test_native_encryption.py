@@ -264,3 +264,37 @@ def test_encrypt_chunk_roundtrip_fuzz():
             bad[size // 2] ^= 1
             with pytest.raises(ValueError, match="wrong encryption key"):
                 decrypt_chunk(key, bytes(bad), meta)
+
+
+def test_concurrent_encrypted_writers(tmp_path):
+    """TileDB's multi-writer model under encryption: N threads append
+    fragments to one encrypted array with no coordination; every row
+    lands, every fragment seals, the merged read is complete."""
+    import threading
+
+    d = str(tmp_path / "conc")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+        compressor="zstd", encryption_key=KEY,
+    )
+    errs = []
+
+    def writer(i):
+        try:
+            keys = list(range(i * 1000, i * 1000 + 200))
+            write_native_fragment(
+                d, {"k": keys, "v": [k * 3 for k in keys]}, version=19
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    _, rows = read_native_array(d)
+    assert len(rows) == 8 * 200
+    assert all(r[1] == r[0] * 3 for r in rows)
