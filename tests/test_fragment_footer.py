@@ -544,3 +544,51 @@ def test_corrupt_rtree_falls_back_without_wrong_results(tmp_path):
     assert rtree_tile_runs(frag, schema, [(50, 80)]) is None
     _n, rows = read_native_array_range(d, ranges=[(50, 80)])
     assert rows == [(k, k) for k in ks if 50 <= k <= 80]
+
+
+def test_explain_native_pruning(tmp_path):
+    """The pruning explainer reports skip:footer / skip:stats / read
+    with tile counts, all from metadata (decode entry points poisoned)."""
+    import tiledb_mariadb_spark.sources.tiledb_native as tn
+
+    d = str(tmp_path / "exp")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=100,
+    )
+    write_native_fragment(
+        d, {"k": list(range(0, 500)), "v": [1] * 500}, ts=100, version=19
+    )
+    write_native_fragment(
+        d, {"k": list(range(10_000, 10_300)), "v": [99] * 300}, ts=200,
+        version=19,
+    )
+    import pytest as _pytest
+
+    def boom(*_a, **_k):
+        raise AssertionError("tile decode reached from explain path")
+
+    orig = {n: getattr(tn, n) for n in
+            ("_read_field", "read_tile_file", "read_native_array",
+             "read_native_array_range")}
+    try:
+        for n in orig:
+            setattr(tn, n, boom)
+        rows = tn.explain_native_pruning(d, ranges=[(0, 600)])
+        assert [r["decision"] for r in rows] == ["read", "skip:footer"]
+        assert rows[0]["tiles_total"] == 5 and rows[0]["tiles_kept"] == 5
+        assert rows[1]["cells"] == 300
+        rows2 = tn.explain_native_pruning(
+            d, ranges=[(0, 600)], conditions=[("v", ">", 50)]
+        )
+        assert rows2[0]["decision"] == "skip:stats"
+        # narrow window keeps a strict subset of tiles (R-tree runs)
+        rows3 = tn.explain_native_pruning(d, ranges=[(0, 150)])
+        assert rows3[0]["decision"] == "read"
+        assert rows3[0]["tiles_kept"] < rows3[0]["tiles_total"]
+    finally:
+        for n, fn in orig.items():
+            setattr(tn, n, fn)
+    _ = _pytest

@@ -3329,3 +3329,79 @@ def _stats_refute(op, val, lo, hi, may_have_nulls: bool) -> bool:
         or (op == "<=" and lo > val)
         or (op in ("!=", "<>") and lo == hi == val and not may_have_nulls)
     )
+
+
+def explain_native_pruning(
+    array_dir: str,
+    ranges: list[tuple] | None = None,
+    conditions: list | None = None,
+    at: int | None = None,
+    encryption_key: "bytes | str | None" = None,
+) -> list[dict]:
+    """EXPLAIN TILES for a bare native array: per visible fragment, what
+    a ranged+filtered read would do and WHY — decided from metadata only
+    (footers, fragment stats, R-tree leaves; zero data tiles decoded).
+    The native twin of the catalog's ``explain_pruning`` and the
+    observable form of libtiledb's three pruning granularities.
+
+    Each row: ``{fragment, cells (footer count or None), decision,
+    reason, tiles_total, tiles_kept}`` where decision is one of
+    ``'skip:footer'`` (non-empty domain disjoint from the ranges),
+    ``'skip:stats'`` (v11+ MIN/MAX refute a pushed condition),
+    ``'read'``; tiles_kept counts R-tree leaf MBRs intersecting the
+    ranges (None when the fragment has no usable R-tree).  At 100 TB
+    this is the operator's layout-health check: a range query keeping
+    ~100% of tiles means the write-time clustering is wrong."""
+    if encryption_key is not None:
+        open_encryption(array_dir, encryption_key)
+    schema = parse_array_schema(_schema_path(array_dir))
+    rngs = list(ranges) if ranges else [(None, None)] * len(schema.dims)
+    out: list[dict] = []
+    for frag in _fragment_dirs(array_dir, at=at):
+        name = os.path.basename(frag)
+        cells = fragment_cell_count(frag, schema)
+        mbrs = (
+            parse_rtree_leaf_mbrs(frag, schema)
+            if schema.array_type == "SPARSE" else None
+        )
+        tiles_total = len(mbrs) if mbrs else None
+        if conditions and schema.array_type == "SPARSE" and (
+            fragment_refutes_conditions(frag, schema, conditions)
+        ):
+            out.append({
+                "fragment": name, "cells": cells,
+                "decision": "skip:stats",
+                "reason": "fragment MIN/MAX refute a pushed condition",
+                "tiles_total": tiles_total, "tiles_kept": 0,
+            })
+            continue
+        if not fragment_overlaps(frag, schema, rngs):
+            out.append({
+                "fragment": name, "cells": cells,
+                "decision": "skip:footer",
+                "reason": "non-empty domain disjoint from the ranges",
+                "tiles_total": tiles_total, "tiles_kept": 0,
+            })
+            continue
+        kept = None
+        if mbrs:
+            def _tile_hits(m):
+                for (lo, hi), r in zip(
+                    (b if b is not None else (None, None) for b in m), rngs
+                ):
+                    rlo, rhi = r
+                    if lo is None:
+                        continue  # untrusted dim: cannot prune on it
+                    if rlo is not None and hi < rlo:
+                        return False
+                    if rhi is not None and lo > rhi:
+                        return False
+                return True
+
+            kept = sum(1 for m in mbrs if _tile_hits(m))
+        out.append({
+            "fragment": name, "cells": cells, "decision": "read",
+            "reason": "ranges intersect the fragment domain",
+            "tiles_total": tiles_total, "tiles_kept": kept,
+        })
+    return out
