@@ -98,19 +98,11 @@ def test_evolution_fill_parity(tmp_path):
 
 
 def test_fallbacks_are_none(tmp_path):
-    """Shapes the fast path must DECLINE: visible deletes, enumerated
-    attrs, dense arrays, string/datetime dims — the row path owns their
-    semantics.  (Var-string, nullable, and multi-dim numeric arrays are
-    IN the fast path since round 5.)"""
-    d = str(tmp_path / "fb")
-    create_native_array(
-        d, [NativeDim("k", 1, 1, (0, 1000), None)],
-        [NativeAttr("v", 1, 1, False, None)],
-    )
-    write_native_fragment(d, {"k": [1, 2], "v": [10, 20]}, ts=100)
-    assert read_native_array_range_np(d) is not None
-    write_delete_condition(d, [("v", "=", 10)], ts=150)
-    assert read_native_array_range_np(d) is None  # deletes → row path
+    """Shapes the fast path must DECLINE: string/datetime dims — the
+    row path owns their semantics.  (Var-string, nullable, and
+    multi-dim numeric arrays are IN the fast path since round 5;
+    visible deletes and DENSE arrays since round 6 — see
+    test_delete_parity / test_dense_parity.)"""
     d2 = str(tmp_path / "fb2")
     create_native_array(
         d2, [NativeDim("k", 12, 0xFFFFFFFF, None, None)],  # string dim
@@ -118,14 +110,6 @@ def test_fallbacks_are_none(tmp_path):
     )
     write_native_fragment(d2, {"k": ["a"], "v": [1]})
     assert read_native_array_range_np(d2) is None  # var string DIM
-    d3 = str(tmp_path / "fb3")
-    create_native_array(
-        d3,
-        [NativeDim("x", 1, 1, (0, 10), 5), NativeDim("y", 1, 1, (0, 10), 5)],
-        [NativeAttr("v", 1, 1, False, None)],
-        array_type="DENSE",
-    )
-    assert read_native_array_range_np(d3) is None  # dense: row path
 
 
 def test_encrypted_parity(tmp_path):
@@ -309,3 +293,130 @@ def test_datetime_ticks_parity(tmp_path):
     )
     _assert_same(d)
     _assert_same(d, ranges=[(150, 400)])
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_delete_parity(tmp_path, seed):
+    """Round-6: visible .del commits stay ON the fast path — the
+    (col, op, value) AND-lists evaluate as vectorized boolean masks
+    (post-merge, writer-ts gated).  Randomized fragments + randomized
+    delete predicates (incl. NULL-safe ops over a nullable attr, deletes
+    on projection-dropped attrs, ts-gated re-inserts) must match the row
+    path bit-for-bit."""
+    rng = random.Random(1000 + seed)
+    d = str(tmp_path / f"del{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [
+            NativeAttr("v", 3, 1, False, None),           # float64
+            NativeAttr("w", 1, 1, True, None),            # int32 nullable
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),  # var UTF-8
+        ],
+        allows_dups=rng.random() < 0.3,
+        capacity=64,
+    )
+    for ts in (100, 200, 300, 400):
+        n = rng.randint(1, 300)
+        keys = sorted(rng.sample(range(0, 1500), n))
+        write_native_fragment(
+            d,
+            {
+                "k": keys,
+                "v": [kk * 0.25 for kk in keys],
+                "w": [None if kk % 7 == 0 else kk % 50 for kk in keys],
+                "s": [f"s{kk % 9}" for kk in keys],
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    # 1-3 delete commits with randomized AND-lists, some BETWEEN writes
+    # (ts-gating: later fragments survive earlier deletes)
+    ops = ["=", "!=", "<", "<=", ">", ">="]
+    for dts in rng.sample([150, 250, 350, 450], rng.randint(1, 3)):
+        conds = []
+        for _ in range(rng.randint(1, 2)):
+            which = rng.random()
+            if which < 0.25:
+                conds.append(("w", rng.choice(["is_null", "is_not_null"])))
+            elif which < 0.5:
+                conds.append(("s", rng.choice(["=", "!="]), f"s{rng.randint(0, 9)}"))
+            elif which < 0.75:
+                conds.append(("v", rng.choice(ops), rng.uniform(0, 400)))
+            else:
+                conds.append(("k", rng.choice(ops), rng.randint(0, 1500)))
+        write_delete_condition(d, conds, ts=dts)
+    _assert_same(d)
+    _assert_same(d, ranges=[(50, 1200)])
+    # deletes referencing attrs the projection dropped still apply
+    _assert_same(d, columns=["v"])
+    _assert_same(d, columns=["s"], ranges=[(None, 900)])
+    _assert_same(d, at=320)  # time travel: only deletes visible at 320
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dense_parity(tmp_path, seed):
+    """Round-6: DENSE arrays are IN the columnar fast path — dim
+    columns are GENERATED (arange/repeat/tile over the bounding box),
+    fragments scatter oldest->newest (newest-wins), gaps materialize
+    fills.  Randomized extents (incl. space-tiled global order), v5+v19
+    fragments, tile-aligned subarray overwrites, ranges, projections
+    and time travel must match the row path bit-for-bit."""
+    rng = random.Random(seed)
+    d = str(tmp_path / f"dp{seed}")
+    ext1 = rng.choice([None, 4, 10])
+    ext2 = rng.choice([None, 5, 10])
+    create_native_array(
+        d,
+        [NativeDim("x", 1, 1, (0, 9), ext1),
+         NativeDim("y", 1, 1, (0, 9), ext2)],
+        [NativeAttr("v", 1, 1, False, None),
+         NativeAttr("f", 3, 1, False, None)],
+        array_type="DENSE",
+    )
+    vals = [x * 100 + y for x in range(10) for y in range(10)]
+    write_native_fragment(
+        d, {"v": vals, "f": [v * 0.5 for v in vals]}, ts=100,
+        version=rng.choice([5, 19]),
+    )
+    ts = 200
+    for _ in range(rng.randint(0, 2)):
+        e1, e2 = ext1 or 10, ext2 or 10
+        x0 = rng.randrange(0, 10, e1)
+        x1 = min(9, x0 + e1 * rng.randint(1, 2) - 1)
+        y0 = rng.randrange(0, 10, e2)
+        y1 = min(9, y0 + e2 * rng.randint(1, 2) - 1)
+        nn = (x1 - x0 + 1) * (y1 - y0 + 1)
+        write_native_fragment(
+            d, {"v": [ts] * nn, "f": [float(ts)] * nn}, ts=ts,
+            version=rng.choice([5, 19]), subarray=[(x0, x1), (y0, y1)],
+        )
+        ts += 100
+    _assert_same(d)
+    _assert_same(d, ranges=[(2, 7), (None, None)])
+    _assert_same(d, ranges=[(None, None), (3, 8)])
+    _assert_same(d, ranges=[(2, 7), (3, 8)])
+    _assert_same(d, columns=["f"])
+    _assert_same(d, ranges=[(4, 4), (5, 5)], columns=["v"])
+    _assert_same(d, at=150)
+
+
+def test_dense_fill_parity(tmp_path):
+    """Disjoint subarray fragments: the bounding box materializes FILL
+    values between them on both paths, window reads included."""
+    d = str(tmp_path / "dfill")
+    create_native_array(
+        d, [NativeDim("x", 1, 1, (0, 19), 5)],
+        [NativeAttr("v", 3, 1, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        d, {"v": [1.5] * 5}, ts=100, version=19, subarray=[(5, 9)]
+    )
+    write_native_fragment(
+        d, {"v": [2.5] * 5}, ts=200, version=19, subarray=[(15, 19)]
+    )
+    _assert_same(d)                 # bbox 5..19, fills at 10..14
+    _assert_same(d, ranges=[(7, 16)])
+    _assert_same(d, ranges=[(0, 3)])    # empty window
+    _assert_same(d, ranges=[(10, 13)])  # all fills

@@ -415,3 +415,50 @@ def test_sql_stats_table_scan_fallback(spark, arr):
             spark.sql("SELECT * FROM stats_scan").collect()}
     assert rows["k"].cnt == 400
     assert rows["k"].min_num == 100.0
+
+
+def test_bbox_option_prunes_splits(tmp_path):
+    """Round-6 spatial pushdown through the FORMAT (cond_push_func_spatial
+    parity, ha_mytile.cc:2312-2507): the `bbox` option seeds dim ranges
+    BEFORE planning, so splits outside the box never become tasks; pushed
+    dim filters intersect with it."""
+    from tiledb_mariadb_spark.operators.spatial import make_wkb_polygon
+
+    d = str(tmp_path / "sp")
+    create_native_array(
+        d,
+        dims=[NativeDim("x", 3, 1, (0.0, 1000.0), None),
+              NativeDim("y", 3, 1, (0.0, 1000.0), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        allows_dups=True,
+    )
+    xs = [i / 10.0 for i in range(10000)]
+    write_native_fragment(
+        d, {"x": xs, "y": xs, "v": list(range(len(xs)))}, ts=10
+    )
+    r_all = TileDBNativeReader(d, None, 8, ["x", "y", "v"])
+    parts_all = r_all.partitions()
+    assert parts_all[0].ranges == [(0.0, 999.9), (0.0, 999.9)]
+    r_box = TileDBNativeReader(
+        d, None, 8, ["x", "y", "v"], bbox="x:100:200;y:100:200"
+    )
+    assert r_box.dim_ranges == {"x": (100.0, 200.0), "y": (100.0, 200.0)}
+    for p in r_box.partitions():  # every task confined to the box —
+        for (lo, hi) in p.ranges:  # out-of-box cells never become work
+            assert lo >= 100.0 and hi <= 200.0
+    # pushed filters intersect with the option box
+    r_box.pushFilters([GreaterThanOrEqual(("x",), 150.0)])
+    assert r_box.dim_ranges["x"] == (150.0, 200.0)
+    # WKB polygon + pad -> padded MBR over the named dims
+    wkb = make_wkb_polygon([(100.0, 100.0), (200.0, 100.0),
+                            (200.0, 200.0), (100.0, 200.0)])
+    r_wkb = TileDBNativeReader(
+        d, None, 8, ["x", "y", "v"],
+        spatial_wkb=wkb.hex(), spatial_dims="x,y", spatial_pad="5.0",
+    )
+    assert r_wkb.dim_ranges == {"x": (95.0, 205.0), "y": (95.0, 205.0)}
+    # contract guards
+    with pytest.raises(ValueError):
+        TileDBNativeReader(d, None, 8, ["x"], bbox="nosuch:0:1")
+    with pytest.raises(ValueError):
+        TileDBNativeReader(d, None, 8, ["x"], spatial_wkb=wkb.hex())

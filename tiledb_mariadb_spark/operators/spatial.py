@@ -260,20 +260,29 @@ def st_intersects_native(
     x: str,
     y: str,
     geom: str,
-    pad: float = 0.0,
+    pad: float,
     columns=None,
     encryption_key=None,
 ) -> DataFrame:
     """ST_Intersects over a NATIVE array with the reference's two-tier
     split (cond_push_func_spatial, mytile/ha_mytile.cc:2312-2507): the
-    query geometry's MBR — padded by the caller's bound on stored-
-    geometry half-extent, since the dims index CENTROIDS
-    (t/spatial_index.test's _X/_Y) — becomes DIM RANGES pushed into the
-    connector, so splits outside the box never become tasks and inside
-    each task only the covering chunks decode; the EXACT polygon-polygon
-    test then runs on the stored WKB column as the residual.  Returns
-    the pre-filtered rows with an exact ``st_intersects`` boolean —
-    residual-exactness preserved, the MBR tier can only over-select."""
+    query geometry's MBR — padded by ``pad`` — becomes DIM RANGES pushed
+    into the connector, so splits outside the box never become tasks and
+    inside each task only the covering chunks decode; the EXACT
+    polygon-polygon test then runs on the stored WKB column as the
+    residual.
+
+    CORRECTNESS CONTRACT on ``pad`` (required, no default): the dims
+    index geometry CENTROIDS (t/spatial_index.test's _X/_Y), so the MBR
+    tier only over-selects when ``pad`` >= the maximum half-extent of
+    any stored geometry.  A too-small pad UNDER-selects: a polygon whose
+    centroid lies outside the padded query MBR but which still
+    intersects it is dropped before the exact residual ever runs.
+    Callers must supply their corpus's half-extent bound (the reference
+    stores true per-geometry MBRs in its R-tree so it has no such
+    parameter; this connector's dim ranges are centroid-based)."""
+    if pad < 0:
+        raise ValueError(f"pad must be >= 0, got {pad}")
     from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
         read_array,
     )

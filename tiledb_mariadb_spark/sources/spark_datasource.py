@@ -103,6 +103,10 @@ class TileDBNativeDataSource(DataSource):
             int(self.options.get("target_splits", 16)),
             [f.name for f in schema.fields],
             encryption_key=self._key(),
+            bbox=self.options.get("bbox"),
+            spatial_wkb=self.options.get("spatial_wkb"),
+            spatial_dims=self.options.get("spatial_dims"),
+            spatial_pad=self.options.get("spatial_pad"),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBNativeWriter":
@@ -124,7 +128,9 @@ _COND_OPS = {
 
 
 class TileDBNativeReader(DataSourceReader):
-    def __init__(self, uri, at, target_splits, columns, encryption_key=None):
+    def __init__(self, uri, at, target_splits, columns, encryption_key=None,
+                 bbox=None, spatial_wkb=None, spatial_dims=None,
+                 spatial_pad=None):
         self.uri, self.at = uri, at
         self.target_splits = target_splits
         self.columns = columns
@@ -135,24 +141,66 @@ class TileDBNativeReader(DataSourceReader):
         self._dim_names = [d.name for d in info.dims]
         self._attr_names = [a.name for a in info.attrs]
         self._info = info
+        # spatial / box pushdown OPTIONS (cond_push_func_spatial parity,
+        # mytile/ha_mytile.cc:2312-2507, 2825-2830): plain SQL over the
+        # format has no ST_* functions Catalyst could push, so the MBR
+        # tier arrives as reader options and seeds dim_ranges — splits
+        # outside the box never become tasks (plan_splits prunes on
+        # these ranges exactly like pushed filters).  The EXACT
+        # geometry residual stays with the caller, same two-tier
+        # contract as operators/spatial.st_intersects_native.
+        if bbox:
+            # "dim:lo:hi[;dim:lo:hi...]" — generic per-dim window
+            for part in str(bbox).split(";"):
+                nm, lo_s, hi_s = part.split(":")
+                if nm not in self._dim_names:
+                    raise ValueError(f"bbox names non-dimension {nm!r}")
+                lo, hi = float(lo_s), float(hi_s)
+                self.dim_ranges[nm] = (lo, hi)
+        if spatial_wkb:
+            # WKB polygon (hex) -> padded MBR over two named dims.
+            # spatial_pad is REQUIRED: the dims index centroids, so the
+            # MBR only over-selects when pad >= the corpus's max stored
+            # half-extent (see st_intersects_native's contract).
+            if spatial_pad is None or spatial_dims is None:
+                raise ValueError(
+                    "spatial_wkb requires spatial_dims='x,y' and "
+                    "spatial_pad=<max stored half-extent>"
+                )
+            from tiledb_mariadb_spark.operators.spatial import (  # noqa: PLC0415
+                parse_wkb_polygon,
+            )
+
+            dx, dy = [s.strip() for s in str(spatial_dims).split(",")]
+            if dx not in self._dim_names or dy not in self._dim_names:
+                raise ValueError(
+                    f"spatial_dims {spatial_dims!r} must name dims"
+                )
+            pad = float(spatial_pad)
+            pts = parse_wkb_polygon(bytes.fromhex(str(spatial_wkb)))
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            self._merge_range(dx, min(xs) - pad, max(xs) + pad)
+            self._merge_range(dy, min(ys) - pad, max(ys) + pad)
+
+    def _merge_range(self, name, lo, hi):
+        cur = self.dim_ranges.get(name, (None, None))
+        if isinstance(cur, list):
+            self.dim_ranges[name] = [
+                (v, w) for v, w in cur
+                if (lo is None or w >= lo) and (hi is None or v <= hi)
+            ]
+            return
+        nlo = lo if cur[0] is None else (cur[0] if lo is None else max(cur[0], lo))
+        nhi = hi if cur[1] is None else (cur[1] if hi is None else min(cur[1], hi))
+        self.dim_ranges[name] = (nlo, nhi)
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         """Catalyst hands every eligible predicate here; we absorb what
         the storage layer can evaluate (the reference's cond_push) and
         return the rest as residuals for Spark to re-apply."""
 
-        def _narrow(name, lo, hi):
-            cur = self.dim_ranges.get(name, (None, None))
-            if isinstance(cur, list):  # existing IN point set: filter it
-                self.dim_ranges[name] = [
-                    (v, w)
-                    for v, w in cur
-                    if (lo is None or w >= lo) and (hi is None or v <= hi)
-                ]
-                return
-            nlo = lo if cur[0] is None else (cur[0] if lo is None else max(cur[0], lo))
-            nhi = hi if cur[1] is None else (cur[1] if hi is None else min(cur[1], hi))
-            self.dim_ranges[name] = (nlo, nhi)
+        _narrow = self._merge_range  # intersect with any existing range
 
         def _add_points(name, pts):
             cur = self.dim_ranges.get(name)

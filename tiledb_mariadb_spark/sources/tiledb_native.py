@@ -1145,6 +1145,12 @@ def open_encryption(
             f"array is not encrypted: {array_dir} — encryption_key must "
             "not be provided (t/encryption.test negative case)"
         )
+    if not enc and key is not None:
+        # stale registry entry from a previous (dropped) encrypted array
+        # at the same realpath: the schema is authoritative — drop it so
+        # later writes to this array never silently seal with the old key
+        clear_encryption_key(array_dir)
+        return None
     return key if enc else None
 
 
@@ -1672,9 +1678,16 @@ def _var_str_span_arrow(base, schema, field, lo_cell, hi_cell):
     tolerates anything)."""
     import numpy as np  # noqa: PLC0415
 
+    # hoisted above the try: if pyarrow is absent the except clause below
+    # would reference an unbound `pa` (UnboundLocalError) instead of
+    # falling back — return None so the pure-python row path serves
+    # var-string arrays on pyarrow-less installs
     try:
         import pyarrow as pa  # noqa: PLC0415
+    except ImportError:
+        return None
 
+    try:
         offs = np.frombuffer(
             read_byte_span(
                 base, lo_cell * 8, hi_cell * 8,
@@ -1728,6 +1741,308 @@ _NP_DT = {
 }
 
 
+def _np_cond_mask(vals, op: str, rest):
+    """Vectorized single-conjunct delete-condition evaluation over one
+    merged column (the numpy twin of :func:`_match_delete`): True where
+    the cell MATCHES.  NULL-safe 3VL — a value comparison with NULL
+    never matches, so NULL cells survive value deletes and need is_null
+    to be removed.  None => uncomparable types (caller falls back to the
+    row path)."""
+    import numpy as np  # noqa: PLC0415
+
+    isnull = (
+        np.frompyfunc(lambda v: v is None, 1, 1)(vals).astype(bool)
+        if vals.dtype == object
+        else None
+    )
+    if op == "is_null":
+        return (
+            isnull if isnull is not None else np.zeros(len(vals), bool)
+        )
+    if op == "is_not_null":
+        return (
+            ~isnull if isnull is not None else np.ones(len(vals), bool)
+        )
+    if not rest:
+        return None
+    t = rest[0]
+
+    def _cmp(sub):
+        return {
+            "=": sub == t, "!=": sub != t, "<": sub < t,
+            "<=": sub <= t, ">": sub > t, ">=": sub >= t,
+        }[op]
+
+    try:
+        if isnull is None:
+            return np.asarray(_cmp(vals), dtype=bool)
+        out = np.zeros(len(vals), dtype=bool)
+        idx = np.flatnonzero(~isnull)
+        if len(idx):
+            out[idx] = np.asarray(_cmp(vals[idx]), dtype=bool)
+        return out
+    except (TypeError, KeyError):
+        return None
+
+
+def _rm_window_indices(np, window, frame):
+    """Row-major cell indices of ``window`` within ``frame`` (both
+    per-dim inclusive (lo, hi) spans, window ⊆ frame) — built by
+    successive outer sums of per-dim stride offsets, no python loop over
+    cells."""
+    strides, mult = [], 1
+    for lo, hi in reversed(frame):
+        strides.insert(0, mult)
+        mult *= hi - lo + 1
+    idx = np.zeros(1, dtype=np.int64)
+    for (wlo, whi), (flo, _fhi), st in zip(window, frame, strides):
+        axis = (np.arange(wlo, whi + 1, dtype=np.int64) - flo) * st
+        idx = (idx[:, None] + axis[None, :]).ravel()
+    return idx
+
+
+def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
+    """Cells [lo_cell, hi_cell) of one dense attribute as a numpy
+    column (the dense twin of the sparse fast path's attr decode):
+    span-decoded bytes -> frombuffer / Arrow string array, validity
+    mask, vectorized enum ordinal->label map.  None => outside the fast
+    path (caller falls back to the row reader)."""
+    is_var = a.cell_val_num == 0xFFFFFFFF
+    elem = _DT[a.dtype_id][2]
+    w = hi_cell - lo_cell
+    try:
+        afile = _field_file(frag, a.name, schema.attrs.index(a), "a")
+    except FileNotFoundError:
+        if getattr(a, "enumeration", None) in schema.enumerations:
+            return None  # evolved-in enum fill: row path
+        if is_var or getattr(a, "nullable", False):
+            return np.full(w, _fill_value(a), dtype=object)
+        return np.full(w, _fill_value(a), dtype=_NP_DT[a.dtype_id])
+    if is_var:
+        v = _var_str_span_arrow(afile, schema, a, lo_cell, hi_cell)
+        if v is None:
+            return None
+    else:
+        raw = read_byte_span(
+            afile, lo_cell * elem, hi_cell * elem,
+            filters=a.filters, elem=elem,
+        )
+        v = np.frombuffer(raw, _NP_DT[a.dtype_id])
+        if len(v) != w:
+            return None
+    valid = None
+    if getattr(a, "nullable", False):
+        valid = np.frombuffer(
+            read_byte_span(
+                afile[:-4] + "_validity.tdb", lo_cell, hi_cell,
+                rle_value_size=1,
+                filters=schema.validity_filters, elem=1,
+            ),
+            np.uint8,
+        ).astype(bool)
+    en = getattr(a, "enumeration", None)
+    labels = schema.enumerations.get(en) if en else None
+    if labels:
+        ords = v if valid is None else v[valid]
+        if len(ords) and int(ords.min()) < 0:
+            return None
+        if len(ords) and int(ords.max()) > len(labels):
+            raise ValueError(
+                f"enumeration ordinal out of range for {a.name}"
+            )
+        lookup = np.array(["", *labels], dtype=object)
+        mapped = np.empty(len(v), dtype=object)
+        if valid is None:
+            mapped[:] = lookup[v]
+        else:
+            mapped[valid] = lookup[v[valid].astype(np.int64)]
+        v = mapped
+    if valid is not None:
+        v = v.astype(object) if v.dtype != object else np.array(v)
+        v[~valid] = None
+    return v
+
+
+def _read_dense_range_np(
+    array_dir: str,
+    schema,
+    ranges: list[tuple] | None = None,
+    columns: list[str] | None = None,
+    at: int | None = None,
+):
+    """Columnar DENSE read (round 6): the dense twin of the sparse fast
+    path.  Dense fragments store no coordinates — dim columns are
+    GENERATED with arange/repeat/tile over the result bounding box, so
+    a dense scan costs exactly the attribute bytes plus O(cells) numpy
+    arithmetic (no per-cell python at all; the reference treats dense as
+    first-class, ha_mytile.cc:3287-3314).
+
+    Semantics = the row path's dense branch, hash-parity-tested:
+    visible fragments' written boxes (footer NED) shape a bounding box,
+    clipped by the requested ranges; fragments scatter their cells into
+    it oldest -> newest (newest-wins overwrite); uncovered cells
+    materialize fill values.  Row-major single-space-tile fragments
+    (the writer default) decode only the dim0-range cell SPAN — per-task
+    bytes stay O(split); tiled layouts decode their box and permute
+    disk (global tile) order -> row-major vectorized."""
+    import itertools  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    dims = schema.dims
+    if any(
+        d.dtype_id not in _NP_DT or d.cell_val_num != 1
+        or d.domain is None for d in dims
+    ):
+        return None
+    want = [
+        a for a in schema.attrs if columns is None or a.name in columns
+    ]
+    for a in want:
+        scalar_num = a.dtype_id in _NP_DT and a.cell_val_num == 1
+        var_str = (
+            a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
+        )
+        if not (scalar_num or var_str):
+            return None
+        en = getattr(a, "enumeration", None)
+        if en and en in schema.enumerations and not scalar_num:
+            return None
+    rngs = list(ranges) if ranges else [(None, None)] * len(dims)
+    frag_list = _fragment_dirs(array_dir, at=at)
+    names = [d.name for d in dims] + [a.name for a in want]
+    row_major = _dense_is_row_major(schema)
+
+    def _obj_col(a):
+        return (
+            a.cell_val_num == 0xFFFFFFFF
+            or getattr(a, "nullable", False)
+            or (getattr(a, "enumeration", None) in schema.enumerations)
+        )
+
+    boxes = []          # every visible box shapes the bounding box
+    frag_data = []      # (effective_box, {attr: col in rm-box order})
+    for frag in frag_list:
+        box = _dense_fragment_box(frag, schema)
+        boxes.append(box)
+        if not fragment_overlaps(frag, schema, rngs):
+            continue
+        eff_box = list(box)
+        lo_cell = 0
+        box_n = 1
+        for blo, bhi in box:
+            box_n *= bhi - blo + 1
+        if row_major and rngs[0] != (None, None):
+            # dim0 range -> contiguous cell span of the box (row-major
+            # layout): only the covering chunks ever decode
+            rlo, rhi = rngs[0]
+            blo0, bhi0 = box[0]
+            wlo0 = blo0 if rlo is None else max(blo0, rlo)
+            whi0 = bhi0 if rhi is None else min(bhi0, rhi)
+            if wlo0 > whi0:
+                continue
+            inner = box_n // (bhi0 - blo0 + 1)
+            lo_cell = (wlo0 - blo0) * inner
+            box_n = (whi0 - wlo0 + 1) * inner
+            eff_box[0] = (wlo0, whi0)
+        cols = {}
+        for a in want:
+            v = _np_dense_attr(
+                np, frag, schema, a, lo_cell, lo_cell + box_n, box_n
+            )
+            if v is None:
+                return None  # odd layout: row path owns it
+            cols[a.name] = v
+        if not row_major:
+            # permute disk (global space-tile) order -> row-major:
+            # per tile, its cells' row-major indices within the box
+            axes = []
+            for d, (blo, bhi) in zip(dims, eff_box):
+                lo, hi = d.domain
+                ext = d.extent or (hi - lo + 1)
+                spans = []
+                for t in range(lo, hi + 1, ext):
+                    s, e = max(t, blo), min(t + ext - 1, bhi)
+                    if s <= e:
+                        spans.append((s, e))
+                axes.append(spans)
+            pieces = [
+                _rm_window_indices(np, combo, eff_box)
+                for combo in itertools.product(*axes)
+            ]
+            rm_of_disk = (
+                np.concatenate(pieces) if pieces
+                else np.empty(0, np.int64)
+            )
+            for nm, v in cols.items():
+                rm = np.empty(len(v), dtype=v.dtype)
+                rm[rm_of_disk] = v
+                cols[nm] = rm
+        frag_data.append((eff_box, cols))
+
+    def _empty():
+        out = {
+            d.name: np.empty(0, _NP_DT[d.dtype_id]) for d in dims
+        }
+        for a in want:
+            out[a.name] = np.empty(
+                0, object if _obj_col(a) else _NP_DT[a.dtype_id]
+            )
+        return names, out
+
+    if not boxes:
+        return _empty()
+    bbox = []
+    for i in range(len(dims)):
+        blo = min(b[i][0] for b in boxes)
+        bhi = max(b[i][1] for b in boxes)
+        lo, hi = rngs[i]
+        if lo is not None:
+            blo = max(blo, lo)
+        if hi is not None:
+            bhi = min(bhi, hi)
+        if blo > bhi:
+            return _empty()
+        bbox.append((int(blo), int(bhi)))
+    sizes = [bhi - blo + 1 for blo, bhi in bbox]
+    bbox_n = 1
+    for s in sizes:
+        bbox_n *= s
+    out = {}
+    for a in want:
+        if _obj_col(a):
+            out[a.name] = np.full(bbox_n, _fill_value(a), dtype=object)
+        else:
+            out[a.name] = np.full(
+                bbox_n, _fill_value(a), dtype=_NP_DT[a.dtype_id]
+            )
+    # oldest -> newest scatter = newest-wins overwrite (frag_list order,
+    # same as the row path's merged-dict iteration)
+    for box, cols in frag_data:
+        win = [
+            (max(blo, bblo), min(bhi, bbhi))
+            for (blo, bhi), (bblo, bbhi) in zip(box, bbox)
+        ]
+        if any(wlo > whi for wlo, whi in win):
+            continue
+        src = _rm_window_indices(np, win, box)
+        dst = _rm_window_indices(np, win, bbox)
+        for a in want:
+            out[a.name][dst] = cols[a.name][src]
+    # generated coordinates: row-major over the bounding box
+    inner = bbox_n
+    for d, (blo, bhi), size in zip(dims, bbox, sizes):
+        inner //= size
+        outer = bbox_n // (size * inner)
+        out[d.name] = np.tile(
+            np.repeat(
+                np.arange(blo, bhi + 1, dtype=_NP_DT[d.dtype_id]), inner
+            ),
+            outer,
+        )
+    return names, out
+
+
 def read_native_array_range_np(
     array_dir: str,
     ranges: list[tuple] | None = None,
@@ -1737,8 +2052,11 @@ def read_native_array_range_np(
 ):
     """Vectorized COLUMNAR twin of :func:`read_native_array_range` for
     the shape that dominates analytic scans: a SPARSE array of
-    fixed-width scalar numeric dims with numeric / var-UTF-8 attrs, no
-    visible deletes.  Returns ``(names, {name: np.ndarray})`` — or None
+    fixed-width scalar numeric dims with numeric / var-UTF-8 attrs.
+    Visible delete-condition commits are applied as vectorized boolean
+    masks (post-merge, writer-ts gated — see ``dels`` below), so a
+    single .del commit no longer demotes a large scan to the row path.
+    Returns ``(names, {name: np.ndarray})`` — or None
     when the array is outside the fast path, in which case callers fall
     back to the row-tuple reader (identical semantics).
 
@@ -1764,6 +2082,10 @@ def read_native_array_range_np(
     import numpy as np  # noqa: PLC0415
 
     schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type == "DENSE":
+        return _read_dense_range_np(
+            array_dir, schema, ranges=ranges, columns=columns, at=at
+        )
     if schema.array_type != "SPARSE":
         return None
     dims = schema.dims
@@ -1773,6 +2095,23 @@ def read_native_array_range_np(
     want = [
         a for a in schema.attrs if columns is None or a.name in columns
     ]
+    frag_list = _fragment_dirs(array_dir, at=at)
+    # delete-condition commits: evaluated HERE as vectorized boolean
+    # masks over the merged columns (one visible .del no longer demotes
+    # a 100 TB scan to the row path); a delete may test attrs the
+    # projection dropped — decode them too, filter, project back down
+    # (same expansion the row path does)
+    dels = _delete_conditions(array_dir, at, frag_list)
+    want_out = want
+    if dels:
+        need = {c[0] for _ts, conds in dels for c in conds}
+        if not need <= set(
+            [d.name for d in dims] + [a.name for a in schema.attrs]
+        ):
+            return None  # condition on an unknown column: row path
+        want = want + [
+            a for a in schema.attrs if a.name in need and a not in want
+        ]
     for a in want:
         scalar_num = a.dtype_id in _NP_DT and a.cell_val_num == 1
         # var UTF-8 strings ride Arrow's from_buffers (C-speed offsets +
@@ -1785,15 +2124,13 @@ def read_native_array_range_np(
         en = getattr(a, "enumeration", None)
         if en and en in schema.enumerations and not scalar_num:
             return None  # applied enums are scalar ordinals by contract
-    frag_list = _fragment_dirs(array_dir, at=at)
-    if _delete_conditions(array_dir, at, frag_list):
-        return None  # delete-aware filtering lives on the row path
     rngs = list(ranges) if ranges else [(None, None)] * len(dims)
     lo, hi = rngs[0]
     names = [d.name for d in dims] + [a.name for a in want]
     kelem = _DT[d0.dtype_id][2]
     any_rng = any(r != (None, None) for r in rngs)
     parts: list[dict] = []
+    part_wts: list[int] = []  # per-part writer ts (delete applicability)
     for frag in frag_list:
         if prune_conditions and fragment_refutes_conditions(
             frag, schema, prune_conditions
@@ -1942,6 +2279,8 @@ def read_native_array_range_np(
                 v[~valid] = None
             cols[a.name] = v if contiguous else v[idx - i0]
         parts.append(cols)
+        part_wts.append(_frag_range(os.path.basename(frag))[1])
+    out_names = [d.name for d in dims] + [a.name for a in want_out]
     if not parts:
         def _empty(nm):
             d = next((x for x in dims if x.name == nm), None)
@@ -1956,7 +2295,7 @@ def read_native_array_range_np(
                 return np.empty(0, object)
             return np.empty(0, _NP_DT[a.dtype_id])
 
-        return names, {nm: _empty(nm) for nm in names}
+        return out_names, {nm: _empty(nm) for nm in out_names}
     cat = {nm: np.concatenate([p[nm] for p in parts]) for nm in names}
     # lexicographic coordinate order (= the row path's sorted(merged));
     # np.lexsort is stable, primary key = LAST array passed
@@ -1972,7 +2311,39 @@ def read_native_array_range_np(
             ks = cat[d.name][order]
             last[:-1] |= ks[1:] != ks[:-1]
         keep = order[last]
-    return names, {nm: cat[nm][keep] for nm in names}
+    res = {nm: cat[nm][keep] for nm in names}
+    if dels:
+        # vectorized _apply_deletes: a (post-merge) row dies iff some
+        # delete at dts has writer_ts <= dts AND every conjunct matches
+        # (NULL-safe: comparisons with NULL never match).  Runs AFTER
+        # newest-wins exactly like the row path — a deleted newest
+        # version never resurfaces the older one.
+        _none_wts = np.iinfo(np.int64).max  # wts None => never deleted
+        wts_cat = np.concatenate([
+            np.full(
+                len(p[d0.name]),
+                _none_wts if w is None else w,
+                dtype=np.int64,
+            )
+            for p, w in zip(parts, part_wts)
+        ])[keep]
+        dead = np.zeros(len(wts_cat), dtype=bool)
+        for dts, conds in dels:
+            m = wts_cat <= dts
+            for cond in conds:
+                if not m.any():
+                    break
+                cm = _np_cond_mask(res[cond[0]], cond[1], cond[2:])
+                if cm is None:
+                    return None  # uncomparable cell/target: row path
+                m &= cm
+            dead |= m
+        if dead.any():
+            live = ~dead
+            res = {nm: v[live] for nm, v in res.items()}
+    if want is not want_out:
+        res = {nm: res[nm] for nm in out_names}
+    return out_names, res
 
 
 def sorted_dim0_cell_span(
@@ -2006,6 +2377,22 @@ def _dense_is_row_major(schema: "NativeSchema") -> bool:
     for d in schema.dims:
         lo, hi = d.domain
         if d.extent is not None and d.extent < hi - lo + 1:
+            return False
+    return True
+
+
+def _dense_box_row_major(schema: "NativeSchema", box) -> bool:
+    """Global (space-tile) cell order over ``box`` equals plain
+    ROW-MAJOR order: every dim AFTER the first spans at most one
+    domain-aligned tile, so space tiles advance only along dim0 and
+    each tile is a contiguous row-major slice.  Covers 1-D arrays with
+    any extent (the common dense shape) and boxes confined to one tile
+    column — the layouts where dim0 ranges map to contiguous cell spans
+    with no permutation."""
+    for d, (blo, bhi) in zip(schema.dims[1:], box[1:]):
+        lo, hi = d.domain
+        ext = d.extent or (hi - lo + 1)
+        if (blo - lo) // ext != (bhi - lo) // ext:
             return False
     return True
 

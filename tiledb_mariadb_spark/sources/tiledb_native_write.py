@@ -385,6 +385,17 @@ def create_native_array(
         )
 
         set_encryption_key(array_dir, encryption_key)
+    else:
+        # drop any stale registration for this path: a dropped-and-
+        # recreated plaintext array at a previously-encrypted path must
+        # NOT silently inherit the old key (the writer decides crypto
+        # from the registry, so a leftover entry would seal the "new
+        # plaintext" array with a key the caller never supplied)
+        from tiledb_mariadb_spark.sources.tiledb_native_crypto import (  # noqa: PLC0415
+            clear_encryption_key,
+        )
+
+        clear_encryption_key(array_dir)
     # modern (2.3+) directory layout: fragments under __fragments/,
     # commit markers under __commits/ — creating __commits activates the
     # reader's commit gating for every fragment this array will ever hold
@@ -430,17 +441,34 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
         return bytes(out)
     if cvn == 1 and code != "c":
         # vectorized scalar pack: numpy's little-endian buffer is
-        # byte-identical to struct.pack for these widths; any exotic
-        # value (None, Decimal, out-of-range int) falls through to the
-        # exact python packer so error behavior is preserved
+        # byte-identical to struct.pack for these widths.  Casts that
+        # could silently change a value (float→int truncation, integer
+        # downcast wrap) are round-trip-verified — numpy casts never
+        # raise on lossy conversion, so without the check bad input
+        # would corrupt written data instead of failing loudly.  Exotic
+        # values (None, Decimal, out-of-range python int) fall through
+        # to the exact python packer.
         try:
             import numpy as np  # noqa: PLC0415
 
-            if isinstance(vals, np.ndarray):
-                return np.ascontiguousarray(vals, dtype="<" + code).tobytes()
-            if not any(v is None for v in vals):
-                return np.asarray(vals, dtype="<" + code).tobytes()
-        except (OverflowError, ValueError, TypeError):
+            src = (
+                vals
+                if isinstance(vals, np.ndarray)
+                else (np.asarray(vals) if not any(v is None for v in vals)
+                      else None)
+            )
+            if src is not None and src.dtype.kind in "iuf":
+                arr = np.ascontiguousarray(src, dtype="<" + code)
+                if arr.dtype != src.dtype and not np.array_equal(
+                    arr.astype(src.dtype), src
+                ):
+                    raise ValueError(
+                        f"lossy cast packing {src.dtype} values into "
+                        f"dtype code {code!r} (non-integral float or "
+                        "out-of-range integer)"
+                    )
+                return arr.tobytes()
+        except (OverflowError, TypeError):
             pass
     flat = []
     for v in vals:
@@ -454,7 +482,16 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
     if code in ("f", "d"):
         flat = [float(x) for x in flat]
     elif code != "c":
-        flat = [int(x) for x in flat]
+        conv = []
+        for x in flat:
+            ix = int(x)
+            if isinstance(x, float) and ix != x:
+                raise ValueError(
+                    f"non-integral float {x!r} cannot pack into integer "
+                    f"dtype code {code!r}"
+                )
+            conv.append(ix)
+        flat = conv
     return struct.pack(f"<{len(flat)}{code}", *flat)
 
 
@@ -586,7 +623,7 @@ def _write_field_files(
                 f.write(enc)
     else:
         packed = _pack_fixed(vals, dtype_id, cvn)
-        w = len(packed) // len(vals) if vals else 0
+        w = len(packed) // len(vals) if len(vals) else 0
         with open(base, "wb") as f:
             for s, e in slices:
                 enc = _encode_chunked(
@@ -613,8 +650,9 @@ def write_native_fragment(
     in row-major order (the decoder's global cell order).  Returns the
     fragment directory path.
 
-    ``version=19`` emits the MODERN fragment layout (sparse only):
-    positional field files (d<i>.tdb / a<i>.tdb), and a
+    ``version=19`` emits the MODERN fragment layout: positional field
+    files (d<i>.tdb / a<i>.tdb; dense fragments write attrs only,
+    space-tile sliced over the written box), and a
     __fragment_metadata.tdb carrying the full v11+ generic-tile section
     table — R-tree, tile offsets/sizes, per-tile MIN/MAX/SUM/NULL_COUNT,
     the fragment_min_max_sum_null_count tile, processed conditions, and
@@ -745,7 +783,26 @@ def write_native_fragment(
         if d.domain is None or schema.array_type == "DENSE":
             continue
         lo, hi = d.domain
-        for v in columns[d.name]:
+        vals = columns[d.name]
+        try:
+            import numpy as np  # noqa: PLC0415
+
+            arr = np.asarray(vals)
+            if arr.dtype.kind in "iuf":
+                # vectorized min/max bounds check — a per-cell python
+                # loop would dominate large fragment writes
+                if len(arr) and (arr.min() < lo or arr.max() > hi):
+                    bad = arr[(arr < lo) | (arr > hi)][0]
+                    raise ValueError(
+                        f"dimension {d.name}: coordinate {bad!r} outside "
+                        f"the declared domain [{lo}, {hi}] (the reference "
+                        "rejects out-of-domain writes, ha_mytile.cc "
+                        "bounds checks)"
+                    )
+                continue
+        except (TypeError,):
+            pass
+        for v in vals:
             if v < lo or v > hi:
                 raise ValueError(
                     f"dimension {d.name}: coordinate {v!r} outside the "
@@ -796,13 +853,15 @@ def write_native_fragment(
                 try:
                     import numpy as np  # noqa: PLC0415
 
-                    # lexsort: LAST key is primary → reverse
+                    # lexsort: LAST key is primary → reverse.  Kept as
+                    # an ndarray — tolist() of a multi-million-cell
+                    # permutation costs real time
                     order = np.lexsort(
                         [
                             np.asarray(columns[d.name])
                             for d in reversed(key_dims)
                         ]
-                    ).tolist()
+                    )
                 except (ValueError, TypeError):
                     order = None
             if order is None:
@@ -812,16 +871,18 @@ def write_native_fragment(
                         columns[d.name][i] for d in key_dims
                     ),
                 )
-        if order != list(range(n)):
-            import numpy as np  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
-            idx = np.asarray(order)
+        idx = np.asarray(order)
+        if not np.array_equal(idx, np.arange(n)):
 
             def _reindex(vals):
                 # numpy gather for pure-numeric columns only: bytes/str
                 # arrays strip trailing NULs on round-trip (would corrupt
                 # WKB blobs), None/list cells need the python path
-                if vals and all(
+                if isinstance(vals, np.ndarray) and vals.dtype.kind in "iufb":
+                    return vals[idx]
+                if len(vals) and all(
                     type(v) in (int, float, bool) for v in vals
                 ):
                     try:
@@ -831,16 +892,21 @@ def write_native_fragment(
                 return [vals[i] for i in order]
 
             columns = {nm: _reindex(columns[nm]) for nm in names}
-    if version != 5 and schema.array_type == "DENSE":
-        raise NotImplementedError("v19 writer is sparse-only (dense keeps v5)")
     frag = _next_fragment_dir(array_dir, ts, ts_range=ts_range, version=version)
     # capacity-packed tile boundaries (sparse): every tile holds exactly
     # `capacity` cells except the last — the invariant the footer's
     # (sparse_tile_num, last_tile_cell_num) pair encodes and metadata-only
-    # counting relies on.  Dense fragments stay one space tile.
+    # counting relies on.  Dense v19 fragments tile by SPACE TILE (the
+    # extent grid over the written box — per-tile stats and O(tile)
+    # chunk framing, ha_mytile.cc:3287-3314 dense subarray parity);
+    # dense v5 keeps the one-space-tile legacy layout the fixtures use.
     if schema.array_type == "SPARSE" and n > 0:
         cap = schema.capacity or n
         slices = [(s, min(s + cap, n)) for s in range(0, n, cap)]
+    elif (
+        schema.array_type == "DENSE" and version >= 10 and n > 0
+    ):
+        slices = _dense_tile_slices(schema, box)
     else:
         slices = [(0, n)]
     try:
@@ -862,6 +928,7 @@ def write_native_fragment(
             _write_fragment_metadata_v19(
                 frag, schema, columns, n, slices=slices, infos=infos,
                 version=version,
+                dense_box=box if schema.array_type == "DENSE" else None,
             )
         else:
             _write_fragment_footer(frag, schema, columns, n,
@@ -891,8 +958,21 @@ def _serialize_rtree(
     def mbr_of(s: int, e: int) -> list:
         out = []
         for d in schema.dims:
-            vals = columns[d.name][s:e]
-            out.append((min(vals), max(vals)))
+            vals = columns[d.name]
+            try:
+                import numpy as np  # noqa: PLC0415
+
+                if (
+                    isinstance(vals, np.ndarray)
+                    and vals.dtype.kind in "iuf"
+                ):
+                    sl = vals[s:e]
+                    out.append((sl.min().item(), sl.max().item()))
+                    continue
+            except ImportError:
+                pass
+            sl = vals[s:e]
+            out.append((min(sl), max(sl)))
         return out
 
     def merge(group: list) -> list:
@@ -1376,10 +1456,52 @@ def _field_tile_stats(field, vals, slices):
         if nullable
         else None
     )
-    if cvn != 1 or code == "c" or not vals:
+    if cvn != 1 or code == "c" or len(vals) == 0:  # len(): ndarray-safe
         return None, None, None, nulls
     if nullable and any(v is None for v in vals):
         return None, None, None, nulls
+    # vectorized tier for numeric columns (per-cell python min/max/sum
+    # dominated large fragment writes — 85% of a 4M-row write was this
+    # function).  Exactness contracts preserved: np.cumsum accumulates
+    # STRICTLY SEQUENTIALLY, so float sums keep the engine's exact
+    # cell-order result bit-for-bit (pinned by test_native_write_v19);
+    # int sums fall back to python's arbitrary-precision sum whenever a
+    # magnitude bound says int64 could overflow; NaNs fall back (python
+    # min/max order semantics).
+    arr = None
+    try:
+        import numpy as np  # noqa: PLC0415
+
+        cand = np.asarray(vals)
+        if cand.dtype.kind in "iuf" and not (
+            cand.dtype.kind == "f" and np.isnan(cand).any()
+        ):
+            arr = cand
+    except (ImportError, TypeError, ValueError):
+        arr = None
+    if arr is not None:
+        mins = [arr[s:e].min().item() for s, e in slices]
+        maxs = [arr[s:e].max().item() for s, e in slices]
+        sums = None
+        if dtype_id in _SUMMABLE_DT:
+            if dtype_id in (2, 3):
+                sums = [
+                    float(np.cumsum(arr[s:e], dtype=np.float64)[-1])
+                    for s, e in slices
+                ]
+            else:
+                bound = max(abs(int(min(mins))), abs(int(max(maxs))))
+                cells = max(e - s for s, e in slices)
+                if bound * cells < 2**62:
+                    sums = [
+                        int(arr[s:e].sum(dtype=np.int64))
+                        for s, e in slices
+                    ]
+                else:  # could overflow int64: exact python sum
+                    sums = [
+                        sum(int(v) for v in vals[s:e]) for s, e in slices
+                    ]
+        return mins, maxs, sums, nulls
     mins = [min(vals[s:e]) for s, e in slices]
     maxs = [max(vals[s:e]) for s, e in slices]
     sums = None
@@ -1406,6 +1528,34 @@ def _pack_sum(dtype_id: int, v) -> bytes:
     return struct.pack("<q", v)
 
 
+def _dense_tile_slices(schema: NativeSchema, box) -> list[tuple[int, int]]:
+    """Cell-index slices of one space tile each, in the global tile
+    order `_dense_coords_box` decodes (tiles row-major over the
+    domain-aligned extent grid clipped to ``box``, cells row-major
+    within a tile).  The writer permutes columns into exactly this
+    order before packing, so slice k holds tile k's cells."""
+    import itertools  # noqa: PLC0415
+
+    axes = []
+    for d, (blo, bhi) in zip(schema.dims, box):
+        lo, hi = d.domain
+        ext = d.extent or (hi - lo + 1)
+        spans = []
+        for t in range(lo, hi + 1, ext):
+            s, e = max(t, blo), min(t + ext - 1, bhi)
+            if s <= e:
+                spans.append(e - s + 1)
+        axes.append(spans)
+    slices, pos = [], 0
+    for combo in itertools.product(*axes):
+        c = 1
+        for span in combo:
+            c *= span
+        slices.append((pos, pos + c))
+        pos += c
+    return slices
+
+
 def _write_fragment_metadata_v19(
     frag: str,
     schema: NativeSchema,
@@ -1414,6 +1564,7 @@ def _write_fragment_metadata_v19(
     slices,
     infos: dict,
     version: int = 19,
+    dense_box=None,
 ) -> None:
     names = (
         [a.name for a in schema.attrs]
@@ -1443,9 +1594,13 @@ def _write_fragment_metadata_v19(
         pos += len(b)
         return offsets[-1]
 
-    # R-tree FIRST (offset 0 in every era — parse_rtree_leaf_mbrs)
+    # R-tree FIRST (offset 0 in every era — parse_rtree_leaf_mbrs);
+    # dense fragments have no coordinate MBRs (the footer NED box is
+    # their pruning surface) — empty placeholder, like libtiledb
     rpayload = (
-        _serialize_rtree(schema, columns, slices) if n > 0 else b""
+        _serialize_rtree(schema, columns, slices)
+        if n > 0 and dense_box is None
+        else b""
     )
     rtree_off = add(rpayload)
 
@@ -1549,12 +1704,22 @@ def _write_fragment_metadata_v19(
     name_b = os.path.basename(frag).encode()
     raw = struct.pack("<I", version)
     raw += struct.pack("<Q", len(name_b)) + name_b
-    raw += struct.pack("<BB", 0, 1 if n == 0 else 0)  # sparse; null NED?
-    for d in schema.dims:
+    raw += struct.pack(
+        "<BB",
+        1 if dense_box is not None else 0,
+        1 if (n == 0 and dense_box is None) else 0,  # null NED?
+    )
+    for di, d in enumerate(schema.dims):
         _c, code, size = _DT[d.dtype_id]
+        if dense_box is not None:
+            # dense NED = the written subarray box (what
+            # _dense_fragment_box reads back for fill semantics)
+            raw += struct.pack(f"<2{code}", *dense_box[di])
+            continue
         vals = columns.get(d.name) if n else None
+        empty = vals is None or len(vals) == 0  # len(): ndarray-safe
         if d.is_var:
-            if not vals:
+            if empty:
                 raw += struct.pack("<QQ", 0, 0)
                 continue
             lo = min(vals)
@@ -1563,13 +1728,31 @@ def _write_fragment_metadata_v19(
             hi_b = hi.encode() if isinstance(hi, str) else bytes(hi)
             raw += struct.pack("<QQ", len(lo_b) + len(hi_b), len(lo_b))
             raw += lo_b + hi_b
-        elif not vals:
+        elif empty:
             raw += struct.pack(f"<2{code}", 0, 0)
         else:
+            try:
+                import numpy as np  # noqa: PLC0415
+
+                if (
+                    isinstance(vals, np.ndarray)
+                    and vals.dtype.kind in "iuf"
+                ):
+                    raw += struct.pack(
+                        f"<2{code}", vals.min().item(), vals.max().item()
+                    )
+                    continue
+            except ImportError:
+                pass
             raw += struct.pack(f"<2{code}", min(vals), max(vals))
-    last = n - (len(slices) - 1) * (schema.capacity or n) if n else 0
-    raw += struct.pack("<QQ", len(slices) if n else 0,
-                       last if len(slices) > 1 else n)
+    if dense_box is not None:
+        # sparse_tile_num is sparse-specific; dense cell counts derive
+        # from the NED box (count_cells' f.dense branch)
+        raw += struct.pack("<QQ", 0, 0)
+    else:
+        last = n - (len(slices) - 1) * (schema.capacity or n) if n else 0
+        raw += struct.pack("<QQ", len(slices) if n else 0,
+                           last if len(slices) > 1 else n)
     raw += struct.pack("<BB", 0, 0)  # has_timestamps, has_delete_meta
     file_sizes, fvs, fvals = [], [], []
     for nm in names:

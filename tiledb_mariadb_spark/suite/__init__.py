@@ -173,56 +173,56 @@ def all_specs() -> dict[str, QuerySpec]:
     # round 2 joins/subqueries/windows/surfaces/llm_ops; round 3
     # pipeline_ops(2)/similarity/spatial + the r1 reds + q77/q90/q164;
     # round 4 the native tier/tpch_extra/streaming/NULL-semantics window.
-    # ROUND 5 (this window) rotates the next 50 never-driver-verified
-    # specs to the front, leading with ALL round-4 additions (q279-q301 —
-    # newest, least-driver-tested code: the Python Data Source, native
-    # consolidation/deletes/count/metadata/evolution/hilbert/dense/
-    # estimate tier, SemDeDup/dHash/funnel dedup), then the late round-3
-    # graph/drift/IVF specs and the pipeline_ops3-5 remainder.
-    # ROUND-6 remainder (60; q165/q167/q168/q133b/q134 + 5 spill to r7):
-    # LEAD with the round-5 additions (newest, never driver-verified):
-    # q308_native_encryption, q309_native_enum_write,
-    # q310_native_stats_sql, q311_native_spatial, q312_secure_corpus,
-    # then
-    # q302_native_attr_stats,
-    # q303_native_enum, q304_native_bio_scan, q305_native_vector_store,
-    # q306_soma_matrix, q307_native_v19_stats,
-    # q231, q232, q245, q248, q249, q252, q253,
-    # q260, q198-q201, q202-q209, q218-q227, q235-q239,
-    # q241-q244, q247, q257, q210_sentence_split,
-    # q160/q161/q165/q167/q168, q133b_natural_join, q134_values_inline.
+    # Rounds 1-5 covered 245 distinct specs (244 green); the lone r5 red,
+    # q214_regr_moments, was an FMA-contraction oracle defect (fixed:
+    # slope/intercept/r2 now quantized per the convention above) and is
+    # re-tested in this window per the r5 verdict.
+    # ROUND 6 (this window) = the 49 highest-value never-driver-sampled
+    # specs + the q214 re-test.  LEADS with the round-5 additions (newest,
+    # least-driver-tested code: native AES-GCM encryption, writer-side
+    # enumerations, the metadata-only stats SQL surface, native spatial
+    # pushdown, the secure-corpus pipeline), then the round-4 native
+    # format/stats tier (q302-q307), then the q198-q260 analytics
+    # remainder.
+    # ROUND-7 remainder (11 scalar-surface specs, all judge-sim green):
+    # q133b_natural_join, q134_values_inline, q160_grouping_id,
+    # q161_window_distinct, q165_fuzzy_match, q167_gap_fill,
+    # q168_gini_diversity, q210_sentence_split, q220_string_fns2,
+    # q238_benford, q239_time_micros.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
-        # round-4 native storage tier + Python Data Source (23)
-        "q301_native_deletes", "q279_stream_native_sink",
-        "q280_matryoshka_ann", "q281_token_budget_mix", "q282_k_anonymity",
-        "q283_native_datetimes", "q284_python_datasource",
-        "q285_datasource_stream", "q286_native_consolidation",
-        "q287_diversity_sample", "q288_multirange_in",
-        "q289_datasource_time_travel", "q290_semdedup",
-        "q291_phash_neardup", "q292_native_count", "q293_native_metadata",
-        "q294_native_evolution", "q295_native_hilbert",
-        "q296_native_dense_partial", "q297_datasource_stacked",
-        "q298_native_lifecycle", "q299_native_estimate",
-        "q300_dedup_funnel",
-        # late round-3 graph / drift / IVF additions (4)
-        "q271_ivf_delete", "q269_triangle_count", "q270_embedding_drift",
-        "q273_itemset_triples",
-        # pipeline_ops3-5 remainder (15)
-        "q183_dup_spans", "q184_lexical_topk", "q185_hybrid_rrf",
-        "q186_epoch_shuffle", "q187_luhn_pii", "q188_rarity_score",
-        "q189_bpe_merges", "q190_pq_ann", "q191_ivfpq",
-        "q192_decontaminate", "q193_hll_cardinality",
-        "q194_cm_heavy_hitters", "q195_bloom_prune", "q196_column_stats",
-        "q197_dedup_keep_best",
-        # scale-safe ordinal / ranking / analytics (5)
-        "q212_global_ordinal", "q213_bm25_topk", "q214_regr_moments",
-        "q215_bitwise_scalars", "q216_skyline",
-        # co-purchase / drift / vocab (3) — q231/q232 slip to r6
-        "q228_copurchase", "q229_chi2_drift", "q230_vocab_encode",
+        # round-5 additions: crypto / enum-write / stats-SQL / spatial /
+        # secure corpus (5)
+        "q308_native_encryption", "q309_native_enum_write",
+        "q310_native_stats_sql", "q311_native_spatial",
+        "q312_secure_corpus",
+        # round-4/5 native format + stats tier (6)
+        "q302_native_attr_stats", "q303_native_enum",
+        "q304_native_bio_scan", "q305_native_vector_store",
+        "q306_soma_matrix", "q307_native_v19_stats",
+        # r5 red re-test (oracle quantized this round) (1)
+        "q214_regr_moments",
+        # corpus / vector / indexing tier (8)
+        "q231_binary_chunks", "q232_vector_normalize", "q245_corpus_build",
+        "q248_inverted_index", "q249_rolling_bands", "q252_rollup_cascade",
+        "q253_calibration", "q260_poisson_bootstrap",
+        # behavioral analytics / graph (12)
+        "q198_funnel", "q199_retention", "q200_pagerank",
+        "q201_hll_merge", "q202_resample_gapfill", "q203_spatial_knn",
+        "q204_version_diff", "q205_fuzzy_join", "q206_zscore_outliers",
+        "q207_label_centroids", "q208_transitions", "q209_export_roundtrip",
+        # time-series / stats surfaces (10)
+        "q218_time_weighted_avg", "q219_ohlc_bars", "q221_triangle_count",
+        "q222_attribution", "q223_interval_overlap", "q224_equi_depth_hist",
+        "q225_dq_checks", "q226_ratio_to_report", "q227_cumulative_users",
+        "q235_event_pattern",
+        # sequence / SCD / graph-reach / growth (8)
+        "q236_collapse_runs", "q237_moving_median", "q241_timed_funnel",
+        "q242_source_similarity", "q243_describe_history",
+        "q244_scd2_intervals", "q247_khop_reachability", "q257_yoy_growth",
     ]
-    assert len(front) == 50, f"round-5 front window is {len(front)}, want 50"
+    assert len(front) == 50, f"round-6 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
     assert not missing, f"front window names not registered: {missing}"
 

@@ -113,16 +113,27 @@ def q214_regr_moments(spark, sf_dir):
             "l_returnflag",
             "n",
             "n_pricey",
-            F.expr("CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)").alias("slope"),
+            # Quantized per the registry determinism convention
+            # (suite/__init__.py docstring): the raw double chains
+            # `a - b*c` / product-ratios are FMA-contractible, so an
+            # -ffp-contract engine build lands a different last ulp than
+            # JVM codegen (r5 driver q214 hash miss).  ROUND(x*1e6) → BIGINT
+            # absorbs the ulp; a flip needs x*1e6 within ~1e-7 of a
+            # half-integer, vanishingly unlikely for these arbitrary reals.
             F.expr(
-                "(CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) /"
+                "CAST(ROUND((CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
+                " * 1e6) AS BIGINT)"
+            ).alias("slope_q6"),
+            F.expr(
+                "CAST(ROUND(((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) /"
                 " CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))"
-                " / CAST(n AS DOUBLE)"
-            ).alias("intercept"),
+                " / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)"
+            ).alias("intercept_q6"),
             F.expr(
-                "(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /"
-                " (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))"
-            ).alias("r2"),
+                "CAST(ROUND(((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /"
+                " (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))"
+                " * 1e6) AS BIGINT)"
+            ).alias("r2_q6"),
         )
         .orderBy("l_returnflag")
     )
@@ -151,11 +162,12 @@ d AS (
          n * syy - sy * sy AS deny
   FROM m)
 SELECT l_returnflag, n, n_pricey,
-       CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope,
-       (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
-          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
-         / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+       CAST(ROUND((CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+          * 1e6) AS BIGINT) AS slope_q6,
+       CAST(ROUND(((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS intercept_q6,
+       CAST(ROUND(((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))) * 1e6) AS BIGINT) AS r2_q6
 FROM d WHERE denx <> 0 AND deny <> 0
 ORDER BY l_returnflag
 """

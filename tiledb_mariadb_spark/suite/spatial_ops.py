@@ -299,3 +299,117 @@ SPECS.append(
         "strict interval overlap on the rectangle corners in DuckDB",
     )
 )
+
+
+# --- q313: spatial pushdown THROUGH spark.read.format (round 6) -------------
+# q311 drives the MBR tier through the st_intersects_native helper; this
+# spec drives it through the FIRST-CLASS Python Data Source: the query
+# polygon arrives as reader OPTIONS (spatial_wkb hex + spatial_dims +
+# spatial_pad), the reader seeds padded-MBR dim ranges BEFORE split
+# planning (cond_push_func_spatial parity, ha_mytile.cc:2312-2507,
+# 2825-2830 — tested split-confinement in test_spark_datasource), and
+# the EXACT rectangle-overlap residual runs in plain SQL over the
+# scanned columns.  pad >= max stored half-extent (hw<=3.5) keeps the
+# centroid-indexed MBR tier over-selecting only; coordinates are
+# engineered so no boundary ever ties (.25-offset centers, .5-step
+# extents vs .5-offset query bounds).
+_Q313_QUERY = (200.5, 150.5, 420.5, 390.5)
+_Q313_PAD = 4.5
+
+
+def q313_spatial_datasource(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.operators.spatial import (  # noqa: PLC0415
+        make_wkb_polygon,
+    )
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    register_tiledb_native(spark)
+    uri = tempfile.mkdtemp(prefix="q313_spds_") + "/rects"
+    create_native_array(
+        uri,
+        dims=[
+            NativeDim("cx", 3, 1, (0.0, 2000.0), None),
+            NativeDim("cy", 3, 1, (0.0, 2000.0), None),
+        ],
+        attrs=[
+            NativeAttr("ckey", 1, 1, False, None),
+            NativeAttr("hw", 3, 1, False, None),
+            NativeAttr("hh", 3, 1, False, None),
+        ],
+        allows_dups=True,
+    )
+    rows = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 4000)
+        .select(
+            F.col("c_custkey").cast("long").alias("ckey"),
+            ((F.col("c_custkey") * 37 % 1000) + F.lit(0.25)).alias("cx"),
+            ((F.col("c_custkey") * 73 % 1000) + F.lit(0.25)).alias("cy"),
+            ((F.col("c_custkey") % 7 + 1) * F.lit(0.5)).alias("hw"),
+            ((F.col("c_custkey") % 5 + 1) * F.lit(0.5)).alias("hh"),
+        )
+        .repartition(4)
+    )
+    write_array(rows, uri)
+    qx1, qy1, qx2, qy2 = _Q313_QUERY
+    qwkb = make_wkb_polygon(
+        [(qx1, qy1), (qx2, qy1), (qx2, qy2), (qx1, qy2)]
+    )
+    pre = (
+        spark.read.format("tiledb_native")
+        .option("path", uri)
+        .option("spatial_wkb", qwkb.hex())
+        .option("spatial_dims", "cx,cy")
+        .option("spatial_pad", str(_Q313_PAD))
+        .load()
+    )
+    return (
+        pre.filter(
+            (F.col("cx") - F.col("hw") < qx2)
+            & (F.col("cx") + F.col("hw") > qx1)
+            & (F.col("cy") - F.col("hh") < qy2)
+            & (F.col("cy") + F.col("hh") > qy1)
+        )
+        .select("ckey")
+        .orderBy("ckey")
+    )
+
+
+Q313_SQL = f"""
+WITH rects AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ckey,
+         (c_custkey * 37 % 1000) + 0.25 AS cx,
+         (c_custkey * 73 % 1000) + 0.25 AS cy,
+         (c_custkey % 7 + 1) * 0.5 AS hw,
+         (c_custkey % 5 + 1) * 0.5 AS hh
+  FROM customer WHERE c_custkey <= 4000)
+SELECT ckey FROM rects
+WHERE cx - hw < {_Q313_QUERY[2]} AND cx + hw > {_Q313_QUERY[0]}
+  AND cy - hh < {_Q313_QUERY[3]} AND cy + hh > {_Q313_QUERY[1]}
+ORDER BY ckey
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q313_spatial_datasource",
+        q313_spatial_datasource,
+        Q313_SQL,
+        "spatial pushdown through spark.read.format options "
+        "(spatial_wkb/spatial_dims/spatial_pad -> padded-MBR dim "
+        "ranges, split pruning) + exact overlap residual in plain SQL",
+    )
+)

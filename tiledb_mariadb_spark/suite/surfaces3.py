@@ -3290,3 +3290,140 @@ SPECS.append(
         "stats checked against DuckDB on the source parquet",
     )
 )
+
+
+# --- q314: DENSE arrays first-class on the MODERN paths (round 6) ------------
+# q296 proved dense subarray+fill semantics on the LEGACY v5 layout;
+# this spec drives the same dense_writes.test/fill_in.test shape through
+# the round-6 modern tier: space-tiled **v19** dense fragments (writer:
+# tiledb_native_write.py dense_box path — positional a<i>.tdb files,
+# per-space-tile stats, NED-box footer) read back by the dense COLUMNAR
+# fast path (tiledb_native.py _read_dense_range_np — generated
+# coordinates, O(dim0-span) attr decode, vectorized newest-wins
+# scatter, fill materialization; parity-fuzzed in
+# tests/test_range_np_parity.py::test_dense_parity).  Keys are made
+# CONTIGUOUS by ranking orderkeys so every box is exactly covered.
+def q314_native_dense_v19(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    be = NativeDecoderBackend()
+    uri = tempfile.mkdtemp(prefix="q314_dense_v19_") + "/arr"
+    create_native_array(
+        uri,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 1199), 100)],
+        attrs=[NativeAttr("cents", 1, 1, False, _struct.pack("<q", -1))],
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(Window.orderBy("o_orderkey")) - 1,
+        )
+        .filter(F.col("k") <= 1199)
+    )
+
+    def write_box(df, lo, hi, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri, {"cents": list(pdf["v"])}, ts=ts,
+                    subarray=[(lo, hi)], version=19,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    # box1 [0,599], box2 [800,1199] (gap -> fills), box3 overwrites
+    # [400,599] newest-wins — all tile-aligned v19 space-tiled fragments
+    write_box(
+        base.filter(F.col("k") <= 599).select(
+            "k", F.col("cents").alias("v")
+        ),
+        0, 599, 1000,
+    )
+    write_box(
+        base.filter(F.col("k") >= 800).select(
+            "k", (F.col("cents") * 3).alias("v")
+        ),
+        800, 1199, 2000,
+    )
+    write_box(
+        base.filter((F.col("k") >= 400) & (F.col("k") <= 599)).select(
+            "k", (F.col("cents") * 7).alias("v")
+        ),
+        400, 599, 3000,
+    )
+    arr = read_array(
+        spark, uri, backend=be, dim_ranges={"k": (100, 1099)},
+        target_splits=6,
+    )
+    return (
+        arr.groupBy(F.expr("CAST(k DIV 200 AS BIGINT)").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+        )
+        .orderBy("region")
+    )
+
+
+Q314_SQL = """
+WITH ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders),
+cells AS (
+  SELECT k,
+         CASE WHEN k BETWEEN 400 AND 599 THEN 7 * cents
+              WHEN k <= 599 THEN cents
+              WHEN k >= 800 THEN 3 * cents
+              ELSE -1 END AS v
+  FROM ranked WHERE k <= 1199)
+SELECT CAST(k // 200 AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_cents,
+       CAST(MIN(v) AS BIGINT) AS min_cents
+FROM cells WHERE k BETWEEN 100 AND 1099
+GROUP BY 1 ORDER BY region
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q314_native_dense_v19",
+        q314_native_dense_v19,
+        Q314_SQL,
+        "dense v19 space-tiled fragments (modern writer) + dense "
+        "columnar fast path: subarray writes, newest-wins overlay, "
+        "fill gap, ranged read through the connector",
+    )
+)
