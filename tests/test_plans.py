@@ -98,6 +98,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q294_native_evolution",  # evolution spec write + connector scan
         "q295_native_hilbert",  # hilbert write + connector scan
         "q296_native_dense_partial",  # dense subarray write + scan
+        "q314_native_dense_v19",  # dense v19 box writes + columnar scan
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

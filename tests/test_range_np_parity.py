@@ -420,3 +420,107 @@ def test_dense_fill_parity(tmp_path):
     _assert_same(d, ranges=[(7, 16)])
     _assert_same(d, ranges=[(0, 3)])    # empty window
     _assert_same(d, ranges=[(10, 13)])  # all fills
+
+
+def _assert_same_obj(d, **kw):
+    """Like _assert_same but elementwise — multi-value cells are python
+    LISTS, which np.array() would otherwise stack into a 2-D array."""
+    names_s, rows = read_native_array_range(d, **kw)
+    fast = read_native_array_range_np(d, **kw)
+    assert fast is not None, "expected fast-path eligibility"
+    names_f, arrs = fast
+    assert names_s == names_f
+    assert len(rows) == len(arrs[names_f[0]])
+    for j, nm in enumerate(names_f):
+        got = list(arrs[nm])
+        for i, r in enumerate(rows):
+            g = got[i]
+            w = r[j]
+            if isinstance(w, (list, tuple)):
+                assert list(g) == list(w), (nm, i)
+            else:
+                assert g == w, (nm, i, g, w)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_multivalue_fixed_parity(tmp_path, seed):
+    """Round-6: fixed multi-value numeric cells (the vector-store
+    embedding shape, float32 x D) are IN the fast path — one
+    frombuffer+reshape per span, cells surfaced as python lists exactly
+    like the row path's _fixed_vals slices.  Overwrites, ranges,
+    projections, evolved-in fills."""
+    import struct
+
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        evolve_native_schema,
+    )
+
+    rng = random.Random(3000 + seed)
+    d = str(tmp_path / f"mv{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [
+            NativeAttr("emb", 2, 8, False, None),   # float32 x 8
+            NativeAttr("pair", 1, 2, False, None),  # int64 x 2
+            NativeAttr("v", 3, 1, False, None),     # scalar alongside
+        ],
+        capacity=32,
+        compressor="zstd",
+    )
+    for ts in (100, 200):
+        n = rng.randint(1, 200)
+        keys = sorted(rng.sample(range(0, 800), n))
+        write_native_fragment(
+            d,
+            {
+                "k": keys,
+                "emb": [[float(kk % 7 + j) for j in range(8)] for kk in keys],
+                "pair": [[kk, kk * 2] for kk in keys],
+                "v": [kk * 0.5 for kk in keys],
+            },
+            ts=ts,
+            version=5,  # evolution below refuses v10+ fragments
+        )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[(40, 600)])
+    _assert_same_obj(d, columns=["emb"])
+    _assert_same_obj(d, at=150)
+    # evolved-in multi-value attr: fills on the old fragment
+    evolve_native_schema(
+        d,
+        add_attrs=[
+            NativeAttr("ev", 1, 2, False, struct.pack("<qq", -1, -2))
+        ],
+    )
+    write_native_fragment(
+        d, {"k": [900], "emb": [[0.0] * 8], "pair": [[9, 18]],
+            "v": [1.0], "ev": [[5, 6]]},
+        ts=300, version=5,
+    )
+    _assert_same_obj(d)
+
+
+def test_multivalue_dense_parity(tmp_path):
+    """Dense + fixed multi-value: generated coordinates with list
+    cells, fills between subarray fragments."""
+    import struct
+
+    d = str(tmp_path / "mvd")
+    create_native_array(
+        d,
+        [NativeDim("x", 1, 1, (0, 19), 5)],
+        [NativeAttr("vec", 2, 4, False,
+                    struct.pack("<4f", -1.0, -1.0, -1.0, -1.0))],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        d, {"vec": [[float(i), i + 0.5, 0.0, 1.0] for i in range(5)]},
+        ts=100, version=19, subarray=[(5, 9)],
+    )
+    write_native_fragment(
+        d, {"vec": [[9.0, 9.0, 9.0, 9.0]] * 5},
+        ts=200, version=19, subarray=[(15, 19)],
+    )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[(7, 16)])

@@ -462,3 +462,38 @@ def test_bbox_option_prunes_splits(tmp_path):
         TileDBNativeReader(d, None, 8, ["x"], bbox="nosuch:0:1")
     with pytest.raises(ValueError):
         TileDBNativeReader(d, None, 8, ["x"], spatial_wkb=wkb.hex())
+
+
+def test_format_reads_dense_arrays(spark, tmp_path):
+    """Round-6: DENSE arrays through spark.read.format — schema from
+    the blob, splits over the NED box, fills materialized, dim filter
+    pushdown narrows the scan (served by the dense columnar path)."""
+    import struct
+
+    d = str(tmp_path / "dfmt")
+    create_native_array(
+        d,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 199), 50)],
+        attrs=[NativeAttr("v", 1, 1, False, struct.pack("<q", -7))],
+    )
+    write_native_fragment(
+        d, {"v": list(range(100))}, ts=100, version=19, subarray=[(0, 99)]
+    )
+    write_native_fragment(
+        d, {"v": [1000 + i for i in range(50)]}, ts=200, version=19,
+        subarray=[(150, 199)],
+    )
+    register_tiledb_native(spark)
+    df = spark.read.format("tiledb_native").option("path", d).load()
+    assert df.count() == 200  # bbox 0..199 incl. the fill gap
+    fills = df.filter(F.col("v") == -7).count()
+    assert fills == 50  # gap 100..149
+    got = (
+        df.filter((F.col("k") >= 90) & (F.col("k") <= 160))
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in got] == list(range(90, 161))
+    assert got[0].v == 90 and got[-1].v == 1010
+    assert got[20].v == -7  # k=110: fill

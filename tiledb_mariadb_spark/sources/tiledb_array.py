@@ -413,18 +413,30 @@ class NativeDecoderBackend(ArrayBackend):
                 return list(v)
             return None if pd.isna(v) else v
 
+        def col_vals(s):
+            # numeric null-free columns pass through as numpy arrays —
+            # the writer is ndarray-native end-to-end (round 6), and the
+            # per-cell clean() loop (pd.isna per value) dominated
+            # distributed write tasks
+            import numpy as np  # noqa: PLC0415
+
+            arr = s.to_numpy()
+            if arr.dtype.kind in "iub":
+                return arr
+            if arr.dtype.kind == "f" and not np.isnan(arr).any():
+                return arr
+            return [clean(v) for v in s]
+
         self._reg(uri)
         schema = parse_array_schema(_schema_path(uri))
         names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
-        cols = {n: [clean(v) for v in pdf[n]] for n in names}
-        # sparse writes emit the MODERN (v19) layout so every
-        # connector-written table serves metadata-only aggregates and
-        # attribute pruning; dense stays on the v5 era (the v19 writer
-        # is sparse-only)
-        write_native_fragment(
-            uri, cols, ts=ts,
-            version=19 if schema.array_type == "SPARSE" else 5,
-        )
+        cols = {
+            n: col_vals(pdf[n]) for n in names if n in pdf.columns
+        }  # dense writes carry attrs only; the writer validates the rest
+        # every connector-written fragment emits the MODERN (v19)
+        # layout — sparse AND (since round 6) dense — so it serves
+        # metadata-only aggregates and attribute pruning
+        write_native_fragment(uri, cols, ts=ts, version=19)
 
     def delete(self, uri, conditions, ts=None) -> str:
         """DELETE WHERE as a commit-level artifact: O(1) regardless of

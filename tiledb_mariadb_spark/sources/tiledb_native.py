@@ -1463,10 +1463,22 @@ _DIM_CACHE: dict = {}
 _DIM_CACHE_MAX = 8
 
 
+_WALK_CACHE: dict = {}
+_WALK_CACHE_MAX = 256
+
+
 def _walk_tile_file(path: str) -> list[tuple[int, int, int, bytes]]:
     """Chunk extent index of a fragment data file WITHOUT decoding:
     [(payload_offset, orig_len, stored_len, meta_bytes), ...] across all
-    tile records, via header seeks only."""
+    tile records, via header seeks only.  Cached per (path, size,
+    mtime): committed fragments are immutable (new data = new fragment
+    directory), and several splits of one scan land on the same reused
+    python worker — each would otherwise re-walk ~1 header per 64 KB."""
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _WALK_CACHE.get(key)
+    if hit is not None:
+        return hit
     chunks = []
     with open(path, "rb") as f:
         size = os.fstat(f.fileno()).st_size
@@ -1482,6 +1494,9 @@ def _walk_tile_file(path: str) -> list[tuple[int, int, int, bytes]]:
                 payload_off = pos + 12 + meta
                 chunks.append((payload_off, orig, filt, mbytes))
                 pos = payload_off + filt
+    if len(_WALK_CACHE) >= _WALK_CACHE_MAX:
+        _WALK_CACHE.clear()
+    _WALK_CACHE[key] = chunks
     return chunks
 
 
@@ -1808,6 +1823,7 @@ def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
     mask, vectorized enum ordinal->label map.  None => outside the fast
     path (caller falls back to the row reader)."""
     is_var = a.cell_val_num == 0xFFFFFFFF
+    cvn = a.cell_val_num
     elem = _DT[a.dtype_id][2]
     w = hi_cell - lo_cell
     try:
@@ -1815,13 +1831,27 @@ def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
     except FileNotFoundError:
         if getattr(a, "enumeration", None) in schema.enumerations:
             return None  # evolved-in enum fill: row path
-        if is_var or getattr(a, "nullable", False):
-            return np.full(w, _fill_value(a), dtype=object)
+        if is_var or cvn != 1 or getattr(a, "nullable", False):
+            fill = _fill_value(a)
+            filled = np.empty(w, dtype=object)
+            filled[:] = [fill] * w
+            return filled
         return np.full(w, _fill_value(a), dtype=_NP_DT[a.dtype_id])
     if is_var:
         v = _var_str_span_arrow(afile, schema, a, lo_cell, hi_cell)
         if v is None:
             return None
+    elif cvn != 1:
+        cb = elem * cvn
+        raw = read_byte_span(
+            afile, lo_cell * cb, hi_cell * cb,
+            filters=a.filters, elem=elem,
+        )
+        cells = np.frombuffer(raw, _NP_DT[a.dtype_id]).reshape(-1, cvn)
+        if len(cells) != w:
+            return None
+        v = np.empty(w, dtype=object)
+        v[:] = cells.tolist()
     else:
         raw = read_byte_span(
             afile, lo_cell * elem, hi_cell * elem,
@@ -1903,7 +1933,12 @@ def _read_dense_range_np(
         var_str = (
             a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
         )
-        if not (scalar_num or var_str):
+        multi_fixed = (
+            a.dtype_id in _NP_DT
+            and 1 < a.cell_val_num != 0xFFFFFFFF
+            and not getattr(a, "nullable", False)
+        )
+        if not (scalar_num or var_str or multi_fixed):
             return None
         en = getattr(a, "enumeration", None)
         if en and en in schema.enumerations and not scalar_num:
@@ -1911,11 +1946,10 @@ def _read_dense_range_np(
     rngs = list(ranges) if ranges else [(None, None)] * len(dims)
     frag_list = _fragment_dirs(array_dir, at=at)
     names = [d.name for d in dims] + [a.name for a in want]
-    row_major = _dense_is_row_major(schema)
 
     def _obj_col(a):
         return (
-            a.cell_val_num == 0xFFFFFFFF
+            a.cell_val_num != 1
             or getattr(a, "nullable", False)
             or (getattr(a, "enumeration", None) in schema.enumerations)
         )
@@ -1932,6 +1966,11 @@ def _read_dense_range_np(
         box_n = 1
         for blo, bhi in box:
             box_n *= bhi - blo + 1
+        # per-FRAGMENT layout check: 1-D arrays with any extent (tiles
+        # advance only along dim0) and one-tile-column boxes are plain
+        # row-major on disk — dim0 ranges map to contiguous cell spans
+        # and no permutation is needed
+        row_major = _dense_box_row_major(schema, box)
         if row_major and rngs[0] != (None, None):
             # dim0 range -> contiguous cell span of the box (row-major
             # layout): only the covering chunks ever decode
@@ -2011,13 +2050,18 @@ def _read_dense_range_np(
     out = {}
     for a in want:
         if _obj_col(a):
-            out[a.name] = np.full(bbox_n, _fill_value(a), dtype=object)
+            fill = _fill_value(a)
+            filled = np.empty(bbox_n, dtype=object)
+            filled[:] = [fill] * bbox_n  # list fills must not broadcast
+            out[a.name] = filled
         else:
             out[a.name] = np.full(
                 bbox_n, _fill_value(a), dtype=_NP_DT[a.dtype_id]
             )
     # oldest -> newest scatter = newest-wins overwrite (frag_list order,
-    # same as the row path's merged-dict iteration)
+    # same as the row path's merged-dict iteration).  Identity windows
+    # (fragment covers its whole box / the whole bbox — the common
+    # single-fragment scan) skip the index-array build and fancy-index.
     for box, cols in frag_data:
         win = [
             (max(blo, bblo), min(bhi, bbhi))
@@ -2025,10 +2069,22 @@ def _read_dense_range_np(
         ]
         if any(wlo > whi for wlo, whi in win):
             continue
-        src = _rm_window_indices(np, win, box)
-        dst = _rm_window_indices(np, win, bbox)
+        src = (
+            None if win == [tuple(b) for b in box]
+            else _rm_window_indices(np, win, box)
+        )
+        dst = (
+            None if win == [tuple(b) for b in bbox]
+            else _rm_window_indices(np, win, bbox)
+        )
         for a in want:
-            out[a.name][dst] = cols[a.name][src]
+            col = cols[a.name]
+            if src is not None:
+                col = col[src]
+            if dst is None:
+                out[a.name][:] = col
+            else:
+                out[a.name][dst] = col
     # generated coordinates: row-major over the bounding box
     inner = bbox_n
     for d, (blo, bhi), size in zip(dims, bbox, sizes):
@@ -2119,7 +2175,15 @@ def read_native_array_range_np(
         var_str = (
             a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
         )
-        if not (scalar_num or var_str):
+        # fixed multi-value numeric cells (the vector-store embedding
+        # shape, float32 x D): frombuffer + reshape, cells as lists —
+        # nullable multi stays on the row path (per-cell validity)
+        multi_fixed = (
+            a.dtype_id in _NP_DT
+            and 1 < a.cell_val_num != 0xFFFFFFFF
+            and not getattr(a, "nullable", False)
+        )
+        if not (scalar_num or var_str or multi_fixed):
             return None  # nullable/enumerated attrs are fine (below)
         en = getattr(a, "enumeration", None)
         if en and en in schema.enumerations and not scalar_num:
@@ -2213,6 +2277,7 @@ def read_native_array_range_np(
         n_sel = len(cols[d0.name])
         for a in want:
             is_var = a.cell_val_num == 0xFFFFFFFF
+            cvn = a.cell_val_num
             elem = _DT[a.dtype_id][2]
             try:
                 afile = _field_file(
@@ -2221,10 +2286,11 @@ def read_native_array_range_np(
             except FileNotFoundError:
                 if getattr(a, "enumeration", None) in schema.enumerations:
                     return None  # evolved-in enum fill: row path
-                if is_var or getattr(a, "nullable", False):
-                    cols[a.name] = np.full(
-                        n_sel, _fill_value(a), dtype=object
-                    )
+                if is_var or cvn != 1 or getattr(a, "nullable", False):
+                    fill = _fill_value(a)
+                    filled = np.empty(n_sel, dtype=object)
+                    filled[:] = [fill] * n_sel
+                    cols[a.name] = filled
                 else:
                     cols[a.name] = np.full(
                         n_sel, _fill_value(a), dtype=_NP_DT[a.dtype_id]
@@ -2236,6 +2302,20 @@ def read_native_array_range_np(
                 )
                 if v is None:
                     return None  # odd layout/invalid utf8: row path
+            elif cvn != 1:
+                # fixed multi-value cells: one frombuffer + reshape,
+                # cells surfaced as python LISTS (the row path's
+                # _fixed_vals slice representation)
+                cb = elem * cvn
+                raw = read_byte_span(
+                    afile, (base + i0) * cb, (base + i1) * cb,
+                    filters=a.filters, elem=elem,
+                )
+                cells = np.frombuffer(raw, _NP_DT[a.dtype_id]).reshape(
+                    -1, cvn
+                )
+                v = np.empty(len(cells), dtype=object)
+                v[:] = cells.tolist()
             else:
                 raw = read_byte_span(
                     afile, (base + i0) * elem, (base + i1) * elem,
@@ -2288,7 +2368,7 @@ def read_native_array_range_np(
                 return np.empty(0, _NP_DT[d.dtype_id])
             a = next(x for x in want if x.name == nm)
             if (
-                a.cell_val_num == 0xFFFFFFFF
+                a.cell_val_num != 1
                 or a.nullable
                 or (getattr(a, "enumeration", None) in schema.enumerations)
             ):

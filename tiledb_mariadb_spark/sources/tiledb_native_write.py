@@ -749,36 +749,56 @@ def write_native_fragment(
     elif subarray is not None:
         raise ValueError("subarray= applies to DENSE arrays only")
     if schema.array_type == "DENSE" and n > 1:
-        # permute ROW-MAJOR box order -> the box's global TILE order
-        # (identity when every extent covers its axis, the legacy layout)
+        # permute ROW-MAJOR box order -> the box's global TILE order.
+        # Identity whenever the box is row-major on disk (1-D arrays
+        # with any extent, one-tile-column boxes, full-axis extents) —
+        # _dense_box_row_major, the same test the columnar reader uses.
+        # Otherwise the permutation is BUILT VECTORIZED (per space tile,
+        # the row-major indices of its cells) — the old per-cell python
+        # loop dominated large dense writes.
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
-            _dense_coords_box,
+            _dense_box_row_major,
+            _rm_window_indices,
         )
 
-        if any(
-            d.extent is not None
-            and d.extent < (d.domain[1] - d.domain[0] + 1)
-            for d in schema.dims
-        ):
-            strides, mult = [], 1
-            for blo, bhi in reversed(box):
-                strides.insert(0, mult)
-                mult *= bhi - blo + 1
+        if not _dense_box_row_major(schema, box):
+            import itertools  # noqa: PLC0415
 
-            def _rm_index(c):
-                return sum(
-                    (v - blo) * s
-                    for v, (blo, _bhi), s in zip(c, box, strides)
-                )
+            import numpy as np  # noqa: PLC0415
 
-            perm = [_rm_index(c) for c in _dense_coords_box(schema, box)]
-            if perm != list(range(n)):
-                columns = {
-                    nm: [vals[i] for i in perm]
-                    for nm, vals in (
-                        (a.name, columns[a.name]) for a in schema.attrs
-                    )
-                }
+            axes = []
+            for d, (blo, bhi) in zip(schema.dims, box):
+                lo, hi = d.domain
+                ext = d.extent or (hi - lo + 1)
+                spans = []
+                for tstart in range(lo, hi + 1, ext):
+                    s, e = max(tstart, blo), min(tstart + ext - 1, bhi)
+                    if s <= e:
+                        spans.append((s, e))
+                axes.append(spans)
+            perm = np.concatenate([
+                _rm_window_indices(np, combo, box)
+                for combo in itertools.product(*axes)
+            ])
+
+            def _permute(vals):
+                if (
+                    isinstance(vals, np.ndarray)
+                    and vals.dtype.kind in "iufb"
+                ):
+                    return vals[perm]
+                if len(vals) and all(
+                    type(v) in (int, float, bool) for v in vals
+                ):
+                    try:
+                        return np.asarray(vals)[perm].tolist()
+                    except (ValueError, TypeError):
+                        pass
+                return [vals[i] for i in perm]
+
+            columns = {
+                a.name: _permute(columns[a.name]) for a in schema.attrs
+            }
     for d in schema.dims:
         if d.domain is None or schema.array_type == "DENSE":
             continue
