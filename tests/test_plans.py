@@ -99,6 +99,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q295_native_hilbert",  # hilbert write + connector scan
         "q296_native_dense_partial",  # dense subarray write + scan
         "q314_native_dense_v19",  # dense v19 box writes + columnar scan
+        "q315_dense_datasource",  # dense box writes + format() scan
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas
@@ -116,6 +117,8 @@ def test_no_python_udf_in_any_plan(spark):
         # same declared native-io boundary
         "q311_native_spatial",  # native connector scan + the declared
         # WKB residual pandas_udf (spatial exact tier)
+        "q313_spatial_datasource",  # connector write + format() scan
+        # with spatial option pushdown: same declared boundary
         "q312_secure_corpus",  # encrypted connector write+read feeding
         # the dedup pipeline: same declared native-io boundary
     }

@@ -98,18 +98,81 @@ def test_evolution_fill_parity(tmp_path):
 
 
 def test_fallbacks_are_none(tmp_path):
-    """Shapes the fast path must DECLINE: string/datetime dims — the
-    row path owns their semantics.  (Var-string, nullable, and
-    multi-dim numeric arrays are IN the fast path since round 5;
-    visible deletes and DENSE arrays since round 6 — see
-    test_delete_parity / test_dense_parity.)"""
+    """Shapes the fast path must DECLINE (bool attrs — python-value
+    conversion differs from a raw buffer).  Everything else is IN after
+    round 6: var-string dims, deletes, dense, multi-value — see the
+    parity tests below."""
     d2 = str(tmp_path / "fb2")
     create_native_array(
-        d2, [NativeDim("k", 12, 0xFFFFFFFF, None, None)],  # string dim
-        [NativeAttr("v", 1, 1, False, None)],
+        d2, [NativeDim("k", 1, 1, (0, 100), None)],
+        [NativeAttr("v", 40, 1, False, None)],  # bool attr
     )
-    write_native_fragment(d2, {"k": ["a"], "v": [1]})
-    assert read_native_array_range_np(d2) is None  # var string DIM
+    write_native_fragment(d2, {"k": [1], "v": [True]})
+    assert read_native_array_range_np(d2) is None
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_string_dim_parity(tmp_path, seed):
+    """Round-6: var-UTF-8 DIMENSIONS (string-keyed tables,
+    t/string_dim.test) ride the fast path — Arrow-decoded key columns,
+    stable object-argsort chain for the lexicographic merge order,
+    newest-wins dedup on string keys, range masks with string bounds."""
+    rng = random.Random(5000 + seed)
+    d = str(tmp_path / f"sd{seed}")
+    create_native_array(
+        d,
+        [NativeDim("doc_id", 12, 0xFFFFFFFF, None, None)],
+        [
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("s", 12, 0xFFFFFFFF, False, None),
+        ],
+        capacity=32,
+    )
+    universe = [f"doc-{i:05d}" for i in range(400)]
+    for ts in (100, 200, 300):
+        keys = sorted(rng.sample(universe, rng.randint(1, 120)))
+        write_native_fragment(
+            d,
+            {
+                "doc_id": keys,
+                "v": [int(k[4:]) * ts for k in keys],
+                "s": [k[::-1] for k in keys],
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[("doc-00050", "doc-00250")])
+    _assert_same_obj(d, ranges=[(None, "doc-00199")], columns=["v"])
+    _assert_same_obj(d, at=250)
+
+
+def test_string_dim_2d_parity(tmp_path):
+    """Mixed string + numeric dims: per-position lexicographic order
+    (string primary, int secondary) must match sorted(merged)."""
+    d = str(tmp_path / "sd2")
+    create_native_array(
+        d,
+        [NativeDim("lang", 12, 0xFFFFFFFF, None, None),
+         NativeDim("n", 1, 1, (0, 1000), None)],
+        [NativeAttr("v", 3, 1, False, None)],
+        capacity=16,
+    )
+    rng = random.Random(11)
+    for ts in (100, 200):
+        pts = sorted(
+            {(rng.choice(["de", "en", "fr", "ja"]), rng.randint(0, 50))
+             for _ in range(60)}
+        )
+        write_native_fragment(
+            d,
+            {"lang": [p[0] for p in pts], "n": [p[1] for p in pts],
+             "v": [p[1] * 0.5 for p in pts]},
+            ts=ts, version=19,
+        )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[("en", "fr"), (10, 40)])
+    _assert_same_obj(d, ranges=[(None, None), (None, 25)], columns=["v"])
 
 
 def test_encrypted_parity(tmp_path):
@@ -524,3 +587,57 @@ def test_multivalue_dense_parity(tmp_path):
     )
     _assert_same_obj(d)
     _assert_same_obj(d, ranges=[(7, 16)])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_nullable_multivalue_parity(tmp_path, seed):
+    """Nullable fixed multi-value cells: the validity tile masks WHOLE
+    cells to None (row-path rule) — same placement on the fast path."""
+    rng = random.Random(4000 + seed)
+    d = str(tmp_path / f"nmv{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [NativeAttr("vec", 2, 4, True, None)],  # float32 x 4, NULLABLE
+        capacity=32,
+    )
+    for ts in (100, 200):
+        n = rng.randint(1, 150)
+        keys = sorted(rng.sample(range(0, 600), n))
+        write_native_fragment(
+            d,
+            {
+                "k": keys,
+                "vec": [
+                    None if kk % 5 == 0
+                    else [float(kk), kk + 0.5, 0.0, 1.0]
+                    for kk in keys
+                ],
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[(30, 450)])
+    _assert_same_obj(d, at=150)
+
+
+def test_zipped_coords_parity():
+    """Legacy (pre-2.0) zipped __coords.tdb fragments — the reference's
+    own 1.6 quickstart fixture — decode through the fast path too:
+    interleaved tuples de-interleave with a reshape column view."""
+    import os
+
+    d = ("/root/reference/mysql-test/mytile/test_data/"
+         "tiledb_arrays/1.6/quickstart_sparse")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixtures not present")
+    for kw in ({}, {"ranges": [(1, 1), (None, None)]},
+               {"ranges": [(None, 2), (2, None)], "columns": ["a"]}):
+        names_s, rows = read_native_array_range(d, **kw)
+        fast = read_native_array_range_np(d, **kw)
+        assert fast is not None
+        names_f, arrs = fast
+        assert names_s == names_f
+        got = list(zip(*[arrs[n].tolist() for n in names_f])) if rows else []
+        assert [tuple(r) for r in rows] == [tuple(g) for g in got]

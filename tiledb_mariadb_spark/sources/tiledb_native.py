@@ -1934,10 +1934,8 @@ def _read_dense_range_np(
             a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
         )
         multi_fixed = (
-            a.dtype_id in _NP_DT
-            and 1 < a.cell_val_num != 0xFFFFFFFF
-            and not getattr(a, "nullable", False)
-        )
+            a.dtype_id in _NP_DT and 1 < a.cell_val_num != 0xFFFFFFFF
+        )  # nullable multi: validity masks whole cells to None below
         if not (scalar_num or var_str or multi_fixed):
             return None
         en = getattr(a, "enumeration", None)
@@ -2146,7 +2144,20 @@ def read_native_array_range_np(
         return None
     dims = schema.dims
     d0 = dims[0]
-    if any(d.dtype_id not in _NP_DT or d.cell_val_num != 1 for d in dims):
+
+    def _var_str_dim(d):
+        # var-UTF-8 dims (string-keyed tables, t/string_dim.test):
+        # decoded through the same Arrow from_buffers path as var attrs,
+        # sorted/deduped with stable object argsort chains (round 6)
+        return d.cell_val_num == 0xFFFFFFFF and d.dtype_id in (4, 11, 12)
+
+    if any(
+        not (
+            (d.dtype_id in _NP_DT and d.cell_val_num == 1)
+            or _var_str_dim(d)
+        )
+        for d in dims
+    ):
         return None
     want = [
         a for a in schema.attrs if columns is None or a.name in columns
@@ -2179,10 +2190,8 @@ def read_native_array_range_np(
         # shape, float32 x D): frombuffer + reshape, cells as lists —
         # nullable multi stays on the row path (per-cell validity)
         multi_fixed = (
-            a.dtype_id in _NP_DT
-            and 1 < a.cell_val_num != 0xFFFFFFFF
-            and not getattr(a, "nullable", False)
-        )
+            a.dtype_id in _NP_DT and 1 < a.cell_val_num != 0xFFFFFFFF
+        )  # nullable multi: validity masks whole cells to None below
         if not (scalar_num or var_str or multi_fixed):
             return None  # nullable/enumerated attrs are fine (below)
         en = getattr(a, "enumeration", None)
@@ -2202,65 +2211,107 @@ def read_native_array_range_np(
             continue
         if not fragment_overlaps(frag, schema, rngs):
             continue
-        if os.path.isfile(os.path.join(frag, "__coords.tdb")):
-            return None  # legacy zipped coords: row path
-        try:
-            kfile = _field_file(frag, d0.name, 0, "d")
-        except FileNotFoundError:
-            return None
+        zipped_file = os.path.join(frag, "__coords.tdb")
         base = 0
-        if (lo, hi) != (None, None):
-            span = sorted_dim0_cell_span(frag, schema, lo, hi)
-            if span is not None:
-                s_lo, s_hi, _n = span
-                if s_lo >= s_hi:
-                    continue
-                k = np.frombuffer(
-                    read_byte_span(
-                        kfile, s_lo * kelem, s_hi * kelem,
-                        filters=d0.filters, elem=kelem,
-                    ),
-                    _NP_DT[d0.dtype_id],
-                )
-                base = s_lo
+        if os.path.isfile(zipped_file):
+            # legacy (pre-2.0) ZIPPED coordinates: one interleaved
+            # (d0, d1, ..., dk) tuple per cell, uniform dim dtype —
+            # decode once, de-interleave with a reshape column view
+            # (the numpy twin of _dims_cached's flat[i::nd])
+            if _var_str_dim(d0) or any(
+                d.dtype_id != d0.dtype_id for d in dims
+            ):
+                return None  # zipped format requires a uniform dtype
+            flat = np.frombuffer(
+                b"".join(
+                    read_chunked_tile(open(zipped_file, "rb").read())
+                ),
+                _NP_DT[d0.dtype_id],
+            )
+            if len(flat) % len(dims):
+                return None  # torn file: row path's error surface
+            mat = flat.reshape(-1, len(dims))
+            dcols = [np.ascontiguousarray(mat[:, i])
+                     for i in range(len(dims))]
+            k = dcols[0]
+            if not len(k):
+                continue
+        else:
+            try:
+                kfile = _field_file(frag, d0.name, 0, "d")
+            except FileNotFoundError:
+                return None
+            if _var_str_dim(d0):
+                n0 = file_decoded_size(kfile) // 8
+                k = _var_str_span_arrow(kfile, schema, d0, 0, n0)
+                if k is None:
+                    return None
+            elif (lo, hi) != (None, None):
+                span = sorted_dim0_cell_span(frag, schema, lo, hi)
+                if span is not None:
+                    s_lo, s_hi, _n = span
+                    if s_lo >= s_hi:
+                        continue
+                    k = np.frombuffer(
+                        read_byte_span(
+                            kfile, s_lo * kelem, s_hi * kelem,
+                            filters=d0.filters, elem=kelem,
+                        ),
+                        _NP_DT[d0.dtype_id],
+                    )
+                    base = s_lo
+                else:
+                    k = np.frombuffer(
+                        read_tile_file(
+                            kfile, filters=d0.filters, elem=kelem
+                        ),
+                        _NP_DT[d0.dtype_id],
+                    )
             else:
                 k = np.frombuffer(
                     read_tile_file(kfile, filters=d0.filters, elem=kelem),
                     _NP_DT[d0.dtype_id],
                 )
-        else:
-            k = np.frombuffer(
-                read_tile_file(kfile, filters=d0.filters, elem=kelem),
-                _NP_DT[d0.dtype_id],
-            )
-        if not len(k):
-            continue
-        # remaining dim coordinates for the SAME cell window
-        dcols = [k]
-        for di, d in enumerate(dims[1:], start=1):
-            delem = _DT[d.dtype_id][2]
-            try:
-                dfile = _field_file(frag, d.name, di, "d")
-            except FileNotFoundError:
-                return None
-            dcols.append(
-                np.frombuffer(
-                    read_byte_span(
-                        dfile, base * delem, (base + len(k)) * delem,
-                        filters=d.filters, elem=delem,
-                    ),
-                    _NP_DT[d.dtype_id],
+            if not len(k):
+                continue
+            # remaining dim coordinates for the SAME cell window
+            dcols = [k]
+            for di, d in enumerate(dims[1:], start=1):
+                try:
+                    dfile = _field_file(frag, d.name, di, "d")
+                except FileNotFoundError:
+                    return None
+                if _var_str_dim(d):
+                    col = _var_str_span_arrow(
+                        dfile, schema, d, base, base + len(k)
+                    )
+                    if col is None:
+                        return None
+                    dcols.append(col)
+                    continue
+                delem = _DT[d.dtype_id][2]
+                dcols.append(
+                    np.frombuffer(
+                        read_byte_span(
+                            dfile, base * delem, (base + len(k)) * delem,
+                            filters=d.filters, elem=delem,
+                        ),
+                        _NP_DT[d.dtype_id],
+                    )
                 )
-            )
         # re-check the ranges on every cell of every dim (bisect and
-        # footer pruning are advisory)
+        # footer pruning are advisory); asarray(..., bool) keeps object
+        # (string-dim) comparisons composable with the bool mask
         if any_rng:
             mask = np.ones(len(k), dtype=bool)
-            for col, (rlo, rhi) in zip(dcols, rngs):
-                if rlo is not None:
-                    mask &= col >= rlo
-                if rhi is not None:
-                    mask &= col <= rhi
+            try:
+                for col, (rlo, rhi) in zip(dcols, rngs):
+                    if rlo is not None:
+                        mask &= np.asarray(col >= rlo, dtype=bool)
+                    if rhi is not None:
+                        mask &= np.asarray(col <= rhi, dtype=bool)
+            except TypeError:
+                return None  # uncomparable bound/cell types: row path
             idx = np.flatnonzero(mask)
             if not len(idx):
                 continue
@@ -2365,7 +2416,9 @@ def read_native_array_range_np(
         def _empty(nm):
             d = next((x for x in dims if x.name == nm), None)
             if d is not None:
-                return np.empty(0, _NP_DT[d.dtype_id])
+                return np.empty(
+                    0, object if _var_str_dim(d) else _NP_DT[d.dtype_id]
+                )
             a = next(x for x in want if x.name == nm)
             if (
                 a.cell_val_num != 1
@@ -2377,9 +2430,19 @@ def read_native_array_range_np(
 
         return out_names, {nm: _empty(nm) for nm in out_names}
     cat = {nm: np.concatenate([p[nm] for p in parts]) for nm in names}
-    # lexicographic coordinate order (= the row path's sorted(merged));
-    # np.lexsort is stable, primary key = LAST array passed
-    order = np.lexsort(tuple(cat[d.name] for d in reversed(dims)))
+    # lexicographic coordinate order (= the row path's sorted(merged)).
+    # All-numeric keys: np.lexsort (stable, primary key = LAST array).
+    # String (object) keys: the classic stable-argsort chain from the
+    # LAST key to the FIRST — each pass is kind='stable', so the final
+    # order is the same lexicographic order with fragment order
+    # preserved inside equal keys.
+    key_cols = [cat[d.name] for d in dims]
+    if any(c.dtype == object for c in key_cols):
+        order = np.arange(len(key_cols[0]))
+        for c in reversed(key_cols):
+            order = order[np.argsort(c[order], kind="stable")]
+    else:
+        order = np.lexsort(tuple(reversed(key_cols)))
     if schema.allows_dups:
         keep = order
     else:
@@ -2389,7 +2452,7 @@ def read_native_array_range_np(
         last[-1] = True
         for d in dims:
             ks = cat[d.name][order]
-            last[:-1] |= ks[1:] != ks[:-1]
+            last[:-1] |= np.asarray(ks[1:] != ks[:-1], dtype=bool)
         keep = order[last]
     res = {nm: cat[nm][keep] for nm in names}
     if dels:

@@ -3427,3 +3427,124 @@ SPECS.append(
         "fill gap, ranged read through the connector",
     )
 )
+
+
+# --- q315: DENSE array through spark.read.format (round 6) -------------------
+# q314 drives dense v19 through read_array; this spec drives the SAME
+# fill/overlay semantics through the FIRST-CLASS Python Data Source —
+# schema inferred from the blob, splits planned over the NED bounding
+# box, dim-range pushFilters narrowing the scan, fills materialized in
+# plain `spark.read.format(...).load().filter(...)` SQL.
+def q315_dense_datasource(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    register_tiledb_native(spark)
+    uri = tempfile.mkdtemp(prefix="q315_dense_fmt_") + "/arr"
+    create_native_array(
+        uri,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 999), 100)],
+        attrs=[NativeAttr("cents", 1, 1, False, _struct.pack("<q", -1))],
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(Window.orderBy("o_orderkey")) - 1,
+        )
+        .filter(F.col("k") <= 999)
+    )
+
+    def write_box(df, lo, hi, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri, {"cents": list(pdf["v"])}, ts=ts,
+                    subarray=[(lo, hi)], version=19,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_box(
+        base.filter(F.col("k") <= 399).select(
+            "k", F.col("cents").alias("v")
+        ),
+        0, 399, 1000,
+    )
+    write_box(
+        base.filter(F.col("k") >= 600).select(
+            "k", (F.col("cents") * 5).alias("v")
+        ),
+        600, 999, 2000,
+    )
+    df = (
+        spark.read.format("tiledb_native").option("path", uri).load()
+        .filter((F.col("k") >= 100) & (F.col("k") <= 899))
+    )
+    return (
+        df.groupBy(F.expr("CAST(k DIV 200 AS BIGINT)").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.expr("count_if(cents = -1)").alias("n_fill"),
+        )
+        .orderBy("region")
+    )
+
+
+Q315_SQL = """
+WITH ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders),
+cells AS (
+  SELECT k,
+         CASE WHEN k <= 399 THEN cents
+              WHEN k >= 600 THEN 5 * cents
+              ELSE -1 END AS v
+  FROM ranked WHERE k <= 999)
+SELECT CAST(k // 200 AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_cents,
+       CAST(COUNT_IF(v = -1) AS BIGINT) AS n_fill
+FROM cells WHERE k BETWEEN 100 AND 899
+GROUP BY 1 ORDER BY region
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q315_dense_datasource",
+        q315_dense_datasource,
+        Q315_SQL,
+        "dense v19 fragments through spark.read.format: blob schema, "
+        "NED-box splits, dim-range pushdown, fill materialization",
+    )
+)
