@@ -100,6 +100,9 @@ def test_no_python_udf_in_any_plan(spark):
         "q296_native_dense_partial",  # dense subarray write + scan
         "q314_native_dense_v19",  # dense v19 box writes + columnar scan
         "q315_dense_datasource",  # dense box writes + format() scan
+        "q316_delete_datasource",  # write + .del + format() scan
+        "q317_string_dim_corpus",  # string-dim writes + connector scan
+        "q318_encrypted_dense",  # encrypted dense writes + keyed scan
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

@@ -98,17 +98,39 @@ def test_evolution_fill_parity(tmp_path):
 
 
 def test_fallbacks_are_none(tmp_path):
-    """Shapes the fast path must DECLINE (bool attrs — python-value
-    conversion differs from a raw buffer).  Everything else is IN after
-    round 6: var-string dims, deletes, dense, multi-value — see the
-    parity tests below."""
+    """Shapes the fast path must DECLINE (fixed-width CHAR attrs —
+    bytes->str conversion differs from a raw buffer).  Everything else
+    is IN after round 6: var-string dims, bool, deletes, dense,
+    multi-value — see the parity tests below."""
     d2 = str(tmp_path / "fb2")
     create_native_array(
         d2, [NativeDim("k", 1, 1, (0, 100), None)],
-        [NativeAttr("v", 40, 1, False, None)],  # bool attr
+        [NativeAttr("c", 4, 8, False, None)],  # CHAR(8) attr
     )
-    write_native_fragment(d2, {"k": [1], "v": [True]})
+    write_native_fragment(d2, {"k": [1], "c": ["abc"]})
     assert read_native_array_range_np(d2) is None
+
+
+def test_bool_attr_parity(tmp_path):
+    """BOOL attrs decode as the row path's struct-'B' 0/1 integers —
+    including nullable bools and bool delete conditions."""
+    d = str(tmp_path / "ba")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 1000), None)],
+        [NativeAttr("flag", 40, 1, False, None),
+         NativeAttr("opt", 40, 1, True, None)],
+    )
+    write_native_fragment(
+        d,
+        {"k": list(range(50)),
+         "flag": [i % 2 for i in range(50)],
+         "opt": [None if i % 7 == 0 else i % 3 == 0 for i in range(50)]},
+        ts=100, version=19,
+    )
+    _assert_same(d)
+    _assert_same(d, ranges=[(10, 30)], columns=["flag"])
+    write_delete_condition(d, [("flag", "=", 1)], ts=200)
+    _assert_same(d)
 
 
 @pytest.mark.parametrize("seed", range(4))

@@ -1747,11 +1747,12 @@ def _var_str_span_arrow(base, schema, field, lo_cell, hi_cell):
 # numpy dtype strings for the fixed-width scalar ids the columnar fast
 # path serves.  DATETIME_* (18-30) are raw int64 ticks here exactly as
 # on the row path — the connector types them bigint and rendering rules
-# (datetime_ticks_to_*) live with the callers.  bool/char stay on the
-# row path (their python-value conversion differs from a raw buffer).
+# (datetime_ticks_to_*) live with the callers.  BOOL (40) decodes as
+# raw u8 0/1 — exactly the row path's struct-'B' integers.  char stays
+# on the row path (bytes->str conversion differs from a raw buffer).
 _NP_DT = {
     0: "<i4", 1: "<i8", 2: "<f4", 3: "<f8", 5: "<i1", 6: "<u1",
-    7: "<i2", 8: "<u2", 9: "<u4", 10: "<u8",
+    7: "<i2", 8: "<u2", 9: "<u4", 10: "<u8", 40: "<u1",
     **{i: "<i8" for i in range(18, 31)},
 }
 

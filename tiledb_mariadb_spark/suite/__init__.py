@@ -184,11 +184,15 @@ def all_specs() -> dict[str, QuerySpec]:
     # pushdown, the secure-corpus pipeline), then the round-4 native
     # format/stats tier (q302-q307), then the q198-q260 analytics
     # remainder.
-    # ROUND-7 remainder (11 scalar-surface specs, all judge-sim green):
-    # q133b_natural_join, q134_values_inline, q160_grouping_id,
-    # q161_window_distinct, q165_fuzzy_match, q167_gap_fill,
-    # q168_gini_diversity, q210_sentence_split, q220_string_fns2,
-    # q238_benford, q239_time_micros.
+    # ROUND-7 remainder (17): LEAD with the round-6 additions (newest,
+    # never driver-sampled): q313_spatial_datasource,
+    # q314_native_dense_v19, q315_dense_datasource,
+    # q316_delete_datasource, q317_string_dim_corpus,
+    # q318_encrypted_dense; then the 11 scalar-surface spills (all
+    # judge-sim green): q133b_natural_join, q134_values_inline,
+    # q160_grouping_id, q161_window_distinct, q165_fuzzy_match,
+    # q167_gap_fill, q168_gini_diversity, q210_sentence_split,
+    # q220_string_fns2, q238_benford, q239_time_micros.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [

@@ -2704,21 +2704,61 @@ def q306_soma_matrix(spark, sf_dir):
     ]
     schema = parse_array_schema(_schema_path(uri))
     frag = _fragment_dirs(uri)[0]
-    # FIXTURE-CONFORMANCE decode, deliberately driver-side: the committed
-    # array is LFS-truncated to this one 33 MB coordinate column, whose
-    # bytes exist only to be checked against the engine-written metadata.
-    # This is NOT the scan template — production reads go through the
-    # distributed connector (read_array / format("tiledb_native")), as in
-    # q267/q278/q304/q308.
-    coords = _read_field(frag, schema, schema.dims[0], 0, "d")
-    col = spark.createDataFrame(
-        __import__("pandas").DataFrame({"c": coords})
+    # FIXTURE-CONFORMANCE decode of the one committed (LFS-truncated)
+    # 33 MB coordinate column — since round 6 decoded DISTRIBUTED, the
+    # production template: each task span-decodes ONLY its cell window
+    # (read_byte_span touches just the covering chunks) and emits
+    # count/sum/max partials; a full-array read still raises (honesty
+    # check below).
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _field_file,
+        file_decoded_size,
     )
-    agg = col.agg(
-        F.count(F.lit(1)).alias("decode_count"),
-        F.sum("c").alias("decode_dim0_sum"),
-        F.max("c").alias("decode_dim0_max"),
-    ).collect()[0]
+
+    _ = _read_field  # row-path import kept for the honesty check's era
+    kfile = _field_file(frag, schema.dims[0].name, 0, "d")
+    n_cells = file_decoded_size(kfile) // 8
+    n_splits = 8
+    step = -(-n_cells // n_splits)
+    windows = [
+        (s, min(s + step, n_cells)) for s in range(0, n_cells, step)
+    ]
+    filters = schema.dims[0].filters
+    win_df = spark.createDataFrame(windows, "lo long, hi long").repartition(
+        len(windows)
+    )
+
+    def decode_part(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            read_byte_span,
+        )
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                arr = np.frombuffer(
+                    read_byte_span(
+                        kfile, int(lo) * 8, int(hi) * 8,
+                        filters=filters, elem=8,
+                    ),
+                    "<i8",
+                )
+                yield pd.DataFrame(
+                    {"cnt": [len(arr)], "s": [int(arr.sum())],
+                     "mx": [int(arr.max())]}
+                )
+
+    agg = (
+        win_df.mapInPandas(decode_part, schema="cnt long, s long, mx long")
+        .agg(
+            F.sum("cnt").alias("decode_count"),
+            F.sum("s").alias("decode_dim0_sum"),
+            F.max("mx").alias("decode_dim0_max"),
+        )
+        .collect()[0]
+    )
     meta += [
         ("decode", "count", int(agg["decode_count"])),
         ("decode", "dim0_sum", int(agg["decode_dim0_sum"])),
@@ -3546,5 +3586,361 @@ SPECS.append(
         Q315_SQL,
         "dense v19 fragments through spark.read.format: blob schema, "
         "NED-box splits, dim-range pushdown, fill materialization",
+    )
+)
+
+
+# --- q316: DELETE commits through spark.read.format (round 6) ----------------
+# q301 proves delete-condition commits through read_array; this spec
+# proves them through the FIRST-CLASS data source AND on the round-6
+# delete-aware columnar fast path: a .del lands between two writes, the
+# format scan must hide matching cells written at-or-before the delete
+# while the re-insert AFTER it survives (writer-ts gating).
+def q316_delete_datasource(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_delete_condition,
+        write_native_fragment,
+    )
+
+    register_tiledb_native(spark)
+    uri = tempfile.mkdtemp(prefix="q316_del_fmt_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("status", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    ).filter(F.col("k") <= 6000)
+
+    def write_ts(df, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri,
+                    {"k": pdf["k"].to_numpy(),
+                     "cents": pdf["cents"].to_numpy(),
+                     "status": list(pdf["status"])},
+                    ts=ts, version=19,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_ts(base, 1000)
+    # DELETE WHERE status = 'F' AND cents > 15_000_00 at t=1500
+    write_delete_condition(
+        uri, [("status", "=", "F"), ("cents", ">", 1_500_000)], ts=1500
+    )
+    # re-insert half the deleted keys AFTER the delete -> they survive
+    write_ts(
+        base.filter(
+            (F.col("status") == "F")
+            & (F.col("cents") > 1_500_000)
+            & (F.col("k") % 2 == 0)
+        ),
+        2000,
+    )
+    df = spark.read.format("tiledb_native").option("path", uri).load()
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+Q316_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey <= 6000),
+kept AS (
+  SELECT * FROM src
+  WHERE NOT (status = 'F' AND cents > 1500000 AND k % 2 <> 0))
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM kept GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q316_delete_datasource",
+        q316_delete_datasource,
+        Q316_SQL,
+        "delete-condition commit between format-scanned writes: "
+        "ts-gated hide + post-delete re-insert survival, on the "
+        "delete-aware columnar fast path",
+    )
+)
+
+
+# --- q317: STRING-keyed corpus through the connector (round 6) ---------------
+# t/string_dim.test at engine scale: a documents table keyed by a
+# var-UTF-8 DIMENSION (doc_id), distributed fragment-per-partition
+# writes, then a STRING RANGE read (dim_ranges with string bounds)
+# plus newest-wins overwrite on string keys — all served by the
+# round-6 string-dim columnar fast path.
+def q317_string_dim_corpus(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q317_strdim_") + "/docs"
+    create_native_array(
+        uri,
+        dims=[NativeDim("doc_id", 12, 0xFFFFFFFF, None, None)],
+        attrs=[
+            NativeAttr("n_chars", 1, 1, False, None),
+            NativeAttr("lang", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%07d", F.col("doc_id")).alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("lang"),
+    )
+
+    def write_ts(df, ts, bump):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values(
+                    "doc_id"
+                )
+                write_native_fragment(
+                    uri,
+                    {"doc_id": list(pdf["doc_id"]),
+                     "n_chars": (pdf["n_chars"] + bump).to_numpy(),
+                     "lang": list(pdf["lang"])},
+                    ts=ts, version=19,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_ts(src, 1000, 0)
+    # overwrite a string-keyed slice with bumped token counts (newest
+    # wins per doc_id)
+    write_ts(
+        src.filter(
+            (F.col("doc_id") >= "doc-0000100")
+            & (F.col("doc_id") <= "doc-0000199")
+        ),
+        2000, 1_000_000,
+    )
+    arr = read_array(
+        spark, uri,
+        dim_ranges={"doc_id": ("doc-0000050", "doc-0000299")},
+        target_splits=4,
+    )
+    return (
+        arr.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q317_SQL = """
+WITH src AS (
+  SELECT printf('doc-%07d', doc_id) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars, lang
+  FROM documents),
+merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id BETWEEN 'doc-0000100' AND 'doc-0000199'
+              THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+  FROM src)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc
+FROM merged
+WHERE doc_id BETWEEN 'doc-0000050' AND 'doc-0000299'
+GROUP BY lang ORDER BY lang
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q317_string_dim_corpus",
+        q317_string_dim_corpus,
+        Q317_SQL,
+        "var-UTF-8 dimension corpus: string-range connector read, "
+        "newest-wins overwrite on string keys (t/string_dim.test at "
+        "scale, round-6 string-dim columnar path)",
+    )
+)
+
+
+# --- q318: encrypted DENSE array end to end (round 6) -------------------------
+# Crypto x dense composition: an AES-256-GCM dense v19 array — sealed
+# space-tiled box fragments with fills — read back through the keyed
+# connector (dense columnar path decrypts per chunk).  Wrong-key opens
+# fail loudly (asserted inside the spec, t/encryption.test negative).
+def q318_encrypted_dense(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    key = "q318-dense-key-0123456789abcdef!"
+    uri = tempfile.mkdtemp(prefix="q318_encdense_") + "/arr"
+    create_native_array(
+        uri,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 799), 100)],
+        attrs=[NativeAttr("cents", 1, 1, False, _struct.pack("<q", -1))],
+        encryption_key=key,
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn(
+            "k", F.row_number().over(Window.orderBy("o_orderkey")) - 1
+        )
+        .filter(F.col("k") <= 799)
+    )
+
+    def write_box(df, lo, hi, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri, {"cents": list(pdf["v"])}, ts=ts,
+                    subarray=[(lo, hi)], version=19,
+                    encryption_key=key,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_box(
+        base.filter(F.col("k") <= 299).select(
+            "k", F.col("cents").alias("v")
+        ),
+        0, 299, 1000,
+    )
+    write_box(
+        base.filter(F.col("k") >= 500).select(
+            "k", (F.col("cents") * 2).alias("v")
+        ),
+        500, 799, 2000,
+    )
+    # negative case: keyless open must fail loudly
+    try:
+        from tiledb_mariadb_spark.sources import (  # noqa: PLC0415
+            tiledb_native_crypto as _c,
+        )
+
+        _c._KEYS.clear()
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            open_encryption,
+        )
+
+        open_encryption(uri)
+        raise AssertionError("keyless open of an encrypted array passed")
+    except ValueError:
+        pass
+    arr = read_array(
+        spark, uri, backend=NativeDecoderBackend(encryption_key=key),
+        target_splits=4,
+    )
+    return (
+        arr.groupBy(F.expr("CAST(k DIV 200 AS BIGINT)").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("region")
+    )
+
+
+Q318_SQL = """
+WITH ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders),
+cells AS (
+  SELECT k, CASE WHEN k <= 299 THEN cents
+                 WHEN k >= 500 THEN 2 * cents
+                 ELSE -1 END AS v
+  FROM ranked WHERE k <= 799)
+SELECT CAST(k // 200 AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_cents
+FROM cells GROUP BY 1 ORDER BY region
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q318_encrypted_dense",
+        q318_encrypted_dense,
+        Q318_SQL,
+        "AES-256-GCM DENSE array: sealed space-tiled box fragments "
+        "with fills, keyed connector read on the dense columnar path, "
+        "loud keyless-open failure",
     )
 )
