@@ -95,6 +95,13 @@ HEADLINE = [
     # round-5 addition: AES-256-GCM encrypted native round-trip — benched
     # so the per-chunk crypto cost on the connector path stays visible
     "q308_native_encryption",
+    # round-6 additions: the first-class DENSE tier (v19 space-tiled box
+    # writes + generated-coordinate columnar reads) and the var-UTF-8
+    # DIMENSION corpus (string-keyed newest-wins on the string-dim
+    # columnar path) — benched so both new fast-path families stay
+    # visible round-over-round
+    "q314_native_dense_v19",
+    "q317_string_dim_corpus",
 ]
 
 

@@ -275,3 +275,33 @@ def test_connector_delete_visible_to_spark_scan(spark, tmp_path):
     out = read_array(spark, uri, backend=be)
     got = sorted(r.id for r in out.collect())
     assert got == list(range(50))
+
+
+def test_consolidated_fragment_serves_stats_tier(tmp_path):
+    """Round-6: consolidation emits the MODERN (v19) layout, so a
+    consolidated array GAINS the metadata stats tier (multi-fragment
+    overlap voided it before; the old v5 merge kept it voided forever)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        attr_stats_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_native_array,
+        vacuum_native_array,
+    )
+
+    d = str(tmp_path / "cons19")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(
+        d, {"k": [1, 2, 3], "v": [10, 20, 30]}, ts=100, version=19
+    )
+    write_native_fragment(d, {"k": [2, 5], "v": [99, 50]}, ts=200, version=19)
+    assert attr_stats_native_array(d) is None  # overlapping fragments
+    frag = consolidate_native_array(d)
+    assert frag.endswith("_19")  # modern layout, not the v5 era
+    vacuum_native_array(d)
+    st = attr_stats_native_array(d)
+    assert st["v"] == {"min": 10, "max": 99, "sum": 189}
+    assert st["k"]["sum"] == 11  # newest-wins baked in (k=2 -> 99 once)

@@ -1224,8 +1224,12 @@ def consolidate_native_array(array_dir: str) -> Optional[str]:
             (min(r[i] for r in rows), max(r[i] for r in rows))
             for i in range(nd)
         ]
+    # the consolidated fragment carries the MODERN (v19) layout — a
+    # consolidated array must not LOSE the stats/R-tree pruning tier
+    # its pre-consolidation v19 fragments had (round 6; before this the
+    # merge emitted the legacy v5 layout with no metadata sections)
     frag = write_native_fragment(array_dir, cols, subarray=box,
-                                 ts_range=(t1, t2))
+                                 ts_range=(t1, t2), version=19)
     commits = os.path.join(array_dir, "__commits")
     if os.path.isdir(commits):
         # the vacuum manifest: every artifact the consolidated fragment
