@@ -305,3 +305,70 @@ def test_consolidated_fragment_serves_stats_tier(tmp_path):
     st = attr_stats_native_array(d)
     assert st["v"] == {"min": 10, "max": 99, "sum": 189}
     assert st["k"]["sum"] == 11  # newest-wins baked in (k=2 -> 99 once)
+
+
+def test_distributed_consolidation_atomic(tmp_path, spark):
+    """Round-6 `consolidate_array`: each task stages one disjoint-range
+    v19 fragment WITHOUT a marker; ONE __commits/*.con file flips the
+    whole group visible atomically.  Before the .con, staged dirs are
+    invisible (crash contract); after vacuum the merged state survives
+    with deletes baked in."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        consolidate_array,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+        write_delete_condition,
+        write_native_fragment,
+    )
+
+    uri = str(tmp_path / "dcons")
+    create_native_array(
+        uri, [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    df = spark.range(0, 4000).selectExpr("id AS k", "id * 3 AS v")
+    write_array(df.repartition(3), uri)
+    write_array(
+        spark.range(1000, 1500).selectExpr("id AS k", "id * 9 AS v"), uri
+    )
+    write_delete_condition(uri, [("v", ">", 9000)])
+    agg = read_array(spark, uri).agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    before = tuple(agg.collect()[0])
+    # the crash contract in isolation: a stage with commit=False is
+    # invisible until a commit artifact lands
+    n_vis = len(_fragment_dirs(uri))
+    staged = write_native_fragment(
+        uri, {"k": [999999], "v": [1]}, ts=5, commit=False
+    )
+    assert len(_fragment_dirs(uri)) == n_vis  # still invisible
+    import shutil
+
+    shutil.rmtree(staged)  # abandoned stage: plain dir removal, no repair
+    n_new = consolidate_array(spark, uri, target_splits=4)
+    assert n_new >= 2  # multiple disjoint fragments, one .con
+    cons = [
+        e for e in os.listdir(os.path.join(uri, "__commits"))
+        if e.endswith(".con")
+    ]
+    assert len(cons) == 1
+    assert len(_fragment_dirs(uri)) == n_new  # old fragments retired
+    assert tuple(agg.collect()[0]) == before
+    assert vacuum_native_array(uri) > 0
+    assert tuple(agg.collect()[0]) == before
+    # the delete was baked in and its commit vacuumed
+    assert not [
+        e for e in os.listdir(os.path.join(uri, "__commits"))
+        if e.endswith(".del")
+    ]

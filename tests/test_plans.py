@@ -103,6 +103,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q316_delete_datasource",  # write + .del + format() scan
         "q317_string_dim_corpus",  # string-dim writes + connector scan
         "q318_encrypted_dense",  # encrypted dense writes + keyed scan
+        "q319_distributed_consolidation",  # staged-fragment writes +
+        # .con atomic flip + connector scan: same declared boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

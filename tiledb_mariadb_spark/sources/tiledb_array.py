@@ -847,3 +847,136 @@ def write_array(
         yield pd.DataFrame({"written": [len(parts)]})
 
     df.mapInPandas(write_part, schema="written int").collect()
+
+
+def consolidate_array(
+    spark: SparkSession,
+    uri: str,
+    target_splits: int = 16,
+    encryption_key: Optional[Any] = None,
+) -> int:
+    """DISTRIBUTED fragment consolidation for SPARSE native arrays — the
+    100 TB twin of ``consolidate_native_array`` (which materializes the
+    merged state on one node, fine for small arrays, a non-starter at
+    scale).  Each task:
+
+    - reads ONE disjoint dim0 split of the merged state (newest-wins +
+      visible deletes applied by the range reader, stats/footer pruning
+      intact) — no shuffle, no driver materialization;
+    - stages a v19 fragment spanning the consolidated ``[t1, t2]``
+      timestamp range WITHOUT a commit marker (invisible).
+
+    The driver then writes ONE ``__commits/<name>.con`` file listing
+    every staged fragment — the reader's consolidation-commit era — so
+    the whole group becomes visible ATOMICALLY (a crash before the .con
+    leaves only invisible staged dirs, never a half-consolidated view).
+    Old fragments (strictly narrower ranges) are hidden by the coverage
+    rule and listed in a ``.vac`` manifest for ``vacuum_native_array``;
+    delete commits inside ``[t1, t2]`` are baked in and retired with
+    them.  Returns the number of new fragments (0 = nothing to merge).
+
+    Parity: TileDB's consolidate-then-vacuum two-step with
+    consolidation commit files (the v18/v19 fixture layout);
+    ha_mytile.cc delegates to the same libtiledb machinery."""
+    import os  # noqa: PLC0415
+    import uuid as _uuid  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _delete_conditions,
+        _frag_range,
+        _frag_ts,
+        _fragment_dirs,
+        _schema_path,
+        open_encryption,
+        parse_array_schema,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        write_native_fragment,
+    )
+
+    open_encryption(uri, encryption_key)
+    schema = parse_array_schema(_schema_path(uri))
+    if schema.array_type != "SPARSE":
+        raise ValueError(
+            "distributed consolidation: sparse arrays (dense uses "
+            "consolidate_native_array — its box merge is bounded by the "
+            "domain, not the data)"
+        )
+    old = _fragment_dirs(uri)
+    dels = _delete_conditions(uri, None, old)
+    if len(old) < 2 and not dels:
+        return 0
+    rngs = [_frag_range(os.path.basename(f)) for f in old]
+    t1 = min(r[0] for r in rngs)
+    t2 = max([r[1] for r in rngs] + [dts for dts, _c in dels])
+    # the new fragments' range must be STRICTLY WIDER than every old
+    # visible range or the coverage rule cannot retire it
+    while any(r == (t1, t2) for r in rngs):
+        t2 += 1
+    backend = NativeDecoderBackend(encryption_key=encryption_key)
+    info = backend.info(uri)
+    weights_fn = getattr(backend, "split_weights", None)
+    weights = weights_fn(uri) if weights_fn else None
+    splits = plan_splits(info, None, target_splits, weights=weights)
+    cols = [d.name for d in info.dims] + [a.name for a in info.attrs]
+    split_df = spark.createDataFrame(
+        [(i,) for i in range(len(splits))], "split_id int"
+    ).repartition(len(splits), "split_id")
+    key = encryption_key
+
+    def consolidate_part(batches) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        names = []
+        for pdf in batches:
+            for sid in pdf["split_id"]:
+                ranges = splits[int(sid)]
+                part = backend.read_range(uri, ranges, cols)
+                if not len(part):
+                    continue
+                frag = write_native_fragment(
+                    uri,
+                    {c: part[c].to_numpy()
+                     if part[c].dtype.kind in "iuf" else list(part[c])
+                     for c in part.columns},
+                    ts_range=(t1, t2),
+                    version=19,
+                    encryption_key=key,
+                    commit=False,  # the driver's .con commits the group
+                )
+                names.append(os.path.basename(frag))
+        yield pd.DataFrame({"frag": names or [""]})
+
+    staged = [
+        r.frag
+        for r in split_df.mapInPandas(
+            consolidate_part, schema="frag string"
+        ).collect()
+        if r.frag
+    ]
+    if not staged:
+        return 0
+    commits = os.path.join(uri, "__commits")
+    if not os.path.isdir(commits):
+        raise ValueError(
+            "distributed consolidation needs the __commits layout"
+        )
+    # ONE .con file = the atomic visibility flip for the whole group
+    con_name = (
+        f"__{t1}_{t2}_{_uuid.uuid4().hex}.con"
+    )
+    tmp = os.path.join(commits, "." + con_name)
+    with open(tmp, "w") as f:
+        for n in staged:
+            f.write(f"__commits/{n}.wrt\n")
+    os.replace(tmp, os.path.join(commits, con_name))
+    # vacuum manifest: everything the consolidated group supersedes
+    with open(os.path.join(commits, con_name[:-4] + ".vac"), "w") as f:
+        for o in old:
+            name = os.path.basename(o)
+            f.write(f"{os.path.relpath(o, uri)}\n")
+            f.write(f"__commits/{name}.wrt\n")
+        for e in os.listdir(commits):
+            if e.endswith(".del") and t1 <= _frag_ts(e) <= t2:
+                f.write(f"__commits/{e}\n")
+    return len(staged)

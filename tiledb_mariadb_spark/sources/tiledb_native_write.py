@@ -642,6 +642,7 @@ def write_native_fragment(
     ts_range: Optional[tuple[int, int]] = None,
     version: int = 5,
     encryption_key: "Optional[bytes | str]" = None,
+    commit: bool = True,
 ) -> str:
     """Append one fragment to an existing native array (INSERT analog,
     flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
@@ -959,7 +960,11 @@ def write_native_fragment(
 
         shutil.rmtree(frag, ignore_errors=True)
         raise
-    _commit_fragment(array_dir, frag)
+    if commit:
+        _commit_fragment(array_dir, frag)
+    # commit=False stages an INVISIBLE fragment (no .wrt marker): the
+    # caller makes a whole group visible atomically with one
+    # __commits/*.con file (distributed consolidation's crash contract)
     return frag
 
 

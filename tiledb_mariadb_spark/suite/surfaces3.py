@@ -3944,3 +3944,110 @@ SPECS.append(
         "loud keyless-open failure",
     )
 )
+
+
+# --- q319: DISTRIBUTED consolidation (round 6) --------------------------------
+# consolidate_native_array materializes the merged state on ONE node —
+# fine for small arrays, a non-starter at 100 TB.  `consolidate_array`
+# is the scale twin: each task reads one disjoint dim0 split of the
+# merged state (newest-wins + deletes applied by the range reader) and
+# stages an invisible v19 fragment spanning [t1, t2]; ONE
+# __commits/*.con file (the reader's consolidation-commit era, v18/v19
+# fixture layout) flips the whole group visible ATOMICALLY.  The spec
+# writes overlapping fragments + a delete, consolidates distributed,
+# VACUUMS, and aggregates the survivor state.
+def q319_distributed_consolidation(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        consolidate_array,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        vacuum_native_array,
+        write_delete_condition,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q319_dcons_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("status", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    ).filter(F.col("k") <= 8000)
+    write_array(base.repartition(4), uri)
+    # overwrite a slice (newest-wins) then delete a predicate slice
+    write_array(
+        base.filter((F.col("k") >= 2000) & (F.col("k") <= 3000)).select(
+            "k", (F.col("cents") * 10).alias("cents"),
+            F.lit("X").alias("status"),
+        ),
+        uri,
+    )
+    write_delete_condition(uri, [("status", "=", "O")])
+    n_new = consolidate_array(spark, uri, target_splits=5)
+    vacuum_native_array(uri)
+    df = read_array(spark, uri, target_splits=4)
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("new_frags_ge_2", F.lit(n_new >= 2))
+        .withColumn(
+            "frags_consolidated",
+            F.lit(0 < len(_fragment_dirs(uri)) <= 5),
+        )
+        .orderBy("status")
+    )
+
+
+Q319_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey <= 8000),
+merged AS (
+  SELECT k,
+         CASE WHEN k BETWEEN 2000 AND 3000 THEN 10 * cents
+              ELSE cents END AS cents,
+         CASE WHEN k BETWEEN 2000 AND 3000 THEN 'X'
+              ELSE status END AS status
+  FROM src),
+kept AS (SELECT * FROM merged WHERE status <> 'O')
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS new_frags_ge_2,
+       TRUE AS frags_consolidated
+FROM kept GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q319_distributed_consolidation",
+        q319_distributed_consolidation,
+        Q319_SQL,
+        "distributed consolidate-then-vacuum: disjoint-split v19 "
+        "fragments staged invisible, one .con flips the group atomic, "
+        "deletes baked, merged state aggregates identically",
+    )
+)
