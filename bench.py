@@ -102,6 +102,10 @@ HEADLINE = [
     # visible round-over-round
     "q314_native_dense_v19",
     "q317_string_dim_corpus",
+    # round-6 continuation: DENSE distributed consolidation over dim0
+    # bands with an unaligned overlay fragment (tile-expanded layout,
+    # true-NED footer) — benched beside q301's sparse lifecycle
+    "q320_dense_consolidation",
 ]
 
 

@@ -372,3 +372,154 @@ def test_distributed_consolidation_atomic(tmp_path, spark):
         e for e in os.listdir(os.path.join(uri, "__commits"))
         if e.endswith(".del")
     ]
+
+
+def test_distributed_consolidation_dense(tmp_path, spark):
+    """Round-6 dense tier of `consolidate_array`: dim0 bands of the
+    visible bounding box, newest-wins + fill materialization read per
+    band, one .con commit — including an UNALIGNED overlay fragment
+    (tile-expanded on disk, true-NED footer) whose padding must never
+    shadow the base fragment.  Reads are bit-identical pre/post
+    consolidation and post vacuum."""
+    import struct
+
+    from tiledb_mariadb_spark.sources.tiledb_array import consolidate_array
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+    )
+
+    uri = str(tmp_path / "dense_cons")
+    create_native_array(
+        uri,
+        [NativeDim("r", 1, 1, (0, 99), 10),
+         NativeDim("c", 1, 1, (0, 49), 10)],
+        [NativeAttr("v", 1, 1, False, struct.pack("<q", -1))],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri,
+        {"v": [r * 100 + c for r in range(30) for c in range(20)]},
+        ts=10, subarray=[(0, 29), (0, 19)], version=19,
+    )
+    # UNALIGNED overlay: expanded to [(10,29),(0,19)] on disk, NED kept
+    write_native_fragment(
+        uri, {"v": [777] * (8 * 5)}, ts=20,
+        subarray=[(13, 20), (7, 11)], version=19,
+    )
+    write_native_fragment(
+        uri,
+        {"v": [r * 1000 + c for r in range(40, 60)
+               for c in range(10, 30)]},
+        ts=30, subarray=[(40, 59), (10, 29)], version=19,
+    )
+    _n, before = read_native_array_range(uri)
+    assert len(before) == 60 * 30  # bbox [(0,59),(0,29)]
+    assert (13, 7, 777) in before and (13, 6, 1306) in before
+    n_new = consolidate_array(spark, uri, target_splits=6)
+    assert n_new >= 2
+    cons = [
+        e for e in os.listdir(os.path.join(uri, "__commits"))
+        if e.endswith(".con")
+    ]
+    assert len(cons) == 1
+    assert len(_fragment_dirs(uri)) == n_new  # originals retired
+    _n, after = read_native_array_range(uri)
+    assert after == before
+    assert vacuum_native_array(uri) > 0
+    _n, after2 = read_native_array_range(uri)
+    assert after2 == before
+    # ranged read post-vacuum stays exact (band boundaries invisible)
+    _n, ranged = read_native_array_range(uri, ranges=[(10, 45), (5, 25)])
+    assert ranged == [
+        row for row in before if 10 <= row[0] <= 45 and 5 <= row[1] <= 25
+    ]
+
+
+def test_incremental_consolidation(tmp_path, spark):
+    """Size-ratio INCREMENTAL consolidation (round 6): the plan picks
+    contiguous runs of similar-size fragments, never the big base and
+    never a span covering a .del; execution merges runs via the
+    fragment-SUBSET reader; reads stay bit-identical, the base fragment
+    is not rewritten, and the delete commit survives (it bakes only in
+    FULL consolidation)."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        consolidate_array_incremental,
+        plan_consolidation,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+        write_delete_condition,
+    )
+
+    uri = str(tmp_path / "inc")
+    create_native_array(
+        uri, [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)], capacity=100,
+    )
+    write_native_fragment(
+        uri,
+        {"k": list(range(10000)), "v": [k * 2 for k in range(10000)]},
+        ts=100, version=19,
+    )
+    for i in range(5):
+        ks = list(range(i * 50, i * 50 + 100))
+        write_native_fragment(
+            uri, {"k": ks, "v": [k * 10 + i for k in ks]},
+            ts=200 + i, version=19,
+        )
+    write_delete_condition(uri, [("v", "=", 2)], ts=150)
+    _n, before = read_native_array_range(uri)
+    big = os.path.basename(_fragment_dirs(uri)[0])
+    runs = plan_consolidation(uri, ratio=3.0)
+    assert len(runs) == 1 and len(runs[0]) == 5
+    assert all(big != os.path.basename(f) for f in runs[0])
+    n_new = consolidate_array_incremental(spark, uri, target_splits=3)
+    assert n_new >= 1
+    _n, after = read_native_array_range(uri)
+    assert after == before
+    assert big in [os.path.basename(f) for f in _fragment_dirs(uri)]
+    assert vacuum_native_array(uri) > 0
+    _n, after2 = read_native_array_range(uri)
+    assert after2 == before
+    # the .del survives an incremental merge (bakes only in FULL)
+    assert [
+        e for e in os.listdir(os.path.join(uri, "__commits"))
+        if e.endswith(".del")
+    ]
+    # nothing left to merge at this ratio: base vs merged-run sizes skew
+    assert plan_consolidation(uri, ratio=3.0) == []
+
+
+def test_plan_consolidation_respects_deletes_and_coverage(tmp_path):
+    """A run whose span would cover a visible .del (or another
+    fragment's range) is shrunk or rejected — deletes never silently
+    stop applying to non-run fragments."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        plan_consolidation,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    uri = str(tmp_path / "plan")
+    create_native_array(
+        uri, [NativeDim("k", 1, 1, (0, 1000), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    for i, ts in enumerate((100, 200, 300, 400)):
+        write_native_fragment(
+            uri, {"k": [i], "v": [i]}, ts=ts, version=19
+        )
+    write_delete_condition(uri, [("v", "=", 0)], ts=250)
+    runs = plan_consolidation(uri, ratio=100.0)
+    # ts=250 splits the candidates: no admitted run spans the delete
+    for run in runs:
+        ts = [_frag_range(os.path.basename(f)) for f in run]
+        t1, t2 = min(a for a, _ in ts), max(b for _, b in ts)
+        assert not (t1 <= 250 <= t2)

@@ -758,9 +758,17 @@ def test_dense_subarray_writes(tmp_path):
     _s, old = read_native_array(d, at=150)
     assert old == [(i, 100 + i) for i in range(10)]
 
-    # alignment + volume guards
-    with pytest.raises(ValueError):
-        write_native_fragment(d, {"v": [0] * 5}, subarray=[(3, 7)])
+    # UNALIGNED subarray (round 6): expanded to tile boundaries on disk
+    # (libtiledb Domain::expand_to_tiles), footer NED = the true box, and
+    # the edge-tile fill padding never shadows older fragments' data
+    write_native_fragment(d, {"v": [0] * 5}, ts=400, subarray=[(3, 7)])
+    _s, rows = read_native_array(d)
+    assert rows[3:8] == [(i, 0) for i in range(3, 8)]
+    assert rows[0:3] == [(i, 100 + i) for i in range(3)]  # not padded over
+    assert rows[8:10] == [(i, 900 + i - 5) for i in range(8, 10)]
+    assert count_native_array(d) == 20
+
+    # volume guard
     with pytest.raises(ValueError):
         write_native_fragment(d, {"v": [0] * 4}, subarray=[(0, 4)])
 

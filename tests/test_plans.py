@@ -105,6 +105,10 @@ def test_no_python_udf_in_any_plan(spark):
         "q318_encrypted_dense",  # encrypted dense writes + keyed scan
         "q319_distributed_consolidation",  # staged-fragment writes +
         # .con atomic flip + connector scan: same declared boundary
+        "q320_dense_consolidation",  # dense band consolidation writes +
+        # connector scan: same declared native-io boundary
+        "q321_incremental_consolidation",  # size-ratio run merges via
+        # the fragment-subset reader: same declared boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

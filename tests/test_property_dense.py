@@ -45,6 +45,18 @@ def _aligned_box(draw, domain, ext):
     return (s, end)
 
 
+def _any_box(draw, domain, ext):
+    """Aligned or UNALIGNED subarray (round 6: the writer expands
+    unaligned boxes to tile boundaries, pads edge tiles with fills, and
+    records the true NED — reads must be box-exact either way)."""
+    if draw(st.booleans()):
+        return _aligned_box(draw, domain, ext)
+    lo, hi = domain
+    a = draw(st.integers(lo, hi))
+    b = draw(st.integers(lo, hi))
+    return (min(a, b), max(a, b))
+
+
 @settings(max_examples=25, deadline=None)
 @given(data=st.data())
 def test_dense_model_1d(tmp_path_factory, data):
@@ -61,7 +73,7 @@ def test_dense_model_1d(tmp_path_factory, data):
     n_writes = draw(st.integers(1, 4))
     boxes = []
     for w in range(n_writes):
-        box = _aligned_box(draw, dom, ext)
+        box = _any_box(draw, dom, ext)
         ts = draw(st.integers(1, 1000)) * 10 + w  # unique, random order
         version = draw(st.sampled_from([5, 19]))
         vals = [ts * 1000 + (x - box[0]) for x in range(box[0], box[1] + 1)]
@@ -116,8 +128,8 @@ def test_dense_model_2d(tmp_path_factory, data):
     model: dict[tuple[int, int], tuple[int, int]] = {}
     boxes = []
     for w in range(draw(st.integers(1, 3))):
-        bx = _aligned_box(draw, dom_x, ext_x)
-        by = _aligned_box(draw, dom_y, ext_y)
+        bx = _any_box(draw, dom_x, ext_x)
+        by = _any_box(draw, dom_y, ext_y)
         ts = draw(st.integers(1, 1000)) * 10 + w
         version = draw(st.sampled_from([5, 19]))
         cells = [

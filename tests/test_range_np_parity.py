@@ -663,3 +663,56 @@ def test_zipped_coords_parity():
         assert names_s == names_f
         got = list(zip(*[arrs[n].tolist() for n in names_f])) if rows else []
         assert [tuple(r) for r in rows] == [tuple(g) for g in got]
+
+
+def test_evolved_enum_fill_parity(tmp_path):
+    """An ENUMERATED attr with NO data file in a fragment (the layout a
+    real-TileDB ArraySchemaEvolution that adds an enum attr produces —
+    our own evolve refuses to create it, but the reader must serve it):
+    every cell reads as the fill ordinal's LABEL ('' for 0, NULL when
+    nullable).  Round 6 admits this into the columnar fast path; both
+    paths must agree.  Simulated by removing the attr's data file from
+    one fragment — byte-identical to the evolved layout, where the
+    pre-evolution fragment simply lacks the file."""
+    import glob
+    import os
+    import struct
+
+    d = str(tmp_path / "evoenum")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 1000), None)],
+        [
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("color", 6, 1, False, struct.pack("<i", 2),
+                       enumeration="colors"),
+            NativeAttr("tone", 6, 1, True, None, enumeration="colors"),
+        ],
+        enumerations={"colors": ["red", "green", "blue"]},
+    )
+    write_native_fragment(
+        d,
+        {"k": [1, 2, 3], "v": [10, 20, 30],
+         "color": ["blue", "red", "green"],
+         "tone": ["green", None, "red"]},
+        ts=100,
+    )
+    frag = glob.glob(os.path.join(d, "__fragments", "*"))
+    if not frag:  # name-era layout: fragment dirs at the root
+        frag = [
+            p for p in glob.glob(os.path.join(d, "__*"))
+            if os.path.isdir(p) and "schema" not in p
+            and "commits" not in p and "meta" not in p
+        ]
+    frag = frag[0]
+    for f in glob.glob(os.path.join(frag, "color*")) + glob.glob(
+        os.path.join(frag, "tone*")
+    ):
+        os.remove(f)
+    names, rows = read_native_array_range(d)
+    # fill ordinal 2 -> 'green'; nullable enum -> NULL
+    assert rows == [
+        (1, 10, "green", None), (2, 20, "green", None),
+        (3, 30, "green", None),
+    ]
+    _assert_same(d)
+    _assert_same(d, ranges=[(2, 3)], columns=["color", "tone"])

@@ -326,7 +326,8 @@ class NativeDecoderBackend(ArrayBackend):
         _ = _DT  # imported for typing parity; silence linters
         return ArrayInfo(dims=dims, attrs=attrs, sparse=s.array_type == "SPARSE")
 
-    def read_range(self, uri, ranges, columns, at=None, conditions=None):
+    def read_range(self, uri, ranges, columns, at=None, conditions=None,
+                   frags=None):
         import pandas as pd  # noqa: PLC0415
 
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
@@ -346,6 +347,7 @@ class NativeDecoderBackend(ArrayBackend):
         fast = read_native_array_range_np(
             uri, ranges=list(ranges), columns=list(need), at=at,
             prune_conditions=list(conditions) if conditions else None,
+            frags=frags,
         )
         if fast is not None:
             names, arrays = fast
@@ -357,6 +359,7 @@ class NativeDecoderBackend(ArrayBackend):
                 # fragment whose min/max stats refute a conjunct decodes
                 # zero chunks (the filter below applies to whatever read)
                 prune_conditions=list(conditions) if conditions else None,
+                frags=frags,
             )
             pdf = pd.DataFrame(rows, columns=names)
         out = _apply_conditions(pdf, conditions)
@@ -855,7 +858,7 @@ def consolidate_array(
     target_splits: int = 16,
     encryption_key: Optional[Any] = None,
 ) -> int:
-    """DISTRIBUTED fragment consolidation for SPARSE native arrays — the
+    """DISTRIBUTED fragment consolidation for native arrays — the
     100 TB twin of ``consolidate_native_array`` (which materializes the
     merged state on one node, fine for small arrays, a non-starter at
     scale).  Each task:
@@ -874,6 +877,16 @@ def consolidate_array(
     rule and listed in a ``.vac`` manifest for ``vacuum_native_array``;
     delete commits inside ``[t1, t2]`` are baked in and retired with
     them.  Returns the number of new fragments (0 = nothing to merge).
+
+    DENSE arrays consolidate the same way over dim0 BANDS of the
+    visible fragments' bounding box (the read-presence surface): each
+    task reads its band of the merged state — newest-wins overwrite +
+    fill materialization applied by the range reader — sorts it
+    row-major, and stages a dense band fragment (the writer expands
+    unaligned bands to space-tile boundaries and records the true NED,
+    so read results are bit-identical pre/post).  Cost is bounded by
+    the bbox volume, which IS the dense read surface — libtiledb's
+    dense consolidation has the same bound.
 
     Parity: TileDB's consolidate-then-vacuum two-step with
     consolidation commit files (the v18/v19 fixture layout);
@@ -896,14 +909,11 @@ def consolidate_array(
 
     open_encryption(uri, encryption_key)
     schema = parse_array_schema(_schema_path(uri))
-    if schema.array_type != "SPARSE":
-        raise ValueError(
-            "distributed consolidation: sparse arrays (dense uses "
-            "consolidate_native_array — its box merge is bounded by the "
-            "domain, not the data)"
-        )
+    dense = schema.array_type == "DENSE"
     old = _fragment_dirs(uri)
-    dels = _delete_conditions(uri, None, old)
+    # cell-level delete conditions are sparse-only (a dense read
+    # materializes fills for every cell — libtiledb has the same rule)
+    dels = [] if dense else _delete_conditions(uri, None, old)
     if len(old) < 2 and not dels:
         return 0
     rngs = [_frag_range(os.path.basename(f)) for f in old]
@@ -924,6 +934,9 @@ def consolidate_array(
     ).repartition(len(splits), "split_id")
     key = encryption_key
 
+    dim_names = [d.name for d in info.dims]
+    attr_names = [a.name for a in info.attrs]
+
     def consolidate_part(batches) -> Iterator:
         import pandas as pd  # noqa: PLC0415
 
@@ -934,16 +947,47 @@ def consolidate_array(
                 part = backend.read_range(uri, ranges, cols)
                 if not len(part):
                     continue
-                frag = write_native_fragment(
-                    uri,
-                    {c: part[c].to_numpy()
-                     if part[c].dtype.kind in "iuf" else list(part[c])
-                     for c in part.columns},
-                    ts_range=(t1, t2),
-                    version=19,
-                    encryption_key=key,
-                    commit=False,  # the driver's .con commits the group
-                )
+                if dense:
+                    # the merged band is a full box (the range reader
+                    # clips to the visible bounding box and materializes
+                    # fills): its per-dim min/max IS the written
+                    # subarray.  Cells go down in row-major box order;
+                    # the writer tile-aligns and records the true NED.
+                    part = part.sort_values(dim_names, kind="mergesort")
+                    box = [
+                        (int(part[d].min()), int(part[d].max()))
+                        for d in dim_names
+                    ]
+                    vol = 1
+                    for blo, bhi in box:
+                        vol *= bhi - blo + 1
+                    if vol != len(part):
+                        raise ValueError(
+                            f"dense consolidation band is not a full box:"
+                            f" {len(part)} cells for {box}"
+                        )
+                    frag = write_native_fragment(
+                        uri,
+                        {a: part[a].to_numpy()
+                         if part[a].dtype.kind in "iuf" else list(part[a])
+                         for a in attr_names},
+                        subarray=box,
+                        ts_range=(t1, t2),
+                        version=19,
+                        encryption_key=key,
+                        commit=False,
+                    )
+                else:
+                    frag = write_native_fragment(
+                        uri,
+                        {c: part[c].to_numpy()
+                         if part[c].dtype.kind in "iuf" else list(part[c])
+                         for c in part.columns},
+                        ts_range=(t1, t2),
+                        version=19,
+                        encryption_key=key,
+                        commit=False,  # the driver's .con commits the group
+                    )
                 names.append(os.path.basename(frag))
         yield pd.DataFrame({"frag": names or [""]})
 
@@ -980,3 +1024,232 @@ def consolidate_array(
             if e.endswith(".del") and t1 <= _frag_ts(e) <= t2:
                 f.write(f"__commits/{e}\n")
     return len(staged)
+
+
+def plan_consolidation(
+    uri: str,
+    ratio: float = 3.0,
+    min_run: int = 2,
+    max_run: int = 10,
+) -> list[list[str]]:
+    """Size-ratio consolidation PLAN (TileDB's incremental policy): pick
+    contiguous timestamp RUNS of visible fragments whose on-disk sizes
+    are within ``ratio`` of each other — merge many small recent
+    fragments WITHOUT rewriting the big consolidated base, so repeated
+    consolidation cost tracks the new data, not the array (the property
+    that makes consolidation affordable at 100 TB; full
+    ``consolidate_array`` rewrites everything every time).
+
+    A run is admitted only when its widened timestamp span
+    (a) contains NO non-run visible fragment's range — the coverage
+        rule would wrongly hide it; and
+    (b) contains NO visible delete-condition commit — incremental
+        merges never bake deletes (a .del survives until a FULL
+        consolidation retires it, mirroring libtiledb's
+        processed-conditions contract).
+    Returns fragment-directory runs, oldest->newest, non-overlapping."""
+    import os  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _frag_range,
+        _frag_ts,
+        _fragment_dirs,
+    )
+
+    frags = _fragment_dirs(uri)
+    if len(frags) < min_run:
+        return []
+    rngs = [_frag_range(os.path.basename(f)) for f in frags]
+
+    def _dir_size(d):
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for fl in files:
+                total += os.path.getsize(os.path.join(root, fl))
+        return total
+
+    sizes = [_dir_size(f) for f in frags]
+    commits = os.path.join(uri, "__commits")
+    del_ts = [
+        _frag_ts(e)
+        for e in (os.listdir(commits) if os.path.isdir(commits) else [])
+        if e.endswith(".del")
+    ]
+
+    def _span_ok(i, j):
+        t1 = min(r[0] for r in rngs[i:j])
+        t2 = max(r[1] for r in rngs[i:j])
+        while any(r == (t1, t2) for r in rngs):
+            t2 += 1
+        others = rngs[:i] + rngs[j:]
+        if any(t1 <= a and b <= t2 for a, b in others):
+            return None  # would cover a non-run fragment
+        if any(t1 <= d <= t2 for d in del_ts):
+            return None  # deletes only bake in FULL consolidation
+        return (t1, t2)
+
+    runs = []
+    i = 0
+    while i < len(frags):
+        j = i + 1
+        while (
+            j < len(frags)
+            and j - i < max_run
+            and max(sizes[i:j + 1]) <= ratio * max(1, min(sizes[i:j + 1]))
+        ):
+            j += 1
+        while j - i >= min_run and _span_ok(i, j) is None:
+            j -= 1  # shrink from the right until the span is admissible
+        if j - i >= min_run:
+            runs.append(frags[i:j])
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def consolidate_array_incremental(
+    spark: SparkSession,
+    uri: str,
+    ratio: float = 3.0,
+    min_run: int = 2,
+    max_run: int = 10,
+    target_splits: int = 8,
+    encryption_key: Optional[Any] = None,
+) -> int:
+    """Distributed INCREMENTAL consolidation for SPARSE native arrays:
+    execute :func:`plan_consolidation`'s size-ratio runs.  Per run, each
+    task reads one dim0 split of the run-SUBSET merged state (the
+    ``frags=`` reader — newest-wins WITHIN the run only; deletes are
+    era-bounded and, by plan construction, never baked) and stages an
+    invisible v19 fragment spanning the run's widened [t1, t2]; one
+    ``.con`` per run flips it visible atomically and a ``.vac`` lists
+    the run's members (never ``.del`` commits — those outlive
+    incremental merges).  Cells in non-run fragments are untouched:
+    a run cell's newest in-run value lands in the new fragment, which
+    sorts exactly where the run sorted, so the global newest-wins order
+    is unchanged.  Returns the number of new fragments (0 = no
+    admissible runs — e.g. sizes too skewed, nothing to merge).
+
+    Dense arrays are REFUSED: a dense subset-merge materializes fills
+    for gap cells inside the run's bounding box, which would shadow
+    older non-run fragments' real data — use full ``consolidate_array``
+    (libtiledb documents the same dense-consolidation caveat)."""
+    import os  # noqa: PLC0415
+    import uuid as _uuid  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _frag_range,
+        _schema_path,
+        open_encryption,
+        parse_array_schema,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        write_native_fragment,
+    )
+
+    open_encryption(uri, encryption_key)
+    schema = parse_array_schema(_schema_path(uri))
+    if schema.array_type != "SPARSE":
+        raise ValueError(
+            "incremental consolidation: SPARSE arrays only (dense "
+            "subset merges materialize fills over gaps — use the full "
+            "consolidate_array)"
+        )
+    runs = plan_consolidation(
+        uri, ratio=ratio, min_run=min_run, max_run=max_run
+    )
+    if not runs:
+        return 0
+    all_rngs = {
+        os.path.basename(f): _frag_range(os.path.basename(f))
+        for run in runs for f in run
+    }
+
+    def _span(run):
+        t1 = min(all_rngs[os.path.basename(f)][0] for f in run)
+        t2 = max(all_rngs[os.path.basename(f)][1] for f in run)
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _fragment_dirs,
+        )
+        taken = [
+            _frag_range(os.path.basename(f)) for f in _fragment_dirs(uri)
+        ]
+        while (t1, t2) in taken:
+            t2 += 1
+        return t1, t2
+
+    backend = NativeDecoderBackend(encryption_key=encryption_key)
+    info = backend.info(uri)
+    weights_fn = getattr(backend, "split_weights", None)
+    weights = weights_fn(uri) if weights_fn else None
+    splits = plan_splits(info, None, target_splits, weights=weights)
+    cols = [d.name for d in info.dims] + [a.name for a in info.attrs]
+    spans = [_span(run) for run in runs]
+    tasks = [
+        (ri, si) for ri in range(len(runs)) for si in range(len(splits))
+    ]
+    task_df = spark.createDataFrame(
+        [(i, ri, si) for i, (ri, si) in enumerate(tasks)],
+        "task_id int, run_id int, split_id int",
+    ).repartition(len(tasks), "task_id")
+    key = encryption_key
+
+    def consolidate_part(batches) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        out = []
+        for pdf in batches:
+            for ri, si in zip(pdf["run_id"], pdf["split_id"]):
+                run, (t1, t2) = runs[int(ri)], spans[int(ri)]
+                part = backend.read_range(
+                    uri, splits[int(si)], cols, frags=run
+                )
+                if not len(part):
+                    continue
+                frag = write_native_fragment(
+                    uri,
+                    {c: part[c].to_numpy()
+                     if part[c].dtype.kind in "iuf" else list(part[c])
+                     for c in part.columns},
+                    ts_range=(t1, t2),
+                    version=19,
+                    encryption_key=key,
+                    commit=False,
+                )
+                out.append((int(ri), os.path.basename(frag)))
+        yield pd.DataFrame(
+            out or [(-1, "")], columns=["run_id", "frag"]
+        )
+
+    staged = [
+        (r.run_id, r.frag)
+        for r in task_df.mapInPandas(
+            consolidate_part, schema="run_id int, frag string"
+        ).collect()
+        if r.frag
+    ]
+    commits = os.path.join(uri, "__commits")
+    if staged and not os.path.isdir(commits):
+        raise ValueError(
+            "incremental consolidation needs the __commits layout"
+        )
+    n_total = 0
+    for ri, run in enumerate(runs):
+        names = [nm for r, nm in staged if r == ri]
+        if not names:
+            continue
+        t1, t2 = spans[ri]
+        con_name = f"__{t1}_{t2}_{_uuid.uuid4().hex}.con"
+        tmp = os.path.join(commits, "." + con_name)
+        with open(tmp, "w") as f:
+            for nm in names:
+                f.write(f"__commits/{nm}.wrt\n")
+        os.replace(tmp, os.path.join(commits, con_name))
+        with open(os.path.join(commits, con_name[:-4] + ".vac"), "w") as f:
+            for o in run:
+                nm = os.path.basename(o)
+                f.write(f"{os.path.relpath(o, uri)}\n")
+                f.write(f"__commits/{nm}.wrt\n")
+        n_total += len(names)
+    return n_total

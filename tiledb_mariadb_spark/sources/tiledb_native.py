@@ -1069,6 +1069,20 @@ def _delete_conditions(
     return sorted(out)
 
 
+def _subset_era_deletes(dels: list, frags: list[str]) -> list:
+    """For a fragment-SUBSET read (incremental consolidation's input),
+    keep only deletes from the subset's own era (dts <= the newest
+    member's end ts).  A LATER delete must stay in its .del commit:
+    baking it into the merged subset would make the consolidated
+    fragment disagree with a time-travel open between the subset's era
+    and the delete (the full-consolidation path avoids this by widening
+    its ts range over every baked delete)."""
+    if not dels or not frags:
+        return dels
+    end = max(_frag_range(os.path.basename(f))[1] for f in frags)
+    return [d for d in dels if d[0] <= end]
+
+
 def _match_delete(row_map: dict, conds: list) -> bool:
     """Does a row satisfy EVERY condition of one delete?  NULL-safe 3VL:
     a comparison with NULL never matches (the reference's QueryCondition
@@ -1227,6 +1241,25 @@ def _fill_value(attr):
     return 0
 
 
+def _enum_fill_label(schema: "NativeSchema", attr):
+    """The LABEL an evolved-in ENUMERATED attribute reads as on
+    pre-evolution fragments: the fill ordinal pushed through
+    :func:`_apply_enumeration` (None for nullable, '' for ordinal 0) —
+    what the row path produces cell-by-cell, computed once so the
+    columnar fast path can serve these fragments too."""
+    fill = _fill_value(attr)
+    if fill is None:
+        return None
+    labels = schema.enumerations[attr.enumeration]
+    if fill == 0:
+        return ""
+    if not isinstance(fill, int) or not 1 <= fill <= len(labels):
+        raise ValueError(
+            f"enumeration ordinal out of range for {attr.name}"
+        )
+    return labels[fill - 1]
+
+
 def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
                 kind: str, n_cells: int | None = None) -> list:
     """Decode one dim/attr column of a fragment into python values:
@@ -1243,7 +1276,11 @@ def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
         base = _field_file(frag, field.name, idx, kind)
     except FileNotFoundError:
         if kind == "a" and n_cells is not None:
-            return [_fill_value(field)] * n_cells
+            # through the enum map: an evolved-in ENUM attr fills with
+            # the fill ordinal's LABEL, never a raw int
+            return _apply_enumeration(
+                schema, field, [_fill_value(field)] * n_cells
+            )
         raise
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _, _, elem = _DT[dtype_id]
@@ -1346,9 +1383,14 @@ def _dense_coords_box(schema: NativeSchema, box) -> list[tuple]:
 
 
 def _dense_fragment_box(frag: str, schema: NativeSchema):
-    """A dense fragment's written subarray: the validated footer NED
+    """A dense fragment's NON-EMPTY DOMAIN: the validated footer NED
     (full domain when the footer is absent/unvalidatable — the
-    pre-subarray-write layout)."""
+    pre-subarray-write layout).  This box bounds the fragment's DATA —
+    which cells it contributes to a read; the on-disk CELL LAYOUT
+    covers :func:`_dense_layout_box` of it (libtiledb derives the
+    fragment domain the same way: NED expanded to space-tile
+    boundaries, so an unaligned subarray write pads its edge tiles
+    with fill values that never surface)."""
     fm = os.path.join(frag, "__fragment_metadata.tdb")
     footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) else None
     if footer is None or not footer.dense:
@@ -1357,6 +1399,25 @@ def _dense_fragment_box(frag: str, schema: NativeSchema):
     for d, ned in zip(schema.dims, footer.non_empty_domain):
         box.append(ned if ned is not None else d.domain)
     return box
+
+
+def _dense_layout_box(schema: NativeSchema, ned) -> list[tuple]:
+    """The tile-aligned box a dense fragment's files are laid out over:
+    ``ned`` expanded outward to space-tile boundaries (anchored at the
+    domain low), clamped to the domain — libtiledb's fragment-domain
+    derivation (``Domain::expand_to_tiles``).  Identity for aligned
+    subarrays, which is every fragment the aligned write path emits."""
+    out = []
+    for d, (blo, bhi) in zip(schema.dims, ned):
+        lo, hi = d.domain
+        ext = d.extent or (hi - lo + 1)
+        lo, hi, blo, bhi, ext = (
+            int(lo), int(hi), int(blo), int(bhi), int(ext)
+        )
+        s = lo + ((blo - lo) // ext) * ext
+        e = min(hi, lo + ((bhi - lo) // ext + 1) * ext - 1)
+        out.append((s, e))
+    return out
 
 
 def read_native_array(
@@ -1379,6 +1440,7 @@ def read_native_array(
     frags = _fragment_dirs(array_dir, at=at)
     for frag in frags:
         wts = _frag_range(os.path.basename(frag))[1]
+        dense_skip = None
         zipped = os.path.join(frag, "__coords.tdb")
         has_coords = os.path.isfile(zipped) or any(
             os.path.isfile(os.path.join(frag, f"{d.name}.tdb"))
@@ -1400,9 +1462,16 @@ def read_native_array(
                 ]
             coords = list(zip(*dim_cols))
         else:
-            box = _dense_fragment_box(frag, schema)
-            dense_boxes.append(box)
-            coords = _dense_coords_box(schema, box)
+            ned = _dense_fragment_box(frag, schema)
+            dense_boxes.append(ned)
+            # files are laid out over the tile-EXPANDED box; cells in
+            # the edge-tile padding are fill noise outside the NED and
+            # must not shadow older fragments' real data
+            layout = _dense_layout_box(schema, ned)
+            coords = _dense_coords_box(schema, layout)
+            dense_skip = (
+                ned if [tuple(b) for b in ned] != layout else None
+            )
         attr_cols = [
             _read_field(frag, schema, a, i, "a", n_cells=len(coords))
             for i, a in enumerate(schema.attrs)
@@ -1413,6 +1482,10 @@ def read_native_array(
                     f"{a.name}: {len(col)} cells for {len(coords)} coords"
                 )
         for i, c in enumerate(coords):
+            if dense_skip is not None and not all(
+                lo <= v <= hi for v, (lo, hi) in zip(c, dense_skip)
+            ):
+                continue
             row = c + tuple(col[i] for col in attr_cols)
             if schema.allows_dups:
                 dup_rows.append((row, wts))
@@ -1589,7 +1662,12 @@ def _read_field_span(
         base = _field_file(frag, field.name, idx, kind)
     except FileNotFoundError:
         if kind == "a":
-            return [_fill_value(field)] * (hi_cell - lo_cell)
+            # through the enum map: an evolved-in ENUM attr fills with
+            # the fill ordinal's LABEL, never a raw int
+            return _apply_enumeration(
+                schema, field,
+                [_fill_value(field)] * (hi_cell - lo_cell),
+            )
         raise
     dtype_id, cvn = field.dtype_id, field.cell_val_num
     _, _, elem = _DT[dtype_id]
@@ -1831,7 +1909,11 @@ def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
         afile = _field_file(frag, a.name, schema.attrs.index(a), "a")
     except FileNotFoundError:
         if getattr(a, "enumeration", None) in schema.enumerations:
-            return None  # evolved-in enum fill: row path
+            # evolved-in ENUM fill: the constant LABEL the row path's
+            # _apply_enumeration yields for the fill ordinal
+            filled = np.empty(w, dtype=object)
+            filled[:] = [_enum_fill_label(schema, a)] * w
+            return filled
         if is_var or cvn != 1 or getattr(a, "nullable", False):
             fill = _fill_value(a)
             filled = np.empty(w, dtype=object)
@@ -1900,6 +1982,7 @@ def _read_dense_range_np(
     ranges: list[tuple] | None = None,
     columns: list[str] | None = None,
     at: int | None = None,
+    frags: list[str] | None = None,
 ):
     """Columnar DENSE read (round 6): the dense twin of the sparse fast
     path.  Dense fragments store no coordinates — dim columns are
@@ -1943,7 +2026,9 @@ def _read_dense_range_np(
         if en and en in schema.enumerations and not scalar_num:
             return None
     rngs = list(ranges) if ranges else [(None, None)] * len(dims)
-    frag_list = _fragment_dirs(array_dir, at=at)
+    frag_list = frags if frags is not None else _fragment_dirs(
+        array_dir, at=at
+    )
     names = [d.name for d in dims] + [a.name for a in want]
 
     def _obj_col(a):
@@ -1956,10 +2041,14 @@ def _read_dense_range_np(
     boxes = []          # every visible box shapes the bounding box
     frag_data = []      # (effective_box, {attr: col in rm-box order})
     for frag in frag_list:
-        box = _dense_fragment_box(frag, schema)
-        boxes.append(box)
+        ned = [tuple(b) for b in _dense_fragment_box(frag, schema)]
+        boxes.append(ned)
         if not fragment_overlaps(frag, schema, rngs):
             continue
+        # files are laid out over the tile-EXPANDED box (unaligned
+        # subarray writes pad their edge tiles); decode against the
+        # layout, then clip to the NED so padding fills never surface
+        box = _dense_layout_box(schema, ned)
         eff_box = list(box)
         lo_cell = 0
         box_n = 1
@@ -2016,6 +2105,16 @@ def _read_dense_range_np(
                 rm = np.empty(len(v), dtype=v.dtype)
                 rm[rm_of_disk] = v
                 cols[nm] = rm
+        nwin = [
+            (max(nlo, elo), min(nhi, ehi))
+            for (nlo, nhi), (elo, ehi) in zip(ned, eff_box)
+        ]
+        if any(wlo > whi for wlo, whi in nwin):
+            continue  # only edge-tile padding falls in the range
+        if nwin != [tuple(b) for b in eff_box]:
+            keep = _rm_window_indices(np, nwin, eff_box)
+            cols = {nm: v[keep] for nm, v in cols.items()}
+            eff_box = nwin
         frag_data.append((eff_box, cols))
 
     def _empty():
@@ -2104,6 +2203,7 @@ def read_native_array_range_np(
     columns: list[str] | None = None,
     at: int | None = None,
     prune_conditions: list | None = None,
+    frags: list[str] | None = None,
 ):
     """Vectorized COLUMNAR twin of :func:`read_native_array_range` for
     the shape that dominates analytic scans: a SPARSE array of
@@ -2139,7 +2239,8 @@ def read_native_array_range_np(
     schema = parse_array_schema(_schema_path(array_dir))
     if schema.array_type == "DENSE":
         return _read_dense_range_np(
-            array_dir, schema, ranges=ranges, columns=columns, at=at
+            array_dir, schema, ranges=ranges, columns=columns, at=at,
+            frags=frags,
         )
     if schema.array_type != "SPARSE":
         return None
@@ -2163,13 +2264,17 @@ def read_native_array_range_np(
     want = [
         a for a in schema.attrs if columns is None or a.name in columns
     ]
-    frag_list = _fragment_dirs(array_dir, at=at)
+    frag_list = frags if frags is not None else _fragment_dirs(
+        array_dir, at=at
+    )
     # delete-condition commits: evaluated HERE as vectorized boolean
     # masks over the merged columns (one visible .del no longer demotes
     # a 100 TB scan to the row path); a delete may test attrs the
     # projection dropped — decode them too, filter, project back down
     # (same expansion the row path does)
     dels = _delete_conditions(array_dir, at, frag_list)
+    if frags is not None:
+        dels = _subset_era_deletes(dels, frags)
     want_out = want
     if dels:
         need = {c[0] for _ts, conds in dels for c in conds}
@@ -2337,8 +2442,12 @@ def read_native_array_range_np(
                 )
             except FileNotFoundError:
                 if getattr(a, "enumeration", None) in schema.enumerations:
-                    return None  # evolved-in enum fill: row path
-                if is_var or cvn != 1 or getattr(a, "nullable", False):
+                    # evolved-in ENUM fill: the constant LABEL the row
+                    # path's _apply_enumeration yields for the ordinal
+                    filled = np.empty(n_sel, dtype=object)
+                    filled[:] = [_enum_fill_label(schema, a)] * n_sel
+                    cols[a.name] = filled
+                elif is_var or cvn != 1 or getattr(a, "nullable", False):
                     fill = _fill_value(a)
                     filled = np.empty(n_sel, dtype=object)
                     filled[:] = [fill] * n_sel
@@ -2548,6 +2657,7 @@ def read_native_array_range(
     at: int | None = None,
     prune_conditions: list | None = None,
     encryption_key: "bytes | str | None" = None,
+    frags: list[str] | None = None,
 ) -> tuple[list[str], list[tuple]]:
     """Range + projection read of a bare native array: returns
     (column_names, rows) for cells whose coordinates fall inside the
@@ -2576,12 +2686,19 @@ def read_native_array_range(
         a for a in schema.attrs if columns is None or a.name in columns
     ]
     rngs = list(ranges) if ranges else [(None, None)] * len(schema.dims)
-    frag_list = _fragment_dirs(array_dir, at=at)
+    # ``frags``: read the merged state of ONLY this fragment SUBSET
+    # (oldest->newest, a contiguous timestamp run) — incremental
+    # consolidation's input; None = every visible fragment
+    frag_list = frags if frags is not None else _fragment_dirs(
+        array_dir, at=at
+    )
     dels = (
         _delete_conditions(array_dir, at, frag_list)
         if schema.array_type == "SPARSE"
         else []
     )
+    if frags is not None:
+        dels = _subset_era_deletes(dels, frags)
     want_out = want
     if dels:
         # a delete's conditions may test attrs the projection dropped —
@@ -2749,8 +2866,12 @@ def read_native_array_range(
                     ]
                     _consume(dim_cols, p_lo, p_hi - p_lo)
         else:  # dense
-            box = _dense_fragment_box(frag, schema)
-            dense_boxes.append(box)
+            ned = [tuple(b) for b in _dense_fragment_box(frag, schema)]
+            dense_boxes.append(ned)
+            # decode over the tile-expanded LAYOUT box; merge only the
+            # NED cells (edge-tile padding is fill noise)
+            box = _dense_layout_box(schema, ned)
+            ned_clip = ned if ned != box else None
             box_n = 1
             for blo, bhi in box:
                 box_n *= bhi - blo + 1
@@ -2786,6 +2907,11 @@ def read_native_array_range(
             for i, c in enumerate(span_coords):
                 if not all(
                     _in(v, lo, hi) for v, (lo, hi) in zip(c, rngs)
+                ):
+                    continue
+                if ned_clip is not None and not all(
+                    nlo <= v <= nhi
+                    for v, (nlo, nhi) in zip(c, ned_clip)
                 ):
                     continue
                 merged[c] = (c + tuple(attr_vals[a.name][i] for a in want),
@@ -2879,22 +3005,38 @@ def _generic_tile_span(buf: bytes, off: int) -> int | None:
 
 def parse_fragment_footer(fm_path: str, schema: "NativeSchema"):
     """Parse the footer of __fragment_metadata.tdb -> FragmentFooter, or
-    None when the era/layout cannot be validated (caller falls back)."""
+    None when the era/layout cannot be validated (caller falls back).
+
+    The trailing u64 is ambiguous between the two footer eras (an
+    offset into the file vs the raw footer's byte size); both candidate
+    slices are tried — the era sniff alone can misfire when a size-era
+    footer's size value happens to land on bytes that look like a
+    generic-tile header, so failure of one candidate must fall through
+    to the other, never straight to None."""
     try:
         buf = open(fm_path, "rb").read()
         if len(buf) < 16:
             return None
         (last,) = struct.unpack_from("<Q", buf, len(buf) - 8)
         frag_ver = _frag_format_version(os.path.dirname(fm_path))
-        raw = None
+        candidates = []
         if last < len(buf) - 8:
             span = _generic_tile_span(buf, last)
             if span is not None and last + span < len(buf) - 8:
-                raw = buf[last + span : len(buf) - 8]  # offset era
-        if raw is None and 14 <= last <= len(buf) - 8:
-            raw = buf[len(buf) - 8 - last : len(buf) - 8]  # size era
-        if raw is None:
-            return None
+                candidates.append(buf[last + span : len(buf) - 8])  # offset era
+        if 14 <= last <= len(buf) - 8:
+            candidates.append(buf[len(buf) - 8 - last : len(buf) - 8])  # size era
+        for raw in candidates:
+            out = _parse_footer_raw(raw, schema, frag_ver)
+            if out is not None:
+                return out
+        return None
+    except (OSError, struct.error, IndexError):
+        return None
+
+
+def _parse_footer_raw(raw: bytes, schema: "NativeSchema", frag_ver):
+    try:
         pos = 0
         (ver,) = struct.unpack_from("<I", raw, pos)
         pos += 4
@@ -2935,7 +3077,7 @@ def parse_fragment_footer(fm_path: str, schema: "NativeSchema"):
                     ned.append((lo, hi))
         stn, ltcn = struct.unpack_from("<QQ", raw, pos)
         return FragmentFooter(ver, bool(dense), ned, stn, ltcn)
-    except (OSError, struct.error, IndexError):
+    except (struct.error, IndexError):
         return None
 
 

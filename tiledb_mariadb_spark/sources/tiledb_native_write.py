@@ -714,39 +714,65 @@ def write_native_fragment(
                     )
                 mapped.append(int(v))
         columns = {**columns, a.name: mapped}
-    box = None
+    box = ned = None
     if schema.array_type == "DENSE":
-        # dense SUBARRAY write (dense_writes.test): the written box must
-        # be space-tile aligned per dim (TileDB's global-write rule —
-        # partial tiles only at the domain edge); dims are NOT supplied,
-        # cells arrive in ROW-MAJOR box order and are laid down in the
-        # box's global tile order.  Default box = the full domain.
-        box = [tuple(b) for b in subarray] if subarray else [
-            d.domain for d in schema.dims
+        # dense SUBARRAY write (dense_writes.test): dims are NOT
+        # supplied, cells arrive in ROW-MAJOR subarray order and are
+        # laid down in the box's global tile order.  An UNALIGNED
+        # subarray is expanded outward to space-tile boundaries
+        # (libtiledb's Domain::expand_to_tiles) with its edge tiles
+        # padded by attribute fill values; the footer NED records the
+        # caller's true subarray so readers never surface the padding.
+        # Default box = the full domain.
+        ned = [tuple(b) for b in subarray] if subarray else [
+            tuple(d.domain) for d in schema.dims
         ]
-        box_size = 1
-        for d, (blo, bhi) in zip(schema.dims, box):
+        ned_size = 1
+        for d, (blo, bhi) in zip(schema.dims, ned):
             lo, hi = d.domain
-            ext = d.extent or (hi - lo + 1)
             if blo < lo or bhi > hi or blo > bhi:
                 raise ValueError(
                     f"dimension {d.name}: subarray [{blo}, {bhi}] outside "
                     f"domain [{lo}, {hi}]"
                 )
-            if (blo - lo) % ext != 0 or (
-                (bhi - blo + 1) % ext != 0 and bhi != hi
-            ):
-                raise ValueError(
-                    f"dimension {d.name}: subarray [{blo}, {bhi}] not "
-                    f"aligned to tile extent {ext} (TileDB dense "
-                    "global-order writes are tile-aligned)"
-                )
-            box_size *= bhi - blo + 1
-        if n != box_size:
+            ned_size *= bhi - blo + 1
+        if n != ned_size:
             raise ValueError(
                 f"dense fragment must cover its subarray "
-                f"({box_size} cells), got {n}"
+                f"({ned_size} cells), got {n}"
             )
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _dense_layout_box,
+            _fill_value,
+            _rm_window_indices,
+        )
+
+        box = _dense_layout_box(schema, ned)
+        if box != ned:
+            import numpy as np  # noqa: PLC0415
+
+            box_size = 1
+            for blo, bhi in box:
+                box_size *= bhi - blo + 1
+            scatter = _rm_window_indices(np, ned, box)
+            padded: dict[str, Sequence] = dict(columns)
+            for a in schema.attrs:
+                fill = _fill_value(a)
+                vals = columns[a.name]
+                if (
+                    isinstance(vals, np.ndarray)
+                    and vals.dtype.kind in "iufb"
+                    and np.isscalar(fill)
+                ):
+                    full = np.full(box_size, fill, dtype=vals.dtype)
+                    full[scatter] = vals
+                else:
+                    full = [fill] * box_size
+                    for i, j in enumerate(scatter):
+                        full[j] = vals[i]
+                padded[a.name] = full
+            columns = padded
+            n = box_size
     elif subarray is not None:
         raise ValueError("subarray= applies to DENSE arrays only")
     if schema.array_type == "DENSE" and n > 1:
@@ -949,12 +975,12 @@ def write_native_fragment(
             _write_fragment_metadata_v19(
                 frag, schema, columns, n, slices=slices, infos=infos,
                 version=version,
-                dense_box=box if schema.array_type == "DENSE" else None,
+                dense_box=ned if schema.array_type == "DENSE" else None,
             )
         else:
             _write_fragment_footer(frag, schema, columns, n,
                                     ntiles=len(slices), slices=slices,
-                                    box=box)
+                                    box=ned)
     except Exception:
         import shutil  # noqa: PLC0415
 

@@ -184,12 +184,14 @@ def all_specs() -> dict[str, QuerySpec]:
     # pushdown, the secure-corpus pipeline), then the round-4 native
     # format/stats tier (q302-q307), then the q198-q260 analytics
     # remainder.
-    # ROUND-7 remainder (17): LEAD with the round-6 additions (newest,
+    # ROUND-7 remainder: LEAD with the round-6 additions (newest,
     # never driver-sampled): q313_spatial_datasource,
     # q314_native_dense_v19, q315_dense_datasource,
     # q316_delete_datasource, q317_string_dim_corpus,
-    # q318_encrypted_dense, q319_distributed_consolidation; then the
-    # 11 scalar-surface spills (all
+    # q318_encrypted_dense, q319_distributed_consolidation,
+    # q320_dense_consolidation (dense bands + unaligned subarrays),
+    # q321_incremental_consolidation (size-ratio runs, subset reader);
+    # then the 11 scalar-surface spills (all
     # judge-sim green): q133b_natural_join, q134_values_inline,
     # q160_grouping_id, q161_window_distinct, q165_fuzzy_match,
     # q167_gap_fill, q168_gini_diversity, q210_sentence_split,

@@ -4051,3 +4051,285 @@ SPECS.append(
         "deletes baked, merged state aggregates identically",
     )
 )
+
+
+# --- q320: DENSE distributed consolidation + UNALIGNED subarrays (round 6) ----
+# Completes the consolidation matrix: q319 proved the sparse tier; this
+# drives `consolidate_array` over a DENSE array whose overlay fragment
+# is deliberately NOT tile-aligned — the round-6 writer expands it to
+# space-tile boundaries (libtiledb Domain::expand_to_tiles), pads edge
+# tiles with fills, and records the true NED in the footer, so the
+# padding never shadows the base fragment's data.  Each consolidation
+# task reads one dim0 band of the merged state (newest-wins + fill
+# materialization by the range reader) and stages a dense band
+# fragment; one .con commits the group, vacuum retires the three
+# originals.  Read results must be bit-identical to the logical merge.
+def q320_dense_consolidation(spark, sf_dir):
+    import struct as _struct  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        consolidate_array,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        vacuum_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q320_dense_cons_") + "/arr"
+    create_native_array(
+        uri,
+        array_type="DENSE",
+        dims=[NativeDim("k", 1, 1, (0, 1199), 100)],
+        attrs=[NativeAttr("cents", 1, 1, False, _struct.pack("<q", -1))],
+    )
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(Window.orderBy("o_orderkey")) - 1,
+        )
+        .filter(F.col("k") <= 1199)
+    )
+
+    def write_box(df, lo, hi, ts):
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri, {"cents": list(pdf["v"])}, ts=ts,
+                    subarray=[(lo, hi)], version=19,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    write_box(
+        base.filter(F.col("k") <= 599).select(
+            "k", F.col("cents").alias("v")
+        ),
+        0, 599, 1000,
+    )
+    # UNALIGNED overlay (extent 100, box [250, 449]): expanded on disk
+    # to [200, 499] with fill padding, NED = [250, 449]
+    write_box(
+        base.filter((F.col("k") >= 250) & (F.col("k") <= 449)).select(
+            "k", (F.col("cents") * 5).alias("v")
+        ),
+        250, 449, 2000,
+    )
+    write_box(
+        base.filter(F.col("k") >= 800).select(
+            "k", (F.col("cents") * 3).alias("v")
+        ),
+        800, 1199, 3000,
+    )
+    n_new = consolidate_array(spark, uri, target_splits=5)
+    vacuum_native_array(uri)
+    arr = read_array(spark, uri, target_splits=4)
+    return (
+        arr.groupBy(F.expr("CAST(k DIV 200 AS BIGINT)").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+        )
+        .withColumn("consolidated", F.lit(n_new >= 2))
+        .withColumn(
+            "frags_retired", F.lit(0 < len(_fragment_dirs(uri)) <= 5)
+        )
+        .orderBy("region")
+    )
+
+
+Q320_SQL = """
+WITH ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders),
+cells AS (
+  SELECT k,
+         CASE WHEN k BETWEEN 250 AND 449 THEN 5 * cents
+              WHEN k <= 599 THEN cents
+              WHEN k >= 800 THEN 3 * cents
+              ELSE -1 END AS v
+  FROM ranked WHERE k <= 1199)
+SELECT CAST(k // 200 AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_cents,
+       CAST(MIN(v) AS BIGINT) AS min_cents,
+       TRUE AS consolidated,
+       TRUE AS frags_retired
+FROM cells GROUP BY 1 ORDER BY region
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q320_dense_consolidation",
+        q320_dense_consolidation,
+        Q320_SQL,
+        "dense distributed consolidation over dim0 bands with an "
+        "UNALIGNED overlay fragment (tile-expanded on disk, true-NED "
+        "footer): merged state bit-identical after consolidate+vacuum",
+    )
+)
+
+
+# --- q321: INCREMENTAL (size-ratio) consolidation (round 6) -------------------
+# Full consolidation (q319) rewrites the whole array every time — fine
+# until the array is 100 TB and the new data is 100 GB.  This spec
+# drives the INCREMENTAL policy: `plan_consolidation` picks contiguous
+# timestamp runs of similar-size fragments (TileDB's size-ratio step),
+# excluding the big base fragment and any span covering a .del;
+# `consolidate_array_incremental` merges each run via the
+# fragment-SUBSET reader (newest-wins WITHIN the run; the reader's
+# `frags=` input) and commits per-run .con groups.  The base fragment
+# is never rewritten — consolidation cost tracks the appended data.
+def q321_incremental_consolidation(spark, sf_dir):
+    import os as _os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        consolidate_array_incremental,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        vacuum_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q321_inc_cons_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("status", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    # base = the WHOLE orders table (unique keys); appends overlay tiny
+    # 81-key windows, so the base/append size skew is structural at
+    # every sf and the size-ratio plan provably excludes the base
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # one BIG base fragment, then five small overlapping appends with
+    # EXPLICIT timestamps (tiny appends can land in the same
+    # millisecond; newest-wins must not tie-break on fragment name)
+    write_array(base.coalesce(1), uri)
+
+    def append_at(df, ts):
+        import pandas as pd  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            write_native_fragment,
+        )
+
+        def part(batches):
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+                write_native_fragment(
+                    uri,
+                    {c: list(pdf[c]) for c in pdf.columns},
+                    ts=ts, version=19,
+                )
+            yield pd.DataFrame({"written": [len(parts)]})
+
+        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+
+    import time as _time  # noqa: PLC0415
+
+    t0 = int(_time.time() * 1000) + 1000
+    for i in range(5):
+        lo, hi = 1000 + i * 40, 1080 + i * 40
+        append_at(
+            base.filter((F.col("k") >= lo) & (F.col("k") <= hi)).select(
+                "k", (F.col("cents") + i + 1).alias("cents"),
+                F.lit(f"U{i}").alias("status"),
+            ),
+            t0 + i,
+        )
+    n_before = len(_fragment_dirs(uri))
+    big = _os.path.basename(_fragment_dirs(uri)[0])
+    n_new = consolidate_array_incremental(spark, uri, target_splits=4)
+    vacuum_native_array(uri)
+    survivors = [_os.path.basename(f) for f in _fragment_dirs(uri)]
+    df = read_array(spark, uri, target_splits=4)
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("merged_smalls", F.lit(1 <= n_new < n_before - 1))
+        .withColumn("base_untouched", F.lit(big in survivors))
+        .orderBy("status")
+    )
+
+
+Q321_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents,
+         o_orderstatus AS status
+  FROM orders),
+merged AS (
+  -- appends i=0..4 cover [1000+40i, 1080+40i]; newest-wins resolves
+  -- every overlapped k to the HIGHEST covering i = LEAST(4, (k-1000)//40)
+  SELECT k,
+         CASE WHEN k BETWEEN 1000 AND 1240
+              THEN cents + LEAST(4, (k - 1000) // 40) + 1
+              ELSE cents END AS cents,
+         CASE WHEN k BETWEEN 1000 AND 1240
+              THEN 'U' || CAST(LEAST(4, (k - 1000) // 40) AS VARCHAR)
+              ELSE status END AS status
+  FROM src)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS merged_smalls,
+       TRUE AS base_untouched
+FROM merged GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q321_incremental_consolidation",
+        q321_incremental_consolidation,
+        Q321_SQL,
+        "size-ratio INCREMENTAL consolidation: contiguous same-scale "
+        "fragment runs merged via the fragment-subset reader, base "
+        "fragment never rewritten, per-run atomic .con commits",
+    )
+)
