@@ -86,11 +86,26 @@ def main() -> int:
         ).collect()[0]
         return int(row.n), int(row.s)
 
+    import os
+
+    def _frag_bytes(uri, names):
+        total = 0
+        for f in _fragment_dirs(uri):
+            if os.path.basename(f) in names:
+                for root, _d, fls in os.walk(f):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, fl))
+                        for fl in fls
+                    )
+        return total
+
     for m in mults:
         base = BASE_ROWS * m
         uri_full = build(base)
         uri_inc = build(base)
         want = check(uri_full)
+        pre_full = {os.path.basename(f) for f in _fragment_dirs(uri_full)}
+        pre_inc = {os.path.basename(f) for f in _fragment_dirs(uri_inc)}
         t0 = time.time()
         n_full = consolidate_array(spark, uri_full, target_splits=16)
         full_s = time.time() - t0
@@ -100,6 +115,15 @@ def main() -> int:
             max_run=APPENDS + 1,
         )
         inc_s = time.time() - t0
+        # bytes REWRITTEN = the scale-relevant cost (wall at these sizes
+        # is Spark-constant dominated): full rewrites base+appends,
+        # incremental only the planned run
+        full_new = {
+            os.path.basename(f) for f in _fragment_dirs(uri_full)
+        } - pre_full
+        inc_new = {
+            os.path.basename(f) for f in _fragment_dirs(uri_inc)
+        } - pre_inc
         ok = check(uri_full) == want and check(uri_inc) == want
         big_kept = len(_fragment_dirs(uri_inc)) >= 2  # base survives
         print(json.dumps({
@@ -107,6 +131,12 @@ def main() -> int:
             "append_rows": APPENDS * APPEND_ROWS,
             "full_consolidate_s": round(full_s, 2),
             "incremental_s": round(inc_s, 2),
+            "full_rewritten_mb": round(
+                _frag_bytes(uri_full, full_new) / 1e6, 2
+            ),
+            "inc_rewritten_mb": round(
+                _frag_bytes(uri_inc, inc_new) / 1e6, 2
+            ),
             "full_new_frags": n_full,
             "inc_new_frags": n_inc,
             "reads_identical": ok,

@@ -904,3 +904,48 @@ def test_datetime_dim_native_write(tmp_path):
     _n, got = read_native_array_range(d, ranges=[(1500, 4000)])
     assert got == [(2000, 2)]
     assert count_native_array(d) == 3
+
+
+def test_metadata_consolidation(tmp_path):
+    """consolidate_array_metadata folds the __meta entry history into
+    one merged typed file; the rendered dict is identical before,
+    beside the originals, and after vacuum; tombstoned keys stay dead;
+    a second consolidation is a no-op."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_array_metadata,
+        vacuum_native_array,
+        write_array_metadata,
+    )
+
+    d = str(tmp_path / "metacons")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    write_array_metadata(d, {"a": 1, "b": "hello", "c": [1.5, 2.5]},
+                         ts=100)
+    write_array_metadata(d, {"a": 2, "d": [7, 8, 9]}, ts=200)
+    write_array_metadata(d, {"b": None, "e": 3.25}, ts=300)
+    before = read_array_metadata(d)
+    assert before == {
+        "a": "2", "c": "1.5,2.5", "d": "7,8,9", "e": "3.25"
+    }
+    merged = consolidate_array_metadata(d)
+    assert merged is not None
+    assert read_array_metadata(d) == before  # replay beside originals
+    assert vacuum_native_array(d) == 3
+    assert read_array_metadata(d) == before
+    meta_files = [
+        f for f in os.listdir(os.path.join(d, "__meta"))
+        if not f.endswith(".vac")
+    ]
+    assert len(meta_files) == 1
+    assert consolidate_array_metadata(d) is None  # nothing to fold
+    # history continues on top of the consolidated file
+    write_array_metadata(d, {"a": None, "f": "new"}, ts=400)
+    assert read_array_metadata(d) == {
+        "c": "1.5,2.5", "d": "7,8,9", "e": "3.25", "f": "new"
+    }

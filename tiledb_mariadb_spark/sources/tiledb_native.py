@@ -562,8 +562,8 @@ def read_array_metadata(array_dir: str) -> dict:
         return out
     for fn in sorted(os.listdir(meta_dir)):
         p = os.path.join(meta_dir, fn)
-        if not os.path.isfile(p):
-            continue
+        if not os.path.isfile(p) or fn.endswith(".vac"):
+            continue  # .vac = metadata-consolidation vacuum manifest
         c = _Cursor(read_generic_tile(p))
         while c.pos < len(c.buf):
             key = c.raw(c.u("I")).decode()

@@ -1294,13 +1294,31 @@ def vacuum_native_array(array_dir: str) -> int:
     fragments removed."""
     import shutil  # noqa: PLC0415
 
+    removed = 0
+    # array-METADATA consolidation manifests (__meta/*.vac): retire the
+    # folded entry files; targets are processed in manifest order
+    # (sorted = oldest first), so a crash mid-vacuum always leaves a
+    # SUFFIX of the originals — which replays correctly over the
+    # merged file — and the kept .vac lets a re-run finish the job
+    meta_dir = os.path.join(array_dir, "__meta")
+    if os.path.isdir(meta_dir):
+        for v in sorted(e for e in os.listdir(meta_dir)
+                        if e.endswith(".vac")):
+            vp = os.path.join(meta_dir, v)
+            with open(vp) as f:
+                targets = [ln.strip() for ln in f if ln.strip()]
+            for rel in targets:
+                p = os.path.join(array_dir, rel)
+                if os.path.isfile(p):
+                    os.unlink(p)
+                    removed += 1
+            os.unlink(vp)
     commits = os.path.join(array_dir, "__commits")
     vacs = (
         [e for e in os.listdir(commits) if e.endswith(".vac")]
         if os.path.isdir(commits)
         else []
     )
-    removed = 0
     if vacs:
         for v in vacs:
             vp = os.path.join(commits, v)
@@ -1342,6 +1360,65 @@ def vacuum_native_array(array_dir: str) -> int:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
             removed += 1
     return removed
+
+
+def consolidate_array_metadata(array_dir: str) -> Optional[str]:
+    """Array-METADATA consolidation (TileDB's array_meta consolidation
+    mode): fold every ``__meta`` entry file — later files override,
+    tombstones delete — into ONE merged entry file spanning
+    ``[t1, t2]``, preserving each surviving key's RAW typed encoding
+    (never the rendered string), plus a ``.vac`` manifest so
+    :func:`vacuum_native_array` can retire the originals.  Readers stay
+    correct at every point: before vacuum the merged file replays with
+    the originals and converges to the same dict (each key's final
+    state is its LAST operation, which lives either in the replayed
+    suffix or already in the fold).  Returns the merged file path, or
+    None with <2 entry files."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _Cursor,
+        _DT,
+        read_generic_tile,
+    )
+
+    meta_dir = os.path.join(array_dir, "__meta")
+    if not os.path.isdir(meta_dir):
+        return None
+    entries = sorted(
+        fn for fn in os.listdir(meta_dir)
+        if os.path.isfile(os.path.join(meta_dir, fn))
+        and fn.startswith("__") and not fn.endswith(".vac")
+    )
+    if len(entries) < 2:
+        return None
+    merged: dict[str, bytes] = {}  # key -> raw [type u8][num u32][vals]
+    for fn in entries:
+        c = _Cursor(read_generic_tile(os.path.join(meta_dir, fn)))
+        while c.pos < len(c.buf):
+            key = c.raw(c.u("I")).decode()
+            if c.u("B"):  # tombstone
+                merged.pop(key, None)
+                continue
+            start = c.pos
+            dtype_id = c.u("B")
+            num = c.u("I")
+            _n, _code, size = _DT[dtype_id]
+            c.raw(num * size)
+            merged[key] = c.buf[start:c.pos]
+    ts_list = [_frag_range(fn) for fn in entries]
+    t1 = min(a for a, _b in ts_list)
+    t2 = max(b for _a, b in ts_list)
+    payload = b""
+    for key in sorted(merged):
+        kb = key.encode()
+        payload += struct.pack("<I", len(kb)) + kb
+        payload += struct.pack("<B", 0) + merged[key]
+    name = f"__{t1}_{t2}_{uuid.uuid4().hex}"
+    path = os.path.join(meta_dir, name)
+    _write_generic_tile(path, payload)
+    with open(os.path.join(meta_dir, name + ".vac"), "w") as f:
+        for fn in entries:
+            f.write(f"__meta/{fn}\n")
+    return path
 
 
 def write_array_metadata(

@@ -4333,3 +4333,116 @@ SPECS.append(
         "fragment never rewritten, per-run atomic .con commits",
     )
 )
+
+
+# --- q322: array-METADATA consolidation (round 6) -----------------------------
+# TileDB consolidates more than fragments: the array_meta mode folds
+# the timestamped __meta entry history (puts, updates, tombstones)
+# into ONE merged entry file + a .vac manifest, so a long-lived array's
+# metadata read stops being O(history).  `consolidate_array_metadata`
+# preserves each surviving key's RAW typed encoding (never the rendered
+# string), replays consistently beside the originals until
+# `vacuum_native_array` retires them, and the reader's rendered view is
+# bit-identical at every point.  Parity: Array::consolidate_metadata /
+# mytile-metadata.cc's rendered surface.
+def q322_metadata_consolidation(spark, sf_dir):
+    import os as _os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        read_array_metadata,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_array_metadata,
+        create_native_array,
+        vacuum_native_array,
+        write_array_metadata,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            )
+        ).alias("cents"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+    ).collect()[0]
+
+    d = tempfile.mkdtemp(prefix="q322_meta_cons_") + "/arr"
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 10), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    # a realistic entry history: puts, an update, a tombstone, floats
+    write_array_metadata(
+        d, {"n_orders": -1, "scratch": "drop-me", "ratio": [1.5, 2.5]},
+        ts=100,
+    )
+    write_array_metadata(
+        d, {"n_orders": int(stats["n"]), "statuses": stats["statuses"]},
+        ts=200,
+    )
+    write_array_metadata(
+        d, {"total_cents": int(stats["cents"]), "scratch": None}, ts=300
+    )
+    before = read_array_metadata(d)
+    merged = consolidate_array_metadata(d)
+    mid_same = read_array_metadata(d) == before  # replay beside originals
+    vacuum_native_array(d)
+    after = read_array_metadata(d)
+    files = [
+        f for f in _os.listdir(_os.path.join(d, "__meta"))
+        if not f.endswith(".vac")
+    ]
+    return (
+        spark.createDataFrame(
+            sorted(after.items()), "key string, value string"
+        )
+        .withColumn("pre_vacuum_stable", F.lit(mid_same))
+        .withColumn(
+            "single_entry_file",
+            F.lit(merged is not None and len(files) == 1),
+        )
+        .withColumn("history_identical", F.lit(after == before))
+        .orderBy("key")
+    )
+
+
+Q322_SQL = """
+SELECT *, TRUE AS pre_vacuum_stable, TRUE AS single_entry_file,
+       TRUE AS history_identical
+FROM (
+  SELECT 'n_orders' AS key, CAST(COUNT(*) AS VARCHAR) AS value
+  FROM orders WHERE o_orderkey <= 5000
+  UNION ALL
+  SELECT 'total_cents',
+         CAST(CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+           AS BIGINT)) AS BIGINT) AS VARCHAR)
+  FROM orders WHERE o_orderkey <= 5000
+  UNION ALL
+  SELECT 'statuses',
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+  FROM orders WHERE o_orderkey <= 5000
+  UNION ALL
+  SELECT 'ratio', '1.5,2.5'
+) ORDER BY key
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q322_metadata_consolidation",
+        q322_metadata_consolidation,
+        Q322_SQL,
+        "array-metadata consolidation: __meta entry history (puts/"
+        "updates/tombstones) folded into one merged typed entry file + "
+        "vacuum; rendered view bit-identical at every point",
+    )
+)
