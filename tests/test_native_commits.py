@@ -523,3 +523,36 @@ def test_plan_consolidation_respects_deletes_and_coverage(tmp_path):
         ts = [_frag_range(os.path.basename(f)) for f in run]
         t1, t2 = min(a for a, _ in ts), max(b for _, b in ts)
         assert not (t1 <= 250 <= t2)
+
+
+def test_commits_consolidation(tmp_path):
+    """consolidate_commits folds N zero-length .wrt markers into one
+    .con listing; visibility identical before and after vacuum, open_at
+    still honors fragment ranges, and a concurrent later write's .wrt
+    is untouched."""
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_commits,
+        vacuum_native_array,
+    )
+
+    uri = _mkarray(tmp_path)
+    for i, ts in enumerate((100, 200, 300)):
+        write_native_fragment(uri, {"x": [i], "v": [i * 10]}, ts=ts)
+    _s, before = read_native_array(uri)
+    con = consolidate_commits(uri)
+    assert con is not None and con.endswith(".con")
+    _s, mid = read_native_array(uri)
+    assert mid == before  # .wrt and .con agree pre-vacuum
+    vacuum_native_array(uri)  # retires the three folded .wrt markers
+    _s, after = read_native_array(uri)
+    assert after == before
+    commits = os.path.join(uri, "__commits")
+    assert not [e for e in os.listdir(commits) if e.endswith(".wrt")]
+    # open_at still filters by FRAGMENT ranges, not the .con span
+    _s, old = read_native_array(uri, at=150)
+    assert old == [(0, 0)]
+    # a later write adds a fresh .wrt beside the .con; both respected
+    write_native_fragment(uri, {"x": [9], "v": [99]}, ts=400)
+    _s, plus = read_native_array(uri)
+    assert plus == before + [(9, 99)]
+    assert consolidate_commits(uri) is None  # single .wrt: nothing to fold

@@ -949,3 +949,69 @@ def test_metadata_consolidation(tmp_path):
     assert read_array_metadata(d) == {
         "c": "1.5,2.5", "d": "7,8,9", "e": "3.25", "f": "new"
     }
+
+
+def test_write_array_explicit_timestamp(spark, tmp_path):
+    """write_array(ts=...): TileDB's open-at-timestamp writes through
+    the connector — rapid successive writes stay deterministic under
+    newest-wins, and time travel sees each layer exactly."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+
+    uri = str(tmp_path / "ts_arr")
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("id", "bigint", (0, 999))],
+            attrs=[AttrInfo("v", "bigint", nullable=False)],
+        ),
+    )
+    df1 = spark.range(0, 100).selectExpr("id", "id AS v")
+    df2 = spark.range(50, 100).selectExpr("id", "id * 100 AS v")
+    write_array(df1.repartition(2), uri, ts=1000)
+    write_array(df2.repartition(2), uri, ts=2000)  # same-wall-ms safe
+    now = sorted(
+        (r.id, r.v) for r in read_array(spark, uri).collect()
+    )
+    assert now == [(i, i if i < 50 else i * 100) for i in range(100)]
+    old = sorted(
+        (r.id, r.v) for r in read_array(spark, uri, at=1500).collect()
+    )
+    assert old == [(i, i) for i in range(100)]
+
+
+def test_metadata_time_travel(tmp_path):
+    """read_array_metadata(at=...): the open_at rule on metadata
+    entries — mid-range opens skip a consolidated file and fall back to
+    the originals (kept until vacuum), exactly like fragments."""
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_array_metadata,
+        vacuum_native_array,
+        write_array_metadata,
+    )
+
+    d = str(tmp_path / "metatt")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+    )
+    write_array_metadata(d, {"a": 1}, ts=100)
+    write_array_metadata(d, {"a": 2, "b": "x"}, ts=200)
+    write_array_metadata(d, {"b": None}, ts=300)
+    assert read_array_metadata(d, at=100) == {"a": "1"}
+    assert read_array_metadata(d, at=250) == {"a": "2", "b": "x"}
+    assert read_array_metadata(d, at=300) == {"a": "2"}
+    consolidate_array_metadata(d)
+    # mid-range open skips the [100,300] merged file, sees originals
+    assert read_array_metadata(d, at=250) == {"a": "2", "b": "x"}
+    assert read_array_metadata(d) == {"a": "2"}
+    vacuum_native_array(d)
+    # vacuum destroys time travel INTO the folded range, like fragments
+    assert read_array_metadata(d, at=250) == {}
+    assert read_array_metadata(d) == {"a": "2"}

@@ -178,8 +178,8 @@ class TileDBBackend(ArrayBackend):  # pragma: no cover - needs tiledb wheel
                 pd.DataFrame({c: data[c] for c in columns}), conditions
             )
 
-    def write(self, uri, pdf, sparse=True):
-        with self._open(uri, "w", None) as a:
+    def write(self, uri, pdf, sparse=True, ts=None):
+        with self._open(uri, "w", ts) as a:
             schema_dims = [a.schema.domain.dim(i).name for i in range(a.schema.ndim)]
             coords = tuple(pdf[d].to_numpy() for d in schema_dims)
             attrs = {
@@ -823,13 +823,20 @@ def write_array(
     backend: Optional[ArrayBackend] = None,
     sparse: bool = True,
     encryption_key: Optional[Any] = None,
+    ts: Optional[int] = None,
 ) -> None:
     """Each partition writes an independent fragment — TileDB writers
     need no coordination, so write parallelism is the partition count.
 
     Default backend mirrors ``read_array``: libtiledb when the wheel
     exists, else the pure-Python native-format writer.
-    ``encryption_key`` seals every written fragment with AES-256-GCM."""
+    ``encryption_key`` seals every written fragment with AES-256-GCM.
+    ``ts``: explicit unix-millis write timestamp (TileDB's open-at-
+    timestamp writes — the one logical write may land several fragments,
+    all at ``ts``); None = each task stamps commit time.  Explicit
+    timestamps make rapid successive writes deterministic under
+    newest-wins (auto timestamps of two sub-millisecond writes could
+    tie) and let backfills slot history at the right instant."""
     if encryption_key is not None and backend is not None:
         raise ValueError(
             "pass encryption_key to the backend constructor when "
@@ -846,7 +853,11 @@ def write_array(
 
         parts = list(batches)
         if parts:
-            backend.write(uri, pd.concat(parts, ignore_index=True), sparse=sparse)
+            kw = {} if ts is None else {"ts": ts}
+            backend.write(
+                uri, pd.concat(parts, ignore_index=True), sparse=sparse,
+                **kw,
+            )
         yield pd.DataFrame({"written": [len(parts)]})
 
     df.mapInPandas(write_part, schema="written int").collect()

@@ -551,11 +551,17 @@ def _load_enumerations(
     return out
 
 
-def read_array_metadata(array_dir: str) -> dict:
+def read_array_metadata(array_dir: str, at: int | None = None) -> dict:
     """Array metadata (__meta/ entries, t/metadata.test parity): each
     entry is [key_len u32][key][del u8][type u8][num u32][values];
     later files override earlier; del=1 removes the key.  Values render
-    to the reference's string form (ints/floats joined with ',')."""
+    to the reference's string form (ints/floats joined with ',').
+
+    ``at``: inclusive unix-millis open bound (the open_at rule,
+    identical to fragments): an entry file is visible iff its WHOLE
+    timestamp range is <= ``at`` — a consolidated metadata file
+    spanning [t1, t2] is skipped when opening mid-range, falling back
+    to the original entries (kept until vacuum)."""
     meta_dir = os.path.join(array_dir, "__meta")
     out: dict = {}
     if not os.path.isdir(meta_dir):
@@ -564,6 +570,8 @@ def read_array_metadata(array_dir: str) -> dict:
         p = os.path.join(meta_dir, fn)
         if not os.path.isfile(p) or fn.endswith(".vac"):
             continue  # .vac = metadata-consolidation vacuum manifest
+        if at is not None and _frag_range(fn)[1] > at:
+            continue
         c = _Cursor(read_generic_tile(p))
         while c.pos < len(c.buf):
             key = c.raw(c.u("I")).decode()

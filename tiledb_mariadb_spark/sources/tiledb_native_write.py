@@ -1362,6 +1362,39 @@ def vacuum_native_array(array_dir: str) -> int:
     return removed
 
 
+def consolidate_commits(array_dir: str) -> Optional[str]:
+    """COMMITS consolidation (TileDB's commits mode): fold every
+    per-fragment zero-length ``.wrt`` marker into ONE ``.con`` file
+    whose payload lists them — at millions of fragments the
+    ``__commits`` listing is itself a scale cost, and one file replaces
+    N.  A ``.vac`` manifest retires the folded ``.wrt`` files via
+    :func:`vacuum_native_array`.  Visibility is unchanged at every
+    point: the reader unions ``.wrt`` markers with ``.con`` listings
+    (``_committed_names``), so before vacuum both artifacts agree, and
+    concurrent writers' NEW ``.wrt`` markers are untouched.  Existing
+    ``.con`` files (fragment consolidation's atomic group commits) are
+    left alone.  Returns the ``.con`` path, or None with <2 markers."""
+    commits = os.path.join(array_dir, "__commits")
+    if not os.path.isdir(commits):
+        return None
+    wrts = sorted(e for e in os.listdir(commits) if e.endswith(".wrt"))
+    if len(wrts) < 2:
+        return None
+    rngs = [_frag_range(e[: -len(".wrt")]) for e in wrts]
+    t1 = min(a for a, _b in rngs)
+    t2 = max(b for _a, b in rngs)
+    name = f"__{t1}_{t2}_{uuid.uuid4().hex}.con"
+    tmp = os.path.join(commits, "." + name)
+    with open(tmp, "w") as f:
+        for e in wrts:
+            f.write(f"__commits/{e}\n")
+    os.replace(tmp, os.path.join(commits, name))
+    with open(os.path.join(commits, name[:-4] + ".vac"), "w") as f:
+        for e in wrts:
+            f.write(f"__commits/{e}\n")
+    return os.path.join(commits, name)
+
+
 def consolidate_array_metadata(array_dir: str) -> Optional[str]:
     """Array-METADATA consolidation (TileDB's array_meta consolidation
     mode): fold every ``__meta`` entry file — later files override,
