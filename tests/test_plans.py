@@ -109,6 +109,10 @@ def test_no_python_udf_in_any_plan(spark):
         # connector scan: same declared native-io boundary
         "q321_incremental_consolidation",  # size-ratio run merges via
         # the fragment-subset reader: same declared boundary
+        "q322_metadata_consolidation",  # metadata write + fold + agg
+        # source stats through the same declared boundary
+        "q323_commits_consolidation",  # explicit-ts connector writes +
+        # commits fold: same declared native-io boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

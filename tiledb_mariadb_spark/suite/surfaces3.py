@@ -4446,3 +4446,116 @@ SPECS.append(
         "vacuum; rendered view bit-identical at every point",
     )
 )
+
+
+# --- q323: COMMITS consolidation + explicit-ts writes (round 6) ---------------
+# TileDB's third consolidation mode: fold the per-fragment zero-length
+# .wrt markers into ONE .con listing (+ vacuum) — at millions of
+# fragments the __commits listing is itself a scale cost.  The spec
+# writes layered fragments through the connector at EXPLICIT timestamps
+# (write_array(ts=), open-at-timestamp parity — deterministic
+# newest-wins even for sub-millisecond writes), consolidates commits,
+# vacuums the markers, and proves reads AND time travel are
+# bit-identical with a single commit artifact on disk.
+def q323_commits_consolidation(spark, sf_dir):
+    import os as _os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_commits,
+        vacuum_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q323_commits_") + "/arr"
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("k", "bigint", (0, 10**7))],
+            attrs=[
+                AttrInfo("cents", "bigint", nullable=False),
+                AttrInfo("status", "string", nullable=False),
+            ],
+        ),
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    write_array(base.coalesce(2), uri, ts=1000)
+    # overlay layer at an explicit later instant (newest-wins)
+    write_array(
+        base.filter((F.col("k") >= 500) & (F.col("k") <= 700)).select(
+            "k", (F.col("cents") * 2).alias("cents"),
+            F.lit("Z").alias("status"),
+        ).coalesce(1),
+        uri, ts=2000,
+    )
+    at_old = read_array(spark, uri, at=1500).agg(
+        F.sum("cents").alias("s")
+    ).collect()[0]["s"]
+    con = consolidate_commits(uri)
+    vacuum_native_array(uri)
+    commits = _os.listdir(_os.path.join(uri, "__commits"))
+    at_old2 = read_array(spark, uri, at=1500).agg(
+        F.sum("cents").alias("s")
+    ).collect()[0]["s"]
+    df = read_array(spark, uri, target_splits=4)
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn(
+            "one_con_no_wrt",
+            F.lit(
+                con is not None
+                and not [e for e in commits if e.endswith(".wrt")]
+            ),
+        )
+        .withColumn("time_travel_stable", F.lit(at_old == at_old2))
+        .orderBy("status")
+    )
+
+
+Q323_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents,
+         o_orderstatus AS status
+  FROM orders),
+merged AS (
+  SELECT k,
+         CASE WHEN k BETWEEN 500 AND 700 THEN 2 * cents
+              ELSE cents END AS cents,
+         CASE WHEN k BETWEEN 500 AND 700 THEN 'Z'
+              ELSE status END AS status
+  FROM src)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS one_con_no_wrt, TRUE AS time_travel_stable
+FROM merged GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q323_commits_consolidation",
+        q323_commits_consolidation,
+        Q323_SQL,
+        "commits consolidation: .wrt markers folded into one .con "
+        "listing + vacuum; explicit-ts connector writes; reads and "
+        "time travel bit-identical with a single commit artifact",
+    )
+)
