@@ -716,3 +716,63 @@ def test_evolved_enum_fill_parity(tmp_path):
     ]
     _assert_same(d)
     _assert_same(d, ranges=[(2, 3)], columns=["color", "tone"])
+
+
+def test_var_binary_parity(tmp_path):
+    """Var-BINARY attrs (BLOB dtype 39, GEOM_WKB dtype 41 — the spatial
+    tier's column) join the columnar fast path via Arrow
+    LargeBinaryArray.from_buffers; bytes cells identical to the row
+    path across fragments, ranges, and projections."""
+    d = str(tmp_path / "vbin")
+    create_native_array(
+        d, [NativeDim("k", 1, 1, (0, 10000), None)],
+        [
+            NativeAttr("blob", 39, 0xFFFFFFFF, False, None),
+            NativeAttr("wkb", 41, 0xFFFFFFFF, False, None),
+            NativeAttr("v", 1, 1, False, None),
+        ],
+        capacity=32,
+    )
+    rng = random.Random(7)
+    for ts in (100, 200):
+        ks = sorted(rng.sample(range(0, 500), 120))
+        write_native_fragment(
+            d,
+            {
+                "k": ks,
+                "blob": [bytes([kk % 256] * (kk % 17)) for kk in ks],
+                "wkb": [b"\x01\x03" + kk.to_bytes(4, "little")
+                        for kk in ks],
+                "v": [kk * 3 for kk in ks],
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    names_s, rows = read_native_array_range(d)
+    assert rows and isinstance(rows[0][1], bytes)  # row path: bytes
+    _assert_same(d)
+    _assert_same(d, ranges=[(40, 300)])
+    _assert_same(d, columns=["wkb"])
+
+
+def test_var_binary_dense_parity(tmp_path):
+    """Dense arrays with var-binary attrs use the same LargeBinary
+    decode; fill for unwritten cells is the empty-bytes fill."""
+    import struct
+
+    d = str(tmp_path / "vbind")
+    create_native_array(
+        d, [NativeDim("x", 1, 1, (0, 19), 5)],
+        [NativeAttr("wkb", 41, 0xFFFFFFFF, False, struct.pack("<"))],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        d, {"wkb": [bytes([i] * (i % 5 + 1)) for i in range(10)]},
+        ts=10, subarray=[(0, 9)], version=19,
+    )
+    write_native_fragment(
+        d, {"wkb": [b"zz" for _ in range(5)]},
+        ts=20, subarray=[(8, 12)], version=19,  # unaligned overlay
+    )
+    _assert_same(d)
+    _assert_same(d, ranges=[(5, 11)])

@@ -1770,13 +1770,14 @@ class _SortedCellView:
 
 
 def _var_str_span_arrow(base, schema, field, lo_cell, hi_cell):
-    """Cells [lo_cell, hi_cell) of a var-UTF-8 attribute as a numpy
-    OBJECT array of python strings, decoded through Arrow's
-    LargeStringArray.from_buffers — offsets and byte payload go straight
-    from the span-decoded buffers into a C-built string column, no
-    per-cell python slicing.  None on any structural/utf-8 surprise
-    (caller falls back to the row path, whose errors='replace' decode
-    tolerates anything)."""
+    """Cells [lo_cell, hi_cell) of a var-UTF-8 (or, for BLOB/GEOM_WKB
+    dtypes, var-BINARY) attribute as a numpy OBJECT array of python
+    strings/bytes, decoded through Arrow's
+    LargeString/LargeBinaryArray.from_buffers — offsets and byte
+    payload go straight from the span-decoded buffers into a C-built
+    column, no per-cell python slicing.  None on any structural/utf-8
+    surprise (caller falls back to the row path, whose errors='replace'
+    decode tolerates anything)."""
     import numpy as np  # noqa: PLC0415
 
     # hoisted above the try: if pyarrow is absent the except clause below
@@ -1821,6 +1822,15 @@ def _var_str_span_arrow(base, schema, field, lo_cell, hi_cell):
         rel[-1] = end - start
         if rel[0] != 0 or (rel[1:] < rel[:-1]).any() or rel[-1] != len(var):
             return None  # non-monotone/global-offset surprise: row path
+        if field.dtype_id in (39, 41):  # BLOB / GEOM_WKB: bytes cells
+            arr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), len(offs),
+                [None, pa.py_buffer(rel.tobytes()), pa.py_buffer(var)],
+            )
+            arr.validate(full=True)
+            out = np.empty(len(arr), dtype=object)
+            out[:] = arr.to_pylist()
+            return out
         arr = pa.LargeStringArray.from_buffers(
             len(offs), pa.py_buffer(rel.tobytes()), pa.py_buffer(var)
         )
@@ -2023,8 +2033,9 @@ def _read_dense_range_np(
     for a in want:
         scalar_num = a.dtype_id in _NP_DT and a.cell_val_num == 1
         var_str = (
-            a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
-        )
+            a.cell_val_num == 0xFFFFFFFF
+            and a.dtype_id in (4, 11, 12, 39, 41)
+        )  # 39/41 = BLOB/GEOM_WKB: LargeBinary cells (bytes)
         multi_fixed = (
             a.dtype_id in _NP_DT and 1 < a.cell_val_num != 0xFFFFFFFF
         )  # nullable multi: validity masks whole cells to None below
@@ -2295,10 +2306,12 @@ def read_native_array_range_np(
         ]
     for a in want:
         scalar_num = a.dtype_id in _NP_DT and a.cell_val_num == 1
-        # var UTF-8 strings ride Arrow's from_buffers (C-speed offsets +
-        # bytes -> string array), the documents-table shape
+        # var UTF-8 strings (and BLOB/GEOM_WKB var-binary, dtypes
+        # 39/41 — the spatial tier's column) ride Arrow's from_buffers
+        # (C-speed offsets + bytes -> string/binary array)
         var_str = (
-            a.cell_val_num == 0xFFFFFFFF and a.dtype_id in (4, 11, 12)
+            a.cell_val_num == 0xFFFFFFFF
+            and a.dtype_id in (4, 11, 12, 39, 41)
         )
         # fixed multi-value numeric cells (the vector-store embedding
         # shape, float32 x D): frombuffer + reshape, cells as lists —
