@@ -1015,3 +1015,68 @@ def test_metadata_time_travel(tmp_path):
     # vacuum destroys time travel INTO the folded range, like fragments
     assert read_array_metadata(d, at=250) == {}
     assert read_array_metadata(d) == {"a": "2"}
+
+
+def test_window_reads_since(spark, tmp_path):
+    """since= (TileDB timestamp_start): reads only fragments whose
+    whole range lies in [since, at] — the CDC-export window, newest-wins
+    WITHIN the window, value-deletes before the window can't match."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+        read_native_array_range_np,
+    )
+
+    uri = str(tmp_path / "win")
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("id", "bigint", (0, 999))],
+            attrs=[AttrInfo("v", "bigint", nullable=False)],
+        ),
+    )
+    write_array(spark.range(0, 50).selectExpr("id", "id AS v"),
+                uri, ts=1000)
+    write_array(spark.range(20, 60).selectExpr("id", "id*10 AS v"),
+                uri, ts=2000)
+    write_array(spark.range(40, 80).selectExpr("id", "id*100 AS v"),
+                uri, ts=3000)
+    # window [1500, 2500]: only the ts=2000 layer
+    rows = sorted(
+        (r.id, r.v)
+        for r in read_array(spark, uri, since=1500, at=2500).collect()
+    )
+    assert rows == [(i, i * 10) for i in range(20, 60)]
+    # window [1500, 3500]: layers 2+3, newest-wins within the window
+    rows = sorted(
+        (r.id, r.v)
+        for r in read_array(spark, uri, since=1500).collect()
+    )
+    assert rows == [
+        (i, i * 10) for i in range(20, 40)
+    ] + [(i, i * 100) for i in range(40, 80)]
+    # row/np parity for the window
+    _n, rr = read_native_array_range(uri, since=1500, at=2500)
+    fast = read_native_array_range_np(uri, since=1500, at=2500)
+    assert fast is not None
+    assert [(k, v) for k, v in zip(fast[1]["id"], fast[1]["v"])] == rr
+    # datasource option
+    spark.dataSource.register(__import__(
+        "tiledb_mariadb_spark.sources.spark_datasource",
+        fromlist=["TileDBNativeDataSource"],
+    ).TileDBNativeDataSource)
+    df = (
+        spark.read.format("tiledb_native")
+        .option("path", uri).option("since", "1500").option("at", "2500")
+        .load()
+    )
+    assert sorted((r.id, r.v) for r in df.collect()) == [
+        (i, i * 10) for i in range(20, 60)
+    ]

@@ -113,6 +113,8 @@ def test_no_python_udf_in_any_plan(spark):
         # source stats through the same declared boundary
         "q323_commits_consolidation",  # explicit-ts connector writes +
         # commits fold: same declared native-io boundary
+        "q324_cdc_window",  # layered connector writes + window scan:
+        # same declared native-io boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

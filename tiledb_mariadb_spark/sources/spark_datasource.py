@@ -86,6 +86,14 @@ class TileDBNativeDataSource(DataSource):
         at = self.options.get("at")
         return int(at) if at is not None else None
 
+    def _since(self):
+        # inclusive LOWER time bound (TileDB timestamp_start): with
+        # 'at' this reads the WINDOW of fragments written in
+        # [since, at] — the CDC-export shape (only the delta, newest-
+        # wins within it)
+        since = self.options.get("since")
+        return int(since) if since is not None else None
+
     def _key(self):
         # AES-256-GCM table key (the reference's encryption_key table
         # option).  Lives only in options/closures, never on disk.
@@ -103,6 +111,7 @@ class TileDBNativeDataSource(DataSource):
             int(self.options.get("target_splits", 16)),
             [f.name for f in schema.fields],
             encryption_key=self._key(),
+            since=self._since(),
             bbox=self.options.get("bbox"),
             spatial_wkb=self.options.get("spatial_wkb"),
             spatial_dims=self.options.get("spatial_dims"),
@@ -130,8 +139,9 @@ _COND_OPS = {
 class TileDBNativeReader(DataSourceReader):
     def __init__(self, uri, at, target_splits, columns, encryption_key=None,
                  bbox=None, spatial_wkb=None, spatial_dims=None,
-                 spatial_pad=None):
+                 spatial_pad=None, since=None):
         self.uri, self.at = uri, at
+        self.since = since
         self.target_splits = target_splits
         self.columns = columns
         self.encryption_key = encryption_key
@@ -283,12 +293,14 @@ class TileDBNativeReader(DataSourceReader):
     def read(self, partition: _SplitPartition) -> Iterator:
         import pyarrow as pa  # noqa: PLC0415
 
+        kw = {} if self.since is None else {"since": self.since}
         pdf = _backend(self.encryption_key).read_range(
             self.uri,
             partition.ranges,
             self.columns,
             at=self.at,
             conditions=self.conditions,
+            **kw,
         )
         if not len(pdf):
             return

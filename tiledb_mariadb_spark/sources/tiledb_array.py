@@ -327,7 +327,7 @@ class NativeDecoderBackend(ArrayBackend):
         return ArrayInfo(dims=dims, attrs=attrs, sparse=s.array_type == "SPARSE")
 
     def read_range(self, uri, ranges, columns, at=None, conditions=None,
-                   frags=None):
+                   frags=None, since=None):
         import pandas as pd  # noqa: PLC0415
 
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
@@ -347,7 +347,7 @@ class NativeDecoderBackend(ArrayBackend):
         fast = read_native_array_range_np(
             uri, ranges=list(ranges), columns=list(need), at=at,
             prune_conditions=list(conditions) if conditions else None,
-            frags=frags,
+            frags=frags, since=since,
         )
         if fast is not None:
             names, arrays = fast
@@ -359,7 +359,7 @@ class NativeDecoderBackend(ArrayBackend):
                 # fragment whose min/max stats refute a conjunct decodes
                 # zero chunks (the filter below applies to whatever read)
                 prune_conditions=list(conditions) if conditions else None,
-                frags=frags,
+                frags=frags, since=since,
             )
             pdf = pd.DataFrame(rows, columns=names)
         out = _apply_conditions(pdf, conditions)
@@ -741,6 +741,7 @@ def read_array(
     target_splits: int = 32,
     conditions: Optional[Sequence[tuple]] = None,
     encryption_key: Optional[Any] = None,
+    since: Optional[int] = None,
 ) -> DataFrame:
     """Distributed scan of a TileDB array as a DataFrame.
 
@@ -808,8 +809,10 @@ def read_array(
     def read_split(batches) -> Iterator:
         for pdf in batches:
             for sid in pdf["split_id"]:
+                kw = {} if since is None else {"since": since}
                 out = backend.read_range(
-                    uri, splits[int(sid)], cols, at=at, conditions=conditions
+                    uri, splits[int(sid)], cols, at=at,
+                    conditions=conditions, **kw,
                 )
                 if len(out):
                     yield out

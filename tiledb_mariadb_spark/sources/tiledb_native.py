@@ -2001,6 +2001,7 @@ def _read_dense_range_np(
     columns: list[str] | None = None,
     at: int | None = None,
     frags: list[str] | None = None,
+    since: int | None = None,
 ):
     """Columnar DENSE read (round 6): the dense twin of the sparse fast
     path.  Dense fragments store no coordinates — dim columns are
@@ -2048,6 +2049,11 @@ def _read_dense_range_np(
     frag_list = frags if frags is not None else _fragment_dirs(
         array_dir, at=at
     )
+    if since is not None and frags is None:
+        frag_list = [
+            f for f in frag_list
+            if _frag_range(os.path.basename(f))[0] >= since
+        ]
     names = [d.name for d in dims] + [a.name for a in want]
 
     def _obj_col(a):
@@ -2223,6 +2229,7 @@ def read_native_array_range_np(
     at: int | None = None,
     prune_conditions: list | None = None,
     frags: list[str] | None = None,
+    since: int | None = None,
 ):
     """Vectorized COLUMNAR twin of :func:`read_native_array_range` for
     the shape that dominates analytic scans: a SPARSE array of
@@ -2259,7 +2266,7 @@ def read_native_array_range_np(
     if schema.array_type == "DENSE":
         return _read_dense_range_np(
             array_dir, schema, ranges=ranges, columns=columns, at=at,
-            frags=frags,
+            frags=frags, since=since,
         )
     if schema.array_type != "SPARSE":
         return None
@@ -2286,6 +2293,11 @@ def read_native_array_range_np(
     frag_list = frags if frags is not None else _fragment_dirs(
         array_dir, at=at
     )
+    if since is not None and frags is None:
+        frag_list = [
+            f for f in frag_list
+            if _frag_range(os.path.basename(f))[0] >= since
+        ]
     # delete-condition commits: evaluated HERE as vectorized boolean
     # masks over the merged columns (one visible .del no longer demotes
     # a 100 TB scan to the row path); a delete may test attrs the
@@ -2679,6 +2691,7 @@ def read_native_array_range(
     prune_conditions: list | None = None,
     encryption_key: "bytes | str | None" = None,
     frags: list[str] | None = None,
+    since: int | None = None,
 ) -> tuple[list[str], list[tuple]]:
     """Range + projection read of a bare native array: returns
     (column_names, rows) for cells whose coordinates fall inside the
@@ -2709,10 +2722,20 @@ def read_native_array_range(
     rngs = list(ranges) if ranges else [(None, None)] * len(schema.dims)
     # ``frags``: read the merged state of ONLY this fragment SUBSET
     # (oldest->newest, a contiguous timestamp run) — incremental
-    # consolidation's input; None = every visible fragment
+    # consolidation's input; None = every visible fragment.
+    # ``since``: inclusive LOWER time bound (TileDB timestamp_start —
+    # the window read a CDC export wants): a fragment is in the window
+    # iff since <= t1 and t2 <= at; older deletes can never match
+    # window rows (their wts exceed the delete instant), so the
+    # existing delete logic is already window-correct
     frag_list = frags if frags is not None else _fragment_dirs(
         array_dir, at=at
     )
+    if since is not None and frags is None:
+        frag_list = [
+            f for f in frag_list
+            if _frag_range(os.path.basename(f))[0] >= since
+        ]
     dels = (
         _delete_conditions(array_dir, at, frag_list)
         if schema.array_type == "SPARSE"

@@ -4559,3 +4559,105 @@ SPECS.append(
         "time travel bit-identical with a single commit artifact",
     )
 )
+
+
+# --- q324: CDC WINDOW reads — since= (timestamp_start) (round 6) --------------
+# Time travel (at=) bounds history from above; `since=` bounds it from
+# below (TileDB timestamp_start): a fragment is in the window iff
+# [t1, t2] ⊆ [since, at].  That's the CDC-export shape — "give me only
+# what was written this hour, newest-wins within it" — without reading
+# the base.  The spec writes three layers at explicit timestamps
+# through the connector, exports the MIDDLE window through BOTH
+# read_array(since=, at=) and the spark.read.format option, and proves
+# the two window surfaces agree (the format path feeds the result; a
+# flag pins the read_array cross-check).
+def q324_cdc_window(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (  # noqa: PLC0415
+        TileDBNativeDataSource,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+
+    spark.dataSource.register(TileDBNativeDataSource)
+    uri = tempfile.mkdtemp(prefix="q324_window_") + "/arr"
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("k", "bigint", (0, 10**7))],
+            attrs=[
+                AttrInfo("cents", "bigint", nullable=False),
+                AttrInfo("status", "string", nullable=False),
+            ],
+        ),
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    write_array(base.coalesce(2), uri, ts=1000)
+    write_array(
+        base.filter((F.col("k") >= 200) & (F.col("k") <= 900)).select(
+            "k", (F.col("cents") * 3).alias("cents"),
+            F.lit("W").alias("status"),
+        ).coalesce(1),
+        uri, ts=2000,
+    )
+    write_array(
+        base.filter(F.col("k") <= 400).select(
+            "k", (F.col("cents") * 7).alias("cents"),
+            F.lit("X").alias("status"),
+        ).coalesce(1),
+        uri, ts=3000,
+    )
+    df = (
+        spark.read.format("tiledb_native")
+        .option("path", uri)
+        .option("since", "1500").option("at", "2500")
+        .load()
+    )
+    cross = sorted(
+        (r.k, r.cents, r.status)
+        for r in read_array(spark, uri, since=1500, at=2500).collect()
+    ) == sorted((r.k, r.cents, r.status) for r in df.collect())
+    return (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .withColumn("surfaces_agree", F.lit(cross))
+    )
+
+
+Q324_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(3 * CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+         AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_k,
+       TRUE AS surfaces_agree
+FROM orders WHERE o_orderkey BETWEEN 200 AND 900
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q324_cdc_window",
+        q324_cdc_window,
+        Q324_SQL,
+        "CDC window reads: since= (timestamp_start) bounds history from "
+        "below — export exactly the fragments written in [since, at] "
+        "through read_array AND spark.read.format, surfaces agreeing",
+    )
+)
