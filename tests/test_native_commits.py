@@ -556,3 +556,48 @@ def test_commits_consolidation(tmp_path):
     _s, plus = read_native_array(uri)
     assert plus == before + [(9, 99)]
     assert consolidate_commits(uri) is None  # single .wrt: nothing to fold
+
+
+def test_incremental_consolidation_races_appender(tmp_path, spark):
+    """A fragment appended AFTER the plan was computed (simulating a
+    concurrent writer committing mid-consolidation) is never part of
+    any run, never retired, and serves its rows both before and after
+    the runs commit + vacuum."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        consolidate_array_incremental,
+        plan_consolidation,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+    )
+
+    uri = str(tmp_path / "race")
+    create_native_array(
+        uri, [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)], capacity=100,
+    )
+    for i in range(4):
+        ks = list(range(i * 30, i * 30 + 60))
+        write_native_fragment(
+            uri, {"k": ks, "v": [k * 10 + i for k in ks]},
+            ts=100 + i, version=19,
+        )
+    runs = plan_consolidation(uri, ratio=3.0)
+    assert runs
+    # the "concurrent" append lands between planning and execution,
+    # NEWER than every run member
+    write_native_fragment(
+        uri, {"k": [7, 999], "v": [-7, -999]}, ts=500, version=19
+    )
+    _n, before = read_native_array_range(uri)
+    assert (7, -7) in before and (999, -999) in before
+    n_new = consolidate_array_incremental(spark, uri, target_splits=2)
+    assert n_new >= 1
+    _n, after = read_native_array_range(uri)
+    assert after == before
+    vacuum_native_array(uri)
+    _n, after2 = read_native_array_range(uri)
+    assert after2 == before
