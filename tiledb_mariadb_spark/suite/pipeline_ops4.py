@@ -373,6 +373,80 @@ FROM ranked GROUP BY cluster ORDER BY cluster
 """
 
 
+# --- q325: SoftDeDup — duplicate-aware sampling WEIGHTS (round 6) -------------
+# Hard dedup throws near-duplicates away; soft dedup keeps them but
+# DOWNWEIGHTS each cluster so its total sampling mass is one document's
+# (the published soft-dedup recipe for LLM corpora: duplicates carry
+# signal, but shouldn't be over-represented in the token budget).
+# Pipeline: shingles → minhash → LSH clusters (the q197 machinery) →
+# w = 1/|cluster| in exact parts-per-million (integer DIV, both engines
+# identical) → per-cluster token mass before/after reweighting.
+def q325_soft_dedup(spark, sf_dir):
+    from tiledb_mariadb_spark.functions.text import token_count  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.pipeline_ops import _corpus60  # noqa: PLC0415
+
+    corpus = _corpus60(spark, sf_dir)
+    sh = D.with_shingles(corpus, "doc_id", "text", k=3)
+    sigs = D.minhash_signatures(sh, "doc_id", num_hashes=8)
+    edges = D.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, rows_per_band=2
+    )
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    labels = P.connected_components(edges, nodes)
+    docs = labels.join(
+        corpus.select(
+            F.col("doc_id").alias("node"),
+            token_count(F.col("text")).cast("long").alias("tokens"),
+        ),
+        "node",
+    )
+    sized = docs.withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    ).withColumn(
+        # exact integer ppm weight: 1e6 DIV |cluster| (identical on
+        # both engines for positive operands)
+        "w_ppm", F.expr("CAST(1000000 DIV n_members AS BIGINT)")
+    )
+    return (
+        sized.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("tokens").alias("raw_tokens"),
+            F.sum(F.col("tokens") * F.col("w_ppm")).alias(
+                "weighted_tokens_ppm"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _q325_sql() -> str:
+    from tiledb_mariadb_spark.functions.text import token_count_sql  # noqa: PLC0415
+    from tiledb_mariadb_spark.suite.pipeline_ops import (  # noqa: PLC0415
+        _CORPUS60_SQL,
+        _EDGES_CTE,
+    )
+
+    cc = P.connected_components_sql(
+        _EDGES_CTE, f"SELECT doc_id AS node FROM ({_CORPUS60_SQL})"
+    )
+    tok = token_count_sql("text")
+    return f"""
+WITH labels AS ({cc}),
+docs AS (SELECT labels.node, cluster,
+                CAST({tok} AS BIGINT) AS tokens
+         FROM labels JOIN ({_CORPUS60_SQL}) c ON labels.node = c.doc_id),
+sized AS (SELECT *,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_members
+          FROM docs)
+SELECT cluster, COUNT(*) AS n_members,
+       CAST(SUM(tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM(tokens * (1000000 // n_members)) AS BIGINT)
+         AS weighted_tokens_ppm
+FROM sized GROUP BY cluster ORDER BY cluster
+"""
+
+
 SPECS = [
     QuerySpec(
         "q192_decontaminate",
@@ -409,5 +483,13 @@ SPECS = [
         q197_dedup_keep_best,
         _q197_sql(),
         "near-dup cluster representative selection (keep best quality)",
+    ),
+    QuerySpec(
+        "q325_soft_dedup",
+        q325_soft_dedup,
+        _q325_sql(),
+        "SoftDeDup: duplicate-aware sampling weights — LSH clusters "
+        "downweighted to unit mass (exact ppm), token budget "
+        "before/after reweighting",
     ),
 ]
