@@ -839,7 +839,11 @@ def write_array(
     all at ``ts``); None = each task stamps commit time.  Explicit
     timestamps make rapid successive writes deterministic under
     newest-wins (auto timestamps of two sub-millisecond writes could
-    tie) and let backfills slot history at the right instant."""
+    tie) and let backfills slot history at the right instant.  CAVEAT
+    (libtiledb has the same one): never backfill a ``ts`` INSIDE a
+    range another process is concurrently consolidating — the
+    consolidated group's [t1, t2] span would cover the new fragment
+    and the coverage rule would hide it."""
     if encryption_key is not None and backend is not None:
         raise ValueError(
             "pass encryption_key to the backend constructor when "
