@@ -1080,3 +1080,47 @@ def test_window_reads_since(spark, tmp_path):
     assert sorted((r.id, r.v) for r in df.collect()) == [
         (i, i * 10) for i in range(20, 60)
     ]
+
+
+def test_window_split_planning_prunes(spark, tmp_path):
+    """read_array(since=) intersects split planning with the WINDOW
+    fragments' union bounding box (metadata only): a narrow CDC window
+    over a wide array launches tasks only where its fragments live, and
+    an empty window returns an empty frame without any task."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import window_ned
+
+    uri = str(tmp_path / "wplan")
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("id", "bigint", (0, 10**6))],
+            attrs=[AttrInfo("v", "bigint", nullable=False)],
+        ),
+    )
+    write_array(
+        spark.range(0, 5000).selectExpr("id", "id AS v"), uri, ts=1000
+    )
+    write_array(
+        spark.range(700000, 700100).selectExpr("id", "id AS v"),
+        uri, ts=2000,
+    )
+    assert window_ned(uri, since=1500) == [(700000, 700099)]
+    assert window_ned(uri) == [(0, 700099)]
+    assert window_ned(uri, since=9999) == []
+    out = read_array(spark, uri, since=1500, target_splits=8)
+    rows = sorted((r.id, r.v) for r in out.collect())
+    assert rows == [(i, i) for i in range(700000, 700100)]
+    assert read_array(spark, uri, since=9999).count() == 0
+    # window box composes with caller dim_ranges (intersection)
+    out2 = read_array(
+        spark, uri, since=1500, dim_ranges={"id": (0, 700050)}
+    )
+    assert out2.count() == 51

@@ -400,6 +400,19 @@ class NativeDecoderBackend(ArrayBackend):
         except (OSError, ValueError):
             return None
 
+    def window_ned(self, uri, since=None, at=None):
+        """Union bounding box of the fragments visible in [since, at]
+        — metadata only; None = not provable, [] = empty window."""
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            window_ned,
+        )
+
+        try:
+            self._reg(uri)
+            return window_ned(uri, since=since, at=at)
+        except (OSError, ValueError):
+            return None
+
     def write(self, uri, pdf, sparse=True, ts=None):
         import pandas as pd  # noqa: PLC0415
 
@@ -789,6 +802,33 @@ def read_array(
         if op not in _OPS:
             raise ValueError(f"unknown condition op: {op}")
 
+    if since is not None:
+        # WINDOW-aware planning: a narrow CDC window's fragments cover
+        # a sliver of the domain — intersect the scan with their union
+        # bounding box (metadata-only) so tasks launch only there
+        wfn = getattr(backend, "window_ned", None)
+        wbox = wfn(uri, since=since, at=at) if wfn else None
+        if wbox == []:
+            ddl0 = ", ".join(
+                f"{c} "
+                f"{next(x.dtype for x in info.dims + info.attrs if x.name == c)}"
+                for c in cols
+            )
+            return spark.createDataFrame([], schema=ddl0)
+        if wbox is not None:
+            merged = dict(dim_ranges or {})
+            for d, (wlo, whi) in zip(info.dims, wbox):
+                cur = merged.get(d.name)
+                if cur is None:
+                    merged[d.name] = (wlo, whi)
+                elif isinstance(cur, tuple):
+                    lo, hi = cur
+                    merged[d.name] = (
+                        wlo if lo is None else max(lo, wlo),
+                        whi if hi is None else min(hi, whi),
+                    )
+                # list-of-point-ranges (IN pushdown): already narrow
+            dim_ranges = merged
     # R-tree tile weights (when the backend can produce them from
     # metadata) turn uniform-span splits into cell-count-quantile splits
     weights_fn = getattr(backend, "split_weights", None)

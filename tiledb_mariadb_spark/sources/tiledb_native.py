@@ -3125,6 +3125,47 @@ def _parse_footer_raw(raw: bytes, schema: "NativeSchema", frag_ver):
         return None
 
 
+def window_ned(
+    array_dir: str, since: int | None = None, at: int | None = None
+) -> list[tuple] | None:
+    """Per-dim union bounding box of the fragments VISIBLE IN THE TIME
+    WINDOW [since, at] — metadata only (footer walk), no tile decoded.
+    The split planner intersects the scan with this box so a narrow CDC
+    window over a 100 TB array launches tasks only where that window's
+    fragments actually live.  None = no provable box (a fragment with
+    no/unvalidatable footer, or an untrusted dim) — callers fall back
+    to the full domain, never to a wrong box.  Empty window => [].
+    """
+    schema = parse_array_schema(_schema_path(array_dir))
+    frags = _fragment_dirs(array_dir, at=at)
+    if since is not None:
+        frags = [
+            f for f in frags
+            if _frag_range(os.path.basename(f))[0] >= since
+        ]
+    if not frags:
+        return []
+    box: list[tuple] | None = None
+    for frag in frags:
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        footer = (
+            parse_fragment_footer(fm, schema)
+            if os.path.isfile(fm) else None
+        )
+        if footer is None:
+            return None
+        cur = []
+        for d, ned in zip(schema.dims, footer.non_empty_domain):
+            if ned is None:
+                return None  # untrusted dim: no provable box
+            cur.append(ned)
+        box = cur if box is None else [
+            (min(a, c), max(b, e))
+            for (a, b), (c, e) in zip(box, cur)
+        ]
+    return box
+
+
 def fragment_overlaps(
     frag: str, schema: "NativeSchema", ranges: list | None
 ) -> bool:
