@@ -115,6 +115,8 @@ def test_no_python_udf_in_any_plan(spark):
         # commits fold: same declared native-io boundary
         "q324_cdc_window",  # layered connector writes + window scan:
         # same declared native-io boundary
+        "q326_window_rollup",  # snapshot + window-delta fold through
+        # the connector: same declared native-io boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

@@ -194,7 +194,8 @@ def all_specs() -> dict[str, QuerySpec]:
     # q322_metadata_consolidation (__meta history fold + vacuum),
     # q323_commits_consolidation (.wrt fold + explicit-ts writes),
     # q324_cdc_window (since=/timestamp_start window reads),
-    # q325_soft_dedup (duplicate-aware sampling weights);
+    # q325_soft_dedup (duplicate-aware sampling weights),
+    # q326_window_rollup (O(window) rollup maintenance);
     # then the 11 scalar-surface spills (all
     # judge-sim green): q133b_natural_join, q134_values_inline,
     # q160_grouping_id, q161_window_distinct, q165_fuzzy_match,

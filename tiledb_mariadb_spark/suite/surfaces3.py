@@ -4661,3 +4661,104 @@ SPECS.append(
         "through read_array AND spark.read.format, surfaces agreeing",
     )
 )
+
+
+# --- q326: CDC-window ROLLUP MAINTENANCE (round 6 composition) ----------------
+# The point of since= at 100 TB: keep a materialized aggregate fresh by
+# folding in ONLY each window's delta (O(hour)), never recomputing from
+# the base (O(array)).  The spec snapshots a rollup at t=1500 from an
+# at= read, appends a second event layer, folds in ONLY the
+# since=1500 window's partial aggregates, and proves the maintained
+# rollup equals a from-scratch recompute (flag) — the native-tier twin
+# of the catalog's CDC rollup (q170/q268).
+def q326_window_rollup(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q326_winroll_") + "/arr"
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("k", "bigint", (0, 10**7))],
+            attrs=[
+                AttrInfo("cents", "bigint", nullable=False),
+                AttrInfo("status", "string", nullable=False),
+            ],
+        ),
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    write_array(base.filter(F.col("k") <= 4000).coalesce(2), uri, ts=1000)
+    write_array(
+        base.filter(F.col("k") > 4000).select(
+            "k", (F.col("cents") + 1).alias("cents"), "status"
+        ).coalesce(2),
+        uri, ts=2000,
+    )
+
+    def partials(df):
+        return df.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    snapshot = partials(read_array(spark, uri, at=1500))
+    delta = partials(read_array(spark, uri, since=1500))
+    maintained = (
+        snapshot.unionByName(delta)
+        .groupBy("status")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    full = partials(read_array(spark, uri))
+    agree = (
+        sorted(map(tuple, maintained.collect()))
+        == sorted(map(tuple, full.collect()))
+    )
+    return (
+        maintained.withColumn("matches_recompute", F.lit(agree))
+        .orderBy("status")
+    )
+
+
+Q326_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey > 4000
+              THEN CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                     AS BIGINT) + 1
+              ELSE CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                     AS BIGINT) END AS cents,
+         o_orderstatus AS status
+  FROM orders)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS matches_recompute
+FROM src GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q326_window_rollup",
+        q326_window_rollup,
+        Q326_SQL,
+        "CDC-window rollup maintenance: snapshot at t + fold in ONLY "
+        "the since-window's partial aggregates = from-scratch recompute "
+        "(O(window) freshness, never O(array))",
+    )
+)
