@@ -601,3 +601,23 @@ def test_incremental_consolidation_races_appender(tmp_path, spark):
     vacuum_native_array(uri)
     _n, after2 = read_native_array_range(uri)
     assert after2 == before
+
+
+def test_inflight_staging_artifacts_invisible(tmp_path):
+    """Crash-consistency of consolidation staging: a leftover dotted
+    tmp file in __commits (a crash between write and os.replace) is
+    never parsed as a commit artifact — a PARTIAL .con must not surface
+    a half-committed consolidation group."""
+    uri = _mkarray(tmp_path)
+    frag = write_native_fragment(uri, {"x": [1], "v": [10]}, ts=100)
+    commits = os.path.join(uri, "__commits")
+    name = os.path.basename(frag)
+    # a torn tmp .con listing a STAGED (uncommitted) fragment name
+    staged = write_native_fragment(
+        uri, {"x": [2], "v": [20]}, ts=200, commit=False
+    )
+    with open(os.path.join(commits, ".__100_200_dead.con.tmp"), "w") as f:
+        f.write(f"__commits/{os.path.basename(staged)}.wrt\n")
+    assert _frag_names(uri) == [name]  # tmp artifact ignored
+    _s, rows = read_native_array(uri)
+    assert rows == [(1, 10)]

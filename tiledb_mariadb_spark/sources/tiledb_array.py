@@ -1067,7 +1067,9 @@ def consolidate_array(
     con_name = (
         f"__{t1}_{t2}_{_uuid.uuid4().hex}.con"
     )
-    tmp = os.path.join(commits, "." + con_name)
+    # tmp must NOT end in ".con": a concurrent reader listing
+    # __commits mid-write would parse a PARTIAL group as committed
+    tmp = os.path.join(commits, "." + con_name + ".tmp")
     with open(tmp, "w") as f:
         for n in staged:
             f.write(f"__commits/{n}.wrt\n")
@@ -1299,7 +1301,7 @@ def consolidate_array_incremental(
             continue
         t1, t2 = spans[ri]
         con_name = f"__{t1}_{t2}_{_uuid.uuid4().hex}.con"
-        tmp = os.path.join(commits, "." + con_name)
+        tmp = os.path.join(commits, "." + con_name + ".tmp")
         with open(tmp, "w") as f:
             for nm in names:
                 f.write(f"__commits/{nm}.wrt\n")

@@ -568,8 +568,12 @@ def read_array_metadata(array_dir: str, at: int | None = None) -> dict:
         return out
     for fn in sorted(os.listdir(meta_dir)):
         p = os.path.join(meta_dir, fn)
-        if not os.path.isfile(p) or fn.endswith(".vac"):
-            continue  # .vac = metadata-consolidation vacuum manifest
+        if (
+            not os.path.isfile(p)
+            or fn.endswith(".vac")  # consolidation vacuum manifest
+            or fn.startswith(".")  # in-flight staging artifact
+        ):
+            continue
         if at is not None and _frag_range(fn)[1] > at:
             continue
         c = _Cursor(read_generic_tile(p))
@@ -963,7 +967,13 @@ def _committed_names(array_dir: str, root: str) -> set[str] | None:
     """
     commits = os.path.join(array_dir, "__commits")
     if os.path.isdir(commits):
-        entries = os.listdir(commits)
+        # dotfiles are in-flight staging artifacts (consolidation
+        # writes ".<name>.con.tmp" then os.replace's it): a reader
+        # must NEVER parse one — a partial .con would surface a
+        # half-committed consolidation group
+        entries = [
+            e for e in os.listdir(commits) if not e.startswith(".")
+        ]
         ignored: set[str] = set()
         for e in entries:
             if e.endswith(".ign"):

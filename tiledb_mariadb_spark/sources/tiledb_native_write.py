@@ -1384,7 +1384,7 @@ def consolidate_commits(array_dir: str) -> Optional[str]:
     t1 = min(a for a, _b in rngs)
     t2 = max(b for _a, b in rngs)
     name = f"__{t1}_{t2}_{uuid.uuid4().hex}.con"
-    tmp = os.path.join(commits, "." + name)
+    tmp = os.path.join(commits, "." + name + ".tmp")
     with open(tmp, "w") as f:
         for e in wrts:
             f.write(f"__commits/{e}\n")
@@ -1447,7 +1447,11 @@ def consolidate_array_metadata(array_dir: str) -> Optional[str]:
         payload += struct.pack("<B", 0) + merged[key]
     name = f"__{t1}_{t2}_{uuid.uuid4().hex}"
     path = os.path.join(meta_dir, name)
-    _write_generic_tile(path, payload)
+    # stage dotted, then atomic rename: a reader listing __meta must
+    # never parse a torn merged file (readers skip dotfiles)
+    tmp = os.path.join(meta_dir, "." + name + ".tmp")
+    _write_generic_tile(tmp, payload)
+    os.replace(tmp, path)
     with open(os.path.join(meta_dir, name + ".vac"), "w") as f:
         for fn in entries:
             f.write(f"__meta/{fn}\n")
