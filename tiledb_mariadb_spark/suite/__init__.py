@@ -184,57 +184,42 @@ def all_specs() -> dict[str, QuerySpec]:
     # pushdown, the secure-corpus pipeline), then the round-4 native
     # format/stats tier (q302-q307), then the q198-q260 analytics
     # remainder.
-    # ROUND-7 remainder: LEAD with the round-6 additions (newest,
-    # never driver-sampled): q313_spatial_datasource,
-    # q314_native_dense_v19, q315_dense_datasource,
-    # q316_delete_datasource, q317_string_dim_corpus,
-    # q318_encrypted_dense, q319_distributed_consolidation,
-    # q320_dense_consolidation (dense bands + unaligned subarrays),
-    # q321_incremental_consolidation (size-ratio runs, subset reader),
-    # q322_metadata_consolidation (__meta history fold + vacuum),
-    # q323_commits_consolidation (.wrt fold + explicit-ts writes),
-    # q324_cdc_window (since=/timestamp_start window reads),
-    # q325_soft_dedup (duplicate-aware sampling weights),
-    # q326_window_rollup (O(window) rollup maintenance);
-    # then the 11 scalar-surface spills (all
-    # judge-sim green): q133b_natural_join, q134_values_inline,
-    # q160_grouping_id, q161_window_distinct, q165_fuzzy_match,
-    # q167_gap_fill, q168_gini_diversity, q210_sentence_split,
-    # q220_string_fns2, q238_benford, q239_time_micros.
+    # ROUND 7 (this window) = the 25 never-driver-sampled specs (the
+    # entire round-6 tier q313-q326, then the 11 scalar-surface spills),
+    # the q214 re-test (hashed projection is now ALL-INTEGER: raw int64
+    # regression moments, no derived doubles — per the r6 verdict), and
+    # 24 least-recently-verified backfill rows (the round-1 window,
+    # driver-green in r1, six rounds ago).  Cumulative driver coverage
+    # after this window: 319/319 distinct specs.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
-        # round-5 additions: crypto / enum-write / stats-SQL / spatial /
-        # secure corpus (5)
-        "q308_native_encryption", "q309_native_enum_write",
-        "q310_native_stats_sql", "q311_native_spatial",
-        "q312_secure_corpus",
-        # round-4/5 native format + stats tier (6)
-        "q302_native_attr_stats", "q303_native_enum",
-        "q304_native_bio_scan", "q305_native_vector_store",
-        "q306_soma_matrix", "q307_native_v19_stats",
-        # r5 red re-test (oracle quantized this round) (1)
+        # round-6 tier — never driver-sampled, judge-sim green in r6 (14)
+        "q313_spatial_datasource", "q314_native_dense_v19",
+        "q315_dense_datasource", "q316_delete_datasource",
+        "q317_string_dim_corpus", "q318_encrypted_dense",
+        "q319_distributed_consolidation", "q320_dense_consolidation",
+        "q321_incremental_consolidation", "q322_metadata_consolidation",
+        "q323_commits_consolidation", "q324_cdc_window",
+        "q325_soft_dedup", "q326_window_rollup",
+        # scalar-surface spills — never driver-sampled, judge-sim green (11)
+        "q133b_natural_join", "q134_values_inline", "q160_grouping_id",
+        "q161_window_distinct", "q165_fuzzy_match", "q167_gap_fill",
+        "q168_gini_diversity", "q210_sentence_split", "q220_string_fns2",
+        "q238_benford", "q239_time_micros",
+        # r5/r6 red re-test — hashed output all-integer this round (1)
         "q214_regr_moments",
-        # corpus / vector / indexing tier (8)
-        "q231_binary_chunks", "q232_vector_normalize", "q245_corpus_build",
-        "q248_inverted_index", "q249_rolling_bands", "q252_rollup_cascade",
-        "q253_calibration", "q260_poisson_bootstrap",
-        # behavioral analytics / graph (12)
-        "q198_funnel", "q199_retention", "q200_pagerank",
-        "q201_hll_merge", "q202_resample_gapfill", "q203_spatial_knn",
-        "q204_version_diff", "q205_fuzzy_join", "q206_zscore_outliers",
-        "q207_label_centroids", "q208_transitions", "q209_export_roundtrip",
-        # time-series / stats surfaces (10)
-        "q218_time_weighted_avg", "q219_ohlc_bars", "q221_triangle_count",
-        "q222_attribution", "q223_interval_overlap", "q224_equi_depth_hist",
-        "q225_dq_checks", "q226_ratio_to_report", "q227_cumulative_users",
-        "q235_event_pattern",
-        # sequence / SCD / graph-reach / growth (8)
-        "q236_collapse_runs", "q237_moving_median", "q241_timed_funnel",
-        "q242_source_similarity", "q243_describe_history",
-        "q244_scd2_intervals", "q247_khop_reachability", "q257_yoy_growth",
+        # least-recently-verified backfill: the round-1 window (24)
+        "q01_pricing_summary", "q02_scan_projection", "q03_filter_eq",
+        "q04_filter_range", "q05_filter_in", "q06_filter_compound",
+        "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
+        "q10_agg_scalar", "q11_agg_having", "q12_count_distinct",
+        "q13_rollup", "q14_cube", "q15_orderby_limit", "q16_setops",
+        "q17_case_cast", "q18_scalar_string", "q19_scalar_date",
+        "q20_scalar_math", "q21_pivot", "q22_distinct",
+        "q42_word_histogram", "q59_json_extract",
     ]
-    assert len(front) == 50, f"round-6 front window is {len(front)}, want 50"
+    assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
     assert not missing, f"front window names not registered: {missing}"
 
