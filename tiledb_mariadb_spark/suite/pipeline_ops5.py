@@ -110,30 +110,26 @@ def q214_regr_moments(spark, sf_dir):
         .withColumn("deny", F.expr("n * syy - sy * sy"))
         .filter("denx != 0 AND deny != 0")
         .select(
+            # ALL-INTEGER hashed projection (r6 verdict): ×1e6 quantization
+            # of the derived doubles still hash-missed in two driver
+            # environments while bit-exact locally, so the slope /
+            # intercept / r2 doubles are dropped from the hashed output
+            # entirely.  The raw regression moments are exact int64 in any
+            # engine (fixed FLOOR conversion + integer sums, peak term
+            # ~1e15 « 2^63) — a consumer derives slope = num/denx,
+            # intercept = (sy - slope*sx)/n, r2 = num²/(denx*deny) from
+            # them with whatever float semantics it wants.
             "l_returnflag",
             "n",
             "n_pricey",
-            # Quantized per the registry determinism convention
-            # (suite/__init__.py docstring): the raw double chains
-            # `a - b*c` / product-ratios are FMA-contractible, so an
-            # -ffp-contract engine build lands a different last ulp than
-            # JVM codegen (r5 driver q214 hash miss).  ROUND(x*1e6) → BIGINT
-            # absorbs the ulp; a flip needs x*1e6 within ~1e-7 of a
-            # half-integer, vanishingly unlikely for these arbitrary reals.
-            F.expr(
-                "CAST(ROUND((CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
-                " * 1e6) AS BIGINT)"
-            ).alias("slope_q6"),
-            F.expr(
-                "CAST(ROUND(((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) /"
-                " CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))"
-                " / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)"
-            ).alias("intercept_q6"),
-            F.expr(
-                "CAST(ROUND(((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /"
-                " (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))"
-                " * 1e6) AS BIGINT)"
-            ).alias("r2_q6"),
+            "sx",
+            "sy",
+            "sxx",
+            "sxy",
+            "syy",
+            "num",
+            "denx",
+            "deny",
         )
         .orderBy("l_returnflag")
     )
@@ -161,13 +157,10 @@ d AS (
          n * sxx - sx * sx AS denx,
          n * syy - sy * sy AS deny
   FROM m)
-SELECT l_returnflag, n, n_pricey,
-       CAST(ROUND((CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
-          * 1e6) AS BIGINT) AS slope_q6,
-       CAST(ROUND(((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
-          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS intercept_q6,
-       CAST(ROUND(((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
-         / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))) * 1e6) AS BIGINT) AS r2_q6
+SELECT l_returnflag, n, n_pricey, sx, sy, sxx, sxy, syy,
+       CAST(num AS BIGINT) AS num,
+       CAST(denx AS BIGINT) AS denx,
+       CAST(deny AS BIGINT) AS deny
 FROM d WHERE denx <> 0 AND deny <> 0
 ORDER BY l_returnflag
 """
