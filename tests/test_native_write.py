@@ -1082,6 +1082,72 @@ def test_window_reads_since(spark, tmp_path):
     ]
 
 
+def test_window_reads_survive_unvacuumed_consolidation(spark, tmp_path):
+    """since= must be applied BEFORE the consolidation-coverage rule
+    (round-7 advisor finding): pre-vacuum, a consolidated fragment
+    spanning the window start used to hide the still-on-disk originals
+    via coverage and then be dropped itself by since — read_array
+    (since=1500) returned [] instead of the in-window layers, and
+    window_ned returned [] so split planning skipped the scan entirely.
+    Window visibility now precedes coverage dedup in _fragment_dirs."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+        read_native_array_range_np,
+        window_ned,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_native_array,
+        vacuum_native_array,
+    )
+
+    uri = str(tmp_path / "wincon")
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("id", "bigint", (0, 999))],
+            attrs=[AttrInfo("v", "bigint", nullable=False)],
+        ),
+    )
+    write_array(spark.range(0, 30).selectExpr("id", "id AS v"),
+                uri, ts=1000)
+    write_array(spark.range(10, 40).selectExpr("id", "id*10 AS v"),
+                uri, ts=2000)
+    write_array(spark.range(20, 50).selectExpr("id", "id*100 AS v"),
+                uri, ts=3000)
+    assert consolidate_native_array(uri) is not None  # NO vacuum
+    expect = [(i, i * 10) for i in range(10, 20)] + [
+        (i, i * 100) for i in range(20, 50)
+    ]
+    # the originals are still on disk: the window must see them even
+    # though the consolidated [1000,3000] fragment straddles since
+    rows = sorted(
+        (r.id, r.v)
+        for r in read_array(spark, uri, since=1500).collect()
+    )
+    assert rows == expect
+    _n, rr = read_native_array_range(uri, since=1500)
+    fast = read_native_array_range_np(uri, since=1500)
+    assert sorted((r[0], r[1]) for r in rr) == expect
+    assert fast is not None
+    assert sorted(zip(fast[1]["id"], fast[1]["v"])) == expect
+    # split planning sees the window fragments' union box, not []
+    assert window_ned(uri, since=1500) == [(10, 49)]
+    # post-vacuum the originals are gone and the consolidated fragment
+    # straddles the window start => honestly-empty window (libtiledb
+    # timestamp_start parity: vacuuming folds away sub-range history)
+    vacuum_native_array(uri)
+    assert read_array(spark, uri, since=1500).count() == 0
+    assert window_ned(uri, since=1500) == []
+
+
 def test_window_split_planning_prunes(spark, tmp_path):
     """read_array(since=) intersects split planning with the WINDOW
     fragments' union bounding box (metadata only): a narrow CDC window

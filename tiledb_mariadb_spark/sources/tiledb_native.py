@@ -996,7 +996,9 @@ def _committed_names(array_dir: str, root: str) -> set[str] | None:
     return None
 
 
-def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
+def _fragment_dirs(
+    array_dir: str, at: int | None = None, since: int | None = None
+) -> list[str]:
     """All committed fragment directories, oldest→newest (2.3+ keeps them
     under __fragments/; earlier eras place them beside the schema).
 
@@ -1007,11 +1009,17 @@ def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
          file written last, so readers never observe a half-written
          fragment).  Arrays with no marker era fall back to directory
          presence.
-      2. ``at`` = inclusive unix-millis bound (open_at parity,
-         ha_mytile.cc:3440-3455): visible iff the fragment's WHOLE
-         timestamp range is ≤ ``at`` — opening mid-range skips a
-         consolidated fragment, falling back to the originals it merged
-         (which are still on disk until vacuum).
+      2. The TIME WINDOW ``[since, at]`` (both inclusive unix millis):
+         visible iff the fragment's WHOLE timestamp range lies inside
+         it — ``at`` is open_at parity (ha_mytile.cc:3440-3455), where
+         opening mid-range skips a consolidated fragment and falls back
+         to the originals it merged (still on disk until vacuum);
+         ``since`` is TileDB's timestamp_start (the CDC window's lower
+         bound).  BOTH bounds must apply BEFORE the coverage gate: a
+         consolidated fragment spanning the window start is excluded by
+         ``since`` here, so it can no longer "cover" (hide) in-window
+         originals and then be dropped itself — which silently lost CDC
+         rows pre-vacuum (round-7 advisor finding).
       3. CONSOLIDATION coverage: a fragment whose range is strictly
          contained in a WIDER visible fragment's range was merged into
          it — reading both would double-count, so the covered one is
@@ -1031,6 +1039,7 @@ def _fragment_dirs(array_dir: str, at: int | None = None) -> list[str]:
         and os.path.isdir(os.path.join(root, d))
         and (committed is None or d in committed)
         and (at is None or _frag_range(d)[1] <= at)
+        and (since is None or _frag_range(d)[0] >= since)
     ]
     rng = {d: _frag_range(d) for d in frags}
 
@@ -2057,13 +2066,8 @@ def _read_dense_range_np(
             return None
     rngs = list(ranges) if ranges else [(None, None)] * len(dims)
     frag_list = frags if frags is not None else _fragment_dirs(
-        array_dir, at=at
+        array_dir, at=at, since=since
     )
-    if since is not None and frags is None:
-        frag_list = [
-            f for f in frag_list
-            if _frag_range(os.path.basename(f))[0] >= since
-        ]
     names = [d.name for d in dims] + [a.name for a in want]
 
     def _obj_col(a):
@@ -2301,13 +2305,8 @@ def read_native_array_range_np(
         a for a in schema.attrs if columns is None or a.name in columns
     ]
     frag_list = frags if frags is not None else _fragment_dirs(
-        array_dir, at=at
+        array_dir, at=at, since=since
     )
-    if since is not None and frags is None:
-        frag_list = [
-            f for f in frag_list
-            if _frag_range(os.path.basename(f))[0] >= since
-        ]
     # delete-condition commits: evaluated HERE as vectorized boolean
     # masks over the merged columns (one visible .del no longer demotes
     # a 100 TB scan to the row path); a delete may test attrs the
@@ -2739,13 +2738,8 @@ def read_native_array_range(
     # window rows (their wts exceed the delete instant), so the
     # existing delete logic is already window-correct
     frag_list = frags if frags is not None else _fragment_dirs(
-        array_dir, at=at
+        array_dir, at=at, since=since
     )
-    if since is not None and frags is None:
-        frag_list = [
-            f for f in frag_list
-            if _frag_range(os.path.basename(f))[0] >= since
-        ]
     dels = (
         _delete_conditions(array_dir, at, frag_list)
         if schema.array_type == "SPARSE"
@@ -3147,12 +3141,7 @@ def window_ned(
     to the full domain, never to a wrong box.  Empty window => [].
     """
     schema = parse_array_schema(_schema_path(array_dir))
-    frags = _fragment_dirs(array_dir, at=at)
-    if since is not None:
-        frags = [
-            f for f in frags
-            if _frag_range(os.path.basename(f))[0] >= since
-        ]
+    frags = _fragment_dirs(array_dir, at=at, since=since)
     if not frags:
         return []
     box: list[tuple] | None = None
