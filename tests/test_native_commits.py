@@ -603,6 +603,67 @@ def test_incremental_consolidation_races_appender(tmp_path, spark):
     assert after2 == before
 
 
+def test_incremental_consolidation_aborts_on_midspan_commit(
+    tmp_path, spark, monkeypatch
+):
+    """Plan→commit race (round-7 advisor finding): a fragment or .del
+    committed INSIDE a planned run's span while its tasks were staging
+    would be covered (hidden) by the run's merged fragment.  The commit
+    step re-checks admissibility against a fresh listing and ABORTS the
+    run — no .con lands, the staged fragments are removed, and every
+    row (including the racer's) stays visible."""
+    from tiledb_mariadb_spark.sources import tiledb_array as ta
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    for racer in ("fragment", "delete"):
+        uri = str(tmp_path / f"abort_{racer}")
+        create_native_array(
+            uri, [NativeDim("k", 1, 1, (0, 10**6), None)],
+            [NativeAttr("v", 1, 1, False, None)], capacity=100,
+        )
+        for i in range(4):
+            ks = list(range(i * 30, i * 30 + 60))
+            write_native_fragment(
+                uri, {"k": ks, "v": [k * 10 + i for k in ks]},
+                ts=100 + i, version=19,
+            )
+        stale = ta.plan_consolidation(uri, ratio=3.0)
+        assert stale and len(stale[0]) == 4
+        monkeypatch.setattr(
+            ta, "plan_consolidation", lambda *a, **k: stale
+        )
+        # the racer lands INSIDE the planned [100,103] span, after
+        # planning but before the .con flip
+        if racer == "fragment":
+            write_native_fragment(
+                uri, {"k": [999999], "v": [-1]}, ts=102, version=19
+            )
+        else:
+            write_delete_condition(uri, [("v", "=", 0)], ts=102)
+        _n, before = read_native_array_range(uri)
+        n_frags_before = len(_fragment_dirs(uri))
+        assert ta.consolidate_array_incremental(
+            spark, uri, target_splits=2
+        ) == 0
+        commits = os.path.join(uri, "__commits")
+        assert not [e for e in os.listdir(commits) if e.endswith(".con")]
+        # staged-but-aborted fragments are gone from disk too
+        assert len(_fragment_dirs(uri)) == n_frags_before
+        froot = os.path.join(uri, "__fragments")
+        assert len([
+            d for d in os.listdir(froot)
+            if os.path.isdir(os.path.join(froot, d))
+        ]) == n_frags_before
+        _n, after = read_native_array_range(uri)
+        assert after == before
+        monkeypatch.undo()
+
+
 def test_inflight_staging_artifacts_invisible(tmp_path):
     """Crash-consistency of consolidation staging: a leftover dotted
     tmp file in __commits (a crash between write and os.replace) is

@@ -110,6 +110,25 @@ def test_time_travel_hides_newer_fragments(spark, tmp_path):
     assert info_now == 2001 and info_then == 2000
 
 
+def test_since_window_on_non_native_backend(spark, tmp_path):
+    """read_array(since=) is part of the ArrayBackend interface, not a
+    NativeDecoderBackend extra — on the parquet-fragment fake it selects
+    only the window's fragments instead of raising TypeError inside
+    executor tasks (round-7 advisor finding)."""
+    import pandas as pd
+
+    uri, be, _ = _make_array(tmp_path)  # base fragment at ts=100
+    be.write(
+        uri,
+        pd.DataFrame({"x": [999], "y": [5], "v": [1.0], "s": ["late"]}),
+        ts=200,
+    )
+    win = read_array(spark, uri, backend=be, since=150).collect()
+    assert [(r.x, r.y, r.s) for r in win] == [(999, 5, "late")]
+    assert read_array(spark, uri, backend=be, since=150, at=180).count() == 0
+    assert read_array(spark, uri, backend=be, since=50).count() == 2001
+
+
 def test_write_array_fragment_per_partition(spark, tmp_path):
     uri = str(tmp_path / "sink")
     be = FragmentDirBackend()

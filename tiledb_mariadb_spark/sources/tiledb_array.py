@@ -89,7 +89,15 @@ class ArrayBackend:
         columns: Sequence[str],
         at: Optional[int] = None,
         conditions: Optional[Sequence[tuple]] = None,
+        since: Optional[int] = None,
     ):
+        """``since``/``at`` bound the TIME WINDOW (TileDB
+        timestamp_start/timestamp_end, both inclusive unix millis): the
+        read sees only writes whose timestamps lie inside it.  Part of
+        the interface so every backend accepts the kwarg — read_array
+        forwards it from its own ``since=`` (CDC window reads), and a
+        backend lacking real window support must raise, not TypeError
+        inside executor tasks (round-7 advisor finding)."""
         raise NotImplementedError
 
     def write(self, uri: str, pdf, sparse: bool = True) -> None:
@@ -135,8 +143,22 @@ class TileDBBackend(ArrayBackend):  # pragma: no cover - needs tiledb wheel
                 "use InMemoryBackend for testing without it"
             )
 
-    def _open(self, uri: str, mode: str, at: Optional[int]):
-        kw = {"timestamp": at} if at is not None else {}
+    def _open(
+        self,
+        uri: str,
+        mode: str,
+        at: Optional[int],
+        since: Optional[int] = None,
+    ):
+        # libtiledb window semantics: timestamp=(start, end) opens the
+        # array at [timestamp_start, timestamp_end]; a bare int is the
+        # end bound only.  None end = "now".
+        if since is not None:
+            kw = {"timestamp": (since, at)}
+        elif at is not None:
+            kw = {"timestamp": at}
+        else:
+            kw = {}
         return tiledb.open(uri, mode=mode, **kw)
 
     def info(self, uri: str, at: Optional[int] = None) -> ArrayInfo:
@@ -161,8 +183,10 @@ class TileDBBackend(ArrayBackend):  # pragma: no cover - needs tiledb wheel
             ]
             return ArrayInfo(dims=dims, attrs=attrs, sparse=sch.sparse)
 
-    def read_range(self, uri, ranges, columns, at=None, conditions=None):
-        with self._open(uri, "r", at) as a:
+    def read_range(
+        self, uri, ranges, columns, at=None, conditions=None, since=None
+    ):
+        with self._open(uri, "r", at, since=since) as a:
             q = a.query(attrs=None, dims=True)  # multi_index keeps coords
             idx = tuple(
                 slice(lo, hi) if lo is not None or hi is not None else slice(None)
@@ -505,22 +529,24 @@ class FragmentDirBackend(ArrayBackend):
             sparse=raw["sparse"],
         )
 
-    def _fragments(self, uri, at):
+    def _fragments(self, uri, at, since=None):
         import glob  # noqa: PLC0415
         import os  # noqa: PLC0415
 
         out = []
         for p in sorted(glob.glob(os.path.join(uri, "frag_*.parquet"))):
             ts = int(os.path.basename(p).split("_")[1])
-            if at is None or ts <= at:
+            if (at is None or ts <= at) and (since is None or ts >= since):
                 out.append(p)
         return out
 
-    def read_range(self, uri, ranges, columns, at=None, conditions=None):
+    def read_range(
+        self, uri, ranges, columns, at=None, conditions=None, since=None
+    ):
         import pandas as pd  # noqa: PLC0415
 
         info = self.info(uri)
-        frags = self._fragments(uri, at)
+        frags = self._fragments(uri, at, since=since)
         if not frags:
             return pd.DataFrame({c: [] for c in columns})
         pdf = pd.concat([pd.read_parquet(p) for p in frags], ignore_index=True)
@@ -1294,12 +1320,53 @@ def consolidate_array_incremental(
         raise ValueError(
             "incremental consolidation needs the __commits layout"
         )
+    frag_root = os.path.join(uri, "__fragments")
+    if not os.path.isdir(frag_root):
+        frag_root = uri
+
+    def _still_admissible(run, t1, t2):
+        """Re-check plan_consolidation's _span_ok against a FRESH
+        listing at commit time (round-7 advisor finding): a fragment or
+        .del committed while the run's tasks were staging can make the
+        widened span cover a non-run fragment (the coverage rule would
+        hide it) or bracket a new delete commit (which incremental
+        merges must never bake).  The .con flip is what makes the new
+        fragment visible, so checking here closes the plan->commit race."""
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _frag_ts,
+            _fragment_dirs,
+        )
+
+        run_names = {os.path.basename(f) for f in run}
+        for f in _fragment_dirs(uri):
+            nm = os.path.basename(f)
+            if nm in run_names:
+                continue
+            a, b = _frag_range(nm)
+            if t1 <= a and b <= t2:
+                return False
+        return not any(
+            e.endswith(".del") and t1 <= _frag_ts(e) <= t2
+            for e in os.listdir(commits)
+        )
+
     n_total = 0
     for ri, run in enumerate(runs):
         names = [nm for r, nm in staged if r == ri]
         if not names:
             continue
         t1, t2 = spans[ri]
+        if not _still_admissible(run, t1, t2):
+            # Abort this run: its staged fragments never got a commit
+            # marker (invisible by the crash-atomicity contract); drop
+            # them from disk instead of leaving orphan directories.
+            import shutil  # noqa: PLC0415
+
+            for nm in names:
+                shutil.rmtree(
+                    os.path.join(frag_root, nm), ignore_errors=True
+                )
+            continue
         con_name = f"__{t1}_{t2}_{_uuid.uuid4().hex}.con"
         tmp = os.path.join(commits, "." + con_name + ".tmp")
         with open(tmp, "w") as f:
