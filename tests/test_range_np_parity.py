@@ -98,17 +98,114 @@ def test_evolution_fill_parity(tmp_path):
 
 
 def test_fallbacks_are_none(tmp_path):
-    """Shapes the fast path must DECLINE (fixed-width CHAR attrs —
-    bytes->str conversion differs from a raw buffer).  Everything else
-    is IN after round 6: var-string dims, bool, deletes, dense,
-    multi-value — see the parity tests below."""
+    """Shapes the fast path must DECLINE: fixed-CHAR cells whose bytes
+    are NOT valid UTF-8 (the row path's errors='replace' decode owns
+    those).  Valid fixed CHAR joined the fast path in round 7 — see
+    test_fixed_char_parity."""
     d2 = str(tmp_path / "fb2")
     create_native_array(
         d2, [NativeDim("k", 1, 1, (0, 100), None)],
         [NativeAttr("c", 4, 8, False, None)],  # CHAR(8) attr
     )
-    write_native_fragment(d2, {"k": [1], "c": ["abc"]})
+    write_native_fragment(d2, {"k": [1], "c": [b"\xff\xfe"]})
     assert read_native_array_range_np(d2) is None
+    # the row path still serves it (replacement chars)
+    _n, rows = read_native_array_range(d2)
+    assert len(rows) == 1 and "�" in rows[0][1]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fixed_char_parity(tmp_path, seed):
+    """Round 7: fixed-width CHAR(k) attrs ride the columnar fast path —
+    object strings byte-exact with the row path's utf-8 decode,
+    INCLUDING trailing NUL padding (why numpy's S dtype was rejected)
+    and multibyte cells, across fragments / ranges / projections /
+    nullable validity / time travel."""
+    rng = random.Random(9000 + seed)
+    d = str(tmp_path / f"fc{seed}")
+    create_native_array(
+        d,
+        [NativeDim("k", 1, 1, (0, 100000), None)],
+        [
+            NativeAttr("c", 4, 8, False, None),       # CHAR(8)
+            NativeAttr("u", 12, 6, False, None),      # UTF8(6)
+            NativeAttr("one", 11, 1, False, None),    # ASCII CHAR(1)
+            NativeAttr("nc", 4, 4, True, None),       # nullable CHAR(4)
+            NativeAttr("v", 1, 1, False, None),
+        ],
+        capacity=64,
+    )
+    pool = ["", "a", "ab", "abc", "xyzw", "éé", "日本", "padded\x00x"]
+    for ts in (100, 200, 300):
+        ks = sorted(rng.sample(range(0, 800), rng.randint(20, 200)))
+        write_native_fragment(
+            d,
+            {
+                "k": ks,
+                "c": [rng.choice(pool) for _ in ks],
+                "u": [rng.choice(pool[:6]) for _ in ks],
+                "one": [rng.choice("abcxyz") for _ in ks],
+                "nc": [None if kk % 5 == 0 else "ab" for kk in ks],
+                "v": [kk * 2 for kk in ks],
+            },
+            ts=ts,
+            version=rng.choice([5, 19]),
+        )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[(50, 600)])
+    _assert_same_obj(d, columns=["c", "one"])
+    _assert_same_obj(d, at=250)
+    # trailing NULs survive: the writer pads CHAR(8) cells with \x00
+    _n, rows = read_native_array_range(d, columns=["c"])
+    assert any(r[1].endswith("\x00") for r in rows if len(r[1]) > 1)
+    write_delete_condition(d, [("one", "=", "a")], ts=400)
+    _assert_same_obj(d)
+
+
+def test_fixed_char_dense_parity(tmp_path):
+    """Dense arrays with fixed-CHAR attrs: same object-string decode,
+    fills for unwritten cells, unaligned overlay."""
+    d = str(tmp_path / "fcd")
+    create_native_array(
+        d, [NativeDim("x", 1, 1, (0, 19), 5)],
+        [NativeAttr("c", 4, 4, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        d, {"c": [f"r{i:02d}" for i in range(10)]},
+        ts=10, subarray=[(0, 9)], version=19,
+    )
+    write_native_fragment(
+        d, {"c": ["zz" for _ in range(5)]},
+        ts=20, subarray=[(8, 12)], version=19,
+    )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[(5, 11)])
+
+
+def test_blob_dim_parity(tmp_path):
+    """Round 7: var-BINARY (BLOB/GEOM_WKB) DIMENSIONS ride the fast
+    path — bytes keys through the LargeBinary decode, lexicographic
+    bytes order, newest-wins dedup, bytes range bounds."""
+    d = str(tmp_path / "bdim")
+    create_native_array(
+        d,
+        [NativeDim("g", 39, 0xFFFFFFFF, None, None)],
+        [NativeAttr("v", 1, 1, False, None)],
+        capacity=32,
+    )
+    rng = random.Random(17)
+    universe = [bytes([i, i ^ 0x5A, i % 7]) for i in range(200)]
+    for ts in (100, 200):
+        keys = sorted(rng.sample(universe, 80))
+        write_native_fragment(
+            d,
+            {"g": keys, "v": [k[0] * ts for k in keys]},
+            ts=ts, version=19,
+        )
+    _assert_same_obj(d)
+    _assert_same_obj(d, ranges=[(bytes([20]), bytes([150]))])
+    _assert_same_obj(d, at=150)
 
 
 def test_bool_attr_parity(tmp_path):

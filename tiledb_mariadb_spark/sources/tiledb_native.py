@@ -1859,12 +1859,50 @@ def _var_str_span_arrow(base, schema, field, lo_cell, hi_cell):
         return None
 
 
+def _fixed_char_cells(afile, schema, field, lo_cell, hi_cell):
+    """Cells [lo_cell, hi_cell) of a FIXED-width CHAR/ASCII/UTF-8 column
+    (dtype 4/11/12, cell_val_num = k) as a numpy OBJECT array of python
+    strings — byte-exact with the row path's
+    ``joined[i:i+cvn].decode('utf-8')`` INCLUDING trailing NULs, which
+    is why numpy's S dtype (it strips them) was rejected and these cells
+    rode the row path until round 7.  Uniform Arrow offsets
+    (arange * cvn) + LargeStringArray.from_buffers keep the decode
+    C-speed; any structural or utf-8 surprise (e.g. a multibyte char
+    split across fixed cells) returns None — the row path's
+    errors='replace' decode owns those."""
+    import numpy as np  # noqa: PLC0415
+
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+    except ImportError:
+        return None
+
+    cvn = field.cell_val_num
+    try:
+        raw = read_byte_span(
+            afile, lo_cell * cvn, hi_cell * cvn,
+            filters=field.filters, elem=1,
+        )
+        n, rem = divmod(len(raw), cvn)
+        if rem:
+            return None  # torn file: row path's error surface
+        offs = np.arange(n + 1, dtype=np.int64) * cvn
+        arr = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(offs.tobytes()), pa.py_buffer(raw)
+        )
+        arr.validate(full=True)  # utf-8 check; invalid -> row path
+        return arr.to_numpy(zero_copy_only=False)
+    except (pa.lib.ArrowInvalid, ValueError, struct.error, OSError):
+        return None
+
+
 # numpy dtype strings for the fixed-width scalar ids the columnar fast
 # path serves.  DATETIME_* (18-30) are raw int64 ticks here exactly as
 # on the row path — the connector types them bigint and rendering rules
 # (datetime_ticks_to_*) live with the callers.  BOOL (40) decodes as
-# raw u8 0/1 — exactly the row path's struct-'B' integers.  char stays
-# on the row path (bytes->str conversion differs from a raw buffer).
+# raw u8 0/1 — exactly the row path's struct-'B' integers.  Fixed CHAR
+# (dtype 4/11/12, cvn=k) is NOT here — it decodes via
+# _fixed_char_cells (object strings with trailing NULs preserved).
 _NP_DT = {
     0: "<i4", 1: "<i8", 2: "<f4", 3: "<f8", 5: "<i1", 6: "<u1",
     7: "<i2", 8: "<u2", 9: "<u4", 10: "<u8", 40: "<u1",
@@ -1939,6 +1977,7 @@ def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
     mask, vectorized enum ordinal->label map.  None => outside the fast
     path (caller falls back to the row reader)."""
     is_var = a.cell_val_num == 0xFFFFFFFF
+    fixed_char = a.dtype_id in (4, 11, 12) and not is_var
     cvn = a.cell_val_num
     elem = _DT[a.dtype_id][2]
     w = hi_cell - lo_cell
@@ -1951,7 +1990,10 @@ def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
             filled = np.empty(w, dtype=object)
             filled[:] = [_enum_fill_label(schema, a)] * w
             return filled
-        if is_var or cvn != 1 or getattr(a, "nullable", False):
+        if (
+            is_var or cvn != 1 or getattr(a, "nullable", False)
+            or a.dtype_id not in _NP_DT
+        ):
             fill = _fill_value(a)
             filled = np.empty(w, dtype=object)
             filled[:] = [fill] * w
@@ -1960,6 +2002,10 @@ def _np_dense_attr(np, frag, schema, a, lo_cell, hi_cell, n_cells):
     if is_var:
         v = _var_str_span_arrow(afile, schema, a, lo_cell, hi_cell)
         if v is None:
+            return None
+    elif fixed_char:
+        v = _fixed_char_cells(afile, schema, a, lo_cell, hi_cell)
+        if v is None or len(v) != w:
             return None
     elif cvn != 1:
         cb = elem * cvn
@@ -2059,7 +2105,11 @@ def _read_dense_range_np(
         multi_fixed = (
             a.dtype_id in _NP_DT and 1 < a.cell_val_num != 0xFFFFFFFF
         )  # nullable multi: validity masks whole cells to None below
-        if not (scalar_num or var_str or multi_fixed):
+        fixed_char = (
+            a.dtype_id in (4, 11, 12)
+            and a.cell_val_num != 0xFFFFFFFF
+        )  # round 7: object strings via _fixed_char_cells
+        if not (scalar_num or var_str or multi_fixed or fixed_char):
             return None
         en = getattr(a, "enumeration", None)
         if en and en in schema.enumerations and not scalar_num:
@@ -2075,6 +2125,7 @@ def _read_dense_range_np(
             a.cell_val_num != 1
             or getattr(a, "nullable", False)
             or (getattr(a, "enumeration", None) in schema.enumerations)
+            or a.dtype_id not in _NP_DT  # CHAR(1): object strings
         )
 
     boxes = []          # every visible box shapes the bounding box
@@ -2288,10 +2339,13 @@ def read_native_array_range_np(
     d0 = dims[0]
 
     def _var_str_dim(d):
-        # var-UTF-8 dims (string-keyed tables, t/string_dim.test):
-        # decoded through the same Arrow from_buffers path as var attrs,
-        # sorted/deduped with stable object argsort chains (round 6)
-        return d.cell_val_num == 0xFFFFFFFF and d.dtype_id in (4, 11, 12)
+        # var-UTF-8 dims (string-keyed tables, t/string_dim.test) and —
+        # round 7 — var-BINARY BLOB/GEOM_WKB dims: decoded through the
+        # same Arrow from_buffers path as var attrs (bytes cells for
+        # 39/41), sorted/deduped with stable object argsort chains
+        return d.cell_val_num == 0xFFFFFFFF and d.dtype_id in (
+            4, 11, 12, 39, 41,
+        )
 
     if any(
         not (
@@ -2340,7 +2394,13 @@ def read_native_array_range_np(
         multi_fixed = (
             a.dtype_id in _NP_DT and 1 < a.cell_val_num != 0xFFFFFFFF
         )  # nullable multi: validity masks whole cells to None below
-        if not (scalar_num or var_str or multi_fixed):
+        # fixed-width CHAR(k) text cells (round 7): object strings via
+        # _fixed_char_cells, trailing NULs preserved
+        fixed_char = (
+            a.dtype_id in (4, 11, 12)
+            and a.cell_val_num != 0xFFFFFFFF
+        )
+        if not (scalar_num or var_str or multi_fixed or fixed_char):
             return None  # nullable/enumerated attrs are fine (below)
         en = getattr(a, "enumeration", None)
         if en and en in schema.enumerations and not scalar_num:
@@ -2476,6 +2536,7 @@ def read_native_array_range_np(
         n_sel = len(cols[d0.name])
         for a in want:
             is_var = a.cell_val_num == 0xFFFFFFFF
+            fixed_char = a.dtype_id in (4, 11, 12) and not is_var
             cvn = a.cell_val_num
             elem = _DT[a.dtype_id][2]
             try:
@@ -2489,7 +2550,10 @@ def read_native_array_range_np(
                     filled = np.empty(n_sel, dtype=object)
                     filled[:] = [_enum_fill_label(schema, a)] * n_sel
                     cols[a.name] = filled
-                elif is_var or cvn != 1 or getattr(a, "nullable", False):
+                elif (
+                    is_var or cvn != 1 or getattr(a, "nullable", False)
+                    or a.dtype_id not in _NP_DT
+                ):
                     fill = _fill_value(a)
                     filled = np.empty(n_sel, dtype=object)
                     filled[:] = [fill] * n_sel
@@ -2505,6 +2569,10 @@ def read_native_array_range_np(
                 )
                 if v is None:
                     return None  # odd layout/invalid utf8: row path
+            elif fixed_char:
+                v = _fixed_char_cells(afile, schema, a, base + i0, base + i1)
+                if v is None or len(v) != i1 - i0:
+                    return None  # torn file/invalid utf8: row path
             elif cvn != 1:
                 # fixed multi-value cells: one frombuffer + reshape,
                 # cells surfaced as python LISTS (the row path's
@@ -2576,6 +2644,7 @@ def read_native_array_range_np(
                 a.cell_val_num != 1
                 or a.nullable
                 or (getattr(a, "enumeration", None) in schema.enumerations)
+                or a.dtype_id not in _NP_DT  # CHAR(1): object strings
             ):
                 return np.empty(0, object)
             return np.empty(0, _NP_DT[a.dtype_id])
@@ -2775,8 +2844,12 @@ def read_native_array_range(
                 if lo is None and hi is None:
                     continue
                 a = np.asarray(col)
-                if a.dtype == object:
-                    raise TypeError  # string dims: python path
+                if a.dtype == object or a.dtype.kind in "SV":
+                    # string dims: python path.  BYTES cells (blob dims)
+                    # must never ride numpy's S dtype — its comparisons
+                    # use SIGNED chars, so high-bit bytes order
+                    # differently than python's unsigned bytes
+                    raise TypeError
                 if lo is not None:
                     mask &= a >= lo
                 if hi is not None:
