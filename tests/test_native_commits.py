@@ -603,6 +603,45 @@ def test_incremental_consolidation_races_appender(tmp_path, spark):
     assert after2 == before
 
 
+def test_explicit_ts_write_inside_consolidated_span_rejected(tmp_path):
+    """write at a pinned ts INSIDE a wider consolidated span is refused
+    (the coverage rule would silently hide it — the libtiledb caveat
+    that was previously documented without a guard); writes outside the
+    span, at ts=None, and point-range ties still work, and a crashed
+    consolidation's dotted .tmp staging file never traps future
+    writes."""
+    import pytest
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        consolidate_native_array,
+    )
+
+    uri = _mkarray(tmp_path)
+    for i, ts in enumerate((100, 200, 300)):
+        write_native_fragment(uri, {"x": [i], "v": [i * 10]}, ts=ts)
+    assert consolidate_native_array(uri) is not None
+    # inside the visible [100,300] span: refused
+    with pytest.raises(ValueError, match="consolidated span"):
+        write_native_fragment(uri, {"x": [9], "v": [99]}, ts=250)
+    # outside the span / unpinned: fine
+    write_native_fragment(uri, {"x": [9], "v": [99]}, ts=400)
+    write_native_fragment(uri, {"x": [10], "v": [100]})
+    # a point-range tie with an existing point fragment is not "wider"
+    write_native_fragment(uri, {"x": [11], "v": [110]}, ts=400)
+    # a crash-staged dotted .con.tmp must NOT block anything
+    commits = os.path.join(uri, "__commits")
+    with open(os.path.join(commits, ".__500_900_dead.con.tmp"), "w") as f:
+        f.write("__commits/garbage.wrt\n")
+    write_native_fragment(uri, {"x": [12], "v": [120]}, ts=700)
+    # a staged (in-flight, uncommitted) WIDE fragment also blocks — the
+    # pending-consolidation window is exactly when the race is live
+    write_native_fragment(
+        uri, {"x": [0, 1], "v": [1, 2]}, ts_range=(1000, 1200),
+        commit=False,
+    )
+    with pytest.raises(ValueError, match="consolidated span"):
+        write_native_fragment(uri, {"x": [13], "v": [130]}, ts=1100)
+
+
 def test_incremental_consolidation_aborts_on_midspan_commit(
     tmp_path, spark, monkeypatch
 ):

@@ -532,6 +532,44 @@ def _next_fragment_dir(
     return path
 
 
+def _check_explicit_ts_not_shadowed(array_dir: str, ts: int) -> None:
+    """Refuse an explicit-timestamp write whose point range [ts, ts]
+    falls inside a WIDER consolidated span — visible, staged (a
+    consolidation currently in flight: wide fragment dirs with no
+    marker yet), or recorded by a ``__commits/*.con`` group.  The
+    reader's coverage rule would treat the new fragment as already
+    merged into the wider one and silently hide it (libtiledb shares
+    the caveat; until round 7 this engine documented it without a
+    guard).  Pick a ts outside consolidated spans, or write with
+    ts=None (always strictly newest).  Dotted ``.tmp`` staging files
+    (a crashed consolidation's torn artifact) never block — they are
+    invisible to readers and must not trap future writes."""
+    spans: list[tuple[int, int, str]] = []
+    root = _frag_root(array_dir)
+    skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    for d in os.listdir(root):
+        if (
+            d.startswith("__") and d not in skip
+            and os.path.isdir(os.path.join(root, d))
+        ):
+            t1, t2 = _frag_range(d)
+            spans.append((t1, t2, d))
+    commits = os.path.join(array_dir, "__commits")
+    if os.path.isdir(commits):
+        for e in os.listdir(commits):
+            if e.endswith(".con") and not e.startswith("."):
+                t1, t2 = _frag_range(e[:-4])
+                spans.append((t1, t2, e))
+    for t1, t2, src in spans:
+        if t1 <= ts <= t2 and t2 > t1:
+            raise ValueError(
+                f"explicit-ts write at {ts} falls inside the "
+                f"consolidated span [{t1}, {t2}] ({src}): the coverage "
+                "rule would hide it; choose a ts outside consolidated "
+                "spans or write with ts=None"
+            )
+
+
 def _commit_fragment(array_dir: str, frag: str) -> None:
     """Make a fully-staged fragment visible: touch the zero-length
     ``__commits/<name>.wrt`` marker (the LAST write, so a crash at any
@@ -670,6 +708,10 @@ def write_native_fragment(
     )
 
     open_encryption(array_dir, encryption_key)
+    if commit and ts is not None and ts_range is None:
+        # consolidation paths stage with commit=False / ts_range=, so
+        # only user-facing pinned-timestamp writes pay this check
+        _check_explicit_ts_not_shadowed(array_dir, ts)
     schema = parse_array_schema(_schema_path(array_dir))
     names = [d.name for d in schema.dims] + [a.name for a in schema.attrs]
     if schema.array_type == "DENSE":
