@@ -603,6 +603,87 @@ def test_incremental_consolidation_races_appender(tmp_path, spark):
     assert after2 == before
 
 
+def test_dense_incremental_consolidation(tmp_path, spark):
+    """Round 7: DENSE size-ratio incremental consolidation is admitted
+    for the provably-safe subset — runs whose union bounding box is
+    disjoint from every OLDER fragment's written box (the append
+    workload).  The big base fragment is not rewritten, reads are
+    bit-identical before/after/post-vacuum, gap cells between run
+    bands read as fills, and an overlapping-history run is refused."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        consolidate_array_incremental,
+        plan_consolidation,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+        read_native_array_range_np,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+    )
+
+    uri = str(tmp_path / "dinc")
+    create_native_array(
+        uri, [NativeDim("x", 1, 1, (0, 999999), 100)],
+        [NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri, {"v": list(range(10000))},
+        ts=100, subarray=[(0, 9999)], version=19,
+    )
+    # four small append bands, one with a GAP before it (fills)
+    bands = [(10000, 10099), (10100, 10199), (10300, 10399),
+             (10400, 10499)]
+    for i, (blo, bhi) in enumerate(bands):
+        write_native_fragment(
+            uri, {"v": [x * 2 for x in range(blo, bhi + 1)]},
+            ts=200 + i, subarray=[(blo, bhi)], version=19,
+        )
+    runs = plan_consolidation(uri, ratio=3.0)
+    assert len(runs) == 1 and len(runs[0]) == 4
+    _n, before = read_native_array_range(uri)
+    big = os.path.basename(_fragment_dirs(uri)[0])
+    n_new = consolidate_array_incremental(spark, uri, target_splits=2)
+    assert n_new >= 1
+    _n, after = read_native_array_range(uri)
+    assert after == before
+    fastr = read_native_array_range_np(uri)
+    assert fastr is not None
+    assert list(zip(fastr[1]["x"], fastr[1]["v"])) == before
+    assert big in [os.path.basename(f) for f in _fragment_dirs(uri)]
+    # the gap band [10200,10299] reads as fills, same as before
+    _n, gap = read_native_array_range(uri, ranges=[(10150, 10350)])
+    assert [r for r in gap if r[0] == 10250][0][1] == 0
+    assert vacuum_native_array(uri) >= 4
+    _n, after2 = read_native_array_range(uri)
+    assert after2 == before
+    # an overlapping-history run is REFUSED: bands that overwrite part
+    # of the base box must not be incrementally merged (their merged
+    # bbox's fills would shadow base cells)
+    uri2 = str(tmp_path / "dinc2")
+    create_native_array(
+        uri2, [NativeDim("x", 1, 1, (0, 999999), 100)],
+        [NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri2, {"v": list(range(10000))},
+        ts=100, subarray=[(0, 9999)], version=19,
+    )
+    for i in range(4):
+        blo = 5000 + i * 200  # inside the base box
+        write_native_fragment(
+            uri2, {"v": [7] * 100},
+            ts=200 + i, subarray=[(blo, blo + 99)], version=19,
+        )
+    assert plan_consolidation(uri2, ratio=3.0)  # size-wise plannable
+    _n, b2 = read_native_array_range(uri2)
+    assert consolidate_array_incremental(spark, uri2) == 0
+    _n, a2 = read_native_array_range(uri2)
+    assert a2 == b2
+
+
 def test_explicit_ts_write_inside_consolidated_span_rejected(tmp_path):
     """write at a pinned ts INSIDE a wider consolidated span is refused
     (the coverage rule would silently hide it — the libtiledb caveat

@@ -1217,18 +1217,27 @@ def consolidate_array_incremental(
     is unchanged.  Returns the number of new fragments (0 = no
     admissible runs — e.g. sizes too skewed, nothing to merge).
 
-    Dense arrays are REFUSED: a dense subset-merge materializes fills
-    for gap cells inside the run's bounding box, which would shadow
-    older non-run fragments' real data — use full ``consolidate_array``
-    (libtiledb documents the same dense-consolidation caveat)."""
+    DENSE arrays (round 7): a dense subset-merge materializes FILLS for
+    gap cells inside the run's union bounding box, which would shadow
+    an OLDER non-run fragment's real data at those coordinates — so a
+    dense run is admitted only when that bounding box is provably
+    DISJOINT from every older visible fragment's written box (footer
+    NEDs; no provable footer => the run is refused).  That subset
+    covers the 100 TB append workload — daily band writes never overlap
+    history — while overwrite-into-history patterns still require the
+    full ``consolidate_array`` (libtiledb documents the same dense
+    fill-shadowing caveat).  Newer non-run fragments need no box check:
+    they merge after the run and overwrite it wherever they overlap."""
     import os  # noqa: PLC0415
     import uuid as _uuid  # noqa: PLC0415
 
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
         _frag_range,
+        _fragment_dirs,
         _schema_path,
         open_encryption,
         parse_array_schema,
+        parse_fragment_footer,
     )
     from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
         write_native_fragment,
@@ -1236,15 +1245,59 @@ def consolidate_array_incremental(
 
     open_encryption(uri, encryption_key)
     schema = parse_array_schema(_schema_path(uri))
-    if schema.array_type != "SPARSE":
-        raise ValueError(
-            "incremental consolidation: SPARSE arrays only (dense "
-            "subset merges materialize fills over gaps — use the full "
-            "consolidate_array)"
-        )
+    dense = schema.array_type == "DENSE"
     runs = plan_consolidation(
         uri, ratio=ratio, min_run=min_run, max_run=max_run
     )
+
+    def _ned_box(frag):
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        footer = (
+            parse_fragment_footer(fm, schema)
+            if os.path.isfile(fm) else None
+        )
+        if footer is None:
+            return None
+        box = []
+        for ned in footer.non_empty_domain:
+            if ned is None:
+                return None  # untrusted dim: no provable box
+            box.append(ned)
+        return box
+
+    def _run_bbox(run):
+        boxes = [_ned_box(f) for f in run]
+        if any(b is None for b in boxes):
+            return None
+        return [
+            (min(b[i][0] for b in boxes), max(b[i][1] for b in boxes))
+            for i in range(len(schema.dims))
+        ]
+
+    def _dense_run_safe(run, frag_listing):
+        """True iff the run's union bounding box cannot shadow an older
+        non-run fragment: every strictly-older fragment has a provable
+        written box disjoint from the run's bbox."""
+        bbox = _run_bbox(run)
+        if bbox is None:
+            return False
+        run_names = {os.path.basename(f) for f in run}
+        run_t1 = min(_frag_range(os.path.basename(f))[0] for f in run)
+        for f in frag_listing:
+            nm = os.path.basename(f)
+            if nm in run_names or _frag_range(nm)[1] >= run_t1:
+                continue  # in-run, or newer: merges after the run
+            ob = _ned_box(f)
+            if ob is None or all(
+                alo <= bhi and blo <= ahi
+                for (alo, ahi), (blo, bhi) in zip(bbox, ob)
+            ):
+                return False  # unprovable or overlapping: refuse
+        return True
+
+    if dense and runs:
+        listing = _fragment_dirs(uri)
+        runs = [r for r in runs if _dense_run_safe(r, listing)]
     if not runs:
         return 0
     all_rngs = {
@@ -1270,7 +1323,9 @@ def consolidate_array_incremental(
     weights_fn = getattr(backend, "split_weights", None)
     weights = weights_fn(uri) if weights_fn else None
     splits = plan_splits(info, None, target_splits, weights=weights)
-    cols = [d.name for d in info.dims] + [a.name for a in info.attrs]
+    dim_names = [d.name for d in info.dims]
+    attr_names = [a.name for a in info.attrs]
+    cols = dim_names + attr_names
     spans = [_span(run) for run in runs]
     tasks = [
         (ri, si) for ri in range(len(runs)) for si in range(len(splits))
@@ -1293,16 +1348,48 @@ def consolidate_array_incremental(
                 )
                 if not len(part):
                     continue
-                frag = write_native_fragment(
-                    uri,
-                    {c: part[c].to_numpy()
-                     if part[c].dtype.kind in "iuf" else list(part[c])
-                     for c in part.columns},
-                    ts_range=(t1, t2),
-                    version=19,
-                    encryption_key=key,
-                    commit=False,
-                )
+                if dense:
+                    # the run-subset merged band is a full box (the
+                    # reader clips to the run bbox and materializes
+                    # fills) — same shape as consolidate_array's dense
+                    # branch; admissibility proved the bbox disjoint
+                    # from every older fragment, so those fills shadow
+                    # nothing
+                    part = part.sort_values(dim_names, kind="mergesort")
+                    box = [
+                        (int(part[d].min()), int(part[d].max()))
+                        for d in dim_names
+                    ]
+                    vol = 1
+                    for blo, bhi in box:
+                        vol *= bhi - blo + 1
+                    if vol != len(part):
+                        raise ValueError(
+                            "dense incremental band is not a full box:"
+                            f" {len(part)} cells for {box}"
+                        )
+                    frag = write_native_fragment(
+                        uri,
+                        {a: part[a].to_numpy()
+                         if part[a].dtype.kind in "iuf" else list(part[a])
+                         for a in attr_names},
+                        subarray=box,
+                        ts_range=(t1, t2),
+                        version=19,
+                        encryption_key=key,
+                        commit=False,
+                    )
+                else:
+                    frag = write_native_fragment(
+                        uri,
+                        {c: part[c].to_numpy()
+                         if part[c].dtype.kind in "iuf" else list(part[c])
+                         for c in part.columns},
+                        ts_range=(t1, t2),
+                        version=19,
+                        encryption_key=key,
+                        commit=False,
+                    )
                 out.append((int(ri), os.path.basename(frag)))
         yield pd.DataFrame(
             out or [(-1, "")], columns=["run_id", "frag"]
@@ -1356,7 +1443,9 @@ def consolidate_array_incremental(
         if not names:
             continue
         t1, t2 = spans[ri]
-        if not _still_admissible(run, t1, t2):
+        if not _still_admissible(run, t1, t2) or (
+            dense and not _dense_run_safe(run, _fragment_dirs(uri))
+        ):
             # Abort this run: its staged fragments never got a commit
             # marker (invisible by the crash-atomicity contract); drop
             # them from disk instead of leaving orphan directories.
