@@ -437,6 +437,20 @@ class NativeDecoderBackend(ArrayBackend):
         except (OSError, ValueError):
             return None
 
+    def string_split_keys(self, uri, at=None, since=None):
+        """Candidate split cut keys for a var-length dim0 (fragment
+        var-NED boundaries, metadata only) — [] when unavailable; the
+        planner then keeps the single-split fallback."""
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            string_dim_split_keys,
+        )
+
+        try:
+            self._reg(uri)
+            return string_dim_split_keys(uri, at=at, since=since)
+        except (OSError, ValueError):
+            return []
+
     def write(self, uri, pdf, sparse=True, ts=None):
         import pandas as pd  # noqa: PLC0415
 
@@ -658,6 +672,7 @@ def plan_splits(
     dim_ranges: Optional[dict[str, Any]] = None,
     target_splits: int = 32,
     weights: Optional[list] = None,
+    string_keys: Optional[list] = None,
 ) -> list[list[tuple[Any, Any]]]:
     """Cut the (predicate-narrowed) domain of the first integer-typed
     dimension into ≤ ``target_splits`` contiguous ranges; other dimensions
@@ -674,12 +689,15 @@ def plan_splits(
     Returns [] when a predicate empties the domain (nothing to scan).
 
     BOUNDARY: the split axis is the first INTEGER dim.  An array whose
-    dims are all var-length (string) yields ONE split — var-dim footer
-    MBRs are untrusted (module note in tiledb_native.py) so no
-    coordinate axis can be cut safely, and per-fragment task splits
-    would break newest-wins dedup across overlapping fragments.  Such
-    arrays parallelize by adding an integer dim (the reference's own
-    guidance: dimensions are the physical index).
+    dims are all var-length (string/bytes) is cut on dim0 at the
+    caller-supplied ``string_keys`` (round 7 — fragment var-NED
+    boundaries from ``string_dim_split_keys``): inclusive ranges stay
+    perfectly disjoint-and-covering because the successor of key ``k``
+    in lexicographic order is ``k + "\\0"`` — nothing sorts strictly
+    between them — so per-task newest-wins dedup over a key range is
+    exactly as correct as on integer axes.  Without ``string_keys``
+    (no parseable footers, mixed eras) such arrays yield ONE split, the
+    pre-round-7 behavior.
     """
     dim_ranges = dim_ranges or {}
 
@@ -715,6 +733,32 @@ def plan_splits(
         else:
             narrowed.append((pieces[0][0], pieces[-1][1]))
     if split_axis is None:
+        if string_keys and len(per_dim[0]) == 1:
+            lo0, hi0 = per_dim[0][0]
+            cuts = sorted({
+                k for k in string_keys
+                if (lo0 is None or k >= lo0) and (hi0 is None or k < hi0)
+            })
+            if len(cuts) > max(1, target_splits) - 1:
+                # thin evenly to ≤ target_splits-1 cut points
+                step = -(-len(cuts) // (max(1, target_splits) - 1))
+                cuts = cuts[step - 1::step]
+            if cuts:
+                succ = (
+                    (lambda k: k + "\0") if isinstance(cuts[0], str)
+                    else (lambda k: k + b"\0")
+                )
+                splits0 = []
+                start = lo0
+                for k in cuts:
+                    s = list(narrowed)
+                    s[0] = (start, k)
+                    splits0.append(s)
+                    start = succ(k)
+                s = list(narrowed)
+                s[0] = (start, hi0)
+                splits0.append(s)
+                return splits0
         return [list(narrowed)]
 
     axis_pieces = per_dim[split_axis]
@@ -859,7 +903,22 @@ def read_array(
     # metadata) turn uniform-span splits into cell-count-quantile splits
     weights_fn = getattr(backend, "split_weights", None)
     weights = weights_fn(uri, at=at) if weights_fn else None
-    splits = plan_splits(info, dim_ranges, target_splits, weights=weights)
+    # string-keyed arrays (no integer axis): cut dim0 at the fragments'
+    # var-NED boundary keys so read parallelism tracks the fragment
+    # count instead of collapsing to one task (round 7)
+    skeys = None
+    if not any(
+        isinstance(b, int)
+        for d in info.dims for b in (d.domain or (None, None))
+    ):
+        skeys_fn = getattr(backend, "string_split_keys", None)
+        skeys = (
+            skeys_fn(uri, at=at, since=since) if skeys_fn else None
+        )
+    splits = plan_splits(
+        info, dim_ranges, target_splits,
+        weights=weights, string_keys=skeys,
+    )
     ddl = ", ".join(
         f"{c} {next(x.dtype for x in info.dims + info.attrs if x.name == c)}"
         for c in cols

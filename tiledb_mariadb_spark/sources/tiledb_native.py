@@ -1910,6 +1910,23 @@ _NP_DT = {
 }
 
 
+def _np_obj_scalar(v):
+    """A str/bytes comparison bound as a 0-d OBJECT ndarray.  Comparing
+    an object column against a PLAIN str scalar makes numpy coerce the
+    scalar through the U dtype, which silently STRIPS trailing NUL code
+    points — so a split bound like ``k + "\\0"`` (the lexicographic
+    successor the string split planner emits) collapses back to ``k``
+    and adjacent splits double-count the boundary key (round-7 probe
+    finding).  The 0-d object wrap keeps elementwise python semantics."""
+    if isinstance(v, (str, bytes)):
+        import numpy as np  # noqa: PLC0415
+
+        o = np.empty((), dtype=object)
+        o[()] = v
+        return o
+    return v
+
+
 def _np_cond_mask(vals, op: str, rest):
     """Vectorized single-conjunct delete-condition evaluation over one
     merged column (the numpy twin of :func:`_match_delete`): True where
@@ -1934,7 +1951,7 @@ def _np_cond_mask(vals, op: str, rest):
         )
     if not rest:
         return None
-    t = rest[0]
+    t = _np_obj_scalar(rest[0])
 
     def _cmp(sub):
         return {
@@ -2515,9 +2532,13 @@ def read_native_array_range_np(
             try:
                 for col, (rlo, rhi) in zip(dcols, rngs):
                     if rlo is not None:
-                        mask &= np.asarray(col >= rlo, dtype=bool)
+                        mask &= np.asarray(
+                            col >= _np_obj_scalar(rlo), dtype=bool
+                        )
                     if rhi is not None:
-                        mask &= np.asarray(col <= rhi, dtype=bool)
+                        mask &= np.asarray(
+                            col <= _np_obj_scalar(rhi), dtype=bool
+                        )
             except TypeError:
                 return None  # uncomparable bound/cell types: row path
             idx = np.flatnonzero(mask)
@@ -2844,11 +2865,12 @@ def read_native_array_range(
                 if lo is None and hi is None:
                     continue
                 a = np.asarray(col)
-                if a.dtype == object or a.dtype.kind in "SV":
-                    # string dims: python path.  BYTES cells (blob dims)
-                    # must never ride numpy's S dtype — its comparisons
-                    # use SIGNED chars, so high-bit bytes order
-                    # differently than python's unsigned bytes
+                if a.dtype == object or a.dtype.kind in "SVU":
+                    # string/bytes dims: python path.  BYTES cells must
+                    # never ride numpy's S dtype (signed-char order ≠
+                    # python's unsigned bytes), and U coerces a bound
+                    # like k+"\0" (string split successor) back to k by
+                    # stripping trailing NULs — both would mis-filter
                     raise TypeError
                 if lo is not None:
                     mask &= a >= lo
@@ -3100,14 +3122,20 @@ def read_native_array_range(
 
 class FragmentFooter:
     __slots__ = ("version", "dense", "non_empty_domain", "sparse_tile_num",
-                 "last_tile_cell_num")
+                 "last_tile_cell_num", "var_ned")
 
-    def __init__(self, version, dense, ned, stn, ltcn):
+    def __init__(self, version, dense, ned, stn, ltcn, var_ned=None):
         self.version = version
         self.dense = dense
         self.non_empty_domain = ned  # per dim: (lo, hi) or None (untrusted)
         self.sparse_tile_num = stn
         self.last_tile_cell_num = ltcn
+        # VAR-dim NED values, aligned with dims: (lo, hi) str/bytes or
+        # None (fixed dim, null NED, or a decode surprise).  Kept apart
+        # from non_empty_domain so metadata-only COUNT proofs stay
+        # conservative; fragment pruning and string split planning
+        # opt in explicitly (round 7).
+        self.var_ned = var_ned or [None] * len(ned)
 
 
 def _generic_tile_span(buf: bytes, off: int) -> int | None:
@@ -3174,6 +3202,7 @@ def _parse_footer_raw(raw: bytes, schema: "NativeSchema", frag_ver):
         if dense not in (0, 1) or nned not in (0, 1):
             return None
         ned = []
+        var_ned = []
         for d in schema.dims:
             _n, code, size = _DT[d.dtype_id]
             if d.is_var:
@@ -3181,9 +3210,33 @@ def _parse_footer_raw(raw: bytes, schema: "NativeSchema", frag_ver):
                 pos += 16
                 if ssize > dsize or pos + dsize > len(raw):
                     return None
+                # decode the (start, end) values — [ssize bytes][rest]
+                # (the writer's layout; libtiledb stores the same pair).
+                # non_empty_domain stays None (metadata-only COUNT
+                # proofs remain conservative); var_ned carries the pair
+                # for pruning/split-planning opt-ins.  Text dims decode
+                # STRICT utf-8 — a garbled layout almost surely fails
+                # the decode and degrades to None, never a wrong prune.
+                vlo = raw[pos:pos + ssize]
+                vhi = raw[pos + ssize:pos + dsize]
+                if nned or dsize == 0:
+                    var_ned.append(None)
+                elif d.dtype_id in (4, 11, 12, 42):
+                    try:
+                        slo, shi = vlo.decode(), vhi.decode()
+                        var_ned.append(
+                            (slo, shi) if slo <= shi else None
+                        )
+                    except UnicodeDecodeError:
+                        var_ned.append(None)
+                else:
+                    var_ned.append(
+                        (bytes(vlo), bytes(vhi)) if vlo <= vhi else None
+                    )
                 pos += dsize
                 ned.append(None)  # untrusted for pruning (see module note)
             else:
+                var_ned.append(None)
                 lo, hi = struct.unpack_from(f"<2{code}", raw, pos)
                 pos += 2 * size
                 if nned:
@@ -3197,7 +3250,8 @@ def _parse_footer_raw(raw: bytes, schema: "NativeSchema", frag_ver):
                         return None
                     ned.append((lo, hi))
         stn, ltcn = struct.unpack_from("<QQ", raw, pos)
-        return FragmentFooter(ver, bool(dense), ned, stn, ltcn)
+        return FragmentFooter(ver, bool(dense), ned, stn, ltcn,
+                              var_ned=var_ned)
     except (struct.error, IndexError):
         return None
 
@@ -3238,6 +3292,39 @@ def window_ned(
     return box
 
 
+def string_dim_split_keys(
+    array_dir: str, at: int | None = None, since: int | None = None
+) -> list:
+    """Sorted distinct dim0 var-NED boundary values (str or bytes) of
+    the visible fragments — candidate SPLIT CUT KEYS for string-keyed
+    arrays (round 7).  Metadata-only (footer walk).  Best-effort and
+    correctness-neutral: split masks re-check every cell, so a missing
+    or skewed boundary only affects balance, never results.  [] when
+    dim0 is not var-length or no footer yields a decodable pair —
+    callers fall back to the single-split plan.  Range-partitioned
+    fragment writes (the connector's shape) give ~2 boundaries per
+    fragment, so read parallelism tracks the fragment count."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    if not schema.dims or not schema.dims[0].is_var:
+        return []
+    keys: set = set()
+    for frag in _fragment_dirs(array_dir, at=at, since=since):
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        footer = (
+            parse_fragment_footer(fm, schema)
+            if os.path.isfile(fm) else None
+        )
+        if footer is None:
+            continue
+        vn = footer.var_ned[0]
+        if vn is not None:
+            keys.update(vn)
+    try:
+        return sorted(keys)
+    except TypeError:
+        return []  # mixed str/bytes pairs across eras: no safe order
+
+
 def fragment_overlaps(
     frag: str, schema: "NativeSchema", ranges: list | None
 ) -> bool:
@@ -3251,8 +3338,24 @@ def fragment_overlaps(
     footer = parse_fragment_footer(fm, schema)
     if footer is None:
         return True
-    for dom, (lo, hi) in zip(footer.non_empty_domain, ranges):
+    for i, (dom, (lo, hi)) in enumerate(
+        zip(footer.non_empty_domain, ranges)
+    ):
         if dom is None:
+            # var dim: the decoded var-NED pair prunes string/bytes
+            # ranges (round 7 — the flat-narrow-read property for
+            # string-keyed tables); uncomparable bound types prove
+            # nothing (never a wrong skip)
+            dom = footer.var_ned[i]
+            if dom is None:
+                continue
+            try:
+                if lo is not None and dom[1] < lo:
+                    return False
+                if hi is not None and dom[0] > hi:
+                    return False
+            except TypeError:
+                pass
             continue
         if lo is not None and dom[1] < lo:
             return False
