@@ -4762,3 +4762,302 @@ SPECS.append(
         "(O(window) freshness, never O(array))",
     )
 )
+
+
+# --- q327: DENSE incremental consolidation (round 7) --------------------------
+# libtiledb refuses nothing here outright, but a dense subset-merge's
+# fill cells can shadow older data; round 7 admits the provably-safe
+# subset (run bbox disjoint from every older fragment's box — the
+# append workload) and this spec pins the lifecycle: a big base band,
+# four small appended bands, a size-ratio incremental merge that never
+# rewrites the base, vacuum, and a read identical to newest-wins
+# recompute.  Fixture rows are bounded via orderBy().limit(1200) (no
+# global row_number window — r6 verdict nit).
+def q327_dense_incremental(spark, sf_dir):
+    import os as _os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        consolidate_array_incremental,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        vacuum_native_array,
+        write_native_fragment,
+    )
+
+    cents = [
+        r.cents
+        for r in t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(1200)
+        .select(
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+        .collect()
+    ]
+    uri = tempfile.mkdtemp(prefix="q327_dense_inc_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("x", 1, 1, (0, 99999), 50)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    # base band: cells 0..999 (one big fragment)
+    write_native_fragment(
+        uri, {"v": cents[:1000]}, ts=100, subarray=[(0, 999)],
+        version=19,
+    )
+    # four appended 50-cell bands at 1000..1199, bumped values
+    for i in range(4):
+        lo = 1000 + i * 50
+        write_native_fragment(
+            uri,
+            {"v": [c + 7 for c in cents[lo:lo + 50]]},
+            ts=200 + i, subarray=[(lo, lo + 49)], version=19,
+        )
+    n_before = len(_fragment_dirs(uri))
+    big = _os.path.basename(_fragment_dirs(uri)[0])
+    n_new = consolidate_array_incremental(spark, uri, target_splits=4)
+    vacuum_native_array(uri)
+    survivors = [_os.path.basename(f) for f in _fragment_dirs(uri)]
+    df = read_array(spark, uri, target_splits=4)
+    return (
+        df.groupBy(F.expr("x DIV 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+        )
+        .withColumn("merged_smalls", F.lit(1 <= n_new < n_before - 1))
+        .withColumn("base_untouched", F.lit(big in survivors))
+        .orderBy("bucket")
+    )
+
+
+Q327_SQL = """
+WITH src AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS x,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1200)),
+cells AS (
+  SELECT x, CASE WHEN x < 1000 THEN cents ELSE cents + 7 END AS v
+  FROM src)
+SELECT CAST(x // 100 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       TRUE AS merged_smalls, TRUE AS base_untouched
+FROM cells GROUP BY 1 ORDER BY 1
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q327_dense_incremental",
+        q327_dense_incremental,
+        Q327_SQL,
+        "DENSE incremental consolidation (round 7): size-ratio runs "
+        "admitted only when the run bbox is provably disjoint from "
+        "every older fragment's box; base band never rewritten",
+    )
+)
+
+
+# --- q328: CDC window reads survive un-vacuumed consolidation (round 7) -------
+# The round-7 advisor's coverage/window ordering bug as a conformance
+# spec: consolidate WITHOUT vacuum, then read since= a point inside the
+# consolidated span — the still-on-disk original fragments must serve
+# the window (window visibility precedes coverage dedup), newest-wins
+# within the window.
+def q328_cdc_coverage(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        consolidate_array,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        ArrayInfo,
+        AttrInfo,
+        DimInfo,
+        NativeDecoderBackend,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q328_cdc_cov_") + "/arr"
+    NativeDecoderBackend().create(
+        uri,
+        ArrayInfo(
+            dims=[DimInfo("k", "bigint", (0, 10**7))],
+            attrs=[AttrInfo("cents", "bigint", nullable=False),
+                   AttrInfo("status", "string", nullable=False)],
+        ),
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # layer 1: everything at ts=1000; layer 2: keys<=2000 bumped at
+    # ts=2000; layer 3: keys<=1000 bumped again at ts=3000
+    write_array(src.coalesce(2), uri, ts=1000)
+    write_array(
+        src.filter("k <= 2000")
+        .withColumn("cents", F.col("cents") + 1)
+        .withColumn("status", F.lit("W2")).coalesce(1),
+        uri, ts=2000,
+    )
+    write_array(
+        src.filter("k <= 1000")
+        .withColumn("cents", F.col("cents") + 2)
+        .withColumn("status", F.lit("W3")).coalesce(1),
+        uri, ts=3000,
+    )
+    # consolidate, NO vacuum: originals stay on disk, covered
+    assert consolidate_array(spark, uri, target_splits=4) >= 1
+    win = read_array(spark, uri, since=1500, target_splits=4)
+    return (
+        win.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+
+
+Q328_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders),
+win AS (
+  -- the [1500, now] window sees layers 2 and 3; newest-wins: keys
+  -- <=1000 read W3 (+2), 1000<k<=2000 read W2 (+1)
+  SELECT k,
+         CASE WHEN k <= 1000 THEN cents + 2 ELSE cents + 1 END AS cents,
+         CASE WHEN k <= 1000 THEN 'W3' ELSE 'W2' END AS status
+  FROM src WHERE k <= 2000)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM win GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q328_cdc_coverage",
+        q328_cdc_coverage,
+        Q328_SQL,
+        "CDC since= window reads return the in-window originals even "
+        "while an un-vacuumed consolidated fragment spans the window "
+        "start (window visibility precedes coverage dedup)",
+    )
+)
+
+
+# --- q329: fixed-CHAR cells through the connector (round 7) -------------------
+# data_types.test's CHAR(n) column shape at engine scale: fixed-width
+# CHAR attrs now ride the columnar fast path (object strings, trailing
+# NULs preserved); this spec writes exact-width CHAR cells from orders
+# and aggregates over a key range.
+def q329_char_fast_path(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q329_char_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("status", 4, 1, False, None),   # CHAR(1)
+            NativeAttr("clerk8", 4, 8, False, None),   # CHAR(8)
+            NativeAttr("cents", 1, 1, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("substring(rpad(o_orderpriority, 8, '_'), 1, 8)").alias("clerk8"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def part(batches):
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            write_native_fragment(
+                uri,
+                {"k": list(pdf["k"]), "status": list(pdf["status"]),
+                 "clerk8": list(pdf["clerk8"]),
+                 "cents": list(pdf["cents"])},
+                version=19,
+            )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    arr = read_array(
+        spark, uri, dim_ranges={"k": (1, 3000)}, target_splits=4
+    )
+    return (
+        arr.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("clerk8").alias("first_clerk"),
+            F.expr("count(DISTINCT clerk8)").alias("n_clerks"),
+        )
+        .orderBy("status")
+    )
+
+
+Q329_SQL = """
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+         AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(SUBSTRING(RPAD(o_orderpriority, 8, '_'), 1, 8)) AS first_clerk,
+       CAST(COUNT(DISTINCT SUBSTRING(RPAD(o_orderpriority, 8, '_'), 1, 8)) AS BIGINT)
+         AS n_clerks
+FROM orders WHERE o_orderkey BETWEEN 1 AND 3000
+GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q329_char_fast_path",
+        q329_char_fast_path,
+        Q329_SQL,
+        "fixed-width CHAR attrs on the columnar fast path (round 7): "
+        "exact-width cells, connector range read, byte-exact with the "
+        "row path (data_types.test CHAR shape)",
+    )
+)
