@@ -3381,11 +3381,12 @@ def q314_native_dense_v19(spark, sf_dir):
                 " AS BIGINT)"
             ).alias("cents"),
         )
+        .orderBy("o_orderkey")
+        .limit(1200)
         .withColumn(
             "k",
             F.row_number().over(Window.orderBy("o_orderkey")) - 1,
         )
-        .filter(F.col("k") <= 1199)
     )
 
     def write_box(df, lo, hi, ts):
@@ -3512,11 +3513,12 @@ def q315_dense_datasource(spark, sf_dir):
                 " AS BIGINT)"
             ).alias("cents"),
         )
+        .orderBy("o_orderkey")
+        .limit(1000)
         .withColumn(
             "k",
             F.row_number().over(Window.orderBy("o_orderkey")) - 1,
         )
-        .filter(F.col("k") <= 999)
     )
 
     def write_box(df, lo, hi, ts):
@@ -3856,10 +3858,11 @@ def q318_encrypted_dense(spark, sf_dir):
                 " AS BIGINT)"
             ).alias("cents"),
         )
+        .orderBy("o_orderkey")
+        .limit(800)
         .withColumn(
             "k", F.row_number().over(Window.orderBy("o_orderkey")) - 1
         )
-        .filter(F.col("k") <= 799)
     )
 
     def write_box(df, lo, hi, ts):
@@ -4103,11 +4106,12 @@ def q320_dense_consolidation(spark, sf_dir):
                 " AS BIGINT)"
             ).alias("cents"),
         )
+        .orderBy("o_orderkey")
+        .limit(1200)
         .withColumn(
             "k",
             F.row_number().over(Window.orderBy("o_orderkey")) - 1,
         )
-        .filter(F.col("k") <= 1199)
     )
 
     def write_box(df, lo, hi, ts):
