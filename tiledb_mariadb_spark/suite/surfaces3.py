@@ -5065,3 +5065,94 @@ SPECS.append(
         "row path (data_types.test CHAR shape)",
     )
 )
+
+
+# --- q330: JVM aggregate pushdown — group_by_handler via plain SQL (r7) -------
+# The reference answers ungrouped COUNT/MIN/MAX/SUM from storage before
+# the executor runs (group_by_handler, ha_mytile.cc:607-715).  The
+# Python DataSource API has no SupportsPushDownAggregates hook, so this
+# parity lives in a thin compiled-on-demand Java DSv2 provider
+# (java/TileDBAggDataSource.java, format "tiledb_agg") that bridges
+# back into the repo's metadata decoder: plain SQL aggregates over the
+# view are answered from fragment metadata, zero data tiles decoded
+# (decode-poison-proven in tests/test_jvm_agg.py).
+def q330_jvm_agg(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.jvm_agg import (  # noqa: PLC0415
+        agg_reader,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q330_jvm_agg_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("custkey", 1, 1, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_custkey").alias("custkey"),
+    )
+
+    def part(batches):
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            write_native_fragment(
+                uri,
+                {c: list(pdf[c]) for c in pdf.columns},
+                version=19,
+            )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    agg_reader(spark, uri).load().createOrReplaceTempView("q330_arr")
+    df = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k, "
+        "SUM(cents) AS sum_cents, MIN(custkey) AS min_cust, "
+        "MAX(custkey) AS max_cust FROM q330_arr"
+    )
+    pushed = "MetadataAggScan" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    return df.withColumn("pushed_to_metadata", F.lit(pushed))
+
+
+Q330_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+         AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+       TRUE AS pushed_to_metadata
+FROM orders
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q330_jvm_agg",
+        q330_jvm_agg,
+        Q330_SQL,
+        "JVM DSv2 aggregate pushdown (round 7): plain-SQL COUNT/MIN/"
+        "MAX/SUM over format('tiledb_agg') answered from fragment "
+        "metadata, zero data tiles decoded (group_by_handler parity)",
+    )
+)

@@ -1,0 +1,127 @@
+"""Subprocess bridge for the JVM aggregate-pushdown shim.
+
+``java/TileDBAggDataSource.java`` (the DataSource V2 provider behind
+``spark.read.format("tiledb_agg")``) launches this module to reach the
+repo's pure-Python native decoder from the JVM:
+
+- ``schema --uri U``: the array's Spark DDL as one JSON object;
+- ``agg --uri U --aggs count;min:c;sum:c``: metadata-only aggregate
+  values (count_native_array / attr_stats_native_array — the
+  group_by_handler trust rules, ha_mytile.cc:607-715: never a guessed
+  value, ``ok=false`` whenever the merged view could differ from
+  per-fragment stats) as one JSON object;
+- ``rows --uri U``: the full decoded table as JSON lines (the honest
+  scan fallback when an aggregate cannot be proven from metadata).
+
+Everything prints to stdout; errors exit nonzero with the reason on
+stderr (the Java side surfaces both).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _json_cell(v):
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    raise TypeError(f"unsupported cell type {type(v).__name__}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jvm_bridge")
+    p.add_argument("cmd", choices=["schema", "agg", "rows"])
+    p.add_argument("--uri", required=True)
+    p.add_argument("--at", type=int, default=None)
+    p.add_argument("--encryption-key", default=None)
+    p.add_argument("--aggs", default="")
+    a = p.parse_args(argv)
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        attr_stats_native_array,
+        count_native_array,
+        open_encryption,
+        read_native_array_range,
+    )
+
+    if a.encryption_key is not None:
+        open_encryption(a.uri, a.encryption_key)
+
+    if a.cmd == "schema":
+        try:
+            info = NativeDecoderBackend(
+                encryption_key=a.encryption_key
+            ).info(a.uri, at=a.at)
+        except Exception as e:  # noqa: BLE001 - bridge boundary
+            print(json.dumps({"ok": False, "reason": str(e)}))
+            return 0
+        ddl = ", ".join(
+            f"{x.name} {x.dtype}" for x in list(info.dims) + list(info.attrs)
+        )
+        print(json.dumps({"ok": True, "ddl": ddl}))
+        return 0
+
+    if a.cmd == "agg":
+        cnt = count_native_array(a.uri, at=a.at)
+        st = attr_stats_native_array(a.uri, at=a.at)
+        if cnt is None or st is None:
+            print(json.dumps({"ok": False, "reason": "stats not provable"}))
+            return 0
+        vals = []
+        for req in [r for r in a.aggs.split(";") if r]:
+            if req == "count":
+                vals.append(int(cnt))
+                continue
+            op, _, col = req.partition(":")
+            s = st.get(col) or {}
+            if op in ("min", "max"):
+                if "min" not in s:
+                    print(json.dumps(
+                        {"ok": False, "reason": f"no min/max stat for {col}"}
+                    ))
+                    return 0
+                v = s["min"] if op == "min" else s["max"]
+            elif op == "sum":
+                if "sum" not in s:
+                    print(json.dumps(
+                        {"ok": False, "reason": f"no sum stat for {col}"}
+                    ))
+                    return 0
+                v = s["sum"]
+            else:
+                print(json.dumps(
+                    {"ok": False, "reason": f"unknown agg {op}"}
+                ))
+                return 0
+            vals.append(_json_cell(v) if hasattr(v, "item") else v)
+        print(json.dumps({"ok": True, "values": vals}, default=_json_cell))
+        return 0
+
+    # rows: the honest full-scan fallback
+    try:
+        _names, rows = read_native_array_range(a.uri, at=a.at)
+    except Exception as e:  # noqa: BLE001 - bridge boundary
+        print(f"tiledb_agg rows bridge: {e}", file=sys.stderr)
+        return 3
+    w = sys.stdout.write
+    for r in rows:
+        try:
+            w(json.dumps(list(r), default=_json_cell))
+        except TypeError as e:
+            print(
+                f"tiledb_agg rows bridge: non-JSON cell ({e}); use the "
+                "tiledb_native Python datasource for this array",
+                file=sys.stderr,
+            )
+            return 3
+        w("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
