@@ -276,11 +276,24 @@ class TileDBNativeReader(DataSourceReader):
             plan_splits,
         )
 
-        weights_fn = getattr(_backend(self.encryption_key), "split_weights", None)
+        be = _backend(self.encryption_key)
+        weights_fn = getattr(be, "split_weights", None)
         weights = weights_fn(self.uri, at=self.at) if weights_fn else None
+        # string-keyed arrays (no integer axis): cut dim0 at fragment
+        # var-NED boundary keys so format() reads parallelize too (r7)
+        skeys = None
+        if not any(
+            isinstance(b, int)
+            for d in self._info.dims for b in (d.domain or (None, None))
+        ):
+            skeys_fn = getattr(be, "string_split_keys", None)
+            skeys = (
+                skeys_fn(self.uri, at=self.at, since=self.since)
+                if skeys_fn else None
+            )
         splits = plan_splits(
             self._info, self.dim_ranges, self.target_splits,
-            weights=weights,
+            weights=weights, string_keys=skeys,
         )
         return [_SplitPartition(s) for s in splits]
 
