@@ -106,6 +106,15 @@ HEADLINE = [
     # bands with an unaligned overlay fragment (tile-expanded layout,
     # true-NED footer) — benched beside q301's sparse lifecycle
     "q320_dense_consolidation",
+    # round-7 additions: dense INCREMENTAL consolidation (size-ratio
+    # runs over appended bands, base never rewritten), the fixed-CHAR
+    # columnar fast path through the connector, and the JVM DSv2
+    # aggregate-pushdown shim (plain-SQL COUNT/MIN/MAX/SUM answered
+    # from fragment metadata; includes the on-demand javac+ADD JAR
+    # registration cost on first run)
+    "q327_dense_incremental",
+    "q329_char_fast_path",
+    "q330_jvm_agg",
 ]
 
 
