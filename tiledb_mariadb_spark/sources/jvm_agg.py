@@ -56,9 +56,10 @@ def ensure_agg_jar(build_dir: str | None = None) -> str:
     with open(os.path.join(meta, _SERVICE), "w") as f:
         f.write("TileDBAggDataSource\n")
     cp = os.path.join(_pyspark_jars(), "*")
+    tmp_jar = jar_path + f".tmp.{os.getpid()}"
     for argv in (
         ["javac", "-cp", cp, "-d", classes, _JAVA_SRC],
-        ["jar", "cf", jar_path, "-C", classes, ".",
+        ["jar", "cf", tmp_jar, "-C", classes, ".",
          "-C", build_dir, "META-INF"],
     ):
         r = subprocess.run(argv, capture_output=True, text=True)
@@ -66,6 +67,7 @@ def ensure_agg_jar(build_dir: str | None = None) -> str:
             raise RuntimeError(
                 f"jvm_agg build failed ({argv[0]}): {r.stderr[:2000]}"
             )
+    os.replace(tmp_jar, jar_path)  # concurrent builders: atomic publish
     return jar_path
 
 
