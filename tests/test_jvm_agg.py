@@ -93,10 +93,10 @@ def test_agg_pushdown_zero_decode(spark, tmp_path):
 
 
 def test_agg_fallback_is_honest(spark, tmp_path):
-    """Aggregates metadata cannot prove (var-string MIN/MAX — the
-    writer records no var stats; grouped aggregates) fall back to the
-    bridge row scan and still return correct values; the scan path
-    itself round-trips the table."""
+    """Var-string MIN/MAX pushes from the fmmsn text extrema (round 7 —
+    the reference pushes string MIN/MAX, ha_mytile.cc:480-487); grouped
+    aggregates fall back to the bridge row scan and still return
+    correct values; the scan path itself round-trips the table."""
     from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
 
     uri = _mk(tmp_path, n=200)
@@ -109,7 +109,7 @@ def test_agg_fallback_is_honest(spark, tmp_path):
     plan = spark.sql(
         "SELECT MIN(tag) FROM jvm_agg_f"
     )._jdf.queryExecution().executedPlan().toString()
-    assert "MetadataAggScan" not in plan
+    assert "MetadataAggScan" in plan  # string extrema from metadata
     grouped = spark.sql(
         "SELECT tag, COUNT(*) AS n FROM jvm_agg_f GROUP BY tag ORDER BY tag"
     ).collect()

@@ -65,7 +65,9 @@ def test_v19_roundtrip_all_readers(tmp_path):
     assert st_["v"] == {"min": min(vs), "max": max(vs), "sum": sum(vs)}
     assert st_["f"]["sum"] == sum(fs)  # sequential f64, bit-exact
     assert st_["k"]["sum"] == sum(ks)
-    assert st_["s"] == {}  # var strings: no stats, honestly absent
+    # var strings carry fragment-level extrema since round 7
+    # (string MIN/MAX pushdown parity, ha_mytile.cc:480-487)
+    assert st_["s"] == {"min": min(ss), "max": max(ss)}
     schema = parse_array_schema(_schema_path(d))
     tiles = fragment_tile_stats(frag, schema, "v")
     assert len(tiles) == 10  # capacity-packed: 95 cells / cap 10

@@ -3528,14 +3528,31 @@ def fragment_cell_count(frag: str, schema: "NativeSchema") -> int | None:
 
 def _neds_pairwise_disjoint(footers: list) -> bool:
     """True only when every pair of fragments has provably disjoint
-    non-empty domains (some TRUSTED dim's intervals do not overlap)."""
+    non-empty domains (some dim's intervals do not overlap).  Fixed dims
+    use the validated footer NED; var (string/bytes) dims use the
+    decoded var-NED pair when BOTH fragments carry one (round 7 — lets
+    range-partitioned string-keyed corpora prove metadata-only COUNT
+    and mergeable stats); a missing or uncomparable pair proves
+    nothing, never a wrong disjointness."""
     for i in range(len(footers)):
         for j in range(i + 1, len(footers)):
             disjoint = False
-            for da, db in zip(footers[i].non_empty_domain,
-                              footers[j].non_empty_domain):
+            n = len(footers[i].non_empty_domain)
+            for k in range(n):
+                da = footers[i].non_empty_domain[k]
+                db = footers[j].non_empty_domain[k]
                 if da is None or db is None:
-                    continue  # untrusted dim proves nothing
+                    da = footers[i].var_ned[k]
+                    db = footers[j].var_ned[k]
+                    if da is None or db is None:
+                        continue
+                    try:
+                        if da[1] < db[0] or db[1] < da[0]:
+                            disjoint = True
+                            break
+                    except TypeError:
+                        continue  # str/bytes era mix: proves nothing
+                    continue
                 if da[1] < db[0] or db[1] < da[0]:
                     disjoint = True
                     break

@@ -1667,10 +1667,22 @@ def _field_tile_stats(field, vals, slices):
         if nullable
         else None
     )
-    if cvn != 1 or code == "c" or len(vals) == 0:  # len(): ndarray-safe
+    is_text = dtype_id in (4, 11, 12, 42)  # CHAR/ASCII/UTF-8/WKT
+    if (cvn != 1 and not is_text) or len(vals) == 0:  # len(): ndarray-ok
         return None, None, None, nulls
     if nullable and any(v is None for v in vals):
         return None, None, None, nulls
+    if is_text:
+        # TEXT min/max (round 7 — the reference pushes string MIN/MAX
+        # through the group_by_handler, ha_mytile.cc:480-487): per-tile
+        # string extrema; no sum.  Mixed str/bytes cells (the writer
+        # accepts both) have no total order — skip stats, never guess.
+        try:
+            mins = [min(vals[s:e]) for s, e in slices]
+            maxs = [max(vals[s:e]) for s, e in slices]
+        except TypeError:
+            return None, None, None, nulls
+        return mins, maxs, None, nulls
     # vectorized tier for numeric columns (per-cell python min/max/sum
     # dominated large fragment writes — 85% of a 4M-row write was this
     # function).  Exactness contracts preserved: np.cumsum accumulates
@@ -1863,7 +1875,10 @@ def _write_fragment_metadata_v19(
     for key, idx in (("tile_min", 0), ("tile_max", 1)):
         for nm in names:
             vals = stats[nm][idx]
-            if vals is None:
+            # TEXT extrema live only in the fragment-level fmmsn tile
+            # (var-size per-TILE sections would need the offsets+var
+            # layout; fragment-level is what the aggregate path reads)
+            if vals is None or fields[nm].dtype_id in (4, 11, 12, 42):
                 sec[key][nm] = add(struct.pack("<QQ", 0, 0))
             else:
                 dtype_id = fields[nm].dtype_id
@@ -1893,6 +1908,14 @@ def _write_fragment_metadata_v19(
         mins, maxs, sums, nulls = stats[nm]
         if mins is None:
             fm += struct.pack("<QQ", 0, 0)
+        elif fields[nm].dtype_id in (4, 11, 12, 42):
+            # TEXT extrema: length-prefixed utf-8 (the fmmsn layout's
+            # var form; _decode_stat_value reads it back as str)
+            lo, hi = min(mins), max(maxs)
+            lo_b = lo.encode() if isinstance(lo, str) else bytes(lo)
+            hi_b = hi.encode() if isinstance(hi, str) else bytes(hi)
+            fm += struct.pack("<Q", len(lo_b)) + lo_b
+            fm += struct.pack("<Q", len(hi_b)) + hi_b
         else:
             dtype_id = fields[nm].dtype_id
             _c, code, size = _DT[dtype_id]
