@@ -37,6 +37,8 @@ import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc;
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation;
+import org.apache.spark.sql.connector.expressions.aggregate.Avg;
+import org.apache.spark.sql.connector.expressions.aggregate.Count;
 import org.apache.spark.sql.connector.expressions.aggregate.CountStar;
 import org.apache.spark.sql.connector.expressions.aggregate.Max;
 import org.apache.spark.sql.connector.expressions.aggregate.Min;
@@ -283,6 +285,26 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
           }
           reqs.add("sum:" + c);
           types.add(integral(t) ? DataTypes.LongType : DataTypes.DoubleType);
+        } else if (f instanceof Avg) {
+          Avg a = (Avg) f;
+          String c = singleColumn(a.column());
+          DataType t = c == null ? null : fieldType(c);
+          if (a.isDistinct() || t == null) {
+            return false;
+          }
+          if (!integral(t) && t != DataTypes.DoubleType && t != DataTypes.FloatType) {
+            return false;
+          }
+          reqs.add("avg:" + c);
+          types.add(DataTypes.DoubleType);
+        } else if (f instanceof Count) {
+          Count cf = (Count) f;
+          String c = singleColumn(cf.column());
+          if (cf.isDistinct() || c == null || fieldType(c) == null) {
+            return false;
+          }
+          reqs.add("countcol:" + c);
+          types.add(DataTypes.LongType);
         } else {
           return false;
         }

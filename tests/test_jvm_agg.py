@@ -40,6 +40,7 @@ def _mk(tmp_path, n=500):
             NativeAttr("v", 3, 1, False, None),
             NativeAttr("q", 1, 1, False, None),
             NativeAttr("tag", 12, 0xFFFFFFFF, False, None),
+            NativeAttr("w", 1, 1, True, None),
         ],
     )
     write_native_fragment(
@@ -49,6 +50,7 @@ def _mk(tmp_path, n=500):
             "v": [i * 0.5 for i in range(n)],
             "q": [i % 7 for i in range(n)],
             "tag": [f"t{i % 3}" for i in range(n)],
+            "w": [None if i % 5 == 0 else i for i in range(n)],
         },
         ts=10,
         version=19,
@@ -77,15 +79,24 @@ def test_agg_pushdown_zero_decode(spark, tmp_path):
     agg_reader(spark, uri).load().createOrReplaceTempView("jvm_agg_t")
     q = (
         "SELECT COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx, "
-        "SUM(q) AS sq, SUM(v) AS sv, MIN(k) AS mk FROM jvm_agg_t"
+        "SUM(q) AS sq, SUM(v) AS sv, MIN(k) AS mk, "
+        "AVG(v) AS av, COUNT(v) AS cv, COUNT(w) AS cw FROM jvm_agg_t"
     )
     df = spark.sql(q)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MetadataAggScan" in plan, plan
     row = df.collect()[0]
-    assert (row.n, row.mn, row.mx, row.sq, row.sv, row.mk) == (
-        500, 0.0, 249.5, 1494, 62375.0, 0,
-    )
+    assert (
+        row.n, row.mn, row.mx, row.sq, row.sv, row.mk, row.av, row.cv,
+        row.cw,
+    ) == (500, 0.0, 249.5, 1494, 62375.0, 0, 124.75, 500, 400)
+    # AVG over a NULL-containing nullable column: sum stat withheld,
+    # honest refusal (would need a scan — which is poisoned, so assert
+    # only the plan)
+    p2 = spark.sql(
+        "SELECT AVG(w) FROM jvm_agg_t"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MetadataAggScan" not in p2
     # the poisoned row scan fails loudly — the aggregates above really
     # never touched a data tile
     with pytest.raises(Exception, match="rows bridge"):
@@ -133,7 +144,7 @@ def test_agg_refuses_unprovable_stats(spark, tmp_path):
     uri = _mk(tmp_path, n=100)
     write_native_fragment(
         uri,
-        {"k": [0], "v": [999.0], "q": [1], "tag": ["zz"]},
+        {"k": [0], "v": [999.0], "q": [1], "tag": ["zz"], "w": [7]},
         ts=20,
         version=19,
     )

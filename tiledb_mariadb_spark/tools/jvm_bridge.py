@@ -93,6 +93,39 @@ def main(argv=None) -> int:
                     ))
                     return 0
                 v = s["sum"]
+            elif op == "avg":
+                # AVG excludes NULLs: the sum stat is withheld whenever
+                # the fragment holds one, so sum-present => no NULLs and
+                # the global count is the AVG denominator
+                if "sum" not in s or cnt == 0:
+                    print(json.dumps(
+                        {"ok": False, "reason": f"no avg stat for {col}"}
+                    ))
+                    return 0
+                v = float(s["sum"]) / int(cnt)
+            elif op == "countcol":
+                # COUNT(col) counts non-NULL cells: the row count for
+                # non-nullable fields, cnt - null_count for nullable
+                # ones (a nullable field without the stat — e.g. an
+                # enumerated attr, whose stats describe ordinals — is
+                # refused, never guessed)
+                from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                    _schema_path,
+                    parse_array_schema,
+                )
+
+                schema = parse_array_schema(_schema_path(a.uri))
+                nullable = {x.name for x in schema.attrs if x.nullable}
+                if col not in nullable and col in st:
+                    v = int(cnt)
+                elif "null_count" in s:
+                    v = int(cnt) - int(s["null_count"])
+                else:
+                    print(json.dumps(
+                        {"ok": False,
+                         "reason": f"no null_count stat for {col}"}
+                    ))
+                    return 0
             else:
                 print(json.dumps(
                     {"ok": False, "reason": f"unknown agg {op}"}
