@@ -114,7 +114,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
           o.get("encryption_key"));
     }
 
-    Process start(String cmd, String extra) {
+    Process start(String cmd, String aggs, String rangesJson) {
       List<String> argv = new ArrayList<>();
       argv.add(python);
       argv.add("-m");
@@ -130,9 +130,13 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         argv.add("--encryption-key");
         argv.add(encryptionKey);
       }
-      if (extra != null) {
+      if (aggs != null) {
         argv.add("--aggs");
-        argv.add(extra);
+        argv.add(aggs);
+      }
+      if (rangesJson != null) {
+        argv.add("--ranges");
+        argv.add(rangesJson);
       }
       ProcessBuilder pb = new ProcessBuilder(argv);
       if (!pythonPath.isEmpty()) {
@@ -146,10 +150,11 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       }
     }
 
-    /** Single-JSON-object commands (schema / agg).  null on launch failure. */
+    /** Single-JSON-object commands (schema / agg / splits).  null on
+     * launch failure. */
     JsonNode call(String cmd, String extra) {
       try {
-        Process p = start(cmd, extra);
+        Process p = start(cmd, extra, null);
         String out =
             new String(p.getInputStream().readAllBytes(), StandardCharsets.UTF_8);
         p.waitFor();
@@ -456,21 +461,37 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public InputPartition[] planInputPartitions() {
-      return new InputPartition[] {new RowsPartition(opts)};
+      // split plan from the bridge (dim0 cuts / R-tree weights / string
+      // boundary keys — the same planner read_array uses) so the
+      // fallback scan parallelizes; a null entry = unbounded full scan
+      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
+      JsonNode out = b.call("splits", null);
+      List<InputPartition> parts = new ArrayList<>();
+      if (out != null && out.path("ok").asBoolean(false)
+          && out.path("splits").isArray() && out.path("splits").size() > 0) {
+        for (JsonNode s : out.path("splits")) {
+          parts.add(new RowsPartition(opts, s.isNull() ? null : s.toString()));
+        }
+      } else {
+        parts.add(new RowsPartition(opts, null));
+      }
+      return parts.toArray(new InputPartition[0]);
     }
 
     @Override
     public PartitionReaderFactory createReaderFactory() {
       StructType s = schema;
-      return p -> new RowsReader(((RowsPartition) p).opts, s);
+      return p -> new RowsReader((RowsPartition) p, s);
     }
   }
 
   static class RowsPartition implements InputPartition {
     final Map<String, String> opts;
+    final String rangesJson; // null = unbounded
 
-    RowsPartition(Map<String, String> opts) {
+    RowsPartition(Map<String, String> opts, String rangesJson) {
       this.opts = opts;
+      this.rangesJson = rangesJson;
     }
   }
 
@@ -481,10 +502,10 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     private final ObjectMapper mapper = new ObjectMapper();
     private InternalRow current;
 
-    RowsReader(Map<String, String> opts, StructType schema) {
+    RowsReader(RowsPartition part, StructType schema) {
       this.schema = schema;
-      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
-      this.proc = b.start("rows", null);
+      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(part.opts));
+      this.proc = b.start("rows", null, part.rangesJson);
       this.out =
           new BufferedReader(new InputStreamReader(proc.getInputStream(), StandardCharsets.UTF_8));
     }

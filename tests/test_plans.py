@@ -117,6 +117,12 @@ def test_no_python_udf_in_any_plan(spark):
         # same declared native-io boundary
         "q326_window_rollup",  # snapshot + window-delta fold through
         # the connector: same declared native-io boundary
+        "q327_dense_incremental",  # dense band writes + incremental
+        # run merge + connector scan: same declared native-io boundary
+        "q328_cdc_coverage",  # layered connector writes + consolidate +
+        # since-window scan: same declared native-io boundary
+        "q329_char_fast_path",  # fixed-CHAR fragment write + connector
+        # range scan: same declared native-io boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

@@ -32,11 +32,13 @@ def _json_cell(v):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jvm_bridge")
-    p.add_argument("cmd", choices=["schema", "agg", "rows"])
+    p.add_argument("cmd", choices=["schema", "agg", "rows", "splits"])
     p.add_argument("--uri", required=True)
     p.add_argument("--at", type=int, default=None)
     p.add_argument("--encryption-key", default=None)
     p.add_argument("--aggs", default="")
+    p.add_argument("--ranges", default=None)  # JSON [[lo,hi],...] | null
+    p.add_argument("--target-splits", type=int, default=16)
     a = p.parse_args(argv)
 
     from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
@@ -135,9 +137,43 @@ def main(argv=None) -> int:
         print(json.dumps({"ok": True, "values": vals}, default=_json_cell))
         return 0
 
-    # rows: the honest full-scan fallback
+    if a.cmd == "splits":
+        # split plan for the fallback scan (one JVM partition per
+        # range — dim0 cuts, R-tree weights, string boundary keys, same
+        # planner as read_array); single split when bounds aren't
+        # JSON-expressible (bytes dims)
+        from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+            plan_splits,
+        )
+
+        be = NativeDecoderBackend(encryption_key=a.encryption_key)
+        try:
+            info = be.info(a.uri, at=a.at)
+            weights = be.split_weights(a.uri, at=a.at)
+            skeys = None
+            if not any(
+                isinstance(b, int)
+                for d in info.dims for b in (d.domain or (None, None))
+            ):
+                skeys = be.string_split_keys(a.uri, at=a.at)
+            splits = plan_splits(
+                info, None, a.target_splits,
+                weights=weights, string_keys=skeys,
+            )
+            out = [[list(r) for r in s] for s in splits]
+            print(json.dumps(
+                {"ok": True, "splits": out}, default=_json_cell
+            ))
+        except (Exception, TypeError):  # noqa: BLE001 - bridge boundary
+            print(json.dumps({"ok": True, "splits": [None]}))
+        return 0
+
+    # rows: the honest (split-parallel) scan fallback
     try:
-        _names, rows = read_native_array_range(a.uri, at=a.at)
+        rng = None
+        if a.ranges and a.ranges != "null":
+            rng = [tuple(r) for r in json.loads(a.ranges)]
+        _names, rows = read_native_array_range(a.uri, ranges=rng, at=a.at)
     except Exception as e:  # noqa: BLE001 - bridge boundary
         print(f"tiledb_agg rows bridge: {e}", file=sys.stderr)
         return 3
