@@ -187,10 +187,15 @@ def all_specs() -> dict[str, QuerySpec]:
     # ROUND 7 (this window) = the 25 never-driver-sampled specs (the
     # entire round-6 tier q313-q326, then the 11 scalar-surface spills),
     # the q214 re-test (hashed projection is now ALL-INTEGER: raw int64
-    # regression moments, no derived doubles — per the r6 verdict), and
-    # 24 least-recently-verified backfill rows (the round-1 window,
-    # driver-green in r1, six rounds ago).  Cumulative driver coverage
-    # after this window: 319/319 distinct specs.
+    # regression moments, no derived doubles — per the r6 verdict), the
+    # FOUR round-7-new specs (q327-q330: dense incremental consolidation,
+    # CDC-vs-consolidation coverage, the CHAR fast path, the JVM agg
+    # shim — newest code, never sampled), and 20 least-recently-verified
+    # backfill rows (the round-1 window, driver-green in r1, six rounds
+    # ago; the four scalar-fn re-tests q17-q20 yielded their slots — the
+    # same surface is triple-covered in this window by q220/q238/q239).
+    # Cumulative driver coverage after this window: 323/323 distinct
+    # specs.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
@@ -209,14 +214,16 @@ def all_specs() -> dict[str, QuerySpec]:
         "q238_benford", "q239_time_micros",
         # r5/r6 red re-test — hashed output all-integer this round (1)
         "q214_regr_moments",
-        # least-recently-verified backfill: the round-1 window (24)
+        # round-7-new specs — newest code, never driver-sampled (4)
+        "q327_dense_incremental", "q328_cdc_coverage",
+        "q329_char_fast_path", "q330_jvm_agg",
+        # least-recently-verified backfill: the round-1 window (20)
         "q01_pricing_summary", "q02_scan_projection", "q03_filter_eq",
         "q04_filter_range", "q05_filter_in", "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
         "q10_agg_scalar", "q11_agg_having", "q12_count_distinct",
         "q13_rollup", "q14_cube", "q15_orderby_limit", "q16_setops",
-        "q17_case_cast", "q18_scalar_string", "q19_scalar_date",
-        "q20_scalar_math", "q21_pivot", "q22_distinct",
+        "q21_pivot", "q22_distinct",
         "q42_word_histogram", "q59_json_extract",
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
