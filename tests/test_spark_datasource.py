@@ -390,10 +390,13 @@ def test_sql_stats_table_metadata_mode(spark, tmp_path, monkeypatch):
     assert rows["k"].cnt == 500
     assert (rows["k"].min_num, rows["k"].max_num) == (0.0, 499.0)
     assert rows["v"].sum_num == sum(i * 0.5 for i in range(500))
-    # var-UTF-8 stats are NOT computed by the engine (trust boundary:
-    # size-0 min/max in the fmmsn tile) — absent, never guessed
+    # var-UTF-8 min/max now COME FROM fragment metadata too (the r7
+    # writer records TEXT stats in the fmmsn tile; decode is still
+    # poisoned above, so these are proven metadata-only).  Arrays whose
+    # fragments carry size-0 var entries still surface None — pinned in
+    # tests/test_native_stats.py.
     assert rows["tag"].cnt == 500
-    assert (rows["tag"].min_str, rows["tag"].max_str) == (None, None)
+    assert (rows["tag"].min_str, rows["tag"].max_str) == ("t0", "t2")
     assert rows["tag"].min_num is None
 
 
