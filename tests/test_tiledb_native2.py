@@ -137,9 +137,12 @@ def test_native_to_dataframe_discovery(spark):
 def test_unsupported_filter_fails_loudly():
     from tiledb_mariadb_spark.sources.tiledb_native import _reverse_pipeline
 
-    meta = struct.pack("<IIII", 0, 1, 4, 4)  # one 4-byte data part
+    # WEBP (18) needs libwebp — the one remaining codec refusal (LZ4,
+    # BZIP2, RLE, DICTIONARY, DELTA, POSITIVE_DELTA, BITSHUFFLE all
+    # decode as of r7; see tests/test_filter_matrix.py)
+    meta = struct.pack("<IIII", 0, 1, 8, 4)  # one data part, orig != stored
     with pytest.raises(NotImplementedError):
-        _reverse_pipeline([(3, b"")], [meta], b"abcd", 8)  # LZ4
+        _reverse_pipeline([(18, b"")], [meta], b"abcd", 8)  # WEBP
 
 
 def test_connector_executes_on_reference_arrays(spark):

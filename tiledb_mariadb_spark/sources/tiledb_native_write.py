@@ -17,11 +17,18 @@ decoder reads back byte-exact):
 - **fragment directories** ``__<t1>_<t2>_<uuid>_5`` with one chunked
   data file per field: fixed-width cells, var-length (uint64 start
   offsets + ``_var`` byte file), nullable (``_validity`` byte file);
-- **filter pipelines**: every written field declares a GZIP pipeline and
-  chunks are stored with proper per-chunk part metadata
+- **filter pipelines**: every written field declares an explicit
+  pipeline and chunks are stored with proper per-chunk part metadata
   ``[nm u32][nd u32][(orig,stored)...]`` — compression is real, and the
   explicit pipeline means the reader never has to sniff payload bytes
-  (raw int cells can alias the zlib/zstd magic);
+  (raw int cells can alias the zlib/zstd magic).  The writer emits the
+  full filter matrix (r7): GZIP / ZSTD / LZ4 / BZIP2 / DELTA byte
+  compressors, fixed-width and whole-cell var-string RLE, DICTIONARY
+  encoding (the modern libtiledb string-dim defaults), BITSHUFFLE /
+  BYTESHUFFLE / XOR / SCALE_FLOAT transforms, MD5 / SHA256 verify-on-
+  read checksums, and windowed POSITIVE_DELTA — each symmetric with
+  the sibling decoder (LZ4/BZIP2 are the real lz4-block/bz2 formats;
+  the engine-defined layouts are documented on their decode fns);
 - **dense fragments**: cells in row-major global order over the full
   domain (space tiles = whole domain, the fixture layout);
 - **sparse fragments**: one coordinate file per dimension (2.x layout).
@@ -42,9 +49,19 @@ from typing import Any, Optional, Sequence
 
 from tiledb_mariadb_spark.sources.tiledb_native import (
     _DT,
+    _F_BITSHUFFLE,
+    _F_BYTESHUFFLE,
+    _F_BZIP2,
+    _F_DELTA,
+    _F_DICT,
     _F_GZIP,
+    _F_LZ4,
     _F_MD5,
+    _F_POSDELTA,
+    _F_RLE,
+    _F_SCALE_FLOAT,
     _F_SHA256,
+    _F_XOR,
     _F_ZSTD,
     NativeAttr,
     NativeDim,
@@ -77,7 +94,183 @@ def _pack_pipeline(filters: Sequence[tuple[int, bytes]]) -> bytes:
     return out
 
 
-_W_TRANSFORMS = (9, 15, 16)  # BYTESHUFFLE, SCALE_FLOAT, XOR
+_W_TRANSFORMS = (_F_BITSHUFFLE, _F_BYTESHUFFLE, _F_SCALE_FLOAT, _F_XOR)
+_W_COMPRESSORS = (
+    _F_GZIP, _F_ZSTD, _F_LZ4, _F_BZIP2, _F_RLE, _F_DICT, _F_DELTA,
+)
+# meta-producing non-compressor filters (digest / window tables)
+_W_META = (_F_MD5, _F_SHA256, _F_POSDELTA)
+
+
+def _min_width(n: int) -> int:
+    """Smallest of {1,2,4,8} bytes that holds ``n``."""
+    for w in (1, 2, 4, 8):
+        if n < (1 << (8 * w)):
+            return w
+    raise ValueError(f"value {n} exceeds u64")
+
+
+def _rle_fixed_encode(part: bytes, width: int) -> bytes:
+    """Fixed-width RLE records [value (width)][run u16 BE] — the layout
+    the decoder pinned on the fixtures' validity tiles, generalized to
+    any value width.  Runs cap at 65535; if the encoding lands on
+    exactly len(part) bytes a zero-run record is appended so the
+    reader's raw-part shortcut (len == orig → stored raw) can't
+    misfire."""
+    if width < 1 or len(part) % width:
+        raise ValueError(f"RLE: payload not a multiple of width {width}")
+    out = bytearray()
+    pos, n = 0, len(part)
+    while pos < n:
+        val = part[pos : pos + width]
+        run = 1
+        while (
+            run < 65535
+            and pos + run * width < n
+            and part[pos + run * width : pos + (run + 1) * width] == val
+        ):
+            run += 1
+        out += val + run.to_bytes(2, "big")
+        pos += run * width
+    if len(out) == len(part):  # collision with the raw-part shortcut
+        out += part[:width] + b"\x00\x00"
+    return bytes(out)
+
+
+def _cells_of(part: bytes, lens: Sequence[int]) -> list[bytes]:
+    cells, pos = [], 0
+    for ln in lens:
+        cells.append(part[pos : pos + ln])
+        pos += ln
+    if pos != len(part):
+        raise ValueError("var cell lengths do not cover the chunk")
+    return cells
+
+
+def _rle_var_encode(part: bytes, lens: Sequence[int]) -> bytes:
+    """Var-string RLE: runs over WHOLE cells.  Layout documented in the
+    decoder (_rle_var_decode)."""
+    cells = _cells_of(part, lens)
+    runs: list[tuple[int, bytes]] = []
+    for c in cells:
+        if runs and runs[-1][1] == c:
+            runs[-1] = (runs[-1][0] + 1, c)
+        else:
+            runs.append((1, c))
+    run_w = _min_width(max((r for r, _ in runs), default=1))
+    len_w = _min_width(max((len(c) for _, c in runs), default=1))
+    if 2 + 4 + sum(run_w + len_w + len(c) for _, c in runs) == len(part):
+        runs.insert(0, (0, b""))  # zero-run pad: breaks the raw-part
+        # shortcut collision (decodes to nothing)
+    out = bytearray([run_w, len_w]) + struct.pack("<I", len(runs))
+    for run, c in runs:
+        out += run.to_bytes(run_w, "little")
+        out += len(c).to_bytes(len_w, "little")
+        out += c
+    return bytes(out)
+
+
+def _dict_encode(part: bytes, lens: Sequence[int]) -> bytes:
+    """Dictionary encoding over whole var cells, first-occurrence order.
+    Layout documented in the decoder (_dict_decode)."""
+    cells = _cells_of(part, lens)
+    index: dict[bytes, int] = {}
+    entries: list[bytes] = []
+    idx = []
+    for c in cells:
+        i = index.get(c)
+        if i is None:
+            i = index[c] = len(entries)
+            entries.append(c)
+        idx.append(i)
+    idx_w = _min_width(max(len(entries) - 1, 1))
+    len_w = _min_width(max((len(c) for c in entries), default=1))
+    for w in (idx_w, idx_w * 2):  # widen indices on a size collision
+        out = bytearray([w, len_w])
+        out += struct.pack("<II", len(entries), len(cells))
+        for c in entries:
+            out += len(c).to_bytes(len_w, "little") + c
+        for i in idx:
+            out += i.to_bytes(w, "little")
+        if len(out) != len(part):  # avoid the raw-part shortcut
+            return bytes(out)
+    raise ValueError("dictionary part size collision")  # unreachable:
+    # widening indices strictly grows the encoding
+
+
+def _delta_encode(part: bytes, width: int) -> bytes:
+    """DELTA: first element verbatim, then modular per-element
+    differences at full width (decoder: _delta_decode)."""
+    import numpy as np  # noqa: PLC0415
+
+    if width not in (1, 2, 4, 8) or len(part) % width:
+        raise ValueError(f"delta: bad element width {width}/{len(part)}")
+    a = np.frombuffer(part, dtype=f"<u{width}")
+    out = np.empty_like(a)
+    if len(a):
+        out[0] = a[0]
+        out[1:] = a[1:] - a[:-1]  # modular wrap is the intent
+    enc = out.tobytes()
+    return enc
+
+
+def _lz4_compress(part: bytes) -> bytes:
+    """Real LZ4 block format via pyarrow's lz4_raw codec; the
+    dependency-free fallback emits one literal-only sequence (valid,
+    uncompressed LZ4)."""
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+
+        comp = pa.Codec("lz4_raw").compress(part, asbytes=True)
+        # len(comp) == len(part) would misfire the reader's raw-part
+        # shortcut; the literal-only encoding below is always longer
+        if len(comp) != len(part):
+            return comp
+    except (ImportError, ValueError):
+        pass
+    n = len(part)
+    if n == 0:
+        return b"\x00"
+    head = bytearray([min(n, 15) << 4])
+    if n >= 15:
+        rem = n - 15
+        while rem >= 255:
+            head.append(255)
+            rem -= 255
+        head.append(rem)
+    return bytes(head) + part
+
+
+def _posdelta_forward(
+    payload: bytes, width: int
+) -> tuple[bytes, bytes]:
+    """POSITIVE_DELTA forward: split into 1024-byte windows; per window
+    emit [base u64][in_bytes u32] metadata and (count-1) non-negative
+    deltas as data.  Raises on any negative delta (the filter's
+    contract — matches libtiledb, which errors rather than storing a
+    wrapped delta)."""
+    import numpy as np  # noqa: PLC0415
+
+    if width not in (1, 2, 4, 8) or len(payload) % width:
+        raise ValueError(f"positive-delta: bad element width {width}")
+    win = 1024 - (1024 % width) or width
+    meta = bytearray(struct.pack("<II", len(payload), 0))
+    n_win = 0
+    out = bytearray()
+    for pos in range(0, len(payload), win):
+        wbytes = payload[pos : pos + win]
+        a = np.frombuffer(wbytes, dtype=f"<u{width}").astype(np.uint64)
+        if len(a) > 1:
+            deltas = a[1:] - a[:-1]
+            if (a[1:] < a[:-1]).any():
+                raise ValueError(
+                    "positive-delta: input not non-decreasing within window"
+                )
+            out += deltas.astype(f"<u{width}").tobytes()
+        meta += struct.pack("<QI", int(a[0]) if len(a) else 0, len(wbytes))
+        n_win += 1
+    struct.pack_into("<I", meta, 4, n_win)
+    return bytes(meta), bytes(out)
 
 
 def _encode_chunked(
@@ -85,50 +278,116 @@ def _encode_chunked(
     filters: Sequence[tuple[int, bytes]],
     elem: int = 8,
     key: Optional[bytes] = None,
+    var_lens: Optional[Sequence[int]] = None,
 ) -> bytes:
     """Forward-apply a (possibly empty) filter pipeline and wrap as ONE
     chunked tile: [num_chunks u64] then per chunk
     [orig u32][filt u32][meta u32][meta][payload].  Supported pipeline
-    shapes: [transforms...][checksum?][compressor?] where transforms are
-    BYTESHUFFLE / XOR / SCALE_FLOAT, checksum MD5/SHA256 digests ride as
-    metadata parts, and GZIP/ZSTD compress all parts with the part table
-    the reader's _reverse_pipeline expects.  An empty pipeline stores
-    raw chunks with filt == orig."""
+    shapes: [transforms...][meta-filters...][compressor?] where
+    transforms are BITSHUFFLE / BYTESHUFFLE / XOR / SCALE_FLOAT,
+    meta-filters (MD5 / SHA256 digests, POSITIVE_DELTA window tables)
+    ride as metadata parts stacked LAST-FILTER-FIRST (the order
+    _reverse_pipeline consumes them in), and a trailing compressor
+    (GZIP / ZSTD / LZ4 / BZIP2 / RLE / DICTIONARY / DELTA) compresses
+    all parts with the part table the reader expects.  Without a
+    trailing compressor at most ONE meta-producing filter is allowed
+    (the chunk header carries a single undelimited metadata block).
+    ``var_lens`` gives per-cell byte lengths of ``data`` for var-length
+    fields — required by the var-cell compressors (RLE on var data,
+    DICTIONARY), whose chunks are then built on CELL boundaries so each
+    part decodes self-contained (span reads stay O(chunks touched)).
+    An empty pipeline stores raw chunks with filt == orig."""
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _bitshuffle,
         _byteshuffle,
         _scale_float_params,
         _xor_filter,
     )
 
+    var_comp = bool(var_lens) and any(
+        f[0] in (_F_RLE, _F_DICT) for f in filters
+    )
+    n_meta = sum(1 for f in filters if f[0] in _W_META)
+    has_comp = bool(filters) and filters[-1][0] in _W_COMPRESSORS
     for i, (ftype, _m) in enumerate(filters):
-        if ftype in (_F_GZIP, _F_ZSTD) and i != len(filters) - 1:
+        if ftype in _W_COMPRESSORS and i != len(filters) - 1:
             raise NotImplementedError("compressor must be last in pipeline")
-        if ftype not in (
-            _F_GZIP, _F_ZSTD, _F_MD5, _F_SHA256, *_W_TRANSFORMS
-        ):
+        if ftype not in (*_W_COMPRESSORS, *_W_META, *_W_TRANSFORMS):
             raise NotImplementedError(
-                "writer emits GZIP/ZSTD/CHECKSUM/BYTESHUFFLE/XOR/"
-                "SCALE_FLOAT pipelines (decoder reads more)"
+                f"writer does not emit filter type {ftype} "
+                "(decoder may still read it)"
             )
-    chunks = [
-        data[i : i + _CHUNK_INPUT] for i in range(0, len(data), _CHUNK_INPUT)
-    ] or [b""]
+    if not has_comp and n_meta and (
+        n_meta > 1 or filters[-1][0] not in _W_META
+    ):
+        # without a compressor the chunk header carries ONE undelimited
+        # metadata block, which the reader hands to the LAST filter —
+        # so a meta-producing filter must be last (and alone)
+        raise NotImplementedError(
+            "metadata-producing filters need a trailing compressor "
+            "unless they are the pipeline's last filter"
+        )
+    if var_comp and len(filters) != 1:
+        raise NotImplementedError(
+            "var-cell compressors (RLE / DICTIONARY on var data) must be "
+            "the only filter in the pipeline (TileDB's own string-dim "
+            "defaults are single-filter)"
+        )
+    if var_lens is not None and sum(var_lens) != len(data):
+        raise ValueError("var_lens do not cover the payload")
+    if var_comp:
+        # cell-aligned chunking: pack whole cells up to the chunk budget
+        chunks: list[bytes] = []
+        chunk_lens: list[list[int]] = []
+        cur: list[bytes] = []
+        cur_lens: list[int] = []
+        cur_sz = 0
+        pos = 0
+        for ln in var_lens or []:
+            cell = data[pos : pos + ln]
+            pos += ln
+            if cur and cur_sz + ln > _CHUNK_INPUT:
+                chunks.append(b"".join(cur))
+                chunk_lens.append(cur_lens)
+                cur, cur_lens, cur_sz = [], [], 0
+            cur.append(cell)
+            cur_lens.append(ln)
+            cur_sz += ln
+        chunks.append(b"".join(cur))
+        chunk_lens.append(cur_lens)
+    else:
+        chunks = [
+            data[i : i + _CHUNK_INPUT]
+            for i in range(0, len(data), _CHUNK_INPUT)
+        ] or [b""]
+        chunk_lens = [[] for _ in chunks]
     out = struct.pack("<Q", len(chunks))
-    for chunk in chunks:
+    for chunk, lens in zip(chunks, chunk_lens):
         # forward-apply the pipeline: transforms rewrite the payload
-        # (tracking element width across SCALE_FLOAT), checksum filters
-        # contribute digest METADATA PARTS, a trailing compressor
-        # compresses all parts
+        # (tracking element width across SCALE_FLOAT), meta filters
+        # PREPEND their metadata parts (last filter's meta must sit
+        # first for the reader's reverse-order consumption), a trailing
+        # compressor compresses all parts
         meta_parts: list[bytes] = []
         payload = chunk
         width = elem
         compressed = False
+        # every non-compressor filter owns ONE metadata part (possibly
+        # empty — transforms), stacked last-filter-first: the reader's
+        # _reverse_pipeline consumes exactly one slot per filter as it
+        # unwinds (the part-per-filter convention pinned against the
+        # reference's DD+BWR+ZSTD offsets fixtures)
         for ftype, fmeta in filters:
-            if ftype == 9:  # BYTESHUFFLE
+            if ftype == _F_BITSHUFFLE:
+                payload = _bitshuffle(payload, width, forward=True)
+                meta_parts.insert(0, b"")
+            elif ftype == _F_BYTESHUFFLE:
                 payload = _byteshuffle(payload, width, forward=True)
-            elif ftype == 16:  # XOR
+                meta_parts.insert(0, b"")
+            elif ftype == _F_XOR:
                 payload = _xor_filter(payload, width, forward=True)
-            elif ftype == 15:  # SCALE_FLOAT
+                meta_parts.insert(0, b"")
+            elif ftype == _F_SCALE_FLOAT:
                 import numpy as np  # noqa: PLC0415
 
                 factor, offset, bw = _scale_float_params(fmeta)
@@ -136,19 +395,41 @@ def _encode_chunked(
                 ints = np.rint((floats.astype(np.float64) - offset) / factor)
                 payload = ints.astype(f"<i{bw}").tobytes()
                 width = bw
+                meta_parts.insert(0, b"")
             elif ftype in (_F_MD5, _F_SHA256):
                 import hashlib  # noqa: PLC0415
 
                 algo = hashlib.md5 if ftype == _F_MD5 else hashlib.sha256
-                meta_parts.append(algo(payload).digest())
-            else:
+                meta_parts.insert(0, algo(payload).digest())
+            elif ftype == _F_POSDELTA:
+                pmeta, payload = _posdelta_forward(payload, width)
+                meta_parts.insert(0, pmeta)
+            else:  # trailing compressor
                 if ftype == _F_GZIP:
                     comp_fn = lambda b: zlib.compress(b, 6)  # noqa: E731
-                else:
+                elif ftype == _F_ZSTD:
                     import pyarrow as pa  # noqa: PLC0415
 
                     codec = pa.Codec("zstd")
                     comp_fn = lambda b: codec.compress(b, asbytes=True)  # noqa: E731
+                elif ftype == _F_LZ4:
+                    comp_fn = _lz4_compress
+                elif ftype == _F_BZIP2:
+                    import bz2  # noqa: PLC0415
+
+                    comp_fn = lambda b: bz2.compress(b, 9)  # noqa: E731
+                elif ftype == _F_DELTA:
+                    comp_fn = lambda b, _w=width: _delta_encode(b, _w)  # noqa: E731
+                elif ftype == _F_RLE and lens:
+                    comp_fn = lambda b, _l=lens: _rle_var_encode(b, _l)  # noqa: E731
+                elif ftype == _F_RLE:
+                    comp_fn = lambda b, _w=width: _rle_fixed_encode(b, _w)  # noqa: E731
+                else:  # _F_DICT
+                    if not lens:
+                        raise NotImplementedError(
+                            "DICTIONARY applies to var-length cells only"
+                        )
+                    comp_fn = lambda b, _l=lens: _dict_encode(b, _l)  # noqa: E731
                 parts = meta_parts + [payload]
                 comps = [comp_fn(p) for p in parts]
                 meta = struct.pack("<II", len(meta_parts), 1)
@@ -310,27 +591,47 @@ def create_native_array(
     cell_order: str = "ROW_MAJOR",
     encryption_key: "Optional[bytes | str]" = None,
     enumerations: Optional[dict] = None,
+    string_compressor: Optional[str] = None,
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
     the writer's output is only trusted after the decoder re-reads it).
-    Every field gets an explicit compressor pipeline (``gzip`` or
-    ``zstd`` — TileDB's real default) so reads use the explicit-pipeline
-    path, never payload sniffing.  ``checksum`` ('md5' | 'sha256')
-    prepends a digest filter: chunk digests are stored as filter
-    metadata and VERIFIED on every read (checksum-filter parity,
-    mytile/mytile.cc filter map)."""
-    gz = [({"gzip": _F_GZIP, "zstd": _F_ZSTD}[compressor], b"")]
+    Every field gets an explicit compressor pipeline (``gzip`` /
+    ``zstd`` — TileDB's real default — / ``lz4`` / ``bzip2``) so reads
+    use the explicit-pipeline path, never payload sniffing.
+    ``checksum`` ('md5' | 'sha256') prepends a digest filter: chunk
+    digests are stored as filter metadata and VERIFIED on every read
+    (checksum-filter parity, mytile/mytile.cc filter map).
+    ``string_compressor`` ('rle' | 'dictionary') switches VAR-STRING
+    fields to whole-cell RLE / dictionary encoding — the 2.9+/2.10+
+    libtiledb defaults for string dimensions (run/dictionary over cell
+    values beats byte-stream gzip on low-cardinality label columns)."""
+    comp_map = {
+        "gzip": _F_GZIP, "zstd": _F_ZSTD, "lz4": _F_LZ4, "bzip2": _F_BZIP2,
+    }
+    gz = [(comp_map[compressor], b"")]
     if checksum:
         gz = [({"md5": _F_MD5, "sha256": _F_SHA256}[checksum], b"")] + gz
+    str_f = None
+    if string_compressor:
+        str_f = [({"rle": _F_RLE, "dictionary": _F_DICT}[
+            string_compressor], b"")]
+
+    def _default(field) -> list:
+        if str_f and field.cell_val_num == 0xFFFFFFFF and field.dtype_id in (
+            4, 11, 12, 42
+        ):
+            return str_f
+        return gz
+
     dims = [
         NativeDim(d.name, d.dtype_id, d.cell_val_num, d.domain, d.extent,
-                  filters=d.filters or gz)
+                  filters=d.filters or _default(d))
         for d in dims
     ]
     attrs = [
         NativeAttr(a.name, a.dtype_id, a.cell_val_num, a.nullable, a.fill,
-                   filters=a.filters or gz,
+                   filters=a.filters or _default(a),
                    enumeration=getattr(a, "enumeration", None))
         for a in attrs
     ]
@@ -652,10 +953,17 @@ def _write_field_files(
                 )
                 info["data"].append(len(enc))
                 f.write(enc)
+        needs_lens = any(
+            ft in (_F_RLE, _F_DICT) for ft, _m in (field.filters or [])
+        )
         with open(base[:-4] + "_var.tdb", "wb") as f:
             for s, e in slices:
                 raw = b"".join(blobs[s:e])
-                enc = _encode_chunked(raw, field.filters, elem=elem, key=ekey)
+                enc = _encode_chunked(
+                    raw, field.filters, elem=elem, key=ekey,
+                    var_lens=[len(b) for b in blobs[s:e]]
+                    if needs_lens else None,
+                )
                 info["var"].append(len(enc))
                 info["var_sizes"].append(len(raw))
                 f.write(enc)
