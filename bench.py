@@ -115,6 +115,7 @@ HEADLINE = [
     "q327_dense_incremental",
     "q329_char_fast_path",
     "q330_jvm_agg",
+    "q331_filter_matrix",
 ]
 
 

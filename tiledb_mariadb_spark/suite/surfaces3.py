@@ -5156,3 +5156,123 @@ SPECS.append(
         "metadata, zero data tiles decoded (group_by_handler parity)",
     )
 )
+
+
+# --- q331: the full filter matrix end-to-end (round 7) ------------------------
+# The reference reads whatever filter pipeline libtiledb wrote
+# (mytile/mytile.cc filter map).  Round 7 completed the engine's codec
+# matrix: this spec puts EVERY new codec on its natural column shape in
+# one array — POSITIVE_DELTA+LZ4 on the monotone key dimension,
+# DICTIONARY on a low-cardinality label, whole-cell var-string RLE on a
+# second label, BITSHUFFLE+ZSTD on small-magnitude ints, DELTA on a
+# bounded int, BZIP2 on doubles — writes real fragments, and reads a
+# key range back through the connector's columnar path.
+def q331_filter_matrix(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _F_BITSHUFFLE,
+        _F_BZIP2,
+        _F_DELTA,
+        _F_DICT,
+        _F_LZ4,
+        _F_POSDELTA,
+        _F_RLE,
+        _F_ZSTD,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q331_filters_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None,
+                        filters=[(_F_POSDELTA, b""), (_F_LZ4, b"")])],
+        attrs=[
+            NativeAttr("status", 12, 0xFFFFFFFF, False, None,
+                       filters=[(_F_DICT, b"")]),
+            NativeAttr("prio", 12, 0xFFFFFFFF, False, None,
+                       filters=[(_F_RLE, b"")]),
+            NativeAttr("cents", 1, 1, False, None,
+                       filters=[(_F_BITSHUFFLE, b""), (_F_ZSTD, b"")]),
+            NativeAttr("ship", 0, 1, False, None,
+                       filters=[(_F_DELTA, b"")]),
+            NativeAttr("price", 3, 1, False, None,
+                       filters=[(_F_BZIP2, b"")]),
+        ],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(day(o_orderdate) AS INT)").alias("ship"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+
+    def part(batches):
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            write_native_fragment(
+                uri,
+                {c: list(pdf[c]) for c in pdf.columns},
+                version=19,
+            )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    arr = read_array(
+        spark, uri, dim_ranges={"k": (1, 4000)}, target_splits=4
+    )
+    return (
+        arr.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("prio").alias("min_prio"),
+            F.expr("count(DISTINCT prio)").alias("n_prio"),
+            F.sum("ship").alias("sum_ship"),
+            F.expr(
+                "CAST(ROUND(SUM(price) * 100.0D) AS BIGINT)"
+            ).alias("price_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+Q331_SQL = """
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+         AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(o_orderpriority) AS min_prio,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+       CAST(SUM(EXTRACT(day FROM o_orderdate)) AS BIGINT) AS sum_ship,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DOUBLE)) * 100.0) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey BETWEEN 1 AND 4000
+GROUP BY status ORDER BY status
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q331_filter_matrix",
+        q331_filter_matrix,
+        Q331_SQL,
+        "full filter matrix end-to-end (round 7): POSDELTA+LZ4 key "
+        "dim, DICTIONARY + var-string RLE labels, BITSHUFFLE+ZSTD "
+        "ints, DELTA, BZIP2 — engine-written fragments read back "
+        "through the connector's columnar range path",
+    )
+)
