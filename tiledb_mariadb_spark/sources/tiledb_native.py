@@ -687,11 +687,33 @@ def _dict_decode(part: bytes, orig_len: int) -> bytes:
             f"dictionary part: {len(idx_bytes)} index bytes for "
             f"{n_cells} cells of width {idx_w}"
         )
-    idx = [
-        int.from_bytes(idx_bytes[i : i + idx_w], "little")
-        for i in range(0, len(idx_bytes), idx_w)
-    ]
-    out = b"".join(entries[i] for i in idx)
+    out = None
+    if idx_w in (1, 2, 4, 8):
+        try:
+            # vectorized gather: dictionary take in Arrow C code — the
+            # result's data buffer IS the concatenated cell bytes
+            import numpy as np  # noqa: PLC0415
+            import pyarrow as pa  # noqa: PLC0415
+
+            if n_cells:
+                idx_np = np.frombuffer(idx_bytes, dtype=f"<u{idx_w}")
+                ent = pa.array(entries, type=pa.large_binary())
+                taken = ent.take(pa.array(idx_np.astype(np.int64)))
+                bufs = taken.buffers()  # [validity, offsets, data]
+                offs = np.frombuffer(bufs[1], dtype=np.int64)[
+                    taken.offset : taken.offset + len(taken) + 1
+                ]
+                out = bufs[2].to_pybytes()[offs[0] : offs[-1]]
+            else:
+                out = b""
+        except ImportError:
+            out = None
+    if out is None:
+        idx = [
+            int.from_bytes(idx_bytes[i : i + idx_w], "little")
+            for i in range(0, len(idx_bytes), idx_w)
+        ]
+        out = b"".join(entries[i] for i in idx)
     if len(out) != orig_len:
         raise ValueError(f"dictionary decoded {len(out)}, expected {orig_len}")
     return out

@@ -119,19 +119,44 @@ def _rle_fixed_encode(part: bytes, width: int) -> bytes:
     misfire."""
     if width < 1 or len(part) % width:
         raise ValueError(f"RLE: payload not a multiple of width {width}")
-    out = bytearray()
-    pos, n = 0, len(part)
-    while pos < n:
-        val = part[pos : pos + width]
-        run = 1
-        while (
-            run < 65535
-            and pos + run * width < n
-            and part[pos + run * width : pos + (run + 1) * width] == val
-        ):
-            run += 1
-        out += val + run.to_bytes(2, "big")
-        pos += run * width
+    try:
+        import numpy as np  # noqa: PLC0415
+
+        n = len(part) // width
+        if n == 0:
+            return b""
+        a = np.frombuffer(part, dtype=np.uint8).reshape(n, width)
+        # run starts where the value differs from its predecessor
+        starts = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]).any(axis=1)]
+        )
+        lens = np.diff(np.r_[starts, n])
+        # split runs longer than the u16 record cap
+        reps = -(-lens // 65535)
+        rec_starts = np.repeat(starts, reps)
+        rec_lens = np.full(int(reps.sum()), 65535, dtype=np.int64)
+        tail_pos = np.cumsum(reps) - 1
+        rec_lens[tail_pos] = lens - (reps - 1) * 65535
+        vals = a[rec_starts]  # (records, width)
+        be = np.empty((len(rec_lens), 2), dtype=np.uint8)
+        be[:, 0] = rec_lens >> 8
+        be[:, 1] = rec_lens & 0xFF
+        out = np.concatenate([vals, be], axis=1).tobytes()
+    except ImportError:
+        buf = bytearray()
+        pos, nb = 0, len(part)
+        while pos < nb:
+            val = part[pos : pos + width]
+            run = 1
+            while (
+                run < 65535
+                and pos + run * width < nb
+                and part[pos + run * width : pos + (run + 1) * width] == val
+            ):
+                run += 1
+            buf += val + run.to_bytes(2, "big")
+            pos += run * width
+        out = bytes(buf)
     if len(out) == len(part):  # collision with the raw-part shortcut
         out += part[:width] + b"\x00\x00"
     return bytes(out)
@@ -147,16 +172,49 @@ def _cells_of(part: bytes, lens: Sequence[int]) -> list[bytes]:
     return cells
 
 
+def _arrow_cells(part: bytes, lens: Sequence[int]):
+    """Zero-copy Arrow LargeBinaryArray over the chunk's cells, or None
+    without pyarrow/numpy (callers fall back to the python encoders)."""
+    try:
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+    except ImportError:
+        return None
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(lens, dtype=np.int64), out=offs[1:])
+    if offs[-1] != len(part):
+        raise ValueError("var cell lengths do not cover the chunk")
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(part)],
+    )
+
+
 def _rle_var_encode(part: bytes, lens: Sequence[int]) -> bytes:
     """Var-string RLE: runs over WHOLE cells.  Layout documented in the
-    decoder (_rle_var_decode)."""
-    cells = _cells_of(part, lens)
+    decoder (_rle_var_decode).  Run boundaries come from one vectorized
+    Arrow not_equal over shifted slices; only the runs themselves are
+    built in python (clustered data — RLE's use case — has few)."""
     runs: list[tuple[int, bytes]] = []
-    for c in cells:
-        if runs and runs[-1][1] == c:
-            runs[-1] = (runs[-1][0] + 1, c)
-        else:
-            runs.append((1, c))
+    arr = _arrow_cells(part, lens) if len(lens) else None
+    if arr is not None and len(arr) > 1:
+        import numpy as np  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+        starts = np.flatnonzero(
+            np.r_[True, neq.to_numpy(zero_copy_only=False)]
+        )
+        bounds = np.r_[starts, len(arr)]
+        for i, st in enumerate(starts):
+            runs.append((int(bounds[i + 1] - st), arr[int(st)].as_py()))
+    else:
+        cells = _cells_of(part, lens)
+        for c in cells:
+            if runs and runs[-1][1] == c:
+                runs[-1] = (runs[-1][0] + 1, c)
+            else:
+                runs.append((1, c))
     run_w = _min_width(max((r for r, _ in runs), default=1))
     len_w = _min_width(max((len(c) for _, c in runs), default=1))
     if 2 + 4 + sum(run_w + len_w + len(c) for _, c in runs) == len(part):
@@ -171,27 +229,44 @@ def _rle_var_encode(part: bytes, lens: Sequence[int]) -> bytes:
 
 
 def _dict_encode(part: bytes, lens: Sequence[int]) -> bytes:
-    """Dictionary encoding over whole var cells, first-occurrence order.
+    """Dictionary encoding over whole var cells, first-occurrence order
+    (Arrow's C dictionary_encode when available — it assigns codes in
+    first-appearance order, matching the python fallback exactly).
     Layout documented in the decoder (_dict_decode)."""
-    cells = _cells_of(part, lens)
-    index: dict[bytes, int] = {}
-    entries: list[bytes] = []
-    idx = []
-    for c in cells:
-        i = index.get(c)
-        if i is None:
-            i = index[c] = len(entries)
-            entries.append(c)
-        idx.append(i)
+    arr = _arrow_cells(part, lens) if len(lens) else None
+    if arr is not None:
+        denc = arr.dictionary_encode()
+        entries = denc.dictionary.to_pylist()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        cells_n = len(arr)
+    else:
+        cells = _cells_of(part, lens)
+        index: dict[bytes, int] = {}
+        entries = []
+        idx = []
+        for c in cells:
+            i = index.get(c)
+            if i is None:
+                i = index[c] = len(entries)
+                entries.append(c)
+            idx.append(i)
+        cells_n = len(cells)
     idx_w = _min_width(max(len(entries) - 1, 1))
     len_w = _min_width(max((len(c) for c in entries), default=1))
     for w in (idx_w, idx_w * 2):  # widen indices on a size collision
         out = bytearray([w, len_w])
-        out += struct.pack("<II", len(entries), len(cells))
+        out += struct.pack("<II", len(entries), cells_n)
         for c in entries:
             out += len(c).to_bytes(len_w, "little") + c
-        for i in idx:
-            out += i.to_bytes(w, "little")
+        try:
+            import numpy as np  # noqa: PLC0415
+
+            out += np.asarray(idx, dtype=np.int64).astype(
+                f"<u{w}"
+            ).tobytes()
+        except ImportError:
+            for i in idx:
+                out += i.to_bytes(w, "little")
         if len(out) != len(part):  # avoid the raw-part shortcut
             return bytes(out)
     raise ValueError("dictionary part size collision")  # unreachable:
@@ -214,14 +289,20 @@ def _delta_encode(part: bytes, width: int) -> bytes:
     return enc
 
 
+_LZ4_CODEC = None
+
+
 def _lz4_compress(part: bytes) -> bytes:
-    """Real LZ4 block format via pyarrow's lz4_raw codec; the
+    """Real LZ4 block format via pyarrow's lz4_raw codec (cached); the
     dependency-free fallback emits one literal-only sequence (valid,
     uncompressed LZ4)."""
+    global _LZ4_CODEC
     try:
-        import pyarrow as pa  # noqa: PLC0415
+        if _LZ4_CODEC is None:
+            import pyarrow as pa  # noqa: PLC0415
 
-        comp = pa.Codec("lz4_raw").compress(part, asbytes=True)
+            _LZ4_CODEC = pa.Codec("lz4_raw")
+        comp = _LZ4_CODEC.compress(part, asbytes=True)
         # len(comp) == len(part) would misfire the reader's raw-part
         # shortcut; the literal-only encoding below is always longer
         if len(comp) != len(part):
@@ -304,7 +385,7 @@ def _encode_chunked(
         _xor_filter,
     )
 
-    var_comp = bool(var_lens) and any(
+    var_comp = var_lens is not None and len(var_lens) > 0 and any(
         f[0] in (_F_RLE, _F_DICT) for f in filters
     )
     n_meta = sum(1 for f in filters if f[0] in _W_META)
@@ -336,25 +417,27 @@ def _encode_chunked(
     if var_lens is not None and sum(var_lens) != len(data):
         raise ValueError("var_lens do not cover the payload")
     if var_comp:
-        # cell-aligned chunking: pack whole cells up to the chunk budget
-        chunks: list[bytes] = []
-        chunk_lens: list[list[int]] = []
-        cur: list[bytes] = []
-        cur_lens: list[int] = []
-        cur_sz = 0
-        pos = 0
-        for ln in var_lens or []:
-            cell = data[pos : pos + ln]
-            pos += ln
-            if cur and cur_sz + ln > _CHUNK_INPUT:
-                chunks.append(b"".join(cur))
-                chunk_lens.append(cur_lens)
-                cur, cur_lens, cur_sz = [], [], 0
-            cur.append(cell)
-            cur_lens.append(ln)
-            cur_sz += ln
-        chunks.append(b"".join(cur))
-        chunk_lens.append(cur_lens)
+        # cell-aligned chunking: pack whole cells up to the chunk
+        # budget.  Vectorized — one searchsorted per CHUNK over the
+        # cumulative cell lengths, never a per-cell python loop.
+        import numpy as np  # noqa: PLC0415
+
+        lens_np = np.asarray(var_lens or [], dtype=np.int64)
+        cum = np.cumsum(lens_np)
+        chunks = []
+        chunk_lens = []
+        cell0 = 0
+        n_cells_total = len(lens_np)
+        while cell0 < n_cells_total:
+            base = int(cum[cell0 - 1]) if cell0 else 0
+            end = int(np.searchsorted(cum, base + _CHUNK_INPUT, "right"))
+            if end == cell0:  # single cell larger than the budget
+                end = cell0 + 1
+            chunks.append(data[base : int(cum[end - 1])])
+            chunk_lens.append(lens_np[cell0:end])
+            cell0 = end
+        if not chunks:
+            chunks, chunk_lens = [b""], [[]]
     else:
         chunks = [
             data[i : i + _CHUNK_INPUT]
@@ -420,12 +503,12 @@ def _encode_chunked(
                     comp_fn = lambda b: bz2.compress(b, 9)  # noqa: E731
                 elif ftype == _F_DELTA:
                     comp_fn = lambda b, _w=width: _delta_encode(b, _w)  # noqa: E731
-                elif ftype == _F_RLE and lens:
+                elif ftype == _F_RLE and len(lens):
                     comp_fn = lambda b, _l=lens: _rle_var_encode(b, _l)  # noqa: E731
                 elif ftype == _F_RLE:
                     comp_fn = lambda b, _w=width: _rle_fixed_encode(b, _w)  # noqa: E731
                 else:  # _F_DICT
-                    if not lens:
+                    if not len(lens):
                         raise NotImplementedError(
                             "DICTIONARY applies to var-length cells only"
                         )
