@@ -323,18 +323,20 @@ def _lz4_compress(part: bytes) -> bytes:
 
 
 def _posdelta_forward(
-    payload: bytes, width: int
+    payload: bytes, width: int, max_window: int = 1024
 ) -> tuple[bytes, bytes]:
-    """POSITIVE_DELTA forward: split into 1024-byte windows; per window
-    emit [base u64][in_bytes u32] metadata and (count-1) non-negative
-    deltas as data.  Raises on any negative delta (the filter's
-    contract — matches libtiledb, which errors rather than storing a
-    wrapped delta)."""
+    """POSITIVE_DELTA forward: split into ``max_window``-byte windows
+    (TILEDB_POSITIVE_DELTA_MAX_WINDOW, default 1024); per window emit
+    [base u64][in_bytes u32] metadata and (count-1) non-negative deltas
+    as data.  Raises on any negative delta (the filter's contract —
+    matches libtiledb, which errors rather than storing a wrapped
+    delta)."""
     import numpy as np  # noqa: PLC0415
 
     if width not in (1, 2, 4, 8) or len(payload) % width:
         raise ValueError(f"positive-delta: bad element width {width}")
-    win = 1024 - (1024 % width) or width
+    max_window = max(int(max_window), width)
+    win = max_window - (max_window % width) or width
     meta = bytearray(struct.pack("<II", len(payload), 0))
     n_win = 0
     out = bytearray()
@@ -485,22 +487,33 @@ def _encode_chunked(
                 algo = hashlib.md5 if ftype == _F_MD5 else hashlib.sha256
                 meta_parts.insert(0, algo(payload).digest())
             elif ftype == _F_POSDELTA:
-                pmeta, payload = _posdelta_forward(payload, width)
+                # schema-pipeline option = max window bytes (u32 LE, the
+                # TILEDB_POSITIVE_DELTA_MAX_WINDOW serialization)
+                (pwin,) = struct.unpack_from("<I", fmeta, 0) \
+                    if len(fmeta) >= 4 else (1024,)
+                pmeta, payload = _posdelta_forward(payload, width, pwin)
                 meta_parts.insert(0, pmeta)
-            else:  # trailing compressor
+            else:  # trailing compressor; option = TILEDB_COMPRESSION_
+                # LEVEL from the [compressor u8][level i32] option bytes
+                # (-1/absent = codec default)
+                level = _comp_level(ftype, fmeta)
                 if ftype == _F_GZIP:
-                    comp_fn = lambda b: zlib.compress(b, 6)  # noqa: E731
+                    glv = level if 0 <= level <= 9 else 6
+                    comp_fn = lambda b, _l=glv: zlib.compress(b, _l)  # noqa: E731
                 elif ftype == _F_ZSTD:
                     import pyarrow as pa  # noqa: PLC0415
 
-                    codec = pa.Codec("zstd")
+                    codec = pa.Codec(
+                        "zstd", compression_level=level
+                    ) if 1 <= level <= 22 else pa.Codec("zstd")
                     comp_fn = lambda b: codec.compress(b, asbytes=True)  # noqa: E731
                 elif ftype == _F_LZ4:
                     comp_fn = _lz4_compress
                 elif ftype == _F_BZIP2:
                     import bz2  # noqa: PLC0415
 
-                    comp_fn = lambda b: bz2.compress(b, 9)  # noqa: E731
+                    blv = level if 1 <= level <= 9 else 9
+                    comp_fn = lambda b, _l=blv: bz2.compress(b, _l)  # noqa: E731
                 elif ftype == _F_DELTA:
                     comp_fn = lambda b, _w=width: _delta_encode(b, _w)  # noqa: E731
                 elif ftype == _F_RLE and len(lens):
@@ -675,6 +688,9 @@ def create_native_array(
     encryption_key: "Optional[bytes | str]" = None,
     enumerations: Optional[dict] = None,
     string_compressor: Optional[str] = None,
+    coordinate_filters: Optional[str] = None,
+    offset_filters: Optional[str] = None,
+    validity_filters: Optional[str] = None,
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
@@ -688,7 +704,12 @@ def create_native_array(
     ``string_compressor`` ('rle' | 'dictionary') switches VAR-STRING
     fields to whole-cell RLE / dictionary encoding — the 2.9+/2.10+
     libtiledb defaults for string dimensions (run/dictionary over cell
-    values beats byte-stream gzip on low-cardinality label columns)."""
+    values beats byte-stream gzip on low-cardinality label columns).
+    Per-field ``filters`` may be the parsed ``[(id, meta)]`` list OR the
+    reference's DDL CSV string (``'GZIP=6,BYTESHUFFLE'`` — the
+    ``filters=`` column option, parse_filter_list parity); the
+    ``coordinate_filters`` / ``offset_filters`` / ``validity_filters``
+    table options take the same CSV."""
     comp_map = {
         "gzip": _F_GZIP, "zstd": _F_ZSTD, "lz4": _F_LZ4, "bzip2": _F_BZIP2,
     }
@@ -700,6 +721,9 @@ def create_native_array(
         str_f = [({"rle": _F_RLE, "dictionary": _F_DICT}[
             string_compressor], b"")]
 
+    def _parse(f):
+        return native_filters_from_csv(f) if isinstance(f, str) else f
+
     def _default(field) -> list:
         if str_f and field.cell_val_num == 0xFFFFFFFF and field.dtype_id in (
             4, 11, 12, 42
@@ -709,15 +733,25 @@ def create_native_array(
 
     dims = [
         NativeDim(d.name, d.dtype_id, d.cell_val_num, d.domain, d.extent,
-                  filters=d.filters or _default(d))
+                  filters=_parse(d.filters) or _default(d))
         for d in dims
     ]
     attrs = [
         NativeAttr(a.name, a.dtype_id, a.cell_val_num, a.nullable, a.fill,
-                   filters=a.filters or _default(a),
+                   filters=_parse(a.filters) or _default(a),
                    enumeration=getattr(a, "enumeration", None))
         for a in attrs
     ]
+    coords_f = (
+        native_filters_from_csv(coordinate_filters)
+        if coordinate_filters else gz
+    )
+    offsets_f = (
+        native_filters_from_csv(offset_filters) if offset_filters else gz
+    )
+    validity_f = (
+        native_filters_from_csv(validity_filters) if validity_filters else gz
+    )
     co = {"ROW_MAJOR": 0, "COL_MAJOR": 1, "HILBERT": 4}[cell_order]
     if co == 4 and (
         array_type != "SPARSE"
@@ -755,7 +789,8 @@ def create_native_array(
             raise ValueError(f"enumeration {en}: needs at least one label")
     schema = NativeSchema(
         7, array_type, capacity, list(dims), list(attrs),
-        coords_filters=gz, offsets_filters=gz, validity_filters=gz,
+        coords_filters=coords_f, offsets_filters=offsets_f,
+        validity_filters=validity_f,
         allows_dups=allows_dups, cell_order=co,
     )
     os.makedirs(array_dir, exist_ok=True)
@@ -2409,3 +2444,195 @@ def _write_fragment_metadata_v19(
     got = parse_footer_sections(path, schema)
     if got is None or got["fmmsn"] != fmmsn_off:
         raise RuntimeError("v19 metadata self-check failed")
+
+
+# --- DDL filter surface (parse_filter_list / filter_list_to_str parity) ------
+
+#: tiledb_filter_type_to_str vocabulary (tiledb.h) — the names the
+#: reference's DDL accepts (mytile/mytile.cc:1308-1413 parse_filter_list)
+#: and its discovery prints back (mytile-discovery.cc:249-267).
+_FILTER_NAME_TO_ID = {
+    "NONE": 0,
+    "GZIP": _F_GZIP,
+    "ZSTD": _F_ZSTD,
+    "LZ4": _F_LZ4,
+    "RLE": _F_RLE,
+    "BZIP2": _F_BZIP2,
+    "DOUBLE_DELTA": 6,
+    "BIT_WIDTH_REDUCTION": 7,
+    "BITSHUFFLE": _F_BITSHUFFLE,
+    "BYTESHUFFLE": _F_BYTESHUFFLE,
+    "POSITIVE_DELTA": _F_POSDELTA,
+    "CHECKSUM_MD5": _F_MD5,
+    "CHECKSUM_SHA256": _F_SHA256,
+    "DICTIONARY_ENCODING": _F_DICT,
+    "DICTIONARY": _F_DICT,  # accepted alias (colfilters vocabulary)
+    "SCALE_FLOAT": _F_SCALE_FLOAT,
+    "XOR": _F_XOR,
+    "WEBP": 18,
+    "DELTA": _F_DELTA,
+}
+_FILTER_ID_TO_NAME = {
+    v: k for k, v in _FILTER_NAME_TO_ID.items() if k != "DICTIONARY"
+}
+_LEVELED = {_F_GZIP, _F_ZSTD, _F_LZ4, _F_BZIP2, _F_DELTA, _F_RLE,
+            _F_DICT, 6}
+#: filter id -> tiledb::sm::Compressor enum — the leading byte of a
+#: compressor filter's schema-blob option serialization
+#: ([compressor u8][level i32], pinned against the obs fixture's
+#: ZSTD/DOUBLE_DELTA entries)
+_COMPRESSOR_ENUM = {
+    _F_GZIP: 1, _F_ZSTD: 2, _F_LZ4: 3, _F_RLE: 4, _F_BZIP2: 5, 6: 6,
+    _F_DICT: 7, _F_DELTA: 8,
+}
+
+
+def _comp_meta(fid: int, level: int = -1) -> bytes:
+    """Compressor option bytes exactly as real schema blobs store them."""
+    return struct.pack("<Bi", _COMPRESSOR_ENUM[fid], level)
+
+
+def _comp_level(fid: int, meta: bytes) -> int:
+    """Level from compressor option bytes: the real 5-byte
+    [compressor u8][level i32] layout, or a legacy bare i32."""
+    if len(meta) >= 5:
+        return struct.unpack_from("<i", meta, 1)[0]
+    if len(meta) >= 4:
+        return struct.unpack_from("<i", meta, 0)[0]
+    return -1
+
+
+def native_filters_from_csv(
+    filter_csv: str, for_write: bool = True
+) -> list:
+    """The reference's ``parse_filter_list`` for the NATIVE tier
+    (mytile/mytile.cc:1308 — ``"GZIP=6,BYTESHUFFLE"``-style CSV from the
+    ``filters=`` column option / ``coordinate_filters`` etc. table
+    options) → ``[(filter_id, option_bytes)]`` pipelines whose option
+    encodings match the schema-blob filter-metadata serialization the
+    decoder already reads back: compressors carry the i32
+    TILEDB_COMPRESSION_LEVEL, BIT_WIDTH_REDUCTION / POSITIVE_DELTA the
+    u32 max-window, SCALE_FLOAT the (factor f64, offset f64,
+    byte_width u64) triple.
+
+    ``SCALE_FLOAT=(bw-factor-offset)`` parses all THREE values — the
+    reference's own parser reads ``values[0]`` for each (an upstream
+    bug); we implement the evident intent and document the deviation.
+
+    ``for_write`` additionally refuses filters the engine's writer
+    cannot emit (BIT_WIDTH_REDUCTION, DOUBLE_DELTA, WEBP — decoder-only
+    / unsupported), so a CREATE fails at DDL time, not first INSERT."""
+    out = []
+    for filter_str in str(filter_csv).split(","):
+        filter_str = filter_str.strip()
+        if not filter_str:
+            continue
+        name, _, optstr = filter_str.partition("=")
+        name = name.strip().upper()
+        fid = _FILTER_NAME_TO_ID.get(name)
+        if fid is None:
+            raise ValueError(f"Unknown or unsupported filter type: {name}")
+        if fid == 0:  # NONE: contributes nothing
+            continue
+        meta = b""
+        if fid in _COMPRESSOR_ENUM:
+            meta = _comp_meta(fid, int(optstr) if optstr else -1)
+        elif optstr:
+            if fid in (7, _F_POSDELTA):  # max window (u32)
+                meta = struct.pack("<I", int(optstr))
+            elif fid == _F_SCALE_FLOAT:
+                vals = optstr.strip().strip("()").split("-")
+                if len(vals) != 3:
+                    raise ValueError(
+                        "SCALE_FLOAT expects (byte_width-factor-offset)"
+                    )
+                bw, factor, offset = (
+                    int(vals[0]), float(vals[1]), float(vals[2])
+                )
+                if bw not in (1, 2, 4, 8):
+                    raise ValueError(f"SCALE_FLOAT byte_width {bw}")
+                meta = struct.pack("<ddQ", factor, offset, bw)
+            # other filters have no options (parse_filter_list's
+            # "following have no filter options" arm) — ignore like the
+            # reference ignores unknown trailing options
+        elif fid == _F_SCALE_FLOAT:
+            raise ValueError(
+                "SCALE_FLOAT requires (byte_width-factor-offset) options"
+            )
+        if for_write and fid in (6, 7, 18):
+            raise ValueError(
+                f"filter {name} is read-only in this engine (decoder "
+                "reads it; the writer does not emit it)"
+            )
+        out.append((fid, meta))
+    return out
+
+
+def native_filters_to_csv(filters) -> str:
+    """``filter_list_to_str`` parity (mytile/mytile.cc:1416): render a
+    native pipeline back to the DDL CSV, options included — what the
+    discovery handler prints into SHOW CREATE TABLE
+    (mytile-discovery.cc:249-267)."""
+    parts = []
+    for fid, meta in filters or []:
+        name = _FILTER_ID_TO_NAME.get(fid, f"FILTER_{fid}")
+        if meta:
+            if fid in _COMPRESSOR_ENUM:
+                lv = _comp_level(fid, meta)
+                if lv >= 0:  # -1 = codec default: no suffix (the
+                    name += f"={lv}"  # reference prints defaults too,
+                    # but its own fixtures carry -1 everywhere)
+            elif fid in (7, _F_POSDELTA) and len(meta) >= 4:
+                (w,) = struct.unpack_from("<I", meta, 0)
+                name += f"={w}"
+            elif fid == _F_SCALE_FLOAT and len(meta) >= 24:
+                factor, offset, bw = struct.unpack_from("<ddQ", meta, 0)
+                name += f"=({bw}-{factor:g}-{offset:g})"
+        parts.append(name)
+    return ",".join(parts)
+
+
+def show_create_native_array(array_dir: str, name: str = None) -> str:
+    """Assisted discovery over a REAL on-disk array: synthesize the
+    CREATE TABLE the reference's discovery handler would print
+    (mytile-discovery.cc:54-473), with every field's actual filter
+    pipeline rendered via filter_list_to_str parity — including arrays
+    this engine never wrote."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    name = name or os.path.basename(array_dir.rstrip("/"))
+    lines = [f"CREATE TABLE `{name}` ("]
+    cols = []
+    for d in schema.dims:
+        dt = _DT.get(d.dtype_id, ("?",))[0]
+        opts = [f"`{d.name}` {dt} NOT NULL dimension=1"]
+        if d.domain is not None:
+            opts.append(f"lower_bound='{d.domain[0]}'")
+            opts.append(f"upper_bound='{d.domain[1]}'")
+        if d.extent is not None:
+            opts.append(f"tile_extent='{d.extent}'")
+        if d.filters:
+            opts.append(f"filters='{native_filters_to_csv(d.filters)}'")
+        cols.append("  " + " ".join(opts))
+    for a in schema.attrs:
+        dt = _DT.get(a.dtype_id, ("?",))[0]
+        null_sql = "" if not a.nullable else " NULL"
+        extra = ""
+        if a.filters:
+            extra = f" filters='{native_filters_to_csv(a.filters)}'"
+        cols.append(f"  `{a.name}` {dt}{null_sql}{extra}")
+    pk = ", ".join(f"`{d.name}`" for d in schema.dims)
+    cols.append(f"  PRIMARY KEY ({pk})")
+    lines.append(",\n".join(cols))
+    tail = (
+        f") uri='{array_dir}' array_type='{schema.array_type}'"
+        f" capacity={schema.capacity}"
+    )
+    for opt, fl in (
+        ("coordinate_filters", schema.coords_filters),
+        ("offset_filters", schema.offsets_filters),
+        ("validity_filters", getattr(schema, "validity_filters", None)),
+    ):
+        if fl:
+            tail += f" {opt}='{native_filters_to_csv(fl)}'"
+    lines.append(tail)
+    return "\n".join(lines)
