@@ -5276,3 +5276,96 @@ SPECS.append(
         "through the connector's columnar range path",
     )
 )
+
+
+# --- q332: native DDL discovery (round 7) -------------------------------------
+# The reference's discovery handler synthesizes CREATE TABLE from a real
+# on-disk array, filter pipelines included (mytile-discovery.cc:54-473,
+# 249-267).  This spec builds an array through the DDL filter surface
+# (the datetimes.test option shapes), rediscovers it from DISK, and
+# returns one row per column with the rendered pipeline — plus the
+# table-option pipelines — all derived from the schema blob alone.
+def q332_native_discovery(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        parse_array_schema,
+        _schema_path,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        native_filters_to_csv,
+        show_create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q332_disc_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("doc_id", 1, 1, (0, 10**7), None,
+                        filters="POSITIVE_DELTA=128,LZ4")],
+        attrs=[
+            NativeAttr("lang", 12, 0xFFFFFFFF, False, None,
+                       filters="DICTIONARY_ENCODING"),
+            NativeAttr("score", 3, 1, False, None,
+                       filters="BITSHUFFLE,ZSTD=7"),
+            NativeAttr("body", 12, 0xFFFFFFFF, False, None,
+                       filters="CHECKSUM_MD5,GZIP=9"),
+        ],
+        offset_filters="POSITIVE_DELTA=128",
+        validity_filters="RLE",
+    )
+    # write one fragment so discovery runs against a REAL array dir
+    write_native_fragment(
+        uri,
+        {"doc_id": [1, 2], "lang": ["en", "de"], "score": [0.5, 1.5],
+         "body": ["a", "b"]},
+        ts=3,
+        version=19,
+    )
+    schema = parse_array_schema(_schema_path(uri))
+    ddl = show_create_native_array(uri, name="corpus")
+    rows = []
+    for d in schema.dims:
+        rows.append(("corpus", d.name, "dimension",
+                     native_filters_to_csv(d.filters)))
+    for a in schema.attrs:
+        rows.append(("corpus", a.name, "attribute",
+                     native_filters_to_csv(a.filters)))
+    rows.append(("corpus", "__offsets", "table_option",
+                 native_filters_to_csv(schema.offsets_filters)))
+    rows.append(("corpus", "__validity", "table_option",
+                 native_filters_to_csv(schema.validity_filters)))
+    rows.append(("corpus", "__ddl_mentions_pk", "check",
+                 str("PRIMARY KEY (`doc_id`)" in ddl).lower()))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, kind string,"
+        " pipeline string"
+    ).orderBy("column_name")
+
+
+Q332_SQL = """
+SELECT * FROM (VALUES
+  ('corpus', '__ddl_mentions_pk', 'check', 'true'),
+  ('corpus', '__offsets', 'table_option', 'POSITIVE_DELTA=128'),
+  ('corpus', '__validity', 'table_option', 'RLE'),
+  ('corpus', 'body', 'attribute', 'CHECKSUM_MD5,GZIP=9'),
+  ('corpus', 'doc_id', 'dimension', 'POSITIVE_DELTA=128,LZ4'),
+  ('corpus', 'lang', 'attribute', 'DICTIONARY_ENCODING'),
+  ('corpus', 'score', 'attribute', 'BITSHUFFLE,ZSTD=7')
+) AS t(table_name, column_name, kind, pipeline)
+ORDER BY column_name
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q332_native_discovery",
+        q332_native_discovery,
+        Q332_SQL,
+        "native DDL discovery (round 7): SHOW CREATE + per-column "
+        "pipeline rendering re-derived from the on-disk schema blob "
+        "(mytile-discovery.cc parity, filter options included)",
+    )
+)
