@@ -551,3 +551,110 @@ def test_compression_level_honored(tmp_path):
                                        for _ in range(20000))),
     )
     assert w128  # big-window posdelta round-trips
+
+
+# ------------------------------------------------------ property fuzz
+
+
+def test_random_pipeline_roundtrip_fuzz(tmp_path):
+    """Property fuzz: random legal pipelines (transforms* meta-filters*
+    compressor?) over random payloads and widths round-trip exactly.
+    Catches composition edges (stage-width tracking through
+    SCALE_FLOAT, meta-part alignment with multiple producers, window
+    boundaries)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _F_SCALE_FLOAT,
+        _F_XOR,
+    )
+
+    rnd = random.Random(20260816)
+    transforms = [_F_BITSHUFFLE, _F_BYTESHUFFLE, _F_XOR]
+    metas = [_F_MD5, _F_SHA256]
+    comps = [_F_GZIP, _F_ZSTD, _F_LZ4, _F_BZIP2, _F_RLE, _F_DELTA]
+    for trial in range(60):
+        elem = rnd.choice([1, 2, 4, 8])
+        n = rnd.choice([0, 1, 5, 63, 64, 1000, 9000])
+        if rnd.random() < 0.3:  # low-entropy payload (RLE-friendly)
+            data = bytes(
+                rnd.choice([3, 7]) for _ in range(n * elem)
+            )
+        else:
+            data = bytes(rnd.randrange(256) for _ in range(n * elem))
+        pipeline = []
+        for _ in range(rnd.randrange(0, 3)):
+            pipeline.append((rnd.choice(transforms), b""))
+        n_meta = rnd.randrange(0, 3)
+        for _ in range(n_meta):
+            pipeline.append((rnd.choice(metas), b""))
+        has_comp = rnd.random() < 0.8
+        if has_comp:
+            pipeline.append((rnd.choice(comps), b""))
+        if not has_comp and n_meta and (
+            n_meta > 1 or pipeline[-1][0] not in metas
+        ):
+            continue  # writer legitimately refuses this shape
+        sub = tmp_path / f"t{trial}"
+        sub.mkdir()
+        _roundtrip(sub, pipeline, data, elem=elem)
+    # SCALE_FLOAT lossy-quantization shape: exact when values are on
+    # the factor grid
+    import struct as _s
+
+    vals = [i * 0.25 for i in range(-500, 500)]
+    data = _s.pack(f"<{len(vals)}d", *vals)
+    meta = _s.pack("<ddQ", 0.25, 0.0, 4)
+    for tail in ([], [(_F_ZSTD, b"")], [(_F_RLE, b"")]):
+        sub = tmp_path / f"sf{len(tail)}_{tail[0][0] if tail else 'x'}"
+        sub.mkdir()
+        _roundtrip(sub, [(_F_SCALE_FLOAT, meta)] + tail, data, elem=8)
+
+
+def test_datasource_write_with_filter_options(tmp_path):
+    """spark.write.format('tiledb_native') forwards the DDL filter
+    options into auto-create: per-column filters= CSVs and the
+    string_compressor default — pipelines land in the on-disk schema
+    blob and reads round-trip."""
+    import pytest as _pytest
+
+    spark = _pytest.importorskip("pyspark.sql").SparkSession.builder \
+        .master("local[4]").appName("fm_ds") \
+        .config("spark.sql.shuffle.partitions", "4") \
+        .config("spark.sql.python.filterPushdown.enabled", "true") \
+        .getOrCreate()
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        parse_array_schema,
+        _schema_path,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        native_filters_to_csv,
+    )
+
+    register_tiledb_native(spark)
+    uri = str(tmp_path / "ds_arr")
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], float(i)) for i in range(100)],
+        "k long, lang string, v double",
+    )
+    (
+        df.coalesce(1).write.format("tiledb_native")
+        .option("path", uri)
+        .option("dims", "k")
+        .option("domain.k", "0:1000")
+        .option("filters.v", "BITSHUFFLE,ZSTD=7")
+        .option("string_compressor", "dictionary")
+        .mode("append")
+        .save()
+    )
+    schema = parse_array_schema(_schema_path(uri))
+    v = next(a for a in schema.attrs if a.name == "v")
+    lang = next(a for a in schema.attrs if a.name == "lang")
+    assert native_filters_to_csv(v.filters) == "BITSHUFFLE,ZSTD=7"
+    assert native_filters_to_csv(lang.filters) == "DICTIONARY_ENCODING"
+    back = (
+        spark.read.format("tiledb_native").option("path", uri).load()
+        .orderBy("k").collect()
+    )
+    assert len(back) == 100 and back[3].lang == "de" and back[4].v == 4.0

@@ -380,8 +380,21 @@ class TileDBNativeWriter(DataSourceWriter):
             for f in self.schema.fields
             if f.name not in dim_names
         ]
+        # filter DDL passthrough (the reference's CREATE TABLE options):
+        # option("filters.<col>", "GZIP=6,BYTESHUFFLE"), plus
+        # coordinate/offset/validity_filters, compressor,
+        # string_compressor — parsed and honored by the schema writer
+        create_opts = {
+            k: v
+            for k, v in self.options.items()
+            if k.startswith("filters.")
+            or k in (
+                "compressor", "string_compressor", "coordinate_filters",
+                "offset_filters", "validity_filters",
+            )
+        }
         _backend(self.options.get("encryption_key")).create(
-            self.uri, ArrayInfo(dims=dims, attrs=attrs)
+            self.uri, ArrayInfo(dims=dims, attrs=attrs, options=create_opts)
         )
 
     def write(self, iterator: Iterator) -> _WroteFragment:

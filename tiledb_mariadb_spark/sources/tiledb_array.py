@@ -32,6 +32,7 @@ planning/pushdown/pruning logic is testable without the ``tiledb`` wheel
 from __future__ import annotations
 
 from dataclasses import dataclass
+from dataclasses import field as dc_field
 from typing import Any, Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,10 @@ class ArrayInfo:
     dims: list[DimInfo]
     attrs: list[AttrInfo]
     sparse: bool = True
+    # optional CREATE options forwarded to the native schema writer:
+    # per-field "filters.<col>" DDL CSVs, the coordinate/offset/
+    # validity_filters table options, compressor, string_compressor
+    options: dict = dc_field(default_factory=dict)
 
 
 class ArrayBackend:
@@ -399,12 +404,22 @@ class NativeDecoderBackend(ArrayBackend):
         )
 
         dims, attrs = array_info_to_native(info.dims, info.attrs)
+        opts = info.options or {}
+        # per-field filters= DDL CSVs (the reference's column option)
+        for f in (*dims, *attrs):
+            csv = opts.get(f"filters.{f.name}")
+            if csv:
+                f.filters = csv  # create_native_array parses the CSV
         create_native_array(
             uri, dims, attrs,
             array_type="SPARSE" if info.sparse else "DENSE",
             # zstd = TileDB's real default pipeline; also the fast codec
             # here (pyarrow's C zstd beats zlib on both encode + decode)
-            compressor="zstd",
+            compressor=opts.get("compressor", "zstd"),
+            string_compressor=opts.get("string_compressor"),
+            coordinate_filters=opts.get("coordinate_filters"),
+            offset_filters=opts.get("offset_filters"),
+            validity_filters=opts.get("validity_filters"),
             encryption_key=self._key,
         )
 
