@@ -658,3 +658,15 @@ def test_datasource_write_with_filter_options(tmp_path):
         .orderBy("k").collect()
     )
     assert len(back) == 100 and back[3].lang == "de" and back[4].v == 4.0
+
+
+def test_empty_var_chunk_dict_roundtrip(tmp_path):
+    """Zero-cell var tiles (empty fragments / all-cells-elsewhere
+    slices) encode an empty dictionary part instead of tripping the
+    fixed-field guard."""
+    enc = _encode_chunked(b"", [(_F_DICT, b"")], elem=1, var_lens=[])
+    p = str(tmp_path / "e.bin")
+    with open(p, "wb") as f:
+        f.write(enc)
+    assert read_tile_file(p, filters=[(_F_DICT, b"")], elem=1,
+                          var=True) == b""

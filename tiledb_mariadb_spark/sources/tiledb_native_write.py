@@ -526,10 +526,11 @@ def _encode_chunked(
                 elif ftype == _F_RLE:
                     comp_fn = lambda b, _w=width: _rle_fixed_encode(b, _w)  # noqa: E731
                 else:  # _F_DICT
-                    if not len(lens):
+                    if not len(lens) and payload:
                         raise NotImplementedError(
                             "DICTIONARY applies to var-length cells only"
                         )
+                    # empty chunk (zero cells) encodes an empty dict part
                     comp_fn = lambda b, _l=lens: _dict_encode(b, _l)  # noqa: E731
                 parts = meta_parts + [payload]
                 comps = [comp_fn(p) for p in parts]
