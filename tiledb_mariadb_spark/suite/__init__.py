@@ -197,6 +197,16 @@ def all_specs() -> dict[str, QuerySpec]:
     # Cumulative driver coverage after this window: 325/325 distinct
     # specs (q331_filter_matrix and q332_native_discovery joined
     # mid-round, taking the q22/q21 backfill re-test slots).
+    # ROUND 8 (staged — apply as round 8's commit #1): after this
+    # window cumulative coverage is 325/325, so r8 leads with whatever
+    # r8 ADDS (new specs first, newest code least-tested), then the
+    # least-recently-verified backfill = the ROUND-2 window (driver-
+    # green in r2, six rounds earlier), verbatim:
+    #   q30 q41 q31 q32 q33 q34 q35 q36 q37 q38 q39 q40 q23 q47 q48
+    #   q24 q25 q26 q27 q28 q29 q50 q77 q51 q52 q53 q54 q55 q56 q57
+    #   q58 q80 q81 q82 q83 q84 q85 q86 q87 q60 q75 q73 q61 q62 q63
+    #   q64 q65 q66 q67 q70
+    # (drop from the TAIL of that list to make room for r8-new specs.)
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
