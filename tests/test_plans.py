@@ -125,6 +125,8 @@ def test_no_python_udf_in_any_plan(spark):
         # range scan: same declared native-io boundary
         "q331_filter_matrix",  # mixed-pipeline fragment write + connector
         # range scan: same declared native-io boundary
+        "q333_bloom_prune",  # bloom-sidecar fragment writes + pruned
+        # point lookups: same declared native-io boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

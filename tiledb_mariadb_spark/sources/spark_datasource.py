@@ -390,7 +390,7 @@ class TileDBNativeWriter(DataSourceWriter):
             if k.startswith("filters.")
             or k in (
                 "compressor", "string_compressor", "coordinate_filters",
-                "offset_filters", "validity_filters",
+                "offset_filters", "validity_filters", "bloom",
             )
         }
         _backend(self.options.get("encryption_key")).create(

@@ -420,6 +420,9 @@ class NativeDecoderBackend(ArrayBackend):
             coordinate_filters=opts.get("coordinate_filters"),
             offset_filters=opts.get("offset_filters"),
             validity_filters=opts.get("validity_filters"),
+            bloom_attrs=[
+                b for b in str(opts.get("bloom", "")).split(",") if b
+            ] or None,
             encryption_key=self._key,
         )
 

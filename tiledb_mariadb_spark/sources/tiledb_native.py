@@ -4560,6 +4560,80 @@ def fragment_refutes_conditions(
                 return True
         except TypeError:
             continue  # incomparable types: no proof
+    # equality conjuncts get a second, sharper proof from the optional
+    # per-fragment Bloom sidecar (engine extension — min/max almost
+    # never refute `=` on high-cardinality attrs; the bloom does)
+    for cond in conditions:
+        if len(cond) == 3 and cond[1] == "=":
+            if _bloom_refutes_eq(frag, schema, cond[0], cond[2]):
+                return True
+    return False
+
+
+_BLOOM_CACHE: dict = {}
+
+
+def _fragment_blooms(frag: str) -> dict:
+    """{attr -> (m_bits, k, bitset bytes)} from the fragment's optional
+    `__bloom.tdb` sidecar (layout documented on write_fragment_bloom).
+    Cached per (path, mtime); missing/corrupt sidecars prove nothing."""
+    path = os.path.join(frag, "__bloom.tdb")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return {}
+    key = (path, mtime)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        payload = read_generic_tile(path)
+        (nf,) = struct.unpack_from("<I", payload, 0)
+        pos = 4
+        out = {}
+        for _ in range(nf):
+            (nl,) = struct.unpack_from("<I", payload, pos)
+            pos += 4
+            name = payload[pos : pos + nl].decode()
+            pos += nl
+            m, k, _n_set = struct.unpack_from("<QBQ", payload, pos)
+            pos += 17
+            out[name] = (int(m), int(k), payload[pos : pos + m // 8])
+            pos += m // 8
+    except (OSError, ValueError, struct.error, UnicodeDecodeError):
+        return {}
+    if len(_BLOOM_CACHE) > 4096:
+        _BLOOM_CACHE.clear()
+    _BLOOM_CACHE[key] = out
+    return out
+
+
+def _bloom_refutes_eq(frag: str, schema: "NativeSchema", col, val) -> bool:
+    """True iff the fragment's bloom filter for ``col`` PROVES ``col =
+    val`` matches no cell.  Sound: a present value always probes
+    positive (no false negatives); absence of a sidecar/field proves
+    nothing."""
+    blooms = _fragment_blooms(frag)
+    entry = blooms.get(col)
+    if entry is None:
+        return False
+    attr = next((a for a in schema.attrs if a.name == col), None)
+    if attr is None or getattr(attr, "enumeration", None):
+        return False
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        _bloom_hashes,
+        bloom_cell_bytes,
+    )
+
+    enc = bloom_cell_bytes(val, attr.dtype_id)
+    if enc is None:
+        return False
+    m, k, bits = entry
+    h1, h2 = _bloom_hashes(enc)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return True  # one unset bit = provably absent
     return False
 
 
@@ -4596,7 +4670,8 @@ def explain_native_pruning(
     Each row: ``{fragment, cells (footer count or None), decision,
     reason, tiles_total, tiles_kept}`` where decision is one of
     ``'skip:footer'`` (non-empty domain disjoint from the ranges),
-    ``'skip:stats'`` (v11+ MIN/MAX refute a pushed condition),
+    ``'skip:stats'`` (v11+ MIN/MAX stats — or the optional bloom
+    sidecar on `=` — refute a pushed condition),
     ``'read'``; tiles_kept counts R-tree leaf MBRs intersecting the
     ranges (None when the fragment has no usable R-tree).  At 100 TB
     this is the operator's layout-health check: a range query keeping
@@ -4620,7 +4695,7 @@ def explain_native_pruning(
             out.append({
                 "fragment": name, "cells": cells,
                 "decision": "skip:stats",
-                "reason": "fragment MIN/MAX refute a pushed condition",
+                "reason": "fragment MIN/MAX stats or bloom sidecar refute a pushed condition",
                 "tiles_total": tiles_total, "tiles_kept": 0,
             })
             continue

@@ -697,6 +697,7 @@ def create_native_array(
     coordinate_filters: Optional[str] = None,
     offset_filters: Optional[str] = None,
     validity_filters: Optional[str] = None,
+    bloom_attrs=None,
 ) -> NativeSchema:
     """CREATE TABLE analog for a bare on-disk array: writes the schema
     blob and returns the schema AS PARSED BACK from disk (self-check —
@@ -857,6 +858,11 @@ def create_native_array(
             os.path.join(array_dir, "__array_schema.tdb"),
             _serialize_schema(schema),
         )
+    if bloom_attrs:
+        unknown = set(bloom_attrs) - {a.name for a in attrs}
+        if unknown:
+            raise ValueError(f"bloom_attrs name no attribute: {sorted(unknown)}")
+        set_bloom_attrs(array_dir, list(bloom_attrs))
     return parse_array_schema(_schema_path(array_dir))
 
 
@@ -1123,6 +1129,7 @@ def write_native_fragment(
     version: int = 5,
     encryption_key: "Optional[bytes | str]" = None,
     commit: bool = True,
+    bloom_attrs=None,
 ) -> str:
     """Append one fragment to an existing native array (INSERT analog,
     flush_write ha_mytile.cc:3273-3360).  ``columns`` maps every dim and
@@ -1465,6 +1472,12 @@ def write_native_fragment(
             _write_fragment_footer(frag, schema, columns, n,
                                     ntiles=len(slices), slices=slices,
                                     box=ned)
+        battrs = (
+            bloom_attrs if bloom_attrs is not None
+            else bloom_attrs_of(array_dir)
+        )
+        if battrs and n > 0:
+            write_fragment_bloom(frag, schema, columns, set(battrs))
     except Exception:
         import shutil  # noqa: PLC0415
 
@@ -2652,3 +2665,125 @@ def show_create_native_array(array_dir: str, name: str = None) -> str:
             tail += f" {opt}='{native_filters_to_csv(fl)}'"
     lines.append(tail)
     return "\n".join(lines)
+
+
+# --- per-fragment attribute BLOOM filters (engine scale extension) ------------
+# The v11+ min/max fragment stats refute RANGE predicates; equality on a
+# high-cardinality attribute (doc ids, hashes, URLs) almost never falls
+# outside a fragment's [min,max], so point lookups still touch every
+# fragment.  An opt-in per-fragment Bloom filter closes that: ~1.2
+# bytes/cell at 1% FPP buys provable fragment skips for `=` conjuncts —
+# at 100 TB a needle query reads the handful of fragments that MAY hold
+# the key instead of all of them.  Engine extension (no reference
+# analog; real TileDB readers ignore the sidecar file), same sidecar
+# style as the repo's R-tree/stats tiles: a generic-tile container
+# `__bloom.tdb` inside the fragment directory.
+
+_BLOOM_FILE = "__bloom.tdb"
+_BLOOM_K = 7
+_BLOOM_BITS_PER_CELL = 9.585  # ~1% FPP at k=7
+_BLOOM_META_KEY = "__engine:bloom_attrs"
+
+
+def bloom_cell_bytes(v, dtype_id: int) -> Optional[bytes]:
+    """Canonical hash encoding of one cell — DTYPE-driven so the writer
+    (column values) and the reader (a predicate literal, possibly of a
+    sibling python type: int 5 probing a float64 column) encode
+    identical bytes.  None (NULL) returns None: a NULL cell fails every
+    `=` conjunct under 3VL, so it never enters the filter."""
+    if v is None:
+        return None
+    try:
+        if dtype_id in (2, 3):  # float family → one canonical width
+            return struct.pack("<d", float(v))
+        if dtype_id in (4, 11, 12, 42):  # string family → utf-8
+            return v.encode("utf-8") if isinstance(v, str) else None
+        if dtype_id in (39, 41):  # blob / WKB → raw bytes
+            return bytes(v) if isinstance(v, (bytes, bytearray)) else None
+        # integer family (incl. datetime ticks, bool): 64-bit LE
+        return struct.pack("<q", int(v))
+    except (TypeError, ValueError, OverflowError, AttributeError):
+        return None  # lists / exotic cells: not bloom-indexable
+
+
+def _bloom_hashes(data: bytes) -> tuple[int, int]:
+    import hashlib  # noqa: PLC0415
+
+    d = hashlib.blake2b(data, digest_size=16, key=b"tmspark-bloom").digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,  # odd: full-period stride
+    )
+
+
+def _build_bloom(vals, dtype_id: int):
+    """(m_bits, k, n_set, bitset bytes) over the non-NULL cells, or
+    None when no cell is bloom-indexable."""
+    import numpy as np  # noqa: PLC0415
+
+    encs = []
+    for v in vals:
+        b = bloom_cell_bytes(v, dtype_id)
+        if b is not None:
+            encs.append(b)
+    if not encs:
+        return None
+    m = max(64, ((int(len(encs) * _BLOOM_BITS_PER_CELL) + 63) // 64) * 64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for b in encs:
+        h1, h2 = _bloom_hashes(b)
+        for i in range(_BLOOM_K):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return m, _BLOOM_K, len(encs), bits.tobytes()
+
+
+def write_fragment_bloom(
+    frag: str, schema: NativeSchema, columns: dict, attrs
+) -> Optional[str]:
+    """Emit the fragment's `__bloom.tdb` sidecar for the named attrs.
+    Layout (generic-tile payload): [u32 n_fields] then per field
+    [u32 name_len][name][u64 m_bits][u8 k][u64 n_set][bitset].
+    Enum-linked attrs are skipped (their columns hold ordinals while
+    read-side conditions compare labels)."""
+    payload = struct.pack("<I", 0)
+    n_fields = 0
+    body = b""
+    for a in schema.attrs:
+        if a.name not in attrs or a.name not in columns:
+            continue
+        if getattr(a, "enumeration", None):
+            continue
+        built = _build_bloom(columns[a.name], a.dtype_id)
+        if built is None:
+            continue
+        m, k, n_set, bits = built
+        nb = a.name.encode()
+        body += struct.pack("<I", len(nb)) + nb
+        body += struct.pack("<QBQ", m, k, n_set) + bits
+        n_fields += 1
+    if not n_fields:
+        return None
+    payload = struct.pack("<I", n_fields) + body
+    path = os.path.join(frag, _BLOOM_FILE)
+    _write_generic_tile(path, payload)
+    return path
+
+
+def set_bloom_attrs(array_dir: str, attrs) -> None:
+    """Persist the array's bloom-attr list as an (engine-namespaced)
+    array-metadata entry — every subsequent fragment write reads it and
+    emits the sidecar (the CREATE-option surface)."""
+    write_array_metadata(array_dir, {_BLOOM_META_KEY: ",".join(attrs)})
+
+
+def bloom_attrs_of(array_dir: str) -> list[str]:
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_array_metadata,
+    )
+
+    try:
+        raw = read_array_metadata(array_dir).get(_BLOOM_META_KEY)
+    except (OSError, ValueError):
+        return []
+    return [a for a in str(raw or "").split(",") if a]

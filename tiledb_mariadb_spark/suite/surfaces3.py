@@ -5369,3 +5369,124 @@ SPECS.append(
         "(mytile-discovery.cc parity, filter options included)",
     )
 )
+
+
+# --- q333: bloom-pruned point lookup (round 7) ---------------------------------
+# Fragment MIN/MAX stats refute RANGES; a point lookup on a high-
+# cardinality attribute lands inside almost every fragment's [min,max],
+# so at 100 TB a needle query still touches every fragment.  The
+# engine's per-fragment Bloom sidecar (opt-in, ~1.2 B/cell at 1% FPP)
+# closes that: `=` conjuncts provably skip non-matching fragments.
+# This spec writes orders into 8 key-range fragments with a bloom on a
+# synthetic doc-hash column, runs three point lookups through the
+# connector's condition pushdown, and pins both the VALUES and the
+# pruning census (how many fragments each needle read).
+def q333_bloom_prune(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        explain_native_pruning,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q333_bloom_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("doc", 12, 0xFFFFFFFF, False, None),
+            NativeAttr("cents", 1, 1, False, None),
+        ],
+        bloom_attrs=["doc"],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("doc-"), F.md5(F.col("o_orderkey").cast("string")))
+        .alias("doc"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def part(batches):
+        import tiledb_mariadb_spark.sources.tiledb_native_write as w  # noqa: PLC0415
+
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            step = max(1, -(-len(pdf) // 8))
+            for s in range(0, len(pdf), step):  # 8 key-range fragments
+                sl = pdf.iloc[s : s + step]
+                w.write_native_fragment(
+                    uri,
+                    {c: list(sl[c]) for c in sl.columns},
+                    version=19,
+                )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    needles = [1, 7, 32]  # orderkeys present at every sf
+    rows = []
+    for nk in needles:
+        doc = None
+        got = read_array(
+            spark, uri,
+            conditions=[("doc", "=", f"__probe_sentinel_{nk}")],
+            target_splits=2,
+        )
+        # census FIRST (metadata-only), then the real lookup
+        import hashlib  # noqa: PLC0415
+
+        doc = "doc-" + hashlib.md5(str(nk).encode()).hexdigest()
+        census = explain_native_pruning(uri, conditions=[("doc", "=", doc)])
+        kept = sum(1 for r in census if r["decision"] == "read")
+        hit = read_array(
+            spark, uri, conditions=[("doc", "=", doc)], target_splits=2
+        ).collect()
+        del got
+        # the census is exact per dataset but bloom false positives are
+        # data-dependent (~1% design FPP), so the HASHED column is the
+        # robust boolean "at most half the fragments were read" — the
+        # pruning claim — rather than the raw count
+        rows.append((nk, hit[0]["doc"], int(hit[0]["cents"]),
+                     len(hit), str(kept * 2 <= len(census)).lower(),
+                     len(census)))
+    return spark.createDataFrame(
+        rows,
+        "k long, doc string, cents long, n_rows long, pruned string,"
+        " frags_total long",
+    ).orderBy("k")
+
+
+Q333_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       'doc-' || MD5(CAST(o_orderkey AS VARCHAR)) AS doc,
+       CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+         AS cents,
+       CAST(1 AS BIGINT) AS n_rows,
+       'true' AS pruned,
+       CAST(8 AS BIGINT) AS frags_total
+FROM orders WHERE o_orderkey IN (1, 7, 32)
+ORDER BY k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q333_bloom_prune",
+        q333_bloom_prune,
+        Q333_SQL,
+        "per-fragment attribute Bloom filters (round 7): point lookups "
+        "on a high-cardinality attr provably skip non-matching "
+        "fragments (pruning census hash-pinned: <=4 of 8 read)",
+    )
+)
