@@ -116,6 +116,7 @@ HEADLINE = [
     "q329_char_fast_path",
     "q330_jvm_agg",
     "q331_filter_matrix",
+    "q333_bloom_prune",
 ]
 
 
