@@ -267,6 +267,18 @@ class TileDBNativeReader(DataSourceReader):
                 # holes between values are never scanned and no residual
                 # re-check is needed
                 _add_points(col, sorted(set(f.value)))
+            elif ftype is In and col in self._attr_names and all(
+                v is None or isinstance(v, (int, float, str, bool))
+                for v in f.value
+            ):
+                # attr IN-list: pushed as one backend condition — exact
+                # isin evaluation inside the task, and fragments whose
+                # stats/bloom prove EVERY member absent skip entirely.
+                # NULL members drop (IN's NULL never matches, 3VL).
+                self.conditions.append((
+                    col, "in",
+                    tuple(v for v in f.value if v is not None),
+                ))
             else:
                 residual.append(f)
         return residual

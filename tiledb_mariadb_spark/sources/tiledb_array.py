@@ -123,14 +123,17 @@ def _apply_conditions(pdf, conditions: Optional[Sequence[tuple]]):
             mask = s.notna()
         else:
             val = rest[0]
-            cmp = {
-                "=": s == val,
-                "!=": s != val,
-                "<": s < val,
-                "<=": s <= val,
-                ">": s > val,
-                ">=": s >= val,
-            }[op]
+            if op == "in":  # pushed attr IN-list (MRR's attr twin)
+                cmp = s.isin(list(val))
+            else:
+                cmp = {
+                    "=": s == val,
+                    "!=": s != val,
+                    "<": s < val,
+                    "<=": s <= val,
+                    ">": s > val,
+                    ">=": s >= val,
+                }[op]
             mask = s.notna() & cmp
         pdf = pdf[mask]
     return pdf.reset_index(drop=True)
@@ -882,7 +885,8 @@ def read_array(
         if unknown:
             raise ValueError(f"unknown columns: {unknown}")
         cols = dim_names + [c for c in attr_names if c in columns]
-    _OPS = {"=", "!=", "<", "<=", ">", ">=", "is_null", "is_not_null"}
+    _OPS = {"=", "!=", "<", "<=", ">", ">=", "in", "is_null",
+            "is_not_null"}
     for cond in conditions or []:
         col, op = cond[0], cond[1]
         if col not in dim_names + attr_names:

@@ -4548,6 +4548,24 @@ def fragment_refutes_conditions(
             continue
         col, op, val = cond
         st = stats.get(col) or {}
+        if op == "in":
+            # IN refutes iff EVERY member is provably absent — outside
+            # [min,max] or absent from the bloom sidecar (either proof
+            # suffices per member; an incomparable member blocks the
+            # range proof for itself, never poisons the others)
+            def _member_absent(v):
+                if "min" in st:
+                    try:
+                        if _stats_refute("=", v, st["min"], st["max"],
+                                         False):
+                            return True
+                    except TypeError:
+                        pass
+                return _bloom_refutes_eq(frag, schema, col, v)
+
+            if val and all(_member_absent(v) for v in val):
+                return True
+            continue
         if "min" not in st:
             continue
         may_have_nulls = st.get("null_count", 0) != 0 or getattr(
@@ -4567,7 +4585,7 @@ def fragment_refutes_conditions(
         if len(cond) == 3 and cond[1] == "=":
             if _bloom_refutes_eq(frag, schema, cond[0], cond[2]):
                 return True
-    return False
+    return False  # ("in" conjuncts consult the bloom in the loop above)
 
 
 _BLOOM_CACHE: dict = {}
