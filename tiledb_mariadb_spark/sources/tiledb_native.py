@@ -4649,7 +4649,10 @@ def _bloom_refutes_eq(frag: str, schema: "NativeSchema", col, val) -> bool:
     m, k, bits = entry
     h1, h2 = _bloom_hashes(enc)
     for i in range(k):
-        idx = (h1 + i * h2) % m
+        # mod-2^64 BEFORE mod-m: the writer computes the probe index in
+        # uint64 arithmetic (vectorized), so the reader must wrap the
+        # same way or present values could probe absent (unsound)
+        idx = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m
         if not (bits[idx >> 3] >> (idx & 7)) & 1:
             return True  # one unset bit = provably absent
     return False

@@ -2730,11 +2730,28 @@ def _build_bloom(vals, dtype_id: int):
         return None
     m = max(64, ((int(len(encs) * _BLOOM_BITS_PER_CELL) + 63) // 64) * 64)
     bits = np.zeros(m // 8, dtype=np.uint8)
-    for b in encs:
-        h1, h2 = _bloom_hashes(b)
-        for i in range(_BLOOM_K):
-            idx = (h1 + i * h2) % m
-            bits[idx >> 3] |= 1 << (idx & 7)
+    # per-cell blake2b stays (stable across library versions — the
+    # sidecar persists, so the hash family must never drift), but the
+    # k probe indexes and bit sets are one vectorized pass
+    h1s = np.empty(len(encs), dtype=np.uint64)
+    h2s = np.empty(len(encs), dtype=np.uint64)
+    import hashlib  # noqa: PLC0415
+
+    blake = hashlib.blake2b
+    fb = int.from_bytes
+    for j, b in enumerate(encs):
+        d = blake(b, digest_size=16, key=b"tmspark-bloom").digest()
+        h1s[j] = fb(d[:8], "little")
+        h2s[j] = fb(d[8:], "little") | 1
+    ks = np.arange(_BLOOM_K, dtype=np.uint64)
+    idx = (h1s[:, None] + ks[None, :] * h2s[:, None]) % np.uint64(m)
+    flat = idx.ravel()
+    np.bitwise_or.at(
+        bits, (flat >> np.uint64(3)).astype(np.int64),
+        np.left_shift(
+            np.uint8(1), (flat & np.uint64(7)).astype(np.uint8)
+        ),
+    )
     return m, _BLOOM_K, len(encs), bits.tobytes()
 
 
