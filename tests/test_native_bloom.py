@@ -291,3 +291,77 @@ def test_in_condition_via_read_array(tmp_path, spark):
         target_splits=3,
     ).orderBy("k").collect()
     assert [r["doc"] for r in out] == ["doc0_1", "doc3_5"]
+
+
+def test_refuted_fragment_still_shadows(tmp_path):
+    """r7 soundness fix: a condition-refuted NEWER fragment whose NED
+    overlaps an older one must NOT be skipped pre-merge — dropping it
+    would resurrect the shadowed old cell (which passes the condition
+    even though the table's current value does not)."""
+    import pandas as pd
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        NativeDecoderBackend,
+    )
+
+    arr = str(tmp_path / "shadow")
+    create_native_array(
+        arr,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        bloom_attrs=["v"],
+    )
+    write_native_fragment(arr, {"k": [1, 2, 3], "v": [5, 6, 7]},
+                          ts=1, version=19)
+    write_native_fragment(arr, {"k": [1], "v": [9]}, ts=2, version=19)
+    be = NativeDecoderBackend()
+    df = be.read_range(arr, [(None, None)], ["k", "v"],
+                       conditions=[("v", "=", 5)])
+    assert df.to_dict("records") == []  # k=1 is v=9 now
+    df = be.read_range(arr, [(None, None)], ["k", "v"],
+                       conditions=[("v", "=", 9)])
+    assert df.to_dict("records") == [{"k": 1, "v": 9}]
+    # the un-shadowed survivors still match their own values
+    df = be.read_range(arr, [(None, None)], ["k", "v"],
+                       conditions=[("v", "=", 6)])
+    assert df.to_dict("records") == [{"k": 2, "v": 6}]
+    del pd
+
+
+def test_condition_skip_safe_cases(tmp_path):
+    """Disjoint-NED and allows_dups fragments keep the skip; an
+    overlapping older fragment blocks it."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        condition_skip_safe,
+    )
+
+    arr = str(tmp_path / "cs")
+    create_native_array(
+        arr,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(arr, {"k": [1, 2], "v": [5, 6]}, ts=1,
+                          version=19)
+    write_native_fragment(arr, {"k": [100, 101], "v": [50, 60]}, ts=2,
+                          version=19)
+    write_native_fragment(arr, {"k": [2, 3], "v": [8, 9]}, ts=3,
+                          version=19)
+    schema = parse_array_schema(_schema_path(arr))
+    frags = sorted(_fragment_dirs(arr))
+    assert condition_skip_safe(frags[0], schema, frags)   # oldest
+    assert condition_skip_safe(frags[1], schema, frags)   # disjoint
+    assert not condition_skip_safe(frags[2], schema, frags)  # shadows f0
+    # allows_dups: everything safe (nothing shadows)
+    arr2 = str(tmp_path / "cs2")
+    create_native_array(
+        arr2,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        allows_dups=True,
+    )
+    write_native_fragment(arr2, {"k": [1], "v": [5]}, ts=1, version=19)
+    write_native_fragment(arr2, {"k": [1], "v": [9]}, ts=2, version=19)
+    schema2 = parse_array_schema(_schema_path(arr2))
+    frags2 = sorted(_fragment_dirs(arr2))
+    assert all(condition_skip_safe(f, schema2, frags2) for f in frags2)

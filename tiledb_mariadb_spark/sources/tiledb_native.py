@@ -2731,7 +2731,10 @@ def read_native_array_range_np(
     for frag in frag_list:
         if prune_conditions and fragment_refutes_conditions(
             frag, schema, prune_conditions
-        ):
+        ) and condition_skip_safe(frag, schema, frag_list):
+            # skipping is sound only when this fragment provably
+            # shadows nothing (newest-wins hazard — see
+            # condition_skip_safe)
             continue
         if not fragment_overlaps(frag, schema, rngs):
             continue
@@ -3225,8 +3228,10 @@ def read_native_array_range(
             prune_conditions
             and schema.array_type == "SPARSE"
             and fragment_refutes_conditions(frag, schema, prune_conditions)
+            and condition_skip_safe(frag, schema, frag_list)
         ):
             continue  # stats-proven: no cell here can pass the filter
+            # AND skipping cannot resurrect shadowed cells
         if not fragment_overlaps(frag, schema, rngs):
             if schema.array_type == "DENSE":
                 # still shapes the bounding box (its gap cells inside
@@ -4521,6 +4526,71 @@ def attr_stats_native_array(
     return merged
 
 
+def condition_skip_safe(
+    frag: str, schema: "NativeSchema", frag_list: list
+) -> bool:
+    """True iff SKIPPING ``frag`` (because a condition refutes it)
+    cannot change what the newest-wins merge makes visible.  The
+    hazard: a refuted NEWER fragment may SHADOW an older surviving
+    cell at the same coordinate; dropping it pre-merge would resurrect
+    the shadowed cell, which could PASS the condition and appear even
+    though the table's current value at that coordinate does not
+    (r7 regression: tests/test_native_bloom.py::
+    test_refuted_fragment_still_shadows).  Safe cases, metadata-only:
+    allows_dups (nothing shadows), or no OLDER-or-equal-ts visible
+    fragment's validated NED intersects this fragment's NED (it can
+    shadow nothing).  Unprovable footers → unsafe → no skip."""
+    if getattr(schema, "allows_dups", False):
+        return True
+    my_name = os.path.basename(frag)
+    my_ts = _frag_range(my_name)[1]
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    my_footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) \
+        else None
+    if my_footer is None:
+        return False
+    my_ned = my_footer.non_empty_domain
+    if any(n is None for n in my_ned):
+        # integer NED unavailable (e.g. var string dims): fall back to
+        # the var-NED pairs when every dim provides one
+        vn = getattr(my_footer, "var_ned", None)
+        my_var = list(vn) if vn else None
+        if not my_var or any(v is None for v in my_var):
+            return False
+    else:
+        my_var = None
+    for other in frag_list:
+        if other == frag:
+            continue
+        ots = _frag_range(os.path.basename(other))[1]
+        if ots > my_ts:
+            continue  # strictly newer than us: we cannot shadow it
+        ofm = os.path.join(other, "__fragment_metadata.tdb")
+        of = parse_fragment_footer(ofm, schema) if os.path.isfile(ofm) \
+            else None
+        if of is None:
+            return False  # unprovable neighbor: assume overlap
+        if my_var is not None:
+            ov = getattr(of, "var_ned", None)
+            if not ov or any(v is None for v in ov):
+                return False
+            disjoint = any(
+                a_hi < b_lo or b_hi < a_lo
+                for (a_lo, a_hi), (b_lo, b_hi) in zip(my_var, ov)
+            )
+        else:
+            oned = of.non_empty_domain
+            if any(n is None for n in oned):
+                return False
+            disjoint = any(
+                a_hi < b_lo or b_hi < a_lo
+                for (a_lo, a_hi), (b_lo, b_hi) in zip(my_ned, oned)
+            )
+        if not disjoint:
+            return False
+    return True
+
+
 def fragment_refutes_conditions(
     frag: str, schema: "NativeSchema", conditions: list
 ) -> bool:
@@ -4712,6 +4782,9 @@ def explain_native_pruning(
         tiles_total = len(mbrs) if mbrs else None
         if conditions and schema.array_type == "SPARSE" and (
             fragment_refutes_conditions(frag, schema, conditions)
+            and condition_skip_safe(
+                frag, schema, _fragment_dirs(array_dir, at=at)
+            )
         ):
             out.append({
                 "fragment": name, "cells": cells,
