@@ -458,6 +458,20 @@ class NativeDecoderBackend(ArrayBackend):
         except (OSError, ValueError):
             return None
 
+    def condition_ned(self, uri, conditions, at=None, since=None):
+        """Union bounding box of the fragments the pushed conditions
+        cannot skip — metadata only; None = not provable, [] = every
+        fragment refuted (empty result)."""
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            condition_ned,
+        )
+
+        try:
+            self._reg(uri)
+            return condition_ned(uri, conditions, at=at, since=since)
+        except (OSError, ValueError):
+            return None
+
     def string_split_keys(self, uri, at=None, since=None):
         """Candidate split cut keys for a var-length dim0 (fragment
         var-NED boundaries, metadata only) — [] when unavailable; the
@@ -920,6 +934,35 @@ def read_array(
                         whi if hi is None else min(hi, whi),
                     )
                 # list-of-point-ranges (IN pushdown): already narrow
+            dim_ranges = merged
+    if conditions and any(c[1] in ("=", "in") for c in conditions):
+        # CONDITION-aware planning (the needle twin of the CDC window
+        # above): fragments the pushed conditions provably skip —
+        # stats/bloom refuted AND shadow-safe — cannot contribute rows,
+        # so intersect the scan with the SURVIVORS' union bounding box;
+        # a bloom-indexed point lookup launches tasks only where
+        # candidate fragments live
+        cfn = getattr(backend, "condition_ned", None)
+        cbox = cfn(uri, list(conditions), at=at, since=since)             if cfn else None
+        if cbox == []:
+            ddl0 = ", ".join(
+                f"{c} "
+                f"{next(x.dtype for x in info.dims + info.attrs if x.name == c)}"
+                for c in cols
+            )
+            return spark.createDataFrame([], schema=ddl0)
+        if cbox is not None:
+            merged = dict(dim_ranges or {})
+            for d, (clo, chi) in zip(info.dims, cbox):
+                cur = merged.get(d.name)
+                if cur is None:
+                    merged[d.name] = (clo, chi)
+                elif isinstance(cur, tuple):
+                    lo, hi = cur
+                    merged[d.name] = (
+                        clo if lo is None else max(lo, clo),
+                        chi if hi is None else min(hi, chi),
+                    )
             dim_ranges = merged
     # R-tree tile weights (when the backend can produce them from
     # metadata) turn uniform-span splits into cell-count-quantile splits

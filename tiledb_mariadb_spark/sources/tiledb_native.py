@@ -2728,13 +2728,14 @@ def read_native_array_range_np(
     any_rng = any(r != (None, None) for r in rngs)
     parts: list[dict] = []
     part_wts: list[int] = []  # per-part writer ts (delete applicability)
+    cond_skips = (
+        plan_condition_skips(frag_list, schema, prune_conditions)
+        if prune_conditions else set()
+    )
     for frag in frag_list:
-        if prune_conditions and fragment_refutes_conditions(
-            frag, schema, prune_conditions
-        ) and condition_skip_safe(frag, schema, frag_list):
-            # skipping is sound only when this fragment provably
-            # shadows nothing (newest-wins hazard — see
-            # condition_skip_safe)
+        if frag in cond_skips:
+            # stats/bloom-refuted AND shadow-safe (newest-wins hazard —
+            # see plan_condition_skips)
             continue
         if not fragment_overlaps(frag, schema, rngs):
             continue
@@ -3222,16 +3223,15 @@ def read_native_array_range(
     merged: dict[tuple, tuple] = {}  # coord -> (row, writer_ts)
     dup_rows: list[tuple] = []  # allows_dups=true: keep every (row, ts)
     dense_boxes: list[list] = []  # written subarrays (dense fill read)
+    cond_skips = (
+        plan_condition_skips(frag_list, schema, prune_conditions)
+        if prune_conditions and schema.array_type == "SPARSE" else set()
+    )
     for frag in frag_list:
         wts = _frag_range(os.path.basename(frag))[1]
-        if (
-            prune_conditions
-            and schema.array_type == "SPARSE"
-            and fragment_refutes_conditions(frag, schema, prune_conditions)
-            and condition_skip_safe(frag, schema, frag_list)
-        ):
-            continue  # stats-proven: no cell here can pass the filter
-            # AND skipping cannot resurrect shadowed cells
+        if frag in cond_skips:
+            continue  # stats/bloom-proven: no cell here can pass the
+            # filter, and skipping cannot resurrect shadowed cells
         if not fragment_overlaps(frag, schema, rngs):
             if schema.array_type == "DENSE":
                 # still shapes the bounding box (its gap cells inside
@@ -3594,6 +3594,47 @@ def window_ned(
             for (a, b), (c, e) in zip(box, cur)
         ]
     return box
+
+
+def condition_ned(
+    array_dir: str,
+    conditions: list,
+    at: int | None = None,
+    since: int | None = None,
+) -> list[tuple] | None:
+    """Per-dim union bounding box of the fragments a pushed condition
+    list CANNOT skip (not refuted by stats/bloom, or not shadow-safe to
+    skip) — metadata only.  The split planner intersects the scan with
+    this box, so a needle `=` on a bloom-indexed attribute launches
+    tasks only where candidate fragments live (the condition twin of
+    window_ned's CDC planning).  None = no provable box; [] = every
+    fragment provably skippable (empty result)."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    frags = _fragment_dirs(array_dir, at=at, since=since)
+    if not frags:
+        return []
+    box: list[tuple] | None = None
+    skips = plan_condition_skips(frags, schema, conditions)
+    for frag in frags:
+        if frag in skips:
+            continue
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        footer = (
+            parse_fragment_footer(fm, schema)
+            if os.path.isfile(fm) else None
+        )
+        if footer is None:
+            return None
+        cur = []
+        for ned in footer.non_empty_domain:
+            if ned is None:
+                return None  # var/untrusted dim: no provable box
+            cur.append(ned)
+        box = cur if box is None else [
+            (min(a, c), max(b, e))
+            for (a, b), (c, e) in zip(box, cur)
+        ]
+    return box if box is not None else []
 
 
 def string_dim_split_keys(
@@ -4526,6 +4567,34 @@ def attr_stats_native_array(
     return merged
 
 
+def plan_condition_skips(
+    frag_list: list, schema: "NativeSchema", conditions: list
+) -> set:
+    """The set of fragments a read may SKIP for ``conditions``: refuted
+    by stats/bloom AND shadow-safe to drop.  Two-pass: first find every
+    refuted fragment, then admit a refuted fragment to the skip set iff
+    dropping it cannot resurrect a cell that PASSES the filter — i.e.
+    it overlaps no older-or-equal-ts SURVIVING (non-refuted) fragment.
+    (A cell resurrected from another REFUTED fragment fails the
+    condition by definition, so refuted-over-refuted shadows are free —
+    this is what lets an absent-needle query skip EVERY fragment even
+    when they all overlap.)"""
+    if not conditions:
+        return set()
+    refuted = [
+        f for f in frag_list
+        if fragment_refutes_conditions(f, schema, conditions)
+    ]
+    if not refuted:
+        return set()
+    refuted_set = set(refuted)
+    survivors = [f for f in frag_list if f not in refuted_set]
+    return {
+        f for f in refuted
+        if condition_skip_safe(f, schema, survivors)
+    }
+
+
 def condition_skip_safe(
     frag: str, schema: "NativeSchema", frag_list: list
 ) -> bool:
@@ -4537,9 +4606,11 @@ def condition_skip_safe(
     though the table's current value at that coordinate does not
     (r7 regression: tests/test_native_bloom.py::
     test_refuted_fragment_still_shadows).  Safe cases, metadata-only:
-    allows_dups (nothing shadows), or no OLDER-or-equal-ts visible
-    fragment's validated NED intersects this fragment's NED (it can
-    shadow nothing).  Unprovable footers → unsafe → no skip."""
+    allows_dups (nothing shadows), or no OLDER-or-equal-ts fragment of
+    ``frag_list`` with a validated NED intersecting this fragment's
+    NED (it can shadow none of them).  Callers pass the SURVIVING
+    (non-refuted) fragments — refuted-over-refuted shadows are free
+    (plan_condition_skips).  Unprovable footers → unsafe → no skip."""
     if getattr(schema, "allows_dups", False):
         return True
     my_name = os.path.basename(frag)
@@ -4781,9 +4852,8 @@ def explain_native_pruning(
         )
         tiles_total = len(mbrs) if mbrs else None
         if conditions and schema.array_type == "SPARSE" and (
-            fragment_refutes_conditions(frag, schema, conditions)
-            and condition_skip_safe(
-                frag, schema, _fragment_dirs(array_dir, at=at)
+            frag in plan_condition_skips(
+                _fragment_dirs(array_dir, at=at), schema, conditions
             )
         ):
             out.append({
