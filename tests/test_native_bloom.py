@@ -365,3 +365,36 @@ def test_condition_skip_safe_cases(tmp_path):
     schema2 = parse_array_schema(_schema_path(arr2))
     frags2 = sorted(_fragment_dirs(arr2))
     assert all(condition_skip_safe(f, schema2, frags2) for f in frags2)
+
+
+def test_format_needle_planning(tmp_path, spark):
+    """format() reads use condition-aware planning too: an absent
+    needle resolves through ONE sentinel empty partition (no scan), a
+    present needle returns its row, and IN-lists work end-to-end."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        register_tiledb_native,
+    )
+
+    register_tiledb_native(spark)
+    uri = str(tmp_path / "fmt")
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("doc"),
+    )
+    (
+        df.repartitionByRange(4, "k").write.format("tiledb_native")
+        .option("path", uri).option("dims", "k")
+        .option("domain.k", "0:1000000").option("bloom", "doc")
+        .mode("append").save()
+    )
+    import hashlib
+
+    nd = hashlib.md5(b"777").hexdigest()
+    base = spark.read.format("tiledb_native").option("path", uri).load()
+    got = base.filter(F.col("doc") == nd).collect()
+    assert len(got) == 1 and got[0]["k"] == 777
+    assert base.filter(F.col("doc") == "absent").count() == 0
+    got = base.filter(F.col("doc").isin(nd, "absent")).collect()
+    assert len(got) == 1 and got[0]["k"] == 777

@@ -289,6 +289,23 @@ class TileDBNativeReader(DataSourceReader):
         )
 
         be = _backend(self.encryption_key)
+        if self.conditions and any(
+            c[1] in ("=", "in") for c in self.conditions
+        ):
+            # condition-aware planning (read_array parity): intersect
+            # the scan with the non-skippable fragments' union NED —
+            # needle queries over bloom-indexed attrs launch tasks only
+            # where candidate fragments live; [] = provably empty
+            cfn = getattr(be, "condition_ned", None)
+            cbox = cfn(self.uri, list(self.conditions), at=self.at,
+                       since=self.since) if cfn else None
+            if cbox == []:
+                # provably empty: one sentinel partition that reads
+                # nothing (the DS API requires >=1 partition)
+                return [_SplitPartition(ranges=None)]
+            if cbox is not None:
+                for d, (clo, chi) in zip(self._info.dims, cbox):
+                    self._merge_range(d.name, clo, chi)
         weights_fn = getattr(be, "split_weights", None)
         weights = weights_fn(self.uri, at=self.at) if weights_fn else None
         # string-keyed arrays (no integer axis): cut dim0 at fragment
@@ -318,6 +335,8 @@ class TileDBNativeReader(DataSourceReader):
     def read(self, partition: _SplitPartition) -> Iterator:
         import pyarrow as pa  # noqa: PLC0415
 
+        if partition is None or partition.ranges is None:
+            return  # plan-level empty (condition_ned == [])
         kw = {} if self.since is None else {"since": self.since}
         pdf = _backend(self.encryption_key).read_range(
             self.uri,

@@ -4578,8 +4578,13 @@ def plan_condition_skips(
     (A cell resurrected from another REFUTED fragment fails the
     condition by definition, so refuted-over-refuted shadows are free —
     this is what lets an absent-needle query skip EVERY fragment even
-    when they all overlap.)"""
-    if not conditions:
+    when they all overlap.)
+
+    DENSE arrays get NO condition skips: gap cells materialize as
+    attribute FILLS that live in no fragment, so fragment-level
+    refutation says nothing about the read's result (a filter on the
+    fill value must still see the gaps)."""
+    if not conditions or getattr(schema, "array_type", "SPARSE") != "SPARSE":
         return set()
     refuted = [
         f for f in frag_list
