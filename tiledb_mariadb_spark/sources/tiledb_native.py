@@ -4848,7 +4848,12 @@ def explain_native_pruning(
     schema = parse_array_schema(_schema_path(array_dir))
     rngs = list(ranges) if ranges else [(None, None)] * len(schema.dims)
     out: list[dict] = []
-    for frag in _fragment_dirs(array_dir, at=at):
+    frags = _fragment_dirs(array_dir, at=at)
+    cond_skips = (
+        plan_condition_skips(frags, schema, conditions)
+        if conditions else set()
+    )
+    for frag in frags:
         name = os.path.basename(frag)
         cells = fragment_cell_count(frag, schema)
         mbrs = (
@@ -4856,11 +4861,7 @@ def explain_native_pruning(
             if schema.array_type == "SPARSE" else None
         )
         tiles_total = len(mbrs) if mbrs else None
-        if conditions and schema.array_type == "SPARSE" and (
-            frag in plan_condition_skips(
-                _fragment_dirs(array_dir, at=at), schema, conditions
-            )
-        ):
+        if frag in cond_skips:
             out.append({
                 "fragment": name, "cells": cells,
                 "decision": "skip:stats",

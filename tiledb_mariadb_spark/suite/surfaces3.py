@@ -5490,3 +5490,151 @@ SPECS.append(
         "fragments (pruning census hash-pinned: <=4 of 8 read)",
     )
 )
+
+
+# --- q334: condition-aware split planning, set-level shadow rule ------------
+#
+# Pins `plan_condition_skips` (sources/tiledb_native.py) — the set-level
+# newest-wins rule behind condition-refuted fragment skips — with an
+# EXACT, data-independent census ladder.  Eight fully-OVERLAPPING
+# fragments (each holds one residue class of the key space, so every
+# NED spans ~the whole domain) are written at strictly increasing
+# explicit timestamps; fragment i carries the constant attribute value
+# bucket=i, so v19 MIN/MAX stats refute `bucket = needle` for every
+# fragment but one, deterministically (no bloom FP dependence).
+#
+# The rule under test (newest-wins soundness, the reference's
+# QueryCondition pruning hazard — mytile-range.cc applies conditions
+# only after libtiledb's own fragment pruning, which obeys the same
+# constraint):
+#   * a refuted fragment may skip iff dropping it cannot RESURRECT a
+#     shadowed cell that passes the filter — i.e. it overlaps no
+#     older-or-equal-ts SURVIVING fragment;
+#   * refuted-over-refuted shadows are FREE (a resurrected cell from a
+#     refuted fragment fails the condition by definition).
+# Hence the exact ladder on 8 overlapping fragments (ts order 0..7):
+#   needle=7 -> survivor is the NEWEST fragment: all 7 refuted ones are
+#               older, shadow nothing visible, kept = 1;
+#   needle=3 -> refuted fragments 4..7 are newer than the survivor and
+#               overlap it (unsafe to skip), 0..2 are older (safe),
+#               kept = 5;
+#   needle=99 (absent) -> no survivors: the set-level rule skips ALL 8
+#               even though every fragment overlaps every other, and
+#               condition_ned plans ZERO scan tasks — kept = 0 and the
+#               read returns 0 rows without launching a scan.
+def q334_condition_planner(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        explain_native_pruning,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q334_cond_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("bucket", 1, 1, False, None),
+            NativeAttr("cents", 1, 1, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (F.col("o_orderkey") % 8).cast("long").alias("bucket"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def part(batches):
+        import tiledb_mariadb_spark.sources.tiledb_native_write as w  # noqa: PLC0415
+
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            for i in range(8):
+                sl = pdf[pdf["bucket"] == i]
+                # explicit strictly-increasing ts: fragment i is
+                # provably OLDER than i+1 (the ladder needs a total
+                # ts order, not wall-clock ms that could collide)
+                w.write_native_fragment(
+                    uri,
+                    {c: list(sl[c]) for c in sl.columns},
+                    ts=1000 + i,
+                    version=19,
+                )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    rows = []
+    for needle in (3, 7, 99):
+        census = explain_native_pruning(
+            uri, conditions=[("bucket", "=", needle)]
+        )
+        kept = sum(1 for r in census if r["decision"] == "read")
+        got = read_array(
+            spark, uri,
+            conditions=[("bucket", "=", needle)],
+            target_splits=2,
+        )
+        agg = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("s"),
+        ).collect()[0]
+        rows.append(
+            (needle, int(agg["n"]), int(agg["s"]),
+             kept, len(census) - kept)
+        )
+    return spark.createDataFrame(
+        rows,
+        "needle long, n_rows long, sum_cents long, kept_frags long,"
+        " skipped_frags long",
+    ).orderBy("needle")
+
+
+Q334_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey < 2000)
+SELECT CAST(3 AS BIGINT) AS needle,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents,
+       CAST(5 AS BIGINT) AS kept_frags,
+       CAST(3 AS BIGINT) AS skipped_frags
+FROM src WHERE bucket = 3
+UNION ALL
+SELECT CAST(7 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT),
+       CAST(1 AS BIGINT), CAST(7 AS BIGINT)
+FROM src WHERE bucket = 7
+UNION ALL
+SELECT CAST(99 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(8 AS BIGINT)
+ORDER BY needle
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q334_condition_planner",
+        q334_condition_planner,
+        Q334_SQL,
+        "condition-aware split planning (round 7): set-level newest-wins "
+        "shadow rule over 8 fully-overlapping fragments — exact "
+        "stats-refutation census ladder (kept 5/1/0), absent needle "
+        "plans zero scan tasks",
+    )
+)
