@@ -398,3 +398,68 @@ def test_format_needle_planning(tmp_path, spark):
     assert base.filter(F.col("doc") == "absent").count() == 0
     got = base.filter(F.col("doc").isin(nd, "absent")).collect()
     assert len(got) == 1 and got[0]["k"] == 777
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_condition_skip_fuzz(tmp_path, seed):
+    """End-to-end soundness net for plan_condition_skips: random
+    overlapping fragments WITH OVERWRITES, random stats/bloom-refutable
+    conditions — the conditioned read (skips + residual filter) must
+    equal brute force (decode everything newest-wins, filter after).
+    This is the property the set-level shadow rule has to preserve:
+    skipping refuted fragments never changes what becomes visible."""
+    import pandas as pd
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        NativeDecoderBackend,
+    )
+
+    rnd = random.Random(1000 + seed)
+    arr = str(tmp_path / "fz")
+    dups = seed == 9  # one allows_dups layout (nothing shadows)
+    create_native_array(
+        arr,
+        dims=[NativeDim("k", 1, 1, (0, 300), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        bloom_attrs=["v"],
+        allows_dups=dups,
+    )
+    for f in range(rnd.randrange(4, 9)):
+        n = rnd.randrange(3, 40)
+        # small key space -> frequent overwrites; constant-v fragments
+        # (likely refuted) mixed with spread-v ones (survivors)
+        keys = rnd.sample(range(300), n)
+        if rnd.random() < 0.5:
+            vals = [rnd.randrange(16)] * n
+        else:
+            vals = [rnd.randrange(16) for _ in range(n)]
+        write_native_fragment(
+            arr, {"k": sorted(keys), "v": vals}, ts=f + 1, version=19
+        )
+    be = NativeDecoderBackend()
+    base = be.read_range(arr, [(None, None)], ["k", "v"])
+    for _ in range(12):
+        c = rnd.randrange(16)
+        cond = rnd.choice([
+            ("v", "=", c),
+            ("v", "<", c),
+            ("v", ">=", c),
+            ("v", "in", (c, (c + 5) % 16)),
+            ("v", "!=", c),
+        ])
+        got = be.read_range(
+            arr, [(None, None)], ["k", "v"], conditions=[cond]
+        ).sort_values(["k", "v"]).reset_index(drop=True)
+        op = cond[1]
+        m = {
+            "=": base["v"] == c,
+            "<": base["v"] < c,
+            ">=": base["v"] >= c,
+            "!=": base["v"] != c,
+            "in": base["v"].isin(cond[2]) if op == "in" else None,
+        }[op]
+        want = base[m].sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64", "v": "int64"}),
+            want.astype({"k": "int64", "v": "int64"}),
+        )
