@@ -4594,14 +4594,16 @@ def plan_condition_skips(
         return set()
     refuted_set = set(refuted)
     survivors = [f for f in frag_list if f not in refuted_set]
+    footers: dict = {}  # one parse per fragment per PLAN, not per pair
     return {
         f for f in refuted
-        if condition_skip_safe(f, schema, survivors)
+        if condition_skip_safe(f, schema, survivors, _footers=footers)
     }
 
 
 def condition_skip_safe(
-    frag: str, schema: "NativeSchema", frag_list: list
+    frag: str, schema: "NativeSchema", frag_list: list,
+    _footers: dict | None = None,
 ) -> bool:
     """True iff SKIPPING ``frag`` (because a condition refutes it)
     cannot change what the newest-wins merge makes visible.  The
@@ -4615,14 +4617,27 @@ def condition_skip_safe(
     ``frag_list`` with a validated NED intersecting this fragment's
     NED (it can shadow none of them).  Callers pass the SURVIVING
     (non-refuted) fragments — refuted-over-refuted shadows are free
-    (plan_condition_skips).  Unprovable footers → unsafe → no skip."""
+    (plan_condition_skips).  Unprovable footers → unsafe → no skip.
+    ``_footers``: caller-scoped footer memo so a whole skip plan parses
+    each fragment's metadata once, not once per (refuted, survivor)
+    pair (fragment dirs are immutable, but the memo's lifetime is one
+    planning call — no cross-call staleness to reason about)."""
     if getattr(schema, "allows_dups", False):
         return True
+
+    def _footer(f):
+        if _footers is not None and f in _footers:
+            return _footers[f]
+        p = os.path.join(f, "__fragment_metadata.tdb")
+        out = parse_fragment_footer(p, schema) if os.path.isfile(p) \
+            else None
+        if _footers is not None:
+            _footers[f] = out
+        return out
+
     my_name = os.path.basename(frag)
     my_ts = _frag_range(my_name)[1]
-    fm = os.path.join(frag, "__fragment_metadata.tdb")
-    my_footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) \
-        else None
+    my_footer = _footer(frag)
     if my_footer is None:
         return False
     my_ned = my_footer.non_empty_domain
@@ -4641,9 +4656,7 @@ def condition_skip_safe(
         ots = _frag_range(os.path.basename(other))[1]
         if ots > my_ts:
             continue  # strictly newer than us: we cannot shadow it
-        ofm = os.path.join(other, "__fragment_metadata.tdb")
-        of = parse_fragment_footer(ofm, schema) if os.path.isfile(ofm) \
-            else None
+        of = _footer(other)
         if of is None:
             return False  # unprovable neighbor: assume overlap
         if my_var is not None:
