@@ -117,6 +117,8 @@ HEADLINE = [
     "q330_jvm_agg",
     "q331_filter_matrix",
     "q333_bloom_prune",
+    "q334_condition_planner",
+    "q335_fragment_meta",
 ]
 
 

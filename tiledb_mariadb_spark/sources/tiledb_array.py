@@ -311,9 +311,7 @@ class NativeDecoderBackend(ArrayBackend):
         footers = []
         for frag in _fragment_dirs(uri, at=at):
             fm = os.path.join(frag, "__fragment_metadata.tdb")
-            footers.append(
-                parse_fragment_footer(fm, s) if os.path.isfile(fm) else None
-            )
+            footers.append(parse_fragment_footer(fm, s))
         narrowed: list = [None] * len(s.dims)
         if footers and all(f is not None for f in footers):
             for i in range(len(s.dims)):
@@ -1376,10 +1374,7 @@ def consolidate_array_incremental(
 
     def _ned_box(frag):
         fm = os.path.join(frag, "__fragment_metadata.tdb")
-        footer = (
-            parse_fragment_footer(fm, schema)
-            if os.path.isfile(fm) else None
-        )
+        footer = parse_fragment_footer(fm, schema)
         if footer is None:
             return None
         box = []

@@ -1337,18 +1337,32 @@ def _fragment_dirs(
         and (since is None or _frag_range(d)[0] >= since)
     ]
     rng = {d: _frag_range(d) for d in frags}
-
-    def _covered(d: str) -> bool:
-        t1, t2 = rng[d]
-        return any(
-            g != d
-            and rng[g][0] <= t1
-            and t2 <= rng[g][1]
-            and (rng[g][1] - rng[g][0]) > (t2 - t1)
-            for g in frags
-        )
-
-    frags = [d for d in frags if not _covered(d)]
+    # coverage sweep, O(n log n): sorted by (t1 asc, t2 desc), a
+    # fragment is covered iff an already-seen one contains its range
+    # with STRICTLY larger span — i.e. some earlier-t1 fragment reaches
+    # its t2 (span strictly larger since t1 is smaller), or a same-t1
+    # fragment reaches strictly beyond it.  Equal ranges never cover
+    # each other (span ties), matching the quadratic rule this replaces
+    # (the listing runs per plan AND per task; at consolidation-scale
+    # fragment counts the n² scan was itself a planning cost).
+    covered: set = set()
+    prev_max_t2 = None  # max t2 over all strictly-smaller t1
+    cur_max_t2 = None  # max t2 over everything processed so far
+    group_t1 = None
+    group_max_t2 = 0
+    for t1, neg_t2, d in sorted(
+        (rng[d][0], -rng[d][1], d) for d in frags
+    ):
+        t2 = -neg_t2
+        if group_t1 != t1:
+            prev_max_t2 = cur_max_t2
+            group_t1, group_max_t2 = t1, t2
+        if (
+            prev_max_t2 is not None and prev_max_t2 >= t2
+        ) or group_max_t2 > t2:
+            covered.add(d)
+        cur_max_t2 = t2 if cur_max_t2 is None else max(cur_max_t2, t2)
+    frags = [d for d in frags if d not in covered]
     # total sort key: ties on start-ts (rapid commits) resolve by name,
     # keeping newest-fragment-wins merge deterministic (advisor finding)
     return [os.path.join(root, d) for d in sorted(frags, key=lambda d: (_frag_ts(d), d))]
@@ -1715,7 +1729,7 @@ def _dense_fragment_box(frag: str, schema: NativeSchema):
     boundaries, so an unaligned subarray write pads its edge tiles
     with fill values that never surface)."""
     fm = os.path.join(frag, "__fragment_metadata.tdb")
-    footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) else None
+    footer = parse_fragment_footer(fm, schema)
     if footer is None or not footer.dense:
         return [d.domain for d in schema.dims]
     box = []
@@ -3423,6 +3437,154 @@ def read_native_array_range(
 # (pruning is an optimization, never a correctness dependency).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Fragment-metadata CONSOLIDATION (round 7 — TileDB's `fragment_meta`
+# consolidation mode, the third of its four modes beside fragments /
+# array_meta / commits).  Planning reads — footer NEDs, fragment stats,
+# metadata-only counts — normally open every fragment's
+# __fragment_metadata.tdb; at 100 TB an array can carry thousands of
+# fragments and the DRIVER walks them all per query plan, so libtiledb
+# folds the footers into one __fragment_meta/__t1_t2_uuid.meta file and
+# opens ONE object instead of N.  Same shape here: one generic-tile
+# file (AES-sealed when the array key is registered — stats of an
+# encrypted array never hit disk in plaintext) holding the parsed
+# footer + fmmsn stats of every fragment it covers, keyed by fragment
+# NAME.  Readers treat it as a pure CACHE with fallback-only
+# semantics: a fragment absent from every .meta file (newer than the
+# consolidation, unparseable at fold time, or a schema-fingerprint
+# mismatch after evolution) is simply parsed from its own metadata —
+# a stale or missing .meta can cost IO, never correctness.  Real
+# libtiledb .meta files (a different binary layout) fail the
+# generic-tile JSON parse and are ignored the same way.
+# ---------------------------------------------------------------------------
+
+_FMETA_CACHE: dict = {}  # abspath(array_dir) -> {"mtime", "files", "frags"}
+
+
+def _fmeta_enc(v):
+    """Type-tagged JSON encoding for footer/stats scalar values —
+    int/float/str/bytes must round-trip EXACTLY (bytes-vs-str matters:
+    var-NED ordering comparisons would raise on a mixed pair)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return {"t": "B", "v": int(v)}
+    if isinstance(v, int):
+        return {"t": "i", "v": v}
+    if isinstance(v, float):
+        return {"t": "f", "v": v}
+    if isinstance(v, str):
+        return {"t": "s", "v": v}
+    if isinstance(v, (bytes, bytearray)):
+        import base64  # noqa: PLC0415
+
+        return {"t": "b", "v": base64.b64encode(bytes(v)).decode()}
+    raise TypeError(f"fragment-meta value: {type(v)}")
+
+
+def _fmeta_dec(e):
+    if e is None:
+        return None
+    t, v = e["t"], e["v"]
+    if t == "B":
+        return bool(v)
+    if t == "i":
+        return int(v)
+    if t == "f":
+        return float(v)
+    if t == "s":
+        return v
+    if t == "b":
+        import base64  # noqa: PLC0415
+
+        return base64.b64decode(v)
+    raise ValueError(f"fragment-meta tag: {t}")
+
+
+def _fmeta_schema_fp(schema) -> list:
+    """Schema fingerprint stored in every .meta file: entries parsed
+    under a different schema (evolution, enum links) are ignored
+    wholesale — staleness is impossible by construction."""
+    return [
+        [[d.name, d.dtype_id, d.cell_val_num] for d in schema.dims],
+        [
+            [a.name, a.dtype_id, a.cell_val_num, bool(a.nullable),
+             getattr(a, "enumeration", None)]
+            for a in schema.attrs
+        ],
+        getattr(schema, "array_type", "SPARSE"),
+    ]
+
+
+def _array_dir_of_fragment(frag: str) -> str:
+    parent = os.path.dirname(os.path.abspath(frag))
+    if os.path.basename(parent) == "__fragments":
+        return os.path.dirname(parent)
+    return parent
+
+
+def _fmeta_entry(frag: str, schema) -> dict | None:
+    """The consolidated-metadata entry for one fragment, or None (no
+    __fragment_meta dir, fragment not covered, fingerprint mismatch).
+    .meta files are immutable and only ever ADDED, so the per-array
+    cache re-lists the directory only when its mtime moves."""
+    array_dir = _array_dir_of_fragment(frag)
+    mdir = os.path.join(array_dir, "__fragment_meta")
+    try:
+        dstat = os.stat(mdir)
+    except OSError:
+        return None
+    st = _FMETA_CACHE.setdefault(
+        array_dir, {"mtime": None, "files": set(), "frags": {}}
+    )
+    if st["mtime"] != dstat.st_mtime_ns:
+        st["mtime"] = dstat.st_mtime_ns
+        import json as _json  # noqa: PLC0415
+
+        try:
+            names = [
+                e for e in os.listdir(mdir)
+                if e.startswith("__") and e.endswith(".meta")
+            ]
+        except OSError:
+            return None
+        fp = _fmeta_schema_fp(schema)
+        for fn in names:
+            if fn in st["files"]:
+                continue
+            st["files"].add(fn)
+            try:
+                doc = _json.loads(
+                    read_generic_tile(os.path.join(mdir, fn)).decode()
+                )
+            except Exception:  # noqa: BLE001 — foreign/torn file: ignore
+                continue
+            if doc.get("format") != 1 or doc.get("schema_fp") != fp:
+                continue
+            for ent in doc.get("fragments", []):
+                st["frags"][ent["name"]] = ent
+    return st["frags"].get(os.path.basename(frag))
+
+
+def _fmeta_footer(ent: dict):
+    """FragmentFooter reconstructed from a consolidated entry (fresh
+    object per call — callers never share mutable state)."""
+    fo = ent.get("footer")
+    if fo is None:
+        return None
+    ned = [
+        (_fmeta_dec(p[0]), _fmeta_dec(p[1])) if p is not None else None
+        for p in fo["ned"]
+    ]
+    var_ned = [
+        (_fmeta_dec(p[0]), _fmeta_dec(p[1])) if p is not None else None
+        for p in fo.get("var_ned") or [None] * len(ned)
+    ]
+    return FragmentFooter(
+        fo["version"], fo["dense"], ned, fo["stn"], fo["ltcn"],
+        var_ned=var_ned,
+    )
+
 
 class FragmentFooter:
     __slots__ = ("version", "dense", "non_empty_domain", "sparse_tile_num",
@@ -3465,7 +3627,15 @@ def parse_fragment_footer(fm_path: str, schema: "NativeSchema"):
     slices are tried — the era sniff alone can misfire when a size-era
     footer's size value happens to land on bytes that look like a
     generic-tile header, so failure of one candidate must fall through
-    to the other, never straight to None."""
+    to the other, never straight to None.
+
+    Consolidated fragment metadata (``__fragment_meta/*.meta``) is
+    consulted first: one folded file answers for every covered
+    fragment, so planning over N fragments opens O(1) objects instead
+    of N (fallback to the per-fragment parse when not covered)."""
+    ent = _fmeta_entry(os.path.dirname(fm_path), schema)
+    if ent is not None:
+        return _fmeta_footer(ent)
     try:
         buf = open(fm_path, "rb").read()
         if len(buf) < 16:
@@ -3578,10 +3748,7 @@ def window_ned(
     box: list[tuple] | None = None
     for frag in frags:
         fm = os.path.join(frag, "__fragment_metadata.tdb")
-        footer = (
-            parse_fragment_footer(fm, schema)
-            if os.path.isfile(fm) else None
-        )
+        footer = parse_fragment_footer(fm, schema)
         if footer is None:
             return None
         cur = []
@@ -3619,10 +3786,7 @@ def condition_ned(
         if frag in skips:
             continue
         fm = os.path.join(frag, "__fragment_metadata.tdb")
-        footer = (
-            parse_fragment_footer(fm, schema)
-            if os.path.isfile(fm) else None
-        )
+        footer = parse_fragment_footer(fm, schema)
         if footer is None:
             return None
         cur = []
@@ -3655,10 +3819,7 @@ def string_dim_split_keys(
     keys: set = set()
     for frag in _fragment_dirs(array_dir, at=at, since=since):
         fm = os.path.join(frag, "__fragment_metadata.tdb")
-        footer = (
-            parse_fragment_footer(fm, schema)
-            if os.path.isfile(fm) else None
-        )
+        footer = parse_fragment_footer(fm, schema)
         if footer is None:
             continue
         vn = footer.var_ned[0]
@@ -3678,8 +3839,6 @@ def fragment_overlaps(
     if not ranges or all(lo is None and hi is None for lo, hi in ranges):
         return True
     fm = os.path.join(frag, "__fragment_metadata.tdb")
-    if not os.path.isfile(fm):
-        return True
     footer = parse_fragment_footer(fm, schema)
     if footer is None:
         return True
@@ -3854,8 +4013,8 @@ def fragment_cell_count(frag: str, schema: "NativeSchema") -> int | None:
     """Exact cell count of one fragment from its footer (None: no/
     unparseable footer, or a dense NED with an untrusted dim)."""
     fm = os.path.join(frag, "__fragment_metadata.tdb")
-    if not os.path.isfile(fm):
-        return None
+    # no isfile gate: consolidated fragment metadata answers even when
+    # the per-fragment file is elsewhere; the parse handles absence
     f = parse_fragment_footer(fm, schema)
     if f is None:
         return None
@@ -3927,10 +4086,7 @@ def count_native_array(array_dir: str, at: int | None = None) -> int | None:
         boxes = []
         for frag in frags:
             fm = os.path.join(frag, "__fragment_metadata.tdb")
-            footer = (
-                parse_fragment_footer(fm, schema)
-                if os.path.isfile(fm) else None
-            )
+            footer = parse_fragment_footer(fm, schema)
             if footer is None:
                 return None
             box = [
@@ -4170,27 +4326,52 @@ def dim0_tile_weights(
         return None
     out = []
     for frag in _fragment_dirs(array_dir, at=at):
+        ent = _fmeta_entry(frag, schema)
+        if ent is not None and "w0" in ent:
+            # consolidated fragment metadata carries the per-tile
+            # weights — no R-tree open (None = this fragment was
+            # unprovable at fold time, same veto as the direct path)
+            w = ent["w0"]
+            if w is None:
+                return None
+            out.extend(
+                (_fmeta_dec(a), _fmeta_dec(b), int(c)) for a, b, c in w
+            )
+            continue
         fm = os.path.join(frag, "__fragment_metadata.tdb")
-        footer = parse_fragment_footer(fm, schema) if os.path.isfile(fm) else None
+        footer = parse_fragment_footer(fm, schema)
         if footer is None:
             return None
-        if footer.sparse_tile_num == 0:
-            continue
-        mbrs = parse_rtree_leaf_mbrs(frag, schema)
-        cap = schema.capacity
-        n_cells = (footer.sparse_tile_num - 1) * cap + footer.last_tile_cell_num
-        if mbrs is None:
-            # footer-only fallback: one pseudo-tile over the fragment NED
-            dom = footer.non_empty_domain[0]
-            if dom is None:
-                return None
-            out.append((dom[0], dom[1], n_cells))
-            continue
-        for k, mbr in enumerate(mbrs):
-            if mbr[0] is None:
-                return None
-            cells = min(cap, n_cells - k * cap)
-            out.append((mbr[0][0], mbr[0][1], cells))
+        w = _frag_dim0_weights(frag, schema, footer)
+        if w is None:
+            return None
+        out.extend(w)
+    return out
+
+
+def _frag_dim0_weights(
+    frag: str, schema: "NativeSchema", footer: "FragmentFooter"
+) -> list[tuple] | None:
+    """One fragment's (dim0_lo, dim0_hi, cells) per tile from its
+    R-tree leaf MBRs (footer-only pseudo-tile when no usable R-tree);
+    None = unprovable (vetoes quantile planning for the whole array,
+    exactly as :func:`dim0_tile_weights` always treated it)."""
+    if footer.sparse_tile_num == 0:
+        return []
+    mbrs = parse_rtree_leaf_mbrs(frag, schema)
+    cap = schema.capacity
+    n_cells = (footer.sparse_tile_num - 1) * cap + footer.last_tile_cell_num
+    if mbrs is None:
+        # footer-only fallback: one pseudo-tile over the fragment NED
+        dom = footer.non_empty_domain[0]
+        if dom is None:
+            return None
+        return [(dom[0], dom[1], n_cells)]
+    out = []
+    for k, mbr in enumerate(mbrs):
+        if mbr[0] is None:
+            return None
+        out.append((mbr[0][0], mbr[0][1], min(cap, n_cells - k * cap)))
     return out
 
 
@@ -4377,7 +4558,22 @@ def fragment_attr_stats(frag: str, schema: "NativeSchema"):
     """Per-field fragment-level stats from the fmmsn tile:
     ``{field: {"min":…, "max":…, "sum":…, "null_count":…}}`` with keys
     absent when the engine did not compute them (trust boundary above).
-    None when the fragment predates v11 or fails validation."""
+    None when the fragment predates v11 or fails validation.
+    Served from ``__fragment_meta/*.meta`` when consolidated fragment
+    metadata covers this fragment (same fallback-only contract as
+    :func:`parse_fragment_footer`)."""
+    ent = _fmeta_entry(frag, schema)
+    if ent is not None and "stats" in ent:
+        stats = ent["stats"]
+        if stats is None:
+            return None
+        return {
+            fld: {
+                k: (int(tv) if k == "null_count" else _fmeta_dec(tv))
+                for k, tv in stt.items()
+            }
+            for fld, stt in stats.items()
+        }
     fm = os.path.join(frag, "__fragment_metadata.tdb")
     if not os.path.isfile(fm):
         return None
@@ -4544,10 +4740,7 @@ def attr_stats_native_array(
         footers = []
         for frag in frags:
             fm = os.path.join(frag, "__fragment_metadata.tdb")
-            footers.append(
-                parse_fragment_footer(fm, schema)
-                if os.path.isfile(fm) else None
-            )
+            footers.append(parse_fragment_footer(fm, schema))
         if any(f is None for f in footers) or not _neds_pairwise_disjoint(
             footers
         ):
@@ -4628,9 +4821,9 @@ def condition_skip_safe(
     def _footer(f):
         if _footers is not None and f in _footers:
             return _footers[f]
-        p = os.path.join(f, "__fragment_metadata.tdb")
-        out = parse_fragment_footer(p, schema) if os.path.isfile(p) \
-            else None
+        out = parse_fragment_footer(
+            os.path.join(f, "__fragment_metadata.tdb"), schema
+        )
         if _footers is not None:
             _footers[f] = out
         return out

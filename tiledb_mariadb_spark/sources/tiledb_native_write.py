@@ -1810,6 +1810,28 @@ def vacuum_native_array(array_dir: str) -> int:
                     os.unlink(p)
                     removed += 1
             os.unlink(vp)
+    # consolidated FRAGMENT metadata (__fragment_meta/*.meta): retire a
+    # fold whose [t1, t2] range a strictly WIDER fold contains — the
+    # wider one answers for every fragment the narrow one covered (the
+    # .meta tier is a pure cache, so removal is always safe; TileDB's
+    # fragment_meta vacuum mode)
+    fmeta_dir = os.path.join(array_dir, "__fragment_meta")
+    if os.path.isdir(fmeta_dir):
+        metas = [
+            e for e in os.listdir(fmeta_dir)
+            if e.startswith("__") and e.endswith(".meta")
+        ]
+        rngs = {e: _frag_range(e[: -len(".meta")]) for e in metas}
+        for e in metas:
+            t1, t2 = rngs[e]
+            if any(
+                g != e
+                and rngs[g][0] <= t1 and t2 <= rngs[g][1]
+                and (rngs[g][1] - rngs[g][0]) > (t2 - t1)
+                for g in metas
+            ):
+                os.unlink(os.path.join(fmeta_dir, e))
+                removed += 1
     commits = os.path.join(array_dir, "__commits")
     vacs = (
         [e for e in os.listdir(commits) if e.endswith(".vac")]
@@ -1953,6 +1975,104 @@ def consolidate_array_metadata(array_dir: str) -> Optional[str]:
         for fn in entries:
             f.write(f"__meta/{fn}\n")
     return path
+
+
+def consolidate_fragment_meta(
+    array_dir: str,
+    encryption_key: "Optional[bytes | str]" = None,
+) -> Optional[str]:
+    """Fragment-METADATA consolidation (TileDB's ``fragment_meta``
+    consolidation mode; the reference exposes it through libtiledb's
+    consolidation config): fold every visible fragment's parsed footer
+    (NED / var-NED / tile counts) and fmmsn stats into ONE
+    ``__fragment_meta/__t1_t2_uuid.meta`` generic-tile file, so
+    planning reads — window/condition NEDs, metadata-only COUNT,
+    stats refutation — open O(1) objects instead of one per fragment.
+    At 100 TB the driver plans every query from this tier; with
+    thousands of fragments on object storage the per-file latency IS
+    the planning cost.
+
+    Data files are untouched (this consolidates metadata only, exactly
+    like libtiledb's mode) and readers treat the fold as a pure cache:
+    fragments written AFTER it simply miss and parse their own
+    metadata, so no vacuum step is required for correctness —
+    re-consolidating after appends re-covers everything, and
+    :func:`vacuum_native_array` retires folds a wider one covers.
+    Encrypted arrays seal the fold with the registered key (fragment
+    stats of an encrypted array never reach disk in plaintext).
+    Returns the .meta path, or None with <2 parseable fragments."""
+    import json  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _fmeta_enc,
+        _fmeta_schema_fp,
+        _frag_dim0_weights,
+        fragment_attr_stats,
+        open_encryption,
+        parse_fragment_footer,
+    )
+
+    open_encryption(array_dir, encryption_key)
+    schema = parse_array_schema(_schema_path(array_dir))
+    entries = []
+    for frag in _fragment_dirs(array_dir):
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        f = parse_fragment_footer(fm, schema)
+        if f is None:
+            continue  # unparseable now -> stays a per-fragment read
+        stats = fragment_attr_stats(frag, schema)
+        entry = {
+            "name": os.path.basename(frag),
+            "footer": {
+                "version": f.version,
+                "dense": bool(f.dense),
+                "ned": [
+                    [_fmeta_enc(p[0]), _fmeta_enc(p[1])]
+                    if p is not None else None
+                    for p in f.non_empty_domain
+                ],
+                "var_ned": [
+                    [_fmeta_enc(p[0]), _fmeta_enc(p[1])]
+                    if p is not None else None
+                    for p in f.var_ned
+                ],
+                "stn": f.sparse_tile_num,
+                "ltcn": f.last_tile_cell_num,
+            },
+            "stats": None if stats is None else {
+                fld: {
+                    k: (v if k == "null_count" else _fmeta_enc(v))
+                    for k, v in stt.items()
+                }
+                for fld, stt in stats.items()
+            },
+        }
+        if schema.dims and not schema.dims[0].is_var:
+            # per-tile dim0 weights (quantile split planning) — fold
+            # these too so the planner never opens per-fragment R-trees
+            w = _frag_dim0_weights(frag, schema, f)
+            entry["w0"] = None if w is None else [
+                [_fmeta_enc(a), _fmeta_enc(b), int(c)] for a, b, c in w
+            ]
+        entries.append(entry)
+    if len(entries) < 2:
+        return None
+    rngs = [_frag_range(e["name"]) for e in entries]
+    t1 = min(a for a, _b in rngs)
+    t2 = max(b for _a, b in rngs)
+    doc = {
+        "format": 1,
+        "schema_fp": _fmeta_schema_fp(schema),
+        "fragments": entries,
+    }
+    mdir = os.path.join(array_dir, "__fragment_meta")
+    os.makedirs(mdir, exist_ok=True)
+    name = f"__{t1}_{t2}_{uuid.uuid4().hex}.meta"
+    # stage dotted, atomic rename — readers skip non-__ names
+    tmp = os.path.join(mdir, "." + name + ".tmp")
+    _write_generic_tile(tmp, json.dumps(doc).encode())
+    os.replace(tmp, os.path.join(mdir, name))
+    return os.path.join(mdir, name)
 
 
 def write_array_metadata(

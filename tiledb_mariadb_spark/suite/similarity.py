@@ -441,3 +441,71 @@ SPECS.append(
         "re-rank (MRL-embedding funnel)",
     )
 )
+
+
+# --- q336: embedding-based (semantic) decontamination -----------------------
+#
+# q192 decontaminates by n-gram overlap (lexical); modern pipelines ALSO
+# drop training documents semantically close to an eval set — paraphrased
+# contamination n-grams can't see.  Eval embeddings are the SMALL side:
+# broadcast them, score corpus x eval map-side (exact int64 dot products,
+# IEEE sqrt/divide — both engines correctly rounded), and take each
+# train vector's argmax via a map-side-combinable struct-max groupBy
+# (no window sort, no corpus reshuffle: only (id, cos, qid) partials
+# move).  At 100 TB the corpus is scanned once; the eval set rides the
+# broadcast.  Tie-break on equal cosine: LOWEST eval id (struct max of
+# (cos, -qid) == ROW_NUMBER ordered cos DESC, qid ASC).
+def q336_semantic_decontaminate(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    tr = e.filter(F.col("vec_id") >= 20)
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "qid",
+        F.expr(S.cosine_expr("embedding", "qv")).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("cos"), (-F.col("qid")).alias("nq"))
+        ).alias("m")
+    )
+    return (
+        best.filter(F.col("m.cos") >= 0.3)
+        .select(
+            "vec_id",
+            (-F.col("m.nq")).cast("long").alias("eval_id"),
+            F.col("m.cos").alias("max_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q336_SQL = f"""
+WITH ev AS (SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < 20),
+tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+scored AS (SELECT tr.vec_id, ev.qid,
+                  {S.cosine_sql('embedding', 'qv')} AS cos
+           FROM tr, ev),
+best AS (SELECT vec_id, qid, cos,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, qid ASC) AS rn
+         FROM scored)
+SELECT vec_id, CAST(qid AS BIGINT) AS eval_id, cos AS max_cos
+FROM best WHERE rn = 1 AND cos >= 0.3
+ORDER BY vec_id
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q336_semantic_decontaminate",
+        q336_semantic_decontaminate,
+        Q336_SQL,
+        "embedding-based eval-set decontamination: broadcast eval "
+        "vectors, map-side exact cosine, struct-max argmax per train "
+        "vector, threshold flag (the semantic twin of q192's n-gram "
+        "decontamination)",
+    )
+)

@@ -5638,3 +5638,128 @@ SPECS.append(
         "plans zero scan tasks",
     )
 )
+
+
+# --- q335: fragment-metadata consolidation (TileDB fragment_meta mode) ------
+#
+# Pins `consolidate_fragment_meta` (sources/tiledb_native_write.py) and
+# the read-side fold (`_fmeta_entry`, sources/tiledb_native.py): one
+# __fragment_meta/*.meta file serves the ENTIRE planning tier — footer
+# NEDs, fmmsn stats, metadata-only cell counts — for every covered
+# fragment.  The spec writes 8 residue-class fragments, folds them,
+# then RENAMES every per-fragment __fragment_metadata.tdb away before
+# reading a per-fragment stats table: the emitted numbers can only
+# have come from the fold (the decode-poison proof, same style as
+# q310's zero-tile aggregates).  libtiledb's fragment_meta
+# consolidation mode is the reference behavior (the reference engine
+# reaches it through tiledb config); at 100 TB the driver plans every
+# query from this tier, and thousands of per-fragment GETs against
+# object storage become ONE.
+def q335_fragment_meta(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _frag_range,
+        _fragment_dirs,
+        _schema_path,
+        fragment_attr_stats,
+        fragment_cell_count,
+        parse_array_schema,
+        parse_fragment_footer,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_fragment_meta,
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q335_fmeta_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (F.col("o_orderkey") % 8).cast("long").alias("bucket"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def part(batches):
+        import tiledb_mariadb_spark.sources.tiledb_native_write as w  # noqa: PLC0415
+
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            for i in range(8):
+                sl = pdf[pdf["bucket"] == i]
+                w.write_native_fragment(
+                    uri,
+                    {"k": list(sl["k"]), "cents": list(sl["cents"])},
+                    ts=1000 + i,
+                    version=19,
+                )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    assert consolidate_fragment_meta(uri)
+    frags = _fragment_dirs(uri)
+    for frag in frags:  # decode-poison: planning must not reopen these
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        os.rename(fm, fm + ".hidden")
+    schema = parse_array_schema(_schema_path(uri))
+    rows = []
+    for frag in frags:
+        bucket = _frag_range(os.path.basename(frag))[0] - 1000
+        f = parse_fragment_footer(
+            os.path.join(frag, "__fragment_metadata.tdb"), schema
+        )
+        st = fragment_attr_stats(frag, schema)
+        rows.append((
+            bucket,
+            fragment_cell_count(frag, schema),
+            f.non_empty_domain[0][0], f.non_empty_domain[0][1],
+            int(st["cents"]["min"]), int(st["cents"]["max"]),
+            int(st["cents"]["sum"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "bucket long, cells long, min_k long, max_k long,"
+        " min_cents long, max_cents long, sum_cents long",
+    ).orderBy("bucket")
+
+
+Q335_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey < 2000)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS cells,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM src GROUP BY bucket ORDER BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q335_fragment_meta",
+        q335_fragment_meta,
+        Q335_SQL,
+        "fragment-metadata consolidation (round 7, fragment_meta mode): "
+        "one __fragment_meta fold serves footers/stats/counts for all "
+        "8 fragments with every per-fragment metadata file renamed "
+        "away (decode-poison proof)",
+    )
+)
