@@ -227,3 +227,35 @@ def test_fold_value_types_roundtrip(tmp_path):
         for fld in got:
             for k in got[fld]:
                 assert type(got[fld][k]) is type(want[fld][k])
+
+
+def test_fmeta_codec_property():
+    """enc/dec identity over the whole scalar-value domain, type-exact
+    (hypothesis: a bytes value must never come back str and vice
+    versa — shadow-safety ordering comparisons would raise)."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _fmeta_dec,
+        _fmeta_enc,
+    )
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False),
+        st.text(),
+        st.binary(),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(scalars)
+    def check(v):
+        rt = _fmeta_dec(json.loads(json.dumps(_fmeta_enc(v))))
+        assert rt == v and type(rt) is type(v)
+
+    check()

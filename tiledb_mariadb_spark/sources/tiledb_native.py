@@ -3534,6 +3534,8 @@ def _fmeta_entry(frag: str, schema) -> dict | None:
         dstat = os.stat(mdir)
     except OSError:
         return None
+    if len(_FMETA_CACHE) > 64 and array_dir not in _FMETA_CACHE:
+        _FMETA_CACHE.clear()  # bound long-lived drivers over many arrays
     st = _FMETA_CACHE.setdefault(
         array_dir, {"mtime": None, "files": set(), "frags": {}}
     )
