@@ -194,13 +194,14 @@ def all_specs() -> dict[str, QuerySpec]:
     # backfill rows (the round-1 window, driver-green in r1, six rounds
     # ago; the four scalar-fn re-tests q17-q20 yielded their slots — the
     # same surface is triple-covered in this window by q220/q238/q239).
-    # Cumulative driver coverage after this window: 329/329 distinct
+    # Cumulative driver coverage after this window: 330/330 distinct
     # specs (q331_filter_matrix, q332_native_discovery,
-    # q333_bloom_prune, q334_condition_planner, q335_fragment_meta and
-    # q336_semantic_decontaminate joined mid-round, taking the
-    # q22/q21/q42/q59/q16/q14 backfill re-test slots; the displaced
-    # surfaces stay covered in-window — q220 for JSON/scalars, q13 +
-    # q160 for grouping sets — and rejoin the r8 backfill).
+    # q333_bloom_prune, q334_condition_planner, q335_fragment_meta,
+    # q336_semantic_decontaminate and q337_maintenance_loop joined
+    # mid-round, taking the q22/q21/q42/q59/q16/q14/q13 backfill
+    # re-test slots; the displaced surfaces stay covered in-window —
+    # q220 for JSON/scalars, q160 for the grouping-sets family — and
+    # rejoin the r8 backfill).
     # ROUND 8 (staged — apply as round 8's commit #1): after this
     # window cumulative coverage is 325/325, so r8 leads with whatever
     # r8 ADDS (new specs first, newest code least-tested), then the
@@ -234,18 +235,19 @@ def all_specs() -> dict[str, QuerySpec]:
         "q329_char_fast_path", "q330_jvm_agg", "q331_filter_matrix",
         "q332_native_discovery", "q333_bloom_prune",
         "q334_condition_planner", "q335_fragment_meta",
-        "q336_semantic_decontaminate",
-        # least-recently-verified backfill: the round-1 window (14;
+        "q336_semantic_decontaminate", "q337_maintenance_loop",
+        # least-recently-verified backfill: the round-1 window (13;
         # q22_distinct yielded its slot to q331 — DISTINCT is covered
         # by q12 in this same window — q59 yielded to q334, q16_setops
         # to q335 (set ops stayed driver-green via q250/q251 in the r4
-        # window), and q14_cube to q336 (grouping-sets surface is
-        # covered in THIS window by q13 + q160_grouping_id)
+        # window), and q14_cube/q13_rollup to q336/q337 (the
+        # grouping-sets family is covered in THIS window by
+        # q160_grouping_id)
         "q01_pricing_summary", "q02_scan_projection", "q03_filter_eq",
         "q04_filter_range", "q05_filter_in", "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
         "q10_agg_scalar", "q11_agg_having", "q12_count_distinct",
-        "q13_rollup", "q15_orderby_limit",
+        "q15_orderby_limit",
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

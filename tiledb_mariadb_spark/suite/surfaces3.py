@@ -5763,3 +5763,134 @@ SPECS.append(
         "away (decode-poison proof)",
     )
 )
+
+
+# --- q337: maintenance composition — the 100 TB operations loop -------------
+#
+# The round-7 maintenance tiers composed end-to-end, the way a real
+# 100 TB deployment runs them: a large BASE fragment plus four small
+# APPENDS (the daily-band shape) -> size-ratio INCREMENTAL
+# consolidation (rewrites only the appends, never the base —
+# plan_consolidation) -> fragment-METADATA consolidation (one
+# __fragment_meta fold serves all planning reads) -> VACUUM (retires
+# merged originals AND covered folds) -> a CDC WINDOW read
+# (`since=`) that sees exactly the appended rows through the merged
+# fragment's [t1, t2] span.  Every phase's row count, checksum, and
+# the visible-fragment census are hash-pinned; the oracle recomputes
+# data phases from the source table and pins the structural counts as
+# literals (run-of-4 merged to 1; 2 fragments visible post-vacuum).
+def q337_maintenance_loop(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        consolidate_array_incremental,
+        plan_consolidation,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_fragment_meta,
+        create_native_array,
+        vacuum_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q337_maint_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1400).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+
+    def part(batches):
+        import tiledb_mariadb_spark.sources.tiledb_native_write as w  # noqa: PLC0415
+
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            base = pdf[pdf["k"] < 1200]
+            w.write_native_fragment(
+                uri, {"k": list(base["k"]), "cents": list(base["cents"])},
+                ts=1000, version=19,
+            )
+            for i, lo in enumerate(range(1200, 1400, 50)):
+                sl = pdf[(pdf["k"] >= lo) & (pdf["k"] < lo + 50)]
+                w.write_native_fragment(
+                    uri, {"k": list(sl["k"]), "cents": list(sl["cents"])},
+                    ts=2001 + i, version=19,
+                )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    runs = plan_consolidation(uri, ratio=3.0)
+    n_runs = len(runs)
+    n_new = consolidate_array_incremental(spark, uri, target_splits=2)
+    assert consolidate_fragment_meta(uri)
+    vacuum_native_array(uri)
+    frags = len(_fragment_dirs(uri))
+
+    def _agg(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("s"),
+        ).collect()[0]
+        return int(r["n"]), int(r["s"])
+
+    full_n, full_s = _agg(read_array(spark, uri, target_splits=4))
+    win_n, win_s = _agg(read_array(spark, uri, since=2001, target_splits=4))
+    rows = [
+        ("full", full_n, full_s, frags),
+        ("maintenance", n_runs * 1000 + n_new, 0, frags),
+        ("window", win_n, win_s, frags),
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, n_rows long, sum_cents long, frags long"
+    ).orderBy("phase")
+
+
+Q337_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey < 1400)
+SELECT 'full' AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents,
+       CAST(2 AS BIGINT) AS frags
+FROM src
+UNION ALL
+SELECT 'maintenance', CAST(1001 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(2 AS BIGINT)
+UNION ALL
+SELECT 'window',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT),
+       CAST(2 AS BIGINT)
+FROM src WHERE k >= 1200
+ORDER BY phase
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q337_maintenance_loop",
+        q337_maintenance_loop,
+        Q337_SQL,
+        "maintenance composition (round 7): appends -> size-ratio "
+        "incremental consolidation (base never rewritten) -> "
+        "fragment-meta fold -> vacuum -> CDC window read of exactly "
+        "the appended rows; structural census pinned (1 run merged to "
+        "1 fragment, 2 visible post-vacuum)",
+    )
+)
