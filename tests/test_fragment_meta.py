@@ -259,3 +259,21 @@ def test_fmeta_codec_property():
         assert rt == v and type(rt) is type(v)
 
     check()
+
+
+def test_distributed_fold_equals_driver_fold(tmp_path, spark):
+    """spark-parallelized fold build produces the same entries (order
+    included) as the driver-side walk."""
+    import json
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_generic_tile,
+    )
+
+    arr = _mk(tmp_path, n_frags=6)
+    p1 = consolidate_fragment_meta(arr)
+    p2 = consolidate_fragment_meta(arr, spark=spark, target_splits=3)
+    d1 = json.loads(read_generic_tile(p1).decode())
+    d2 = json.loads(read_generic_tile(p2).decode())
+    assert d1["fragments"] == d2["fragments"]
+    assert d1["schema_fp"] == d2["schema_fp"]

@@ -1977,9 +1977,63 @@ def consolidate_array_metadata(array_dir: str) -> Optional[str]:
     return path
 
 
+def _fmeta_entry_of(frag: str, schema: NativeSchema) -> Optional[dict]:
+    """One fragment's consolidated-metadata entry (footer + stats +
+    dim0 tile weights), or None when its footer is unparseable (the
+    fragment then stays a per-fragment read)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _fmeta_enc,
+        _frag_dim0_weights,
+        fragment_attr_stats,
+        parse_fragment_footer,
+    )
+
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    f = parse_fragment_footer(fm, schema)
+    if f is None:
+        return None
+    stats = fragment_attr_stats(frag, schema)
+    entry = {
+        "name": os.path.basename(frag),
+        "footer": {
+            "version": f.version,
+            "dense": bool(f.dense),
+            "ned": [
+                [_fmeta_enc(p[0]), _fmeta_enc(p[1])]
+                if p is not None else None
+                for p in f.non_empty_domain
+            ],
+            "var_ned": [
+                [_fmeta_enc(p[0]), _fmeta_enc(p[1])]
+                if p is not None else None
+                for p in f.var_ned
+            ],
+            "stn": f.sparse_tile_num,
+            "ltcn": f.last_tile_cell_num,
+        },
+        "stats": None if stats is None else {
+            fld: {
+                k: (v if k == "null_count" else _fmeta_enc(v))
+                for k, v in stt.items()
+            }
+            for fld, stt in stats.items()
+        },
+    }
+    if schema.dims and not schema.dims[0].is_var:
+        # per-tile dim0 weights (quantile split planning) — fold these
+        # too so the planner never opens per-fragment R-trees
+        w = _frag_dim0_weights(frag, schema, f)
+        entry["w0"] = None if w is None else [
+            [_fmeta_enc(a), _fmeta_enc(b), int(c)] for a, b, c in w
+        ]
+    return entry
+
+
 def consolidate_fragment_meta(
     array_dir: str,
     encryption_key: "Optional[bytes | str]" = None,
+    spark=None,
+    target_splits: int = 16,
 ) -> Optional[str]:
     """Fragment-METADATA consolidation (TileDB's ``fragment_meta``
     consolidation mode; the reference exposes it through libtiledb's
@@ -2000,61 +2054,57 @@ def consolidate_fragment_meta(
     :func:`vacuum_native_array` retires folds a wider one covers.
     Encrypted arrays seal the fold with the registered key (fragment
     stats of an encrypted array never reach disk in plaintext).
+    ``spark``: distribute the per-fragment footer/stats parsing over
+    executors (order-preserving) — at 100k fragments on object storage
+    the fold build is latency-bound per fragment, so executors do the
+    opens and only compact JSON entries return to the driver.
     Returns the .meta path, or None with <2 parseable fragments."""
     import json  # noqa: PLC0415
 
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
-        _fmeta_enc,
         _fmeta_schema_fp,
-        _frag_dim0_weights,
-        fragment_attr_stats,
         open_encryption,
-        parse_fragment_footer,
     )
 
     open_encryption(array_dir, encryption_key)
     schema = parse_array_schema(_schema_path(array_dir))
-    entries = []
-    for frag in _fragment_dirs(array_dir):
-        fm = os.path.join(frag, "__fragment_metadata.tdb")
-        f = parse_fragment_footer(fm, schema)
-        if f is None:
-            continue  # unparseable now -> stays a per-fragment read
-        stats = fragment_attr_stats(frag, schema)
-        entry = {
-            "name": os.path.basename(frag),
-            "footer": {
-                "version": f.version,
-                "dense": bool(f.dense),
-                "ned": [
-                    [_fmeta_enc(p[0]), _fmeta_enc(p[1])]
-                    if p is not None else None
-                    for p in f.non_empty_domain
-                ],
-                "var_ned": [
-                    [_fmeta_enc(p[0]), _fmeta_enc(p[1])]
-                    if p is not None else None
-                    for p in f.var_ned
-                ],
-                "stn": f.sparse_tile_num,
-                "ltcn": f.last_tile_cell_num,
-            },
-            "stats": None if stats is None else {
-                fld: {
-                    k: (v if k == "null_count" else _fmeta_enc(v))
-                    for k, v in stt.items()
-                }
-                for fld, stt in stats.items()
-            },
-        }
-        if schema.dims and not schema.dims[0].is_var:
-            # per-tile dim0 weights (quantile split planning) — fold
-            # these too so the planner never opens per-fragment R-trees
-            w = _frag_dim0_weights(frag, schema, f)
-            entry["w0"] = None if w is None else [
-                [_fmeta_enc(a), _fmeta_enc(b), int(c)] for a, b, c in w
-            ]
-        entries.append(entry)
+    frags = _fragment_dirs(array_dir)
+    if spark is not None and len(frags) > 1:
+        import pandas as pd  # noqa: PLC0415
+
+        key = encryption_key
+
+        def build(batches):
+            from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                open_encryption as _oe,
+            )
+
+            _oe(array_dir, key)
+            s = parse_array_schema(_schema_path(array_dir))
+            for pdf in batches:
+                out = []
+                for frag in pdf["frag"]:
+                    e = _fmeta_entry_of(frag, s)
+                    out.append(None if e is None else json.dumps(e))
+                yield pd.DataFrame({"frag": pdf["frag"], "entry": out})
+
+        n_parts = max(1, min(int(target_splits), len(frags)))
+        built = (
+            spark.createDataFrame([(f,) for f in frags], "frag string")
+            .repartition(n_parts, "frag")
+            .mapInPandas(build, schema="frag string, entry string")
+            .collect()
+        )
+        by_frag = {r["frag"]: r["entry"] for r in built}
+        entries = [
+            json.loads(by_frag[f]) for f in frags
+            if by_frag.get(f) is not None
+        ]
+    else:
+        entries = [
+            e for e in (_fmeta_entry_of(frag, schema) for frag in frags)
+            if e is not None
+        ]
     if len(entries) < 2:
         return None
     rngs = [_frag_range(e["name"]) for e in entries]
