@@ -277,3 +277,44 @@ def test_distributed_fold_equals_driver_fold(tmp_path, spark):
     d2 = json.loads(read_generic_tile(p2).decode())
     assert d1["fragments"] == d2["fragments"]
     assert d1["schema_fp"] == d2["schema_fp"]
+
+
+def test_maintain_array_one_call(tmp_path, spark):
+    """maintain_array runs the whole consolidation matrix in safe
+    order: incremental fragments first, folds cover the merged
+    layout, one vacuum retires everything superseded — and reads are
+    bit-identical before/after."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        maintain_array,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_array_metadata,
+    )
+
+    arr = _mk(tmp_path, n_frags=6)
+    write_array_metadata(arr, {"a": 1}, ts=1)
+    write_array_metadata(arr, {"b": 2}, ts=2)
+    before = sorted(
+        map(tuple, read_array(spark, arr, target_splits=2).collect())
+    )
+    out = maintain_array(spark, arr)
+    assert out["fragments"] >= 1
+    assert out["fragment_meta"] and out["vacuumed"] >= 1
+    after = sorted(
+        map(tuple, read_array(spark, arr, target_splits=2).collect())
+    )
+    assert after == before
+    # the fold serves the merged layout: poison and re-plan
+    _FMETA_CACHE.clear()
+    _poison(arr)
+    schema = parse_array_schema(_schema_path(arr))
+    frags = _fragment_dirs(arr)
+    assert all(
+        parse_fragment_footer(
+            os.path.join(f, "__fragment_metadata.tdb"), schema
+        ) is not None
+        for f in frags
+    )
+    with pytest.raises(ValueError, match="unknown consolidation"):
+        maintain_array(spark, arr, modes=("nope",))

@@ -1588,3 +1588,72 @@ def consolidate_array_incremental(
                 f.write(f"__commits/{nm}.wrt\n")
         n_total += len(names)
     return n_total
+
+
+def maintain_array(
+    spark: SparkSession,
+    uri: str,
+    modes: Sequence[str] = (
+        "fragments", "commits", "array_meta", "fragment_meta",
+    ),
+    vacuum: bool = True,
+    incremental: bool = True,
+    encryption_key: Optional[Any] = None,
+    target_splits: int = 16,
+) -> dict:
+    """One-call maintenance loop — the mode-dispatch surface of
+    libtiledb's ``Array.consolidate(config)`` where
+    ``sm.consolidation.mode`` picks ``fragments`` / ``commits`` /
+    ``array_meta`` / ``fragment_meta`` and a separate vacuum pass
+    retires superseded artifacts.  Runs the requested modes in the
+    safe order (data fragments first so the metadata fold covers the
+    merged layout), then one vacuum:
+
+    * ``fragments``: ``incremental=True`` (default) runs size-ratio
+      incremental consolidation (cost tracks appended data — the
+      100 TB default); False runs full distributed consolidation.
+    * ``commits``: fold per-fragment commit markers into one .con.
+    * ``array_meta``: fold the __meta entry history.
+    * ``fragment_meta``: fold footers/stats/tile-weights into one
+      __fragment_meta object (planning opens O(1) files; built
+      distributed over ``spark``).
+
+    Returns per-mode results: fragments merged / paths written /
+    entries vacuumed.  Unknown modes raise (libtiledb rejects unknown
+    consolidation modes the same way)."""
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        consolidate_array_metadata,
+        consolidate_commits,
+        consolidate_fragment_meta,
+        vacuum_native_array,
+    )
+
+    known = {"fragments", "commits", "array_meta", "fragment_meta"}
+    unknown = [m for m in modes if m not in known]
+    if unknown:
+        raise ValueError(f"unknown consolidation mode(s): {unknown}")
+    out: dict = {}
+    if "fragments" in modes:
+        if incremental:
+            out["fragments"] = consolidate_array_incremental(
+                spark, uri, target_splits=target_splits,
+                encryption_key=encryption_key,
+            )
+        else:
+            out["fragments"] = consolidate_array(
+                spark, uri, target_splits=target_splits,
+                encryption_key=encryption_key,
+            )
+    if "commits" in modes:
+        out["commits"] = consolidate_commits(uri)
+    if "array_meta" in modes:
+        out["array_meta"] = consolidate_array_metadata(uri)
+    if "fragment_meta" in modes:
+        # last: the fold then covers the post-consolidation layout
+        out["fragment_meta"] = consolidate_fragment_meta(
+            uri, encryption_key=encryption_key, spark=spark,
+            target_splits=target_splits,
+        )
+    if vacuum:
+        out["vacuumed"] = vacuum_native_array(uri)
+    return out
