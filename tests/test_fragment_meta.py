@@ -318,3 +318,40 @@ def test_maintain_array_one_call(tmp_path, spark):
     )
     with pytest.raises(ValueError, match="unknown consolidation"):
         maintain_array(spark, arr, modes=("nope",))
+
+
+def test_maintain_array_encrypted_without_fragments_mode(tmp_path, spark):
+    """The key registers even when the fragments mode is not selected —
+    array_meta/fragment_meta folds of an encrypted array read and write
+    sealed generic tiles through the registry."""
+    from tiledb_mariadb_spark.sources.tiledb_array import maintain_array
+    from tiledb_mariadb_spark.sources.tiledb_native_crypto import (
+        clear_encryption_key,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_array_metadata,
+    )
+
+    key = b"7" * 32
+    arr = str(tmp_path / "enc")
+    create_native_array(
+        arr,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        encryption_key=key,
+    )
+    for f in range(3):
+        write_native_fragment(
+            arr, {"k": [f * 10, f * 10 + 1], "v": [f, f]},
+            ts=f + 1, version=19, encryption_key=key,
+        )
+    write_array_metadata(arr, {"a": 1}, ts=1)
+    write_array_metadata(arr, {"b": 2}, ts=2)
+    clear_encryption_key(arr)
+    out = maintain_array(
+        spark, arr, modes=("array_meta", "fragment_meta"),
+        encryption_key=key,
+    )
+    assert out["array_meta"] and out["fragment_meta"]
+    raw = open(out["fragment_meta"], "rb").read()
+    assert b'"stats"' not in raw  # sealed, not plaintext JSON

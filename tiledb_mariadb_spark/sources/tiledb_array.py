@@ -1632,6 +1632,15 @@ def maintain_array(
     unknown = [m for m in modes if m not in known]
     if unknown:
         raise ValueError(f"unknown consolidation mode(s): {unknown}")
+    if encryption_key is not None:
+        # register up front: array_meta/commits folds read+write sealed
+        # generic tiles through the process key registry even when the
+        # fragments mode (which would also register it) is not selected
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            open_encryption,
+        )
+
+        open_encryption(uri, encryption_key)
     out: dict = {}
     if "fragments" in modes:
         if incremental:
