@@ -463,3 +463,47 @@ def test_condition_skip_fuzz(tmp_path, seed):
             got.astype({"k": "int64", "v": "int64"}),
             want.astype({"k": "int64", "v": "int64"}),
         )
+
+
+def test_range_condition_planning(tmp_path, spark):
+    """Range conjuncts (not just =/IN needles) drive condition-aware
+    split planning: stats-refuted fragments drop pre-scan, an
+    all-refuted range plans empty, and results stay exact."""
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        register_tiledb_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_array import read_array
+
+    register_tiledb_native(spark)
+    arr = str(tmp_path / "rng")
+    create_native_array(
+        arr,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    # disjoint v-ranges per fragment, overlapping key ranges
+    for f in range(4):
+        write_native_fragment(
+            arr,
+            {"k": list(range(f, 400, 4)),
+             "v": [f * 100 + (x % 50) for x in range(100)]},
+            ts=f + 1, version=19,
+        )
+    got = read_array(
+        spark, arr, conditions=[("v", ">=", 300)], target_splits=2
+    ).collect()
+    assert sorted(r["v"] for r in got) == sorted(
+        300 + (x % 50) for x in range(100)
+    )
+    # provably-empty range: zero rows, plan-level
+    assert read_array(
+        spark, arr, conditions=[("v", ">", 10**5)], target_splits=2
+    ).count() == 0
+    # and the same through plain format()
+    df = spark.read.format("tiledb_native").option("path", arr).load()
+    assert df.filter(F.col("v") >= 300).count() == 100
+    assert df.filter(F.col("v") > 10**5).count() == 0
+    # [250, 320) hits only fragment 3's 300..319 band: 20 residues x 2
+    assert df.filter((F.col("v") >= 250) & (F.col("v") < 320)).count() == 40

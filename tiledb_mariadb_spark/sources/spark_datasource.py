@@ -289,13 +289,12 @@ class TileDBNativeReader(DataSourceReader):
         )
 
         be = _backend(self.encryption_key)
-        if self.conditions and any(
-            c[1] in ("=", "in") for c in self.conditions
-        ):
+        if self.conditions:
             # condition-aware planning (read_array parity): intersect
             # the scan with the non-skippable fragments' union NED —
             # needle queries over bloom-indexed attrs launch tasks only
-            # where candidate fragments live; [] = provably empty
+            # where candidate fragments live; [] = provably empty.
+            # All ops qualify (stats refute range conjuncts too)
             cfn = getattr(be, "condition_ned", None)
             cbox = cfn(self.uri, list(self.conditions), at=self.at,
                        since=self.since) if cfn else None

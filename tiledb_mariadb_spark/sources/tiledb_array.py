@@ -933,13 +933,15 @@ def read_array(
                     )
                 # list-of-point-ranges (IN pushdown): already narrow
             dim_ranges = merged
-    if conditions and any(c[1] in ("=", "in") for c in conditions):
+    if conditions:
         # CONDITION-aware planning (the needle twin of the CDC window
         # above): fragments the pushed conditions provably skip —
         # stats/bloom refuted AND shadow-safe — cannot contribute rows,
         # so intersect the scan with the SURVIVORS' union bounding box;
         # a bloom-indexed point lookup launches tasks only where
-        # candidate fragments live
+        # candidate fragments live.  ALL ops qualify: min/max stats
+        # refute range conjuncts (<, >=, BETWEEN shapes) just as well
+        # as needles (=/IN, which additionally get the bloom proof)
         cfn = getattr(backend, "condition_ned", None)
         cbox = cfn(uri, list(conditions), at=at, since=since)             if cfn else None
         if cbox == []:
