@@ -355,3 +355,21 @@ def test_maintain_array_encrypted_without_fragments_mode(tmp_path, spark):
     assert out["array_meta"] and out["fragment_meta"]
     raw = open(out["fragment_meta"], "rb").read()
     assert b'"stats"' not in raw  # sealed, not plaintext JSON
+
+
+def test_repeated_maintenance_folds_dont_accumulate(tmp_path):
+    """Periodic maintenance on a QUIET array must not grow the fold
+    dir unboundedly: vacuum keeps exactly one of any equal-range
+    fold set (plus any genuinely-wider one)."""
+    arr = _mk(tmp_path, n_frags=3)
+    mdir = os.path.join(arr, "__fragment_meta")
+    for _ in range(4):
+        assert consolidate_fragment_meta(arr)
+        vacuum_native_array(arr)
+    metas = [e for e in os.listdir(mdir) if e.endswith(".meta")]
+    assert len(metas) == 1
+    _FMETA_CACHE.clear()
+    _poison(arr)
+    schema = parse_array_schema(_schema_path(arr))
+    st = fragment_attr_stats(_fragment_dirs(arr)[0], schema)
+    assert st["v"]["min"] == 0  # the surviving fold still serves

@@ -1824,12 +1824,20 @@ def vacuum_native_array(array_dir: str) -> int:
         rngs = {e: _frag_range(e[: -len(".meta")]) for e in metas}
         for e in metas:
             t1, t2 = rngs[e]
-            if any(
+            covered_by_wider = any(
                 g != e
                 and rngs[g][0] <= t1 and t2 <= rngs[g][1]
                 and (rngs[g][1] - rngs[g][0]) > (t2 - t1)
                 for g in metas
-            ):
+            )
+            # equal-range folds are re-runs over an unchanged layout
+            # (periodic maintenance on a quiet array): keep only the
+            # newest name so they can't accumulate unboundedly —
+            # removal is always safe, the fold tier is a pure cache
+            superseded_twin = any(
+                g != e and rngs[g] == (t1, t2) and g > e for g in metas
+            )
+            if covered_by_wider or superseded_twin:
                 os.unlink(os.path.join(fmeta_dir, e))
                 removed += 1
     commits = os.path.join(array_dir, "__commits")
