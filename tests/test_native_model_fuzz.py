@@ -165,3 +165,45 @@ def test_native_op_sequence_fuzz(tmp_path, seed):
         _read_both(arr, since=t)
         if len(write_ts) >= 2:
             _read_both(arr, since=write_ts[0], at=t)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_maintenance_interleaved_fuzz(tmp_path, spark, seed):
+    """maintain_array (the full consolidation matrix + vacuum) lands
+    between random write/delete batches; the full view is invariant
+    across every maintenance call and both readers agree throughout —
+    including window reads after merged fragments replace originals."""
+    from tiledb_mariadb_spark.sources.tiledb_array import maintain_array
+
+    rnd = random.Random(7000 + seed)
+    arr = str(tmp_path / "arr")
+    create_native_array(
+        arr,
+        dims=[NativeDim("k", 1, 1, (0, 500), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        bloom_attrs=["v"],
+    )
+    ts = 10
+    for _round in range(3):
+        for _w in range(rnd.randrange(2, 5)):
+            n = rnd.randrange(2, 20)
+            keys = rnd.sample(range(100), n)
+            write_native_fragment(
+                arr,
+                {"k": sorted(keys), "v": [rnd.randrange(6) for _ in range(n)]},
+                ts=ts, version=19,
+            )
+            ts += rnd.randrange(1, 3)
+        if rnd.random() < 0.5:
+            write_delete_condition(arr, [("v", "=", rnd.randrange(6))], ts=ts)
+            ts += 1
+        before = _read_both(arr)
+        _FMETA_CACHE.clear()
+        maintain_array(spark, arr, incremental=bool(_round % 2))
+        assert _read_both(arr) == before, "maintain_array changed the view"
+        # post-maintenance conditioned reads keep the prune-only contract
+        c = rnd.randrange(6)
+        got = _read_both(arr, conds=[("v", "=", c)])
+        want = [r for r in before if r[1] == c]
+        assert [r for r in got if r[1] == c] == want
+        assert set(got) <= set(before)
