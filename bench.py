@@ -119,6 +119,10 @@ HEADLINE = [
     "q333_bloom_prune",
     "q334_condition_planner",
     "q335_fragment_meta",
+    # round-7 continuation: windowed metadata aggregation — dim-range
+    # COUNT/SUM/MIN/MAX from R-tree tile classification + tile stats,
+    # only boundary tiles decoded (benched with its distributed write)
+    "q338_windowed_agg",
 ]
 
 

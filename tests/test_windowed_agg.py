@@ -324,3 +324,53 @@ def test_encrypted_array(tmp_path):
         exp["sum"], exp["min"], exp["max"],
     )
     assert res["audit"]["tiles_contained"] >= 5
+
+
+def test_sql_windowed_stats_surface(spark, tmp_path):
+    """sql_windowed_stats_from_array: metadata mode when provable, scan
+    mode under deletes — identical view shape, identical numbers."""
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        sql_windowed_stats_from_array,
+    )
+
+    uri = _mk(tmp_path, capacity=100)
+    for i, base in enumerate((0, 1000, 2000)):
+        _write(uri, base, 1000, seed=i)
+    mode = sql_windowed_stats_from_array(
+        spark, "wstats_md", uri, {"k": (150, 2849)}
+    )
+    assert mode == "metadata"
+    md = {
+        r.column: r for r in spark.sql("SELECT * FROM wstats_md").collect()
+    }
+    exp = _expected(uri, 150, 2849, "v")
+    assert md["v"].cnt == exp["rows"] == 2700
+    assert md["v"].sum_num == float(exp["sum"])
+    assert md["v"].min_num == float(exp["min"])
+    assert md["v"].max_num == float(exp["max"])
+    expw = _expected(uri, 150, 2849, "w")
+    assert md["w"].null_count == expw["nulls"]
+    expt = _expected(uri, 150, 2849, "tag")
+    assert md["tag"].min_str == expt["min"]
+    assert md["tag"].max_str == expt["max"]
+    assert md["k"].min_num == 150.0 and md["k"].max_num == 2849.0
+
+    # a delete makes metadata unprovable -> scan mode, same numbers
+    write_delete_condition(uri, [("v", ">", 10**9)], ts=None)
+    mode2 = sql_windowed_stats_from_array(
+        spark, "wstats_scan", uri, {"k": (150, 2849)}
+    )
+    assert mode2 == "scan"
+    sc = {
+        r.column: r
+        for r in spark.sql("SELECT * FROM wstats_scan").collect()
+    }
+    for col in ("v", "w", "tag", "k"):
+        assert sc[col].cnt == md[col].cnt, col
+        for fld in ("min_num", "max_num", "sum_num", "null_count",
+                    "min_str", "max_str"):
+            a, b = getattr(sc[col], fld), getattr(md[col], fld)
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=1e-9), (col, fld)
+            else:
+                assert a == b, (col, fld)

@@ -676,6 +676,116 @@ def sql_stats_table_from_array(
     return "scan"
 
 
+def sql_windowed_stats_from_array(
+    spark, table_name: str, uri: str, ranges: dict,
+    at=None, since=None, encryption_key=None,
+) -> str:
+    """Range-WINDOWED COUNT/MIN/MAX/SUM/NULL_COUNT as a SQL table — the
+    subarray form of :func:`sql_stats_table_from_array` (group_by_handler
+    parity, mytile/ha_mytile.cc:607-715, extended with TileDB core's
+    tile-stats aggregate design): tiles fully inside ``ranges`` answer
+    from fragment metadata, only boundary tiles decode.  Same row shape
+    (``_STATS_DDL``), ``cnt`` = in-window cell count.
+
+    Returns ``'metadata'`` when the trust rules held (boundary tiles may
+    still have been decoded — exactly, driver-side, O(boundary)), else
+    ``'scan'``: the identical view computed by a distributed
+    filter+aggregate through the registered format.  Enum attributes
+    report LABEL extrema in min_str/max_str on both paths."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _DT,
+        open_encryption,
+        parse_array_schema,
+        _schema_path,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        windowed_agg_native,
+    )
+
+    if encryption_key is not None:
+        open_encryption(uri, encryption_key)
+    schema = parse_array_schema(_schema_path(uri))
+    fields = list(schema.dims) + list(schema.attrs)
+    res = windowed_agg_native(
+        uri, ranges, fields=[f.name for f in fields], at=at, since=since
+    )
+    if res is not None:
+        rows = []
+        for f in fields:
+            s = res["fields"][f.name]
+            is_str = _DT[f.dtype_id][1] == "c" or bool(
+                getattr(f, "enumeration", None)
+            )
+            rows.append((
+                f.name,
+                res["count"],
+                float(s["min"]) if s["min"] is not None and not is_str
+                else None,
+                float(s["max"]) if s["max"] is not None and not is_str
+                else None,
+                float(s["sum"]) if s["sum"] is not None else None,
+                int(s["null_count"]) if s["null_count"] is not None
+                else None,
+                str(s["min"]) if s["min"] is not None and is_str else None,
+                str(s["max"]) if s["max"] is not None and is_str else None,
+            ))
+        spark.createDataFrame(rows, _STATS_DDL).createOrReplaceTempView(
+            table_name
+        )
+        return "metadata"
+    # fallback: identical view shape from a distributed scan+aggregate
+    # with the window pushed down as dim-range filters
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    reader = spark.read.format("tiledb_native").option("path", uri)
+    if at is not None:
+        reader = reader.option("at", str(at))
+    if since is not None:
+        reader = reader.option("since", str(since))
+    if encryption_key is not None:
+        reader = reader.option("encryption_key", encryption_key)
+    register_tiledb_native(spark)
+    df = reader.load()
+    for dname, (lo, hi) in (ranges or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(dname) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(dname) <= hi)
+    nullable_attrs = {a.name for a in schema.attrs if a.nullable}
+    parts = []
+    for f in fields:
+        is_str = _DT[f.dtype_id][1] == "c" or bool(
+            getattr(f, "enumeration", None)
+        )
+        is_num = f.cell_val_num == 1 and not is_str
+        c = F.col(f.name)
+        parts.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.count(F.lit(1)).alias("cnt"),
+                (F.min(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("min_num"),
+                (F.max(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("max_num"),
+                (F.sum(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("sum_num"),
+                (F.sum(F.when(c.isNull(), 1).otherwise(0))
+                 if f.name in nullable_attrs
+                 else F.lit(None).cast("bigint")).alias("null_count"),
+                (F.min(c).cast("string") if is_str
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.max(c).cast("string") if is_str
+                 else F.lit(None).cast("string")).alias("max_str"),
+            ).alias(f.name)
+        )
+    one = df.agg(*parts)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(f.name) for f in fields])).alias("s")
+    ).select("s.*")
+    stacked.createOrReplaceTempView(table_name)
+    return "scan"
+
+
 def sql_table_from_array(spark, table_name: str, uri: str, **options) -> None:
     """SQL-surface registration — the ``CREATE TABLE ... ENGINE=mytile
     uri='...'`` analog: the bare array becomes a plain SQL table name

@@ -120,6 +120,7 @@ def all_specs() -> dict[str, QuerySpec]:
         surfaces,
         surfaces2,
         surfaces3,
+        surfaces4,
         tpch_extra,
         windows,
     )
@@ -152,6 +153,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch_extra,
         surfaces2,
         surfaces3,
+        surfaces4,
         functions_surface8,
         functions_surface7,
         functions_surface6,
@@ -236,7 +238,11 @@ def all_specs() -> dict[str, QuerySpec]:
         "q332_native_discovery", "q333_bloom_prune",
         "q334_condition_planner", "q335_fragment_meta",
         "q336_semantic_decontaminate", "q337_maintenance_loop",
+        "q338_windowed_agg",
         # least-recently-verified backfill: the round-1 window (13;
+        # (12; q11_agg_having yielded its slot to q338 — aggregates +
+        # post-agg filtering stay covered in-window by q01/q10/q12, and
+        # q338 hash-matches COUNT/SUM/MIN/MAX against the oracle)
         # q22_distinct yielded its slot to q331 — DISTINCT is covered
         # by q12 in this same window — q59 yielded to q334, q16_setops
         # to q335 (set ops stayed driver-green via q250/q251 in the r4
@@ -246,7 +252,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "q01_pricing_summary", "q02_scan_projection", "q03_filter_eq",
         "q04_filter_range", "q05_filter_in", "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
-        "q10_agg_scalar", "q11_agg_having", "q12_count_distinct",
+        "q10_agg_scalar", "q12_count_distinct",
         "q15_orderby_limit",
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"

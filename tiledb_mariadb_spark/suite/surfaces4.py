@@ -1,0 +1,174 @@
+"""Round-7 session-2 native-tier surfaces.
+
+q338 — windowed metadata aggregation: the subarray form of the
+reference's group_by_handler (mytile/ha_mytile.cc:607-715 answers
+ungrouped COUNT/MIN/MAX/SUM from storage) on TileDB core's tile-stats
+design — tiles fully inside the requested dim ranges contribute their
+fragment-metadata tile stats without being read; only boundary tiles
+decode.  The spec writes a range-partitioned native array from orders
+(disjoint NEDs — the provability precondition), answers a key-window
+COUNT/SUM/MIN/MAX twice (metadata path, then a distributed connector
+scan), and the oracle recomputes both from the parquet source: the
+hash match proves the metadata numbers equal a real scan's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledb_mariadb_spark.suite import QuerySpec, t
+
+SPECS: list[QuerySpec] = []
+
+_W_LO, _W_HI = 101, 4000  # o_orderkey window: populated at every sf
+
+
+def q338_windowed_agg(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        windowed_agg_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q338_windowed_") + "/arr"
+    # small capacity so the window spans many interior tiles even at
+    # sf0.001 (1.5k orders): the metadata path must actually engage
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("ckey", 1, 1, False, None),
+        ],
+        capacity=200,
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_custkey").cast("bigint").alias("ckey"),
+    )
+    # range partitioning => pairwise-disjoint fragment NEDs, the
+    # windowed-agg provability precondition (and the natural shape of a
+    # time/key-partitioned 100 TB ingest)
+    write_array(
+        src.repartitionByRange(3, "k"), uri, backend=NativeDecoderBackend()
+    )
+
+    res = windowed_agg_native(
+        uri, {"k": (_W_LO, _W_HI)}, fields=["cents", "ckey"]
+    )
+    if res is None:  # fail loudly — never silently scan
+        raise AssertionError("windowed metadata agg not provable")
+    a = res["audit"]
+    # at tiny sf the window covers almost every key (nothing to skip);
+    # the invariant that must hold at EVERY sf is that interior tiles
+    # were served from metadata, not decoded
+    if a["tiles_contained"] == 0:
+        raise AssertionError(f"metadata path did not engage: {a}")
+    meta_rows = [("meta", "*", "rows", float(res["count"]))]
+    for fname in ("cents", "ckey"):
+        s = res["fields"][fname]
+        for stat in ("count", "sum", "min", "max"):
+            meta_rows.append(("meta", fname, stat, float(s[stat])))
+    meta = spark.createDataFrame(
+        meta_rows, "src string, field string, stat string, value double"
+    )
+
+    arr = read_array(
+        spark, uri, dim_ranges={"k": (_W_LO, _W_HI)}, target_splits=4
+    )
+    aggs = arr.agg(
+        F.count(F.lit(1)).alias("all_rows"),
+        F.count("cents").alias("cents_count"),
+        F.sum("cents").alias("cents_sum"),
+        F.min("cents").alias("cents_min"),
+        F.max("cents").alias("cents_max"),
+        F.count("ckey").alias("ckey_count"),
+        F.sum("ckey").alias("ckey_sum"),
+        F.min("ckey").alias("ckey_min"),
+        F.max("ckey").alias("ckey_max"),
+    )
+    scan = aggs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("*").alias("field"),
+                    F.lit("rows").alias("stat"),
+                    F.col("all_rows").cast("double").alias("value"),
+                ),
+                *[
+                    F.struct(
+                        F.lit(c.rsplit("_", 1)[0]).alias("field"),
+                        F.lit(c.rsplit("_", 1)[1]).alias("stat"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in aggs.columns
+                    if c != "all_rows"
+                ],
+            )
+        ).alias("s")
+    ).select(F.lit("scan").alias("src"), "s.field", "s.stat", "s.value")
+    return meta.unionByName(scan).orderBy("src", "field", "stat")
+
+
+Q338_SQL = f"""
+WITH w AS (
+  SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents,
+         CAST(o_custkey AS BIGINT) AS ckey
+  FROM orders WHERE o_orderkey BETWEEN {_W_LO} AND {_W_HI}
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS rows_,
+         CAST(COUNT(cents) AS DOUBLE) AS cents_count,
+         CAST(SUM(cents) AS DOUBLE) AS cents_sum,
+         CAST(MIN(cents) AS DOUBLE) AS cents_min,
+         CAST(MAX(cents) AS DOUBLE) AS cents_max,
+         CAST(COUNT(ckey) AS DOUBLE) AS ckey_count,
+         CAST(SUM(ckey) AS DOUBLE) AS ckey_sum,
+         CAST(MIN(ckey) AS DOUBLE) AS ckey_min,
+         CAST(MAX(ckey) AS DOUBLE) AS ckey_max
+  FROM w
+), stats AS (
+  SELECT '*' AS field, 'rows' AS stat, rows_ AS value FROM s
+  UNION ALL SELECT 'cents', 'count', cents_count FROM s
+  UNION ALL SELECT 'cents', 'sum',   cents_sum   FROM s
+  UNION ALL SELECT 'cents', 'min',   cents_min   FROM s
+  UNION ALL SELECT 'cents', 'max',   cents_max   FROM s
+  UNION ALL SELECT 'ckey',  'count', ckey_count  FROM s
+  UNION ALL SELECT 'ckey',  'sum',   ckey_sum    FROM s
+  UNION ALL SELECT 'ckey',  'min',   ckey_min    FROM s
+  UNION ALL SELECT 'ckey',  'max',   ckey_max    FROM s
+)
+SELECT src.src AS src, stats.field, stats.stat, stats.value
+FROM stats CROSS JOIN (
+  SELECT 'meta' AS src UNION ALL SELECT 'scan'
+) AS src
+ORDER BY src, field, stat
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q338_windowed_agg",
+        q338_windowed_agg,
+        Q338_SQL,
+        "windowed metadata aggregation (round 7): dim-range COUNT/SUM/"
+        "MIN/MAX answered from R-tree tile classification + tile stats, "
+        "boundary tiles decoded exactly; hash-matched against both a "
+        "connector scan and the parquet oracle "
+        "(group_by_handler subarray form, ha_mytile.cc:607-715)",
+    )
+)
