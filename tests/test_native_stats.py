@@ -266,3 +266,32 @@ def test_connector_prunes_via_conditions(spark):
     )
     got = {r["soma_joinid"] for r in hit.collect()}
     assert 0 in got  # DDX11L1 -> 24811 <= 30000
+
+
+def test_sum_stat_overflow_saturates_not_crashes(tmp_path):
+    """Writing int64 values whose fragment sum overflows the 8-byte
+    fmmsn slot must not crash the writer; the saturated sum reads back
+    as ABSENT (never a silently-wrong total), while min/max stay
+    exact.  (libtiledb clamps the same way — the slot carries no
+    presence flag.)"""
+    from tiledb_mariadb_spark.sources.tiledb_native import _fragment_dirs
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        create_native_array,
+        write_native_fragment,
+    )
+
+    big = 2**60
+    uri = str(tmp_path / "ovf")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 1000), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    vals = [big + i for i in range(40)]  # sum ~ 40*2^60 >> 2^63
+    write_native_fragment(
+        uri, {"k": list(range(40)), "v": vals}, ts=1, version=19)
+    schema = parse_array_schema(_schema_path(uri))
+    (frag,) = _fragment_dirs(uri)
+    st = fragment_attr_stats(frag, schema)["v"]
+    assert st["min"] == big and st["max"] == big + 39
+    assert "sum" not in st  # saturated -> distrusted, not wrong

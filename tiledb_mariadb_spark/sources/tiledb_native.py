@@ -4553,7 +4553,16 @@ def _decode_sum(dtype_id: int, b: bytes):
         return None
     if dtype_id in (2, 3):
         return struct.unpack("<d", b)[0]
-    return struct.unpack("<Q" if dtype_id in _UNSIGNED_DT else "<q", b)[0]
+    v = struct.unpack("<Q" if dtype_id in _UNSIGNED_DT else "<q", b)[0]
+    # a sum sitting EXACTLY at the accumulator bound is the writer's
+    # overflow saturation (libtiledb clamps the same way — the 8-byte
+    # slot has no presence flag): distrust it so the aggregate path
+    # recomputes instead of serving a silently-wrong total.  The cost
+    # of a false positive (a genuine exactly-at-bound sum) is one
+    # decode fallback, never a wrong answer.
+    if dtype_id in _UNSIGNED_DT:
+        return None if v == 2**64 - 1 else v
+    return None if v in (2**63 - 1, -(2**63)) else v
 
 
 def fragment_attr_stats(frag: str, schema: "NativeSchema"):

@@ -2377,11 +2377,16 @@ def _field_tile_stats(field, vals, slices):
 
 
 def _pack_sum(dtype_id: int, v) -> bytes:
+    """The 8-byte fmmsn sum slot has no presence flag, so an
+    accumulator overflow SATURATES at the bound (libtiledb clamps the
+    same way); the reader's `_decode_sum` treats exactly-at-bound sums
+    as absent, so a saturated total falls back to decode instead of
+    serving a wrong aggregate."""
     if dtype_id in (2, 3):
         return struct.pack("<d", v)
     if dtype_id in (6, 8, 9, 10, 40):
-        return struct.pack("<Q", v)
-    return struct.pack("<q", v)
+        return struct.pack("<Q", min(max(int(v), 0), 2**64 - 1))
+    return struct.pack("<q", min(max(int(v), -(2**63)), 2**63 - 1))
 
 
 def _dense_tile_slices(schema: NativeSchema, box) -> list[tuple[int, int]]:
