@@ -1010,6 +1010,188 @@ def read_array(
     return split_df.mapInPandas(read_split, schema=ddl)
 
 
+def copartitioned_join_arrays(
+    spark: SparkSession,
+    uri_a: str,
+    uri_b: str,
+    backend: Optional[ArrayBackend] = None,
+    backend_b: Optional[ArrayBackend] = None,
+    columns_a: Optional[list[str]] = None,
+    columns_b: Optional[list[str]] = None,
+    dim_ranges: Optional[dict[str, Any]] = None,
+    at_a: Optional[int] = None,
+    at_b: Optional[int] = None,
+    how: str = "inner",
+    conditions_a: Optional[Sequence[tuple]] = None,
+    conditions_b: Optional[Sequence[tuple]] = None,
+    target_splits: int = 32,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Storage-partitioned equi-join of two arrays that share a dimension
+    space — ZERO data shuffle.
+
+    Both arrays must have identical dimensions (same names, types, order);
+    the join key is that full dimension tuple.  One split plan is cut over
+    the shared coordinate space (R-tree-weighted, exactly like
+    ``read_array``); each task reads BOTH arrays' cells for its subarray
+    and merges them locally.  Because splits are disjoint and covering,
+    every matching coordinate pair meets in exactly one task — the only
+    exchange in the whole plan is the byte-sized split-id round-robin.
+
+    This is the connector-level analog of Spark's storage-partitioned
+    join (SPARK-37375): the Python DataSource API cannot report
+    KeyGroupedPartitioning to Catalyst, so two ``read_array`` frames
+    joined in SQL shuffle both sides; this function removes those
+    exchanges entirely.  At 100 TB a fact-to-fact join on the dimension
+    key is a full-data double shuffle — here it is a map-only pass whose
+    parallelism is ``target_splits``.  Reference parity: the dim-key
+    joins of mysql-test/mytile/t/join.test and mrr_triple_join.test
+    (there the MariaDB executor BKA-joins through the handler; the
+    co-location insight is the same — dimension order IS the join order).
+
+    ``how``: 'inner' or 'left' (left keeps A rows with no B match,
+    B columns NULL).  For 'inner' the split plan is additionally narrowed
+    to B's non-empty domain — coordinates outside it cannot match, so
+    tasks never launch there.  ``dim_ranges``/``conditions_*`` push down
+    into each side's scan exactly as in ``read_array``.  Attribute names
+    colliding across sides get ``suffixes``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    backend_a = backend or (
+        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+    )
+    backend_b = backend_b or backend_a
+    info_a = backend_a.info(uri_a, at=at_a)
+    info_b = backend_b.info(uri_b, at=at_b)
+    sig_a = [(d.name, d.dtype) for d in info_a.dims]
+    sig_b = [(d.name, d.dtype) for d in info_b.dims]
+    if sig_a != sig_b:
+        raise ValueError(
+            f"arrays are not co-partitionable: dims {sig_a} != {sig_b}"
+        )
+    dim_names = [d.name for d in info_a.dims]
+
+    def _select(info, want, side):
+        names = [a.name for a in info.attrs]
+        if want is None:
+            return list(names)
+        unknown = [c for c in want if c not in names]
+        if unknown:
+            raise ValueError(f"unknown columns_{side}: {unknown}")
+        return [a for a in names if a in want]
+
+    sel_a = _select(info_a, columns_a, "a")
+    sel_b = _select(info_b, columns_b, "b")
+    collide = set(sel_a) & set(sel_b)
+    out_a = [n + suffixes[0] if n in collide else n for n in sel_a]
+    out_b = [n + suffixes[1] if n in collide else n for n in sel_b]
+
+    _OPS = {"=", "!=", "<", "<=", ">", ">=", "in", "is_null",
+            "is_not_null"}
+    for conds, info, side in (
+        (conditions_a, info_a, "a"), (conditions_b, info_b, "b"),
+    ):
+        legal = dim_names + [a.name for a in info.attrs]
+        for cond in conds or []:
+            if cond[0] not in legal:
+                raise ValueError(
+                    f"unknown conditions_{side} column: {cond[0]}"
+                )
+            if cond[1] not in _OPS:
+                raise ValueError(f"unknown condition op: {cond[1]}")
+
+    # plan ONE split set over the shared coordinate space; inner joins
+    # narrow it to B's non-empty domain (nothing outside can match)
+    merged = dict(dim_ranges or {})
+    if how == "inner":
+        for d in info_b.dims:
+            cur = merged.get(d.name)
+            blo, bhi = d.domain
+            if cur is None:
+                merged[d.name] = (blo, bhi)
+            elif isinstance(cur, tuple):
+                lo, hi = cur
+                merged[d.name] = (
+                    blo if lo is None else (lo if blo is None else max(lo, blo)),
+                    bhi if hi is None else (hi if bhi is None else min(hi, bhi)),
+                )
+            # list-of-point-ranges (IN pushdown): already narrow
+    weights_fn = getattr(backend_a, "split_weights", None)
+    weights = weights_fn(uri_a, at=at_a) if weights_fn else None
+    skeys = None
+    if not any(
+        isinstance(b, int)
+        for d in info_a.dims for b in (d.domain or (None, None))
+    ):
+        skeys_fn = getattr(backend_a, "string_split_keys", None)
+        skeys = skeys_fn(uri_a, at=at_a) if skeys_fn else None
+    splits = plan_splits(
+        info_a, merged, target_splits, weights=weights, string_keys=skeys,
+    )
+
+    type_a = {x.name: x.dtype for x in info_a.dims + info_a.attrs}
+    type_b = {x.name: x.dtype for x in info_b.attrs}
+    ddl = ", ".join(
+        [f"{d} {type_a[d]}" for d in dim_names]
+        + [f"{o} {type_a[n]}" for n, o in zip(sel_a, out_a)]
+        + [f"{o} {type_b[n]}" for n, o in zip(sel_b, out_b)]
+    )
+    if not splits:
+        return spark.createDataFrame([], schema=ddl)
+
+    # left-join NULL fidelity: B columns convert to pandas NULLABLE
+    # dtypes BEFORE the merge, so an unmatched bigint never round-trips
+    # through float64 (lossy past 2^53) and NULL stays distinct from NaN
+    _NULLABLE = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "integer": "Int32", "bigint": "Int64", "long": "Int64",
+        "float": "Float32", "double": "Float64", "boolean": "boolean",
+    }
+    b_nullable = {
+        o: _NULLABLE[type_b[n]]
+        for n, o in zip(sel_b, out_b) if type_b[n] in _NULLABLE
+    }
+    out_cols = dim_names + out_a + out_b
+
+    split_rows = [(i,) for i in range(len(splits))]
+    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
+        len(splits), "split_id"
+    )
+
+    def join_split(batches) -> Iterator:
+        for pdf in batches:
+            for sid in pdf["split_id"]:
+                rng = splits[int(sid)]
+                pa_ = backend_a.read_range(
+                    uri_a, rng, dim_names + sel_a, at=at_a,
+                    conditions=conditions_a,
+                )
+                if not len(pa_):
+                    continue  # no A rows -> no output for inner OR left
+                pb_ = backend_b.read_range(
+                    uri_b, rng, dim_names + sel_b, at=at_b,
+                    conditions=conditions_b,
+                )
+                if how == "left":
+                    for n, o in zip(sel_b, out_b):
+                        t = b_nullable.get(o)
+                        if t is not None:
+                            pb_[n] = pb_[n].astype(t)
+                m = pa_.merge(
+                    pb_, on=dim_names, how=how, suffixes=suffixes,
+                )
+                if not len(m):
+                    continue
+                if how == "left":
+                    for n, o in zip(sel_b, out_b):
+                        if o not in b_nullable and m[o].dtype == object:
+                            m[o] = m[o].where(m[o].notna(), None)
+                yield m[out_cols]
+
+    return split_df.mapInPandas(join_split, schema=ddl)
+
+
 def write_array(
     df: DataFrame,
     uri: str,
