@@ -123,6 +123,9 @@ HEADLINE = [
     # COUNT/SUM/MIN/MAX from R-tree tile classification + tile stats,
     # only boundary tiles decoded (benched with its distributed write)
     "q338_windowed_agg",
+    # storage-partitioned join: two co-dimensioned native arrays join
+    # with zero data shuffle (split plan + per-task local merge)
+    "q339_copartitioned_join",
 ]
 
 

@@ -127,6 +127,11 @@ def test_no_python_udf_in_any_plan(spark):
         # range scan: same declared native-io boundary
         "q333_bloom_prune",  # bloom-sidecar fragment writes + pruned
         # point lookups: same declared native-io boundary
+        "q338_windowed_agg",  # connector fragment writes feeding the
+        # metadata-only windowed aggregate: same declared boundary
+        "q339_copartitioned_join",  # two connector writes + the
+        # storage-partitioned join (the join IS the declared
+        # native-io mapInPandas boundary — zero shuffle is its point)
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

@@ -196,14 +196,16 @@ def all_specs() -> dict[str, QuerySpec]:
     # backfill rows (the round-1 window, driver-green in r1, six rounds
     # ago; the four scalar-fn re-tests q17-q20 yielded their slots — the
     # same surface is triple-covered in this window by q220/q238/q239).
-    # Cumulative driver coverage after this window: 330/330 distinct
+    # Cumulative driver coverage after this window: 332/332 distinct
     # specs (q331_filter_matrix, q332_native_discovery,
     # q333_bloom_prune, q334_condition_planner, q335_fragment_meta,
-    # q336_semantic_decontaminate and q337_maintenance_loop joined
-    # mid-round, taking the q22/q21/q42/q59/q16/q14/q13 backfill
-    # re-test slots; the displaced surfaces stay covered in-window —
-    # q220 for JSON/scalars, q160 for the grouping-sets family — and
-    # rejoin the r8 backfill).
+    # q336_semantic_decontaminate, q337_maintenance_loop, then
+    # q338_windowed_agg and q339_copartitioned_join joined mid-round,
+    # taking the q22/q21/q42/q59/q16/q14/q13/q11/q02 backfill re-test
+    # slots; the displaced surfaces stay covered in-window —
+    # q220 for JSON/scalars, q160 for the grouping-sets family,
+    # q01/q10/q12 for aggregates, the native tier for scan+projection
+    # — and rejoin the r8 backfill).
     # ROUND 8 (staged — apply as round 8's commit #1): after this
     # window cumulative coverage is 325/325, so r8 leads with whatever
     # r8 ADDS (new specs first, newest code least-tested), then the
@@ -238,7 +240,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "q332_native_discovery", "q333_bloom_prune",
         "q334_condition_planner", "q335_fragment_meta",
         "q336_semantic_decontaminate", "q337_maintenance_loop",
-        "q338_windowed_agg",
+        "q338_windowed_agg", "q339_copartitioned_join",
         # least-recently-verified backfill: the round-1 window (13;
         # (12; q11_agg_having yielded its slot to q338 — aggregates +
         # post-agg filtering stay covered in-window by q01/q10/q12, and
@@ -249,7 +251,10 @@ def all_specs() -> dict[str, QuerySpec]:
         # window), and q14_cube/q13_rollup to q336/q337 (the
         # grouping-sets family is covered in THIS window by
         # q160_grouping_id)
-        "q01_pricing_summary", "q02_scan_projection", "q03_filter_eq",
+        # (q02_scan_projection yielded its slot to q339 — bare scan +
+        # projection is exercised by every native-tier spec in this
+        # window and stays driver-green from r1)
+        "q01_pricing_summary", "q03_filter_eq",
         "q04_filter_range", "q05_filter_in", "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
         "q10_agg_scalar", "q12_count_distinct",

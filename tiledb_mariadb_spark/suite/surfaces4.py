@@ -172,3 +172,128 @@ SPECS.append(
         "(group_by_handler subarray form, ha_mytile.cc:607-715)",
     )
 )
+
+
+# --- q339: storage-partitioned join of co-dimensioned arrays ----------------
+#
+# Two native arrays keyed by the same dimension join WITHOUT shuffling
+# either side: one split plan over the shared coordinate space, each
+# task reads both subarrays and merges locally (the connector-level
+# analog of Spark's storage-partitioned join, SPARK-37375 — which the
+# Python DataSource API cannot express to Catalyst).  Reference parity:
+# the dim-key joins of mysql-test/mytile/t/join.test and
+# mrr_triple_join.test (MariaDB BKA-joins through ha_mytile; here the
+# co-location removes the exchange entirely).  At 100 TB a fact-to-fact
+# join on the dimension key is a full-data double shuffle in plain
+# Spark; this is a map-only pass.  The spec LEFT-joins an orders array
+# against a lineitem-rollup array with range + condition pushdown, and
+# self-audits that the physical plan contains no Spark join node.
+
+_J_LO, _J_HI = 1, 800  # o_orderkey join window: populated at every sf
+
+
+def q339_copartitioned_join(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        copartitioned_join_arrays,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    base = tempfile.mkdtemp(prefix="q339_cpj_")
+    ua, ub = base + "/orders_arr", base + "/items_arr"
+    dims = [NativeDim("k", 1, 1, (0, 6_000_000), None)]
+    create_native_array(
+        ua, dims=dims,
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("cust", 1, 1, False, None),
+        ],
+    )
+    create_native_array(
+        ub, dims=dims,
+        attrs=[
+            NativeAttr("qty", 1, 1, False, None),
+            NativeAttr("items", 1, 1, False, None),
+        ],
+    )
+    be = NativeDecoderBackend()
+    a_src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_custkey").cast("bigint").alias("cust"),
+    )
+    b_src = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.count(F.lit(1)).alias("items"),
+        )
+        .where(F.col("items") >= 4)
+    )
+    # range partitioning: disjoint fragment NEDs per writer — the
+    # natural key-partitioned ingest shape both split plans exploit
+    write_array(a_src.repartitionByRange(3, "k"), ua, backend=be)
+    write_array(b_src.repartitionByRange(3, "k"), ub, backend=be)
+
+    joined = copartitioned_join_arrays(
+        spark, ua, ub,
+        how="left",
+        dim_ranges={"k": (_J_LO, _J_HI)},
+        conditions_a=[("cents", ">=", 1_000_000)],
+        target_splits=6,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Join" in plan:  # the whole point: the merge rides the scan
+        raise AssertionError("copartitioned join produced a shuffle join")
+    return joined.select(
+        "k", "cents", "cust", "qty", "items",
+        F.when(F.col("items").isNotNull(), F.lit("true"))
+        .otherwise(F.lit("false")).alias("matched"),
+    ).orderBy("k")
+
+
+Q339_SQL = f"""
+WITH a AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents,
+         CAST(o_custkey AS BIGINT) AS cust
+  FROM orders
+  WHERE o_orderkey BETWEEN {_J_LO} AND {_J_HI}
+), b AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS items
+  FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 4
+)
+SELECT a.k, a.cents, a.cust, b.qty, b.items,
+       CASE WHEN b.k IS NULL THEN 'false' ELSE 'true' END AS matched
+FROM a LEFT JOIN b ON a.k = b.k
+WHERE a.cents >= 1000000
+ORDER BY a.k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q339_copartitioned_join",
+        q339_copartitioned_join,
+        Q339_SQL,
+        "storage-partitioned join (round 7): two co-dimensioned native "
+        "arrays LEFT-join with zero data shuffle — one split plan, both "
+        "sides read per task, local merge; range + condition pushdown "
+        "into each side; plan self-audited join-free "
+        "(join.test / mrr_triple_join.test parity, SPARK-37375 analog)",
+    )
+)
