@@ -786,6 +786,121 @@ def sql_windowed_stats_from_array(
     return "scan"
 
 
+def sql_bucketed_stats_from_array(
+    spark, table_name: str, uri: str, width: int,
+    at=None, since=None, encryption_key=None,
+) -> str:
+    """GROUP BY ``floor(dim0/width)`` rollup as a SQL table — the
+    grouped twin of :func:`sql_windowed_stats_from_array` (the
+    hypertable continuous-aggregate shape): per bucket and column,
+    COUNT/MIN/MAX/SUM/NULL_COUNT answered from tile stats in one footer
+    walk; only bucket-edge tiles decode.  Row shape: ``bucket`` +
+    ``_STATS_DDL``; ``cnt`` = the bucket's cell count.
+
+    Returns ``'metadata'`` when the trust rules held, else ``'scan'``:
+    the identical view from a distributed groupBy over the registered
+    format (exact floor division, any-sign coordinates)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _DT,
+        open_encryption,
+        parse_array_schema,
+        _schema_path,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        bucketed_agg_native,
+    )
+
+    if encryption_key is not None:
+        open_encryption(uri, encryption_key)
+    schema = parse_array_schema(_schema_path(uri))
+    fields = list(schema.dims) + list(schema.attrs)
+    ddl = "bucket bigint, " + _STATS_DDL
+    res = bucketed_agg_native(
+        uri, width, fields=[f.name for f in fields], at=at, since=since
+    )
+    if res is not None:
+        rows = []
+        for b, ent in sorted(res["buckets"].items()):
+            for f in fields:
+                s = ent["fields"][f.name]
+                is_str = _DT[f.dtype_id][1] == "c" or bool(
+                    getattr(f, "enumeration", None)
+                )
+                rows.append((
+                    int(b),
+                    f.name,
+                    ent["count"],
+                    float(s["min"]) if s["min"] is not None and not is_str
+                    else None,
+                    float(s["max"]) if s["max"] is not None and not is_str
+                    else None,
+                    float(s["sum"]) if s["sum"] is not None else None,
+                    int(s["null_count"]) if s["null_count"] is not None
+                    else None,
+                    str(s["min"]) if s["min"] is not None and is_str
+                    else None,
+                    str(s["max"]) if s["max"] is not None and is_str
+                    else None,
+                ))
+        spark.createDataFrame(rows, ddl).createOrReplaceTempView(
+            table_name
+        )
+        return "metadata"
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    reader = spark.read.format("tiledb_native").option("path", uri)
+    if at is not None:
+        reader = reader.option("at", str(at))
+    if since is not None:
+        reader = reader.option("since", str(since))
+    if encryption_key is not None:
+        reader = reader.option("encryption_key", encryption_key)
+    register_tiledb_native(spark)
+    df = reader.load()
+    d0 = schema.dims[0].name
+    # exact FLOOR division for any-sign integer keys (never through
+    # double: keys past 2^53 would round): non-negative python-mod
+    # then an exact DIV
+    bexpr = F.expr(
+        f"CAST((`{d0}` - (((`{d0}` % {width}) + {width}) % {width})) "
+        f"DIV {width} AS BIGINT)"
+    )
+    nullable_attrs = {a.name for a in schema.attrs if a.nullable}
+    parts = []
+    for f in fields:
+        is_str = _DT[f.dtype_id][1] == "c" or bool(
+            getattr(f, "enumeration", None)
+        )
+        is_num = f.cell_val_num == 1 and not is_str
+        c = F.col(f.name)
+        parts.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.count(F.lit(1)).alias("cnt"),
+                (F.min(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("min_num"),
+                (F.max(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("max_num"),
+                (F.sum(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("sum_num"),
+                (F.sum(F.when(c.isNull(), 1).otherwise(0))
+                 if f.name in nullable_attrs
+                 else F.lit(None).cast("bigint")).alias("null_count"),
+                (F.min(c).cast("string") if is_str
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.max(c).cast("string") if is_str
+                 else F.lit(None).cast("string")).alias("max_str"),
+            ).alias(f.name)
+        )
+    grouped = df.groupBy(bexpr.alias("bucket")).agg(*parts)
+    stacked = grouped.select(
+        "bucket",
+        F.explode(F.array(*[F.col(f.name) for f in fields])).alias("s"),
+    ).select("bucket", "s.*")
+    stacked.createOrReplaceTempView(table_name)
+    return "scan"
+
+
 def sql_table_from_array(spark, table_name: str, uri: str, **options) -> None:
     """SQL-surface registration — the ``CREATE TABLE ... ENGINE=mytile
     uri='...'`` analog: the bare array becomes a plain SQL table name
