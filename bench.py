@@ -126,6 +126,8 @@ HEADLINE = [
     # storage-partitioned join: two co-dimensioned native arrays join
     # with zero data shuffle (split plan + per-task local merge)
     "q339_copartitioned_join",
+    # bucketed metadata rollup: GROUP BY floor(k/width) from tile stats
+    "q340_bucketed_rollup",
 ]
 
 

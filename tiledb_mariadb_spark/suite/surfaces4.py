@@ -285,6 +285,124 @@ WHERE a.cents >= 1000000
 ORDER BY a.k
 """
 
+# --- q340: bucketed metadata rollup (GROUP BY floor(dim/width)) -------------
+#
+# The grouped twin of q338: GROUP BY floor(k/width) COUNT/SUM/MIN/MAX
+# answered from tile stats in ONE footer walk — tiles inside a single
+# bucket contribute stats unread, only bucket-edge tiles decode (the
+# hypertable continuous-aggregate shape; group_by_handler
+# ha_mytile.cc:607-715 extended to grouped subarrays).  The spec
+# computes the rollup twice (metadata path, then a distributed
+# connector scan + groupBy) and the oracle recomputes both from
+# parquet: the hash match proves the metadata rollup equals a real
+# grouped scan.  Width 1024 is deliberately UNALIGNED to the tile
+# capacity, so edge tiles exercise the exact-decode path at every sf.
+
+_B_W = 1024
+
+
+def q340_bucketed_rollup(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        bucketed_agg_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q340_bucketed_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+        capacity=200,
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    write_array(
+        src.repartitionByRange(3, "k"), uri, backend=NativeDecoderBackend()
+    )
+
+    res = bucketed_agg_native(uri, _B_W, fields=["cents"])
+    if res is None:  # fail loudly — never silently scan
+        raise AssertionError("bucketed metadata rollup not provable")
+    if res["audit"]["tiles_contained"] == 0:
+        raise AssertionError(f"metadata path did not engage: {res['audit']}")
+    meta = spark.createDataFrame(
+        [
+            ("meta", int(b), ent["count"], int(ent["fields"]["cents"]["sum"]),
+             int(ent["fields"]["cents"]["min"]),
+             int(ent["fields"]["cents"]["max"]))
+            for b, ent in sorted(res["buckets"].items())
+        ],
+        "src string, bucket long, rows long, c_sum long, c_min long,"
+        " c_max long",
+    )
+    scan = (
+        read_array(spark, uri, target_splits=4)
+        .groupBy(
+            F.expr(f"CAST(k DIV {_B_W} AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("cents").alias("c_sum"),
+            F.min("cents").alias("c_min"),
+            F.max("cents").alias("c_max"),
+        )
+        .select(F.lit("scan").alias("src"), "bucket", "rows",
+                "c_sum", "c_min", "c_max")
+    )
+    return meta.unionByName(scan).orderBy("src", "bucket")
+
+
+Q340_SQL = f"""
+WITH g AS (
+  SELECT CAST(FLOOR(CAST(o_orderkey AS DOUBLE) / {_B_W}.0) AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS c_sum,
+         CAST(MIN(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS c_min,
+         CAST(MAX(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS c_max
+  FROM orders GROUP BY 1
+)
+SELECT src.src AS src, g.bucket, g.rows, g.c_sum, g.c_min, g.c_max
+FROM g CROSS JOIN (
+  SELECT 'meta' AS src UNION ALL SELECT 'scan'
+) AS src
+ORDER BY src, bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q340_bucketed_rollup",
+        q340_bucketed_rollup,
+        Q340_SQL,
+        "bucketed metadata rollup (round 7): GROUP BY floor(k/width) "
+        "COUNT/SUM/MIN/MAX from tile stats in one footer walk, only "
+        "bucket-edge tiles decoded; hash-matched against both a "
+        "distributed grouped scan and the parquet oracle "
+        "(grouped form of the group_by_handler, ha_mytile.cc:607-715)",
+    )
+)
+
+
 SPECS.append(
     QuerySpec(
         "q339_copartitioned_join",
