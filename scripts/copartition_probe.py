@@ -77,6 +77,10 @@ def main() -> None:
     print(f"write: 2x{n} rows / {nfrag} frags each in {t_write:.2f}s")
 
     spark = get_spark("cpj-probe")
+    # warm the Python worker pool + Arrow codegen so neither path pays
+    # the one-time session cost (it dominated a 4M-row first job 6:1)
+    read_array(spark, ua, target_splits=splits).count()
+    read_array(spark, ub, target_splits=splits).count()
 
     t0 = time.time()
     cpj = copartitioned_join_arrays(
