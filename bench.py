@@ -128,6 +128,8 @@ HEADLINE = [
     "q339_copartitioned_join",
     # bucketed metadata rollup: GROUP BY floor(k/width) from tile stats
     "q340_bucketed_rollup",
+    # continuous-aggregate refresh: snapshot + CDC-window delta fold
+    "q341_bucket_refresh",
 ]
 
 

@@ -278,6 +278,31 @@ def test_two_dim_join_keys(spark, tmp_path):
     assert rows[(x, y)]["w"] == x * 7 + y
 
 
+def test_join_after_deletes_and_consolidation(spark, tmp_path):
+    """The join rides read_range, so the full lifecycle applies: a
+    delete commit on one side and a maintenance pass on the other must
+    leave join results identical to the shuffle-join oracle (inner AND
+    left), with the tombstoned rows gone."""
+    from tiledb_mariadb_spark.sources.tiledb_array import maintain_array
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    ua, ub = _mk_pair(tmp_path, n_a=300, n_b=300, b_offset=100,
+                      n_frags=4)
+    write_delete_condition(ub, [("score", ">", 80.0)], ts=99)
+    maintain_array(spark, ua)
+    for how in ("inner", "left"):
+        got = copartitioned_join_arrays(spark, ua, ub, how=how,
+                                        target_splits=5)
+        want = _spark_join_oracle(spark, ua, ub, how)
+        cols = ["k", "cents", "tag", "qty", "note", "score"]
+        assert _rows(got, cols) == _rows(want, cols), how
+    inner = copartitioned_join_arrays(spark, ua, ub)
+    assert inner.where("score > 80.0").count() == 0  # tombstones hold
+    assert inner.count() > 0
+
+
 def test_explicit_backends_and_time_travel(spark, tmp_path):
     """at_a/at_b travel independently; explicit backends are honored."""
     ua, ub = _mk_pair(tmp_path, n_a=60, n_b=60, b_offset=0, n_frags=3)

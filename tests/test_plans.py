@@ -134,6 +134,8 @@ def test_no_python_udf_in_any_plan(spark):
         # native-io mapInPandas boundary — zero shuffle is its point)
         "q340_bucketed_rollup",  # connector fragment writes feeding
         # the metadata-only bucketed rollup: same declared boundary
+        "q341_bucket_refresh",  # snapshot + window-delta rollup fold
+        # through the connector: same declared native-io boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

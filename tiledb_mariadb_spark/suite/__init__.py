@@ -241,7 +241,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "q334_condition_planner", "q335_fragment_meta",
         "q336_semantic_decontaminate", "q337_maintenance_loop",
         "q338_windowed_agg", "q339_copartitioned_join",
-        "q340_bucketed_rollup",
+        "q340_bucketed_rollup", "q341_bucket_refresh",
         # least-recently-verified backfill: the round-1 window (13;
         # (12; q11_agg_having yielded its slot to q338 — aggregates +
         # post-agg filtering stay covered in-window by q01/q10/q12, and
@@ -256,9 +256,11 @@ def all_specs() -> dict[str, QuerySpec]:
         # projection is exercised by every native-tier spec in this
         # window and stays driver-green from r1; q03_filter_eq yielded
         # to q340 — equality predicates stay covered in-window by
-        # q05/q06 and the native condition tier q331/q333/q334)
+        # q05/q06 and the native condition tier q331/q333/q334;
+        # q04_filter_range yielded to q341 — range-predicate pushdown
+        # stays covered in-window by q315/q324/q331 dim-range scans)
         "q01_pricing_summary",
-        "q04_filter_range", "q05_filter_in", "q06_filter_compound",
+        "q05_filter_in", "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
         "q10_agg_scalar", "q12_count_distinct",
         "q15_orderby_limit",

@@ -389,6 +389,117 @@ FROM g CROSS JOIN (
 ORDER BY src, bucket
 """
 
+# --- q341: continuous-aggregate refresh (bucket rollup + CDC delta) ---------
+#
+# The maintenance composition a 100 TB rollup lives by: a SNAPSHOT
+# bucketed rollup (at=t0), then an append lands, then the refresh folds
+# ONLY the CDC window's per-bucket deltas (bucketed_agg_native with
+# since=) into the snapshot — never rescanning the base.  The spec
+# hash-matches the FOLDED rollup against the oracle's from-scratch
+# GROUP BY over all data: refresh == truth.  Cost audit: the delta walk
+# sees only the window's fragments.  (TimescaleDB continuous-aggregate
+# shape on TileDB fragment metadata; q326's windowed twin, grouped.)
+
+
+def q341_bucket_refresh(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        bucketed_agg_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q341_refresh_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+        capacity=200,
+    )
+    be = NativeDecoderBackend()
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cutoff = src.agg(F.max("k")).first()[0] // 2
+    write_array(
+        src.where(F.col("k") <= cutoff).repartitionByRange(2, "k"),
+        uri, backend=be, ts=100,
+    )
+    snap = bucketed_agg_native(uri, _B_W, fields=["cents"], at=100)
+    if snap is None or snap["audit"]["tiles_contained"] == 0:
+        raise AssertionError("snapshot rollup not provable from metadata")
+    # the append lands AFTER the snapshot...
+    write_array(
+        src.where(F.col("k") > cutoff).repartitionByRange(2, "k"),
+        uri, backend=be, ts=200,
+    )
+    # ...and the refresh reads ONLY the window's fragments
+    delta = bucketed_agg_native(uri, _B_W, fields=["cents"], since=150)
+    if delta is None:
+        raise AssertionError("delta rollup not provable from metadata")
+    if delta["audit"]["fragments"] >= snap["audit"]["fragments"] + 2:
+        raise AssertionError(
+            f"delta walked base fragments: {delta['audit']}"
+        )
+    folded = {}
+    for part in (snap, delta):
+        for b, ent in part["buckets"].items():
+            s = ent["fields"]["cents"]
+            cur = folded.get(b)
+            if cur is None:
+                folded[b] = [ent["count"], s["sum"], s["min"], s["max"]]
+            else:  # append-only fold: counts/sums add, extrema widen
+                cur[0] += ent["count"]
+                cur[1] += s["sum"]
+                cur[2] = min(cur[2], s["min"])
+                cur[3] = max(cur[3], s["max"])
+    return spark.createDataFrame(
+        [(int(b), v[0], int(v[1]), int(v[2]), int(v[3]))
+         for b, v in sorted(folded.items())],
+        "bucket long, rows long, c_sum long, c_min long, c_max long",
+    ).orderBy("bucket")
+
+
+Q341_SQL = f"""
+SELECT CAST(FLOOR(CAST(o_orderkey AS DOUBLE) / {_B_W}.0) AS BIGINT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS rows,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS c_sum,
+       CAST(MIN(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS c_min,
+       CAST(MAX(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS c_max
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q341_bucket_refresh",
+        q341_bucket_refresh,
+        Q341_SQL,
+        "continuous-aggregate refresh (round 7): snapshot bucket rollup "
+        "+ CDC-window per-bucket delta fold equals the from-scratch "
+        "GROUP BY (oracle) — the base is never rescanned (audit-pinned "
+        "to the window's fragments); TimescaleDB continuous-aggregate "
+        "shape on fragment metadata",
+    )
+)
+
+
 SPECS.append(
     QuerySpec(
         "q340_bucketed_rollup",
