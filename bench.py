@@ -130,6 +130,8 @@ HEADLINE = [
     "q340_bucketed_rollup",
     # continuous-aggregate refresh: snapshot + CDC-window delta fold
     "q341_bucket_refresh",
+    # three-way storage-partitioned star join (mrr_triple_join parity)
+    "q342_triple_join",
 ]
 
 

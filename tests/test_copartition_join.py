@@ -18,6 +18,7 @@ import pytest
 from tiledb_mariadb_spark.sources.tiledb_array import (
     NativeDecoderBackend,
     copartitioned_join_arrays,
+    copartitioned_join_many,
     read_array,
 )
 from tiledb_mariadb_spark.sources.tiledb_native import NativeAttr, NativeDim
@@ -276,6 +277,69 @@ def test_two_dim_join_keys(spark, tmp_path):
     x, y = both[-1]
     assert rows[(x, y)]["v"] == x * 100 + y
     assert rows[(x, y)]["w"] == x * 7 + y
+
+
+def _mk_star(tmp_path, n_sides=3, n=240):
+    """n_sides co-dimensioned arrays with interleaved key coverage and
+    a COLLIDING attr name 'v' on every side (suffix test)."""
+    uris = []
+    for i in range(n_sides):
+        uri = str(tmp_path / f"star{i}")
+        create_native_array(
+            uri,
+            dims=[NativeDim("k", 1, 1, (0, 10**5), None)],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+        )
+        ks = [k for k in range(n) if k % (i + 2) == 0]  # differing gaps
+        write_native_fragment(
+            uri, {"k": ks, "v": [k * (10 ** i) for k in ks]},
+            ts=1, version=19)
+        uris.append(uri)
+    return uris
+
+
+def test_triple_join_parity(spark, tmp_path):
+    """mrr_triple_join.test shape: 3 co-dimensioned arrays star-join;
+    parity vs chained Spark joins, inner AND left-fold."""
+    uris = _mk_star(tmp_path)
+    for how in ("inner", "left"):
+        got = copartitioned_join_many(spark, uris, how=how,
+                                      target_splits=4)
+        assert got.columns == ["k", "v_1", "v_2", "v_3"]
+        frames = [
+            read_array(spark, u).withColumnRenamed("v", f"v_{i + 1}")
+            for i, u in enumerate(uris)
+        ]
+        want = frames[0]
+        for f in frames[1:]:
+            want = want.join(f, "k", how)
+        assert sorted(
+            tuple(r) for r in got.select("k", "v_1", "v_2", "v_3").collect()
+        ) == sorted(
+            tuple(r) for r in want.select("k", "v_1", "v_2", "v_3").collect()
+        ), how
+    plan = copartitioned_join_many(
+        spark, uris, target_splits=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_many_matches_pairwise(spark, tmp_path):
+    """k=2 via the many-way entry point equals the pairwise function."""
+    ua, ub = _mk_pair(tmp_path, n_a=150, n_b=150, b_offset=50)
+    got = copartitioned_join_many(
+        spark, [ua, ub], how="left", target_splits=3,
+    )
+    want = copartitioned_join_arrays(
+        spark, ua, ub, how="left", target_splits=3,
+    )
+    cols = ["k", "cents", "tag", "qty", "note", "score"]
+    assert _rows(got, cols) == _rows(want, cols)
+    with pytest.raises(ValueError, match=">= 2 arrays"):
+        copartitioned_join_many(spark, [ua])
+    with pytest.raises(ValueError, match="match len"):
+        copartitioned_join_many(spark, [ua, ub], at=[None])
 
 
 def test_join_after_deletes_and_consolidation(spark, tmp_path):

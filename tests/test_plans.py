@@ -136,6 +136,8 @@ def test_no_python_udf_in_any_plan(spark):
         # the metadata-only bucketed rollup: same declared boundary
         "q341_bucket_refresh",  # snapshot + window-delta rollup fold
         # through the connector: same declared native-io boundary
+        "q342_triple_join",  # three connector writes + the three-way
+        # storage-partitioned star join: same declared boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

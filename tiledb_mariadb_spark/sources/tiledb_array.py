@@ -1257,6 +1257,227 @@ def copartitioned_join_arrays(
     return split_df.mapInPandas(join_split, schema=ddl)
 
 
+def copartitioned_join_many(
+    spark: SparkSession,
+    uris: Sequence[str],
+    backend: Optional[ArrayBackend] = None,
+    columns: Optional[Sequence[Optional[list]]] = None,
+    dim_ranges: Optional[dict[str, Any]] = None,
+    at: Optional[Sequence[Optional[int]]] = None,
+    how: str = "inner",
+    conditions: Optional[Sequence[Optional[Sequence[tuple]]]] = None,
+    target_splits: int = 32,
+) -> DataFrame:
+    """N-way storage-partitioned equi-join of co-dimensioned arrays —
+    the triple-join shape of mysql-test/mytile/t/mrr_triple_join.test
+    (three dim-keyed tables star-joined through the handler), with zero
+    data shuffle at ANY width: one split plan over the shared
+    coordinate space, each task reads every side's subarray and folds
+    them with a sorted merge (the decoder returns cells in dim order,
+    so each fold is O(n) searchsorted, never a hash build).
+
+    ``how='inner'`` intersects every side's non-empty domain into the
+    plan (a coordinate absent from any side cannot survive, so tasks
+    never launch there); ``how='left'`` folds each later side onto the
+    accumulated left side, NULL-filling misses.  ``columns`` /
+    ``conditions`` / ``at`` are optional per-side lists.  Attr names
+    colliding across sides get positional suffixes (``_1``, ``_2``, …
+    by array order).  Two-array calls are the same plan
+    ``copartitioned_join_arrays`` produces; this entry point exists for
+    the 3+ star shape where chaining pairwise joins would re-read the
+    accumulated side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    n_arr = len(uris)
+    if n_arr < 2:
+        raise ValueError("copartitioned_join_many needs >= 2 arrays")
+    backend = backend or (
+        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+    )
+    ats = list(at) if at is not None else [None] * n_arr
+    colss = list(columns) if columns is not None else [None] * n_arr
+    condss = list(conditions) if conditions is not None else [None] * n_arr
+    if not (len(ats) == len(colss) == len(condss) == n_arr):
+        raise ValueError("per-side option lists must match len(uris)")
+    infos = [backend.info(u, at=a) for u, a in zip(uris, ats)]
+    sig0 = [(d.name, d.dtype) for d in infos[0].dims]
+    for i, inf in enumerate(infos[1:], 1):
+        sig = [(d.name, d.dtype) for d in inf.dims]
+        if sig != sig0:
+            raise ValueError(
+                f"array {i} is not co-partitionable: dims {sig} != {sig0}"
+            )
+    dim_names = [d.name for d in infos[0].dims]
+
+    sels, outs = [], []
+    seen: dict[str, int] = {}
+    for inf, want in zip(infos, colss):
+        names = [a.name for a in inf.attrs]
+        if want is not None:
+            unknown = [c for c in want if c not in names]
+            if unknown:
+                raise ValueError(f"unknown columns: {unknown}")
+            names = [a for a in names if a in want]
+        sels.append(names)
+        for nm in names:
+            seen[nm] = seen.get(nm, 0) + 1
+    for i, (inf, sel) in enumerate(zip(infos, sels)):
+        outs.append(
+            [n if seen[n] == 1 else f"{n}_{i + 1}" for n in sel]
+        )
+    _OPS = {"=", "!=", "<", "<=", ">", ">=", "in", "is_null",
+            "is_not_null"}
+    for inf, conds in zip(infos, condss):
+        legal = dim_names + [a.name for a in inf.attrs]
+        for cond in conds or []:
+            if cond[0] not in legal or cond[1] not in _OPS:
+                raise ValueError(f"bad condition {cond!r}")
+
+    merged = dict(dim_ranges or {})
+    if how == "inner":
+        for inf in infos[1:]:
+            for d in inf.dims:
+                cur = merged.get(d.name)
+                blo, bhi = d.domain
+                if cur is None:
+                    merged[d.name] = (blo, bhi)
+                elif isinstance(cur, tuple):
+                    lo, hi = cur
+                    merged[d.name] = (
+                        blo if lo is None
+                        else (lo if blo is None else max(lo, blo)),
+                        bhi if hi is None
+                        else (hi if bhi is None else min(hi, bhi)),
+                    )
+    weights_fn = getattr(backend, "split_weights", None)
+    weights = weights_fn(uris[0], at=ats[0]) if weights_fn else None
+    splits = plan_splits(infos[0], merged, target_splits, weights=weights)
+
+    type_of: list[dict] = []
+    for inf in infos:
+        t = {x.name: x.dtype for x in inf.dims + inf.attrs}
+        type_of.append(t)
+    ddl = ", ".join(
+        [f"{d} {type_of[0][d]}" for d in dim_names]
+        + [
+            f"{o} {type_of[i][n]}"
+            for i, (sel, out) in enumerate(zip(sels, outs))
+            for n, o in zip(sel, out)
+        ]
+    )
+    if not splits:
+        return spark.createDataFrame([], schema=ddl)
+    out_cols = dim_names + [o for out in outs for o in out]
+    _NULLABLE = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "integer": "Int32", "bigint": "Int64", "long": "Int64",
+        "float": "Float32", "double": "Float64", "boolean": "boolean",
+    }
+
+    split_rows = [(i,) for i in range(len(splits))]
+    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
+        len(splits), "split_id"
+    )
+    single_int_dim = len(dim_names) == 1
+
+    def join_split(batches) -> Iterator:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        d0 = dim_names[0]
+
+        def fold(acc, pdf_i, i):
+            """Merge side i (renamed) onto the accumulator."""
+            ren = {
+                n: o for n, o in zip(sels[i], outs[i]) if n != o
+            }
+            if ren:
+                pdf_i = pdf_i.rename(columns=ren)
+            # sorted fast path: both frames keyed by a strictly
+            # increasing single int dim (decoder order) -> O(n)
+            if single_int_dim:
+                ka = acc[d0].to_numpy()
+                kb = pdf_i[d0].to_numpy()
+                if (
+                    ka.dtype.kind in "iu" and kb.dtype.kind in "iu"
+                    and (len(ka) < 2 or (np.diff(ka) > 0).all())
+                    and (len(kb) < 2 or (np.diff(kb) > 0).all())
+                ):
+                    if len(kb):
+                        pos = np.searchsorted(kb, ka)
+                        inb = pos < len(kb)
+                        hit = inb.copy()
+                        hit[inb] = kb[pos[inb]] == ka[inb]
+                    else:
+                        pos = np.zeros(len(ka), dtype=np.int64)
+                        hit = np.zeros(len(ka), dtype=bool)
+                    if how == "inner":
+                        ia = np.nonzero(hit)[0]
+                        out = acc.iloc[ia].reset_index(drop=True)
+                        ib = pos[ia]
+                        for o in outs[i]:
+                            out[o] = pdf_i[o].to_numpy()[ib]
+                        return out
+                    out = acc.reset_index(drop=True)
+                    ib = np.where(hit, pos, 0)
+                    miss = ~hit
+                    for o in outs[i]:
+                        col = pdf_i[o]
+                        picked = (
+                            col.to_numpy()[ib] if len(pdf_i)
+                            else np.zeros(len(ka))
+                        )
+                        t = _NULLABLE.get(type_of[i][
+                            sels[i][outs[i].index(o)]])
+                        if t is not None:
+                            arr = pd.array(picked, dtype=t)
+                            arr[miss] = pd.NA
+                            out[o] = arr
+                        else:
+                            s = pd.Series(picked, dtype=object)
+                            s[miss] = None
+                            out[o] = s
+                    return out
+            if how == "left":
+                for n, o in zip(sels[i], outs[i]):
+                    t = _NULLABLE.get(type_of[i][n])
+                    if t is not None:
+                        pdf_i[o] = pdf_i[o].astype(t)
+            m = acc.merge(pdf_i, on=dim_names, how=how)
+            if how == "left" and len(m):
+                for n, o in zip(sels[i], outs[i]):
+                    if type_of[i][n] not in _NULLABLE and (
+                        m[o].dtype == object
+                    ):
+                        m[o] = m[o].where(m[o].notna(), None)
+            return m
+
+        for pdf in batches:
+            for sid in pdf["split_id"]:
+                rng = splits[int(sid)]
+                acc = backend.read_range(
+                    uris[0], rng, dim_names + sels[0], at=ats[0],
+                    conditions=condss[0],
+                )
+                if len(acc):
+                    acc = acc.rename(columns={
+                        n: o for n, o in zip(sels[0], outs[0]) if n != o
+                    })
+                for i in range(1, n_arr):
+                    if not len(acc):
+                        break
+                    pdf_i = backend.read_range(
+                        uris[i], rng, dim_names + sels[i], at=ats[i],
+                        conditions=condss[i],
+                    )
+                    acc = fold(acc, pdf_i, i)
+                if len(acc):
+                    yield acc[out_cols]
+
+    return split_df.mapInPandas(join_split, schema=ddl)
+
+
 def write_array(
     df: DataFrame,
     uri: str,

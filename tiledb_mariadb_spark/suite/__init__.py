@@ -242,6 +242,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "q336_semantic_decontaminate", "q337_maintenance_loop",
         "q338_windowed_agg", "q339_copartitioned_join",
         "q340_bucketed_rollup", "q341_bucket_refresh",
+        "q342_triple_join",
         # least-recently-verified backfill: the round-1 window (13;
         # (12; q11_agg_having yielded its slot to q338 — aggregates +
         # post-agg filtering stay covered in-window by q01/q10/q12, and
@@ -258,9 +259,11 @@ def all_specs() -> dict[str, QuerySpec]:
         # to q340 — equality predicates stay covered in-window by
         # q05/q06 and the native condition tier q331/q333/q334;
         # q04_filter_range yielded to q341 — range-predicate pushdown
-        # stays covered in-window by q315/q324/q331 dim-range scans)
+        # stays covered in-window by q315/q324/q331 dim-range scans;
+        # q05_filter_in yielded to q342 — IN pushdown stays covered
+        # in-window by q333's bloom IN tier and q06's compound filters)
         "q01_pricing_summary",
-        "q05_filter_in", "q06_filter_compound",
+        "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
         "q10_agg_scalar", "q12_count_distinct",
         "q15_orderby_limit",

@@ -389,6 +389,127 @@ FROM g CROSS JOIN (
 ORDER BY src, bucket
 """
 
+# --- q342: three-way storage-partitioned star join ---------------------------
+#
+# The reference's mrr_triple_join.test star-joins three dim-keyed
+# tables through the handler (BKA/MRR); here all three arrays share the
+# dimension space, so ONE split plan serves the whole star and the only
+# exchange is the split-id round-robin — each task reads three
+# subarrays and folds them with O(n) sorted merges.  Inner planning
+# intersects all three non-empty domains.
+
+_T_LO, _T_HI = 1, 3000
+
+
+def q342_triple_join(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        copartitioned_join_many,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    base = tempfile.mkdtemp(prefix="q342_triple_")
+    ua, ub, uc = base + "/a", base + "/b", base + "/c"
+    dims = [NativeDim("k", 1, 1, (0, 6_000_000), None)]
+    create_native_array(
+        ua, dims=dims, attrs=[NativeAttr("cents", 1, 1, False, None)])
+    create_native_array(
+        ub, dims=dims, attrs=[
+            NativeAttr("qty", 1, 1, False, None),
+            NativeAttr("items", 1, 1, False, None),
+        ])
+    create_native_array(
+        uc, dims=dims, attrs=[NativeAttr("prio", 1, 1, False, None)])
+    be = NativeDecoderBackend()
+    orders = t(spark, sf_dir, "orders")
+    write_array(
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        ).repartitionByRange(3, "k"),
+        ua, backend=be,
+    )
+    write_array(
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.count(F.lit(1)).alias("items"),
+        )
+        .where(F.col("items") >= 4)
+        .repartitionByRange(3, "k"),
+        ub, backend=be,
+    )
+    write_array(
+        orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint")
+            .alias("prio"),
+        ).repartitionByRange(2, "k"),
+        uc, backend=be,
+    )
+    joined = copartitioned_join_many(
+        spark, [ua, ub, uc],
+        dim_ranges={"k": (_T_LO, _T_HI)},
+        target_splits=6,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Join" in plan:
+        raise AssertionError("triple join produced a shuffle join")
+    return joined.select(
+        "k", "cents", "qty", "items", "prio"
+    ).orderBy("k")
+
+
+Q342_SQL = f"""
+WITH a AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey BETWEEN {_T_LO} AND {_T_HI}
+), b AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS items
+  FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 4
+), c AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS prio
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+)
+SELECT a.k, a.cents, b.qty, b.items, c.prio
+FROM a JOIN b ON a.k = b.k JOIN c ON a.k = c.k
+ORDER BY a.k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q342_triple_join",
+        q342_triple_join,
+        Q342_SQL,
+        "three-way storage-partitioned star join (round 7): one split "
+        "plan serves all three co-dimensioned arrays, each task folds "
+        "three subarray reads with O(n) sorted merges — zero data "
+        "shuffle, plan self-audited join-free "
+        "(mrr_triple_join.test parity)",
+    )
+)
+
+
 # --- q341: continuous-aggregate refresh (bucket rollup + CDC delta) ---------
 #
 # The maintenance composition a 100 TB rollup lives by: a SNAPSHOT
