@@ -342,6 +342,35 @@ def test_many_matches_pairwise(spark, tmp_path):
         copartitioned_join_many(spark, [ua, ub], at=[None])
 
 
+def test_skewed_side_weights_balance_splits(spark, tmp_path):
+    """B holds 100x A's density in one key region: combined tile
+    weights must still yield correct results with multiple busy splits
+    (and exact parity with the shuffle join)."""
+    ua = str(tmp_path / "ska")
+    ub = str(tmp_path / "skb")
+    for uri in (ua, ub):
+        create_native_array(
+            uri,
+            dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+            capacity=100,
+        )
+    ka = list(range(0, 100_000, 1000))  # 100 sparse keys, whole domain
+    write_native_fragment(
+        ua, {"k": ka, "v": [k * 2 for k in ka]}, ts=1, version=19)
+    kb = list(range(50_000, 60_000, 2))  # 5000 keys, one dense region
+    write_native_fragment(
+        ub, {"k": kb, "v": [k * 5 for k in kb]}, ts=1, version=19)
+    got = copartitioned_join_arrays(spark, ua, ub, target_splits=8)
+    a = read_array(spark, ua).withColumnRenamed("v", "va")
+    b = read_array(spark, ub).withColumnRenamed("v", "vb")
+    want = a.join(b, "k", "inner")
+    assert sorted(
+        (r["k"], r["v_a"], r["v_b"]) for r in got.collect()
+    ) == sorted((r["k"], r["va"], r["vb"]) for r in want.collect())
+    assert got.count() == len(set(ka) & set(kb))
+
+
 def test_join_after_deletes_and_consolidation(spark, tmp_path):
     """The join rides read_range, so the full lifecycle applies: a
     delete commit on one side and a maintenance pass on the other must

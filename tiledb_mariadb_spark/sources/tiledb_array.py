@@ -1117,8 +1117,15 @@ def copartitioned_join_arrays(
                     bhi if hi is None else (hi if bhi is None else min(hi, bhi)),
                 )
             # list-of-point-ranges (IN pushdown): already narrow
-    weights_fn = getattr(backend_a, "split_weights", None)
-    weights = weights_fn(uri_a, at=at_a) if weights_fn else None
+    # split weights from BOTH sides: per-task work is the sum of the
+    # two subarray reads, so a B-heavy key region must attract cuts
+    # even when A is uniform there (the weight lists just concatenate —
+    # the planner sums overlapping tile spans)
+    wa = getattr(backend_a, "split_weights", None)
+    wb = getattr(backend_b, "split_weights", None)
+    wa = wa(uri_a, at=at_a) if wa else None
+    wb = wb(uri_b, at=at_b) if wb else None
+    weights = (list(wa) + list(wb)) if (wa and wb) else (wa or wb)
     skeys = None
     if not any(
         isinstance(b, int)
@@ -1350,8 +1357,15 @@ def copartitioned_join_many(
                         bhi if hi is None
                         else (hi if bhi is None else min(hi, bhi)),
                     )
+    # combined tile weights across every side (see the pairwise note)
     weights_fn = getattr(backend, "split_weights", None)
-    weights = weights_fn(uris[0], at=ats[0]) if weights_fn else None
+    weights = None
+    if weights_fn:
+        per_side = [weights_fn(u, at=a) for u, a in zip(uris, ats)]
+        present = [w for w in per_side if w]
+        weights = (
+            [t for w in present for t in w] if present else None
+        )
     splits = plan_splits(infos[0], merged, target_splits, weights=weights)
 
     type_of: list[dict] = []

@@ -196,18 +196,21 @@ def all_specs() -> dict[str, QuerySpec]:
     # backfill rows (the round-1 window, driver-green in r1, six rounds
     # ago; the four scalar-fn re-tests q17-q20 yielded their slots — the
     # same surface is triple-covered in this window by q220/q238/q239).
-    # Cumulative driver coverage after this window: 332/332 distinct
+    # Cumulative driver coverage after this window: 335/335 distinct
     # specs (q331_filter_matrix, q332_native_discovery,
     # q333_bloom_prune, q334_condition_planner, q335_fragment_meta,
-    # q336_semantic_decontaminate, q337_maintenance_loop, then
-    # q338_windowed_agg and q339_copartitioned_join joined mid-round,
-    # taking the q22/q21/q42/q59/q16/q14/q13/q11/q02 backfill re-test
-    # slots; the displaced surfaces stay covered in-window —
-    # q220 for JSON/scalars, q160 for the grouping-sets family,
-    # q01/q10/q12 for aggregates, the native tier for scan+projection
-    # — and rejoin the r8 backfill).
+    # q336_semantic_decontaminate, q337_maintenance_loop, then the
+    # continuation additions q338_windowed_agg,
+    # q339_copartitioned_join, q340_bucketed_rollup,
+    # q341_bucket_refresh and q342_triple_join joined mid-round,
+    # taking the q22/q21/q42/q59/q16/q14/q13/q11/q02/q03/q04/q05
+    # backfill re-test slots; the displaced surfaces stay covered
+    # in-window — q220 for JSON/scalars, q160 for the grouping-sets
+    # family, q01/q10/q12 for aggregates, the native tier for
+    # scan+projection, q06 + the native condition tier (q331/q333/
+    # q334) for eq/range/IN predicates — and rejoin the r8 backfill).
     # ROUND 8 (staged — apply as round 8's commit #1): after this
-    # window cumulative coverage is 325/325, so r8 leads with whatever
+    # window cumulative coverage is 335/335, so r8 leads with whatever
     # r8 ADDS (new specs first, newest code least-tested), then the
     # least-recently-verified backfill = the ROUND-2 window (driver-
     # green in r2, six rounds earlier), verbatim:
