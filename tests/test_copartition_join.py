@@ -206,7 +206,7 @@ def test_dim_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="not co-partitionable"):
         copartitioned_join_arrays(spark, ua, ub)
     with pytest.raises(ValueError, match="how must be"):
-        copartitioned_join_arrays(spark, ua, ua, how="full")
+        copartitioned_join_arrays(spark, ua, ua, how="cross")
     with pytest.raises(ValueError, match="unknown columns_b"):
         copartitioned_join_arrays(spark, ua, ua, columns_b=["nope"])
 
@@ -340,6 +340,24 @@ def test_many_matches_pairwise(spark, tmp_path):
         copartitioned_join_many(spark, [ua])
     with pytest.raises(ValueError, match="match len"):
         copartitioned_join_many(spark, [ua, ub], at=[None])
+
+
+def test_full_outer_parity(spark, tmp_path):
+    """FULL keeps both sides' unmatched rows — including B coordinates
+    entirely OUTSIDE A's non-empty domain (union-domain planning), with
+    exact NULL fidelity on both sides."""
+    ua, ub = _mk_pair(tmp_path, n_a=200, n_b=300, b_offset=150)
+    got = copartitioned_join_arrays(spark, ua, ub, how="full",
+                                    target_splits=5)
+    want = _spark_join_oracle(spark, ua, ub, "full")
+    cols = ["k", "cents", "tag", "qty", "note", "score"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # 200 A-keys [0,200) + 300 B-keys [150,450): union 450 rows
+    assert got.count() == 450
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[440]["cents"] is None  # B-only, beyond A's domain
+    assert rows[440]["qty"] == BIG + 440  # exact past 2^53
+    assert rows[10]["qty"] is None  # A-only
 
 
 def test_skewed_side_weights_balance_splits(spark, tmp_path):

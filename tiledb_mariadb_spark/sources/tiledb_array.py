@@ -1049,15 +1049,21 @@ def copartitioned_join_arrays(
     (there the MariaDB executor BKA-joins through the handler; the
     co-location insight is the same — dimension order IS the join order).
 
-    ``how``: 'inner' or 'left' (left keeps A rows with no B match,
-    B columns NULL).  For 'inner' the split plan is additionally narrowed
-    to B's non-empty domain — coordinates outside it cannot match, so
-    tasks never launch there.  ``dim_ranges``/``conditions_*`` push down
-    into each side's scan exactly as in ``read_array``.  Attribute names
-    colliding across sides get ``suffixes``.
+    ``how``: 'inner', 'left' (keeps A rows with no B match, B columns
+    NULL) or 'full' (keeps both sides' unmatched rows; the split plan
+    widens to the UNION of the two non-empty domains so B-only
+    coordinates still get tasks — the reference's MariaDB host has no
+    FULL JOIN, this is engine surplus).  For 'inner' the split plan is
+    additionally narrowed to B's non-empty domain — coordinates outside
+    it cannot match, so tasks never launch there.
+    ``dim_ranges``/``conditions_*`` push down into each side's scan
+    exactly as in ``read_array``.  Attribute names colliding across
+    sides get ``suffixes``.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'full', got {how!r}"
+        )
     backend_a = backend or (
         TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
     )
@@ -1102,8 +1108,11 @@ def copartitioned_join_arrays(
                 raise ValueError(f"unknown condition op: {cond[1]}")
 
     # plan ONE split set over the shared coordinate space; inner joins
-    # narrow it to B's non-empty domain (nothing outside can match)
+    # narrow it to B's non-empty domain (nothing outside can match);
+    # full joins widen the PLANNING domain to the union of both NEDs
+    # (B-only coordinates still need tasks)
     merged = dict(dim_ranges or {})
+    plan_info = info_a
     if how == "inner":
         for d in info_b.dims:
             cur = merged.get(d.name)
@@ -1117,6 +1126,16 @@ def copartitioned_join_arrays(
                     bhi if hi is None else (hi if bhi is None else min(hi, bhi)),
                 )
             # list-of-point-ranges (IN pushdown): already narrow
+    elif how == "full":
+        union_dims = []
+        for da, db in zip(info_a.dims, info_b.dims):
+            (alo, ahi), (blo, bhi) = da.domain, db.domain
+            lo = alo if blo is None else (blo if alo is None else min(alo, blo))
+            hi = ahi if bhi is None else (bhi if ahi is None else max(ahi, bhi))
+            union_dims.append(DimInfo(da.name, da.dtype, (lo, hi)))
+        plan_info = ArrayInfo(
+            dims=union_dims, attrs=info_a.attrs, sparse=info_a.sparse
+        )
     # split weights from BOTH sides: per-task work is the sum of the
     # two subarray reads, so a B-heavy key region must attract cuts
     # even when A is uniform there (the weight lists just concatenate —
@@ -1134,7 +1153,8 @@ def copartitioned_join_arrays(
         skeys_fn = getattr(backend_a, "string_split_keys", None)
         skeys = skeys_fn(uri_a, at=at_a) if skeys_fn else None
     splits = plan_splits(
-        info_a, merged, target_splits, weights=weights, string_keys=skeys,
+        plan_info, merged, target_splits, weights=weights,
+        string_keys=skeys,
     )
 
     type_a = {x.name: x.dtype for x in info_a.dims + info_a.attrs}
@@ -1158,6 +1178,10 @@ def copartitioned_join_arrays(
     b_nullable = {
         o: _NULLABLE[type_b[n]]
         for n, o in zip(sel_b, out_b) if type_b[n] in _NULLABLE
+    }
+    a_nullable = {  # full joins NULL-fill the A side on B-only rows
+        o: _NULLABLE[type_a[n]]
+        for n, o in zip(sel_a, out_a) if type_a[n] in _NULLABLE
     }
     out_cols = dim_names + out_a + out_b
 
@@ -1237,25 +1261,42 @@ def copartitioned_join_arrays(
                     uri_a, rng, dim_names + sel_a, at=at_a,
                     conditions=conditions_a,
                 )
-                if not len(pa_):
-                    continue  # no A rows -> no output for inner OR left
+                if not len(pa_) and how != "full":
+                    continue  # no A rows -> no output for inner/left
                 pb_ = backend_b.read_range(
                     uri_b, rng, dim_names + sel_b, at=at_b,
                     conditions=conditions_b,
                 )
-                m = _sorted_merge(pa_, pb_)
+                m = None
+                if how != "full":
+                    m = _sorted_merge(pa_, pb_)
                 if m is None:
-                    if how == "left":
+                    if how in ("left", "full"):
                         for n, o in zip(sel_b, out_b):
                             t = b_nullable.get(o)
                             if t is not None:
                                 pb_[n] = pb_[n].astype(t)
+                    if how == "full":
+                        for n, o in zip(sel_a, out_a):
+                            t = a_nullable.get(o)
+                            if t is not None:
+                                pa_[n] = pa_[n].astype(t)
                     m = pa_.merge(
-                        pb_, on=dim_names, how=how, suffixes=suffixes,
+                        pb_,
+                        on=dim_names,
+                        how="outer" if how == "full" else how,
+                        suffixes=suffixes,
                     )
-                    if how == "left" and len(m):
-                        for n, o in zip(sel_b, out_b):
-                            if o not in b_nullable and m[o].dtype == object:
+                    if how in ("left", "full") and len(m):
+                        pairs = list(zip(sel_b, out_b))
+                        if how == "full":
+                            pairs += list(zip(sel_a, out_a))
+                        for n, o in pairs:
+                            if (
+                                o not in b_nullable
+                                and o not in a_nullable
+                                and m[o].dtype == object
+                            ):
                                 m[o] = m[o].where(m[o].notna(), None)
                 if not len(m):
                     continue
