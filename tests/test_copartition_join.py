@@ -342,6 +342,44 @@ def test_many_matches_pairwise(spark, tmp_path):
         copartitioned_join_many(spark, [ua, ub], at=[None])
 
 
+def test_string_dim_join(spark, tmp_path):
+    """String-keyed arrays join via the var-NED split-key planner and
+    the pandas merge fallback (no integer axis)."""
+    ua = str(tmp_path / "sda")
+    ub = str(tmp_path / "sdb")
+    for uri in (ua, ub):
+        create_native_array(
+            uri,
+            dims=[NativeDim("doc", 12, 0xFFFFFFFF, None, None)],
+            attrs=[NativeAttr("v", 1, 1, False, None)],
+        )
+    ka = [f"doc{i:04d}" for i in range(0, 300, 2)]
+    kb = [f"doc{i:04d}" for i in range(0, 300, 3)]
+    # two fragments per side so string split keys exist
+    for uri, ks, mul in ((ua, ka, 2), (ub, kb, 5)):
+        half = len(ks) // 2
+        write_native_fragment(
+            uri, {"doc": ks[:half], "v": [i * mul for i in range(half)]},
+            ts=1, version=19)
+        write_native_fragment(
+            uri,
+            {"doc": ks[half:],
+             "v": [(half + i) * mul for i in range(len(ks) - half)]},
+            ts=2, version=19)
+    for how in ("inner", "left"):
+        got = copartitioned_join_arrays(spark, ua, ub, how=how,
+                                        target_splits=4)
+        a = read_array(spark, ua).withColumnRenamed("v", "va")
+        b = read_array(spark, ub).withColumnRenamed("v", "vb")
+        want = a.join(b, "doc", how)
+        assert sorted(
+            (r["doc"], r["v_a"], r["v_b"]) for r in got.collect()
+        ) == sorted(
+            (r["doc"], r["va"], r["vb"]) for r in want.collect()
+        ), how
+    assert got.count() == len(ka)  # left keeps all A docs
+
+
 def test_full_outer_parity(spark, tmp_path):
     """FULL keeps both sides' unmatched rows — including B coordinates
     entirely OUTSIDE A's non-empty domain (union-domain planning), with
