@@ -342,6 +342,45 @@ def test_many_matches_pairwise(spark, tmp_path):
         copartitioned_join_many(spark, [ua, ub], at=[None])
 
 
+def test_multivalue_embedding_join(spark, tmp_path):
+    """The vector-store shape: embeddings (fixed multi-value float
+    cells) in one array, doc metadata in another — zero-shuffle join
+    carries the array<float> column through, NULL on unmatched."""
+    ue = str(tmp_path / "emb")
+    um = str(tmp_path / "meta")
+    create_native_array(
+        ue,
+        dims=[NativeDim("doc_id", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("emb", 3, 4, False, None)],  # 4 x float64
+    )
+    create_native_array(
+        um,
+        dims=[NativeDim("doc_id", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("lang", 12, 0xFFFFFFFF, False, None)],
+    )
+    ks = list(range(100))
+    write_native_fragment(
+        ue,
+        {"doc_id": ks,
+         "emb": [[k * 1.0, k + 0.5, -k * 0.25, 1.0] for k in ks]},
+        ts=1, version=19)
+    write_native_fragment(
+        um,
+        {"doc_id": [k for k in ks if k % 3 == 0],
+         "lang": [f"l{k % 5}" for k in ks if k % 3 == 0]},
+        ts=1, version=19)
+    got = copartitioned_join_arrays(spark, ue, um, how="left",
+                                    target_splits=3)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert len(rows) == 100
+    assert list(rows[9]["emb"]) == [9.0, 9.5, -2.25, 1.0]
+    assert rows[9]["lang"] == "l4"
+    assert rows[10]["lang"] is None  # unmatched metadata
+    assert list(rows[10]["emb"]) == [10.0, 10.5, -2.5, 1.0]
+    inner = copartitioned_join_arrays(spark, ue, um, target_splits=3)
+    assert inner.count() == 34
+
+
 def test_string_dim_join(spark, tmp_path):
     """String-keyed arrays join via the var-NED split-key planner and
     the pandas merge fallback (no integer axis)."""
