@@ -491,6 +491,88 @@ def test_join_after_deletes_and_consolidation(spark, tmp_path):
     assert inner.count() > 0
 
 
+def test_lifecycle_fuzz_parity(spark, tmp_path):
+    """Seeded stateful fuzz: random multi-fragment layouts with
+    OVERLAPPING rewrites (newest-wins), allows_dups sides (hash-merge
+    fallback), random conditions/ranges/time travel — the join must
+    equal the shuffle join of read_array frames every time."""
+    rng = random.Random(7)
+    for trial in range(4):
+        dups = trial % 2 == 1
+        ua = str(tmp_path / f"fa{trial}")
+        ub = str(tmp_path / f"fb{trial}")
+        for uri in (ua, ub):
+            create_native_array(
+                uri,
+                dims=[NativeDim("k", 1, 1, (0, 10**5), None)],
+                attrs=[NativeAttr("v", 1, 1, False, None)],
+                allows_dups=dups,
+            )
+        for uri, mul in ((ua, 3), (ub, 7)):
+            for ts in (10, 20, 30):  # overlapping rewrites
+                ks = sorted(rng.sample(range(0, 800), rng.randint(50, 200)))
+                write_native_fragment(
+                    uri, {"k": ks, "v": [k * mul + ts for k in ks]},
+                    ts=ts, version=19)
+        at = rng.choice([None, 20, 30])
+        lo = rng.randrange(0, 400)
+        hi = lo + rng.randrange(50, 400)
+        conds = rng.choice([None, [("v", ">=", 100)]])
+        how = rng.choice(["inner", "left", "full"])
+        got = copartitioned_join_arrays(
+            spark, ua, ub, how=how, at_a=at, at_b=at,
+            dim_ranges={"k": (lo, hi)}, conditions_b=conds,
+            target_splits=rng.randint(1, 7),
+        )
+        a = read_array(
+            spark, ua, at=at, dim_ranges={"k": (lo, hi)}
+        ).withColumnRenamed("v", "va")
+        b = read_array(
+            spark, ub, at=at, dim_ranges={"k": (lo, hi)},
+            conditions=conds,
+        ).withColumnRenamed("v", "vb")
+        want = a.join(b, "k", "full_outer" if how == "full" else how)
+        assert sorted(
+            (r["k"], r["v_a"], r["v_b"]) for r in got.collect()
+        ) == sorted(
+            (r["k"], r["va"], r["vb"]) for r in want.collect()
+        ), f"trial {trial} how={how} at={at} rng=({lo},{hi}) conds={conds}"
+
+
+def test_dense_array_join(spark, tmp_path):
+    """Dense-sparse and dense-dense joins: the dense side materializes
+    fills through read_range, and the join sees those filled cells."""
+    ud = str(tmp_path / "dns")
+    us = str(tmp_path / "sprs")
+    create_native_array(
+        ud,
+        dims=[NativeDim("k", 0, 1, (0, 99), 10)],  # int32 dim, extent 10
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    create_native_array(
+        us,
+        dims=[NativeDim("k", 0, 1, (0, 99), 10)],
+        attrs=[NativeAttr("w", 1, 1, False, None)],
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_native_fragment as wf,
+    )
+
+    wf(ud, {"v": [k * 2 for k in range(40)]}, ts=1, version=19,
+       subarray=[(0, 39)])
+    ks = [k for k in range(100) if k % 5 == 0]
+    wf(us, {"k": ks, "w": [k * 9 for k in ks]}, ts=1, version=19)
+    got = copartitioned_join_arrays(spark, ud, us, target_splits=3)
+    a = read_array(spark, ud)
+    b = read_array(spark, us)
+    want = a.join(b, "k", "inner")
+    assert sorted(
+        (r["k"], r["v"], r["w"]) for r in got.collect()
+    ) == sorted((r["k"], r["v"], r["w"]) for r in want.collect())
+    assert got.count() == 8  # multiples of 5 in [0, 39]
+
+
 def test_explicit_backends_and_time_travel(spark, tmp_path):
     """at_a/at_b travel independently; explicit backends are honored."""
     ua, ub = _mk_pair(tmp_path, n_a=60, n_b=60, b_offset=0, n_frags=3)
