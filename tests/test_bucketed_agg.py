@@ -61,9 +61,11 @@ def _write(uri, base, n, seed=0, ts=None, stride=1):
     )
 
 
-def _expected_buckets(uri, width, col):
+def _expected_buckets(uri, width, col, window=None):
     """Brute-force GROUP BY floor(k/width) from a full read."""
-    names, rows = read_native_array_range(uri, None)
+    names, rows = read_native_array_range(
+        uri, [window] if window else None
+    )
     ki, ci = names.index("k"), names.index(col)
     out = {}
     for r in rows:
@@ -194,6 +196,45 @@ def test_trust_rules_refuse(tmp_path):
         bucketed_agg_native(uri2, 10, fields=["nope"])
 
 
+def test_windowed_buckets_fuzz(tmp_path):
+    """ranges= windows the rollup: random window x width combinations
+    equal the brute-force windowed GROUP BY, and out-of-window tiles
+    are skipped from metadata."""
+    uri = _mk(tmp_path)
+    for i, (base, n_) in enumerate(((0, 900), (2000, 700))):
+        _write(uri, base, n_, seed=i)
+    rng = random.Random(99)
+    cases = [((0, 5000), 250), ((450, 2450), 100), ((899, 901), 7)]
+    cases += [
+        (tuple(sorted((rng.randrange(0, 3000), rng.randrange(0, 3000)))),
+         rng.choice([64, 100, 250, 1000]))
+        for _ in range(8)
+    ]
+    for window, width in cases:
+        res = bucketed_agg_native(
+            uri, width, fields=["v", "w"], ranges={"k": window})
+        assert res is not None
+        for col in ("v", "w"):
+            exp = _expected_buckets(uri, width, col, window=window)
+            assert sorted(res["buckets"]) == sorted(exp), (window, width)
+            for b, e in exp.items():
+                got = res["buckets"][b]
+                s = got["fields"][col]
+                assert got["count"] == e["rows"]
+                assert s["count"] == e["count"]
+                assert s["sum"] == (sum(e["vals"]) if e["vals"] else None)
+                assert s["min"] == (min(e["vals"]) if e["vals"] else None)
+                assert s["max"] == (max(e["vals"]) if e["vals"] else None)
+    # narrow window on a wide array: most tiles skip, none decode
+    # beyond the boundary (capacity 100, window covers 2 tiles)
+    res = bucketed_agg_native(
+        uri, 50, fields=["v"], ranges={"k": (2100, 2299)})
+    a = res["audit"]
+    assert a["tiles_skipped"] > a["tiles_contained"] + a["tiles_partial"]
+    with pytest.raises(ValueError, match="non-dimension"):
+        bucketed_agg_native(uri, 50, ranges={"v": (0, 1)})
+
+
 def test_sql_surface_metadata_equals_scan(spark, tmp_path):
     """sql_bucketed_stats_from_array: the metadata view equals the
     distributed groupBy fallback row-for-row (forced by a delete
@@ -205,11 +246,13 @@ def test_sql_surface_metadata_equals_scan(spark, tmp_path):
     uri = _mk(tmp_path)
     _write(uri, 0, 700, seed=11, ts=10)
     _write(uri, 1200, 500, seed=12, ts=20)
-    how = sql_bucketed_stats_from_array(spark, "b_meta", uri, 300)
+    how = sql_bucketed_stats_from_array(
+        spark, "b_meta", uri, 300, ranges={"k": (150, 1450)})
     assert how == "metadata"
     # no-op delete trips the trust rules -> scan fallback, same numbers
     write_delete_condition(uri, [("v", ">", 10**9)], ts=30)
-    how2 = sql_bucketed_stats_from_array(spark, "b_scan", uri, 300)
+    how2 = sql_bucketed_stats_from_array(
+        spark, "b_scan", uri, 300, ranges={"k": (150, 1450)})
     assert how2 == "scan"
     q = (
         "SELECT bucket, column, cnt, min_num, max_num, sum_num,"

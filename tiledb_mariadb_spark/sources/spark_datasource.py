@@ -788,7 +788,7 @@ def sql_windowed_stats_from_array(
 
 def sql_bucketed_stats_from_array(
     spark, table_name: str, uri: str, width: int,
-    at=None, since=None, encryption_key=None,
+    at=None, since=None, encryption_key=None, ranges=None,
 ) -> str:
     """GROUP BY ``floor(dim0/width)`` rollup as a SQL table — the
     grouped twin of :func:`sql_windowed_stats_from_array` (the
@@ -796,6 +796,10 @@ def sql_bucketed_stats_from_array(
     COUNT/MIN/MAX/SUM/NULL_COUNT answered from tile stats in one footer
     walk; only bucket-edge tiles decode.  Row shape: ``bucket`` +
     ``_STATS_DDL``; ``cnt`` = the bucket's cell count.
+
+    ``ranges`` optionally windows the rollup (dim name -> inclusive
+    (lo, hi)) — GROUP BY bucket WHERE dim BETWEEN a AND b, answered
+    with out-of-window tiles skipped from metadata.
 
     Returns ``'metadata'`` when the trust rules held, else ``'scan'``:
     the identical view from a distributed groupBy over the registered
@@ -816,7 +820,8 @@ def sql_bucketed_stats_from_array(
     fields = list(schema.dims) + list(schema.attrs)
     ddl = "bucket bigint, " + _STATS_DDL
     res = bucketed_agg_native(
-        uri, width, fields=[f.name for f in fields], at=at, since=since
+        uri, width, fields=[f.name for f in fields], at=at, since=since,
+        ranges=ranges,
     )
     if res is not None:
         rows = []
@@ -857,6 +862,11 @@ def sql_bucketed_stats_from_array(
         reader = reader.option("encryption_key", encryption_key)
     register_tiledb_native(spark)
     df = reader.load()
+    for dname, (rlo, rhi) in (ranges or {}).items():
+        if rlo is not None:
+            df = df.filter(F.col(dname) >= rlo)
+        if rhi is not None:
+            df = df.filter(F.col(dname) <= rhi)
     d0 = schema.dims[0].name
     # exact FLOOR division for any-sign integer keys (never through
     # double: keys past 2^53 would round): non-negative python-mod

@@ -389,6 +389,7 @@ def bucketed_agg_native(
     at: int | None = None,
     since: int | None = None,
     stats: tuple = _ALL_STATS,
+    ranges: dict | None = None,
 ) -> dict | None:
     """GROUP BY ``floor(dim0 / width)`` rollup from fragment metadata —
     the grouped twin of :func:`windowed_agg_native` (the hypertable
@@ -414,6 +415,12 @@ def bucketed_agg_native(
     whose MBRs are untrusted (var/string) degrades every tile to decode
     — still exact, just not metadata-accelerated.
 
+    ``ranges`` (optional, dict dim name -> inclusive (lo, hi)) windows
+    the rollup exactly as in ``windowed_agg_native``: only cells inside
+    the window count, tiles outside it are skipped from metadata, and
+    tiles straddling a window edge decode with per-cell masking — the
+    dashboard shape "GROUP BY bucket WHERE dim BETWEEN a AND b".
+
     Returns ``{"buckets": {bucket_id: {"count": n, "fields": {f:
     {count, null_count, sum, min, max}}}}, "audit": {...}}`` or None.
     """
@@ -423,6 +430,16 @@ def bucketed_agg_native(
     if schema.array_type == "DENSE":
         return None  # reads materialize fills the stats never saw
     dim0 = schema.dims[0]
+    dim_names = [d.name for d in schema.dims]
+    ranges = dict(ranges or {})
+    for name in ranges:
+        if name not in dim_names:
+            raise ValueError(f"range on non-dimension {name!r}")
+    rngs = [tuple(ranges.get(n, (None, None))) for n in dim_names]
+    ranged = [
+        (i, d, rngs[i]) for i, d in enumerate(schema.dims)
+        if rngs[i] != (None, None)
+    ]
 
     by_name = {d.name: ("d", i, d) for i, d in enumerate(schema.dims)}
     by_name.update(
@@ -438,7 +455,7 @@ def bucketed_agg_native(
     audit = {
         "fragments": len(frags), "fragments_skipped": 0,
         "tiles_total": 0, "tiles_contained": 0, "tiles_partial": 0,
-        "cells_decoded": 0,
+        "tiles_skipped": 0, "cells_decoded": 0,
     }
     if frags and _delete_conditions(array_dir, at, frags):
         return None
@@ -481,24 +498,45 @@ def bucketed_agg_native(
     }
 
     def _decode_tile(frag, k, cap, n_cells, flds, bucket=None,
-                     count_cells=True):
+                     count_cells=True, masked=False):
         """Exact per-cell aggregation of tile ``k``.  ``bucket`` set =
         containment already proved (dim0 never decoded); None = edge
-        tile, per-cell ``v // width`` assignment."""
+        tile, per-cell ``v // width`` assignment.  ``masked`` = the
+        tile straddles a window edge: the ranged dims decode and only
+        in-window cells count."""
         lo_c, hi_c = k * cap, min((k + 1) * cap, n_cells)
+        mask = None
+        dim_vals: dict = {}
+        if masked and ranged:
+            for i, d, (lo, hi) in ranged:
+                vals = _read_field_span(
+                    frag, schema, d, i, "d", lo_c, hi_c, n_cells
+                )
+                dim_vals[i] = vals
+                m = [
+                    (lo is None or v >= lo) and (hi is None or v <= hi)
+                    for v in vals
+                ]
+                mask = m if mask is None else [
+                    a and b for a, b in zip(mask, m)
+                ]
+                audit["cells_decoded"] += hi_c - lo_c
         bks = None
         if bucket is None:
-            kv = _read_field_span(
-                frag, schema, dim0, 0, "d", lo_c, hi_c, n_cells
-            )
+            kv = dim_vals.get(0)
+            if kv is None:
+                kv = _read_field_span(
+                    frag, schema, dim0, 0, "d", lo_c, hi_c, n_cells
+                )
+                audit["cells_decoded"] += hi_c - lo_c
             bks = [v // width for v in kv]
-            audit["cells_decoded"] += hi_c - lo_c
         if count_cells:
             if bks is None:
                 btotal[bucket] = btotal.get(bucket, 0) + (hi_c - lo_c)
             else:
-                for b in bks:
-                    btotal[b] = btotal.get(b, 0) + 1
+                for j, b in enumerate(bks):
+                    if mask is None or mask[j]:
+                        btotal[b] = btotal.get(b, 0) + 1
         for f in flds:
             kind, idx, fld = by_name[f]
             vals = _read_field_span(
@@ -507,6 +545,8 @@ def bucketed_agg_native(
             audit["cells_decoded"] += hi_c - lo_c
             can_sum = summable_of[f]
             for j, v in enumerate(vals):
+                if mask is not None and not mask[j]:
+                    continue
                 acc = _acc(bucket if bks is None else bks[j], f)
                 if v is None:
                     acc["null_count"] += 1
@@ -533,28 +573,39 @@ def bucketed_agg_native(
         if mbrs is None or len(mbrs) != stn:
             audit["tiles_partial"] += stn
             for k in range(stn):
-                _decode_tile(frag, k, cap, n_cells, fields)
+                _decode_tile(frag, k, cap, n_cells, fields,
+                             masked=bool(ranged))
             continue
         contained: dict = {}  # bucket -> [tile index]
-        edge = []
+        edge = []  # (tile index, needs window mask)
         for k, mbr in enumerate(mbrs):
+            # window classification first: out-of-window tiles cost
+            # nothing, straddlers decode with per-cell masking
+            wcls = _classify_tile(mbr, rngs) if ranged else "contained"
+            if wcls == "skip":
+                audit["tiles_skipped"] += 1
+                continue
+            if wcls == "partial":
+                edge.append((k, True))
+                continue
             d0 = mbr[0]
             if d0 is None:  # untrusted (var dim0): decode to know
-                edge.append(k)
+                edge.append((k, False))
                 continue
             try:
                 b_lo, b_hi = d0[0] // width, d0[1] // width
             except TypeError:  # string dim0: no bucket arithmetic
-                edge.append(k)
+                edge.append((k, False))
                 continue
             if b_lo == b_hi:
                 contained.setdefault(b_lo, []).append(k)
             else:
-                edge.append(k)
+                edge.append((k, False))
         audit["tiles_partial"] += len(edge)
         audit["tiles_contained"] += sum(len(v) for v in contained.values())
-        for k in edge:
-            _decode_tile(frag, k, cap, n_cells, fields)
+        for k, need_mask in edge:
+            _decode_tile(frag, k, cap, n_cells, fields,
+                         masked=need_mask)
         if not contained:
             continue
 
