@@ -132,6 +132,8 @@ HEADLINE = [
     "q341_bucket_refresh",
     # three-way storage-partitioned star join (mrr_triple_join parity)
     "q342_triple_join",
+    # 2-D grid rollup: heatmap/datacube from 2-D tile MBRs + stats
+    "q343_grid_rollup",
 ]
 
 

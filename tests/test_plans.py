@@ -138,6 +138,8 @@ def test_no_python_udf_in_any_plan(spark):
         # through the connector: same declared native-io boundary
         "q342_triple_join",  # three connector writes + the three-way
         # storage-partitioned star join: same declared boundary
+        "q343_grid_rollup",  # connector fragment writes feeding the
+        # metadata-only 2-D grid rollup: same declared boundary
         "q297_datasource_stacked",  # stacked-pushdown write + format scan
         "q298_native_lifecycle",  # fused lifecycle write + connector scan
         "q299_native_estimate",  # estimator spec write via mapInPandas

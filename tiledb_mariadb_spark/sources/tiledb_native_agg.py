@@ -382,6 +382,317 @@ def _mm_possible(fld) -> bool:
     return True
 
 
+def grid_agg_native(
+    array_dir: str,
+    widths: dict,
+    fields: list | None = None,
+    at: int | None = None,
+    since: int | None = None,
+    stats: tuple = _ALL_STATS,
+    ranges: dict | None = None,
+) -> dict | None:
+    """N-dimensional grid rollup from fragment metadata — the spatial
+    datacube / heatmap shape:
+
+        SELECT floor(x/wx), floor(y/wy), COUNT(*), SUM(v), ...
+        GROUP BY 1, 2
+
+    ``widths`` maps dimension names to positive int cell widths; every
+    named dim contributes one component of the tuple bucket key (in
+    schema dim order).  A tile whose MBR lies inside ONE grid cell on
+    every gridded dim contributes its tile stats unread; tiles
+    straddling any grid line decode per-cell.  ``ranges`` optionally
+    windows the cube exactly as in :func:`bucketed_agg_native`.
+
+    With data ingested in space-tile or Hilbert order (the clustered
+    2-D layout the writer supports), tile MBRs are small boxes, so a
+    coarse grid serves almost entirely from stats — a 100 TB heatmap
+    refresh is a footer walk.  Same sound-or-None trust rules as the
+    1-D rollup.  Returns ``{"buckets": {(bx, by, ...): {"count": n,
+    "fields": {...}}}, "audit": {...}}`` or None.
+    """
+    schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type == "DENSE":
+        return None
+    dim_names = [d.name for d in schema.dims]
+    if not widths:
+        raise ValueError("widths must name at least one dimension")
+    for name, w in widths.items():
+        if name not in dim_names:
+            raise ValueError(f"width on non-dimension {name!r}")
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"width must be a positive int, got {w!r}")
+    gridded = [
+        (i, d, widths[d.name]) for i, d in enumerate(schema.dims)
+        if d.name in widths
+    ]
+    ranges = dict(ranges or {})
+    for name in ranges:
+        if name not in dim_names:
+            raise ValueError(f"range on non-dimension {name!r}")
+    rngs = [tuple(ranges.get(n, (None, None))) for n in dim_names]
+    ranged = [
+        (i, d, rngs[i]) for i, d in enumerate(schema.dims)
+        if rngs[i] != (None, None)
+    ]
+
+    by_name = {d.name: ("d", i, d) for i, d in enumerate(schema.dims)}
+    by_name.update(
+        {a.name: ("a", i, a) for i, a in enumerate(schema.attrs)}
+    )
+    if fields is None:
+        fields = [a.name for a in schema.attrs]
+    for f in fields:
+        if f not in by_name:
+            raise ValueError(f"unknown field {f!r}")
+
+    frags = _fragment_dirs(array_dir, at=at, since=since)
+    audit = {
+        "fragments": len(frags), "fragments_skipped": 0,
+        "tiles_total": 0, "tiles_contained": 0, "tiles_partial": 0,
+        "tiles_skipped": 0, "cells_decoded": 0,
+    }
+    if frags and _delete_conditions(array_dir, at, frags):
+        return None
+    footers = []
+    for frag in frags:
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        ftr = parse_fragment_footer(fm, schema)
+        if ftr is None or ftr.dense:
+            return None
+        footers.append(ftr)
+    if len(frags) > 1 and not schema.allows_dups and not (
+        _neds_pairwise_disjoint(footers)
+    ):
+        return None
+
+    def _facc():
+        return {"count": 0, "null_count": 0, "sum": 0,
+                "minmax": [None, None], "minmax_ok": True,
+                "saw_nonnull": False}
+
+    btotal: dict = {}
+    bacc: dict = {}
+
+    def _acc(b, f):
+        per = bacc.setdefault(b, {})
+        a = per.get(f)
+        if a is None:
+            a = per[f] = _facc()
+        return a
+
+    want_mm = "min" in stats or "max" in stats
+    want_sum = "sum" in stats
+    summable_of = {
+        f: by_name[f][2].cell_val_num == 1
+        and by_name[f][2].dtype_id in _SUMMABLE_DT
+        and not getattr(by_name[f][2], "enumeration", None)
+        for f in fields
+    }
+
+    def _decode_tile(frag, k, cap, n_cells, flds, bucket=None,
+                     count_cells=True, masked=False):
+        lo_c, hi_c = k * cap, min((k + 1) * cap, n_cells)
+        mask = None
+        dim_vals: dict = {}
+        if masked and ranged:
+            for i, d, (lo, hi) in ranged:
+                vals = _read_field_span(
+                    frag, schema, d, i, "d", lo_c, hi_c, n_cells
+                )
+                dim_vals[i] = vals
+                m = [
+                    (lo is None or v >= lo) and (hi is None or v <= hi)
+                    for v in vals
+                ]
+                mask = m if mask is None else [
+                    a and b for a, b in zip(mask, m)
+                ]
+                audit["cells_decoded"] += hi_c - lo_c
+        bks = None
+        if bucket is None:
+            comps = []
+            for i, d, w in gridded:
+                vals = dim_vals.get(i)
+                if vals is None:
+                    vals = _read_field_span(
+                        frag, schema, d, i, "d", lo_c, hi_c, n_cells
+                    )
+                    audit["cells_decoded"] += hi_c - lo_c
+                comps.append([v // w for v in vals])
+            bks = list(zip(*comps))
+        if count_cells:
+            if bks is None:
+                btotal[bucket] = btotal.get(bucket, 0) + (hi_c - lo_c)
+            else:
+                for j, b in enumerate(bks):
+                    if mask is None or mask[j]:
+                        btotal[b] = btotal.get(b, 0) + 1
+        for f in flds:
+            kind, idx, fld = by_name[f]
+            vals = _read_field_span(
+                frag, schema, fld, idx, kind, lo_c, hi_c, n_cells
+            )
+            audit["cells_decoded"] += hi_c - lo_c
+            can_sum = summable_of[f]
+            for j, v in enumerate(vals):
+                if mask is not None and not mask[j]:
+                    continue
+                acc = _acc(bucket if bks is None else bks[j], f)
+                if v is None:
+                    acc["null_count"] += 1
+                    continue
+                acc["count"] += 1
+                acc["saw_nonnull"] = True
+                if can_sum:
+                    acc["sum"] += v
+                if acc["minmax_ok"]:
+                    try:
+                        _fold_minmax(acc["minmax"], v, v)
+                    except TypeError:
+                        acc["minmax_ok"] = False
+
+    for frag, ftr in zip(frags, footers):
+        stn = ftr.sparse_tile_num
+        if stn == 0:
+            audit["fragments_skipped"] += 1
+            continue
+        cap = schema.capacity
+        n_cells = (stn - 1) * cap + ftr.last_tile_cell_num
+        audit["tiles_total"] += stn
+        mbrs = parse_rtree_leaf_mbrs(frag, schema)
+        if mbrs is None or len(mbrs) != stn:
+            audit["tiles_partial"] += stn
+            for k in range(stn):
+                _decode_tile(frag, k, cap, n_cells, fields,
+                             masked=bool(ranged))
+            continue
+        contained: dict = {}  # cell tuple -> [tile index]
+        edge = []
+        for k, mbr in enumerate(mbrs):
+            wcls = _classify_tile(mbr, rngs) if ranged else "contained"
+            if wcls == "skip":
+                audit["tiles_skipped"] += 1
+                continue
+            if wcls == "partial":
+                edge.append((k, True))
+                continue
+            cell = []
+            for i, d, w in gridded:
+                dom = mbr[i]
+                if dom is None:
+                    cell = None
+                    break
+                try:
+                    c_lo, c_hi = dom[0] // w, dom[1] // w
+                except TypeError:
+                    cell = None
+                    break
+                if c_lo != c_hi:
+                    cell = None
+                    break
+                cell.append(c_lo)
+            if cell is None:
+                edge.append((k, False))
+            else:
+                contained.setdefault(tuple(cell), []).append(k)
+        audit["tiles_partial"] += len(edge)
+        audit["tiles_contained"] += sum(len(v) for v in contained.values())
+        for k, need_mask in edge:
+            _decode_tile(frag, k, cap, n_cells, fields, masked=need_mask)
+        if not contained:
+            continue
+
+        def _cells_of(k, stn=stn, cap=cap, ltcn=ftr.last_tile_cell_num):
+            return cap if k < stn - 1 else ltcn
+
+        field_stats, need_decode = {}, []
+        for f in fields:
+            kind, idx, fld = by_name[f]
+            nullable = bool(getattr(fld, "nullable", False))
+            ts = fragment_tile_stats(frag, schema, f)
+            mins = maxs = sums = nulls = None
+            if ts is not None and len(ts) == stn:
+                if ts[0][0] is not None:
+                    mins = [t[0] for t in ts]
+                    maxs = [t[1] for t in ts]
+                if ts[0][2] is not None:
+                    sums = [t[2] for t in ts]
+                if ts[0][3] is not None:
+                    nulls = [t[3] for t in ts]
+            enum = getattr(fld, "enumeration", None)
+            can_count = (nulls is not None) or not nullable
+            can_mm = mins is not None and not enum
+            can_sum = sums is not None and not enum
+            ok = (
+                can_count
+                and (can_mm or not want_mm or not _mm_possible(fld))
+                and (can_sum or not want_sum or not summable_of[f])
+            )
+            if not ok:
+                need_decode.append(f)
+                continue
+            field_stats[f] = (mins, maxs, sums, nulls, can_mm, can_sum)
+        for b, tiles in contained.items():
+            btotal[b] = btotal.get(b, 0) + sum(_cells_of(k) for k in tiles)
+            for f, (mins, maxs, sums, nulls, can_mm, can_sum) in (
+                field_stats.items()
+            ):
+                acc = _acc(b, f)
+                for k in tiles:
+                    cells = _cells_of(k)
+                    nc = nulls[k] if nulls is not None else 0
+                    nn = cells - nc
+                    acc["null_count"] += nc
+                    acc["count"] += nn
+                    if nn == 0:
+                        continue
+                    acc["saw_nonnull"] = True
+                    if can_sum and summable_of[f]:
+                        acc["sum"] += sums[k]
+                    if want_mm:
+                        if can_mm:
+                            _fold_minmax(acc["minmax"], mins[k], maxs[k])
+                        else:
+                            acc["minmax_ok"] = False
+            for f in need_decode:
+                for k in tiles:
+                    _decode_tile(
+                        frag, k, cap, n_cells, [f],
+                        bucket=b, count_cells=False,
+                    )
+
+    buckets = {}
+    for b in sorted(btotal):
+        fo = {}
+        for f in fields:
+            acc = bacc.get(b, {}).get(f) or _facc()
+            kind, idx, fld = by_name[f]
+            nullable = bool(getattr(fld, "nullable", False))
+            fo[f] = {
+                "count": acc["count"] if "count" in stats else None,
+                "null_count": (
+                    acc["null_count"]
+                    if nullable and "null_count" in stats else None
+                ),
+                "sum": (
+                    acc["sum"]
+                    if want_sum and summable_of[f] and acc["saw_nonnull"]
+                    else None
+                ),
+                "min": (
+                    acc["minmax"][0]
+                    if "min" in stats and acc["minmax_ok"] else None
+                ),
+                "max": (
+                    acc["minmax"][1]
+                    if "max" in stats and acc["minmax_ok"] else None
+                ),
+            }
+        buckets[b] = {"count": btotal[b], "fields": fo}
+    return {"buckets": buckets, "audit": audit}
+
+
 def bucketed_agg_native(
     array_dir: str,
     width: int,

@@ -245,7 +245,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "q336_semantic_decontaminate", "q337_maintenance_loop",
         "q338_windowed_agg", "q339_copartitioned_join",
         "q340_bucketed_rollup", "q341_bucket_refresh",
-        "q342_triple_join",
+        "q342_triple_join", "q343_grid_rollup",
         # least-recently-verified backfill: the round-1 window (13;
         # (12; q11_agg_having yielded its slot to q338 — aggregates +
         # post-agg filtering stay covered in-window by q01/q10/q12, and
@@ -264,11 +264,13 @@ def all_specs() -> dict[str, QuerySpec]:
         # q04_filter_range yielded to q341 — range-predicate pushdown
         # stays covered in-window by q315/q324/q331 dim-range scans;
         # q05_filter_in yielded to q342 — IN pushdown stays covered
-        # in-window by q333's bloom IN tier and q06's compound filters)
+        # in-window by q333's bloom IN tier and q06's compound filters;
+        # q12_count_distinct yielded to q343 — DISTINCT aggregation
+        # stays covered in-window by q161_window_distinct)
         "q01_pricing_summary",
         "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
-        "q10_agg_scalar", "q12_count_distinct",
+        "q10_agg_scalar",
         "q15_orderby_limit",
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"

@@ -510,6 +510,126 @@ SPECS.append(
 )
 
 
+# --- q343: 2-D grid rollup (heatmap/datacube from tile metadata) ------------
+#
+# GROUP BY (floor(x/wx), floor(y/wy)) answered from 2-D tile MBRs +
+# tile stats: tiles inside one grid cell on BOTH dims serve unread,
+# straddlers decode per cell.  The spec grids an orders-derived 2-D
+# array (x = custkey, y = orderkey — unique coordinate pairs), computes
+# the cube twice (metadata path, distributed grouped scan) and the
+# oracle recomputes both from parquet.
+
+_G_WX, _G_WY = 100, 2048
+
+
+def q343_grid_rollup(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        grid_agg_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q343_grid_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[
+            NativeDim("x", 1, 1, (0, 1_000_000), None),
+            NativeDim("y", 1, 1, (0, 6_000_000), None),
+        ],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+        capacity=200,
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.col("o_orderkey").alias("y"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    write_array(
+        src.repartitionByRange(3, "x"), uri,
+        backend=NativeDecoderBackend(),
+    )
+    res = grid_agg_native(uri, {"x": _G_WX, "y": _G_WY},
+                          fields=["cents"])
+    if res is None:
+        raise AssertionError("grid rollup not provable from metadata")
+    meta = spark.createDataFrame(
+        [
+            ("meta", int(b[0]), int(b[1]), ent["count"],
+             int(ent["fields"]["cents"]["sum"]),
+             int(ent["fields"]["cents"]["min"]),
+             int(ent["fields"]["cents"]["max"]))
+            for b, ent in sorted(res["buckets"].items())
+        ],
+        "src string, bx long, by long, rows long, c_sum long,"
+        " c_min long, c_max long",
+    )
+    scan = (
+        read_array(spark, uri, target_splits=4)
+        .groupBy(
+            F.expr(f"CAST(x DIV {_G_WX} AS BIGINT)").alias("bx"),
+            F.expr(f"CAST(y DIV {_G_WY} AS BIGINT)").alias("by"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("cents").alias("c_sum"),
+            F.min("cents").alias("c_min"),
+            F.max("cents").alias("c_max"),
+        )
+        .select(F.lit("scan").alias("src"), "bx", "by", "rows",
+                "c_sum", "c_min", "c_max")
+    )
+    return meta.unionByName(scan).orderBy("src", "bx", "by")
+
+
+Q343_SQL = f"""
+WITH g AS (
+  SELECT CAST(FLOOR(CAST(o_custkey AS DOUBLE) / {_G_WX}.0) AS BIGINT)
+           AS bx,
+         CAST(FLOOR(CAST(o_orderkey AS DOUBLE) / {_G_WY}.0) AS BIGINT)
+           AS by,
+         CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS c_sum,
+         CAST(MIN(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS c_min,
+         CAST(MAX(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS c_max
+  FROM orders GROUP BY 1, 2
+)
+SELECT src.src AS src, g.bx, g.by, g.rows, g.c_sum, g.c_min, g.c_max
+FROM g CROSS JOIN (
+  SELECT 'meta' AS src UNION ALL SELECT 'scan'
+) AS src
+ORDER BY src, bx, by
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q343_grid_rollup",
+        q343_grid_rollup,
+        Q343_SQL,
+        "2-D grid rollup (round 7): GROUP BY (floor(x/wx), floor(y/wy)) "
+        "from 2-D tile MBRs + tile stats — the heatmap/datacube shape; "
+        "hash-matched against both a distributed grouped scan and the "
+        "parquet oracle",
+    )
+)
+
+
 # --- q341: continuous-aggregate refresh (bucket rollup + CDC delta) ---------
 #
 # The maintenance composition a 100 TB rollup lives by: a SNAPSHOT
