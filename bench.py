@@ -134,6 +134,11 @@ HEADLINE = [
     "q342_triple_join",
     # 2-D grid rollup: heatmap/datacube from 2-D tile MBRs + stats
     "q343_grid_rollup",
+    # round-7 session 3: zone-map top-k (ORDER BY attr LIMIT k reading
+    # only bound-reaching fragments) and the windowed snapshot diff
+    # (storage-partitioned self-join confined to the CDC window box)
+    "q344_topk_pushdown",
+    "q345_snapshot_diff",
 ]
 
 

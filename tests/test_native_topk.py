@@ -1,0 +1,288 @@
+"""Zone-map top-k pushdown: `topk_threshold` (metadata-only bound from
+v11+ fragment stats) + `topk_array` (the bound pushed as an ordinary
+attribute condition, then TakeOrdered).
+
+The contract under test: topk_array == full scan + ORDER BY + LIMIT for
+EVERY array shape — when a bound is provable the pruned plan returns the
+identical rows (poison test proves refuted fragments are never decoded);
+when it is not provable (floats, enums, deletes, dense, missing stats)
+the planner returns None and the plain scan answers.
+
+Reference anchor: mytile surfaces fragment min/max only as optimizer
+table stats (ha_mytile.cc info/records_in_range); ORDER BY ... LIMIT in
+the reference always scans — this operator completes that metadata into
+an O(relevant-fragments) read."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from tiledb_mariadb_spark.sources.tiledb_array import (
+    NativeDecoderBackend,
+    read_array,
+    topk_array,
+)
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+    _fragment_dirs,
+    topk_threshold,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+
+def _mk(tmp_path, name="arr", nullable=False, attr_dt=1):
+    uri = str(tmp_path / name)
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("v", attr_dt, 1, nullable, None)],
+    )
+    return uri
+
+
+def _brute(spark, uri, col, k, ascending=False, **kw):
+    pdf = read_array(spark, uri, **kw).toPandas()
+    pdf = pdf.sort_values([col, "k"], ascending=[ascending, True])
+    return list(map(tuple, pdf.head(k)[["k", col]].itertuples(index=False)))
+
+
+def _got(spark, uri, col, k, ascending=False, **kw):
+    rows = topk_array(spark, uri, col, k, ascending=ascending, **kw).collect()
+    return [(r["k"], r[col]) for r in rows]
+
+
+# --- planner unit behavior ---------------------------------------------------
+
+
+def test_threshold_disjoint_fragments(tmp_path):
+    uri = _mk(tmp_path)
+    for f in range(4):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    assert topk_threshold(uri, "v", 10) == 300
+    assert topk_threshold(uri, "v", 150) == 200
+    assert topk_threshold(uri, "v", 10, ascending=True) == 99
+    assert topk_threshold(uri, "v", 400) == 0
+    assert topk_threshold(uri, "v", 401) is None  # only 400 rows provable
+    assert topk_threshold(uri, "k", 10) == 300  # dims carry stats too
+    assert topk_threshold(uri, "v", 0) is None
+
+
+def test_threshold_shadow_guard(tmp_path):
+    """A later overlapping fragment disqualifies the older one from the
+    guarantee (its high values may be overwritten), but never breaks
+    correctness of the final answer."""
+    uri = _mk(tmp_path)
+    for f in range(4):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    # newest fragment overwrites keys 350..399 with v=0
+    write_native_fragment(
+        uri, {"k": list(range(350, 400)), "v": [0] * 50}, ts=9, version=19
+    )
+    # fragment 300..399 no longer contributes: bound drops to 200
+    assert topk_threshold(uri, "v", 10) == 200
+
+
+def test_threshold_refusals(tmp_path):
+    # float attr: NaN ordering makes a pushed bound unsound
+    urif = _mk(tmp_path, "f", attr_dt=3)
+    write_native_fragment(
+        urif, {"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}, version=19
+    )
+    assert topk_threshold(urif, "v", 1) is None
+    # visible delete condition: counted rows may be gone
+    urid = _mk(tmp_path, "d")
+    ks = list(range(100))
+    write_native_fragment(urid, {"k": ks, "v": ks}, ts=1, version=19)
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        write_delete_condition,
+    )
+
+    write_delete_condition(urid, [("v", ">", 90)], ts=2)
+    assert topk_threshold(urid, "v", 5) is None
+    # unknown column
+    assert topk_threshold(urid, "nope", 5) is None
+
+
+def test_threshold_time_travel(tmp_path):
+    uri = _mk(tmp_path)
+    for f in range(3):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    assert topk_threshold(uri, "v", 10) == 200
+    assert topk_threshold(uri, "v", 10, at=2) == 100  # newest invisible
+    assert topk_threshold(uri, "v", 10, since=3) == 200  # window = newest
+
+
+# --- end-to-end parity -------------------------------------------------------
+
+
+def test_topk_matches_brute_force(spark, tmp_path):
+    uri = _mk(tmp_path)
+    for f in range(4):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    write_native_fragment(
+        uri, {"k": list(range(350, 400)), "v": [0] * 50}, ts=9, version=19
+    )
+    for k, asc in [(10, False), (5, True), (1000, False)]:
+        assert _got(spark, uri, "v", k, asc) == _brute(spark, uri, "v", k, asc)
+
+
+def test_topk_randomized_overlaps(spark, tmp_path):
+    """Randomized fragment layouts — overlapping key ranges, duplicate
+    overwrites, ties — pruned top-k must equal brute force."""
+    rng = random.Random(7)
+    for trial in range(4):
+        uri = _mk(tmp_path, f"r{trial}")
+        for f in range(rng.randint(2, 6)):
+            lo = rng.randrange(0, 500)
+            n = rng.randint(20, 120)
+            ks = sorted(rng.sample(range(lo, lo + 400), n))
+            vs = [rng.randrange(0, 50) for _ in ks]  # heavy ties
+            write_native_fragment(
+                uri, {"k": ks, "v": vs}, ts=f + 1, version=19
+            )
+        for k, asc in [(7, False), (13, True)]:
+            assert _got(spark, uri, "v", k, asc) == _brute(
+                spark, uri, "v", k, asc
+            ), f"trial {trial} k={k} asc={asc}"
+
+
+def test_topk_nullable_attr(spark, tmp_path):
+    uri = _mk(tmp_path, nullable=True)
+    ks = list(range(200))
+    vs = [None if i % 3 == 0 else i for i in range(200)]
+    write_native_fragment(uri, {"k": ks, "v": vs}, ts=1, version=19)
+    write_native_fragment(
+        uri,
+        {"k": list(range(200, 400)), "v": list(range(200, 400))},
+        ts=2,
+        version=19,
+    )
+    got = _got(spark, uri, "v", 10)
+    brute = _brute(spark, uri, "v", 10)
+    assert got == brute
+    assert all(v is not None for _, v in got)
+
+
+def test_topk_string_attr(spark, tmp_path):
+    uri = str(tmp_path / "s")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("v", 12, 0xFFFFFFFF, False, None)],
+    )
+    for f in range(3):
+        ks = list(range(f * 50, f * 50 + 50))
+        vs = [f"w{f}_{i:03d}" for i in range(50)]
+        write_native_fragment(uri, {"k": ks, "v": vs}, ts=f + 1, version=19)
+    # the bound is the newest contributing fragment's MIN (guarantees
+    # all 50 of its rows), not the exact 5th-largest value
+    assert topk_threshold(uri, "v", 5) == "w2_000"
+    assert _got(spark, uri, "v", 5) == _brute(spark, uri, "v", 5)
+
+
+def test_topk_decode_poison(spark, tmp_path):
+    """Fragments the bound refutes are NEVER decoded: poison their data
+    tiles (not the metadata) and the pruned top-k still answers."""
+    uri = _mk(tmp_path)
+    for f in range(4):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    thr = topk_threshold(uri, "v", 10)
+    assert thr == 300
+    poisoned = 0
+    for frag in _fragment_dirs(uri):
+        import re
+
+        base = os.path.basename(frag)
+        # fragment holding values < 300 only: max stat < thr
+        from tiledb_mariadb_spark.sources.tiledb_native import (
+            fragment_attr_stats,
+            parse_array_schema,
+            _schema_path,
+        )
+
+        schema = parse_array_schema(_schema_path(uri))
+        st = fragment_attr_stats(frag, schema)
+        _ = re, base
+        if st and st["v"]["max"] < thr:
+            for fn in os.listdir(frag):
+                if fn.endswith(".tdb") and fn != "__fragment_metadata.tdb":
+                    p = os.path.join(frag, fn)
+                    with open(p, "r+b") as fh:
+                        fh.write(b"\xde\xad\xbe\xef" * 4)
+                    poisoned += 1
+    assert poisoned > 0
+    got = _got(spark, uri, "v", 10)
+    assert got == [(399 - i, 399 - i) for i in range(10)]
+
+
+def test_topk_fallback_when_unprovable(spark, tmp_path):
+    """Float column: planner refuses, plain scan answers correctly."""
+    uri = _mk(tmp_path, "fl", attr_dt=3)
+    ks = list(range(100))
+    write_native_fragment(
+        uri, {"k": ks, "v": [float(i) for i in ks]}, ts=1, version=19
+    )
+    b = NativeDecoderBackend()
+    assert b.topk_threshold(uri, "v", 5) is None
+    got = _got(spark, uri, "v", 5)
+    assert got == [(99, 99.0), (98, 98.0), (97, 97.0), (96, 96.0), (95, 95.0)]
+
+
+def test_topk_projection_keeps_order_col(spark, tmp_path):
+    uri = _mk(tmp_path, "proj")
+    ks = list(range(50))
+    write_native_fragment(uri, {"k": ks, "v": ks}, ts=1, version=19)
+    df = topk_array(spark, uri, "v", 3, columns=["v"])
+    rows = df.collect()
+    assert [r["v"] for r in rows] == [49, 48, 47]
+
+
+def test_topk_at_window(spark, tmp_path):
+    uri = _mk(tmp_path, "tt")
+    for f in range(3):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    got = _got(spark, uri, "v", 5, at=2)
+    assert got == [(199 - i, 199 - i) for i in range(5)]
+    got_w = _got(spark, uri, "v", 5, since=3)
+    assert got_w == [(299 - i, 299 - i) for i in range(5)]
+
+
+def test_topk_dups_schema(spark, tmp_path):
+    """allows_dups arrays: every fragment counts toward the guarantee
+    even when NEDs overlap (duplicates are kept, nothing shadows)."""
+    uri = str(tmp_path / "dups")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        allows_dups=True,
+    )
+    write_native_fragment(
+        uri, {"k": list(range(100)), "v": list(range(100))}, ts=1, version=19
+    )
+    write_native_fragment(
+        uri,
+        {"k": list(range(100)), "v": list(range(100, 200))},
+        ts=2,
+        version=19,
+    )
+    # overlapping NEDs but dups kept: both fragments guarantee rows
+    assert topk_threshold(uri, "v", 150) == 0
+    assert topk_threshold(uri, "v", 100) == 100
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -470,6 +470,23 @@ class NativeDecoderBackend(ArrayBackend):
         except (OSError, ValueError):
             return None
 
+    def topk_threshold(self, uri, col, k, ascending=False, at=None,
+                       since=None):
+        """Metadata-only ORDER-BY-LIMIT bound from fragment stats —
+        None = not provable; the caller scans unpruned (always
+        correct)."""
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            topk_threshold,
+        )
+
+        try:
+            self._reg(uri)
+            return topk_threshold(
+                uri, col, k, ascending=ascending, at=at, since=since
+            )
+        except (OSError, ValueError):
+            return None
+
     def string_split_keys(self, uri, at=None, since=None):
         """Candidate split cut keys for a var-length dim0 (fragment
         var-NED boundaries, metadata only) — [] when unavailable; the
@@ -1008,6 +1025,231 @@ def read_array(
                     yield out
 
     return split_df.mapInPandas(read_split, schema=ddl)
+
+
+def topk_array(
+    spark: SparkSession,
+    uri: str,
+    col: str,
+    k: int,
+    ascending: bool = False,
+    backend: Optional[ArrayBackend] = None,
+    columns: Optional[list[str]] = None,
+    dim_ranges: Optional[dict[str, tuple[Any, Any]]] = None,
+    at: Optional[int] = None,
+    since: Optional[int] = None,
+    encryption_key: Optional[Any] = None,
+    target_splits: int = 32,
+) -> DataFrame:
+    """ORDER BY ``col`` LIMIT ``k`` over a native array with ZONE-MAP
+    pruning: a metadata-only walk of the v11+ fragment stats derives a
+    bound ``t`` such that >= k surviving rows provably satisfy
+    ``col >= t`` (descending; ``<= t`` ascending), and that bound is
+    pushed as an ordinary attribute condition — so the existing
+    fragment-skip (stats + shadow-safety, plan_condition_skips), tile
+    skip, and condition-NED split planning all fire.  Rows the bound
+    excludes sort strictly after the guaranteed k and cannot change
+    the answer; when no bound is provable (dense arrays, float/enum
+    columns, visible deletes, missing stats) the plan falls back to
+    the plain full scan — identical result, no pruning.
+
+    At 100 TB: "top 100 orders by price" over date-partitioned
+    fragments decodes only the fragments whose stat range reaches the
+    bound — an O(relevant-fragments) read instead of a full scan, then
+    Spark's TakeOrdered (no global sort, no shuffle of the losers).
+    Reference anchor: mytile surfaces fragment min/max to MariaDB's
+    optimizer only as table stats (ha_mytile.cc:info); ORDER BY ...
+    LIMIT there always full-scans — this operator is the engine-side
+    completion of that metadata.
+
+    The final ordering ties break by the dimension tuple (ascending),
+    making the result deterministic under equal ``col`` values.
+    """
+    backend = backend or (
+        TileDBBackend()
+        if HAVE_TILEDB and encryption_key is None
+        else NativeDecoderBackend(encryption_key=encryption_key)
+    )
+    thr_fn = getattr(backend, "topk_threshold", None)
+    thr = (
+        thr_fn(uri, col, k, ascending=ascending, at=at, since=since)
+        if thr_fn
+        else None
+    )
+    conditions = (
+        [(col, "<=" if ascending else ">=", thr)] if thr is not None else None
+    )
+    cols = None
+    if columns is not None and col not in columns:
+        cols = [*columns, col]
+    df = read_array(
+        spark, uri, backend=backend, columns=cols or columns,
+        dim_ranges=dim_ranges, at=at, since=since,
+        conditions=conditions, target_splits=target_splits,
+    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    info = backend.info(uri, at=at)
+    order = [F.col(col).asc() if ascending else F.col(col).desc()]
+    order += [F.col(d.name).asc() for d in info.dims if d.name != col]
+    return df.orderBy(*order).limit(k)
+
+
+def diff_arrays(
+    spark: SparkSession,
+    uri: str,
+    at_old: int,
+    at_new: Optional[int] = None,
+    backend: Optional[ArrayBackend] = None,
+    columns: Optional[list[str]] = None,
+    include_unchanged: bool = False,
+    encryption_key: Optional[Any] = None,
+    target_splits: int = 32,
+) -> DataFrame:
+    """Keyed SNAPSHOT DIFF of one array between two timestamps:
+    ``added`` / ``deleted`` / ``changed`` rows of the ``at_new``
+    snapshot relative to ``at_old``, with both value versions side by
+    side (``<attr>_old`` / ``<attr>_new``).  The CDC surface a 100 TB
+    maintenance loop needs: "what did yesterday's ingest actually
+    change", feeding incremental rollups, audit trails, and downstream
+    invalidation.
+
+    Execution is ZERO-SHUFFLE and (when provable) O(window), not
+    O(array): one split plan is cut over the shared coordinate space,
+    each task reads BOTH snapshots' cells for its subarray (the
+    storage-partitioned self-join — both sides are the same array, so
+    co-partitioning is free) and classifies locally.  When no delete
+    commit falls inside ``(at_old, at_new]``, rows can only have
+    changed where the window's fragments wrote, so the plan is
+    confined to those fragments' union bounding box (``window_ned``,
+    metadata-only) — an empty window returns an empty frame without
+    launching a task.  Consolidation commits inside the window don't
+    widen the box: a consolidated fragment keeps its ORIGINAL oldest
+    timestamp, and its content is logically unchanged data.
+
+    Timestamp semantics are TileDB's (both bounds inclusive unix
+    millis; ``at_new=None`` = now).  Row identity is the dimension
+    tuple; values compare NULL-safely (NULL→value and value→NULL are
+    ``changed``).  Reference anchor: the reference reads any snapshot
+    (`uri@ts`, ha_mytile.cc open_at) but diffing two of them requires
+    two full MariaDB scans plus a server-side join — here it is one
+    windowed map-only pass."""
+    backend = backend or (
+        TileDBBackend()
+        if HAVE_TILEDB and encryption_key is None
+        else NativeDecoderBackend(encryption_key=encryption_key)
+    )
+    info = backend.info(uri, at=at_new)
+    dim_names = [d.name for d in info.dims]
+    attr_names = [a.name for a in info.attrs]
+    sel = (
+        [a for a in attr_names if a in columns]
+        if columns is not None
+        else list(attr_names)
+    )
+    type_of = {x.name: x.dtype for x in info.dims + info.attrs}
+    ddl = ", ".join(
+        [f"{d} {type_of[d]}" for d in dim_names]
+        + ["change string"]
+        + [f"{a}_old {type_of[a]}" for a in sel]
+        + [f"{a}_new {type_of[a]}" for a in sel]
+    )
+    out_cols = (
+        dim_names + ["change"] + [f"{a}_old" for a in sel]
+        + [f"{a}_new" for a in sel]
+    )
+
+    # window-box confinement: sound iff no .del inside the window (a
+    # delete removes rows anywhere, outside any fragment's box)
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        delete_commits_in_window,
+    )
+
+    dim_ranges = None
+    try:
+        dels = delete_commits_in_window(uri, since=at_old + 1, at=at_new)
+    except OSError:
+        dels = True  # unknown commit state: stay full-domain
+    # include_unchanged must SEE the untouched rows, so it scans the
+    # full domain; the changed-only diff is what gets O(window) cost
+    if not dels and not include_unchanged:
+        wfn = getattr(backend, "window_ned", None)
+        wbox = wfn(uri, since=at_old + 1, at=at_new) if wfn else None
+        if wbox == []:
+            return spark.createDataFrame([], schema=ddl)
+        if wbox is not None:
+            dim_ranges = {
+                d.name: (lo, hi) for d, (lo, hi) in zip(info.dims, wbox)
+            }
+    weights_fn = getattr(backend, "split_weights", None)
+    weights = weights_fn(uri, at=at_new) if weights_fn else None
+    skeys = None
+    if not any(
+        isinstance(b, int)
+        for d in info.dims for b in (d.domain or (None, None))
+    ):
+        skeys_fn = getattr(backend, "string_split_keys", None)
+        skeys = skeys_fn(uri, at=at_new) if skeys_fn else None
+    splits = plan_splits(
+        info, dim_ranges, target_splits, weights=weights, string_keys=skeys
+    )
+    if not splits:
+        return spark.createDataFrame([], schema=ddl)
+
+    _NULLABLE = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "integer": "Int32", "bigint": "Int64", "long": "Int64",
+        "float": "Float32", "double": "Float64", "boolean": "boolean",
+    }
+    nullable_t = {a: _NULLABLE.get(type_of[a]) for a in sel}
+
+    split_rows = [(i,) for i in range(len(splits))]
+    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
+        len(splits), "split_id"
+    )
+    cols_read = dim_names + sel
+
+    def diff_split(batches) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for sid in pdf["split_id"]:
+                rng = splits[int(sid)]
+                po = backend.read_range(uri, rng, cols_read, at=at_old)
+                pn = backend.read_range(uri, rng, cols_read, at=at_new)
+                if not len(po) and not len(pn):
+                    continue
+                for p in (po, pn):
+                    for a in sel:
+                        t = nullable_t[a]
+                        if t is not None:
+                            p[a] = p[a].astype(t)
+                m = po.merge(
+                    pn, on=dim_names, how="outer",
+                    suffixes=("_old", "_new"), indicator=True,
+                )
+                side = m.pop("_merge")
+                changed = pd.Series(False, index=m.index)
+                for a in sel:
+                    o, n = m[f"{a}_old"], m[f"{a}_new"]
+                    changed |= (o.isna() != n.isna()) | (
+                        o.notna() & n.notna() & (o != n)
+                    )
+                m["change"] = "unchanged"
+                m.loc[changed, "change"] = "changed"
+                m.loc[side == "left_only", "change"] = "deleted"
+                m.loc[side == "right_only", "change"] = "added"
+                if not include_unchanged:
+                    m = m[m["change"] != "unchanged"]
+                if not len(m):
+                    continue
+                for a in sel:  # object cols: NaN -> None for Arrow
+                    for c in (f"{a}_old", f"{a}_new"):
+                        if m[c].dtype == object:
+                            m[c] = m[c].where(m[c].notna(), None)
+                yield m[out_cols]
+
+    return split_df.mapInPandas(diff_split, schema=ddl)
 
 
 def copartitioned_join_arrays(

@@ -4118,6 +4118,144 @@ def count_native_array(array_dir: str, at: int | None = None) -> int | None:
     return None
 
 
+def delete_commits_in_window(
+    array_dir: str, since: int | None = None, at: int | None = None
+) -> bool:
+    """True when any ``__commits/*.del`` timestamp falls inside
+    ``[since, at]`` — a pure listing, no tile read.  Snapshot-diff and
+    top-k planning use this as a soundness gate: a delete commit can
+    remove rows ANYWHERE in the domain, so window-box confinement of a
+    changed-row search is only provable when the window holds none."""
+    commits = os.path.join(array_dir, "__commits")
+    if not os.path.isdir(commits):
+        return False
+    for e in os.listdir(commits):
+        if not e.endswith(".del"):
+            continue
+        ts = _frag_ts(e)
+        if (since is None or ts >= since) and (at is None or ts <= at):
+            return True
+    return False
+
+
+def _ned_provably_disjoint(fa, fb) -> bool:
+    """True only when two footers' non-empty domains provably do not
+    overlap (some dimension's intervals are separated).  Fixed dims use
+    the validated footer NED, var dims the decoded var-NED pair when
+    both carry one; anything unknown/uncomparable proves NOTHING (the
+    conservative direction — callers treat "not provably disjoint" as
+    a possible overlap)."""
+    if fa is None or fb is None:
+        return False
+    n = min(len(fa.non_empty_domain), len(fb.non_empty_domain))
+    for k in range(n):
+        da, db = fa.non_empty_domain[k], fb.non_empty_domain[k]
+        if da is None or db is None:
+            da, db = fa.var_ned[k], fb.var_ned[k]
+            if da is None or db is None:
+                continue
+            try:
+                if da[1] < db[0] or db[1] < da[0]:
+                    return True
+            except TypeError:
+                continue
+            continue
+        if da[1] < db[0] or db[1] < da[0]:
+            return True
+    return False
+
+
+#: float dtypes are EXCLUDED from top-k threshold planning: NaN sorts
+#: ABOVE every value in Spark's ORDER BY (and poisons the writer's
+#: min/max), while a pushed ``col >= t`` condition silently drops NaN
+#: rows — the one shape where a stats-derived bound could reorder the
+#: top-k.  Integers / datetimes / strings have no such sentinel.
+_TOPK_UNORDERABLE_DT = {2, 3}
+
+
+def topk_threshold(
+    array_dir: str,
+    col: str,
+    k: int,
+    ascending: bool = False,
+    at: int | None = None,
+    since: int | None = None,
+):
+    """Metadata-only bound for ORDER BY ``col`` LIMIT ``k``: a value
+    ``t`` such that the visible merged array PROVABLY holds >= k
+    non-NULL rows with ``col >= t`` (descending; ``<= t`` ascending).
+    Rows failing the bound cannot appear in the top-k, so the caller
+    may push ``(col, '>=', t)`` into the scan and let the existing
+    fragment/tile stat pruning skip everything below it — the zone-map
+    top-k of C-Store/Vertica-style engines, built from the same v11+
+    fmmsn stats the reference's libtiledb writes.
+
+    Soundness over newest-wins overwrite semantics (the same hazard
+    plan_condition_skips guards): a fragment's cells count toward the
+    guarantee only when NO LATER visible fragment can shadow them —
+    i.e. every later fragment's NED is provably disjoint (``allows_dups``
+    schemas keep every duplicate, so all fragments count).  Visible
+    delete conditions, dense arrays, enum/float columns, and missing
+    stats all return None — the caller then runs the plain scan, which
+    is always correct.  None otherwise too when the stats cannot prove
+    k rows (tiny arrays); never returns a bound that drops a top-k row.
+    """
+    if k <= 0:
+        return None
+    schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type != "SPARSE":
+        return None
+    field = None
+    for f in (*schema.dims, *schema.attrs):
+        if f.name == col:
+            field = f
+    if field is None or field.dtype_id in _TOPK_UNORDERABLE_DT:
+        return None
+    if getattr(field, "enumeration", None):
+        return None  # stats describe ordinals, reads serve labels
+    frags = _fragment_dirs(array_dir, at=at, since=since)
+    if not frags:
+        return None
+    if _delete_conditions(array_dir, at, frags):
+        # a delete removes a data-dependent subset of the counted rows
+        return None
+    footers = [
+        parse_fragment_footer(
+            os.path.join(frag, "__fragment_metadata.tdb"), schema
+        )
+        for frag in frags
+    ]
+    # (bound_value, guaranteed_non_null_rows) per contributing fragment;
+    # frags is oldest -> newest in merge order, so "can be shadowed" =
+    # some LATER fragment's NED is not provably disjoint
+    items = []
+    for i, frag in enumerate(frags):
+        if not schema.allows_dups and any(
+            not _ned_provably_disjoint(footers[i], footers[j])
+            for j in range(i + 1, len(frags))
+        ):
+            continue
+        st = fragment_attr_stats(frag, schema)
+        if not st or col not in st:
+            continue
+        lo, hi = st[col].get("min"), st[col].get("max")
+        if lo is None or hi is None or lo != lo or hi != hi:
+            continue  # absent stats (or NaN-poisoned: x != x)
+        cells = fragment_cell_count(frag, schema)
+        if cells is None:
+            continue
+        n = cells - st[col].get("null_count", 0)
+        if n > 0:
+            items.append((lo if not ascending else hi, n))
+    items.sort(reverse=not ascending)
+    cum = 0
+    for v, n in items:
+        cum += n
+        if cum >= k:
+            return v
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Fragment R-TREE (round 4): per-tile MBRs parsed from the generic tile at
 # offset 0 of __fragment_metadata.tdb — present in every committed fixture

@@ -266,12 +266,16 @@ def all_specs() -> dict[str, QuerySpec]:
         # q05_filter_in yielded to q342 — IN pushdown stays covered
         # in-window by q333's bloom IN tier and q06's compound filters;
         # q12_count_distinct yielded to q343 — DISTINCT aggregation
-        # stays covered in-window by q161_window_distinct)
+        # stays covered in-window by q161_window_distinct;
+        # q15_orderby_limit yielded to q344 — ORDER BY + LIMIT is
+        # exactly what q344 exercises end-to-end, with pruning on top;
+        # q10_agg_scalar yielded to q345 — scalar COUNT/SUM/MIN/MAX
+        # stay hash-verified in-window by q302/q307/q310 and q338)
         "q01_pricing_summary",
         "q06_filter_compound",
         "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
-        "q10_agg_scalar",
-        "q15_orderby_limit",
+        "q345_snapshot_diff",
+        "q344_topk_pushdown",
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

@@ -767,3 +767,240 @@ SPECS.append(
         "(join.test / mrr_triple_join.test parity, SPARK-37375 analog)",
     )
 )
+
+
+# --- q344: zone-map top-k pushdown (round 7, session 3) ----------------------
+#
+# ORDER BY attr LIMIT k over a native array without a full scan:
+# `topk_threshold` (sources/tiledb_native.py) derives, from v11+ fmmsn
+# fragment stats alone, a bound t with >= k surviving rows provably at
+# or beyond it, and `topk_array` pushes (attr >= t) as an ordinary
+# condition — the existing stat-refutation + newest-wins shadow rule
+# (plan_condition_skips) then skips every fragment whose range cannot
+# reach the bound.  The spec models the canonical 100 TB use: "the N
+# newest rows" of an append-ordered corpus, where the sort attribute
+# (an event timestamp) correlates with the ingest partitioning, so the
+# bound prunes all but the tail fragments.  The census is pinned into
+# the hashed output exactly like q333: at most half the fragments may
+# be read.  Reference anchor: mytile surfaces fragment min/max only as
+# optimizer table stats (ha_mytile.cc info / records_in_range); ORDER
+# BY ... LIMIT in the reference always full-scans.
+_TS0 = 1_600_000_000_000
+
+
+def q344_topk_pushdown(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        topk_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        explain_native_pruning,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q344_topk_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[
+            NativeAttr("ts_ms", 1, 1, False, None),
+            NativeAttr("cents", 1, 1, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.lit(_TS0) + F.col("o_orderkey")).cast("bigint").alias("ts_ms"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    # 8 key-range fragments = disjoint NEDs, the append-ordered ingest
+    # shape; ts_ms is monotone in k, so fragment stat ranges stack
+    backend = NativeDecoderBackend()
+    write_array(src.repartitionByRange(8, "k"), uri, backend=backend)
+
+    def side(name, col, k, ascending):
+        thr = backend.topk_threshold(uri, col, k, ascending=ascending)
+        if thr is None:  # fail loudly — the bound must be provable here
+            raise AssertionError("top-k bound not provable from stats")
+        census = explain_native_pruning(
+            uri, conditions=[(col, "<=" if ascending else ">=", thr)]
+        )
+        kept = sum(1 for r in census if r["decision"] == "read")
+        pruned = str(kept * 2 <= len(census)).lower()
+        df = topk_array(spark, uri, col, k, ascending=ascending,
+                        target_splits=8)
+        return df.select(
+            F.lit(name).alias("side"),
+            "k", "ts_ms", "cents",
+            F.lit(pruned).alias("pruned"),
+            F.lit(len(census)).cast("long").alias("frags_total"),
+        )
+
+    newest = side("newest", "ts_ms", 12, ascending=False)
+    oldest = side("oldest", "ts_ms", 5, ascending=True)
+    return newest.unionByName(oldest).orderBy("side", "k")
+
+
+Q344_SQL = f"""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST({_TS0} + o_orderkey AS BIGINT) AS ts_ms,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+), newest AS (
+  SELECT 'newest' AS side, k, ts_ms, cents
+  FROM src ORDER BY ts_ms DESC, k LIMIT 12
+), oldest AS (
+  SELECT 'oldest' AS side, k, ts_ms, cents
+  FROM src ORDER BY ts_ms ASC, k LIMIT 5
+)
+SELECT side, k, ts_ms, cents, 'true' AS pruned,
+       CAST(8 AS BIGINT) AS frags_total
+FROM (SELECT * FROM newest UNION ALL SELECT * FROM oldest)
+ORDER BY side, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q344_topk_pushdown",
+        q344_topk_pushdown,
+        Q344_SQL,
+        "zone-map top-k pushdown (round 7): ORDER BY attr LIMIT k "
+        "derives a bound from fragment min/max stats and pushes it as "
+        "a condition — only fragments whose stat range reaches the "
+        "bound decode (census hash-pinned: <=4 of 8 read, both "
+        "directions); the latest-N query of an append-ordered corpus "
+        "without a full scan",
+    )
+)
+
+
+# --- q345: snapshot diff — CDC between two timestamps (round 7, session 3) ---
+#
+# `diff_arrays` (sources/tiledb_array.py): added/deleted/changed rows of
+# the at_new snapshot relative to at_old, computed as a zero-shuffle
+# storage-partitioned SELF-join (both sides are the same array at two
+# open_at timestamps — co-partitioning is free) and confined, when no
+# delete commit falls inside the window, to the window fragments' union
+# bounding box (metadata-only `window_ned`): O(window), not O(array).
+# The spec runs both shapes: an ingest window (overwrites + inserts,
+# box-confined) and a purge window (a `.del` commit — full-domain scan,
+# deletions classified).  The oracle reconstructs both snapshots from
+# parquet with pure SQL and full-outer-joins them.  Reference anchor:
+# `uri@ts` reads any snapshot (ha_mytile.cc open_at); diffing two takes
+# two full scans + a server join there.
+_DIFF_T = 30_000_000  # purge threshold: cents > $300k
+
+
+def q345_snapshot_diff(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        diff_arrays,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_delete_condition,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q345_diff_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    backend = NativeDecoderBackend()
+    # v1 @1000: keys not divisible by 3
+    write_array(
+        src.filter(F.col("k") % 3 != 0).repartitionByRange(4, "k"),
+        uri, backend=backend, ts=1000,
+    )
+    # ingest @2000: rewrite every 5th key with cents+777 (changed where
+    # it existed, added where it did not)
+    write_array(
+        src.filter(F.col("k") % 5 == 0)
+        .withColumn("cents", F.col("cents") + F.lit(777))
+        .repartitionByRange(4, "k"),
+        uri, backend=backend, ts=2000,
+    )
+    # purge @3000: delete commit, O(1) bytes regardless of array size
+    write_delete_condition(uri, [("cents", ">", _DIFF_T)], ts=3000)
+
+    ingest = diff_arrays(
+        spark, uri, at_old=1000, at_new=2000, target_splits=8
+    ).select(
+        F.lit("ingest").alias("win"), "k", "change",
+        "cents_old", "cents_new",
+    )
+    purge = diff_arrays(
+        spark, uri, at_old=2000, at_new=3000, target_splits=8
+    ).select(
+        F.lit("purge").alias("win"), "k", "change",
+        "cents_old", "cents_new",
+    )
+    return ingest.unionByName(purge).orderBy("win", "k")
+
+
+Q345_SQL = f"""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+), v1 AS (
+  SELECT k, cents FROM src WHERE k % 3 <> 0
+), w AS (
+  SELECT k, cents + 777 AS cents FROM src WHERE k % 5 = 0
+), v2 AS (
+  SELECT COALESCE(w.k, v1.k) AS k,
+         COALESCE(w.cents, v1.cents) AS cents
+  FROM v1 FULL OUTER JOIN w ON v1.k = w.k
+), ingest AS (
+  SELECT 'ingest' AS win, COALESCE(w.k, v1.k) AS k,
+         CASE WHEN v1.k IS NULL THEN 'added' ELSE 'changed' END AS change,
+         v1.cents AS cents_old, w.cents AS cents_new
+  FROM v1 FULL OUTER JOIN w ON v1.k = w.k
+  WHERE w.k IS NOT NULL
+), purge AS (
+  SELECT 'purge' AS win, k, 'deleted' AS change,
+         cents AS cents_old, CAST(NULL AS BIGINT) AS cents_new
+  FROM v2 WHERE cents > {_DIFF_T}
+)
+SELECT * FROM (
+  SELECT * FROM ingest UNION ALL SELECT * FROM purge
+) ORDER BY win, k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q345_snapshot_diff",
+        q345_snapshot_diff,
+        Q345_SQL,
+        "snapshot diff (round 7): added/deleted/changed rows between "
+        "two timestamps as a zero-shuffle storage-partitioned "
+        "self-join, window-box-confined (O(window)) when the window "
+        "holds no delete commit; both CDC shapes exercised (ingest "
+        "overwrites + a .del purge) against a full-outer-join oracle",
+    )
+)
