@@ -139,6 +139,8 @@ HEADLINE = [
     # (storage-partitioned self-join confined to the CDC window box)
     "q344_topk_pushdown",
     "q345_snapshot_diff",
+    # MERGE INTO: clause-split upsert (INSERT IGNORE + UPDATE-only)
+    "q346_merge_into",
 ]
 
 

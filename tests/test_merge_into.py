@@ -1,0 +1,135 @@
+"""MERGE INTO for native arrays (`merge_into_array`): the four
+matched/not-matched clause combinations, source-duplicate guards, count
+reporting, and the zero-read pure-upsert fast path.
+
+Reference anchor: the MariaDB host lowers INSERT..ON DUPLICATE KEY
+UPDATE / REPLACE / INSERT IGNORE onto handler::write_row — the handler
+itself only upserts (ha_mytile.cc write_row); the clause split is the
+engine-side completion."""
+
+from __future__ import annotations
+
+import pytest
+
+from tiledb_mariadb_spark.sources.tiledb_array import (
+    merge_into_array,
+    read_array,
+)
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+
+def _mk(tmp_path, name="arr"):
+    uri = str(tmp_path / name)
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    write_native_fragment(
+        uri, {"k": [1, 2, 3], "v": [10, 20, 30]}, ts=1000, version=19
+    )
+    return uri
+
+
+def _state(spark, uri):
+    return sorted(tuple(r) for r in read_array(spark, uri).collect())
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+def test_update_skip(spark, tmp_path):
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(2, 99), (4, 44)]),
+        when_matched="update", when_not_matched="skip", ts=2000,
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 1}
+    assert _state(spark, uri) == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_skip_insert(spark, tmp_path):
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(2, 99), (4, 44)]),
+        when_matched="skip", when_not_matched="insert", ts=2000,
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 1}
+    assert _state(spark, uri) == [(1, 10), (2, 20), (3, 30), (4, 44)]
+
+
+def test_skip_skip_writes_nothing(spark, tmp_path):
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(2, 99), (4, 44)]),
+        when_matched="skip", when_not_matched="skip", ts=2000,
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 0}
+    assert _state(spark, uri) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_pure_upsert(spark, tmp_path):
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(2, 99), (4, 44)]), ts=2000
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 2}
+    assert _state(spark, uri) == [(1, 10), (2, 99), (3, 30), (4, 44)]
+
+
+def test_upsert_no_counts_zero_reads(spark, tmp_path):
+    """return_counts=False on the upsert path must not touch the
+    target: poison every data tile and merge still succeeds."""
+    import os
+
+    from tiledb_mariadb_spark.sources.tiledb_native import _fragment_dirs
+
+    uri = _mk(tmp_path)
+    for frag in _fragment_dirs(uri):
+        for fn in os.listdir(frag):
+            if fn.endswith(".tdb") and fn != "__fragment_metadata.tdb":
+                with open(os.path.join(frag, fn), "r+b") as fh:
+                    fh.write(b"\xde\xad\xbe\xef" * 4)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(9, 90)]), ts=2000, return_counts=False
+    )
+    assert c == {"matched": -1, "not_matched": -1, "written": -1}
+
+
+def test_source_dup_guards(spark, tmp_path):
+    uri = _mk(tmp_path)
+    dup = _src(spark, [(7, 1), (7, 2)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_array(spark, uri, dup)
+    merge_into_array(spark, uri, dup, on_source_dups="last_wins", ts=2000)
+    st = dict(_state(spark, uri))
+    assert st[7] == 2
+
+
+def test_empty_source(spark, tmp_path):
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, []).limit(0),
+        when_matched="update", when_not_matched="skip",
+    )
+    assert c == {"matched": 0, "not_matched": 0, "written": 0}
+    assert _state(spark, uri) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_missing_dim_column_raises(spark, tmp_path):
+    uri = _mk(tmp_path)
+    bad = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="dimension columns"):
+        merge_into_array(spark, uri, bad)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

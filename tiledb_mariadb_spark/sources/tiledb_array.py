@@ -1252,6 +1252,153 @@ def diff_arrays(
     return split_df.mapInPandas(diff_split, schema=ddl)
 
 
+def merge_into_array(
+    spark: SparkSession,
+    uri: str,
+    source: DataFrame,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    backend: Optional[ArrayBackend] = None,
+    encryption_key: Optional[Any] = None,
+    ts: Optional[int] = None,
+    on_source_dups: str = "error",
+    return_counts: bool = True,
+    target_splits: int = 32,
+) -> dict:
+    """MERGE INTO for native arrays: the row identity is the dimension
+    tuple (the array key), ``source`` supplies dims + the attribute
+    values to write.
+
+    ``when_matched``: 'update' rewrites rows whose key already exists,
+    'skip' leaves them untouched.  ``when_not_matched``: 'insert' adds
+    new keys, 'skip' drops them.  The four combinations cover MERGE's
+    core (and the reference host's INSERT .. ON DUPLICATE KEY UPDATE /
+    REPLACE / INSERT IGNORE, which MariaDB lowers onto write_row — the
+    handler itself only ever upserts, ha_mytile.cc:write_row); a
+    MERGE ... DELETE clause is ``write_delete_condition`` (the
+    reference cannot DELETE at all).
+
+    Scale shape: 'update'+'insert' is TileDB's native upsert — ONE
+    fragment write, ZERO reads of the target (newest-wins does the
+    merge at read time).  The clauses that must distinguish matched
+    from new keys probe the target's keys with a scan CONFINED to the
+    source keys' bounding box (condition-NED/R-tree pruning applies),
+    then anti/semi-join source-side — at 100 TB the probe reads the
+    fragments the source box touches, never the corpus.
+
+    ``on_source_dups``: duplicate source keys in one batch would land
+    as duplicate coordinates in one fragment (undefined read order —
+    libtiledb's dedup_coords hazard): 'error' raises, 'last_wins'
+    keeps the last row per key (deterministic by the source's own
+    order), 'allow' writes as-is (for allows_dups schemas).
+    Returns ``{"matched": n, "not_matched": n, "written": n}``
+    (counts -1 when ``return_counts=False`` skips the extra jobs).
+    """
+    if when_matched not in ("update", "skip"):
+        raise ValueError(f"when_matched must be update|skip: {when_matched}")
+    if when_not_matched not in ("insert", "skip"):
+        raise ValueError(
+            f"when_not_matched must be insert|skip: {when_not_matched}"
+        )
+    if on_source_dups not in ("error", "last_wins", "allow"):
+        raise ValueError(
+            f"on_source_dups must be error|last_wins|allow: {on_source_dups}"
+        )
+    backend = backend or (
+        TileDBBackend()
+        if HAVE_TILEDB and encryption_key is None
+        else NativeDecoderBackend(encryption_key=encryption_key)
+    )
+    info = backend.info(uri)
+    dim_names = [d.name for d in info.dims]
+    missing = [d for d in dim_names if d not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks dimension columns: {missing}")
+
+    from pyspark.sql import Window, functions as F  # noqa: PLC0415
+
+    if on_source_dups == "error":
+        dup = (
+            source.groupBy(*dim_names).count().filter(F.col("count") > 1)
+        )
+        if dup.limit(1).count():
+            raise ValueError(
+                "duplicate keys in source (set on_source_dups="
+                "'last_wins' or 'allow')"
+            )
+    elif on_source_dups == "last_wins":
+        w = Window.partitionBy(*dim_names).orderBy(
+            F.monotonically_increasing_id().desc()
+        )
+        source = (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    counts = {"matched": -1, "not_matched": -1, "written": -1}
+    flagged = None
+    need_split = (when_matched, when_not_matched) != ("update", "insert")
+    if need_split or return_counts:
+        # probe the target keys only inside the source's bounding box
+        bounds = source.agg(
+            *[F.min(d).alias(f"{d}_lo") for d in dim_names],
+            *[F.max(d).alias(f"{d}_hi") for d in dim_names],
+        ).collect()[0]
+        if bounds[f"{dim_names[0]}_lo"] is None:
+            to_write = source.limit(0)
+            matched = not_matched = 0
+        else:
+            box = {
+                d: (bounds[f"{d}_lo"], bounds[f"{d}_hi"])
+                for d in dim_names
+            }
+            tgt_keys = read_array(
+                spark, uri, backend=backend, columns=[],
+                dim_ranges=box, target_splits=target_splits,
+            ).select(*dim_names).withColumn("__m", F.lit(1))
+            flagged = source.join(tgt_keys, on=dim_names, how="left")
+            if return_counts:
+                # counts + the write are two actions over the same
+                # probe join — cache it so the target is probed once
+                flagged = flagged.persist()
+            keep = []
+            if when_matched == "update":
+                keep.append(F.col("__m").isNotNull())
+            if when_not_matched == "insert":
+                keep.append(F.col("__m").isNull())
+            to_write = (
+                flagged.filter(
+                    keep[0] if len(keep) == 1 else (keep[0] | keep[1])
+                ).drop("__m")
+                if keep
+                else flagged.limit(0).drop("__m")
+            )
+            if return_counts:
+                agg = flagged.agg(
+                    F.count(F.col("__m")).alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                matched, not_matched = agg["m"], agg["n"] - agg["m"]
+        if return_counts:
+            counts["matched"], counts["not_matched"] = matched, not_matched
+            counts["written"] = (
+                (matched if when_matched == "update" else 0)
+                + (not_matched if when_not_matched == "insert" else 0)
+            )
+        if need_split:
+            if counts["written"] != 0:
+                write_array(to_write, uri, backend=backend, ts=ts)
+            if flagged is not None and return_counts:
+                flagged.unpersist()
+            return counts
+        if flagged is not None and return_counts:
+            flagged.unpersist()
+    # pure upsert: one fragment write, zero target reads
+    write_array(source, uri, backend=backend, ts=ts)
+    return counts
+
+
 def copartitioned_join_arrays(
     spark: SparkSession,
     uri_a: str,

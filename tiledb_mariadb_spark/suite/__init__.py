@@ -270,10 +270,14 @@ def all_specs() -> dict[str, QuerySpec]:
         # q15_orderby_limit yielded to q344 — ORDER BY + LIMIT is
         # exactly what q344 exercises end-to-end, with pruning on top;
         # q10_agg_scalar yielded to q345 — scalar COUNT/SUM/MIN/MAX
-        # stay hash-verified in-window by q302/q307/q310 and q338)
+        # stay hash-verified in-window by q302/q307/q310 and q338;
+        # q09_filter_string yielded to q346 — string predicates stay
+        # covered in-window by q317's string-dim ranges and q220's
+        # string-function battery)
         "q01_pricing_summary",
         "q06_filter_compound",
-        "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
+        "q07_filter_null", "q08_filter_datetime",
+        "q346_merge_into",
         "q345_snapshot_diff",
         "q344_topk_pushdown",
     ]

@@ -1004,3 +1004,131 @@ SPECS.append(
         "overwrites + a .del purge) against a full-outer-join oracle",
     )
 )
+
+
+# --- q346: MERGE INTO — clause-split upsert (round 7, session 3) -------------
+#
+# `merge_into_array` (sources/tiledb_array.py): row identity is the
+# dimension tuple; when_matched update|skip x when_not_matched
+# insert|skip covers MERGE's core and the host-side INSERT..ON
+# DUPLICATE KEY UPDATE / REPLACE / INSERT IGNORE the reference lowers
+# onto handler::write_row (which itself only upserts).  The clause
+# split probes target keys ONLY inside the source's bounding box; the
+# pure upsert writes one fragment with zero target reads.  The spec
+# runs an INSERT-IGNORE batch then an UPDATE-only batch and pins BOTH
+# the final state and the matched/not-matched/written counts of each
+# merge into the hashed output; the oracle reconstructs all of it in
+# SQL.
+def q346_merge_into(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        merge_into_array,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q346_merge_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    backend = NativeDecoderBackend()
+    # seed: even keys
+    write_array(
+        src.filter(F.col("k") % 2 == 0).repartitionByRange(4, "k"),
+        uri, backend=backend, ts=1000,
+    )
+    # merge 1 — INSERT IGNORE shape: add k%3==0 rows at cents+555,
+    # existing keys untouched
+    c1 = merge_into_array(
+        spark, uri,
+        src.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", F.col("cents") + F.lit(555)),
+        when_matched="skip", when_not_matched="insert", ts=2000,
+        target_splits=8, on_source_dups="allow",  # orderkey is unique
+    )
+    # merge 2 — UPDATE-only shape: k%5==0 rows present in the array get
+    # cents+99, absent keys dropped
+    c2 = merge_into_array(
+        spark, uri,
+        src.filter(F.col("k") % 5 == 0)
+        .withColumn("cents", F.col("cents") + F.lit(99)),
+        when_matched="update", when_not_matched="skip", ts=3000,
+        target_splits=8, on_source_dups="allow",
+    )
+    state = read_array(spark, uri, target_splits=8).filter(
+        F.col("k") < 2000
+    )
+    return state.select(
+        "k", "cents",
+        F.lit(c1["matched"]).cast("long").alias("m1_matched"),
+        F.lit(c1["not_matched"]).cast("long").alias("m1_new"),
+        F.lit(c1["written"]).cast("long").alias("m1_written"),
+        F.lit(c2["matched"]).cast("long").alias("m2_matched"),
+        F.lit(c2["not_matched"]).cast("long").alias("m2_new"),
+        F.lit(c2["written"]).cast("long").alias("m2_written"),
+    ).orderBy("k")
+
+
+Q346_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+), counts AS (
+  SELECT
+    CAST(SUM(CASE WHEN k % 3 = 0 AND k % 2 = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS m1_matched,
+    CAST(SUM(CASE WHEN k % 3 = 0 AND k % 2 <> 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS m1_new,
+    CAST(SUM(CASE WHEN k % 5 = 0 AND (k % 2 = 0 OR k % 3 = 0)
+      THEN 1 ELSE 0 END) AS BIGINT) AS m2_matched,
+    CAST(SUM(CASE WHEN k % 5 = 0 AND k % 2 <> 0 AND k % 3 <> 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS m2_new
+  FROM src
+), final AS (
+  SELECT k,
+    CASE
+      WHEN k % 5 = 0 THEN cents + 99
+      WHEN k % 2 = 0 THEN cents
+      ELSE cents + 555
+    END AS cents
+  FROM src WHERE k % 2 = 0 OR k % 3 = 0
+)
+SELECT f.k, f.cents,
+       c.m1_matched, c.m1_new, c.m1_new AS m1_written,
+       c.m2_matched, c.m2_new, c.m2_matched AS m2_written
+FROM final f CROSS JOIN counts c
+WHERE f.k < 2000
+ORDER BY f.k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q346_merge_into",
+        q346_merge_into,
+        Q346_SQL,
+        "MERGE INTO (round 7): clause-split upsert — INSERT-IGNORE "
+        "batch then UPDATE-only batch; matched/new/written counts AND "
+        "the final merged state hash-pinned against a pure-SQL "
+        "reconstruction; target-key probe confined to the source box "
+        "(ON DUPLICATE KEY UPDATE / REPLACE / INSERT IGNORE parity)",
+    )
+)
