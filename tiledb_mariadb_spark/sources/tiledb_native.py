@@ -2746,6 +2746,24 @@ def read_native_array_range_np(
         plan_condition_skips(frag_list, schema, prune_conditions)
         if prune_conditions else set()
     )
+    # TILE-level condition pruning (round 7): inside a surviving
+    # fragment, decode only the tiles whose per-tile stats can reach
+    # the conditions — gated by the same newest-wins shadow rule as
+    # fragment skips (dropping a provably-non-matching cell must not
+    # resurrect an older fragment's passing cell at the same coord)
+    _cread = [f for f in frag_list if f not in cond_skips]
+    _cfooters: dict = {}
+
+    def _tile_runs(fr):
+        if not prune_conditions or schema.array_type != "SPARSE":
+            return None
+        others = [f for f in _cread if f != fr]
+        if others and not condition_skip_safe(
+            fr, schema, others, _footers=_cfooters
+        ):
+            return None
+        return condition_tile_runs(fr, schema, prune_conditions)
+
     for frag in frag_list:
         if frag in cond_skips:
             # stats/bloom-refuted AND shadow-safe (newest-wins hazard —
@@ -2753,6 +2771,10 @@ def read_native_array_range_np(
             continue
         if not fragment_overlaps(frag, schema, rngs):
             continue
+        cruns = _tile_runs(frag)
+        if cruns is not None and not cruns:
+            continue  # every tile stat-refuted (and shadow-safe)
+        cov = (cruns[0][0], cruns[-1][1]) if cruns else None
         zipped_file = os.path.join(frag, "__coords.tdb")
         base = 0
         if os.path.isfile(zipped_file):
@@ -2792,6 +2814,9 @@ def read_native_array_range_np(
                 span = sorted_dim0_cell_span(frag, schema, lo, hi)
                 if span is not None:
                     s_lo, s_hi, _n = span
+                    if cov is not None:
+                        # condition-kept tiles narrow the covering span
+                        s_lo, s_hi = max(s_lo, cov[0]), min(s_hi, cov[1])
                     if s_lo >= s_hi:
                         continue
                     k = np.frombuffer(
@@ -2809,6 +2834,17 @@ def read_native_array_range_np(
                         ),
                         _NP_DT[d0.dtype_id],
                     )
+            elif cov is not None:
+                # no dim range: the kept-tile covering span alone
+                # bounds the read (needle-in-one-tile shape)
+                k = np.frombuffer(
+                    read_byte_span(
+                        kfile, cov[0] * kelem, cov[1] * kelem,
+                        filters=d0.filters, elem=kelem,
+                    ),
+                    _NP_DT[d0.dtype_id],
+                )
+                base = cov[0]
             else:
                 k = np.frombuffer(
                     read_tile_file(kfile, filters=d0.filters, elem=kelem),
@@ -2844,7 +2880,7 @@ def read_native_array_range_np(
         # re-check the ranges on every cell of every dim (bisect and
         # footer pruning are advisory); asarray(..., bool) keeps object
         # (string-dim) comparisons composable with the bool mask
-        if any_rng:
+        if any_rng or cruns is not None:
             mask = np.ones(len(k), dtype=bool)
             try:
                 for col, (rlo, rhi) in zip(dcols, rngs):
@@ -2858,6 +2894,16 @@ def read_native_array_range_np(
                         )
             except TypeError:
                 return None  # uncomparable bound/cell types: row path
+            if cruns is not None:
+                # drop cells of condition-refuted tiles (same cells the
+                # row path drops — parity): runs are absolute cell
+                # indices, this window starts at `base`
+                cmask = np.zeros(len(k), dtype=bool)
+                for r_lo, r_hi in cruns:
+                    a, b = max(r_lo - base, 0), min(r_hi - base, len(k))
+                    if a < b:
+                        cmask[a:b] = True
+                mask &= cmask
             idx = np.flatnonzero(mask)
             if not len(idx):
                 continue
@@ -3241,6 +3287,22 @@ def read_native_array_range(
         plan_condition_skips(frag_list, schema, prune_conditions)
         if prune_conditions and schema.array_type == "SPARSE" else set()
     )
+    # TILE-level condition pruning — identical gate + runs as the
+    # columnar fast path (read_native_array_range_np), so both readers
+    # drop exactly the same provably-non-matching cells (parity fuzz)
+    _cread = [f for f in frag_list if f not in cond_skips]
+    _cfooters: dict = {}
+
+    def _tile_runs(fr):
+        if not prune_conditions or schema.array_type != "SPARSE":
+            return None
+        others = [f for f in _cread if f != fr]
+        if others and not condition_skip_safe(
+            fr, schema, others, _footers=_cfooters
+        ):
+            return None
+        return condition_tile_runs(fr, schema, prune_conditions)
+
     for frag in frag_list:
         wts = _frag_range(os.path.basename(frag))[1]
         if frag in cond_skips:
@@ -3290,6 +3352,23 @@ def read_native_array_range(
                 spans = None
             if spans is not None and not spans:
                 continue
+            cruns = _tile_runs(frag) if not zipped else None
+            if cruns is not None:
+                if not cruns:
+                    continue  # every tile stat-refuted (shadow-safe)
+                if spans is None:
+                    total = fragment_cell_count(frag, schema)
+                    if total:
+                        spans = [(0, total, total)]
+                if spans is not None:
+                    spans = [
+                        (max(a, r_lo), min(b, r_hi), nc)
+                        for a, b, nc in spans
+                        for r_lo, r_hi in cruns
+                        if max(a, r_lo) < min(b, r_hi)
+                    ]
+                    if not spans:
+                        continue
 
             def _consume(dim_cols, base, n):
                 ok = _range_match_indices(dim_cols, rngs, n)
@@ -5022,6 +5101,118 @@ def condition_skip_safe(
     return True
 
 
+def condition_tile_runs(
+    frag: str, schema: "NativeSchema", conditions: list
+):
+    """TILE-level condition pruning index for one sparse fragment:
+    cell-index RUNS ``[(lo, hi), ...]`` (half-open, merged-contiguous,
+    ascending) covering exactly the tiles whose v11+ per-tile min/max
+    stats CANNOT refute the AND-conditions — the intra-fragment twin of
+    ``fragment_refutes_conditions``, same ``_stats_refute`` core, same
+    3VL trust rules (enum attrs skipped — stats describe ordinals;
+    missing/NaN stats keep the tile; var-length fields carry no fixed
+    per-tile min/max and are never pruned).
+
+    Returns None when nothing is prunable (no conditions, dense, no
+    footer, every tile kept) — callers then read as before; ``[]``
+    when every tile is refuted.  Cells inside a dropped tile provably
+    fail the conditions, so dropping them early cannot change the
+    filtered result — but CAN change the newest-wins merge: callers
+    must gate on ``condition_skip_safe(frag, schema, other_read_frags)``
+    exactly as fragment-level skips do (a dropped cell may no longer
+    shadow an older fragment's passing cell).
+
+    At 100 TB this is the needle path INSIDE a fragment: a bloom- or
+    stats-confirmed fragment decodes only the tiles whose stat range
+    reaches the predicate, not its whole cell span."""
+    if not conditions or schema.array_type != "SPARSE":
+        return None
+    fm = os.path.join(frag, "__fragment_metadata.tdb")
+    footer = parse_fragment_footer(fm, schema)
+    if footer is None or footer.dense or footer.sparse_tile_num <= 1:
+        return None  # one tile: fragment-level stats already decide
+    n_tiles = footer.sparse_tile_num
+    cap = schema.capacity
+    last_n = footer.last_tile_cell_num
+    attr_by = {a.name: a for a in schema.attrs}
+    keep = [True] * n_tiles
+    pruned = False
+    tstats: dict = {}
+
+    def _ts(col):
+        if col not in tstats:
+            tstats[col] = fragment_tile_stats(frag, schema, col)
+            ts = tstats[col]
+            if ts is not None and len(ts) != n_tiles:
+                tstats[col] = None  # inconsistent sections: no proof
+        return tstats[col]
+
+    for cond in conditions:
+        col = cond[0]
+        attr = attr_by.get(col)
+        if attr is not None and getattr(attr, "enumeration", None):
+            continue  # stored stats describe ordinals, reads serve labels
+        if len(cond) == 2:
+            op = cond[1]
+            if op != "is_null" or attr is None or not attr.nullable:
+                continue  # is_not_null/unknown: fragment level decides
+            ts = _ts(col)
+            if ts is None:
+                continue
+            for t, (_mn, _mx, _sm, nc) in enumerate(ts):
+                if keep[t] and nc == 0:
+                    keep[t] = False
+                    pruned = True
+            continue
+        _c, op, val = cond
+        ts = _ts(col)
+        if ts is None:
+            continue
+        fdt = (
+            attr.dtype_id if attr is not None
+            else next(
+                (d.dtype_id for d in schema.dims if d.name == col), None
+            )
+        )
+        if op in ("!=", "<>") and fdt in (2, 3):
+            # float stats EXCLUDE NaN (writer min/max fallback), but
+            # pandas keeps NaN through `!=` — a constant-tile proof
+            # could drop a NaN cell the residual would keep
+            continue
+        nullable = bool(attr is not None and attr.nullable)
+        for t, (mn, mx, _sm, nc) in enumerate(ts):
+            if not keep[t] or mn is None or mx is None:
+                continue
+            if mn != mn or mx != mx:
+                continue  # NaN-poisoned float stats prove nothing
+            may_nulls = nullable and (nc is None or nc != 0)
+            try:
+                if op == "in":
+                    if val and all(
+                        _stats_refute("=", v, mn, mx, False) for v in val
+                    ):
+                        keep[t] = False
+                        pruned = True
+                elif _stats_refute(op, val, mn, mx, may_nulls):
+                    keep[t] = False
+                    pruned = True
+            except TypeError:
+                continue  # incomparable types: no proof
+    if not pruned:
+        return None
+    runs: list = []
+    for t, k in enumerate(keep):
+        if not k:
+            continue
+        lo = t * cap
+        hi = lo + (last_n if t == n_tiles - 1 else cap)
+        if runs and runs[-1][1] == lo:
+            runs[-1] = (runs[-1][0], hi)
+        else:
+            runs.append((lo, hi))
+    return runs
+
+
 def fragment_refutes_conditions(
     frag: str, schema: "NativeSchema", conditions: list
 ) -> bool:
@@ -5069,10 +5260,17 @@ def fragment_refutes_conditions(
             continue
         if "min" not in st:
             continue
+        _fld = next(
+            (a for a in (*schema.attrs, *schema.dims) if a.name == col),
+            None,
+        )
+        if op in ("!=", "<>") and getattr(_fld, "dtype_id", None) in (2, 3):
+            # float stats EXCLUDE NaN (writer fallback semantics), but
+            # pandas keeps NaN through `!=` — a constant-fragment proof
+            # could drop a NaN cell the residual filter would keep
+            continue
         may_have_nulls = st.get("null_count", 0) != 0 or getattr(
-            next((a for a in schema.attrs if a.name == col), None),
-            "nullable",
-            False,
+            _fld, "nullable", False
         )
         try:
             if _stats_refute(op, val, st["min"], st["max"], may_have_nulls):
