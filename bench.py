@@ -141,6 +141,8 @@ HEADLINE = [
     "q345_snapshot_diff",
     # MERGE INTO: clause-split upsert (INSERT IGNORE + UPDATE-only)
     "q346_merge_into",
+    # zero-shuffle native as-of join (split-edge predecessor bisect)
+    "q347_native_asof",
 ]
 
 

@@ -1252,6 +1252,176 @@ def diff_arrays(
     return split_df.mapInPandas(diff_split, schema=ddl)
 
 
+def copartitioned_asof_join(
+    spark: SparkSession,
+    uri_a: str,
+    uri_b: str,
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
+    backend: Optional[ArrayBackend] = None,
+    backend_b: Optional[ArrayBackend] = None,
+    columns_a: Optional[list[str]] = None,
+    columns_b: Optional[list[str]] = None,
+    at_a: Optional[int] = None,
+    at_b: Optional[int] = None,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+    target_splits: int = 32,
+) -> DataFrame:
+    """AS-OF join of two arrays sharing ONE integer dimension (the time
+    axis) — ZERO data shuffle, the kdb/TimescaleDB "latest quote before
+    each trade" shape at array scale.
+
+    Every A row is matched with the B row nearest it in time
+    (``direction``: 'backward' = greatest B key <= a, 'forward' =
+    smallest >= a, 'nearest'), LEFT-join semantics (unmatched A rows
+    keep NULL B columns).  One split plan covers A's domain; each task
+    reads BOTH arrays' cells for its subarray and runs a local sorted
+    ``merge_asof`` (the decoder returns cells in dim order — no sort,
+    no hash build).
+
+    The boundary problem — a task's correct match may live BEFORE its
+    split — is solved exactly and cheaply: ``dim0_neighbor`` bisects
+    each B fragment's coordinate chunk index (O(log) decodes, no tile
+    read) for the predecessor of the split's lower edge, and the task
+    extends its B read to include it.  Tiered fallback: visible delete
+    commits (the predecessor row may be deleted) or un-bisectable
+    layouts widen to ``tolerance`` when given, else to the whole B
+    domain — always correct, never silently wrong.  Reference anchor:
+    the engine-surplus twin of `operators/asof.py` (q38's DataFrame
+    as-of, which shuffles both sides); here co-location makes the join
+    map-only.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction: {direction}")
+    backend_a = backend or (
+        TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
+    )
+    backend_b = backend_b or backend_a
+    info_a = backend_a.info(uri_a, at=at_a)
+    info_b = backend_b.info(uri_b, at=at_b)
+    if len(info_a.dims) != 1 or len(info_b.dims) != 1:
+        raise ValueError("as-of join needs single-dimension arrays")
+    da, db = info_a.dims[0], info_b.dims[0]
+    if (da.name, da.dtype) != (db.name, db.dtype):
+        raise ValueError(
+            f"arrays are not co-partitionable: {da.name} {da.dtype} != "
+            f"{db.name} {db.dtype}"
+        )
+    dim = da.name
+    sel_a = [
+        a.name for a in info_a.attrs
+        if columns_a is None or a.name in columns_a
+    ]
+    sel_b = [
+        a.name for a in info_b.attrs
+        if columns_b is None or a.name in columns_b
+    ]
+    collide = set(sel_a) & set(sel_b)
+    out_a = [n + suffixes[0] if n in collide else n for n in sel_a]
+    out_b = [n + suffixes[1] if n in collide else n for n in sel_b]
+
+    weights_fn = getattr(backend_a, "split_weights", None)
+    weights = weights_fn(uri_a, at=at_a) if weights_fn else None
+    splits = plan_splits(info_a, None, target_splits, weights=weights)
+    type_a = {x.name: x.dtype for x in info_a.dims + info_a.attrs}
+    type_b = {x.name: x.dtype for x in info_b.attrs}
+    ddl = ", ".join(
+        [f"{dim} {type_a[dim]}"]
+        + [f"{o} {type_a[n]}" for n, o in zip(sel_a, out_a)]
+        + [f"{o} {type_b[n]}" for n, o in zip(sel_b, out_b)]
+    )
+    if not splits:
+        return spark.createDataFrame([], schema=ddl)
+
+    # per-split B extensions, driver-side and metadata-only: the
+    # predecessor (and/or successor) of each split edge in B
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        delete_commits_in_window,
+        dim0_neighbor,
+    )
+
+    try:
+        dels = delete_commits_in_window(uri_b, at=at_b)
+    except OSError:
+        dels = True
+    blo, bhi = info_b.dims[0].domain
+    b_ranges = []
+    for rng in splits:
+        (s_lo, s_hi) = rng[0]
+        e_lo, e_hi = s_lo, s_hi
+        if direction in ("backward", "nearest"):
+            ok, pred = (False, None) if dels else dim0_neighbor(
+                uri_b, s_lo, side="pred", at=at_b
+            )
+            if ok:
+                e_lo = pred if pred is not None else s_lo
+            elif tolerance is not None:
+                e_lo = s_lo - tolerance
+            else:
+                e_lo = blo  # unprovable: whole-domain low edge
+        if direction in ("forward", "nearest"):
+            ok, succ = (False, None) if dels else dim0_neighbor(
+                uri_b, s_hi, side="succ", at=at_b
+            )
+            if ok:
+                e_hi = succ if succ is not None else s_hi
+            elif tolerance is not None:
+                e_hi = s_hi + tolerance
+            else:
+                e_hi = bhi
+        b_ranges.append([(e_lo, e_hi)])
+
+    _NULLABLE = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "integer": "Int32", "bigint": "Int64", "long": "Int64",
+        "float": "Float32", "double": "Float64", "boolean": "boolean",
+    }
+    b_nullable = {
+        o: _NULLABLE[type_b[n]]
+        for n, o in zip(sel_b, out_b) if type_b[n] in _NULLABLE
+    }
+    out_cols = [dim] + out_a + out_b
+    split_rows = [(i,) for i in range(len(splits))]
+    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
+        len(splits), "split_id"
+    )
+
+    def asof_split(batches) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for sid in pdf["split_id"]:
+                i = int(sid)
+                pa_ = backend_a.read_range(
+                    uri_a, splits[i], [dim, *sel_a], at=at_a
+                )
+                if not len(pa_):
+                    continue
+                pb_ = backend_b.read_range(
+                    uri_b, b_ranges[i], [dim, *sel_b], at=at_b
+                )
+                pa_ = pa_.rename(columns=dict(zip(sel_a, out_a)))
+                pb_ = pb_.rename(columns=dict(zip(sel_b, out_b)))
+                if not len(pb_):
+                    # empty reads come back object-typed; merge_asof
+                    # requires matching key dtypes
+                    pb_[dim] = pb_[dim].astype(pa_[dim].dtype)
+                for n, o in zip(sel_b, out_b):
+                    t = b_nullable.get(o)
+                    if t is not None:
+                        pb_[o] = pb_[o].astype(t)
+                m = pd.merge_asof(
+                    pa_, pb_, on=dim, direction=direction,
+                    tolerance=tolerance,
+                )
+                for o in out_b:  # object cols: NaN -> None for Arrow
+                    if m[o].dtype == object:
+                        m[o] = m[o].where(m[o].notna(), None)
+                yield m[out_cols]
+
+    return split_df.mapInPandas(asof_split, schema=ddl)
+
+
 def merge_into_array(
     spark: SparkSession,
     uri: str,

@@ -3118,6 +3118,55 @@ def sorted_dim0_cell_span(
         return None  # unsorted/odd layout: full decode handles it
 
 
+def dim0_neighbor(
+    array_dir: str,
+    key,
+    side: str = "pred",
+    at: int | None = None,
+    since: int | None = None,
+):
+    """The dim0 coordinate adjacent to ``key`` across all visible sparse
+    fragments — ``side='pred'``: greatest coordinate STRICTLY below
+    ``key``; ``side='succ'``: smallest STRICTLY above.  O(log) chunk
+    decodes per fragment (the same `_SortedCellView` bisect the range
+    reader uses); returns ``(True, value_or_None)`` when provable
+    (None = no such cell) and ``(False, None)`` when any fragment's
+    layout defeats the bisect (var/string dims, non-row-major) — the
+    caller must then widen conservatively.  Boundary-extension primitive
+    for the zero-shuffle as-of join: a split's task must see the last
+    reference row BEFORE its own range, and this finds it without
+    decoding a tile."""
+    import bisect  # noqa: PLC0415
+
+    schema = parse_array_schema(_schema_path(array_dir))
+    if schema.array_type != "SPARSE":
+        return (False, None)
+    d0 = schema.dims[0]
+    if schema.cell_order != 0 or d0.is_var or _DT[d0.dtype_id][1] == "c":
+        return (False, None)
+    best = None
+    for frag in _fragment_dirs(array_dir, at=at, since=since):
+        if os.path.isfile(os.path.join(frag, "__coords.tdb")):
+            return (False, None)  # legacy zipped layout: no bisect
+        try:
+            path = _field_file(frag, d0.name, 0, "d")
+            view = _SortedCellView(path, d0.filters, d0.dtype_id)
+            n = len(view)
+            if side == "pred":
+                i = bisect.bisect_left(view, key)
+                if i > 0:
+                    v = view[i - 1]
+                    best = v if best is None or v > best else best
+            else:
+                i = bisect.bisect_right(view, key)
+                if i < n:
+                    v = view[i]
+                    best = v if best is None or v < best else best
+        except (ValueError, FileNotFoundError, struct.error):
+            return (False, None)
+    return (True, best)
+
+
 def _dense_is_row_major(schema: "NativeSchema") -> bool:
     """True when every dim's tile extent covers its whole axis (the
     fixture/writer layout): the global cell order is then plain

@@ -196,8 +196,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # backfill rows (the round-1 window, driver-green in r1, six rounds
     # ago; the four scalar-fn re-tests q17-q20 yielded their slots — the
     # same surface is triple-covered in this window by q220/q238/q239).
-    # Cumulative driver coverage after this window: 335/335 distinct
-    # specs (q331_filter_matrix, q332_native_discovery,
+    # Cumulative driver coverage after this window: 340/340 distinct
+    # specs (session 3 added q344_topk_pushdown, q345_snapshot_diff,
+    # q346_merge_into and q347_native_asof — all in this front-50 —
+    # plus q331_filter_matrix, q332_native_discovery,
     # q333_bloom_prune, q334_condition_planner, q335_fragment_meta,
     # q336_semantic_decontaminate, q337_maintenance_loop, then the
     # continuation additions q338_windowed_agg,
@@ -273,10 +275,14 @@ def all_specs() -> dict[str, QuerySpec]:
         # stay hash-verified in-window by q302/q307/q310 and q338;
         # q09_filter_string yielded to q346 — string predicates stay
         # covered in-window by q317's string-dim ranges and q220's
-        # string-function battery)
+        # string-function battery; q08_filter_datetime yielded to
+        # q347 — datetime scalar coverage stays via q239_time_micros
+        # in this window, and every time-travel spec exercises the
+        # timestamp predicate path)
         "q01_pricing_summary",
         "q06_filter_compound",
-        "q07_filter_null", "q08_filter_datetime",
+        "q07_filter_null",
+        "q347_native_asof",
         "q346_merge_into",
         "q345_snapshot_diff",
         "q344_topk_pushdown",

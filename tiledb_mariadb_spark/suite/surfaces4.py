@@ -1132,3 +1132,98 @@ SPECS.append(
         "(ON DUPLICATE KEY UPDATE / REPLACE / INSERT IGNORE parity)",
     )
 )
+
+
+# --- q347: zero-shuffle native AS-OF join (round 7, session 3) ---------------
+#
+# `copartitioned_asof_join` (sources/tiledb_array.py): the kdb/Timescale
+# "latest quote before each trade" shape over two arrays sharing one
+# integer time dimension — one split plan, each task reads both arrays'
+# subarray and runs a LOCAL sorted merge_asof (decoder order, no sort,
+# no shuffle).  The boundary problem (a task's match can live before
+# its split) is solved metadata-only: `dim0_neighbor` bisects each B
+# fragment's coordinate chunk index for the split edge's predecessor —
+# O(log) chunk decodes, no tile read.  Oracle: DuckDB's native ASOF
+# LEFT JOIN (same construct q38's oracle uses).  Engine-surplus twin of
+# operators/asof.py (which shuffles both sides through Spark).
+def q347_native_asof(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        copartitioned_asof_join,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    base = tempfile.mkdtemp(prefix="q347_asof_")
+    ua, ub = base + "/trades", base + "/quotes"
+    create_native_array(
+        ua,
+        dims=[NativeDim("ts", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("trade_cents", 1, 1, False, None)],
+    )
+    create_native_array(
+        ub,
+        dims=[NativeDim("ts", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("quote_cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ts"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    backend = NativeDecoderBackend()
+    write_array(
+        src.filter(F.col("ts") % 2 == 0)
+        .withColumnRenamed("cents", "trade_cents")
+        .repartitionByRange(4, "ts"),
+        ua, backend=backend,
+    )
+    write_array(
+        src.filter(F.col("ts") % 7 == 0)
+        .withColumn("quote_cents", F.col("cents") + F.lit(1000))
+        .drop("cents")
+        .repartitionByRange(3, "ts"),
+        ub, backend=backend,
+    )
+    return copartitioned_asof_join(
+        spark, ua, ub, target_splits=8
+    ).orderBy("ts")
+
+
+Q347_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ts,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+), trades AS (
+  SELECT ts, cents AS trade_cents FROM src WHERE ts % 2 = 0
+), quotes AS (
+  SELECT ts, cents + 1000 AS quote_cents FROM src WHERE ts % 7 = 0
+)
+SELECT t.ts, t.trade_cents, q.quote_cents
+FROM trades t ASOF LEFT JOIN quotes q ON t.ts >= q.ts
+ORDER BY t.ts
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q347_native_asof",
+        q347_native_asof,
+        Q347_SQL,
+        "zero-shuffle native as-of join (round 7): per-split local "
+        "merge_asof over both arrays' subarrays, split-edge matches "
+        "recovered by a metadata-only predecessor bisect "
+        "(dim0_neighbor) — verified against DuckDB's native ASOF LEFT "
+        "JOIN; the latest-quote-per-trade shape with no shuffle",
+    )
+)
