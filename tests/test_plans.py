@@ -161,6 +161,14 @@ def test_no_python_udf_in_any_plan(spark):
         # with spatial option pushdown: same declared boundary
         "q312_secure_corpus",  # encrypted connector write+read feeding
         # the dedup pipeline: same declared native-io boundary
+        "q344_topk_pushdown",  # connector writes + the bound-pruned
+        # scans: same declared native-io boundary
+        "q345_snapshot_diff",  # two-snapshot self-join per split: the
+        # diff IS the declared native-io mapInPandas boundary
+        "q346_merge_into",  # clause-split probe + fragment writes:
+        # same declared native-io boundary
+        "q347_native_asof",  # per-split local merge_asof over both
+        # arrays' subarrays: same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

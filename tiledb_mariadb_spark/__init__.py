@@ -31,5 +31,15 @@ from tiledb_mariadb_spark.session import (  # noqa: F401
     tune_for_streaming,
 )
 from tiledb_mariadb_spark.sources.registry import TABLES, load_table, register_views  # noqa: F401
+from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: F401
+    copartitioned_asof_join,
+    copartitioned_join_arrays,
+    copartitioned_join_many,
+    diff_arrays,
+    merge_into_array,
+    read_array,
+    topk_array,
+    write_array,
+)
 
 __version__ = "0.1.0"
