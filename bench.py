@@ -143,6 +143,8 @@ HEADLINE = [
     "q346_merge_into",
     # zero-shuffle native as-of join (split-edge predecessor bisect)
     "q347_native_asof",
+    # CDC capstone: upsert -> diff -> rollup fold (base never rescanned)
+    "q348_cdc_capstone",
 ]
 
 

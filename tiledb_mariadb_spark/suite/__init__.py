@@ -279,8 +279,11 @@ def all_specs() -> dict[str, QuerySpec]:
         # q347 — datetime scalar coverage stays via q239_time_micros
         # in this window, and every time-travel spec exercises the
         # timestamp predicate path)
+        # q06_filter_compound yielded to q348 — compound AND/OR
+        # predicate pushdown stays covered in-window by
+        # q331_filter_matrix and q334_condition_planner
         "q01_pricing_summary",
-        "q06_filter_compound",
+        "q348_cdc_capstone",
         "q07_filter_null",
         "q347_native_asof",
         "q346_merge_into",

@@ -1227,3 +1227,157 @@ SPECS.append(
         "JOIN; the latest-quote-per-trade shape with no shuffle",
     )
 )
+
+
+# --- q348: CDC capstone — diff-driven incremental rollup (r7 session 3) ------
+#
+# The session-3 tier composed the way a 100 TB deployment uses it:
+# (1) `merge_into_array` lands an upsert batch (pure upsert — ONE
+# fragment write, zero target reads); (2) `diff_arrays` extracts the
+# exact delta between the two snapshots (zero-shuffle self-join,
+# window-box-confined); (3) the delta FOLDS into a materialized bucket
+# rollup (+new for added, +new-old for changed) — the base snapshot is
+# never rescanned — and the spec asserts the folded rollup equals the
+# from-scratch GROUP BY over the new snapshot before emitting it.  The
+# oracle reconstructs everything in SQL.  Companion to q341 (window-
+# read-driven refresh); this is the diff-driven variant.
+def q348_cdc_capstone(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        diff_arrays,
+        merge_into_array,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q348_capstone_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    backend = NativeDecoderBackend()
+    write_array(
+        src.filter(F.col("k") % 2 == 0).repartitionByRange(4, "k"),
+        uri, backend=backend, ts=1000,
+    )
+    # (1) upsert batch: zero target reads
+    merge_into_array(
+        spark, uri,
+        src.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", F.col("cents") + F.lit(555)),
+        ts=2000, return_counts=False, on_source_dups="allow",
+    )
+    bucket = (F.col("k") / 1000).cast("long").alias("bucket")
+    # base rollup at t=1000 (the materialized aggregate being maintained)
+    base = (
+        read_array(spark, uri, at=1000, target_splits=8)
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    # (2) the delta, (3) folded per bucket
+    d = diff_arrays(spark, uri, at_old=1000, at_new=2000, target_splits=8)
+    delta = d.groupBy(bucket).agg(
+        F.sum(F.when(F.col("change") == "added", 1).otherwise(0))
+        .alias("d_n"),
+        F.sum(
+            F.coalesce(F.col("cents_new"), F.lit(0))
+            - F.coalesce(F.col("cents_old"), F.lit(0))
+        ).alias("d_sum"),
+        F.sum(F.when(F.col("change") == "added", 1).otherwise(0))
+        .alias("n_added"),
+        F.sum(F.when(F.col("change") == "changed", 1).otherwise(0))
+        .alias("n_changed"),
+    )
+    folded = (
+        base.join(delta, "bucket", "full")
+        .select(
+            "bucket",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .alias("n_rows"),
+            (
+                F.coalesce("cents_sum", F.lit(0))
+                + F.coalesce("d_sum", F.lit(0))
+            ).alias("cents_sum"),
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
+        )
+    )
+    # the invariant: folded == from-scratch over the new snapshot
+    scratch = (
+        read_array(spark, uri, target_splits=8)
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    chk = (
+        folded.select("bucket", "n_rows", "cents_sum")
+        .exceptAll(scratch)
+        .count()
+    )
+    if chk:
+        raise AssertionError(f"folded rollup diverged on {chk} buckets")
+    return folded.orderBy("bucket")
+
+
+Q348_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+), final AS (
+  SELECT k,
+    CASE WHEN k % 3 = 0 THEN cents + 555 ELSE cents END AS cents
+  FROM src WHERE k % 2 = 0 OR k % 3 = 0
+), roll AS (
+  SELECT k // 1000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS cents_sum
+  FROM final GROUP BY 1
+), cls AS (
+  SELECT k // 1000 AS bucket,
+    CAST(SUM(CASE WHEN k % 3 = 0 AND k % 2 <> 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_added,
+    CAST(SUM(CASE WHEN k % 3 = 0 AND k % 2 = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_changed
+  FROM src GROUP BY 1
+)
+SELECT r.bucket, r.n_rows, r.cents_sum,
+       COALESCE(c.n_added, 0) AS n_added,
+       COALESCE(c.n_changed, 0) AS n_changed
+FROM roll r LEFT JOIN cls c ON r.bucket = c.bucket
+ORDER BY r.bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q348_cdc_capstone",
+        q348_cdc_capstone,
+        Q348_SQL,
+        "CDC capstone (round 7): merge upsert -> snapshot diff -> "
+        "delta folded into a bucket rollup without rescanning the "
+        "base, asserted equal to the from-scratch GROUP BY before "
+        "emitting; diff-class counts hash-pinned",
+    )
+)
