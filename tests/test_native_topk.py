@@ -286,3 +286,92 @@ def test_topk_dups_schema(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_topk_with_conditions(spark, tmp_path):
+    """User conditions + bound: only fragments whose EVERY row provably
+    passes the conditions count toward the guarantee, so the pushed
+    bound stays valid under the residual filter."""
+    uri = str(tmp_path / "cond")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("cat", 1, 1, False, None),
+        ],
+    )
+    # fragment 0: cat=1 uniformly (provably satisfies cat=1)
+    write_native_fragment(
+        uri,
+        {"k": list(range(100)), "v": list(range(100)), "cat": [1] * 100},
+        ts=1, version=19,
+    )
+    # fragment 1: cat mixed (cannot contribute to a cat=1 guarantee)
+    write_native_fragment(
+        uri,
+        {
+            "k": list(range(100, 200)),
+            "v": list(range(100, 200)),
+            "cat": [i % 2 for i in range(100)],
+        },
+        ts=2, version=19,
+    )
+    # unconditioned: newest fragment guarantees, bound = 100
+    assert topk_threshold(uri, "v", 10) == 100
+    # cat=1: only fragment 0 counts -> bound drops to 0
+    assert topk_threshold(uri, "v", 10, conditions=[("cat", "=", 1)]) == 0
+    # end-to-end: conditioned top-k equals brute force
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["k"], r["v"])
+        for r in topk_array(
+            spark, uri, "v", 10, conditions=[("cat", "=", 1)]
+        ).collect()
+    ]
+    brute = (
+        read_array(spark, uri)
+        .filter(F.col("cat") == 1)
+        .orderBy(F.col("v").desc(), F.col("k"))
+        .limit(10)
+        .collect()
+    )
+    assert got == [(r["k"], r["v"]) for r in brute]
+    # range condition the mixed fragment DOES satisfy wholly
+    thr = topk_threshold(uri, "v", 10, conditions=[("v", ">=", 0)])
+    assert thr == 100  # both fragments satisfy v>=0: full guarantee
+
+
+def test_topk_conditions_nullable_blocks(spark, tmp_path):
+    """A nullable condition column with unknown NULL count can hide a
+    failing row — such fragments must not contribute."""
+    uri = str(tmp_path / "nullable_cond")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("flag", 1, 1, True, None),
+        ],
+    )
+    write_native_fragment(
+        uri,
+        {
+            "k": list(range(50)),
+            "v": list(range(50)),
+            "flag": [1] * 49 + [None],
+        },
+        ts=1, version=19,
+    )
+    # one NULL flag row -> fragment can't guarantee flag=1 for all rows
+    assert topk_threshold(
+        uri, "v", 5, conditions=[("flag", "=", 1)]
+    ) is None
+    got = [
+        (r["k"], r["v"])
+        for r in topk_array(
+            spark, uri, "v", 5, conditions=[("flag", "=", 1)]
+        ).collect()
+    ]
+    assert got == [(48 - i, 48 - i) for i in range(5)]

@@ -471,10 +471,12 @@ class NativeDecoderBackend(ArrayBackend):
             return None
 
     def topk_threshold(self, uri, col, k, ascending=False, at=None,
-                       since=None):
+                       since=None, conditions=None):
         """Metadata-only ORDER-BY-LIMIT bound from fragment stats —
         None = not provable; the caller scans unpruned (always
-        correct)."""
+        correct).  With ``conditions``, only fragments whose EVERY row
+        provably passes them count toward the guarantee (stats-satisfy
+        proof), so the bound stays valid under the residual filter."""
         from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
             topk_threshold,
         )
@@ -482,7 +484,8 @@ class NativeDecoderBackend(ArrayBackend):
         try:
             self._reg(uri)
             return topk_threshold(
-                uri, col, k, ascending=ascending, at=at, since=since
+                uri, col, k, ascending=ascending, at=at, since=since,
+                conditions=list(conditions) if conditions else None,
             )
         except (OSError, ValueError):
             return None
@@ -1038,6 +1041,7 @@ def topk_array(
     dim_ranges: Optional[dict[str, tuple[Any, Any]]] = None,
     at: Optional[int] = None,
     since: Optional[int] = None,
+    conditions: Optional[Sequence[tuple]] = None,
     encryption_key: Optional[Any] = None,
     target_splits: int = 32,
 ) -> DataFrame:
@@ -1072,13 +1076,15 @@ def topk_array(
     )
     thr_fn = getattr(backend, "topk_threshold", None)
     thr = (
-        thr_fn(uri, col, k, ascending=ascending, at=at, since=since)
+        thr_fn(uri, col, k, ascending=ascending, at=at, since=since,
+               conditions=conditions)
         if thr_fn
         else None
     )
-    conditions = (
-        [(col, "<=" if ascending else ">=", thr)] if thr is not None else None
-    )
+    conds = list(conditions or [])
+    if thr is not None:
+        conds.append((col, "<=" if ascending else ">=", thr))
+    conditions = conds or None
     cols = None
     if columns is not None and col not in columns:
         cols = [*columns, col]

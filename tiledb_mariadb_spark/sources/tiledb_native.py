@@ -4301,6 +4301,69 @@ def _ned_provably_disjoint(fa, fb) -> bool:
 _TOPK_UNORDERABLE_DT = {2, 3}
 
 
+def _stats_satisfy(op, val, lo, hi) -> bool:
+    """Dual of ``_stats_refute``: True iff EVERY value v with
+    lo <= v <= hi PROVABLY satisfies ``v <op> val``.  Callers must
+    handle NULL/NaN rows separately (a NULL fails every comparison;
+    stats describe only non-null cells and float stats exclude NaN)."""
+    return (
+        (op == "=" and lo == hi == val)
+        or (op == ">" and lo > val)
+        or (op == ">=" and lo >= val)
+        or (op == "<" and hi < val)
+        or (op == "<=" and hi <= val)
+        or (op in ("!=", "<>") and (hi < val or lo > val))
+        or (op == "in" and lo == hi and lo in (val or []))
+    )
+
+
+def _frag_satisfies_all(
+    schema: "NativeSchema", st: dict, cells: int, conditions: list
+) -> bool:
+    """True iff EVERY row of the fragment provably passes every
+    AND-condition, from fragment stats alone: the whole non-null range
+    satisfies the op (`_stats_satisfy`), the column provably holds no
+    NULL (a NULL fails every comparison), the dtype is not float
+    (stats exclude NaN, which fails every op), and the attr is not
+    enum-linked (stats describe ordinals).  Conservative: any doubt
+    returns False — the caller then excludes the fragment from a
+    guarantee count, never from the read itself."""
+    fields = {f.name: f for f in (*schema.dims, *schema.attrs)}
+    for cond in conditions:
+        c = cond[0]
+        fld = fields.get(c)
+        if fld is None or fld.dtype_id in (2, 3):
+            return False
+        if getattr(fld, "enumeration", None):
+            return False
+        cs = st.get(c) or {}
+        nullable = getattr(fld, "nullable", False)
+        nc = cs.get("null_count", 0 if not nullable else None)
+        if len(cond) == 2:
+            op = cond[1]
+            if op == "is_not_null":
+                if nc != 0:
+                    return False
+            elif op == "is_null":
+                if nc != cells:
+                    return False
+            else:
+                return False
+            continue
+        _c, op, val = cond
+        if nc != 0:
+            return False  # a NULL row fails the comparison
+        mn, mx = cs.get("min"), cs.get("max")
+        if mn is None or mx is None:
+            return False
+        try:
+            if not _stats_satisfy(op, val, mn, mx):
+                return False
+        except TypeError:
+            return False
+    return True
+
+
 def topk_threshold(
     array_dir: str,
     col: str,
@@ -4308,6 +4371,7 @@ def topk_threshold(
     ascending: bool = False,
     at: int | None = None,
     since: int | None = None,
+    conditions: list | None = None,
 ):
     """Metadata-only bound for ORDER BY ``col`` LIMIT ``k``: a value
     ``t`` such that the visible merged array PROVABLY holds >= k
@@ -4371,6 +4435,15 @@ def topk_threshold(
             continue  # absent stats (or NaN-poisoned: x != x)
         cells = fragment_cell_count(frag, schema)
         if cells is None:
+            continue
+        # user CONDITIONS: the fragment contributes to the guarantee
+        # only when every counted row PROVABLY passes them all — stats
+        # must show the whole non-null range satisfies the op AND no
+        # NULL can sneak a failing row in (NULLs fail every op); float
+        # condition columns refuse (stats exclude NaN, NaN fails ops)
+        if conditions and not _frag_satisfies_all(
+            schema, st, cells, conditions
+        ):
             continue
         n = cells - st[col].get("null_count", 0)
         if n > 0:
