@@ -174,5 +174,68 @@ def test_asof_mismatched_dims_raise(spark, tmp_path):
         copartitioned_asof_join(spark, ua, ub)
 
 
+def test_asof_by_key(spark, tmp_path):
+    """Keyed as-of (the real trades/quotes shape): matches are
+    per-symbol; tolerance bounds the lookback so split extensions stay
+    exact without a per-key bisect."""
+    ua, ub = str(tmp_path / "ka"), str(tmp_path / "kb")
+    create_native_array(
+        ua,
+        dims=[NativeDim("ts", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("sym", 1, 1, False, None),
+            NativeAttr("va", 1, 1, False, None),
+        ],
+    )
+    create_native_array(
+        ub,
+        dims=[NativeDim("ts", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("sym", 1, 1, False, None),
+            NativeAttr("vb", 1, 1, False, None),
+        ],
+    )
+    rng = random.Random(9)
+    a = sorted(
+        (t, t % 3, t) for t in rng.sample(range(10, 5000), 400)
+    )
+    b = sorted(
+        (t, t % 3, t * 10) for t in rng.sample(range(0, 5000), 60)
+    )
+    write_native_fragment(
+        ua,
+        {"ts": [x[0] for x in a], "sym": [x[1] for x in a],
+         "va": [x[2] for x in a]},
+        ts=1, version=19,
+    )
+    write_native_fragment(
+        ub,
+        {"ts": [x[0] for x in b], "sym": [x[1] for x in b],
+         "vb": [x[2] for x in b]},
+        ts=1, version=19,
+    )
+    TOL = 400
+    got = {
+        (r["ts"], r["sym"]): (None if r["vb"] is None else int(r["vb"]))
+        for r in copartitioned_asof_join(
+            spark, ua, ub, by_cols=["sym"], tolerance=TOL,
+            target_splits=16,
+        ).collect()
+    }
+    pa = pd.DataFrame(a, columns=["ts", "sym", "va"])
+    pb = pd.DataFrame(b, columns=["ts", "sym", "vb"])
+    want_df = pd.merge_asof(
+        pa, pb, on="ts", by="sym", tolerance=TOL, direction="backward"
+    )
+    want = {
+        (int(r.ts), int(r.sym)): (None if pd.isna(r.vb) else int(r.vb))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+    # missing tolerance must refuse loudly
+    with pytest.raises(ValueError, match="tolerance"):
+        copartitioned_asof_join(spark, ua, ub, by_cols=["sym"])
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -1264,6 +1264,7 @@ def copartitioned_asof_join(
     uri_b: str,
     direction: str = "backward",
     tolerance: Optional[int] = None,
+    by_cols: Optional[list[str]] = None,
     backend: Optional[ArrayBackend] = None,
     backend_b: Optional[ArrayBackend] = None,
     columns_a: Optional[list[str]] = None,
@@ -1299,6 +1300,12 @@ def copartitioned_asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction: {direction}")
+    if by_cols and tolerance is None:
+        # per-key boundary extension is unbounded (a symbol's previous
+        # quote can be arbitrarily old) — the coordinate bisect only
+        # bounds the GLOBAL predecessor.  A tolerance makes the
+        # extension exact: matches beyond it are NULL by definition.
+        raise ValueError("by_cols requires tolerance (bounded lookback)")
     backend_a = backend or (
         TileDBBackend() if HAVE_TILEDB else NativeDecoderBackend()
     )
@@ -1314,15 +1321,22 @@ def copartitioned_asof_join(
             f"{db.name} {db.dtype}"
         )
     dim = da.name
+    by_cols = list(by_cols or [])
+    for c in by_cols:
+        if c not in [a.name for a in info_a.attrs] or c not in [
+            a.name for a in info_b.attrs
+        ]:
+            raise ValueError(f"by column {c!r} must exist in both arrays")
     sel_a = [
         a.name for a in info_a.attrs
-        if columns_a is None or a.name in columns_a
+        if (columns_a is None or a.name in columns_a) or a.name in by_cols
     ]
     sel_b = [
         a.name for a in info_b.attrs
-        if columns_b is None or a.name in columns_b
+        if (columns_b is None or a.name in columns_b)
+        and a.name not in by_cols
     ]
-    collide = set(sel_a) & set(sel_b)
+    collide = (set(sel_a) & set(sel_b)) - set(by_cols)
     out_a = [n + suffixes[0] if n in collide else n for n in sel_a]
     out_b = [n + suffixes[1] if n in collide else n for n in sel_b]
 
@@ -1350,15 +1364,19 @@ def copartitioned_asof_join(
         dels = delete_commits_in_window(uri_b, at=at_b)
     except OSError:
         dels = True
+    # keyed joins skip the bisect (the GLOBAL predecessor says nothing
+    # about a specific key's) — the tolerance bounds the lookback
+    # exactly instead
+    bisect_ok = not dels and not by_cols
     blo, bhi = info_b.dims[0].domain
     b_ranges = []
     for rng in splits:
         (s_lo, s_hi) = rng[0]
         e_lo, e_hi = s_lo, s_hi
         if direction in ("backward", "nearest"):
-            ok, pred = (False, None) if dels else dim0_neighbor(
+            ok, pred = dim0_neighbor(
                 uri_b, s_lo, side="pred", at=at_b
-            )
+            ) if bisect_ok else (False, None)
             if ok:
                 e_lo = pred if pred is not None else s_lo
             elif tolerance is not None:
@@ -1366,9 +1384,9 @@ def copartitioned_asof_join(
             else:
                 e_lo = blo  # unprovable: whole-domain low edge
         if direction in ("forward", "nearest"):
-            ok, succ = (False, None) if dels else dim0_neighbor(
+            ok, succ = dim0_neighbor(
                 uri_b, s_hi, side="succ", at=at_b
-            )
+            ) if bisect_ok else (False, None)
             if ok:
                 e_hi = succ if succ is not None else s_hi
             elif tolerance is not None:
@@ -1404,7 +1422,7 @@ def copartitioned_asof_join(
                 if not len(pa_):
                     continue
                 pb_ = backend_b.read_range(
-                    uri_b, b_ranges[i], [dim, *sel_b], at=at_b
+                    uri_b, b_ranges[i], [dim, *sel_b, *by_cols], at=at_b
                 )
                 pa_ = pa_.rename(columns=dict(zip(sel_a, out_a)))
                 pb_ = pb_.rename(columns=dict(zip(sel_b, out_b)))
@@ -1412,13 +1430,15 @@ def copartitioned_asof_join(
                     # empty reads come back object-typed; merge_asof
                     # requires matching key dtypes
                     pb_[dim] = pb_[dim].astype(pa_[dim].dtype)
+                    for c in by_cols:
+                        pb_[c] = pb_[c].astype(pa_[c].dtype)
                 for n, o in zip(sel_b, out_b):
                     t = b_nullable.get(o)
                     if t is not None:
                         pb_[o] = pb_[o].astype(t)
                 m = pd.merge_asof(
-                    pa_, pb_, on=dim, direction=direction,
-                    tolerance=tolerance,
+                    pa_, pb_, on=dim, by=by_cols or None,
+                    direction=direction, tolerance=tolerance,
                 )
                 for o in out_b:  # object cols: NaN -> None for Arrow
                     if m[o].dtype == object:
