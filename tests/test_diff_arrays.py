@@ -191,3 +191,28 @@ def test_diff_consolidation_in_window_is_quiet(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_diff_dense_overlay(spark, tmp_path):
+    """Dense arrays diff too: an overlay subarray write shows as
+    changed cells (fills materialize on both snapshot reads, so
+    untouched fill cells compare equal and drop out)."""
+    uri = str(tmp_path / "dense")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 0, 1, (0, 99), 10)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri, {"v": list(range(10))}, subarray=[(0, 9)], ts=1000,
+        version=19,
+    )
+    write_native_fragment(
+        uri, {"v": [777] * 5}, subarray=[(5, 9)], ts=2000, version=19
+    )
+    rows = sorted(
+        tuple(r)
+        for r in diff_arrays(spark, uri, at_old=1000, at_new=2000).collect()
+    )
+    assert rows == [(k, "changed", k, 777) for k in range(5, 10)]

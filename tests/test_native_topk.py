@@ -375,3 +375,21 @@ def test_topk_conditions_nullable_blocks(spark, tmp_path):
         ).collect()
     ]
     assert got == [(48 - i, 48 - i) for i in range(5)]
+
+
+def test_topk_dense_fallback(spark, tmp_path):
+    """Dense arrays: the threshold planner refuses (fills carry no
+    stats), the plain scan + TakeOrdered answers."""
+    uri = str(tmp_path / "dense")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 0, 1, (0, 99), 10)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri, {"v": list(range(10))}, subarray=[(0, 9)], ts=1, version=19
+    )
+    assert topk_threshold(uri, "v", 3) is None
+    got = _got(spark, uri, "v", 3)
+    assert got == [(9, 9), (8, 8), (7, 7)]
