@@ -133,3 +133,38 @@ def test_missing_dim_column_raises(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_delete_clause(spark, tmp_path):
+    """when_matched='delete': matched keys are removed via ONE .del
+    commit carrying an IN key list (O(batch), no fragment rewritten);
+    unmatched keys may still insert."""
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(2, 0), (3, 0), (9, 90)]),
+        when_matched="delete", when_not_matched="insert", ts=2000,
+    )
+    assert c["matched"] == 2 and c["not_matched"] == 1
+    assert c["deleted"] == 2 and c["written"] == 1
+    assert _state(spark, uri) == [(1, 10), (9, 90)]
+    # idempotent re-merge: nothing left to delete, 9 now matches
+    c2 = merge_into_array(
+        spark, uri, _src(spark, [(9, 91)]),
+        when_matched="delete", when_not_matched="skip", ts=3000,
+    )
+    assert c2["deleted"] == 1
+    assert _state(spark, uri) == [(1, 10)]
+
+
+def test_delete_clause_multidim_refuses(spark, tmp_path):
+    from tiledb_mariadb_spark.sources.tiledb_native import NativeDim as D
+
+    uri = str(tmp_path / "md")
+    create_native_array(
+        uri,
+        dims=[D("x", 1, 1, (0, 10), None), D("y", 1, 1, (0, 10), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    src = spark.createDataFrame([(1, 1, 1)], "x long, y long, v long")
+    with pytest.raises(ValueError, match="single dimension"):
+        merge_into_array(spark, uri, src, when_matched="delete")

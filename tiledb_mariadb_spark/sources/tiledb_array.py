@@ -1490,8 +1490,10 @@ def merge_into_array(
     Returns ``{"matched": n, "not_matched": n, "written": n}``
     (counts -1 when ``return_counts=False`` skips the extra jobs).
     """
-    if when_matched not in ("update", "skip"):
-        raise ValueError(f"when_matched must be update|skip: {when_matched}")
+    if when_matched not in ("update", "skip", "delete"):
+        raise ValueError(
+            f"when_matched must be update|skip|delete: {when_matched}"
+        )
     if when_not_matched not in ("insert", "skip"):
         raise ValueError(
             f"when_not_matched must be insert|skip: {when_not_matched}"
@@ -1510,6 +1512,11 @@ def merge_into_array(
     missing = [d for d in dim_names if d not in source.columns]
     if missing:
         raise ValueError(f"source lacks dimension columns: {missing}")
+    if when_matched == "delete" and len(dim_names) != 1:
+        # a multi-dim key set is not expressible as per-dim IN lists
+        # (the cross product over-deletes); use write_delete_condition
+        # with a predicate instead
+        raise ValueError("when_matched='delete' needs a single dimension")
 
     from pyspark.sql import Window, functions as F  # noqa: PLC0415
 
@@ -1582,7 +1589,25 @@ def merge_into_array(
                 (matched if when_matched == "update" else 0)
                 + (not_matched if when_not_matched == "insert" else 0)
             )
+            if when_matched == "delete":
+                counts["deleted"] = matched
         if need_split:
+            if when_matched == "delete" and flagged is not None:
+                from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+                    write_delete_condition,
+                )
+
+                keys = [
+                    r[dim_names[0]]
+                    for r in flagged.filter(F.col("__m").isNotNull())
+                    .select(dim_names[0]).collect()
+                ]
+                if keys:
+                    # one O(|keys|) .del commit — no fragment rewritten;
+                    # for corpus-scale purges use a PREDICATE delete
+                    write_delete_condition(
+                        uri, [(dim_names[0], "in", sorted(keys))], ts=ts
+                    )
             if counts["written"] != 0:
                 write_array(to_write, uri, backend=backend, ts=ts)
             if flagged is not None and return_counts:

@@ -1433,6 +1433,8 @@ def _match_delete(row_map: dict, conds: list) -> bool:
             ok = v is not None
         elif v is None:
             ok = False
+        elif op == "in":
+            ok = v in (rest[0] or [])
         else:
             t = rest[0]
             ok = {
@@ -2264,13 +2266,22 @@ def _np_cond_mask(vals, op: str, rest):
         )
     if not rest:
         return None
-    t = _np_obj_scalar(rest[0])
+    if op == "in":
+        members = [_np_obj_scalar(v) for v in (rest[0] or [])]
 
-    def _cmp(sub):
-        return {
-            "=": sub == t, "!=": sub != t, "<": sub < t,
-            "<=": sub <= t, ">": sub > t, ">=": sub >= t,
-        }[op]
+        def _cmp(sub):
+            out = np.zeros(len(sub), dtype=bool)
+            for mv in members:
+                out |= np.asarray(sub == mv, dtype=bool)
+            return out
+    else:
+        t = _np_obj_scalar(rest[0])
+
+        def _cmp(sub):
+            return {
+                "=": sub == t, "!=": sub != t, "<": sub < t,
+                "<=": sub <= t, ">": sub > t, ">=": sub >= t,
+            }[op]
 
     try:
         if isnull is None:

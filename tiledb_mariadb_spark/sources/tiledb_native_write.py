@@ -1648,7 +1648,8 @@ def array_info_to_native(dims, attrs) -> tuple[list, list]:
     return ndims, nattrs
 
 
-_DELETE_OPS = {"=", "!=", "<", "<=", ">", ">=", "is_null", "is_not_null"}
+_DELETE_OPS = {"=", "!=", "<", "<=", ">", ">=", "in", "is_null",
+               "is_not_null"}
 
 
 def write_delete_condition(
@@ -1665,7 +1666,7 @@ def write_delete_condition(
     visible deletes into the merged fragment and vacuums the ``.del``.
 
     ``conditions`` is the connector's pushdown shape — an AND list of
-    ``(col, op, value)`` with ops {'=','!=','<','<=','>','>=','is_null',
+    ``(col, op, value)`` with ops {'=','!=','<','<=','>','>=','in','is_null',
     'is_not_null'} — serialized as JSON inside a generic tile.  Sparse
     arrays only (a dense read materializes fills for every cell, so
     cell-level deletes have no dense semantics — libtiledb has the same
