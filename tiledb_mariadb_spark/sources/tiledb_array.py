@@ -2735,6 +2735,7 @@ def maintain_array(
     incremental: bool = True,
     encryption_key: Optional[Any] = None,
     target_splits: int = 16,
+    expire_before: Optional[int] = None,
 ) -> dict:
     """One-call maintenance loop — the mode-dispatch surface of
     libtiledb's ``Array.consolidate(config)`` where
@@ -2752,6 +2753,10 @@ def maintain_array(
     * ``fragment_meta``: fold footers/stats/tile-weights into one
       __fragment_meta object (planning opens O(1) files; built
       distributed over ``spark``).
+    * ``expire_before=<unix_ms>`` (optional, runs FIRST): TTL
+      retention — physically drop fragments wholly older than the
+      cutoff and any `.del` that can no longer match
+      (``expire_native_fragments``); the daily keep-N-days pass.
 
     Returns per-mode results: fragments merged / paths written /
     entries vacuumed.  Unknown modes raise (libtiledb rejects unknown
@@ -2767,6 +2772,10 @@ def maintain_array(
     unknown = [m for m in modes if m not in known]
     if unknown:
         raise ValueError(f"unknown consolidation mode(s): {unknown}")
+    if expire_before is not None:
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            expire_native_fragments,
+        )
     if encryption_key is not None:
         # register up front: array_meta/commits folds read+write sealed
         # generic tiles through the process key registry even when the
@@ -2777,6 +2786,8 @@ def maintain_array(
 
         open_encryption(uri, encryption_key)
     out: dict = {}
+    if expire_before is not None:
+        out["expired"] = expire_native_fragments(uri, expire_before)
     if "fragments" in modes:
         if incremental:
             out["fragments"] = consolidate_array_incremental(

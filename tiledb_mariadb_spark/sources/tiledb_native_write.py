@@ -1890,6 +1890,80 @@ def vacuum_native_array(array_dir: str) -> int:
     return removed
 
 
+def expire_native_fragments(array_dir: str, before: int) -> int:
+    """TTL RETENTION: physically remove every committed fragment whose
+    WHOLE timestamp range [t1, t2] lies strictly before ``before``
+    (unix millis) — the age-based data-expiry op a 100 TB time-series
+    deployment runs daily (keep N days, drop the rest) without
+    rewriting a byte of surviving data.
+
+    Rules, all metadata-only decisions:
+
+    - a fragment with ``t2 < before`` is removed (its own ``.wrt`` or
+      ``.con`` marker first — markered eras lose visibility atomically
+      before the directory unlink — then the directory; fragments
+      whose markers live inside a commits-consolidation ``.con`` group
+      lose visibility when the directory disappears, the same rule
+      readers already apply to vacuumed members);
+    - a fragment SPANNING the cutoff (``t1 < before <= t2`` — e.g. a
+      consolidated range) is kept whole: expiry never splits data;
+    - a ``.del`` commit older than the cutoff is removed only when NO
+      surviving fragment has ``t1 <= its ts`` (deletes affect cells
+      written at-or-before them, so once every older cell is gone the
+      condition can never match again);
+    - ``__fragment_meta`` folds wholly before the cutoff are dropped
+      (pure cache — staleness costs IO, never correctness).
+
+    Time travel to ``at < before`` is DESTROYED by design, exactly like
+    TileDB's vacuum semantics for consolidated ranges; reads at or
+    after the cutoff are bit-identical before/after (pinned in
+    tests/test_retention.py).  Returns fragments removed."""
+    import shutil  # noqa: PLC0415
+
+    root = _frag_root(array_dir)
+    skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    names = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("__")
+        and d not in skip
+        and os.path.isdir(os.path.join(root, d))
+    ]
+    commits = os.path.join(array_dir, "__commits")
+    removed = 0
+    kept_t1 = []
+    for d in names:
+        t1, t2 = _frag_range(d)
+        if t2 < before:
+            if os.path.isdir(commits):
+                for ext in (".wrt", ".con"):
+                    m = os.path.join(commits, d + ext)
+                    if os.path.isfile(m):
+                        os.unlink(m)
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed += 1
+        else:
+            kept_t1.append(t1)
+    min_kept_t1 = min(kept_t1) if kept_t1 else None
+    if os.path.isdir(commits):
+        for e in list(os.listdir(commits)):
+            if not e.endswith(".del"):
+                continue
+            dts = _frag_ts(e)
+            if dts < before and (
+                min_kept_t1 is None or min_kept_t1 > dts
+            ):
+                os.unlink(os.path.join(commits, e))
+    fmeta_dir = os.path.join(array_dir, "__fragment_meta")
+    if os.path.isdir(fmeta_dir):
+        for e in list(os.listdir(fmeta_dir)):
+            if e.startswith("__") and e.endswith(".meta"):
+                _t1, t2 = _frag_range(e[: -len(".meta")])
+                if t2 < before:
+                    os.unlink(os.path.join(fmeta_dir, e))
+    return removed
+
+
 def consolidate_commits(array_dir: str) -> Optional[str]:
     """COMMITS consolidation (TileDB's commits mode): fold every
     per-fragment zero-length ``.wrt`` marker into ONE ``.con`` file
