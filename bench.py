@@ -145,6 +145,8 @@ HEADLINE = [
     "q347_native_asof",
     # CDC capstone: upsert -> diff -> rollup fold (base never rescanned)
     "q348_cdc_capstone",
+    # TTL retention: age-based expiry + obsolete-delete sweep
+    "q349_ttl_retention",
 ]
 
 

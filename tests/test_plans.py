@@ -169,6 +169,10 @@ def test_no_python_udf_in_any_plan(spark):
         # same declared native-io boundary
         "q347_native_asof",  # per-split local merge_asof over both
         # arrays' subarrays: same declared native-io boundary
+        "q348_cdc_capstone",  # upsert + diff + rollup fold through the
+        # connector: same declared native-io boundary
+        "q349_ttl_retention",  # day-generation writes + expiry census +
+        # surviving-state scan: same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

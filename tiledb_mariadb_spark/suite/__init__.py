@@ -282,9 +282,12 @@ def all_specs() -> dict[str, QuerySpec]:
         # q06_filter_compound yielded to q348 — compound AND/OR
         # predicate pushdown stays covered in-window by
         # q331_filter_matrix and q334_condition_planner
+        # q07_filter_null yielded to q349 — IS NULL semantics stay
+        # hash-verified in-window by q345's NULL<->value transition
+        # rows and the nullable tiers of q303/q304
         "q01_pricing_summary",
         "q348_cdc_capstone",
-        "q07_filter_null",
+        "q349_ttl_retention",
         "q347_native_asof",
         "q346_merge_into",
         "q345_snapshot_diff",

@@ -1381,3 +1381,110 @@ SPECS.append(
         "emitting; diff-class counts hash-pinned",
     )
 )
+
+
+# --- q349: TTL retention — age-based expiry (round 7, session 3) -------------
+#
+# `expire_native_fragments` (sources/tiledb_native_write.py): fragments
+# wholly older than the cutoff are physically removed (markers first),
+# a `.del` that can no longer match is swept, spanning consolidated
+# ranges are kept whole — the keep-N-days pass a 100 TB time-series
+# deployment runs daily, O(expired fragments), zero surviving bytes
+# rewritten.  Exposed as `maintain_array(expire_before=)` step one.
+# The spec writes three day-generations from orders, purges a slice by
+# predicate, expires the oldest day, and hash-pins BOTH the surviving
+# state and the structural census (fragments/dels before and after).
+def q349_ttl_retention(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        read_array,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+        _fragment_dirs,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        expire_native_fragments,
+        write_delete_condition,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q349_ttl_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
+        attrs=[NativeAttr("cents", 1, 1, False, None)],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    backend = NativeDecoderBackend()
+    # three "days": k%3 == 0 / 1 / 2 at ts 1000/2000/3000
+    for day, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        write_array(
+            src.filter(F.col("k") % 3 == day).repartitionByRange(2, "k"),
+            uri, backend=backend, ts=ts,
+        )
+        # day-1 purge: delete day-0 high-value rows (ts 1500, affects
+        # only cells written at-or-before it)
+        if day == 0:
+            write_delete_condition(
+                uri, [("cents", ">", 40_000_000)], ts=1500
+            )
+    frags_before = len(_fragment_dirs(uri))
+    commits = os.path.join(uri, "__commits")
+    dels_before = sum(1 for e in os.listdir(commits) if e.endswith(".del"))
+    removed = expire_native_fragments(uri, before=1800)  # day 0 expires
+    frags_after = len(_fragment_dirs(uri))
+    dels_after = sum(1 for e in os.listdir(commits) if e.endswith(".del"))
+
+    state = read_array(spark, uri, target_splits=8).filter(
+        F.col("k") < 3000
+    )
+    return state.select(
+        "k", "cents",
+        F.lit(frags_before).cast("long").alias("frags_before"),
+        F.lit(removed).cast("long").alias("expired"),
+        F.lit(frags_after).cast("long").alias("frags_after"),
+        F.lit(dels_before).cast("long").alias("dels_before"),
+        F.lit(dels_after).cast("long").alias("dels_after"),
+    ).orderBy("k")
+
+
+Q349_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+)
+SELECT k, cents,
+       CAST(6 AS BIGINT) AS frags_before,
+       CAST(2 AS BIGINT) AS expired,
+       CAST(4 AS BIGINT) AS frags_after,
+       CAST(1 AS BIGINT) AS dels_before,
+       CAST(0 AS BIGINT) AS dels_after
+FROM src
+WHERE k % 3 IN (1, 2) AND k < 3000
+ORDER BY k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q349_ttl_retention",
+        q349_ttl_retention,
+        Q349_SQL,
+        "TTL retention (round 7): age-based fragment expiry — the "
+        "oldest day's fragments physically removed, its obsolete .del "
+        "swept, surviving days bit-identical; structural census "
+        "hash-pinned (6 frags -> 4, 1 del -> 0)",
+    )
+)
