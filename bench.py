@@ -147,6 +147,8 @@ HEADLINE = [
     "q348_cdc_capstone",
     # TTL retention: age-based expiry + obsolete-delete sweep
     "q349_ttl_retention",
+    # keyed zero-shuffle as-of (per-symbol, tolerance-bounded)
+    "q350_keyed_asof",
 ]
 
 

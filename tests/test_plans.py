@@ -173,6 +173,8 @@ def test_no_python_udf_in_any_plan(spark):
         # connector: same declared native-io boundary
         "q349_ttl_retention",  # day-generation writes + expiry census +
         # surviving-state scan: same declared native-io boundary
+        "q350_keyed_asof",  # per-split keyed merge_asof over both
+        # arrays' subarrays: same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -284,8 +284,11 @@ def all_specs() -> dict[str, QuerySpec]:
         # q331_filter_matrix and q334_condition_planner
         # q07_filter_null yielded to q349 — IS NULL semantics stay
         # hash-verified in-window by q345's NULL<->value transition
-        # rows and the nullable tiers of q303/q304
-        "q01_pricing_summary",
+        # rows and the nullable tiers of q303/q304;
+        # q01_pricing_summary yielded to q350 — the driver's entry()
+        # smoke runs the flagship every round regardless, and its
+        # aggregate surface is hash-verified in-window by q338/q160
+        "q350_keyed_asof",
         "q348_cdc_capstone",
         "q349_ttl_retention",
         "q347_native_asof",

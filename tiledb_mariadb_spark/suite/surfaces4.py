@@ -1488,3 +1488,108 @@ SPECS.append(
         "hash-pinned (6 frags -> 4, 1 del -> 0)",
     )
 )
+
+
+# --- q350: KEYED zero-shuffle as-of join (round 7, session 3) ----------------
+#
+# The per-symbol variant of q347 — `copartitioned_asof_join(by_cols=)`:
+# each trade matches the latest quote OF ITS OWN SYMBOL within a
+# tolerance window (pandas merge_asof by= per split; the tolerance
+# bounds the per-key lookback, making the split extension exact without
+# a per-key bisect).  Oracle: DuckDB ASOF LEFT JOIN with the symbol
+# equality in the ON clause and the tolerance as a range conjunct.
+_Q350_TOL = 500
+
+
+def q350_keyed_asof(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        copartitioned_asof_join,
+        write_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    base = tempfile.mkdtemp(prefix="q350_kasof_")
+    ua, ub = base + "/trades", base + "/quotes"
+    create_native_array(
+        ua,
+        dims=[NativeDim("ts", 1, 1, (0, 6_000_000), None)],
+        attrs=[
+            NativeAttr("sym", 1, 1, False, None),
+            NativeAttr("trade_cents", 1, 1, False, None),
+        ],
+    )
+    create_native_array(
+        ub,
+        dims=[NativeDim("ts", 1, 1, (0, 6_000_000), None)],
+        attrs=[
+            NativeAttr("sym", 1, 1, False, None),
+            NativeAttr("quote_cents", 1, 1, False, None),
+        ],
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ts"),
+        (F.col("o_custkey") % 5).cast("bigint").alias("sym"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+    )
+    backend = NativeDecoderBackend()
+    write_array(
+        src.filter(F.col("ts") % 2 == 0)
+        .withColumnRenamed("cents", "trade_cents")
+        .repartitionByRange(4, "ts"),
+        ua, backend=backend,
+    )
+    write_array(
+        src.filter(F.col("ts") % 11 == 0)
+        .withColumn("quote_cents", F.col("cents") + F.lit(77))
+        .drop("cents")
+        .repartitionByRange(3, "ts"),
+        ub, backend=backend,
+    )
+    return copartitioned_asof_join(
+        spark, ua, ub, by_cols=["sym"], tolerance=_Q350_TOL,
+        target_splits=8,
+    ).orderBy("ts")
+
+
+Q350_SQL = f"""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ts,
+         CAST(o_custkey % 5 AS BIGINT) AS sym,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders
+), trades AS (
+  SELECT ts, sym, cents AS trade_cents FROM src WHERE ts % 2 = 0
+), quotes AS (
+  SELECT ts, sym, cents + 77 AS quote_cents FROM src WHERE ts % 11 = 0
+)
+SELECT t.ts, t.sym, t.trade_cents,
+       CASE WHEN q.ts >= t.ts - {_Q350_TOL} THEN q.quote_cents END
+         AS quote_cents
+FROM trades t ASOF LEFT JOIN quotes q
+  ON t.sym = q.sym AND t.ts >= q.ts
+ORDER BY t.ts
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q350_keyed_asof",
+        q350_keyed_asof,
+        Q350_SQL,
+        "keyed zero-shuffle as-of join (round 7): latest same-symbol "
+        "quote within a tolerance window per trade — per-split local "
+        "merge_asof by=sym, tolerance-bounded split extension; oracle "
+        "is DuckDB ASOF LEFT JOIN with symbol equality + range bound",
+    )
+)
