@@ -393,3 +393,22 @@ def test_topk_dense_fallback(spark, tmp_path):
     assert topk_threshold(uri, "v", 3) is None
     got = _got(spark, uri, "v", 3)
     assert got == [(9, 9), (8, 8), (7, 7)]
+
+
+def test_topk_dim_ranges_disable_bound(spark, tmp_path):
+    """dim_ranges restrict which rows compete, but the stats guarantee
+    counts whole fragments — the bound must be DISABLED so an in-range
+    row can't be excluded by an out-of-range guarantee."""
+    uri = _mk(tmp_path, "rng")
+    for f in range(4):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(uri, {"k": ks, "v": ks}, ts=f + 1, version=19)
+    # restricted to keys < 150: the true top-3 are 149/148/147 — a
+    # bound from the unrestricted stats (300) would exclude them all
+    got = [
+        (r["k"], r["v"])
+        for r in topk_array(
+            spark, uri, "v", 3, dim_ranges={"k": (0, 149)}
+        ).collect()
+    ]
+    assert got == [(149, 149), (148, 148), (147, 147)]

@@ -1075,10 +1075,15 @@ def topk_array(
         else NativeDecoderBackend(encryption_key=encryption_key)
     )
     thr_fn = getattr(backend, "topk_threshold", None)
+    # dim_ranges restrict which rows compete, but the stats guarantee
+    # counts whole fragments — a bound derived ignoring the ranges
+    # could exclude in-range rows that belong in the top-k.  No
+    # metadata proof relates per-fragment counts to an arbitrary
+    # subrange, so ranged top-k runs unpruned (always correct).
     thr = (
         thr_fn(uri, col, k, ascending=ascending, at=at, since=since,
                conditions=conditions)
-        if thr_fn
+        if thr_fn and not dim_ranges
         else None
     )
     conds = list(conditions or [])

@@ -196,9 +196,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # backfill rows (the round-1 window, driver-green in r1, six rounds
     # ago; the four scalar-fn re-tests q17-q20 yielded their slots — the
     # same surface is triple-covered in this window by q220/q238/q239).
-    # Cumulative driver coverage after this window: 340/340 distinct
+    # Cumulative driver coverage after this window: 343/343 distinct
     # specs (session 3 added q344_topk_pushdown, q345_snapshot_diff,
-    # q346_merge_into and q347_native_asof — all in this front-50 —
+    # q346_merge_into, q347_native_asof, q348_cdc_capstone,
+    # q349_ttl_retention and q350_keyed_asof — all in this front-50 —
     # plus q331_filter_matrix, q332_native_discovery,
     # q333_bloom_prune, q334_condition_planner, q335_fragment_meta,
     # q336_semantic_decontaminate, q337_maintenance_loop, then the
