@@ -168,3 +168,27 @@ def test_delete_clause_multidim_refuses(spark, tmp_path):
     src = spark.createDataFrame([(1, 1, 1)], "x long, y long, v long")
     with pytest.raises(ValueError, match="single dimension"):
         merge_into_array(spark, uri, src, when_matched="delete")
+
+
+def test_allows_dups_target_probe_no_fanout(spark, tmp_path):
+    """An allows_dups target holding the same key many times must not
+    fan the probe join out (matched = the key exists, once)."""
+    uri = str(tmp_path / "dups")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        allows_dups=True,
+    )
+    write_native_fragment(
+        uri, {"k": [1, 1, 1, 2], "v": [10, 11, 12, 20]}, ts=1000,
+        version=19,
+    )
+    c = merge_into_array(
+        spark, uri, _src(spark, [(1, 99), (5, 55)]),
+        when_matched="update", when_not_matched="skip", ts=2000,
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 1}
+    # dups schema keeps every copy; the update adds one more k=1 cell
+    st = sorted(_state(spark, uri))
+    assert st.count((1, 99)) == 1 and (5, 55) not in st

@@ -1561,10 +1561,13 @@ def merge_into_array(
                 d: (bounds[f"{d}_lo"], bounds[f"{d}_hi"])
                 for d in dim_names
             }
+            # distinct: an allows_dups target may hold the same key
+            # many times — "matched" means the key exists, and a dup
+            # would fan the probe join out (wrong counts, dup writes)
             tgt_keys = read_array(
                 spark, uri, backend=backend, columns=[],
                 dim_ranges=box, target_splits=target_splits,
-            ).select(*dim_names).withColumn("__m", F.lit(1))
+            ).select(*dim_names).distinct().withColumn("__m", F.lit(1))
             flagged = source.join(tgt_keys, on=dim_names, how="left")
             if return_counts:
                 # counts + the write are two actions over the same
