@@ -216,3 +216,17 @@ def test_diff_dense_overlay(spark, tmp_path):
         for r in diff_arrays(spark, uri, at_old=1000, at_new=2000).collect()
     )
     assert rows == [(k, "changed", k, 777) for k in range(5, 10)]
+
+
+def test_diff_allows_dups_refuses(spark, tmp_path):
+    uri = str(tmp_path / "dups")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        allows_dups=True,
+    )
+    write_native_fragment(uri, {"k": [1, 1], "v": [1, 2]}, ts=1000,
+                          version=19)
+    with pytest.raises(ValueError, match="unique row identity"):
+        diff_arrays(spark, uri, at_old=1000, at_new=2000)

@@ -1151,6 +1151,19 @@ def diff_arrays(
         else NativeDecoderBackend(encryption_key=encryption_key)
     )
     info = backend.info(uri, at=at_new)
+    try:  # row identity must be unique: dup-key arrays aren't diffable
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            parse_array_schema,
+            _schema_path,
+        )
+
+        if parse_array_schema(_schema_path(uri)).allows_dups:
+            raise ValueError(
+                "diff_arrays needs a unique row identity; this array "
+                "allows duplicate coordinates"
+            )
+    except (OSError, FileNotFoundError):
+        pass  # non-native layout: the backend defines identity
     dim_names = [d.name for d in info.dims]
     attr_names = [a.name for a in info.attrs]
     sel = (
