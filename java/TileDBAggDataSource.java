@@ -1,17 +1,32 @@
-// JVM DataSource V2 aggregate-pushdown shim for the native-array tier.
+// Unified JVM DataSource V2 shim for the native-array tier.
 //
 // The Python DataSource API has no SupportsPushDownAggregates hook, so a
 // plain `SELECT COUNT(*)` over format("tiledb_native") full-scans (the
-// documented q310 gap).  This thin Java provider closes the one
-// group_by_handler behavior (TileDB-MariaDB mytile/ha_mytile.cc:607-715)
-// unreachable from plain SQL: COUNT(*) / MIN / MAX / SUM with no GROUP BY
-// are answered ENTIRELY from fragment metadata by delegating to the
-// repo's Python decoder (count_native_array / attr_stats_native_array —
-// same trust rules, never a guessed value) through a tiny subprocess
-// bridge (tiledb_mariadb_spark.tools.jvm_bridge).  Queries the metadata
-// cannot answer exactly fall back to an honest row scan through the same
-// bridge (JSON-lines; the fast scan path remains the Python datasource —
-// this format exists for the aggregate contract).
+// documented q310 gap).  This Java provider closes the group_by_handler
+// behaviors (TileDB-MariaDB mytile/ha_mytile.cc:607-715) unreachable
+// from plain SQL, and (round 8) serves the SCAN path too so the two
+// formats stop being a user-visible seam:
+//
+// - ungrouped COUNT(*) / MIN / MAX / SUM / AVG answered ENTIRELY from
+//   fragment metadata (count_native_array / attr_stats_native_array /
+//   windowed_agg_native — same trust rules, never a guessed value);
+// - GROUP BY dim0 or FLOOR(dim0 / width) rollups from
+//   bucketed_agg_native (footer walk + edge-tile decode, the q340
+//   metadata rollup behind plain SQL);
+// - aggregates COMPOSE with pushed filters, mirroring the reference's
+//   range-stealing (the group_by_handler consumes the already-pushed
+//   ranges + conditions, ha_mytile.cc:634-640): pushed dim-range
+//   conjuncts window the metadata aggregate, anything else falls back;
+// - filter pushdown (=, <, <=, >, >=, IN, IS [NOT] NULL, != — applied
+//   EXACTLY by the Python decoder, so accepted filters carry no Spark
+//   residual) and column pruning on the row scan, with the split plan
+//   intersected with pushed dim ranges + the condition-NED (zero
+//   partitions when provably empty).
+//
+// All delegation goes through a tiny subprocess bridge
+// (tiledb_mariadb_spark.tools.jvm_bridge) into the repo's pure-Python
+// decoder (JSON-lines rows; the big-scan fast path remains the Python
+// datasource — this format exists for the pushdown contract).
 //
 // Build/registration: tiledb_mariadb_spark.sources.jvm_agg compiles this
 // file against the installed pyspark jars and loads it with ADD JAR, so
@@ -22,6 +37,7 @@ import com.fasterxml.jackson.databind.ObjectMapper;
 import java.io.BufferedReader;
 import java.io.InputStreamReader;
 import java.io.Serializable;
+import java.math.BigDecimal;
 import java.nio.charset.StandardCharsets;
 import java.util.ArrayList;
 import java.util.List;
@@ -33,6 +49,8 @@ import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.catalog.TableProvider;
 import org.apache.spark.sql.connector.expressions.Expression;
+import org.apache.spark.sql.connector.expressions.GeneralScalarExpression;
+import org.apache.spark.sql.connector.expressions.Literal;
 import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc;
@@ -50,7 +68,20 @@ import org.apache.spark.sql.connector.read.PartitionReaderFactory;
 import org.apache.spark.sql.connector.read.Scan;
 import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.connector.read.SupportsPushDownAggregates;
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
+import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
 import org.apache.spark.sql.sources.DataSourceRegister;
+import org.apache.spark.sql.sources.EqualNullSafe;
+import org.apache.spark.sql.sources.EqualTo;
+import org.apache.spark.sql.sources.Filter;
+import org.apache.spark.sql.sources.GreaterThan;
+import org.apache.spark.sql.sources.GreaterThanOrEqual;
+import org.apache.spark.sql.sources.In;
+import org.apache.spark.sql.sources.IsNotNull;
+import org.apache.spark.sql.sources.IsNull;
+import org.apache.spark.sql.sources.LessThan;
+import org.apache.spark.sql.sources.LessThanOrEqual;
+import org.apache.spark.sql.sources.Not;
 import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.DataTypes;
 import org.apache.spark.sql.types.StructField;
@@ -68,7 +99,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
   @Override
   public StructType inferSchema(CaseInsensitiveStringMap options) {
     Bridge b = Bridge.fromOptions(options);
-    JsonNode out = b.call("schema", null);
+    JsonNode out = b.call("schema", null, null, null);
     if (out == null || !out.path("ok").asBoolean(false)) {
       throw new RuntimeException(
           "tiledb_agg: schema bridge failed for " + b.uri
@@ -114,7 +145,13 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
           o.get("encryption_key"));
     }
 
-    Process start(String cmd, String aggs, String rangesJson) {
+    Process start(
+        String cmd,
+        String aggs,
+        String rangesJson,
+        String condsJson,
+        String columnsJson,
+        String group) {
       List<String> argv = new ArrayList<>();
       argv.add(python);
       argv.add("-m");
@@ -138,6 +175,18 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         argv.add("--ranges");
         argv.add(rangesJson);
       }
+      if (condsJson != null) {
+        argv.add("--conditions");
+        argv.add(condsJson);
+      }
+      if (columnsJson != null) {
+        argv.add("--columns");
+        argv.add(columnsJson);
+      }
+      if (group != null) {
+        argv.add("--group");
+        argv.add(group);
+      }
       ProcessBuilder pb = new ProcessBuilder(argv);
       if (!pythonPath.isEmpty()) {
         pb.environment().put("PYTHONPATH", pythonPath);
@@ -150,11 +199,11 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       }
     }
 
-    /** Single-JSON-object commands (schema / agg / splits).  null on
-     * launch failure. */
-    JsonNode call(String cmd, String extra) {
+    /** Single-JSON-object commands (schema / agg / gagg / splits).
+     * null on launch failure. */
+    JsonNode call(String cmd, String aggs, String condsJson, String group) {
       try {
-        Process p = start(cmd, extra, null);
+        Process p = start(cmd, aggs, null, condsJson, null, group);
         String out =
             new String(p.getInputStream().readAllBytes(), StandardCharsets.UTF_8);
         p.waitFor();
@@ -166,6 +215,39 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         return null;
       }
     }
+  }
+
+  // ---- shared JSON -> Spark value conversion --------------------------------
+
+  static Object jsonToSpark(JsonNode v, DataType t) {
+    if (v == null || v.isNull()) {
+      return null;
+    }
+    if (t == DataTypes.StringType) {
+      return UTF8String.fromString(v.asText());
+    }
+    if (t == DataTypes.LongType) {
+      return v.asLong();
+    }
+    if (t == DataTypes.IntegerType) {
+      return (int) v.asLong();
+    }
+    if (t == DataTypes.ShortType) {
+      return (short) v.asLong();
+    }
+    if (t == DataTypes.ByteType) {
+      return (byte) v.asLong();
+    }
+    if (t == DataTypes.DoubleType) {
+      return v.asDouble();
+    }
+    if (t == DataTypes.FloatType) {
+      return (float) v.asDouble();
+    }
+    if (t == DataTypes.BooleanType) {
+      return v.asBoolean();
+    }
+    throw new RuntimeException("tiledb_agg: unsupported type " + t);
   }
 
   // ---- table / scan builder ------------------------------------------------
@@ -202,11 +284,19 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     }
   }
 
-  static class AggScanBuilder implements ScanBuilder, SupportsPushDownAggregates {
+  static class AggScanBuilder
+      implements ScanBuilder,
+          SupportsPushDownAggregates,
+          SupportsPushDownFilters,
+          SupportsPushDownRequiredColumns {
     private final StructType tableSchema;
     private final CaseInsensitiveStringMap options;
+    private StructType required = null; // pruned projection (null = all)
+    private final List<List<Object>> conds = new ArrayList<>();
+    private Filter[] accepted = new Filter[0];
     private StructType aggSchema = null;
-    private Object[] aggValues = null;
+    private List<Object[]> aggRows = null;
+    private boolean aggGrouped = false;
 
     AggScanBuilder(StructType tableSchema, CaseInsensitiveStringMap options) {
       this.tableSchema = tableSchema;
@@ -239,6 +329,137 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
           || t == DataTypes.LongType;
     }
 
+    // ---- filter pushdown ---------------------------------------------------
+
+    private static boolean okValue(Object v) {
+      return v instanceof Integer
+          || v instanceof Long
+          || v instanceof Short
+          || v instanceof Byte
+          || v instanceof Double
+          || v instanceof Float
+          || v instanceof String
+          || v instanceof Boolean;
+    }
+
+    /** v1 Filter -> bridge condition triple, or null when not
+     * expressible.  The Python side applies accepted conditions
+     * EXACTLY (3VL: NULL fails every comparison, like Spark), so they
+     * carry no residual. */
+    private List<Object> translate(Filter f) {
+      if (f instanceof EqualTo) {
+        EqualTo e = (EqualTo) f;
+        if (fieldType(e.attribute()) != null && okValue(e.value())) {
+          return List.of(e.attribute(), "=", e.value());
+        }
+      } else if (f instanceof EqualNullSafe) {
+        EqualNullSafe e = (EqualNullSafe) f;
+        if (fieldType(e.attribute()) != null) {
+          if (e.value() == null) {
+            return List.of(e.attribute(), "is_null");
+          }
+          if (okValue(e.value())) {
+            // c <=> v with v non-null == (c = v AND c IS NOT NULL),
+            // exactly the decoder's "=" mask
+            return List.of(e.attribute(), "=", e.value());
+          }
+        }
+      } else if (f instanceof GreaterThan) {
+        GreaterThan e = (GreaterThan) f;
+        if (fieldType(e.attribute()) != null && okValue(e.value())) {
+          return List.of(e.attribute(), ">", e.value());
+        }
+      } else if (f instanceof GreaterThanOrEqual) {
+        GreaterThanOrEqual e = (GreaterThanOrEqual) f;
+        if (fieldType(e.attribute()) != null && okValue(e.value())) {
+          return List.of(e.attribute(), ">=", e.value());
+        }
+      } else if (f instanceof LessThan) {
+        LessThan e = (LessThan) f;
+        if (fieldType(e.attribute()) != null && okValue(e.value())) {
+          return List.of(e.attribute(), "<", e.value());
+        }
+      } else if (f instanceof LessThanOrEqual) {
+        LessThanOrEqual e = (LessThanOrEqual) f;
+        if (fieldType(e.attribute()) != null && okValue(e.value())) {
+          return List.of(e.attribute(), "<=", e.value());
+        }
+      } else if (f instanceof In) {
+        In e = (In) f;
+        if (fieldType(e.attribute()) != null) {
+          List<Object> vals = new ArrayList<>();
+          for (Object v : e.values()) {
+            if (v == null) {
+              continue; // IN's NULL member never matches (3VL)
+            }
+            if (!okValue(v)) {
+              return null;
+            }
+            vals.add(v);
+          }
+          return List.of(e.attribute(), "in", vals);
+        }
+      } else if (f instanceof IsNull) {
+        IsNull e = (IsNull) f;
+        if (fieldType(e.attribute()) != null) {
+          return List.of(e.attribute(), "is_null");
+        }
+      } else if (f instanceof IsNotNull) {
+        IsNotNull e = (IsNotNull) f;
+        if (fieldType(e.attribute()) != null) {
+          return List.of(e.attribute(), "is_not_null");
+        }
+      } else if (f instanceof Not && ((Not) f).child() instanceof EqualTo) {
+        EqualTo e = (EqualTo) ((Not) f).child();
+        if (fieldType(e.attribute()) != null && okValue(e.value())) {
+          return List.of(e.attribute(), "!=", e.value());
+        }
+      }
+      return null;
+    }
+
+    @Override
+    public Filter[] pushFilters(Filter[] filters) {
+      List<Filter> residual = new ArrayList<>();
+      List<Filter> ok = new ArrayList<>();
+      for (Filter f : filters) {
+        List<Object> c = translate(f);
+        if (c != null) {
+          conds.add(c);
+          ok.add(f);
+        } else {
+          residual.add(f);
+        }
+      }
+      accepted = ok.toArray(new Filter[0]);
+      return residual.toArray(new Filter[0]);
+    }
+
+    @Override
+    public Filter[] pushedFilters() {
+      return accepted;
+    }
+
+    private String condsJson() {
+      if (conds.isEmpty()) {
+        return null;
+      }
+      try {
+        return new ObjectMapper().writeValueAsString(conds);
+      } catch (Exception e) {
+        throw new RuntimeException("tiledb_agg: conditions JSON: " + e, e);
+      }
+    }
+
+    // ---- column pruning ----------------------------------------------------
+
+    @Override
+    public void pruneColumns(StructType requiredSchema) {
+      this.required = requiredSchema;
+    }
+
+    // ---- aggregate pushdown ------------------------------------------------
+
     @Override
     public boolean supportCompletePushDown(Aggregation aggregation) {
       return tryPush(aggregation);
@@ -246,15 +467,93 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public boolean pushAggregation(Aggregation aggregation) {
-      return aggValues != null || tryPush(aggregation);
+      return aggRows != null || tryPush(aggregation);
+    }
+
+    private static Expression unwrapCast(Expression e) {
+      while (e instanceof org.apache.spark.sql.connector.expressions.Cast) {
+        e = ((org.apache.spark.sql.connector.expressions.Cast) e).expression();
+      }
+      return e;
+    }
+
+    /** Match FLOOR(col / width) (modulo casts) -> {col, width}, else
+     * null.  This is the V2 shape Catalyst emits for the SQL bucketed
+     * rollup `GROUP BY FLOOR(k / 100)`. */
+    private Object[] matchFloorDiv(Expression e) {
+      e = unwrapCast(e);
+      if (!(e instanceof GeneralScalarExpression)) {
+        return null;
+      }
+      GeneralScalarExpression fl = (GeneralScalarExpression) e;
+      if (!"FLOOR".equals(fl.name()) || fl.children().length != 1) {
+        return null;
+      }
+      Expression div = unwrapCast(fl.children()[0]);
+      if (!(div instanceof GeneralScalarExpression)) {
+        return null;
+      }
+      GeneralScalarExpression d = (GeneralScalarExpression) div;
+      if (!"/".equals(d.name()) || d.children().length != 2) {
+        return null;
+      }
+      String col = singleColumn(unwrapCast(d.children()[0]));
+      Expression rhs = unwrapCast(d.children()[1]);
+      if (col == null || !(rhs instanceof Literal)) {
+        return null;
+      }
+      Object w = ((Literal<?>) rhs).value();
+      long width;
+      try {
+        BigDecimal bd = new BigDecimal(String.valueOf(w));
+        if (bd.stripTrailingZeros().scale() > 0) {
+          return null; // fractional width: not an integer bucket grid
+        }
+        width = bd.longValueExact();
+      } catch (Exception ex) {
+        return null;
+      }
+      if (width <= 0) {
+        return null;
+      }
+      return new Object[] {col, width};
     }
 
     private boolean tryPush(Aggregation aggregation) {
-      if (aggValues != null) {
+      if (aggRows != null) {
         return true;
       }
-      if (aggregation.groupByExpressions().length != 0) {
-        return false; // grouped aggregates need real rows
+      Expression[] groups = aggregation.groupByExpressions();
+      String groupCol = null;
+      long groupWidth = 0;
+      DataType groupType = null;
+      if (groups.length > 1) {
+        return false;
+      }
+      if (groups.length == 1) {
+        String c = singleColumn(groups[0]);
+        if (c != null) {
+          // GROUP BY dim0 itself: bucket width 1, value = the coord
+          DataType t = fieldType(c);
+          if (t == null || !integral(t)) {
+            return false;
+          }
+          groupCol = c;
+          groupWidth = 1;
+          groupType = t;
+        } else {
+          Object[] fd = matchFloorDiv(groups[0]);
+          if (fd == null) {
+            return false;
+          }
+          groupCol = (String) fd[0];
+          groupWidth = (Long) fd[1];
+          DataType t = fieldType(groupCol);
+          if (t == null || !integral(t)) {
+            return false;
+          }
+          groupType = DataTypes.LongType; // FLOOR(double) is LONG
+        }
       }
       List<String> reqs = new ArrayList<>();
       List<DataType> types = new ArrayList<>();
@@ -315,61 +614,107 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         }
       }
       Bridge b = Bridge.fromOptions(options);
-      JsonNode out = b.call("agg", String.join(";", reqs));
-      if (out == null || !out.path("ok").asBoolean(false)) {
-        return false; // metadata cannot prove it: honest scan fallback
-      }
-      JsonNode vals = out.path("values");
-      if (!vals.isArray() || vals.size() != reqs.size()) {
-        return false;
-      }
-      Object[] row = new Object[reqs.size()];
-      StructField[] fields = new StructField[reqs.size()];
-      for (int i = 0; i < reqs.size(); i++) {
-        DataType t = types.get(i);
-        JsonNode v = vals.get(i);
-        if (v.isNull()) {
-          row[i] = null;
-        } else if (t == DataTypes.StringType) {
-          row[i] = UTF8String.fromString(v.asText());
-        } else if (t == DataTypes.DoubleType || t == DataTypes.FloatType) {
-          row[i] = t == DataTypes.FloatType ? (Object) (float) v.asDouble() : v.asDouble();
-        } else if (integral(t)) {
-          long lv = v.asLong();
-          row[i] =
-              t == DataTypes.LongType
-                  ? (Object) lv
-                  : t == DataTypes.IntegerType
-                      ? (Object) (int) lv
-                      : t == DataTypes.ShortType ? (Object) (short) lv : (Object) (byte) lv;
-        } else {
-          return false; // unexpected stat type
+      String cj = condsJson();
+      List<Object[]> rows = new ArrayList<>();
+      List<StructField> fields = new ArrayList<>();
+      int off = 0;
+      if (groupCol == null) {
+        JsonNode out = b.call("agg", String.join(";", reqs), cj, null);
+        if (out == null || !out.path("ok").asBoolean(false)) {
+          return false; // metadata cannot prove it: honest scan fallback
         }
-        fields[i] = new StructField("agg_" + i, t, true, org.apache.spark.sql.types.Metadata.empty());
+        JsonNode vals = out.path("values");
+        if (!vals.isArray() || vals.size() != reqs.size()) {
+          return false;
+        }
+        Object[] row = new Object[reqs.size()];
+        for (int i = 0; i < reqs.size(); i++) {
+          try {
+            row[i] = jsonToSpark(vals.get(i), types.get(i));
+          } catch (RuntimeException ex) {
+            return false; // unexpected stat type
+          }
+        }
+        rows.add(row);
+      } else {
+        JsonNode out =
+            b.call("gagg", String.join(";", reqs), cj, groupCol + ":" + groupWidth);
+        if (out == null || !out.path("ok").asBoolean(false)) {
+          return false;
+        }
+        JsonNode jrows = out.path("rows");
+        if (!jrows.isArray()) {
+          return false;
+        }
+        for (JsonNode jr : jrows) {
+          if (!jr.isArray() || jr.size() != reqs.size() + 1) {
+            return false;
+          }
+          Object[] row = new Object[reqs.size() + 1];
+          try {
+            // width-1 buckets ARE the coordinate; FLOOR buckets are LONG
+            row[0] = jsonToSpark(jr.get(0), groupType);
+            for (int i = 0; i < reqs.size(); i++) {
+              row[i + 1] = jsonToSpark(jr.get(i + 1), types.get(i));
+            }
+          } catch (RuntimeException ex) {
+            return false;
+          }
+          rows.add(row);
+        }
+        fields.add(
+            new StructField(
+                "group_0", groupType, true, org.apache.spark.sql.types.Metadata.empty()));
+        off = 1;
+        aggGrouped = true;
       }
-      this.aggValues = row;
-      this.aggSchema = new StructType(fields);
+      for (int i = 0; i < reqs.size(); i++) {
+        fields.add(
+            new StructField(
+                "agg_" + i, types.get(i), true, org.apache.spark.sql.types.Metadata.empty()));
+      }
+      this.aggRows = rows;
+      this.aggSchema = new StructType(fields.toArray(new StructField[0]));
+      // off is only informational (group col precedes aggs)
+      if (off == 1 && aggSchema.fields().length != reqs.size() + 1) {
+        throw new IllegalStateException("tiledb_agg: grouped schema drift");
+      }
       return true;
     }
 
     @Override
     public Scan build() {
-      if (aggValues != null) {
-        return new MetadataAggScan(aggSchema, aggValues);
+      if (aggRows != null) {
+        return new MetadataAggScan(aggSchema, aggRows, aggGrouped);
       }
-      return new RowScan(tableSchema, options);
+      StructType s = required != null ? required : tableSchema;
+      String columnsJson = null;
+      if (required != null) {
+        try {
+          List<String> names = new ArrayList<>();
+          for (StructField f : s.fields()) {
+            names.add(f.name());
+          }
+          columnsJson = new ObjectMapper().writeValueAsString(names);
+        } catch (Exception e) {
+          throw new RuntimeException("tiledb_agg: columns JSON: " + e, e);
+        }
+      }
+      return new RowScan(s, options, condsJson(), columnsJson);
     }
   }
 
-  // ---- metadata-aggregate scan: ONE row, zero tiles decoded ----------------
+  // ---- metadata-aggregate scan: stat rows, zero/edge tiles decoded ----------
 
   static class MetadataAggScan implements Scan, Batch {
     private final StructType schema;
-    private final Object[] values;
+    private final List<Object[]> rows;
+    private final boolean grouped;
 
-    MetadataAggScan(StructType schema, Object[] values) {
+    MetadataAggScan(StructType schema, List<Object[]> rows, boolean grouped) {
       this.schema = schema;
-      this.values = values;
+      this.rows = rows;
+      this.grouped = grouped;
     }
 
     @Override
@@ -379,7 +724,9 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public String description() {
-      return "TileDBMetadataAggScan(PushedAggregates)";
+      return grouped
+          ? "TileDBMetadataAggScan(GroupedPushedAggregates)"
+          : "TileDBMetadataAggScan(PushedAggregates)";
     }
 
     @Override
@@ -389,42 +736,39 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public InputPartition[] planInputPartitions() {
-      return new InputPartition[] {new OneRowPartition(values)};
+      return new InputPartition[] {new StatRowsPartition(rows)};
     }
 
     @Override
     public PartitionReaderFactory createReaderFactory() {
-      return new OneRowReaderFactory();
+      return new StatRowsReaderFactory();
     }
   }
 
-  static class OneRowPartition implements InputPartition {
-    final Object[] values;
+  static class StatRowsPartition implements InputPartition {
+    final List<Object[]> rows;
 
-    OneRowPartition(Object[] values) {
-      this.values = values;
+    StatRowsPartition(List<Object[]> rows) {
+      this.rows = rows;
     }
   }
 
-  static class OneRowReaderFactory implements PartitionReaderFactory {
+  static class StatRowsReaderFactory implements PartitionReaderFactory {
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition p) {
-      Object[] values = ((OneRowPartition) p).values;
+      List<Object[]> rows = ((StatRowsPartition) p).rows;
       return new PartitionReader<InternalRow>() {
-        private boolean done = false;
+        private int i = -1;
 
         @Override
         public boolean next() {
-          if (done) {
-            return false;
-          }
-          done = true;
-          return true;
+          i++;
+          return i < rows.size();
         }
 
         @Override
         public InternalRow get() {
-          return new GenericInternalRow(values.clone());
+          return new GenericInternalRow(rows.get(i).clone());
         }
 
         @Override
@@ -433,15 +777,23 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     }
   }
 
-  // ---- honest row-scan fallback (bridge JSON-lines) -------------------------
+  // ---- row-scan path (bridge JSON-lines; filters exact, columns pruned) -----
 
   static class RowScan implements Scan, Batch {
     private final StructType schema;
     private final Map<String, String> opts;
+    private final String condsJson;
+    private final String columnsJson;
 
-    RowScan(StructType schema, CaseInsensitiveStringMap options) {
+    RowScan(
+        StructType schema,
+        CaseInsensitiveStringMap options,
+        String condsJson,
+        String columnsJson) {
       this.schema = schema;
       this.opts = new java.util.HashMap<>(options.asCaseSensitiveMap());
+      this.condsJson = condsJson;
+      this.columnsJson = columnsJson;
     }
 
     @Override
@@ -451,7 +803,9 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public String description() {
-      return "TileDBBridgeRowScan";
+      return "TileDBBridgeRowScan"
+          + (condsJson == null ? "" : " PushedConditions: " + condsJson)
+          + (columnsJson == null ? "" : " PrunedColumns: " + columnsJson);
     }
 
     @Override
@@ -462,18 +816,27 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     @Override
     public InputPartition[] planInputPartitions() {
       // split plan from the bridge (dim0 cuts / R-tree weights / string
-      // boundary keys — the same planner read_array uses) so the
-      // fallback scan parallelizes; a null entry = unbounded full scan
+      // boundary keys — the same planner read_array uses), intersected
+      // with pushed dim ranges + condition-NED; empty:true = provably
+      // no matching fragments -> ZERO partitions; a null entry =
+      // unbounded full scan
       Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
-      JsonNode out = b.call("splits", null);
+      JsonNode out = b.call("splits", null, condsJson, null);
       List<InputPartition> parts = new ArrayList<>();
+      if (out != null
+          && out.path("ok").asBoolean(false)
+          && out.path("empty").asBoolean(false)) {
+        return new InputPartition[0];
+      }
       if (out != null && out.path("ok").asBoolean(false)
           && out.path("splits").isArray() && out.path("splits").size() > 0) {
         for (JsonNode s : out.path("splits")) {
-          parts.add(new RowsPartition(opts, s.isNull() ? null : s.toString()));
+          parts.add(
+              new RowsPartition(
+                  opts, s.isNull() ? null : s.toString(), condsJson, columnsJson));
         }
       } else {
-        parts.add(new RowsPartition(opts, null));
+        parts.add(new RowsPartition(opts, null, condsJson, columnsJson));
       }
       return parts.toArray(new InputPartition[0]);
     }
@@ -488,10 +851,15 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
   static class RowsPartition implements InputPartition {
     final Map<String, String> opts;
     final String rangesJson; // null = unbounded
+    final String condsJson; // null = no pushed conditions
+    final String columnsJson; // null = full schema order
 
-    RowsPartition(Map<String, String> opts, String rangesJson) {
+    RowsPartition(
+        Map<String, String> opts, String rangesJson, String condsJson, String columnsJson) {
       this.opts = opts;
       this.rangesJson = rangesJson;
+      this.condsJson = condsJson;
+      this.columnsJson = columnsJson;
     }
   }
 
@@ -505,7 +873,8 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     RowsReader(RowsPartition part, StructType schema) {
       this.schema = schema;
       Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(part.opts));
-      this.proc = b.start("rows", null, part.rangesJson);
+      this.proc =
+          b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null);
       this.out =
           new BufferedReader(new InputStreamReader(proc.getInputStream(), StandardCharsets.UTF_8));
     }
@@ -527,30 +896,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         StructField[] fields = schema.fields();
         Object[] vals = new Object[fields.length];
         for (int i = 0; i < fields.length; i++) {
-          JsonNode v = arr.get(i);
-          DataType t = fields[i].dataType();
-          if (v == null || v.isNull()) {
-            vals[i] = null;
-          } else if (t == DataTypes.StringType) {
-            vals[i] = UTF8String.fromString(v.asText());
-          } else if (t == DataTypes.LongType) {
-            vals[i] = v.asLong();
-          } else if (t == DataTypes.IntegerType) {
-            vals[i] = (int) v.asLong();
-          } else if (t == DataTypes.ShortType) {
-            vals[i] = (short) v.asLong();
-          } else if (t == DataTypes.ByteType) {
-            vals[i] = (byte) v.asLong();
-          } else if (t == DataTypes.DoubleType) {
-            vals[i] = v.asDouble();
-          } else if (t == DataTypes.FloatType) {
-            vals[i] = (float) v.asDouble();
-          } else if (t == DataTypes.BooleanType) {
-            vals[i] = v.asBoolean();
-          } else {
-            throw new RuntimeException(
-                "tiledb_agg rows bridge: unsupported type " + t + " for " + fields[i].name());
-          }
+          vals[i] = jsonToSpark(arr.get(i), fields[i].dataType());
         }
         current = new GenericInternalRow(vals);
         return true;

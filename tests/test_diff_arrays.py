@@ -230,3 +230,37 @@ def test_diff_allows_dups_refuses(spark, tmp_path):
                           version=19)
     with pytest.raises(ValueError, match="unique row identity"):
         diff_arrays(spark, uri, at_old=1000, at_new=2000)
+
+
+def test_diff_vacuumed_snapshot_raises(spark, tmp_path):
+    """Consolidate-then-vacuum covering at_old DESTROYS the old
+    snapshot; the diff must raise instead of reporting every surviving
+    row as 'added' (round-7 advisor finding)."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        consolidate_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+    )
+
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"k": [1, 2], "v": [10, 20]}, ts=1000, version=19
+    )
+    write_native_fragment(
+        uri, {"k": [3, 4], "v": [30, 40]}, ts=2000, version=19
+    )
+    # BEFORE vacuum: at_old=1500 still resolves (originals on disk)
+    consolidate_array(spark, uri, target_splits=2)
+    got = _got(spark, uri, 1500, None)
+    assert got == {3: ("added", None, 30), 4: ("added", None, 40)}
+    # AFTER vacuum: the 1500 snapshot is gone -> loud failure
+    assert vacuum_native_array(uri) > 0
+    with pytest.raises(ValueError, match="destroyed by consolidation"):
+        diff_arrays(spark, uri, at_old=1500, at_new=None)
+    # a timestamp AFTER the consolidated range still diffs fine
+    write_native_fragment(
+        uri, {"k": [5], "v": [50]}, ts=3000, version=19
+    )
+    got2 = _got(spark, uri, 2500, None)
+    assert got2 == {5: ("added", None, 50)}

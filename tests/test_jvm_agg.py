@@ -155,3 +155,125 @@ def test_agg_refuses_unprovable_stats(spark, tmp_path):
     assert "MetadataAggScan" not in plan  # honest refusal
     row = spark.sql(q).collect()[0]
     assert (row.n, row.mx) == (100, 999.0)
+
+
+def test_agg_composes_with_pushed_filters(spark, tmp_path):
+    """Round 8: aggregates COMPOSE with pushed dim-range filters in one
+    plan (the reference's range-stealing, ha_mytile.cc:634-640) — the
+    windowed metadata aggregate answers WHERE dim BETWEEN a AND b with
+    only edge tiles decoded.  Interior-only windows on tile boundaries
+    stay fully decode-free."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = _mk(tmp_path, n=500)
+    agg_reader(spark, uri).load().createOrReplaceTempView("jvm_agg_c")
+    q = (
+        "SELECT COUNT(*) AS n, SUM(q) AS sq, MIN(v) AS mn "
+        "FROM jvm_agg_c WHERE k BETWEEN 100 AND 299"
+    )
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "MetadataAggScan" in plan, plan
+    row = spark.sql(q).collect()[0]
+    assert (row.n, row.sq, row.mn) == (
+        200, sum(i % 7 for i in range(100, 300)), 50.0,
+    )
+    # attr-condition residual makes stats unprovable: honest fallback,
+    # filter still pushed into the scan (exact), correct value
+    q2 = "SELECT COUNT(*) AS n FROM jvm_agg_c WHERE q = 3"
+    p2 = spark.sql(q2)._jdf.queryExecution().executedPlan().toString()
+    assert "MetadataAggScan" not in p2
+    assert "PushedConditions" in p2
+    assert spark.sql(q2).collect()[0].n == sum(
+        1 for i in range(500) if i % 7 == 3
+    )
+
+
+def test_grouped_rollup_pushdown_zero_scan(spark, tmp_path):
+    """Round 8: GROUP BY FLOOR(dim0/width) pushes into the scan and is
+    answered by the bucketed metadata rollup (q340 behind plain SQL) —
+    poison-proven when the tile grid aligns with the buckets."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = str(tmp_path / "grid")
+    create_native_array(
+        uri,
+        [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+        capacity=100,  # tiles pack per 100 cells = the bucket grid
+    )
+    write_native_fragment(
+        uri,
+        {"k": list(range(400)), "v": [i * 3 for i in range(400)]},
+        ts=10, version=19,
+    )
+    _poison_data_tiles(uri)
+    agg_reader(spark, uri).load().createOrReplaceTempView("jvm_agg_g")
+    q = (
+        "SELECT FLOOR(k/100) AS b, COUNT(*) AS n, SUM(v) AS sv, "
+        "MIN(v) AS mn, MAX(v) AS mx FROM jvm_agg_g "
+        "GROUP BY FLOOR(k/100) ORDER BY b"
+    )
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "GroupedPushedAggregates" in plan, plan
+    rows = [(r.b, r.n, r.sv, r.mn, r.mx) for r in spark.sql(q).collect()]
+    assert rows == [
+        (b, 100, sum(i * 3 for i in range(b * 100, b * 100 + 100)),
+         b * 300, (b * 100 + 99) * 3)
+        for b in range(4)
+    ]
+    # GROUP BY the dim itself also pushes (width-1 buckets decode
+    # per-cell, so this runs on an unpoisoned twin)
+    uri2 = str(tmp_path / "grid2")
+    create_native_array(
+        uri2,
+        [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+        capacity=100,
+    )
+    write_native_fragment(
+        uri2, {"k": list(range(10)), "v": list(range(10))},
+        ts=10, version=19,
+    )
+    agg_reader(spark, uri2).load().createOrReplaceTempView("jvm_agg_g2")
+    q2 = (
+        "SELECT k, COUNT(*) AS n FROM jvm_agg_g2 WHERE k < 3 "
+        "GROUP BY k ORDER BY k"
+    )
+    p2 = spark.sql(q2)._jdf.queryExecution().executedPlan().toString()
+    assert "GroupedPushedAggregates" in p2
+    assert [(r.k, r.n) for r in spark.sql(q2).collect()] == [
+        (0, 1), (1, 1), (2, 1),
+    ]
+
+
+def test_scan_filter_pushdown_and_pruning(spark, tmp_path):
+    """Round 8: the scan path pushes =, ranges, IN, IS NULL and prunes
+    the projection — no Spark-side residual (the decoder applies them
+    EXACTLY, 3VL included), zero partitions when provably empty."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = _mk(tmp_path, n=300)
+    df = agg_reader(spark, uri).load()
+    df.createOrReplaceTempView("jvm_scan_p")
+    q = "SELECT v FROM jvm_scan_p WHERE w >= 290 AND k < 299"
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedConditions" in plan and "PrunedColumns" in plan
+    assert "FilterExec" not in plan  # fully absorbed, no residual
+    # w NULL at k%5==0 -> 290 and 295 drop (3VL), 299 out of range
+    assert sorted(r.v for r in spark.sql(q).collect()) == [
+        145.5, 146.0, 146.5, 147.0, 148.0, 148.5, 149.0,
+    ]
+    got = spark.sql(
+        "SELECT k FROM jvm_scan_p WHERE w IS NULL AND k >= 290"
+    ).collect()
+    assert sorted(r.k for r in got) == [290, 295]
+    got_in = spark.sql(
+        "SELECT k, tag FROM jvm_scan_p WHERE k IN (1, 4, 9)"
+    ).collect()
+    assert sorted((r.k, r.tag) for r in got_in) == [
+        (1, "t1"), (4, "t1"), (9, "t0"),
+    ]
+    # provably-empty condition: the split plan returns zero partitions
+    assert spark.sql(
+        "SELECT * FROM jvm_scan_p WHERE q = 99"
+    ).collect() == []

@@ -192,3 +192,44 @@ def test_allows_dups_target_probe_no_fanout(spark, tmp_path):
     # dups schema keeps every copy; the update adds one more k=1 cell
     st = sorted(_state(spark, uri))
     assert st.count((1, 99)) == 1 and (5, 55) not in st
+
+
+def test_delete_clause_key_cap(spark, tmp_path):
+    """The DELETE clause collects matched keys to the driver for the
+    IN-list commit — bounded by max_delete_keys, refusing over-limit
+    merges with a pointer to the predicate form."""
+    uri = _mk(tmp_path)
+    with pytest.raises(ValueError, match="write_delete_condition"):
+        merge_into_array(
+            spark, uri, _src(spark, [(1, 0), (2, 0), (3, 0)]),
+            when_matched="delete", when_not_matched="skip", ts=2000,
+            max_delete_keys=2,
+        )
+    # under the cap: works as before
+    c = merge_into_array(
+        spark, uri, _src(spark, [(1, 0), (2, 0)]),
+        when_matched="delete", when_not_matched="skip", ts=2000,
+        max_delete_keys=2,
+    )
+    assert c["deleted"] == 2
+    assert _state(spark, uri) == [(3, 30)]
+
+
+def test_skip_skip_no_counts_no_write_job(spark, tmp_path, monkeypatch):
+    """return_counts=False with both clauses skipping must not launch
+    the (statically empty) write job (round-7 advisor finding)."""
+    import tiledb_mariadb_spark.sources.tiledb_array as ta
+
+    uri = _mk(tmp_path)
+    calls = []
+    real = ta.write_array
+    monkeypatch.setattr(
+        ta, "write_array", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    merge_into_array(
+        spark, uri, _src(spark, [(2, 99), (4, 44)]),
+        when_matched="skip", when_not_matched="skip", ts=2000,
+        return_counts=False,
+    )
+    assert calls == []
+    assert _state(spark, uri) == [(1, 10), (2, 20), (3, 30)]

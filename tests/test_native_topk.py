@@ -174,6 +174,66 @@ def test_topk_nullable_attr(spark, tmp_path):
     assert all(v is not None for _, v in got)
 
 
+def test_topk_nullable_ascending_both_plans(spark, tmp_path):
+    """Ascending over a nullable column must agree between the PRUNED
+    plan (pushed (col, '<=', thr) drops NULLs — they fail every
+    comparison) and the FALLBACK plan — which therefore must sort
+    NULLS LAST, not Spark's asc() default of NULLS FIRST.  Advisor
+    finding r7 (tiledb_array.py topk_array ordering)."""
+    # pruned path: two disjoint fragments, bound provable
+    uri = _mk(tmp_path, "an", nullable=True)
+    write_native_fragment(
+        uri,
+        {"k": list(range(100)),
+         "v": [None if i % 4 == 0 else i for i in range(100)]},
+        ts=1, version=19,
+    )
+    write_native_fragment(
+        uri,
+        {"k": list(range(100, 200)), "v": list(range(100, 200))},
+        ts=2, version=19,
+    )
+    assert topk_threshold(uri, "v", 10, ascending=True) is not None
+    got = _got(spark, uri, "v", 10, ascending=True)
+    assert got == _brute(spark, uri, "v", 10, ascending=True)
+    assert all(v is not None for _, v in got)
+    # fallback path: one tiny overlapped layout where no bound proves
+    urif = _mk(tmp_path, "anf", nullable=True)
+    write_native_fragment(
+        urif, {"k": [1, 2, 3, 4], "v": [None, 3, 1, 2]}, ts=1, version=19
+    )
+    write_native_fragment(
+        urif, {"k": [2, 5], "v": [None, 0]}, ts=2, version=19
+    )
+    b = NativeDecoderBackend()
+    assert b.topk_threshold(urif, "v", 4, ascending=True) is None
+    gotf = _got(spark, urif, "v", 4, ascending=True)
+    # NULLS LAST: the non-null values come first, ascending
+    assert gotf == [(5, 0), (3, 1), (4, 2), (1, None)]
+
+
+def test_topk_projection_drops_widened_col(spark, tmp_path):
+    """When `columns` excludes the ordering column, it is widened in
+    only to sort and must NOT appear in the returned schema."""
+    uri = str(tmp_path / "projw")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("w", 1, 1, False, None),
+        ],
+    )
+    ks = list(range(50))
+    write_native_fragment(
+        uri, {"k": ks, "v": ks, "w": [i * 10 for i in ks]},
+        ts=1, version=19,
+    )
+    df = topk_array(spark, uri, "v", 3, columns=["w"])
+    assert "v" not in df.columns
+    assert sorted(r["w"] for r in df.collect()) == [470, 480, 490]
+
+
 def test_topk_string_attr(spark, tmp_path):
     uri = str(tmp_path / "s")
     create_native_array(

@@ -175,6 +175,8 @@ def test_no_python_udf_in_any_plan(spark):
         # surviving-state scan: same declared native-io boundary
         "q350_keyed_asof",  # per-split keyed merge_asof over both
         # arrays' subarrays: same declared native-io boundary
+        "q352_jvm_grouped_rollup",  # the fragment-ingest mapInPandas
+        # feeding the JVM provider: same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

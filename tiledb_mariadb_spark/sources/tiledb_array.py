@@ -1101,9 +1101,23 @@ def topk_array(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     info = backend.info(uri, at=at)
-    order = [F.col(col).asc() if ascending else F.col(col).desc()]
+    # NULLs must sort LAST in both directions: the pruned plan pushes a
+    # (col, '<='/'>=', thr) condition, which NULL never satisfies, so a
+    # plain asc() (Spark default: NULLS FIRST) would make the pruned and
+    # fallback plans disagree on a nullable column.  asc_nulls_last()
+    # matches the pruned plan, the pandas brute-force helper, and
+    # DuckDB's default ordering.
+    order = [
+        F.col(col).asc_nulls_last() if ascending
+        else F.col(col).desc_nulls_last()
+    ]
     order += [F.col(d.name).asc() for d in info.dims if d.name != col]
-    return df.orderBy(*order).limit(k)
+    out = df.orderBy(*order).limit(k)
+    if cols is not None:
+        # the ordering column was widened into the projection only to
+        # sort; the caller's requested schema excludes it
+        out = out.drop(col)
+    return out
 
 
 def diff_arrays(
@@ -1187,8 +1201,23 @@ def diff_arrays(
     # delete removes rows anywhere, outside any fragment's box)
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
         delete_commits_in_window,
+        snapshot_destroyed,
     )
 
+    # vacuum hazard: if consolidate-then-vacuum covered at_old, the old
+    # snapshot no longer exists on disk and the at_old read would see
+    # NOTHING — the diff would plausibly (and wrongly) report every row
+    # as 'added'.  Raise instead of lying (round-7 advisor finding).
+    try:
+        if snapshot_destroyed(uri, at_old):
+            raise ValueError(
+                f"diff_arrays: the snapshot at at_old={at_old} was "
+                "destroyed by consolidation + vacuum (a consolidated "
+                "fragment straddles it and the originals are gone); "
+                "the diff would misreport every row as 'added'"
+            )
+    except OSError:
+        pass  # non-native layout: the backend defines visibility
     dim_ranges = None
     try:
         dels = delete_commits_in_window(uri, since=at_old + 1, at=at_new)
@@ -1478,6 +1507,7 @@ def merge_into_array(
     on_source_dups: str = "error",
     return_counts: bool = True,
     target_splits: int = 32,
+    max_delete_keys: int = 100_000,
 ) -> dict:
     """MERGE INTO for native arrays: the row identity is the dimension
     tuple (the array key), ``source`` supplies dims + the attribute
@@ -1569,6 +1599,7 @@ def merge_into_array(
         if bounds[f"{dim_names[0]}_lo"] is None:
             to_write = source.limit(0)
             matched = not_matched = 0
+            counts["written"] = 0  # empty source: nothing to write
         else:
             box = {
                 d: (bounds[f"{d}_lo"], bounds[f"{d}_hi"])
@@ -1591,13 +1622,15 @@ def merge_into_array(
                 keep.append(F.col("__m").isNotNull())
             if when_not_matched == "insert":
                 keep.append(F.col("__m").isNull())
-            to_write = (
-                flagged.filter(
+            if keep:
+                to_write = flagged.filter(
                     keep[0] if len(keep) == 1 else (keep[0] | keep[1])
                 ).drop("__m")
-                if keep
-                else flagged.limit(0).drop("__m")
-            )
+            else:
+                # no clause writes rows (e.g. delete/skip + skip):
+                # statically empty, never launch the write job
+                to_write = flagged.limit(0).drop("__m")
+                counts["written"] = 0
             if return_counts:
                 agg = flagged.agg(
                     F.count(F.col("__m")).alias("m"),
@@ -1618,11 +1651,23 @@ def merge_into_array(
                     write_delete_condition,
                 )
 
-                keys = [
-                    r[dim_names[0]]
-                    for r in flagged.filter(F.col("__m").isNotNull())
-                    .select(dim_names[0]).collect()
-                ]
+                # driver-side IN-list is bounded: take(N+1) caps the
+                # collect, and over-limit merges are refused with a
+                # pointer to the predicate form (which never collects)
+                key_rows = (
+                    flagged.filter(F.col("__m").isNotNull())
+                    .select(dim_names[0])
+                    .take(max_delete_keys + 1)
+                )
+                if len(key_rows) > max_delete_keys:
+                    raise ValueError(
+                        f"when_matched='delete' matched more than "
+                        f"{max_delete_keys} keys; a driver-side IN-list "
+                        "delete at that scale is unsafe — use "
+                        "write_delete_condition with a range/predicate "
+                        "form, or raise max_delete_keys explicitly"
+                    )
+                keys = [r[dim_names[0]] for r in key_rows]
                 if keys:
                     # one O(|keys|) .del commit — no fragment rewritten;
                     # for corpus-scale purges use a PREDICATE delete

@@ -4277,6 +4277,44 @@ def delete_commits_in_window(
     return False
 
 
+def snapshot_destroyed(array_dir: str, at: int) -> bool:
+    """True when time travel to ``at`` was DESTROYED by consolidation +
+    vacuum: some committed consolidated fragment's ``[t1, t2]`` straddles
+    ``at`` (``t1 <= at < t2`` — so the open_at rule excludes it and falls
+    back to the originals it merged), but NO original fragment survives
+    inside ``[t1, at]`` (they were vacuumed).  An ``at`` read would then
+    silently see nothing of that era — the classic TileDB vacuum hazard
+    (the reference inherits it verbatim via open_at,
+    ha_mytile.cc:3440-3455).  Snapshot-diff uses this to RAISE instead of
+    reporting a plausible-looking all-'added' diff (round-7 advisor
+    finding).  A pure name listing — no tile reads."""
+    root = os.path.join(array_dir, "__fragments")
+    if not os.path.isdir(root):
+        root = array_dir
+    skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    committed = _committed_names(array_dir, root)
+    names = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("__")
+        and d not in skip
+        and os.path.isdir(os.path.join(root, d))
+        and (committed is None or d in committed)
+    ]
+    ranges = [_frag_range(d) for d in names]
+    for t1, t2 in ranges:
+        if not (t1 <= at < t2):
+            continue  # plain write or not straddling ``at``
+        # the consolidated fragment merged at least one original with
+        # timestamp <= at (its t1); does any survivor cover that era?
+        if not any(
+            (a1, a2) != (t1, t2) and t1 <= a1 and a2 <= at
+            for a1, a2 in ranges
+        ):
+            return True
+    return False
+
+
 def _ned_provably_disjoint(fa, fb) -> bool:
     """True only when two footers' non-empty domains provably do not
     overlap (some dimension's intervals are separated).  Fixed dims use

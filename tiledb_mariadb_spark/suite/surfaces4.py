@@ -1593,3 +1593,120 @@ SPECS.append(
         "is DuckDB ASOF LEFT JOIN with symbol equality + range bound",
     )
 )
+
+
+# --- q352: unified JVM provider — grouped rollup + filter composition (r8) ---
+# Round 8 unifies the JVM DSv2 shim into one provider: format
+# ("tiledb_agg") now serves the SCAN path (filter pushdown applied
+# exactly by the decoder, projection pruned, split plan intersected
+# with the condition-NED) AND composes aggregates with pushed filters —
+# the reference's range-stealing (group_by_handler consumes the
+# already-pushed ranges + conditions, ha_mytile.cc:634-640) — AND
+# pushes GROUP BY FLOOR(dim0/width) down to the bucketed metadata
+# rollup (q340's engine surface, now behind plain SQL).  This spec
+# drives all three from one SQL statement: a bucketed revenue rollup
+# over a key window, with the plan-level pushdown proof returned as a
+# column the oracle pins TRUE.
+_Q352_W = 1000
+_Q352_LO, _Q352_HI = 500, 30000
+
+
+def q352_jvm_grouped_rollup(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.jvm_agg import (  # noqa: PLC0415
+        agg_reader,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    uri = tempfile.mkdtemp(prefix="q352_jvm_rollup_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("cents", 1, 1, False, None),
+            NativeAttr("custkey", 1, 1, False, None),
+        ],
+        capacity=_Q352_W,  # tiles pack per bucket-width cells
+    )
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_custkey").alias("custkey"),
+    )
+
+    def part(batches):
+        parts = list(batches)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
+            write_native_fragment(
+                uri,
+                {c: list(pdf[c]) for c in pdf.columns},
+                version=19,
+            )
+        yield pd.DataFrame({"written": [len(parts)]})
+
+    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    agg_reader(spark, uri).load().createOrReplaceTempView("q352_arr")
+    df = spark.sql(
+        f"SELECT CAST(FLOOR(k/{_Q352_W}) AS BIGINT) AS bucket, "
+        "COUNT(*) AS n, SUM(cents) AS sum_cents, "
+        "MIN(custkey) AS min_cust, MAX(custkey) AS max_cust "
+        f"FROM q352_arr WHERE k BETWEEN {_Q352_LO} AND {_Q352_HI} "
+        f"GROUP BY FLOOR(k/{_Q352_W}) ORDER BY bucket"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = "GroupedPushedAggregates" in plan
+    # the filtered SCAN path of the same provider (pushed conditions +
+    # pruned projection — no Spark residual): total of one bucket
+    probe = spark.sql(
+        f"SELECT SUM(cents) AS s FROM q352_arr "
+        f"WHERE k >= {_Q352_LO} AND k < {_Q352_W}"
+    ).collect()[0]["s"]
+    return (
+        df.withColumn("pushed_to_metadata", F.lit(pushed))
+        .withColumn("first_bucket_cents", F.lit(probe).cast("long"))
+    )
+
+
+Q352_SQL = f"""
+SELECT CAST(FLOOR(o_orderkey / {_Q352_W}.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+         AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+       TRUE AS pushed_to_metadata,
+       (SELECT CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+          AS BIGINT)) AS BIGINT) FROM orders
+        WHERE o_orderkey >= {_Q352_LO} AND o_orderkey < {_Q352_W})
+         AS first_bucket_cents
+FROM orders
+WHERE o_orderkey BETWEEN {_Q352_LO} AND {_Q352_HI}
+GROUP BY 1
+ORDER BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q352_jvm_grouped_rollup",
+        q352_jvm_grouped_rollup,
+        Q352_SQL,
+        "unified JVM provider (round 8): plain-SQL GROUP BY "
+        "FLOOR(dim0/width) + WHERE dim-range pushed through "
+        "format('tiledb_agg') to the bucketed metadata rollup, with "
+        "exact filter pushdown + pruning on the same provider's scan "
+        "path (range-stealing composition, ha_mytile.cc:634-640)",
+    )
+)

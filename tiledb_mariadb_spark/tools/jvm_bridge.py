@@ -1,17 +1,29 @@
-"""Subprocess bridge for the JVM aggregate-pushdown shim.
+"""Subprocess bridge for the unified JVM DataSource V2 shim.
 
 ``java/TileDBAggDataSource.java`` (the DataSource V2 provider behind
 ``spark.read.format("tiledb_agg")``) launches this module to reach the
 repo's pure-Python native decoder from the JVM:
 
 - ``schema --uri U``: the array's Spark DDL as one JSON object;
-- ``agg --uri U --aggs count;min:c;sum:c``: metadata-only aggregate
-  values (count_native_array / attr_stats_native_array — the
-  group_by_handler trust rules, ha_mytile.cc:607-715: never a guessed
-  value, ``ok=false`` whenever the merged view could differ from
-  per-fragment stats) as one JSON object;
-- ``rows --uri U``: the full decoded table as JSON lines (the honest
-  scan fallback when an aggregate cannot be proven from metadata).
+- ``agg --uri U --aggs count;min:c;sum:c [--conditions J]``:
+  metadata-only aggregate values (count_native_array /
+  attr_stats_native_array, or windowed_agg_native when pushed dim-range
+  conditions window the scan — the group_by_handler trust rules,
+  ha_mytile.cc:607-715 + the range-stealing composition of
+  ha_mytile.cc:634-640: never a guessed value, ``ok=false`` whenever
+  the merged view could differ from per-fragment stats) as one JSON
+  object;
+- ``gagg --uri U --aggs ... --group dim0:width [--conditions J]``:
+  GROUP BY floor(dim0/width) rollup rows from bucketed_agg_native
+  (footer walk + edge-tile decode — the q340 metadata rollup, now
+  reachable from plain SQL);
+- ``splits --uri U [--conditions J]``: the split plan for the scan
+  (dim0 cuts / R-tree weights / string boundary keys, intersected with
+  pushed dim ranges and the condition-NED — read_array parity);
+- ``rows --uri U [--ranges J] [--conditions J] [--columns J]``: the
+  decoded table as JSON lines — pushed conditions applied EXACTLY
+  (QueryCondition analog) and the projection pruned, so the fallback
+  scan is filter- and column-pushed like the Python datasource.
 
 Everything prints to stdout; errors exit nonzero with the reason on
 stderr (the Java side surfaces both).
@@ -23,6 +35,10 @@ import argparse
 import json
 import sys
 
+# FLOOR(k/width) in SQL is DOUBLE division: exact vs integer ``k//width``
+# only while |k| < 2^52 (quotient*width below the 53-bit mantissa).
+_FLOOR_SAFE = 1 << 52
+
 
 def _json_cell(v):
     if hasattr(v, "item"):  # numpy scalar
@@ -30,14 +46,120 @@ def _json_cell(v):
     raise TypeError(f"unsupported cell type {type(v).__name__}")
 
 
+def _parse_conditions(s: str | None):
+    """JSON ``[[col, op, value?], ...]`` -> backend condition tuples."""
+    if not s or s == "null":
+        return None
+    out = []
+    for c in json.loads(s):
+        col, op = c[0], c[1]
+        if op in ("is_null", "is_not_null"):
+            out.append((col, op))
+        elif op == "in":
+            out.append((col, "in", tuple(c[2])))
+        else:
+            out.append((col, op, c[2]))
+    return out or None
+
+
+def _fold_dim_ranges(schema, conds):
+    """Fold integer-dim range conjuncts into ``{dim: (lo, hi)}``.
+
+    Returns ``(ranges, rest)`` where ``rest`` holds every conjunct not
+    expressible as one inclusive per-dim range (attr conditions, IN,
+    NULL tests, non-integer values).  The metadata aggregate path only
+    fires when ``rest`` is empty — stats cannot prove anything under a
+    residual filter."""
+    dim_names = {d.name for d in schema.dims}
+    non_nullable = dim_names | {
+        a.name for a in schema.attrs if not a.nullable
+    }
+    ranges: dict = {}
+    rest = []
+
+    def _narrow(name, lo, hi):
+        clo, chi = ranges.get(name, (None, None))
+        nlo = lo if clo is None else (clo if lo is None else max(clo, lo))
+        nhi = hi if chi is None else (chi if hi is None else min(chi, hi))
+        ranges[name] = (nlo, nhi)
+
+    for c in conds or []:
+        col, op = c[0], c[1]
+        v = c[2] if len(c) > 2 else None
+        if op == "is_not_null" and col in non_nullable:
+            # vacuous (Spark's inferred null-intolerance on a dim or a
+            # non-nullable attr): coordinates are never NULL
+            continue
+        is_int = isinstance(v, int) and not isinstance(v, bool)
+        if col in dim_names and is_int and op in ("=", "<", "<=", ">", ">="):
+            if op == "=":
+                _narrow(col, v, v)
+            elif op == ">=":
+                _narrow(col, v, None)
+            elif op == ">":
+                _narrow(col, v + 1, None)
+            elif op == "<=":
+                _narrow(col, None, v)
+            else:
+                _narrow(col, None, v - 1)
+        else:
+            rest.append(c)
+    return ranges, rest
+
+
+def _field_value(op: str, f: dict):
+    """One aggregate value from a windowed/bucketed per-field stat dict
+    (exact by construction).  Returns (ok, value)."""
+    cnt = f.get("count")
+    if op == "countcol":
+        return (cnt is not None, cnt)
+    if cnt == 0:
+        return (True, None)  # SQL MIN/MAX/SUM/AVG over zero rows = NULL
+    if op in ("min", "max"):
+        v = f.get(op)
+        return (v is not None, v)
+    if op == "sum":
+        v = f.get("sum")
+        return (v is not None, v)
+    if op == "avg":
+        v = f.get("sum")
+        if v is None or not cnt:
+            return (False, None)
+        return (True, float(v) / int(cnt))
+    return (False, None)
+
+
+def _extract(reqs, count, fields):
+    """Aggregate request list -> values from a windowed/bucketed result
+    (``count`` = row count, ``fields`` = per-field stat dicts).  None =
+    some request is not provable."""
+    vals = []
+    for req in reqs:
+        if req == "count":
+            vals.append(int(count))
+            continue
+        op, _, col = req.partition(":")
+        f = fields.get(col)
+        if f is None:
+            return None
+        ok, v = _field_value(op, f)
+        if not ok:
+            return None
+        vals.append(_json_cell(v) if hasattr(v, "item") else v)
+    return vals
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jvm_bridge")
-    p.add_argument("cmd", choices=["schema", "agg", "rows", "splits"])
+    p.add_argument("cmd", choices=["schema", "agg", "gagg", "rows", "splits"])
     p.add_argument("--uri", required=True)
     p.add_argument("--at", type=int, default=None)
     p.add_argument("--encryption-key", default=None)
     p.add_argument("--aggs", default="")
     p.add_argument("--ranges", default=None)  # JSON [[lo,hi],...] | null
+    p.add_argument("--conditions", default=None)  # JSON [[col,op,val?],...]
+    p.add_argument("--columns", default=None)  # JSON [name, ...]
+    p.add_argument("--group", default=None)  # "dim0:width"
     p.add_argument("--target-splits", type=int, default=16)
     a = p.parse_args(argv)
 
@@ -45,10 +167,11 @@ def main(argv=None) -> int:
         NativeDecoderBackend,
     )
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _schema_path,
         attr_stats_native_array,
         count_native_array,
         open_encryption,
-        read_native_array_range,
+        parse_array_schema,
     )
 
     if a.encryption_key is not None:
@@ -69,13 +192,50 @@ def main(argv=None) -> int:
         return 0
 
     if a.cmd == "agg":
+        reqs = [r for r in a.aggs.split(";") if r]
+        conds = _parse_conditions(a.conditions)
+        if conds:
+            # range-stealing composition (ha_mytile.cc:634-640): pushed
+            # dim ranges window the metadata aggregate; anything else
+            # residual makes stats unprovable -> honest scan fallback
+            from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+                windowed_agg_native,
+            )
+
+            try:
+                schema = parse_array_schema(_schema_path(a.uri))
+            except (OSError, ValueError) as e:
+                print(json.dumps({"ok": False, "reason": str(e)}))
+                return 0
+            ranges, rest = _fold_dim_ranges(schema, conds)
+            if rest:
+                print(json.dumps(
+                    {"ok": False, "reason": "non-range conditions"}
+                ))
+                return 0
+            fcols = sorted({
+                r.partition(":")[2] for r in reqs if ":" in r
+            })
+            w = windowed_agg_native(a.uri, ranges, fields=fcols, at=a.at)
+            vals = None if w is None else _extract(
+                reqs, w["count"], w["fields"]
+            )
+            if vals is None:
+                print(json.dumps(
+                    {"ok": False, "reason": "stats not provable"}
+                ))
+            else:
+                print(json.dumps(
+                    {"ok": True, "values": vals}, default=_json_cell
+                ))
+            return 0
         cnt = count_native_array(a.uri, at=a.at)
         st = attr_stats_native_array(a.uri, at=a.at)
         if cnt is None or st is None:
             print(json.dumps({"ok": False, "reason": "stats not provable"}))
             return 0
         vals = []
-        for req in [r for r in a.aggs.split(";") if r]:
+        for req in reqs:
             if req == "count":
                 vals.append(int(cnt))
                 continue
@@ -111,11 +271,6 @@ def main(argv=None) -> int:
                 # ones (a nullable field without the stat — e.g. an
                 # enumerated attr, whose stats describe ordinals — is
                 # refused, never guessed)
-                from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
-                    _schema_path,
-                    parse_array_schema,
-                )
-
                 schema = parse_array_schema(_schema_path(a.uri))
                 nullable = {x.name for x in schema.attrs if x.nullable}
                 if col not in nullable and col in st:
@@ -137,11 +292,71 @@ def main(argv=None) -> int:
         print(json.dumps({"ok": True, "values": vals}, default=_json_cell))
         return 0
 
+    if a.cmd == "gagg":
+        # GROUP BY floor(dim0/width) from fragment metadata — the q340
+        # bucketed rollup behind plain SQL.  Sound-or-refuse.
+        from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+            bucketed_agg_native,
+        )
+
+        reqs = [r for r in a.aggs.split(";") if r]
+        col, _, wtxt = (a.group or "").rpartition(":")
+        try:
+            width = int(wtxt)
+            schema = parse_array_schema(_schema_path(a.uri))
+        except (ValueError, OSError) as e:
+            print(json.dumps({"ok": False, "reason": f"bad group: {e}"}))
+            return 0
+        if width <= 0 or col != schema.dims[0].name:
+            print(json.dumps(
+                {"ok": False, "reason": "group col must be dim0"}
+            ))
+            return 0
+        conds = _parse_conditions(a.conditions)
+        ranges, rest = _fold_dim_ranges(schema, conds)
+        if rest:
+            print(json.dumps({"ok": False, "reason": "non-range conditions"}))
+            return 0
+        try:
+            fcols = sorted({
+                q.partition(":")[2] for q in reqs if ":" in q
+            })
+            r = bucketed_agg_native(
+                a.uri, width, fields=fcols, at=a.at, ranges=ranges or None
+            )
+        except ValueError as e:
+            print(json.dumps({"ok": False, "reason": str(e)}))
+            return 0
+        if r is None:
+            print(json.dumps({"ok": False, "reason": "stats not provable"}))
+            return 0
+        rows = []
+        for b, acc in sorted(r["buckets"].items()):
+            if width > 1 and abs(int(b)) * width >= _FLOOR_SAFE:
+                # SQL's FLOOR(k/width) is double division — beyond 2^52
+                # it can misround vs exact integer bucketing: refuse
+                print(json.dumps(
+                    {"ok": False, "reason": "dim0 beyond float-exact range"}
+                ))
+                return 0
+            vals = _extract(reqs, acc["count"], acc["fields"])
+            if vals is None:
+                print(json.dumps(
+                    {"ok": False, "reason": "stats not provable"}
+                ))
+                return 0
+            rows.append([int(b), *vals])
+        print(json.dumps({"ok": True, "rows": rows}, default=_json_cell))
+        return 0
+
     if a.cmd == "splits":
-        # split plan for the fallback scan (one JVM partition per
-        # range — dim0 cuts, R-tree weights, string boundary keys, same
-        # planner as read_array); single split when bounds aren't
-        # JSON-expressible (bytes dims)
+        # split plan for the scan (one JVM partition per range — dim0
+        # cuts, R-tree weights, string boundary keys, same planner as
+        # read_array), intersected with pushed dim ranges and the
+        # condition-NED (needle queries launch tasks only where
+        # candidate fragments live; [] = provably empty -> zero
+        # partitions).  Single unbounded split when bounds aren't
+        # JSON-expressible (bytes dims).
         from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
             plan_splits,
         )
@@ -149,6 +364,24 @@ def main(argv=None) -> int:
         be = NativeDecoderBackend(encryption_key=a.encryption_key)
         try:
             info = be.info(a.uri, at=a.at)
+            conds = _parse_conditions(a.conditions)
+            dim_ranges: dict = {}
+            if conds:
+                schema = parse_array_schema(_schema_path(a.uri))
+                dim_ranges, _rest = _fold_dim_ranges(schema, conds)
+                cbox = be.condition_ned(a.uri, list(conds), at=a.at)
+                if cbox == []:
+                    print(json.dumps({"ok": True, "splits": [],
+                                      "empty": True}))
+                    return 0
+                if cbox is not None:
+                    for d, (clo, chi) in zip(info.dims, cbox):
+                        lo, hi = dim_ranges.get(d.name, (None, None))
+                        nlo = clo if lo is None else (
+                            lo if clo is None else max(lo, clo))
+                        nhi = chi if hi is None else (
+                            hi if chi is None else min(hi, chi))
+                        dim_ranges[d.name] = (nlo, nhi)
             weights = be.split_weights(a.uri, at=a.at)
             skeys = None
             if not any(
@@ -157,7 +390,7 @@ def main(argv=None) -> int:
             ):
                 skeys = be.string_split_keys(a.uri, at=a.at)
             splits = plan_splits(
-                info, None, a.target_splits,
+                info, dim_ranges or None, a.target_splits,
                 weights=weights, string_keys=skeys,
             )
             out = [[list(r) for r in s] for s in splits]
@@ -168,17 +401,40 @@ def main(argv=None) -> int:
             print(json.dumps({"ok": True, "splits": [None]}))
         return 0
 
-    # rows: the honest (split-parallel) scan fallback
+    # rows: the honest (split-parallel) scan fallback — pushed
+    # conditions applied EXACTLY, projection pruned
     try:
+        import pandas as pd  # noqa: PLC0415
+
+        be = NativeDecoderBackend(encryption_key=a.encryption_key)
+        info = be.info(a.uri, at=a.at)
+        allcols = [x.name for x in list(info.dims) + list(info.attrs)]
+        want = (
+            json.loads(a.columns)
+            if a.columns and a.columns != "null"
+            else allcols
+        )
         rng = None
         if a.ranges and a.ranges != "null":
             rng = [tuple(r) for r in json.loads(a.ranges)]
-        _names, rows = read_native_array_range(a.uri, ranges=rng, at=a.at)
+        else:
+            rng = [(None, None)] * len(info.dims)
+        pdf = be.read_range(
+            a.uri, rng, want, at=a.at,
+            conditions=_parse_conditions(a.conditions),
+        )
+        pdf = pdf.astype(object).where(pd.notna(pdf), None)
     except Exception as e:  # noqa: BLE001 - bridge boundary
         print(f"tiledb_agg rows bridge: {e}", file=sys.stderr)
         return 3
     w = sys.stdout.write
-    for r in rows:
+    if not len(pdf.columns):
+        # COUNT-style scans prune to zero columns; itertuples yields
+        # nothing then — emit one empty row per surviving row
+        for _ in range(len(pdf)):
+            w("[]\n")
+        return 0
+    for r in pdf.itertuples(index=False, name=None):
         try:
             w(json.dumps(list(r), default=_json_cell))
         except TypeError as e:
