@@ -1,0 +1,286 @@
+"""DENSE metadata aggregation (round 8): `dense_windowed_agg_native` /
+`dense_bucketed_agg_native` and their delegation from the sparse entry
+points.
+
+The dense read view materializes the union bounding box of the written
+subarrays, with fill values (nullable -> NULL) for uncovered cells — so
+a windowed aggregate decomposes into fragment stats (whole fragments in
+the window), clipped-edge decode (straddling fragments), and pure fill
+arithmetic (the gap region).  COUNT(*) is always the window-box volume.
+
+Reference anchor: ha_mytile.cc:592-601 — the reference allows SUM
+pushdown on dims only when dense and disables COUNT on dense because
+its handler cannot know the fill surface; this engine DEFINES the fill
+surface (q84 dense fill reads, driver-pinned), so both are exact here.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+
+from tiledb_mariadb_spark.sources.tiledb_native import (
+    NativeAttr,
+    NativeDim,
+    read_native_array_range,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_agg import (
+    bucketed_agg_native,
+    dense_bucketed_agg_native,
+    dense_windowed_agg_native,
+    windowed_agg_native,
+)
+from tiledb_mariadb_spark.sources.tiledb_native_write import (
+    create_native_array,
+    write_native_fragment,
+)
+
+
+def _mk(tmp_path, name="d", extent=10, nullable_w=True):
+    uri = str(tmp_path / name)
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 0, 1, (0, 9999), extent)],
+        attrs=[
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("w", 1, 1, nullable_w, None),
+        ],
+        array_type="DENSE",
+    )
+    return uri
+
+
+def _brute(uri, lo, hi, col, at=None):
+    names, rows = read_native_array_range(uri, ranges=[(lo, hi)], at=at)
+    i = names.index(col)
+    vals = [r[i] for r in rows]
+    nn = [v for v in vals if v is not None]
+    return {
+        "count_all": len(vals), "count": len(nn),
+        "null": len(vals) - len(nn),
+        "sum": sum(nn) if nn else None,
+        "min": min(nn) if nn else None,
+        "max": max(nn) if nn else None,
+    }
+
+
+def _check_window(uri, lo, hi, at=None):
+    res = windowed_agg_native(uri, {"k": (lo, hi)}, at=at)
+    assert res is not None
+    for col in ("v", "w"):
+        b = _brute(uri, lo, hi, col, at=at)
+        f = res["fields"][col]
+        assert res["count"] == b["count_all"], (lo, hi, col)
+        assert f["count"] == b["count"], (lo, hi, col, f, b)
+        assert f["sum"] == b["sum"], (lo, hi, col, f, b)
+        assert f["min"] == b["min"] and f["max"] == b["max"], (
+            lo, hi, col, f, b,
+        )
+    return res
+
+
+def test_windowed_matches_scan_with_gaps(tmp_path):
+    """Two disjoint written boxes with a fill gap between: every window
+    class — stats-only, edge-clipped, gap-only, mixed."""
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri,
+        {"v": list(range(50)),
+         "w": [None if i % 5 == 0 else i for i in range(50)]},
+        subarray=[(0, 49)], ts=1, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": list(range(100, 130)), "w": [7] * 30},
+        subarray=[(70, 99)], ts=2, version=19,
+    )
+    _check_window(uri, 0, 99)   # whole bbox: stats + fills
+    _check_window(uri, 5, 84)   # both fragments clipped
+    r = _check_window(uri, 55, 65)  # pure gap: zero decode
+    assert r["audit"]["cells_decoded"] == 0
+    assert r["fields"]["v"]["min"] == 0 and r["fields"]["v"]["max"] == 0
+    assert r["fields"]["w"]["count"] == 0  # nullable fill = NULL
+    _check_window(uri, 0, 49)   # one whole fragment
+    _check_window(uri, 40, 90)  # edge + gap + edge
+
+
+def test_windowed_randomized_parity(tmp_path):
+    rng = random.Random(11)
+    for trial in range(3):
+        uri = _mk(tmp_path, f"r{trial}")
+        pos = 0
+        for f in range(rng.randint(1, 4)):
+            pos += rng.randint(0, 30)
+            n = rng.randint(5, 60)
+            write_native_fragment(
+                uri,
+                {"v": [rng.randrange(100) for _ in range(n)],
+                 "w": [None if rng.random() < 0.3 else rng.randrange(50)
+                       for _ in range(n)]},
+                subarray=[(pos, pos + n - 1)], ts=f + 1, version=19,
+            )
+            pos += n
+        for _ in range(6):
+            lo = rng.randrange(0, pos)
+            hi = rng.randrange(lo, pos + 20)
+            _check_window(uri, lo, hi)
+
+
+def test_stats_path_decode_poison(tmp_path):
+    """Fragments wholly inside the window with non-null stats answer
+    WITHOUT decoding — poison every data tile and ask again."""
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"v": list(range(50)), "w": list(range(50))},
+        subarray=[(0, 49)], ts=1, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": list(range(100, 130)), "w": [7] * 30},
+        subarray=[(70, 99)], ts=2, version=19,
+    )
+    for frag in glob.glob(os.path.join(uri, "__fragments", "__*")):
+        for f in os.listdir(frag):
+            if f != "__fragment_metadata.tdb":
+                with open(os.path.join(frag, f), "wb") as fh:
+                    fh.write(b"PoIsOn")
+    res = windowed_agg_native(uri, {"k": (0, 99)})
+    assert res["audit"]["cells_decoded"] == 0
+    assert res["count"] == 100
+    assert res["fields"]["v"]["sum"] == sum(range(50)) + sum(
+        range(100, 130)
+    )  # fill v=0 adds nothing
+    assert res["fields"]["w"]["count"] == 80  # 20 fill NULLs
+    assert res["fields"]["w"]["null_count"] == 20
+
+
+def test_dim_closed_form(tmp_path):
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"v": list(range(30)), "w": [1] * 30},
+        subarray=[(10, 39)], ts=1, version=19,
+    )
+    res = windowed_agg_native(uri, {"k": (12, 31)}, fields=["k"])
+    f = res["fields"]["k"]
+    assert (f["count"], f["sum"], f["min"], f["max"]) == (
+        20, sum(range(12, 32)), 12, 31,
+    )
+
+
+def test_overlap_refuses(tmp_path):
+    """Newest-wins dense patches make per-fragment stats unprovable."""
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"v": list(range(50)), "w": [1] * 50},
+        subarray=[(0, 49)], ts=1, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": [999] * 10, "w": [2] * 10},
+        subarray=[(45, 54)], ts=2, version=19,
+    )
+    assert dense_windowed_agg_native(uri, {"k": (0, 54)}) is None
+    assert dense_bucketed_agg_native(uri, 10) is None
+
+
+def test_time_travel_window(tmp_path):
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"v": list(range(50)), "w": [1] * 50},
+        subarray=[(0, 49)], ts=1000, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": [5] * 30, "w": [2] * 30},
+        subarray=[(70, 99)], ts=2000, version=19,
+    )
+    _check_window(uri, 0, 99, at=1500)  # second fragment invisible
+    res = windowed_agg_native(uri, {"k": (0, 99)}, at=1500)
+    assert res["count"] == 50  # bbox at ts=1500 is [0,49]
+
+
+def test_bucketed_matches_scan(tmp_path):
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri,
+        {"v": list(range(50)),
+         "w": [None if i % 7 == 0 else i for i in range(50)]},
+        subarray=[(0, 49)], ts=1, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": list(range(100, 130)), "w": [3] * 30},
+        subarray=[(70, 99)], ts=2, version=19,
+    )
+    import collections
+
+    names, rows = read_native_array_range(uri, ranges=[(0, 99)])
+    iv, iw = names.index("v"), names.index("w")
+    for width in (25, 30, 100, 7):
+        res = bucketed_agg_native(uri, width)
+        exp_v = collections.defaultdict(list)
+        exp_w = collections.defaultdict(list)
+        for row in rows:
+            exp_v[row[0] // width].append(row[iv])
+            exp_w[row[0] // width].append(row[iw])
+        assert sorted(res["buckets"]) == sorted(exp_v), width
+        for b, vals in exp_v.items():
+            got = res["buckets"][b]
+            assert got["count"] == len(vals), (width, b)
+            assert got["fields"]["v"]["sum"] == sum(vals), (width, b)
+            wn = [x for x in exp_w[b] if x is not None]
+            assert got["fields"]["w"]["count"] == len(wn), (width, b)
+            assert got["fields"]["w"]["sum"] == (
+                sum(wn) if wn else None
+            ), (width, b)
+
+
+def test_bucket_aligned_ingest_zero_decode(tmp_path):
+    """Fragment-per-bucket ingest (the time-partitioned raster shape):
+    the whole rollup is fragment stats + fill arithmetic, zero decode."""
+    uri = _mk(tmp_path, extent=25)
+    for b in range(4):
+        write_native_fragment(
+            uri,
+            {"v": [b * 10 + i % 5 for i in range(25)], "w": [b] * 25},
+            subarray=[(b * 25, b * 25 + 24)], ts=b + 1, version=19,
+        )
+    res = bucketed_agg_native(uri, 25)
+    assert res["audit"]["cells_decoded"] == 0
+    assert sorted(res["buckets"]) == [0, 1, 2, 3]
+    for b in range(4):
+        assert res["buckets"][b]["count"] == 25
+        assert res["buckets"][b]["fields"]["v"]["sum"] == sum(
+            b * 10 + i % 5 for i in range(25)
+        )
+
+
+def test_empty_and_out_of_bbox(tmp_path):
+    uri = _mk(tmp_path)
+    res = dense_windowed_agg_native(uri, {"k": (0, 10)})
+    assert res["count"] == 0 and res["fields"]["v"]["sum"] is None
+    write_native_fragment(
+        uri, {"v": [1] * 10, "w": [1] * 10},
+        subarray=[(0, 9)], ts=1, version=19,
+    )
+    res = dense_windowed_agg_native(uri, {"k": (500, 600)})
+    assert res["count"] == 0
+    assert dense_bucketed_agg_native(uri, 10, ranges={"k": (500, 600)})[
+        "buckets"
+    ] == {}
+
+
+def test_bad_inputs(tmp_path):
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"v": [1] * 10, "w": [1] * 10},
+        subarray=[(0, 9)], ts=1, version=19,
+    )
+    with pytest.raises(ValueError, match="non-dimension"):
+        dense_windowed_agg_native(uri, {"v": (0, 1)})
+    with pytest.raises(ValueError, match="unknown field"):
+        dense_windowed_agg_native(uri, {"k": (0, 1)}, fields=["nope"])
+    with pytest.raises(ValueError, match="positive int"):
+        dense_bucketed_agg_native(uri, 0)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

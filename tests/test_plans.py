@@ -177,6 +177,8 @@ def test_no_python_udf_in_any_plan(spark):
         # arrays' subarrays: same declared native-io boundary
         "q352_jvm_grouped_rollup",  # the fragment-ingest mapInPandas
         # feeding the JVM provider: same declared native-io boundary
+        "q353_dense_rollup",  # the fill-materializing connector scan
+        # (triple-match leg 2): same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

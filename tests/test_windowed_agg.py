@@ -263,7 +263,10 @@ def test_since_at_window(tmp_path):
     assert res["fields"]["v"]["sum"] == exp["sum"]
 
 
-def test_dense_refused(tmp_path):
+def test_dense_served_by_dense_twin(tmp_path):
+    """Round 8: dense arrays no longer refuse — the dense twin answers
+    from fragment stats + fill arithmetic (tests/test_dense_agg.py has
+    the full matrix; this pins the delegation)."""
     uri = str(tmp_path / "dense")
     create_native_array(
         uri,
@@ -274,7 +277,9 @@ def test_dense_refused(tmp_path):
     write_native_fragment(
         uri, {"v": list(range(50))}, subarray=[(0, 49)], version=19
     )
-    assert windowed_agg_native(uri, {"i": (0, 49)}) is None
+    res = windowed_agg_native(uri, {"i": (0, 49)})
+    assert res["count"] == 50
+    assert res["fields"]["v"]["sum"] == sum(range(50))
 
 
 def test_bad_inputs(tmp_path):

@@ -121,7 +121,12 @@ def windowed_agg_native(
     """
     schema = parse_array_schema(_schema_path(array_dir))
     if schema.array_type == "DENSE":
-        return None  # reads materialize fills the stats never saw
+        # round 8: the dense twin — fragment stats + clipped-edge decode
+        # + fill arithmetic (fills ARE part of the dense read view)
+        return dense_windowed_agg_native(
+            array_dir, ranges, fields=fields, at=at, since=since,
+            stats=stats,
+        )
     dim_names = [d.name for d in schema.dims]
     ranges = dict(ranges or {})
     for name in ranges:
@@ -739,7 +744,11 @@ def bucketed_agg_native(
         raise ValueError(f"width must be a positive int, got {width!r}")
     schema = parse_array_schema(_schema_path(array_dir))
     if schema.array_type == "DENSE":
-        return None  # reads materialize fills the stats never saw
+        # round 8: the dense twin (fills included, every slice present)
+        return dense_bucketed_agg_native(
+            array_dir, width, fields=fields, at=at, since=since,
+            stats=stats, ranges=ranges,
+        )
     dim0 = schema.dims[0]
     dim_names = [d.name for d in schema.dims]
     ranges = dict(ranges or {})
@@ -1007,4 +1016,374 @@ def bucketed_agg_native(
                 ),
             }
         buckets[b] = {"count": btotal[b], "fields": fo}
+    return {"buckets": buckets, "audit": audit}
+
+
+# ---------------------------------------------------------------------------
+# DENSE metadata aggregation (round 8).
+#
+# Dense reads materialize the union BOUNDING BOX of the written
+# subarrays; cells no fragment covered read as the attribute FILL value
+# (nullable -> NULL) — so a windowed aggregate decomposes exactly into
+#   (a) fragments wholly inside the window: fragment-level attr stats,
+#       zero decode (the stats describe every written cell);
+#   (b) fragments straddling a window edge: decode only the clipped
+#       box (O(edge), the dense twin of boundary-tile decode);
+#   (c) the fill region: pure arithmetic — volume x fill value;
+#   (d) dimensions: closed form (each coordinate of the window repeats
+#       volume/len times — the reference allows SUM on dims only when
+#       dense, ha_mytile.cc:592-601, for exactly this reason).
+# COUNT(*) is always the window-box volume (the same rule
+# count_native_array proves for the full array).  Sound-or-None:
+# overlapping dense boxes (newest-wins patches) or unparseable footers
+# refuse, and the caller falls back to the distributed scan.
+# ---------------------------------------------------------------------------
+
+
+def _box_intersect(a, b):
+    out = []
+    for (alo, ahi), (blo, bhi) in zip(a, b):
+        lo, hi = max(alo, blo), min(ahi, bhi)
+        if lo > hi:
+            return None
+        out.append((lo, hi))
+    return out
+
+
+def _box_vol(box) -> int:
+    v = 1
+    for lo, hi in box:
+        v *= hi - lo + 1
+    return v
+
+
+def _dense_context(array_dir, schema, at, since):
+    """(frags, boxes) of the visible dense fragments, or None when the
+    merged view is not provable from per-fragment stats (overlapping
+    written boxes: newest-wins patches shadow cells the older
+    fragment's stats counted)."""
+    frags = _fragment_dirs(array_dir, at=at, since=since)
+    boxes = []
+    for frag in frags:
+        fm = os.path.join(frag, "__fragment_metadata.tdb")
+        ftr = parse_fragment_footer(fm, schema)
+        if ftr is None or not ftr.dense:
+            return None
+        box = []
+        for d, ned in zip(schema.dims, ftr.non_empty_domain):
+            if ned is None:
+                return None
+            box.append((int(ned[0]), int(ned[1])))
+        boxes.append(box)
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            if _box_intersect(boxes[i], boxes[j]) is not None:
+                return None
+    return frags, boxes
+
+
+def _facc_new():
+    return {"count": 0, "null_count": 0, "sum": 0,
+            "minmax": [None, None], "minmax_ok": True,
+            "saw_nonnull": False}
+
+
+def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
+                audit):
+    """Accumulate the window box ``R``: returns (cell_count, facc)."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _enum_fill_label,
+        _fill_value,
+        fragment_attr_stats,
+        read_native_array_range,
+    )
+
+    by_name = {d.name: ("d", i, d) for i, d in enumerate(schema.dims)}
+    by_name.update(
+        {a.name: ("a", i, a) for i, a in enumerate(schema.attrs)}
+    )
+    want_mm = "min" in stats or "max" in stats
+    want_sum = "sum" in stats
+    vol = _box_vol(R)
+    facc = {f: _facc_new() for f in fields}
+    attr_fields = [f for f in fields if by_name[f][0] == "a"]
+    covered = 0
+    for frag, box in zip(frags, boxes):
+        inter = _box_intersect(box, R)
+        if inter is None:
+            continue
+        v_i = _box_vol(inter)
+        covered += v_i
+        need_decode = []
+        if inter == box:
+            st = fragment_attr_stats(frag, schema) or {}
+            audit["fragments_stats"] += 1
+            for f in attr_fields:
+                fld = by_name[f][2]
+                s = st.get(f) or {}
+                nullable = bool(getattr(fld, "nullable", False))
+                enum = getattr(fld, "enumeration", None)
+                summable = (
+                    fld.cell_val_num == 1
+                    and fld.dtype_id in _SUMMABLE_DT
+                    and not enum
+                )
+                nc = 0 if not nullable else s.get("null_count")
+                has_mm = "min" in s and "max" in s and not enum
+                has_sum = "sum" in s and not enum
+                ok = (
+                    nc is not None
+                    and (has_mm or not want_mm)
+                    and (has_sum or not want_sum or not summable)
+                )
+                if not ok:
+                    need_decode.append(f)
+                    continue
+                acc = facc[f]
+                acc["null_count"] += nc
+                nn = v_i - nc
+                acc["count"] += nn
+                if nn == 0:
+                    continue
+                acc["saw_nonnull"] = True
+                if want_sum and summable:
+                    acc["sum"] += s["sum"]
+                if want_mm:
+                    try:
+                        _fold_minmax(acc["minmax"], s["min"], s["max"])
+                    except TypeError:
+                        acc["minmax_ok"] = False
+        else:
+            need_decode = list(attr_fields)
+            audit["fragments_decoded"] += 1
+        if need_decode:
+            names, rows = read_native_array_range(
+                array_dir, ranges=[tuple(r) for r in inter],
+                columns=need_decode, at=at, frags=[frag],
+            )
+            idx = {n: i for i, n in enumerate(names)}
+            audit["cells_decoded"] += len(rows) * len(need_decode)
+            for f in need_decode:
+                fld = by_name[f][2]
+                summable = (
+                    fld.cell_val_num == 1
+                    and fld.dtype_id in _SUMMABLE_DT
+                    and not getattr(fld, "enumeration", None)
+                )
+                acc = facc[f]
+                col = idx[f]
+                for row in rows:
+                    v = row[col]
+                    if v is None:
+                        acc["null_count"] += 1
+                        continue
+                    acc["count"] += 1
+                    acc["saw_nonnull"] = True
+                    if want_sum and summable:
+                        acc["sum"] += v
+                    if want_mm and acc["minmax_ok"]:
+                        try:
+                            _fold_minmax(acc["minmax"], v, v)
+                        except TypeError:
+                            acc["minmax_ok"] = False
+    fill_n = vol - covered
+    audit["fill_cells"] += fill_n
+    if fill_n:
+        for f in attr_fields:
+            fld = by_name[f][2]
+            enum = getattr(fld, "enumeration", None)
+            fill = (
+                _enum_fill_label(schema, fld) if enum
+                else _fill_value(fld)
+            )
+            summable = (
+                fld.cell_val_num == 1
+                and fld.dtype_id in _SUMMABLE_DT
+                and not enum
+            )
+            acc = facc[f]
+            if fill is None:
+                acc["null_count"] += fill_n
+                continue
+            acc["count"] += fill_n
+            acc["saw_nonnull"] = True
+            if want_sum and summable:
+                acc["sum"] += fill * fill_n
+            if want_mm and acc["minmax_ok"]:
+                try:
+                    _fold_minmax(acc["minmax"], fill, fill)
+                except TypeError:
+                    acc["minmax_ok"] = False
+    # dimensions: closed form over the window box
+    for f in fields:
+        kind, j, d = by_name[f]
+        if kind != "d":
+            continue
+        lo, hi = R[j]
+        n = hi - lo + 1
+        per = vol // n  # occurrences of each coordinate value
+        acc = facc[f]
+        acc["count"] = vol
+        acc["null_count"] = 0
+        acc["saw_nonnull"] = vol > 0
+        if d.dtype_id in _SUMMABLE_DT:
+            acc["sum"] = (lo + hi) * n // 2 * per
+        acc["minmax"] = [lo, hi]
+    return vol, facc
+
+
+def _dense_assemble(schema, fields, facc, stats):
+    by_name = {d.name: d for d in schema.dims}
+    by_name.update({a.name: a for a in schema.attrs})
+    want_sum = "sum" in stats
+    out = {}
+    for f in fields:
+        fld = by_name[f]
+        nullable = bool(getattr(fld, "nullable", False))
+        summable = (
+            fld.cell_val_num == 1
+            and fld.dtype_id in _SUMMABLE_DT
+            and not getattr(fld, "enumeration", None)
+        )
+        acc = facc[f]
+        out[f] = {
+            "count": acc["count"] if "count" in stats else None,
+            "null_count": (
+                acc["null_count"] if nullable and "null_count" in stats
+                else None
+            ),
+            "sum": (
+                acc["sum"]
+                if want_sum and summable and acc["saw_nonnull"]
+                else None
+            ),
+            "min": (
+                acc["minmax"][0]
+                if "min" in stats and acc["minmax_ok"] else None
+            ),
+            "max": (
+                acc["minmax"][1]
+                if "max" in stats and acc["minmax_ok"] else None
+            ),
+        }
+    return out
+
+
+def _dense_prep(array_dir, ranges, fields, at, since):
+    """Shared validation + context: (schema, fields, frags, boxes, R)
+    where R is the window clipped to the read-presence bbox (None =
+    empty window); raises on bad names, returns None when unprovable."""
+    schema = parse_array_schema(_schema_path(array_dir))
+    dim_names = [d.name for d in schema.dims]
+    ranges = dict(ranges or {})
+    for name in ranges:
+        if name not in dim_names:
+            raise ValueError(f"range on non-dimension {name!r}")
+    known = set(dim_names) | {a.name for a in schema.attrs}
+    if fields is None:
+        fields = [a.name for a in schema.attrs]
+    for f in fields:
+        if f not in known:
+            raise ValueError(f"unknown field {f!r}")
+    ctx = _dense_context(array_dir, schema, at, since)
+    if ctx is None:
+        return None
+    frags, boxes = ctx
+    if not frags:
+        return schema, fields, frags, boxes, None
+    bbox = [
+        (min(b[i][0] for b in boxes), max(b[i][1] for b in boxes))
+        for i in range(len(dim_names))
+    ]
+    user = [tuple(ranges.get(n, (None, None))) for n in dim_names]
+    R = []
+    for (blo, bhi), (ulo, uhi) in zip(bbox, user):
+        lo = blo if ulo is None else max(blo, ulo)
+        hi = bhi if uhi is None else min(bhi, uhi)
+        if lo > hi:
+            return schema, fields, frags, boxes, None
+        R.append((lo, hi))
+    return schema, fields, frags, boxes, R
+
+
+def _dense_audit():
+    return {"fragments": 0, "fragments_stats": 0, "fragments_decoded": 0,
+            "cells_decoded": 0, "fill_cells": 0}
+
+
+def dense_windowed_agg_native(
+    array_dir: str,
+    ranges: dict | None,
+    fields: list | None = None,
+    at: int | None = None,
+    since: int | None = None,
+    stats: tuple = _ALL_STATS,
+) -> dict | None:
+    """Dense twin of :func:`windowed_agg_native` (see the section
+    comment above).  Returns the same shape, or None when overlapping
+    written boxes make per-fragment stats unprovable."""
+    prep = _dense_prep(array_dir, ranges, fields, at, since)
+    if prep is None:
+        return None
+    schema, fields, frags, boxes, R = prep
+    audit = _dense_audit()
+    audit["fragments"] = len(frags)
+    if R is None:
+        facc = {f: _facc_new() for f in fields}
+        return {"count": 0,
+                "fields": _dense_assemble(schema, fields, facc, stats),
+                "audit": audit}
+    vol, facc = _dense_eval(
+        array_dir, schema, frags, boxes, R, fields, stats, at, audit
+    )
+    return {"count": vol,
+            "fields": _dense_assemble(schema, fields, facc, stats),
+            "audit": audit}
+
+
+_DENSE_MAX_BUCKETS = 200_000
+
+
+def dense_bucketed_agg_native(
+    array_dir: str,
+    width: int,
+    fields: list | None = None,
+    at: int | None = None,
+    since: int | None = None,
+    stats: tuple = _ALL_STATS,
+    ranges: dict | None = None,
+) -> dict | None:
+    """Dense twin of :func:`bucketed_agg_native`: GROUP BY
+    ``floor(dim0/width)`` over the materialized (fill-included) dense
+    view.  Every bucket slice intersecting the window is present (dense
+    reads materialize every cell).  Fragment-per-bucket ingest — the
+    time-partitioned raster shape — answers wholly from fragment stats
+    + fill arithmetic; straddling fragments decode only their clipped
+    boxes."""
+    if not isinstance(width, int) or width <= 0:
+        raise ValueError(f"width must be a positive int, got {width!r}")
+    prep = _dense_prep(array_dir, ranges, fields, at, since)
+    if prep is None:
+        return None
+    schema, fields, frags, boxes, R = prep
+    audit = _dense_audit()
+    audit["fragments"] = len(frags)
+    if R is None:
+        return {"buckets": {}, "audit": audit}
+    b0, b1 = R[0][0] // width, R[0][1] // width
+    if b1 - b0 + 1 > _DENSE_MAX_BUCKETS:
+        return None  # absurd materialization; let the caller scan
+    buckets = {}
+    for b in range(b0, b1 + 1):
+        slice_r = [
+            (max(R[0][0], b * width), min(R[0][1], (b + 1) * width - 1))
+        ] + list(R[1:])
+        vol, facc = _dense_eval(
+            array_dir, schema, frags, boxes, slice_r, fields, stats, at,
+            audit,
+        )
+        buckets[b] = {
+            "count": vol,
+            "fields": _dense_assemble(schema, fields, facc, stats),
+        }
     return {"buckets": buckets, "audit": audit}

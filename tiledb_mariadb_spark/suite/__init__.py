@@ -230,6 +230,7 @@ def all_specs() -> dict[str, QuerySpec]:
         # round-8-new specs — newest code, never driver-sampled
         # (appended here as r8 adds them; backfill tail yields slots)
         "q352_jvm_grouped_rollup",
+        "q353_dense_rollup",
         # round-2 backfill — driver-green in r2, six rounds ago (49)
         "q30_join_inner", "q41_shipping_priority", "q31_join_multi",
         "q32_join_left", "q33_join_full", "q34_join_semi",
@@ -246,11 +247,13 @@ def all_specs() -> dict[str, QuerySpec]:
         "q85_csv_load", "q86_insert_into_select", "q87_multi_value_cells",
         "q60_text_stats", "q75_bpe_tokens", "q73_frame_sample",
         "q61_lang_id", "q62_dedup_exact", "q63_fingerprint",
-        "q64_minhash", "q65_lsh_pairs", "q66_ngram_jaccard",
+        "q64_minhash", "q65_lsh_pairs",
         # (q70_multimodal yielded the 50th slot to q351 — multimodal
         # binary plumbing stays covered by q73_frame_sample in-window;
         # q67_simhash yielded to q352 — SimHash near-dup stays covered
-        # in-window by q64/q65/q66's MinHash/LSH/Jaccard family)
+        # in-window by q64/q65's MinHash/LSH family; q66_ngram_jaccard
+        # yielded to q353 — n-gram Jaccard similarity stays covered by
+        # the same q64/q65 shingle tier)
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

@@ -1710,3 +1710,164 @@ SPECS.append(
         "path (range-stealing composition, ha_mytile.cc:634-640)",
     )
 )
+
+
+# --- q353: DENSE metadata rollup — fills included, triple-matched (r8) -------
+# Round 8 extends the metadata-aggregation tier to DENSE arrays: the
+# read view is the written boxes' bounding box with FILL values in the
+# gaps, so a windowed/bucketed aggregate = fragment stats (whole boxes
+# in window) + clipped-edge decode + pure fill arithmetic.  The
+# reference DISABLES COUNT pushdown on dense and allows dim SUM only
+# there (ha_mytile.cc:592-601) because its handler cannot know the fill
+# surface; this engine defines it (q84 dense fill reads), so both are
+# exact.  The spec builds a daily dense revenue raster from orders with
+# a deliberate 30-day ingest HOLE (fill rows), answers a weekly rollup
+# from metadata, re-answers it with a distributed connector scan, and
+# the DuckDB oracle reconstructs the same fill-aware series from
+# parquet — a triple match.
+_Q353_W = 7
+_Q353_BOX1 = 800   # box1 = [d0, d0+800]
+_Q353_GAP = 30     # gap = (d0+800, d0+831) exclusive
+
+
+def q353_dense_rollup(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
+        bucketed_agg_native,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    day_agg = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("cents"))
+    )
+    # the daily series is inherently tiny (~2.4k rows at any sf): a
+    # bounded driver fetch builds the raster
+    rows = {r["day"]: (r["cnt"], r["cents"]) for r in day_agg.collect()}
+    d0, d1 = min(rows), max(rows)
+    uri = tempfile.mkdtemp(prefix="q353_dense_rollup_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("day", 1, 1, (0, 50000), _Q353_W)],
+        attrs=[
+            NativeAttr("cnt", 1, 1, False, None),
+            NativeAttr("cents", 1, 1, False, None),
+        ],
+        array_type="DENSE",
+    )
+    boxes = [(d0, d0 + _Q353_BOX1), (d0 + _Q353_BOX1 + _Q353_GAP + 1, d1)]
+    for ts, (lo, hi) in enumerate(boxes, start=1):
+        days = range(lo, hi + 1)
+        write_native_fragment(
+            uri,
+            {"cnt": [rows.get(d, (0, 0))[0] for d in days],
+             "cents": [rows.get(d, (0, 0))[1] for d in days]},
+            subarray=[(lo, hi)], ts=ts, version=19,
+        )
+    meta = bucketed_agg_native(uri, _Q353_W)
+    assert meta is not None
+    out = [
+        (int(b), acc["count"], acc["fields"]["cnt"]["sum"],
+         acc["fields"]["cents"]["sum"], acc["fields"]["cnt"]["min"],
+         acc["fields"]["cnt"]["max"])
+        for b, acc in sorted(meta["buckets"].items())
+    ]
+    # triple leg 2: the same rollup from a DISTRIBUTED connector scan
+    # (fills materialized by the reader)
+    scan = (
+        read_array(spark, uri)
+        .groupBy((F.col("day") - F.col("day") % _Q353_W).alias("wk"))
+        .agg(
+            F.count(F.lit(1)).alias("days"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .collect()
+    )
+    scan_rows = sorted(
+        (int(r["wk"] // _Q353_W), r["days"], r["sum_cnt"],
+         r["sum_cents"], r["min_cnt"], r["max_cnt"])
+        for r in scan
+    )
+    matched = scan_rows == out
+    df = spark.createDataFrame(
+        out,
+        "bucket long, days long, sum_cnt long, sum_cents long, "
+        "min_cnt long, max_cnt long",
+    )
+    return (
+        df.withColumn("meta_matches_scan", F.lit(bool(matched)))
+        .orderBy("bucket")
+    )
+
+
+Q353_SQL = f"""
+WITH o AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS cents
+  FROM orders),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+alldays AS (
+  SELECT UNNEST(generate_series((SELECT d0 FROM b),
+                                (SELECT d1 FROM b))) AS day),
+raw AS (
+  SELECT day, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o GROUP BY day),
+series AS (
+  SELECT a.day,
+    CASE WHEN a.day BETWEEN (SELECT d0 FROM b) + {_Q353_BOX1 + 1}
+                        AND (SELECT d0 FROM b) + {_Q353_BOX1 + _Q353_GAP}
+         THEN 0 ELSE COALESCE(r.cnt, 0) END AS cnt,
+    CASE WHEN a.day BETWEEN (SELECT d0 FROM b) + {_Q353_BOX1 + 1}
+                        AND (SELECT d0 FROM b) + {_Q353_BOX1 + _Q353_GAP}
+         THEN 0 ELSE COALESCE(r.cents, 0) END AS cents
+  FROM alldays a LEFT JOIN raw r ON a.day = r.day)
+SELECT CAST(day // {_Q353_W} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS days,
+       CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       TRUE AS meta_matches_scan
+FROM series
+GROUP BY 1
+ORDER BY bucket
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q353_dense_rollup",
+        q353_dense_rollup,
+        Q353_SQL,
+        "dense metadata aggregation (round 8): weekly rollup of a daily "
+        "dense revenue raster with a 30-day ingest hole — fragment "
+        "stats + clipped-edge decode + fill arithmetic, triple-matched "
+        "against a distributed fill-materializing scan AND the DuckDB "
+        "oracle's reconstructed series (ha_mytile.cc:592-601 parity "
+        "note: the reference disables dense COUNT; this engine defines "
+        "the fill surface so it is exact)",
+    )
+)
