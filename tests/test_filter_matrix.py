@@ -670,3 +670,23 @@ def test_empty_var_chunk_dict_roundtrip(tmp_path):
         f.write(enc)
     assert read_tile_file(p, filters=[(_F_DICT, b"")], elem=1,
                           var=True) == b""
+
+
+def test_webp_refuses_without_pillow():
+    """TILEDB_FILTER_WEBP (mytile.cc:1369-1386) is Pillow-gated: with
+    no Pillow importable the decode refuses loudly (never a silently
+    mis-decoded raster tile); with Pillow it decodes size-validated."""
+    import pytest as _pytest
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        _decompress_part,
+    )
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            _decompress_part(18, b"RIFFxxxxWEBP", 100, 1)
+    else:  # pragma: no cover - Pillow absent in this container
+        with _pytest.raises(ValueError):
+            _decompress_part(18, b"not-a-webp", 100, 1)

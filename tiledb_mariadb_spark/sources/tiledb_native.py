@@ -303,6 +303,20 @@ _DT = {
     6: ("uint8", "B", 1), 7: ("int16", "h", 2), 8: ("uint16", "H", 2),
     9: ("uint32", "I", 4), 10: ("uint64", "Q", 8),
     11: ("string_ascii", "c", 1), 12: ("string_utf8", "c", 1),
+    # STRING_UTF16/UTF32/UCS2/UCS4 (tiledb.h 13-16): the reference maps
+    # all four to VARCHAR (mytile/mytile.cc:63-68); element sizes are
+    # the code-unit widths.  The "c" code keeps every numeric unpack
+    # path away from them — text decode goes through _TEXT_CODEC.
+    13: ("string_utf16", "c", 2), 14: ("string_utf32", "c", 4),
+    15: ("string_ucs2", "c", 2), 16: ("string_ucs4", "c", 4),
+}
+
+# dtype -> python codec for TEXT cells.  UCS-2/4 are strict subsets of
+# UTF-16/32 (no surrogate pairs), so the LE UTF codecs decode both;
+# write-side encoding with the same codec round-trips exactly.
+_TEXT_CODEC = {
+    4: "utf-8", 11: "utf-8", 12: "utf-8", 42: "utf-8",
+    13: "utf-16-le", 14: "utf-32-le", 15: "utf-16-le", 16: "utf-32-le",
 }
 for _i in range(18, 31):  # DATETIME_YEAR .. DATETIME_AS: int64 ticks
     _DT[_i] = (f"datetime_{_i}", "q", 8)
@@ -587,8 +601,10 @@ def read_array_metadata(array_dir: str, at: int | None = None) -> dict:
             num = c.u("I")
             _, code, size = _DT[dtype_id]
             raw = c.raw(num * size)
-            if code == "c" or dtype_id in (11, 12):
-                out[key] = raw.decode()
+            if code == "c" or dtype_id in _TEXT_CODEC:
+                out[key] = raw.decode(
+                    _TEXT_CODEC.get(dtype_id, "utf-8"), errors="replace"
+                )
             else:
                 vals = struct.unpack(f"<{num}{code}", raw)
                 out[key] = ",".join(_fmt_meta(v) for v in vals)
@@ -814,6 +830,7 @@ _F_SCALE_FLOAT, _F_XOR = 15, 16
 _F_WEBP, _F_DELTA = 18, 19
 _COMPRESSORS = {
     _F_GZIP, _F_ZSTD, _F_LZ4, _F_RLE, _F_BZIP2, _F_DD, _F_DICT, _F_DELTA,
+    _F_WEBP,  # compressor-shaped (chunked orig/stored); Pillow-gated
 }
 
 
@@ -984,8 +1001,45 @@ def _dd_decode(buf: bytes, orig_len: int, elem: int) -> bytes:
     return out
 
 
+def _webp_decode(part: bytes, orig: int, opts: bytes) -> bytes:
+    """TILEDB_FILTER_WEBP tile decode, PILLOW-GATED (the reference
+    configures this filter for dense RGB rasters, mytile.cc:1369-1386).
+    Options layout per the filter's serialization: quality float32,
+    input format uint8 (1 RGB, 2 RGBA, 3 BGR, 4 BGRA), lossless uint8,
+    tile extents.  No Pillow and no reference WEBP fixture exist in
+    this build environment, so the decode body is size-validated
+    best-effort (a mismatch refuses loudly — never a silently
+    mis-shaped tile) and the TESTED behavior is the ImportError
+    refusal."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        raise NotImplementedError(
+            "WEBP filter needs Pillow — refusing loudly rather than "
+            "mis-decoding (install Pillow to read WEBP-filtered dense "
+            "rasters)"
+        ) from None
+    import io  # noqa: PLC0415
+
+    fmt = opts[4] if len(opts) >= 5 else 0
+    img = Image.open(io.BytesIO(part))
+    img = img.convert("RGBA" if fmt in (2, 4) else "RGB")
+    raw = bytearray(img.tobytes())
+    if fmt in (3, 4):  # BGR(A): swap the R and B planes
+        step = 4 if fmt == 4 else 3
+        raw[0::step], raw[2::step] = raw[2::step], raw[0::step]
+    out = bytes(raw)
+    if len(out) != orig:
+        raise ValueError(
+            f"webp decoded {len(out)} bytes, expected {orig} — "
+            "unverified layout, refusing"
+        )
+    return out
+
+
 def _decompress_part(
-    ftype: int, part: bytes, orig: int, elem: int, var: bool = False
+    ftype: int, part: bytes, orig: int, elem: int, var: bool = False,
+    opts: bytes = b"",
 ) -> bytes:
     if ftype == _F_ZSTD:
         return _zstd_decode(part, orig) if part[:4] == ZSTD_MAGIC else part
@@ -1014,10 +1068,7 @@ def _decompress_part(
     if ftype == _F_DELTA:
         return _delta_decode(part, orig, elem)
     if ftype == _F_WEBP:
-        raise NotImplementedError(
-            "WEBP filter needs libwebp (not in this environment) — "
-            "refusing loudly rather than mis-decoding"
-        )
+        return _webp_decode(part, orig, opts)
     raise NotImplementedError(f"filter type {ftype} decode unsupported")
 
 
@@ -1053,7 +1104,8 @@ def _reverse_pipeline(
             orig, stored = struct.unpack_from("<II", meta, 8 + 8 * i)
             blobs.append(
                 _decompress_part(ftype, data[dpos : dpos + stored], orig,
-                                 stage_elem, var=var and i >= nm)
+                                 stage_elem, var=var and i >= nm,
+                                 opts=filters[-1][1] or b"")
             )
             dpos += stored
         return _reverse_pipeline(
@@ -1560,15 +1612,17 @@ def _fill_value(attr):
     if attr.nullable:
         return None
     if attr.fill:
-        if attr.dtype_id in (4, 11, 12, 42):
-            return attr.fill.decode("utf-8", errors="replace")
+        if attr.dtype_id in _TEXT_CODEC:
+            return attr.fill.decode(
+                _TEXT_CODEC[attr.dtype_id], errors="replace"
+            )
         if attr.dtype_id in (39, 41):
             return bytes(attr.fill)
         vals = _typed_cells(attr.fill, attr.dtype_id)
         if attr.cell_val_num != 1:  # fixed multi-value AND var: list cell
             return list(vals)
         return vals[0] if vals else 0
-    if attr.dtype_id in (4, 11, 12, 42):
+    if attr.dtype_id in _TEXT_CODEC:
         return ""
     if attr.dtype_id in (39, 41):
         return b""
@@ -1633,21 +1687,23 @@ def _read_field(frag: str, schema: "NativeSchema", field, idx: int,
         )
         bounds = [int(o) for o in offs] + [len(var)]
         blobs = [var[bounds[i] : bounds[i + 1]] for i in range(len(offs))]
-        if dtype_id in (4, 11, 12, 42):
-            vals = [b.decode("utf-8", errors="replace") for b in blobs]
+        if dtype_id in _TEXT_CODEC:
+            _cdc = _TEXT_CODEC[dtype_id]
+            vals = [b.decode(_cdc, errors="replace") for b in blobs]
         elif dtype_id in (39, 41):  # var blob / WKB geometry: raw bytes
             vals = [bytes(b) for b in blobs]
         else:
             vals = [_typed_cells(b, dtype_id) for b in blobs]
     else:
-        flat = _typed_cells(
-            read_tile_file(base, filters=field.filters, elem=elem), dtype_id
-        )
-        if dtype_id in (4, 11, 12):
-            joined = b"".join(flat)
+        raw_fixed = read_tile_file(base, filters=field.filters, elem=elem)
+        flat = _typed_cells(raw_fixed, dtype_id)
+        if dtype_id in _TEXT_CODEC:
+            cb = cvn * _DT[dtype_id][2]  # code units x unit width
             vals = [
-                joined[i : i + cvn].decode("utf-8", errors="replace")
-                for i in range(0, len(joined), cvn)
+                raw_fixed[i : i + cb].decode(
+                    _TEXT_CODEC[dtype_id], errors="replace"
+                )
+                for i in range(0, len(raw_fixed), cb)
             ]
         elif cvn != 1:
             vals = [flat[i : i + cvn] for i in range(0, len(flat), cvn)]
@@ -1974,11 +2030,11 @@ def _fixed_vals(raw: bytes, dtype_id: int, cvn: int) -> list:
     """Shared fixed-width raw-bytes -> python-values conversion
     (scalar, fixed char, fixed multi-value)."""
     flat = _typed_cells(raw, dtype_id)
-    if dtype_id in (4, 11, 12):
-        joined = b"".join(flat)
+    if dtype_id in _TEXT_CODEC:
+        cb = cvn * _DT[dtype_id][2]  # code units x unit width
         return [
-            joined[i : i + cvn].decode("utf-8", errors="replace")
-            for i in range(0, len(joined), cvn)
+            raw[i : i + cb].decode(_TEXT_CODEC[dtype_id], errors="replace")
+            for i in range(0, len(raw), cb)
         ]
     if cvn != 1:
         return [flat[i : i + cvn] for i in range(0, len(flat), cvn)]
@@ -2037,8 +2093,9 @@ def _read_field_span(
         )
         bounds = [o - start for o in offs] + [end - start]
         blobs = [var[bounds[i] : bounds[i + 1]] for i in range(len(offs))]
-        if dtype_id in (4, 11, 12, 42):
-            vals = [b.decode("utf-8", errors="replace") for b in blobs]
+        if dtype_id in _TEXT_CODEC:
+            _cdc = _TEXT_CODEC[dtype_id]
+            vals = [b.decode(_cdc, errors="replace") for b in blobs]
         elif dtype_id in (39, 41):  # var blob / WKB geometry: raw bytes
             vals = [bytes(b) for b in blobs]
         else:
@@ -4037,8 +4094,9 @@ def read_native_array_cached(
 _SPARK_TYPE = {
     0: "int", 1: "bigint", 2: "float", 3: "double", 4: "string",
     5: "tinyint", 6: "smallint", 7: "smallint", 8: "int", 9: "bigint",
-    10: "bigint", 11: "string", 12: "string", 39: "binary", 40: "boolean",
-    41: "binary", 42: "string",
+    10: "bigint", 11: "string", 12: "string", 13: "string",
+    14: "string", 15: "string", 16: "string", 39: "binary",
+    40: "boolean", 41: "binary", 42: "string",
 }
 
 # DATETIME tick -> microseconds-since-epoch conversion, pinned against the
@@ -4091,7 +4149,9 @@ def datetime_ticks_to_string(dtype_id: int, ticks: int) -> str:
 
 def _spark_type(dtype_id: int, cell_val_num: int) -> str:
     base = _SPARK_TYPE.get(dtype_id, "bigint")  # datetimes: raw ticks
-    if cell_val_num not in (1, 0xFFFFFFFF) and dtype_id not in (4, 11, 12):
+    if cell_val_num not in (1, 0xFFFFFFFF) and dtype_id not in (
+        4, 11, 12, 13, 14, 15, 16,
+    ):
         return f"array<{base}>"
     return base
 

@@ -867,18 +867,26 @@ def create_native_array(
 
 
 def _to_bytes_cell(v: Any, dtype_id: int) -> bytes:
-    if dtype_id in (4, 11, 12, 42):  # char/UTF-8/WKT text
-        return v.encode() if isinstance(v, str) else bytes(v)
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _TEXT_CODEC,
+    )
+
+    if dtype_id in _TEXT_CODEC:  # char/UTF-8/WKT/UTF-16/32/UCS text
+        return (
+            v.encode(_TEXT_CODEC[dtype_id])
+            if isinstance(v, str) else bytes(v)
+        )
     return bytes(v)
 
 
 def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
     _, code, size = _DT[dtype_id]
-    if dtype_id in (4, 11, 12):  # fixed-width char cells
+    if dtype_id in (4, 11, 12, 13, 14, 15, 16):  # fixed-width text cells
+        cb = cvn * size  # cvn counts CODE UNITS (2/4 bytes for UTF-16/32)
         out = bytearray()
         for v in vals:
             b = _to_bytes_cell(v if v is not None else "", dtype_id)
-            out += b[:cvn].ljust(cvn, b"\x00")
+            out += b[:cb].ljust(cb, b"\x00")
         return bytes(out)
     if cvn == 1 and code != "c":
         # vectorized scalar pack: numpy's little-endian buffer is
@@ -2954,7 +2962,10 @@ def bloom_cell_bytes(v, dtype_id: int) -> Optional[bytes]:
     try:
         if dtype_id in (2, 3):  # float family → one canonical width
             return struct.pack("<d", float(v))
-        if dtype_id in (4, 11, 12, 42):  # string family → utf-8
+        if dtype_id in (4, 11, 12, 13, 14, 15, 16, 42):
+            # string family → CANONICAL utf-8 (both the writer's column
+            # values and the reader's probe literal are python str, so
+            # the storage codec of UTF-16/32 attrs never enters the hash)
             return v.encode("utf-8") if isinstance(v, str) else None
         if dtype_id in (39, 41):  # blob / WKB → raw bytes
             return bytes(v) if isinstance(v, (bytes, bytearray)) else None
