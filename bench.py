@@ -149,6 +149,11 @@ HEADLINE = [
     "q349_ttl_retention",
     # keyed zero-shuffle as-of (per-symbol, tolerance-bounded)
     "q350_keyed_asof",
+    # round 8: unified JVM provider (grouped rollup + filtered scan
+    # pushed through format("tiledb_agg") from plain SQL) and the
+    # DENSE metadata rollup (fill-aware weekly buckets, triple-matched)
+    "q352_jvm_grouped_rollup",
+    "q353_dense_rollup",
 ]
 
 

@@ -284,3 +284,53 @@ def test_bad_inputs(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_straddling_fragment_uses_interior_tile_stats(tmp_path):
+    """A window over one big 1-D dense fragment decodes ONLY the edge
+    slivers — interior tiles contribute their (padding-free) per-tile
+    stats.  'Last month over a consolidated year' = 2 sliver reads."""
+    uri = str(tmp_path / "big")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 0, 1, (0, 9999), 100)],
+        attrs=[
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("w", 1, 1, True, None),
+        ],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri,
+        {"v": list(range(1000)),
+         "w": [None if i % 9 == 0 else i for i in range(1000)]},
+        subarray=[(0, 999)], ts=1, version=19,
+    )
+    res = _check_window(uri, 150, 849)
+    # v (non-nullable): 2 edge slivers x 50 cells = 100; w's tiles all
+    # hold NULLs, so the writer withheld their min/max/sum tile stats
+    # and w honestly decodes the full 700-cell clip — 800 total vs the
+    # 1400 a stat-less plan would decode
+    assert res["audit"]["cells_decoded"] == 800, res["audit"]
+    assert res["audit"].get("tiles_stats", 0) == 6, res["audit"]
+    # unaligned-edge window on an unaligned-box fragment stays exact
+    uri2 = str(tmp_path / "unal")
+    create_native_array(
+        uri2,
+        dims=[NativeDim("k", 0, 1, (3, 9999), 10)],
+        attrs=[
+            NativeAttr("v", 1, 1, False, None),
+            NativeAttr("w", 1, 1, True, None),
+        ],
+        array_type="DENSE",
+    )
+    write_native_fragment(
+        uri2,
+        {"v": list(range(100, 137)),
+         "w": [None if i % 4 == 0 else i for i in range(37)]},
+        subarray=[(17, 53)], ts=1, version=19,
+    )
+    # edge tiles of the BOX carry padding-poisoned stats: they must
+    # never contribute (the interior-of-box rule)
+    for lo, hi in [(17, 53), (20, 49), (23, 42), (18, 22)]:
+        _check_window(uri2, lo, hi)

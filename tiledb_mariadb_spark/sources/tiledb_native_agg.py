@@ -1115,7 +1115,18 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
         v_i = _box_vol(inter)
         covered += v_i
         need_decode = []
-        if inter == box:
+        # fragment-level stats describe the TILE-ALIGNED stored expanse:
+        # an unaligned box pads its edge tiles with fill cells that
+        # poison min/null_count (probe-verified) — only aligned boxes
+        # may use the whole-fragment stats; unaligned ones go through
+        # the tile-stats/sliver branch (interior-of-box tiles are clean)
+        aligned = all(
+            isinstance(d.extent, int) and d.extent > 0
+            and (blo - int(d.domain[0])) % d.extent == 0
+            and (bhi - int(d.domain[0]) + 1) % d.extent == 0
+            for d, (blo, bhi) in zip(schema.dims, box)
+        )
+        if inter == box and aligned:
             st = fragment_attr_stats(frag, schema) or {}
             audit["fragments_stats"] += 1
             for f in attr_fields:
@@ -1156,36 +1167,125 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
         else:
             need_decode = list(attr_fields)
             audit["fragments_decoded"] += 1
-        if need_decode:
-            names, rows = read_native_array_range(
-                array_dir, ranges=[tuple(r) for r in inter],
-                columns=need_decode, at=at, frags=[frag],
-            )
-            idx = {n: i for i, n in enumerate(names)}
-            audit["cells_decoded"] += len(rows) * len(need_decode)
-            for f in need_decode:
-                fld = by_name[f][2]
-                summable = (
-                    fld.cell_val_num == 1
-                    and fld.dtype_id in _SUMMABLE_DT
-                    and not getattr(fld, "enumeration", None)
-                )
-                acc = facc[f]
-                col = idx[f]
-                for row in rows:
-                    v = row[col]
-                    if v is None:
-                        acc["null_count"] += 1
+        # plan: field -> list of inclusive 1-D intervals to decode (the
+        # whole clipped box by default; tile-stat-served fields shrink
+        # theirs to the edge slivers)
+        plans = {f: [inter] for f in need_decode}
+        if (
+            need_decode
+            and len(schema.dims) == 1
+            and isinstance(schema.dims[0].extent, int)
+            and schema.dims[0].extent > 0
+        ):
+            # 1-D dense tiles align to the DOMAIN grid; tiles fully
+            # inside the written box carry CLEAN per-tile stats (edge
+            # tiles include fill padding — probe-verified — so only
+            # interior-of-box AND interior-of-window tiles contribute)
+            d0 = schema.dims[0]
+            ext = d0.extent
+            dom_lo = int(d0.domain[0])
+            lo0, hi0 = box[0]
+            ilo, ihi = inter[0]
+            t0 = (lo0 - dom_lo) // ext
+            t_last_frag = (hi0 - dom_lo) // ext
+            n_tiles = t_last_frag - t0 + 1
+            usable = []
+            for tg in range((ilo - dom_lo) // ext, (ihi - dom_lo) // ext + 1):
+                tlo = dom_lo + tg * ext
+                thi = tlo + ext - 1
+                if lo0 <= tlo and thi <= hi0 and ilo <= tlo and thi <= ihi:
+                    usable.append((tlo, thi, tg - t0))
+            if usable:
+                run_lo = usable[0][0]
+                run_hi = usable[-1][1]
+                edges = []
+                if ilo < run_lo:
+                    edges.append([(ilo, run_lo - 1)])
+                if run_hi < ihi:
+                    edges.append([(run_hi + 1, ihi)])
+                for f in list(need_decode):
+                    fld = by_name[f][2]
+                    nullable = bool(getattr(fld, "nullable", False))
+                    if getattr(fld, "enumeration", None):
+                        continue  # ordinal stats vs label reads: decode
+                    summable = (
+                        fld.cell_val_num == 1
+                        and fld.dtype_id in _SUMMABLE_DT
+                    )
+                    ts = fragment_tile_stats(frag, schema, f)
+                    if ts is None or len(ts) != n_tiles:
                         continue
-                    acc["count"] += 1
-                    acc["saw_nonnull"] = True
-                    if want_sum and summable:
-                        acc["sum"] += v
-                    if want_mm and acc["minmax_ok"]:
-                        try:
-                            _fold_minmax(acc["minmax"], v, v)
-                        except TypeError:
-                            acc["minmax_ok"] = False
+                    has_mm = all(ts[r][0] is not None and ts[r][1] is not None
+                                 for _lo, _hi, r in usable)
+                    has_sum = all(ts[r][2] is not None
+                                  for _lo, _hi, r in usable)
+                    has_null = (not nullable) or all(
+                        ts[r][3] is not None for _lo, _hi, r in usable
+                    )
+                    if not (
+                        has_null
+                        and (has_mm or not want_mm)
+                        and (has_sum or not want_sum or not summable)
+                    ):
+                        continue
+                    acc = facc[f]
+                    for _tlo, _thi, r in usable:
+                        nc = ts[r][3] if nullable else 0
+                        nn = ext - nc
+                        acc["null_count"] += nc
+                        acc["count"] += nn
+                        if nn == 0:
+                            continue
+                        acc["saw_nonnull"] = True
+                        if want_sum and summable:
+                            acc["sum"] += ts[r][2]
+                        if want_mm:
+                            try:
+                                _fold_minmax(acc["minmax"], ts[r][0],
+                                             ts[r][1])
+                            except TypeError:
+                                acc["minmax_ok"] = False
+                    audit["tiles_stats"] = (
+                        audit.get("tiles_stats", 0) + len(usable)
+                    )
+                    plans[f] = edges  # only the edge slivers decode
+        # group fields by identical decode plans -> one read per plan
+        by_plan: dict = {}
+        for f, pl in plans.items():
+            by_plan.setdefault(
+                tuple(tuple(tuple(r) for r in iv) for iv in pl), []
+            ).append(f)
+        for plan_key, flds in by_plan.items():
+            for iv in plan_key:
+                names, rows = read_native_array_range(
+                    array_dir, ranges=[tuple(r) for r in iv],
+                    columns=list(flds), at=at, frags=[frag],
+                )
+                idx = {n: i for i, n in enumerate(names)}
+                audit["cells_decoded"] += len(rows) * len(flds)
+                for f in flds:
+                    fld = by_name[f][2]
+                    summable = (
+                        fld.cell_val_num == 1
+                        and fld.dtype_id in _SUMMABLE_DT
+                        and not getattr(fld, "enumeration", None)
+                    )
+                    acc = facc[f]
+                    col = idx[f]
+                    for row in rows:
+                        v = row[col]
+                        if v is None:
+                            acc["null_count"] += 1
+                            continue
+                        acc["count"] += 1
+                        acc["saw_nonnull"] = True
+                        if want_sum and summable:
+                            acc["sum"] += v
+                        if want_mm and acc["minmax_ok"]:
+                            try:
+                                _fold_minmax(acc["minmax"], v, v)
+                            except TypeError:
+                                acc["minmax_ok"] = False
     fill_n = vol - covered
     audit["fill_cells"] += fill_n
     if fill_n:
