@@ -334,3 +334,52 @@ def test_straddling_fragment_uses_interior_tile_stats(tmp_path):
     # never contribute (the interior-of-box rule)
     for lo, hi in [(17, 53), (20, 49), (23, 42), (18, 22)]:
         _check_window(uri2, lo, hi)
+
+
+def test_dense_grid_2d(tmp_path):
+    """2-D dense heatmap downsample: grid_agg_native delegates to the
+    dense twin; every grid cell of the bbox is present (fills
+    included), values match a brute-force scan."""
+    import collections
+
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (
+        grid_agg_native,
+    )
+
+    uri = str(tmp_path / "g2")
+    create_native_array(
+        uri,
+        dims=[
+            NativeDim("x", 0, 1, (0, 99), 10),
+            NativeDim("y", 0, 1, (0, 99), 10),
+        ],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    # one 20x30 box at (5..24, 10..39): row-major cells
+    vals = [x * 100 + y for x in range(5, 25) for y in range(10, 40)]
+    write_native_fragment(
+        uri, {"v": vals}, subarray=[(5, 24), (10, 39)], ts=1, version=19
+    )
+    res = grid_agg_native(uri, {"x": 10, "y": 10})
+    assert res is not None
+    names, rows = read_native_array_range(uri)
+    ix, iy, iv = names.index("x"), names.index("y"), names.index("v")
+    exp = collections.defaultdict(list)
+    for r in rows:
+        exp[(r[ix] // 10, r[iy] // 10)].append(r[iv])
+    assert sorted(res["buckets"]) == sorted(exp)
+    for k, vs in exp.items():
+        got = res["buckets"][k]
+        assert got["count"] == len(vs), k
+        assert got["fields"]["v"]["sum"] == sum(vs), k
+        assert got["fields"]["v"]["min"] == min(vs), k
+    # windowed grid
+    res2 = grid_agg_native(
+        uri, {"x": 10, "y": 10}, ranges={"x": (7, 18), "y": (12, 33)}
+    )
+    exp2 = collections.defaultdict(int)
+    for r in rows:
+        if 7 <= r[ix] <= 18 and 12 <= r[iy] <= 33:
+            exp2[(r[ix] // 10, r[iy] // 10)] += 1
+    assert {k: v["count"] for k, v in res2["buckets"].items()} == dict(exp2)

@@ -418,7 +418,11 @@ def grid_agg_native(
     """
     schema = parse_array_schema(_schema_path(array_dir))
     if schema.array_type == "DENSE":
-        return None
+        # round 8: the dense twin (fills included, every cell present)
+        return dense_grid_agg_native(
+            array_dir, widths, fields=fields, at=at, since=since,
+            stats=stats, ranges=ranges,
+        )
     dim_names = [d.name for d in schema.dims]
     if not widths:
         raise ValueError("widths must name at least one dimension")
@@ -1483,6 +1487,70 @@ def dense_bucketed_agg_native(
             audit,
         )
         buckets[b] = {
+            "count": vol,
+            "fields": _dense_assemble(schema, fields, facc, stats),
+        }
+    return {"buckets": buckets, "audit": audit}
+
+
+def dense_grid_agg_native(
+    array_dir: str,
+    widths: dict,
+    fields: list | None = None,
+    at: int | None = None,
+    since: int | None = None,
+    stats: tuple = _ALL_STATS,
+    ranges: dict | None = None,
+) -> dict | None:
+    """Dense twin of :func:`grid_agg_native`: the raster-heatmap shape
+    (downsample a dense image/grid by (wx, wy, ...) cells) over the
+    materialized fill-included view.  Every grid cell intersecting the
+    window is present; whole-box-aligned fragments contribute stats,
+    clipped slices decode (1-D sliver acceleration applies per slice),
+    gaps are fill arithmetic.  Bucket keys are tuples of
+    ``floor(coord/width)`` over the GRIDDED dims (schema dim order)."""
+    for name, w in (widths or {}).items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"width must be a positive int, got {w!r}")
+    prep = _dense_prep(array_dir, ranges, fields, at, since)
+    if prep is None:
+        return None
+    schema, fields, frags, boxes, R = prep
+    dim_names = [d.name for d in schema.dims]
+    if not widths:
+        raise ValueError("widths must name at least one dimension")
+    for name in widths:
+        if name not in dim_names:
+            raise ValueError(f"width on non-dimension {name!r}")
+    gridded = [
+        (i, widths[d.name]) for i, d in enumerate(schema.dims)
+        if d.name in widths
+    ]
+    audit = _dense_audit()
+    audit["fragments"] = len(frags)
+    if R is None:
+        return {"buckets": {}, "audit": audit}
+    axes = []
+    n_cells = 1
+    for i, w in gridded:
+        b0, b1 = R[i][0] // w, R[i][1] // w
+        axes.append(range(b0, b1 + 1))
+        n_cells *= b1 - b0 + 1
+    if n_cells > _DENSE_MAX_BUCKETS:
+        return None  # absurd materialization; let the caller scan
+    import itertools  # noqa: PLC0415
+
+    buckets = {}
+    for combo in itertools.product(*axes):
+        slice_r = list(R)
+        for (i, w), b in zip(gridded, combo):
+            slice_r[i] = (max(R[i][0], b * w), min(R[i][1], (b + 1) * w - 1))
+        vol, facc = _dense_eval(
+            array_dir, schema, frags, boxes, slice_r, fields, stats, at,
+            audit,
+        )
+        key = combo[0] if len(combo) == 1 else tuple(combo)
+        buckets[key] = {
             "count": vol,
             "fields": _dense_assemble(schema, fields, facc, stats),
         }
