@@ -524,36 +524,41 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         return true;
       }
       Expression[] groups = aggregation.groupByExpressions();
-      String groupCol = null;
-      long groupWidth = 0;
-      DataType groupType = null;
-      if (groups.length > 1) {
-        return false;
-      }
-      if (groups.length == 1) {
-        String c = singleColumn(groups[0]);
+      // each group expr: a plain integral column (width-1 buckets) or
+      // FLOOR(col / width); multiple groups form an N-D grid rollup
+      List<String> groupCols = new ArrayList<>();
+      List<Long> groupWidths = new ArrayList<>();
+      List<DataType> groupTypes = new ArrayList<>();
+      for (Expression g : groups) {
+        String c = singleColumn(g);
+        long w;
+        DataType gt;
         if (c != null) {
-          // GROUP BY dim0 itself: bucket width 1, value = the coord
           DataType t = fieldType(c);
           if (t == null || !integral(t)) {
             return false;
           }
-          groupCol = c;
-          groupWidth = 1;
-          groupType = t;
+          w = 1;
+          gt = t;
         } else {
-          Object[] fd = matchFloorDiv(groups[0]);
+          Object[] fd = matchFloorDiv(g);
           if (fd == null) {
             return false;
           }
-          groupCol = (String) fd[0];
-          groupWidth = (Long) fd[1];
-          DataType t = fieldType(groupCol);
+          c = (String) fd[0];
+          w = (Long) fd[1];
+          DataType t = fieldType(c);
           if (t == null || !integral(t)) {
             return false;
           }
-          groupType = DataTypes.LongType; // FLOOR(double) is LONG
+          gt = DataTypes.LongType; // FLOOR(double) is LONG
         }
+        if (groupCols.contains(c)) {
+          return false; // one bucketing per column
+        }
+        groupCols.add(c);
+        groupWidths.add(w);
+        groupTypes.add(gt);
       }
       List<String> reqs = new ArrayList<>();
       List<DataType> types = new ArrayList<>();
@@ -618,7 +623,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       List<Object[]> rows = new ArrayList<>();
       List<StructField> fields = new ArrayList<>();
       int off = 0;
-      if (groupCol == null) {
+      if (groupCols.isEmpty()) {
         JsonNode out = b.call("agg", String.join(";", reqs), cj, null);
         if (out == null || !out.path("ok").asBoolean(false)) {
           return false; // metadata cannot prove it: honest scan fallback
@@ -637,8 +642,15 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         }
         rows.add(row);
       } else {
+        StringBuilder gspec = new StringBuilder();
+        for (int i = 0; i < groupCols.size(); i++) {
+          if (i > 0) {
+            gspec.append(",");
+          }
+          gspec.append(groupCols.get(i)).append(":").append(groupWidths.get(i));
+        }
         JsonNode out =
-            b.call("gagg", String.join(";", reqs), cj, groupCol + ":" + groupWidth);
+            b.call("gagg", String.join(";", reqs), cj, gspec.toString());
         if (out == null || !out.path("ok").asBoolean(false)) {
           return false;
         }
@@ -646,26 +658,34 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         if (!jrows.isArray()) {
           return false;
         }
+        int ng = groupCols.size();
         for (JsonNode jr : jrows) {
-          if (!jr.isArray() || jr.size() != reqs.size() + 1) {
+          if (!jr.isArray() || jr.size() != reqs.size() + ng) {
             return false;
           }
-          Object[] row = new Object[reqs.size() + 1];
+          Object[] row = new Object[reqs.size() + ng];
           try {
             // width-1 buckets ARE the coordinate; FLOOR buckets are LONG
-            row[0] = jsonToSpark(jr.get(0), groupType);
+            for (int i = 0; i < ng; i++) {
+              row[i] = jsonToSpark(jr.get(i), groupTypes.get(i));
+            }
             for (int i = 0; i < reqs.size(); i++) {
-              row[i + 1] = jsonToSpark(jr.get(i + 1), types.get(i));
+              row[i + ng] = jsonToSpark(jr.get(i + ng), types.get(i));
             }
           } catch (RuntimeException ex) {
             return false;
           }
           rows.add(row);
         }
-        fields.add(
-            new StructField(
-                "group_0", groupType, true, org.apache.spark.sql.types.Metadata.empty()));
-        off = 1;
+        for (int i = 0; i < ng; i++) {
+          fields.add(
+              new StructField(
+                  "group_" + i,
+                  groupTypes.get(i),
+                  true,
+                  org.apache.spark.sql.types.Metadata.empty()));
+        }
+        off = ng;
         aggGrouped = true;
       }
       for (int i = 0; i < reqs.size(); i++) {
@@ -675,8 +695,8 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       }
       this.aggRows = rows;
       this.aggSchema = new StructType(fields.toArray(new StructField[0]));
-      // off is only informational (group col precedes aggs)
-      if (off == 1 && aggSchema.fields().length != reqs.size() + 1) {
+      // off is only informational (group cols precede aggs)
+      if (off > 0 && aggSchema.fields().length != reqs.size() + off) {
         throw new IllegalStateException("tiledb_agg: grouped schema drift");
       }
       return true;

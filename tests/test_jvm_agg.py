@@ -277,3 +277,98 @@ def test_scan_filter_pushdown_and_pruning(spark, tmp_path):
     assert spark.sql(
         "SELECT * FROM jvm_scan_p WHERE q = 99"
     ).collect() == []
+
+
+def test_grid_rollup_2d_pushdown(spark, tmp_path):
+    """GROUP BY FLOOR(y/w), FLOOR(x/w) — out of schema order — pushes
+    to the N-D grid rollup; dense arrays route to the dense twin."""
+    import collections
+
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = str(tmp_path / "s2")
+    create_native_array(
+        uri,
+        [NativeDim("x", 1, 1, (0, 999), None),
+         NativeDim("y", 1, 1, (0, 999), None)],
+        [NativeAttr("v", 1, 1, False, None)],
+        capacity=50,
+    )
+    xs, ys, vs = [], [], []
+    for x in range(0, 100, 2):
+        for y in range(0, 100, 5):
+            xs.append(x)
+            ys.append(y)
+            vs.append(x * 10 + y)
+    write_native_fragment(uri, {"x": xs, "y": ys, "v": vs}, ts=1,
+                          version=19)
+    agg_reader(spark, uri).load().createOrReplaceTempView("jvm_g2")
+    q = (
+        "SELECT FLOOR(y/50) AS by, FLOOR(x/50) AS bx, COUNT(*) AS n, "
+        "SUM(v) AS sv FROM jvm_g2 GROUP BY FLOOR(y/50), FLOOR(x/50) "
+        "ORDER BY by, bx"
+    )
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "GroupedPushedAggregates" in plan, plan
+    exp = collections.defaultdict(lambda: [0, 0])
+    for x, y, v in zip(xs, ys, vs):
+        e = exp[(y // 50, x // 50)]
+        e[0] += 1
+        e[1] += v
+    assert [(r.by, r.bx, r.n, r.sv) for r in spark.sql(q).collect()] == (
+        sorted((k[0], k[1], e[0], e[1]) for k, e in exp.items())
+    )
+    # grouping on a NON-dim0 dim with a filter window on the other dim
+    q2 = (
+        "SELECT FLOOR(x/50) AS bx, COUNT(*) AS n FROM jvm_g2 "
+        "WHERE y BETWEEN 10 AND 59 GROUP BY FLOOR(x/50) ORDER BY bx"
+    )
+    p2 = spark.sql(q2)._jdf.queryExecution().executedPlan().toString()
+    assert "GroupedPushedAggregates" in p2
+    exp2 = collections.defaultdict(int)
+    for x, y in zip(xs, ys):
+        if 10 <= y <= 59:
+            exp2[x // 50] += 1
+    assert [(r.bx, r.n) for r in spark.sql(q2).collect()] == sorted(
+        exp2.items()
+    )
+
+
+def test_grid_rollup_dense_pushdown(spark, tmp_path):
+    """Dense 2-D heatmap downsample behind plain SQL (dense grid twin)."""
+    import collections
+
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        read_native_array_range,
+    )
+
+    uri = str(tmp_path / "d2")
+    create_native_array(
+        uri,
+        [NativeDim("x", 0, 1, (0, 99), 10),
+         NativeDim("y", 0, 1, (0, 99), 10)],
+        [NativeAttr("v", 1, 1, False, None)],
+        array_type="DENSE",
+    )
+    vals = [x * 100 + y for x in range(5, 25) for y in range(10, 40)]
+    write_native_fragment(
+        uri, {"v": vals}, subarray=[(5, 24), (10, 39)], ts=1, version=19
+    )
+    agg_reader(spark, uri).load().createOrReplaceTempView("jvm_gd")
+    q = (
+        "SELECT FLOOR(x/10) AS bx, FLOOR(y/10) AS by, COUNT(*) AS n, "
+        "MIN(v) AS mn FROM jvm_gd GROUP BY 1, 2 ORDER BY bx, by"
+    )
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "GroupedPushedAggregates" in plan, plan
+    names, rows = read_native_array_range(uri)
+    ix, iy, iv = names.index("x"), names.index("y"), names.index("v")
+    exp = collections.defaultdict(lambda: [0, None])
+    for r in rows:
+        e = exp[(r[ix] // 10, r[iy] // 10)]
+        e[0] += 1
+        e[1] = r[iv] if e[1] is None else min(e[1], r[iv])
+    assert [(r.bx, r.by, r.n, r.mn) for r in spark.sql(q).collect()] == (
+        sorted((k[0], k[1], e[0], e[1]) for k, e in exp.items())
+    )

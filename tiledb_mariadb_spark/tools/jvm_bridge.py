@@ -293,25 +293,39 @@ def main(argv=None) -> int:
         return 0
 
     if a.cmd == "gagg":
-        # GROUP BY floor(dim0/width) from fragment metadata — the q340
-        # bucketed rollup behind plain SQL.  Sound-or-refuse.
+        # GROUP BY floor(dim/width) [, floor(dim2/width2), ...] from
+        # fragment metadata — the q340 bucketed rollup (1-D on dim0)
+        # and the q343 grid rollup (N-D, any dims) behind plain SQL.
+        # Sound-or-refuse.
         from tiledb_mariadb_spark.sources.tiledb_native_agg import (  # noqa: PLC0415
             bucketed_agg_native,
+            grid_agg_native,
         )
 
         reqs = [r for r in a.aggs.split(";") if r]
-        col, _, wtxt = (a.group or "").rpartition(":")
         try:
-            width = int(wtxt)
+            gspecs = []
+            for part in (a.group or "").split(","):
+                col, _, wtxt = part.rpartition(":")
+                gspecs.append((col, int(wtxt)))
             schema = parse_array_schema(_schema_path(a.uri))
         except (ValueError, OSError) as e:
             print(json.dumps({"ok": False, "reason": f"bad group: {e}"}))
             return 0
-        if width <= 0 or col != schema.dims[0].name:
+        dim_names = [d.name for d in schema.dims]
+        if (
+            not gspecs
+            or any(w <= 0 or c not in dim_names for c, w in gspecs)
+            or len({c for c, _w in gspecs}) != len(gspecs)
+        ):
             print(json.dumps(
-                {"ok": False, "reason": "group col must be dim0"}
+                {"ok": False, "reason": "group cols must be distinct dims"}
             ))
             return 0
+        one_d = len(gspecs) == 1 and gspecs[0][0] == dim_names[0]
+        if not one_d and len(gspecs) == 1 and len(dim_names) > 1:
+            # 1-D grouping on a NON-dim0 dim: the grid rollup handles it
+            pass
         conds = _parse_conditions(a.conditions)
         ranges, rest = _fold_dim_ranges(schema, conds)
         if rest:
@@ -321,31 +335,48 @@ def main(argv=None) -> int:
             fcols = sorted({
                 q.partition(":")[2] for q in reqs if ":" in q
             })
-            r = bucketed_agg_native(
-                a.uri, width, fields=fcols, at=a.at, ranges=ranges or None
-            )
+            if one_d:
+                r = bucketed_agg_native(
+                    a.uri, gspecs[0][1], fields=fcols, at=a.at,
+                    ranges=ranges or None,
+                )
+            else:
+                r = grid_agg_native(
+                    a.uri, dict(gspecs), fields=fcols, at=a.at,
+                    ranges=ranges or None,
+                )
         except ValueError as e:
             print(json.dumps({"ok": False, "reason": str(e)}))
             return 0
         if r is None:
             print(json.dumps({"ok": False, "reason": "stats not provable"}))
             return 0
+        # grid keys come in SCHEMA dim order; the caller wants them in
+        # the REQUESTED group order
+        schema_order = [c for c in dim_names if c in {g[0] for g in gspecs}]
+        perm = [schema_order.index(c) for c, _w in gspecs]
+        width_of = dict(gspecs)
         rows = []
         for b, acc in sorted(r["buckets"].items()):
-            if width > 1 and abs(int(b)) * width >= _FLOOR_SAFE:
-                # SQL's FLOOR(k/width) is double division — beyond 2^52
-                # it can misround vs exact integer bucketing: refuse
-                print(json.dumps(
-                    {"ok": False, "reason": "dim0 beyond float-exact range"}
-                ))
-                return 0
+            key = b if isinstance(b, tuple) else (b,)
+            key = [int(key[i]) for i in perm]
+            for kv, (c, w) in zip(key, gspecs):
+                if w > 1 and abs(kv) * w >= _FLOOR_SAFE:
+                    # SQL's FLOOR(k/width) is double division — beyond
+                    # 2^52 it can misround vs exact integer bucketing
+                    print(json.dumps(
+                        {"ok": False,
+                         "reason": "dim beyond float-exact range"}
+                    ))
+                    return 0
             vals = _extract(reqs, acc["count"], acc["fields"])
             if vals is None:
                 print(json.dumps(
                     {"ok": False, "reason": "stats not provable"}
                 ))
                 return 0
-            rows.append([int(b), *vals])
+            rows.append([*key, *vals])
+        _ = width_of
         print(json.dumps({"ok": True, "rows": rows}, default=_json_cell))
         return 0
 
