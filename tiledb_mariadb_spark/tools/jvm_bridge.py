@@ -13,10 +13,11 @@ repo's pure-Python native decoder from the JVM:
   ha_mytile.cc:634-640: never a guessed value, ``ok=false`` whenever
   the merged view could differ from per-fragment stats) as one JSON
   object;
-- ``gagg --uri U --aggs ... --group dim0:width [--conditions J]``:
-  GROUP BY floor(dim0/width) rollup rows from bucketed_agg_native
-  (footer walk + edge-tile decode — the q340 metadata rollup, now
-  reachable from plain SQL);
+- ``gagg --uri U --aggs ... --group d1:w1[,d2:w2...] [--conditions J]``:
+  GROUP BY floor(dim/width) rollup rows — bucketed_agg_native for the
+  1-D dim0 case, grid_agg_native for N-D / non-dim0 grids (footer walk
+  + edge-tile decode — the q340/q343 metadata rollups behind plain
+  SQL); bucket keys in the requested group order;
 - ``splits --uri U [--conditions J]``: the split plan for the scan
   (dim0 cuts / R-tree weights / string boundary keys, intersected with
   pushed dim ranges and the condition-NED — read_array parity);
@@ -322,10 +323,9 @@ def main(argv=None) -> int:
                 {"ok": False, "reason": "group cols must be distinct dims"}
             ))
             return 0
+        # dim0 1-D grouping keeps the bucketed fast path; anything else
+        # (N-D, or 1-D on a non-dim0 dim) is the grid rollup's job
         one_d = len(gspecs) == 1 and gspecs[0][0] == dim_names[0]
-        if not one_d and len(gspecs) == 1 and len(dim_names) > 1:
-            # 1-D grouping on a NON-dim0 dim: the grid rollup handles it
-            pass
         conds = _parse_conditions(a.conditions)
         ranges, rest = _fold_dim_ranges(schema, conds)
         if rest:
@@ -355,7 +355,6 @@ def main(argv=None) -> int:
         # the REQUESTED group order
         schema_order = [c for c in dim_names if c in {g[0] for g in gspecs}]
         perm = [schema_order.index(c) for c, _w in gspecs]
-        width_of = dict(gspecs)
         rows = []
         for b, acc in sorted(r["buckets"].items()):
             key = b if isinstance(b, tuple) else (b,)
@@ -376,7 +375,6 @@ def main(argv=None) -> int:
                 ))
                 return 0
             rows.append([*key, *vals])
-        _ = width_of
         print(json.dumps({"ok": True, "rows": rows}, default=_json_cell))
         return 0
 
