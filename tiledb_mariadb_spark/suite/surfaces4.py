@@ -1638,12 +1638,19 @@ def q352_jvm_grouped_rollup(spark, sf_dir):
         ],
         capacity=_Q352_W,  # tiles pack per bucket-width cells
     )
-    src = t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.expr(
-            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
-        ).alias("cents"),
-        F.col("o_custkey").alias("custkey"),
+    # ingest only the queried key range (2x window margin): the spec
+    # exercises the PUSHDOWN machinery — write throughput is q278's job
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= _Q352_HI * 2)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr(
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) "
+                "AS BIGINT)"
+            ).alias("cents"),
+            F.col("o_custkey").alias("custkey"),
+        )
     )
 
     def part(batches):
@@ -1681,6 +1688,7 @@ def q352_jvm_grouped_rollup(spark, sf_dir):
 
 
 Q352_SQL = f"""
+WITH src AS (SELECT * FROM orders WHERE o_orderkey <= {_Q352_HI * 2})
 SELECT CAST(FLOOR(o_orderkey / {_Q352_W}.0) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
@@ -1692,7 +1700,7 @@ SELECT CAST(FLOOR(o_orderkey / {_Q352_W}.0) AS BIGINT) AS bucket,
           AS BIGINT)) AS BIGINT) FROM orders
         WHERE o_orderkey >= {_Q352_LO} AND o_orderkey < {_Q352_W})
          AS first_bucket_cents
-FROM orders
+FROM src
 WHERE o_orderkey BETWEEN {_Q352_LO} AND {_Q352_HI}
 GROUP BY 1
 ORDER BY bucket
