@@ -224,6 +224,17 @@ def all_specs() -> dict[str, QuerySpec]:
     # in r2, six rounds earlier), in its original order.
     # Fully EXPLICIT so later spec additions to these modules cannot
     # silently displace the driver's sampling window.
+    # ROUND 9 (staged — apply as round 9's commit #1): lead with whatever
+    # r9 ADDS (new specs first, newest code least-tested), then the
+    # least-recently-verified backfill = the ROUND-3 window (driver-green
+    # in r3, six rounds earlier), verbatim:
+    #   q43 q118 q122 q129 q77 q135 q136 q137 q138 q139 q140 q141 q142
+    #   q144 q145 q146 q147 q149 q150 q151 q152 q154 q155 q156 q157
+    #   q158 q173 q174 q175 q176 q178 q179 q180 q181 q182 q68 q256
+    #   q159 q153 q143 q72 q76 q69 q71 q95 q96 q97 q254 q90 q164
+    # (drop from the TAIL of that list to make room for r9-new specs;
+    # q77 re-verified in r7 and q173 every-round via bench keep their
+    # slots only if space allows.)
     front = [
         # q214 re-registration — the r7 verdict's #1 item (1)
         "q351_regr_moments2",
