@@ -34,8 +34,13 @@
 
 import com.fasterxml.jackson.databind.JsonNode;
 import com.fasterxml.jackson.databind.ObjectMapper;
+import java.io.BufferedInputStream;
 import java.io.BufferedReader;
 import java.io.InputStreamReader;
+import org.apache.arrow.memory.BufferAllocator;
+import org.apache.arrow.memory.RootAllocator;
+import org.apache.arrow.vector.VectorSchemaRoot;
+import org.apache.arrow.vector.ipc.ArrowStreamReader;
 import java.io.Serializable;
 import java.math.BigDecimal;
 import java.nio.charset.StandardCharsets;
@@ -885,24 +890,113 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
   static class RowsReader implements PartitionReader<InternalRow> {
     private final Process proc;
-    private final BufferedReader out;
     private final StructType schema;
     private final ObjectMapper mapper = new ObjectMapper();
     private InternalRow current;
+    // wire auto-detect: the bridge emits ARROW IPC when pyarrow is
+    // importable (never starts with '['), JSON lines otherwise
+    private BufferedReader jsonIn;
+    private BufferAllocator allocator;
+    private ArrowStreamReader arrow;
+    private VectorSchemaRoot root;
+    private int rowInBatch;
+    private int batchRows;
 
     RowsReader(RowsPartition part, StructType schema) {
       this.schema = schema;
       Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(part.opts));
       this.proc =
           b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null);
-      this.out =
-          new BufferedReader(new InputStreamReader(proc.getInputStream(), StandardCharsets.UTF_8));
+      try {
+        BufferedInputStream in = new BufferedInputStream(proc.getInputStream());
+        in.mark(2);
+        int first = in.read();
+        if (first == -1) {
+          jsonIn = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8));
+          return; // empty stream: the JSON loop surfaces exit status
+        }
+        in.reset();
+        if (first == '[') {
+          jsonIn = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8));
+        } else {
+          allocator = new RootAllocator(Long.MAX_VALUE);
+          arrow = new ArrowStreamReader(in, allocator);
+          root = arrow.getVectorSchemaRoot();
+          rowInBatch = 0;
+          batchRows = 0;
+        }
+      } catch (Exception e) {
+        proc.destroy();
+        throw new RuntimeException("tiledb_agg rows bridge open failed: " + e, e);
+      }
+    }
+
+    private static Object arrowToSpark(Object o, DataType t) {
+      if (o == null) {
+        return null;
+      }
+      if (t == DataTypes.StringType) {
+        return UTF8String.fromString(o.toString());
+      }
+      if (t == DataTypes.LongType) {
+        return ((Number) o).longValue();
+      }
+      if (t == DataTypes.IntegerType) {
+        return ((Number) o).intValue();
+      }
+      if (t == DataTypes.ShortType) {
+        return ((Number) o).shortValue();
+      }
+      if (t == DataTypes.ByteType) {
+        return ((Number) o).byteValue();
+      }
+      if (t == DataTypes.DoubleType) {
+        return ((Number) o).doubleValue();
+      }
+      if (t == DataTypes.FloatType) {
+        return ((Number) o).floatValue();
+      }
+      if (t == DataTypes.BooleanType) {
+        return (Boolean) o;
+      }
+      if (t == DataTypes.BinaryType) {
+        return (byte[]) o;
+      }
+      throw new RuntimeException("tiledb_agg: unsupported arrow type " + t);
+    }
+
+    private boolean nextArrow() throws Exception {
+      while (rowInBatch >= batchRows) {
+        if (!arrow.loadNextBatch()) {
+          int rc = proc.waitFor();
+          if (rc != 0) {
+            String err =
+                new String(proc.getErrorStream().readAllBytes(), StandardCharsets.UTF_8);
+            throw new RuntimeException("tiledb_agg rows bridge failed: " + err);
+          }
+          return false;
+        }
+        batchRows = root.getRowCount();
+        rowInBatch = 0;
+      }
+      StructField[] fields = schema.fields();
+      Object[] vals = new Object[fields.length];
+      for (int i = 0; i < fields.length; i++) {
+        vals[i] =
+            arrowToSpark(root.getVector(i).getObject(rowInBatch), fields[i].dataType());
+      }
+      rowInBatch++;
+      current = new GenericInternalRow(vals);
+      return true;
     }
 
     @Override
     public boolean next() {
       try {
-        String line = out.readLine();
+        if (arrow != null) {
+          return nextArrow();
+        }
+        String line = jsonIn.readLine();
         if (line == null || line.isEmpty()) {
           int rc = proc.waitFor();
           if (rc != 0) {
@@ -934,6 +1028,16 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public void close() {
+      try {
+        if (arrow != null) {
+          arrow.close();
+        }
+        if (allocator != null) {
+          allocator.close();
+        }
+      } catch (Exception ignored) {
+        // release-path best effort
+      }
       proc.destroy();
     }
   }
