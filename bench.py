@@ -154,6 +154,9 @@ HEADLINE = [
     # DENSE metadata rollup (fill-aware weekly buckets, triple-matched)
     "q352_jvm_grouped_rollup",
     "q353_dense_rollup",
+    # exotic-encoding (UTF-16/32/UCS-2) corpus round-trip via the
+    # exact row path
+    "q354_utf16_corpus",
 ]
 
 

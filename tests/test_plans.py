@@ -179,6 +179,8 @@ def test_no_python_udf_in_any_plan(spark):
         # feeding the JVM provider: same declared native-io boundary
         "q353_dense_rollup",  # the fill-materializing connector scan
         # (triple-match leg 2): same declared native-io boundary
+        "q354_utf16_corpus",  # exotic-encoding connector scan (exact
+        # row path): same declared native-io boundary
     }
     skip = {  # streaming queries materialize eagerly in run_to_completion
         "q90_stream_window",

@@ -242,6 +242,7 @@ def all_specs() -> dict[str, QuerySpec]:
         # (appended here as r8 adds them; backfill tail yields slots)
         "q352_jvm_grouped_rollup",
         "q353_dense_rollup",
+        "q354_utf16_corpus",
         # round-2 backfill — driver-green in r2, six rounds ago (49)
         "q30_join_inner", "q41_shipping_priority", "q31_join_multi",
         "q32_join_left", "q33_join_full", "q34_join_semi",
@@ -258,13 +259,13 @@ def all_specs() -> dict[str, QuerySpec]:
         "q85_csv_load", "q86_insert_into_select", "q87_multi_value_cells",
         "q60_text_stats", "q75_bpe_tokens", "q73_frame_sample",
         "q61_lang_id", "q62_dedup_exact", "q63_fingerprint",
-        "q64_minhash", "q65_lsh_pairs",
+        "q64_minhash",
         # (q70_multimodal yielded the 50th slot to q351 — multimodal
         # binary plumbing stays covered by q73_frame_sample in-window;
-        # q67_simhash yielded to q352 — SimHash near-dup stays covered
-        # in-window by q64/q65's MinHash/LSH family; q66_ngram_jaccard
-        # yielded to q353 — n-gram Jaccard similarity stays covered by
-        # the same q64/q65 shingle tier)
+        # q67_simhash yielded to q352, q66_ngram_jaccard to q353 and
+        # q65_lsh_pairs to q354 — the MinHash/LSH/Jaccard family stays
+        # covered in-window by q64 plus q173's full band-index LSH,
+        # which bench exercises every round)
     ]
     assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

@@ -1879,3 +1879,99 @@ SPECS.append(
         "the fill surface so it is exact)",
     )
 )
+
+
+# --- q354: UTF-16/32/UCS-2 string attributes through the engine (r8) ---------
+# The reference maps STRING_UTF16/UTF32/UCS2/UCS4 to VARCHAR
+# (mytile/mytile.cc:63-68); round 8 gives the native tier the matching
+# LE codecs (_TEXT_CODEC) in the var/fixed decode paths, writer, fills
+# and bloom hashing.  This spec writes a customer corpus into an array
+# whose three attributes use THREE different exotic encodings (with
+# non-ASCII decorations so multibyte code units actually appear),
+# reads it back through the distributed connector (the numpy fast path
+# refuses these dtypes, so the exact row path decodes), and the oracle
+# recomputes the strings from parquet — including per-string CHARACTER
+# lengths, which only match if the decode produced real text.
+_Q354_N = 500
+
+
+def q354_utf16_corpus(spark, sf_dir):
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+        write_native_fragment,
+    )
+
+    rows = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _Q354_N)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .collect()
+    )  # bounded driver fetch: the corpus is the fixture being built
+    uri = tempfile.mkdtemp(prefix="q354_utf16_") + "/arr"
+    VAR = 0xFFFFFFFF
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("name16", 13, VAR, False, None),   # UTF-16
+            NativeAttr("seg32", 14, VAR, False, None),    # UTF-32
+            NativeAttr("note2", 15, VAR, True, None),     # UCS-2
+        ],
+    )
+    ks = sorted(r["c_custkey"] for r in rows)
+    by_k = {r["c_custkey"]: r for r in rows}
+    write_native_fragment(
+        uri,
+        {
+            "k": ks,
+            "name16": [f"«{by_k[k]['c_name']}»" for k in ks],
+            "seg32": [f"{by_k[k]['c_mktsegment']}•{k % 10}" for k in ks],
+            "note2": [
+                None if k % 7 == 0 else f"Ω{by_k[k]['c_mktsegment']}"
+                for k in ks
+            ],
+        },
+        ts=1, version=19,
+    )
+    df = read_array(spark, uri)
+    return df.select(
+        "k", "name16", "seg32", "note2",
+        F.length("name16").cast("long").alias("len16"),
+        F.length("seg32").cast("long").alias("len32"),
+    ).orderBy("k")
+
+
+Q354_SQL = f"""
+SELECT c_custkey AS k,
+       '«' || c_name || '»' AS name16,
+       c_mktsegment || '•' || CAST(c_custkey % 10 AS VARCHAR) AS seg32,
+       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            ELSE 'Ω' || c_mktsegment END AS note2,
+       CAST(LENGTH('«' || c_name || '»') AS BIGINT) AS len16,
+       CAST(LENGTH(c_mktsegment || '•' || CAST(c_custkey % 10 AS VARCHAR))
+         AS BIGINT) AS len32
+FROM customer
+WHERE c_custkey <= {_Q354_N}
+ORDER BY k
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q354_utf16_corpus",
+        q354_utf16_corpus,
+        Q354_SQL,
+        "UTF-16/32/UCS-2 string attributes (round 8): three exotic "
+        "encodings round-tripped through the native writer + the "
+        "distributed exact row path, character lengths pinned "
+        "(mytile.cc:63-68 VARCHAR parity)",
+    )
+)
