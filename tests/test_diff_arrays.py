@@ -264,3 +264,50 @@ def test_diff_vacuumed_snapshot_raises(spark, tmp_path):
     )
     got2 = _got(spark, uri, 2500, None)
     assert got2 == {5: ("added", None, 50)}
+
+
+def test_window_destroyed_guard(spark, tmp_path):
+    """since= reads fail loudly when consolidate+vacuum destroyed the
+    window's straddling originals (the windowed sibling of the diff
+    vacuum hazard): pre-vacuum the window reads fine (coverage rule
+    falls back to originals), post-vacuum it would silently lose the
+    in-window rows — so it raises instead."""
+    from tiledb_mariadb_spark.sources.tiledb_array import (
+        consolidate_array,
+        read_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        window_destroyed,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        vacuum_native_array,
+    )
+
+    uri = _mk(tmp_path)
+    write_native_fragment(
+        uri, {"k": [1, 2], "v": [10, 20]}, ts=1000, version=19
+    )
+    write_native_fragment(
+        uri, {"k": [3, 4], "v": [30, 40]}, ts=2000, version=19
+    )
+    consolidate_array(spark, uri, target_splits=2)
+    # pre-vacuum: the originals answer the window (r7 coverage rule)
+    assert not window_destroyed(uri, 1500)
+    rows = read_array(spark, uri, since=1500).collect()
+    assert sorted(r["k"] for r in rows) == [3, 4]
+    # post-vacuum: the ts=2000 original is gone, the consolidated
+    # [1000,2000] is excluded by since -> rows would vanish: raise
+    vacuum_native_array(uri)
+    assert window_destroyed(uri, 1500)
+    with pytest.raises(ValueError, match="destroyed by consolidation"):
+        read_array(spark, uri, since=1500)
+    # windows past the consolidated range still read fine
+    write_native_fragment(
+        uri, {"k": [5], "v": [50]}, ts=3000, version=19
+    )
+    assert not window_destroyed(uri, 2500)
+    rows = read_array(spark, uri, since=2500).collect()
+    assert [r["k"] for r in rows] == [5]
+    # a window starting exactly AT the consolidated fragment's t1 sees
+    # the whole consolidated content: not destroyed
+    assert not window_destroyed(uri, 1000)

@@ -289,6 +289,23 @@ class TileDBNativeReader(DataSourceReader):
         )
 
         be = _backend(self.encryption_key)
+        if self.since is not None:
+            # vacuum hazard: a since-window whose straddling originals
+            # were consolidated away reads incomplete — fail loudly
+            # (read_array parity, round-8 guard)
+            from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                window_destroyed,
+            )
+
+            try:
+                if window_destroyed(self.uri, self.since):
+                    raise ValueError(
+                        f"tiledb_native: the CDC window since="
+                        f"{self.since} was destroyed by consolidation + "
+                        "vacuum; rows would be silently lost"
+                    )
+            except OSError:
+                pass  # non-native layout: backend semantics
         if self.conditions:
             # condition-aware planning (read_array parity): intersect
             # the scan with the non-skippable fragments' union NED —

@@ -907,6 +907,26 @@ def read_array(
         if HAVE_TILEDB and encryption_key is None
         else NativeDecoderBackend(encryption_key=encryption_key)
     )
+    if since is not None:
+        # vacuum hazard (windowed sibling of the diff_arrays guard): a
+        # consolidated fragment straddling the window start is excluded
+        # by the since gate — if its in-window originals were vacuumed,
+        # this read would silently LOSE their rows.  Fail loudly.
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            window_destroyed,
+        )
+
+        try:
+            destroyed = window_destroyed(uri, since)
+        except OSError:
+            destroyed = False  # non-native layout: backend semantics
+        if destroyed:
+            raise ValueError(
+                f"read_array: the CDC window starting at since={since} "
+                "was destroyed by consolidation + vacuum (a consolidated "
+                "fragment straddles it and its in-window originals are "
+                "gone); rows would be silently lost"
+            )
     info = backend.info(uri, at=at)
     dim_names = [d.name for d in info.dims]
     attr_names = [a.name for a in info.attrs]

@@ -4375,6 +4375,41 @@ def snapshot_destroyed(array_dir: str, at: int) -> bool:
     return False
 
 
+def window_destroyed(array_dir: str, since: int) -> bool:
+    """True when the CDC window starting at ``since`` was DESTROYED by
+    consolidation + vacuum: a committed consolidated fragment straddles
+    the window start (``t1 < since <= t2`` — the ``since`` gate excludes
+    it, r7 coverage rule) and none of the in-window originals it merged
+    survive.  A ``since=`` read would then silently LOSE the rows those
+    originals wrote inside the window — the windowed sibling of
+    :func:`snapshot_destroyed` (round-8 self-review; same vacuum hazard
+    class as the r7 advisor's diff_arrays finding).  Name listing only."""
+    root = os.path.join(array_dir, "__fragments")
+    if not os.path.isdir(root):
+        root = array_dir
+    skip = {"__meta", "__schema", "__commits", "__fragments", "__labels"}
+    committed = _committed_names(array_dir, root)
+    ranges = [
+        _frag_range(d)
+        for d in os.listdir(root)
+        if d.startswith("__")
+        and d not in skip
+        and os.path.isdir(os.path.join(root, d))
+        and (committed is None or d in committed)
+    ]
+    for t1, t2 in ranges:
+        if not (t1 < since <= t2):
+            continue
+        # the straddler's newest merged original wrote at t2 >= since:
+        # at least one in-window original existed — does any survive?
+        if not any(
+            (a1, a2) != (t1, t2) and since <= a1 and a2 <= t2
+            for a1, a2 in ranges
+        ):
+            return True
+    return False
+
+
 def _ned_provably_disjoint(fa, fb) -> bool:
     """True only when two footers' non-empty domains provably do not
     overlap (some dimension's intervals are separated).  Fixed dims use
