@@ -383,3 +383,69 @@ def test_dense_grid_2d(tmp_path):
         if 7 <= r[ix] <= 18 and 12 <= r[iy] <= 33:
             exp2[(r[ix] // 10, r[iy] // 10)] += 1
     assert {k: v["count"] for k, v in res2["buckets"].items()} == dict(exp2)
+
+
+def test_dense_2d_windowed_randomized_parity(tmp_path):
+    """N-dim windows over 2-D dense layouts: random disjoint boxes +
+    random windows, windowed_agg_native vs brute-force scan (fills,
+    clipped boxes on BOTH axes, dim closed forms)."""
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (
+        dense_windowed_agg_native,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        uri = str(tmp_path / f"d2r{trial}")
+        create_native_array(
+            uri,
+            dims=[
+                NativeDim("x", 0, 1, (0, 199), 10),
+                NativeDim("y", 0, 1, (0, 199), 10),
+            ],
+            attrs=[
+                NativeAttr("v", 1, 1, False, None),
+                NativeAttr("w", 1, 1, True, None),
+            ],
+            array_type="DENSE",
+        )
+        # disjoint boxes stacked along x
+        xpos = 0
+        for f in range(rng.randint(1, 3)):
+            xpos += rng.randint(0, 10)
+            nx, ny = rng.randint(3, 25), rng.randint(3, 40)
+            ylo = rng.randint(0, 60)
+            n = nx * ny
+            write_native_fragment(
+                uri,
+                {"v": [rng.randrange(100) for _ in range(n)],
+                 "w": [None if rng.random() < 0.25 else rng.randrange(50)
+                       for _ in range(n)]},
+                subarray=[(xpos, xpos + nx - 1), (ylo, ylo + ny - 1)],
+                ts=f + 1, version=19,
+            )
+            xpos += nx
+        for _ in range(5):
+            xlo = rng.randrange(0, xpos + 5)
+            xhi = rng.randrange(xlo, xpos + 15)
+            ylo = rng.randrange(0, 90)
+            yhi = rng.randrange(ylo, 110)
+            res = dense_windowed_agg_native(
+                uri, {"x": (xlo, xhi), "y": (ylo, yhi)},
+                fields=["v", "w", "x", "y"],
+            )
+            assert res is not None
+            names, rows = read_native_array_range(
+                uri, ranges=[(xlo, xhi), (ylo, yhi)]
+            )
+            idx = {n_: i for i, n_ in enumerate(names)}
+            assert res["count"] == len(rows)
+            for col in ("v", "w", "x", "y"):
+                vals = [r[idx[col]] for r in rows]
+                nn = [v for v in vals if v is not None]
+                f_ = res["fields"][col]
+                assert f_["count"] == len(nn), (trial, col, xlo, xhi)
+                assert f_["sum"] == (sum(nn) if nn else None), (
+                    trial, col, f_, len(nn),
+                )
+                assert f_["min"] == (min(nn) if nn else None)
+                assert f_["max"] == (max(nn) if nn else None)
