@@ -1141,11 +1141,23 @@ def test_window_reads_survive_unvacuumed_consolidation(spark, tmp_path):
     # split planning sees the window fragments' union box, not []
     assert window_ned(uri, since=1500) == [(10, 49)]
     # post-vacuum the originals are gone and the consolidated fragment
-    # straddles the window start => honestly-empty window (libtiledb
-    # timestamp_start parity: vacuuming folds away sub-range history)
+    # straddles the window start.  libtiledb's timestamp_start parity
+    # would be an "honestly-empty" window — but a CDC consumer reading
+    # [] concludes "no changes" and silently loses the folded-away
+    # updates (the same hazard class as the diff_arrays vacuum finding),
+    # so round 8 deliberately DIVERGES: the read surface raises loudly.
     vacuum_native_array(uri)
-    assert read_array(spark, uri, since=1500).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="destroyed by consolidation"):
+        read_array(spark, uri, since=1500)
+    # the metadata layer itself keeps the fold-away semantics (planning
+    # helpers must not raise); only the user-facing reads guard
     assert window_ned(uri, since=1500) == []
+    assert read_native_array_range(uri, since=1500)[1] == []
+    # a window that starts AT the consolidated range's t1 is complete
+    rows2 = read_array(spark, uri, since=1000).count()
+    assert rows2 == 50
 
 
 def test_window_split_planning_prunes(spark, tmp_path):
