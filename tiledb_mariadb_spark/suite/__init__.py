@@ -235,39 +235,47 @@ def all_specs() -> dict[str, QuerySpec]:
     # (drop from the TAIL of that list to make room for r9-new specs;
     # q77 re-verified in r7 and q173 every-round via bench keep their
     # slots only if space allows.)
+    # ROUND 9 (this window — the staged rotation applied as commit #1):
+    # LEADS with the q351 column-bisect ladder (q355–q358, the r8
+    # verdict's #1 item: same body sliced by projection so the driver
+    # names the diverging column) and whatever r9 ADDS (appended below as
+    # the round progresses, each taking a slot from the backfill TAIL),
+    # then the least-recently-verified backfill = the ROUND-3 window
+    # (driver-green in r3, six rounds earlier), in its original order.
+    # Per the staged note: q77 (re-verified r7) and q173 (bench-exercised
+    # every round) yield their slots first, then drops come off the TAIL
+    # (q164, q90, q254, …); the displaced surfaces stay covered in-window
+    # — streaming by the q90-family's r4–r5 green history, consolidation
+    # by q337/q327 (r7), ST_contains by q95–q97.
     front = [
-        # q214 re-registration — the r7 verdict's #1 item (1)
+        # q351 bisect ladder — r8 verdict #1 (q351 itself stays lead so
+        # the full-width hash re-samples alongside its rungs)
         "q351_regr_moments2",
-        # round-8-new specs — newest code, never driver-sampled
-        # (appended here as r8 adds them; backfill tail yields slots)
-        "q352_jvm_grouped_rollup",
-        "q353_dense_rollup",
-        "q354_utf16_corpus",
-        # round-2 backfill — driver-green in r2, six rounds ago (49)
-        "q30_join_inner", "q41_shipping_priority", "q31_join_multi",
-        "q32_join_left", "q33_join_full", "q34_join_semi",
-        "q35_join_anti", "q36_join_theta", "q37_tuple_in",
-        "q38_asof_join", "q39_range_join", "q40_cross_join",
-        "q23_cte", "q47_priority_check", "q48_promo_revenue",
-        "q24_scalar_subquery", "q25_correlated_avg", "q26_in_subquery",
-        "q27_large_orders", "q28_grouping_sets", "q29_revenue_filter",
-        "q50_window_rank", "q77_ewma", "q51_window_running",
-        "q52_lag_lead", "q53_window_range_frame", "q54_topk_per_group",
-        "q55_distribution", "q56_first_last", "q57_sessionize",
-        "q58_ignore_nulls", "q80_metadata", "q81_time_travel",
-        "q82_discovery", "q83_schema_evolution", "q84_dense_fill",
-        "q85_csv_load", "q86_insert_into_select", "q87_multi_value_cells",
-        "q60_text_stats", "q75_bpe_tokens", "q73_frame_sample",
-        "q61_lang_id", "q62_dedup_exact", "q63_fingerprint",
-        "q64_minhash",
-        # (q70_multimodal yielded the 50th slot to q351 — multimodal
-        # binary plumbing stays covered by q73_frame_sample in-window;
-        # q67_simhash yielded to q352, q66_ngram_jaccard to q353 and
-        # q65_lsh_pairs to q354 — the MinHash/LSH/Jaccard family stays
-        # covered in-window by q64 plus q173's full band-index LSH,
-        # which bench exercises every round)
+        "q355_regr_bisect_count",
+        "q356_regr_bisect_pricey",
+        "q357_regr_bisect_sums",
+        "q358_regr_bisect_derived",
+        # round-9-new specs — newest code, never driver-sampled
+        # (appended here as r9 adds them; backfill tail yields slots)
+        # round-3 backfill — driver-green in r3, six rounds ago (45)
+        "q43_filtered_agg", "q118_array_set_ops", "q122_map_fns",
+        "q129_array_slice", "q135_train_test_split",
+        "q136_stratified_sample", "q137_pii_redaction",
+        "q138_pack_sequential", "q139_pack_greedy", "q140_dedup_clusters",
+        "q141_topk_ngrams", "q142_approx_sketches", "q144_repetition_ratio",
+        "q145_corpus_report", "q146_quality_gate", "q147_train_sequences",
+        "q149_decontamination", "q150_funnel", "q151_cohort_retention",
+        "q152_multivalue_agg", "q154_normalize_text", "q155_containment",
+        "q156_salted_agg", "q157_bucketed_join", "q158_corpus_mix",
+        "q174_weighted_sample", "q175_quantized_ann", "q176_chunk_documents",
+        "q178_setsim_join", "q179_ivf_append", "q180_simhash_neardup",
+        "q181_temperature_mix", "q182_corpus_funnel", "q68_cosine_topk",
+        "q256_rag_retrieve", "q159_lsh_neardup", "q153_ivf_batch",
+        "q143_ann_batch", "q72_ann_ivf", "q76_cosine_neardup",
+        "q69_ann_lsh_buckets", "q71_ann_bucketed_search",
+        "q95_spatial_intersects", "q96_st_equals", "q97_st_overlaps",
     ]
-    assert len(front) == 50, f"round-7 front window is {len(front)}, want 50"
+    assert len(front) == 50, f"round-9 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
     assert not missing, f"front window names not registered: {missing}"
 

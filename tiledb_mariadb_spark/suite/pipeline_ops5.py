@@ -162,7 +162,7 @@ m AS (
          CAST(SUM(x * x) AS BIGINT) AS sxx,
          CAST(SUM(x * y) AS BIGINT) AS sxy,
          CAST(SUM(y * y) AS BIGINT) AS syy,
-         COUNT_IF(l_extendedprice > 50000.0) AS n_pricey
+         CAST(COUNT_IF(l_extendedprice > 50000.0) AS BIGINT) AS n_pricey
   FROM s GROUP BY l_returnflag),
 d AS (
   SELECT *, n * sxy - sx * sy AS num,
@@ -176,6 +176,78 @@ SELECT l_returnflag, n, n_pricey, sx, sy, sxx, sxy, syy,
 FROM d WHERE denx <> 0 AND deny <> 0
 ORDER BY l_returnflag
 """
+
+
+# --- r9: q351 column-bisect ladder (r8 verdict #1) --------------------------
+# q351 (and q214 before it, across three projection variants) hash-missed in
+# the driver while bit-exact vs DuckDB locally and in three independent judge
+# reruns.  These micro-specs slice the IDENTICAL body by projection so the
+# driver itself names the diverging column: whichever rung goes red isolates
+# the operator (COUNT / COUNT_IF / integer SUMs / derived products) that
+# diverges in the driver environment only.  All four green + q351 red would
+# instead implicate the full-width 11-column hash itself.
+
+
+def _regr_slice(spark, sf_dir, *cols):
+    return q214_regr_moments(spark, sf_dir).select("l_returnflag", *cols)
+
+
+def _regr_slice_sql(*cols) -> str:
+    # Same CTE chain as Q214_SQL (incl. the denx/deny row filter, so every
+    # rung sees the identical row set), projecting only the sliced columns.
+    proj = ", ".join(cols)
+    return f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y,
+         l_extendedprice
+  FROM lineitem WHERE l_orderkey % {_REGR_MOD} = 0),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(COUNT_IF(l_extendedprice > 50000.0) AS BIGINT) AS n_pricey
+  FROM s GROUP BY l_returnflag),
+d AS (
+  SELECT *, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM m)
+SELECT l_returnflag, {proj}
+FROM d WHERE denx <> 0 AND deny <> 0
+ORDER BY l_returnflag
+"""
+
+
+def q355_regr_bisect_count(spark, sf_dir):
+    return _regr_slice(spark, sf_dir, "n")
+
+
+def q356_regr_bisect_pricey(spark, sf_dir):
+    return _regr_slice(spark, sf_dir, "n", "n_pricey")
+
+
+def q357_regr_bisect_sums(spark, sf_dir):
+    return _regr_slice(spark, sf_dir, "sx", "sy", "sxx", "sxy", "syy")
+
+
+def q358_regr_bisect_derived(spark, sf_dir):
+    return _regr_slice(spark, sf_dir, "num", "denx", "deny")
+
+
+Q355_SQL = _regr_slice_sql("n")
+Q356_SQL = _regr_slice_sql("n", "n_pricey")
+Q357_SQL = _regr_slice_sql("sx", "sy", "sxx", "sxy", "syy")
+Q358_SQL = _regr_slice_sql(
+    "CAST(num AS BIGINT) AS num",
+    "CAST(denx AS BIGINT) AS denx",
+    "CAST(deny AS BIGINT) AS deny",
+)
 
 
 # --- q215: bitwise scalar-function surface ---------------------------------
@@ -256,6 +328,30 @@ SPECS = [
         Q214_SQL,
         "per-group OLS slope/intercept/r2 from exact integer moments "
         "(q214 re-registered under a fresh name, r7 verdict #1)",
+    ),
+    QuerySpec(
+        "q355_regr_bisect_count",
+        q355_regr_bisect_count,
+        Q355_SQL,
+        "q351 bisect rung (a): per-group COUNT only",
+    ),
+    QuerySpec(
+        "q356_regr_bisect_pricey",
+        q356_regr_bisect_pricey,
+        Q356_SQL,
+        "q351 bisect rung (b): COUNT + COUNT_IF (BIGINT-cast oracle)",
+    ),
+    QuerySpec(
+        "q357_regr_bisect_sums",
+        q357_regr_bisect_sums,
+        Q357_SQL,
+        "q351 bisect rung (c): raw integer regression sums only",
+    ),
+    QuerySpec(
+        "q358_regr_bisect_derived",
+        q358_regr_bisect_derived,
+        Q358_SQL,
+        "q351 bisect rung (d): derived num/denx/deny products only",
     ),
     QuerySpec(
         "q215_bitwise_scalars",
