@@ -449,3 +449,66 @@ def test_dense_2d_windowed_randomized_parity(tmp_path):
                 )
                 assert f_["min"] == (min(nn) if nn else None)
                 assert f_["max"] == (max(nn) if nn else None)
+
+
+def test_grid_bad_widths_raise_even_when_unprovable(tmp_path):
+    """Invalid widths raise ValueError BEFORE the dense-context probe:
+    an overlapping-patch array (unprovable -> None) must not swallow
+    bad input into a silent None (r8 ADVICE)."""
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (
+        dense_grid_agg_native,
+        grid_agg_native,
+    )
+
+    uri = _mk(tmp_path, "gbad")
+    write_native_fragment(
+        uri, {"v": list(range(50)), "w": [1] * 50},
+        subarray=[(0, 49)], ts=1, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": [9] * 10, "w": [2] * 10},
+        subarray=[(45, 54)], ts=2, version=19,
+    )
+    assert dense_grid_agg_native(uri, {"k": 10}) is None  # unprovable
+    for fn in (dense_grid_agg_native, grid_agg_native):
+        with pytest.raises(ValueError, match="at least one"):
+            fn(uri, {})
+        with pytest.raises(ValueError, match="non-dimension"):
+            fn(uri, {"v": 10})
+        with pytest.raises(ValueError, match="positive int"):
+            fn(uri, {"k": 0})
+
+
+def test_bucketed_footer_parse_cached_across_buckets(tmp_path):
+    """The bucketed rollup parses each fragment's stats footer ONCE per
+    call, not once per bucket (r8 ADVICE: O(buckets x fragments)
+    re-parse made the metadata fast path slower than the scan)."""
+    import tiledb_mariadb_spark.sources.tiledb_native_agg as agg_mod
+    from tiledb_mariadb_spark.sources import tiledb_native as tn
+
+    uri = _mk(tmp_path, "dcache")
+    # 10 bucket-aligned fragments of 10 cells (extent 10, width 10)
+    for b in range(10):
+        write_native_fragment(
+            uri,
+            {"v": [b] * 10, "w": [b] * 10},
+            subarray=[(b * 10, b * 10 + 9)], ts=b + 1, version=19,
+        )
+    calls = {"n": 0}
+    real = tn.fragment_attr_stats
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    orig = tn.fragment_attr_stats
+    tn.fragment_attr_stats = counting
+    try:
+        res = agg_mod.dense_bucketed_agg_native(uri, 10)
+    finally:
+        tn.fragment_attr_stats = orig
+    assert res is not None and len(res["buckets"]) == 10
+    assert calls["n"] <= 10  # one parse per fragment, NOT per pair
+    assert [res["buckets"][b]["fields"]["v"]["sum"] for b in range(10)] == [
+        b * 10 for b in range(10)
+    ]

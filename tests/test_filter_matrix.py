@@ -688,5 +688,16 @@ def test_webp_refuses_without_pillow():
         with _pytest.raises(NotImplementedError, match="Pillow"):
             _decompress_part(18, b"RIFFxxxxWEBP", 100, 1)
     else:  # pragma: no cover - Pillow absent in this container
-        with _pytest.raises(ValueError):
-            _decompress_part(18, b"not-a-webp", 100, 1)
+        import os as _os
+
+        # with Pillow but WITHOUT the opt-in flag: still refuses (the
+        # layout is unverified against a reference fixture, r8 ADVICE)
+        _os.environ.pop("TILEDB_SPARK_WEBP_UNVERIFIED", None)
+        with _pytest.raises(NotImplementedError, match="unverified"):
+            _decompress_part(18, b"RIFFxxxxWEBP", 100, 1)
+        _os.environ["TILEDB_SPARK_WEBP_UNVERIFIED"] = "1"
+        try:
+            with _pytest.raises(ValueError):
+                _decompress_part(18, b"not-a-webp", 100, 1)
+        finally:
+            _os.environ.pop("TILEDB_SPARK_WEBP_UNVERIFIED", None)

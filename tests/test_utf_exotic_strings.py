@@ -102,3 +102,41 @@ def test_spark_schema_maps_to_string(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_utf16_truncation_never_splits_surrogate(tmp_path):
+    """Over-long fixed UTF-16 cells truncate at a CHARACTER boundary:
+    a 4-byte surrogate pair straddling the cvn*2-byte cap drops whole
+    (read-back has no U+FFFD mangling, r8 ADVICE)."""
+    uri = str(tmp_path / "surr")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("s", 13, 4, False, None)],  # 4 UTF-16 units
+    )
+    # "ab" (2 units) + U+1F600 (surrogate PAIR: units 3-4 — fits) and
+    # "abc" (3 units) + U+1F600 (pair would straddle unit 4 — drops)
+    vals = ["ab\U0001f600", "abc\U0001f600", "abcdef"]
+    write_native_fragment(uri, {"k": [0, 1, 2], "s": vals}, ts=1, version=19)
+    names, rows = read_native_array_range(uri)
+    got = [r[names.index("s")].rstrip("\x00") for r in rows]
+    assert got == ["ab\U0001f600", "abc", "abcd"]
+    assert all("�" not in g for g in got)
+
+
+def test_utf8_truncation_never_splits_multibyte(tmp_path):
+    """Fixed UTF-8 cells: a multibyte sequence straddling the byte cap
+    drops whole instead of leaving a mangled partial sequence."""
+    uri = str(tmp_path / "u8trunc")
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("s", 12, 4, False, None)],  # 4 bytes
+    )
+    # "abc" + "é" (2 bytes: straddles byte 4) and "a" + "語" (3 bytes,
+    # bytes 2-4 — fits exactly)
+    vals = ["abcé", "a語", "abcdef"]
+    write_native_fragment(uri, {"k": [0, 1, 2], "s": vals}, ts=1, version=19)
+    names, rows = read_native_array_range(uri)
+    got = [r[names.index("s")].rstrip("\x00") for r in rows]
+    assert got == ["abc", "a語", "abcd"]

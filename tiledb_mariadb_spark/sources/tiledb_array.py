@@ -392,6 +392,39 @@ class NativeDecoderBackend(ArrayBackend):
                 frags=frags, since=since,
             )
             pdf = pd.DataFrame(rows, columns=names)
+            # Nullable-integral exactness: pandas infers float64 for an
+            # int column containing None, silently corrupting int64
+            # values >= 2^53 (2^53+1 -> 2^53).  Rebuild any such column
+            # from the RAW row values as a pandas masked Int* array —
+            # exact end-to-end (Arrow maps it to int64+validity, the
+            # explicit-schema RecordBatch cast is then a no-op).
+            _PD_INT = {
+                "bigint": "Int64", "int": "Int32",
+                "smallint": "Int16", "tinyint": "Int8",
+            }
+            if len(rows):
+                idx = {nm: i for i, nm in enumerate(names)}
+                try:
+                    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                        _SPARK_TYPE,
+                        parse_array_schema,
+                        _schema_path,
+                    )
+
+                    sch = parse_array_schema(_schema_path(uri))
+                    for a in sch.attrs:
+                        nm = a.name
+                        pd_dt = _PD_INT.get(_SPARK_TYPE.get(a.dtype_id))
+                        if (
+                            a.nullable and pd_dt and nm in idx
+                            and a.cell_val_num == 1
+                            and pdf[nm].dtype == "float64"
+                        ):
+                            pdf[nm] = pd.array(
+                                [r[idx[nm]] for r in rows], dtype=pd_dt
+                            )
+                except (OSError, ValueError, KeyError):
+                    pass  # schema unreadable: keep the inferred frame
         out = _apply_conditions(pdf, conditions)
         cols = [c for c in columns if c in out.columns]
         if len(out) == 0:

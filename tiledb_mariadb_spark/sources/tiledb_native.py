@@ -1020,6 +1020,20 @@ def _webp_decode(part: bytes, orig: int, opts: bytes) -> bytes:
             "rasters)"
         ) from None
     import io  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    # OPT-IN even with Pillow present (r8 ADVICE): no reference-written
+    # WEBP fixture exists here to pin the options byte layout or the
+    # BGR/BGRA plane order, and the decoded-length check cannot catch a
+    # channel swap (same byte count).  Refuse until a fixture pins it
+    # or the operator explicitly accepts best-effort decode.
+    if _os.environ.get("TILEDB_SPARK_WEBP_UNVERIFIED", "") != "1":
+        raise NotImplementedError(
+            "WEBP tile decode layout is unverified against a "
+            "reference-written fixture (channel order / options "
+            "offsets); set TILEDB_SPARK_WEBP_UNVERIFIED=1 to opt in "
+            "to best-effort decode"
+        )
 
     fmt = opts[4] if len(opts) >= 5 else 0
     img = Image.open(io.BytesIO(part))

@@ -1093,14 +1093,38 @@ def _facc_new():
 
 
 def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
-                audit):
-    """Accumulate the window box ``R``: returns (cell_count, facc)."""
+                audit, cache=None):
+    """Accumulate the window box ``R``: returns (cell_count, facc).
+
+    ``cache`` (optional dict) memoizes per-fragment footer parses
+    (fragment_attr_stats / fragment_tile_stats) across calls — the
+    bucketed/grid rollups call this once per bucket over the SAME
+    fragment set, and without it the "metadata fast path" re-parses
+    every footer O(buckets x fragments) times (r8 ADVICE)."""
     from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
         _enum_fill_label,
         _fill_value,
         fragment_attr_stats,
+        fragment_tile_stats,
         read_native_array_range,
     )
+
+    def _fstats(frag):
+        if cache is None:
+            return fragment_attr_stats(frag, schema) or {}
+        m = cache.setdefault("attr", {})
+        if frag not in m:
+            m[frag] = fragment_attr_stats(frag, schema) or {}
+        return m[frag]
+
+    def _tstats(frag, f):
+        if cache is None:
+            return fragment_tile_stats(frag, schema, f)
+        m = cache.setdefault("tile", {})
+        k = (frag, f)
+        if k not in m:
+            m[k] = fragment_tile_stats(frag, schema, f)
+        return m[k]
 
     by_name = {d.name: ("d", i, d) for i, d in enumerate(schema.dims)}
     by_name.update(
@@ -1131,7 +1155,7 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
             for d, (blo, bhi) in zip(schema.dims, box)
         )
         if inter == box and aligned:
-            st = fragment_attr_stats(frag, schema) or {}
+            st = _fstats(frag)
             audit["fragments_stats"] += 1
             for f in attr_fields:
                 fld = by_name[f][2]
@@ -1216,7 +1240,7 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
                         fld.cell_val_num == 1
                         and fld.dtype_id in _SUMMABLE_DT
                     )
-                    ts = fragment_tile_stats(frag, schema, f)
+                    ts = _tstats(frag, f)
                     if ts is None or len(ts) != n_tiles:
                         continue
                     has_mm = all(ts[r][0] is not None and ts[r][1] is not None
@@ -1478,13 +1502,14 @@ def dense_bucketed_agg_native(
     if b1 - b0 + 1 > _DENSE_MAX_BUCKETS:
         return None  # absurd materialization; let the caller scan
     buckets = {}
+    cache: dict = {}  # footer parses once per fragment, not per bucket
     for b in range(b0, b1 + 1):
         slice_r = [
             (max(R[0][0], b * width), min(R[0][1], (b + 1) * width - 1))
         ] + list(R[1:])
         vol, facc = _dense_eval(
             array_dir, schema, frags, boxes, slice_r, fields, stats, at,
-            audit,
+            audit, cache=cache,
         )
         buckets[b] = {
             "count": vol,
@@ -1509,19 +1534,22 @@ def dense_grid_agg_native(
     clipped slices decode (1-D sliver acceleration applies per slice),
     gaps are fill arithmetic.  Bucket keys are tuples of
     ``floor(coord/width)`` over the GRIDDED dims (schema dim order)."""
-    for name, w in (widths or {}).items():
+    # validate BEFORE _dense_prep so bad input raises even when the
+    # dense context is unprovable (same raise-on-bad-input contract as
+    # the sparse path, which validates before any metadata work)
+    if not widths:
+        raise ValueError("widths must name at least one dimension")
+    for name, w in widths.items():
         if not isinstance(w, int) or w <= 0:
             raise ValueError(f"width must be a positive int, got {w!r}")
+    pre_dims = [d.name for d in parse_array_schema(_schema_path(array_dir)).dims]
+    for name in widths:
+        if name not in pre_dims:
+            raise ValueError(f"width on non-dimension {name!r}")
     prep = _dense_prep(array_dir, ranges, fields, at, since)
     if prep is None:
         return None
     schema, fields, frags, boxes, R = prep
-    dim_names = [d.name for d in schema.dims]
-    if not widths:
-        raise ValueError("widths must name at least one dimension")
-    for name in widths:
-        if name not in dim_names:
-            raise ValueError(f"width on non-dimension {name!r}")
     gridded = [
         (i, widths[d.name]) for i, d in enumerate(schema.dims)
         if d.name in widths
@@ -1541,13 +1569,14 @@ def dense_grid_agg_native(
     import itertools  # noqa: PLC0415
 
     buckets = {}
+    cache: dict = {}  # footer parses once per fragment, not per grid cell
     for combo in itertools.product(*axes):
         slice_r = list(R)
         for (i, w), b in zip(gridded, combo):
             slice_r[i] = (max(R[i][0], b * w), min(R[i][1], (b + 1) * w - 1))
         vol, facc = _dense_eval(
             array_dir, schema, frags, boxes, slice_r, fields, stats, at,
-            audit,
+            audit, cache=cache,
         )
         key = combo[0] if len(combo) == 1 else tuple(combo)
         buckets[key] = {

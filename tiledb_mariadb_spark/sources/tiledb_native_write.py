@@ -886,7 +886,29 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
         out = bytearray()
         for v in vals:
             b = _to_bytes_cell(v if v is not None else "", dtype_id)
-            out += b[:cb].ljust(cb, b"\x00")
+            if len(b) > cb:
+                b = b[:cb]
+                # never split a multi-unit character at the truncation
+                # boundary — read-back would yield U+FFFD (silent
+                # mangling, r8 ADVICE).  UTF-32 units are whole code
+                # points, so unit-boundary cuts are always clean there.
+                if dtype_id in (13, 15) and cb >= 2:  # UTF-16-LE
+                    u = int.from_bytes(b[cb - 2:cb], "little")
+                    if 0xD800 <= u <= 0xDBFF:  # dangling high surrogate
+                        b = b[:cb - 2]
+                elif dtype_id in (4, 11, 12):  # UTF-8
+                    i = len(b)
+                    while i > 0 and (b[i - 1] & 0xC0) == 0x80:
+                        i -= 1  # trailing continuation bytes
+                    if i > 0 and (b[i - 1] & 0xC0) == 0xC0:
+                        lead = b[i - 1]
+                        need = (
+                            2 if lead >> 5 == 0b110
+                            else 3 if lead >> 4 == 0b1110 else 4
+                        )
+                        if len(b) - (i - 1) < need:  # sequence got cut
+                            b = b[:i - 1]
+            out += b.ljust(cb, b"\x00")
         return bytes(out)
     if cvn == 1 and code != "c":
         # vectorized scalar pack: numpy's little-endian buffer is
