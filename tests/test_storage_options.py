@@ -109,3 +109,35 @@ def test_file_scheme_and_remote_rejection(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="remote scheme s3://"):
         TileTable(spark, "s3://bucket/arr")
     assert persistable_options(None) == {}
+
+
+def test_tiledb_rest_scheme_refuses_loudly():
+    """tiledb:// (the REST/cloud scheme, ha_mytile.cc:1178-1182) names
+    its own deployment gap — a REST client — distinctly from the
+    object-store schemes (r8 verdict #6)."""
+    import pytest
+
+    from tiledb_mariadb_spark.sources.storage import require_local
+
+    with pytest.raises(NotImplementedError, match="REST"):
+        require_local("tiledb://ns/array")
+    with pytest.raises(NotImplementedError, match="object-store"):
+        require_local("s3://bucket/array")
+    assert require_local("/tmp/x") == "/tmp/x"
+    assert require_local("file:///tmp/x") == "/tmp/x"
+
+
+def test_datasource_open_refuses_remote(spark):
+    import pytest
+
+    from tiledb_mariadb_spark.sources.spark_datasource import (
+        TileDBNativeDataSource,
+    )
+
+    for uri, marker in (
+        ("tiledb://ns/array", "REST"),
+        ("s3://bucket/array", "object-store"),
+    ):
+        ds = TileDBNativeDataSource(options={"path": uri})
+        with pytest.raises(NotImplementedError, match=marker):
+            ds._uri()

@@ -357,23 +357,16 @@ class TileTable:
         underneath the caller's map on reopen."""
         from tiledb_mariadb_spark.sources.storage import (  # noqa: PLC0415
             apply_storage_options,
-            is_remote,
-            parse_uri,
+            require_local,
         )
 
         self.spark = spark
-        scheme, path = parse_uri(uri)
-        if is_remote(uri):
-            # the scheme set the reference accepts (ha_mytile.cc:1178-1182);
-            # this container has no object store to execute against — the
-            # config plumbing above is the real production path
-            raise NotImplementedError(
-                f"remote scheme {scheme}:// requires an object-store "
-                "deployment (conditional-put commit); unavailable in this "
-                "environment"
-            )
-        self.uri = path
-        self.schema = _load_sidecar(path)
+        # the scheme set the reference accepts (ha_mytile.cc:1178-1182);
+        # remote schemes refuse loudly with a scheme-specific reason
+        # (tiledb:// = REST, s3/azure/gcs = object store) — the config
+        # plumbing above is the real production path
+        self.uri = require_local(uri)
+        self.schema = _load_sidecar(self.uri)
         merged = dict(self.schema.metadata.get("storage_options") or {})
         merged.update(storage_options or {})
         self.storage_options = apply_storage_options(spark, merged)

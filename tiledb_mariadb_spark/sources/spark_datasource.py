@@ -80,6 +80,14 @@ class TileDBNativeDataSource(DataSource):
             uri = uri[5:]
             while uri.startswith("//"):
                 uri = uri[1:]
+        if "://" in uri:
+            # remote schemes (tiledb:// REST, object stores) refuse
+            # loudly AT OPEN — never a downstream path failure
+            from tiledb_mariadb_spark.sources.storage import (  # noqa: PLC0415
+                require_local,
+            )
+
+            uri = require_local(uri)
         return uri
 
     def _at(self):

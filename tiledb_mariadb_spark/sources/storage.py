@@ -66,6 +66,29 @@ def is_remote(uri: str) -> bool:
     return parse_uri(uri)[0] in REMOTE_SCHEMES
 
 
+def require_local(uri: str) -> str:
+    """Refuse a remote-scheme URI LOUDLY at open (never a downstream
+    path failure), with a scheme-specific reason.  ``tiledb://`` is the
+    TileDB REST/cloud scheme (ha_mytile.cc:1178-1182) — a different
+    deployment gap (REST client + auth) than the object-store schemes
+    (Hadoop connector + conditional-put commit).  Returns the local
+    path for accepted URIs."""
+    scheme, path = parse_uri(uri)
+    if scheme == "tiledb":
+        raise NotImplementedError(
+            f"{uri!r}: the tiledb:// REST scheme is not supported — "
+            "this build has no TileDB REST client (requires network + "
+            "API-token auth); open the array by its storage URI instead"
+        )
+    if scheme in REMOTE_SCHEMES:
+        raise NotImplementedError(
+            f"remote scheme {scheme}:// requires an object-store "
+            "deployment (Hadoop connector + conditional-put commit); "
+            "unavailable in this environment"
+        )
+    return path
+
+
 def to_hadoop_options(options: dict) -> dict:
     """Translate a tiledb_config-style map to Hadoop properties.  Keys
     already namespaced (``fs.*`` / ``spark.hadoop.*``) pass through
