@@ -168,8 +168,10 @@ def test_dim_closed_form(tmp_path):
     )
 
 
-def test_overlap_refuses(tmp_path):
-    """Newest-wins dense patches make per-fragment stats unprovable."""
+def test_overlap_newest_wins(tmp_path):
+    """Overlapping dense patches no longer refuse (r8 verdict #5): the
+    window decomposes into disjoint newest-wins regions and only the
+    shadow-clipped sub-boxes decode — values match the brute scan."""
     uri = _mk(tmp_path)
     write_native_fragment(
         uri, {"v": list(range(50)), "w": [1] * 50},
@@ -179,8 +181,66 @@ def test_overlap_refuses(tmp_path):
         uri, {"v": [999] * 10, "w": [2] * 10},
         subarray=[(45, 54)], ts=2, version=19,
     )
-    assert dense_windowed_agg_native(uri, {"k": (0, 54)}) is None
-    assert dense_bucketed_agg_native(uri, 10) is None
+    _check_window(uri, 0, 54)
+    _check_window(uri, 40, 49)   # straddles the shadow boundary
+    _check_window(uri, 45, 54)   # entirely the newest patch
+    _check_window(uri, 0, 44)    # entirely the unshadowed remainder
+    res = dense_bucketed_agg_native(uri, 10)
+    assert res is not None
+    names, rows = read_native_array_range(uri)
+    ik, iv = names.index("k"), names.index("v")
+    import collections
+
+    exp = collections.defaultdict(list)
+    for r in rows:
+        exp[r[ik] // 10].append(r[iv])
+    assert set(res["buckets"]) == set(exp)
+    for b, vals in exp.items():
+        got = res["buckets"][b]
+        assert got["count"] == len(vals)
+        assert got["fields"]["v"]["sum"] == sum(vals)
+        assert got["fields"]["v"]["min"] == min(vals)
+        assert got["fields"]["v"]["max"] == max(vals)
+
+
+def test_overlap_randomized_parity(tmp_path):
+    """Randomized overlapping patch histories (layered boxes, nullable
+    attr) match the brute scan on every stat across random windows."""
+    import random
+
+    rng = random.Random(91)
+    uri = _mk(tmp_path, "rnd_ovl")
+    for ts in range(1, 7):
+        lo = rng.randrange(0, 900)
+        n = rng.randrange(5, 120)
+        write_native_fragment(
+            uri,
+            {
+                "v": [rng.randrange(-50, 50) for _ in range(n)],
+                "w": [
+                    None if rng.random() < 0.3 else rng.randrange(0, 9)
+                    for _ in range(n)
+                ],
+            },
+            subarray=[(lo, lo + n - 1)], ts=ts, version=19,
+        )
+    for _ in range(12):
+        lo = rng.randrange(0, 950)
+        hi = min(999, lo + rng.randrange(1, 300))
+        res = dense_windowed_agg_native(uri, {"k": (lo, hi)})
+        names, rows = read_native_array_range(uri, ranges=[(lo, hi)])
+        if not rows:
+            continue
+        assert res is not None
+        for col in ("v", "w"):
+            b = _brute(uri, lo, hi, col)
+            f = res["fields"][col]
+            assert res["count"] == b["count_all"], (lo, hi)
+            assert f["count"] == b["count"], (lo, hi, col, f, b)
+            assert f["sum"] == b["sum"], (lo, hi, col, f, b)
+            assert f["min"] == b["min"] and f["max"] == b["max"], (
+                lo, hi, col, f, b,
+            )
 
 
 def test_time_travel_window(tmp_path):
@@ -469,7 +529,8 @@ def test_grid_bad_widths_raise_even_when_unprovable(tmp_path):
         uri, {"v": [9] * 10, "w": [2] * 10},
         subarray=[(45, 54)], ts=2, version=19,
     )
-    assert dense_grid_agg_native(uri, {"k": 10}) is None  # unprovable
+    # the overlap itself now evaluates newest-wins (r9, verdict #5)
+    assert dense_grid_agg_native(uri, {"k": 10}) is not None
     for fn in (dense_grid_agg_native, grid_agg_native):
         with pytest.raises(ValueError, match="at least one"):
             fn(uri, {})
@@ -512,3 +573,26 @@ def test_bucketed_footer_parse_cached_across_buckets(tmp_path):
     assert [res["buckets"][b]["fields"]["v"]["sum"] for b in range(10)] == [
         b * 10 for b in range(10)
     ]
+
+
+def test_overlap_aligned_geometry_zero_decode(tmp_path):
+    """Tile-aligned patch geometry answers a newest-wins window from
+    METADATA alone: the shadowed fragment's surviving region is served
+    by interior tile stats and the patch by fragment stats — audit
+    shows zero decoded cells."""
+    uri = _mk(tmp_path, "ovl0", nullable_w=False)
+    write_native_fragment(
+        uri, {"v": list(range(500)), "w": [3] * 500},
+        subarray=[(0, 499)], ts=1, version=19,
+    )
+    write_native_fragment(
+        uri, {"v": [7] * 100, "w": [4] * 100},
+        subarray=[(450, 549)], ts=2, version=19,
+    )
+    res = dense_windowed_agg_native(uri, {"k": (0, 549)})
+    assert res is not None
+    b = _brute(uri, 0, 549, "v")
+    assert res["count"] == b["count_all"]
+    f = res["fields"]["v"]
+    assert (f["sum"], f["min"], f["max"]) == (b["sum"], b["min"], b["max"])
+    assert res["audit"]["cells_decoded"] == 0, res["audit"]

@@ -178,6 +178,8 @@ def test_no_python_udf_in_any_plan(spark):
         "q352_jvm_grouped_rollup",  # the fragment-ingest mapInPandas
         # feeding the JVM provider: same declared native-io boundary
         "q353_dense_rollup",  # the fill-materializing connector scan
+        "q359_dense_patch_rollup",  # overlap-patch ingest + the same
+        # fill-materializing connector scan leg (declared native-io)
         # (triple-match leg 2): same declared native-io boundary
         "q354_utf16_corpus",  # exotic-encoding connector scan (exact
         # row path): same declared native-io boundary

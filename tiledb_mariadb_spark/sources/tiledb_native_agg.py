@@ -1062,10 +1062,12 @@ def _box_vol(box) -> int:
 
 
 def _dense_context(array_dir, schema, at, since):
-    """(frags, boxes) of the visible dense fragments, or None when the
-    merged view is not provable from per-fragment stats (overlapping
-    written boxes: newest-wins patches shadow cells the older
-    fragment's stats counted)."""
+    """(frags, boxes, overlap) of the visible dense fragments, or None
+    when the footers themselves are unreadable.  ``overlap`` is True
+    when written boxes intersect (newest-wins patches shadow cells the
+    older fragment's stats counted) — such histories evaluate through
+    :func:`_dense_eval_overlap`, which decodes only the shadow-clipped
+    sub-boxes instead of refusing to the full scan (r8 verdict #5)."""
     frags = _fragment_dirs(array_dir, at=at, since=since)
     boxes = []
     for frag in frags:
@@ -1079,11 +1081,47 @@ def _dense_context(array_dir, schema, at, since):
                 return None
             box.append((int(ned[0]), int(ned[1])))
         boxes.append(box)
-    for i in range(len(boxes)):
-        for j in range(i + 1, len(boxes)):
-            if _box_intersect(boxes[i], boxes[j]) is not None:
-                return None
-    return frags, boxes
+    overlap = any(
+        _box_intersect(boxes[i], boxes[j]) is not None
+        for i in range(len(boxes))
+        for j in range(i + 1, len(boxes))
+    )
+    return frags, boxes, overlap
+
+
+def _box_subtract(box, minus):
+    """``box`` minus ``minus`` as a list of DISJOINT boxes (classic N-d
+    guillotine split: slice off the portions outside ``minus`` one axis
+    at a time; what remains after all axes is inside ``minus``)."""
+    inter = _box_intersect(box, minus)
+    if inter is None:
+        return [list(box)]
+    out = []
+    cur = list(box)
+    for i, ((lo, hi), (mlo, mhi)) in enumerate(zip(box, inter)):
+        if lo < mlo:
+            piece = list(cur)
+            piece[i] = (lo, mlo - 1)
+            out.append(piece)
+        if mhi < hi:
+            piece = list(cur)
+            piece[i] = (mhi + 1, hi)
+            out.append(piece)
+        cur[i] = (mlo, mhi)
+    return out
+
+
+def _boxes_subtract(pieces, minus_list):
+    """Subtract every box in ``minus_list`` from the disjoint box set
+    ``pieces``; result stays disjoint."""
+    for m in minus_list:
+        nxt = []
+        for p in pieces:
+            nxt.extend(_box_subtract(p, m))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
 
 
 def _facc_new():
@@ -1091,6 +1129,230 @@ def _facc_new():
             "minmax": [None, None], "minmax_ok": True,
             "saw_nonnull": False}
 
+
+
+
+def _stats_accessors(schema, cache):
+    """(fstats, tstats) accessors over fragment footer stats, memoized
+    in ``cache`` when the caller loops buckets over one fragment set."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        fragment_attr_stats,
+        fragment_tile_stats,
+    )
+
+    def fstats(frag):
+        if cache is None:
+            return fragment_attr_stats(frag, schema) or {}
+        m = cache.setdefault("attr", {})
+        if frag not in m:
+            m[frag] = fragment_attr_stats(frag, schema) or {}
+        return m[frag]
+
+    def tstats(frag, f):
+        if cache is None:
+            return fragment_tile_stats(frag, schema, f)
+        m = cache.setdefault("tile", {})
+        k = (frag, f)
+        if k not in m:
+            m[k] = fragment_tile_stats(frag, schema, f)
+        return m[k]
+
+    return fstats, tstats
+
+
+def _dense_fold_fragment(array_dir, schema, frag, box, R, attr_fields,
+                         by_name, facc, stats, want_mm, want_sum, at,
+                         audit, fstats, tstats):
+    """One fragment's contribution to the window box ``R`` — the
+    stats / interior-tile-stats / edge-sliver-decode ladder shared by
+    the disjoint and newest-wins dense evaluators.  Returns the
+    covered cell volume (0 when the fragment misses the window).
+
+    SOUNDNESS PRECONDITION: every cell of ``box`` ∩ ``R`` must be
+    OWNED by this fragment (no newer fragment shadows it) — the
+    disjoint evaluator guarantees it globally, the overlap evaluator
+    routes only unshadowed window intersections here."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_native_array_range,
+    )
+
+    inter = _box_intersect(box, R)
+    if inter is None:
+        return 0
+    v_i = _box_vol(inter)
+    need_decode = []
+    # fragment-level stats describe the TILE-ALIGNED stored expanse:
+    # an unaligned box pads its edge tiles with fill cells that
+    # poison min/null_count (probe-verified) — only aligned boxes
+    # may use the whole-fragment stats; unaligned ones go through
+    # the tile-stats/sliver branch (interior-of-box tiles are clean)
+    aligned = all(
+        isinstance(d.extent, int) and d.extent > 0
+        and (blo - int(d.domain[0])) % d.extent == 0
+        and (bhi - int(d.domain[0]) + 1) % d.extent == 0
+        for d, (blo, bhi) in zip(schema.dims, box)
+    )
+    if inter == box and aligned:
+        st = fstats(frag)
+        audit["fragments_stats"] += 1
+        for f in attr_fields:
+            fld = by_name[f][2]
+            s = st.get(f) or {}
+            nullable = bool(getattr(fld, "nullable", False))
+            enum = getattr(fld, "enumeration", None)
+            summable = (
+                fld.cell_val_num == 1
+                and fld.dtype_id in _SUMMABLE_DT
+                and not enum
+            )
+            nc = 0 if not nullable else s.get("null_count")
+            has_mm = "min" in s and "max" in s and not enum
+            has_sum = "sum" in s and not enum
+            ok = (
+                nc is not None
+                and (has_mm or not want_mm)
+                and (has_sum or not want_sum or not summable)
+            )
+            if not ok:
+                need_decode.append(f)
+                continue
+            acc = facc[f]
+            acc["null_count"] += nc
+            nn = v_i - nc
+            acc["count"] += nn
+            if nn == 0:
+                continue
+            acc["saw_nonnull"] = True
+            if want_sum and summable:
+                acc["sum"] += s["sum"]
+            if want_mm:
+                try:
+                    _fold_minmax(acc["minmax"], s["min"], s["max"])
+                except TypeError:
+                    acc["minmax_ok"] = False
+    else:
+        need_decode = list(attr_fields)
+        audit["fragments_decoded"] += 1
+    # plan: field -> list of inclusive 1-D intervals to decode (the
+    # whole clipped box by default; tile-stat-served fields shrink
+    # theirs to the edge slivers)
+    plans = {f: [inter] for f in need_decode}
+    if (
+        need_decode
+        and len(schema.dims) == 1
+        and isinstance(schema.dims[0].extent, int)
+        and schema.dims[0].extent > 0
+    ):
+        # 1-D dense tiles align to the DOMAIN grid; tiles fully
+        # inside the written box carry CLEAN per-tile stats (edge
+        # tiles include fill padding — probe-verified — so only
+        # interior-of-box AND interior-of-window tiles contribute)
+        d0 = schema.dims[0]
+        ext = d0.extent
+        dom_lo = int(d0.domain[0])
+        lo0, hi0 = box[0]
+        ilo, ihi = inter[0]
+        t0 = (lo0 - dom_lo) // ext
+        t_last_frag = (hi0 - dom_lo) // ext
+        n_tiles = t_last_frag - t0 + 1
+        usable = []
+        for tg in range((ilo - dom_lo) // ext, (ihi - dom_lo) // ext + 1):
+            tlo = dom_lo + tg * ext
+            thi = tlo + ext - 1
+            if lo0 <= tlo and thi <= hi0 and ilo <= tlo and thi <= ihi:
+                usable.append((tlo, thi, tg - t0))
+        if usable:
+            run_lo = usable[0][0]
+            run_hi = usable[-1][1]
+            edges = []
+            if ilo < run_lo:
+                edges.append([(ilo, run_lo - 1)])
+            if run_hi < ihi:
+                edges.append([(run_hi + 1, ihi)])
+            for f in list(need_decode):
+                fld = by_name[f][2]
+                nullable = bool(getattr(fld, "nullable", False))
+                if getattr(fld, "enumeration", None):
+                    continue  # ordinal stats vs label reads: decode
+                summable = (
+                    fld.cell_val_num == 1
+                    and fld.dtype_id in _SUMMABLE_DT
+                )
+                ts = tstats(frag, f)
+                if ts is None or len(ts) != n_tiles:
+                    continue
+                has_mm = all(ts[r][0] is not None and ts[r][1] is not None
+                             for _lo, _hi, r in usable)
+                has_sum = all(ts[r][2] is not None
+                              for _lo, _hi, r in usable)
+                has_null = (not nullable) or all(
+                    ts[r][3] is not None for _lo, _hi, r in usable
+                )
+                if not (
+                    has_null
+                    and (has_mm or not want_mm)
+                    and (has_sum or not want_sum or not summable)
+                ):
+                    continue
+                acc = facc[f]
+                for _tlo, _thi, r in usable:
+                    nc = ts[r][3] if nullable else 0
+                    nn = ext - nc
+                    acc["null_count"] += nc
+                    acc["count"] += nn
+                    if nn == 0:
+                        continue
+                    acc["saw_nonnull"] = True
+                    if want_sum and summable:
+                        acc["sum"] += ts[r][2]
+                    if want_mm:
+                        try:
+                            _fold_minmax(acc["minmax"], ts[r][0],
+                                         ts[r][1])
+                        except TypeError:
+                            acc["minmax_ok"] = False
+                audit["tiles_stats"] = (
+                    audit.get("tiles_stats", 0) + len(usable)
+                )
+                plans[f] = edges  # only the edge slivers decode
+    # group fields by identical decode plans -> one read per plan
+    by_plan: dict = {}
+    for f, pl in plans.items():
+        by_plan.setdefault(
+            tuple(tuple(tuple(r) for r in iv) for iv in pl), []
+        ).append(f)
+    for plan_key, flds in by_plan.items():
+        for iv in plan_key:
+            names, rows = read_native_array_range(
+                array_dir, ranges=[tuple(r) for r in iv],
+                columns=list(flds), at=at, frags=[frag],
+            )
+            idx = {n: i for i, n in enumerate(names)}
+            audit["cells_decoded"] += len(rows) * len(flds)
+            for f in flds:
+                fld = by_name[f][2]
+                summable = (
+                    fld.cell_val_num == 1
+                    and fld.dtype_id in _SUMMABLE_DT
+                    and not getattr(fld, "enumeration", None)
+                )
+                acc = facc[f]
+                col = idx[f]
+                for row in rows:
+                    v = row[col]
+                    if v is None:
+                        acc["null_count"] += 1
+                        continue
+                    acc["count"] += 1
+                    acc["saw_nonnull"] = True
+                    if want_sum and summable:
+                        acc["sum"] += v
+                    if want_mm and acc["minmax_ok"]:
+                        try:
+                            _fold_minmax(acc["minmax"], v, v)
+                        except TypeError:
+                            acc["minmax_ok"] = False
+    return v_i
 
 def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
                 audit, cache=None):
@@ -1101,30 +1363,7 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
     bucketed/grid rollups call this once per bucket over the SAME
     fragment set, and without it the "metadata fast path" re-parses
     every footer O(buckets x fragments) times (r8 ADVICE)."""
-    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
-        _enum_fill_label,
-        _fill_value,
-        fragment_attr_stats,
-        fragment_tile_stats,
-        read_native_array_range,
-    )
-
-    def _fstats(frag):
-        if cache is None:
-            return fragment_attr_stats(frag, schema) or {}
-        m = cache.setdefault("attr", {})
-        if frag not in m:
-            m[frag] = fragment_attr_stats(frag, schema) or {}
-        return m[frag]
-
-    def _tstats(frag, f):
-        if cache is None:
-            return fragment_tile_stats(frag, schema, f)
-        m = cache.setdefault("tile", {})
-        k = (frag, f)
-        if k not in m:
-            m[k] = fragment_tile_stats(frag, schema, f)
-        return m[k]
+    fstats, tstats = _stats_accessors(schema, cache)
 
     by_name = {d.name: ("d", i, d) for i, d in enumerate(schema.dims)}
     by_name.update(
@@ -1137,183 +1376,27 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
     attr_fields = [f for f in fields if by_name[f][0] == "a"]
     covered = 0
     for frag, box in zip(frags, boxes):
-        inter = _box_intersect(box, R)
-        if inter is None:
-            continue
-        v_i = _box_vol(inter)
-        covered += v_i
-        need_decode = []
-        # fragment-level stats describe the TILE-ALIGNED stored expanse:
-        # an unaligned box pads its edge tiles with fill cells that
-        # poison min/null_count (probe-verified) — only aligned boxes
-        # may use the whole-fragment stats; unaligned ones go through
-        # the tile-stats/sliver branch (interior-of-box tiles are clean)
-        aligned = all(
-            isinstance(d.extent, int) and d.extent > 0
-            and (blo - int(d.domain[0])) % d.extent == 0
-            and (bhi - int(d.domain[0]) + 1) % d.extent == 0
-            for d, (blo, bhi) in zip(schema.dims, box)
+        covered += _dense_fold_fragment(
+            array_dir, schema, frag, box, R, attr_fields, by_name,
+            facc, stats, want_mm, want_sum, at, audit, fstats, tstats,
         )
-        if inter == box and aligned:
-            st = _fstats(frag)
-            audit["fragments_stats"] += 1
-            for f in attr_fields:
-                fld = by_name[f][2]
-                s = st.get(f) or {}
-                nullable = bool(getattr(fld, "nullable", False))
-                enum = getattr(fld, "enumeration", None)
-                summable = (
-                    fld.cell_val_num == 1
-                    and fld.dtype_id in _SUMMABLE_DT
-                    and not enum
-                )
-                nc = 0 if not nullable else s.get("null_count")
-                has_mm = "min" in s and "max" in s and not enum
-                has_sum = "sum" in s and not enum
-                ok = (
-                    nc is not None
-                    and (has_mm or not want_mm)
-                    and (has_sum or not want_sum or not summable)
-                )
-                if not ok:
-                    need_decode.append(f)
-                    continue
-                acc = facc[f]
-                acc["null_count"] += nc
-                nn = v_i - nc
-                acc["count"] += nn
-                if nn == 0:
-                    continue
-                acc["saw_nonnull"] = True
-                if want_sum and summable:
-                    acc["sum"] += s["sum"]
-                if want_mm:
-                    try:
-                        _fold_minmax(acc["minmax"], s["min"], s["max"])
-                    except TypeError:
-                        acc["minmax_ok"] = False
-        else:
-            need_decode = list(attr_fields)
-            audit["fragments_decoded"] += 1
-        # plan: field -> list of inclusive 1-D intervals to decode (the
-        # whole clipped box by default; tile-stat-served fields shrink
-        # theirs to the edge slivers)
-        plans = {f: [inter] for f in need_decode}
-        if (
-            need_decode
-            and len(schema.dims) == 1
-            and isinstance(schema.dims[0].extent, int)
-            and schema.dims[0].extent > 0
-        ):
-            # 1-D dense tiles align to the DOMAIN grid; tiles fully
-            # inside the written box carry CLEAN per-tile stats (edge
-            # tiles include fill padding — probe-verified — so only
-            # interior-of-box AND interior-of-window tiles contribute)
-            d0 = schema.dims[0]
-            ext = d0.extent
-            dom_lo = int(d0.domain[0])
-            lo0, hi0 = box[0]
-            ilo, ihi = inter[0]
-            t0 = (lo0 - dom_lo) // ext
-            t_last_frag = (hi0 - dom_lo) // ext
-            n_tiles = t_last_frag - t0 + 1
-            usable = []
-            for tg in range((ilo - dom_lo) // ext, (ihi - dom_lo) // ext + 1):
-                tlo = dom_lo + tg * ext
-                thi = tlo + ext - 1
-                if lo0 <= tlo and thi <= hi0 and ilo <= tlo and thi <= ihi:
-                    usable.append((tlo, thi, tg - t0))
-            if usable:
-                run_lo = usable[0][0]
-                run_hi = usable[-1][1]
-                edges = []
-                if ilo < run_lo:
-                    edges.append([(ilo, run_lo - 1)])
-                if run_hi < ihi:
-                    edges.append([(run_hi + 1, ihi)])
-                for f in list(need_decode):
-                    fld = by_name[f][2]
-                    nullable = bool(getattr(fld, "nullable", False))
-                    if getattr(fld, "enumeration", None):
-                        continue  # ordinal stats vs label reads: decode
-                    summable = (
-                        fld.cell_val_num == 1
-                        and fld.dtype_id in _SUMMABLE_DT
-                    )
-                    ts = _tstats(frag, f)
-                    if ts is None or len(ts) != n_tiles:
-                        continue
-                    has_mm = all(ts[r][0] is not None and ts[r][1] is not None
-                                 for _lo, _hi, r in usable)
-                    has_sum = all(ts[r][2] is not None
-                                  for _lo, _hi, r in usable)
-                    has_null = (not nullable) or all(
-                        ts[r][3] is not None for _lo, _hi, r in usable
-                    )
-                    if not (
-                        has_null
-                        and (has_mm or not want_mm)
-                        and (has_sum or not want_sum or not summable)
-                    ):
-                        continue
-                    acc = facc[f]
-                    for _tlo, _thi, r in usable:
-                        nc = ts[r][3] if nullable else 0
-                        nn = ext - nc
-                        acc["null_count"] += nc
-                        acc["count"] += nn
-                        if nn == 0:
-                            continue
-                        acc["saw_nonnull"] = True
-                        if want_sum and summable:
-                            acc["sum"] += ts[r][2]
-                        if want_mm:
-                            try:
-                                _fold_minmax(acc["minmax"], ts[r][0],
-                                             ts[r][1])
-                            except TypeError:
-                                acc["minmax_ok"] = False
-                    audit["tiles_stats"] = (
-                        audit.get("tiles_stats", 0) + len(usable)
-                    )
-                    plans[f] = edges  # only the edge slivers decode
-        # group fields by identical decode plans -> one read per plan
-        by_plan: dict = {}
-        for f, pl in plans.items():
-            by_plan.setdefault(
-                tuple(tuple(tuple(r) for r in iv) for iv in pl), []
-            ).append(f)
-        for plan_key, flds in by_plan.items():
-            for iv in plan_key:
-                names, rows = read_native_array_range(
-                    array_dir, ranges=[tuple(r) for r in iv],
-                    columns=list(flds), at=at, frags=[frag],
-                )
-                idx = {n: i for i, n in enumerate(names)}
-                audit["cells_decoded"] += len(rows) * len(flds)
-                for f in flds:
-                    fld = by_name[f][2]
-                    summable = (
-                        fld.cell_val_num == 1
-                        and fld.dtype_id in _SUMMABLE_DT
-                        and not getattr(fld, "enumeration", None)
-                    )
-                    acc = facc[f]
-                    col = idx[f]
-                    for row in rows:
-                        v = row[col]
-                        if v is None:
-                            acc["null_count"] += 1
-                            continue
-                        acc["count"] += 1
-                        acc["saw_nonnull"] = True
-                        if want_sum and summable:
-                            acc["sum"] += v
-                        if want_mm and acc["minmax_ok"]:
-                            try:
-                                _fold_minmax(acc["minmax"], v, v)
-                            except TypeError:
-                                acc["minmax_ok"] = False
+    _dense_fold_tail(
+        schema, by_name, attr_fields, fields, facc, vol, covered, R,
+        want_sum, want_mm, audit,
+    )
+    return vol, facc
+
+
+def _dense_fold_tail(schema, by_name, attr_fields, fields, facc, vol,
+                     covered, R, want_sum, want_mm, audit):
+    """Shared tail of the dense evaluators: fold the window's FILL
+    cells (never-written gaps) into every attr accumulator, then the
+    closed-form dimension stats over the window box."""
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _enum_fill_label,
+        _fill_value,
+    )
+
     fill_n = vol - covered
     audit["fill_cells"] += fill_n
     if fill_n:
@@ -1357,6 +1440,50 @@ def _dense_eval(array_dir, schema, frags, boxes, R, fields, stats, at,
         if d.dtype_id in _SUMMABLE_DT:
             acc["sum"] = (lo + hi) * n // 2 * per
         acc["minmax"] = [lo, hi]
+
+
+def _dense_eval_overlap(array_dir, schema, frags, boxes, R, fields,
+                        stats, at, audit, cache=None):
+    """Newest-wins evaluation for OVERLAPPING dense patch histories
+    (r8 verdict #5).  The window decomposes into DISJOINT per-fragment
+    effective regions — each fragment's window intersection minus
+    every newer fragment's box — so no cell is counted twice and every
+    cell reads from the fragment that owns it.  Each effective
+    sub-box then runs the SAME stats / interior-tile-stats /
+    edge-sliver ladder as the disjoint path (:func:`_dense_fold_fragment`
+    is sound per sub-box because ownership is established here), so
+    per-cell decode happens only on sliver edges of the shadow
+    geometry — never the full-history scan this shape previously
+    refused into."""
+    fstats, tstats = _stats_accessors(schema, cache)
+    by_name = {d.name: ("d", i, d) for i, d in enumerate(schema.dims)}
+    by_name.update(
+        {a.name: ("a", i, a) for i, a in enumerate(schema.attrs)}
+    )
+    want_mm = "min" in stats or "max" in stats
+    want_sum = "sum" in stats
+    vol = _box_vol(R)
+    facc = {f: _facc_new() for f in fields}
+    attr_fields = [f for f in fields if by_name[f][0] == "a"]
+    covered = 0
+    claimed: list = []  # boxes owned by NEWER fragments
+    for frag, box in reversed(list(zip(frags, boxes))):
+        inter = _box_intersect(box, R)
+        if inter is None:
+            claimed.append(box)
+            continue
+        eff = _boxes_subtract([inter], claimed)
+        claimed.append(box)
+        for sub in eff:
+            covered += _dense_fold_fragment(
+                array_dir, schema, frag, box, sub, attr_fields,
+                by_name, facc, stats, want_mm, want_sum, at, audit,
+                fstats, tstats,
+            )
+    _dense_fold_tail(
+        schema, by_name, attr_fields, fields, facc, vol, covered, R,
+        want_sum, want_mm, audit,
+    )
     return vol, facc
 
 
@@ -1398,9 +1525,11 @@ def _dense_assemble(schema, fields, facc, stats):
 
 
 def _dense_prep(array_dir, ranges, fields, at, since):
-    """Shared validation + context: (schema, fields, frags, boxes, R)
-    where R is the window clipped to the read-presence bbox (None =
-    empty window); raises on bad names, returns None when unprovable."""
+    """Shared validation + context: (schema, fields, frags, boxes, R,
+    overlap) where R is the window clipped to the read-presence bbox
+    (None = empty window) and ``overlap`` selects the newest-wins
+    evaluator; raises on bad names, returns None when the footers are
+    unreadable."""
     schema = parse_array_schema(_schema_path(array_dir))
     dim_names = [d.name for d in schema.dims]
     ranges = dict(ranges or {})
@@ -1416,9 +1545,9 @@ def _dense_prep(array_dir, ranges, fields, at, since):
     ctx = _dense_context(array_dir, schema, at, since)
     if ctx is None:
         return None
-    frags, boxes = ctx
+    frags, boxes, overlap = ctx
     if not frags:
-        return schema, fields, frags, boxes, None
+        return schema, fields, frags, boxes, None, overlap
     bbox = [
         (min(b[i][0] for b in boxes), max(b[i][1] for b in boxes))
         for i in range(len(dim_names))
@@ -1429,9 +1558,9 @@ def _dense_prep(array_dir, ranges, fields, at, since):
         lo = blo if ulo is None else max(blo, ulo)
         hi = bhi if uhi is None else min(bhi, uhi)
         if lo > hi:
-            return schema, fields, frags, boxes, None
+            return schema, fields, frags, boxes, None, overlap
         R.append((lo, hi))
-    return schema, fields, frags, boxes, R
+    return schema, fields, frags, boxes, R, overlap
 
 
 def _dense_audit():
@@ -1448,12 +1577,13 @@ def dense_windowed_agg_native(
     stats: tuple = _ALL_STATS,
 ) -> dict | None:
     """Dense twin of :func:`windowed_agg_native` (see the section
-    comment above).  Returns the same shape, or None when overlapping
-    written boxes make per-fragment stats unprovable."""
+    comment above).  Returns the same shape, or None when the fragment
+    footers are unreadable.  Overlapping patch histories evaluate
+    newest-wins via :func:`_dense_eval_overlap` (r8 verdict #5)."""
     prep = _dense_prep(array_dir, ranges, fields, at, since)
     if prep is None:
         return None
-    schema, fields, frags, boxes, R = prep
+    schema, fields, frags, boxes, R, overlap = prep
     audit = _dense_audit()
     audit["fragments"] = len(frags)
     if R is None:
@@ -1461,7 +1591,8 @@ def dense_windowed_agg_native(
         return {"count": 0,
                 "fields": _dense_assemble(schema, fields, facc, stats),
                 "audit": audit}
-    vol, facc = _dense_eval(
+    ev = _dense_eval_overlap if overlap else _dense_eval
+    vol, facc = ev(
         array_dir, schema, frags, boxes, R, fields, stats, at, audit
     )
     return {"count": vol,
@@ -1493,7 +1624,7 @@ def dense_bucketed_agg_native(
     prep = _dense_prep(array_dir, ranges, fields, at, since)
     if prep is None:
         return None
-    schema, fields, frags, boxes, R = prep
+    schema, fields, frags, boxes, R, overlap = prep
     audit = _dense_audit()
     audit["fragments"] = len(frags)
     if R is None:
@@ -1503,11 +1634,12 @@ def dense_bucketed_agg_native(
         return None  # absurd materialization; let the caller scan
     buckets = {}
     cache: dict = {}  # footer parses once per fragment, not per bucket
+    ev = _dense_eval_overlap if overlap else _dense_eval
     for b in range(b0, b1 + 1):
         slice_r = [
             (max(R[0][0], b * width), min(R[0][1], (b + 1) * width - 1))
         ] + list(R[1:])
-        vol, facc = _dense_eval(
+        vol, facc = ev(
             array_dir, schema, frags, boxes, slice_r, fields, stats, at,
             audit, cache=cache,
         )
@@ -1549,7 +1681,7 @@ def dense_grid_agg_native(
     prep = _dense_prep(array_dir, ranges, fields, at, since)
     if prep is None:
         return None
-    schema, fields, frags, boxes, R = prep
+    schema, fields, frags, boxes, R, overlap = prep
     gridded = [
         (i, widths[d.name]) for i, d in enumerate(schema.dims)
         if d.name in widths
@@ -1570,11 +1702,12 @@ def dense_grid_agg_native(
 
     buckets = {}
     cache: dict = {}  # footer parses once per fragment, not per grid cell
+    ev = _dense_eval_overlap if overlap else _dense_eval
     for combo in itertools.product(*axes):
         slice_r = list(R)
         for (i, w), b in zip(gridded, combo):
             slice_r[i] = (max(R[i][0], b * w), min(R[i][1], (b + 1) * w - 1))
-        vol, facc = _dense_eval(
+        vol, facc = ev(
             array_dir, schema, frags, boxes, slice_r, fields, stats, at,
             audit, cache=cache,
         )

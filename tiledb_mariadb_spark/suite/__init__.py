@@ -257,7 +257,10 @@ def all_specs() -> dict[str, QuerySpec]:
         "q358_regr_bisect_derived",
         # round-9-new specs — newest code, never driver-sampled
         # (appended here as r9 adds them; backfill tail yields slots)
-        # round-3 backfill — driver-green in r3, six rounds ago (45)
+        "q359_dense_patch_rollup",
+        # round-3 backfill — driver-green in r3, six rounds ago (44)
+        # (q97_st_overlaps yielded its slot to q359 — the ST_* family
+        # stays covered in-window by q95/q96)
         "q43_filtered_agg", "q118_array_set_ops", "q122_map_fns",
         "q129_array_slice", "q135_train_test_split",
         "q136_stratified_sample", "q137_pii_redaction",
@@ -273,7 +276,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "q256_rag_retrieve", "q159_lsh_neardup", "q153_ivf_batch",
         "q143_ann_batch", "q72_ann_ivf", "q76_cosine_neardup",
         "q69_ann_lsh_buckets", "q71_ann_bucketed_search",
-        "q95_spatial_intersects", "q96_st_equals", "q97_st_overlaps",
+        "q95_spatial_intersects", "q96_st_equals",
     ]
     assert len(front) == 50, f"round-9 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
