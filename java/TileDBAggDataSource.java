@@ -91,7 +91,11 @@ import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.DataTypes;
 import org.apache.spark.sql.types.StructField;
 import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+import org.apache.spark.sql.vectorized.ArrowColumnVector;
+import org.apache.spark.sql.vectorized.ColumnVector;
+import org.apache.spark.sql.vectorized.ColumnarBatch;
 import org.apache.spark.unsafe.types.UTF8String;
 
 public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
@@ -868,8 +872,30 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public PartitionReaderFactory createReaderFactory() {
-      StructType s = schema;
-      return p -> new RowsReader((RowsPartition) p, s);
+      return new RowsReaderFactory(schema);
+    }
+  }
+
+  static class RowsReaderFactory implements PartitionReaderFactory {
+    private final StructType schema;
+
+    RowsReaderFactory(StructType schema) {
+      this.schema = schema;
+    }
+
+    @Override
+    public PartitionReader<InternalRow> createReader(InputPartition p) {
+      return new RowsReader((RowsPartition) p, schema);
+    }
+
+    @Override
+    public boolean supportColumnarReads(InputPartition p) {
+      return true;
+    }
+
+    @Override
+    public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition p) {
+      return new ColumnarRowsReader((RowsPartition) p, schema);
     }
   }
 
@@ -1023,6 +1049,150 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public InternalRow get() {
+      return current;
+    }
+
+    @Override
+    public void close() {
+      try {
+        if (arrow != null) {
+          arrow.close();
+        }
+        if (allocator != null) {
+          allocator.close();
+        }
+      } catch (Exception ignored) {
+        // release-path best effort
+      }
+      proc.destroy();
+    }
+  }
+
+  /** Columnar twin of RowsReader (r8 verdict #4): the bridge's Arrow
+   * IPC batches are handed to Spark as ColumnarBatch — ArrowColumnVector
+   * wraps each FieldVector zero-copy, eliminating the per-row
+   * InternalRow conversion that dominated the fallback scan.  The
+   * bridge emits an EXPLICIT Arrow schema equal to the pruned Spark
+   * schema, so vector types match by construction.  A JSON-lines wire
+   * (pyarrow unavailable in the bridge env) fills OnHeapColumnVector
+   * chunks instead — same contract, still batch-shaped. */
+  static class ColumnarRowsReader implements PartitionReader<ColumnarBatch> {
+    private static final int JSON_CHUNK = 4096;
+    private final Process proc;
+    private final StructType schema;
+    private final ObjectMapper mapper = new ObjectMapper();
+    private BufferedReader jsonIn;
+    private BufferAllocator allocator;
+    private ArrowStreamReader arrow;
+    private VectorSchemaRoot root;
+    private ColumnarBatch current;
+
+    ColumnarRowsReader(RowsPartition part, StructType schema) {
+      this.schema = schema;
+      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(part.opts));
+      this.proc =
+          b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null);
+      try {
+        BufferedInputStream in = new BufferedInputStream(proc.getInputStream());
+        in.mark(2);
+        int first = in.read();
+        if (first == -1) {
+          jsonIn = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8));
+          return; // empty stream: the JSON loop surfaces exit status
+        }
+        in.reset();
+        if (first == '[') {
+          jsonIn = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8));
+        } else {
+          allocator = new RootAllocator(Long.MAX_VALUE);
+          arrow = new ArrowStreamReader(in, allocator);
+          root = arrow.getVectorSchemaRoot();
+        }
+      } catch (Exception e) {
+        proc.destroy();
+        throw new RuntimeException("tiledb_agg columnar bridge open failed: " + e, e);
+      }
+    }
+
+    private void checkExit() throws Exception {
+      int rc = proc.waitFor();
+      if (rc != 0) {
+        String err =
+            new String(proc.getErrorStream().readAllBytes(), StandardCharsets.UTF_8);
+        throw new RuntimeException("tiledb_agg rows bridge failed: " + err);
+      }
+    }
+
+    private static void putJson(
+        OnHeapColumnVector col, int row, JsonNode v, DataType t) {
+      if (v == null || v.isNull()) {
+        col.putNull(row);
+        return;
+      }
+      if (t == DataTypes.StringType) {
+        col.putByteArray(row, v.asText().getBytes(StandardCharsets.UTF_8));
+      } else if (t == DataTypes.LongType) {
+        col.putLong(row, v.asLong());
+      } else if (t == DataTypes.IntegerType) {
+        col.putInt(row, (int) v.asLong());
+      } else if (t == DataTypes.ShortType) {
+        col.putShort(row, (short) v.asLong());
+      } else if (t == DataTypes.ByteType) {
+        col.putByte(row, (byte) v.asLong());
+      } else if (t == DataTypes.DoubleType) {
+        col.putDouble(row, v.asDouble());
+      } else if (t == DataTypes.FloatType) {
+        col.putFloat(row, (float) v.asDouble());
+      } else if (t == DataTypes.BooleanType) {
+        col.putBoolean(row, v.asBoolean());
+      } else {
+        throw new RuntimeException("tiledb_agg: unsupported columnar type " + t);
+      }
+    }
+
+    @Override
+    public boolean next() {
+      try {
+        if (arrow != null) {
+          if (!arrow.loadNextBatch()) {
+            checkExit();
+            return false;
+          }
+          StructField[] fields = schema.fields();
+          ColumnVector[] vecs = new ColumnVector[fields.length];
+          for (int i = 0; i < fields.length; i++) {
+            vecs[i] = new ArrowColumnVector(root.getVector(i));
+          }
+          current = new ColumnarBatch(vecs, root.getRowCount());
+          return true;
+        }
+        StructField[] fields = schema.fields();
+        OnHeapColumnVector[] cols =
+            OnHeapColumnVector.allocateColumns(JSON_CHUNK, schema);
+        int n = 0;
+        String line;
+        while (n < JSON_CHUNK && (line = jsonIn.readLine()) != null && !line.isEmpty()) {
+          JsonNode arr = mapper.readTree(line);
+          for (int i = 0; i < fields.length; i++) {
+            putJson(cols[i], n, arr.get(i), fields[i].dataType());
+          }
+          n++;
+        }
+        if (n == 0) {
+          checkExit();
+          return false;
+        }
+        current = new ColumnarBatch(cols, n);
+        return true;
+      } catch (RuntimeException e) {
+        throw e;
+      } catch (Exception e) {
+        throw new RuntimeException("tiledb_agg columnar bridge read failed: " + e, e);
+      }
+    }
+
+    @Override
+    public ColumnarBatch get() {
       return current;
     }
 

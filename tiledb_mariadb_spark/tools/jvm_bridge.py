@@ -469,10 +469,36 @@ def main(argv=None) -> int:
     try:
         import pyarrow as pa  # noqa: PLC0415
 
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        # EXPLICIT Arrow schema from the array schema (never pandas
+        # inference): the JVM side wraps these vectors directly in
+        # ArrowColumnVector for columnar reads, so the physical types
+        # must equal the declared Spark types — and explicit int64
+        # construction keeps nullable bigints exact (no float64 detour)
+        _PA = {
+            "bigint": pa.int64(), "int": pa.int32(),
+            "smallint": pa.int16(), "tinyint": pa.int8(),
+            "double": pa.float64(), "float": pa.float32(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "binary": pa.binary(),
+        }
+        ddl = {
+            x.name: x.dtype for x in list(info.dims) + list(info.attrs)
+        }
+        if all(ddl.get(c) in _PA for c in pdf.columns):
+            tbl = pa.Table.from_pandas(
+                pdf,
+                schema=pa.schema(
+                    [pa.field(c, _PA[ddl[c]]) for c in pdf.columns]
+                ),
+                preserve_index=False,
+            )
+        else:  # exotic column types: inference (row-path consumers)
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
         sink = sys.stdout.buffer
         with pa.ipc.new_stream(sink, tbl.schema) as wr:
-            wr.write_table(tbl)
+            # bounded batches: the columnar reader hands each one to
+            # Spark as a ColumnarBatch
+            wr.write_table(tbl, max_chunksize=1 << 15)
         sink.flush()
         return 0
     except ImportError:
