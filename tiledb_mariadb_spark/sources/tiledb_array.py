@@ -35,7 +35,10 @@ from dataclasses import dataclass
 from dataclasses import field as dc_field
 from typing import Any, Iterator, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+# NOTE: no module-level pyspark import — every DataFrame/SparkSession
+# reference below is annotation-only (PEP 563 via the future import) or
+# a method on a caller-passed session.  The jvm_bridge subprocess
+# imports this module per partition; pyspark would tax each spawn.
 
 try:  # pragma: no cover - tiledb wheel not available in CI container
     import tiledb  # type: ignore

@@ -150,6 +150,138 @@ def _extract(reqs, count, fields):
     return vals
 
 
+def _np_isna(np, arr):
+    """Null mask mirroring pandas semantics on the decoder's column
+    shapes: object columns use None, float columns NaN, integral/bool
+    columns are never null."""
+    if arr.dtype == object:
+        return np.fromiter(
+            (v is None for v in arr), bool, count=len(arr)
+        )
+    if arr.dtype.kind == "f":
+        return np.isnan(arr)
+    return np.zeros(len(arr), bool)
+
+
+def _np_cond_mask(np, arr, op, val=None):
+    """One pushed condition as a boolean mask — the vectorized twin of
+    tiledb_array._apply_conditions (3VL: NULL never matches)."""
+    if op == "is_null":
+        return _np_isna(np, arr)
+    if op == "is_not_null":
+        return ~_np_isna(np, arr)
+    if arr.dtype == object:
+        if op == "in":
+            vs = set(val)
+            return np.fromiter(
+                (v is not None and v in vs for v in arr),
+                bool, count=len(arr),
+            )
+        import operator  # noqa: PLC0415
+
+        f = {
+            "=": operator.eq, "!=": operator.ne, "<": operator.lt,
+            "<=": operator.le, ">": operator.gt, ">=": operator.ge,
+        }[op]
+        return np.fromiter(
+            (v is not None and f(v, val) for v in arr),
+            bool, count=len(arr),
+        )
+    notna = ~_np_isna(np, arr)
+    if op == "in":
+        cmp = np.isin(arr, np.asarray(list(val)))
+    else:
+        cmp = {
+            "=": arr == val, "!=": arr != val, "<": arr < val,
+            "<=": arr <= val, ">": arr > val, ">=": arr >= val,
+        }[op]
+    return notna & cmp
+
+
+def _rows_numpy(a, info, want, rng, conds) -> bool:
+    """Pandas-free rows emission: columnar numpy decode -> vectorized
+    condition masks -> Arrow IPC with the EXPLICIT schema the JVM
+    columnar reader wraps.  Returns False (emitted nothing) when the
+    shape falls outside the numpy fast path, a column's declared type
+    is exotic, or pyarrow is unavailable — the caller then runs the
+    exact pandas path.
+
+    pandas is actively BLOCKED for the duration: pyarrow's pandas shim
+    imports it on the first ``pa.array`` call even for pure-numpy
+    input, and that import costs ~0.3 s in a process that lives
+    ~0.5 s (one spawn per partition).  The block is a meta_path hook
+    removed on exit, so the pandas fallback path still works."""
+
+    class _BlockPandas:  # noqa: D401 - import hook
+        @staticmethod
+        def find_spec(name, path=None, target=None):
+            if name == "pandas" or name.startswith("pandas."):
+                raise ImportError("pandas blocked in numpy rows path")
+            return None
+
+    block = "pandas" not in sys.modules
+    if block:
+        sys.meta_path.insert(0, _BlockPandas)
+    try:
+        return _rows_numpy_inner(a, info, want, rng, conds)
+    finally:
+        if block:
+            sys.meta_path.remove(_BlockPandas)
+
+
+def _rows_numpy_inner(a, info, want, rng, conds) -> bool:
+    try:
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+    except ImportError:
+        return False
+    _PA = {
+        "bigint": pa.int64(), "int": pa.int32(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "boolean": pa.bool_(),
+        "binary": pa.binary(),
+    }
+    ddl = {x.name: x.dtype for x in list(info.dims) + list(info.attrs)}
+    if not all(ddl.get(c) in _PA for c in want):
+        return False
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        read_native_array_range_np,
+    )
+
+    need = set(want) | {c[0] for c in conds or []}
+    fast = read_native_array_range_np(
+        a.uri, ranges=list(rng), columns=list(need), at=a.at,
+        prune_conditions=list(conds) if conds else None,
+    )
+    if fast is None:
+        return False
+    names, arrays = fast
+    mask = None
+    for c in conds or []:
+        m = _np_cond_mask(np, arrays[c[0]], c[1], c[2] if len(c) > 2 else None)
+        mask = m if mask is None else (mask & m)
+    if mask is not None:
+        arrays = {nm: arr[mask] for nm, arr in arrays.items()}
+    cols = [c for c in want if c in names]
+    n = len(arrays[names[0]]) if names else 0
+    if not cols:
+        # COUNT-style scans prune to zero columns: one empty JSON row
+        # per surviving row (zero-column Arrow carries no row count)
+        w = sys.stdout.write
+        for _ in range(n):
+            w("[]\n")
+        return True
+    tbl = pa.table(
+        {c: pa.array(arrays[c], type=_PA[ddl[c]]) for c in cols}
+    )
+    sink = sys.stdout.buffer
+    with pa.ipc.new_stream(sink, tbl.schema) as wr:
+        wr.write_table(tbl, max_chunksize=1 << 15)
+    sink.flush()
+    return True
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jvm_bridge")
     p.add_argument("cmd", choices=["schema", "agg", "gagg", "rows", "splits"])
@@ -435,10 +567,12 @@ def main(argv=None) -> int:
     # ARROW IPC when pyarrow imports (the Java side auto-detects: an
     # Arrow stream never starts with '['), JSON lines otherwise —
     # Arrow moves whole columns instead of per-cell JSON, ~an order of
-    # magnitude on wide scans.
+    # magnitude on wide scans.  The NUMPY-ONLY path runs first: this
+    # process is spawned PER PARTITION, and importing pandas costs
+    # ~0.5 s per spawn — more than decoding the split itself.  Only
+    # shapes outside the columnar fast path (or a missing pyarrow)
+    # pay the pandas fallback.
     try:
-        import pandas as pd  # noqa: PLC0415
-
         be = NativeDecoderBackend(encryption_key=a.encryption_key)
         info = be.info(a.uri, at=a.at)
         allcols = [x.name for x in list(info.dims) + list(info.attrs)]
@@ -452,9 +586,14 @@ def main(argv=None) -> int:
             rng = [tuple(r) for r in json.loads(a.ranges)]
         else:
             rng = [(None, None)] * len(info.dims)
+        conds = _parse_conditions(a.conditions)
+        if _rows_numpy(a, info, want, rng, conds):
+            return 0
+        import pandas as pd  # noqa: PLC0415
+
         pdf = be.read_range(
             a.uri, rng, want, at=a.at,
-            conditions=_parse_conditions(a.conditions),
+            conditions=conds,
         )
     except Exception as e:  # noqa: BLE001 - bridge boundary
         print(f"tiledb_agg rows bridge: {e}", file=sys.stderr)
