@@ -596,3 +596,82 @@ def test_overlap_aligned_geometry_zero_decode(tmp_path):
     f = res["fields"]["v"]
     assert (f["sum"], f["min"], f["max"]) == (b["sum"], b["min"], b["max"])
     assert res["audit"]["cells_decoded"] == 0, res["audit"]
+
+
+def test_dense_2d_overlap_randomized_parity(tmp_path):
+    """2-D OVERLAPPING patch histories (random layered boxes on both
+    axes, newest-wins): windowed + grid rollups match the brute scan —
+    the guillotine box subtraction and per-region ladder are exercised
+    on genuinely 2-D shadow geometry."""
+    from tiledb_mariadb_spark.sources.tiledb_native_agg import (
+        dense_grid_agg_native,
+        dense_windowed_agg_native,
+    )
+
+    rng = random.Random(47)
+    for trial in range(3):
+        uri = str(tmp_path / f"ovl2d{trial}")
+        create_native_array(
+            uri,
+            dims=[
+                NativeDim("x", 0, 1, (0, 199), 10),
+                NativeDim("y", 0, 1, (0, 199), 10),
+            ],
+            attrs=[
+                NativeAttr("v", 1, 1, False, None),
+                NativeAttr("w", 1, 1, True, None),
+            ],
+            array_type="DENSE",
+        )
+        for f in range(rng.randint(2, 4)):
+            nx, ny = rng.randint(3, 40), rng.randint(3, 40)
+            xlo, ylo = rng.randint(0, 120), rng.randint(0, 120)
+            n = nx * ny
+            write_native_fragment(
+                uri,
+                {"v": [rng.randrange(100) for _ in range(n)],
+                 "w": [None if rng.random() < 0.25 else rng.randrange(50)
+                       for _ in range(n)]},
+                subarray=[(xlo, xlo + nx - 1), (ylo, ylo + ny - 1)],
+                ts=f + 1, version=19,
+            )
+        for _ in range(5):
+            xlo = rng.randrange(0, 150)
+            xhi = rng.randrange(xlo, 180)
+            ylo = rng.randrange(0, 150)
+            yhi = rng.randrange(ylo, 180)
+            res = dense_windowed_agg_native(
+                uri, {"x": (xlo, xhi), "y": (ylo, yhi)}
+            )
+            names, rows = read_native_array_range(
+                uri, ranges=[(xlo, xhi), (ylo, yhi)]
+            )
+            if not rows:
+                continue
+            assert res is not None
+            iv = names.index("v")
+            vals = [r[iv] for r in rows]
+            f = res["fields"]["v"]
+            assert res["count"] == len(vals)
+            assert f["sum"] == sum(vals)
+            assert f["min"] == min(vals) and f["max"] == max(vals)
+            iw = names.index("w")
+            wn = [r[iw] for r in rows if r[iw] is not None]
+            fw = res["fields"]["w"]
+            assert fw["count"] == len(wn)
+            assert fw["sum"] == (sum(wn) if wn else None)
+        # grid rollup over the full bbox matches a grouped brute scan
+        g = dense_grid_agg_native(uri, {"x": 25, "y": 25})
+        assert g is not None
+        names, rows = read_native_array_range(uri)
+        ix, iy, iv = names.index("x"), names.index("y"), names.index("v")
+        import collections
+
+        exp = collections.defaultdict(list)
+        for r in rows:
+            exp[(r[ix] // 25, r[iy] // 25)].append(r[iv])
+        assert set(g["buckets"]) == set(exp)
+        for key, vals in exp.items():
+            got = g["buckets"][key]
+            assert got["count"] == len(vals)
+            assert got["fields"]["v"]["sum"] == sum(vals)
