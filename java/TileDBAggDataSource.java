@@ -47,6 +47,7 @@ import java.nio.charset.StandardCharsets;
 import java.util.ArrayList;
 import java.util.List;
 import java.util.Map;
+import java.util.OptionalLong;
 import org.apache.spark.sql.catalyst.InternalRow;
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
@@ -72,9 +73,12 @@ import org.apache.spark.sql.connector.read.PartitionReader;
 import org.apache.spark.sql.connector.read.PartitionReaderFactory;
 import org.apache.spark.sql.connector.read.Scan;
 import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.read.Statistics;
 import org.apache.spark.sql.connector.read.SupportsPushDownAggregates;
 import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
+import org.apache.spark.sql.connector.read.SupportsPushDownLimit;
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
+import org.apache.spark.sql.connector.read.SupportsReportStatistics;
 import org.apache.spark.sql.sources.DataSourceRegister;
 import org.apache.spark.sql.sources.EqualNullSafe;
 import org.apache.spark.sql.sources.EqualTo;
@@ -161,6 +165,17 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         String condsJson,
         String columnsJson,
         String group) {
+      return start(cmd, aggs, rangesJson, condsJson, columnsJson, group, null);
+    }
+
+    Process start(
+        String cmd,
+        String aggs,
+        String rangesJson,
+        String condsJson,
+        String columnsJson,
+        String group,
+        Integer limit) {
       List<String> argv = new ArrayList<>();
       argv.add(python);
       argv.add("-m");
@@ -195,6 +210,10 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       if (group != null) {
         argv.add("--group");
         argv.add(group);
+      }
+      if (limit != null) {
+        argv.add("--limit");
+        argv.add(String.valueOf(limit));
       }
       ProcessBuilder pb = new ProcessBuilder(argv);
       if (!pythonPath.isEmpty()) {
@@ -297,6 +316,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       implements ScanBuilder,
           SupportsPushDownAggregates,
           SupportsPushDownFilters,
+          SupportsPushDownLimit,
           SupportsPushDownRequiredColumns {
     private final StructType tableSchema;
     private final CaseInsensitiveStringMap options;
@@ -306,6 +326,16 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     private StructType aggSchema = null;
     private List<Object[]> aggRows = null;
     private boolean aggGrouped = false;
+    private Integer limit = null;
+
+    @Override
+    public boolean pushLimit(int n) {
+      // advisory: each split truncates its survivors to n rows (wire +
+      // Arrow cost shrink); Spark still applies the global limit, so
+      // returning false keeps semantics exact
+      this.limit = n;
+      return false;
+    }
 
     AggScanBuilder(StructType tableSchema, CaseInsensitiveStringMap options) {
       this.tableSchema = tableSchema;
@@ -729,15 +759,32 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
           throw new RuntimeException("tiledb_agg: columns JSON: " + e, e);
         }
       }
-      return new RowScan(s, options, condsJson(), columnsJson);
+      return new RowScan(s, options, condsJson(), columnsJson, limit);
     }
   }
 
   // ---- metadata-aggregate scan: stat rows, zero/edge tiles decoded ----------
 
-  static class MetadataAggScan implements Scan, Batch {
+  static class MetadataAggScan implements Scan, Batch, SupportsReportStatistics {
     private final StructType schema;
     private final List<Object[]> rows;
+
+    @Override
+    public Statistics estimateStatistics() {
+      final long n = rows.size();
+      final long w = 8L * Math.max(1, schema.fields().length);
+      return new Statistics() {
+        @Override
+        public OptionalLong sizeInBytes() {
+          return OptionalLong.of(n * w);
+        }
+
+        @Override
+        public OptionalLong numRows() {
+          return OptionalLong.of(n);
+        }
+      };
+    }
     private final boolean grouped;
 
     MetadataAggScan(StructType schema, List<Object[]> rows, boolean grouped) {
@@ -808,21 +855,49 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
   // ---- row-scan path (bridge JSON-lines; filters exact, columns pruned) -----
 
-  static class RowScan implements Scan, Batch {
+  static class RowScan implements Scan, Batch, SupportsReportStatistics {
     private final StructType schema;
     private final Map<String, String> opts;
     private final String condsJson;
     private final String columnsJson;
+    private final Integer limit;
 
     RowScan(
         StructType schema,
         CaseInsensitiveStringMap options,
         String condsJson,
-        String columnsJson) {
+        String columnsJson,
+        Integer limit) {
       this.schema = schema;
       this.opts = new java.util.HashMap<>(options.asCaseSensitiveMap());
       this.condsJson = condsJson;
       this.columnsJson = columnsJson;
+      this.limit = limit;
+    }
+
+    /** Metadata-only planning statistics (records_in_range parity,
+     * ha_mytile.cc:1424-1468): exact footer COUNT or the R-tree
+     * upper bound, narrowed by pushed dim ranges — lets Spark pick
+     * broadcast joins for genuinely small arrays instead of assuming
+     * the default (huge) size. */
+    @Override
+    public Statistics estimateStatistics() {
+      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
+      JsonNode out = b.call("stats", null, condsJson, null);
+      final boolean ok = out != null && out.path("ok").asBoolean(false);
+      final long rows = ok ? out.path("rows").asLong() : 0;
+      final long bytes = ok ? out.path("bytes").asLong() : 0;
+      return new Statistics() {
+        @Override
+        public OptionalLong sizeInBytes() {
+          return ok ? OptionalLong.of(bytes) : OptionalLong.empty();
+        }
+
+        @Override
+        public OptionalLong numRows() {
+          return ok ? OptionalLong.of(rows) : OptionalLong.empty();
+        }
+      };
     }
 
     @Override
@@ -834,7 +909,8 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     public String description() {
       return "TileDBBridgeRowScan"
           + (condsJson == null ? "" : " PushedConditions: " + condsJson)
-          + (columnsJson == null ? "" : " PrunedColumns: " + columnsJson);
+          + (columnsJson == null ? "" : " PrunedColumns: " + columnsJson)
+          + (limit == null ? "" : " PushedLimit: " + limit);
     }
 
     @Override
@@ -862,10 +938,10 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         for (JsonNode s : out.path("splits")) {
           parts.add(
               new RowsPartition(
-                  opts, s.isNull() ? null : s.toString(), condsJson, columnsJson));
+                  opts, s.isNull() ? null : s.toString(), condsJson, columnsJson, limit));
         }
       } else {
-        parts.add(new RowsPartition(opts, null, condsJson, columnsJson));
+        parts.add(new RowsPartition(opts, null, condsJson, columnsJson, limit));
       }
       return parts.toArray(new InputPartition[0]);
     }
@@ -904,13 +980,19 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     final String rangesJson; // null = unbounded
     final String condsJson; // null = no pushed conditions
     final String columnsJson; // null = full schema order
+    final Integer limit; // null = no pushed limit (advisory per split)
 
     RowsPartition(
-        Map<String, String> opts, String rangesJson, String condsJson, String columnsJson) {
+        Map<String, String> opts,
+        String rangesJson,
+        String condsJson,
+        String columnsJson,
+        Integer limit) {
       this.opts = opts;
       this.rangesJson = rangesJson;
       this.condsJson = condsJson;
       this.columnsJson = columnsJson;
+      this.limit = limit;
     }
   }
 
@@ -932,7 +1014,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       this.schema = schema;
       Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(part.opts));
       this.proc =
-          b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null);
+          b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null, part.limit);
       try {
         BufferedInputStream in = new BufferedInputStream(proc.getInputStream());
         in.mark(2);
@@ -1091,7 +1173,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       this.schema = schema;
       Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(part.opts));
       this.proc =
-          b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null);
+          b.start("rows", null, part.rangesJson, part.condsJson, part.columnsJson, null, part.limit);
       try {
         BufferedInputStream in = new BufferedInputStream(proc.getInputStream());
         in.mark(2);

@@ -405,3 +405,39 @@ def test_scan_is_columnar(spark, tmp_path):
         r.k: r.b for r in agg_reader(spark, uri2).load().collect()
     }
     assert rows == {1: big, 2: None, 3: 5}
+
+
+def test_report_statistics_enables_broadcast(spark, tmp_path):
+    """Round 9: SupportsReportStatistics reports metadata row/byte
+    counts (records_in_range parity, ha_mytile.cc:1424-1468) so Spark
+    broadcasts a genuinely small array side WITHOUT a hint — the
+    default for a stats-less v2 relation is 'huge' and would shuffle."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = _mk(tmp_path, n=50)  # tiny dim side
+    big = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS grp")
+    small = agg_reader(spark, uri).load().select("k", "tag")
+    joined = big.join(small, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert joined.count() == 50
+
+
+def test_limit_pushdown_truncates_wire(spark, tmp_path):
+    """Round 9: LIMIT pushes to the bridge as an advisory per-split
+    truncation (plan shows PushedLimit; Spark still applies the exact
+    global limit)."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = _mk(tmp_path, n=400)
+    df = agg_reader(spark, uri).load().select("k", "v").limit(7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedLimit: 7" in plan, plan
+    assert len(df.collect()) == 7
+    # limit composes with pushed filters: survivors truncate AFTER the
+    # exact condition application
+    got = (
+        agg_reader(spark, uri).load()
+        .filter("k >= 390").select("k").limit(5).collect()
+    )
+    assert len(got) == 5 and all(r.k >= 390 for r in got)

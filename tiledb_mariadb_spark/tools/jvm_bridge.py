@@ -18,13 +18,16 @@ repo's pure-Python native decoder from the JVM:
   1-D dim0 case, grid_agg_native for N-D / non-dim0 grids (footer walk
   + edge-tile decode — the q340/q343 metadata rollups behind plain
   SQL); bucket keys in the requested group order;
+- ``stats --uri U``: planning statistics (rows exact-or-upper-bound,
+  on-disk/fixed-width sizeInBytes) for SupportsReportStatistics;
 - ``splits --uri U [--conditions J]``: the split plan for the scan
   (dim0 cuts / R-tree weights / string boundary keys, intersected with
   pushed dim ranges and the condition-NED — read_array parity);
-- ``rows --uri U [--ranges J] [--conditions J] [--columns J]``: the
-  decoded table as JSON lines — pushed conditions applied EXACTLY
-  (QueryCondition analog) and the projection pruned, so the fallback
-  scan is filter- and column-pushed like the Python datasource.
+- ``rows --uri U [--ranges J] [--conditions J] [--columns J]
+  [--limit N]``: the decoded table — pushed conditions applied EXACTLY
+  (QueryCondition analog), projection pruned, and an advisory
+  per-split LIMIT truncation, so the fallback scan is filter-, column-
+  and limit-pushed like the Python datasource.
 
 Everything prints to stdout; errors exit nonzero with the reason on
 stderr (the Java side surfaces both).
@@ -263,6 +266,10 @@ def _rows_numpy_inner(a, info, want, rng, conds) -> bool:
         mask = m if mask is None else (mask & m)
     if mask is not None:
         arrays = {nm: arr[mask] for nm, arr in arrays.items()}
+    if a.limit is not None and a.limit >= 0:
+        # advisory per-split LIMIT (SupportsPushDownLimit): Spark
+        # re-applies the global limit, so truncating survivors is safe
+        arrays = {nm: arr[: a.limit] for nm, arr in arrays.items()}
     cols = [c for c in want if c in names]
     n = len(arrays[names[0]]) if names else 0
     if not cols:
@@ -284,7 +291,7 @@ def _rows_numpy_inner(a, info, want, rng, conds) -> bool:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jvm_bridge")
-    p.add_argument("cmd", choices=["schema", "agg", "gagg", "rows", "splits"])
+    p.add_argument("cmd", choices=["schema", "agg", "gagg", "rows", "splits", "stats"])
     p.add_argument("--uri", required=True)
     p.add_argument("--at", type=int, default=None)
     p.add_argument("--encryption-key", default=None)
@@ -292,6 +299,7 @@ def main(argv=None) -> int:
     p.add_argument("--ranges", default=None)  # JSON [[lo,hi],...] | null
     p.add_argument("--conditions", default=None)  # JSON [[col,op,val?],...]
     p.add_argument("--columns", default=None)  # JSON [name, ...]
+    p.add_argument("--limit", type=int, default=None)  # advisory per-split cap
     p.add_argument("--group", default=None)  # "dim0:width"
     p.add_argument("--target-splits", type=int, default=16)
     a = p.parse_args(argv)
@@ -510,6 +518,71 @@ def main(argv=None) -> int:
         print(json.dumps({"ok": True, "rows": rows}, default=_json_cell))
         return 0
 
+    if a.cmd == "stats":
+        # planning statistics for the JVM provider's
+        # SupportsReportStatistics (ha_mytile.cc:1424-1468 analog, the
+        # records_in_range the server's join planner consumes): exact
+        # metadata COUNT when provable, else the R-tree upper-bound
+        # estimator; sizeInBytes = max(on-disk bytes of the visible
+        # fragments, rows x fixed row width) — a metadata-only figure,
+        # never invented, so Spark can choose broadcast joins for
+        # genuinely small arrays
+        import os as _os  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _DT as _DT_TAB,
+            _fragment_dirs,
+            estimate_range_cells,
+        )
+
+        try:
+            cnt = count_native_array(a.uri, at=a.at)
+            exact = cnt is not None
+            if cnt is None:
+                cnt = estimate_range_cells(a.uri, None, at=a.at)
+            if cnt is None:
+                print(json.dumps(
+                    {"ok": False, "reason": "no parseable footers"}
+                ))
+                return 0
+            total = cnt
+            conds = _parse_conditions(a.conditions)
+            if conds:
+                # pushed dim ranges tighten the estimate (records_in_
+                # range shape); attr conditions stay conservative
+                schema0 = parse_array_schema(_schema_path(a.uri))
+                rngs, _rest = _fold_dim_ranges(schema0, conds)
+                if rngs:
+                    rlist = [
+                        tuple(rngs.get(d.name, (None, None)))
+                        for d in schema0.dims
+                    ]
+                    est = estimate_range_cells(a.uri, rlist, at=a.at)
+                    if est is not None:
+                        cnt = min(cnt, est)
+                        exact = False
+            disk = 0
+            for frag in _fragment_dirs(a.uri, at=a.at):
+                for f in _os.listdir(frag):
+                    fp = _os.path.join(frag, f)
+                    if _os.path.isfile(fp):
+                        disk += _os.path.getsize(fp)
+            schema = parse_array_schema(_schema_path(a.uri))
+            width = 0
+            for x in (*schema.dims, *schema.attrs):
+                _nm, _code, sz = _DT_TAB.get(x.dtype_id, ("?", "?", 8))
+                cvn = getattr(x, "cell_val_num", 1)
+                width += sz * (cvn if cvn not in (0, 0xFFFFFFFF) else 2)
+            # bytes scale with the row estimate when ranges narrowed it
+            frac = (cnt / total) if total else 1.0
+            print(json.dumps({
+                "ok": True, "rows": int(cnt), "exact": bool(exact),
+                "bytes": int(max(disk * frac, cnt * max(width, 1))),
+            }))
+        except Exception as e:  # noqa: BLE001 - bridge boundary
+            print(json.dumps({"ok": False, "reason": str(e)}))
+        return 0
+
     if a.cmd == "splits":
         # split plan for the scan (one JVM partition per range — dim0
         # cuts, R-tree weights, string boundary keys, same planner as
@@ -595,6 +668,8 @@ def main(argv=None) -> int:
             a.uri, rng, want, at=a.at,
             conditions=conds,
         )
+        if a.limit is not None and a.limit >= 0:
+            pdf = pdf.head(a.limit)
     except Exception as e:  # noqa: BLE001 - bridge boundary
         print(f"tiledb_agg rows bridge: {e}", file=sys.stderr)
         return 3
