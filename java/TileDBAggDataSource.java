@@ -57,6 +57,7 @@ import org.apache.spark.sql.connector.catalog.TableProvider;
 import org.apache.spark.sql.connector.expressions.Expression;
 import org.apache.spark.sql.connector.expressions.GeneralScalarExpression;
 import org.apache.spark.sql.connector.expressions.Literal;
+import org.apache.spark.sql.connector.expressions.Expressions;
 import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc;
@@ -78,6 +79,7 @@ import org.apache.spark.sql.connector.read.SupportsPushDownAggregates;
 import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
 import org.apache.spark.sql.connector.read.SupportsPushDownLimit;
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
+import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering;
 import org.apache.spark.sql.connector.read.SupportsReportStatistics;
 import org.apache.spark.sql.sources.DataSourceRegister;
 import org.apache.spark.sql.sources.EqualNullSafe;
@@ -855,7 +857,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
   // ---- row-scan path (bridge JSON-lines; filters exact, columns pruned) -----
 
-  static class RowScan implements Scan, Batch, SupportsReportStatistics {
+  static class RowScan implements Scan, Batch, SupportsReportStatistics, SupportsRuntimeFiltering {
     private final StructType schema;
     private final Map<String, String> opts;
     private final String condsJson;
@@ -873,6 +875,82 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       this.condsJson = condsJson;
       this.columnsJson = columnsJson;
       this.limit = limit;
+    }
+
+    // runtime (DPP-style) conditions folded in AFTER planning starts:
+    // a broadcast join side's dim values arrive as In()/EqualTo()
+    // filters, become ordinary pushed conditions, and the split
+    // planner's condition-NED + range folding then skips fragments and
+    // plans zero tasks where no key lives (Iceberg-style file skip at
+    // fragment granularity).  Exact application in the bridge keeps
+    // semantics correct even if the values over-approximate.
+    private String runtimeCondsJson = null;
+
+    @Override
+    public NamedReference[] filterAttributes() {
+      StructField[] fields = schema.fields();
+      NamedReference[] refs = new NamedReference[fields.length];
+      for (int i = 0; i < fields.length; i++) {
+        refs[i] = Expressions.column(fields[i].name());
+      }
+      return refs;
+    }
+
+    @Override
+    public void filter(Filter[] filters) {
+      List<List<Object>> conds = new ArrayList<>();
+      for (Filter f : filters) {
+        if (f instanceof In) {
+          In in = (In) f;
+          List<Object> c = new ArrayList<>();
+          c.add(in.attribute());
+          c.add("in");
+          List<Object> vals = new ArrayList<>();
+          for (Object v : in.values()) {
+            if (!(v instanceof Number || v instanceof String || v instanceof Boolean)) {
+              c = null;
+              break;
+            }
+            vals.add(v);
+          }
+          if (c != null) {
+            c.add(vals);
+            conds.add(c);
+          }
+        } else if (f instanceof EqualTo) {
+          EqualTo eq = (EqualTo) f;
+          Object v = eq.value();
+          if (v instanceof Number || v instanceof String || v instanceof Boolean) {
+            List<Object> c = new ArrayList<>();
+            c.add(eq.attribute());
+            c.add("=");
+            c.add(v);
+            conds.add(c);
+          }
+        }
+        // anything else: ignored — runtime filters are an optimization,
+        // Spark re-applies them above the scan
+      }
+      if (conds.isEmpty()) {
+        return;
+      }
+      try {
+        ObjectMapper m = new ObjectMapper();
+        List<Object> merged = new ArrayList<>();
+        if (condsJson != null) {
+          for (JsonNode n : m.readTree(condsJson)) {
+            merged.add(m.treeToValue(n, Object.class));
+          }
+        }
+        merged.addAll(conds);
+        runtimeCondsJson = m.writeValueAsString(merged);
+      } catch (Exception e) {
+        runtimeCondsJson = null; // optimization only: fall back to planned conds
+      }
+    }
+
+    private String effectiveConds() {
+      return runtimeCondsJson != null ? runtimeCondsJson : condsJson;
     }
 
     /** Metadata-only planning statistics (records_in_range parity,
@@ -926,7 +1004,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       // no matching fragments -> ZERO partitions; a null entry =
       // unbounded full scan
       Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
-      JsonNode out = b.call("splits", null, condsJson, null);
+      JsonNode out = b.call("splits", null, effectiveConds(), null);
       List<InputPartition> parts = new ArrayList<>();
       if (out != null
           && out.path("ok").asBoolean(false)
@@ -938,10 +1016,10 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
         for (JsonNode s : out.path("splits")) {
           parts.add(
               new RowsPartition(
-                  opts, s.isNull() ? null : s.toString(), condsJson, columnsJson, limit));
+                  opts, s.isNull() ? null : s.toString(), effectiveConds(), columnsJson, limit));
         }
       } else {
-        parts.add(new RowsPartition(opts, null, condsJson, columnsJson, limit));
+        parts.add(new RowsPartition(opts, null, effectiveConds(), columnsJson, limit));
       }
       return parts.toArray(new InputPartition[0]);
     }

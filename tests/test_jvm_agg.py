@@ -441,3 +441,22 @@ def test_limit_pushdown_truncates_wire(spark, tmp_path):
         .filter("k >= 390").select("k").limit(5).collect()
     )
     assert len(got) == 5 and all(r.k >= 390 for r in got)
+
+
+def test_runtime_filtering_dpp(spark, tmp_path):
+    """Round 9: SupportsRuntimeFiltering — a broadcast join side's dim
+    values arrive as a dynamic IN filter (plan shows RuntimeFilters:
+    [dynamicpruningexpression...]); the scan folds them into its pushed
+    conditions, so the split planner's condition-NED skips fragments
+    holding no key (the zero-partition behavior pinned by
+    test_scan_filter_pushdown_and_pruning applies at runtime)."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = _mk(tmp_path, n=500)
+    fact = agg_reader(spark, uri).load()
+    dim = spark.range(0, 100).selectExpr("id*1 AS k").filter("k < 5")
+    j = fact.join(dim.hint("broadcast"), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "RuntimeFilters: [dynamicpruning" in plan, plan
+    got = sorted(r.k for r in j.select("k").collect())
+    assert got == [0, 1, 2, 3, 4]
