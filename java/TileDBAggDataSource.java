@@ -51,6 +51,7 @@ import java.util.OptionalLong;
 import org.apache.spark.sql.catalyst.InternalRow;
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.catalog.TableProvider;
@@ -80,6 +81,14 @@ import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
 import org.apache.spark.sql.connector.read.SupportsPushDownLimit;
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering;
+import org.apache.spark.sql.connector.write.BatchWrite;
+import org.apache.spark.sql.connector.write.DataWriter;
+import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
+import org.apache.spark.sql.connector.write.Write;
+import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.connector.write.WriterCommitMessage;
 import org.apache.spark.sql.connector.read.SupportsReportStatistics;
 import org.apache.spark.sql.sources.DataSourceRegister;
 import org.apache.spark.sql.sources.EqualNullSafe;
@@ -229,6 +238,32 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       }
     }
 
+    Process startWithFrags(String cmd, String fragsJson) {
+      List<String> argv = new ArrayList<>();
+      argv.add(python);
+      argv.add("-m");
+      argv.add("tiledb_mariadb_spark.tools.jvm_bridge");
+      argv.add(cmd);
+      argv.add("--uri");
+      argv.add(uri);
+      if (encryptionKey != null) {
+        argv.add("--encryption-key");
+        argv.add(encryptionKey);
+      }
+      argv.add("--frags");
+      argv.add(fragsJson);
+      ProcessBuilder pb = new ProcessBuilder(argv);
+      if (!pythonPath.isEmpty()) {
+        pb.environment().put("PYTHONPATH", pythonPath);
+      }
+      pb.redirectErrorStream(false);
+      try {
+        return pb.start();
+      } catch (Exception e) {
+        throw new RuntimeException("tiledb_agg: cannot launch bridge: " + e, e);
+      }
+    }
+
     /** Single-JSON-object commands (schema / agg / gagg / splits).
      * null on launch failure. */
     JsonNode call(String cmd, String aggs, String condsJson, String group) {
@@ -282,7 +317,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
   // ---- table / scan builder ------------------------------------------------
 
-  static class AggTable implements Table, SupportsRead {
+  static class AggTable implements Table, SupportsRead, SupportsWrite {
     private final StructType schema;
     private final CaseInsensitiveStringMap options;
 
@@ -303,7 +338,31 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public java.util.Set<TableCapability> capabilities() {
-      return java.util.EnumSet.of(TableCapability.BATCH_READ);
+      return java.util.EnumSet.of(
+          TableCapability.BATCH_READ, TableCapability.BATCH_WRITE);
+    }
+
+    @Override
+    public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      StructType in = info.schema();
+      StructField[] want = schema.fields();
+      if (in.fields().length != want.length) {
+        throw new IllegalArgumentException(
+            "tiledb_agg write: dataframe has " + in.fields().length
+                + " columns, table has " + want.length);
+      }
+      for (int i = 0; i < want.length; i++) {
+        if (!in.fields()[i].name().equals(want[i].name())) {
+          throw new IllegalArgumentException(
+              "tiledb_agg write: column " + i + " is '"
+                  + in.fields()[i].name() + "', table wants '"
+                  + want[i].name() + "' (order matters: dims first, "
+                  + "then attributes in schema order)");
+        }
+      }
+      CaseInsensitiveStringMap eff =
+          info.options().containsKey("path") ? info.options() : options;
+      return new AggWriteBuilder(schema, eff);
     }
 
     @Override
@@ -1368,6 +1427,239 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       } catch (Exception ignored) {
         // release-path best effort
       }
+      proc.destroy();
+    }
+  }
+
+  // ---- write path: staged fragment per task, atomic job commit -------------
+
+  static class AggWriteBuilder implements WriteBuilder {
+    private final StructType schema;
+    private final CaseInsensitiveStringMap options;
+
+    AggWriteBuilder(StructType schema, CaseInsensitiveStringMap options) {
+      this.schema = schema;
+      this.options = options;
+    }
+
+    @Override
+    public Write build() {
+      return new AggWrite(schema, options);
+    }
+  }
+
+  public static class FragMessage implements WriterCommitMessage {
+    // public: the driver may see this class through a DIFFERENT
+    // classloader than the tasks (ADD JAR vs session artifacts), so
+    // commit() reads the field reflectively instead of casting
+    public final String frag; // null = empty task (elided write)
+
+    public FragMessage(String frag) {
+      this.frag = frag;
+    }
+  }
+
+  /** Each task streams its rows to one bridge `write` process, which
+   * stages an INVISIBLE native fragment (commit=False; data files
+   * first, never a torn fragment).  Job commit makes the whole group
+   * visible atomically with ONE bridge `commitfrags` call (.wrt marker
+   * for a single fragment, a .con group file for many — the
+   * distributed-consolidation crash contract).  A failed/speculative
+   * task's staged directory stays invisible forever. */
+  static class AggWrite implements Write, BatchWrite {
+    private final StructType schema;
+    private final Map<String, String> opts;
+
+    AggWrite(StructType schema, CaseInsensitiveStringMap options) {
+      this.schema = schema;
+      this.opts = new java.util.HashMap<>(options.asCaseSensitiveMap());
+    }
+
+    @Override
+    public BatchWrite toBatch() {
+      return this;
+    }
+
+    @Override
+    public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+      return new AggWriterFactory(schema, opts);
+    }
+
+    @Override
+    public void commit(WriterCommitMessage[] messages) {
+      List<String> frags = new ArrayList<>();
+      for (WriterCommitMessage m : messages) {
+        if (m == null) {
+          continue;
+        }
+        String f;
+        if (m instanceof FragMessage) {
+          f = ((FragMessage) m).frag;
+        } else {
+          // same class via another classloader (ADD JAR): reflect
+          try {
+            java.lang.reflect.Field fld = m.getClass().getField("frag");
+            fld.setAccessible(true);
+            f = (String) fld.get(m);
+          } catch (Exception e) {
+            throw new RuntimeException(
+                "tiledb_agg commit: unexpected message " + m.getClass(), e);
+          }
+        }
+        if (f != null) {
+          frags.add(f);
+        }
+      }
+      if (frags.isEmpty()) {
+        return;
+      }
+      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
+      try {
+        String fragsJson = new ObjectMapper().writeValueAsString(frags);
+        Process p = b.startWithFrags("commitfrags", fragsJson);
+        String out =
+            new String(p.getInputStream().readAllBytes(), StandardCharsets.UTF_8);
+        int rc = p.waitFor();
+        JsonNode n = out.isEmpty() ? null : new ObjectMapper().readTree(out);
+        if (rc != 0 || n == null || !n.path("ok").asBoolean(false)) {
+          String err =
+              new String(p.getErrorStream().readAllBytes(), StandardCharsets.UTF_8);
+          throw new RuntimeException(
+              "tiledb_agg commit failed (staged fragments remain "
+                  + "invisible): " + err);
+        }
+      } catch (RuntimeException e) {
+        throw e;
+      } catch (Exception e) {
+        throw new RuntimeException("tiledb_agg commit failed: " + e, e);
+      }
+    }
+
+    @Override
+    public void abort(WriterCommitMessage[] messages) {
+      // staged fragments have no commit marker: invisible by contract
+    }
+  }
+
+  static class AggWriterFactory implements DataWriterFactory {
+    private final StructType schema;
+    private final Map<String, String> opts;
+
+    AggWriterFactory(StructType schema, Map<String, String> opts) {
+      this.schema = schema;
+      this.opts = opts;
+    }
+
+    @Override
+    public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
+      return new AggDataWriter(schema, opts);
+    }
+  }
+
+  static class AggDataWriter implements DataWriter<InternalRow> {
+    private final StructType schema;
+    private final Process proc;
+    private final java.io.BufferedWriter out;
+    private final StringBuilder sb = new StringBuilder(256);
+
+    AggDataWriter(StructType schema, Map<String, String> opts) {
+      this.schema = schema;
+      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
+      this.proc = b.start("write", null, null, null, null, null);
+      this.out =
+          new java.io.BufferedWriter(
+              new java.io.OutputStreamWriter(
+                  proc.getOutputStream(), StandardCharsets.UTF_8),
+              1 << 16);
+    }
+
+    @Override
+    public void write(InternalRow row) throws java.io.IOException {
+      sb.setLength(0);
+      sb.append('[');
+      StructField[] fields = schema.fields();
+      for (int i = 0; i < fields.length; i++) {
+        if (i > 0) {
+          sb.append(',');
+        }
+        if (row.isNullAt(i)) {
+          sb.append("null");
+          continue;
+        }
+        DataType t = fields[i].dataType();
+        if (t == DataTypes.LongType) {
+          sb.append(row.getLong(i));
+        } else if (t == DataTypes.IntegerType) {
+          sb.append(row.getInt(i));
+        } else if (t == DataTypes.ShortType) {
+          sb.append(row.getShort(i));
+        } else if (t == DataTypes.ByteType) {
+          sb.append(row.getByte(i));
+        } else if (t == DataTypes.DoubleType) {
+          sb.append(row.getDouble(i));
+        } else if (t == DataTypes.FloatType) {
+          sb.append(row.getFloat(i));
+        } else if (t == DataTypes.BooleanType) {
+          sb.append(row.getBoolean(i));
+        } else if (t == DataTypes.StringType) {
+          appendJsonString(sb, row.getUTF8String(i).toString());
+        } else if (t == DataTypes.BinaryType) {
+          appendJsonString(
+              sb, java.util.Base64.getEncoder().encodeToString(row.getBinary(i)));
+        } else {
+          throw new java.io.IOException(
+              "tiledb_agg write: unsupported column type " + t);
+        }
+      }
+      sb.append(']').append('\n');
+      out.write(sb.toString());
+    }
+
+    private static void appendJsonString(StringBuilder sb, String s) {
+      sb.append('"');
+      for (int i = 0; i < s.length(); i++) {
+        char c = s.charAt(i);
+        if (c == '"' || c == '\\') {
+          sb.append('\\').append(c);
+        } else if (c < 0x20) {
+          sb.append(String.format("\\u%04x", (int) c));
+        } else {
+          sb.append(c);
+        }
+      }
+      sb.append('"');
+    }
+
+    @Override
+    public WriterCommitMessage commit() throws java.io.IOException {
+      try {
+        out.close(); // EOF: the bridge writes + stages the fragment
+        String outStr =
+            new String(proc.getInputStream().readAllBytes(), StandardCharsets.UTF_8);
+        int rc = proc.waitFor();
+        JsonNode n =
+            outStr.isEmpty() ? null : new ObjectMapper().readTree(outStr);
+        if (rc != 0 || n == null || !n.path("ok").asBoolean(false)) {
+          String err =
+              new String(proc.getErrorStream().readAllBytes(), StandardCharsets.UTF_8);
+          throw new java.io.IOException("tiledb_agg write task failed: " + err);
+        }
+        JsonNode f = n.path("frag");
+        return new FragMessage(f.isNull() ? null : f.asText());
+      } catch (java.io.IOException e) {
+        throw e;
+      } catch (Exception e) {
+        throw new java.io.IOException("tiledb_agg write task failed: " + e);
+      }
+    }
+
+    @Override
+    public void abort() {
+      proc.destroy(); // staged dir (if any) stays invisible
+    }
+
+    @Override
+    public void close() {
       proc.destroy();
     }
   }

@@ -460,3 +460,78 @@ def test_runtime_filtering_dpp(spark, tmp_path):
     assert "RuntimeFilters: [dynamicpruning" in plan, plan
     got = sorted(r.k for r in j.select("k").collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_write_path_atomic_group(spark, tmp_path):
+    """Round 9: df.write.format('tiledb_agg') — each task stages an
+    invisible fragment (commit=False), the job commit flips the whole
+    group atomically with ONE .con file; read-back is exact (incl.
+    NULLs and int64 > 2^53) and the metadata aggregates serve the
+    engine-written fragments."""
+    import glob as _glob
+
+    from tiledb_mariadb_spark.sources.jvm_agg import (
+        agg_reader,
+        register_tiledb_agg,
+    )
+
+    register_tiledb_agg(spark)
+    uri = str(tmp_path / "warr")
+    create_native_array(
+        uri,
+        [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [
+            NativeAttr("v", 3, 1, False, None),
+            NativeAttr("w", 1, 1, True, None),
+            NativeAttr("tag", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        [(i, i * 0.5, big if i == 7 else (None if i % 5 == 0 else i),
+          f"t{i % 3}") for i in range(200)],
+        "k long, v double, w long, tag string",
+    ).repartition(4)
+    (
+        df.write.format("tiledb_agg").option("path", uri)
+        .mode("append").save()
+    )
+    cons = _glob.glob(os.path.join(uri, "__commits", "*.con"))
+    assert len(cons) == 1, "job commit must be ONE atomic .con group"
+    listed = open(cons[0]).read().strip().splitlines()
+    assert 2 <= len(listed) <= 4  # one staged fragment per non-empty task
+    got = {r.k: r for r in agg_reader(spark, uri).load().collect()}
+    assert len(got) == 200
+    assert got[7].w == big and got[10].w is None and got[11].w == 11
+    assert got[4].tag == "t1" and got[9].v == 4.5
+    # metadata aggregate over the engine-written fragments
+    agg_reader(spark, uri).load().createOrReplaceTempView("jvm_written")
+    row = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi FROM jvm_written"
+    ).collect()[0]
+    assert (row.n, row.lo, row.hi) == (200, 0, 199)
+
+
+def test_write_path_schema_resolution(spark, tmp_path):
+    """V2 append resolves columns BY NAME (Spark reorders a permuted
+    frame to the table schema); a missing column refuses at analysis."""
+    from tiledb_mariadb_spark.sources.jvm_agg import (
+        agg_reader,
+        register_tiledb_agg,
+    )
+
+    register_tiledb_agg(spark)
+    uri = str(tmp_path / "wbad")
+    create_native_array(
+        uri,
+        [NativeDim("k", 1, 1, (0, 100), None)],
+        [NativeAttr("v", 3, 1, False, None)],
+    )
+    df = spark.createDataFrame([(0.5, 1)], "v double, k long")  # permuted
+    df.write.format("tiledb_agg").option("path", uri).mode("append").save()
+    got = agg_reader(spark, uri).load().collect()
+    assert [(r.k, r.v) for r in got] == [(1, 0.5)]
+    with pytest.raises(Exception):
+        spark.createDataFrame([(2,)], "k long").write.format(
+            "tiledb_agg"
+        ).option("path", uri).mode("append").save()

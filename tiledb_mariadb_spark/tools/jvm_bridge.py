@@ -18,6 +18,9 @@ repo's pure-Python native decoder from the JVM:
   1-D dim0 case, grid_agg_native for N-D / non-dim0 grids (footer walk
   + edge-tile decode — the q340/q343 metadata rollups behind plain
   SQL); bucket keys in the requested group order;
+- ``write --uri U`` (rows on stdin) / ``commitfrags --uri U --frags J``:
+  the write path — one staged fragment per task, one atomic job-level
+  visibility flip (.wrt marker or .con group);
 - ``stats --uri U``: planning statistics (rows exact-or-upper-bound,
   on-disk/fixed-width sizeInBytes) for SupportsReportStatistics;
 - ``splits --uri U [--conditions J]``: the split plan for the scan
@@ -291,7 +294,11 @@ def _rows_numpy_inner(a, info, want, rng, conds) -> bool:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jvm_bridge")
-    p.add_argument("cmd", choices=["schema", "agg", "gagg", "rows", "splits", "stats"])
+    p.add_argument(
+        "cmd",
+        choices=["schema", "agg", "gagg", "rows", "splits", "stats",
+                 "write", "commitfrags"],
+    )
     p.add_argument("--uri", required=True)
     p.add_argument("--at", type=int, default=None)
     p.add_argument("--encryption-key", default=None)
@@ -300,6 +307,7 @@ def main(argv=None) -> int:
     p.add_argument("--conditions", default=None)  # JSON [[col,op,val?],...]
     p.add_argument("--columns", default=None)  # JSON [name, ...]
     p.add_argument("--limit", type=int, default=None)  # advisory per-split cap
+    p.add_argument("--frags", default=None)  # JSON [fragment_name, ...]
     p.add_argument("--group", default=None)  # "dim0:width"
     p.add_argument("--target-splits", type=int, default=16)
     a = p.parse_args(argv)
@@ -516,6 +524,122 @@ def main(argv=None) -> int:
                 return 0
             rows.append([*key, *vals])
         print(json.dumps({"ok": True, "rows": rows}, default=_json_cell))
+        return 0
+
+    if a.cmd == "write":
+        # one STAGED fragment per Spark write task (flush_write parity,
+        # ha_mytile.cc:3273-3360): JSON lines on stdin, one array per
+        # row in schema column order; binary columns ride base64.  The
+        # fragment is written commit=False (invisible) — the driver's
+        # commitfrags call flips the whole job's group atomically via
+        # one .con file (the distributed-consolidation crash contract).
+        # Legacy arrays without __commits/ commit per-fragment (that
+        # era's visibility rule is directory presence).
+        import base64  # noqa: PLC0415
+        import os as _os  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            write_native_fragment,
+        )
+
+        try:
+            schema = parse_array_schema(_schema_path(a.uri))
+            if schema.array_type == "DENSE":
+                raise ValueError(
+                    "tiledb_agg write supports SPARSE arrays; dense "
+                    "subarray writes go through format('tiledb_native') "
+                    "or the catalog (full-box semantics)"
+                )
+            if any(
+                getattr(x, "enumeration", None) in schema.enumerations
+                for x in schema.attrs
+            ):
+                raise ValueError(
+                    "tiledb_agg write does not map labels to enumeration "
+                    "ordinals; write through the catalog"
+                )
+            names = [d.name for d in schema.dims] + [
+                x.name for x in schema.attrs
+            ]
+            bin_cols = {
+                x.name
+                for x in (*schema.dims, *schema.attrs)
+                if x.dtype_id in (39, 41)
+            }
+            cols: dict = {n: [] for n in names}
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                vals = json.loads(line)
+                if len(vals) != len(names):
+                    raise ValueError(
+                        f"row has {len(vals)} values, want {len(names)}"
+                    )
+                for n, v in zip(names, vals):
+                    if n in bin_cols and v is not None:
+                        v = base64.b64decode(v)
+                    cols[n].append(v)
+            n_rows = len(cols[names[0]]) if names else 0
+            if n_rows == 0:
+                # empty-write elision: no fragment directory at all
+                print(json.dumps({"ok": True, "frag": None}))
+                return 0
+            staged = _os.path.isdir(_os.path.join(a.uri, "__commits"))
+            frag = write_native_fragment(
+                a.uri, cols, version=19,
+                encryption_key=a.encryption_key,
+                commit=not staged,
+            )
+            print(json.dumps(
+                {"ok": True, "frag": _os.path.basename(frag),
+                 "staged": staged}
+            ))
+        except Exception as e:  # noqa: BLE001 - bridge boundary
+            print(f"tiledb_agg write bridge: {e}", file=sys.stderr)
+            return 3
+        return 0
+
+    if a.cmd == "commitfrags":
+        # the job-level visibility flip: one .wrt marker for a single
+        # fragment, one atomic .con group file for many
+        import os as _os  # noqa: PLC0415
+        import uuid as _uuid  # noqa: PLC0415
+
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _frag_range,
+        )
+        from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+            _commit_fragment,
+            _frag_root,
+        )
+
+        try:
+            frags = [f for f in json.loads(a.frags or "[]") if f]
+            commits = _os.path.join(a.uri, "__commits")
+            if not frags or not _os.path.isdir(commits):
+                print(json.dumps({"ok": True, "committed": 0}))
+                return 0
+            if len(frags) == 1:
+                _commit_fragment(
+                    a.uri, _os.path.join(_frag_root(a.uri), frags[0])
+                )
+            else:
+                rngs = [_frag_range(f) for f in frags]
+                t1 = min(r[0] for r in rngs)
+                t2 = max(r[1] for r in rngs)
+                con = f"__{t1}_{t2}_{_uuid.uuid4().hex}.con"
+                # tmp must NOT end in .con: a concurrent reader listing
+                # __commits mid-write must never parse a partial group
+                tmp = _os.path.join(commits, "." + con + ".tmp")
+                with open(tmp, "w") as f:
+                    for n in frags:
+                        f.write(f"__commits/{n}.wrt\n")
+                _os.replace(tmp, _os.path.join(commits, con))
+            print(json.dumps({"ok": True, "committed": len(frags)}))
+        except Exception as e:  # noqa: BLE001 - bridge boundary
+            print(f"tiledb_agg commit bridge: {e}", file=sys.stderr)
+            return 3
         return 0
 
     if a.cmd == "stats":
