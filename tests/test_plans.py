@@ -178,6 +178,7 @@ def test_no_python_udf_in_any_plan(spark):
         "q352_jvm_grouped_rollup",  # the fragment-ingest mapInPandas
         # feeding the JVM provider: same declared native-io boundary
         "q353_dense_rollup",  # the fill-materializing connector scan
+        "q360_jvm_write_roundtrip",  # provider write smoke (JVM write jobs)
         "q359_dense_patch_rollup",  # overlap-patch ingest + the same
         # fill-materializing connector scan leg (declared native-io)
         # (triple-match leg 2): same declared native-io boundary

@@ -258,6 +258,7 @@ def all_specs() -> dict[str, QuerySpec]:
         # round-9-new specs — newest code, never driver-sampled
         # (appended here as r9 adds them; backfill tail yields slots)
         "q359_dense_patch_rollup",
+        "q360_jvm_write_roundtrip",
         # round-3 backfill — driver-green in r3, six rounds ago (44)
         # (q97_st_overlaps yielded its slot to q359 — the ST_* family
         # stays covered in-window by q95/q96)
@@ -276,7 +277,9 @@ def all_specs() -> dict[str, QuerySpec]:
         "q256_rag_retrieve", "q159_lsh_neardup", "q153_ivf_batch",
         "q143_ann_batch", "q72_ann_ivf", "q76_cosine_neardup",
         "q69_ann_lsh_buckets", "q71_ann_bucketed_search",
-        "q95_spatial_intersects", "q96_st_equals",
+        "q95_spatial_intersects",
+        # (q96/q97 yielded their slots to q359/q360 — the ST_* family
+        # stays covered in-window by q95 + the r7-green q311/q313 tier)
     ]
     assert len(front) == 50, f"round-9 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]

@@ -2139,3 +2139,98 @@ SPECS.append(
         "reader's own newest-wins scan AND the oracle's patched series",
     )
 )
+
+
+# --- q360: unified provider WRITE path — staged-group atomic commit (r9) -----
+# Round 9 closes the provider's last asymmetry: df.write.format(
+# "tiledb_agg") stages one invisible native fragment per task and the
+# job commit flips the whole group atomically with ONE .con file (the
+# distributed-consolidation crash contract).  The spec ingests a
+# customer slice through the JVM write path (multi-partition, so the
+# group commit is a real .con), reads it back through the SAME format
+# with a pushed filter + aggregate, and the oracle recomputes from
+# parquet — write→scan→agg in one provider, one SQL surface.
+_Q360_N = 600
+
+
+def q360_jvm_write_roundtrip(spark, sf_dir):
+    import glob as _glob  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.jvm_agg import (  # noqa: PLC0415
+        agg_reader,
+        register_tiledb_agg,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        NativeAttr,
+        NativeDim,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415
+        create_native_array,
+    )
+
+    register_tiledb_agg(spark)
+    uri = tempfile.mkdtemp(prefix="q360_jvm_write_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 10**7), None)],
+        attrs=[
+            NativeAttr("balance_cents", 1, 1, False, None),
+            NativeAttr("segment", 12, 0xFFFFFFFF, False, None),
+        ],
+    )
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _Q360_N)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.expr(
+                "CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100.0D) "
+                "AS BIGINT)"
+            ).alias("balance_cents"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .repartition(3)
+    )
+    src.write.format("tiledb_agg").option("path", uri).mode(
+        "append"
+    ).save()
+    # the job commit must be ONE atomic .con group (3 write tasks)
+    cons = _glob.glob(_os.path.join(uri, "__commits", "*.con"))
+    atomic = len(cons) == 1
+    agg_reader(spark, uri).load().createOrReplaceTempView("q360_arr")
+    df = spark.sql(
+        "SELECT segment, COUNT(*) AS n, SUM(balance_cents) AS cents, "
+        "MIN(k) AS lo, MAX(k) AS hi "
+        f"FROM q360_arr WHERE k <= {_Q360_N // 2} "
+        "GROUP BY segment ORDER BY segment"
+    )
+    return df.withColumn("atomic_commit", F.lit(bool(atomic)))
+
+
+Q360_SQL = f"""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT))
+         AS BIGINT) AS cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS lo,
+       CAST(MAX(c_custkey) AS BIGINT) AS hi,
+       TRUE AS atomic_commit
+FROM customer
+WHERE c_custkey <= {_Q360_N // 2}
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+SPECS.append(
+    QuerySpec(
+        "q360_jvm_write_roundtrip",
+        q360_jvm_write_roundtrip,
+        Q360_SQL,
+        "unified JVM provider WRITE path (round 9): multi-task "
+        "df.write.format('tiledb_agg') with staged fragments + ONE "
+        "atomic .con group commit, read back through the same format "
+        "with pushed filter + aggregation, oracle from parquet",
+    )
+)
