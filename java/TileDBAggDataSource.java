@@ -60,6 +60,9 @@ import org.apache.spark.sql.connector.expressions.GeneralScalarExpression;
 import org.apache.spark.sql.connector.expressions.Literal;
 import org.apache.spark.sql.connector.expressions.Expressions;
 import org.apache.spark.sql.connector.expressions.NamedReference;
+import org.apache.spark.sql.connector.expressions.NullOrdering;
+import org.apache.spark.sql.connector.expressions.SortDirection;
+import org.apache.spark.sql.connector.expressions.SortOrder;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc;
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation;
@@ -80,6 +83,7 @@ import org.apache.spark.sql.connector.read.SupportsPushDownAggregates;
 import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
 import org.apache.spark.sql.connector.read.SupportsPushDownLimit;
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
+import org.apache.spark.sql.connector.read.SupportsPushDownTopN;
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering;
 import org.apache.spark.sql.connector.write.BatchWrite;
 import org.apache.spark.sql.connector.write.DataWriter;
@@ -264,6 +268,43 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       }
     }
 
+    JsonNode callTopK(String spec, String condsJson) {
+      List<String> argv = new ArrayList<>();
+      argv.add(python);
+      argv.add("-m");
+      argv.add("tiledb_mariadb_spark.tools.jvm_bridge");
+      argv.add("topk");
+      argv.add("--uri");
+      argv.add(uri);
+      if (at != null) {
+        argv.add("--at");
+        argv.add(at);
+      }
+      if (encryptionKey != null) {
+        argv.add("--encryption-key");
+        argv.add(encryptionKey);
+      }
+      argv.add("--topk");
+      argv.add(spec);
+      if (condsJson != null) {
+        argv.add("--conditions");
+        argv.add(condsJson);
+      }
+      ProcessBuilder pb = new ProcessBuilder(argv);
+      if (!pythonPath.isEmpty()) {
+        pb.environment().put("PYTHONPATH", pythonPath);
+      }
+      try {
+        Process p = pb.start();
+        String out =
+            new String(p.getInputStream().readAllBytes(), StandardCharsets.UTF_8);
+        p.waitFor();
+        return out.isEmpty() ? null : new ObjectMapper().readTree(out);
+      } catch (Exception e) {
+        return null;
+      }
+    }
+
     /** Single-JSON-object commands (schema / agg / gagg / splits).
      * null on launch failure. */
     JsonNode call(String cmd, String aggs, String condsJson, String group) {
@@ -378,7 +419,8 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
           SupportsPushDownAggregates,
           SupportsPushDownFilters,
           SupportsPushDownLimit,
-          SupportsPushDownRequiredColumns {
+          SupportsPushDownRequiredColumns,
+          SupportsPushDownTopN {
     private final StructType tableSchema;
     private final CaseInsensitiveStringMap options;
     private StructType required = null; // pruned projection (null = all)
@@ -393,9 +435,73 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
     public boolean pushLimit(int n) {
       // advisory: each split truncates its survivors to n rows (wire +
       // Arrow cost shrink); Spark still applies the global limit, so
-      // returning false keeps semantics exact
+      // returning false keeps semantics exact.  (Only reached for a
+      // bare LIMIT — Spark routes ORDER BY ... LIMIT to pushTopN.)
       this.limit = n;
       return false;
+    }
+
+    @Override
+    public boolean isPartiallyPushed() {
+      // both pushLimit and pushTopN here are partial: Spark keeps the
+      // exact global limit (and sort) above the scan
+      return true;
+    }
+
+    /** ORDER BY col LIMIT n: the zone-map bound (topk_array's
+     * metadata walk, tiledb_native.py::topk_threshold) rides back as
+     * an ordinary pushed condition, so fragment/tile skip and
+     * condition-NED planning prune everything provably outside the
+     * top-n.  Partially pushed (default): Spark keeps the exact sort +
+     * limit above the scan.  NO per-split row truncation here — the
+     * top-n by col can live anywhere in a split. */
+    @Override
+    public boolean pushTopN(SortOrder[] orders, int n) {
+      if (aggRows != null || orders.length != 1) {
+        return false;
+      }
+      SortOrder o = orders[0];
+      String col = singleColumn(o.expression());
+      if (col == null || fieldType(col) == null) {
+        return false;
+      }
+      boolean asc = o.direction() == SortDirection.ASCENDING;
+      // the pushed threshold condition drops NULLs (3VL): only safe
+      // when NULLs sort LAST (they can never be in the guaranteed
+      // top-n) or the column cannot hold them
+      boolean nullable = true;
+      for (StructField f : tableSchema.fields()) {
+        if (f.name().equals(col)) {
+          nullable = f.nullable();
+        }
+      }
+      if (nullable && o.nullOrdering() != NullOrdering.NULLS_LAST) {
+        return false;
+      }
+      Bridge b = Bridge.fromOptions(options);
+      JsonNode out =
+          b.callTopK(col + ":" + (asc ? "asc" : "desc") + ":" + n, condsJson());
+      if (out != null
+          && out.path("ok").asBoolean(false)
+          && out.hasNonNull("thr")) {
+        JsonNode thr = out.path("thr");
+        Object v;
+        if (thr.isTextual()) {
+          v = thr.asText();
+        } else if (thr.isIntegralNumber()) {
+          v = thr.asLong();
+        } else if (thr.isNumber()) {
+          v = thr.asDouble();
+        } else {
+          return true; // unexpected shape: topN accepted, no pruning
+        }
+        List<Object> c = new ArrayList<>();
+        c.add(col);
+        c.add(asc ? "<=" : ">=");
+        c.add(v);
+        conds.add(c);
+      }
+      return true;
     }
 
     AggScanBuilder(StructType tableSchema, CaseInsensitiveStringMap options) {

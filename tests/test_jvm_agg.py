@@ -535,3 +535,46 @@ def test_write_path_schema_resolution(spark, tmp_path):
         spark.createDataFrame([(2,)], "k long").write.format(
             "tiledb_agg"
         ).option("path", uri).mode("append").save()
+
+
+def test_topn_pushdown_zone_map(spark, tmp_path):
+    """Round 9: ORDER BY col LIMIT n pushes the zone-map threshold back
+    as a condition — proven by poisoning every fragment the bound
+    excludes (decoding them would crash) and still answering exactly."""
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    uri = str(tmp_path / "topk")
+    create_native_array(
+        uri,
+        [NativeDim("k", 1, 1, (0, 10**6), None)],
+        [NativeAttr("q", 1, 1, False, None)],
+    )
+    # 4 fragments with disjoint q ranges: top-5 lives wholly in frag 4
+    for f in range(4):
+        ks = list(range(f * 100, f * 100 + 100))
+        write_native_fragment(
+            uri, {"k": ks, "q": [f * 1000 + i for i in range(100)]},
+            ts=f + 1, version=19,
+        )
+    # poison the three LOW fragments' data tiles
+    import glob as _glob
+
+    frags = sorted(_glob.glob(os.path.join(uri, "__fragments", "__*")))
+    for frag in frags[:3]:
+        for fn in os.listdir(frag):
+            if fn != "__fragment_metadata.tdb":
+                with open(os.path.join(frag, fn), "wb") as fh:
+                    fh.write(b"PoIsOn")
+    agg_reader(spark, uri).load().createOrReplaceTempView("jvm_topk")
+    df = spark.sql("SELECT k, q FROM jvm_topk ORDER BY q DESC LIMIT 5")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert '"q",">="' in plan.replace(" ", ""), plan  # pushed threshold
+    got = [(r.k, r.q) for r in df.collect()]
+    assert got == [(399, 3099), (398, 3098), (397, 3097),
+                   (396, 3096), (395, 3095)]
+    df2 = spark.sql("SELECT k, q FROM jvm_topk ORDER BY q ASC LIMIT 3")
+    # ascending bound points at the POISONED low fragments: the scan
+    # must decode them -> crash proves the threshold really pruned in
+    # the descending case rather than the query just being lucky
+    with pytest.raises(Exception):
+        df2.collect()

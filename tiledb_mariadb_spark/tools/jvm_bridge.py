@@ -21,6 +21,8 @@ repo's pure-Python native decoder from the JVM:
 - ``write --uri U`` (rows on stdin) / ``commitfrags --uri U --frags J``:
   the write path — one staged fragment per task, one atomic job-level
   visibility flip (.wrt marker or .con group);
+- ``topk --uri U --topk col:dir:k``: the zone-map ORDER-BY-LIMIT bound
+  for SupportsPushDownTopN;
 - ``stats --uri U``: planning statistics (rows exact-or-upper-bound,
   on-disk/fixed-width sizeInBytes) for SupportsReportStatistics;
 - ``splits --uri U [--conditions J]``: the split plan for the scan
@@ -297,7 +299,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "cmd",
         choices=["schema", "agg", "gagg", "rows", "splits", "stats",
-                 "write", "commitfrags"],
+                 "write", "commitfrags", "topk"],
     )
     p.add_argument("--uri", required=True)
     p.add_argument("--at", type=int, default=None)
@@ -308,6 +310,7 @@ def main(argv=None) -> int:
     p.add_argument("--columns", default=None)  # JSON [name, ...]
     p.add_argument("--limit", type=int, default=None)  # advisory per-split cap
     p.add_argument("--frags", default=None)  # JSON [fragment_name, ...]
+    p.add_argument("--topk", default=None)  # "col:asc|desc:k"
     p.add_argument("--group", default=None)  # "dim0:width"
     p.add_argument("--target-splits", type=int, default=16)
     a = p.parse_args(argv)
@@ -524,6 +527,26 @@ def main(argv=None) -> int:
                 return 0
             rows.append([*key, *vals])
         print(json.dumps({"ok": True, "rows": rows}, default=_json_cell))
+        return 0
+
+    if a.cmd == "topk":
+        # ORDER BY col LIMIT k zone-map bound (topk_array's metadata
+        # walk, exposed to the JVM provider's SupportsPushDownTopN):
+        # returns a threshold t such that >= k surviving rows provably
+        # satisfy col >= t (descending; <= t ascending) — pushed back
+        # as an ordinary condition so fragment/tile skip and
+        # condition-NED planning all fire.  thr null = not provable
+        # (the scan runs unpruned; Spark's TakeOrdered is still exact).
+        try:
+            col, direction, k = a.topk.split(":")
+            be = NativeDecoderBackend(encryption_key=a.encryption_key)
+            thr = be.topk_threshold(
+                a.uri, col, int(k), ascending=direction == "asc",
+                at=a.at, conditions=_parse_conditions(a.conditions),
+            )
+            print(json.dumps({"ok": True, "thr": thr}, default=_json_cell))
+        except Exception as e:  # noqa: BLE001 - bridge boundary
+            print(json.dumps({"ok": False, "reason": str(e)}))
         return 0
 
     if a.cmd == "write":
