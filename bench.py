@@ -157,6 +157,12 @@ HEADLINE = [
     # exotic-encoding (UTF-16/32/UCS-2) corpus round-trip via the
     # exact row path
     "q354_utf16_corpus",
+    # round 9: dense OVERLAPPING-patch rollup (newest-wins disjoint
+    # regions from metadata) and the unified provider's WRITE path
+    # (staged fragments + atomic .con group commit, read back with a
+    # pushed filter + aggregation through the same format)
+    "q359_dense_patch_rollup",
+    "q360_jvm_write_roundtrip",
 ]
 
 
