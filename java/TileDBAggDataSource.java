@@ -1118,18 +1118,37 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       return runtimeCondsJson != null ? runtimeCondsJson : condsJson;
     }
 
+    // ONE planning spawn per query: the splits call piggybacks the
+    // stats payload, cached here and keyed by the effective condition
+    // set (runtime filters invalidate it)
+    private transient JsonNode planOut;
+    private transient String planKey;
+
+    private JsonNode planCall() {
+      String key = effectiveConds() == null ? "" : effectiveConds();
+      if (planOut == null || !key.equals(planKey)) {
+        Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
+        planOut = b.call("splits", null, effectiveConds(), null);
+        planKey = key;
+      }
+      return planOut;
+    }
+
     /** Metadata-only planning statistics (records_in_range parity,
      * ha_mytile.cc:1424-1468): exact footer COUNT or the R-tree
      * upper bound, narrowed by pushed dim ranges — lets Spark pick
      * broadcast joins for genuinely small arrays instead of assuming
-     * the default (huge) size. */
+     * the default (huge) size.  Served from the cached splits call. */
     @Override
     public Statistics estimateStatistics() {
-      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
-      JsonNode out = b.call("stats", null, condsJson, null);
-      final boolean ok = out != null && out.path("ok").asBoolean(false);
-      final long rows = ok ? out.path("rows").asLong() : 0;
-      final long bytes = ok ? out.path("bytes").asLong() : 0;
+      JsonNode plan = planCall();
+      JsonNode st =
+          plan != null && plan.path("ok").asBoolean(false)
+              ? plan.path("stats")
+              : null;
+      final boolean ok = st != null && !st.isNull() && st.has("rows");
+      final long rows = ok ? st.path("rows").asLong() : 0;
+      final long bytes = ok ? st.path("bytes").asLong() : 0;
       return new Statistics() {
         @Override
         public OptionalLong sizeInBytes() {
@@ -1168,8 +1187,7 @@ public class TileDBAggDataSource implements TableProvider, DataSourceRegister {
       // with pushed dim ranges + condition-NED; empty:true = provably
       // no matching fragments -> ZERO partitions; a null entry =
       // unbounded full scan
-      Bridge b = Bridge.fromOptions(new CaseInsensitiveStringMap(opts));
-      JsonNode out = b.call("splits", null, effectiveConds(), null);
+      JsonNode out = planCall();
       List<InputPartition> parts = new ArrayList<>();
       if (out != null
           && out.path("ok").asBoolean(false)

@@ -294,6 +294,65 @@ def _rows_numpy_inner(a, info, want, rng, conds) -> bool:
     return True
 
 
+
+def _stats_payload(a) -> dict | None:
+    """{rows, exact, bytes} planning statistics, or None when no
+    footer is parseable.  Shared by the standalone ``stats`` command
+    and the ``splits`` command (which piggybacks it so the JVM scan
+    needs ONE planning spawn, not two)."""
+    import os as _os  # noqa: PLC0415
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+        _DT as _DT_TAB,
+        _fragment_dirs,
+        _schema_path,
+        count_native_array,
+        estimate_range_cells,
+        parse_array_schema,
+    )
+
+    cnt = count_native_array(a.uri, at=a.at)
+    exact = cnt is not None
+    if cnt is None:
+        cnt = estimate_range_cells(a.uri, None, at=a.at)
+    if cnt is None:
+        return None
+    total = cnt
+    conds = _parse_conditions(a.conditions)
+    if conds:
+        # pushed dim ranges tighten the estimate (records_in_range
+        # shape); attr conditions stay conservative
+        schema0 = parse_array_schema(_schema_path(a.uri))
+        rngs, _rest = _fold_dim_ranges(schema0, conds)
+        if rngs:
+            rlist = [
+                tuple(rngs.get(d.name, (None, None)))
+                for d in schema0.dims
+            ]
+            est = estimate_range_cells(a.uri, rlist, at=a.at)
+            if est is not None:
+                cnt = min(cnt, est)
+                exact = False
+    disk = 0
+    for frag in _fragment_dirs(a.uri, at=a.at):
+        for f in _os.listdir(frag):
+            fp = _os.path.join(frag, f)
+            if _os.path.isfile(fp):
+                disk += _os.path.getsize(fp)
+    schema = parse_array_schema(_schema_path(a.uri))
+    width = 0
+    for x in (*schema.dims, *schema.attrs):
+        _nm, _code, sz = _DT_TAB.get(x.dtype_id, ("?", "?", 8))
+        cvn = getattr(x, "cell_val_num", 1)
+        width += sz * (cvn if cvn not in (0, 0xFFFFFFFF) else 2)
+    # bytes scale with the row estimate when ranges narrowed it
+    frac = (cnt / total) if total else 1.0
+    return {
+        "rows": int(cnt), "exact": bool(exact),
+        "bytes": int(max(disk * frac, cnt * max(width, 1))),
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jvm_bridge")
     p.add_argument(
@@ -674,58 +733,14 @@ def main(argv=None) -> int:
         # fragments, rows x fixed row width) — a metadata-only figure,
         # never invented, so Spark can choose broadcast joins for
         # genuinely small arrays
-        import os as _os  # noqa: PLC0415
-
-        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
-            _DT as _DT_TAB,
-            _fragment_dirs,
-            estimate_range_cells,
-        )
-
         try:
-            cnt = count_native_array(a.uri, at=a.at)
-            exact = cnt is not None
-            if cnt is None:
-                cnt = estimate_range_cells(a.uri, None, at=a.at)
-            if cnt is None:
+            st = _stats_payload(a)
+            if st is None:
                 print(json.dumps(
                     {"ok": False, "reason": "no parseable footers"}
                 ))
-                return 0
-            total = cnt
-            conds = _parse_conditions(a.conditions)
-            if conds:
-                # pushed dim ranges tighten the estimate (records_in_
-                # range shape); attr conditions stay conservative
-                schema0 = parse_array_schema(_schema_path(a.uri))
-                rngs, _rest = _fold_dim_ranges(schema0, conds)
-                if rngs:
-                    rlist = [
-                        tuple(rngs.get(d.name, (None, None)))
-                        for d in schema0.dims
-                    ]
-                    est = estimate_range_cells(a.uri, rlist, at=a.at)
-                    if est is not None:
-                        cnt = min(cnt, est)
-                        exact = False
-            disk = 0
-            for frag in _fragment_dirs(a.uri, at=a.at):
-                for f in _os.listdir(frag):
-                    fp = _os.path.join(frag, f)
-                    if _os.path.isfile(fp):
-                        disk += _os.path.getsize(fp)
-            schema = parse_array_schema(_schema_path(a.uri))
-            width = 0
-            for x in (*schema.dims, *schema.attrs):
-                _nm, _code, sz = _DT_TAB.get(x.dtype_id, ("?", "?", 8))
-                cvn = getattr(x, "cell_val_num", 1)
-                width += sz * (cvn if cvn not in (0, 0xFFFFFFFF) else 2)
-            # bytes scale with the row estimate when ranges narrowed it
-            frac = (cnt / total) if total else 1.0
-            print(json.dumps({
-                "ok": True, "rows": int(cnt), "exact": bool(exact),
-                "bytes": int(max(disk * frac, cnt * max(width, 1))),
-            }))
+            else:
+                print(json.dumps({"ok": True, **st}))
         except Exception as e:  # noqa: BLE001 - bridge boundary
             print(json.dumps({"ok": False, "reason": str(e)}))
         return 0
@@ -775,8 +790,13 @@ def main(argv=None) -> int:
                 weights=weights, string_keys=skeys,
             )
             out = [[list(r) for r in s] for s in splits]
+            try:  # piggyback planning stats: one spawn serves both
+                st = _stats_payload(a)
+            except Exception:  # noqa: BLE001 - stats are optional here
+                st = None
             print(json.dumps(
-                {"ok": True, "splits": out}, default=_json_cell
+                {"ok": True, "splits": out, "stats": st},
+                default=_json_cell,
             ))
         except (Exception, TypeError):  # noqa: BLE001 - bridge boundary
             print(json.dumps({"ok": True, "splits": [None]}))
