@@ -785,8 +785,31 @@ def main(argv=None) -> int:
                 for d in info.dims for b in (d.domain or (None, None))
             ):
                 skeys = be.string_split_keys(a.uri, at=a.at)
+            # size the task count by the metadata UPPER BOUND on
+            # matching cells (narrowed by pushed ranges + the
+            # condition-NED): a needle/top-k query plans one task, a
+            # full scan keeps target_splits — an upper bound can only
+            # over-parallelize, never starve a real scan
+            target = a.target_splits
+            if dim_ranges:
+                from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                    estimate_range_cells,
+                )
+
+                try:
+                    rlist = [
+                        tuple(dim_ranges.get(d.name, (None, None)))
+                        for d in info.dims
+                    ]
+                    est = estimate_range_cells(a.uri, rlist, at=a.at)
+                    if est is not None:
+                        target = max(
+                            1, min(target, -(-est // 262144))
+                        )
+                except (OSError, ValueError):
+                    pass
             splits = plan_splits(
-                info, dim_ranges or None, a.target_splits,
+                info, dim_ranges or None, target,
                 weights=weights, string_keys=skeys,
             )
             out = [[list(r) for r in s] for s in splits]
