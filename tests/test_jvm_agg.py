@@ -578,3 +578,37 @@ def test_topn_pushdown_zone_map(spark, tmp_path):
     # the descending case rather than the query just being lucky
     with pytest.raises(Exception):
         df2.collect()
+
+
+def test_write_path_two_jobs_compose(spark, tmp_path):
+    """Two independent write JOBS append two atomic groups; both stay
+    visible (uncoordinated multi-writer model) and newest-wins applies
+    on overwritten keys."""
+    import glob as _glob
+
+    from tiledb_mariadb_spark.sources.jvm_agg import (
+        agg_reader,
+        register_tiledb_agg,
+    )
+
+    register_tiledb_agg(spark)
+    uri = str(tmp_path / "w2")
+    create_native_array(
+        uri,
+        [NativeDim("k", 1, 1, (0, 1000), None)],
+        [NativeAttr("v", 3, 1, False, None)],
+    )
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    ).repartition(2).write.format("tiledb_agg").option("path", uri).mode(
+        "append"
+    ).save()
+    spark.createDataFrame(
+        [(i, 999.0) for i in range(90, 120)], "k long, v double"
+    ).repartition(2).write.format("tiledb_agg").option("path", uri).mode(
+        "append"
+    ).save()
+    assert len(_glob.glob(os.path.join(uri, "__commits", "*.con"))) == 2
+    got = {r.k: r.v for r in agg_reader(spark, uri).load().collect()}
+    assert len(got) == 120
+    assert got[50] == 50.0 and got[95] == 999.0 and got[119] == 999.0
