@@ -235,51 +235,56 @@ def all_specs() -> dict[str, QuerySpec]:
     # (drop from the TAIL of that list to make room for r9-new specs;
     # q77 re-verified in r7 and q173 every-round via bench keep their
     # slots only if space allows.)
-    # ROUND 9 (this window — the staged rotation applied as commit #1):
-    # LEADS with the q351 column-bisect ladder (q355–q358, the r8
-    # verdict's #1 item: same body sliced by projection so the driver
-    # names the diverging column) and whatever r9 ADDS (appended below as
-    # the round progresses, each taking a slot from the backfill TAIL),
-    # then the least-recently-verified backfill = the ROUND-3 window
-    # (driver-green in r3, six rounds earlier), in its original order.
-    # Per the staged note: q77 (re-verified r7) and q173 (bench-exercised
-    # every round) yield their slots first, then drops come off the TAIL
-    # (q164, q90, q254, …); the displaced surfaces stay covered in-window
-    # — streaming by the q90-family's r4–r5 green history, consolidation
-    # by q337/q327 (r7), ST_contains by q95–q97.
+    # ROUND 9 (this window): LEADS with the q351 column-bisect ladder
+    # (q355–q358, the r8 verdict's #1 item: same body sliced by
+    # projection so the driver names the diverging column; q351 itself
+    # stays lead so the full-width hash re-samples beside its rungs)
+    # and the two round-9-new specs (q359 dense overlap rollup, q360
+    # provider write round-trip — newest code, never sampled), then the
+    # TRUE least-recently-verified backfill.  The staged r8 note said
+    # "round-3 window", but the CORRECTNESS artifacts say otherwise:
+    # 46 specs' latest driver sample is ROUND 1 (the r7 window's
+    # r1-backfill re-test slots were displaced by r7's own additions),
+    # strictly older than the r3 block — so r9 takes the r1 block per
+    # the r8 verdict's #2 ("the 50 oldest"), in registry order.  Three
+    # r1 rows yield for space: q01 (the entry() flagship, smoke-checked
+    # by the driver every round) and q05/q12 (benched at sf0.1 every
+    # round); they join the r10 window.
+    # ROUND 10 (staged — apply as round 10's commit #1): lead with
+    # whatever r10 ADDS, then q01/q05/q12 + the four r2-latest
+    # (q65_lsh_pairs q66_ngram_jaccard q67_simhash q70_multimodal) +
+    # the ROUND-3 window verbatim:
+    #   q43 q118 q122 q129 q77 q135 q136 q137 q138 q139 q140 q141
+    #   q142 q144 q145 q146 q147 q149 q150 q151 q152 q154 q155 q156
+    #   q157 q158 q173 q174 q175 q176 q178 q179 q180 q181 q182 q68
+    #   q256 q159 q153 q143 q72 q76 q69 q71 q95 q96 q97 q254 q90 q164
+    # (drop from the TAIL to make room for r10-new specs.)
     front = [
-        # q351 bisect ladder — r8 verdict #1 (q351 itself stays lead so
-        # the full-width hash re-samples alongside its rungs)
+        # q351 bisect ladder — r8 verdict #1
         "q351_regr_moments2",
         "q355_regr_bisect_count",
         "q356_regr_bisect_pricey",
         "q357_regr_bisect_sums",
         "q358_regr_bisect_derived",
         # round-9-new specs — newest code, never driver-sampled
-        # (appended here as r9 adds them; backfill tail yields slots)
         "q359_dense_patch_rollup",
         "q360_jvm_write_roundtrip",
-        # round-3 backfill — driver-green in r3, six rounds ago (44)
-        # (q97_st_overlaps yielded its slot to q359 — the ST_* family
-        # stays covered in-window by q95/q96)
-        "q43_filtered_agg", "q118_array_set_ops", "q122_map_fns",
-        "q129_array_slice", "q135_train_test_split",
-        "q136_stratified_sample", "q137_pii_redaction",
-        "q138_pack_sequential", "q139_pack_greedy", "q140_dedup_clusters",
-        "q141_topk_ngrams", "q142_approx_sketches", "q144_repetition_ratio",
-        "q145_corpus_report", "q146_quality_gate", "q147_train_sequences",
-        "q149_decontamination", "q150_funnel", "q151_cohort_retention",
-        "q152_multivalue_agg", "q154_normalize_text", "q155_containment",
-        "q156_salted_agg", "q157_bucketed_join", "q158_corpus_mix",
-        "q174_weighted_sample", "q175_quantized_ann", "q176_chunk_documents",
-        "q178_setsim_join", "q179_ivf_append", "q180_simhash_neardup",
-        "q181_temperature_mix", "q182_corpus_funnel", "q68_cosine_topk",
-        "q256_rag_retrieve", "q159_lsh_neardup", "q153_ivf_batch",
-        "q143_ann_batch", "q72_ann_ivf", "q76_cosine_neardup",
-        "q69_ann_lsh_buckets", "q71_ann_bucketed_search",
-        "q95_spatial_intersects",
-        # (q96/q97 yielded their slots to q359/q360 — the ST_* family
-        # stays covered in-window by q95 + the r7-green q311/q313 tier)
+        # round-1 backfill — driver-green in r1, EIGHT rounds ago (43)
+        "q133_join_using", "q131_quantified_cmp", "q132_posexplode",
+        "q126_lateral_join", "q127_recursive_cte", "q128_group_by_all",
+        "q130_time_bucket", "q123_unpivot", "q124_try_arith",
+        "q125_stats_moments", "q119_hash_fns", "q120_width_bucket",
+        "q121_percentile_disc", "q112_bitwise_bool_aggs",
+        "q113_higher_order_arrays", "q114_regex", "q115_string_agg",
+        "q116_interval_arith", "q117_union_by_name",
+        "q42_word_histogram", "q59_json_extract", "q49_utf8_predicates",
+        "q45_setops_all", "q44_median_rows", "q02_scan_projection",
+        "q03_filter_eq", "q04_filter_range", "q06_filter_compound",
+        "q07_filter_null", "q08_filter_datetime", "q09_filter_string",
+        "q10_agg_scalar", "q11_agg_having", "q13_rollup", "q14_cube",
+        "q15_orderby_limit", "q16_setops", "q17_case_cast",
+        "q18_scalar_string", "q19_scalar_date", "q20_scalar_math",
+        "q21_pivot", "q22_distinct",
     ]
     assert len(front) == 50, f"round-9 front window is {len(front)}, want 50"
     missing = [n for n in front if n not in collected]
