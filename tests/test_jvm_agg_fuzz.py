@@ -131,3 +131,44 @@ def test_fuzz_agg_and_scan_vs_dataframe(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_fuzz_topn_limit_vs_dataframe(spark, tmp_path):
+    """Round 9: randomized ORDER BY col [ASC|DESC] LIMIT n (the TopN
+    zone-map pushdown + estimate-sized split plans) and bare LIMIT
+    (advisory truncation) over format('tiledb_agg') must equal the
+    in-memory DataFrame — across fragment layouts, nullable columns,
+    filters, and tie-heavy value distributions."""
+    rng = random.Random(20260817)
+    uri, rows = _mk(tmp_path, rng)
+    from tiledb_mariadb_spark.sources.jvm_agg import agg_reader
+
+    agg_reader(spark, uri).load().createOrReplaceTempView("fz2_jvm")
+    ref = spark.createDataFrame(
+        list(zip(rows["k"], rows["a"], rows["b"], rows["f"])),
+        "k long, a long, b long, f double",
+    )
+    ref.createOrReplaceTempView("fz2_ref")
+    for trial in range(20):
+        col = rng.choice(["k", "a", "b", "f"])
+        desc = rng.random() < 0.5
+        n = rng.choice([1, 3, 10, 50])
+        where = _rand_where(rng)
+        # total order via the unique dim tiebreak so both engines pick
+        # the identical row SET under ties (a is tie-heavy by design)
+        q = (
+            f"SELECT k, {col} AS v FROM {{t}}{where} "
+            f"ORDER BY {col} {'DESC' if desc else 'ASC'}, k LIMIT {n}"
+        )
+        got = [tuple(r) for r in spark.sql(q.format(t="fz2_jvm")).collect()]
+        exp = [tuple(r) for r in spark.sql(q.format(t="fz2_ref")).collect()]
+        assert got == exp, f"trial {trial}: {q}\n{got[:4]} != {exp[:4]}"
+    # bare LIMIT (no sort): the advisory per-split truncation must
+    # still deliver exactly n rows that all belong to the table
+    full = {
+        tuple(r) for r in spark.sql("SELECT k, a FROM fz2_ref").collect()
+    }
+    for n in (1, 7, 399, 400, 500):
+        got = spark.sql(f"SELECT k, a FROM fz2_jvm LIMIT {n}").collect()
+        assert len(got) == min(n, N)
+        assert all(tuple(r) in full for r in got)
