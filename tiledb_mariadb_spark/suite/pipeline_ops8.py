@@ -386,13 +386,20 @@ def q269_triangle_count(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    edges = pairs.distinct()  # canonical a < b
+    # edges feeds the degree rollup, both orientation joins, the wedge
+    # close AND the final count — persist so the basket explode +
+    # distinct run once, not once per consumer (the q200 edges lesson;
+    # without this the physical plan re-derives the edge list from
+    # lineitem for every reference)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    edges = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # 2 broadcasts + n_nodes
     e = edges.join(
         F.broadcast(deg).withColumnRenamed("n", "a").withColumnRenamed("d", "da"),
         "a",
@@ -403,11 +410,14 @@ def q269_triangle_count(spark, sf_dir):
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # oriented is consumed three times (both wedge sides + the closing
+    # edge join); persisting it caps the plan at one derivation instead
+    # of three full edge re-builds
     oriented = e.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     rank_lt = (F.col("o1.dv") < F.col("o2.dv")) | (
         (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
