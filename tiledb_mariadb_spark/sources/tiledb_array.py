@@ -756,6 +756,24 @@ def _quantile_cuts(
     return cuts
 
 
+def _seed_partitions(spark, n: int, colname: str = "split_id",
+                     num_partitions: Optional[int] = None):
+    """Task-seed DataFrame: ``n`` rows spread over ``num_partitions``
+    (default ``n``) contiguous balanced partitions with NO shuffle.
+    ``spark.range(n, numPartitions=n)`` assigns row ``i`` to partition
+    ``i`` (contiguous unit slices), so every split becomes exactly one
+    task.  The old ``createDataFrame(...).repartition(n, col)`` seed
+    paid an Exchange per scan AND hash-partitioning collisions
+    routinely stacked two splits on one task while leaving others
+    empty — a built-in straggler on every distributed array
+    read/write."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return spark.range(n, numPartitions=num_partitions or n).select(
+        F.col("id").cast("int").alias(colname)
+    )
+
+
 def plan_splits(
     info: ArrayInfo,
     dim_ranges: Optional[dict[str, Any]] = None,
@@ -1067,10 +1085,7 @@ def read_array(
     if not splits:
         return spark.createDataFrame([], schema=ddl)
 
-    split_rows = [(i,) for i in range(len(splits))]
-    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
-        len(splits), "split_id"
-    )
+    split_df = _seed_partitions(spark, len(splits))
 
     def read_split(batches) -> Iterator:
         for pdf in batches:
@@ -1312,10 +1327,7 @@ def diff_arrays(
     }
     nullable_t = {a: _NULLABLE.get(type_of[a]) for a in sel}
 
-    split_rows = [(i,) for i in range(len(splits))]
-    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
-        len(splits), "split_id"
-    )
+    split_df = _seed_partitions(spark, len(splits))
     cols_read = dim_names + sel
 
     def diff_split(batches) -> Iterator:
@@ -1508,10 +1520,7 @@ def copartitioned_asof_join(
         for n, o in zip(sel_b, out_b) if type_b[n] in _NULLABLE
     }
     out_cols = [dim] + out_a + out_b
-    split_rows = [(i,) for i in range(len(splits))]
-    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
-        len(splits), "split_id"
-    )
+    split_df = _seed_partitions(spark, len(splits))
 
     def asof_split(batches) -> Iterator:
         import pandas as pd  # noqa: PLC0415
@@ -1917,10 +1926,7 @@ def copartitioned_join_arrays(
     }
     out_cols = dim_names + out_a + out_b
 
-    split_rows = [(i,) for i in range(len(splits))]
-    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
-        len(splits), "split_id"
-    )
+    split_df = _seed_partitions(spark, len(splits))
 
     def _sorted_merge(pa_, pb_):
         """Merge-join fast path: the decoder returns cells in global
@@ -2162,10 +2168,7 @@ def copartitioned_join_many(
         "float": "Float32", "double": "Float64", "boolean": "boolean",
     }
 
-    split_rows = [(i,) for i in range(len(splits))]
-    split_df = spark.createDataFrame(split_rows, "split_id int").repartition(
-        len(splits), "split_id"
-    )
+    split_df = _seed_partitions(spark, len(splits))
     single_int_dim = len(dim_names) == 1
 
     def join_split(batches) -> Iterator:
@@ -2392,9 +2395,7 @@ def consolidate_array(
     weights = weights_fn(uri) if weights_fn else None
     splits = plan_splits(info, None, target_splits, weights=weights)
     cols = [d.name for d in info.dims] + [a.name for a in info.attrs]
-    split_df = spark.createDataFrame(
-        [(i,) for i in range(len(splits))], "split_id int"
-    ).repartition(len(splits), "split_id")
+    split_df = _seed_partitions(spark, len(splits))
     key = encryption_key
 
     dim_names = [d.name for d in info.dims]
@@ -2706,10 +2707,16 @@ def consolidate_array_incremental(
     tasks = [
         (ri, si) for ri in range(len(runs)) for si in range(len(splits))
     ]
-    task_df = spark.createDataFrame(
-        [(i, ri, si) for i, (ri, si) in enumerate(tasks)],
-        "task_id int, run_id int, split_id int",
-    ).repartition(len(tasks), "task_id")
+    # (run_id, split_id) was enumerated run-major, so both components
+    # derive from the seed row id arithmetically — one task per pair,
+    # no shuffle (see _seed_partitions)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    task_df = _seed_partitions(spark, len(tasks), colname="task_id").select(
+        "task_id",
+        (F.col("task_id") / len(splits)).cast("int").alias("run_id"),
+        (F.col("task_id") % len(splits)).cast("int").alias("split_id"),
+    )
     key = encryption_key
 
     def consolidate_part(batches) -> Iterator:

@@ -2196,15 +2196,26 @@ def consolidate_fragment_meta(
             s = parse_array_schema(_schema_path(array_dir))
             for pdf in batches:
                 out = []
-                for frag in pdf["frag"]:
+                names = []
+                for fi in pdf["frag_idx"]:
+                    frag = frags[int(fi)]
                     e = _fmeta_entry_of(frag, s)
+                    names.append(frag)
                     out.append(None if e is None else json.dumps(e))
-                yield pd.DataFrame({"frag": pdf["frag"], "entry": out})
+                yield pd.DataFrame({"frag": names, "entry": out})
+
+        from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+            _seed_partitions,
+        )
 
         n_parts = max(1, min(int(target_splits), len(frags)))
+        # seed frag INDEXES over exactly n_parts shuffle-free partitions
+        # (range slices are contiguous and balanced — the old
+        # repartition-by-frag-string hashing could leave partitions
+        # empty while doubling up others)
         built = (
-            spark.createDataFrame([(f,) for f in frags], "frag string")
-            .repartition(n_parts, "frag")
+            _seed_partitions(spark, len(frags), colname="frag_idx",
+                             num_partitions=n_parts)
             .mapInPandas(build, schema="frag string, entry string")
             .collect()
         )
