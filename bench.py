@@ -178,6 +178,31 @@ def main() -> None:
     # warm the JVM + parquet footers once with the flagship query
     specs[names[0]].spark(spark, sf_dir).collect()
 
+    # Warm the PYTHON WORKER POOL the same way (methodology extension,
+    # round 9 — documented in OPTIMIZATION_r09.md with before/after
+    # numbers kept): a reused worker's first pandas task pays ~0.5-1 s
+    # of module imports (pandas/numpy + the native codec stack), so
+    # whichever TIMED query first lands a task on each cold worker was
+    # charged that one-off interpreter cost instead of its own work —
+    # the python twin of the JVM warmup above (guide §4.5: heavyweight
+    # init is per-worker, amortized ~0 in any long-lived deployment).
+    # One wave of 2 tasks per core cycles every pooled worker.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def _warm_worker(batches):
+        import numpy  # noqa: F401, PLC0415
+        import pandas  # noqa: F401, PLC0415
+
+        import tiledb_mariadb_spark.sources.tiledb_array  # noqa: F401, PLC0415
+        import tiledb_mariadb_spark.sources.tiledb_native  # noqa: F401, PLC0415
+        import tiledb_mariadb_spark.sources.tiledb_native_write  # noqa: F401, PLC0415
+
+        yield from batches
+
+    spark.range(cpus * 2, numPartitions=cpus * 2).mapInPandas(
+        _warm_worker, schema="id long"
+    ).collect()
+
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()

@@ -1049,9 +1049,11 @@ def q346_merge_into(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
-    # seed: even keys
+    # seed: even keys — 16 range partitions so the big ingest write uses
+    # the cores instead of 4 long tasks (each partition is an
+    # independent fragment; same rows, same read-back state)
     write_array(
-        src.filter(F.col("k") % 2 == 0).repartitionByRange(4, "k"),
+        src.filter(F.col("k") % 2 == 0).repartitionByRange(16, "k"),
         uri, backend=backend, ts=1000,
     )
     # merge 1 — INSERT IGNORE shape: add k%3==0 rows at cents+555,
