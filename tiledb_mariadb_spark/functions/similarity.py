@@ -426,11 +426,16 @@ def semdedup_pairs(
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosc").desc(), F.col("j").asc()
     )
+    # assigned feeds BOTH sides of the pair self-join below; persist so
+    # the corpus scan + 32-centroid scoring + assignment window run
+    # once, not once per join side (the q200/q269 shared-frame lesson)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     assigned = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(F.col(id_col), "qv", "nrm", F.col("j").alias("cluster"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

@@ -65,7 +65,7 @@ def q338_windowed_agg(spark, sf_dir):
     # windowed-agg provability precondition (and the natural shape of a
     # time/key-partitioned 100 TB ingest)
     write_array(
-        src.repartitionByRange(3, "k"), uri, backend=NativeDecoderBackend()
+        src.repartitionByRange(8, "k"), uri, backend=NativeDecoderBackend()
     )
 
     res = windowed_agg_native(
@@ -89,7 +89,7 @@ def q338_windowed_agg(spark, sf_dir):
     )
 
     arr = read_array(
-        spark, uri, dim_ranges={"k": (_W_LO, _W_HI)}, target_splits=4
+        spark, uri, dim_ranges={"k": (_W_LO, _W_HI)}, target_splits=8
     )
     aggs = arr.agg(
         F.count(F.lit(1)).alias("all_rows"),
@@ -334,7 +334,7 @@ def q340_bucketed_rollup(spark, sf_dir):
         ).alias("cents"),
     )
     write_array(
-        src.repartitionByRange(3, "k"), uri, backend=NativeDecoderBackend()
+        src.repartitionByRange(8, "k"), uri, backend=NativeDecoderBackend()
     )
 
     res = bucketed_agg_native(uri, _B_W, fields=["cents"])
@@ -353,7 +353,7 @@ def q340_bucketed_rollup(spark, sf_dir):
         " c_max long",
     )
     scan = (
-        read_array(spark, uri, target_splits=4)
+        read_array(spark, uri, target_splits=8)
         .groupBy(
             F.expr(f"CAST(k DIV {_B_W} AS BIGINT)").alias("bucket")
         )
@@ -559,7 +559,7 @@ def q343_grid_rollup(spark, sf_dir):
         ).alias("cents"),
     )
     write_array(
-        src.repartitionByRange(3, "x"), uri,
+        src.repartitionByRange(8, "x"), uri,
         backend=NativeDecoderBackend(),
     )
     res = grid_agg_native(uri, {"x": _G_WX, "y": _G_WY},
@@ -578,7 +578,7 @@ def q343_grid_rollup(spark, sf_dir):
         " c_min long, c_max long",
     )
     scan = (
-        read_array(spark, uri, target_splits=4)
+        read_array(spark, uri, target_splits=8)
         .groupBy(
             F.expr(f"CAST(x DIV {_G_WX} AS BIGINT)").alias("bx"),
             F.expr(f"CAST(y DIV {_G_WY} AS BIGINT)").alias("by"),
