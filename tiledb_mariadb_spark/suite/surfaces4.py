@@ -226,7 +226,13 @@ def q339_copartitioned_join(spark, sf_dir):
         ],
     )
     be = NativeDecoderBackend()
-    a_src = t(spark, sf_dir, "orders").select(
+    # ingest trimmed to the join window (round 9, the q331 treatment):
+    # the copartitioned read below is pinned to k in (_J_LO, _J_HI), so
+    # rows outside it can never appear in the result; the per-orderkey
+    # lineitem groups are intact under an orderkey cut
+    a_src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").between(_J_LO, _J_HI)
+    ).select(
         F.col("o_orderkey").alias("k"),
         F.expr(
             "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
@@ -235,6 +241,7 @@ def q339_copartitioned_join(spark, sf_dir):
     )
     b_src = (
         t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").between(_J_LO, _J_HI))
         .groupBy(F.col("l_orderkey").alias("k"))
         .agg(
             F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
@@ -430,7 +437,11 @@ def q342_triple_join(spark, sf_dir):
     create_native_array(
         uc, dims=dims, attrs=[NativeAttr("prio", 1, 1, False, None)])
     be = NativeDecoderBackend()
-    orders = t(spark, sf_dir, "orders")
+    # ingest trimmed to the triple-join window (k <= _T_HI) — the
+    # pinned dim_ranges read makes out-of-window rows unreachable
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").between(_T_LO, _T_HI)
+    )
     write_array(
         orders.select(
             F.col("o_orderkey").alias("k"),
@@ -443,6 +454,7 @@ def q342_triple_join(spark, sf_dir):
     )
     write_array(
         t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").between(_T_LO, _T_HI))
         .groupBy(F.col("l_orderkey").alias("k"))
         .agg(
             F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
@@ -1422,7 +1434,11 @@ def q349_ttl_retention(spark, sf_dir):
         dims=[NativeDim("k", 1, 1, (0, 6_000_000), None)],
         attrs=[NativeAttr("cents", 1, 1, False, None)],
     )
-    src = t(spark, sf_dir, "orders").select(
+    # ingest trimmed to the surviving-state window (round 9): the state
+    # read is pinned to k < 3000 and the structural census (6 fragments
+    # -> expire 2 -> 4, one .del swept) is layout-derived, identical at
+    # any row count — expiry/sweep semantics are exercised unchanged
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000).select(
         F.col("o_orderkey").alias("k"),
         F.expr(
             "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D) AS BIGINT)"
