@@ -31,6 +31,11 @@ def get_spark(app_name: str = "tiledb_mariadb_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/root/repo/.tmp/spark-warehouse")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1): skips the per-partition
+        # sort; scale-safe because the planner still falls back to
+        # sort-merge when neither side's per-partition build fits
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

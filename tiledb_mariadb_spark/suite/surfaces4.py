@@ -1198,14 +1198,14 @@ def q347_native_asof(spark, sf_dir):
     write_array(
         src.filter(F.col("ts") % 2 == 0)
         .withColumnRenamed("cents", "trade_cents")
-        .repartitionByRange(4, "ts"),
+        .repartitionByRange(8, "ts"),
         ua, backend=backend,
     )
     write_array(
         src.filter(F.col("ts") % 7 == 0)
         .withColumn("quote_cents", F.col("cents") + F.lit(1000))
         .drop("cents")
-        .repartitionByRange(3, "ts"),
+        .repartitionByRange(6, "ts"),
         ub, backend=backend,
     )
     return copartitioned_asof_join(
@@ -1564,14 +1564,14 @@ def q350_keyed_asof(spark, sf_dir):
     write_array(
         src.filter(F.col("ts") % 2 == 0)
         .withColumnRenamed("cents", "trade_cents")
-        .repartitionByRange(4, "ts"),
+        .repartitionByRange(8, "ts"),
         ua, backend=backend,
     )
     write_array(
         src.filter(F.col("ts") % 11 == 0)
         .withColumn("quote_cents", F.col("cents") + F.lit(77))
         .drop("cents")
-        .repartitionByRange(3, "ts"),
+        .repartitionByRange(6, "ts"),
         ub, backend=backend,
     )
     return copartitioned_asof_join(
