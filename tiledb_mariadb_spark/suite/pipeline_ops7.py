@@ -36,9 +36,15 @@ def q245_corpus_build(spark, sf_dir):
     gated = corpus.filter(
         feats["n_tokens"].between(5, 500) & (feats["stop_ratio"] >= 0.01)
     )
+    # uniq feeds both the decontamination shingling AND the clean-side
+    # anti-join — persist so the quality gate + md5 dedup over the
+    # corpus run once, not twice (plan showed 6 documents scans with
+    # zero exchange reuse)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     uniq = gated.groupBy(F.md5(F.col("text")).alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     eval_grams = (
         D.with_shingles(eval_set, "doc_id", "text", k=_DECON_K)
         .select(D.hash60(F.col("shingle"), "cap-decon").alias("g"))
