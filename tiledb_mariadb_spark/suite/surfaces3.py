@@ -5011,7 +5011,10 @@ def q329_char_fast_path(spark, sf_dir):
             NativeAttr("cents", 1, 1, False, None),
         ],
     )
-    src = t(spark, sf_dir, "orders").select(
+    # ingest trimmed to the pinned read window k <= 3000 (round 9, the
+    # q331 treatment): the CHAR fast-path encode/decode is exercised
+    # identically without packing 150k unreachable rows
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("status"),
         F.expr("substring(rpad(o_orderpriority, 8, '_'), 1, 8)").alias("clerk8"),
@@ -5114,19 +5117,19 @@ def q330_jvm_agg(spark, sf_dir):
         ).alias("cents"),
         F.col("o_custkey").alias("custkey"),
     )
+    # distributed ingest (round 9): 8 disjoint key-range fragments
+    # replace the old single-task write — the provider's metadata
+    # aggregate folds per-fragment stats, so the pushed COUNT/MIN/MAX/
+    # SUM answers are identical while the encode uses the cores
+    from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
+        NativeDecoderBackend,
+        write_array,
+    )
 
-    def part(batches):
-        parts = list(batches)
-        if parts:
-            pdf = pd.concat(parts, ignore_index=True).sort_values("k")
-            write_native_fragment(
-                uri,
-                {c: list(pdf[c]) for c in pdf.columns},
-                version=19,
-            )
-        yield pd.DataFrame({"written": [len(parts)]})
-
-    src.coalesce(1).mapInPandas(part, schema="written int").collect()
+    write_array(
+        src.repartitionByRange(8, "k"), uri,
+        backend=NativeDecoderBackend(),
+    )
     agg_reader(spark, uri).load().createOrReplaceTempView("q330_arr")
     df = spark.sql(
         "SELECT COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k, "
