@@ -1202,3 +1202,136 @@ def test_window_split_planning_prunes(spark, tmp_path):
         spark, uri, since=1500, dim_ranges={"id": (0, 700050)}
     )
     assert out2.count() == 51
+
+
+def test_vectorized_text_pack_byte_identity():
+    """The numpy S-dtype fast path in _pack_fixed and the inlined var-blob
+    builder must stay byte-identical to the per-cell reference (encode,
+    truncate-safely, NUL-pad) for every text dtype."""
+    from tiledb_mariadb_spark.sources.tiledb_native import _TEXT_CODEC
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        _pack_fixed,
+        _to_bytes_cell,
+    )
+
+    def ref_fixed(vals, dtype_id, cvn):
+        _, _code, size = __import__(
+            "tiledb_mariadb_spark.sources.tiledb_native_write",
+            fromlist=["_DT"],
+        )._DT[dtype_id]
+        cb = cvn * size
+        out = bytearray()
+        for v in vals:
+            b = _to_bytes_cell(v if v is not None else "", dtype_id)
+            assert len(b) <= cb  # identity cases only; truncation has
+            out += b.ljust(cb, b"\x00")  # its own tests (utf_exotic)
+        return bytes(out)
+
+    cases = [
+        (4, 8, ["ab", None, "", "x\x00y", "abcdefgh", "日本"]),
+        (11, 6, ["", None, "éé", "ascii6"]),
+        (12, 4, [b"ab", "cd", None, b"\x00\x01"]),
+        (13, 6, ["ab", "漢字", None, ""]),   # UTF-16-LE units
+        (14, 3, ["a\U0001F600", None, "xyz"]),  # UTF-32-LE units
+    ]
+    for dtype_id, cvn, vals in cases:
+        assert _pack_fixed(vals, dtype_id, cvn) == ref_fixed(
+            vals, dtype_id, cvn
+        ), f"dtype {dtype_id}"
+    assert _pack_fixed([], 4, 8) == b""
+
+    # var-cell blob building (the _write_field_files inline) vs the
+    # reference _to_bytes_cell, for text and binary var dtypes
+    for dtype_id in (4, 11, 12, 39, 41, 42):
+        vals = ["ab", None, "", b"raw\x00bytes", "日本語 text"]
+        if dtype_id in (39, 41):  # binary: no str cells
+            vals = [b"ab", None, b"", b"raw\x00bytes"]
+        codec = _TEXT_CODEC.get(dtype_id)
+        got = [
+            b"" if v is None
+            else v.encode(codec)
+            if codec is not None and isinstance(v, str)
+            else bytes(v)
+            for v in vals
+        ]
+        ref = [
+            b"" if v is None else _to_bytes_cell(v, dtype_id) for v in vals
+        ]
+        assert got == ref, f"var dtype {dtype_id}"
+
+
+def test_col_vals_string_fast_path_identity():
+    """NativeArrayBackend.write's vectorized object-column path returns
+    exactly what the per-cell clean() loop returns for string/bytes
+    columns (NA→None), and list-cell / all-NA columns keep the loop."""
+    import numpy as np
+    import pandas as pd
+
+    from tiledb_mariadb_spark.sources import tiledb_array as ta
+
+    captured = {}
+
+    class _Probe(ta.NativeDecoderBackend):
+        def _reg(self, uri):
+            pass
+
+    def fake_write(uri, cols, ts=None, version=19):
+        captured.update(cols)
+
+    probe = _Probe()
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(4, dtype=np.int64),
+            "s": pd.Series(["a", None, "c\x00d", "é"], dtype=object),
+            "b": pd.Series([b"x", b"", None, b"\x00"], dtype=object),
+            "m": pd.Series(
+                [np.array([1.0, 2.0]), [3.0, 4.0], (5.0, 6.0), [7.0, 8.0]],
+                dtype=object,
+            ),
+        }
+    )
+
+    import tiledb_mariadb_spark.sources.tiledb_array as mod
+
+    class FakeDim:
+        name = "k"
+
+    class A:
+        pass
+
+    attrs = []
+    for n in ("s", "b", "m"):
+        a = A()
+        a.name = n
+        attrs.append(a)
+
+    class FakeSchema:
+        dims = [FakeDim()]
+
+    FakeSchema.attrs = attrs
+
+    orig_parse = None
+    try:
+        from tiledb_mariadb_spark.sources import tiledb_native as tn
+        from tiledb_mariadb_spark.sources import (
+            tiledb_native_write as tnw,
+        )
+
+        orig_parse = tn.parse_array_schema
+        orig_spath = tn._schema_path
+        orig_write = tnw.write_native_fragment
+        tn.parse_array_schema = lambda p: FakeSchema
+        tn._schema_path = lambda u: u
+        tnw.write_native_fragment = fake_write
+        probe.write("fake://uri", pdf)
+    finally:
+        tn.parse_array_schema = orig_parse
+        tn._schema_path = orig_spath
+        tnw.write_native_fragment = orig_write
+
+    assert list(captured["s"]) == ["a", None, "c\x00d", "é"]
+    assert list(captured["b"]) == [b"x", b"", None, b"\x00"]
+    # list-like cells went through clean(): every cell is a plain list
+    assert captured["m"] == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
+    # numeric stays ndarray-native
+    assert isinstance(captured["k"], np.ndarray)

@@ -568,6 +568,21 @@ class NativeDecoderBackend(ArrayBackend):
                 return arr
             if arr.dtype.kind == "f" and not np.isnan(arr).any():
                 return arr
+            if arr.dtype.kind == "O":
+                # all-string / all-bytes columns (clean() is the identity
+                # there apart from NA→None): one vectorized isna mask
+                # instead of a per-cell pd.isna + isinstance cascade.
+                # infer_dtype returns "mixed" for list-like cells and
+                # "empty" for all-NA columns — both keep the loop below.
+                from pandas.api.types import infer_dtype  # noqa: PLC0415
+
+                if infer_dtype(s, skipna=True) in ("string", "bytes"):
+                    mask = s.isna().to_numpy()
+                    if not mask.any():
+                        return arr
+                    out = arr.copy()
+                    out[mask] = None
+                    return out
             return [clean(v) for v in s]
 
         self._reg(uri)

@@ -883,9 +883,26 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
     _, code, size = _DT[dtype_id]
     if dtype_id in (4, 11, 12, 13, 14, 15, 16):  # fixed-width text cells
         cb = cvn * size  # cvn counts CODE UNITS (2/4 bytes for UTF-16/32)
+        from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+            _TEXT_CODEC,
+        )
+
+        codec = _TEXT_CODEC[dtype_id]
+        enc = [
+            b"" if v is None
+            else v.encode(codec) if isinstance(v, str)
+            else bytes(v)
+            for v in vals
+        ]
+        if not enc or max(map(len, enc)) <= cb:
+            # no cell truncates: numpy's S-dtype zero-pads every cell to
+            # cb bytes at construction (embedded and trailing NULs are
+            # preserved) — byte-identical to the ljust loop below
+            import numpy as np  # noqa: PLC0415
+
+            return np.array(enc, dtype=f"|S{cb}").tobytes()
         out = bytearray()
-        for v in vals:
-            b = _to_bytes_cell(v if v is not None else "", dtype_id)
+        for b in enc:
             if len(b) > cb:
                 b = b[:cb]
                 # never split a multi-unit character at the truncation
@@ -1098,12 +1115,26 @@ def _write_field_files(
                 info["validity"].append(len(enc))
                 f.write(enc)
     if cvn == _VAR:
-        blobs = [
-            b"" if v is None else _to_bytes_cell(v, dtype_id)
-            if dtype_id in (4, 11, 12, 39, 41, 42)
-            else _pack_fixed(v, dtype_id, 1)
-            for v in vals
-        ]
+        if dtype_id in (4, 11, 12, 39, 41, 42):
+            # inline _to_bytes_cell: the per-cell function call + codec
+            # lookup dominated var-column packing (byte-identical)
+            from tiledb_mariadb_spark.sources.tiledb_native import (  # noqa: PLC0415
+                _TEXT_CODEC,
+            )
+
+            codec = _TEXT_CODEC.get(dtype_id)
+            blobs = [
+                b"" if v is None
+                else v.encode(codec)
+                if codec is not None and isinstance(v, str)
+                else bytes(v)
+                for v in vals
+            ]
+        else:
+            blobs = [
+                b"" if v is None else _pack_fixed(v, dtype_id, 1)
+                for v in vals
+            ]
         # vectorized global start-offsets (byte-identical to the
         # struct.pack loop: u64 little-endian exclusive prefix sum)
         import numpy as np  # noqa: PLC0415
