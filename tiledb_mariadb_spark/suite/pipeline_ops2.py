@@ -72,13 +72,10 @@ def q173_incremental_dedup(spark, sf_dir):
         "doc_id",
         "left_semi",
     )
-    # each distinct shingle frame feeds the intersection join AND its
-    # own size rollup — persist so candidate-doc shingling runs once
-    # per side, not twice
     csh = D.with_shingles(corpus_c, "doc_id", "text", k=3)
     bsh = D.with_shingles(batch_c, "doc_id", "text", k=3)
-    cdist = csh.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    bdist = bsh.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    cdist = csh.distinct()
+    bdist = bsh.distinct()
     ps = bdist.select(F.col("doc_id").alias("probe_id"), "shingle")
     ixs = cdist.select(F.col("doc_id").alias("index_id"), "shingle")
     inter = (

@@ -186,15 +186,11 @@ ORDER BY true_cnt DESC, token
 def q195_bloom_prune(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    # build feeds the word-table rollup AND the truth-side broadcast —
-    # persist so the filtered distinct over orders runs once
-    from pyspark import StorageLevel  # noqa: PLC0415
-
     build = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").cast("string").alias("k"))
         .distinct()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     words = K.bloom_build(build, "k")
     probes = c.select(
         "c_mktsegment", F.col("c_custkey").cast("string").alias("k")
