@@ -315,3 +315,74 @@ def test_lsh_params_advisor():
     assert r_high > r_low  # high precision needs sharper (more rows/band)
     with pytest.raises(ValueError):
         lsh_params(1.5)
+
+
+def test_incremental_dedup_setverify_matches_explode(spark):
+    """q173's set-based exact-Jaccard verify (collect_set +
+    array_intersect, round 9) must reproduce the original
+    explode->distinct->count formulation row for row: same candidate
+    pairs, same distinct-intersection counts, same bit-exact jaccard
+    (both divide the same int64 operands)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from tiledb_mariadb_spark.functions import dedup as D
+    from tiledb_mariadb_spark.sources.registry import load_table
+    from tiledb_mariadb_spark.suite import all_specs
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["probe_id"], r["index_id"], r["inter"], r["jaccard"])
+        for r in all_specs()["q173_incremental_dedup"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+
+    # reference: the pre-round-9 explode-based verify over the same data
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    cands = D.lsh_probe_pairs(
+        D.with_minhash_inline(corpus, "text", ["doc_id"]),
+        D.with_minhash_inline(batch, "text", ["doc_id"]),
+        "doc_id",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_c = corpus.join(
+        F.broadcast(cands.select(F.col("index_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    batch_c = batch.join(
+        F.broadcast(cands.select(F.col("probe_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    cdist = D.with_shingles(corpus_c, "doc_id", "text", k=3).distinct()
+    bdist = D.with_shingles(batch_c, "doc_id", "text", k=3).distinct()
+    ps = bdist.select(F.col("doc_id").alias("probe_id"), "shingle")
+    ixs = cdist.select(F.col("doc_id").alias("index_id"), "shingle")
+    inter = (
+        cands.join(ps, "probe_id")
+        .join(ixs, ["index_id", "shingle"])
+        .groupBy("probe_id", "index_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    pn = ps.groupBy("probe_id").agg(F.count(F.lit(1)).alias("np"))
+    cn = ixs.groupBy("index_id").agg(F.count(F.lit(1)).alias("ni"))
+    want = {
+        (r["probe_id"], r["index_id"], r["inter"], r["jaccard"])
+        for r in inter.join(pn, "probe_id")
+        .join(cn, "index_id")
+        .select(
+            "probe_id",
+            "index_id",
+            "inter",
+            (
+                F.col("inter")
+                / (F.col("np") + F.col("ni") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .collect()
+    }
+    cands.unpersist()
+    assert got == want and got

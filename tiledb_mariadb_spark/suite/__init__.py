@@ -55,6 +55,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread an UNSPLITTABLE small scan across the cores before a
+    CPU-heavy per-row stage (optimization guide §2.5: a single-row-group
+    parquet file cannot split at the source, so everything up to the
+    first exchange runs on one task no matter how many cores exist).
+
+    Gated on the scan's *observed* parallelism: when the input already
+    yields >= defaultParallelism partitions (any real-scale table), this
+    is a no-op and adds no exchange.  The repartition hashes on the
+    given unique key columns — deterministic under task retry, unlike
+    round-robin (SPARK-38388) — and every suite consumer is
+    partition-count-independent by construction (the same queries pass
+    the oracle under local[8]/200-partition driver sessions)."""
+    sc = df.sparkSession.sparkContext
+    cpus = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= cpus:
+        return df
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return df.repartition(cpus, *[F.col(c) for c in key_cols])
+
+
 def dsum(col, k: int = 2):
     """Deterministic double-valued SUM via scaled-BIGINT accumulation.
 

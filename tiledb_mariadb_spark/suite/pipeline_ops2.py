@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from tiledb_mariadb_spark.functions import dedup as D
 from tiledb_mariadb_spark.functions import similarity as S
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, spread, t
 from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 # --- q173: incremental dedup — probe a new batch against the corpus --------
@@ -43,7 +43,12 @@ from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 
 def q173_incremental_dedup(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the bench fixture is a single-row-group parquet file, so the
+    # md5-per-shingle MinHash stage below would run on ONE task (guide
+    # §2.5 unsplittable input) — spread it; no-op on real-scale inputs
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
     # signatures in-row (zero shuffle) — bit-identical to the groupBy path
@@ -58,44 +63,71 @@ def q173_incremental_dedup(spark, sf_dir):
 
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     # verify cost must scale with the CANDIDATE set, not the corpus:
-    # shingle + distinct only the docs that appear in a candidate pair
-    # (broadcast semi-joins — the candidate id sets are band-collision
-    # sized).  Without this, the exact-Jaccard verify shuffles every
-    # corpus shingle to check a handful of pairs.
-    corpus_c = corpus.join(
-        F.broadcast(cands.select(F.col("index_id").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
+    # shingle only the docs that appear in a candidate pair (broadcast
+    # semi-join — the candidate id set is band-collision sized).
+    # Without this, the exact-Jaccard verify shuffles every corpus
+    # shingle to check a handful of pairs.
+    #
+    # The exact-Jaccard verify carries each candidate doc's DISTINCT
+    # shingle SET through the pair join (collect_set + array_intersect)
+    # instead of exploding shingles into three aggregations and four
+    # joins: |sp ∩ si| over distinct sets is exactly the old
+    # "count shared distinct shingles" inner-join, size(sp)/size(si)
+    # are exactly the old per-doc distinct counts, and pairs with an
+    # empty intersection drop out (filter >= 1) exactly as the old
+    # inner join on the shingle column dropped them.  Equivalence is
+    # pinned by tests/test_pipeline_fns.py::
+    # test_incremental_dedup_setverify_matches_explode and the DuckDB
+    # oracle (Q173_SQL, unchanged).  One aggregation + broadcast joins:
+    # the shingle frames stay candidate-bounded, and the plan drops
+    # from 24 Exchanges to a handful.
+    ids = (
+        cands.select(F.col("index_id").alias("doc_id"))
+        .union(cands.select(F.col("probe_id").alias("doc_id")))
+        .distinct()
     )
-    batch_c = batch.join(
-        F.broadcast(cands.select(F.col("probe_id").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
+    sets = (
+        D.with_shingles(
+            d.join(F.broadcast(ids), "doc_id", "left_semi"),
+            "doc_id",
+            "text",
+            k=3,
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
-    csh = D.with_shingles(corpus_c, "doc_id", "text", k=3)
-    bsh = D.with_shingles(batch_c, "doc_id", "text", k=3)
-    cdist = csh.distinct()
-    bdist = bsh.distinct()
-    ps = bdist.select(F.col("doc_id").alias("probe_id"), "shingle")
-    ixs = cdist.select(F.col("doc_id").alias("index_id"), "shingle")
-    inter = (
-        cands.join(ps, "probe_id")
-        .join(ixs, ["index_id", "shingle"])
-        .groupBy("probe_id", "index_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    pn = ps.groupBy("probe_id").agg(F.count(F.lit(1)).alias("np"))
-    cn = ixs.groupBy("index_id").agg(F.count(F.lit(1)).alias("ni"))
     return (
-        inter.join(pn, "probe_id")
-        .join(cn, "index_id")
+        cands.join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("probe_id"), F.col("sh").alias("sp")
+                )
+            ),
+            "probe_id",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("index_id"), F.col("sh").alias("si")
+                )
+            ),
+            "index_id",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sp", "si")).cast("long")
+        )
+        .filter(F.col("inter") >= 1)
         .select(
             "probe_id",
             "index_id",
             "inter",
             (
                 F.col("inter")
-                / (F.col("np") + F.col("ni") - F.col("inter")).cast("double")
+                / (
+                    F.size("sp").cast("long")
+                    + F.size("si").cast("long")
+                    - F.col("inter")
+                ).cast("double")
             ).alias("jaccard"),
         )
     )
