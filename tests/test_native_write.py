@@ -1260,6 +1260,64 @@ def test_vectorized_text_pack_byte_identity():
         assert got == ref, f"var dtype {dtype_id}"
 
 
+def test_vectorized_multivalue_pack_byte_identity():
+    """The vectorized cvn>1 pack (2-D ndarray / cast-free list input)
+    must stay byte-identical to the per-cell flatten + struct reference
+    for every numeric dtype, and keep the exact packer's error contract
+    (ragged cells, non-integral floats into integer dtypes)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        _DT,
+        _pack_fixed,
+    )
+
+    def ref(vals, dtype_id, cvn):
+        _, code, _size = _DT[dtype_id]
+        flat = []
+        for v in vals:
+            cell = list(v) if v is not None else [0] * cvn
+            assert len(cell) == cvn
+            flat.extend(cell)
+        flat = (
+            [float(x) for x in flat]
+            if code in ("f", "d")
+            else [int(x) for x in flat]
+        )
+        return struct.pack(f"<{len(flat)}{code}", *flat)
+
+    rng = np.random.default_rng(11)
+    f32 = rng.standard_normal((200, 64)).astype(np.float32)
+    cases = [
+        (2, 64, f32),                                  # ndarray float32
+        (2, 64, [list(map(float, r)) for r in f32]),   # f32-repr lists
+        (2, 64, [np.asarray(r) for r in f32]),         # ndarray rows
+        (3, 8, [[float(x) for x in r] for r in
+                rng.standard_normal((100, 8))]),       # cast-free f64
+        (1, 4, rng.integers(-(2**62), 2**62, (100, 4))),  # ndarray i64
+        (1, 4, [[int(x) for x in r] for r in
+                rng.integers(-(2**62), 2**62, (100, 4))]),
+        (9, 3, [[float(x) for x in r] for r in
+                rng.integers(0, 100, (50, 3))]),       # int-float → u32
+        (1, 2, [[1, 2], [3, 4], None]),                # None cell → loop
+        (2, 64, []),                                   # empty
+    ]
+    for dtype_id, cvn, vals in cases:
+        assert _pack_fixed(vals, dtype_id, cvn) == ref(
+            vals, dtype_id, cvn
+        ), f"dtype {dtype_id} cvn {cvn} {type(vals).__name__}"
+    with pytest.raises(ValueError, match="cell has 2 values"):
+        _pack_fixed([[1, 2, 3], [1, 2]], 1, 3)
+    with pytest.raises(ValueError):
+        _pack_fixed([[1.5, 2.0]], 1, 2)  # non-integral float into int
+    with pytest.raises(ValueError, match="lossy"):
+        # ndarray input keeps the scalar tier's loud-lossy contract
+        _pack_fixed(np.asarray([[1.5, 2.0]]), 1, 2)
+
+
 def test_col_vals_string_fast_path_identity():
     """NativeArrayBackend.write's vectorized object-column path returns
     exactly what the per-cell clean() loop returns for string/bytes

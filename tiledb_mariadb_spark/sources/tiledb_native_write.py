@@ -958,6 +958,57 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
                 return arr.tobytes()
         except (OverflowError, TypeError):
             pass
+    if cvn != 1 and code != "c":
+        # vectorized multi-value pack (vector/embedding cells): one 2-D
+        # numpy cast replaces the per-cell flatten + struct loop.  Same
+        # guard discipline as the scalar tier above — the round-trip
+        # check turns silently-lossy casts into a loud ValueError, and
+        # anything exotic (None cells, ragged rows, object dtype) falls
+        # through to the exact python packer, which also owns the
+        # per-cell length error message.  MEASURED gate: a 2-D ndarray
+        # packs 13x faster; a python list-of-lists only pays when
+        # asarray lands on the target dtype already (no cast, no verify
+        # pass) — asarray+cast+round-trip on nested lists times SLOWER
+        # than the struct loop, so that shape keeps the exact packer.
+        import numpy as np  # noqa: PLC0415
+
+        src = None
+        if isinstance(vals, np.ndarray):
+            src = vals if vals.ndim == 2 else None
+        else:
+            try:
+                # O(cvn) first-cell probe before the O(n*cvn) asarray:
+                # a list whose promoted dtype won't land on the target
+                # skips conversion entirely instead of paying for it
+                if len(vals) and np.asarray(vals[0]).dtype == np.dtype(
+                    "<" + code
+                ) and not any(v is None for v in vals):
+                    a = np.asarray(vals)
+                    if a.ndim == 2 and a.dtype == np.dtype("<" + code):
+                        src = a
+            except (OverflowError, ValueError, TypeError):
+                src = None
+        if (
+            src is not None
+            and src.ndim == 2
+            and src.shape[1] == cvn
+            and len(src) == len(vals)
+            and src.dtype.kind in "iuf"
+        ):
+            try:
+                arr = np.ascontiguousarray(src, dtype="<" + code)
+            except (OverflowError, TypeError):
+                arr = None
+            if arr is not None:
+                if arr.dtype != src.dtype and not np.array_equal(
+                    arr.astype(src.dtype), src
+                ):
+                    raise ValueError(
+                        f"lossy cast packing {src.dtype} values into "
+                        f"dtype code {code!r} (non-integral float or "
+                        "out-of-range integer)"
+                    )
+                return arr.tobytes()
     flat = []
     for v in vals:
         if cvn != 1:

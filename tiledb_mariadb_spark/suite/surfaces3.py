@@ -2602,6 +2602,7 @@ def q305_native_vector_store(spark, sf_dir):
     src = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
 
     def write_part(batches):
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
         from pyspark import TaskContext  # noqa: PLC0415
 
@@ -2612,7 +2613,14 @@ def q305_native_vector_store(spark, sf_dir):
                 uri,
                 {
                     "vec_id": pdf["vec_id"].tolist(),
-                    "emb": [list(map(float, v)) for v in pdf["embedding"]],
+                    # 2-D float32 block, handed to the writer's
+                    # vectorized multi-value pack whole — byte-identical
+                    # to the old per-row list-of-python-floats (f32 ->
+                    # f64 -> struct 'f' is an identity round trip), no
+                    # per-cell conversion at any size
+                    "emb": np.stack(pdf["embedding"].to_numpy()).astype(
+                        np.float32, copy=False
+                    ),
                     "label": pdf["label"].tolist(),
                 },
                 ts=1000 + TaskContext.get().partitionId(),
