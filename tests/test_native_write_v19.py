@@ -185,6 +185,30 @@ def test_v19_empty_fragment(tmp_path):
     assert st_["v"] == {"sum": 0} and "min" not in st_["f"]
 
 
+def test_v19_fragment_float_sum_crosses_tile_boundaries(tmp_path):
+    """Fragment-level float sum must be ONE sequential pass over the
+    cells, not sum(per-tile sums): with capacity 3 the tiny value lands
+    in the last tile and `tiny + 64` rounds at 64's ulp before the
+    cross-tile combine re-rounds — one ulp off the reader's full-scan
+    recompute (hypothesis-found falsifying example, pinned)."""
+    d = str(tmp_path / "arr")
+    create_native_array(
+        d,
+        dims=[NativeDim("k", 1, 1, (0, 500), None)],
+        attrs=[NativeAttr("f", 3, 1, False, None)],
+        capacity=3,
+    )
+    fs = [32.0, 0.0, 0.0, 0.0, 0.0, 0.0, 2.559884942909818e-11, 64.0]
+    write_native_fragment(
+        d, {"k": list(range(8)), "f": fs}, ts=1000, version=19
+    )
+    _s, rows = read_native_array(d)
+    acc = 0.0
+    for r in rows:
+        acc += r[1]
+    assert attr_stats_native_array(d)["f"]["sum"] == acc
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     data=st.lists(

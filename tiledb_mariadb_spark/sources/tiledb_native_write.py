@@ -2480,6 +2480,24 @@ def _gtile_bytes(
     )
 
 
+def _seq_float_sum(vals) -> float:
+    """Sequential float64 accumulation in cell order (np.cumsum is a
+    strict running sum, so its last element is bit-identical to the
+    python loop — used when the column coerces cleanly)."""
+    try:
+        import numpy as np  # noqa: PLC0415
+
+        arr = np.asarray(vals)
+        if arr.dtype.kind in "iuf":
+            return float(np.cumsum(arr, dtype=np.float64)[-1])
+    except (ImportError, TypeError, ValueError):
+        pass
+    acc = 0.0
+    for v in vals:
+        acc += float(v)
+    return acc
+
+
 def _field_tile_stats(field, vals, slices):
     """Per-tile (mins, maxs, sums, null_counts) with None for whatever
     the engine rules don't compute: only fixed single-value non-string
@@ -2762,9 +2780,15 @@ def _write_fragment_metadata_v19(
             fm += b"\x00" * 8
         else:
             dtype_id = fields[nm].dtype_id
-            total = (
-                sum(sums) if dtype_id not in (2, 3) else float(sum(sums))
-            )
+            if dtype_id in (2, 3):
+                # one float64 pass over the WHOLE column in cell order:
+                # sum(per-tile sums) re-rounds at every tile boundary
+                # and can land a ulp away from the reader's full-scan
+                # sequential recompute (the exactness contract pinned
+                # by test_v19_stats_fuzz_match_recompute)
+                total = _seq_float_sum(columns.get(nm, []))
+            else:
+                total = sum(sums)
             fm += _pack_sum(dtype_id, total)
         fm += struct.pack("<Q", sum(stats[nm][3] or [0]))
     fmmsn_off = add(fm)
