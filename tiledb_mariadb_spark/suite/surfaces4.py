@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, t
 
 SPECS: list[QuerySpec] = []
 
@@ -349,7 +349,8 @@ def q340_bucketed_rollup(spark, sf_dir):
         raise AssertionError("bucketed metadata rollup not provable")
     if res["audit"]["tiles_contained"] == 0:
         raise AssertionError(f"metadata path did not engage: {res['audit']}")
-    meta = spark.createDataFrame(
+    meta = ldf(
+        spark,
         [
             ("meta", int(b), ent["count"], int(ent["fields"]["cents"]["sum"]),
              int(ent["fields"]["cents"]["min"]),
@@ -578,7 +579,8 @@ def q343_grid_rollup(spark, sf_dir):
                           fields=["cents"])
     if res is None:
         raise AssertionError("grid rollup not provable from metadata")
-    meta = spark.createDataFrame(
+    meta = ldf(
+        spark,
         [
             ("meta", int(b[0]), int(b[1]), ent["count"],
              int(ent["fields"]["cents"]["sum"]),
@@ -1086,8 +1088,11 @@ def q346_merge_into(spark, sf_dir):
         when_matched="update", when_not_matched="skip", ts=3000,
         target_splits=8, on_source_dups="allow",
     )
-    state = read_array(spark, uri, target_splits=8).filter(
-        F.col("k") < 2000
+    # final-state read confined to the k<2000 window it returns:
+    # dim_ranges prunes splits on the driver and each task decodes only
+    # its subarray — the unpushed .filter() decoded all ~N rows first
+    state = read_array(
+        spark, uri, dim_ranges={"k": (0, 1999)}, target_splits=8
     )
     return state.select(
         "k", "cents",
