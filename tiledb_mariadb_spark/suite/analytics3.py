@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tiledb_mariadb_spark.suite import QuerySpec, dsum, dsum_sql, t
+from tiledb_mariadb_spark.suite import QuerySpec, dsum, dsum_sql, ldf, t
 
 # --- q202: hourly resample + LOCF + linear interpolation -------------------
 _RS_USERS = 8
@@ -146,7 +146,7 @@ def q203_spatial_knn(spark, sf_dir):
             "cy": F.expr(f"yi div {_CELL * 10}"),
         }
     )
-    q = spark.createDataFrame(_QUERIES, "qid long, qx long, qy long")
+    q = ldf(spark, _QUERIES, "qid long, qx long, qy long")
     neigh = q.select(
         "qid",
         "qx",

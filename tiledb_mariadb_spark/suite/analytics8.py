@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, t
 
 # --- q241: time-bounded funnel ---------------------------------------------
 _FUNNEL_HORIZON = 3600
@@ -163,7 +163,7 @@ def q243_describe_history(spark, sf_dir):
     tt.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
     tt.write(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
     tt.apply_changes(
-        spark.createDataFrame([(1, None, "delete")], "k int, v string, __op string")
+        ldf(spark, [(1, None, "delete")], "k int, v string, __op string")
     )
     return tt.history()
 
@@ -392,7 +392,7 @@ def q247_khop_reachability(spark, sf_dir):
     from pyspark import StorageLevel  # noqa: PLC0415
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    visited = spark.createDataFrame(
+    visited = ldf(spark,
         [(_KHOP_SRC, 0)], "node bigint, hop int"
     )
     frontier = visited.select("node")

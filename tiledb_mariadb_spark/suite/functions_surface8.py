@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, t
 
 # --- q233: explicit NULLS FIRST / NULLS LAST -------------------------------
 _NULLS_K = 40
@@ -115,7 +115,7 @@ def q246_null_safe_join(spark, sf_dir):
         F.expr("nullif(o_orderstatus, 'O')").alias("k"),
         "o_totalprice",
     )
-    dim = spark.createDataFrame(
+    dim = ldf(spark,
         [("F", "finished"), ("P", "pending"), (None, "open")],
         "k string, label string",
     )

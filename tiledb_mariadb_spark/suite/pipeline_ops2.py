@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from tiledb_mariadb_spark.functions import dedup as D
 from tiledb_mariadb_spark.functions import similarity as S
-from tiledb_mariadb_spark.suite import QuerySpec, spread, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, spread, t
 from tiledb_mariadb_spark.suite.scratch import tag as _scratch_tag
 
 # --- q173: incremental dedup — probe a new batch against the corpus --------
@@ -604,7 +604,7 @@ def q271_ivf_delete(spark, sf_dir):
     ]
     # materialize BEFORE compaction deletes the sidecar files this lazy
     # plan references (k rows — driver-side by design)
-    tombstoned = spark.createDataFrame(
+    tombstoned = ldf(spark,
         ivf.ivf_search(
             ivf.live_ivf_index(spark, path), cents, qvec, "embedding",
             "vec_id", k=10, nprobe=len(cents),
@@ -812,7 +812,7 @@ def q300_dedup_funnel(spark, sf_dir):
         .agg(F.sum("doc_id"))
         .collect()[0][0]
     )
-    return spark.createDataFrame(
+    return ldf(spark,
         [
             ("survivor_idsum", int(idsum)),
             ("survivors", int(n_s1 - n_d2)),

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import functions as F
 
 from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, t
 
 TMP_ROOT = "/root/repo/.tmp/tile_tables"
 
@@ -123,7 +123,7 @@ def q82_discovery(spark, sf_dir):
         if "`o_orderpriority`" in ln or "`o_token`" in ln
     ]
     rows = [(i + 1, line) for i, line in enumerate(lines + sorted(enum_lines))]
-    return spark.createDataFrame(rows, schema="line_no long, line string")
+    return ldf(spark, rows, schema="line_no long, line string")
 
 
 _Q82_EXPECTED = [
@@ -206,7 +206,7 @@ def q84_dense_fill(spark, sf_dir):
         array_type="DENSE",
         overwrite=True,
     )
-    cells = spark.createDataFrame(_DENSE_CELLS, schema="rows int, cols int, a int")
+    cells = ldf(spark, _DENSE_CELLS, schema="rows int, cols int, a int")
     tt.write(cells, version_ts=1000)
     return tt.read(fill=True)
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tiledb_mariadb_spark.catalog import Attr, Dim, TileTable
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, t
 from tiledb_mariadb_spark.suite.surfaces import _uri
 
 
@@ -80,7 +80,7 @@ def q163_table_stats(spark, sf_dir):
     tt = _orders_two_versions(spark, sf_dir, "stats_orders")
     est = tt.est_records()
     exact = tt.read().count()
-    return spark.createDataFrame(
+    return ldf(spark,
         [(est, exact)], schema="est_ub bigint, exact_records bigint"
     )
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tiledb_mariadb_spark.suite import QuerySpec, t
+from tiledb_mariadb_spark.suite import QuerySpec, ldf, t
 
 # --- q210: sentence splitting ----------------------------------------------
 _SENT_DOCS = 100
@@ -283,7 +283,7 @@ def q258_reference_fixture(spark, sf_dir):
     sparse_rows = read_sparse_array(
         f"{_FIXTURES}/quickstart_sparse", 2, "int32", {"a": "int32"}
     )
-    sparse = spark.createDataFrame(
+    sparse = ldf(spark,
         [("sparse",) + t_ for t_ in sparse_rows],
         "src string, r int, c int, a int",
     )
@@ -579,8 +579,8 @@ def q264_uri_suffixes(spark, sf_dir):
         attributes=[Attr("v", "bigint")],
         overwrite=True,
     )
-    tt.write(spark.createDataFrame([(1, 10), (2, 20)], "k int, v bigint"))
-    tt.write(spark.createDataFrame([(2, 200), (3, 30)], "k int, v bigint"))
+    tt.write(ldf(spark, [(1, 10), (2, 20)], "k int, v bigint"))
+    tt.write(ldf(spark, [(2, 200), (3, 30)], "k int, v bigint"))
     tt.set_metadata("owner", "mtr")
     snap1 = open_uri(spark, f"{uri}@1").select(
         F.lit("v1").alias("part"),
@@ -646,7 +646,7 @@ def q265_native_fixtures(spark, sf_dir):
         )
     for k, v in read_array_metadata(f"{_FIXROOT}/1.7/metadata_array").items():
         rows.append(("metadata", k, v))
-    return spark.createDataFrame(
+    return ldf(spark,
         rows, "part string, k string, v string"
     ).orderBy("part", "k")
 
@@ -688,7 +688,7 @@ def q266_native_var_pipeline(spark, sf_dir):
         F.col("first_id").alias("v"),
     )
     _, mrows = read_native_array(f"{_FIXROOT}/multi_attribute")
-    multi = spark.createDataFrame(
+    multi = ldf(spark,
         [("multi", str(a3[0]), str(a3[1])) for _r, _c, _a2, a3, _a4 in mrows],
         "part string, k string, v string",
     )
@@ -973,7 +973,7 @@ def q283_native_datetimes(spark, sf_dir):
                 (int(rid), a.name, datetime_ticks_to_string(a.dtype_id, tick))
             )
     return (
-        spark.createDataFrame(out, "id bigint, col string, rendered string")
+        ldf(spark, out, "id bigint, col string, rendered string")
         .orderBy("id", "col")
     )
 
@@ -1424,7 +1424,7 @@ def q292_native_count(spark, sf_dir):
     bad = [k for k, v in counts.items() if v is None]
     if bad:  # metadata path failed — fail loudly, never silently decode
         raise AssertionError(f"footer count not provable for {bad}")
-    return spark.createDataFrame(
+    return ldf(spark,
         sorted(counts.items()), "phase string, n long"
     )
 
@@ -1510,7 +1510,7 @@ def q293_native_metadata(spark, sf_dir):
         ts=200,
     )
     meta = read_array_metadata(d)
-    return spark.createDataFrame(
+    return ldf(spark,
         sorted(meta.items()), "key string, value string"
     )
 
@@ -2045,7 +2045,7 @@ def q298_native_lifecycle(spark, sf_dir):
     aggs = arr.agg(
         F.sum("cents").alias("sum_cents"), F.sum("flag").alias("sum_flag")
     ).collect()[0]
-    return spark.createDataFrame(
+    return ldf(spark,
         sorted(
             {
                 "n_rows": int(n_meta),
@@ -2151,7 +2151,7 @@ def q299_native_estimate(spark, sf_dir):
         if est is None:
             raise AssertionError(f"estimate not metadata-provable: {label}")
         out.append((label, int(est)))
-    return spark.createDataFrame(out, "rng string, est long")
+    return ldf(spark, out, "rng string, est long")
 
 
 Q299_SQL = f"""
@@ -2279,7 +2279,7 @@ def q301_native_deletes(spark, sf_dir):
         raise AssertionError("post-vacuum count must be footer-provable")
     _s, final_rows = read_native_array(uri)
     sum_final = sum(r[1] for r in final_rows)
-    return spark.createDataFrame(
+    return ldf(spark,
         sorted(
             {
                 "n_pre": int(n_pre),
@@ -2353,7 +2353,7 @@ def q302_native_attr_stats(spark, sf_dir):
                   "no_of_m_reads", "soma_joinid"):
         for stat, val in sorted(st.get(field, {}).items()):
             meta_rows.append(("meta", field, stat, float(val)))
-    meta = spark.createDataFrame(
+    meta = ldf(spark,
         meta_rows, "src string, field string, stat string, value double"
     )
 
@@ -2493,7 +2493,7 @@ def q304_native_bio_scan(spark, sf_dir):
     n = count_native_array(uri)
     if st is None or n is None:
         raise AssertionError("v21 metadata stats not provable")
-    meta = spark.createDataFrame(
+    meta = ldf(spark,
         [
             ("meta", "count", int(n)),
             ("meta", "gs_min", int(st["gene_symbol"]["min"])),
@@ -2649,7 +2649,7 @@ def q305_native_vector_store(spark, sf_dir):
         F.col("vec_id").cast("long").alias("k"),
         F.col("cos").cast("double").alias("v"),
     )
-    meta = spark.createDataFrame(
+    meta = ldf(spark,
         [("stored", int(n or -1), 0.0)], "part string, k long, v double"
     )
     return meta.unionByName(topk).orderBy("part", "k")
@@ -2748,7 +2748,7 @@ def q306_soma_matrix(spark, sf_dir):
         (s, min(s + step, n_cells)) for s in range(0, n_cells, step)
     ]
     filters = schema.dims[0].filters
-    win_df = spark.createDataFrame(windows, "lo long, hi long").repartition(
+    win_df = ldf(spark, windows, "lo long, hi long").repartition(
         len(windows)
     )
 
@@ -2793,7 +2793,7 @@ def q306_soma_matrix(spark, sf_dir):
         meta.append(("honesty", "missing_files_raise", 0))
     except FileNotFoundError:
         meta.append(("honesty", "missing_files_raise", 1))
-    return spark.createDataFrame(
+    return ldf(spark,
         sorted(meta), "part string, k string, v long"
     )
 
@@ -2914,7 +2914,7 @@ def q307_native_v19_stats(spark, sf_dir):
     rows = stat_rows("full", full, count_native_array(uri)) + stat_rows(
         "tt_first", first, count_native_array(uri, at=1500)
     )
-    return spark.createDataFrame(
+    return ldf(spark,
         sorted(rows), "part string, k string, v long"
     )
 
@@ -4420,7 +4420,7 @@ def q322_metadata_consolidation(spark, sf_dir):
         if not f.endswith(".vac")
     ]
     return (
-        spark.createDataFrame(
+        ldf(spark,
             sorted(after.items()), "key string, value string"
         )
         .withColumn("pre_vacuum_stable", F.lit(mid_same))
@@ -5361,7 +5361,7 @@ def q332_native_discovery(spark, sf_dir):
                  native_filters_to_csv(schema.validity_filters)))
     rows.append(("corpus", "__ddl_mentions_pk", "check",
                  str("PRIMARY KEY (`doc_id`)" in ddl).lower()))
-    return spark.createDataFrame(
+    return ldf(spark,
         rows, "table_name string, column_name string, kind string,"
         " pipeline string"
     ).orderBy("column_name")
@@ -5481,7 +5481,7 @@ def q333_bloom_prune(spark, sf_dir):
         rows.append((nk, hit[0]["doc"], int(hit[0]["cents"]),
                      len(hit), str(kept * 2 <= len(census)).lower(),
                      len(census)))
-    return spark.createDataFrame(
+    return ldf(spark,
         rows,
         "k long, doc string, cents long, n_rows long, pruned string,"
         " frags_total long",
@@ -5615,7 +5615,7 @@ def q334_condition_planner(spark, sf_dir):
             (needle, int(agg["n"]), int(agg["s"]),
              kept, len(census) - kept)
         )
-    return spark.createDataFrame(
+    return ldf(spark,
         rows,
         "needle long, n_rows long, sum_cents long, kept_frags long,"
         " skipped_frags long",
@@ -5748,7 +5748,7 @@ def q335_fragment_meta(spark, sf_dir):
             int(st["cents"]["min"]), int(st["cents"]["max"]),
             int(st["cents"]["sum"]),
         ))
-    return spark.createDataFrame(
+    return ldf(spark,
         rows,
         "bucket long, cells long, min_k long, max_k long,"
         " min_cents long, max_cents long, sum_cents long",
@@ -5874,7 +5874,7 @@ def q337_maintenance_loop(spark, sf_dir):
         ("maintenance", n_runs * 1000 + n_new, 0, frags),
         ("window", win_n, win_s, frags),
     ]
-    return spark.createDataFrame(
+    return ldf(spark,
         rows, "phase string, n_rows long, sum_cents long, frags long"
     ).orderBy("phase")
 

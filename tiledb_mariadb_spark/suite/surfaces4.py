@@ -84,7 +84,7 @@ def q338_windowed_agg(spark, sf_dir):
         s = res["fields"][fname]
         for stat in ("count", "sum", "min", "max"):
             meta_rows.append(("meta", fname, stat, float(s[stat])))
-    meta = spark.createDataFrame(
+    meta = ldf(spark,
         meta_rows, "src string, field string, stat string, value double"
     )
 
@@ -721,7 +721,7 @@ def q341_bucket_refresh(spark, sf_dir):
                 cur[1] += s["sum"]
                 cur[2] = min(cur[2], s["min"])
                 cur[3] = max(cur[3], s["max"])
-    return spark.createDataFrame(
+    return ldf(spark,
         [(int(b), v[0], int(v[1]), int(v[2]), int(v[3]))
          for b, v in sorted(folded.items())],
         "bucket long, rows long, c_sum long, c_min long, c_max long",
@@ -1326,6 +1326,12 @@ def q348_cdc_capstone(spark, sf_dir):
         F.sum(F.when(F.col("change") == "changed", 1).otherwise(0))
         .alias("n_changed"),
     )
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # persisted: the invariant check below and the returned collect are
+    # two actions over this frame — without it the base scan + diff
+    # scan + join recompute for each (the frame itself is ~N/1000
+    # bucket rows, tiny relative to its subtree)
     folded = (
         base.join(delta, "bucket", "full")
         .select(
@@ -1339,6 +1345,7 @@ def q348_cdc_capstone(spark, sf_dir):
             F.coalesce("n_added", F.lit(0)).alias("n_added"),
             F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # the invariant: folded == from-scratch over the new snapshot
     scratch = (
@@ -1842,7 +1849,7 @@ def q353_dense_rollup(spark, sf_dir):
         for r in scan
     )
     matched = scan_rows == out
-    df = spark.createDataFrame(
+    df = ldf(spark,
         out,
         "bucket long, days long, sum_cnt long, sum_cents long, "
         "min_cnt long, max_cnt long",
@@ -2102,7 +2109,7 @@ def q359_dense_patch_rollup(spark, sf_dir):
         for r in scan
     )
     matched = scan_rows == out
-    df = spark.createDataFrame(
+    df = ldf(spark,
         out,
         "bucket long, days long, sum_cnt long, sum_cents long, "
         "min_cnt long, max_cnt long",
