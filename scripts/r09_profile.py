@@ -30,6 +30,24 @@ def main() -> None:
     specs = all_specs()
     # warm the JVM + parquet footers like bench.py does
     specs["q01_pricing_summary"].spark(spark, sf_dir).collect()
+
+    # warm the python worker pool like bench.py does (one wave of 2
+    # tasks per core importing pandas/numpy + the native codec stack),
+    # so rep-1 numbers aren't inflated by cold-worker imports
+    def _warm_worker(batches):
+        import numpy  # noqa: F401, PLC0415
+        import pandas  # noqa: F401, PLC0415
+
+        import tiledb_mariadb_spark.sources.tiledb_array  # noqa: F401, PLC0415
+        import tiledb_mariadb_spark.sources.tiledb_native  # noqa: F401, PLC0415
+        import tiledb_mariadb_spark.sources.tiledb_native_write  # noqa: F401, PLC0415
+
+        yield from batches
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 2, numPartitions=cpus * 2).mapInPandas(
+        _warm_worker, schema="id long"
+    ).collect()
     for name in args.queries:
         spec = specs[name]
         times = []

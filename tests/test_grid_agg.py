@@ -166,3 +166,66 @@ def test_trust_rules_and_validation(tmp_path):
         grid_agg_native(uri2, {"x": 0})
     with pytest.raises(ValueError, match="at least one"):
         grid_agg_native(uri2, {})
+
+
+def test_vectorized_run_fold_matches_loop(tmp_path):
+    """The numpy run-fold (r9: _decode_run_vec) must be value- and
+    audit-identical to the exact per-tile loop.  fields=['v'] engages
+    the vectorized path (pure-int straddlers); fields=['v','w'] refuses
+    it (w carries Nones) and replays the same tiles through the loop —
+    the 'v' results of both calls must match bit for bit, and both must
+    match brute force."""
+    rng = random.Random(77)
+    uri = _mk(tmp_path, capacity=50)
+    # scattered points: with wx=wy=13 nearly every tile straddles
+    cells = sorted({(rng.randrange(0, 900), rng.randrange(0, 900))
+                    for _ in range(2000)})
+    _write_cells(uri, cells, seed=9)
+    vec = grid_agg_native(uri, {"x": 13, "y": 13}, fields=["v"])
+    loop = grid_agg_native(uri, {"x": 13, "y": 13}, fields=["v", "w"])
+    assert vec is not None and loop is not None
+    assert vec["audit"]["tiles_partial"] > 0  # straddlers exist
+    assert sorted(vec["buckets"]) == sorted(loop["buckets"])
+    for b, got in vec["buckets"].items():
+        other = loop["buckets"][b]
+        assert got["count"] == other["count"], b
+        assert got["fields"]["v"] == other["fields"]["v"], b
+    exp = _expected(uri, 13, 13, "v")
+    for b, e in exp.items():
+        s = vec["buckets"][b]["fields"]["v"]
+        assert vec["buckets"][b]["count"] == e["rows"]
+        assert s["sum"] == sum(e["vals"])
+        assert s["min"] == min(e["vals"])
+        assert s["max"] == max(e["vals"])
+
+
+def test_vectorized_run_fold_overflow_refusal(tmp_path):
+    """Values big enough that an int64 group sum could overflow must be
+    refused by the vectorized gate and still fold exactly through the
+    python-int loop."""
+    uri = str(tmp_path / "big")
+    create_native_array(
+        uri,
+        dims=[
+            NativeDim("x", 1, 1, (0, 10**6), None),
+            NativeDim("y", 1, 1, (0, 10**6), None),
+        ],
+        attrs=[NativeAttr("v", 1, 1, False, None)],
+        capacity=4,
+    )
+    big = 2**62 - 1
+    write_native_fragment(
+        uri,
+        {
+            "x": [0, 1, 2, 3, 4, 5, 6, 7],
+            "y": [0, 1, 2, 3, 4, 5, 6, 7],
+            "v": [big, big, big, big, -big, big, big, big],
+        },
+        version=19,
+    )
+    res = grid_agg_native(uri, {"x": 3, "y": 3}, fields=["v"])
+    assert res is not None
+    # bucket (0,0) holds x,y in {0,1,2}: sum = 3*big > int64 max
+    assert res["buckets"][(0, 0)]["fields"]["v"]["sum"] == 3 * big
+    assert res["buckets"][(1, 1)]["fields"]["v"]["sum"] == big
+    assert res["buckets"][(1, 1)]["fields"]["v"]["min"] == -big

@@ -561,6 +561,90 @@ def grid_agg_native(
                     except TypeError:
                         acc["minmax_ok"] = False
 
+    def _decode_run_vec(frag, k_lo, k_hi, cap, n_cells):
+        """Vectorized decode+bin of tiles [k_lo, k_hi) — one span read
+        per field, numpy lexsort+reduceat per-bucket fold.  Engages only
+        for the unmasked all-int shape (no ranges; every gridded dim
+        and requested field decodes to an integer ndarray with no None,
+        enum label, or multi-value cell) and only when the int64 group
+        sums provably cannot overflow; anything else returns False and
+        the caller runs the exact per-tile python loop.  For the shapes
+        it accepts the fold is value-identical to that loop: integer
+        sums/min/max are order-independent, and cross-run accumulation
+        still happens in arbitrary-precision python ints."""
+        import numpy as np  # noqa: PLC0415
+
+        lo_c, hi_c = k_lo * cap, min(k_hi * cap, n_cells)
+        n = hi_c - lo_c
+        if n <= 0:
+            return True
+        comps = []
+        dim_arr: dict = {}
+        for i, d, w in gridded:
+            try:
+                arr = np.asarray(
+                    _read_field_span(
+                        frag, schema, d, i, "d", lo_c, hi_c, n_cells
+                    )
+                )
+            except OverflowError:
+                return False
+            if arr.dtype.kind not in "iu" or arr.shape != (n,):
+                return False
+            dim_arr[d.name] = arr
+            # int64 floor division matches python // for any sign
+            comps.append(arr.astype(np.int64, copy=False) // w)
+        fld_arr: dict = {}
+        for f in fields:
+            kind, idx, fld = by_name[f]
+            arr = dim_arr.get(f) if kind == "d" else None
+            if arr is None:
+                try:
+                    arr = np.asarray(
+                        _read_field_span(
+                            frag, schema, fld, idx, kind, lo_c, hi_c,
+                            n_cells,
+                        )
+                    )
+                except OverflowError:
+                    return False
+            if arr.dtype.kind not in "iu" or arr.shape != (n,):
+                return False
+            if summable_of[f]:
+                hi = max(abs(int(arr.min())), abs(int(arr.max())))
+                if hi and n > (2**62) // hi:  # group sum could overflow
+                    return False
+            fld_arr[f] = arr.astype(np.int64, copy=False)
+        audit["cells_decoded"] += n * (len(gridded) + len(fields))
+        order = np.lexsort(tuple(reversed(comps)))
+        stacked = [c[order] for c in comps]
+        starts = np.flatnonzero(
+            np.concatenate((
+                [True],
+                np.any(
+                    [s[1:] != s[:-1] for s in stacked], axis=0,
+                ),
+            ))
+        )
+        counts = np.diff(np.append(starts, n))
+        keys = [tuple(int(s[j]) for s in stacked) for j in starts]
+        for b, c in zip(keys, counts):
+            btotal[b] = btotal.get(b, 0) + int(c)
+        for f, arr in fld_arr.items():
+            srt = arr[order]
+            can_sum = summable_of[f]
+            sums = np.add.reduceat(srt, starts) if can_sum else None
+            mns = np.minimum.reduceat(srt, starts)
+            mxs = np.maximum.reduceat(srt, starts)
+            for j, b in enumerate(keys):
+                acc = _acc(b, f)
+                acc["count"] += int(counts[j])
+                acc["saw_nonnull"] = True
+                if can_sum:
+                    acc["sum"] += int(sums[j])
+                if acc["minmax_ok"]:
+                    _fold_minmax(acc["minmax"], int(mns[j]), int(mxs[j]))
+        return True
     for frag, ftr in zip(frags, footers):
         stn = ftr.sparse_tile_num
         if stn == 0:
@@ -572,9 +656,10 @@ def grid_agg_native(
         mbrs = parse_rtree_leaf_mbrs(frag, schema)
         if mbrs is None or len(mbrs) != stn:
             audit["tiles_partial"] += stn
-            for k in range(stn):
-                _decode_tile(frag, k, cap, n_cells, fields,
-                             masked=bool(ranged))
+            if ranged or not _decode_run_vec(frag, 0, stn, cap, n_cells):
+                for k in range(stn):
+                    _decode_tile(frag, k, cap, n_cells, fields,
+                                 masked=bool(ranged))
             continue
         contained: dict = {}  # cell tuple -> [tile index]
         edge = []
@@ -607,8 +692,29 @@ def grid_agg_native(
                 contained.setdefault(tuple(cell), []).append(k)
         audit["tiles_partial"] += len(edge)
         audit["tiles_contained"] += sum(len(v) for v in contained.values())
-        for k, need_mask in edge:
-            _decode_tile(frag, k, cap, n_cells, fields, masked=need_mask)
+        if not ranged and edge:
+            # batch consecutive unmasked edge tiles into vectorized
+            # runs; a run the helper refuses (non-int shape, possible
+            # overflow) replays through the exact per-tile loop —
+            # _decode_run_vec gates BEFORE touching any accumulator,
+            # so refusal never leaves partial state for its run
+            ks = [k for k, _m in edge]
+            runs, r_lo, prev = [], ks[0], ks[0]
+            for k in ks[1:]:
+                if k == prev + 1:
+                    prev = k
+                    continue
+                runs.append((r_lo, prev + 1))
+                r_lo = prev = k
+            runs.append((r_lo, prev + 1))
+            for lo, hi in runs:
+                if not _decode_run_vec(frag, lo, hi, cap, n_cells):
+                    for k in range(lo, hi):
+                        _decode_tile(frag, k, cap, n_cells, fields)
+        else:
+            for k, need_mask in edge:
+                _decode_tile(frag, k, cap, n_cells, fields,
+                             masked=need_mask)
         if not contained:
             continue
 

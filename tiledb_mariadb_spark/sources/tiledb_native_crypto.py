@@ -77,6 +77,8 @@ def key_for_path(path: str) -> Optional[bytes]:
     """Longest registered array-dir prefix covering ``path`` (files of
     an array live under its directory; __schema/ and __fragments/
     children match by prefix)."""
+    if not _KEYS:  # no keys registered (the common case): skip the
+        return None  # realpath() syscall walk — it can't match anything
     p = _norm(path)
     best = None
     for d, k in _KEYS.items():
