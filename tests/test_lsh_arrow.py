@@ -49,3 +49,52 @@ def test_arrow_pair_cosine_matches_expr(spark):
     # exact equality — both are one IEEE division of identical int operands
     diff = arrow.join(expr, ["a", "b"]).filter("cos != cos_e").count()
     assert diff == 0
+
+
+def test_scaled_staging_matches_raw_exprs(spark):
+    """The r9 staged-scaled-vector helpers (scaled_vec_expr +
+    dot_scaled_expr / cosine_scaled_expr / lsh_bucket_scaled_expr) must
+    be bit-identical to the raw-vector expressions they replace in
+    q159's pair verify (SPARK-36718 staging changes WHERE scaling runs,
+    never the values)."""
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    staged = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(S.scaled_vec_expr("embedding")).alias("sv"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "sv",
+        F.expr(S.lsh_bucket_scaled_expr("sv", 8, dim=64)).alias("bucket_s"),
+        F.expr(f"SQRT({S.dot_scaled_expr('sv', 'sv')})").alias("nrm_s"),
+    )
+    both = staged.select(
+        "vec_id",
+        "embedding",
+        "bucket_s",
+        "nrm_s",
+        "sv",
+        F.expr(S.lsh_bucket_expr("embedding", 8, dim=64)).alias("bucket_r"),
+        F.expr(f"SQRT({S.norm2_int_expr('embedding')})").alias("nrm_r"),
+        F.expr(S.cosine_expr("embedding", "embedding")).alias("cos_r"),
+    ).withColumn(
+        "cos_s",
+        F.expr(S.cosine_scaled_expr("sv", "sv", "nrm_s", "nrm_s")),
+    )
+    diff = both.filter(
+        "bucket_s != bucket_r OR nrm_s != nrm_r OR cos_s != cos_r"
+    ).count()
+    assert diff == 0
+    # cross-pair dots too: adjacent-id pairs, staged vs raw
+    a = both.alias("a")
+    b = both.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id")).select(
+        F.expr(S.dot_scaled_expr("a.sv", "b.sv")).alias("dot_s"),
+        F.expr(S.dot_int_expr("a.embedding", "b.embedding")).alias("dot_r"),
+        F.expr(
+            S.cosine_scaled_expr("a.sv", "b.sv", "a.nrm_s", "b.nrm_s")
+        ).alias("cos_s"),
+        F.expr(S.cosine_expr("a.embedding", "b.embedding")).alias("cos_r"),
+    )
+    assert pairs.filter("dot_s != dot_r OR cos_s != cos_r").count() == 0

@@ -61,6 +61,41 @@ def cosine_expr(a: str, b: str) -> str:
     )
 
 
+def scaled_vec_expr(vec_col: str) -> str:
+    """Stage the scaled-int vector ONCE per row:
+    ``transform(vec, x -> CAST(ROUND(x*SCALE) AS BIGINT))``.
+
+    Spark cannot CSE across lambda functions (SPARK-36718), so every
+    ``dot_int_expr``/``norm2_int_expr``/``lsh_bucket_expr`` use re-runs
+    the per-element ROUND+CAST chain — per PAIR in a pair-verify shape.
+    Pre-scaling each row once and folding with :func:`dot_scaled_expr`
+    / :func:`lsh_bucket_scaled_expr` computes the SAME exact int64
+    element products and sums (each element scales through the identical
+    expression on the identical input), so every downstream value is
+    bit-identical; only where the scaling happens changes."""
+    return f"transform({vec_col}, x -> {_scaled_int_spark('x')})"
+
+
+def dot_scaled_expr(sa: str, sb: str) -> str:
+    """Exact int64 dot of two :func:`scaled_vec_expr` columns — the
+    value equals ``dot_int_expr`` on the raw vectors (same per-element
+    int64 products, same left-to-right exact-integer sum)."""
+    return (
+        f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_scaled_expr(sa: str, sb: str, na: str, nb: str) -> str:
+    """Cosine from pre-staged scaled vectors and pre-staged norms
+    (``na``/``nb`` = ``SQRT(dot_scaled(s, s))`` doubles).  Bit-identical
+    to :func:`cosine_expr` on the raw vectors: the dot is the same exact
+    int64, each norm is SQRT of the same exact int64 (IEEE sqrt is
+    correctly rounded), and the final ``dot / (na * nb)`` multiplies and
+    divides the same doubles in the same order."""
+    return f"({dot_scaled_expr(sa, sb)} / ({na} * {nb}))"
+
+
 def cosine_topk(
     vectors: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame:
@@ -240,6 +275,23 @@ def lsh_bucket_expr(vec_col: str, num_planes: int = 8, dim: int | None = None) -
                 f" {_scaled_int_spark(f'element_at({vec_col}, i)')}),"
                 f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
             )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def lsh_bucket_scaled_expr(
+    sv_col: str, num_planes: int = 8, dim: int = 64
+) -> str:
+    """Bucket id from a pre-staged :func:`scaled_vec_expr` column —
+    value-identical to :func:`lsh_bucket_expr` on the raw vector (each
+    plane dot folds the same exact int64 products in the same order)."""
+    terms = []
+    for j in range(num_planes):
+        dot = (
+            f"aggregate(zip_with(array({_plane_literal(j, dim)}), {sv_col},"
+            f" (p, s) -> p * s),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 

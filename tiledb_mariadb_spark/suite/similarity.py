@@ -236,13 +236,23 @@ def q159_lsh_neardup(spark, sf_dir):
     # array never approaches executor memory the way an unbounded
     # groupBy-collect would.
     e = t(spark, sf_dir, "embeddings")
-    b = e.select(
+    # stage the scaled-int vector ONCE per row (SPARK-36718: lambda
+    # bodies never CSE, so the bucket hash, the dot, and both norms
+    # would each re-run the per-element ROUND+CAST chain — the norms
+    # per PAIR instead of per vector).  Values are bit-identical to the
+    # raw-vector expressions (see scaled_vec_expr); only where the
+    # scaling/norm evaluation happens changes.
+    sv = e.select(
+        "vec_id", F.expr(S.scaled_vec_expr("embedding")).alias("sv")
+    )
+    b = sv.select(
         "vec_id",
-        "embedding",
-        F.expr(S.lsh_bucket_expr("embedding", 8, dim=64)).alias("bucket"),
+        "sv",
+        F.expr(S.lsh_bucket_scaled_expr("sv", 8, dim=64)).alias("bucket"),
+        F.expr(f"SQRT({S.dot_scaled_expr('sv', 'sv')})").alias("nrm"),
     )
     grouped = b.groupBy("bucket").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
+        F.collect_list(F.struct("vec_id", "sv", "nrm")).alias("vs")
     )
     pairs = grouped.select(
         "bucket",
@@ -252,22 +262,27 @@ def q159_lsh_neardup(spark, sf_dir):
                 " transform(slice(vs, i + 2, size(vs)), y -> struct("
                 "   least(x.vec_id, y.vec_id) AS a,"
                 "   greatest(x.vec_id, y.vec_id) AS b,"
-                "   x.embedding AS va, y.embedding AS vb))))"
+                "   x.sv AS sa, y.sv AS sb,"
+                "   x.nrm AS na, y.nrm AS nb))))"
             )
         ).alias("p"),
     ).select(
         F.col("p.a").alias("a"),
         F.col("p.b").alias("b"),
         "bucket",
-        F.col("p.va").alias("va"),
-        F.col("p.vb").alias("vb"),
+        F.col("p.sa").alias("sa"),
+        F.col("p.sb").alias("sb"),
+        F.col("p.na").alias("na"),
+        F.col("p.nb").alias("nb"),
     )
     return (
         pairs.select(
             "a",
             "b",
             "bucket",
-            F.expr(S.cosine_expr("va", "vb")).alias("cos"),
+            F.expr(
+                S.cosine_scaled_expr("sa", "sb", "na", "nb")
+            ).alias("cos"),
         )
         .filter(F.col("cos") > 0.3)
     )

@@ -5596,25 +5596,37 @@ def q334_condition_planner(spark, sf_dir):
         yield pd.DataFrame({"written": [len(parts)]})
 
     src.coalesce(1).mapInPandas(part, schema="written int").collect()
-    rows = []
+    # pruning decisions stay per-needle (the operator under test —
+    # driver-side census, no job), but the three verification reads
+    # collapse into ONE pushed bucket-IN read grouped by needle: a
+    # read_array job costs ~0.4 s of fixed machinery regardless of row
+    # count, so three point reads were 3x the price for identical rows
+    census_by_needle = {}
     for needle in (3, 7, 99):
         census = explain_native_pruning(
             uri, conditions=[("bucket", "=", needle)]
         )
         kept = sum(1 for r in census if r["decision"] == "read")
-        got = read_array(
-            spark, uri,
-            conditions=[("bucket", "=", needle)],
-            target_splits=2,
-        )
-        agg = got.agg(
+        census_by_needle[needle] = (kept, len(census) - kept)
+    got = read_array(
+        spark, uri,
+        conditions=[("bucket", "in", (3, 7, 99))],
+        target_splits=2,
+    )
+    per_bucket = {
+        int(r["bucket"]): (int(r["n"]), int(r["s"]))
+        for r in got.groupBy("bucket")
+        .agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("s"),
-        ).collect()[0]
-        rows.append(
-            (needle, int(agg["n"]), int(agg["s"]),
-             kept, len(census) - kept)
         )
+        .collect()
+    }
+    rows = []
+    for needle in (3, 7, 99):
+        n, s = per_bucket.get(needle, (0, 0))
+        kept, skipped = census_by_needle[needle]
+        rows.append((needle, n, s, kept, skipped))
     return ldf(spark,
         rows,
         "needle long, n_rows long, sum_cents long, kept_frags long,"
