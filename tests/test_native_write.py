@@ -1393,3 +1393,57 @@ def test_col_vals_string_fast_path_identity():
     assert captured["m"] == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
     # numeric stays ndarray-native
     assert isinstance(captured["k"], np.ndarray)
+
+
+def test_var_numeric_cell_pack_byte_identity():
+    """The r9 batched var-cell pack (one _pack_fixed over the
+    concatenated values, split back per cell) must be byte-identical to
+    per-cell packing for every numeric var dtype, and None/ragged
+    shapes must keep the per-cell loop's exact semantics.  Pinned by
+    writing a var-cell fragment and re-reading it."""
+    import tempfile
+
+    from tiledb_mariadb_spark.sources.tiledb_native import (
+        NativeAttr,
+        NativeDim,
+        read_native_array,
+    )
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        create_native_array,
+        write_native_fragment,
+    )
+
+    VAR = 0xFFFFFFFF
+    uri = tempfile.mkdtemp(prefix="varpack_") + "/arr"
+    create_native_array(
+        uri,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[
+            NativeAttr("vl", 1, VAR, False, None),   # var int64 lists
+            NativeAttr("vd", 3, VAR, False, None),   # var float64 lists
+        ],
+    )
+    vl = [[1, 2, 3], [4], [2**40, -7], [0], [9, 9]]
+    vd = [[1.5, -2.25], [0.0], [3.0, 4.0, 5.0], [1e30], [-1.0]]
+    write_native_fragment(
+        uri, {"k": [1, 2, 3, 4, 5], "vl": vl, "vd": vd}, version=19
+    )
+    _s, rows = read_native_array(uri)
+    got_vl = [list(r[1]) for r in rows]
+    got_vd = [list(r[2]) for r in rows]
+    assert got_vl == vl
+    assert got_vd == vd
+
+    # non-integral float into an int column must still raise loudly
+    uri2 = tempfile.mkdtemp(prefix="varpack2_") + "/arr"
+    create_native_array(
+        uri2,
+        dims=[NativeDim("k", 1, 1, (0, 100), None)],
+        attrs=[NativeAttr("vl", 1, VAR, False, None)],
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        write_native_fragment(
+            uri2, {"k": [1, 2], "vl": [[1, 2], [3.5]]}, version=19
+        )

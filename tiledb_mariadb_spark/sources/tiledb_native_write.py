@@ -1182,10 +1182,32 @@ def _write_field_files(
                 for v in vals
             ]
         else:
-            blobs = [
-                b"" if v is None else _pack_fixed(v, dtype_id, 1)
-                for v in vals
-            ]
+            blobs = None
+            if vals and not any(v is None for v in vals):
+                # vectorized var-cell pack (numeric list cells): ONE
+                # _pack_fixed over the concatenated values rides its
+                # ndarray fast path + round-trip guard, then the bytes
+                # split back per cell — byte-identical to per-cell
+                # packing (same little-endian elements in the same
+                # order; same lossy-cast ValueError contract).  Cells
+                # with None (→ b"") or non-sized values keep the loop.
+                try:
+                    cell_lens = [len(v) for v in vals]
+                except TypeError:
+                    cell_lens = None
+                if cell_lens is not None:
+                    flat = [x for v in vals for x in v]
+                    packed = _pack_fixed(flat, dtype_id, 1)
+                    blobs, pos = [], 0
+                    for ln in cell_lens:
+                        nb = ln * elem
+                        blobs.append(packed[pos:pos + nb])
+                        pos += nb
+            if blobs is None:
+                blobs = [
+                    b"" if v is None else _pack_fixed(v, dtype_id, 1)
+                    for v in vals
+                ]
         # vectorized global start-offsets (byte-identical to the
         # struct.pack loop: u64 little-endian exclusive prefix sum)
         import numpy as np  # noqa: PLC0415
