@@ -210,17 +210,33 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # truncation-proofing (round 10, additions-only): the one-line JSON
+    # is ~4 KB with 79 queries and round 8's captured-stdout tail clipped
+    # it, losing the round-over-round comparison (PERF_r09 prev_bench_ok:
+    # false).  Mirror the identical line to a file the harness can read
+    # whole ($SPARK_GRAFT_BENCH_OUT, default <repo>/BENCH_OUT.json), then
+    # print it as the FINAL stdout line and flush.  Timing methodology,
+    # query set, and the printed contract are unchanged.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # the stdout contract must survive an unwritable mirror path
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
