@@ -1575,6 +1575,56 @@ def copartitioned_asof_join(
     return split_df.mapInPandas(asof_split, schema=ddl)
 
 
+def _merge_write_and_count(
+    flagged: DataFrame,
+    uri: str,
+    backend: ArrayBackend,
+    when_matched: str,
+    when_not_matched: str,
+    ts: Optional[int],
+) -> tuple[int, int]:
+    """One pass over the probe join: write the clause-kept rows of each
+    partition as a fragment AND return ``(matched, total)`` summed from
+    the per-task result rows.  Replaces the persist + counts-agg job +
+    filtered-write job sequence with a single action (guide §1.2 —
+    fewer passes; the counts travel in the action's result, so they are
+    exactly-once under task retry, unlike accumulators).  Fragment
+    layout matches the old filtered write: same join-output partitions,
+    one fragment per partition with kept rows."""
+    update = when_matched == "update"
+    insert = when_not_matched == "insert"
+
+    def write_and_count(batches) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        parts = list(batches)
+        m = n = 0
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            mask_m = pdf["__m"].notna()
+            m, n = int(mask_m.sum()), len(pdf)
+            if update and insert:
+                out = pdf
+            elif update:
+                out = pdf[mask_m]
+            elif insert:
+                out = pdf[~mask_m]
+            else:
+                out = pdf.iloc[0:0]
+            if len(out):
+                kw = {} if ts is None else {"ts": ts}
+                backend.write(
+                    uri,
+                    out.drop(columns=["__m"]).reset_index(drop=True),
+                    sparse=True,
+                    **kw,
+                )
+        yield pd.DataFrame({"m": [m], "n": [n]})
+
+    rows = flagged.mapInPandas(write_and_count, schema="m long, n long").collect()
+    return sum(r.m for r in rows), sum(r.n for r in rows)
+
+
 def merge_into_array(
     spark: SparkSession,
     uri: str,
@@ -1669,6 +1719,7 @@ def merge_into_array(
 
     counts = {"matched": -1, "not_matched": -1, "written": -1}
     flagged = None
+    fused = None
     need_split = (when_matched, when_not_matched) != ("update", "insert")
     if need_split or return_counts:
         # probe the target keys only inside the source's bounding box
@@ -1693,30 +1744,56 @@ def merge_into_array(
                 dim_ranges=box, target_splits=target_splits,
             ).select(*dim_names).distinct().withColumn("__m", F.lit(1))
             flagged = source.join(tgt_keys, on=dim_names, how="left")
-            if return_counts:
-                # counts + the write are two actions over the same
-                # probe join — cache it so the target is probed once
-                flagged = flagged.persist()
-            keep = []
-            if when_matched == "update":
-                keep.append(F.col("__m").isNotNull())
-            if when_not_matched == "insert":
-                keep.append(F.col("__m").isNull())
-            if keep:
-                to_write = flagged.filter(
-                    keep[0] if len(keep) == 1 else (keep[0] | keep[1])
-                ).drop("__m")
+            if need_split and when_matched != "delete":
+                # FUSE the probe counts into the write (round 10): the
+                # counts aggregation and the fragment write were two
+                # actions over the same probe join (persist + agg job +
+                # write job).  One mapInPandas pass now filters the
+                # clause-kept rows, writes them, and returns per-task
+                # (matched, total) rows with the action's result —
+                # exactly-once by construction (the counts ride the
+                # task results, not accumulators), identical fragment
+                # layout (the write consumes the same join-output
+                # partitions the old filtered write consumed).
+                writes_any = (
+                    when_matched == "update" or when_not_matched == "insert"
+                )
+                if writes_any or return_counts:
+                    m_, n_ = _merge_write_and_count(
+                        flagged, uri, backend,
+                        when_matched, when_not_matched, ts,
+                    )
+                    matched, not_matched = m_, n_ - m_
+                if not writes_any:
+                    # no clause writes rows (skip + skip): nothing lands
+                    counts["written"] = 0
+                fused = True
             else:
-                # no clause writes rows (e.g. delete/skip + skip):
-                # statically empty, never launch the write job
-                to_write = flagged.limit(0).drop("__m")
-                counts["written"] = 0
-            if return_counts:
-                agg = flagged.agg(
-                    F.count(F.col("__m")).alias("m"),
-                    F.count(F.lit(1)).alias("n"),
-                ).collect()[0]
-                matched, not_matched = agg["m"], agg["n"] - agg["m"]
+                # delete clause (the driver-side key collection below
+                # consumes the probe a second time) and the
+                # counts-over-pure-upsert shape keep the persist + agg
+                # + filtered-write structure
+                if return_counts:
+                    flagged = flagged.persist()
+                keep = []
+                if when_matched == "update":
+                    keep.append(F.col("__m").isNotNull())
+                if when_not_matched == "insert":
+                    keep.append(F.col("__m").isNull())
+                if keep:
+                    to_write = flagged.filter(
+                        keep[0] if len(keep) == 1 else (keep[0] | keep[1])
+                    ).drop("__m")
+                else:
+                    # statically empty, never launch the write job
+                    to_write = flagged.limit(0).drop("__m")
+                    counts["written"] = 0
+                if return_counts:
+                    agg = flagged.agg(
+                        F.count(F.col("__m")).alias("m"),
+                        F.count(F.lit(1)).alias("n"),
+                    ).collect()[0]
+                    matched, not_matched = agg["m"], agg["n"] - agg["m"]
         if return_counts:
             counts["matched"], counts["not_matched"] = matched, not_matched
             counts["written"] = (
@@ -1725,6 +1802,8 @@ def merge_into_array(
             )
             if when_matched == "delete":
                 counts["deleted"] = matched
+        if fused:
+            return counts
         if need_split:
             if when_matched == "delete" and flagged is not None:
                 from tiledb_mariadb_spark.sources.tiledb_native_write import (  # noqa: PLC0415

@@ -3396,7 +3396,14 @@ def q314_native_dense_v19(spark, sf_dir):
         dims=[NativeDim("k", 1, 1, (0, 1199), 100)],
         attrs=[NativeAttr("cents", 1, 1, False, _struct.pack("<q", -1))],
     )
-    base = (
+    # the three boxes are FIXED-SIZE by construction (1200 cells at any
+    # sf — orderBy + LIMIT pins them), so the ingest is a driver-sized
+    # job (guide §1.2 / the k-means-training rule): ONE TakeOrdered
+    # collect replaces three Spark jobs that each re-ran the scan +
+    # range-ordinal + a coalesce(1) single-task write — same fragments
+    # byte-for-byte (k is the rank index of the ordered collect; the
+    # writer gets the same ordered cell lists, same ts, same subarray).
+    rows = (
         t(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
@@ -3407,42 +3414,21 @@ def q314_native_dense_v19(spark, sf_dir):
         )
         .orderBy("o_orderkey")
         .limit(1200)
-        .transform(_ordinal0)
+        .collect()
     )
-
-    def write_box(df, lo, hi, ts):
-        def part(batches):
-            parts = list(batches)
-            if parts:
-                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
-                write_native_fragment(
-                    uri, {"cents": list(pdf["v"])}, ts=ts,
-                    subarray=[(lo, hi)], version=19,
-                )
-            yield pd.DataFrame({"written": [len(parts)]})
-
-        df.coalesce(1).mapInPandas(part, schema="written int").collect()
+    cents = [r["cents"] for r in rows]  # index == 0-based ordinal k
 
     # box1 [0,599], box2 [800,1199] (gap -> fills), box3 overwrites
     # [400,599] newest-wins — all tile-aligned v19 space-tiled fragments
-    write_box(
-        base.filter(F.col("k") <= 599).select(
-            "k", F.col("cents").alias("v")
-        ),
-        0, 599, 1000,
-    )
-    write_box(
-        base.filter(F.col("k") >= 800).select(
-            "k", (F.col("cents") * 3).alias("v")
-        ),
-        800, 1199, 2000,
-    )
-    write_box(
-        base.filter((F.col("k") >= 400) & (F.col("k") <= 599)).select(
-            "k", (F.col("cents") * 7).alias("v")
-        ),
-        400, 599, 3000,
-    )
+    for lo, hi, mul, ts in (
+        (0, 599, 1, 1000),
+        (800, 1199, 3, 2000),
+        (400, 599, 7, 3000),
+    ):
+        write_native_fragment(
+            uri, {"cents": [cents[k] * mul for k in range(lo, hi + 1)]},
+            ts=ts, subarray=[(lo, hi)], version=19,
+        )
     arr = read_array(
         spark, uri, backend=be, dim_ranges={"k": (100, 1099)},
         target_splits=6,
@@ -4087,10 +4073,6 @@ def q320_dense_consolidation(spark, sf_dir):
     import struct as _struct  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    import pandas as pd  # noqa: PLC0415
-
-    from pyspark.sql import Window  # noqa: PLC0415
-
     from tiledb_mariadb_spark.sources.tiledb_array import (  # noqa: PLC0415
         consolidate_array,
         read_array,
@@ -4113,7 +4095,11 @@ def q320_dense_consolidation(spark, sf_dir):
         dims=[NativeDim("k", 1, 1, (0, 1199), 100)],
         attrs=[NativeAttr("cents", 1, 1, False, _struct.pack("<q", -1))],
     )
-    base = (
+    # fixed-size boxes (1200 cells at any sf): one TakeOrdered collect +
+    # driver-side fragment writes replace three scan + range-ordinal +
+    # coalesce(1) Spark jobs — same fragments byte-for-byte (see q314);
+    # the consolidation under test below stays fully distributed.
+    rows = (
         t(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
@@ -4124,42 +4110,21 @@ def q320_dense_consolidation(spark, sf_dir):
         )
         .orderBy("o_orderkey")
         .limit(1200)
-        .transform(_ordinal0)
+        .collect()
     )
+    cents = [r["cents"] for r in rows]  # index == 0-based ordinal k
 
-    def write_box(df, lo, hi, ts):
-        def part(batches):
-            parts = list(batches)
-            if parts:
-                pdf = pd.concat(parts, ignore_index=True).sort_values("k")
-                write_native_fragment(
-                    uri, {"cents": list(pdf["v"])}, ts=ts,
-                    subarray=[(lo, hi)], version=19,
-                )
-            yield pd.DataFrame({"written": [len(parts)]})
-
-        df.coalesce(1).mapInPandas(part, schema="written int").collect()
-
-    write_box(
-        base.filter(F.col("k") <= 599).select(
-            "k", F.col("cents").alias("v")
-        ),
-        0, 599, 1000,
-    )
-    # UNALIGNED overlay (extent 100, box [250, 449]): expanded on disk
-    # to [200, 499] with fill padding, NED = [250, 449]
-    write_box(
-        base.filter((F.col("k") >= 250) & (F.col("k") <= 449)).select(
-            "k", (F.col("cents") * 5).alias("v")
-        ),
-        250, 449, 2000,
-    )
-    write_box(
-        base.filter(F.col("k") >= 800).select(
-            "k", (F.col("cents") * 3).alias("v")
-        ),
-        800, 1199, 3000,
-    )
+    # box2 is the UNALIGNED overlay (extent 100, box [250, 449]):
+    # expanded on disk to [200, 499] with fill padding, NED = [250, 449]
+    for lo, hi, mul, ts in (
+        (0, 599, 1, 1000),
+        (250, 449, 5, 2000),
+        (800, 1199, 3, 3000),
+    ):
+        write_native_fragment(
+            uri, {"cents": [cents[k] * mul for k in range(lo, hi + 1)]},
+            ts=ts, subarray=[(lo, hi)], version=19,
+        )
     n_new = consolidate_array(spark, uri, target_splits=5)
     vacuum_native_array(uri)
     arr = read_array(spark, uri, target_splits=4)
