@@ -77,6 +77,24 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(cpus, *[F.col(c) for c in key_cols])
 
 
+def par_jobs(*thunks):
+    """Run INDEPENDENT Spark actions concurrently from driver threads
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially; overlapping lets the next job's
+    tasks back-fill executors freed by the current job's tail).  Used
+    for fixture ingests that write SEPARATE arrays (or separate
+    explicit-ts fragments): each thunk's fragments are identical to the
+    sequential run — only the wall-clock overlaps.  FIFO scheduling
+    keeps the earlier job prioritised, which is the back-fill behaviour
+    we want.  Returns the thunk results in order; re-raises the first
+    failure."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(th) for th in thunks]
+        return [f.result() for f in futs]
+
+
 def ldf(spark: SparkSession, rows, schema: str) -> DataFrame:
     """Driver-local DataFrame as ONE Arrow-backed LocalTableScan.
 

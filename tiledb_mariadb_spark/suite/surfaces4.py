@@ -250,9 +250,14 @@ def q339_copartitioned_join(spark, sf_dir):
         .where(F.col("items") >= 4)
     )
     # range partitioning: disjoint fragment NEDs per writer — the
-    # natural key-partitioned ingest shape both split plans exploit
-    write_array(a_src.repartitionByRange(3, "k"), ua, backend=be)
-    write_array(b_src.repartitionByRange(3, "k"), ub, backend=be)
+    # natural key-partitioned ingest shape both split plans exploit.
+    # The two ingests write SEPARATE arrays: overlap them (guide §2.6)
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(a_src.repartitionByRange(3, "k"), ua, backend=be),
+        lambda: write_array(b_src.repartitionByRange(3, "k"), ub, backend=be),
+    )
 
     joined = copartitioned_join_arrays(
         spark, ua, ub,
@@ -443,37 +448,42 @@ def q342_triple_join(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderkey").between(_T_LO, _T_HI)
     )
-    write_array(
-        orders.select(
-            F.col("o_orderkey").alias("k"),
-            F.expr(
-                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
-                " AS BIGINT)"
-            ).alias("cents"),
-        ).repartitionByRange(3, "k"),
-        ua, backend=be,
-    )
-    write_array(
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey").between(_T_LO, _T_HI))
-        .groupBy(F.col("l_orderkey").alias("k"))
-        .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
-            F.count(F.lit(1)).alias("items"),
-        )
-        .where(F.col("items") >= 4)
-        .repartitionByRange(3, "k"),
-        ub, backend=be,
-    )
-    write_array(
-        orders.where(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        ).select(
-            F.col("o_orderkey").alias("k"),
-            F.substring("o_orderpriority", 1, 1).cast("bigint")
-            .alias("prio"),
-        ).repartitionByRange(2, "k"),
-        uc, backend=be,
+    # the three ingests write SEPARATE arrays: overlap them (guide §2.6)
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.expr(
+                    "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0D)"
+                    " AS BIGINT)"
+                ).alias("cents"),
+            ).repartitionByRange(3, "k"),
+            ua, backend=be,
+        ),
+        lambda: write_array(
+            t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey").between(_T_LO, _T_HI))
+            .groupBy(F.col("l_orderkey").alias("k"))
+            .agg(
+                F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+                F.count(F.lit(1)).alias("items"),
+            )
+            .where(F.col("items") >= 4)
+            .repartitionByRange(3, "k"),
+            ub, backend=be,
+        ),
+        lambda: write_array(
+            orders.where(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                F.substring("o_orderpriority", 1, 1).cast("bigint")
+                .alias("prio"),
+            ).repartitionByRange(2, "k"),
+            uc, backend=be,
+        ),
     )
     joined = copartitioned_join_many(
         spark, [ua, ub, uc],
@@ -689,19 +699,27 @@ def q341_bucket_refresh(spark, sf_dir):
         ).alias("cents"),
     )
     cutoff = src.agg(F.max("k")).first()[0] // 2
-    write_array(
-        src.where(F.col("k") <= cutoff).repartitionByRange(2, "k"),
-        uri, backend=be, ts=100,
+    # base @100 and append @200: the snapshot rollup below time-travels
+    # to at=100, so its view is identical whether the append has landed
+    # yet — EXPLICIT timestamps let the two ingest jobs overlap
+    # (guide §2.6) while the modeled timeline (snapshot, then append,
+    # then window-confined refresh) is unchanged
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(
+            src.where(F.col("k") <= cutoff).repartitionByRange(2, "k"),
+            uri, backend=be, ts=100,
+        ),
+        lambda: write_array(
+            src.where(F.col("k") > cutoff).repartitionByRange(2, "k"),
+            uri, backend=be, ts=200,
+        ),
     )
     snap = bucketed_agg_native(uri, _B_W, fields=["cents"], at=100)
     if snap is None or snap["audit"]["tiles_contained"] == 0:
         raise AssertionError("snapshot rollup not provable from metadata")
-    # the append lands AFTER the snapshot...
-    write_array(
-        src.where(F.col("k") > cutoff).repartitionByRange(2, "k"),
-        uri, backend=be, ts=200,
-    )
-    # ...and the refresh reads ONLY the window's fragments
+    # the refresh reads ONLY the window's fragments
     delta = bucketed_agg_native(uri, _B_W, fields=["cents"], since=150)
     if delta is None:
         raise AssertionError("delta rollup not provable from metadata")
@@ -945,18 +963,23 @@ def q345_snapshot_diff(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
-    # v1 @1000: keys not divisible by 3
-    write_array(
-        src.filter(F.col("k") % 3 != 0).repartitionByRange(4, "k"),
-        uri, backend=backend, ts=1000,
-    )
-    # ingest @2000: rewrite every 5th key with cents+777 (changed where
-    # it existed, added where it did not)
-    write_array(
-        src.filter(F.col("k") % 5 == 0)
-        .withColumn("cents", F.col("cents") + F.lit(777))
-        .repartitionByRange(4, "k"),
-        uri, backend=backend, ts=2000,
+    # v1 @1000 (keys not divisible by 3) and ingest @2000 (every 5th key
+    # rewritten at cents+777 — changed where it existed, added where it
+    # did not): EXPLICIT timestamps make the two fragment sets identical
+    # whichever lands first, so the two ingest jobs overlap (guide §2.6)
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(
+            src.filter(F.col("k") % 3 != 0).repartitionByRange(4, "k"),
+            uri, backend=backend, ts=1000,
+        ),
+        lambda: write_array(
+            src.filter(F.col("k") % 5 == 0)
+            .withColumn("cents", F.col("cents") + F.lit(777))
+            .repartitionByRange(4, "k"),
+            uri, backend=backend, ts=2000,
+        ),
     )
     # purge @3000: delete commit, O(1) bytes regardless of array size
     write_delete_condition(uri, [("cents", ">", _DIFF_T)], ts=3000)
@@ -1200,18 +1223,23 @@ def q347_native_asof(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
-    write_array(
-        src.filter(F.col("ts") % 2 == 0)
-        .withColumnRenamed("cents", "trade_cents")
-        .repartitionByRange(8, "ts"),
-        ua, backend=backend,
-    )
-    write_array(
-        src.filter(F.col("ts") % 7 == 0)
-        .withColumn("quote_cents", F.col("cents") + F.lit(1000))
-        .drop("cents")
-        .repartitionByRange(6, "ts"),
-        ub, backend=backend,
+    # the two ingests write SEPARATE arrays: overlap them (guide §2.6)
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(
+            src.filter(F.col("ts") % 2 == 0)
+            .withColumnRenamed("cents", "trade_cents")
+            .repartitionByRange(8, "ts"),
+            ua, backend=backend,
+        ),
+        lambda: write_array(
+            src.filter(F.col("ts") % 7 == 0)
+            .withColumn("quote_cents", F.col("cents") + F.lit(1000))
+            .drop("cents")
+            .repartitionByRange(6, "ts"),
+            ub, backend=backend,
+        ),
     )
     return copartitioned_asof_join(
         spark, ua, ub, target_splits=8
@@ -1457,18 +1485,23 @@ def q349_ttl_retention(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
-    # three "days": k%3 == 0 / 1 / 2 at ts 1000/2000/3000
-    for day, ts in ((0, 1000), (1, 2000), (2, 3000)):
-        write_array(
+    # three "days": k%3 == 0 / 1 / 2 at ts 1000/2000/3000 — EXPLICIT
+    # timestamps make the fragment sets and the ts-1500 delete's shadow
+    # set (cells written at-or-before it, i.e. day 0 only) identical
+    # whichever write lands first, so the three ingest jobs overlap
+    # (guide §2.6); the purge commit follows on the driver (O(1) bytes)
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    def _day(day: int, ts: int):
+        return lambda: write_array(
             src.filter(F.col("k") % 3 == day).repartitionByRange(2, "k"),
             uri, backend=backend, ts=ts,
         )
-        # day-1 purge: delete day-0 high-value rows (ts 1500, affects
-        # only cells written at-or-before it)
-        if day == 0:
-            write_delete_condition(
-                uri, [("cents", ">", 40_000_000)], ts=1500
-            )
+
+    par_jobs(_day(0, 1000), _day(1, 2000), _day(2, 3000))
+    # day-1 purge: delete day-0 high-value rows (ts 1500, affects
+    # only cells written at-or-before it)
+    write_delete_condition(uri, [("cents", ">", 40_000_000)], ts=1500)
     frags_before = len(_fragment_dirs(uri))
     commits = os.path.join(uri, "__commits")
     dels_before = sum(1 for e in os.listdir(commits) if e.endswith(".del"))
@@ -1573,18 +1606,23 @@ def q350_keyed_asof(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
-    write_array(
-        src.filter(F.col("ts") % 2 == 0)
-        .withColumnRenamed("cents", "trade_cents")
-        .repartitionByRange(8, "ts"),
-        ua, backend=backend,
-    )
-    write_array(
-        src.filter(F.col("ts") % 11 == 0)
-        .withColumn("quote_cents", F.col("cents") + F.lit(77))
-        .drop("cents")
-        .repartitionByRange(6, "ts"),
-        ub, backend=backend,
+    # the two ingests write SEPARATE arrays: overlap them (guide §2.6)
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(
+            src.filter(F.col("ts") % 2 == 0)
+            .withColumnRenamed("cents", "trade_cents")
+            .repartitionByRange(8, "ts"),
+            ua, backend=backend,
+        ),
+        lambda: write_array(
+            src.filter(F.col("ts") % 11 == 0)
+            .withColumn("quote_cents", F.col("cents") + F.lit(77))
+            .drop("cents")
+            .repartitionByRange(6, "ts"),
+            ub, backend=backend,
+        ),
     )
     return copartitioned_asof_join(
         spark, ua, ub, by_cols=["sym"], tolerance=_Q350_TOL,
