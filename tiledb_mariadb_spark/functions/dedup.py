@@ -250,7 +250,9 @@ def lsh_candidate_pairs(
     elif storage_level is not None:
         from pyspark import StorageLevel  # noqa: PLC0415
 
-        bands = bands.persist(getattr(StorageLevel, storage_level))
+        from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+        bands = _P.track(bands.persist(getattr(StorageLevel, storage_level)))
     left = bands.select("band", "h0", "h1", F.col("doc").alias("a"))
     right = bands.select("band", "h0", "h1", F.col("doc").alias("b"))
     return (

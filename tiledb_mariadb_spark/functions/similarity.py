@@ -487,7 +487,10 @@ def semdedup_pairs(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(F.col(id_col), "qv", "nrm", F.col("j").alias("cluster"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    assigned = _P.track(assigned.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

@@ -148,6 +148,26 @@ def dsum_sql(expr: str, k: int = 2) -> str:
     )
 
 
+def _scope_persists(spec: QuerySpec) -> QuerySpec:
+    """Bound persist lifetime to one query (r9 verdict item): starting
+    any spec releases the PREVIOUS spec's tracked persists — each cached
+    frame survives through its own query's action(s) under a sequential
+    driver, and a long-lived session never accumulates more than one
+    query's caches.  Unpersist only drops a cache (recompute stays
+    correct), so results are untouched."""
+    from dataclasses import replace  # noqa: PLC0415
+
+    from tiledb_mariadb_spark import persists  # noqa: PLC0415
+
+    fn = spec.spark
+
+    def run(spark, sf_dir):
+        persists.release()
+        return fn(spark, sf_dir)
+
+    return replace(spec, spark=run)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Assemble the full registry from the category modules."""
     from tiledb_mariadb_spark.suite import (  # noqa: PLC0415
@@ -233,7 +253,7 @@ def all_specs() -> dict[str, QuerySpec]:
         for s in mod.SPECS:
             if s.name in collected:
                 raise ValueError(f"duplicate query name {s.name}")
-            collected[s.name] = s
+            collected[s.name] = _scope_persists(s)
 
     # ORDER MATTERS: the driver hash-verifies only the FIRST 50 entries per
     # round.  Round 1 covered core/analytics/functions_surface* prefixes;

@@ -176,7 +176,9 @@ def q200_pagerank(spark, sf_dir):
     # dedup.lsh_candidate_pairs)
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    edges = _P.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     scores = d.select(
         F.col("doc_id").alias("node"), F.lit(_PR_SCALE).cast("long").alias("score")
     )

@@ -391,7 +391,9 @@ def q247_khop_reachability(spark, sf_dir):
     )
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    edges = _P.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     visited = ldf(spark,
         [(_KHOP_SRC, 0)], "node bigint, hop int"
     )

@@ -61,7 +61,9 @@ def q173_incremental_dedup(spark, sf_dir):
     # minhash scans run once
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    cands = _P.track(cands.persist(StorageLevel.MEMORY_AND_DISK))
     # verify cost must scale with the CANDIDATE set, not the corpus:
     # shingle only the docs that appear in a candidate pair (broadcast
     # semi-join — the candidate id set is band-collision sized).

@@ -42,9 +42,11 @@ def q245_corpus_build(spark, sf_dir):
     # zero exchange reuse)
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    uniq = gated.groupBy(F.md5(F.col("text")).alias("h")).agg(
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    uniq = _P.track(gated.groupBy(F.md5(F.col("text")).alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     eval_grams = (
         D.with_shingles(eval_set, "doc_id", "text", k=_DECON_K)
         .select(D.hash60(F.col("shingle"), "cap-decon").alias("g"))

@@ -393,13 +393,16 @@ def q269_triangle_count(spark, sf_dir):
     # lineitem for every reference)
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    edges = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    edges = _P.track(pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK))
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # 2 broadcasts + n_nodes
+    )
+    deg = _P.track(deg.persist(StorageLevel.MEMORY_AND_DISK))  # 2 broadcasts + n_nodes
     e = edges.join(
         F.broadcast(deg).withColumnRenamed("n", "a").withColumnRenamed("d", "da"),
         "a",
@@ -417,7 +420,8 @@ def q269_triangle_count(spark, sf_dir):
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    oriented = _P.track(oriented.persist(StorageLevel.MEMORY_AND_DISK))
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     rank_lt = (F.col("o1.dv") < F.col("o2.dv")) | (
         (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))

@@ -1319,16 +1319,24 @@ def q348_cdc_capstone(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
-    write_array(
-        src.filter(F.col("k") % 2 == 0).repartitionByRange(4, "k"),
-        uri, backend=backend, ts=1000,
-    )
-    # (1) upsert batch: zero target reads
-    merge_into_array(
-        spark, uri,
-        src.filter(F.col("k") % 3 == 0)
-        .withColumn("cents", F.col("cents") + F.lit(555)),
-        ts=2000, return_counts=False, on_source_dups="allow",
+    # seed @1000 and (1) the upsert batch @2000: the pure upsert is ONE
+    # fragment write with ZERO target reads, so neither job observes the
+    # other and the EXPLICIT timestamps pin newest-wins identically
+    # whichever lands first — overlap the two ingests (guide §2.6); all
+    # reads below start from the committed @1000/@2000 state
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    par_jobs(
+        lambda: write_array(
+            src.filter(F.col("k") % 2 == 0).repartitionByRange(4, "k"),
+            uri, backend=backend, ts=1000,
+        ),
+        lambda: merge_into_array(
+            spark, uri,
+            src.filter(F.col("k") % 3 == 0)
+            .withColumn("cents", F.col("cents") + F.lit(555)),
+            ts=2000, return_counts=False, on_source_dups="allow",
+        ),
     )
     bucket = (F.col("k") / 1000).cast("long").alias("bucket")
     # base rollup at t=1000 (the materialized aggregate being maintained)
@@ -1375,6 +1383,9 @@ def q348_cdc_capstone(spark, sf_dir):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from tiledb_mariadb_spark import persists as _P  # noqa: PLC0415
+
+    _P.track(folded)
     # the invariant: folded == from-scratch over the new snapshot
     scratch = (
         read_array(spark, uri, target_splits=8)
