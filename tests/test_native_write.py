@@ -1389,10 +1389,73 @@ def test_col_vals_string_fast_path_identity():
 
     assert list(captured["s"]) == ["a", None, "c\x00d", "é"]
     assert list(captured["b"]) == [b"x", b"", None, b"\x00"]
-    # list-like cells went through clean(): every cell is a plain list
-    assert captured["m"] == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
+    # equal-length numeric list cells stack to ONE 2-D ndarray (round
+    # 10) — same values, the packer's vectorized path
+    assert isinstance(captured["m"], np.ndarray)
+    assert captured["m"].shape == (4, 2)
+    assert [list(r) for r in captured["m"]] == [
+        [1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]
+    ]
     # numeric stays ndarray-native
     assert isinstance(captured["k"], np.ndarray)
+
+
+def test_col_vals_list_cells_stack_and_fallthrough():
+    """Round-10 list-cell stacking: equal-length numeric lists become a
+    2-D ndarray; ragged, None-holding, or string-bearing cells keep the
+    exact clean() loop (plain lists / None)."""
+    import numpy as np
+    import pandas as pd
+
+    from tiledb_mariadb_spark.sources import tiledb_array as ta
+    from tiledb_mariadb_spark.sources import tiledb_native as tn
+    from tiledb_mariadb_spark.sources import tiledb_native_write as tnw
+
+    captured = {}
+
+    class _Probe(ta.NativeDecoderBackend):
+        def _reg(self, uri):
+            pass
+
+    class FakeDim:
+        name = "k"
+
+    class A:  # noqa: B903
+        def __init__(self, n):
+            self.name = n
+
+    class FakeSchema:
+        dims = [FakeDim()]
+        attrs = [A("ok"), A("ragged"), A("with_none"), A("strs")]
+
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(3, dtype=np.int64),
+            "ok": pd.Series(
+                [[1, 2, 3], [4, 5, 6], np.array([7, 8, 9])], dtype=object
+            ),
+            "ragged": pd.Series([[1], [2, 3], [4]], dtype=object),
+            "with_none": pd.Series([[1, 2], None, [3, 4]], dtype=object),
+            "strs": pd.Series([["a"], ["b"], ["c"]], dtype=object),
+        }
+    )
+    orig = (tn.parse_array_schema, tn._schema_path, tnw.write_native_fragment)
+    try:
+        tn.parse_array_schema = lambda p: FakeSchema
+        tn._schema_path = lambda u: u
+        tnw.write_native_fragment = (
+            lambda uri, cols, ts=None, version=19: captured.update(cols)
+        )
+        _Probe().write("fake://uri", pdf)
+    finally:
+        tn.parse_array_schema, tn._schema_path, tnw.write_native_fragment = orig
+
+    assert isinstance(captured["ok"], np.ndarray)
+    assert captured["ok"].shape == (3, 3)
+    assert [list(r) for r in captured["ok"]] == [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    assert captured["ragged"] == [[1], [2, 3], [4]]
+    assert captured["with_none"] == [[1, 2], None, [3, 4]]
+    assert captured["strs"] == [["a"], ["b"], ["c"]]
 
 
 def test_var_numeric_cell_pack_byte_identity():

@@ -140,3 +140,53 @@ def test_utf8_truncation_never_splits_multibyte(tmp_path):
     names, rows = read_native_array_range(uri)
     got = [r[names.index("s")].rstrip("\x00") for r in rows]
     assert got == ["abc", "a語", "abcd"]
+
+
+def test_mixed_truncating_batch_byte_identity():
+    """Round-10 selective truncation: a batch where only SOME cells
+    overflow must pack byte-identically to the old all-cells ljust
+    loop (reference reimplemented inline) for every text dtype."""
+    from tiledb_mariadb_spark.sources.tiledb_native import _TEXT_CODEC
+    from tiledb_mariadb_spark.sources.tiledb_native_write import (
+        _DT,
+        _pack_fixed,
+    )
+
+    def ref(vals, dtype_id, cvn):
+        _, _c, size = _DT[dtype_id]
+        cb = cvn * size
+        codec = _TEXT_CODEC[dtype_id]
+        out = bytearray()
+        for v in vals:
+            b = (b"" if v is None
+                 else v.encode(codec) if isinstance(v, str) else bytes(v))
+            if len(b) > cb:
+                b = b[:cb]
+                if dtype_id in (13, 15) and cb >= 2:
+                    u = int.from_bytes(b[cb - 2:cb], "little")
+                    if 0xD800 <= u <= 0xDBFF:
+                        b = b[:cb - 2]
+                elif dtype_id in (4, 11, 12):
+                    i = len(b)
+                    while i > 0 and (b[i - 1] & 0xC0) == 0x80:
+                        i -= 1
+                    if i > 0 and (b[i - 1] & 0xC0) == 0xC0:
+                        lead = b[i - 1]
+                        need = (2 if lead >> 5 == 0b110
+                                else 3 if lead >> 4 == 0b1110 else 4)
+                        if len(b) - (i - 1) < need:
+                            b = b[:i - 1]
+            out += b.ljust(cb, b"\x00")
+        return bytes(out)
+
+    cases = {
+        11: ["ok", "é" * 9, None, "x\x00y", "日本語テキスト", ""],   # UTF-8
+        13: ["ab", "𐐷" * 7, "c", None, "ポ" * 30],                  # UTF-16
+        14: ["a", "𐐷" * 5, "", None, "ラ" * 9],                     # UTF-32
+        4:  ["plain", "over" * 10, None, "z"],                      # char
+    }
+    for dtype_id, vals in cases.items():
+        for cvn in (1, 2, 3, 8):
+            assert _pack_fixed(vals, dtype_id, cvn) == ref(
+                vals, dtype_id, cvn
+            ), f"dtype {dtype_id} cvn {cvn}"

@@ -583,6 +583,28 @@ class NativeDecoderBackend(ArrayBackend):
                     out = arr.copy()
                     out[mask] = None
                     return out
+                # LIST-valued cells (multi-value / vector attrs, round
+                # 10): equal-length numeric lists stack into ONE 2-D
+                # ndarray — the packer's vectorized 2-D path — instead
+                # of a per-cell clean() copy.  np.asarray yields a 2-D
+                # numeric array ONLY when every cell is a same-length
+                # numeric sequence (ragged input → object array, a None
+                # or string cell → object/str dtype), so anything the
+                # stack cannot represent exactly falls through to the
+                # exact loop, values untouched either way.
+                if len(arr) and isinstance(
+                    arr[0], (list, tuple)
+                ) or (len(arr) and hasattr(arr[0], "__len__")
+                      and not isinstance(arr[0], (str, bytes))):
+                    try:
+                        stacked = np.asarray(list(arr))
+                        if (
+                            stacked.ndim == 2
+                            and stacked.dtype.kind in "iuf"
+                        ):
+                            return stacked
+                    except (ValueError, TypeError):
+                        pass
             return [clean(v) for v in s]
 
         self._reg(uri)

@@ -894,39 +894,46 @@ def _pack_fixed(vals: Sequence, dtype_id: int, cvn: int) -> bytes:
             else bytes(v)
             for v in vals
         ]
-        if not enc or max(map(len, enc)) <= cb:
-            # no cell truncates: numpy's S-dtype zero-pads every cell to
-            # cb bytes at construction (embedded and trailing NULs are
-            # preserved) — byte-identical to the ljust loop below
-            import numpy as np  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
-            return np.array(enc, dtype=f"|S{cb}").tobytes()
-        out = bytearray()
-        for b in enc:
-            if len(b) > cb:
-                b = b[:cb]
-                # never split a multi-unit character at the truncation
-                # boundary — read-back would yield U+FFFD (silent
-                # mangling, r8 ADVICE).  UTF-32 units are whole code
-                # points, so unit-boundary cuts are always clean there.
-                if dtype_id in (13, 15) and cb >= 2:  # UTF-16-LE
-                    u = int.from_bytes(b[cb - 2:cb], "little")
-                    if 0xD800 <= u <= 0xDBFF:  # dangling high surrogate
-                        b = b[:cb - 2]
-                elif dtype_id in (4, 11, 12):  # UTF-8
-                    i = len(b)
-                    while i > 0 and (b[i - 1] & 0xC0) == 0x80:
-                        i -= 1  # trailing continuation bytes
-                    if i > 0 and (b[i - 1] & 0xC0) == 0xC0:
-                        lead = b[i - 1]
-                        need = (
-                            2 if lead >> 5 == 0b110
-                            else 3 if lead >> 4 == 0b1110 else 4
-                        )
-                        if len(b) - (i - 1) < need:  # sequence got cut
-                            b = b[:i - 1]
-            out += b.ljust(cb, b"\x00")
-        return bytes(out)
+        oversized = (
+            np.nonzero(
+                np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+                > cb
+            )[0]
+            if enc
+            else ()
+        )
+        # only OVERSIZED cells need the per-cell boundary-safe
+        # truncation (a data-quality edge, round 10: previously one
+        # long cell sent the WHOLE batch to a python ljust loop);
+        # after the cut every cell is <= cb, and numpy's S-dtype
+        # zero-pads to cb at construction (embedded and trailing NULs
+        # preserved) — byte-identical to the old ljust loop.
+        for idx in oversized:
+            b = enc[idx][:cb]
+            # never split a multi-unit character at the truncation
+            # boundary — read-back would yield U+FFFD (silent
+            # mangling, r8 ADVICE).  UTF-32 units are whole code
+            # points, so unit-boundary cuts are always clean there.
+            if dtype_id in (13, 15) and cb >= 2:  # UTF-16-LE
+                u = int.from_bytes(b[cb - 2:cb], "little")
+                if 0xD800 <= u <= 0xDBFF:  # dangling high surrogate
+                    b = b[:cb - 2]
+            elif dtype_id in (4, 11, 12):  # UTF-8
+                i = len(b)
+                while i > 0 and (b[i - 1] & 0xC0) == 0x80:
+                    i -= 1  # trailing continuation bytes
+                if i > 0 and (b[i - 1] & 0xC0) == 0xC0:
+                    lead = b[i - 1]
+                    need = (
+                        2 if lead >> 5 == 0b110
+                        else 3 if lead >> 4 == 0b1110 else 4
+                    )
+                    if len(b) - (i - 1) < need:  # sequence got cut
+                        b = b[:i - 1]
+            enc[idx] = b
+        return np.array(enc, dtype=f"|S{cb}").tobytes()
     if cvn == 1 and code != "c":
         # vectorized scalar pack: numpy's little-endian buffer is
         # byte-identical to struct.pack for these widths.  Casts that
