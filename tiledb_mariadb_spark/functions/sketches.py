@@ -208,38 +208,39 @@ FROM pos GROUP BY 1
 
 
 def bloom_probe(probes: DataFrame, key_col: str, words: DataFrame) -> DataFrame:
-    """Add ``bloom_pass`` (1/0): all k bits set.  ``words`` is broadcast —
-    a Bloom word table is at most BLOOM_BITS/63 rows by construction.
+    """Add ``bloom_pass`` (1/0): all k bits set.
 
-    The word table feeds one broadcast join per hash function; persisting
-    it materializes the build-side scan ONCE instead of once per join
-    (the build side is the expensive input at scale, the word table
-    itself is ~1 KB).  Same storage-level rationale as
-    ``dedup.lsh_candidate_pairs``.
-    """
-    from pyspark import StorageLevel  # noqa: PLC0415
-
-    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    The word table is at most ``BLOOM_BITS/63 + 1`` rows (~8 KB) by
+    construction, so it collects to a DENSE driver-side array (missing
+    words = 0, exactly the old join's ``coalesce(bits, 0)``) and the
+    probe becomes one map-side projection over an array LITERAL riding
+    the task closure — the §3.2 "ship the filter to the data" shape
+    with ZERO joins, broadcasts, or persists (round 10; previously one
+    persist + k broadcast left joins = k extra jobs per probe).  Bit
+    values, hash functions, and word packing are unchanged, so
+    ``bloom_pass`` is bit-identical to the join form (pinned by
+    tests/test_sketches.py and the q195 oracle)."""
+    n_words = BLOOM_BITS // _WORD_BITS + 1
+    dense = [0] * n_words
+    for r in words.collect():
+        dense[int(r["word"])] = int(r["bits"])
+    arr = F.lit(dense)
     out = probes.select(
         "*", *[bloom_bit(F.col(key_col), j).alias(f"__b{j}") for j in range(BLOOM_K)]
     )
     passed = None
     for j in range(BLOOM_K):
-        w = words.select(
-            F.col("word").alias(f"w{j}"), F.col("bits").alias(f"bits{j}")
-        )
-        out = out.join(
-            F.broadcast(w),
-            (F.col(f"__b{j}") / _WORD_BITS).cast("long") == F.col(f"w{j}"),
-            "left",
+        word = (F.col(f"__b{j}") / _WORD_BITS).cast("long")
+        out = out.withColumn(
+            f"__w{j}", F.element_at(arr, (word + 1).cast("int"))
         )
         hit = F.expr(
-            f"(shiftright(coalesce(bits{j}, CAST(0 AS BIGINT)),"
+            f"(shiftright(__w{j},"
             f" CAST(__b{j} % {_WORD_BITS} AS INT)) % 2) = 1"
         )
         passed = hit if passed is None else (passed & hit)
     return out.withColumn("bloom_pass", passed.cast("int")).drop(
-        *[c for j in range(BLOOM_K) for c in (f"w{j}", f"bits{j}", f"__b{j}")]
+        *[c for j in range(BLOOM_K) for c in (f"__b{j}", f"__w{j}")]
     )
 
 
