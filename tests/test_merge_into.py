@@ -233,3 +233,40 @@ def test_skip_skip_no_counts_no_write_job(spark, tmp_path, monkeypatch):
     )
     assert calls == []
     assert _state(spark, uri) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_source_bounds_hint_matches_computed(spark, tmp_path):
+    """Round-10 ``source_bounds``: a caller-supplied probe box (computed
+    concurrently with an ingest at the call sites) must yield the same
+    counts and final state as the internally aggregated bounds, for
+    both clause-split shapes and the empty-source sentinel."""
+    uri = _mk(tmp_path)
+    c = merge_into_array(
+        spark, uri, _src(spark, [(2, 99), (4, 44)]),
+        when_matched="skip", when_not_matched="insert", ts=2000,
+        source_bounds={"k": (2, 4)},
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 1}
+    assert _state(spark, uri) == [(1, 10), (2, 20), (3, 30), (4, 44)]
+    c = merge_into_array(
+        spark, uri, _src(spark, [(3, 77), (9, 90)]),
+        when_matched="update", when_not_matched="skip", ts=3000,
+        source_bounds={"k": (3, 9)},
+    )
+    assert c == {"matched": 1, "not_matched": 1, "written": 1}
+    assert _state(spark, uri) == [(1, 10), (2, 20), (3, 77), (4, 44)]
+    # empty source: (None, None) bounds short-circuit without a write
+    c = merge_into_array(
+        spark, uri, _src(spark, []).limit(0),
+        when_matched="update", when_not_matched="skip", ts=4000,
+        source_bounds={"k": (None, None)},
+    )
+    assert c == {"matched": 0, "not_matched": 0, "written": 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks dimensions"):
+        merge_into_array(
+            spark, uri, _src(spark, [(1, 1)]),
+            when_matched="skip", when_not_matched="insert", ts=5000,
+            source_bounds={"wrong": (0, 1)},
+        )

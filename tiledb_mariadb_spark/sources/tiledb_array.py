@@ -1660,6 +1660,7 @@ def merge_into_array(
     return_counts: bool = True,
     target_splits: int = 32,
     max_delete_keys: int = 100_000,
+    source_bounds: Optional[dict] = None,
 ) -> dict:
     """MERGE INTO for native arrays: the row identity is the dimension
     tuple (the array key), ``source`` supplies dims + the attribute
@@ -1744,11 +1745,30 @@ def merge_into_array(
     fused = None
     need_split = (when_matched, when_not_matched) != ("update", "insert")
     if need_split or return_counts:
-        # probe the target keys only inside the source's bounding box
-        bounds = source.agg(
-            *[F.min(d).alias(f"{d}_lo") for d in dim_names],
-            *[F.max(d).alias(f"{d}_hi") for d in dim_names],
-        ).collect()[0]
+        # probe the target keys only inside the source's bounding box.
+        # ``source_bounds`` ({dim: (lo, hi)} or {dim: (None, None)} for
+        # an empty source) lets a caller that already knows the box —
+        # e.g. one that computed it CONCURRENTLY with a preceding
+        # ingest job (guide §2.6) — skip this aggregation job.  The
+        # box only CONFINES the probe read, but the caller's values
+        # must cover the true min/max: a too-narrow box would misread
+        # matched keys as new, so only pass bounds computed from the
+        # same source frame.
+        if source_bounds is not None:
+            missing_b = [d for d in dim_names if d not in source_bounds]
+            if missing_b:
+                raise ValueError(
+                    f"source_bounds lacks dimensions: {missing_b}"
+                )
+            bounds = {}
+            for d in dim_names:
+                lo, hi = source_bounds[d]
+                bounds[f"{d}_lo"], bounds[f"{d}_hi"] = lo, hi
+        else:
+            bounds = source.agg(
+                *[F.min(d).alias(f"{d}_lo") for d in dim_names],
+                *[F.max(d).alias(f"{d}_hi") for d in dim_names],
+            ).collect()[0]
         if bounds[f"{dim_names[0]}_lo"] is None:
             to_write = source.limit(0)
             matched = not_matched = 0

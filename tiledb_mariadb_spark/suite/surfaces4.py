@@ -1086,30 +1086,48 @@ def q346_merge_into(spark, sf_dir):
         ).alias("cents"),
     )
     backend = NativeDecoderBackend()
+    src1 = src.filter(F.col("k") % 3 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(555)
+    )
+    src2 = src.filter(F.col("k") % 5 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(99)
+    )
+
+    def _box(df):
+        r = df.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect()[0]
+        return {"k": (r["lo"], r["hi"])}
+
     # seed: even keys — 16 range partitions so the big ingest write uses
     # the cores instead of 4 long tasks (each partition is an
-    # independent fragment; same rows, same read-back state)
-    write_array(
-        src.filter(F.col("k") % 2 == 0).repartitionByRange(16, "k"),
-        uri, backend=backend, ts=1000,
+    # independent fragment; same rows, same read-back state).  The two
+    # merges' probe-confinement boxes depend only on the SOURCE frames,
+    # not on the target, so their bounds jobs overlap the seed ingest
+    # (guide §2.6) and each merge skips its own bounds aggregation.
+    from tiledb_mariadb_spark.suite import par_jobs  # noqa: PLC0415
+
+    _, box1, box2 = par_jobs(
+        lambda: write_array(
+            src.filter(F.col("k") % 2 == 0).repartitionByRange(16, "k"),
+            uri, backend=backend, ts=1000,
+        ),
+        lambda: _box(src1),
+        lambda: _box(src2),
     )
     # merge 1 — INSERT IGNORE shape: add k%3==0 rows at cents+555,
     # existing keys untouched
     c1 = merge_into_array(
-        spark, uri,
-        src.filter(F.col("k") % 3 == 0)
-        .withColumn("cents", F.col("cents") + F.lit(555)),
+        spark, uri, src1,
         when_matched="skip", when_not_matched="insert", ts=2000,
         target_splits=8, on_source_dups="allow",  # orderkey is unique
+        source_bounds=box1,
     )
     # merge 2 — UPDATE-only shape: k%5==0 rows present in the array get
     # cents+99, absent keys dropped
     c2 = merge_into_array(
-        spark, uri,
-        src.filter(F.col("k") % 5 == 0)
-        .withColumn("cents", F.col("cents") + F.lit(99)),
+        spark, uri, src2,
         when_matched="update", when_not_matched="skip", ts=3000,
         target_splits=8, on_source_dups="allow",
+        source_bounds=box2,
     )
     # final-state read confined to the k<2000 window it returns:
     # dim_ranges prunes splits on the driver and each task decodes only
